@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory.
+  *
+  * One place to pin the configs that matter for both correctness (UTC
+  * session time zone — the reference treats all timestamps as naive UTC,
+  * /root/reference/script.py:29,120) and scale (AQE, shuffle-partition
+  * sizing). Tests, Verify, Bench and the pipeline all build sessions here
+  * so plans are comparable across entry points.
+  */
+object GraftSession {
+
+  /** Default parallelism: the driver exports SPARK_GRAFT_CPUS; fall back
+    * to the host's core count (local mode = one JVM, N task threads).
+    */
+  def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Apply graft's standard configuration to any builder. */
+  def configure(b: SparkSession.Builder, nCpus: Int): SparkSession.Builder = b
+    // Shuffle partitions sized to the executor slots, not Spark's default 200:
+    // at local[32] a 200-way shuffle just adds scheduling overhead; on a
+    // real cluster AQE coalesces post-shuffle partitions anyway.
+    .config("spark.sql.shuffle.partitions", nCpus.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Oracle parity: DuckDB evaluates date/timestamp functions in UTC.
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // events.parquet stores timestamp[ns], which the vectorized reader
+    // rejects ([PARQUET_TYPE_ILLEGAL]). Read it as long (nanos since
+    // epoch); Tables.load converts to TimestampType via integer division
+    // (floor to micros), matching DuckDB's ns->us truncation.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "graft", nCpus: Int = cpus): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$nCpus]").appName(appName), nCpus
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

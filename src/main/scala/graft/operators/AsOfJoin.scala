@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed backward-looking as-of join.
+  *
+  * For every left row, attaches the payload of the most recent right row
+  * with `right(timeCol) <= left(timeCol)` in the same key group (or nulls
+  * when no prior right row exists) — the classic "enrich events with the
+  * latest state at event time" operator, which Spark has no built-in for.
+  *
+  * Spark-first implementation (no custom physical plan needed): tag and
+  * union both inputs, sort within each key by (time, side) with right
+  * rows winning ties (giving `<=`, not `<`), and carry the right payload
+  * forward with `last(_, ignoreNulls = true)` over an unbounded-preceding
+  * running window; finally keep only left rows.
+  *
+  * Scale notes: exactly ONE shuffle (hash partition by key + in-partition
+  * sort) regardless of input sizes — no range-join row explosion and no
+  * requirement that either side broadcasts. Running `last` windows are
+  * evaluated streaming within each partition (no buffering of the whole
+  * frame). Skewed keys degrade to single-task sorts; salt upstream if one
+  * key dominates.
+  */
+object AsOfJoin {
+
+  /** @param right      must contain `keys`, `timeCol`, and `payload` cols
+    * @param payload    right columns to attach (emitted as `prefix+name`)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      payload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val sideCol = "_graft_side"
+    val timeTag = "_graft_t"
+
+    def typedNull(df: DataFrame, name: String): Column =
+      lit(null).cast(df.schema(name).dataType)
+
+    // Right rows carry only key + time + payload; left columns nulled.
+    val rightTagged = right.select(
+      keys.map(col) ++
+        Seq(col(timeCol).as(timeTag), lit(0).as(sideCol)) ++
+        leftCols.filterNot(keys.contains).map(c => typedNull(left, c).as(c)) ++
+        payload.map(c => col(c).as(prefix + c)): _*)
+
+    val leftTagged = left.select(
+      keys.map(col) ++
+        Seq(col(timeCol).as(timeTag), lit(1).as(sideCol)) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        payload.map(c => typedNull(right, c).as(prefix + c)): _*)
+
+    val unioned = leftTagged.unionByName(rightTagged)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(timeTag).asc, col(sideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .where(col(sideCol) === 1)
+      .drop(sideCol, timeTag)
+      .select((leftCols.map(col) ++ payload.map(c => col(prefix + c))): _*)
+  }
+}

@@ -1,0 +1,501 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Relational operator surface: scans, filters, projections, equi/anti/
+  * semi/outer joins, hash + rollup/cube/grouping-set aggregation, window
+  * functions, top-k, set ops, subqueries, pivot, time windows (tumbling +
+  * session), as-of join, range join, JSON extraction.
+  *
+  * The reference exercises a subset of these directly (SURVEY.md §2: anti
+  * joins J1-J3, dedup D1, projections, filters); the rest are the
+  * downstream "Analytics Ready" query surface (§2.10) the star schema
+  * exists for. Each entry is paired with a DuckDB oracle (see Q's
+  * conventions on ordering / rounding / type alignment).
+  */
+object CoreQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Register views then run a SQL-string query (used where the exercised
+    * surface IS Spark's SQL front end: grouping sets, subqueries).
+    */
+  private def viaSql(names: Seq[String], sql: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q01: filtered scan + hash aggregation (TPC-H Q1 shape). ----
+    // Partial aggregation (map-side combine) keeps the shuffle at
+    // |groups| x |partitions| rows regardless of input scale.
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .where($"l_shipdate" <= to_timestamp_ntz(lit("2000-12-01")))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+            round(avg($"l_quantity"), 2).as("avg_qty"),
+            round(avg($"l_extendedprice"), 2).as("avg_price"),
+            round(avg($"l_discount"), 2).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 2) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- q02: star join fact->dims, broadcast the small sides. ----
+    // nation/region are O(10) rows at any scale factor: broadcast hash
+    // join, no shuffle for them; only customer|><|orders|><|lineitem
+    // shuffles, on their join keys.
+    Q("q02_revenue_by_nation",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .where($"o_orderdate" >= to_timestamp_ntz(lit("1996-01-01")) &&
+                 $"o_orderdate" < to_timestamp_ntz(lit("1998-01-01")))
+        val l = t(s, dir, "lineitem")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+            count_distinct($"o_orderkey").as("n_orders"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // ---- q03: top-k (agg + orderBy + limit => TakeOrderedAndProject:
+    // per-partition heaps, only k rows cross to the driver). ----
+    Q("q03_topk_orders_by_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // ---- q04: ranking window, top-n per group. ----
+    Q("q04_top2_orders_per_customer",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where($"rn" <= 2)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+          .orderBy($"o_custkey", $"rn")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn""")),
+
+    // ---- q05: running-total window (streaming frame evaluation). ----
+    Q("q05_running_qty_per_supplier",
+      (s, dir) => {
+        import s.implicits._
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // order by quantity too so running values are invariant under
+        // permutation of remaining (full-duplicate) ties.
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity")
+          .withColumn("running_qty", round(sum($"l_quantity").over(w), 2))
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        FROM lineitem
+        ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""")),
+
+    // ---- q06: anti join — the reference's dedup primitive (SURVEY
+    // §2.5 J1-J3, /root/reference/script.py:143). ----
+    Q("q06_customers_without_orders",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- q07: semi join (EXISTS). ----
+    Q("q07_large_parts_shipped",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .where($"p_size" >= 25)
+          .join(t(s, dir, "lineitem"), $"p_partkey" === $"l_partkey", "left_semi")
+          .select($"p_partkey", $"p_name", $"p_size")
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_size
+        FROM part
+        WHERE p_size >= 25
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        ORDER BY p_partkey""")),
+
+    // ---- q08: exact distinct (shuffle on full key; map-side partial
+    // dedup keeps the exchange small). ----
+    Q("q08_distinct_flag_status_year",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus",
+            year($"l_shipdate").cast("long").as("ship_year"))
+          .distinct()
+          .orderBy($"l_returnflag", $"l_linestatus", $"ship_year")
+      },
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        FROM lineitem
+        ORDER BY l_returnflag, l_linestatus, ship_year""")),
+
+    // ---- q09: set operations (INTERSECT then EXCEPT, both distinct). ----
+    Q("q09_setops_custkeys",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        def keys(status: String) =
+          o.where($"o_orderstatus" === status).select($"o_custkey")
+        keys("F").intersect(keys("O")).except(keys("P"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM
+          ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        ORDER BY o_custkey""")),
+
+    // ---- q10: rollup. ----
+    Q("q10_rollup_returns",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("flag"),
+            coalesce($"l_linestatus", lit("ALL")).as("status"),
+            $"n", $"qty")
+          .orderBy($"flag", $"status")
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY flag, status""")),
+
+    // ---- q11: cube. ----
+    Q("q11_cube_order_status",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .select(
+            coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ---- q12: grouping sets (SQL front end). ----
+    Q("q12_grouping_sets",
+      viaSql(Seq("orders"), """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority"""),
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority""")),
+
+    // ---- q13: tumbling event-time window (batch form of the streaming
+    // windowed agg, SURVEY §2.11). ----
+    Q("q13_events_hourly",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .select(
+            unix_millis($"window.start").as("bucket_ms"),
+            $"event_type", $"n", $"total_value")
+          .orderBy($"bucket_ms", $"event_type")
+      },
+      Some("""
+        SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_ms,
+               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY bucket_ms, event_type""")),
+
+    // ---- q14: session windows (gap = 6h). Spark merges while the next
+    // event is strictly inside [start, last+gap); the oracle reproduces
+    // that with gaps-and-islands. ----
+    Q("q14_events_sessions",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "6 hours"))
+          .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+          .select(
+            $"user_id",
+            unix_millis($"session_window.start").as("session_start_ms"),
+            $"n_events", $"total_value")
+          .orderBy($"user_id", $"session_start_ms")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      < INTERVAL 6 HOUR THEN 0 ELSE 1 END AS new_session
+          FROM ev),
+        sessioned AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked)
+        SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM sessioned
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start_ms""")),
+
+    // ---- q15: as-of join (custom operator, see AsOfJoin). ----
+    Q("q15_asof_last_error",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val left = ev.where($"event_type" =!= "error")
+        val errors = ev.where($"event_type" === "error")
+          .select($"user_id", $"ts", $"value")
+        AsOfJoin.asof(left, errors, Seq("user_id"), "ts", Seq("ts", "value"), "err_")
+          .select(
+            $"event_id", $"user_id",
+            unix_millis($"ts").as("ts_ms"),
+            unix_millis($"err_ts").as("err_ts_ms"),
+            $"err_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+          FROM events),
+        err AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'error')
+        SELECT e.event_id, e.user_id,
+               epoch_ms(e.ts) AS ts_ms,
+               epoch_ms(r.ts) AS err_ts_ms,
+               r.value AS err_value
+        FROM (SELECT * FROM ev WHERE event_type <> 'error') e
+        ASOF LEFT JOIN err r
+          ON e.user_id = r.user_id AND e.ts >= r.ts
+        ORDER BY e.event_id""")),
+
+    // ---- q16: range (band) join — non-equi join against a tiny literal
+    // dim: broadcast nested-loop, no shuffle of the fact side. ----
+    Q("q16_price_band_totals",
+      (s, dir) => {
+        import s.implicits._
+        val bands = s.createDataFrame(Seq(
+          (1, 0.0, 25000.0), (2, 25000.0, 50000.0),
+          (3, 50000.0, 75000.0), (4, 75000.0, 1e9)))
+          .toDF("band_id", "lo", "hi")
+        t(s, dir, "lineitem")
+          .join(broadcast(bands),
+            $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+          .groupBy($"band_id")
+          .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("total"))
+          .orderBy($"band_id")
+      },
+      Some("""
+        SELECT band_id, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        JOIN (VALUES (1, 0.0, 25000.0), (2, 25000.0, 50000.0),
+                     (3, 50000.0, 75000.0), (4, 75000.0, 1e9)) AS b(band_id, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band_id
+        ORDER BY band_id""")),
+
+    // ---- q17: semi-structured JSON extraction (events.props). ----
+    Q("q17_events_json_props",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_type",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"event_type")
+          .agg(sum($"k").as("sum_k"), count($"k").as("n_with_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- q18: outer join + aggregation with null handling. ----
+    Q("q18_customer_order_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spent"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey""")),
+
+    // ---- q19: uncorrelated scalar subquery. ----
+    Q("q19_orders_above_avg",
+      viaSql(Seq("orders"), """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey"""),
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey""")),
+
+    // ---- q20: correlated scalar subquery (Catalyst decorrelates to an
+    // aggregate + join — no per-row re-execution at scale). ----
+    Q("q20_above_nation_avg_balance",
+      viaSql(Seq("customer"), """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey"""),
+      Some("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")),
+
+    // ---- q21: pivot (statuses to columns). ----
+    Q("q21_pivot_status_counts",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+        p.select($"o_orderpriority",
+            coalesce($"F", lit(0L)).as("F"),
+            coalesce($"O", lit(0L)).as("O"),
+            coalesce($"P", lit(0L)).as("P"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS "F",
+               count(*) FILTER (o_orderstatus = 'O') AS "O",
+               count(*) FILTER (o_orderstatus = 'P') AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
+  )
+}
