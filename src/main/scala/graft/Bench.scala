@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Force FULL materialization of the final plan — including sorts and
+    * columns a `count()` would let Catalyst prune — by writing to the
+    * built-in `noop` datasource (consumes every row of every column,
+    * writes nothing). This is what makes window/sort queries measurable.
+    */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -9,20 +17,24 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One untimed warm-up pass (JIT + codegen + parquet footer caches),
-    // then a timed pass per query. count() after an explicit orderBy/agg
-    // still executes the full plan; AQE may drop the final sort.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed warm-up of EVERY query (JIT + codegen + parquet footers), so
+    // first-touch costs don't land on whichever query runs first.
+    queries.foreach { case (_, fn) =>
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Timed pass; a failed query records a NEGATIVE time so failures are
+    // visible in BENCH json rather than masquerading as fast successes.
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val ok = try { exec(fn(spark, sfDir)); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map { case (_, v) => math.abs(v) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,6 +30,12 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // Oracle parity: DuckDB evaluates date/timestamp functions in UTC.
     .config("spark.sql.session.timeZone", "UTC")
+    // Reference semantics: every parse failure is per-record null-then-drop
+    // (/root/reference/script.py:19-20,57-59 — bare `except: return None`),
+    // never a job failure. Spark 4 defaults to ANSI mode where CAST of
+    // garbage throws; non-ANSI CAST yields null, which is exactly the
+    // domain's contract (SURVEY.md §2.3 T5, §2.8 C1-C2, §2.9 X1-X2).
+    .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
     // events.parquet stores timestamp[ns], which the vectorized reader
     // rejects ([PARQUET_TYPE_ILLEGAL]). Read it as long (nanos since

@@ -56,20 +56,28 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(col) ++
         payload.map(c => typedNull(right, c).as(prefix + c)): _*)
 
+    // Pack the right payload into ONE struct so every output column comes
+    // from the SAME matched right row — carrying columns independently
+    // would mix rows whenever the newest right row has a null in one
+    // payload column (that column would fall back to an older row).
+    val packed = "_graft_payload"
     val unioned = leftTagged.unionByName(rightTagged)
+      .withColumn(packed,
+        when(col(sideCol) === 0,
+          struct(payload.map(c => col(prefix + c).as(prefix + c)): _*)))
 
+    // Ties among right rows with equal timestamps are broken by the packed
+    // payload itself (struct ordering) — deterministic across runs and
+    // partitionings, so oracle hash-compares can't flake.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(timeTag).asc, col(sideCol).asc)
+      .orderBy(col(timeTag).asc, col(sideCol).asc, col(packed).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
-    }
-
-    carried
+    unioned
+      .withColumn(packed, last(col(packed), ignoreNulls = true).over(w))
       .where(col(sideCol) === 1)
-      .drop(sideCol, timeTag)
-      .select((leftCols.map(col) ++ payload.map(c => col(prefix + c))): _*)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(packed).getField(prefix + c).as(prefix + c))): _*)
   }
 }

@@ -421,8 +421,8 @@ object CoreQueries extends QueryPack {
       },
       Some("""
         SELECT event_type,
-               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+               CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type""")),

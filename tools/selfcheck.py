@@ -8,6 +8,7 @@ bitwise-intent for floats since both sides round explicitly).
 
 Usage: python3 tools/selfcheck.py [sfDir] [--skip-verify] [queries...]
 """
+import argparse
 import json
 import os
 import subprocess
@@ -17,9 +18,14 @@ import duckdb
 import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_ap = argparse.ArgumentParser(description=__doc__)
+_ap.add_argument("sfdir", nargs="?", default="/root/testdata/sf0.01")
+_ap.add_argument("queries", nargs="*", help="run only these query names")
+_ap.add_argument("--skip-verify", action="store_true")
+_ARGS = _ap.parse_args()
+SF = _ARGS.sfdir
 OUT = "/tmp/graft_verify_out"
-ONLY = [a for a in sys.argv[2:] if not a.startswith("--")]
+ONLY = _ARGS.queries
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -60,7 +66,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    if "--skip-verify" not in sys.argv:
+    if not _ARGS.skip_verify:
         run_verify()
     con = duckdb.connect()
     for t in TABLES:
