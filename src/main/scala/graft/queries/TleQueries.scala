@@ -1,0 +1,350 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TleFunctions
+
+/** TLE-domain operator surface (SURVEY.md §2.3-2.9, §2.12) under the
+  * DuckDB correctness gate.
+  *
+  * The driver testdata has no TLE text, so each query SYNTHESIZES
+  * fixed-width TLE-format strings deterministically from integer testdata
+  * columns (format_string of ints only — Java's Formatter and DuckDB's
+  * printf agree byte-for-byte on integer formats, while float formatting
+  * would not round identically), parses them back through the engine's
+  * expression pack, and the oracle replays the identical printf+substr
+  * parse in DuckDB. Because both engines parse the same decimal strings,
+  * doubles are compared RAW — string→double is correctly rounded in both.
+  *
+  * Covered: St1-St6 (trim/substr/concat/split), C1-C3 (casts), M1-M2
+  * (pow recompose, century pivot), Dt1-Dt2 (fractional-day epoch, date
+  * parse), X1-X3 (tle_bstar quirks, tle_parse, NOAA decode), T1 analog
+  * (ordered triple grouping), T5 (record-null-drop), F1/F3 (anti-filters),
+  * J1/J3 (anti joins on date + composite keys), D1 (deterministic
+  * keep-first dedup).
+  */
+object TleQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared synth fragments (Spark side) --------------------------------
+  private val k: Column = col("o_orderkey")
+  private val c: Column = col("o_custkey")
+
+  /** l1/l2 synthesis — layout mirrors FIXTURES.md §A1; every %-spec is an
+    * integer or plain string so both engines render identical bytes.
+    * Rows with k % 97 == 0 get an alpha NORAD field → whole-record null
+    * (T5 / §2.12.4 Alpha-5 behavior).
+    */
+  private def noradStr: Column =
+    when(k % 97 === 0, lit("XXXXX"))
+      .otherwise(format_string("%05d", (k * 7919) % 100000))
+
+  private def bstarStr: Column =
+    when(k % 4 === 0, format_string(" %05d-%d", c % 100000, k % 5))
+      .when(k % 4 === 1, format_string("-%05d-%d", c % 100000, k % 5)) // signed mantissa → null B*
+      .when(k % 4 === 2, lit(" 00000+0"))                              // → 0.0
+      .otherwise(format_string(" %05d+%d", c % 100000, k % 2))
+
+  private def line1: Column = format_string(
+    "1 %5sU %-8s %02d%03d.%08d  .00000000  00000-0 %8s 0  9991",
+    noradStr, format_string("%02d%03dA", k % 100, c % 1000),
+    k % 100, k % 365 + 1, (k * 2654435761L) % 100000000L, bstarStr)
+
+  private def line2: Column = format_string(
+    "2 %5s %3d.%04d %3d.%04d %07d %3d.%04d %3d.%04d %2d.%08d%05d",
+    noradStr,
+    k % 180, (k * 31) % 10000,
+    (k * 7) % 360, (k * 37) % 10000,
+    (k * 101) % 10000000,
+    (k * 11) % 360, (k * 41) % 10000,
+    (k * 13) % 360, (k * 43) % 10000,
+    k % 16, (k * 2654435761L) % 100000000L, k % 100000)
+
+  /** The same synthesis as SQL CTEs for the DuckDB oracle. */
+  private val synthSql = """
+    WITH src AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+    synth AS (
+      SELECT k,
+        CASE WHEN k % 97 = 0 THEN 'XXXXX'
+             ELSE printf('%05d', (k * 7919) % 100000) END AS norad_str,
+        CASE k % 4
+          WHEN 0 THEN printf(' %05d-%d', c % 100000, k % 5)
+          WHEN 1 THEN printf('-%05d-%d', c % 100000, k % 5)
+          WHEN 2 THEN ' 00000+0'
+          ELSE printf(' %05d+%d', c % 100000, k % 2) END AS bstar_str,
+        printf('%02d%03dA', k % 100, c % 1000) AS intl_raw,
+        k % 100 AS yy, k % 365 + 1 AS day_int,
+        (k * 2654435761) % 100000000 AS day_frac,
+        c, k % 180 AS i_a, (k * 31) % 10000 AS i_b,
+        (k * 7) % 360 AS r_a, (k * 37) % 10000 AS r_b,
+        (k * 101) % 10000000 AS ecc7,
+        (k * 11) % 360 AS p_a, (k * 41) % 10000 AS p_b,
+        (k * 13) % 360 AS m_a, (k * 43) % 10000 AS m_b,
+        k % 16 AS mm_a, (k * 2654435761) % 100000000 AS mm_b,
+        k % 100000 AS rev
+      FROM src),
+    lines AS (
+      SELECT k,
+        printf('1 %5sU %-8s %02d%03d.%08d  .00000000  00000-0 %8s 0  9991',
+               norad_str, intl_raw, yy, day_int, day_frac, bstar_str) AS l1,
+        printf('2 %5s %3d.%04d %3d.%04d %07d %3d.%04d %3d.%04d %2d.%08d%05d',
+               norad_str, i_a, i_b, r_a, r_b, ecc7, p_a, p_b, m_a, m_b,
+               mm_a, mm_b, rev) AS l2
+      FROM synth)"""
+
+  /** tle_bstar decode replayed in DuckDB SQL over a string column expr. */
+  private def bstarSql(s: String): String = s"""
+    CASE WHEN contains(substr($s, length($s) - 1, 2), '-')
+           OR contains(substr($s, length($s) - 1, 2), '+')
+         THEN CASE WHEN TRY_CAST(substr($s, length($s) - 1, 2) AS INT) < 0
+              THEN TRY_CAST('0.' || substr($s, 1, length($s) - 2) AS DOUBLE)
+                   / power(10, -TRY_CAST(substr($s, length($s) - 1, 2) AS INT))
+              ELSE TRY_CAST('0.' || substr($s, 1, length($s) - 2) AS DOUBLE)
+                   * power(10, TRY_CAST(substr($s, length($s) - 1, 2) AS INT)) END
+         ELSE TRY_CAST($s AS DOUBLE) END"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q22: tle_bstar quirk table (X1; script.py:11-20). Six input
+    // classes exercise: suffix-exponent decode, signed-mantissa → null
+    // (both '-' and '+'), plain-float fallthrough, garbage → null, and
+    // the " 00000+0" → 0.0 case. Raw doubles — both engines parse the
+    // same strings, so values are bit-identical. ----
+    Q("q22_tle_bstar_quirks",
+      (s, dir) => {
+        val m = c % 100000
+        val e = k % 5
+        val raw = when(k % 6 === 0, format_string(" %05d-%d", m, e))
+          .when(k % 6 === 1, format_string("-%05d-%d", m, e))
+          .when(k % 6 === 2, format_string("+%05d-%d", m, e))
+          .when(k % 6 === 3, format_string("0.%06d", c % 1000000))
+          .when(k % 6 === 4, lit("XXXXXXXX"))
+          .otherwise(lit(" 00000+0"))
+        t(s, dir, "orders")
+          .select(k.as("o_orderkey"), (k % 6).cast("int").as("bstar_class"),
+            TleFunctions.tleBstar(raw).as("b_star"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT o_orderkey, o_orderkey % 6 AS cls,
+                 o_custkey % 100000 AS m, o_orderkey % 5 AS e,
+                 o_custkey % 1000000 AS m6
+          FROM orders),
+        raw AS (
+          SELECT o_orderkey, cls,
+            trim(CASE cls
+              WHEN 0 THEN printf(' %05d-%d', m, e)
+              WHEN 1 THEN printf('-%05d-%d', m, e)
+              WHEN 2 THEN printf('+%05d-%d', m, e)
+              WHEN 3 THEN printf('0.%06d', m6)
+              WHEN 4 THEN 'XXXXXXXX'
+              ELSE ' 00000+0' END) AS s
+          FROM src)
+        SELECT o_orderkey, CAST(cls AS INT) AS bstar_class,
+               ${bstarSql("s")} AS b_star
+        FROM raw ORDER BY o_orderkey""")),
+
+    // ---- q23: full tle_parse round-trip (X2 + St1-St3, C1-C2, M1-M2,
+    // Dt1, T5; script.py:22-59). Synthesize both lines per orders row,
+    // parse back to the 11-field struct, drop whole-record-null rows
+    // (alpha NORAD every 97th key), emit epoch as epoch-micros BIGINT. ----
+    Q("q23_tle_parse_roundtrip",
+      (s, dir) => {
+        val rec = TleFunctions.tleParse(line1, line2)
+        t(s, dir, "orders")
+          .select(k.as("o_orderkey"), rec.as("r"))
+          .where(col("r").isNotNull)
+          .select(
+            col("o_orderkey"),
+            col("r.norad_id").as("norad_id"),
+            col("r.intl_designator").as("intl_designator"),
+            unix_micros(col("r.epoch_utc")).as("epoch_micros"),
+            col("r.inclination").as("inclination"),
+            col("r.raan").as("raan"),
+            col("r.eccentricity").as("eccentricity"),
+            col("r.arg_perigee").as("arg_perigee"),
+            col("r.mean_anomaly").as("mean_anomaly"),
+            col("r.mean_motion").as("mean_motion"),
+            col("r.b_star_drag").as("b_star_drag"),
+            col("r.rev_number").as("rev_number"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        $synthSql,
+        parsed AS (
+          SELECT k,
+            TRY_CAST(substr(l1, 3, 5) AS INT) AS norad_id,
+            trim(substr(l1, 10, 8)) AS intl_designator,
+            TRY_CAST(substr(l1, 19, 2) AS INT) AS epoch_year,
+            TRY_CAST(substr(l1, 21, 12) AS DOUBLE) AS epoch_day,
+            trim(substr(l1, 54, 8)) AS braw,
+            TRY_CAST(substr(l2, 9, 8) AS DOUBLE) AS inclination,
+            TRY_CAST(substr(l2, 18, 8) AS DOUBLE) AS raan,
+            TRY_CAST('0.' || substr(l2, 27, 7) AS DOUBLE) AS eccentricity,
+            TRY_CAST(substr(l2, 35, 8) AS DOUBLE) AS arg_perigee,
+            TRY_CAST(substr(l2, 44, 8) AS DOUBLE) AS mean_anomaly,
+            TRY_CAST(substr(l2, 53, 11) AS DOUBLE) AS mean_motion,
+            TRY_CAST(substr(l2, 64, 5) AS INT) AS rev_number
+          FROM lines)
+        SELECT k AS o_orderkey, norad_id, intl_designator,
+               epoch_us(make_date(CASE WHEN epoch_year < 57
+                                       THEN epoch_year + 2000
+                                       ELSE epoch_year + 1900 END,
+                                  1, 1)::TIMESTAMP)
+                 + CAST(floor((epoch_day - 1) * 86400000000) AS BIGINT)
+                 AS epoch_micros,
+               inclination, raan, eccentricity, arg_perigee,
+               mean_anomaly, mean_motion,
+               ${bstarSql("braw")} AS b_star_drag,
+               rev_number
+        FROM parsed
+        WHERE norad_id IS NOT NULL
+        ORDER BY o_orderkey""")),
+
+    // ---- q24: ordered triple-windowing (T1 analog; script.py:123-130).
+    // Lines carry an explicit deterministic index (row_number over the
+    // unique o_orderkey), grouped in consecutive triples, with the
+    // trailing partial group dropped (count == 3 filter — the k % 7 < 5
+    // source filter leaves a non-multiple-of-3 line count at every sf).
+    // NOTE the global row_number here exists for cross-engine determinism
+    // of the oracle; the production grouper (graft.ingest.TripleGrouper)
+    // derives the index from zipWithIndex — distributed, no single-task
+    // window. ----
+    Q("q24_tle_triple_group",
+      (s, dir) => {
+        val idx = (row_number().over(Window.orderBy("o_orderkey")) - 1)
+          .cast("long")
+        t(s, dir, "orders")
+          .where(k % 7 < 5)
+          .select(format_string("L%d|%d", k, c).as("line"), idx.as("idx"))
+          .withColumn("grp", expr("idx DIV 3"))
+          .groupBy(col("grp"))
+          .agg(
+            max(when(col("idx") % 3 === 0, col("line"))).as("name"),
+            max(when(col("idx") % 3 === 1, col("line"))).as("l1"),
+            max(when(col("idx") % 3 === 2, col("line"))).as("l2"),
+            count(lit(1)).as("n"))
+          .where(col("n") === 3)
+          .select(col("grp").as("group_id"), col("name"), col("l1"), col("l2"))
+          .orderBy("group_id")
+      },
+      Some("""
+        WITH lines AS (
+          SELECT printf('L%d|%d', o_orderkey, o_custkey) AS line,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+          FROM orders WHERE o_orderkey % 7 < 5)
+        SELECT idx // 3 AS group_id,
+               max(CASE WHEN idx % 3 = 0 THEN line END) AS name,
+               max(CASE WHEN idx % 3 = 1 THEN line END) AS l1,
+               max(CASE WHEN idx % 3 = 2 THEN line END) AS l2
+        FROM lines
+        GROUP BY 1 HAVING count(*) = 3
+        ORDER BY group_id""")),
+
+    // ---- q25: NOAA JSON decode path (S3/X3; script.py:61-74). Builds
+    // one JSON array document per event_type — header row first, then
+    // [timestamp, flux] string pairs (mirroring the single-payload
+    // wholetext shape) — then decodes it back: from_json → posexplode →
+    // header skip (pos > 0) → split-date + float cast. The oracle
+    // computes the fixpoint directly from the base columns. ----
+    Q("q25_noaa_decode",
+      (s, dir) => {
+        val pair = array(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm"),
+          format_string("%d.%d", col("user_id") % 1000, col("event_id") % 100))
+        val docs = t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(to_json(concat(
+            array(array(lit("time_tag"), lit("f10.7"))),
+            array_sort(collect_list(pair)))).as("payload"))
+        val dec = TleFunctions.noaaDecode(col("col"))
+        docs
+          .select(col("event_type"),
+            posexplode(from_json(col("payload"),
+              org.apache.spark.sql.types.DataType.fromDDL("array<array<string>>"))))
+          .where(col("pos") > 0)
+          .select(col("event_type"),
+            dec.getField("date_utc").as("date_utc"),
+            dec.getField("f10_7_flux").as("f10_7_flux"))
+          .orderBy("event_type", "date_utc", "f10_7_flux")
+      },
+      Some("""
+        SELECT event_type, CAST(ts AS DATE) AS date_utc,
+               CAST(printf('%d.%d', user_id % 1000, event_id % 100) AS DOUBLE)
+                 AS f10_7_flux
+        FROM events
+        ORDER BY event_type, date_utc, f10_7_flux""")),
+
+    // ---- q26: composite-key anti-join dedup + deterministic keep-first
+    // (J3/F3 + D1; script.py:159-167, 144). batch ANTI recent on
+    // (norad_id, epoch_micros) — the decoy rows (epoch + 1) prove the
+    // epoch participates in the key — then first-per-norad via
+    // row_number, the deterministic form of drop_duplicates(subset). ----
+    Q("q26_telemetry_antijoin_dedup",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(
+          k.as("k"),
+          (k % 500).as("norad_id"),
+          (lit(1700000000000000L) + expr("o_orderkey DIV 500") * 3600000000L)
+            .as("epoch_micros"))
+        val recent = base.where(col("k") % 3 === 0)
+          .select(col("norad_id"), col("epoch_micros"))
+          .unionAll(base.where(col("k") % 5 === 1)
+            .select(col("norad_id"), (col("epoch_micros") + 1).as("epoch_micros")))
+        val rn = row_number().over(
+          Window.partitionBy("norad_id").orderBy("epoch_micros", "k"))
+        base.join(recent, Seq("norad_id", "epoch_micros"), "left_anti")
+          .withColumn("rn", rn).where(col("rn") === 1).drop("rn")
+          .select(col("norad_id"), col("epoch_micros"), col("k"))
+          .orderBy("norad_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderkey % 500 AS norad_id,
+                 1700000000000000 + (o_orderkey // 500) * 3600000000
+                   AS epoch_micros
+          FROM orders),
+        recent AS (
+          SELECT norad_id, epoch_micros FROM base WHERE k % 3 = 0
+          UNION ALL
+          SELECT norad_id, epoch_micros + 1 FROM base WHERE k % 5 = 1),
+        survivors AS (
+          SELECT b.* FROM base b
+          ANTI JOIN recent r
+            ON b.norad_id = r.norad_id AND b.epoch_micros = r.epoch_micros)
+        SELECT norad_id, epoch_micros, k FROM survivors
+        QUALIFY row_number() OVER (PARTITION BY norad_id
+                                   ORDER BY epoch_micros, k) = 1
+        ORDER BY norad_id""")),
+
+    // ---- q27: date-key anti-filter (J1/F1; script.py:85-89): new
+    // weather dates = batch dates ANTI existing dates. Dates synthesized
+    // from integer offsets so every scale factor yields 15 survivors. ----
+    Q("q27_weather_date_anti",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val batch = o.select(date_add(to_date(lit("2026-01-01")),
+          (k % 60).cast("int")).as("date_utc")).distinct()
+        val existing = o.select(date_add(to_date(lit("2026-01-01")),
+          (c % 45).cast("int")).as("date_utc")).distinct()
+        batch.join(existing, Seq("date_utc"), "left_anti")
+          .orderBy("date_utc")
+      },
+      Some("""
+        WITH batch AS (
+          SELECT DISTINCT DATE '2026-01-01' + CAST(o_orderkey % 60 AS INT)
+            AS date_utc FROM orders),
+        existing AS (
+          SELECT DISTINCT DATE '2026-01-01' + CAST(o_custkey % 45 AS INT)
+            AS date_utc FROM orders)
+        SELECT b.date_utc FROM batch b
+        ANTI JOIN existing e ON b.date_utc = e.date_utc
+        ORDER BY date_utc"""))
+  )
+}
