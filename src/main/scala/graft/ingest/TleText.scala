@@ -1,0 +1,75 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TleFunctions
+
+/** Order-preserving ingestion of raw TLE text (S1/S2/T1/X2/T5).
+  *
+  * The reference reads the whole HTTP payload and walks consecutive line
+  * triples `(name, line1, line2)`, silently dropping a trailing partial
+  * triple (`/root/reference/script.py:119-130`). `spark.read.text` gives
+  * no order guarantee, so the line index comes from RDD `zipWithIndex` —
+  * distributed and order-correct for text sources (index = split offset
+  * order), at the cost of one extra partition-size count job. After
+  * indexing, triple assembly is a plain hash aggregation on `idx div 3`:
+  * fully parallel, one shuffle, no single-task window.
+  */
+object TleText {
+
+  private val linesSchema = StructType(Seq(
+    StructField("grp", LongType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("line", StringType)))
+
+  /** Lines → `(grp, name, l1, l2)` triples, trailing partial dropped. */
+  def triples(spark: SparkSession, path: String): DataFrame = {
+    val indexed = spark.sparkContext.textFile(path)
+      .zipWithIndex()
+      .map { case (line, idx) => Row(idx / 3, (idx % 3).toInt, line) }
+    groupTriples(spark.createDataFrame(indexed, linesSchema))
+  }
+
+  /** Triple assembly over an already-indexed lines frame. */
+  def groupTriples(indexed: DataFrame): DataFrame =
+    indexed
+      .groupBy(col("grp"))
+      .agg(
+        max(when(col("pos") === 0, col("line"))).as("name"),
+        max(when(col("pos") === 1, col("line"))).as("l1"),
+        max(when(col("pos") === 2, col("line"))).as("l2"),
+        count(lit(1)).as("n"))
+      .where(col("n") === 3) // drop-partial-trailer (script.py:124)
+      .select(col("grp"),
+        trim(col("name")).as("sat_name"), // per-line strip (script.py:125-127)
+        trim(col("l1")).as("l1"),
+        trim(col("l2")).as("l2"))
+
+  /** Full S1→T1→X2→T5 parse: text file → valid TLE records with
+    * `sat_name` and the batch-constant `fetched_at_utc` attached
+    * (script.py:120,128-130). Malformed records are dropped, never fail
+    * the job.
+    */
+  def records(spark: SparkSession, path: String,
+      fetchedAt: java.sql.Timestamp): DataFrame = {
+    val parsed = triples(spark, path)
+      .withColumn("r", TleFunctions.tleParse(col("l1"), col("l2")))
+      .where(col("r").isNotNull) // T5: null-then-drop
+    parsed.select(
+      col("r.norad_id").as("norad_id"),
+      col("sat_name"),
+      col("r.intl_designator").as("intl_designator"),
+      col("r.epoch_utc").as("epoch_utc"),
+      lit(fetchedAt).as("fetched_at_utc"),
+      col("r.inclination").as("inclination"),
+      col("r.raan").as("raan"),
+      col("r.eccentricity").as("eccentricity"),
+      col("r.arg_perigee").as("arg_perigee"),
+      col("r.mean_anomaly").as("mean_anomaly"),
+      col("r.mean_motion").as("mean_motion"),
+      col("r.b_star_drag").as("b_star_drag"),
+      col("r.rev_number").as("rev_number"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{NoaaJson, TleText}
+
+/** T1 ordered triple-grouping + S3/X3 NOAA decode over real files. */
+class TleTextSpec extends SparkSpec {
+
+  private def writeFixture(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-fixture")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private val l1 =
+    "1 44714U 19074B   26012.91667824  .00001264  00000+0  16538-3 0  9996"
+  private val l2 =
+    "2 44714  53.0542 203.1424 0001452  85.3017 274.8138 15.06391571338133"
+
+  test("triples preserve file order and drop the trailing partial") {
+    val text = Seq(
+      "SAT-A", l1, l2,
+      "SAT-B  ", "  " + l1, l2 + "  ", // padded lines are stripped
+      "SAT-C", l1 // trailing PARTIAL triple → silently dropped
+    ).mkString("\n")
+    val path = writeFixture("tle.txt", text)
+    val out = TleText.triples(spark, path).orderBy("grp").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("sat_name") === "SAT-A")
+    assert(out(1).getAs[String]("sat_name") === "SAT-B")
+    assert(out(1).getAs[String]("l1") === l1) // stripped
+  }
+
+  test("records: malformed triple dropped, valid parsed, fetched_at constant") {
+    val text = Seq(
+      "SAT-A", l1, l2,
+      "SAT-BAD", "1 garbage", "2 garbage",
+      "SAT-C", l1, l2).mkString("\n")
+    val path = writeFixture("tle2.txt", text)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-15 00:00:00")
+    val recs = TleText.records(spark, path, t0).collect()
+    assert(recs.length === 2)
+    assert(recs.map(_.getAs[String]("sat_name")).sorted === Array("SAT-A", "SAT-C"))
+    assert(recs.forall(_.getAs[java.sql.Timestamp]("fetched_at_utc") == t0))
+    assert(recs.forall(_.getAs[Int]("norad_id") == 44714))
+  }
+
+  test("noaa decode: header skipped, date split at space, floats parsed") {
+    val json =
+      """[["time_tag","f10.7"],
+        | ["2026-08-10 00:00:00","135.2"],
+        | ["2026-08-11 00:00:00","141.0"]]""".stripMargin
+    val path = writeFixture("noaa.json", json)
+    val out = NoaaJson.decode(spark, path).orderBy("date_utc").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[java.sql.Date]("date_utc").toString === "2026-08-10")
+    assert(out(0).getAs[Double]("f10_7_flux") === 135.2)
+    assert(out(1).getAs[Double]("f10_7_flux") === 141.0)
+  }
+}
