@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All query packs, in presentation order. */
-  def packs: Seq[QueryPack] = Seq(CoreQueries, TleQueries)
+  def packs: Seq[QueryPack] = Seq(CoreQueries, TleQueries, LlmQueries)
 
   private lazy val allQs: Seq[Q] = packs.flatMap(_.all)
 

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Deduplication operators for training-data curation, at three rungs of
+  * the exactness/cost ladder:
+  *
+  *   1. exact       — fingerprint groupBy (one shuffle, keep-first);
+  *   2. shingle-Jaccard — EXACT near-dup via an inverted-index join on
+  *      token shingles (recall 1, no crossJoin anywhere; cost scales
+  *      with posting-list sizes, cut by the maxShingleFreq stopword
+  *      filter at scale);
+  *   3. MinHash LSH — sub-linear candidate generation (band-bucket join
+  *      on deterministic xxhash64 signatures) + exact verification of
+  *      candidates only; tunable recall, the 100 TB path.
+  *
+  * Plus SimHash fingerprints for hamming-distance near-dup. All
+  * signatures use seeded xxhash64 — deterministic across runs, cluster
+  * sizes, and partitionings (no Math.random anywhere).
+  */
+object NearDup {
+
+  /** Exact dedup, keep-first by `order`: one row per distinct normalized
+    * content. Equivalent plan to groupBy(fingerprint).min — single
+    * shuffle on the hash, no data explosion.
+    */
+  def exact(docs: DataFrame, textCol: String, order: Seq[Column]): DataFrame =
+    Dedup.keepFirst(
+      docs.withColumn("_fp", TextFunctions.fingerprint(col(textCol))),
+      Seq("_fp"), order).drop("_fp")
+
+  /** Distinct (id, shingle) posting pairs. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("_sh"))
+      .distinct()
+
+  /** EXACT pairwise Jaccard similarity over token shingles for every
+    * pair sharing at least one shingle — the inverted-index ("bucket =
+    * shingle") formulation:
+    *
+    *   postings self-join on shingle (id1 < id2) → per-pair intersection
+    *   count → |A∪B| from per-doc distinct counts → J = i / (|A|+|B|-i).
+    *
+    * @param maxShingleFreq drop shingles appearing in more docs than
+    *   this (0 = keep all). At scale, ultra-frequent shingles are
+    *   boilerplate that blows up the self-join quadratically while
+    *   contributing almost nothing to Jaccard — the standard
+    *   stopword-shingle cut. Exact results require 0.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8,
+      maxShingleFreq: Long = 0): DataFrame = {
+    val post = postings(docs, idCol, textCol, n)
+    val filtered =
+      if (maxShingleFreq <= 0) post
+      else {
+        val freq = post.groupBy("_sh").count()
+          .where(col("count") <= maxShingleFreq).select("_sh")
+        post.join(freq, "_sh") // broadcast or shuffled by AQE's choice
+      }
+    val sizes = filtered.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a._sh") === col("b._sh") &&
+        col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz1") + col("sz2") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("n_common"),
+        col("sz1"), col("sz2"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each seed i, min over the doc's shingles of
+    * xxhash64(shingle, i). Computed as numHashes parallel min-aggregates
+    * in ONE hash aggregation over the postings (no per-row array churn).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("_sh"), lit(i))).as(s"_h$i"))
+    postings(docs, idCol, textCol, n)
+      .groupBy(col("_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
+  }
+
+  /** LSH banding: (band index, hash of the band's signature slice) —
+    * docs colliding in ANY band become candidate pairs.
+    */
+  private def bands(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until numBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r =>
+        element_at(col("_sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    sigs.select(col("_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("_id"), col("b.band").as("_band"), col("b.bh").as("_bh"))
+  }
+
+  /** MinHash-LSH near-dup: banded candidate generation, then EXACT
+    * Jaccard verification of candidates only (computed on the candidates'
+    * distinct-shingle arrays — candidate volume is LSH-bounded, so the
+    * per-pair array intersection is cheap and there is still no
+    * crossJoin). Recall < 1 by design; tune bands/rows for the target
+    * threshold (P[detect] = 1-(1-j^rows)^bands).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val b = bands(sigs, numBands, numHashes / numBands)
+    val cands = b.as("x").join(b.as("y"),
+        col("x._band") === col("y._band") && col("x._bh") === col("y._bh") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id1"), col("y._id").as("id2"))
+      .distinct()
+    val shingleSets = docs.select(col(idCol).as("_id"),
+      array_distinct(TextFunctions.shingles(col(textCol), n)).as("_shs"))
+    cands
+      .join(shingleSets.select(col("_id").as("id1"), col("_shs").as("shs1")), "id1")
+      .join(shingleSets.select(col("_id").as("id2"), col("_shs").as("shs2")), "id2")
+      .withColumn("n_common", size(array_intersect(col("shs1"), col("shs2"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("shs1")) + size(col("shs2")) - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit SimHash from token hashes: sign-sum of each bit of
+    * xxhash64(token). Near-dups have small hamming distance. Pure
+    * expressions: per-bit sums via one aggregate over exploded tokens.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$i"))
+    val fp = (0 until 64).map(i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce[Column](_.bitwiseOR(_))
+    tok.groupBy(col("_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{NearDup, Similarity, TextFunctions}
+
+/** Training-data-pipeline operator surface over the `documents` and
+  * `embeddings` tables: exact + near deduplication, similarity search,
+  * text analysis, fingerprinting.
+  *
+  * The raw documents table has no duplicate texts, so the dedup queries
+  * UNION deterministic mutated copies (shifted ids) to create known
+  * duplicates/near-duplicates — both engines build the identical corpus.
+  *
+  * Scale discipline: no query contains a crossJoin of the corpus. The
+  * near-dup path is an inverted-index join bucketed by shingle; the ANN
+  * baseline broadcasts only the (small) query-vector set; MinHash/SimHash
+  * (no SQL oracle — signature hashes aren't replicable in DuckDB) get
+  * rows-only checks here and recall assertions in ScalaTest.
+  */
+object LlmQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents ∪ exact copies (every 10th doc, id + 1e6). */
+  private def withExactDups(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+
+  private val dupUnionSql = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 10 = 0"""
+
+  /** documents ∪ near-dup mutants (every 20th doc, two tokens appended). */
+  private def withNearDups(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.where(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" zq zq"))))
+
+  private val nearDupUnionSql = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zq zq'
+    FROM documents WHERE doc_id % 20 = 0"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q30: exact dedup, deterministic keep-first (one shuffle on the
+    // content fingerprint; the D1 form generalized to content keys). ----
+    Q("q30_docs_exact_dedup",
+      (s, dir) => {
+        val docs = withExactDups(t(s, dir, "documents"))
+        NearDup.exact(docs, "text", Seq(col("doc_id")))
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH u AS ($dupUnionSql)
+        SELECT doc_id, lang, source, n_chars FROM u
+        QUALIFY row_number() OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) = 1
+        ORDER BY doc_id""")),
+
+    // ---- q31: EXACT shingle-Jaccard near-dup via the inverted-index
+    // join (bucket = shingle; no crossJoin — cost scales with posting
+    // lists, not |docs|²). Oracle replays the same token-3-gram Jaccard
+    // in DuckDB from unnested postings. ----
+    Q("q31_docs_jaccard_neardup",
+      (s, dir) => {
+        val docs = withNearDups(t(s, dir, "documents"))
+        NearDup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, minJaccard = 0.6)
+          .select(col("id1"), col("id2"),
+            col("n_common").cast("long").as("n_common"),
+            col("sz1").cast("long").as("sz1"),
+            col("sz2").cast("long").as("sz2"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""
+        WITH u AS ($nearDupUnionSql),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM u),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2, n_common, s1.sz AS sz1, s2.sz AS sz2,
+               round(CAST(n_common AS DOUBLE) /
+                     CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE CAST(n_common AS DOUBLE) /
+              CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 0.6
+        ORDER BY id1, id2""")),
+
+    // ---- q32: MinHash LSH near-dup (the sub-linear 100 TB path):
+    // banded xxhash64 signature join → candidates → exact verification.
+    // xxhash64 has no DuckDB twin → rows-only check here; recall is
+    // asserted against q31's exact answer in NearDupSpec. ----
+    Q("q32_docs_minhash_lsh",
+      (s, dir) => {
+        val docs = withNearDups(t(s, dir, "documents"))
+        NearDup.minhashLshPairs(docs, "doc_id", "text",
+            n = 3, numHashes = 64, numBands = 16, minJaccard = 0.6)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    // ---- q33: brute-force top-k cosine — the exact ANN baseline.
+    // Query set (every 50th vector) broadcasts; corpus streams through
+    // one codegen'd projection; per-query top-5 via window rank on the
+    // ROUNDED cosine (+id tiebreak) so ranking is engine-stable. ----
+    Q("q33_embed_topk_cosine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 5)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("id"), col("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.qid, e.vec_id AS id,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        SELECT qid, rank, id, cosine FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- q34: text-analysis rollup per language: token counts, char
+    // stats, exact interpolated median, stopword ratio. ----
+    Q("q34_docs_text_stats",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = TextFunctions.tokenCount(col("text"))
+        val stop = TextFunctions.stopwordHits(col("text"),
+          Seq("the", "a", "of", "and", "to"))
+        docs.select(col("lang"), col("n_chars"), toks.as("n_tokens"),
+            stop.as("n_stop"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            round(avg(col("n_tokens")), 2).as("avg_tokens"),
+            round(expr("percentile(n_chars, 0.5)"), 2).as("median_chars"),
+            max(col("n_chars")).cast("long").as("max_chars"),
+            round(sum(col("n_stop")).cast("double") /
+              sum(col("n_tokens")).cast("double"), 6).as("stopword_ratio"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, n_chars,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t IN ('the','a','of','and','to'))) AS n_stop
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_tokens), 2) AS avg_tokens,
+               round(quantile_cont(n_chars, 0.5), 2) AS median_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               round(CAST(sum(n_stop) AS DOUBLE) /
+                     CAST(sum(n_tokens) AS DOUBLE), 6) AS stopword_ratio
+        FROM d GROUP BY lang ORDER BY lang""")),
+
+    // ---- q35: language-ID heuristic + quality score per doc: stopword
+    // hit votes with a fixed tie order, length/alpha/word-length quality
+    // blend. CASE chain is written identically on both sides. ----
+    Q("q35_docs_langid_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def hits(words: Seq[String]): Column =
+          TextFunctions.stopwordHits(col("text"), words)
+        val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+        val de = hits(Seq("der", "die", "das", "und", "ist", "nicht"))
+        val es = hits(Seq("el", "la", "de", "que", "y", "es"))
+        val fr = hits(Seq("le", "la", "les", "et", "est", "que"))
+        val pred = when(en + de + es + fr === 0, "und")
+          .when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr")
+        docs.select(col("doc_id"), col("lang"),
+            pred.as("predicted_lang"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, trim(text) AS tt,
+                 string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+            len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) AS n_en,
+            len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht'))) AS n_de,
+            len(list_filter(tk, t -> t IN ('el','la','de','que','y','es'))) AS n_es,
+            len(list_filter(tk, t -> t IN ('le','la','les','et','est','que'))) AS n_fr,
+            length(tt) AS n_chars, len(tk) AS n_tokens,
+            length(regexp_replace(lower(tt), '[^a-z]', '', 'g')) AS n_alpha
+          FROM d)
+        SELECT doc_id, lang,
+          CASE WHEN n_en + n_de + n_es + n_fr = 0 THEN 'und'
+               WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+               WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+               WHEN n_es >= n_fr THEN 'es'
+               ELSE 'fr' END AS predicted_lang,
+          round(0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+              + 0.4 * CAST(n_alpha AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)
+              + 0.2 * (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+                            BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+              6) AS quality
+        FROM scored ORDER BY doc_id""")),
+
+    // ---- q36: content fingerprint rollup (rolling-hash analog via md5
+    // of normalized text): duplicate-group inventory. ----
+    Q("q36_docs_fingerprint",
+      (s, dir) => {
+        val docs = withExactDups(t(s, dir, "documents"))
+        docs.select(TextFunctions.fingerprint(col("text")).as("fp"),
+            col("doc_id"))
+          .groupBy("fp")
+          .agg(count(lit(1)).cast("long").as("n_copies"),
+            min(col("doc_id")).as("first_doc"))
+          .where(col("n_copies") > 1)
+          .orderBy("first_doc")
+      },
+      Some(s"""
+        WITH u AS ($dupUnionSql)
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS first_doc
+        FROM u GROUP BY 1 HAVING count(*) > 1
+        ORDER BY first_doc""")),
+
+    // ---- q37: SimHash 64-bit fingerprints + hamming near-dup pairs.
+    // xxhash64-based → no DuckDB oracle; rows-only check here, semantic
+    // assertions in NearDupSpec. Banded join on 16-bit chunks keeps the
+    // pair search sub-quadratic (hamming ≤ 3 ⇒ one of 4 chunks equal). ----
+    Q("q37_docs_simhash",
+      (s, dir) => {
+        val docs = withNearDups(t(s, dir, "documents"))
+        val sigs = NearDup.simhash(docs, "doc_id", "text")
+        val chunks = sigs.select(col("_id"), col("simhash"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("ci"),
+              shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))
+                .as("ch"))): _*)).as("c"))
+          .select(col("_id"), col("simhash"),
+            col("c.ci").as("ci"), col("c.ch").as("ch"))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.ci") === col("y.ci") && col("x.ch") === col("y.ch") &&
+              col("x._id") < col("y._id"))
+          .select(col("x._id").as("id1"), col("y._id").as("id2"),
+            NearDup.hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    // ---- q38: HLL distinct-count surface. At these cardinalities
+    // (|langs| ≤ 5, |sources| ≤ 10) the HLL sketch is exact, so the
+    // DuckDB oracle can compare against exact COUNT(DISTINCT). ----
+    Q("q38_approx_distinct",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.groupBy("source")
+          .agg(
+            approx_count_distinct(col("lang")).as("n_langs"),
+            count_distinct(col("lang")).as("n_langs_exact"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs_exact,
+               count(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- q39: multimodal-column plumbing: text bytes as an opaque
+    // binary payload + typed metadata struct; inline (expression-only)
+    // feature extraction — byte length, content digest, modality tag.
+    // The stub-codec mapPartitions path is exercised in MultimodalSpec. ----
+    Q("q39_multimodal_inline",
+      (s, dir) => {
+        val media = t(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content"),
+          struct(lit("image").as("kind"), lit("image/fake").as("mime"),
+            length(col("text")).cast("long").as("n_bytes")).as("meta"))
+        graft.ext.Multimodal.inlineFeatures(media)
+          .select(col("media_id"), col("kind"),
+            col("n_bytes").cast("long").as("n_bytes"),
+            col("content_md5"), col("fake_rate").cast("long").as("fake_rate"))
+          .orderBy("media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id, 'image' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(octet_length(encode(text)) % 44100 AS BIGINT) AS fake_rate
+        FROM documents ORDER BY media_id"""))
+  )
+}

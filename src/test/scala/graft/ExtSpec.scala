@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, NearDup, Similarity, TextFunctions}
+
+/** Semantic checks for the training-data extension pack — especially the
+  * properties the DuckDB gate can't express (MinHash recall, SimHash
+  * locality, ANN behavior, codec determinism).
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup of 1
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "short doc"),
+    (6L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps the first occurrence per normalized content") {
+    val out = NearDup.exact(docs, "text", Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 3L, 4L, 5L, 6L)) // 2 deduped into 1
+  }
+
+  test("shingle guard: docs shorter than n tokens produce zero shingles") {
+    val sh = docs.select(col("doc_id"),
+      size(TextFunctions.shingles(col("text"), 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(sh(5L) === 0) // 2 tokens
+    assert(sh(6L) === 0) // empty
+    assert(sh(1L) > 0)
+  }
+
+  test("exact jaccard pairs find planted near-dups, no crossJoin in plan") {
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"crossJoin in plan:\n$plan")
+    val got = pairs.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L))) // near dup
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH recalls every exact pair at high jaccard") {
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // verification step makes LSH ⊆ exact; recall on j≥0.8 pairs should
+    // be total at 16 bands × 4 rows (miss prob < 1e-6 at j=0.8)
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs share fingerprints, near-dups are close") {
+    val sig = NearDup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(2L))
+    val d13 = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val d14 = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(d13 < d14, s"near-dup hamming $d13 !< unrelated hamming $d14")
+  }
+
+  private lazy val vecs = {
+    def v(seed: Int): Seq[Float] =
+      (0 until 16).map(i => math.sin(seed * 31 + i).toFloat)
+    Seq((0L, v(1)), (1L, v(1).updated(0, 9f)), (2L, v(2)), (3L, v(3)),
+      (4L, v(1))).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k cosine ranks the identical vector first") {
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "qid", "qvec", 3).orderBy("rank")
+      .select("id", "cosine").as[(Long, Double)].collect()
+    assert(top.head._1 === 4L) // the exact copy (id 4) has cosine 1
+    assert(math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top.length === 3)
+    assert(top.forall { case (_, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+  }
+
+  test("ANN LSH candidates include the exact-copy neighbor") {
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = Similarity.annCandidates(vecs, "vec_id", "embedding",
+      q, "qid", "qvec", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(cands.contains(4L)) // normalized distance 0
+  }
+
+  test("stub codec decode is deterministic and batch-shaped") {
+    val media = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(lit("image").as("kind"), lit("x").as("mime"),
+        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+    val f1 = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.decodeFeatures(media.repartition(3))
+      .orderBy("media_id").collect()
+    assert(f1.toSeq === f2.toSeq) // partitioning must not change results
+    assert(f1.length === 6)
+    val r1 = f1.head
+    assert(r1.getAs[Int]("width") >= 64 && r1.getAs[Double]("mean_byte") > 0)
+  }
+
+  test("language id: stopword votes with deterministic ties") {
+    val out = Seq(
+      (1L, "the cat of the house is here"),
+      (2L, "der hund ist nicht das problem"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "und")
+  }
+}
