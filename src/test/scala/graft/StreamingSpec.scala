@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.schema.Schemas
+import graft.streaming.StreamingIngest
+
+/** Streaming semantics (§2.11): bounded-state dedup must match the batch
+  * anti-join result for in-watermark data, AvailableNow must drain and
+  * stop, and event-time windows must close on watermark.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def telemetryRow(norad: Int, epoch: String): Row = Row(
+    norad, Timestamp.valueOf(epoch), Timestamp.valueOf("2026-01-15 00:00:00"),
+    53.0, 203.0, 0.0001, 85.0, 274.0, 15.06, null, 338)
+
+  private def writeBatch(dir: String, rows: Seq[Row]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.factTelemetry)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("dropDuplicatesWithinWatermark dedups like the batch anti-join") {
+    val root = Files.createTempDirectory("graft-stream")
+    val (src, tgt, ckp) = (s"$root/src", s"$root/tgt", s"$root/ckp")
+
+    // batch 1: two distinct keys + one intra-batch duplicate
+    writeBatch(src, Seq(
+      telemetryRow(1, "2026-01-14 00:00:00"),
+      telemetryRow(1, "2026-01-14 00:00:00"), // dup within batch
+      telemetryRow(2, "2026-01-14 06:00:00")))
+    StreamingIngest.telemetryStream(spark, src, tgt, ckp)
+      .awaitTermination()
+    assert(spark.read.parquet(tgt).count() === 2)
+
+    // batch 2: replay of key (1, 14:00) within watermark + one new key —
+    // the replay must be dropped by checkpointed state across restarts
+    writeBatch(src, Seq(
+      telemetryRow(1, "2026-01-14 00:00:00"), // cross-batch duplicate
+      telemetryRow(3, "2026-01-14 12:00:00")))
+    StreamingIngest.telemetryStream(spark, src, tgt, ckp)
+      .awaitTermination()
+
+    val out = spark.read.parquet(tgt)
+    assert(out.count() === 3)
+    assert(out.select("norad_id").distinct().count() === 3)
+
+    // equivalence with the batch formulation: anti-join dedup over the
+    // full source yields the same key set
+    val batchDedup = spark.read.schema(Schemas.factTelemetry).parquet(src)
+      .dropDuplicates("norad_id", "epoch_utc")
+    assert(batchDedup.count() === 3)
+  }
+
+  test("streaming windowed counts close on watermark (event-time agg)") {
+    val root = Files.createTempDirectory("graft-stream-w")
+    val (src, ckp) = (s"$root/src", s"$root/ckp")
+    import spark.implicits._
+    Seq(
+      ("2026-01-14 00:10:00", "click"), ("2026-01-14 00:20:00", "click"),
+      ("2026-01-14 01:10:00", "click"), ("2026-01-14 09:00:00", "view"))
+      .map { case (t, k) => (Timestamp.valueOf(t), k) }
+      .toDF("ts", "event_type").coalesce(1)
+      .write.parquet(src)
+
+    val stream = spark.readStream
+      .schema("ts timestamp, event_type string").parquet(src)
+    val q = StreamingIngest.windowedCounts(
+        stream, "ts", "event_type", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // windows more than the watermark behind the max event time (09:00)
+    // are closed and emitted; the 09:00 window stays open (not emitted)
+    val rows = spark.table("wincounts")
+      .orderBy("window_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("2026-01-14 00:00:00.0", "click", 2L),
+      ("2026-01-14 01:00:00.0", "click", 1L)))
+  }
+}
