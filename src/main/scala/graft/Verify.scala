@@ -14,6 +14,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is ORACLE-DUMP-ONLY: this entry point runs at sf0.01
+      // where every result is small, and one part file keeps the driver's
+      // reader trivial. Production writes (Warehouse/JdbcSink/Bench's
+      // noop) never coalesce — see Bench for the measured path.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

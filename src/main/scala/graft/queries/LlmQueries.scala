@@ -26,6 +26,16 @@ object LlmQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The documents/embeddings tables are single parquet files, so a bare
+    * scan is ONE task — and Spark evaluates partial aggregates and
+    * per-row expression work (64-way minhash, regex token splits, dot
+    * products) inside that task, pinning CPU-bound operators to one
+    * core. Fan out to the session's parallelism first; at warehouse
+    * scale the input arrives in many splits and this is a no-op choice.
+    */
+  private def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** documents ∪ exact copies (every 10th doc, id + 1e6). */
   private def withExactDups(docs: DataFrame): DataFrame =
     docs.unionByName(
@@ -57,7 +67,7 @@ object LlmQueries extends QueryPack {
     // content fingerprint; the D1 form generalized to content keys). ----
     Q("q30_docs_exact_dedup",
       (s, dir) => {
-        val docs = withExactDups(t(s, dir, "documents"))
+        val docs = withExactDups(fan(t(s, dir, "documents")))
         NearDup.exact(docs, "text", Seq(col("doc_id")))
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
@@ -76,7 +86,7 @@ object LlmQueries extends QueryPack {
     // in DuckDB from unnested postings. ----
     Q("q31_docs_jaccard_neardup",
       (s, dir) => {
-        val docs = withNearDups(t(s, dir, "documents"))
+        val docs = withNearDups(fan(t(s, dir, "documents")))
         NearDup.jaccardPairs(docs, "doc_id", "text",
             n = 3, minJaccard = 0.6)
           .select(col("id1"), col("id2"),
@@ -116,7 +126,7 @@ object LlmQueries extends QueryPack {
     // asserted against q31's exact answer in NearDupSpec. ----
     Q("q32_docs_minhash_lsh",
       (s, dir) => {
-        val docs = withNearDups(t(s, dir, "documents"))
+        val docs = withNearDups(fan(t(s, dir, "documents")))
         NearDup.minhashLshPairs(docs, "doc_id", "text",
             n = 3, numHashes = 64, numBands = 16, minJaccard = 0.6)
           .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -130,7 +140,7 @@ object LlmQueries extends QueryPack {
     // ROUNDED cosine (+id tiebreak) so ranking is engine-stable. ----
     Q("q33_embed_topk_cosine",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = fan(t(s, dir, "embeddings"))
         val queries = emb.where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -163,7 +173,7 @@ object LlmQueries extends QueryPack {
     // stats, exact interpolated median, stopword ratio. ----
     Q("q34_docs_text_stats",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = fan(t(s, dir, "documents"))
         val toks = TextFunctions.tokenCount(col("text"))
         val stop = TextFunctions.stopwordHits(col("text"),
           Seq("the", "a", "of", "and", "to"))
@@ -201,7 +211,7 @@ object LlmQueries extends QueryPack {
     // blend. CASE chain is written identically on both sides. ----
     Q("q35_docs_langid_quality",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = fan(t(s, dir, "documents"))
         def hits(words: Seq[String]): Column =
           TextFunctions.stopwordHits(col("text"), words)
         val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
@@ -249,7 +259,7 @@ object LlmQueries extends QueryPack {
     // of normalized text): duplicate-group inventory. ----
     Q("q36_docs_fingerprint",
       (s, dir) => {
-        val docs = withExactDups(t(s, dir, "documents"))
+        val docs = withExactDups(fan(t(s, dir, "documents")))
         docs.select(TextFunctions.fingerprint(col("text")).as("fp"),
             col("doc_id"))
           .groupBy("fp")
@@ -272,7 +282,7 @@ object LlmQueries extends QueryPack {
     // pair search sub-quadratic (hamming ≤ 3 ⇒ one of 4 chunks equal). ----
     Q("q37_docs_simhash",
       (s, dir) => {
-        val docs = withNearDups(t(s, dir, "documents"))
+        val docs = withNearDups(fan(t(s, dir, "documents")))
         val sigs = NearDup.simhash(docs, "doc_id", "text")
         val chunks = sigs.select(col("_id"), col("simhash"),
           explode(array((0 until 4).map(i =>
@@ -318,7 +328,7 @@ object LlmQueries extends QueryPack {
     // The stub-codec mapPartitions path is exercised in MultimodalSpec. ----
     Q("q39_multimodal_inline",
       (s, dir) => {
-        val media = t(s, dir, "documents").select(
+        val media = fan(t(s, dir, "documents")).select(
           col("doc_id").as("media_id"),
           col("text").cast("binary").as("content"),
           struct(lit("image").as("kind"), lit("image/fake").as("mime"),

@@ -125,9 +125,20 @@ object TleQueries extends QueryPack {
           .when(k % 6 === 3, format_string("0.%06d", c % 1000000))
           .when(k % 6 === 4, lit("XXXXXXXX"))
           .otherwise(lit(" 00000+0"))
+        // Materialize the synthesized fixture ONCE (localCheckpoint =
+        // plan fence): without it Catalyst inlines the format_string
+        // chain into every downstream reference — and pushes filters
+        // containing ~20 inlined copies into the scan. Production
+        // parses STORED text, so materializing the synthetic text first
+        // is also the faithful shape. repartition first: the single
+        // parquet file otherwise pins this CPU-bound synth to one task.
         t(s, dir, "orders")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(k.as("o_orderkey"), (k % 6).cast("int").as("bstar_class"),
-            TleFunctions.tleBstar(raw).as("b_star"))
+            raw.as("raw"))
+          .localCheckpoint()
+          .select(col("o_orderkey"), col("bstar_class"),
+            TleFunctions.tleBstar(col("raw")).as("b_star"))
           .orderBy("o_orderkey")
       },
       Some(s"""
@@ -156,9 +167,20 @@ object TleQueries extends QueryPack {
     // (alpha NORAD every 97th key), emit epoch as epoch-micros BIGINT. ----
     Q("q23_tle_parse_roundtrip",
       (s, dir) => {
-        val rec = TleFunctions.tleParse(line1, line2)
+        // Synthesize each 69-char line ONCE, then fence with
+        // localCheckpoint before parsing. Without the fence, predicate
+        // pushdown re-inlines the synthesis into all 10 validity casts
+        // of the record-null filter and pushes them into the scan
+        // (~25 Formatter evaluations per row — measured 30s at sf0.1 vs
+        // 0.5s fenced). Production parses stored text, so the fence is
+        // also the faithful shape; repartition unlocks all cores for
+        // the CPU-bound synth+parse (single-file scan = one task).
+        val rec = TleFunctions.tleParse(col("l1"), col("l2"))
         t(s, dir, "orders")
-          .select(k.as("o_orderkey"), rec.as("r"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(k.as("o_orderkey"), line1.as("l1"), line2.as("l2"))
+          .localCheckpoint()
+          .select(col("o_orderkey"), rec.as("r"))
           .where(col("r").isNotNull)
           .select(
             col("o_orderkey"),
