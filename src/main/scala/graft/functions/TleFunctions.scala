@@ -52,6 +52,27 @@ object TleFunctions {
       .otherwise(s.cast("double"))
   }
 
+  /** Strict B* decode — the §2.12.1 "fixed" variant: handles signed
+    * mantissas (`"-11606-4"` → -0.11606e-4) instead of nulling them,
+    * which is what a physically-correct decoder does. The default
+    * `tleBstar` replicates the reference's null quirk; pipelines opt
+    * into this one explicitly.
+    */
+  def tleBstarStrict(raw: Column): Column = {
+    val s = trim(raw)
+    val last2 = substring(s, -2, 2)
+    val body = s.substr(lit(1), length(s) - 2)
+    val sign = when(substring(body, 1, 1) === "-", lit(-1.0)).otherwise(lit(1.0))
+    val digits = when(substring(body, 1, 1).isin("-", "+"),
+      body.substr(lit(2), length(body))).otherwise(body)
+    val mantissa = concat(lit("0."), digits).cast("double") * sign
+    val e = last2.cast("int")
+    val scaled = when(e < 0, mantissa / pow(lit(10.0), -e))
+      .otherwise(mantissa * pow(lit(10.0), e))
+    when(last2.contains("-") || last2.contains("+"), scaled)
+      .otherwise(s.cast("double"))
+  }
+
   /** Century pivot for 2-digit TLE epoch years (`script.py:28`):
     * `yy < 57` → 2000s, else 1900s (57 = Sputnik-era convention).
     */

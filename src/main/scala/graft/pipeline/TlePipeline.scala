@@ -25,7 +25,14 @@ final case class PipelineConfig(
     warehouseDir: String,
     minRows: Long = 1,
     dedupHorizonDays: Int = 3,
-    chunkRows: Long = 1000)
+    chunkRows: Long = 1000) {
+  // F5 analog: the reference aborts when DATABASE_URL is unset
+  // (script.py:101-103); here the warehouse target is the one config
+  // whose absence must fail fast rather than misroute writes.
+  require(warehouseDir != null && warehouseDir.nonEmpty,
+    "warehouseDir is required (reference: DATABASE_URL guard)")
+  require(dedupHorizonDays > 0, "dedupHorizonDays must be positive")
+}
 
 /** Result counts per stage — what the reference logs (`script.py:93,137,
   * 147,170`), returned structured instead of printed.
