@@ -21,6 +21,8 @@ object GraftSession {
 
   /** Apply graft's standard configuration to any builder. */
   def configure(b: SparkSession.Builder, nCpus: Int): SparkSession.Builder = b
+    // SQL surface for the domain pack (tle_bstar/tle_parse/vec_dot)
+    .withExtensions(new GraftExtensions)
     // Shuffle partitions sized to the executor slots, not Spark's default 200:
     // at local[32] a 200-way shuffle just adds scheduling overhead; on a
     // real cluster AQE coalesces post-shuffle partitions anyway.

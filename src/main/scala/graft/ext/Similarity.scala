@@ -19,15 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<float/double> columns as a
-    * pure expression (float elements are cast to double before
-    * multiplying, so each product is exact; the fold order is the array
-    * order — deterministic).
+  /** Dot product of two array<float/double> columns via the native fused
+    * `DotProduct` expression (`graft.plans`): one codegen'd loop, no
+    * intermediate array, same left-to-right fold order (bit-identical
+    * results) as the composable `aggregate(zip_with(...))` form it
+    * replaced.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.GraftBridge.toExpr(a),
+        org.apache.spark.sql.GraftBridge.toExpr(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
