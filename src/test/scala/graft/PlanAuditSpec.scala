@@ -1,0 +1,51 @@
+package graft
+
+/** Scale-discipline guards over EVERY declared query plan: the
+  * properties that keep a plan viable at 1000 executors must hold in the
+  * plan text, not in code review. Runs at sf0.001 (plan shape, not
+  * timing).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  test("no query plan contains a CartesianProduct") {
+    // BroadcastNestedLoopJoin against a broadcast-small side (the top-k
+    // query set) is acceptable; an unbroadcast CartesianProduct is never.
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has a cartesian product:\n$plan")
+    }
+  }
+
+  test("star join broadcasts its dimension sides (q02)") {
+    assert(plans("q02_revenue_by_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (q03)") {
+    assert(plans("q03_topk_orders_by_revenue").contains("TakeOrderedAndProject"))
+  }
+
+  test("anti-join dedup stays a hash join, never a loop join (q26)") {
+    val p = plans("q26_telemetry_antijoin_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("parquet scans prune columns (q01 reads only what it aggregates)") {
+    val p = plans("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"q01 scan reads unused columns: $readSchema")
+  }
+
+  test("filter pushdown reaches the scan (q02 order-date range)") {
+    val p = plans("q02_revenue_by_nation")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+}
