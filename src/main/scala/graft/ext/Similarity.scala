@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -53,6 +54,91 @@ object Similarity {
     val rnk = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id")))
     scored.withColumn("rank", rnk).where(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) top-k — the other classic ANN scale path:
+    * a coarse k-means quantizer splits the corpus into cells; each query
+    * probes only its `nProbe` nearest cells, so the scored candidate set
+    * is |corpus| × nProbe / nCells instead of |corpus|. The probe
+    * assignment is a broadcast join against the (tiny) centroid table;
+    * the candidate join is an equi-join on cell id — bucketed by
+    * construction, no crossJoin of the corpus. Deterministic: fixed
+    * k-means seed, ranking on rounded cosine with id tiebreak.
+    *
+    * Recall < 1 by design (neighbors in unprobed cells are missed);
+    * raise nProbe toward nCells to trade cost for recall.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val toVec = udf((xs: Seq[Float]) =>
+      Vectors.dense(xs.map(_.toDouble).toArray))
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", toVec(col("vec")))
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(corpusV)
+    val assigned = model.transform(corpusV).select(
+      col("id"), col("vec"), col("cell"))
+
+    // centroid table: tiny (nCells × dim) → broadcast to every query row
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cell", "centroid")
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .join(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cell"),
+        dot(col("qvec"), col("centroid")).as("cdot"),
+        norm(col("centroid")).as("cnorm"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy((col("cdot") / col("cnorm")).desc, col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select("qid", "qvec", "cell")
+
+    val scored = probes.join(assigned, "cell") // bucketed candidate join
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("vec"), col("qvec")), 6).as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over the WHOLE corpus — the
+    * dedup-by-embedding rung: LSH-bucketed self-join (no |corpus|² scan)
+    * followed by exact cosine verification of candidates. On normalized
+    * vectors, cosine ≥ minCosine ⟺ euclidean ≤ sqrt(2 − 2·minCosine),
+    * which is the LSH join radius used.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bucketLength: Double = 1.0,
+      numTables: Int = 3): DataFrame = {
+    val toVec = udf((xs: Seq[Float]) =>
+      Vectors.dense(xs.map(_.toDouble).toArray))
+    val normalize = udf((v: Vector) => {
+      val n = math.sqrt(v.toArray.map(x => x * x).sum)
+      Vectors.dense(v.toArray.map(x => if (n == 0) 0.0 else x / n))
+    })
+    val a = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", normalize(toVec(col("vec"))))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(42L)
+    val model = lsh.fit(a)
+    val radius = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    model.approxSimilarityJoin(model.transform(a), model.transform(a),
+        radius, "dist")
+      .select(col("datasetA.id").as("id1"), col("datasetA.vec").as("vec1"),
+        col("datasetB.id").as("id2"), col("datasetB.vec").as("vec2"))
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", round(cosine(col("vec1"), col("vec2")), 6))
+      .where(col("cosine") >= minCosine) // exact verification
+      .select("id1", "id2", "cosine")
+      .distinct()
   }
 
   /** ANN via random-hyperplane LSH (spark.ml BucketedRandomProjectionLSH,

@@ -322,6 +322,63 @@ object LlmQueries extends QueryPack {
                count(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // ---- q40: embedding-cosine near-dup pairs — dedup by embedding:
+    // LSH-bucketed self-join + exact cosine verification (no corpus²
+    // scan). Mutant copies (first component nudged) are the planted
+    // dups. Hash-bucketed candidates → rows-only check here; recall is
+    // asserted against brute force in ExtSpec. ----
+    Q("q40_embed_cosine_neardup",
+      (s, dir) => {
+        val emb = fan(t(s, dir, "embeddings"))
+        val mutants = emb.where(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+          .withColumn("embedding",
+            transform(col("embedding"),
+              (x, i) => when(i === 0, (x + lit(0.01f)).cast("float"))
+                .otherwise(x)))
+        Similarity.cosineNearDupPairs(
+            emb.unionByName(mutants), "vec_id", "embedding",
+            minCosine = 0.999)
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    // ---- q41: IVF top-k in its exact configuration (nProbe = nCells:
+    // every cell probed ⇒ recall 1 ⇒ the brute-force oracle applies
+    // verbatim — the query exercises the coarse-quantize → probe →
+    // bucketed candidate-join machinery; ExtSpec covers the recall<1
+    // fast path). ----
+    Q("q41_embed_ivf_topk",
+      (s, dir) => {
+        val emb = fan(t(s, dir, "embeddings"))
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 5, nCells = 8, nProbe = 8)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("id"), col("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.qid, e.vec_id AS id,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        SELECT qid, rank, id, cosine FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // ---- q39: multimodal-column plumbing: text bytes as an opaque
     // binary payload + typed metadata struct; inline (expression-only)
     // feature extraction — byte length, content digest, modality tag.

@@ -92,6 +92,44 @@ class ExtSpec extends SparkSpec {
     assert(cands.contains(4L)) // normalized distance 0
   }
 
+  test("IVF top-k: probe-all is exact; partial probe keeps most recall") {
+    val corpus = (0L until 60L).map(i =>
+      (i, (0 until 8).map(j => math.sin(i * 13 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", 5)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", 5, nCells = 4, nProbe = 4)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(exact === brute) // probe-all ⇒ identical to brute force
+    val partial = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", 5, nCells = 4, nProbe = 2)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    // partial probe scores fewer candidates but must recover most of
+    // the true top-k (self-cell + nearest neighbor cell)
+    assert(partial.map(_._1).size === 3)
+    assert((partial & brute).size >= brute.size / 2, s"$partial vs $brute")
+  }
+
+  test("cosine near-dup pairs find planted perturbed copies") {
+    val corpus = (0L until 40L).map(i =>
+      (i, (0 until 8).map(j => math.sin(i * 13 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val mutants = corpus.where(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100L)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 0, (x + lit(0.001f)).cast("float")).otherwise(x)))
+    val pairs = Similarity.cosineNearDupPairs(
+        corpus.unionByName(mutants), "vec_id", "embedding", 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 100L)), s"missing planted pair $i")
+    }
+  }
+
   test("stub codec decode is deterministic and batch-shaped") {
     val media = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
