@@ -379,6 +379,85 @@ object LlmQueries extends QueryPack {
         SELECT qid, rank, id, cosine FROM ranked
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ---- q42: BPE-ish token counting — the tokenizer-approximation
+    // regex (word / number / punctuation-run classes, optional leading
+    // space, GPT-2-pattern shape) alongside whitespace tokens; per-doc
+    // counts and corpus rollup. ----
+    Q("q42_docs_token_counts",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val bpeish = " ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
+        docs.select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+            regexp_count(lower(col("text")), lit(bpeish)).as("bpeish_tokens"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).cast("long").as("total_ws"),
+            sum(col("bpeish_tokens")).cast("long").as("total_bpeish"),
+            round(avg(col("bpeish_tokens")), 2).as("avg_bpeish"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+                 len(regexp_extract_all(lower(text),
+                     ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS bpeish_tokens
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_ws,
+               CAST(sum(bpeish_tokens) AS BIGINT) AS total_bpeish,
+               round(avg(bpeish_tokens), 2) AS avg_bpeish
+        FROM d GROUP BY lang ORDER BY lang""")),
+
+    // ---- q43: TF-IDF top terms per language — explode → document
+    // frequency → idf join → per-(lang, term) scores → windowed top-5.
+    // The df table is |vocab|-sized (small) → broadcast joins; ranking
+    // on round(score, 6) + term keeps ties engine-stable. ----
+    Q("q43_docs_tfidf_topterms",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val nDocs = docs.count() // corpus-constant, driver-side scalar
+        val terms = docs.select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        val df_ = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        val scored = tf.join(broadcast(df_), "term")
+          .withColumn("tfidf",
+            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(col("tfidf").desc, col("term"))))
+          .where(col("rank") <= 5)
+          .select(col("lang"), col("rank").cast("long").as("rank"),
+            col("term"), col("tfidf"))
+          .orderBy("lang", "rank")
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)),
+                 '\s+')) AS term
+          FROM documents),
+        df AS (
+          SELECT term, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        tf AS (
+          SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        scored AS (
+          SELECT lang, tf.term,
+                 round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df),
+                       6) AS tfidf
+          FROM tf JOIN df ON tf.term = df.term),
+        ranked AS (
+          SELECT lang, term, tfidf,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+        SELECT lang, rank, term, tfidf FROM ranked
+        WHERE rank <= 5 ORDER BY lang, rank""")),
+
     // ---- q39: multimodal-column plumbing: text bytes as an opaque
     // binary payload + typed metadata struct; inline (expression-only)
     // feature extraction — byte length, content digest, modality tag.
