@@ -44,6 +44,46 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — a real codec would rescale pixels; the fake keeps the
+    * content-derived stats and stamps the requested dimensions, so the
+    * batch plumbing (schema change, per-partition execution) is real.
+    */
+  def resizeFeatures(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val f = FakeCodec.decode(bytes)
+        (id, width, height, f.meanByte, f.headHash)
+      })
+      .toDF("media_id", "width", "height", "mean_byte", "head_hash")
+  }
+
+  /** STUB frame sampling — emits `nFrames` evenly spaced windows of the
+    * payload as per-frame rows (media_id, frame_idx, frame fake-feature),
+    * the shape video frame-extraction produces: one input row fans out
+    * to n output rows inside the partition, no shuffle.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int,
+      window: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        (0 until nFrames).map { i =>
+          val off = if (nFrames == 1) 0
+                    else math.max(0, (n - window)) * i / (nFrames - 1)
+          val frame = bytes.slice(off, math.min(n, off + window))
+          val f = FakeCodec.decode(frame)
+          (id, i, off, f.meanByte, f.headHash)
+        }
+      })
+      .toDF("media_id", "frame_idx", "offset", "frame_mean", "frame_hash")
+  }
+
   val featuresSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),

@@ -458,6 +458,62 @@ object LlmQueries extends QueryPack {
         SELECT lang, rank, term, tfidf FROM ranked
         WHERE rank <= 5 ORDER BY lang, rank""")),
 
+    // ---- q44: frame sampling over binary payloads, expression-only
+    // form (the oracle-able twin of Multimodal.sampleFrames): four
+    // evenly spaced 16-byte windows per payload, fingerprinted — the
+    // row-fanout shape of video frame extraction, no shuffle before the
+    // final order. ----
+    Q("q44_multimodal_frames",
+      (s, dir) => {
+        val win = 16
+        val media = fan(t(s, dir, "documents")).select(
+          col("doc_id").as("media_id"), col("text"),
+          length(col("text")).as("len"))
+        media
+          .select(col("media_id"), col("text"), col("len"),
+            explode(sequence(lit(0), lit(3))).as("frame_idx"))
+          .withColumn("off",
+            expr(s"greatest(len - $win, 0) * frame_idx DIV 3"))
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("off").cast("long").as("off"),
+            md5(expr(s"substring(text, off + 1, $win)").cast("binary"))
+              .as("frame_md5"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len
+                   FROM documents),
+        f AS (SELECT media_id, text, len, unnest([0, 1, 2, 3]) AS frame_idx
+              FROM m)
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(greatest(len - 16, 0) * frame_idx // 3 AS BIGINT) AS off,
+               md5(substr(text, greatest(len - 16, 0) * frame_idx // 3 + 1,
+                          16)) AS frame_md5
+        FROM f ORDER BY media_id, frame_idx""")),
+
+    // ---- q45: polynomial rolling-hash document fingerprint (the
+    // fingerprinting rung below md5): left fold of acc*31 + code mod
+    // 1e9+7 over the character stream — exact integer math in both
+    // engines, no overflow (31 * (1e9+7) + 255 < 2^63). ----
+    Q("q45_docs_rolling_fingerprint",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val codes = transform(
+          sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1))).cast("long"))
+        val rh = aggregate(codes, lit(0L),
+          (acc, c) => (acc * 31 + c) % 1000000007L)
+        docs.select(col("doc_id"), rh.as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
     // ---- q39: multimodal-column plumbing: text bytes as an opaque
     // binary payload + typed metadata struct; inline (expression-only)
     // feature extraction — byte length, content digest, modality tag.

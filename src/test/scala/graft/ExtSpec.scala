@@ -144,6 +144,28 @@ class ExtSpec extends SparkSpec {
     assert(r1.getAs[Int]("width") >= 64 && r1.getAs[Double]("mean_byte") > 0)
   }
 
+  test("resize and frame sampling keep batch shape and determinism") {
+    val media = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(lit("video").as("kind"), lit("x").as("mime"),
+        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+    val resized = Multimodal.resizeFeatures(media, 224, 224).collect()
+    assert(resized.length === 6)
+    assert(resized.forall(r =>
+      r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
+
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    assert(frames.count() === 6 * 4) // row fanout: n frames per media row
+    val f1 = frames.orderBy("media_id", "frame_idx").collect()
+    val f2 = Multimodal.sampleFrames(media.repartition(3), 4)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(f1.toSeq === f2.toSeq) // partitioning-independent
+    // offsets are monotone within a media row
+    val offs = f1.filter(_.getAs[Long]("media_id") == 1L)
+      .map(_.getAs[Int]("offset"))
+    assert(offs.toSeq === offs.toSeq.sorted)
+  }
+
   test("language id: stopword votes with deterministic ties") {
     val out = Seq(
       (1L, "the cat of the house is here"),
