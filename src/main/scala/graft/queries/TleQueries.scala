@@ -345,6 +345,30 @@ object TleQueries extends QueryPack {
                                    ORDER BY epoch_micros, k) = 1
         ORDER BY norad_id""")),
 
+    // ---- q28: two-phase salted aggregation over a skewed key space
+    // (3 return-flag values across all of lineitem — every row lands on
+    // one of 3 reducers unsalted). Salt = content-derived hash mod 16:
+    // partial combine spreads each hot key over 16 reducers, final
+    // combine folds 16 rows/key. Result identical to the plain GROUP BY
+    // — which is exactly what the oracle checks. ----
+    Q("q28_salted_skew_agg",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        graft.operators.Salted.aggregate(
+            l.select(col("l_returnflag"), col("l_quantity"),
+              col("l_orderkey")),
+            keys = Seq("l_returnflag"),
+            salt = graft.operators.Salted.saltOf(16, col("l_orderkey")),
+            buckets = 16,
+            aggs = Map("l_quantity" -> "sum"))
+          .select(col("l_returnflag"),
+            round(col("l_quantity"), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q27: date-key anti-filter (J1/F1; script.py:85-89): new
     // weather dates = batch dates ANTI existing dates. Dates synthesized
     // from integer offsets so every scale factor yields 15 survivors. ----
