@@ -39,6 +39,9 @@ object GraftSession {
     // domain's contract (SURVEY.md §2.3 T5, §2.8 C1-C2, §2.9 X1-X2).
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
+    // managed tables (bucketed-join layout) land outside the repo
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-spark-warehouse")
     // events.parquet stores timestamp[ns], which the vectorized reader
     // rejects ([PARQUET_TYPE_ILLEGAL]). Read it as long (nanos since
     // epoch); Tables.load converts to TimestampType via integer division

@@ -50,6 +50,29 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming dim upsert via foreachBatch — the idempotent-sink pattern
+    * for sinks that need a read-check (here: the EP1 anti-join against
+    * the CURRENT warehouse state, which a blind append sink can't do).
+    * Each micro-batch runs the same check-then-write the batch pipeline
+    * uses; AvailableNow drains and stops.
+    */
+  def dimUpsertStream(spark: SparkSession, sourceDir: String,
+      warehouse: graft.pipeline.Warehouse): StreamingQuery =
+    spark.readStream
+      .schema(Schemas.dimSatellites)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fresh = graft.dedup.Dedup.antiJoinNew(
+          graft.dedup.Dedup.keepFirst(batch.toDF(), Seq("norad_id"),
+            Seq(col("sat_name"))),
+          warehouse.read("dim_satellites"), Seq("norad_id"))
+        if (!fresh.isEmpty) warehouse.append("dim_satellites", fresh)
+      }
+      .option("checkpointLocation", s"$sourceDir/../_dim_ckp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming event-time tumbling-window aggregation (the §2.11 window
     * surface): per-window, per-key counts with watermark-bounded state,
     * emitted on window close (append mode).

@@ -57,6 +57,29 @@ class StreamingSpec extends SparkSpec {
     assert(batchDedup.count() === 3)
   }
 
+  test("foreachBatch dim upsert is idempotent across stream restarts") {
+    val root = Files.createTempDirectory("graft-stream-dim")
+    val (src, wh) = (s"$root/src", s"$root/wh")
+    import spark.implicits._
+    val warehouse = new graft.pipeline.Warehouse(spark, wh)
+    warehouse.bootstrap()
+    Seq((1, "SAT-1", "19074A"), (1, "SAT-1", "19074A"), (2, "SAT-2", "19074B"))
+      .toDF("norad_id", "sat_name", "intl_designator")
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.dimUpsertStream(spark, src, warehouse).awaitTermination()
+    assert(warehouse.read("dim_satellites").count() === 2)
+
+    // second file: one known id (skipped by the anti-join) + one new
+    Seq((2, "SAT-2b", "x"), (3, "SAT-3", "19074C"))
+      .toDF("norad_id", "sat_name", "intl_designator")
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.dimUpsertStream(spark, src, warehouse).awaitTermination()
+    val dim = warehouse.read("dim_satellites")
+    assert(dim.count() === 3)
+    // the original SAT-2 row survived; the replay did not overwrite it
+    assert(dim.where("norad_id = 2 AND sat_name = 'SAT-2'").count() === 1)
+  }
+
   test("streaming windowed counts close on watermark (event-time agg)") {
     val root = Files.createTempDirectory("graft-stream-w")
     val (src, ckp) = (s"$root/src", s"$root/ckp")
