@@ -36,7 +36,9 @@ object Bench {
     }
     val results = queries.map { case (name, fn) =>
       val (a, b) = (timeOnce(fn), timeOnce(fn))
-      name -> (if (a < 0 || b < 0) math.min(a, b) else math.min(a, b))
+      // min picks the faster pass; any failure is negative and therefore
+      // wins the min, keeping failures visible in the output
+      name -> math.min(a, b)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -20,7 +20,7 @@ import graft.plans.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def col1(name: String, f: Column => Column)(
       args: Seq[Expression]): Expression = {

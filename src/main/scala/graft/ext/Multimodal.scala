@@ -34,12 +34,13 @@ object Multimodal {
         width: Int, height: Int, meanByte: Double, headHash: Long)
 
     def decode(bytes: Array[Byte]): Features = {
-      val n = if (bytes == null) 0 else bytes.length
-      val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
+      val safe = if (bytes == null) Array.emptyByteArray else bytes
+      val n = safe.length
+      val mean = if (n == 0) 0.0 else safe.map(b => (b & 0xff).toDouble).sum / n
       // fake dimensions derived from content length — stable, not random
       Features(width = 64 + n % 577, height = 64 + n % 433,
         meanByte = mean,
-        headHash = bytes.take(16).foldLeft(1125899906842597L)(
+        headHash = safe.take(16).foldLeft(1125899906842597L)(
           (h, b) => 31 * h + (b & 0xff)))
     }
   }
@@ -72,11 +73,12 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val n = if (bytes == null) 0 else bytes.length
+        val safe = if (bytes == null) Array.emptyByteArray else bytes
+        val n = safe.length
         (0 until nFrames).map { i =>
           val off = if (nFrames == 1) 0
                     else math.max(0, (n - window)) * i / (nFrames - 1)
-          val frame = bytes.slice(off, math.min(n, off + window))
+          val frame = safe.slice(off, math.min(n, off + window))
           val f = FakeCodec.decode(frame)
           (id, i, off, f.meanByte, f.headHash)
         }

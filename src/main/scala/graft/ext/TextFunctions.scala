@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization of lower-cased text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokenization of lower-cased text. Guard: `split("")`
+    * yields `[""]`, not `[]` — an empty/blank doc must have ZERO tokens,
+    * not one phantom empty token.
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -58,20 +63,17 @@ object TextFunctions {
     * list order (first language wins), zero hits → "und" (undetermined).
     */
   def langId(text: Column): Column = {
-    val scored = stopwordsByLang.map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
-    }
-    // array_max on (hits, lang) structs picks highest hits; ties resolve
-    // by lang DESC, so to make FIRST-in-list win ties we order langs by
-    // their position encoded as a penalty.
+    // array_max on (hits, prio, lang) structs picks highest hits; ties
+    // resolve by prio, which encodes list position so the FIRST language
+    // in the list wins equal scores.
     val ranked = stopwordsByLang.zipWithIndex.map { case ((lang, words), i) =>
       struct(
         stopwordHits(text, words).as("hits"),
         lit(stopwordsByLang.size - i).as("prio"),
         lit(lang).as("lang"))
     }
-    when(array_max(array(ranked: _*)).getField("hits") > 0,
-      array_max(array(ranked: _*)).getField("lang"))
+    val best = array_max(array(ranked: _*))
+    when(best.getField("hits") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
 

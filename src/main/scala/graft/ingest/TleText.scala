@@ -24,12 +24,33 @@ object TleText {
     StructField("pos", IntegerType, nullable = false),
     StructField("line", StringType)))
 
-  /** Lines → `(grp, name, l1, l2)` triples, trailing partial dropped. */
+  /** Lines → `(grp, name, l1, l2)` triples, trailing partial dropped.
+    *
+    * Reference parity: the payload is stripped BEFORE splitting
+    * (`response.text.strip().splitlines()`, script.py:119), so leading
+    * and trailing blank lines must not shift triple alignment — interior
+    * blank lines DO count, exactly as in the reference. Implemented as
+    * one cheap bounds pass (min/max index of non-blank lines) plus a
+    * re-index; both passes are distributed.
+    */
   def triples(spark: SparkSession, path: String): DataFrame = {
-    val indexed = spark.sparkContext.textFile(path)
-      .zipWithIndex()
-      .map { case (line, idx) => Row(idx / 3, (idx % 3).toInt, line) }
-    groupTriples(spark.createDataFrame(indexed, linesSchema))
+    val indexed = spark.sparkContext.textFile(path).zipWithIndex()
+    val bounds = indexed
+      .filter { case (line, _) => line.trim.nonEmpty }
+      .map { case (_, idx) => (idx, idx) }
+      .fold((Long.MaxValue, Long.MinValue)) { case ((lo1, hi1), (lo2, hi2)) =>
+        (math.min(lo1, lo2), math.max(hi1, hi2))
+      }
+    if (bounds._1 > bounds._2)
+      return groupTriples(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], linesSchema))
+    val (lo, hi) = bounds
+    val rows = indexed
+      .filter { case (_, idx) => idx >= lo && idx <= hi }
+      .map { case (line, idx) =>
+        Row((idx - lo) / 3, ((idx - lo) % 3).toInt, line)
+      }
+    groupTriples(spark.createDataFrame(rows, linesSchema))
   }
 
   /** Triple assembly over an already-indexed lines frame. */

@@ -68,10 +68,24 @@ object AsOfJoin {
 
     // Ties among right rows with equal timestamps are broken by the packed
     // payload itself (struct ordering) — deterministic across runs and
-    // partitionings, so oracle hash-compares can't flake.
+    // partitionings, so oracle hash-compares can't flake. Non-orderable
+    // payload types (maps) can't participate in a sort order, so they
+    // fall back to (time, side) ordering — still correct, but which
+    // right row wins an exact-timestamp tie is then partition-dependent.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
+    val tieBreak =
+      if (payload.forall(c => orderable(right.schema(c).dataType)))
+        Seq(col(packed).asc)
+      else Seq.empty
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(timeTag).asc, col(sideCol).asc, col(packed).asc)
+      .orderBy(Seq(col(timeTag).asc, col(sideCol).asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned

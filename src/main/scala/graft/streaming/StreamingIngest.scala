@@ -57,6 +57,7 @@ object StreamingIngest {
     * uses; AvailableNow drains and stops.
     */
   def dimUpsertStream(spark: SparkSession, sourceDir: String,
+      checkpointDir: String,
       warehouse: graft.pipeline.Warehouse): StreamingQuery =
     spark.readStream
       .schema(Schemas.dimSatellites)
@@ -69,7 +70,7 @@ object StreamingIngest {
           warehouse.read("dim_satellites"), Seq("norad_id"))
         if (!fresh.isEmpty) warehouse.append("dim_satellites", fresh)
       }
-      .option("checkpointLocation", s"$sourceDir/../_dim_ckp")
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 

@@ -34,6 +34,16 @@ class ExtSpec extends SparkSpec {
     assert(sh(1L) > 0)
   }
 
+  test("empty/blank docs have zero tokens, not one phantom token") {
+    val n = Seq((1L, ""), (2L, "   "), (3L, "one two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(n(1L) === 0)
+    assert(n(2L) === 0)
+    assert(n(3L) === 2)
+  }
+
   test("exact jaccard pairs find planted near-dups, no crossJoin in plan") {
     val pairs = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val plan = pairs.queryExecution.executedPlan.toString

@@ -66,14 +66,16 @@ class StreamingSpec extends SparkSpec {
     Seq((1, "SAT-1", "19074A"), (1, "SAT-1", "19074A"), (2, "SAT-2", "19074B"))
       .toDF("norad_id", "sat_name", "intl_designator")
       .coalesce(1).write.mode("append").parquet(src)
-    StreamingIngest.dimUpsertStream(spark, src, warehouse).awaitTermination()
+    StreamingIngest.dimUpsertStream(spark, src, s"$root/ckp", warehouse)
+      .awaitTermination()
     assert(warehouse.read("dim_satellites").count() === 2)
 
     // second file: one known id (skipped by the anti-join) + one new
     Seq((2, "SAT-2b", "x"), (3, "SAT-3", "19074C"))
       .toDF("norad_id", "sat_name", "intl_designator")
       .coalesce(1).write.mode("append").parquet(src)
-    StreamingIngest.dimUpsertStream(spark, src, warehouse).awaitTermination()
+    StreamingIngest.dimUpsertStream(spark, src, s"$root/ckp", warehouse)
+      .awaitTermination()
     val dim = warehouse.read("dim_satellites")
     assert(dim.count() === 3)
     // the original SAT-2 row survived; the replay did not overwrite it

@@ -33,6 +33,28 @@ class TleTextSpec extends SparkSpec {
     assert(out(1).getAs[String]("l1") === l1) // stripped
   }
 
+  test("leading/trailing blank lines don't shift triple alignment") {
+    // reference does response.text.strip().splitlines() (script.py:119):
+    // boundary blanks vanish, INTERIOR blanks still count as lines
+    val text = "\n\n" + Seq("SAT-A", l1, l2).mkString("\n") + "\n\n"
+    val out = TleText.triples(spark, writeFixture("tle3.txt", text))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("sat_name") === "SAT-A")
+    assert(out(0).getAs[String]("l1") === l1)
+
+    // an interior blank line occupies a slot (parity with splitlines)
+    val text2 = Seq("SAT-A", l1, "", "SAT-B", l1, l2).mkString("\n")
+    val out2 = TleText.triples(spark, writeFixture("tle4.txt", text2))
+      .orderBy("grp").collect()
+    assert(out2.length === 2)
+    assert(out2(0).getAs[String]("l2") === "") // blank slot preserved
+
+    // all-blank input → empty result, no crash
+    assert(TleText.triples(spark, writeFixture("tle5.txt", "\n\n\n"))
+      .count() === 0)
+  }
+
   test("records: malformed triple dropped, valid parsed, fetched_at constant") {
     val text = Seq(
       "SAT-A", l1, l2,

@@ -19,13 +19,15 @@ import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _ap = argparse.ArgumentParser(description=__doc__)
-_ap.add_argument("sfdir", nargs="?", default="/root/testdata/sf0.01")
-_ap.add_argument("queries", nargs="*", help="run only these query names")
+_ap.add_argument("args", nargs="*",
+                 help="[sfDir] [queries...] in any order; a positional "
+                      "that is an existing directory is the sf dir")
 _ap.add_argument("--skip-verify", action="store_true")
 _ARGS = _ap.parse_args()
-SF = _ARGS.sfdir
+_dirs = [a for a in _ARGS.args if os.path.isdir(a)]
+SF = _dirs[0] if _dirs else "/root/testdata/sf0.01"
 OUT = "/tmp/graft_verify_out"
-ONLY = _ARGS.queries
+ONLY = [a for a in _ARGS.args if not os.path.isdir(a)]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -39,6 +41,10 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
 
 
 def run_verify():
+    # clean slate: stale result dirs from renamed/deleted queries would
+    # otherwise keep "passing" forever
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
     cmd = (["java"] + ADD_OPENS +
            ["-Xmx16g", "-Dspark.ui.enabled=false", "-cp", cp,
@@ -86,9 +92,14 @@ def main():
         got = con.execute(
             f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchdf()
         if name not in oracles:
-            # no SQL oracle declared -> driver records a weaker rows-only check
-            print(f"PASS {name} ({len(got)} rows) [rows-only, no oracle]")
-            n_pass += 1
+            # no SQL oracle declared -> driver records a weaker rows-only
+            # check; zero rows means the operator silently died
+            if len(got) == 0:
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(got)} rows) [rows-only, no oracle]")
+                n_pass += 1
             continue
         want = con.execute(oracles[name]).fetchdf()
         g, w = norm(got), norm(want)
