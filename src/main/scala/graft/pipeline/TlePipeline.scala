@@ -101,12 +101,16 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
     */
   def runTelemetry(records: DataFrame, now: Timestamp): Long = {
     val fact = records.select(
-      "norad_id", "epoch_utc", "fetched_at_utc", "inclination", "raan",
-      "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
-      "b_star_drag", "rev_number")
+        "norad_id", "epoch_utc", "fetched_at_utc", "inclination", "raan",
+        "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+        "b_star_drag", "rev_number")
+      .withColumn("epoch_date", to_date(col("epoch_utc")))
+    val horizon = lit(now) - expr(s"INTERVAL ${cfg.dedupHorizonDays} DAYS")
     val recent = warehouse.read("fact_telemetry")
-      .where(col("epoch_utc") >
-        lit(now) - expr(s"INTERVAL ${cfg.dedupHorizonDays} DAYS"))
+      // the epoch_date predicate is the PARTITION filter (prunes the
+      // scan to ~horizon partitions); epoch_utc keeps the exact bound
+      .where(col("epoch_date") >= to_date(horizon) &&
+        col("epoch_utc") > horizon)
       .select("norad_id", "epoch_utc")
     val fresh = fact.join(recent, Seq("norad_id", "epoch_utc"), "left_anti")
     gatedAppend("fact_telemetry", fresh, cfg.chunkRows)
@@ -116,6 +120,13 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
     * (`script.py:120`); pass the wall clock in production, a fixed value
     * in tests.
     */
+  /** Production entry: stamps the batch constant from the wall clock —
+    * the `utcnow()` captured once per run (Dt3, script.py:120).
+    */
+  def run(tleTextPath: String, noaaJsonPath: String): PipelineRun =
+    run(tleTextPath, noaaJsonPath,
+      Timestamp.from(java.time.Instant.now()))
+
   def run(tleTextPath: String, noaaJsonPath: String,
       fetchedAt: Timestamp): PipelineRun = {
     warehouse.bootstrap()

@@ -90,6 +90,20 @@ class PipelineSpec extends SparkSpec {
     assert(t2.count() === 5)
   }
 
+  test("telemetry recent-keys scan prunes date partitions") {
+    val (p, tle, noaa) = setup()
+    p.run(tle, noaa, now)
+    import org.apache.spark.sql.functions.{col, to_date, lit}
+    val recent = p.warehouse.read("fact_telemetry")
+      .where(col("epoch_date") >= to_date(lit("2026-01-12")))
+    val plan = recent.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("epoch_date"), s"no partition pruning:\n$plan")
+    // the horizon scan sees only the in-window rows (Jan 13/14), not
+    // the Jan 1 partition
+    assert(recent.count() === 3)
+  }
+
   test("K5 quality gate: minRows threshold blocks small batches") {
     val (_, tle, noaa) = setup()
     val gated = new TlePipeline(spark, PipelineConfig(
