@@ -18,10 +18,11 @@ object SparkEntry {
   private lazy val allQs: Seq[Q] = packs.flatMap(_.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the star-join revenue rollup (scan+filter+3 joins+agg in one plan).
+    * the SURVEY §7 flagship — newest orbital state per satellite through
+    * the full TLE synth→parse→window path (q29).
     */
   def entry(spark: SparkSession): DataFrame =
-    allQs.find(_.name == "q02_revenue_by_nation").get
+    allQs.find(_.name == "q29_latest_state_per_sat").get
       .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -40,9 +40,11 @@ object TleQueries extends QueryPack {
     * Rows with k % 97 == 0 get an alpha NORAD field → whole-record null
     * (T5 / §2.12.4 Alpha-5 behavior).
     */
-  private def noradStr: Column =
+  private def noradStrFor(m: Long): Column =
     when(k % 97 === 0, lit("XXXXX"))
-      .otherwise(format_string("%05d", (k * 7919) % 100000))
+      .otherwise(format_string("%05d", (k * 7919) % m))
+
+  private def noradStr: Column = noradStrFor(100000L)
 
   private def bstarStr: Column =
     when(k % 4 === 0, format_string(" %05d-%d", c % 100000, k % 5))
@@ -50,14 +52,16 @@ object TleQueries extends QueryPack {
       .when(k % 4 === 2, lit(" 00000+0"))                              // → 0.0
       .otherwise(format_string(" %05d+%d", c % 100000, k % 2))
 
-  private def line1: Column = format_string(
+  private def line1For(norad: Column): Column = format_string(
     "1 %5sU %-8s %02d%03d.%08d  .00000000  00000-0 %8s 0  9991",
-    noradStr, format_string("%02d%03dA", k % 100, c % 1000),
+    norad, format_string("%02d%03dA", k % 100, c % 1000),
     k % 100, k % 365 + 1, (k * 2654435761L) % 100000000L, bstarStr)
 
-  private def line2: Column = format_string(
+  private def line1: Column = line1For(noradStr)
+
+  private def line2For(norad: Column): Column = format_string(
     "2 %5s %3d.%04d %3d.%04d %07d %3d.%04d %3d.%04d %2d.%08d%05d",
-    noradStr,
+    norad,
     k % 180, (k * 31) % 10000,
     (k * 7) % 360, (k * 37) % 10000,
     (k * 101) % 10000000,
@@ -65,13 +69,19 @@ object TleQueries extends QueryPack {
     (k * 13) % 360, (k * 43) % 10000,
     k % 16, (k * 2654435761L) % 100000000L, k % 100000)
 
-  /** The same synthesis as SQL CTEs for the DuckDB oracle. */
-  private val synthSql = """
+  private def line2: Column = line2For(noradStr)
+
+  /** The same synthesis as SQL CTEs for the DuckDB oracle;
+    * parameterized by the NORAD modulus (q23 uses 100000 = all-distinct
+    * satellites; q29 uses 997 so each satellite has ~15 epochs and
+    * keep-latest actually reduces).
+    */
+  private def synthSqlFor(m: Long): String = s"""
     WITH src AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
     synth AS (
       SELECT k,
         CASE WHEN k % 97 = 0 THEN 'XXXXX'
-             ELSE printf('%05d', (k * 7919) % 100000) END AS norad_str,
+             ELSE printf('%05d', (k * 7919) % $m) END AS norad_str,
         CASE k % 4
           WHEN 0 THEN printf(' %05d-%d', c % 100000, k % 5)
           WHEN 1 THEN printf('-%05d-%d', c % 100000, k % 5)
@@ -96,6 +106,8 @@ object TleQueries extends QueryPack {
                norad_str, i_a, i_b, r_a, r_b, ecc7, p_a, p_b, m_a, m_b,
                mm_a, mm_b, rev) AS l2
       FROM synth)"""
+
+  private def synthSql: String = synthSqlFor(100000L)
 
   /** tle_bstar decode replayed in DuckDB SQL over a string column expr. */
   private def bstarSql(s: String): String = s"""
@@ -343,6 +355,62 @@ object TleQueries extends QueryPack {
         SELECT norad_id, epoch_micros, k FROM survivors
         QUALIFY row_number() OVER (PARTITION BY norad_id
                                    ORDER BY epoch_micros, k) = 1
+        ORDER BY norad_id""")),
+
+    // ---- q29: the SURVEY §7 flagship — "newest orbital state per
+    // satellite": synthesize + parse TLE pairs, keep the latest epoch
+    // per norad_id (window keep-last), emit the state vector with the
+    // dim attributes. One parse projection + one shuffle on norad_id. ----
+    Q("q29_latest_state_per_sat",
+      (s, dir) => {
+        val rec = TleFunctions.tleParse(col("l1"), col("l2"))
+        val norad997 = noradStrFor(997L) // ~15 epochs per satellite
+        val parsed = t(s, dir, "orders")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(k.as("o_orderkey"), line1For(norad997).as("l1"),
+            line2For(norad997).as("l2"))
+          .localCheckpoint()
+          .select(col("o_orderkey"), rec.as("r"))
+          .where(col("r").isNotNull)
+          .select(col("o_orderkey"), col("r.norad_id").as("norad_id"),
+            col("r.intl_designator").as("intl_designator"),
+            unix_micros(col("r.epoch_utc")).as("epoch_micros"),
+            col("r.mean_motion").as("mean_motion"),
+            col("r.inclination").as("inclination"))
+        val rn = row_number().over(
+          Window.partitionBy("norad_id")
+            .orderBy(col("epoch_micros").desc, col("o_orderkey")))
+        parsed.withColumn("rn", rn).where(col("rn") === 1).drop("rn")
+          .select("norad_id", "intl_designator", "epoch_micros",
+            "mean_motion", "inclination")
+          .orderBy("norad_id")
+      },
+      Some(s"""
+        ${synthSqlFor(997L)},
+        parsed AS (
+          SELECT k,
+            TRY_CAST(substr(l1, 3, 5) AS INT) AS norad_id,
+            trim(substr(l1, 10, 8)) AS intl_designator,
+            TRY_CAST(substr(l1, 19, 2) AS INT) AS epoch_year,
+            TRY_CAST(substr(l1, 21, 12) AS DOUBLE) AS epoch_day,
+            TRY_CAST(substr(l2, 53, 11) AS DOUBLE) AS mean_motion,
+            TRY_CAST(substr(l2, 9, 8) AS DOUBLE) AS inclination
+          FROM lines),
+        final AS (
+          SELECT k, norad_id, intl_designator,
+                 epoch_us(make_date(CASE WHEN epoch_year < 57
+                                         THEN epoch_year + 2000
+                                         ELSE epoch_year + 1900 END,
+                                    1, 1)::TIMESTAMP)
+                   + CAST(floor((epoch_day - 1) * 86400000000) AS BIGINT)
+                   AS epoch_micros,
+                 mean_motion, inclination
+          FROM parsed WHERE norad_id IS NOT NULL)
+        SELECT norad_id, intl_designator, epoch_micros, mean_motion,
+               inclination
+        FROM final
+        QUALIFY row_number() OVER (PARTITION BY norad_id
+                                   ORDER BY epoch_micros DESC, k) = 1
         ORDER BY norad_id""")),
 
     // ---- q28: two-phase salted aggregation over a skewed key space
