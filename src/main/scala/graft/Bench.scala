@@ -16,6 +16,7 @@ object Bench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus).getOrCreate()
+    GraftExtensions.register(spark) // in case getOrCreate hit a cached session
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // Untimed warm-up of EVERY query (JIT + codegen + parquet footers), so

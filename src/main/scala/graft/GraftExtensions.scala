@@ -18,6 +18,11 @@ import graft.plans.DotProduct
   * or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -35,18 +40,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       f(GraftBridge.toColumn(args(0)), GraftBridge.toColumn(args(1))))
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("tle_bstar"),
+  /** The one registration table both activation paths share. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("tle_bstar"),
       info("tle_bstar", "decode TLE implied-decimal B* (reference quirks)"),
-      col1("tle_bstar", TleFunctions.tleBstar)))
-    ext.injectFunction((FunctionIdentifier("tle_bstar_strict"),
+      col1("tle_bstar", TleFunctions.tleBstar) _),
+    (FunctionIdentifier("tle_bstar_strict"),
       info("tle_bstar_strict", "signed-mantissa-correct B* decode"),
-      col1("tle_bstar_strict", TleFunctions.tleBstarStrict)))
-    ext.injectFunction((FunctionIdentifier("tle_parse"),
+      col1("tle_bstar_strict", TleFunctions.tleBstarStrict) _),
+    (FunctionIdentifier("tle_parse"),
       info("tle_parse", "parse a TLE line pair into an 11-field struct"),
-      col2("tle_parse", TleFunctions.tleParse)))
-    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      col2("tle_parse", TleFunctions.tleParse) _),
+    (FunctionIdentifier("vec_dot"),
       info("vec_dot", "fused dot product of two numeric arrays"),
-      args => { require(args.length == 2); DotProduct(args(0), args(1)) }))
-  }
+      (args: Seq[Expression]) => {
+        require(args.length == 2); DotProduct(args(0), args(1))
+      }))
+
+  /** Register the pack on a session that ALREADY exists. Builder
+    * extensions only run when the builder constructs a new session —
+    * a cached `getOrCreate` hit would otherwise silently lack
+    * tle_bstar/tle_parse/vec_dot in SQL. Idempotent (re-registration
+    * overwrites with the identical builder).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      GraftBridge.registerFunction(spark, ident, inf, builder)
+    }
 }

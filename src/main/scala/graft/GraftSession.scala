@@ -52,6 +52,9 @@ object GraftSession {
     val s = configure(
       SparkSession.builder().master(s"local[$nCpus]").appName(appName), nCpus
     ).getOrCreate()
+    // withExtensions above only fires if the builder CREATED the session;
+    // a cached getOrCreate hit needs the pack registered directly.
+    GraftExtensions.register(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -11,6 +11,7 @@ object Verify {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
       cpus).getOrCreate()
+    GraftExtensions.register(spark) // in case getOrCreate hit a cached session
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

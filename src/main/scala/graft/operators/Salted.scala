@@ -31,6 +31,12 @@ object Salted {
     */
   def aggregate(df: DataFrame, keys: Seq[String], salt: Column,
       buckets: Int, aggs: Map[String, String]): DataFrame = {
+    // fail fast on non-decomposable aggregates: avg-of-avgs (etc.) would
+    // silently refold to a WRONG result, not an error
+    val decomposable = Set("sum", "count", "min", "max")
+    require(aggs.values.forall(f => decomposable(f.toLowerCase)),
+      s"Salted.aggregate supports only decomposable aggregates " +
+        s"${decomposable.mkString("{", ",", "}")}; got ${aggs.values.toSet}")
     val salted = df.withColumn("_salt", pmod(salt, lit(buckets.toLong)))
     val partial = salted
       .groupBy((keys :+ "_salt").map(col): _*)

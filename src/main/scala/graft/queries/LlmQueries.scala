@@ -191,12 +191,17 @@ object LlmQueries extends QueryPack {
           .orderBy("lang")
       },
       Some("""
-        WITH d AS (
+        WITH toks AS (
           SELECT lang, n_chars,
-                 len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-                 len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        d AS (
+          SELECT lang, n_chars, len(tk) AS n_tokens,
+                 len(list_filter(tk,
                      t -> t IN ('the','a','of','and','to'))) AS n_stop
-          FROM documents)
+          FROM toks)
         SELECT lang, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(avg(n_tokens), 2) AS avg_tokens,
@@ -206,32 +211,26 @@ object LlmQueries extends QueryPack {
                      CAST(sum(n_tokens) AS DOUBLE), 6) AS stopword_ratio
         FROM d GROUP BY lang ORDER BY lang""")),
 
-    // ---- q35: language-ID heuristic + quality score per doc: stopword
-    // hit votes with a fixed tie order, length/alpha/word-length quality
-    // blend. CASE chain is written identically on both sides. ----
+    // ---- q35: language-ID heuristic + quality score per doc, through
+    // the LIBRARY functions (TextFunctions.langId / qualityScore) so the
+    // declared query and the reusable operator cannot drift. The oracle
+    // replays langId's argmax-with-priority-ties as a CASE chain over
+    // the same 5 stopword lists (zh hits are 0 on this corpus but the
+    // list participates in the vote, so it appears in the SQL too). ----
     Q("q35_docs_langid_quality",
       (s, dir) => {
         val docs = fan(t(s, dir, "documents"))
-        def hits(words: Seq[String]): Column =
-          TextFunctions.stopwordHits(col("text"), words)
-        val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
-        val de = hits(Seq("der", "die", "das", "und", "ist", "nicht"))
-        val es = hits(Seq("el", "la", "de", "que", "y", "es"))
-        val fr = hits(Seq("le", "la", "les", "et", "est", "que"))
-        val pred = when(en + de + es + fr === 0, "und")
-          .when(en >= de && en >= es && en >= fr, "en")
-          .when(de >= es && de >= fr, "de")
-          .when(es >= fr, "es")
-          .otherwise("fr")
         docs.select(col("doc_id"), col("lang"),
-            pred.as("predicted_lang"),
+            TextFunctions.langId(col("text")).as("predicted_lang"),
             TextFunctions.qualityScore(col("text")).as("quality"))
           .orderBy("doc_id")
       },
       Some("""
         WITH d AS (
           SELECT doc_id, lang, trim(text) AS tt,
-                 string_split_regex(lower(trim(text)), '\s+') AS tk
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
           FROM documents),
         scored AS (
           SELECT doc_id, lang,
@@ -239,15 +238,17 @@ object LlmQueries extends QueryPack {
             len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht'))) AS n_de,
             len(list_filter(tk, t -> t IN ('el','la','de','que','y','es'))) AS n_es,
             len(list_filter(tk, t -> t IN ('le','la','les','et','est','que'))) AS n_fr,
+            len(list_filter(tk, t -> t IN ('的','是','了','在','我'))) AS n_zh,
             length(tt) AS n_chars, len(tk) AS n_tokens,
             length(regexp_replace(lower(tt), '[^a-z]', '', 'g')) AS n_alpha
           FROM d)
         SELECT doc_id, lang,
-          CASE WHEN n_en + n_de + n_es + n_fr = 0 THEN 'und'
-               WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
-               WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
-               WHEN n_es >= n_fr THEN 'es'
-               ELSE 'fr' END AS predicted_lang,
+          CASE WHEN n_en + n_de + n_es + n_fr + n_zh = 0 THEN 'und'
+               WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
+               WHEN n_de >= n_es AND n_de >= n_fr AND n_de >= n_zh THEN 'de'
+               WHEN n_es >= n_fr AND n_es >= n_zh THEN 'es'
+               WHEN n_fr >= n_zh THEN 'fr'
+               ELSE 'zh' END AS predicted_lang,
           round(0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
               + 0.4 * CAST(n_alpha AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)
               + 0.2 * (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)
@@ -401,7 +402,9 @@ object LlmQueries extends QueryPack {
       Some("""
         WITH d AS (
           SELECT lang,
-                 len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                 END AS ws_tokens,
                  len(regexp_extract_all(lower(text),
                      ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS bpeish_tokens
           FROM documents)
@@ -418,15 +421,18 @@ object LlmQueries extends QueryPack {
     Q("q43_docs_tfidf_topterms",
       (s, dir) => {
         val docs = fan(t(s, dir, "documents"))
-        val nDocs = docs.count() // corpus-constant, driver-side scalar
+        // corpus size IN-PLAN (broadcast 1-row count) — a driver-side
+        // docs.count() would be an extra full pass over `documents`
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("_n_corpus"))
         val terms = docs.select(col("doc_id"), col("lang"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         val df_ = terms.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
         val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
         val scored = tf.join(broadcast(df_), "term")
+          .crossJoin(broadcast(nDocs))
           .withColumn("tfidf",
-            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+            round(col("tf") * log(col("_n_corpus") / col("df")), 6))
         scored.withColumn("rank", row_number().over(
             Window.partitionBy("lang")
               .orderBy(col("tfidf").desc, col("term"))))
@@ -439,7 +445,7 @@ object LlmQueries extends QueryPack {
         WITH terms AS (
           SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)),
                  '\s+')) AS term
-          FROM documents),
+          FROM documents WHERE trim(text) <> ''),
         df AS (
           SELECT term, count(*) AS df
           FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),

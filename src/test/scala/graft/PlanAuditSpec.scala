@@ -9,9 +9,12 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  private lazy val frames: Map[String, org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries.map { case (name, fn) => name -> fn(spark, dir) }
+
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    frames.map { case (name, df) =>
+      name -> df.queryExecution.executedPlan.toString
     }
 
   test("no query plan contains a CartesianProduct") {
@@ -20,6 +23,20 @@ class PlanAuditSpec extends SparkSpec {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
         s"$name has a cartesian product:\n$plan")
+    }
+  }
+
+  test("no query plan contains a partition-less (global) Window") {
+    // Window.orderBy without partitionBy moves ALL rows to one task —
+    // the canonical scale-killer. A final orderBy (range-partitioned
+    // global sort) is fine; an unpartitioned Window never is.
+    frames.foreach { case (name, df) =>
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name has a global (single-partition) window: ${bad.mkString}")
     }
   }
 
