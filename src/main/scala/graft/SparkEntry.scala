@@ -19,10 +19,11 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the SURVEY §7 flagship — newest orbital state per satellite through
-    * the full TLE synth→parse→window path (q29).
+    * the full TLE synth→parse→window path, joined to the broadcast
+    * dim_satellites side for sat_name (q47).
     */
   def entry(spark: SparkSession): DataFrame =
-    allQs.find(_.name == "q29_latest_state_per_sat").get
+    allQs.find(_.name == "q47_latest_state_dim_join").get
       .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

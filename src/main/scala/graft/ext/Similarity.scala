@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,6 +35,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize an array<float|double> column in expression space
+    * (zero vectors map to zero vectors). Pure Column math — stays inside
+    * WholeStageCodegen; no spark.ml UDF interop.
+    */
+  def l2normalize(vec: Column): Column = {
+    val n = norm(vec)
+    transform(vec,
+      x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /** array<float|double> → ml DenseVector, via the built-in (codegen'd)
+    * converter — the single point of spark.ml interop for the LSH/KMeans
+    * paths.
+    */
+  private def asFeatures(vec: Column): Column =
+    org.apache.spark.ml.functions.array_to_vector(vec)
+
   /** Exact top-k cosine neighbors for each query row.
     *
     * @param queries (qid, embedding) — must be small enough to
@@ -65,20 +81,36 @@ object Similarity {
     * construction, no crossJoin of the corpus. Deterministic: fixed
     * k-means seed, ranking on rounded cosine with id tiebreak.
     *
+    * The quantizer FITS ON A SEEDED SAMPLE (`fitFraction`), never the
+    * full corpus: k-means is an iterative, driver-coordinated fit, and
+    * repeated passes over a 100 TB table is exactly the cost profile IVF
+    * exists to avoid. A coarse quantizer only needs enough points to
+    * place nCells centroids, so the sample is statistically plenty; the
+    * FULL corpus is still assigned to cells afterwards (one pass,
+    * embarrassingly parallel). Corpora whose sample would be smaller
+    * than `minFitRows` fall back to a full-corpus fit — at that size the
+    * fit is cheap and small samples would starve the centroids.
+    *
     * Recall < 1 by design (neighbors in unprobed cells are missed);
-    * raise nProbe toward nCells to trade cost for recall.
+    * raise nProbe toward nCells to trade cost for recall (at
+    * nProbe == nCells the result is exactly brute force, for ANY
+    * quantizer — which is what makes the sampled fit safe to gate).
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      fitFraction: Double = 0.1, minFitRows: Long = 256): DataFrame = {
     val spark = corpus.sparkSession
-    val toVec = udf((xs: Seq[Float]) =>
-      Vectors.dense(xs.map(_.toDouble).toArray))
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("features", toVec(col("vec")))
+      .withColumn("features", asFeatures(col("vec")))
+    val sampled = corpusV.sample(withReplacement = false, fitFraction, 42L)
+    val fitSet =
+      if (fitFraction >= 1.0) corpusV
+      else if (sampled.count() >= math.max(minFitRows, 4L * nCells)) sampled
+      else corpusV // small-corpus fallback: sample would starve the fit
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(corpusV)
+      .fit(fitSet)
     val assigned = model.transform(corpusV).select(
       col("id"), col("vec"), col("cell"))
 
@@ -117,14 +149,8 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, bucketLength: Double = 1.0,
       numTables: Int = 3): DataFrame = {
-    val toVec = udf((xs: Seq[Float]) =>
-      Vectors.dense(xs.map(_.toDouble).toArray))
-    val normalize = udf((v: Vector) => {
-      val n = math.sqrt(v.toArray.map(x => x * x).sum)
-      Vectors.dense(v.toArray.map(x => if (n == 0) 0.0 else x / n))
-    })
     val a = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("features", normalize(toVec(col("vec"))))
+      .withColumn("features", asFeatures(l2normalize(col("vec"))))
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)
@@ -151,16 +177,10 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       threshold: Double, bucketLength: Double = 2.0,
       numTables: Int = 3): DataFrame = {
-    val toVec = udf((xs: Seq[Float]) =>
-      Vectors.dense(xs.map(_.toDouble).toArray))
-    val normalize = udf((v: Vector) => {
-      val n = math.sqrt(v.toArray.map(x => x * x).sum)
-      Vectors.dense(v.toArray.map(x => if (n == 0) 0.0 else x / n))
-    })
     val a = corpus.select(col(idCol).as("id"),
-      normalize(toVec(col(vecCol))).as("features"))
+      asFeatures(l2normalize(col(vecCol))).as("features"))
     val b = queries.select(col(qidCol).as("qid"),
-      normalize(toVec(col(qvecCol))).as("features"))
+      asFeatures(l2normalize(col(qvecCol))).as("features"))
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)

@@ -408,6 +408,73 @@ object TleQueries extends QueryPack {
                                    ORDER BY epoch_micros DESC, k) = 1
         ORDER BY norad_id""")),
 
+    // ---- q47: the FLAGSHIP star join (SURVEY §7 build-order item 2;
+    // /root/reference/README.md:30-31): newest orbital state per
+    // satellite JOINED to the dim_satellites-shaped frame on norad_id,
+    // emitting sat_name — the fact↔dim equi-join the star schema exists
+    // for. The dim side (one row per satellite, name keyed off the id)
+    // is derived from the same testdata; it is |satellites|-sized, so it
+    // BROADCASTS (asserted in PlanAuditSpec) — at warehouse scale the
+    // dim never shuffles the fact side. ----
+    Q("q47_latest_state_dim_join",
+      (s, dir) => {
+        val rec = TleFunctions.tleParse(col("l1"), col("l2"))
+        val norad997 = noradStrFor(997L)
+        val dim = t(s, dir, "orders")
+          .select(((k * 7919) % 997).cast("int").as("norad_id"))
+          .distinct()
+          .withColumn("sat_name", format_string("SAT-%05d", col("norad_id")))
+        val parsed = t(s, dir, "orders")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(k.as("o_orderkey"), line1For(norad997).as("l1"),
+            line2For(norad997).as("l2"))
+          .localCheckpoint()
+          .select(col("o_orderkey"), rec.as("r"))
+          .where(col("r").isNotNull)
+          .select(col("o_orderkey"), col("r.norad_id").as("norad_id"),
+            unix_micros(col("r.epoch_utc")).as("epoch_micros"),
+            col("r.mean_motion").as("mean_motion"),
+            col("r.inclination").as("inclination"))
+        val rn = row_number().over(
+          Window.partitionBy("norad_id")
+            .orderBy(col("epoch_micros").desc, col("o_orderkey")))
+        parsed.withColumn("rn", rn).where(col("rn") === 1).drop("rn")
+          .join(broadcast(dim), Seq("norad_id"))
+          .select("norad_id", "sat_name", "epoch_micros",
+            "mean_motion", "inclination")
+          .orderBy("norad_id")
+      },
+      Some(s"""
+        ${synthSqlFor(997L)},
+        dim AS (
+          SELECT norad_id, printf('SAT-%05d', norad_id) AS sat_name
+          FROM (SELECT DISTINCT CAST((o_orderkey * 7919) % 997 AS INT)
+                  AS norad_id FROM orders)),
+        parsed AS (
+          SELECT k,
+            TRY_CAST(substr(l1, 3, 5) AS INT) AS norad_id,
+            TRY_CAST(substr(l1, 19, 2) AS INT) AS epoch_year,
+            TRY_CAST(substr(l1, 21, 12) AS DOUBLE) AS epoch_day,
+            TRY_CAST(substr(l2, 53, 11) AS DOUBLE) AS mean_motion,
+            TRY_CAST(substr(l2, 9, 8) AS DOUBLE) AS inclination
+          FROM lines),
+        latest AS (
+          SELECT k, norad_id,
+                 epoch_us(make_date(CASE WHEN epoch_year < 57
+                                         THEN epoch_year + 2000
+                                         ELSE epoch_year + 1900 END,
+                                    1, 1)::TIMESTAMP)
+                   + CAST(floor((epoch_day - 1) * 86400000000) AS BIGINT)
+                   AS epoch_micros,
+                 mean_motion, inclination
+          FROM parsed WHERE norad_id IS NOT NULL
+          QUALIFY row_number() OVER (PARTITION BY norad_id
+                                     ORDER BY epoch_micros DESC, k) = 1)
+        SELECT l.norad_id, d.sat_name, l.epoch_micros, l.mean_motion,
+               l.inclination
+        FROM latest l JOIN dim d USING (norad_id)
+        ORDER BY norad_id""")),
+
     // ---- q28: two-phase salted aggregation over a skewed key space
     // (3 return-flag values across all of lineitem — every row lands on
     // one of 3 reducers unsalted). Salt = content-derived hash mod 16:

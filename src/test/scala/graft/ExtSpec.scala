@@ -124,6 +124,26 @@ class ExtSpec extends SparkSpec {
     assert((partial & brute).size >= brute.size / 2, s"$partial vs $brute")
   }
 
+  test("IVF sampled quantizer fit: probe-all stays exact on any centroids") {
+    val corpus = (0L until 60L).map(i =>
+      (i, (0 until 8).map(j => math.sin(i * 13 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", 5)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    // fitFraction 0.5 + low minFitRows forces the SAMPLE fit path (the
+    // 100 TB shape: quantizer fits on a seeded subset, full corpus is
+    // only assigned); probe-all must still equal brute force — the
+    // recall-1 invariant holds for ANY quantizer
+    val sampledFit = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", 5, nCells = 4, nProbe = 4,
+        fitFraction = 0.5, minFitRows = 8)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(sampledFit === brute)
+  }
+
   test("cosine near-dup pairs find planted perturbed copies") {
     val corpus = (0L until 40L).map(i =>
       (i, (0 until 8).map(j => math.sin(i * 13 + j).toFloat)))

@@ -44,6 +44,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("q02_revenue_by_nation").contains("BroadcastHashJoin"))
   }
 
+  test("flagship dim join broadcasts the dim_satellites side (q47)") {
+    assert(plans("q47_latest_state_dim_join").contains("BroadcastHashJoin"),
+      plans("q47_latest_state_dim_join"))
+  }
+
   test("top-k compiles to TakeOrderedAndProject (q03)") {
     assert(plans("q03_topk_orders_by_revenue").contains("TakeOrderedAndProject"))
   }
