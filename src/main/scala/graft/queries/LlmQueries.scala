@@ -122,17 +122,46 @@ object LlmQueries extends QueryPack {
 
     // ---- q32: MinHash LSH near-dup (the sub-linear 100 TB path):
     // banded xxhash64 signature join → candidates → exact verification.
-    // xxhash64 has no DuckDB twin → rows-only check here; recall is
-    // asserted against q31's exact answer in NearDupSpec. ----
+    // Run at minJaccard = 1.0 over planted EXACT duplicates, recall is
+    // STRUCTURAL, which is what makes this oracle-able: jaccard 1 means
+    // identical distinct-shingle sets, identical shingle sets mean
+    // identical minhash signatures, so the pair collides in every band
+    // — no probabilistic miss — and the exact-verify step discards any
+    // sub-1.0 band collision. The DuckDB oracle brute-forces the same
+    // criterion (equal shingle sets) with no xxhash64 involved; LSH
+    // recall at sub-1.0 thresholds stays covered by ExtSpec against the
+    // exact q31 answer. ----
     Q("q32_docs_minhash_lsh",
       (s, dir) => {
-        val docs = withNearDups(fan(t(s, dir, "documents")))
+        val docs = withExactDups(fan(t(s, dir, "documents")))
         NearDup.minhashLshPairs(docs, "doc_id", "text",
-            n = 3, numHashes = 64, numBands = 16, minJaccard = 0.6)
+            n = 3, numHashes = 64, numBands = 16, minJaccard = 1.0)
           .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id1", "id2")
       },
-      None),
+      Some(s"""
+        WITH u AS ($dupUnionSql),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM u),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+               round(CAST(n_common AS DOUBLE) /
+                     CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE CAST(n_common AS DOUBLE) /
+              CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 1.0
+        ORDER BY id1, id2""")),
 
     // ---- q33: brute-force top-k cosine — the exact ANN baseline.
     // Query set (every 50th vector) broadcasts; corpus streams through
@@ -277,13 +306,19 @@ object LlmQueries extends QueryPack {
         FROM u GROUP BY 1 HAVING count(*) > 1
         ORDER BY first_doc""")),
 
-    // ---- q37: SimHash 64-bit fingerprints + hamming near-dup pairs.
-    // xxhash64-based → no DuckDB oracle; rows-only check here, semantic
-    // assertions in NearDupSpec. Banded join on 16-bit chunks keeps the
-    // pair search sub-quadratic (hamming ≤ 3 ⇒ one of 4 chunks equal). ----
+    // ---- q37: SimHash 64-bit fingerprints + banded hamming near-dup
+    // pairs (16-bit chunks keep the pair search sub-quadratic: hamming
+    // ≤ 3 ⇒ one of 4 chunks equal). Oracle-able form: hamming == 0
+    // candidates verified by exact token-MULTISET equality — equal
+    // multisets imply equal simhash (it is a function of the multiset),
+    // so every true pair collides in all four chunks (recall is
+    // structural, not probabilistic) and the verify step discards any
+    // 64-bit collision between different multisets. DuckDB brute-forces
+    // the same criterion on sorted token lists; hamming-≤3 locality at
+    // sub-exact thresholds stays covered by ExtSpec. ----
     Q("q37_docs_simhash",
       (s, dir) => {
-        val docs = withNearDups(fan(t(s, dir, "documents")))
+        val docs = withExactDups(fan(t(s, dir, "documents")))
         val sigs = NearDup.simhash(docs, "doc_id", "text")
         val chunks = sigs.select(col("_id"), col("simhash"),
           explode(array((0 until 4).map(i =>
@@ -292,16 +327,31 @@ object LlmQueries extends QueryPack {
                 .as("ch"))): _*)).as("c"))
           .select(col("_id"), col("simhash"),
             col("c.ci").as("ci"), col("c.ch").as("ch"))
-        chunks.as("x").join(chunks.as("y"),
+        val cands = chunks.as("x").join(chunks.as("y"),
             col("x.ci") === col("y.ci") && col("x.ch") === col("y.ch") &&
               col("x._id") < col("y._id"))
           .select(col("x._id").as("id1"), col("y._id").as("id2"),
             NearDup.hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
           .distinct()
-          .where(col("hamming") <= 3)
+          .where(col("hamming") === 0)
+        val toks = docs.select(col("doc_id"),
+          array_sort(TextFunctions.tokens(col("text"))).as("_tk"))
+        cands // exact verify: candidate hamming-0 pairs → equal multisets
+          .join(toks.select(col("doc_id").as("id1"), col("_tk").as("tk1")), "id1")
+          .join(toks.select(col("doc_id").as("id2"), col("_tk").as("tk2")), "id2")
+          .where(col("tk1") === col("tk2"))
+          .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
           .orderBy("id1", "id2")
       },
-      None),
+      Some(s"""
+        WITH u AS ($dupUnionSql),
+        toks AS (
+          SELECT doc_id,
+                 list_sort(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+          FROM u WHERE trim(text) <> '')
+        SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INT) AS hamming
+        FROM toks a JOIN toks b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        ORDER BY id1, id2""")),
 
     // ---- q38: HLL distinct-count surface. At these cardinalities
     // (|langs| ≤ 5, |sources| ≤ 10) the HLL sketch is exact, so the
@@ -325,24 +375,42 @@ object LlmQueries extends QueryPack {
 
     // ---- q40: embedding-cosine near-dup pairs — dedup by embedding:
     // LSH-bucketed self-join + exact cosine verification (no corpus²
-    // scan). Mutant copies (first component nudged) are the planted
-    // dups. Hash-bucketed candidates → rows-only check here; recall is
-    // asserted against brute force in ExtSpec. ----
+    // scan). Planted EXACT vector copies make recall STRUCTURAL (an
+    // identical vector hashes into identical buckets in every table —
+    // random-projection LSH is a deterministic function of the vector —
+    // and sits at distance 0 < radius), which is what lets DuckDB
+    // brute-force the same criterion as an oracle: the raw corpus's max
+    // pairwise cosine is ~0.51, so nothing else can reach the 0.9999
+    // verify threshold and every emitted pair is a planted copy.
+    // Perturbed-copy recall stays covered by ExtSpec. ----
     Q("q40_embed_cosine_neardup",
       (s, dir) => {
         val emb = fan(t(s, dir, "embeddings"))
         val mutants = emb.where(col("vec_id") % 10 === 0)
           .withColumn("vec_id", col("vec_id") + 1000000L)
-          .withColumn("embedding",
-            transform(col("embedding"),
-              (x, i) => when(i === 0, (x + lit(0.01f)).cast("float"))
-                .otherwise(x)))
         Similarity.cosineNearDupPairs(
             emb.unionByName(mutants), "vec_id", "embedding",
-            minCosine = 0.999)
+            minCosine = 0.9999)
           .orderBy("id1", "id2")
       },
-      None),
+      Some("""
+        WITH u AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding
+          FROM embeddings WHERE vec_id % 10 = 0),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 round(list_dot_product(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]))),
+                       6) AS cosine
+          FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        SELECT id1, id2, cosine FROM pairs
+        WHERE cosine >= 0.9999 ORDER BY id1, id2""")),
 
     // ---- q41: IVF top-k in its exact configuration (nProbe = nCells:
     // every cell probed ⇒ recall 1 ⇒ the brute-force oracle applies
