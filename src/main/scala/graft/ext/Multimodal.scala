@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * typed metadata struct, processed per-partition in batches.
   *
   * The Spark-side machinery (schema, batch iteration, partitioning,
-  * output shape) is real and tested; the actual media codec is STUBBED
-  * behind `FakeCodec` — image/audio libraries are not available in this
-  * container, so `decode` computes deterministic pseudo-features from the
-  * bytes instead. Swapping in a real codec changes ONLY that object.
+  * output shape) is real and tested. The codec decodes PNG/JPEG/GIF/BMP
+  * payloads with the JDK-native `javax.imageio` (no external media
+  * libraries needed); bytes no installed reader recognizes — including
+  * audio/video, for which the JDK ships no codec — fall back to a
+  * deterministic pseudo-decode of the byte stream, so the pipeline
+  * stays testable end-to-end on arbitrary payloads. Swapping in a
+  * fuller codec (audio frames, video demux) changes ONLY that object.
   */
 object Multimodal {
 
@@ -24,30 +27,66 @@ object Multimodal {
       StructField("mime", StringType),
       StructField("n_bytes", LongType))))))
 
-  /** STUB codec — deterministic pseudo-decode of the payload bytes.
-    * A real implementation would JPEG/PNG-decode and produce pixel
-    * stats; this one derives the same *shape* of output purely from the
-    * byte stream so the pipeline is testable end-to-end.
+  /** Media codec: real `javax.imageio` decode for image payloads, with
+    * a deterministic pseudo-decode fallback for bytes no reader accepts
+    * (corrupt images, or audio/video the JDK has no codec for). The
+    * fallback derives the same *shape* of output purely from the byte
+    * stream, so batch plumbing behaves identically on every payload.
     */
-  object FakeCodec {
+  object Codec {
+    // In-memory decode only: never spill ImageIO scratch to local disk
+    // on executors (also avoids temp-dir permission surprises).
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** @param decoded true = real image decode; false = byte-stream
+      *   fallback (width/height are then content-length-derived stand-ins)
+      */
     final case class Features(
-        width: Int, height: Int, meanByte: Double, headHash: Long)
+        width: Int, height: Int, meanByte: Double, headHash: Long,
+        decoded: Boolean)
+
+    private def headHashOf(safe: Array[Byte]): Long =
+      safe.take(16).foldLeft(1125899906842597L)(
+        (h, b) => 31 * h + (b & 0xff))
 
     def decode(bytes: Array[Byte]): Features = {
       val safe = if (bytes == null) Array.emptyByteArray else bytes
-      val n = safe.length
-      val mean = if (n == 0) 0.0 else safe.map(b => (b & 0xff).toDouble).sum / n
-      // fake dimensions derived from content length — stable, not random
-      Features(width = 64 + n % 577, height = 64 + n % 433,
-        meanByte = mean,
-        headHash = safe.take(16).foldLeft(1125899906842597L)(
-          (h, b) => 31 * h + (b & 0xff)))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(safe))
+        catch { case _: Exception => null } // undecodable → fallback
+      if (img != null) {
+        // mean luma over the pixel grid — (r+g+b)/3 per pixel
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        Features(img.getWidth, img.getHeight,
+          sum / (img.getWidth.toLong * img.getHeight),
+          headHashOf(safe), decoded = true)
+      } else {
+        val n = safe.length
+        val mean =
+          if (n == 0) 0.0 else safe.map(b => (b & 0xff).toDouble).sum / n
+        // fallback dimensions derived from content length — stable
+        Features(width = 64 + n % 577, height = 64 + n % 433,
+          meanByte = mean, headHash = headHashOf(safe), decoded = false)
+      }
     }
   }
 
-  /** STUB resize — a real codec would rescale pixels; the fake keeps the
-    * content-derived stats and stamps the requested dimensions, so the
-    * batch plumbing (schema change, per-partition execution) is real.
+  /** Resize-to-target features: decodes (real or fallback), keeps the
+    * content stats and stamps the requested output dimensions — the
+    * schema-changing per-partition batch shape of a resize stage. (A
+    * pixel-resampling resize would swap `Codec.decode` for an
+    * AffineTransform rescale; the Spark plumbing is identical.)
     */
   def resizeFeatures(media: DataFrame, width: Int, height: Int): DataFrame = {
     val spark = media.sparkSession
@@ -55,16 +94,18 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val f = FakeCodec.decode(bytes)
+        val f = Codec.decode(bytes)
         (id, width, height, f.meanByte, f.headHash)
       })
       .toDF("media_id", "width", "height", "mean_byte", "head_hash")
   }
 
-  /** STUB frame sampling — emits `nFrames` evenly spaced windows of the
-    * payload as per-frame rows (media_id, frame_idx, frame fake-feature),
+  /** Frame sampling — emits `nFrames` evenly spaced windows of the
+    * payload as per-frame rows (media_id, frame_idx, frame features),
     * the shape video frame-extraction produces: one input row fans out
-    * to n output rows inside the partition, no shuffle.
+    * to n output rows inside the partition, no shuffle. Byte windows of
+    * a container stream aren't decodable images, so frames take the
+    * codec's deterministic fallback path (the JDK ships no video demux).
     */
   def sampleFrames(media: DataFrame, nFrames: Int,
       window: Int = 16): DataFrame = {
@@ -79,7 +120,7 @@ object Multimodal {
           val off = if (nFrames == 1) 0
                     else math.max(0, (n - window)) * i / (nFrames - 1)
           val frame = safe.slice(off, math.min(n, off + window))
-          val f = FakeCodec.decode(frame)
+          val f = Codec.decode(frame)
           (id, i, off, f.meanByte, f.headHash)
         }
       })
@@ -91,7 +132,8 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("mean_byte", DoubleType),
-    StructField("head_hash", LongType)))
+    StructField("head_hash", LongType),
+    StructField("decoded", BooleanType)))
 
   /** Batched per-partition decode — the `mapInPandas`-shaped entry point
     * (iterator-of-batches in, iterator-of-batches out; in Scala the
@@ -106,11 +148,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch => // one codec instance per partition
         batch.map { case (id, bytes) =>
-          val f = FakeCodec.decode(bytes)
-          (id, f.width, f.height, f.meanByte, f.headHash)
+          val f = Codec.decode(bytes)
+          (id, f.width, f.height, f.meanByte, f.headHash, f.decoded)
         }
       }
-      .toDF("media_id", "width", "height", "mean_byte", "head_hash")
+      .toDF("media_id", "width", "height", "mean_byte", "head_hash",
+        "decoded")
   }
 
   /** Expression-only feature extraction (no codec): byte length, content

@@ -591,7 +591,8 @@ object LlmQueries extends QueryPack {
     // ---- q39: multimodal-column plumbing: text bytes as an opaque
     // binary payload + typed metadata struct; inline (expression-only)
     // feature extraction — byte length, content digest, modality tag.
-    // The stub-codec mapPartitions path is exercised in MultimodalSpec. ----
+    // The codec mapPartitions path (imageio + fallback) is exercised in
+    // ExtSpec. ----
     Q("q39_multimodal_inline",
       (s, dir) => {
         val media = fan(t(s, dir, "documents")).select(

@@ -521,6 +521,130 @@ object TleQueries extends QueryPack {
             AS date_utc FROM orders)
         SELECT b.date_utc FROM batch b
         ANTI JOIN existing e ON b.date_utc = e.date_utc
-        ORDER BY date_utc"""))
+        ORDER BY date_utc""")),
+
+    // ---- q46: the reference pipeline END-TO-END under the oracle
+    // (EP1-EP3, K1-K5, J1-J3, D2; /root/reference/script.py:100-177 is
+    // the whole reference program). Synthesizes TLE-text + NOAA-JSON
+    // landing files deterministically from testdata, runs
+    // TlePipeline.run TWICE into a fresh temp warehouse, and emits the
+    // final fact_telemetry contents plus both runs' per-stage counts —
+    // so the check-then-write idempotency fixpoint (second run adds
+    // ZERO weather/dim/telemetry rows) is hash-gated, not just
+    // spec-asserted. Epochs use a FIXED year and an index-valued day
+    // fraction (injective in k ⇒ no intra-batch key collisions), with
+    // the dedup horizon sized to cover them all; every 97th record gets
+    // an alpha NORAD (parse-dropped, T5), and B* cycles the quirk
+    // classes including signed-mantissa → null-field records. ----
+    Q("q46_pipeline_idempotent",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q46-")
+          .toString
+        // TLE landing file: one 3-line record per orders row. Whole
+        // records stay contiguous within a row, so multi-part output
+        // never breaks triple alignment; the warehouse fixpoint is
+        // record-order-independent (keys, not positions).
+        val norad = when(k % 97 === 0, lit("XXXXX"))
+          .otherwise(format_string("%05d", (k * 7919) % 997))
+        val l1 = format_string(
+          "1 %5sU %-8s 26%03d.%08d  .00000000  00000-0 %8s 0  9991",
+          norad, format_string("%02d%03dA", k % 100, c % 1000),
+          k % 365 + 1, k, bstarStr)
+        t(s, dir, "orders")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(concat_ws("\n",
+            concat(lit("SAT-"), norad), l1, line2For(norad)).as("value"))
+          .write.mode("overwrite").text(s"$tmp/tle")
+        // NOAA landing file: ONE JSON array document (header + sorted
+        // [timestamp, flux] pairs) — a single-doc write is inherently
+        // one task, matching the wholetext read shape.
+        val pair = array(
+          date_format(date_add(to_date(lit("2026-01-01")),
+            col("n_nationkey")), "yyyy-MM-dd HH:mm"),
+          format_string("%d.%d", col("n_nationkey"), col("n_regionkey")))
+        t(s, dir, "nation")
+          .agg(to_json(concat(
+            array(array(lit("time_tag"), lit("f10.7"))),
+            array_sort(collect_list(pair)))).as("value"))
+          .write.mode("overwrite").text(s"$tmp/noaa")
+        // run the pipeline twice, same inputs, batch-constant fetched_at
+        val cfg = graft.pipeline.PipelineConfig(s"$tmp/wh",
+          dedupHorizonDays = 400)
+        val p = new graft.pipeline.TlePipeline(s, cfg)
+        val fetchedAt = java.sql.Timestamp.from(
+          java.time.Instant.parse("2027-01-10T00:00:00Z"))
+        val r1 = p.run(s"$tmp/tle", s"$tmp/noaa", fetchedAt)
+        val r2 = p.run(s"$tmp/tle", s"$tmp/noaa", fetchedAt)
+        p.warehouse.read("fact_telemetry")
+          .select(col("norad_id"),
+            unix_micros(col("epoch_utc")).as("epoch_micros"),
+            col("mean_motion"), col("b_star_drag"), col("rev_number"))
+          .withColumn("r1_weather", lit(r1.weatherNew))
+          .withColumn("r1_parsed", lit(r1.tleParsed))
+          .withColumn("r1_sats", lit(r1.satsNew))
+          .withColumn("r1_tele", lit(r1.telemetryNew))
+          .withColumn("r2_weather", lit(r2.weatherNew))
+          .withColumn("r2_parsed", lit(r2.tleParsed))
+          .withColumn("r2_sats", lit(r2.satsNew))
+          .withColumn("r2_tele", lit(r2.telemetryNew))
+          .orderBy("norad_id", "epoch_micros")
+      },
+      Some(s"""
+        WITH src AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+        synth AS (
+          SELECT k,
+            CASE WHEN k % 97 = 0 THEN 'XXXXX'
+                 ELSE printf('%05d', (k * 7919) % 997) END AS norad_str,
+            CASE k % 4
+              WHEN 0 THEN printf(' %05d-%d', c % 100000, k % 5)
+              WHEN 1 THEN printf('-%05d-%d', c % 100000, k % 5)
+              WHEN 2 THEN ' 00000+0'
+              ELSE printf(' %05d+%d', c % 100000, k % 2) END AS bstar_str,
+            printf('%02d%03dA', k % 100, c % 1000) AS intl_raw,
+            k % 365 + 1 AS day_int, k AS day_frac,
+            k % 180 AS i_a, (k * 31) % 10000 AS i_b,
+            (k * 7) % 360 AS r_a, (k * 37) % 10000 AS r_b,
+            (k * 101) % 10000000 AS ecc7,
+            (k * 11) % 360 AS p_a, (k * 41) % 10000 AS p_b,
+            (k * 13) % 360 AS m_a, (k * 43) % 10000 AS m_b,
+            k % 16 AS mm_a, (k * 2654435761) % 100000000 AS mm_b,
+            k % 100000 AS rev
+          FROM src),
+        lines AS (
+          SELECT k,
+            printf('1 %5sU %-8s 26%03d.%08d  .00000000  00000-0 %8s 0  9991',
+                   norad_str, intl_raw, day_int, day_frac, bstar_str) AS l1,
+            printf('2 %5s %3d.%04d %3d.%04d %07d %3d.%04d %3d.%04d %2d.%08d%05d',
+                   norad_str, i_a, i_b, r_a, r_b, ecc7, p_a, p_b, m_a, m_b,
+                   mm_a, mm_b, rev) AS l2
+          FROM synth),
+        parsed AS (
+          SELECT k,
+            TRY_CAST(substr(l1, 3, 5) AS INT) AS norad_id,
+            TRY_CAST(substr(l1, 21, 12) AS DOUBLE) AS epoch_day,
+            trim(substr(l1, 54, 8)) AS braw,
+            TRY_CAST(substr(l2, 53, 11) AS DOUBLE) AS mean_motion,
+            TRY_CAST(substr(l2, 64, 5) AS INT) AS rev_number
+          FROM lines),
+        valid AS (
+          SELECT k, norad_id,
+                 epoch_us(make_date(2026, 1, 1)::TIMESTAMP)
+                   + CAST(floor((epoch_day - 1) * 86400000000) AS BIGINT)
+                   AS epoch_micros,
+                 mean_motion, ${bstarSql("braw")} AS b_star_drag, rev_number
+          FROM parsed WHERE norad_id IS NOT NULL),
+        counts AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_valid,
+                 CAST(count(DISTINCT norad_id) AS BIGINT) AS n_sats
+          FROM valid),
+        w AS (SELECT CAST(count(*) AS BIGINT) AS n_weather FROM nation)
+        SELECT v.norad_id, v.epoch_micros, v.mean_motion, v.b_star_drag,
+               v.rev_number,
+               w.n_weather AS r1_weather, ct.n_valid AS r1_parsed,
+               ct.n_sats AS r1_sats, ct.n_valid AS r1_tele,
+               CAST(0 AS BIGINT) AS r2_weather, ct.n_valid AS r2_parsed,
+               CAST(0 AS BIGINT) AS r2_sats, CAST(0 AS BIGINT) AS r2_tele
+        FROM valid v, counts ct, w
+        ORDER BY norad_id, epoch_micros"""))
   )
 }

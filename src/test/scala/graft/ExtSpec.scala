@@ -160,7 +160,7 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("stub codec decode is deterministic and batch-shaped") {
+  test("codec fallback decode is deterministic and batch-shaped") {
     val media = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
       struct(lit("image").as("kind"), lit("x").as("mime"),
@@ -172,6 +172,37 @@ class ExtSpec extends SparkSpec {
     assert(f1.length === 6)
     val r1 = f1.head
     assert(r1.getAs[Int]("width") >= 64 && r1.getAs[Double]("mean_byte") > 0)
+    // text bytes are not an image: every row takes the fallback path
+    assert(f1.forall(!_.getAs[Boolean]("decoded")))
+  }
+
+  test("codec really decodes PNG payloads via javax.imageio") {
+    // deterministic 2×2 PNG fixture, generated in-memory: one pixel per
+    // grayscale level 0/85/170/255 → mean luma 127.5
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val levels = Seq(0, 85, 170, 255)
+    for (i <- 0 until 4) {
+      val v = levels(i)
+      img.setRGB(i % 2, i / 2, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    // direct codec call
+    val f = Multimodal.Codec.decode(png)
+    assert(f.decoded, "PNG bytes must take the real imageio path")
+    assert(f.width === 2 && f.height === 2)
+    assert(math.abs(f.meanByte - 127.5) < 1e-9)
+
+    // and through the distributed batch path
+    val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out(0).getAs[Boolean]("decoded") &&
+      out(0).getAs[Int]("width") == 2 && out(0).getAs[Int]("height") == 2)
+    assert(!out(1).getAs[Boolean]("decoded"))
   }
 
   test("resize and frame sampling keep batch shape and determinism") {
