@@ -25,8 +25,11 @@ object GraftSession {
     .withExtensions(new GraftExtensions)
     // Shuffle partitions sized to the executor slots, not Spark's default 200:
     // at local[32] a 200-way shuffle just adds scheduling overhead; on a
-    // real cluster AQE coalesces post-shuffle partitions anyway.
-    .config("spark.sql.shuffle.partitions", nCpus.toString)
+    // real cluster AQE coalesces post-shuffle partitions anyway. The env
+    // override exists for headroom checks (e.g. 4× cores verifies no plan
+    // is quietly relying on single-partition execution).
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", nCpus.toString))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -57,12 +57,28 @@ class Warehouse(spark: SparkSession, dir: String) {
     * chunking maps to output-partition sizing: rows-per-file caps the
     * unit of write the way `chunksize=1000` caps the reference's insert
     * batches (`script.py:171`).
+    *
+    * Partitioned tables are REPARTITIONED BY THE PARTITION COLUMNS
+    * before the write: a dynamic-partition write without it has every
+    * task emit one file per partition value it happens to hold —
+    * O(tasks × dates) tiny files per append (measured 32 × 365 ≈ 11k
+    * for a one-year batch), which poisons every later scan with file
+    * and footer overhead. Clustered, each partition directory is
+    * written by exactly one task (maxRecordsPerFile still splits
+    * oversized ones); a skewed hot date is exactly what AQE-less
+    * `repartition(col)` handles worst, so rowsPerFile remains the cap.
     */
   def append(name: String, df: DataFrame, rowsPerFile: Long = 0): Unit = {
-    val w0 = df.write.mode("append")
+    val parts = partitioning(name)
+    val clustered = parts match {
+      case Nil => df
+      case cols =>
+        df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+    }
+    val w0 = clustered.write.mode("append")
     val w1 = if (rowsPerFile > 0) w0.option("maxRecordsPerFile", rowsPerFile)
              else w0
-    (partitioning(name) match {
+    (parts match {
       case Nil => w1
       case cols => w1.partitionBy(cols: _*)
     }).parquet(path(name))
