@@ -120,6 +120,95 @@ object LlmQueries extends QueryPack {
               CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 0.6
         ORDER BY id1, id2""")),
 
+    // ---- q48: the 100 TB MODE of the exact-Jaccard inverted index —
+    // the maxShingleFreq stopword-shingle cut (drop shingles appearing
+    // in more than F docs BEFORE the posting self-join). Ultra-frequent
+    // boilerplate shingles are what makes the exact join quadratic at
+    // scale; the cut bounds every posting list at F. F=4 drops the
+    // frequent tail of this corpus (doc-freq histogram tops out at 9),
+    // and the oracle replays the IDENTICAL filter, so the scale mode is
+    // hash-gated rather than merely documented. ----
+    Q("q48_docs_jaccard_freqcut",
+      (s, dir) => {
+        val docs = withNearDups(fan(t(s, dir, "documents")))
+        NearDup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, minJaccard = 0.6, maxShingleFreq = 4)
+          .select(col("id1"), col("id2"),
+            col("n_common").cast("long").as("n_common"),
+            col("sz1").cast("long").as("sz1"),
+            col("sz2").cast("long").as("sz2"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""
+        WITH u AS ($nearDupUnionSql),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM u),
+        post0 AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        keep AS (SELECT sh FROM post0 GROUP BY sh HAVING count(*) <= 4),
+        post AS (SELECT p.doc_id, p.sh FROM post0 p JOIN keep k USING (sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2, n_common, s1.sz AS sz1, s2.sz AS sz2,
+               round(CAST(n_common AS DOUBLE) /
+                     CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE CAST(n_common AS DOUBLE) /
+              CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 0.6
+        ORDER BY id1, id2""")),
+
+    // ---- q49: repetition quality signals (the Gopher/RefinedWeb-style
+    // within-document repetition filter): per-doc 2-gram count, repeated
+    // 2-gram fraction (1 − distinct/total), and the keep/drop verdict at
+    // the 0.2 threshold — pure expressions over TextFunctions.shingles,
+    // the cheap pre-filter shape that runs inline in a scan at 100 TB. ----
+    Q("q49_docs_repetition",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val sh2 = TextFunctions.shingles(col("text"), 2)
+        val n2 = size(sh2)
+        val nd = size(array_distinct(sh2))
+        val rep = when(n2 > 0,
+          lit(1.0) - nd.cast("double") / n2.cast("double")).otherwise(lit(0.0))
+        docs.select(col("doc_id"), n2.cast("long").as("n_2grams"),
+            round(rep, 6).as("rep_frac"),
+            (rep < 0.2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 2
+                      THEN list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])
+                      ELSE CAST([] AS VARCHAR[]) END AS sh
+          FROM d),
+        m AS (
+          SELECT doc_id, len(sh) AS n2,
+                 CASE WHEN len(sh) > 0
+                      THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                                 / CAST(len(sh) AS DOUBLE)
+                      ELSE 0.0 END AS rep
+          FROM g)
+        SELECT doc_id, CAST(n2 AS BIGINT) AS n_2grams,
+               round(rep, 6) AS rep_frac, rep < 0.2 AS keep
+        FROM m ORDER BY doc_id""")),
+
     // ---- q32: MinHash LSH near-dup (the sub-linear 100 TB path):
     // banded xxhash64 signature join → candidates → exact verification.
     // Run at minJaccard = 1.0 over planted EXACT duplicates, recall is
