@@ -645,6 +645,60 @@ object TleQueries extends QueryPack {
                CAST(0 AS BIGINT) AS r2_weather, ct.n_valid AS r2_parsed,
                CAST(0 AS BIGINT) AS r2_sats, CAST(0 AS BIGINT) AS r2_tele
         FROM valid v, counts ct, w
+        ORDER BY norad_id, epoch_micros""")),
+
+    // ---- q50: STRUCTURED STREAMING under the oracle (§2.11) — the
+    // watermarked bounded-state dedup (`dropDuplicatesWithinWatermark`
+    // keyed on (norad_id, epoch_utc), Trigger.AvailableNow) run over a
+    // synthesized telemetry backlog with planted duplicate rows.
+    // Determinism by construction: duplicates are byte-identical rows
+    // (whichever copy survives, the output row is the same), the key is
+    // injective in o_orderkey so nothing else collides, and the backlog
+    // is one parquet file → one micro-batch → the initial watermark
+    // drops nothing. The oracle is then simply the distinct base set. ----
+    Q("q50_streaming_dedup",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q50-")
+          .toString
+        def mk(o: DataFrame): DataFrame = o.select(
+          (k % 500).cast("int").as("norad_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            expr("o_orderkey DIV 500") * 3600000000L).as("epoch_utc"),
+          timestamp_micros(lit(1800000000000000L)).as("fetched_at_utc"),
+          ((k % 1800).cast("double") / 10.0).as("inclination"),
+          ((k % 3600).cast("double") / 10.0).as("raan"),
+          ((k % 10000).cast("double") / 10000000.0).as("eccentricity"),
+          ((k % 3600).cast("double") / 10.0).as("arg_perigee"),
+          ((k % 3600).cast("double") / 10.0).as("mean_anomaly"),
+          (lit(15.0) + (k % 100).cast("double") / 100.0).as("mean_motion"),
+          when(k % 7 === 0, lit(null).cast("double"))
+            .otherwise((k % 1000).cast("double") / 100000.0).as("b_star_drag"),
+          (k % 100000).cast("int").as("rev_number"))
+        val o = t(s, dir, "orders")
+        mk(o).unionByName(mk(o.where(k % 5 === 0))) // identical dup rows
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingIngest.telemetryStream(
+          s, s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+        q.awaitTermination()
+        s.read.schema(graft.schema.Schemas.factTelemetry)
+          .parquet(s"$tmp/out")
+          .select(col("norad_id"),
+            unix_micros(col("epoch_utc")).as("epoch_micros"),
+            col("inclination"), col("mean_motion"), col("b_star_drag"),
+            col("rev_number"))
+          .orderBy("norad_id", "epoch_micros")
+      },
+      Some("""
+        SELECT CAST(o_orderkey % 500 AS INT) AS norad_id,
+               1700000000000000 + (o_orderkey // 500) * 3600000000
+                 AS epoch_micros,
+               CAST(o_orderkey % 1800 AS DOUBLE) / 10.0 AS inclination,
+               15.0 + CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS mean_motion,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_orderkey % 1000 AS DOUBLE) / 100000.0
+               END AS b_star_drag,
+               CAST(o_orderkey % 100000 AS INT) AS rev_number
+        FROM orders
         ORDER BY norad_id, epoch_micros"""))
   )
 }
