@@ -699,6 +699,49 @@ object TleQueries extends QueryPack {
                END AS b_star_drag,
                CAST(o_orderkey % 100000 AS INT) AS rev_number
         FROM orders
-        ORDER BY norad_id, epoch_micros"""))
+        ORDER BY norad_id, epoch_micros""")),
+
+    // ---- q51: the SQL surface of the domain pack (SURVEY §4 item 3) —
+    // the same expressions q22/q33 exercise through the Column DSL, but
+    // entered through `spark.sql` text, so the SparkSessionExtensions /
+    // FunctionRegistry registration (`GraftExtensions`) is itself under
+    // the driver gate: if `tle_bstar` or the native `vec_dot` ever went
+    // unregistered, this entry fails to ANALYZE. ----
+    Q("q51_sql_function_surface",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_q51_orders")
+        s.sql("""
+          SELECT o_orderkey,
+                 tle_bstar(CASE CAST(o_orderkey % 6 AS INT)
+                   WHEN 0 THEN format_string(' %05d-%d', o_custkey % 100000, o_orderkey % 5)
+                   WHEN 1 THEN format_string('-%05d-%d', o_custkey % 100000, o_orderkey % 5)
+                   WHEN 2 THEN format_string('+%05d-%d', o_custkey % 100000, o_orderkey % 5)
+                   WHEN 3 THEN format_string('0.%06d', o_custkey % 1000000)
+                   WHEN 4 THEN 'XXXXXXXX'
+                   ELSE ' 00000+0' END) AS b_star,
+                 vec_dot(array(CAST(o_orderkey AS DOUBLE), 2.0D),
+                         array(3.0D, 4.0D)) AS vd
+          FROM graft_q51_orders
+          ORDER BY o_orderkey""")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT o_orderkey, o_orderkey % 6 AS cls,
+                 o_custkey % 100000 AS m, o_orderkey % 5 AS e,
+                 o_custkey % 1000000 AS m6
+          FROM orders),
+        raw AS (
+          SELECT o_orderkey,
+            trim(CASE cls
+              WHEN 0 THEN printf(' %05d-%d', m, e)
+              WHEN 1 THEN printf('-%05d-%d', m, e)
+              WHEN 2 THEN printf('+%05d-%d', m, e)
+              WHEN 3 THEN printf('0.%06d', m6)
+              WHEN 4 THEN 'XXXXXXXX'
+              ELSE ' 00000+0' END) AS s
+          FROM src)
+        SELECT o_orderkey, ${bstarSql("s")} AS b_star,
+               CAST(3 * o_orderkey + 8 AS DOUBLE) AS vd
+        FROM raw ORDER BY o_orderkey"""))
   )
 }
