@@ -175,11 +175,17 @@ object LlmQueries extends QueryPack {
       (s, dir) => {
         val docs = fan(t(s, dir, "documents"))
         val sh2 = TextFunctions.shingles(col("text"), 2)
-        val n2 = size(sh2)
-        val nd = size(array_distinct(sh2))
-        val rep = when(n2 > 0,
-          lit(1.0) - nd.cast("double") / n2.cast("double")).otherwise(lit(0.0))
-        docs.select(col("doc_id"), n2.cast("long").as("n_2grams"),
+        // fence after the counts: rep_frac and keep both reference n2/nd,
+        // and CollapseProject would otherwise re-inline the shingle
+        // transform into every use (~6 evaluations per row)
+        val counts = docs.select(col("doc_id"),
+            size(sh2).cast("long").as("n_2grams"),
+            size(array_distinct(sh2)).cast("long").as("nd"))
+          .localCheckpoint()
+        val rep = when(col("n_2grams") > 0,
+          lit(1.0) - col("nd").cast("double") / col("n_2grams").cast("double"))
+          .otherwise(lit(0.0))
+        counts.select(col("doc_id"), col("n_2grams"),
             round(rep, 6).as("rep_frac"),
             (rep < 0.2).as("keep"))
           .orderBy("doc_id")
