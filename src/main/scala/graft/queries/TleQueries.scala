@@ -742,6 +742,36 @@ object TleQueries extends QueryPack {
           FROM src)
         SELECT o_orderkey, ${bstarSql("s")} AS b_star,
                CAST(3 * o_orderkey + 8 AS DOUBLE) AS vd
-        FROM raw ORDER BY o_orderkey"""))
+        FROM raw ORDER BY o_orderkey""")),
+
+    // ---- q52: the JDBC surface under the oracle (S4-S6 scan with
+    // pushdown + K2-K4 batched append; the reference's warehouse is
+    // PostgreSQL — embedded Derby is the sandbox stand-in, same Spark
+    // connector). Round-trips customer through a fresh in-memory Derby
+    // db (batchsize=1000, the reference's chunksize), reads it back
+    // with a pushable range predicate plus a post-scan residual, and
+    // the oracle replays the equivalent relational algebra on the
+    // parquet source — so type mapping, batching, and the scan path are
+    // all inside the hash compare. ----
+    Q("q52_jdbc_roundtrip",
+      (s, dir) => {
+        // unique per-invocation db name (temp path uniqueness), so bench
+        // re-runs never append into a previous invocation's table
+        val db = java.nio.file.Files.createTempDirectory("graft-q52-")
+          .getFileName.toString
+        val url = s"jdbc:derby:memory:$db;create=true"
+        val src = t(s, dir, "customer").select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+        graft.sink.JdbcSink.append(src, url, "t_customer")
+        graft.sink.JdbcSink.read(s, url, "t_customer")
+          .where(col("c_acctbal") > 1000.0 && col("c_custkey") % 7 === 2)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_acctbal > 1000.0 AND c_custkey % 7 = 2
+        ORDER BY c_custkey"""))
   )
 }
