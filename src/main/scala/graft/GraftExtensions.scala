@@ -18,8 +18,12 @@ import graft.plans.DotProduct
   * or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Whole-operator custom plans (SURVEY §4 ladder rung c): the planner
+    // strategy that turns AsOfJoinNode into AsOfJoinExec.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -64,8 +68,15 @@ object GraftExtensions {
     * tle_bstar/tle_parse/vec_dot in SQL. Idempotent (re-registration
     * overwrites with the identical builder).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       GraftBridge.registerFunction(spark, ident, inf, builder)
     }
+    // Planner strategies for cached sessions ride the public
+    // `experimental` hook (same planner list the extension injection
+    // feeds; AQE re-planning consults it too). Guard for idempotency.
+    val extra = spark.experimental.extraStrategies
+    if (!extra.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies = extra :+ graft.plans.AsOfJoinStrategy
+  }
 }

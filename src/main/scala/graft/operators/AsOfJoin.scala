@@ -44,7 +44,11 @@ object AsOfJoin {
       lit(null).cast(df.schema(name).dataType)
 
     // Right rows carry only key + time + payload; left columns nulled.
-    val rightTagged = right.select(
+    // A null-time right row can never satisfy `right.time <= left.time`
+    // (SQL comparison semantics, and what DuckDB ASOF does) — drop it
+    // here, or the nulls-first window order would treat it as
+    // before-everything and leak its payload into early left rows.
+    val rightTagged = right.where(col(timeCol).isNotNull).select(
       keys.map(col) ++
         Seq(col(timeCol).as(timeTag), lit(0).as(sideCol)) ++
         leftCols.filterNot(keys.contains).map(c => typedNull(left, c).as(c)) ++
@@ -93,5 +97,61 @@ object AsOfJoin {
       .where(col(sideCol) === 1)
       .select((leftCols.map(col) ++
         payload.map(c => col(packed).getField(prefix + c).as(prefix + c))): _*)
+  }
+
+  /** Same contract as [[asof]], executed by the native whole-operator
+    * plan ([[graft.plans.AsOfJoinExec]]): one hash shuffle + sort per
+    * side and a streaming O(1)-state merge, instead of union + window +
+    * filter over the combined stream. Requires the graft planner strategy
+    * (any `GraftSession` session has it; otherwise
+    * `GraftExtensions.register(spark)`).
+    *
+    * Tie-break parity with [[asof]]: among right rows tied on
+    * `(key, time)`, the payload-max row wins (the exec sorts the right
+    * side by the orderable payload columns and keeps the last consumed).
+    */
+  def native(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      payload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import graft.plans.AsOfJoinNode
+
+    // Right side carries only what the merge needs — explicit pruning,
+    // since Catalyst's column pruning doesn't see through a foreign node.
+    val rightCols = ((keys :+ timeCol) ++ payload).distinct
+    val rBase = GraftBridge.analyzed(right.select(rightCols.map(col): _*))
+    // Mint fresh right-side exprIds: a self-as-of (left and right carved
+    // from the same scan) would otherwise hand the analyzer duplicate ids
+    // across siblings, and DeduplicateRelations cannot disambiguate a
+    // foreign node's positional left/right fields (it rewrites the right
+    // SUBTREE but must leave the shared ids in this node alone — the
+    // node would then reference only left attrs and the planner prunes
+    // the right child to nothing). An Alias layer makes the node's
+    // right-facing interface unconditionally unambiguous.
+    val rAliases = rBase.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rBase)
+    val rOut: Seq[Attribute] = rAliases.map(_.toAttribute)
+    val lPlan = GraftBridge.analyzed(left)
+
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        sys.error(s"as-of join: column '$name' not found in " +
+          out.map(_.name).mkString("[", ", ", "]")))
+
+    val payloadAttrs = payload.map(attr(rOut, _))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+
+    GraftBridge.ofRows(left.sparkSession, AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan.output, _)), keys.map(attr(rOut, _)),
+      attr(lPlan.output, timeCol), attr(rOut, timeCol),
+      payloadAttrs, payloadOut))
   }
 }

@@ -496,6 +496,50 @@ object CoreQueries extends QueryPack {
                count(*) FILTER (o_orderstatus = 'P') AS "P"
         FROM orders
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // ---- q53: as-of enrichment through the NATIVE whole-operator plan
+    // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec — the full custom
+    // ladder: logical node, planner strategy, physical streaming merge),
+    // feeding a rollup: time-since-last-error distribution per event
+    // type. Same contract as q15's composed form, but the plan is one
+    // hash shuffle + sort PER SIDE and an O(1)-state merge — no
+    // union-widened rows through a window operator. AsOfNativeSpec pins
+    // native == composed on edge cases; this entry pins the semantics
+    // against DuckDB's native ASOF JOIN. ----
+    Q("q53_asof_native_gap_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val left = ev.where($"event_type" =!= "error")
+        val errors = ev.where($"event_type" === "error")
+          .select($"user_id", $"ts", $"value")
+        AsOfJoin.native(left, errors, Seq("user_id"), "ts", Seq("ts", "value"), "err_")
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            count($"err_ts").as("n_after_error"),
+            sum(unix_millis($"ts") - unix_millis($"err_ts")).as("gap_ms_total"),
+            round(sum($"err_value"), 2).as("err_value_total"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+          FROM events),
+        err AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'error'),
+        enriched AS (
+          SELECT e.event_type, e.ts, r.ts AS err_ts, r.value AS err_value
+          FROM (SELECT * FROM ev WHERE event_type <> 'error') e
+          ASOF LEFT JOIN err r
+            ON e.user_id = r.user_id AND e.ts >= r.ts)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(err_ts) AS BIGINT) AS n_after_error,
+               CAST(sum(epoch_ms(ts) - epoch_ms(err_ts)) AS BIGINT) AS gap_ms_total,
+               round(sum(err_value), 2) AS err_value_total
+        FROM enriched
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
