@@ -159,4 +159,68 @@ object NearDup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise similarity output (`jaccardPairs`, `minhashLshPairs`,
+    * `Similarity.cosineNearDupPairs`) into dedup GROUPS: every document
+    * gets `cluster_id` = the smallest reachable document id, so "keep one
+    * per cluster" is a deterministic `WHERE id = cluster_id`.
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping.
+    * Each round (a) takes the min component label over graph neighbors,
+    * then (b) rewrites every label through the label map once more
+    * (`comp(comp(v))` — path halving), so label depth shrinks
+    * geometrically: rounds ≈ log₂(component diameter), not diameter.
+    * Near-dup components are shallow near-cliques in practice, so this
+    * converges in 2–4 rounds.
+    *
+    * Scale: state is only the (id, label) frame — one row per document,
+    * re-shuffled by id each round; edges shuffle by endpoint. No driver
+    * state beyond the per-round convergence counter (an aggregated
+    * scalar), and `localCheckpoint` truncates lineage so round N's plan
+    * does not replay rounds 1..N-1. Components, not the corpus, bound
+    * the round count.
+    *
+    * @param ids   one row per vertex (documents WITHOUT any pair still
+    *              get a singleton cluster)
+    * @param pairs undirected edges as columns `id1`, `id2`
+    */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("_src"), col("id2").as("_dst"))
+      .union(pairs.select(col("id2").as("_src"), col("id1").as("_dst")))
+      .distinct()
+      .localCheckpoint() // reused every round — scan once, not per round
+    var comp = ids.select(col(idCol).as("_vid"), col(idCol).as("_comp"))
+      .localCheckpoint()
+    val maxRounds = 50
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // (a) neighbor min: smallest label among each vertex's neighbors
+      val nbrMin = edges
+        .join(comp.select(col("_vid").as("_dst"), col("_comp").as("_dc")), "_dst")
+        .groupBy("_src").agg(min("_dc").as("_nmin"))
+        .select(col("_src").as("_vid"), col("_nmin"))
+      val stepped = comp.join(nbrMin, Seq("_vid"), "left")
+        .select(col("_vid"), col("_comp").as("_old"),
+          least(col("_comp"), col("_nmin")).as("_comp"))
+      // (b) pointer jump: labels are vertex ids, so resolve one level of
+      // indirection through the label map itself (path halving). The old
+      // label rides along so the convergence check below is a scan of
+      // the already-materialized round output, not another join.
+      val labelMap = stepped
+        .select(col("_vid").as("_lk"), col("_comp").as("_lv"))
+      val jumped = stepped
+        .join(labelMap, stepped("_comp") === labelMap("_lk"), "left")
+        .select(col("_vid"), col("_old"),
+          coalesce(col("_lv"), col("_comp")).as("_comp"))
+        .localCheckpoint()
+      val changed = jumped.where(col("_comp") =!= col("_old")).count()
+      comp = jumped.select(col("_vid"), col("_comp"))
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged, s"clusters: not converged after $maxRounds rounds")
+    comp.select(col("_vid").as(idCol), col("_comp").as("cluster_id"))
+  }
 }

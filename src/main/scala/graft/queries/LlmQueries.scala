@@ -61,6 +61,22 @@ object LlmQueries extends QueryPack {
     SELECT doc_id + 1000000, text || ' zq zq'
     FROM documents WHERE doc_id % 20 = 0"""
 
+  /** documents ∪ mutants ∪ mutants² — every 40th doc gets a second-level
+    * mutant whose Jaccard to the ORIGINAL falls below the threshold for
+    * short docs while staying above it to the first mutant: components
+    * become paths, so clustering must propagate transitively.
+    */
+  private def withNearDupChains(docs: DataFrame): DataFrame =
+    withNearDups(docs).unionByName(
+      docs.where(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", concat(col("text"), lit(" zq zq zq zq"))))
+
+  private val nearDupChainSql = nearDupUnionSql + """
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zq zq zq zq'
+    FROM documents WHERE doc_id % 40 = 0"""
+
   val all: Seq[Q] = Seq(
 
     // ---- q30: exact dedup, deterministic keep-first (one shuffle on the
@@ -214,6 +230,68 @@ object LlmQueries extends QueryPack {
         SELECT doc_id, CAST(n2 AS BIGINT) AS n_2grams,
                round(rep, 6) AS rep_frac, rep < 0.2 AS keep
         FROM m ORDER BY doc_id""")),
+
+    // ---- q54: dedup CLUSTERING — connected components over the
+    // near-dup pair list (NearDup.clusters: distributed min-label
+    // propagation with pointer jumping). The corpus plants CHAINS:
+    // orig → mutant (+' zq zq', every 20th) → mutant² (+' zq zq zq zq',
+    // every 40th). Short docs lack a direct orig↔mutant² edge, so the
+    // component is a path and cluster assignment genuinely requires
+    // transitive propagation — this is the step that turns pairwise
+    // similarity into "keep one doc per duplicate group"
+    // (is_canonical = doc_id == cluster_id). The DuckDB oracle computes
+    // the same components by recursive transitive closure over the
+    // identically-derived edge set. ----
+    Q("q54_docs_dedup_clusters",
+      (s, dir) => {
+        val docs = withNearDupChains(fan(t(s, dir, "documents")))
+        val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.6)
+        val w = Window.partitionBy(col("cluster_id"))
+        NearDup.clusters(docs.select("doc_id"), "doc_id", pairs)
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .select(col("doc_id"), col("cluster_id"),
+            col("cluster_size").cast("long").as("cluster_size"),
+            (col("doc_id") === col("cluster_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        u AS ($nearDupChainSql),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM u),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id1, id2
+          FROM inter
+          JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+          WHERE CAST(n_common AS DOUBLE) /
+                CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 0.6),
+        edges AS (
+          SELECT id1 AS s, id2 AS d FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM u
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        comp AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM comp ORDER BY doc_id""")),
 
     // ---- q32: MinHash LSH near-dup (the sub-linear 100 TB path):
     // banded xxhash64 signature join → candidates → exact verification.

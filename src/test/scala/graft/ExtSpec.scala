@@ -238,4 +238,37 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === "de")
     assert(out(3L) === "und")
   }
+
+  test("clusters: paths, cycles, isolated vertices, min-label canon") {
+    // components: a 6-path (10..15, diameter 5 — exercises multi-round
+    // propagation + pointer jumping), a triangle with an extra chord
+    // (20,21,22), an isolated vertex (30), and a 2-cycle duplicate edge
+    val ids = (Seq(30L) ++ (10L to 15L) ++ (20L to 22L)).toDF("id")
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // path
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 20L)              // cycle
+    ).toDF("id1", "id2")
+    val got = NearDup.clusters(ids, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    (10L to 15L).foreach(v => assert(got(v) === 10L, s"path vertex $v"))
+    (20L to 22L).foreach(v => assert(got(v) === 20L, s"cycle vertex $v"))
+    assert(got(30L) === 30L) // singleton keeps itself
+    assert(got.size === 10)
+  }
+
+  test("clusters: keep-one-per-cluster contracts the planted chain corpus") {
+    // orig -- mutant -- mutant2 chains from the q54 corpus shape: after
+    // clustering, exactly one canonical doc per component survives.
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj"),
+      (1000001L, "aa bb cc dd ee ff gg hh ii jj zq zq"),
+      (2000001L, "aa bb cc dd ee ff gg hh ii jj zq zq zq zq"),
+      (2L, "completely different words entirely here now ok yes no maybe")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.6)
+    val comp = NearDup.clusters(docs.select("doc_id"), "doc_id", pairs)
+    val kept = comp.where(col("doc_id") === col("cluster_id"))
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(kept === Set(1L, 2L))
+  }
 }
