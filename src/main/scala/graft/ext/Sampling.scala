@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation — mixture shaping
+  * ("2 parts web, 1 part code"), per-language rebalancing, held-out
+  * splits.
+  *
+  * Spark's `sample()`/`sampleBy()` draw from per-partition RNG streams:
+  * the kept set changes with partitioning, task retries re-draw, and no
+  * other engine can replay the decision. Training pipelines need the
+  * opposite — membership must be a pure function of the ROW, so the
+  * same doc is kept everywhere, forever, and an oracle can re-derive
+  * the exact sample. The standard trick: hash the row id with a salt,
+  * keep if the hash falls below the rate's threshold.
+  *
+  * Implementation detail that keeps it engine-portable: the decision
+  * compares the first 8 hex chars of `md5(id || ':' || salt)`
+  * LEXICOGRAPHICALLY against the rate's hex threshold. Hex digits of
+  * md5 are uniform, and fixed-width hex order = numeric order, so
+  * `prefix8 < hexCut(r)` keeps fraction r exactly — in any engine with
+  * md5 and string compare, no integer parsing anywhere.
+  *
+  * Scale: a per-row codegen'd expression — no shuffle, no state, no
+  * driver involvement; composes with pushdown (the filter sits on the
+  * scan). Different salts give independent samples (splits: train =
+  * kept(salt,"a",0.9), eval = its complement, NOT a second draw).
+  */
+object Sampling {
+
+  /** 8-hex-char uniform bucket of (id, salt) — the sampling coordinate. */
+  def hashCoord(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
+
+  /** Threshold such that P[hashCoord < hexCut(rate)] = rate (4-byte
+    * resolution ≈ 2.3e-10). Rates ≥ 1 keep everything; ≤ 0 nothing.
+    */
+  def hexCut(rate: Double): String = {
+    val n = math.round(rate * 4294967296.0) // 2^32
+    if (n >= 4294967296L) "g" // > every hex char: keep all
+    else if (n <= 0) ""       // < every hex string: keep none
+    else f"$n%08x"
+  }
+
+  /** Keep a deterministic `rate` fraction of rows, keyed by `idCol`. */
+  def sample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "graft"): DataFrame =
+    df.where(hashCoord(col(idCol), salt) < lit(hexCut(rate)))
+
+  /** Stratified deterministic sampling: per-stratum rates from a small
+    * dim (broadcast — the fact side never shuffles). Strata absent from
+    * `rates` are kept in full (rate 1).
+    *
+    * @param rates (stratum, rate) pairs, e.g. ("en", 0.5)
+    */
+  def sampleBy(df: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cuts = rates.map { case (s, r) => (s, hexCut(r)) }
+      .toDF(strataCol, "_cut")
+    df.join(broadcast(cuts), Seq(strataCol), "left")
+      .where(hashCoord(col(idCol), salt) < coalesce(col("_cut"), lit("g")))
+      .drop("_cut")
+  }
+}

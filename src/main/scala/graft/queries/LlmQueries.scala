@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{NearDup, Similarity, TextFunctions}
+import graft.ext.{NearDup, Sampling, Similarity, TextFunctions}
 
 /** Training-data-pipeline operator surface over the `documents` and
   * `embeddings` tables: exact + near deduplication, similarity search,
@@ -292,6 +292,29 @@ object LlmQueries extends QueryPack {
                  AS cluster_size,
                doc_id = cluster_id AS is_canonical
         FROM comp ORDER BY doc_id""")),
+
+    // ---- q55: deterministic STRATIFIED SAMPLING — training-data
+    // mixture shaping. Membership is a pure function of the row
+    // (md5(id:salt) hex prefix < per-language threshold, broadcast rate
+    // dim), NOT an RNG draw: the kept set is identical across runs,
+    // partitionings, task retries, and engines — which is exactly why
+    // DuckDB can replay it to the row. Languages without a declared
+    // rate (es, fr) exercise the keep-all default. ----
+    Q("q55_docs_stratified_sample",
+      (s, dir) => {
+        Sampling.sampleBy(t(s, dir, "documents"), "doc_id", "lang",
+            Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.75), salt = "mix")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH cuts(lang, cut) AS (
+          VALUES ('en', '80000000'), ('zh', '40000000'), ('de', 'c0000000'))
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN cuts c ON d.lang = c.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)
+              < coalesce(c.cut, 'g')
+        ORDER BY d.doc_id""")),
 
     // ---- q32: MinHash LSH near-dup (the sub-linear 100 TB path):
     // banded xxhash64 signature join → candidates → exact verification.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, NearDup, Similarity, TextFunctions}
+import graft.ext.{Multimodal, NearDup, Sampling, Similarity, TextFunctions}
 
 /** Semantic checks for the training-data extension pack — especially the
   * properties the DuckDB gate can't express (MinHash recall, SimHash
@@ -237,6 +237,44 @@ class ExtSpec extends SparkSpec {
     assert(out(1L) === "en")
     assert(out(2L) === "de")
     assert(out(3L) === "und")
+  }
+
+  test("deterministic sampling: rate, partition-independence, splits") {
+    val ids = (0L until 2000L).toDF("id")
+    // rate accuracy: binomial(2000, 0.5) stays within 5 sigma of mean
+    val kept = Sampling.sample(ids, "id", 0.5, "s1").count()
+    assert(math.abs(kept - 1000L) < 5 * math.sqrt(2000 * 0.25), kept)
+    // membership is partitioning-independent (no RNG streams)
+    val a = Sampling.sample(ids, "id", 0.3, "s2").as[Long].collect().toSet
+    val b = Sampling.sample(ids.repartition(13), "id", 0.3, "s2")
+      .as[Long].collect().toSet
+    assert(a === b)
+    // train/eval split: complement of the SAME draw, not a second draw
+    val train = Sampling.sample(ids, "id", 0.9, "s3").as[Long].collect().toSet
+    val eval_ = ids.where(
+      Sampling.hashCoord(col("id"), "s3") >= lit(Sampling.hexCut(0.9)))
+      .as[Long].collect().toSet
+    assert((train & eval_).isEmpty && (train | eval_).size === 2000)
+    // edge rates
+    assert(Sampling.sample(ids, "id", 1.0, "s").count() === 2000)
+    assert(Sampling.sample(ids, "id", 0.0, "s").count() === 0)
+    // different salts are independent draws (overlap ≈ r², not r)
+    val c1 = Sampling.sample(ids, "id", 0.5, "x").as[Long].collect().toSet
+    val c2 = Sampling.sample(ids, "id", 0.5, "y").as[Long].collect().toSet
+    val overlap = (c1 & c2).size.toDouble
+    assert(math.abs(overlap - 500.0) < 5 * math.sqrt(2000 * 0.25 * 0.75), overlap)
+  }
+
+  test("stratified sampling: per-stratum rates, keep-all default") {
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "g")
+    val out = Sampling.sampleBy(rows, "id", "g",
+      Seq("a" -> 0.2, "b" -> 0.8), salt = "st")
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("a") - 200.0) < 5 * math.sqrt(1000 * 0.2 * 0.8))
+    assert(math.abs(counts("b") - 800.0) < 5 * math.sqrt(1000 * 0.2 * 0.8))
+    assert(counts("c") === 1000) // undeclared stratum keeps everything
   }
 
   test("clusters: paths, cycles, isolated vertices, min-label canon") {
