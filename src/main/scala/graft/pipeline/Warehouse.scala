@@ -83,4 +83,60 @@ class Warehouse(spark: SparkSession, dir: String) {
       case cols => w1.partitionBy(cols: _*)
     }).parquet(path(name))
   }
+
+  /** MERGE upsert (copy-on-write): rows of `updates` REPLACE existing
+    * rows with the same key; unmatched update rows insert. The engine
+    * analog of `MERGE INTO` / Delta upsert — the star-schema maintenance
+    * op the reference's append-only sinks can't express (late-arriving
+    * corrected TLEs currently just accumulate; §2.12's check-then-write
+    * only prevents re-inserts).
+    *
+    * Scale shape: for a partitioned table only the partitions the update
+    * batch TOUCHES are read, rewritten, and swapped (dynamic partition
+    * overwrite) — cost scales with the update batch's partition
+    * footprint, not table history. The touched partition VALUES (one row
+    * per partition, not data) are collected to build a statically-pruned
+    * scan. Unpartitioned tables rewrite fully (copy-on-write floor).
+    *
+    * Contracts (asserted where cheap, documented where not):
+    *   - `updates` must be key-unique (caller dedups; `Dedup.keepFirst`);
+    *   - partition columns must be a pure function of the key (true for
+    *     `epoch_date` = date(epoch_utc)): a key can then never "move"
+    *     partitions, so replaced rows always live in touched partitions.
+    */
+  def merge(name: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val parts = partitioning(name)
+    require(parts.forall(updates.columns.contains),
+      s"merge into $name: updates must carry partition cols $parts")
+    val target = read(name)
+    val existing = parts match {
+      case Nil => target
+      case cols =>
+        // one row per touched partition — tiny by the batch-footprint
+        // contract; <=> keeps null partition values mergeable
+        val touched = updates.select(cols.map(col): _*).distinct().collect()
+        if (touched.isEmpty) return
+        val pred = touched.toSeq.map(r =>
+          cols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)).reduce(_ || _)
+        target.where(pred)
+    }
+    val merged = existing
+      .join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+      // materialize BEFORE the overwrite: the plan reads the same files
+      // the write below replaces
+      .localCheckpoint()
+    val clustered = parts match {
+      case Nil => merged
+      case cols => merged.repartition(cols.map(col): _*)
+    }
+    val w = clustered.write.mode("overwrite")
+    (parts match {
+      case Nil => w
+      case cols => w.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(cols: _*)
+    }).parquet(path(name))
+  }
 }

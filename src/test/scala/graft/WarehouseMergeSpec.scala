@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Warehouse
+
+/** MERGE upsert contract: matched keys replaced, unmatched inserted,
+  * and — the scale property — only the partitions the update batch
+  * touches are rewritten (untouched partition directories stay
+  * byte-identical on disk).
+  */
+class WarehouseMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private def mkBase(days: Seq[Int]) = days.flatMap { d =>
+    Seq(1, 2).map { n =>
+      (n, ts(f"2026-01-${d}%02dT0$n:00:00Z"), ts("2026-02-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 15.0 + n, 0.1, 100 + n,
+        java.sql.Date.valueOf(f"2026-01-$d%02d"))
+    }
+  }.toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+    "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+    "b_star_drag", "rev_number", "epoch_date")
+
+  private def listFiles(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) Map.empty
+    else Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  test("merge replaces matched keys, inserts new, leaves others") {
+    val dir = Files.createTempDirectory("graft-merge-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase(Seq(1, 2, 3, 4, 5)))
+
+    val before = listFiles(s"$dir/fact_telemetry")
+    assert(before.nonEmpty)
+
+    // touch only days 2 and 4: replace (1, day2-01:00) and insert a new
+    // norad 9 on day 4
+    val updates = Seq(
+      (1, ts("2026-01-02T01:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 99.0, 0.2, 777,
+        java.sql.Date.valueOf("2026-01-02")),
+      (9, ts("2026-01-04T09:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 88.0, 0.3, 888,
+        java.sql.Date.valueOf("2026-01-04"))
+    ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date")
+    wh.merge("fact_telemetry", updates, Seq("norad_id", "epoch_utc"))
+
+    val got = wh.read("fact_telemetry")
+      .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
+      .as[(Int, Timestamp, Double, Int)].collect()
+    assert(got.length === 11) // 10 base + 1 insert
+    val byKey = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(byKey((1, ts("2026-01-02T01:00:00Z"))) === ((99.0, 777))) // replaced
+    assert(byKey((9, ts("2026-01-04T09:00:00Z"))) === ((88.0, 888))) // inserted
+    assert(byKey((2, ts("2026-01-02T02:00:00Z"))) === ((17.0, 102))) // same-partition survivor
+    assert(byKey((1, ts("2026-01-01T01:00:00Z"))) === ((16.0, 101))) // untouched partition
+
+    // untouched partitions (days 1, 3, 5) keep their exact files;
+    // touched ones (2, 4) were rewritten
+    val after = listFiles(s"$dir/fact_telemetry")
+    Seq(1, 3, 5).foreach { d =>
+      val pre = before.filter(_._1.contains(f"epoch_date=2026-01-$d%02d"))
+      val post = after.filter(_._1.contains(f"epoch_date=2026-01-$d%02d"))
+      assert(pre === post, s"day $d was rewritten")
+    }
+    Seq(2, 4).foreach { d =>
+      val pre = before.filter(_._1.contains(f"epoch_date=2026-01-$d%02d"))
+      val post = after.filter(_._1.contains(f"epoch_date=2026-01-$d%02d"))
+      assert(pre !== post, s"day $d was not rewritten")
+    }
+  }
+
+  test("merge on an unpartitioned table rewrites in place") {
+    val dir = Files.createTempDirectory("graft-merge-flat-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    wh.append("fact_space_weather",
+      Seq(("2026-01-01", 100.0), ("2026-01-02", 101.0))
+        .map { case (d, f) => (java.sql.Date.valueOf(d), f) }
+        .toDF("date_utc", "f10_7_flux"))
+    wh.merge("fact_space_weather",
+      Seq(("2026-01-02", 201.0), ("2026-01-03", 102.0))
+        .map { case (d, f) => (java.sql.Date.valueOf(d), f) }
+        .toDF("date_utc", "f10_7_flux"),
+      Seq("date_utc"))
+    val got = wh.read("fact_space_weather")
+      .as[(java.sql.Date, Double)].collect()
+      .map { case (d, f) => d.toString -> f }.toMap
+    assert(got === Map(
+      "2026-01-01" -> 100.0, "2026-01-02" -> 201.0, "2026-01-03" -> 102.0))
+  }
+
+  test("merge with an empty update batch is a no-op") {
+    val dir = Files.createTempDirectory("graft-merge-empty-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase(Seq(1)))
+    val before = listFiles(s"$dir/fact_telemetry")
+    wh.merge("fact_telemetry", mkBase(Seq(1)).limit(0),
+      Seq("norad_id", "epoch_utc"))
+    assert(listFiles(s"$dir/fact_telemetry") === before)
+    assert(wh.read("fact_telemetry").count() === 2)
+  }
+}
