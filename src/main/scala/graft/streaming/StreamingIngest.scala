@@ -1,10 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.schema.Schemas
+
+/** Input row for [[StreamingIngest.sessionize]]. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** One open (not yet watermark-closed) session in the per-user state. */
+case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+/** One CLOSED session — emitted only once the watermark proves no
+  * further event can extend it. Column names match the batch q14 form.
+  */
+case class SessionRow(
+    user_id: Long, session_start_ms: Long, n_events: Long, total_value: Double)
 
 /** Structured-Streaming re-expression of the ingest pipeline (SURVEY.md
   * §2.11).
@@ -73,6 +86,65 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming SESSIONIZATION with custom state — the
+    * `flatMapGroupsWithState` surface (§2.11): gap-based sessions per
+    * user, the streaming twin of the batch q14 window form, for session
+    * semantics no built-in streaming aggregate expresses (dynamic
+    * event-time gaps, not fixed windows).
+    *
+    * Per-user state is the list of OPEN sessions only. Each invocation
+    * folds the micro-batch's (unordered) events plus prior open sessions
+    * into a sorted merge — two sessions fuse when the gap between them is
+    * under `gapMs` — then emits every session the current watermark has
+    * sealed (`last + gap <= watermark`: no future event can extend it,
+    * by the watermark contract) and keeps the rest, with an event-time
+    * timeout at the earliest possible seal point so sessions close even
+    * if the user never sends another event.
+    *
+    * Scale: state is per-key and bounded by OPEN sessions inside the
+    * watermark horizon (closed sessions leave state immediately); keys
+    * partition across executors; late events inside the watermark merge
+    * retroactively and correctly because their session has not been
+    * emitted yet. This is exactly the state discipline that survives an
+    * unbounded stream.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+      watermarkDelay: String): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[OpenSession], SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evts: Iterator[SessionEvent],
+            state: GroupState[List[OpenSession]]) =>
+          val incoming = evts
+            .map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value))
+            .toList
+          val merged = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(s => (s.start, s.last))
+            .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.last < gapMs =>
+                  OpenSession(h.start, math.max(h.last, s.last),
+                    h.n + s.n, h.total + s.total) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(_.last + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // earliest instant any open session could seal; > wm by the
+            // partition above, as setTimeoutTimestamp requires
+            state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+          }
+          closed.iterator
+            .map(s => SessionRow(user, s.start, s.n, s.total))
+      }
+  }
 
   /** Streaming event-time tumbling-window aggregation (the §2.11 window
     * surface): per-window, per-key counts with watermark-bounded state,

@@ -82,6 +82,46 @@ class StreamingSpec extends SparkSpec {
     assert(dim.where("norad_id = 2 AND sat_name = 'SAT-2'").count() === 1)
   }
 
+  test("flatMapGroupsWithState sessionization equals the batch q14 form") {
+    val root = Files.createTempDirectory("graft-stream-sess")
+    val (src, ckp) = (s"$root/src", s"$root/ckp")
+    import spark.implicits._
+
+    // file 1: the real events table (converted ns→timestamp by Tables);
+    // file 2 (later mtime): one far-future sentinel event that pushes
+    // the watermark past every real session so all of them seal.
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts", $"value")
+    ev.coalesce(1).write.parquet(src)
+    val maxTs = ev.agg(max($"ts")).as[Timestamp].head()
+    Thread.sleep(1100) // distinct mtime → deterministic file order
+    Seq((-1L, new Timestamp(maxTs.getTime + 200L * 86400 * 1000), 0.0))
+      .toDF("user_id", "ts", "value").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema("user_id long, ts timestamp, value double")
+      .option("maxFilesPerTrigger", 1) // two ordered micro-batches
+      .parquet(src).as[graft.streaming.SessionEvent]
+    val q = StreamingIngest
+      .sessionize(stream, gapMs = 6L * 3600 * 1000, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("sessions")
+      .where($"user_id" >= 0)
+      .select($"user_id", $"session_start_ms", $"n_events",
+        round($"total_value", 2).as("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val want = SparkEntry.queries("q14_events_sessions")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming windowed counts close on watermark (event-time agg)") {
     val root = Files.createTempDirectory("graft-stream-w")
     val (src, ckp) = (s"$root/src", s"$root/ckp")
