@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining — map every document to its
+  * position in the fixed-length training sequences formed by
+  * concatenating the corpus in a canonical order and chunking every
+  * `budget` tokens (the GPT-style "concat then slice" packing; documents
+  * may straddle sequence boundaries, which `extra_seqs` counts).
+  *
+  * The assignment is pure integer window arithmetic over a running
+  * token total — deterministic, engine-portable, and embarrassingly
+  * parallel across the stream columns: the window partitions by
+  * `streamCol` (e.g. language), so each stream packs independently.
+  *
+  * Scale: one shuffle on `streamCol` + an in-partition running sum (the
+  * streaming window frame — no buffering). A single giant stream would
+  * serialize into one task; at warehouse scale, pack per (stream, shard)
+  * with a content-derived shard salt and offset shards by their
+  * pre-aggregated totals — same arithmetic, two passes.
+  */
+object Packing {
+
+  /** @param tokenCol  per-doc token count (any integer column)
+    * @param budget    tokens per packed training sequence
+    */
+  def packAssignments(docs: DataFrame, idCol: String, streamCol: String,
+      tokenCol: Column, budget: Int): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = tokenCol.cast("long")
+    val cum = sum(n).over(w)
+    val start = (cum - n).as("start_offset")
+    val seqId = floor((cum - n) / lit(budget.toDouble)).cast("long")
+    // sequences this doc spills into beyond its first (0 for empty docs)
+    val extra = greatest(lit(0L),
+      (floor((cum - 1) / lit(budget.toDouble)) - seqId).cast("long"))
+    docs.select(col(idCol), col(streamCol), n.as("n_tokens"),
+      start, seqId.as("seq_id"),
+      ((cum - n) % budget).as("offset_in_seq"),
+      extra.as("extra_seqs"))
+  }
+}

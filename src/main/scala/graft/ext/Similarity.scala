@@ -173,6 +173,34 @@ object Similarity {
     * and cosine rank identically (d² = 2 − 2cos), which is how callers
     * should feed it for cosine semantics.
     */
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage-side operator of the similarity stack: 4× smaller vectors
+    * (plus one scale per vector) at a small recall cost, the standard
+    * first compression rung before PQ/IVF codebooks.
+    *
+    * `q[i] = floor(v[i] / scale * 127)` with `scale = max|v|` (all-zero
+    * vectors quantize to zeros). Arithmetic is forced to DOUBLE and uses
+    * floor, not round/cast — both portable to the last bit across
+    * engines (round-half and int-cast semantics differ; floor on
+    * non-negative-exponent doubles does not).
+    *
+    * Pure per-row codegen'd expressions: no shuffle, no state.
+    *
+    * @return (scaleCol, qvecCol) to select alongside the id
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val scale = array_max(transform(vec, v => abs(v)))
+    val q = when(scale.isNull || scale === 0,
+        transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, v =>
+        floor(v.cast("double") / scale.cast("double") * 127).cast("int")))
+    (scale.cast("double"), q)
+  }
+
+  /** Dequantize back to the approximate float vector. */
+  def dequantizeInt8(scale: Column, qvec: Column): Column =
+    transform(qvec, q => (q.cast("double") * scale / 127).cast("float"))
+
   def annCandidates(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       threshold: Double, bucketLength: Double = 2.0,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{NearDup, Sampling, Similarity, TextFunctions}
+import graft.ext.{NearDup, Packing, Sampling, Similarity, TextFunctions}
 
 /** Training-data-pipeline operator surface over the `documents` and
   * `embeddings` tables: exact + near deduplication, similarity search,
@@ -315,6 +315,72 @@ object LlmQueries extends QueryPack {
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)
               < coalesce(c.cut, 'g')
         ORDER BY d.doc_id""")),
+
+    // ---- q57: int8 embedding quantization — the similarity stack's
+    // storage rung (4× compression + per-vector scale). Quantized
+    // components are emitted as an exact comma-joined string, so every
+    // int8 value is inside the hash compare; arithmetic is pinned to
+    // DOUBLE + floor on both engines (round/int-cast semantics differ
+    // across engines; floor does not). ExtSpec separately checks
+    // dequantized top-k recall against the full-precision ranking. ----
+    Q("q57_embed_quantize_int8",
+      (s, dir) => {
+        val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+        fan(t(s, dir, "embeddings"))
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            scale.as("scale"),
+            array_join(transform(q, _.cast("string")), ",").as("qstr"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, v -> abs(v))) AS s
+          FROM embeddings)
+        SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+               CAST(s AS DOUBLE) AS scale,
+               CASE WHEN s IS NULL OR s = 0
+                    THEN array_to_string(list_transform(embedding, v -> 0), ',')
+                    ELSE array_to_string(list_transform(embedding, v ->
+                         CAST(floor(CAST(v AS DOUBLE) / CAST(s AS DOUBLE)
+                              * 127) AS INT)), ',')
+               END AS qstr
+        FROM e ORDER BY vec_id""")),
+
+    // ---- q58: sequence packing — concat-then-chunk assignment of every
+    // doc to its pretraining sequence (per-language stream, 512-token
+    // budget, BPE-ish token counts shared with q42). Pure integer window
+    // arithmetic: one shuffle on the stream key, streaming running-sum
+    // frame, no buffering. ----
+    Q("q58_docs_sequence_packing",
+      (s, dir) => {
+        val bpeish = " ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
+        Packing.packAssignments(
+            t(s, dir, "documents"), "doc_id", "lang",
+            regexp_count(lower(col("text")), lit(bpeish)), budget = 512)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_extract_all(lower(text),
+                      ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT doc_id, lang, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+               CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_seq,
+               greatest(0, CAST(floor((cum - 1) / 512.0) AS BIGINT)
+                           - CAST(floor((cum - n_tokens) / 512.0) AS BIGINT))
+                 AS extra_seqs
+        FROM c ORDER BY doc_id""")),
 
     // ---- q32: MinHash LSH near-dup (the sub-linear 100 TB path):
     // banded xxhash64 signature join → candidates → exact verification.

@@ -277,6 +277,70 @@ class ExtSpec extends SparkSpec {
     assert(counts("c") === 1000) // undeclared stratum keeps everything
   }
 
+  test("int8 quantization: zero guard, bounds, dequantized top-k recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+    val quant = emb.select(col("vec_id"), scale.as("s"), q.as("q"))
+    // all components within int8 range
+    val outOfRange = quant
+      .where(exists(col("q"), v => v > 127 || v < -127)).count()
+    assert(outOfRange === 0)
+    // zero vector quantizes to zeros, not NaN garbage
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding"))._2.as("q"))
+      .as[Seq[Int]].head()
+    assert(z === Seq(0, 0, 0))
+    // top-k over DEQUANTIZED vectors keeps most of the true neighbors
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("embedding"))._1,
+        Similarity.quantizeInt8(col("embedding"))._2).as("embedding"))
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def topk(c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(c, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+    val exact = topk(emb)
+    val approx = topk(deq)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"dequantized recall $recall")
+  }
+
+  test("sequence packing: offsets contiguous, chunk math consistent") {
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 500L), (3L, "en", 0L), (4L, "en", 600L),
+      (5L, "de", 512L), (6L, "de", 1L)
+    ).toDF("doc_id", "lang", "n")
+    val out = graft.ext.Packing
+      .packAssignments(docs, "doc_id", "lang", col("n"), budget = 512)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // en stream: starts 0, 100, 600, 600
+    assert(byId(1L) === ((1L, "en", 100L, 0L, 0L, 0L, 0L)))
+    assert(byId(2L) === ((2L, "en", 500L, 100L, 0L, 100L, 1L))) // straddles
+    assert(byId(3L) === ((3L, "en", 0L, 600L, 1L, 88L, 0L)))    // empty doc
+    assert(byId(4L) === ((4L, "en", 600L, 600L, 1L, 88L, 1L)))
+    // de stream packs independently; 512 tokens fill seq 0 exactly
+    assert(byId(5L) === ((5L, "de", 512L, 0L, 0L, 0L, 0L)))
+    assert(byId(6L) === ((6L, "de", 1L, 512L, 1L, 0L, 0L)))
+    // invariants on the real corpus: offset within budget, starts are
+    // the running sum (contiguous concat)
+    val real = graft.ext.Packing.packAssignments(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "lang",
+      graft.ext.TextFunctions.tokenCount(col("text")), budget = 512)
+    assert(real.where(col("offset_in_seq") < 0 ||
+      col("offset_in_seq") >= 512).count() === 0)
+    val bad = real.withColumn("next_start",
+        lead(col("start_offset"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy("doc_id")))
+      .where(col("next_start").isNotNull &&
+        col("next_start") =!= col("start_offset") + col("n_tokens"))
+    assert(bad.count() === 0)
+  }
+
   test("clusters: paths, cycles, isolated vertices, min-label canon") {
     // components: a 6-path (10..15, diameter 5 — exercises multi-round
     // propagation + pointer jumping), a triangle with an extra chord
