@@ -547,6 +547,55 @@ object LlmQueries extends QueryPack {
               6) AS quality
         FROM scored ORDER BY doc_id""")),
 
+    // ---- q59: PERCENTILE quality cutoff — Gopher-style corpus
+    // trimming where the threshold is a per-language distribution
+    // statistic (p10), not a constant. Exact interpolated percentile:
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // (n-1)*p + lerp definition, and the inputs are the round-6 quality
+    // scores both engines already agree on, so the cutoff replays to
+    // the bit. Scale shape: one groupBy for the per-language cuts
+    // (25 rows), broadcast back — the corpus never shuffles; the scored
+    // frame is checkpoint-fenced so the regex-heavy score isn't
+    // re-inlined into the join and filter. ----
+    Q("q59_docs_quality_cutoff",
+      (s, dir) => {
+        val scored = fan(t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+          .localCheckpoint()
+        val cuts = scored.groupBy("lang")
+          .agg(expr("percentile(quality, 0.1)").as("p10"))
+        scored.join(broadcast(cuts), "lang")
+          .select(col("doc_id"), col("lang"), col("quality"),
+            round(col("p10"), 6).as("p10"),
+            (col("quality") >= col("p10")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, trim(text) AS tt,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+            round(0.4 * least(CAST(length(tt) AS DOUBLE) / 500.0, 1.0)
+                + 0.4 * CAST(length(regexp_replace(lower(tt), '[^a-z]', '', 'g')) AS DOUBLE)
+                      / greatest(CAST(length(tt) AS DOUBLE), 1.0)
+                + 0.2 * (CASE WHEN CAST(length(tt) AS DOUBLE)
+                                   / greatest(CAST(len(tk) AS DOUBLE), 1.0)
+                              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+                6) AS quality
+          FROM d),
+        cuts AS (
+          SELECT lang, quantile_cont(quality, 0.1) AS p10
+          FROM scored GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.quality, round(c.p10, 6) AS p10,
+               s.quality >= c.p10 AS keep
+        FROM scored s JOIN cuts c USING (lang)
+        ORDER BY s.doc_id""")),
+
     // ---- q36: content fingerprint rollup (rolling-hash analog via md5
     // of normalized text): duplicate-group inventory. ----
     Q("q36_docs_fingerprint",
