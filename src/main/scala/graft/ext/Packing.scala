@@ -29,16 +29,23 @@ object Packing {
   def packAssignments(docs: DataFrame, idCol: String, streamCol: String,
       tokenCol: Column, budget: Int): DataFrame = {
     require(budget > 0)
+    // Project the token count FIRST and reference only the projected
+    // column afterwards: re-using the raw expression in the post-window
+    // arithmetic would re-evaluate it per use (for a regex count, ~4
+    // extra evals/row) and drag the text column through the shuffle —
+    // only (id, stream, n_tokens) may cross the exchange.
+    val base = docs.select(col(idCol), col(streamCol),
+      tokenCol.cast("long").as("n_tokens"))
     val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = tokenCol.cast("long")
+    val n = col("n_tokens")
     val cum = sum(n).over(w)
     val start = (cum - n).as("start_offset")
     val seqId = floor((cum - n) / lit(budget.toDouble)).cast("long")
     // sequences this doc spills into beyond its first (0 for empty docs)
     val extra = greatest(lit(0L),
       (floor((cum - 1) / lit(budget.toDouble)) - seqId).cast("long"))
-    docs.select(col(idCol), col(streamCol), n.as("n_tokens"),
+    base.select(col(idCol), col(streamCol), n,
       start, seqId.as("seq_id"),
       ((cum - n) % budget).as("offset_in_seq"),
       extra.as("extra_seqs"))
