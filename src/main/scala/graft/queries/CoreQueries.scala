@@ -498,6 +498,38 @@ object CoreQueries extends QueryPack {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
 
+    // ---- q60: SLIDING event-time windows (2 h length, 1 h slide) —
+    // the overlapping-window shape q13's tumbling form doesn't cover.
+    // Spark's window() expands each event into its length/slide = 2
+    // owning windows before the hash aggregation (one shuffle on
+    // (window, key)); the oracle replays the same expansion as a
+    // two-branch union on floor-divided epoch buckets. ----
+    Q("q60_events_sliding_windows",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .select(
+            unix_millis($"window.start").as("window_start_ms"),
+            $"event_type", $"n", $"total_value")
+          .orderBy("window_start_ms", "event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, value
+          FROM events),
+        w AS (
+          SELECT (ms // 3600000) * 3600000 AS w_start, event_type, value
+          FROM ev
+          UNION ALL
+          SELECT (ms // 3600000) * 3600000 - 3600000, event_type, value
+          FROM ev)
+        SELECT w_start AS window_start_ms, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- q53: as-of enrichment through the NATIVE whole-operator plan
     // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec — the full custom
     // ladder: logical node, planner strategy, physical streaming merge),

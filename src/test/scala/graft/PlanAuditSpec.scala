@@ -70,4 +70,33 @@ class PlanAuditSpec extends SparkSpec {
     val p = plans("q02_revenue_by_nation")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
   }
+
+  test("runtime bloom-filter join pruning stays enabled (100 TB scan cut)") {
+    // A selective dim filter on a SHUFFLE join injects a bloom filter
+    // that prunes the fact side before the exchange. The testdata is
+    // below the default application-side size threshold, so drop the
+    // thresholds for the assertion — what this pins is that nothing in
+    // GraftSession's config disables InjectRuntimeFilter, which at real
+    // scan sizes fires with stock thresholds.
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevScan = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      assert(conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") === "true")
+      import spark.implicits._
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders").where($"o_totalprice" > 400000)
+      val j = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg"), opt)
+      assert(opt.contains("might_contain"), opt)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevScan)
+    }
+  }
 }
