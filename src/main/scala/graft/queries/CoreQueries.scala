@@ -530,6 +530,69 @@ object CoreQueries extends QueryPack {
                round(sum(value), 2) AS total_value
         FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- q61: CSV source with PERMISSIVE per-record error policy —
+    // the T5 contract (§2.3: record-level failure → null, never job
+    // failure) on the CSV reader: every 13th row carries an unparseable
+    // price; PERMISSIVE keeps the parseable fields, nulls the bad one,
+    // and captures the raw line in the corrupt-record column. The
+    // oracle re-derives the same rows relationally (the fixture is a
+    // pure function of orders). ----
+    Q("q61_csv_permissive",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q61-")
+          .toString
+        val k = $"o_orderkey"
+        val priceStr = format_string("%d.%d", $"o_custkey" % 1000, k % 100)
+        val line = concat_ws(",", k, format_string("N%d", $"o_custkey"),
+          when(k % 13 === 0, concat(priceStr, lit("X"))).otherwise(priceStr))
+        t(s, dir, "orders")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(line.as("value")).write.mode("overwrite").text(s"$tmp/csv")
+        s.read
+          .schema("k long, name string, price double, _corrupt string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(s"$tmp/csv")
+          .select($"k", $"name", $"price",
+            $"_corrupt".isNotNull.as("corrupt"))
+          .orderBy("k")
+      },
+      Some("""
+        SELECT o_orderkey AS k,
+               printf('N%d', o_custkey) AS name,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE CAST(printf('%d.%d', o_custkey % 1000,
+                              o_orderkey % 100) AS DOUBLE) END AS price,
+               o_orderkey % 13 = 0 AS corrupt
+        FROM orders ORDER BY k""")),
+
+    // ---- q62: ORC sink + source round-trip (columnar format #2):
+    // write a lineitem projection to ORC, read it back with a pushable
+    // predicate, aggregate. Pins the ORC type mapping and scan path
+    // next to parquet (q01-) and JDBC (q52). ----
+    Q("q62_orc_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q62-")
+          .toString
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity",
+            $"l_extendedprice")
+          .write.mode("overwrite").orc(s"$tmp/orc")
+        s.read.orc(s"$tmp/orc")
+          .where($"l_quantity" > 25)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"l_extendedprice"), 2).as("total"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem WHERE l_quantity > 25
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q53: as-of enrichment through the NATIVE whole-operator plan
     // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec — the full custom
     // ladder: logical node, planner strategy, physical streaming merge),
