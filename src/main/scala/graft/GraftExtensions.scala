@@ -74,9 +74,14 @@ object GraftExtensions {
     }
     // Planner strategies for cached sessions ride the public
     // `experimental` hook (same planner list the extension injection
-    // feeds; AQE re-planning consults it too). Guard for idempotency.
-    val extra = spark.experimental.extraStrategies
-    if (!extra.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies = extra :+ graft.plans.AsOfJoinStrategy
+    // feeds; AQE re-planning consults it too). The guard checks the
+    // PLANNER's assembled strategy list, not just extraStrategies —
+    // a session built with GraftExtensions already carries the strategy
+    // via injectPlannerStrategy and must not get a duplicate here.
+    val planned = GraftBridge.plannerStrategies(spark)
+    if (!planned.contains(graft.plans.AsOfJoinStrategy) &&
+        !spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

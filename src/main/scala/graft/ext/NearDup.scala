@@ -163,8 +163,14 @@ object NearDup {
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise similarity output (`jaccardPairs`, `minhashLshPairs`,
     * `Similarity.cosineNearDupPairs`) into dedup GROUPS: every document
-    * gets `cluster_id` = the smallest reachable document id, so "keep one
-    * per cluster" is a deterministic `WHERE id = cluster_id`.
+    * gets `cluster_id` = the smallest reachable vertex id. When the
+    * pairs' endpoints all lie inside `ids` (the usual case, e.g. q54),
+    * "keep one per cluster" is a deterministic `WHERE id = cluster_id`;
+    * when pairs reference docs outside `ids`, those endpoints still
+    * CONDUCT connectivity (components joined only through an outside doc
+    * stay joined) and `cluster_id` is then a component identifier that
+    * may name an outside doc — keep-one becomes `min(id) GROUP BY
+    * cluster_id`.
     *
     * Algorithm: distributed min-label propagation with pointer jumping.
     * Each round (a) takes the min component label over graph neighbors,
@@ -190,7 +196,15 @@ object NearDup {
       .union(pairs.select(col("id2").as("_src"), col("id1").as("_dst")))
       .distinct()
       .localCheckpoint() // reused every round — scan once, not per round
-    var comp = ids.select(col(idCol).as("_vid"), col(idCol).as("_comp"))
+    // Vertices = ids ∪ edge endpoints: pairs may legitimately reference
+    // docs outside `ids` (e.g. pairs from the full corpus, ids from one
+    // slice) — silently dropping those edges would split components
+    // connected only THROUGH an outside doc. Outside endpoints
+    // participate in propagation and are filtered from the output.
+    var comp = ids.select(col(idCol).as("_vid"))
+      .union(edges.select(col("_src").as("_vid")))
+      .distinct()
+      .select(col("_vid"), col("_vid").as("_comp"))
       .localCheckpoint()
     val maxRounds = 50
     var rounds = 0
@@ -221,6 +235,7 @@ object NearDup {
       rounds += 1
     }
     require(converged, s"clusters: not converged after $maxRounds rounds")
-    comp.select(col("_vid").as(idCol), col("_comp").as("cluster_id"))
+    comp.join(ids.select(col(idCol).as("_vid")), Seq("_vid"))
+      .select(col("_vid").as(idCol), col("_comp").as("cluster_id"))
   }
 }

@@ -56,6 +56,9 @@ object Sampling {
     */
   def sampleBy(df: DataFrame, idCol: String, strataCol: String,
       rates: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate strata in rates: a repeated stratum would fan rows " +
+        s"out through the join — ${rates.map(_._1)}")
     val spark = df.sparkSession
     import spark.implicits._
     val cuts = rates.map { case (s, r) => (s, hexCut(r)) }

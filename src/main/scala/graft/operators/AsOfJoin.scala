@@ -44,11 +44,16 @@ object AsOfJoin {
       lit(null).cast(df.schema(name).dataType)
 
     // Right rows carry only key + time + payload; left columns nulled.
-    // A null-time right row can never satisfy `right.time <= left.time`
-    // (SQL comparison semantics, and what DuckDB ASOF does) — drop it
-    // here, or the nulls-first window order would treat it as
-    // before-everything and leak its payload into early left rows.
-    val rightTagged = right.where(col(timeCol).isNotNull).select(
+    // SQL join semantics: a null KEY matches nothing (equi-join) and a
+    // null TIME can never satisfy `right.time <= left.time` — drop such
+    // right rows here (they could match no left row), or the window's
+    // nulls-first order would group/order them as matchable and leak
+    // their payload into null-key/early left rows. Left rows with null
+    // keys or times survive with a null payload, like a left join.
+    val rightTagged = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(timeCol).isNotNull)
+      .select(
       keys.map(col) ++
         Seq(col(timeCol).as(timeTag), lit(0).as(sideCol)) ++
         leftCols.filterNot(keys.contains).map(c => typedNull(left, c).as(c)) ++
@@ -124,8 +129,17 @@ object AsOfJoin {
 
     // Right side carries only what the merge needs — explicit pruning,
     // since Catalyst's column pruning doesn't see through a foreign node.
+    // Null-keyed / null-time right rows are dropped for SQL equi-join
+    // semantics (they can match no left row; the merge would otherwise
+    // pair them with null-keyed LEFT rows, since the sort orders and
+    // RowOrdering treat null==null). Null-keyed left rows then stop the
+    // right scan at the first non-null key (nulls sort first) and emit
+    // the left-join null payload.
     val rightCols = ((keys :+ timeCol) ++ payload).distinct
-    val rBase = GraftBridge.analyzed(right.select(rightCols.map(col): _*))
+    val rBase = GraftBridge.analyzed(right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(timeCol).isNotNull)
+      .select(rightCols.map(col): _*))
     // Mint fresh right-side exprIds: a self-as-of (left and right carved
     // from the same scan) would otherwise hand the analyzer duplicate ids
     // across siblings, and DeduplicateRelations cannot disambiguate a

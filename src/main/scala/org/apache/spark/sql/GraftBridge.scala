@@ -45,4 +45,12 @@ object GraftBridge {
     */
   def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** The session planner's assembled strategy list (extension-injected +
+    * experimental) — lets registration code test "already planned?"
+    * instead of guessing from extraStrategies alone.
+    */
+  def plannerStrategies(spark: SparkSession): Seq[AnyRef] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies
 }

@@ -20,15 +20,17 @@ class AsOfNativeSpec extends SparkSpec {
     ("a", Some(5L), 1), ("a", Some(10L), 2), ("a", Some(11L), 3),
     ("a", Some(99L), 4), ("b", Some(1L), 5), ("b", Some(50L), 6),
     ("c", Some(7L), 7),                 // key absent from right
-    ("a", None, 8)                      // null time matches nothing
+    ("a", None, 8),                     // null time matches nothing
+    (null, Some(5L), 9)                 // null KEY matches nothing (SQL)
   ).toDF("k", "t", "lv")
 
   // (key, time, payload v) — includes a (key,time) tie (a,10) with two
-  // payloads, a null-time right row, and a right-only key d.
+  // payloads, null-time and null-key right rows, and a right-only key d.
   private lazy val right = Seq(
     ("a", Some(10L), Some(100)), ("a", Some(10L), Some(200)),
     ("a", Some(20L), Some(300)), ("b", Some(50L), Some(400)),
     ("b", None, Some(999)),             // null time: never matches
+    (null, Some(1L), Some(888)),        // null key: never matches
     ("d", Some(1L), Some(500))          // right-only key: never emitted
   ).toDF("k", "t", "v")
 
@@ -51,6 +53,7 @@ class AsOfNativeSpec extends SparkSpec {
     assert(byLv(6) == (Some(50L), Some(400)))       // exact <= match
     assert(byLv(7) == (None, None))                 // key missing from right
     assert(byLv(8) == (None, None))                 // null left time
+    assert(byLv(9) == (None, None))                 // null left key
   }
 
   test("native as-of matches the composed operator on the events table") {

@@ -356,6 +356,14 @@ class ExtSpec extends SparkSpec {
     (20L to 22L).foreach(v => assert(got(v) === 20L, s"cycle vertex $v"))
     assert(got(30L) === 30L) // singleton keeps itself
     assert(got.size === 10)
+    // edges may reference vertices OUTSIDE ids: they conduct
+    // connectivity (40-50-41 joins 40 and 41 through excluded 50) and
+    // are filtered from the output
+    val sliced = NearDup.clusters(
+      Seq(40L, 41L).toDF("id"), "id",
+      Seq((40L, 50L), (50L, 41L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(sliced === Map(40L -> 40L, 41L -> 40L))
   }
 
   test("clusters: keep-one-per-cluster contracts the planted chain corpus") {

@@ -106,6 +106,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingIngest
       .sessionize(stream, gapMs = 6L * 3600 * 1000, watermarkDelay = "1 minute")
       .writeStream.format("memory").queryName("sessions")
+      .option("checkpointLocation", ckp)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
