@@ -110,14 +110,23 @@ object CoreQueries extends QueryPack {
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
+          // Sum in the DECIMAL domain: double summation is
+          // accumulation-order-dependent, and at some scale factors the
+          // group total lands exactly on a half-cent where the two
+          // engines' last-ulp difference flips round(_, 2). Per-item
+          // double→decimal(18,6) conversion is deterministic and decimal
+          // addition is exact and order-free, so the rounded total is
+          // identical everywhere, at every scale.
           .agg(
-            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+            round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+              .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
             count_distinct($"o_orderkey").as("n_orders"))
           .orderBy($"r_name", $"n_name")
       },
       Some("""
         SELECT r_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
