@@ -876,6 +876,69 @@ object TleQueries extends QueryPack {
         UNION ALL
         SELECT norad_id, epoch_micros, mean_motion, b_star_drag, rev_number
         FROM upd
-        ORDER BY norad_id, epoch_micros"""))
+        ORDER BY norad_id, epoch_micros""")),
+
+    // ---- q63: declarative DATA-QUALITY AUDIT (the reference's K5
+    // "refuse empty batch" gate generalized): completeness, key
+    // uniqueness, value ranges, referential integrity — row-local
+    // checks fused into ONE conditional-count scan, uniqueness as one
+    // keyed shuffle, FK orphans as a broadcast anti-join. The fixture
+    // plants every violation class deterministically (nulled custkeys,
+    // orphaned FKs, negated prices, duplicated keys) and the oracle
+    // recomputes each count relationally. ----
+    Q("q63_quality_audit",
+      (s, dir) => {
+        import graft.pipeline.QualityAudit
+        import graft.pipeline.QualityAudit._
+        val k = col("o_orderkey")
+        val base = t(s, dir, "orders")
+        val mutated = base.select(
+          k.as("o_orderkey"),
+          when(k % 97 === 0, lit(null))
+            .when(k % 83 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(k % 89 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+          .unionByName(base.where(k % 101 === 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+        QualityAudit.audit(mutated, Seq(
+            NotNull("o_custkey"),
+            Unique(Seq("o_orderkey")),
+            InRange("o_totalprice", 0.0, 1000000.0),
+            RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+          .orderBy("check")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_custkey, o_totalprice FROM orders),
+        mut AS (
+          SELECT k,
+                 CASE WHEN k % 97 = 0 THEN NULL
+                      WHEN k % 83 = 0 THEN o_custkey + 10000000
+                      ELSE o_custkey END AS ck,
+                 CASE WHEN k % 89 = 0 THEN -o_totalprice
+                      ELSE o_totalprice END AS price
+          FROM base
+          UNION ALL
+          SELECT k, o_custkey, o_totalprice FROM base WHERE k % 101 = 0)
+        SELECT "check", violations FROM (
+          SELECT 'not_null(o_custkey)' AS "check",
+                 CAST(count(*) FILTER (ck IS NULL) AS BIGINT) AS violations
+          FROM mut
+          UNION ALL
+          SELECT 'unique(o_orderkey)',
+                 CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM mut GROUP BY k HAVING count(*) > 1)
+          UNION ALL
+          SELECT 'in_range(o_totalprice,0.0,1000000.0)',
+                 CAST(count(*) FILTER (price IS NOT NULL
+                      AND (price < 0.0 OR price > 1000000.0)) AS BIGINT)
+          FROM mut
+          UNION ALL
+          SELECT 'ref(o_custkey)',
+                 CAST(count(*) AS BIGINT)
+          FROM mut WHERE ck IS NOT NULL
+            AND ck NOT IN (SELECT c_custkey FROM customer))
+        ORDER BY "check" """))
   )
 }

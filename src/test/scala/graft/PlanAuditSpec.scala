@@ -53,6 +53,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("q03_topk_orders_by_revenue").contains("TakeOrderedAndProject"))
   }
 
+  test("top-n per group gets a map-side WindowGroupLimit (q04)") {
+    // rank-filter (row_number <= n) must shrink to <= n rows per group
+    // per partition BEFORE the shuffle (Partial) and again after
+    // (Final) — without it the window shuffles every row
+    val p = plans("q04_top2_orders_per_customer")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("anti-join dedup stays a hash join, never a loop join (q26)") {
     val p = plans("q26_telemetry_antijoin_dedup")
     assert(p.contains("LeftAnti"), p)
