@@ -146,6 +146,31 @@ object StreamingIngest {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join (§2.11): each left row
+    * pairs with right rows of the same key whose event time falls in
+    * `[leftTime - lookback, leftTime]` — "attach the errors that
+    * preceded this event by up to an hour", both sides unbounded
+    * streams.
+    *
+    * The time-range predicate plus the two watermarks is what makes
+    * this runnable forever: Spark derives from them how long each
+    * side's rows can still find partners and evicts state beyond that
+    * horizon. Without the range condition the join state would grow
+    * with the stream. Matches emit as both sides arrive (inner join —
+    * no watermark wait on output).
+    *
+    * Caller renames the right side's columns (`rightKey`, `rightTime`)
+    * so the joined schema is unambiguous.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      key: String, rightKey: String, leftTime: String, rightTime: String,
+      lookback: String, watermark: String): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        col(key) === col(rightKey) &&
+          col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
+          col(rightTime) <= col(leftTime))
+
   /** Streaming event-time tumbling-window aggregation (the §2.11 window
     * surface): per-window, per-key counts with watermark-bounded state,
     * emitted on window close (append mode).

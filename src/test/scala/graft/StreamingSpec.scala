@@ -123,6 +123,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val root = Files.createTempDirectory("graft-stream-ssj")
+    import spark.implicits._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.where($"event_type" =!= "error")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.where($"event_type" === "error")
+      .select($"user_id".as("e_user_id"), $"ts".as("e_ts"),
+        $"value".as("e_value"))
+    clicks.coalesce(1).write.parquet(s"$root/clicks")
+    errors.coalesce(1).write.parquet(s"$root/errors")
+
+    val cs = spark.readStream
+      .schema("event_id long, user_id long, ts timestamp")
+      .parquet(s"$root/clicks")
+    val es = spark.readStream
+      .schema("e_user_id long, e_ts timestamp, e_value double")
+      .parquet(s"$root/errors")
+    val q = StreamingIngest.intervalJoinStream(cs, es,
+        "user_id", "e_user_id", "ts", "e_ts",
+        lookback = "1 HOUR", watermark = "10 minutes")
+      .select($"event_id", $"e_ts", $"e_value")
+      .writeStream.format("memory").queryName("ssjoin")
+      .option("checkpointLocation", s"$root/ckp")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ssjoin")
+      .as[(Long, Timestamp, Double)].collect().toSet
+    val want = clicks.join(errors,
+        $"user_id" === $"e_user_id" &&
+          $"e_ts" >= $"ts" - expr("INTERVAL 1 HOUR") && $"e_ts" <= $"ts")
+      .select($"event_id", $"e_ts", $"e_value")
+      .as[(Long, Timestamp, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming windowed counts close on watermark (event-time agg)") {
     val root = Files.createTempDirectory("graft-stream-w")
     val (src, ckp) = (s"$root/src", s"$root/ckp")
