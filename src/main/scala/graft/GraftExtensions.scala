@@ -60,6 +60,19 @@ object GraftExtensions {
       info("vec_dot", "fused dot product of two numeric arrays"),
       (args: Seq[Expression]) => {
         require(args.length == 2); DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("top_k"),
+      info("top_k", "exact k largest values per group, descending (bounded-heap aggregate)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_k expects (col, k)")
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k: k must be an integer literal, got $other")
+        }
+        // bare AggregateFunction — the analyzer wraps it
+        graft.plans.TopKAgg(args(0), k)
       }))
 
   /** Register the pack on a session that ALREADY exists. Builder

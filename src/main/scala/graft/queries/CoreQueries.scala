@@ -615,6 +615,33 @@ object CoreQueries extends QueryPack {
         FROM lineitem WHERE l_quantity > 25
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q64: exact top-k per group through the custom bounded-heap
+    // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
+    // task forwards at most k values per group and partial heaps merge
+    // associatively — the aggregate-shaped alternative to the q04
+    // window form, usable in any groupBy/rollup/streaming agg. Values
+    // only (no carrier columns), so ties are value-identical in both
+    // engines and the posexploded rank is deterministic. ----
+    Q("q64_topk_agg_prices",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(graft.plans.TopKAgg.topK($"o_totalprice", 5).as("top"))
+          .select($"o_orderpriority", posexplode($"top"))
+          .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rank"),
+            $"col".as("price"))
+          .orderBy("o_orderpriority", "rank")
+      },
+      Some("""
+        SELECT o_orderpriority, rank, price FROM (
+          SELECT o_orderpriority, o_totalprice AS price,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC) AS rank
+          FROM orders)
+        WHERE rank <= 5
+        ORDER BY o_orderpriority, rank""")),
+
     // ---- q53: as-of enrichment through the NATIVE whole-operator plan
     // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec — the full custom
     // ladder: logical node, planner strategy, physical streaming merge),
