@@ -878,6 +878,36 @@ object TleQueries extends QueryPack {
         FROM upd
         ORDER BY norad_id, epoch_micros""")),
 
+    // ---- q65: the DataSource V2 TLE source under the gate — S1/S2 as
+    // a first-class `spark.read.format("graft-tle")` source (one
+    // InputPartition per landing file, per-file triple assembly,
+    // column pruning). Reads the q46 landing fixture and re-derives
+    // every record field positionally; the oracle reconstructs the
+    // same records relationally from orders. The %08d day-fraction
+    // field is the order key (injective in o_orderkey). ----
+    Q("q65_dsv2_tle_source",
+      (s, dir) => {
+        val (tlePath, _) = q46Landing(s, dir)
+        s.read.format("graft-tle").load(tlePath)
+          .select(col("sat_name"),
+            substring(col("l1"), 25, 8).cast("int").as("rec_id"),
+            substring(col("l1"), 3, 5).cast("int").as("norad_id"),
+            substring(col("l2"), 64, 5).cast("int").as("rev_number"))
+          .orderBy("rec_id")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders),
+        synth AS (
+          SELECT k, CASE WHEN k % 97 = 0 THEN 'XXXXX'
+                         ELSE printf('%05d', (k * 7919) % 997)
+                    END AS norad_str
+          FROM src)
+        SELECT 'SAT-' || norad_str AS sat_name,
+               CAST(k AS INT) AS rec_id,
+               TRY_CAST(norad_str AS INT) AS norad_id,
+               CAST(k % 100000 AS INT) AS rev_number
+        FROM synth ORDER BY rec_id""")),
+
     // ---- q63: declarative DATA-QUALITY AUDIT (the reference's K5
     // "refuse empty batch" gate generalized): completeness, key
     // uniqueness, value ranges, referential integrity — row-local

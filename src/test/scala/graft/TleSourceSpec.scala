@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import graft.ingest.TleText
+
+/** DataSource V2 TLE source: record assembly parity with the RDD path,
+  * reference edge-strip semantics, partial-trailer drop, column
+  * pruning, and multi-file parallel reads.
+  */
+class TleSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def write(dir: String, name: String, text: String): Unit =
+    Files.write(Paths.get(dir, name), text.getBytes(StandardCharsets.UTF_8))
+
+  test("triples assemble per file; partial trailer and edge blanks drop") {
+    val dir = Files.createTempDirectory("graft-tlesrc-").toString
+    // leading + trailing blanks must not shift alignment; the interior
+    // blank IS line content (reference .strip().splitlines() parity);
+    // the trailing (name, l1) pair is a partial record -> dropped
+    write(dir, "part-0.txt",
+      "\n\nSAT-A\n1 11111U\n2 11111\nSAT-B\n\n1 22222U\nSAT-C\n1 33333U\n\n\n")
+    val got = spark.read.format("graft-tle").load(dir)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("SAT-A", "1 11111U", "2 11111"),
+      ("SAT-B", "", "1 22222U"))) // interior blank counts as l1
+  }
+
+  test("matches TleText.triples on a single ordered payload") {
+    val dir = Files.createTempDirectory("graft-tlesrc2-").toString
+    val recs = (1 to 40).map(i => s"SAT-$i\n1 ${i}U\n2 $i").mkString("\n")
+    write(dir, "payload.txt", recs + "\nTRAILING-NAME\n1 partial")
+    val viaSource = spark.read.format("graft-tle").load(dir)
+      .as[(String, String, String)].collect().toSet
+    val viaRdd = TleText.triples(spark, s"$dir/payload.txt")
+      .select("sat_name", "l1", "l2")
+      .as[(String, String, String)].collect().toSet
+    assert(viaSource === viaRdd)
+    assert(viaSource.size === 40)
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = Files.createTempDirectory("graft-tlesrc3-").toString
+    write(dir, "p.txt", "SAT-A\nl1\nl2\n")
+    val df = spark.read.format("graft-tle").load(dir).select("sat_name")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("columns=sat_name"), scan)
+    assert(df.as[String].collect().toSeq === Seq("SAT-A"))
+  }
+
+  test("multiple files read in parallel partitions, records intact") {
+    val dir = Files.createTempDirectory("graft-tlesrc4-").toString
+    (0 until 4).foreach { p =>
+      write(dir, s"part-$p.txt",
+        (0 until 5).map(i => s"SAT-$p-$i\n1 $p$i\n2 $p$i").mkString("\n"))
+    }
+    val df = spark.read.format("graft-tle").load(dir)
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 20)
+    assert(df.select("sat_name").distinct().count() === 20)
+  }
+
+  test("empty and missing directories yield empty frames, not errors") {
+    val dir = Files.createTempDirectory("graft-tlesrc5-").toString
+    assert(spark.read.format("graft-tle").load(dir).count() === 0)
+    assert(spark.read.format("graft-tle").load(s"$dir/nope").count() === 0)
+  }
+}
