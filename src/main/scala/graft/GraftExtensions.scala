@@ -65,9 +65,13 @@ object GraftExtensions {
       info("top_k", "exact k largest values per group, descending (bounded-heap aggregate)"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "top_k expects (col, k)")
+        require(args(1).foldable,
+          "top_k: k must be an integer literal, not a column")
         val k = args(1).eval() match {
           case i: Int => i
           case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
           case other => throw new IllegalArgumentException(
             s"top_k: k must be an integer literal, got $other")
         }

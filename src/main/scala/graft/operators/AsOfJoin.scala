@@ -51,8 +51,8 @@ object AsOfJoin {
     // their payload into null-key/early left rows. Left rows with null
     // keys or times survive with a null payload, like a left join.
     val rightTagged = right
-      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
-        col(timeCol).isNotNull)
+      .where(keys.map(col(_).isNotNull)
+        .foldLeft(col(timeCol).isNotNull)(_ && _)) // fold: keys may be empty (global as-of)
       .select(
       keys.map(col) ++
         Seq(col(timeCol).as(timeTag), lit(0).as(sideCol)) ++
@@ -137,8 +137,8 @@ object AsOfJoin {
     // the left-join null payload.
     val rightCols = ((keys :+ timeCol) ++ payload).distinct
     val rBase = GraftBridge.analyzed(right
-      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
-        col(timeCol).isNotNull)
+      .where(keys.map(col(_).isNotNull)
+        .foldLeft(col(timeCol).isNotNull)(_ && _)) // fold: keys may be empty
       .select(rightCols.map(col): _*))
     // Mint fresh right-side exprIds: a self-as-of (left and right carved
     // from the same scan) would otherwise hand the analyzer duplicate ids

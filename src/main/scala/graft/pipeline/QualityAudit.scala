@@ -49,42 +49,42 @@ object QualityAudit {
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty)
-    // 1. fuse all row-local predicates into one aggregate pass
-    val rowLocal: Seq[(String, Column)] = checks.collect {
-      case c: NotNull => c.name -> sum(when(col(c.col).isNull, 1L).otherwise(0L))
-      case c: InRange => c.name ->
-        sum(when(col(c.col).isNotNull &&
-          !col(c.col).between(c.lo, c.hi), 1L).otherwise(0L))
+    val indexed = checks.zipWithIndex
+    // 1. fuse all row-local predicates into one aggregate pass; each
+    // branch carries its declared index from construction (duplicate
+    // check names stay distinct rows in declared order)
+    val rowLocal: Seq[(String, Int, Column)] = indexed.collect {
+      case (c: NotNull, i) =>
+        (c.name, i, sum(when(col(c.col).isNull, 1L).otherwise(0L)))
+      case (c: InRange, i) =>
+        (c.name, i, sum(when(col(c.col).isNotNull &&
+          !col(c.col).between(c.lo, c.hi), 1L).otherwise(0L)))
     }
     val fused: Option[DataFrame] = if (rowLocal.isEmpty) None else Some {
-      val agged = df.agg(rowLocal.head._2.as("c0"),
-        rowLocal.tail.zipWithIndex.map { case ((_, e), i) => e.as(s"c${i + 1}") }: _*)
-      val pairs = rowLocal.zipWithIndex.map { case ((n, _), i) =>
-        struct(lit(n).as("check"), coalesce(col(s"c$i"), lit(0L)).as("violations"))
+      val agged = df.agg(rowLocal.head._3.as("c0"),
+        rowLocal.tail.zipWithIndex.map { case ((_, _, e), i) => e.as(s"c${i + 1}") }: _*)
+      val triples = rowLocal.zipWithIndex.map { case ((n, ord, _), i) =>
+        struct(lit(n).as("check"),
+          coalesce(col(s"c$i"), lit(0L)).as("violations"),
+          lit(ord).as("_ord"))
       }
-      agged.select(explode(array(pairs: _*)).as("kv"))
-        .select(col("kv.check"), col("kv.violations"))
+      agged.select(explode(array(triples: _*)).as("kv"))
+        .select(col("kv.check"), col("kv.violations"), col("kv._ord"))
     }
     // 2. per-check plans for the ones that need their own shape
-    val shaped: Seq[DataFrame] = checks.collect {
-      case c: Unique =>
+    val shaped: Seq[DataFrame] = indexed.collect {
+      case (c: Unique, i) =>
         df.groupBy(c.cols.map(col): _*).count().where(col("count") > 1)
           .agg(coalesce(sum(col("count") - 1), lit(0L)).as("violations"))
-          .select(lit(c.name).as("check"), col("violations"))
-      case c: RefIntegrity =>
+          .select(lit(c.name).as("check"), col("violations"), lit(i).as("_ord"))
+      case (c: RefIntegrity, i) =>
         df.where(col(c.col).isNotNull)
           .join(c.dim.select(col(c.dimCol).as(c.col)).distinct(),
             Seq(c.col), "left_anti")
           .agg(count(lit(1)).as("violations"))
-          .select(lit(c.name).as("check"), col("violations"))
+          .select(lit(c.name).as("check"), col("violations"), lit(i).as("_ord"))
     }
-    val all = (fused.toSeq ++ shaped).reduce(_ unionByName _)
-    // restore declared order (union order is plan order, not check order)
-    val order = checks.map(_.name).zipWithIndex.toMap
-    val orderCol = checks.tail.foldLeft(
-      when(col("check") === checks.head.name, lit(0))) { (acc, c) =>
-      acc.when(col("check") === c.name, lit(order(c.name)))
-    }
-    all.withColumn("_ord", orderCol).orderBy("_ord").drop("_ord")
+    (fused.toSeq ++ shaped).reduce(_ unionByName _)
+      .orderBy("_ord").drop("_ord")
   }
 }

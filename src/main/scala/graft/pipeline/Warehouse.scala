@@ -109,17 +109,22 @@ class Warehouse(spark: SparkSession, dir: String) {
     val parts = partitioning(name)
     require(parts.forall(updates.columns.contains),
       s"merge into $name: updates must carry partition cols $parts")
-    // no-op guard for BOTH layouts: without it an empty batch would
-    // still rewrite an unpartitioned table end-to-end (and overwrite
-    // deletes before it commits — gratuitous data-loss window)
-    if (updates.isEmpty) return
     val target = read(name)
+    // empty-batch no-op guards live per branch so a non-empty merge
+    // never pays an extra pass over the updates plan: the partitioned
+    // branch detects emptiness from the touched-partitions collect it
+    // needs anyway; only the unpartitioned branch (which would
+    // otherwise rewrite the WHOLE table through overwrite's
+    // delete-before-commit window) runs a dedicated isEmpty probe
     val existing = parts match {
-      case Nil => target
+      case Nil =>
+        if (updates.isEmpty) return
+        target
       case cols =>
         // one row per touched partition — tiny by the batch-footprint
         // contract; <=> keeps null partition values mergeable
         val touched = updates.select(cols.map(col): _*).distinct().collect()
+        if (touched.isEmpty) return
         val pred = touched.toSeq.map(r =>
           cols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
             .reduce(_ && _)).reduce(_ || _)

@@ -36,11 +36,8 @@ object CoreQueries extends QueryPack {
     * TleQueries.q46Landing: it is a pure function of orders, and the
     * operator under the gate is the PERMISSIVE read, not the write.
     */
-  private val q61Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def q61Csv(s: SparkSession, dir: String): String =
-    q61Cache.computeIfAbsent(dir, { _ =>
+    Fixtures.cached(s"q61:$dir") {
       import org.apache.spark.sql.functions.{col => c}
       val tmp = java.nio.file.Files.createTempDirectory("graft-q61-")
         .toString
@@ -52,7 +49,7 @@ object CoreQueries extends QueryPack {
         .repartition(s.sparkContext.defaultParallelism)
         .select(line.as("value")).write.mode("overwrite").text(s"$tmp/csv")
       s"$tmp/csv"
-    })
+    }
 
   val all: Seq[Q] = Seq(
 

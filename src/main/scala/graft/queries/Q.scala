@@ -25,3 +25,15 @@ final case class Q(
 trait QueryPack {
   def all: Seq[Q]
 }
+
+/** Per-JVM cache for deterministic on-disk fixtures (synthesized landing
+  * files): a fixture is a pure function of its key (query + sf dir), so
+  * bench's warm-up and timed passes measure the operator under test, not
+  * repeated fixture writes. NEVER cache state the query must mutate
+  * (e.g. a warehouse a run-twice fixpoint writes into).
+  */
+object Fixtures {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  def cached[T <: AnyRef](key: String)(build: => T): T =
+    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+}

@@ -125,11 +125,8 @@ object TleQueries extends QueryPack {
     * measure the PIPELINE, not repeated fixture writes. The warehouse is
     * NOT cached — each q46 invocation must start from an empty one.
     */
-  private val q46LandingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
   private def q46Landing(s: SparkSession, dir: String): (String, String) =
-    q46LandingCache.computeIfAbsent(dir, { _ =>
+    Fixtures.cached(s"q46:$dir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-q46-landing-")
         .toString
       // TLE landing file: one 3-line record per orders row. Whole
@@ -160,7 +157,7 @@ object TleQueries extends QueryPack {
           array_sort(collect_list(pair)))).as("value"))
         .write.mode("overwrite").text(s"$tmp/noaa")
       (s"$tmp/tle", s"$tmp/noaa")
-    })
+    }
 
   val all: Seq[Q] = Seq(
 

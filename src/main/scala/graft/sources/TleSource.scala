@@ -91,28 +91,45 @@ class TleScan(path: String, required: StructType) extends Scan with Batch {
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) Array.empty
     else {
+      val rootUri = fs.makeQualified(root).toUri
       val it = fs.listFiles(root, true)
       val files = ArrayBuffer.empty[TleFilePartition]
       while (it.hasNext) {
         val f = it.next()
-        val n = f.getPath.getName
-        if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        // exclude hidden/temp paths at ANY depth under the root — a
+        // crashed writer's _temporary/... leftovers must not be data
+        // (same rule as Spark's InMemoryFileIndex)
+        val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+        val hidden = rel.split('/')
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (f.isFile && !hidden)
           files += TleFilePartition(f.getPath.toString)
       }
       files.sortBy(_.file).toArray[InputPartition]
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TleReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // executors must read with the SESSION'S Hadoop settings
+    // (spark.hadoop.* credentials/endpoints), not a bare default
+    // Configuration — ship the properties as serializable pairs
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val props = {
+      val it = conf.iterator()
+      val buf = ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toArray
+    }
+    new TleReaderFactory(required.fieldNames, props)
+  }
 }
 
 case class TleFilePartition(file: String) extends InputPartition
 
-class TleReaderFactory(cols: Array[String])
+class TleReaderFactory(cols: Array[String], confProps: Array[(String, String)])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TleFileReader(partition.asInstanceOf[TleFilePartition].file, cols)
+    new TleFileReader(partition.asInstanceOf[TleFilePartition].file, cols, confProps)
 }
 
 /** Streams one landing file as record triples. Reads lines lazily,
@@ -120,11 +137,17 @@ class TleReaderFactory(cols: Array[String])
   * blank count, handled by deferring blank lines until a non-blank
   * follows (so trailing blanks never emit).
   */
-class TleFileReader(file: String, cols: Array[String])
+class TleFileReader(file: String, cols: Array[String],
+    confProps: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
   private val fsPath = new Path(file)
-  private val in = fsPath.getFileSystem(new Configuration()).open(fsPath)
+  private val conf = {
+    val c = new Configuration(false)
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val in = fsPath.getFileSystem(conf).open(fsPath)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
 
