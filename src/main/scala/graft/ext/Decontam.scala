@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that overlap an
+  * evaluation set's n-grams, the standard pre-training hygiene step
+  * (remove test-set leakage BEFORE the model memorizes it).
+  *
+  * Shape: the corpus side streams; the benchmark side reduces to its
+  * DISTINCT shingle set, which is small by construction (benchmarks are
+  * thousands of docs, corpora are billions) and is broadcast — the
+  * corpus never shuffles to discover overlap, and per-doc hit counting
+  * is a map-side join + partial aggregate on the corpus' own
+  * partitioning. One wide shuffle total (the per-doc groupBy), no
+  * pairwise doc×doc work anywhere — unlike near-dup, contamination
+  * needs no pair identity, only "does this doc contain ANY benchmark
+  * n-gram", so the join can collapse the benchmark side first.
+  *
+  * Reference scope: no analog in the reference (its F1-F4 dedup filters
+  * are row-identity based, `/root/reference/script.py:85-99`); this is
+  * part of the training-data extension surface.
+  */
+object Decontam {
+
+  /** Per-document overlap against the benchmark's shingle set.
+    *
+    * Returns one row per corpus doc with ≥ 1 overlapping shingle:
+    * (idCol, n_shingles, n_hit, overlap = n_hit / n_shingles). Callers
+    * decontaminate with `corpus.join(result.where($"overlap" >= τ),
+    * Seq(idCol), "left_anti")`.
+    *
+    * @param n shingle width — higher n = stricter (fewer incidental
+    *          phrase collisions); 8–13 grams are the published norm,
+    *          tests use small n to exercise the plumbing densely
+    */
+  def overlap(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val docSh = corpus.select(col(idCol),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+        .as("_sh"))
+    val benchSh = bench
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col(benchTextCol), n))).as("_sh"))
+      .distinct()
+    val hits = docSh.join(broadcast(benchSh), "_sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    corpus
+      .select(col(idCol),
+        size(array_distinct(TextFunctions.shingles(col(textCol), n)))
+          .cast("long").as("n_shingles"))
+      .join(hits, idCol) // inner: only docs with ≥1 hit surface
+      .withColumn("overlap",
+        round(col("n_hit").cast("double") /
+          col("n_shingles").cast("double"), 6))
+  }
+}

@@ -922,6 +922,176 @@ object LlmQueries extends QueryPack {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5,
                CAST(octet_length(encode(text)) % 44100 AS BIGINT) AS fake_rate
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // ---- q66: PII REDACTION / text cleaning — the scrub pass of a
+    // training pipeline. PII is planted deterministically (emails on
+    // %7, URLs on %11, long digit runs on %13 — overlaps compose), then
+    // masked by Cleaning.redact and counted per category on the same
+    // staged masking order, all in codegen'd regexes on the scan (no
+    // shuffle). The cleaned text is hash-compared via md5, so every
+    // masked byte is inside the gate. ----
+    Q("q66_docs_pii_redaction",
+      (s, dir) => {
+        import graft.ext.Cleaning
+        val planted = fan(t(s, dir, "documents")).select(
+          col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              format_string(" contact user%d@mail.example.com now",
+                col("doc_id"))).otherwise(""),
+            when(col("doc_id") % 11 === 0,
+              format_string(" see https://ex.org/p/%d?x=1 ok",
+                col("doc_id"))).otherwise(""),
+            when(col("doc_id") % 13 === 0,
+              format_string(" call %d0123456 today",
+                col("doc_id"))).otherwise("")).as("text"))
+          .localCheckpoint() // fence: synthesized text feeds 5 regexes
+        val counts = Cleaning.redactionCounts(col("text"))
+        planted.select(
+            col("doc_id") +:
+            counts.map { case (nm, c) => c.cast("long").as(s"n_$nm") } :+
+            md5(Cleaning.clean(col("text")).cast("binary")).as("clean_md5") :+
+            length(Cleaning.clean(col("text"))).cast("long").as("clean_len"): _*)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0
+                 THEN printf(' contact user%d@mail.example.com now', doc_id)
+                 ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN printf(' see https://ex.org/p/%d?x=1 ok', doc_id)
+                 ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                 THEN printf(' call %d0123456 today', doc_id)
+                 ELSE '' END AS text
+          FROM documents),
+        masked AS (
+          SELECT doc_id, text,
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS m1
+          FROM planted),
+        masked2 AS (
+          SELECT *, regexp_replace(m1, 'https?://[^ \t\r\n]+', '<URL>', 'g')
+                    AS m2
+          FROM masked)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(m1, 'https?://[^ \t\r\n]+')) AS BIGINT)
+            AS n_url,
+          CAST(len(regexp_extract_all(m2, '[0-9]{7,}')) AS BIGINT) AS n_num,
+          md5(trim(regexp_replace(
+            regexp_replace(m2, '[0-9]{7,}', '<NUM>', 'g'),
+            '[ \t\r\n]+', ' ', 'g'))) AS clean_md5,
+          CAST(length(trim(regexp_replace(
+            regexp_replace(m2, '[0-9]{7,}', '<NUM>', 'g'),
+            '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS clean_len
+        FROM masked2 ORDER BY doc_id""")),
+
+    // ---- q67: BUDGETED CORPUS SELECTION — per language, keep the
+    // best-quality docs until a token budget is spent. The plan is the
+    // bucketed two-phase form (Curation.takeByBudget): per-bucket sums
+    // + a window over BUCKET AGGREGATES pick whole buckets; only the
+    // one boundary bucket per group runs a per-row cumulative window —
+    // no full-group window task anywhere (the q24-class killer this
+    // operator exists to avoid). Oracle replays the row-exact
+    // semantics with a plain window, which DuckDB can afford at
+    // oracle scale. ----
+    Q("q67_docs_token_budget",
+      (s, dir) => {
+        import graft.ext.Curation
+        val scored = fan(t(s, dir, "documents")).select(
+            col("doc_id"), col("lang"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+          .localCheckpoint() // fence: quality/toks feed the window+filter
+        Curation.takeByBudget(scored, groups = Seq("lang"),
+            leading = col("quality"), tie = Seq("doc_id"),
+            cost = col("toks"), budget = 2000L)
+          .select("doc_id", "lang", "quality", "toks")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, trim(text) AS tt,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+            round(0.4 * least(CAST(length(tt) AS DOUBLE) / 500.0, 1.0)
+                + 0.4 * CAST(length(regexp_replace(lower(tt), '[^a-z]', '', 'g')) AS DOUBLE)
+                      / greatest(CAST(length(tt) AS DOUBLE), 1.0)
+                + 0.2 * (CASE WHEN CAST(length(tt) AS DOUBLE)
+                                   / greatest(CAST(len(tk) AS DOUBLE), 1.0)
+                              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+                6) AS quality,
+            CAST(len(tk) AS BIGINT) AS toks
+          FROM d),
+        sel AS (
+          SELECT *, sum(toks) OVER (PARTITION BY lang
+                      ORDER BY quality DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+          FROM scored)
+        SELECT doc_id, lang, quality, toks FROM sel
+        WHERE cum <= 2000 ORDER BY doc_id""")),
+
+    // ---- q68: BENCHMARK DECONTAMINATION — flag corpus docs whose
+    // 5-gram shingles overlap the eval set (docs %37, plus planted
+    // partial-contamination mutants that extend a benchmark doc).
+    // Benchmark collapses to its DISTINCT shingle set and broadcasts;
+    // the corpus never shuffles to discover overlap. ----
+    Q("q68_docs_decontaminate",
+      (s, dir) => {
+        import graft.ext.Decontam
+        val base = fan(t(s, dir, "documents"))
+        val bench = base.where(col("doc_id") % 37 === 0)
+        val corpus = base.unionByName(
+          bench.select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" wholly novel suffix tokens appended"))
+              .as("text"),
+            col("lang"), col("source"), col("n_chars")))
+        Decontam.overlap(corpus, "doc_id", "text",
+            bench.select(col("text")), "text", n = 5)
+          .select("doc_id", "n_shingles", "n_hit", "overlap")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 text || ' wholly novel suffix tokens appended'
+          FROM documents WHERE doc_id % 37 = 0),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM u),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                      || tk[i+3] || ' ' || tk[i+4])) AS t(sh)),
+        bsh AS (
+          SELECT DISTINCT sh FROM post
+          WHERE doc_id % 37 = 0 AND doc_id < 1000000),
+        sizes AS (
+          SELECT doc_id, count(*) AS n_shingles FROM post GROUP BY doc_id),
+        hits AS (
+          SELECT p.doc_id, count(*) AS n_hit
+          FROM post p JOIN bsh USING (sh) GROUP BY p.doc_id)
+        SELECT s.doc_id,
+               CAST(s.n_shingles AS BIGINT) AS n_shingles,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               round(CAST(h.n_hit AS DOUBLE)
+                     / CAST(s.n_shingles AS DOUBLE), 6) AS overlap
+        FROM sizes s JOIN hits h USING (doc_id)
+        ORDER BY s.doc_id"""))
   )
 }
