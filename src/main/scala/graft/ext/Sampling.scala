@@ -67,4 +67,54 @@ object Sampling {
       .where(hashCoord(col(idCol), salt) < coalesce(col("_cut"), lit("g")))
       .drop("_cut")
   }
+
+  /** Mixture REBALANCING: the largest subcorpus whose strata follow the
+    * target `weights` (in expectation — membership is per-row
+    * hash-threshold, so realized counts are rate·n ± binomial noise,
+    * vanishing at corpus scale). With n_s rows per stratum and weight w_s,
+    * the binding stratum sets the scale λ* = min_s(n_s / w_s); every
+    * stratum keeps rate_s = λ*·w_s / n_s of its rows (the binding one
+    * keeps all). Strata without a declared weight are dropped (weight
+    * 0) — rebalancing DECLARES the mixture, unlike [[sampleBy]]'s
+    * keep-undeclared default for ad-hoc thinning.
+    *
+    * Everything happens in-plan — per-stratum counts (tiny agg), λ* (an
+    * aggregate of that tiny frame, cross-joined back as a broadcast
+    * scalar), and the per-row hash-threshold decision — so there is no
+    * driver-side collect, and the kept set is a pure function of
+    * (row id, salt, corpus counts): deterministic across runs,
+    * partitionings, and engines.
+    *
+    * Engine-portability of the threshold: the cut is built IN-PLAN as
+    * 8 lowercase hex chars of floor(rate·2³²) (rates of 1 map to the
+    * above-every-hex sentinel), so an oracle that computes the same
+    * counts reproduces the exact kept set. Weights that are powers of
+    * two keep n_s / w_s float-exact; other weights still replay (IEEE
+    * ops are deterministic), they just aren't round numbers.
+    */
+  def rebalance(df: DataFrame, idCol: String, strataCol: String,
+      weights: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"rebalance needs positive weights, got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate strata in weights: ${weights.map(_._1)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdim = weights.toDF(strataCol, "_wt")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_n"))
+      .join(broadcast(wdim), strataCol) // inner: undeclared strata drop
+    val lam = counts.agg(min(col("_n").cast("double") / col("_wt"))
+      .as("_lam"))
+    val cutExpr = {
+      val n = floor(col("_lam") * col("_wt") / col("_n").cast("double") *
+        lit(4294967296.0)).cast("bigint")
+      when(n >= 4294967296L, lit("g"))
+        .otherwise(lpad(lower(hex(n)), 8, "0"))
+    }
+    val cuts = counts.crossJoin(broadcast(lam))
+      .select(col(strataCol), cutExpr.as("_cut"))
+    df.join(broadcast(cuts), Seq(strataCol))
+      .where(hashCoord(col(idCol), salt) < col("_cut"))
+      .drop("_cut")
+  }
 }

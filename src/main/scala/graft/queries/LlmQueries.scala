@@ -1092,6 +1092,46 @@ object LlmQueries extends QueryPack {
                round(CAST(h.n_hit AS DOUBLE)
                      / CAST(s.n_shingles AS DOUBLE), 6) AS overlap
         FROM sizes s JOIN hits h USING (doc_id)
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+
+    // ---- q69: MIXTURE REBALANCING — the largest subcorpus matching
+    // declared source weights. λ* = min(n_s/w_s) and the per-stratum
+    // hex cuts are computed IN-PLAN (tiny agg → broadcast scalar →
+    // broadcast cut dim): no driver collect anywhere, and the kept set
+    // is a pure function of (doc_id, salt, corpus counts) that DuckDB
+    // replays bit-exactly — including the float path to the cut, which
+    // both engines evaluate with the same IEEE association. Undeclared
+    // sources drop (a mixture DECLARES its parts). ----
+    Q("q69_docs_mixture_rebalance",
+      (s, dir) => {
+        Sampling.rebalance(t(s, dir, "documents"), "doc_id", "source",
+            Seq("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0,
+              "src3" -> 0.5), salt = "mix")
+          .select("doc_id", "source", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w(source, wt) AS (
+          VALUES ('src0', CAST(2.0 AS DOUBLE)), ('src1', CAST(1.0 AS DOUBLE)),
+                 ('src2', CAST(1.0 AS DOUBLE)), ('src3', CAST(0.5 AS DOUBLE))),
+        c AS (
+          SELECT d.source, wt, count(*) AS n
+          FROM documents d JOIN w USING (source)
+          GROUP BY d.source, wt),
+        lam AS (SELECT min(CAST(n AS DOUBLE) / wt) AS lam FROM c),
+        cuts AS (
+          SELECT source,
+            CASE WHEN CAST(floor(lam * wt / CAST(n AS DOUBLE)
+                               * 4294967296.0) AS BIGINT) >= 4294967296
+                 THEN 'g'
+                 ELSE printf('%08x',
+                   CAST(floor(lam * wt / CAST(n AS DOUBLE)
+                            * 4294967296.0) AS BIGINT))
+            END AS cut
+          FROM c, lam)
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN cuts USING (source)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8) < cut
+        ORDER BY d.doc_id"""))
   )
 }

@@ -277,6 +277,26 @@ class ExtSpec extends SparkSpec {
     assert(counts("c") === 1000) // undeclared stratum keeps everything
   }
 
+  test("rebalance: binding stratum keeps all, others thin to the mixture") {
+    // a: 2000 rows, b: 500, weights 1:1 → b binds (λ*=500), a thins to
+    // ~500; undeclared c drops entirely
+    val rows = (0L until 3000L).map { i =>
+      val g = if (i < 2000) "a" else if (i < 2500) "b" else "c"
+      (i, g)
+    }.toDF("id", "g")
+    val out = Sampling.rebalance(rows, "id", "g",
+      Seq("a" -> 1.0, "b" -> 1.0), salt = "rb")
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("b") === 500) // rate 1: every binding-stratum row kept
+    assert(!counts.contains("c")) // weight 0 = dropped
+    assert(math.abs(counts("a") - 500.0) < 5 * math.sqrt(2000 * 0.25 * 0.75))
+    // pure function of (id, salt, counts): stable across partitionings
+    val again = Sampling.rebalance(rows.repartition(17), "id", "g",
+      Seq("a" -> 1.0, "b" -> 1.0), salt = "rb")
+      .select("id").as[Long].collect().toSet
+    assert(again === out.select("id").as[Long].collect().toSet)
+  }
+
   test("int8 quantization: zero guard, bounds, dequantized top-k recall") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (scale, q) = Similarity.quantizeInt8(col("embedding"))
