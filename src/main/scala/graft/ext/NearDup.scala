@@ -80,15 +80,24 @@ object NearDup {
         col("sz1"), col("sz2"), col("jaccard"))
   }
 
-  /** MinHash signature: for each seed i, min over the doc's shingles of
-    * xxhash64(shingle, i). Computed as numHashes parallel min-aggregates
-    * in ONE hash aggregation over the postings (no per-row array churn).
+  /** MinHash signature: numHashes parallel min-aggregates in ONE hash
+    * aggregation over the postings. The hash family is Carter-Wegman:
+    * g_i(sh) = h1(sh) + i·h2(sh) with h1/h2 two seeded xxhash64 draws
+    * and wrapping 64-bit arithmetic — 2-independent, which is exactly
+    * what MinHash needs — so each posting row pays TWO string hashes
+    * plus 64 integer multiply-adds instead of 64 string hashes (the
+    * string hash dominates: shingles are ~20 bytes). Still
+    * deterministic across runs/partitionings, and exact duplicates
+    * still get identical signatures under ANY hash family, so the
+    * recall-1-at-threshold-1 contract (q32) is structural.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("_sh"), lit(i))).as(s"_h$i"))
+      min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_h$i"))
     postings(docs, idCol, textCol, n)
+      .withColumn("_h1", xxhash64(col("_sh")))
+      .withColumn("_h2", xxhash64(col("_sh"), lit(0x9E3779B97F4A7C15L)))
       .groupBy(col("_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("_id"),
