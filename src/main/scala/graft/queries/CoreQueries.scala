@@ -681,6 +681,48 @@ object CoreQueries extends QueryPack {
                round(sum(err_value), 2) AS err_value_total
         FROM enriched
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ---- q70: KEYLESS RANGE JOIN — every non-error event falling in
+    // the hour after ANY error, with no equi-key to hang a SortMerge on.
+    // Spark's native plan for a pure range predicate is a nested-loop /
+    // cartesian; operators/RangeJoin bins the time domain (1 bin ≈ the
+    // window span) so it executes as a shuffled hash equi-join on bin
+    // id + residual filter — linear rows through one shuffle, either
+    // side arbitrarily large (RangeJoinSpec pins the no-nested-loop
+    // plan). Per-window value sums are compared in exact milli units
+    // (floor(value·1000) — identical IEEE double op both engines, then
+    // integer summation, order-free). ----
+    Q("q70_events_range_join",
+      (s, dir) => {
+        import graft.operators.RangeJoin
+        val ev = t(s, dir, "events")
+        val points = ev.where(col("event_type") =!= "error")
+          .select(col("event_id").as("p_id"),
+            unix_millis(col("ts")).as("pt"), col("value").as("p_value"))
+        val wins = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("w_id"),
+            unix_millis(col("ts")).as("lo"),
+            (unix_millis(col("ts")) + 3600000L).as("hi"))
+        RangeJoin.pointInInterval(points, "pt", wins, "lo", "hi",
+            binWidth = 3600000L)
+          .groupBy("w_id")
+          .agg(count(lit(1)).as("n_points"),
+            sum(floor(col("p_value") * 1000).cast("long")).as("value_milli"))
+          .orderBy("w_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id AS p_id, epoch_ms(ts) AS pt, value AS p_value
+          FROM events WHERE event_type <> 'error'),
+        w AS (
+          SELECT event_id AS w_id, epoch_ms(ts) AS lo,
+                 epoch_ms(ts) + 3600000 AS hi
+          FROM events WHERE event_type = 'error')
+        SELECT w_id, count(*) AS n_points,
+               CAST(sum(CAST(floor(p_value * 1000) AS BIGINT)) AS BIGINT)
+                 AS value_milli
+        FROM w JOIN p ON p.pt BETWEEN w.lo AND w.hi
+        GROUP BY w_id ORDER BY w_id"""))
   )
 }
