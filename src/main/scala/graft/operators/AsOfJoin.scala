@@ -104,6 +104,39 @@ object AsOfJoin {
         payload.map(c => col(packed).getField(prefix + c).as(prefix + c))): _*)
   }
 
+  /** Skew-resistant [[asof]]: when one key dominates (one instrument is
+    * half the ticks, one satellite is half the telemetry), the single
+    * hash partition for that key pins the whole join to one task. This
+    * variant spreads a hot key's LEFT rows across `salts` sub-tasks by
+    * salting the key with a deterministic hash of the left row's time,
+    * and REPLICATES the right side to every salt — each sub-task sees
+    * the key's complete right timeline, so every left row still finds
+    * its true as-of match and the result is row-identical to [[asof]]
+    * (spec-asserted). Trade: right-side shuffle volume ×salts — the
+    * right side of an as-of join (dim-like state snapshots) is
+    * typically orders of magnitude smaller than the left (events), so
+    * this buys task-level parallelism on the heavy side for a bounded
+    * light-side cost. AQE's skew-join splitting cannot do this for the
+    * window form (it is not a join node to AQE) — salting is the
+    * portable answer.
+    */
+  def salted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      payload: Seq[String],
+      prefix: String = "asof_",
+      salts: Int = 8): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    val saltCol = "_graft_salt"
+    val l = left.withColumn(saltCol,
+      pmod(xxhash64(col(timeCol)), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    asof(l, r, keys :+ saltCol, timeCol, payload, prefix).drop(saltCol)
+  }
+
   /** Same contract as [[asof]], executed by the native whole-operator
     * plan ([[graft.plans.AsOfJoinExec]]): one hash shuffle + sort per
     * side and a streaming O(1)-state merge, instead of union + window +

@@ -56,6 +56,33 @@ class AsOfNativeSpec extends SparkSpec {
     assert(byLv(9) == (None, None))                 // null left key
   }
 
+  test("salted as-of is row-identical to the plain form, edge cases included") {
+    val plain = run(AsOfJoin.asof(left, right, Seq("k"), "t", Seq("t", "v")))
+    for (s <- Seq(2, 3, 8))
+      assert(run(AsOfJoin.salted(left, right, Seq("k"), "t",
+        Seq("t", "v"), salts = s)) == plain, s"salts=$s")
+  }
+
+  test("salted as-of agrees on a hot-key corpus and spreads the hot key") {
+    // 90% of left rows share one key — the case salting exists for
+    val l = (0L until 2000L).map(i =>
+      (if (i % 10 == 0) s"cold${i % 7}" else "hot", i, i * 2))
+      .toDF("k", "t", "lv")
+    val r = (0L until 100L).map(i =>
+      (if (i % 10 == 0) s"cold${i % 7}" else "hot", i * 20, i))
+      .toDF("k", "t", "v")
+    val plain = AsOfJoin.asof(l, r, Seq("k"), "t", Seq("v"))
+      .select($"lv", $"asof_v").as[(Long, Option[Long])].collect().toSet
+    val salted = AsOfJoin.salted(l, r, Seq("k"), "t", Seq("v"), salts = 8)
+      .select($"lv", $"asof_v").as[(Long, Option[Long])].collect().toSet
+    assert(salted == plain)
+    // the hot key's left rows really do land in distinct salt buckets
+    val spread = l.where($"k" === "hot")
+      .select(pmod(xxhash64($"t"), lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    assert(spread == 8)
+  }
+
   test("native as-of matches the composed operator on the events table") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val l = ev.where($"event_type" =!= "error")
