@@ -15,6 +15,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,13 +61,51 @@ object TleSource {
     StructField("sat_name", StringType),
     StructField("l1", StringType),
     StructField("l2", StringType)))
+
+  /** Driver-side listing of data files under `path`, excluding
+    * hidden/temp components at any depth (a crashed writer's
+    * `_temporary/...` leftovers must not be data — same rule as
+    * Spark's InMemoryFileIndex). Sorted for deterministic planning.
+    */
+  def listDataFiles(path: String): Seq[String] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val rootUri = fs.makeQualified(root).toUri
+      val it = fs.listFiles(root, true)
+      val files = ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+        val hidden = rel.split('/')
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (f.isFile && !hidden) files += f.getPath.toString
+      }
+      files.sorted.toSeq
+    }
+  }
+
+  /** The session's Hadoop configuration as serializable pairs — the
+    * executor-side readers must open files with the session's
+    * spark.hadoop.* credentials/endpoints, not a bare default config.
+    */
+  def sessionConfProps(): Array[(String, String)] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val it = conf.iterator()
+    val buf = ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.toArray
+  }
 }
 
 class TleTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-tle:$path"
   override def schema(): StructType = TleSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TleScanBuilder(path)
 }
@@ -84,43 +124,77 @@ class TleScan(path: String, required: StructType) extends Scan with Batch {
   override def description(): String =
     s"graft-tle $path, columns=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side listing with the session's Hadoop conf
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) Array.empty
-    else {
-      val rootUri = fs.makeQualified(root).toUri
-      val it = fs.listFiles(root, true)
-      val files = ArrayBuffer.empty[TleFilePartition]
-      while (it.hasNext) {
-        val f = it.next()
-        // exclude hidden/temp paths at ANY depth under the root — a
-        // crashed writer's _temporary/... leftovers must not be data
-        // (same rule as Spark's InMemoryFileIndex)
-        val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
-        val hidden = rel.split('/')
-          .exists(c => c.startsWith("_") || c.startsWith("."))
-        if (f.isFile && !hidden)
-          files += TleFilePartition(f.getPath.toString)
-      }
-      files.sortBy(_.file).toArray[InputPartition]
-    }
+  override def planInputPartitions(): Array[InputPartition] =
+    TleSource.listDataFiles(path).map(TleFilePartition)
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TleReaderFactory(required.fieldNames, TleSource.sessionConfProps())
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TleMicroBatchStream(path, required)
+}
+
+/** Streaming form of the landing-zone read — the reference's poll loop
+  * (fetch → land → parse, `/root/reference/script.py:100-177`) as a
+  * Structured Streaming source: each micro-batch picks up landing
+  * files that appeared since the last batch; records stream through
+  * the same per-file triple assembly as the batch scan.
+  *
+  * Offset model: the offset IS the sorted set of files already
+  * processed (one JSON array). Robust to out-of-order file names —
+  * a late writer whose file sorts before already-seen names is still
+  * new-set-minus-old-set — and immune to clock skew (no modtime
+  * watermark). The offset grows with the landing directory; landing
+  * zones are pruned after warehouse commit by contract (K2-K4 move
+  * records out), which bounds it. Files are immutable once landed
+  * (writers write to `_tmp` then rename), so `commit` is a no-op.
+  */
+class TleMicroBatchStream(path: String, required: StructType)
+  extends MicroBatchStream {
+
+  private def snapshot(): TleFileSetOffset =
+    TleFileSetOffset(TleSource.listDataFiles(path))
+
+  override def initialOffset(): Offset = TleFileSetOffset(Seq.empty)
+  override def latestOffset(): Offset = snapshot()
+  override def deserializeOffset(json: String): Offset =
+    TleFileSetOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[TleFileSetOffset].files.toSet
+    end.asInstanceOf[TleFileSetOffset].files
+      .filterNot(seen).map(TleFilePartition).toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // executors must read with the SESSION'S Hadoop settings
-    // (spark.hadoop.* credentials/endpoints), not a bare default
-    // Configuration — ship the properties as serializable pairs
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val props = {
-      val it = conf.iterator()
-      val buf = ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-      buf.toArray
-    }
-    new TleReaderFactory(required.fieldNames, props)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TleReaderFactory(required.fieldNames, TleSource.sessionConfProps())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = the sorted list of data files already in the stream.
+  * (De)serialized with Jackson (ships with Spark) so arbitrary path
+  * characters round-trip.
+  */
+case class TleFileSetOffset(files: Seq[String]) extends Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    files.foreach(arr.add)
+    m.writeValueAsString(arr)
+  }
+}
+
+object TleFileSetOffset {
+  def fromJson(json: String): TleFileSetOffset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(json)
+    val buf = ArrayBuffer.empty[String]
+    val it = node.elements()
+    while (it.hasNext) buf += it.next().asText()
+    TleFileSetOffset(buf.toSeq)
   }
 }
 

@@ -64,6 +64,36 @@ class TleSourceSpec extends SparkSpec {
     assert(df.select("sat_name").distinct().count() === 20)
   }
 
+  test("micro-batch stream picks up only new files per batch, resumes from checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-tlestream-").toString
+    val ckp = Files.createTempDirectory("graft-tlestream-ckp-").toString
+    write(dir, "part-0.txt", "SAT-A\n1 A1\n2 A2\nSAT-B\n1 B1\n2 B2\n")
+
+    val out = Files.createTempDirectory("graft-tlestream-out-").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-tle").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(out)
+      .as[(String, String, String)].collect().toSet
+    assert(first === Set(("SAT-A", "1 A1", "2 A2"), ("SAT-B", "1 B1", "2 B2")))
+
+    // a new file lands — a restart from the SAME checkpoint must emit
+    // only its records (part-0 is in the committed offset), even though
+    // its name sorts BEFORE the already-seen file
+    write(dir, ".hidden.txt", "ignored hidden file\n1 X\n2 X\n")
+    write(dir, "another-1.txt", "SAT-C\n1 C1\n2 C2\n")
+    runOnce()
+    val second = spark.read.parquet(out)
+      .as[(String, String, String)].collect().toSet
+    assert(second === first + (("SAT-C", "1 C1", "2 C2")))
+  }
+
   test("empty and missing directories yield empty frames, not errors") {
     val dir = Files.createTempDirectory("graft-tlesrc5-").toString
     assert(spark.read.format("graft-tle").load(dir).count() === 0)
