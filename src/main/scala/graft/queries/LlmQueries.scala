@@ -563,8 +563,12 @@ object LlmQueries extends QueryPack {
           .select(col("doc_id"), col("lang"),
             TextFunctions.qualityScore(col("text")).as("quality"))
           .localCheckpoint()
-        val cuts = scored.groupBy("lang")
-          .agg(expr("percentile(quality, 0.1)").as("p10"))
+        // exact percentile from the VALUE HISTOGRAM (quality is on a
+        // rounded 1e-6 grid): bounded aggregate state, unlike Spark's
+        // percentile() which buffers every row's value per group —
+        // interpolation is bit-identical (StatsSpec), oracle unchanged
+        val cuts = graft.ext.Stats.percentileDiscrete(
+          scored, Seq("lang"), "quality", 0.1, as = "p10")
         scored.join(broadcast(cuts), "lang")
           .select(col("doc_id"), col("lang"), col("quality"),
             round(col("p10"), 6).as("p10"),
