@@ -34,7 +34,9 @@ class WarehouseMergeSpec extends SparkSpec {
     val root = Paths.get(dir)
     if (!Files.exists(root)) Map.empty
     else Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
       .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
       .toMap
   }
@@ -117,5 +119,48 @@ class WarehouseMergeSpec extends SparkSpec {
       Seq("norad_id", "epoch_utc"))
     assert(listFiles(s"$dir/fact_telemetry") === before)
     assert(wh.read("fact_telemetry").count() === 2)
+  }
+
+  test("compact merges a fragmented partition, leaves tidy ones untouched") {
+    val dir = Files.createTempDirectory("graft-compact-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    // day 1: five separate appends → five files in one partition dir;
+    // day 2: one append → already compact
+    (1 to 5).foreach(_ => wh.append("fact_telemetry",
+      mkBase(Seq(1)).repartition(1)))
+    wh.append("fact_telemetry", mkBase(Seq(2)).repartition(1))
+    val before = wh.read("fact_telemetry").collect().toSet
+    val tidyBefore = listFiles(s"$dir/fact_telemetry/epoch_date=2026-01-02")
+    assert(listFiles(s"$dir/fact_telemetry/epoch_date=2026-01-01").size === 5)
+
+    val (nParts, filesBefore, filesAfter) = wh.compact("fact_telemetry")
+    assert(nParts === 1) // only the fragmented day rewrites
+    assert(filesBefore === 5L && filesAfter === 1L)
+    assert(listFiles(s"$dir/fact_telemetry/epoch_date=2026-01-01").size === 1)
+    // tidy partition byte-untouched (same files, same mtimes)
+    assert(listFiles(s"$dir/fact_telemetry/epoch_date=2026-01-02") === tidyBefore)
+    // content identical
+    assert(wh.read("fact_telemetry").collect().toSet === before)
+    // re-running is a no-op
+    assert(wh.compact("fact_telemetry") === ((0, 0L, 0L)))
+  }
+
+  test("compact bin-packs an unpartitioned table") {
+    val dir = Files.createTempDirectory("graft-compact-flat-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    val rows = Seq(
+      (java.sql.Date.valueOf("2026-01-01"), 100.0),
+      (java.sql.Date.valueOf("2026-01-02"), 101.0),
+      (java.sql.Date.valueOf("2026-01-03"), 102.0))
+      .toDF("date_utc", "f10_7_flux")
+    (0 until 3).foreach(i =>
+      wh.append("fact_space_weather", rows.where(col("f10_7_flux") === 100.0 + i)
+        .repartition(1)))
+    val before = wh.read("fact_space_weather").collect().toSet
+    val (nParts, fb, fa) = wh.compact("fact_space_weather")
+    assert(nParts === 1 && fb === 4L && fa === 1L) // 3 appends + bootstrap seed
+    assert(wh.read("fact_space_weather").collect().toSet === before)
   }
 }
