@@ -169,6 +169,29 @@ object NearDup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Cross-document REPEATED SPANS — the exact-substring rung of the
+    * dedup ladder (the published form trains a suffix array over the
+    * corpus; the distributed shape is a span-grained inverted index):
+    * every n-token window that appears in ≥ `minDocs` DISTINCT
+    * documents, with its document frequency and an id range of the
+    * docs carrying it. Downstream, spans with high df are boilerplate
+    * to cut or memorization hazards to audit.
+    *
+    * Scale: one shuffle on the span (map-side partial aggregation
+    * collapses within-doc repeats first via the distinct posting set);
+    * n is large (20–50 tokens published), so true collisions are rare
+    * and posting lists stay short — no self-join anywhere, unlike the
+    * pairwise operators above.
+    */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long = 2L): DataFrame =
+    postings(docs, idCol, textCol, n) // distinct (doc, span): df counts DOCS
+      .withColumnRenamed("_sh", "span")
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_id")).as("min_doc"), max(col("_id")).as("max_doc"))
+      .where(col("n_docs") >= minDocs)
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise similarity output (`jaccardPairs`, `minhashLshPairs`,
     * `Similarity.cosineNearDupPairs`) into dedup GROUPS: every document

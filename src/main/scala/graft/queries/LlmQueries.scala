@@ -1136,6 +1136,34 @@ object LlmQueries extends QueryPack {
         SELECT d.doc_id, d.source, d.lang
         FROM documents d JOIN cuts USING (source)
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8) < cut
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- q71: CROSS-DOC REPEATED SPANS — the exact-substring rung of
+    // the dedup ladder (suffix-array dedup's distributed shape): every
+    // 12-token window in ≥2 distinct docs, with document frequency and
+    // carrier range. One shuffle on the span, no self-join — posting
+    // lists at this n are near-unique, unlike 3-gram shingles. ----
+    Q("q71_docs_repeated_spans",
+      (s, dir) => {
+        val docs = withNearDups(fan(t(s, dir, "documents")))
+        NearDup.crossDocSpans(docs, "doc_id", "text", n = 12, minDocs = 2)
+          .orderBy("span")
+      },
+      Some {
+        val spanConcat = (0 until 12).map(o => s"tk[i+$o]")
+          .mkString(" || ' ' || ")
+        s"""
+        WITH u AS ($nearDupUnionSql),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM u),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 10, 1)),
+                 i -> $spanConcat)) AS t(sh))
+        SELECT sh AS span, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM post GROUP BY sh HAVING count(*) >= 2 ORDER BY span"""
+      })
   )
 }

@@ -297,6 +297,20 @@ class ExtSpec extends SparkSpec {
     assert(again === out.select("id").as[Long].collect().toSet)
   }
 
+  test("crossDocSpans counts documents, not occurrences") {
+    val d = Seq(
+      (1L, "a b c d a b c d"), // span "a b c" twice WITHIN one doc
+      (2L, "x a b c d y"),
+      (3L, "nothing shared here at all now")).toDF("doc_id", "text")
+    // within-doc repetition must not inflate df: "a b c" df=2 (docs 1,2)
+    val rows = NearDup.crossDocSpans(d, "doc_id", "text", 3, 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows("a b c") === ((2L, 1L, 2L)))
+    assert(rows("b c d") === ((2L, 1L, 2L)))
+    assert(!rows.contains("c d a")) // only in doc 1
+  }
+
   test("int8 quantization: zero guard, bounds, dequantized top-k recall") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (scale, q) = Similarity.quantizeInt8(col("embedding"))
