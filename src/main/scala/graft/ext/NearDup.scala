@@ -93,6 +93,15 @@ object NearDup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64): DataFrame = {
+    // wrapping Long arithmetic is the POINT of the CW family — under
+    // ANSI mode the i·h2 multiply would throw on ~every row instead.
+    // The library pins ANSI off session-wide (GraftSession) for the
+    // reference's null-on-failure cast contract; fail fast, not mid-job,
+    // if someone runs this one operator on a stock ANSI session.
+    require(!docs.sparkSession.conf.get("spark.sql.ansi.enabled", "false")
+        .toBoolean,
+      "minhashSignatures needs spark.sql.ansi.enabled=false " +
+        "(wrapping 64-bit hash arithmetic); use GraftSession")
     val aggs = (0 until numHashes).map(i =>
       min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_h$i"))
     postings(docs, idCol, textCol, n)

@@ -37,8 +37,12 @@ object Stats {
     require(p >= 0.0 && p <= 1.0, s"percentile must be in [0,1], got $p")
     require(groups.nonEmpty, "grouped form requires group columns")
     val g = groups.map(col)
-    val hist = df.where(col(valueCol).isNotNull)
-      .groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("_c"))
+    // histogram INCLUDING the null value row, so groups whose values
+    // are all null still exist downstream — percentile() emits them
+    // with a null result, and a drop-in replacement must too
+    val hist0 = df.groupBy(g :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("_c"))
+    val hist = hist0.where(col(valueCol).isNotNull)
     val totals = hist.groupBy(g: _*).agg(sum("_c").as("_n"))
     val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
     // Spark Percentile semantics: 0-based pos = p·(N−1); lower/higher
@@ -49,7 +53,7 @@ object Stats {
     def valueAt(idx: Column): Column =
       min(when(col("_cum") > idx && (col("_cum") - col("_c")) <= idx,
         col(valueCol)))
-    hist
+    val perGroup = hist
       .withColumn("_cum", sum("_c").over(w))
       .join(broadcast(totals), groups)
       .groupBy(g: _*)
@@ -62,5 +66,9 @@ object Stats {
         when(col("_whi") === 0.0, col("_vlo"))
           .otherwise(col("_wlo") * col("_vlo") + col("_whi") * col("_vhi"))
           .as(as): _*)
+    // re-attach groups with no non-null value (absent from hist) as
+    // null-percentile rows; the group list comes from the histogram
+    // frame, not another scan of df
+    hist0.select(g: _*).distinct().join(perGroup, groups, "left")
   }
 }

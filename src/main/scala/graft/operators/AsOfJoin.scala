@@ -130,8 +130,27 @@ object AsOfJoin {
       salts: Int = 8): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
     val saltCol = "_graft_salt"
+    // salt from a hash of the WHOLE left row, not just the time: hot
+    // keys routinely carry coarse/batch-stamped timestamps (millions of
+    // rows at one epoch), and a time-only salt would put them all in
+    // one bucket — paying the right-side replication for zero spread.
+    // Only fully identical rows still collide, and those are the same
+    // work anyway. Deterministic per row content across runs/retries.
+    // (Map columns are not hashable in Spark — skip them; every other
+    // type participates.)
+    val hashable = left.schema.fields.filter { f =>
+      def ok(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType => ok(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(x => ok(x.dataType))
+        case _ => true
+      }
+      ok(f.dataType)
+    }.map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty, "salted as-of: no hashable left columns")
     val l = left.withColumn(saltCol,
-      pmod(xxhash64(col(timeCol)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(hashable: _*), lit(salts.toLong)).cast("int"))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     asof(l, r, keys :+ saltCol, timeCol, payload, prefix).drop(saltCol)

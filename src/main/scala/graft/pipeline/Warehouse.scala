@@ -170,68 +170,64 @@ class Warehouse(spark: SparkSession, dir: String) {
       rowsPerFile: Long = 0): (Int, Long, Long) = {
     import org.apache.spark.sql.functions.{col, lit}
     val parts = partitioning(name)
-    val root = new org.apache.hadoop.fs.Path(path(name))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (0, 0L, 0L)
-    val rootUri = fs.makeQualified(root).toUri
-    // leaf data files grouped by partition directory (relative path)
-    val files = {
-      val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
-        val comps = rel.split('/')
-        if (f.isFile && !comps.exists(c => c.startsWith("_") || c.startsWith(".")))
-          buf += (comps.init.mkString("/") -> f.getLen)
-      }
-      buf.toSeq.groupBy(_._1)
-    }
-    val fragmented = files.filter { case (_, fl) =>
+    // leaf data files grouped by partition directory (relative path);
+    // the hidden/temp rule is the shared FsListing one
+    def byDir(): Map[String, Seq[(String, Long)]] =
+      graft.util.FsListing.dataFiles(path(name))
+        .groupBy { case (rel, _) => rel.split('/').init.mkString("/") }
+    val fragmented = byDir().filter { case (_, fl) =>
       val ideal = math.max(1L, (fl.map(_._2).sum + targetBytes - 1) / targetBytes)
       fl.size > ideal
     }
     if (fragmented.isEmpty) return (0, 0L, 0L)
     val before = fragmented.values.map(_.size.toLong).sum
-    // partition predicate from the k=v directory names (null partitions
-    // land in Hive's default-partition dir)
+    val bytes = fragmented.values.map(_.map(_._2).sum).sum
+    // partition predicate from the k=v directory names — decoded with
+    // Hive's OWN unescaping (URLDecoder is not its inverse: it would
+    // turn a literal '+' into a space and throw on a bare '%'); null
+    // partitions land in Hive's default-partition dir
     val pruned = parts match {
       case Nil => read(name)
       case cols =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         val preds = fragmented.keys.toSeq.map { dir =>
           dir.split('/').zip(cols).map { case (comp, c) =>
-            val v = java.net.URLDecoder.decode(
-              comp.stripPrefix(s"$c="), "UTF-8")
-            if (v == "__HIVE_DEFAULT_PARTITION__") col(c).isNull
+            val v = ExternalCatalogUtils.unescapePathName(
+              comp.stripPrefix(s"$c="))
+            if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+              col(c).isNull
             else col(c) <=> lit(v).cast(tables(name)(c).dataType)
           }.reduce(_ && _)
         }
         read(name).where(preds.reduce(_ || _))
     }
     val materialized = pruned.localCheckpoint() // reads files the write replaces
+    // honor targetBytes in BOTH layouts: the partitioned branch writes
+    // one task per partition dir, so oversized partitions are split by
+    // maxRecordsPerFile — estimated from the measured bytes-per-row of
+    // the data being rewritten when the caller didn't pin rowsPerFile
+    // (count is metadata-cheap on the checkpointed frame)
+    val effRows =
+      if (rowsPerFile > 0) rowsPerFile
+      else {
+        val n = materialized.count()
+        if (n == 0) 0L else math.max(1L, targetBytes * n / math.max(bytes, 1L))
+      }
     val clustered = parts match {
       case Nil =>
-        val bytes = fragmented.values.head.map(_._2).sum
         materialized.coalesce(
           math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
       case cols => materialized.repartition(cols.map(col): _*)
     }
     val w0 = clustered.write.mode("overwrite")
-    val w1 = if (rowsPerFile > 0) w0.option("maxRecordsPerFile", rowsPerFile)
-             else w0
+    val w1 = if (effRows > 0) w0.option("maxRecordsPerFile", effRows) else w0
     (parts match {
       case Nil => w1
       case cols => w1.option("partitionOverwriteMode", "dynamic")
         .partitionBy(cols: _*)
     }).parquet(path(name))
-    // post-count over the rewritten directories
-    val after = fragmented.keys.toSeq.map { dir =>
-      val p = if (dir.isEmpty) root else new org.apache.hadoop.fs.Path(root, dir)
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).count(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".")).toLong
-    }.sum
+    val after = byDir().filter { case (d, _) => fragmented.contains(d) }
+      .values.map(_.size.toLong).sum
     (fragmented.size, before, after)
   }
 }

@@ -1108,7 +1108,7 @@ object LlmQueries extends QueryPack {
     // sources drop (a mixture DECLARES its parts). ----
     Q("q69_docs_mixture_rebalance",
       (s, dir) => {
-        Sampling.rebalance(t(s, dir, "documents"), "doc_id", "source",
+        Sampling.rebalance(fan(t(s, dir, "documents")), "doc_id", "source",
             Seq("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0,
               "src3" -> 0.5), salt = "mix")
           .select("doc_id", "source", "lang")

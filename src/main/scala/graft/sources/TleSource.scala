@@ -62,28 +62,14 @@ object TleSource {
     StructField("l1", StringType),
     StructField("l2", StringType)))
 
-  /** Driver-side listing of data files under `path`, excluding
-    * hidden/temp components at any depth (a crashed writer's
-    * `_temporary/...` leftovers must not be data — same rule as
-    * Spark's InMemoryFileIndex). Sorted for deterministic planning.
+  /** Driver-side listing of data files under `path` (absolute paths,
+    * sorted) — the shared hidden/temp-aware rule lives in
+    * [[graft.util.FsListing]].
     */
   def listDataFiles(path: String): Seq[String] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) Seq.empty
-    else {
-      val rootUri = fs.makeQualified(root).toUri
-      val it = fs.listFiles(root, true)
-      val files = ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val f = it.next()
-        val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
-        val hidden = rel.split('/')
-          .exists(c => c.startsWith("_") || c.startsWith("."))
-        if (f.isFile && !hidden) files += f.getPath.toString
-      }
-      files.sorted.toSeq
+    val sep = if (path.endsWith("/")) "" else "/"
+    graft.util.FsListing.dataFiles(path).map { case (rel, _) =>
+      s"$path$sep$rel"
     }
   }
 

@@ -44,6 +44,14 @@ class StatsSpec extends SparkSpec {
     assert(got === 2.0) // interpolated midpoint of {1, 3}
   }
 
+  test("emits all-null groups with a null percentile, like percentile()") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val got = Stats.percentileDiscrete(df, Seq("g"), "v", 0.5)
+      .as[(String, Option[Double])].collect().toMap
+    assert(got === Map("a" -> Some(1.0), "b" -> None))
+  }
+
   test("aggregate state is the histogram, not the row set") {
     // 10k rows, 3 distinct values: the window input after the first
     // aggregation must be 3 rows per group, proving bounded state
