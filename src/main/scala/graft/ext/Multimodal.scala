@@ -167,4 +167,66 @@ object Multimodal {
       octet_length(col("content")).as("n_bytes"),
       md5(col("content")).as("content_md5"),
       (octet_length(col("content")) % 44100).as("fake_rate"))
+
+  /** Audio codec: real WAV/AIFF/AU decode via the JDK-native
+    * `javax.sound.sampled` (header + PCM stats), with the same
+    * deterministic byte-derived fallback contract as [[Codec]] for
+    * formats the JDK can't demux (mp3/ogg/video) — the plumbing treats
+    * every payload identically either way.
+    */
+  object AudioCodec {
+    final case class Features(
+        sampleRate: Int, channels: Int, frames: Long, meanAbs: Double,
+        decoded: Boolean)
+
+    def decode(bytes: Array[Byte]): Features = {
+      val safe = if (bytes == null) Array.emptyByteArray else bytes
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(safe))
+        catch { case _: Exception => null } // not JDK-decodable audio
+      if (in != null) {
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        // mean |sample| for 16-bit PCM (the WAV norm); byte mean else
+        val meanAbs =
+          if (fmt.getSampleSizeInBits == 16 && data.length >= 2) {
+            val le = !fmt.isBigEndian
+            var sum = 0.0; var i = 0
+            while (i + 1 < data.length) {
+              val lo = data(if (le) i else i + 1) & 0xff
+              val hi = data(if (le) i + 1 else i)
+              sum += math.abs((hi << 8) | lo); i += 2
+            }
+            sum / (data.length / 2)
+          } else if (data.isEmpty) 0.0
+          else data.map(b => (b & 0xff).toDouble).sum / data.length
+        Features(fmt.getSampleRate.toInt, fmt.getChannels,
+          in.getFrameLength, meanAbs, decoded = true)
+      } else {
+        val n = safe.length
+        Features(sampleRate = 8000 + n % 36000, channels = 1 + n % 2,
+          frames = n / 4L,
+          meanAbs =
+            if (n == 0) 0.0 else safe.map(b => (b & 0xff).toDouble).sum / n,
+          decoded = false)
+      }
+    }
+  }
+
+  /** Per-partition batched audio decode — same carrier shape as
+    * [[decodeFeatures]]: embarrassingly parallel, no shuffle.
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val f = AudioCodec.decode(bytes)
+        (id, f.sampleRate, f.channels, f.frames, f.meanAbs, f.decoded)
+      })
+      .toDF("media_id", "sample_rate", "channels", "frames", "mean_abs",
+        "decoded")
+  }
 }

@@ -205,6 +205,39 @@ class ExtSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("decoded"))
   }
 
+  test("audio codec really decodes WAV payloads via javax.sound") {
+    // deterministic 100-frame 16-bit mono 8 kHz WAV, built in memory:
+    // samples 0, ±1000 alternating → known mean |sample|
+    val n = 100
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s: Short = if (i % 2 == 0) 1000 else -1000
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    val f = Multimodal.AudioCodec.decode(wav)
+    assert(f.decoded, "WAV bytes must take the real javax.sound path")
+    assert(f.sampleRate === 8000 && f.channels === 1 && f.frames === n.toLong)
+    assert(math.abs(f.meanAbs - 1000.0) < 1e-9)
+
+    // distributed path + fallback for non-audio bytes
+    val media = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeAudioFeatures(media)
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Boolean]("decoded") &&
+      out(0).getAs[Long]("frames") == n.toLong)
+    assert(!out(1).getAs[Boolean]("decoded"))
+  }
+
   test("resize and frame sampling keep batch shape and determinism") {
     val media = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
