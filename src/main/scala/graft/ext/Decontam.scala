@@ -36,26 +36,30 @@ object Decontam {
     */
   def overlap(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    // ONE pass over the corpus: shingle once, carry the doc's distinct
-    // shingle count through the explode (Generate preserves the child
-    // projection, so the array is built once per row, not re-inlined
-    // into both size() and explode())
-    val docSh = corpus
-      .select(col(idCol),
-        array_distinct(TextFunctions.shingles(col(textCol), n)).as("_shs"))
-      .select(col(idCol),
-        size(col("_shs")).cast("long").as("n_shingles"),
-        explode(col("_shs")).as("_sh"))
+    // Two deliberate corpus branches, each building the shingle array
+    // ONCE per row. The tempting "single pass" — project the array,
+    // then select size(arr) alongside explode(arr) — is a trap: the
+    // optimizer collapses the projection into the Generate and rewrites
+    // size() through it, re-evaluating the whole tokenize+shingle
+    // pipeline once per EXPLODED row (~n_shingles× per doc; measured
+    // 2.2s → 16.7s at sf0.1). Two row-wise branches beat one
+    // shingle-wise one by an order of magnitude.
+    val docSh = corpus.select(col(idCol),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+        .as("_sh"))
     val benchSh = bench
       .select(explode(array_distinct(
         TextFunctions.shingles(col(benchTextCol), n))).as("_sh"))
       .distinct()
-    docSh.join(broadcast(benchSh), "_sh") // only docs with ≥1 hit survive
-      .groupBy(col(idCol), col("n_shingles"))
-      .agg(count(lit(1)).as("n_hit"))
+    val hits = docSh.join(broadcast(benchSh), "_sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    corpus
+      .select(col(idCol),
+        size(array_distinct(TextFunctions.shingles(col(textCol), n)))
+          .cast("long").as("n_shingles"))
+      .join(hits, idCol) // inner: only docs with ≥1 hit surface
       .withColumn("overlap",
         round(col("n_hit").cast("double") /
           col("n_shingles").cast("double"), 6))
-      .select(col(idCol), col("n_shingles"), col("n_hit"), col("overlap"))
   }
 }
