@@ -46,6 +46,13 @@ object NearDup {
     *   postings self-join on shingle (id1 < id2) → per-pair intersection
     *   count → |A∪B| from per-doc distinct counts → J = i / (|A|+|B|-i).
     *
+    * This direct form wins when shingle frequencies are flat (mostly
+    * unique shingles — prose corpora): one self-join shuffle, no
+    * per-doc array state. When frequencies are SKEWED (boilerplate,
+    * templates), its posting lists go quadratic — switch to
+    * [[jaccardPairsPrefix]], which is measured faster there and
+    * identical in output.
+    *
     * @param maxShingleFreq drop shingles appearing in more docs than
     *   this (0 = keep all). At scale, ultra-frequent shingles are
     *   boilerplate that blows up the self-join quadratically while
@@ -72,6 +79,77 @@ object NearDup {
     inter
       .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz1") + col("sz2") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("n_common"),
+        col("sz1"), col("sz2"), col("jaccard"))
+  }
+
+  /** [[jaccardPairs]] with PREFIX-FILTERED candidate generation (the
+    * AllPairs/PPJoin family) + exact verification — same output, built
+    * for SKEWED shingle-frequency corpora (boilerplate/templates) where
+    * the direct self-join goes quadratic. Only each doc's rarest
+    * |d| − ⌈t·|d|⌉ + 1 shingles enter the self-join; provably no
+    * qualifying pair is lost (proof sketch inline). Costs two extra
+    * shuffles (global frequency + per-doc collect) — on flat-frequency
+    * corpora the direct form is faster; measured q48 (freq-cut mode)
+    * 2.8s → 1.3s here vs q31 (flat) 2.9s → 13s, hence two operators.
+    *
+    * @param maxShingleFreq as in [[jaccardPairs]]: pre-drop shingles in
+    *   more docs than this from intersections AND sizes (0 = keep all)
+    */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8,
+      maxShingleFreq: Long = 0): DataFrame = {
+    val post = postings(docs, idCol, textCol, n)
+    val freq = post.groupBy("_sh").agg(count(lit(1)).as("_f"))
+    val filtered = post.join(
+      if (maxShingleFreq <= 0) freq else freq.where(col("_f") <= maxShingleFreq),
+      "_sh")
+    // PREFIX FILTERING (AllPairs/PPJoin): sort each doc's shingles by
+    // global rarity — (corpus frequency, shingle) is a consistent total
+    // order — and self-join only the first |d| − ⌈t·|d|⌉ + 1 of each.
+    // EXACT, no recall loss: J(A,B) ≥ t forces ≥ ⌈t·|A|⌉ common
+    // shingles, so the rarest common one cannot hide in the ⌈t·|A|⌉−1
+    // suffix of either side — every qualifying pair collides on a
+    // prefix shingle. Probe lists shrink to the RAREST shingles (the
+    // boilerplate that made the naive self-join quadratic sits in the
+    // suffixes), then candidates verify exactly on the full arrays.
+    // The 1e-9 slack keeps fp ceil from ROUNDING UP past the exact
+    // ⌈t·|d|⌉ (a too-long prefix only adds candidates; a short one
+    // would lose pairs).
+    val docArr = filtered.groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_f"), col("_sh")))).as("_fs"))
+      .select(col("_id"),
+        transform(col("_fs"), x => x.getField("_sh")).as("_shs"),
+        size(col("_fs")).cast("long").as("_sz"))
+      .localCheckpoint() // feeds probe AND verify; also fences the
+                         // slice/explode below from re-inlining the
+                         // transform once per exploded row
+    val plen = (col("_sz") -
+      ceil(lit(minJaccard) * col("_sz").cast("double") - lit(1e-9)) + 1)
+      .cast("int")
+    val prefix = docArr.select(col("_id"), col("_sz"),
+      explode(slice(col("_shs"), lit(1), plen)).as("_sh"))
+    // symmetric length filter (J ≥ t ⇒ |B| ≥ t·|A| and |A| ≥ t·|B|)
+    // prunes size-mismatched collisions before the distinct
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a._sh") === col("b._sh") && col("a._id") < col("b._id") &&
+          col("b._sz").cast("double") >=
+            lit(minJaccard) * col("a._sz").cast("double") - lit(1e-9) &&
+          col("a._sz").cast("double") >=
+            lit(minJaccard) * col("b._sz").cast("double") - lit(1e-9))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      .distinct()
+    cand
+      .join(docArr.select(col("_id").as("id1"),
+        col("_shs").as("shs1"), col("_sz").as("sz1")), "id1")
+      .join(docArr.select(col("_id").as("id2"),
+        col("_shs").as("shs2"), col("_sz").as("sz2")), "id2")
+      .withColumn("n_common",
+        size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz1") + col("sz2") - col("n_common")).cast("double"))

@@ -147,7 +147,9 @@ object LlmQueries extends QueryPack {
     Q("q48_docs_jaccard_freqcut",
       (s, dir) => {
         val docs = withNearDups(fan(t(s, dir, "documents")))
-        NearDup.jaccardPairs(docs, "doc_id", "text",
+        // the prefix-filtered (AllPairs) form: the freq-cut mode is
+        // exactly the skewed-frequency regime it is built for
+        NearDup.jaccardPairsPrefix(docs, "doc_id", "text",
             n = 3, minJaccard = 0.6, maxShingleFreq = 4)
           .select(col("id1"), col("id2"),
             col("n_common").cast("long").as("n_common"),

@@ -330,6 +330,27 @@ class ExtSpec extends SparkSpec {
     assert(again === out.select("id").as[Long].collect().toSet)
   }
 
+  test("prefix-filtered Jaccard equals the direct form exactly") {
+    // boilerplate-heavy corpus: shared template prefix + tiny unique
+    // tails — the skewed regime the prefix form targets — plus the
+    // planted near-dup mutants
+    val boiler = (0L until 60L).map(i =>
+      (i, s"shared template header words repeated across all docs tail$i " +
+        s"extra${i % 7} unique${i % 3}"))
+      .toDF("doc_id", "text")
+    for ((corpus, t) <- Seq((boiler, 0.45), (docs, 0.5))) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), math.round(r.getDouble(5) * 1e9))
+      val direct = NearDup.jaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val prefixed = NearDup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(prefixed === direct)
+      assert(direct.nonEmpty)
+    }
+  }
+
   test("crossDocSpans counts documents, not occurrences") {
     val d = Seq(
       (1L, "a b c d a b c d"), // span "a b c" twice WITHIN one doc
