@@ -120,6 +120,10 @@ object AsOfJoin {
     * window form (it is not a join node to AQE) — salting is the
     * portable answer.
     */
+  /** @param useNative run the salted join through the native
+    *   whole-operator exec ([[native]]) instead of the composed window
+    *   form — same contract, the streaming-merge plan
+    */
   def salted(
       left: DataFrame,
       right: DataFrame,
@@ -127,7 +131,8 @@ object AsOfJoin {
       timeCol: String,
       payload: Seq[String],
       prefix: String = "asof_",
-      salts: Int = 8): DataFrame = {
+      salts: Int = 8,
+      useNative: Boolean = false): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
     val saltCol = "_graft_salt"
     // salt from a hash of the WHOLE left row, not just the time: hot
@@ -153,7 +158,10 @@ object AsOfJoin {
       pmod(xxhash64(hashable: _*), lit(salts.toLong)).cast("int"))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    asof(l, r, keys :+ saltCol, timeCol, payload, prefix).drop(saltCol)
+    val joined =
+      if (useNative) native(l, r, keys :+ saltCol, timeCol, payload, prefix)
+      else asof(l, r, keys :+ saltCol, timeCol, payload, prefix)
+    joined.drop(saltCol)
   }
 
   /** Same contract as [[asof]], executed by the native whole-operator

@@ -1166,6 +1166,55 @@ object LlmQueries extends QueryPack {
         SELECT sh AS span, CAST(count(*) AS BIGINT) AS n_docs,
                min(doc_id) AS min_doc, max(doc_id) AS max_doc
         FROM post GROUP BY sh HAVING count(*) >= 2 ORDER BY span"""
-      })
+      }),
+
+    // ---- q72: TOKENIZER VOCABULARY INDUCTION — per-language top-V
+    // tokens by occurrence count plus the coverage each vocab slot buys
+    // (count / total occurrences): the stats a BPE/vocab trainer reads
+    // off a corpus first. One shuffle to token counts (map-side
+    // combine), rank window over the per-lang COUNT table (vocab-
+    // bounded, not row-bounded), totals broadcast back. ----
+    Q("q72_docs_vocab_induction",
+      (s, dir) => {
+        val tok = fan(t(s, dir, "documents"))
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+        val counts = tok.groupBy("lang", "term")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("term").asc)
+        val totals = tok.groupBy("lang").agg(count(lit(1)).as("total"))
+        counts.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .join(broadcast(totals), "lang")
+          .select(col("lang"), col("rank").cast("long").as("rank"),
+            col("term"), col("n").cast("long").as("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("coverage"))
+          .orderBy("lang", "rank")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT lang, t.term FROM (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(lower(trim(text)), '\s+')
+                   END AS tk
+            FROM documents), UNNEST(tk) AS t(term)),
+        counts AS (
+          SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term),
+        ranked AS (
+          SELECT lang, term, n,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, term) AS rank
+          FROM counts),
+        totals AS (SELECT lang, count(*) AS total FROM tok GROUP BY lang)
+        SELECT r.lang, CAST(r.rank AS BIGINT) AS rank, r.term,
+               CAST(r.n AS BIGINT) AS n,
+               round(CAST(r.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                 AS coverage
+        FROM ranked r JOIN totals t USING (lang)
+        WHERE r.rank <= 5
+        ORDER BY r.lang, r.rank"""))
   )
 }

@@ -61,6 +61,9 @@ class AsOfNativeSpec extends SparkSpec {
     for (s <- Seq(2, 3, 8))
       assert(run(AsOfJoin.salted(left, right, Seq("k"), "t",
         Seq("t", "v"), salts = s)) == plain, s"salts=$s")
+    // and through the native whole-operator exec
+    assert(run(AsOfJoin.salted(left, right, Seq("k"), "t",
+      Seq("t", "v"), salts = 4, useNative = true)) == plain)
   }
 
   test("salted as-of agrees on a hot-key corpus and spreads the hot key") {
