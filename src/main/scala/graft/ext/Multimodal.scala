@@ -201,8 +201,15 @@ object Multimodal {
             sum / (data.length / 2)
           } else if (data.isEmpty) 0.0
           else data.map(b => (b & 0xff).toDouble).sum / data.length
+        // getFrameLength is NOT_SPECIFIED (-1) for unknown-length
+        // streams (legal AU headers); the PCM bytes are already fully
+        // read, so derive the count from them instead
+        val frames =
+          if (in.getFrameLength >= 0) in.getFrameLength
+          else if (fmt.getFrameSize > 0) data.length.toLong / fmt.getFrameSize
+          else data.length.toLong
         Features(fmt.getSampleRate.toInt, fmt.getChannels,
-          in.getFrameLength, meanAbs, decoded = true)
+          frames, meanAbs, decoded = true)
       } else {
         val n = safe.length
         Features(sampleRate = 8000 + n % 36000, channels = 1 + n % 2,

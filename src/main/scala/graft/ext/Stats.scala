@@ -43,8 +43,11 @@ object Stats {
     val hist0 = df.groupBy(g :+ col(valueCol): _*)
       .agg(count(lit(1)).as("_c"))
     val hist = hist0.where(col(valueCol).isNotNull)
-    val totals = hist.groupBy(g: _*).agg(sum("_c").as("_n"))
     val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    // group totals via a partition-total window, NOT a join: window
+    // partitioning groups null keys together (SQL group semantics),
+    // where an equi-join would silently drop null-keyed groups
+    val wp = Window.partitionBy(g: _*)
     // Spark Percentile semantics: 0-based pos = p·(N−1); lower/higher
     // bracket it; a histogram row holds indices [_cum−_c, _cum).
     val pos = lit(p) * (col("_n") - 1).cast("double")
@@ -55,7 +58,7 @@ object Stats {
         col(valueCol)))
     val perGroup = hist
       .withColumn("_cum", sum("_c").over(w))
-      .join(broadcast(totals), groups)
+      .withColumn("_n", sum("_c").over(wp))
       .groupBy(g: _*)
       .agg(
         valueAt(lowerIdx).as("_vlo"),
@@ -67,8 +70,13 @@ object Stats {
           .otherwise(col("_wlo") * col("_vlo") + col("_whi") * col("_vhi"))
           .as(as): _*)
     // re-attach groups with no non-null value (absent from hist) as
-    // null-percentile rows; the group list comes from the histogram
-    // frame, not another scan of df
-    hist0.select(g: _*).distinct().join(perGroup, groups, "left")
+    // null-percentile rows. Null-SAFE join condition: a null group KEY
+    // is a real group to percentile(), not a non-match.
+    val pg = perGroup.select(
+      groups.map(c => col(c).as(s"_pg_$c")) :+ col(as): _*)
+    val cond = groups.map(c => col(c) <=> col(s"_pg_$c")).reduce(_ && _)
+    hist0.select(g: _*).distinct()
+      .join(pg, cond, "left")
+      .select(g :+ col(as): _*)
   }
 }

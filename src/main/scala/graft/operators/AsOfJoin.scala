@@ -120,6 +120,32 @@ object AsOfJoin {
     * window form (it is not a join node to AQE) — salting is the
     * portable answer.
     */
+  /** The salt [[salted]] assigns a left row — exposed so tests pin the
+    * spread property against the IMPLEMENTATION'S hash, not a copy.
+    *
+    * A hash of the WHOLE row, not just the time: hot keys routinely
+    * carry coarse/batch-stamped timestamps (millions of rows at one
+    * epoch), and a time-only salt would put them all in one bucket —
+    * paying the right-side replication for zero spread. Only fully
+    * identical rows still collide, and those are the same work anyway.
+    * Deterministic per row content across runs/retries. (Map columns
+    * are not hashable in Spark — skipped; every other type counts.)
+    */
+  def saltOf(left: DataFrame, salts: Int): Column = {
+    val hashable = left.schema.fields.filter { f =>
+      def ok(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType => ok(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(x => ok(x.dataType))
+        case _ => true
+      }
+      ok(f.dataType)
+    }.map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty, "salted as-of: no hashable left columns")
+    pmod(xxhash64(hashable: _*), lit(salts.toLong)).cast("int")
+  }
+
   /** @param useNative run the salted join through the native
     *   whole-operator exec ([[native]]) instead of the composed window
     *   form — same contract, the streaming-merge plan
@@ -135,27 +161,7 @@ object AsOfJoin {
       useNative: Boolean = false): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
     val saltCol = "_graft_salt"
-    // salt from a hash of the WHOLE left row, not just the time: hot
-    // keys routinely carry coarse/batch-stamped timestamps (millions of
-    // rows at one epoch), and a time-only salt would put them all in
-    // one bucket — paying the right-side replication for zero spread.
-    // Only fully identical rows still collide, and those are the same
-    // work anyway. Deterministic per row content across runs/retries.
-    // (Map columns are not hashable in Spark — skip them; every other
-    // type participates.)
-    val hashable = left.schema.fields.filter { f =>
-      def ok(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case a: org.apache.spark.sql.types.ArrayType => ok(a.elementType)
-        case s: org.apache.spark.sql.types.StructType =>
-          s.fields.forall(x => ok(x.dataType))
-        case _ => true
-      }
-      ok(f.dataType)
-    }.map(f => col(f.name)).toSeq
-    require(hashable.nonEmpty, "salted as-of: no hashable left columns")
-    val l = left.withColumn(saltCol,
-      pmod(xxhash64(hashable: _*), lit(salts.toLong)).cast("int"))
+    val l = left.withColumn(saltCol, saltOf(left, salts))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     val joined =

@@ -29,13 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor division for longs (Spark's `/` on longs yields
-    * double, and integer `div` truncates toward zero for negatives;
-    * pmod makes the numerator exactly divisible, so the double division
-    * is exact below 2^53).
+  /** Exact floor division for longs across the FULL long range.
+    * pmod makes the numerator exactly divisible by w; the division
+    * runs in decimal(38,0) because a double quotient silently loses
+    * ulps above 2^53 (nanosecond epochs live there) and Spark's `/`
+    * on longs returns double. Integer `div` alone would also be wrong:
+    * it truncates toward zero for negatives.
     */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    ((c.cast("decimal(38,0)") - pmod(c, lit(w))) / lit(w))
+      .cast("long")
 
   /** Inner-join `points` (numeric `ptCol`) against `intervals`
     * (numeric `[loCol, hiCol]`, both inclusive). Output carries all

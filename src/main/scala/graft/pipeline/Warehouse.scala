@@ -136,14 +136,33 @@ class Warehouse(spark: SparkSession, dir: String) {
       // materialize BEFORE the overwrite: the plan reads the same files
       // the write below replaces
       .localCheckpoint()
+    overwriteClustered(name, merged)
+  }
+
+  /** The copy-on-write write tail shared by [[merge]] and [[compact]]:
+    * cluster by the partition columns (one task per touched partition
+    * dir) and swap in via dynamic partition overwrite; unpartitioned
+    * tables rewrite whole. One implementation so the two maintenance
+    * ops can't drift.
+    *
+    * @param rowsPerFile >0 caps rows per output file
+    * @param flatFiles   >0 coalesces an UNPARTITIONED rewrite to this
+    *                    many files (0 keeps the frame's partitioning)
+    */
+  private def overwriteClustered(name: String, df: DataFrame,
+      rowsPerFile: Long = 0, flatFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val parts = partitioning(name)
     val clustered = parts match {
-      case Nil => merged
-      case cols => merged.repartition(cols.map(col): _*)
+      case Nil => if (flatFiles > 0) df.coalesce(flatFiles) else df
+      case cols => df.repartition(cols.map(col): _*)
     }
-    val w = clustered.write.mode("overwrite")
+    val w0 = clustered.write.mode("overwrite")
+    val w1 = if (rowsPerFile > 0) w0.option("maxRecordsPerFile", rowsPerFile)
+             else w0
     (parts match {
-      case Nil => w
-      case cols => w.option("partitionOverwriteMode", "dynamic")
+      case Nil => w1
+      case cols => w1.option("partitionOverwriteMode", "dynamic")
         .partitionBy(cols: _*)
     }).parquet(path(name))
   }
@@ -213,19 +232,8 @@ class Warehouse(spark: SparkSession, dir: String) {
         val n = materialized.count()
         if (n == 0) 0L else math.max(1L, targetBytes * n / math.max(bytes, 1L))
       }
-    val clustered = parts match {
-      case Nil =>
-        materialized.coalesce(
-          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
-      case cols => materialized.repartition(cols.map(col): _*)
-    }
-    val w0 = clustered.write.mode("overwrite")
-    val w1 = if (effRows > 0) w0.option("maxRecordsPerFile", effRows) else w0
-    (parts match {
-      case Nil => w1
-      case cols => w1.option("partitionOverwriteMode", "dynamic")
-        .partitionBy(cols: _*)
-    }).parquet(path(name))
+    overwriteClustered(name, materialized, rowsPerFile = effRows,
+      flatFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
     val after = byDir().filter { case (d, _) => fragmented.contains(d) }
       .values.map(_.size.toLong).sum
     (fragmented.size, before, after)

@@ -1181,9 +1181,12 @@ object LlmQueries extends QueryPack {
             explode(TextFunctions.tokens(col("text"))).as("term"))
         val counts = tok.groupBy("lang", "term")
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // one token pass feeds BOTH rank and totals
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("n").desc, col("term").asc)
-        val totals = tok.groupBy("lang").agg(count(lit(1)).as("total"))
+        // totals from the vocab-bounded count table, not a second
+        // tokenize+explode pass over the corpus
+        val totals = counts.groupBy("lang").agg(sum("n").as("total"))
         counts.withColumn("rank", row_number().over(w))
           .where(col("rank") <= 5)
           .join(broadcast(totals), "lang")

@@ -79,9 +79,10 @@ class AsOfNativeSpec extends SparkSpec {
     val salted = AsOfJoin.salted(l, r, Seq("k"), "t", Seq("v"), salts = 8)
       .select($"lv", $"asof_v").as[(Long, Option[Long])].collect().toSet
     assert(salted == plain)
-    // the hot key's left rows really do land in distinct salt buckets
+    // the hot key's left rows really do land in distinct salt buckets —
+    // checked with the IMPLEMENTATION'S salt expression, not a copy
     val spread = l.where($"k" === "hot")
-      .select(pmod(xxhash64($"t"), lit(8L)).cast("int").as("s"))
+      .select(AsOfJoin.saltOf(l, 8).as("s"))
       .distinct().count()
     assert(spread == 8)
   }

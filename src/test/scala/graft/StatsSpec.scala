@@ -44,6 +44,17 @@ class StatsSpec extends SparkSpec {
     assert(got === 2.0) // interpolated midpoint of {1, 3}
   }
 
+  test("a NULL group key is a real group, like percentile()") {
+    val df = Seq((Option.empty[String], 1.0), (None, 3.0),
+      (Option("a"), 5.0)).toDF("g", "v")
+    val want = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .as[(Option[String], Double)].collect().toMap
+    val got = Stats.percentileDiscrete(df, Seq("g"), "v", 0.5)
+      .as[(Option[String], Double)].collect().toMap
+    assert(got === want) // null-keyed group carries its real 2.0, not null
+    assert(got(None) === 2.0)
+  }
+
   test("emits all-null groups with a null percentile, like percentile()") {
     val df = Seq(("a", Some(1.0)), ("b", None), ("b", None))
       .toDF("g", "v")
