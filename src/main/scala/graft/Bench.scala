@@ -41,10 +41,19 @@ object Bench {
       // wins the min, keeping failures visible in the output
       name -> math.min(a, b)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the single JSON line compact (~2 KB for
+    // 72 queries instead of ~4.5 KB of full-double digits): the r3 bench
+    // artifact was truncated by the driver's tail-capture window, losing
+    // the leading total. Totals stay first in the object; the whole line
+    // just has to fit.
+    def fmt(v: Double): String = {
+      val r = math.round(v * 1000).toDouble / 1000
+      if (r == 0.0 && v != 0.0) (if (v < 0) "-0.001" else "0.001") else r.toString
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,38 @@ object TleText {
     * one cheap bounds pass (min/max index of non-blank lines) plus a
     * re-index; both passes are distributed.
     */
-  def triples(spark: SparkSession, path: String): DataFrame = {
+  /** @param assumeAlignedFiles multi-file input is only sound when every
+    *   file holds a WHOLE number of triples (no record straddles a file
+    *   boundary — e.g. a landing writer that emits one full 3-line record
+    *   per text row). Callers that guarantee that may opt in; by default
+    *   multi-file directories are rejected, because global zipWithIndex
+    *   would silently align triples ACROSS file boundaries in listing
+    *   order. The per-file `graft-tle` DSv2 source is the general
+    *   multi-file path.
+    */
+  def triples(spark: SparkSession, path: String,
+      assumeAlignedFiles: Boolean = false): DataFrame = {
+    // Single-payload contract: the global zipWithIndex order is only the
+    // payload's line order when the input is ONE file (the reference
+    // fetches exactly one HTTP body, script.py:119).
+    if (!assumeAlignedFiles) {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val matched = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Nil)
+      val dataFiles = matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        else Seq(st)
+      }
+      require(dataFiles.size <= 1,
+        s"TleText.triples requires a single payload file; '$path' resolves " +
+          s"to ${dataFiles.size} files. Use spark.read.format(\"graft-tle\") " +
+          "for multi-file landing directories (per-file triple alignment), " +
+          "or pass assumeAlignedFiles=true if every file holds whole triples.")
+    }
     val indexed = spark.sparkContext.textFile(path).zipWithIndex()
     val bounds = indexed
       .filter { case (line, _) => line.trim.nonEmpty }
@@ -74,8 +105,9 @@ object TleText {
     * the job.
     */
   def records(spark: SparkSession, path: String,
-      fetchedAt: java.sql.Timestamp): DataFrame = {
-    val parsed = triples(spark, path)
+      fetchedAt: java.sql.Timestamp,
+      assumeAlignedFiles: Boolean = false): DataFrame = {
+    val parsed = triples(spark, path, assumeAlignedFiles)
       .withColumn("r", TleFunctions.tleParse(col("l1"), col("l2")))
       .where(col("r").isNotNull) // T5: null-then-drop
     parsed.select(

@@ -25,7 +25,12 @@ final case class PipelineConfig(
     warehouseDir: String,
     minRows: Long = 1,
     dedupHorizonDays: Int = 3,
-    chunkRows: Long = 1000) {
+    chunkRows: Long = 1000,
+    // Landing writers that emit one WHOLE 3-line record per text row may
+    // shard the TLE landing across files without breaking triple
+    // alignment; opt in here (see TleText.triples' contract). Default
+    // keeps the single-payload guard.
+    tleAlignedFiles: Boolean = false) {
   // F5 analog: the reference aborts when DATABASE_URL is unset
   // (script.py:101-103); here the warehouse target is the one config
   // whose absence must fail fast rather than misroute writes.
@@ -131,7 +136,8 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
       fetchedAt: Timestamp): PipelineRun = {
     warehouse.bootstrap()
     val weather = runWeather(noaaJsonPath)
-    val records = TleText.records(spark, tleTextPath, fetchedAt).persist()
+    val records = TleText.records(spark, tleTextPath, fetchedAt,
+      assumeAlignedFiles = cfg.tleAlignedFiles).persist()
     try {
       val parsed = records.count()
       // "No valid TLE records found" → skip both loads (script.py:132-134)

@@ -587,8 +587,10 @@ object TleQueries extends QueryPack {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q46-")
           .toString
         // run the pipeline twice, same inputs, batch-constant fetched_at
+        // the landing fixture writes one whole record per text row, so
+        // its multi-file shards are triple-aligned by construction
         val cfg = graft.pipeline.PipelineConfig(s"$tmp/wh",
-          dedupHorizonDays = 400)
+          dedupHorizonDays = 400, tleAlignedFiles = true)
         val p = new graft.pipeline.TlePipeline(s, cfg)
         val fetchedAt = java.sql.Timestamp.from(
           java.time.Instant.parse("2027-01-10T00:00:00Z"))

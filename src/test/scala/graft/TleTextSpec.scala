@@ -55,6 +55,22 @@ class TleTextSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("triples reject multi-file directories (single-payload contract)") {
+    // cross-file triple alignment in listing order would be silent
+    // corruption — the guard redirects to the per-file graft-tle source
+    val dir = Files.createTempDirectory("graft-multi")
+    Files.writeString(dir.resolve("a.txt"), Seq("SAT-A", l1, l2).mkString("\n"))
+    Files.writeString(dir.resolve("b.txt"), Seq("SAT-B", l1, l2).mkString("\n"))
+    val err = intercept[IllegalArgumentException] {
+      TleText.triples(spark, dir.toString)
+    }
+    assert(err.getMessage.contains("graft-tle"))
+    // a single-file directory still works (one payload, just nested)
+    val one = Files.createTempDirectory("graft-single")
+    Files.writeString(one.resolve("only.txt"), Seq("SAT-A", l1, l2).mkString("\n"))
+    assert(TleText.triples(spark, one.toString).count() === 1)
+  }
+
   test("records: malformed triple dropped, valid parsed, fetched_at constant") {
     val text = Seq(
       "SAT-A", l1, l2,
