@@ -45,6 +45,12 @@ object GraftSession {
     // managed tables (bucketed-join layout) land outside the repo
     .config("spark.sql.warehouse.dir",
       s"${sys.props("java.io.tmpdir")}/graft-spark-warehouse")
+    // Standard INT64-micros timestamps instead of Spark's legacy INT96
+    // default: INT96 is deprecated in the parquet spec and writes NO
+    // usable footer min/max, which would silence the warehouse
+    // manifest's epoch_utc file-skipping stats (Warehouse.footerStats).
+    // Logical values are identical; DuckDB reads both.
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // events.parquet stores timestamp[ns], which the vectorized reader
     // rejects ([PARQUET_TYPE_ILLEGAL]). Read it as long (nanos since
     // epoch); Tables.load converts to TimestampType via integer division

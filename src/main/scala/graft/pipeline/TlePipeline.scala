@@ -111,7 +111,16 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
         "b_star_drag", "rev_number")
       .withColumn("epoch_date", to_date(col("epoch_utc")))
     val horizon = lit(now) - expr(s"INTERVAL ${cfg.dedupHorizonDays} DAYS")
-    val recent = warehouse.read("fact_telemetry")
+    // file-skip hint: epoch_utc > horizon in manifest-stat micros — files
+    // whose max epoch_utc is at or before the horizon are never opened
+    // (skipping INSIDE the hot partitions the date filter keeps)
+    val horizonMicros = {
+      val h = now.toInstant.minus(
+        java.time.Duration.ofDays(cfg.dedupHorizonDays.toLong))
+      h.getEpochSecond * 1000000L + h.getNano / 1000L
+    }
+    val recent = warehouse.readRange("fact_telemetry", "epoch_utc",
+        horizonMicros + 1, Long.MaxValue)
       // the epoch_date predicate is the PARTITION filter (prunes the
       // scan to ~horizon partitions); epoch_utc keeps the exact bound
       .where(col("epoch_date") >= to_date(horizon) &&

@@ -1,16 +1,64 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.types.{DateType, StructField, StructType}
 
 import graft.schema.Schemas
+import graft.util.FsListing
 
 /** Parquet-backed warehouse — the sandbox stand-in for the reference's
   * PostgreSQL star schema (SURVEY.md §2.2; JDBC writer options live in
   * `graft.sink.JdbcSink` and are exercised against embedded Derby in
-  * tests). Append-only, like the reference's `if_exists='append'` sinks.
+  * tests). Append-only at the surface, like the reference's
+  * `if_exists='append'` sinks, plus the two maintenance ops Postgres
+  * gets for free (MERGE upsert, small-file compaction).
+  *
+  * == Crash-safe versioned-manifest commits ==
+  *
+  * The reference's Postgres sink is transactional per insert
+  * (`/root/reference/script.py:92,148,171`); a naive parquet
+  * `mode("overwrite")` is not — dynamic partition overwrite deletes the
+  * old files of touched partitions at job commit, so a crash inside
+  * that window loses data. This warehouse closes the window with a
+  * Delta/Iceberg-style (much reduced) commit protocol:
+  *
+  *  1. every mutation writes NEW files only, under `_staging/<uuid>`,
+  *     then moves them into the table tree under fresh unique names —
+  *     no live file is ever modified or deleted by a data write;
+  *  2. the table state is a versioned MANIFEST
+  *     (`_manifests/v<N>.mf`: the list of live data files, with sizes
+  *     and per-file column stats); publishing `v<N+1>` via an atomic
+  *     rename IS the commit point;
+  *  3. files replaced by a merge/compact are deleted only AFTER the
+  *     commit (and any crash leftovers later, via [[vacuum]]).
+  *
+  * A crash before the rename leaves the previous manifest as the
+  * latest: readers see the old, consistent state and the half-written
+  * files are invisible orphans. A crash after the rename leaves the new
+  * state fully published and only un-collected garbage behind. The
+  * protocol assumes a single writer per table (the reference's cron
+  * shape); concurrent commits lose the manifest rename and fail fast.
+  *
+  * Readers resolve through the manifest: [[read]] hands Spark the
+  * explicit live-file list (with `basePath` so hive-style partition
+  * pruning still works on it). At real scale the listing is O(live
+  * files) driver memory — the standard table-format trade, amortized by
+  * [[compact]] keeping file counts near bytes/targetBytes.
+  *
+  * == File-skipping statistics ==
+  *
+  * At write time the parquet FOOTERS of new files are read (metadata
+  * only, no data scan) and min/max for [[statColumns]] are recorded in
+  * the manifest. [[readRange]] uses them to skip whole files inside hot
+  * partitions — e.g. the 3-day recent-keys scan prunes to ~horizon
+  * partitions via `epoch_date` AND then skips files whose `epoch_utc`
+  * range ends before the horizon.
   */
 class Warehouse(spark: SparkSession, dir: String) {
+
+  import Warehouse.FileEntry
 
   val tables: Map[String, StructType] = Map(
     "dim_satellites" -> Schemas.dimSatellites,
@@ -29,59 +77,258 @@ class Warehouse(spark: SparkSession, dir: String) {
     "fact_space_weather" -> Nil,
     "fact_telemetry" -> Seq("epoch_date"))
 
+  /** Columns whose per-file min/max land in the manifest for
+    * [[readRange]] file skipping. Restricted to types whose parquet
+    * footer stats encode losslessly as longs (int/long/timestamp-µs):
+    * a column missing here — or a file whose footer lacks stats — is
+    * simply never skipped, which is always safe.
+    */
+  val statColumns: Map[String, Seq[String]] = Map(
+    "dim_satellites" -> Seq("norad_id"),
+    "fact_space_weather" -> Nil,
+    "fact_telemetry" -> Seq("norad_id", "epoch_utc"))
+
   private def path(name: String) = s"$dir/$name"
 
-  /** K1 — idempotent bootstrap, the `CREATE TABLE IF NOT EXISTS` analog
-    * (`/root/reference/script.py:77-83`). Unlike the reference (which
-    * bootstraps only `fact_space_weather` and assumes the other two
-    * pre-exist — §2.12.6), ALL tables are created.
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  private def fileSystem: FileSystem =
+    new Path(dir).getFileSystem(hadoopConf)
+
+  /** Test-only crash injection for the commit-protocol spec: set to
+    * "after-write" (files staged+moved, manifest NOT published) or
+    * "after-commit" (manifest published, replaced files NOT yet
+    * deleted) to abort a mutation inside the corresponding window.
     */
-  def bootstrap(): Unit = tables.foreach { case (name, schema) =>
-    val p = new org.apache.hadoop.fs.Path(path(name))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      val w = empty.write
-      (partitioning(name) match {
-        case Nil => w
-        case cols => w.partitionBy(cols: _*)
-      }).parquet(path(name))
+  private[graft] var crashPoint: Option[String] = None
+  private def maybeCrash(p: String): Unit =
+    if (crashPoint.contains(p))
+      throw new IllegalStateException(s"injected crash at $p")
+
+  // ------------------------------------------------------------------
+  // manifest machinery
+  // ------------------------------------------------------------------
+
+  private val ManifestHeader = "graft-manifest 1"
+  private val ManifestName = """v(\d{12})\.mf""".r
+
+  private def manifestDir(name: String) = new Path(path(name), "_manifests")
+
+  /** (version, live files); (0, Nil) when the table has no manifest. */
+  private[graft] def loadLatest(name: String): (Long, Seq[FileEntry]) = {
+    val fs = fileSystem
+    val mdir = manifestDir(name)
+    if (!fs.exists(mdir)) return (0L, Nil)
+    val versions = fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(v) => Some(v.toLong)
+      case _ => None
+    })
+    if (versions.isEmpty) return (0L, Nil)
+    val v = versions.max
+    val in = fs.open(new Path(mdir, f"v$v%012d.mf"))
+    val text = try {
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split('\n').toSeq
+    require(lines.headOption.contains(ManifestHeader),
+      s"$name manifest v$v: unrecognized header")
+    val entries = lines.tail.filter(_.nonEmpty).map { line =>
+      val Array(rel, bytes, stats) = line.split('\t').padTo(3, "")
+      val parsed = stats.split(';').filter(_.nonEmpty).map { s =>
+        val Array(c, mm) = s.split('=')
+        val Array(lo, hi) = mm.split(':')
+        c -> ((lo.toLong, hi.toLong))
+      }.toMap
+      FileEntry(rel, bytes.toLong, parsed)
+    }
+    (v, entries)
+  }
+
+  /** Publish manifest `version` atomically (tmp write + rename). The
+    * rename is the COMMIT POINT: it either lands whole or not at all,
+    * and it fails if the version already exists (optimistic conflict
+    * detection for the single-writer contract).
+    */
+  private def commit(name: String, version: Long,
+      entries: Seq[FileEntry]): Unit = {
+    val fs = fileSystem
+    val mdir = manifestDir(name)
+    fs.mkdirs(mdir)
+    val body = (ManifestHeader +: entries.sortBy(_.rel).map { e =>
+      val st = e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+      s"${e.rel}\t${e.bytes}\t$st"
+    }).mkString("\n")
+    val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try {
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.hsync()
+    } finally out.close()
+    val dest = new Path(mdir, f"v$version%012d.mf")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"$name: manifest v$version commit lost a race (concurrent writer?)")
     }
   }
 
-  def read(name: String): DataFrame =
-    spark.read.schema(tables(name)).parquet(path(name))
-
-  /** K2-K4 — append insert. Parquet has no JDBC-style `batchsize`, so
-    * chunking maps to output-partition sizing: rows-per-file caps the
-    * unit of write the way `chunksize=1000` caps the reference's insert
-    * batches (`script.py:171`).
-    *
-    * Partitioned tables are REPARTITIONED BY THE PARTITION COLUMNS
-    * before the write: a dynamic-partition write without it has every
-    * task emit one file per partition value it happens to hold —
-    * O(tasks × dates) tiny files per append (measured 32 × 365 ≈ 11k
-    * for a one-year batch), which poisons every later scan with file
-    * and footer overhead. Clustered, each partition directory is
-    * written by exactly one task (maxRecordsPerFile still splits
-    * oversized ones); a skewed hot date is exactly what AQE-less
-    * `repartition(col)` handles worst, so rowsPerFile remains the cap.
+  /** Per-file min/max for `cols`, read from the parquet FOOTER (no data
+    * scan). A column is dropped whenever any row group lacks usable
+    * stats — absence of stats must never enable a skip.
     */
-  def append(name: String, df: DataFrame, rowsPerFile: Long = 0): Unit = {
+  private def footerStats(file: Path,
+      cols: Seq[String]): Map[String, (Long, Long)] = {
+    if (cols.isEmpty) return Map.empty
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(file, hadoopConf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val dropped = scala.collection.mutable.Set.empty[String]
+      reader.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { cc =>
+          val n = cc.getPath.toDotString
+          if (cols.contains(n) && !dropped(n)) {
+            val mm = cc.getStatistics match {
+              case s: IntStatistics if s.hasNonNullValue =>
+                Some((s.getMin.toLong, s.getMax.toLong))
+              case s: LongStatistics if s.hasNonNullValue =>
+                Some((s.getMin, s.getMax))
+              case _ => None
+            }
+            mm match {
+              case Some((lo, hi)) =>
+                val cur = acc.getOrElse(n, (Long.MaxValue, Long.MinValue))
+                acc(n) = (math.min(cur._1, lo), math.max(cur._2, hi))
+              case None =>
+                // all-null or absent stats in this row group: unsafe to
+                // skip on this column for this file
+                dropped += n
+                acc.remove(n)
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  /** Write `df` as NEW files for `name`: cluster by the partition
+    * columns (one task per touched partition dir), write under a fresh
+    * `_staging/<uuid>`, then move each data file into the table tree.
+    * Returns the new entries (with footer stats); nothing is committed
+    * and no live file is touched.
+    */
+  private def writeBatch(name: String, df: DataFrame, rowsPerFile: Long = 0,
+      flatFiles: Int = 0): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
     val clustered = parts match {
-      case Nil => df
+      case Nil => if (flatFiles > 0) df.coalesce(flatFiles) else df
       case cols =>
-        df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+        // one task per partition dir (the 11k-small-files fix, r3);
+        // maxRecordsPerFile still splits oversized ones
+        df.repartition(cols.map(col): _*)
     }
-    val w0 = clustered.write.mode("append")
+    val fs = fileSystem
+    val staging = new Path(path(name),
+      s"_staging/${java.util.UUID.randomUUID}")
+    val w0 = clustered.write.mode("overwrite")
     val w1 = if (rowsPerFile > 0) w0.option("maxRecordsPerFile", rowsPerFile)
              else w0
     (parts match {
       case Nil => w1
       case cols => w1.partitionBy(cols: _*)
-    }).parquet(path(name))
+    }).parquet(staging.toString)
+    // part file names embed the write job's UUID — already unique in the
+    // destination dirs; the move is a pure metadata rename per file
+    val entries = FsListing.dataFiles(staging.toString).map {
+      case (rel, bytes) =>
+        val dest = new Path(path(name), rel)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(new Path(staging, rel), dest),
+          s"$name: staging move failed for $rel")
+        FileEntry(rel, bytes, footerStats(dest, statColumns(name)))
+    }
+    fs.delete(staging, true)
+    entries
+  }
+
+  // ------------------------------------------------------------------
+  // public surface
+  // ------------------------------------------------------------------
+
+  /** K1 — idempotent bootstrap, the `CREATE TABLE IF NOT EXISTS` analog
+    * (`/root/reference/script.py:77-83`). Unlike the reference (which
+    * bootstraps only `fact_space_weather` and assumes the other two
+    * pre-exist — §2.12.6), ALL tables are created. A pre-manifest
+    * (legacy) directory is adopted by committing a manifest over its
+    * current listing.
+    */
+  def bootstrap(): Unit = tables.foreach { case (name, schema) =>
+    if (loadLatest(name)._1 == 0L) {
+      val p = new Path(path(name))
+      val fs = fileSystem
+      val entries =
+        if (fs.exists(p)) FsListing.dataFiles(path(name))
+          .map { case (rel, bytes) =>
+            FileEntry(rel, bytes, Map.empty[String, (Long, Long)]) }
+        else {
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+          writeBatch(name, empty)
+        }
+      commit(name, 1L, entries)
+    }
+  }
+
+  /** Current table contents: the latest manifest's files, read with
+    * `basePath` so hive-style partition pruning applies to the explicit
+    * list. Falls back to a plain directory read for tables that were
+    * never bootstrapped through this class.
+    */
+  def read(name: String): DataFrame = {
+    val (v, entries) = loadLatest(name)
+    if (v == 0L) spark.read.schema(tables(name)).parquet(path(name))
+    else dfFor(name, entries)
+  }
+
+  /** [[read]] restricted to files whose manifest stats for `column` can
+    * overlap `[lo, hi]` (long-encoded: raw value for int/long columns,
+    * epoch MICROS for timestamps — `unix_micros`). Files without stats
+    * are always kept. PURELY a file-skip: the caller still applies its
+    * exact predicate; dropping a non-overlapping file can never change
+    * that predicate's result.
+    */
+  def readRange(name: String, column: String, lo: Long, hi: Long): DataFrame = {
+    val (v, entries) = loadLatest(name)
+    if (v == 0L) return read(name)
+    dfFor(name, entries.filter(_.stats.get(column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi }))
+  }
+
+  private def dfFor(name: String, entries: Seq[FileEntry]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tables(name))
+    else
+      spark.read.schema(tables(name)).option("basePath", path(name))
+        .parquet(entries.map(e => s"${path(name)}/${e.rel}"): _*)
+
+  /** K2-K4 — append insert. Parquet has no JDBC-style `batchsize`, so
+    * chunking maps to output-partition sizing: rows-per-file caps the
+    * unit of write the way `chunksize=1000` caps the reference's insert
+    * batches (`script.py:171`). Commit adds the new files; nothing is
+    * ever replaced, so there is no delete at any point.
+    */
+  def append(name: String, df: DataFrame, rowsPerFile: Long = 0): Unit = {
+    val (v, existing) = loadLatest(name)
+    require(v > 0L, s"append into $name: table not bootstrapped")
+    val fresh = writeBatch(name, df, rowsPerFile)
+    maybeCrash("after-write")
+    commit(name, v + 1, existing ++ fresh)
   }
 
   /** MERGE upsert (copy-on-write): rows of `updates` REPLACE existing
@@ -91,12 +338,13 @@ class Warehouse(spark: SparkSession, dir: String) {
     * corrected TLEs currently just accumulate; §2.12's check-then-write
     * only prevents re-inserts).
     *
-    * Scale shape: for a partitioned table only the partitions the update
-    * batch TOUCHES are read, rewritten, and swapped (dynamic partition
-    * overwrite) — cost scales with the update batch's partition
-    * footprint, not table history. The touched partition VALUES (one row
-    * per partition, not data) are collected to build a statically-pruned
-    * scan. Unpartitioned tables rewrite fully (copy-on-write floor).
+    * Scale shape: only the files of partitions the update batch TOUCHES
+    * are read and rewritten — cost scales with the update batch's
+    * partition footprint, not table history. The touched partition
+    * VALUES (one row per partition, not data) are collected to select
+    * those files from the manifest. Unpartitioned tables rewrite fully
+    * (copy-on-write floor). Replaced files are deleted only after the
+    * manifest commit (see class doc), so no crash can lose them.
     *
     * Contracts (asserted where cheap, documented where not):
     *   - `updates` must be key-unique (caller dedups; `Dedup.keepFirst`);
@@ -105,66 +353,64 @@ class Warehouse(spark: SparkSession, dir: String) {
     *     partitions, so replaced rows always live in touched partitions.
     */
   def merge(name: String, updates: DataFrame, keys: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
     require(parts.forall(updates.columns.contains),
       s"merge into $name: updates must carry partition cols $parts")
-    val target = read(name)
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"merge into $name: table not bootstrapped")
     // empty-batch no-op guards live per branch so a non-empty merge
     // never pays an extra pass over the updates plan: the partitioned
     // branch detects emptiness from the touched-partitions collect it
-    // needs anyway; only the unpartitioned branch (which would
-    // otherwise rewrite the WHOLE table through overwrite's
-    // delete-before-commit window) runs a dedicated isEmpty probe
-    val existing = parts match {
+    // needs anyway
+    val replaced: Seq[FileEntry] = parts match {
       case Nil =>
         if (updates.isEmpty) return
-        target
+        entries
       case cols =>
         // one row per touched partition — tiny by the batch-footprint
-        // contract; <=> keeps null partition values mergeable
+        // contract
         val touched = updates.select(cols.map(col): _*).distinct().collect()
         if (touched.isEmpty) return
-        val pred = touched.toSeq.map(r =>
-          cols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
-            .reduce(_ && _)).reduce(_ || _)
-        target.where(pred)
+        val dirs = touched.map(r => partitionDir(cols, r)).toSet
+        entries.filter(e => dirs.contains(dirOf(e.rel)))
     }
-    val merged = existing
+    // the old files stay live until the commit below, so the merged plan
+    // can read them lazily while the batch writes NEW files — no
+    // checkpoint fence needed (nothing overwrites what it reads)
+    val schemaCols = tables(name).fieldNames.toSeq
+    val merged = dfFor(name, replaced)
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates.select(existing.columns.map(col): _*))
-      // materialize BEFORE the overwrite: the plan reads the same files
-      // the write below replaces
-      .localCheckpoint()
-    overwriteClustered(name, merged)
+      .unionByName(updates.select(schemaCols.map(col): _*))
+    val fresh = writeBatch(name, merged)
+    maybeCrash("after-write")
+    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    maybeCrash("after-commit")
+    gc(name, replaced)
   }
 
-  /** The copy-on-write write tail shared by [[merge]] and [[compact]]:
-    * cluster by the partition columns (one task per touched partition
-    * dir) and swap in via dynamic partition overwrite; unpartitioned
-    * tables rewrite whole. One implementation so the two maintenance
-    * ops can't drift.
-    *
-    * @param rowsPerFile >0 caps rows per output file
-    * @param flatFiles   >0 coalesces an UNPARTITIONED rewrite to this
-    *                    many files (0 keeps the frame's partitioning)
+  /** Hive-escaped partition directory for one partition-values row. */
+  private def partitionDir(cols: Seq[String], row: Row): String =
+    cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(i))
+        s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+      else ExternalCatalogUtils.getPartitionPathString(c,
+        row.get(i).toString)
+    }.mkString("/")
+
+  private def dirOf(rel: String): String =
+    rel.split('/').init.mkString("/")
+
+  /** Post-commit deletion of replaced files. Failures are swallowed —
+    * an undeleted orphan is invisible to readers (not in the manifest)
+    * and [[vacuum]] retries later.
     */
-  private def overwriteClustered(name: String, df: DataFrame,
-      rowsPerFile: Long = 0, flatFiles: Int = 0): Unit = {
-    import org.apache.spark.sql.functions.col
-    val parts = partitioning(name)
-    val clustered = parts match {
-      case Nil => if (flatFiles > 0) df.coalesce(flatFiles) else df
-      case cols => df.repartition(cols.map(col): _*)
+  private def gc(name: String, replaced: Seq[FileEntry]): Unit = {
+    val fs = fileSystem
+    replaced.foreach { e =>
+      try { fs.delete(new Path(path(name), e.rel), false); () }
+      catch { case _: java.io.IOException => () }
     }
-    val w0 = clustered.write.mode("overwrite")
-    val w1 = if (rowsPerFile > 0) w0.option("maxRecordsPerFile", rowsPerFile)
-             else w0
-    (parts match {
-      case Nil => w1
-      case cols => w1.option("partitionOverwriteMode", "dynamic")
-        .partitionBy(cols: _*)
-    }).parquet(path(name))
   }
 
   /** Small-file COMPACTION — the maintenance op every long-lived
@@ -173,69 +419,91 @@ class Warehouse(spark: SparkSession, dir: String) {
     * parquet files whose footer/open overhead dominates every scan
     * (q46 measured 11k small files tripling the pipeline's read side).
     *
-    * Per partition directory, compares the file count against
-    * ceil(bytes / targetBytes): directories already at or under the
-    * ideal count are left BYTE-UNTOUCHED (no rewrite amplification —
-    * compaction must be safely re-runnable as a no-op), the rest are
-    * read back with a statically-pruned scan, re-clustered, and swapped
-    * in via dynamic partition overwrite — the same bounded-footprint
-    * copy-on-write contract as [[merge]]: cost scales with the
-    * fragmented partitions' bytes, never with table history.
+    * Per partition directory (from the MANIFEST, so orphans never count),
+    * compares the file count against ceil(bytes / targetBytes):
+    * directories already at or under the ideal count are left
+    * BYTE-UNTOUCHED (no rewrite amplification — compaction must be
+    * safely re-runnable as a no-op), the rest are read back
+    * file-targeted, re-clustered, and swapped in via a manifest commit —
+    * the same bounded-footprint copy-on-write contract as [[merge]]:
+    * cost scales with the fragmented partitions' bytes, never with
+    * table history.
     *
     * @return (partitionsRewritten, filesBefore, filesAfter) over the
     *         rewritten directories only
     */
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
       rowsPerFile: Long = 0): (Int, Long, Long) = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val parts = partitioning(name)
-    // leaf data files grouped by partition directory (relative path);
-    // the hidden/temp rule is the shared FsListing one
-    def byDir(): Map[String, Seq[(String, Long)]] =
-      graft.util.FsListing.dataFiles(path(name))
-        .groupBy { case (rel, _) => rel.split('/').init.mkString("/") }
-    val fragmented = byDir().filter { case (_, fl) =>
-      val ideal = math.max(1L, (fl.map(_._2).sum + targetBytes - 1) / targetBytes)
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"compact $name: table not bootstrapped")
+    val byDir = entries.groupBy(e => dirOf(e.rel))
+    val fragmented = byDir.filter { case (_, fl) =>
+      val ideal = math.max(1L,
+        (fl.map(_.bytes).sum + targetBytes - 1) / targetBytes)
       fl.size > ideal
     }
     if (fragmented.isEmpty) return (0, 0L, 0L)
-    val before = fragmented.values.map(_.size.toLong).sum
-    val bytes = fragmented.values.map(_.map(_._2).sum).sum
-    // partition predicate from the k=v directory names — decoded with
-    // Hive's OWN unescaping (URLDecoder is not its inverse: it would
-    // turn a literal '+' into a space and throw on a bare '%'); null
-    // partitions land in Hive's default-partition dir
-    val pruned = parts match {
-      case Nil => read(name)
-      case cols =>
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val preds = fragmented.keys.toSeq.map { dir =>
-          dir.split('/').zip(cols).map { case (comp, c) =>
-            val v = ExternalCatalogUtils.unescapePathName(
-              comp.stripPrefix(s"$c="))
-            if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-              col(c).isNull
-            else col(c) <=> lit(v).cast(tables(name)(c).dataType)
-          }.reduce(_ && _)
-        }
-        read(name).where(preds.reduce(_ || _))
-    }
-    val materialized = pruned.localCheckpoint() // reads files the write replaces
+    val replaced = fragmented.values.flatten.toSeq
+    val before = replaced.size.toLong
+    val bytes = replaced.map(_.bytes).sum
+    // file-targeted read: exactly the fragmented dirs' live files (the
+    // manifest makes the static-prune predicate dance unnecessary)
+    val pruned = dfFor(name, replaced)
     // honor targetBytes in BOTH layouts: the partitioned branch writes
     // one task per partition dir, so oversized partitions are split by
     // maxRecordsPerFile — estimated from the measured bytes-per-row of
     // the data being rewritten when the caller didn't pin rowsPerFile
-    // (count is metadata-cheap on the checkpointed frame)
     val effRows =
       if (rowsPerFile > 0) rowsPerFile
       else {
-        val n = materialized.count()
+        val n = pruned.count()
         if (n == 0) 0L else math.max(1L, targetBytes * n / math.max(bytes, 1L))
       }
-    overwriteClustered(name, materialized, rowsPerFile = effRows,
+    val fresh = writeBatch(name, pruned, rowsPerFile = effRows,
       flatFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
-    val after = byDir().filter { case (d, _) => fragmented.contains(d) }
-      .values.map(_.size.toLong).sum
-    (fragmented.size, before, after)
+    maybeCrash("after-write")
+    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    maybeCrash("after-commit")
+    gc(name, replaced)
+    val after = fresh.count(e => fragmented.contains(dirOf(e.rel)))
+    (fragmented.size, before, after.toLong)
   }
+
+  /** Garbage collection: delete data files the latest manifest does not
+    * reference (crash leftovers, un-collected replaced files), stray
+    * staging trees, and manifest versions older than `keepManifests`.
+    * Single-writer contract: must not run concurrently with a mutation.
+    *
+    * @return number of orphan data files deleted
+    */
+  def vacuum(name: String, keepManifests: Int = 2): Long = {
+    val fs = fileSystem
+    val (v, entries) = loadLatest(name)
+    if (v == 0L) return 0L
+    val live = entries.map(_.rel).toSet
+    var n = 0L
+    FsListing.dataFiles(path(name)).foreach { case (rel, _) =>
+      if (!live(rel) && fs.delete(new Path(path(name), rel), false)) n += 1
+    }
+    val staging = new Path(path(name), "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val mdir = manifestDir(name)
+    fs.listStatus(mdir).foreach { st =>
+      st.getPath.getName match {
+        case ManifestName(mv) if mv.toLong <= v - keepManifests =>
+          fs.delete(st.getPath, false); ()
+        case _ => ()
+      }
+    }
+    n
+  }
+}
+
+object Warehouse {
+  /** One live data file: table-relative path, size, and per-column
+    * long-encoded min/max footer stats (raw value for int/long columns,
+    * epoch micros for timestamps).
+    */
+  final case class FileEntry(rel: String, bytes: Long,
+      stats: Map[String, (Long, Long)])
 }

@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Warehouse
+
+/** The versioned-manifest commit protocol: a crash inside ANY window of
+  * a maintenance op must leave the table readable in a consistent state
+  * (old state before the manifest rename, new state after), with
+  * leftovers invisible to readers and collectable by vacuum. Plus the
+  * manifest-stats file-skipping contract of readRange.
+  */
+class WarehouseCommitSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private def mkBase(days: Seq[Int]) = days.flatMap { d =>
+    Seq(1, 2).map { n =>
+      (n, ts(f"2026-01-${d}%02dT0$n:00:00Z"), ts("2026-02-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 15.0 + n, 0.1, 100 + n,
+        java.sql.Date.valueOf(f"2026-01-$d%02d"))
+    }
+  }.toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+    "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+    "b_star_drag", "rev_number", "epoch_date")
+
+  private def updatesDf = Seq(
+    (1, ts("2026-01-02T01:00:00Z"), ts("2026-03-01T00:00:00Z"),
+      1.0, 2.0, 3.0, 4.0, 5.0, 99.0, 0.2, 777,
+      java.sql.Date.valueOf("2026-01-02"))
+  ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+    "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+    "b_star_drag", "rev_number", "epoch_date")
+
+  private def freshTable(): (Warehouse, String) = {
+    val dir = Files.createTempDirectory("graft-commit-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase(Seq(1, 2, 3)))
+    (wh, dir)
+  }
+
+  private def telemetry(wh: Warehouse) = wh.read("fact_telemetry")
+    .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
+    .as[(Int, Timestamp, Double, Int)].collect().toSet
+
+  test("merge crash BEFORE the manifest commit preserves the old state") {
+    val (wh, dir) = freshTable()
+    val before = telemetry(wh)
+    wh.crashPoint = Some("after-write")
+    intercept[IllegalStateException] {
+      wh.merge("fact_telemetry", updatesDf, Seq("norad_id", "epoch_utc"))
+    }
+    wh.crashPoint = None
+    // a FRESH handle (the "reopened table"): still the old, full state —
+    // the staged new files are orphans no manifest references
+    val reopened = new Warehouse(spark, dir)
+    assert(telemetry(reopened) === before)
+    // vacuum collects the orphaned write (manifest untouched)
+    assert(reopened.vacuum("fact_telemetry") >= 1L)
+    assert(telemetry(reopened) === before)
+    // and the interrupted merge simply re-runs to completion
+    reopened.merge("fact_telemetry", updatesDf, Seq("norad_id", "epoch_utc"))
+    val after = telemetry(reopened)
+    assert(after.size === before.size)
+    assert(after.exists(r => r._1 == 1 && r._3 == 99.0 && r._4 == 777))
+  }
+
+  test("merge crash AFTER the manifest commit exposes the new state") {
+    val (wh, dir) = freshTable()
+    val expected = {
+      // what a completed merge should produce, computed independently
+      val (w2, _) = freshTable()
+      w2.merge("fact_telemetry", updatesDf, Seq("norad_id", "epoch_utc"))
+      telemetry(w2)
+    }
+    wh.crashPoint = Some("after-commit")
+    intercept[IllegalStateException] {
+      wh.merge("fact_telemetry", updatesDf, Seq("norad_id", "epoch_utc"))
+    }
+    wh.crashPoint = None
+    val reopened = new Warehouse(spark, dir)
+    // commit landed → new state is what readers see, even though the
+    // replaced files still sit on disk un-deleted
+    assert(telemetry(reopened) === expected)
+    val orphans = reopened.vacuum("fact_telemetry")
+    assert(orphans >= 1L, "replaced files should have survived the crash")
+    assert(telemetry(reopened) === expected)
+  }
+
+  test("append crash before commit leaves the table unchanged") {
+    val (wh, dir) = freshTable()
+    val before = telemetry(wh)
+    wh.crashPoint = Some("after-write")
+    intercept[IllegalStateException] {
+      wh.append("fact_telemetry", mkBase(Seq(9)))
+    }
+    wh.crashPoint = None
+    val reopened = new Warehouse(spark, dir)
+    assert(telemetry(reopened) === before)
+    reopened.vacuum("fact_telemetry")
+    assert(telemetry(reopened) === before)
+  }
+
+  test("compact crash before commit preserves state; retry completes") {
+    val dir = Files.createTempDirectory("graft-commit-cpt-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    (1 to 4).foreach(_ =>
+      wh.append("fact_telemetry", mkBase(Seq(1)).repartition(1)))
+    val before = telemetry(wh)
+    wh.crashPoint = Some("after-write")
+    intercept[IllegalStateException] { wh.compact("fact_telemetry") }
+    wh.crashPoint = None
+    val reopened = new Warehouse(spark, dir)
+    assert(telemetry(reopened) === before)
+    reopened.vacuum("fact_telemetry")
+    val (n, fb, fa) = reopened.compact("fact_telemetry")
+    assert(n === 1 && fb === 4L && fa === 1L)
+    assert(telemetry(reopened) === before)
+  }
+
+  test("half-written staging files are invisible to readers") {
+    val (wh, dir) = freshTable()
+    val before = telemetry(wh)
+    // simulate a writer that died mid-stage: garbage parquet under
+    // _staging and a bare orphan in a partition dir with no manifest row
+    val staging = Paths.get(dir, "fact_telemetry", "_staging", "dead-uuid")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("part-junk.parquet"), "not parquet")
+    assert(telemetry(new Warehouse(spark, dir)) === before)
+    wh.vacuum("fact_telemetry")
+    assert(!Files.exists(staging))
+  }
+
+  test("readRange skips files via manifest stats, result unchanged") {
+    val dir = Files.createTempDirectory("graft-skip-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    // same partition (one day), three appends with DISJOINT norad + epoch
+    // ranges → three files whose stats separate them
+    def batch(norad: Int, hour: Int) = Seq(
+      (norad, ts(f"2026-01-01T$hour%02d:00:00Z"), ts("2026-02-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 15.0, 0.1, 100,
+        java.sql.Date.valueOf("2026-01-01"))
+    ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date")
+    wh.append("fact_telemetry", batch(10, 1))
+    wh.append("fact_telemetry", batch(20, 8))
+    wh.append("fact_telemetry", batch(30, 20))
+    val all = wh.read("fact_telemetry")
+    assert(all.inputFiles.length === 3)
+
+    // integer-column skip: only the file covering norad 20 is opened
+    val byId = wh.readRange("fact_telemetry", "norad_id", 15, 25)
+    assert(byId.inputFiles.length === 1)
+    assert(byId.where($"norad_id" === 20).count() === 1)
+
+    // timestamp-column skip (micros): epochs after 12:00 → one file
+    val cut = Instant.parse("2026-01-01T12:00:00Z")
+    val micros = cut.getEpochSecond * 1000000L
+    val late = wh.readRange("fact_telemetry", "epoch_utc", micros, Long.MaxValue)
+    assert(late.inputFiles.length === 1)
+    // the skip is only a hint — exact predicate still applied on top,
+    // and the result matches the unskipped plan
+    assert(late.where($"epoch_utc" > Timestamp.from(cut)).count() ===
+      all.where($"epoch_utc" > Timestamp.from(cut)).count())
+
+    // a column with no recorded stats never skips
+    assert(wh.readRange("fact_telemetry", "rev_number", 0, 1)
+      .inputFiles.length === 3)
+  }
+
+  test("manifest versions advance and vacuum trims old ones") {
+    val dir = Files.createTempDirectory("graft-vers-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    (1 to 3).foreach(i => wh.append("fact_space_weather",
+      Seq((java.sql.Date.valueOf(f"2026-01-0$i%d"), 100.0 + i))
+        .toDF("date_utc", "f10_7_flux")))
+    assert(wh.loadLatest("fact_space_weather")._1 === 4L) // bootstrap + 3
+    wh.vacuum("fact_space_weather", keepManifests = 1)
+    val mdir = Paths.get(dir, "fact_space_weather", "_manifests")
+    val kept = Files.list(mdir).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (kept.hasNext) names += kept.next().getFileName.toString
+    // local FS leaves .crc siblings; only the visible manifests matter
+    assert(names.filterNot(_.startsWith(".")).toSeq.sorted ===
+      Seq("v000000000004.mf"))
+    assert(wh.read("fact_space_weather").count() === 3)
+  }
+}
