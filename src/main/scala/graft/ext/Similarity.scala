@@ -96,10 +96,23 @@ object Similarity {
     * nProbe == nCells the result is exactly brute force, for ANY
     * quantizer — which is what makes the sampled fit safe to gate).
     */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4,
-      fitFraction: Double = 0.1, minFitRows: Long = 256): DataFrame = {
+  /** Coarse quantizer shared by the IVF and SemDeDup rungs: fit k-means
+    * ON A SEEDED SAMPLE (`fitFraction`), never the full corpus — k-means
+    * is an iterative, driver-coordinated fit, and repeated passes over a
+    * 100 TB table is exactly the cost profile cell-bucketing exists to
+    * avoid. A coarse quantizer only needs enough points to place nCells
+    * centroids, so the sample is statistically plenty; the FULL corpus
+    * is still assigned to cells afterwards (one pass, embarrassingly
+    * parallel). Corpora whose sample would be smaller than `minFitRows`
+    * fall back to a full-corpus fit — at that size the fit is cheap and
+    * small samples would starve the centroids.
+    *
+    * @return (assigned `(id, vec, cell)` frame, centroid rows
+    *         `(cell, centroid: array<float>)` — tiny, broadcastable)
+    */
+  private[ext] def assignCells(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, fitFraction: Double,
+      minFitRows: Long): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("features", asFeatures(col("vec")))
@@ -113,12 +126,20 @@ object Similarity {
       .fit(fitSet)
     val assigned = model.transform(corpusV).select(
       col("id"), col("vec"), col("cell"))
-
-    // centroid table: tiny (nCells × dim) → broadcast to every query row
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      fitFraction: Double = 0.1, minFitRows: Long = 256): DataFrame = {
+    // centroid table: tiny (nCells × dim) → broadcast to every query row
+    val (assigned, centroids) = assignCells(
+      corpus, idCol, vecCol, nCells, fitFraction, minFitRows)
     val probes = queries
       .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
       .join(broadcast(centroids))
@@ -165,6 +186,44 @@ object Similarity {
       .where(col("cosine") >= minCosine) // exact verification
       .select("id1", "id2", "cosine")
       .distinct()
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus into cells with the sampled
+    * coarse quantizer, compute exact pairwise cosine ONLY within each
+    * cell, and connect the over-threshold pairs into duplicate groups
+    * (connected components via `NearDup.clusters`). One canonical doc
+    * per group (the min id — labels are min vertex ids) survives; the
+    * rest are semantic duplicates to prune.
+    *
+    * Scale shape: the quadratic is bounded per cell — Σ|cell|² work,
+    * never |corpus|² (the published design point: cells play the role
+    * LSH bands play one rung down); the pair join is an equi-join on
+    * `cell`, bucketed by construction. Recall < 1 by design: a
+    * duplicate pair straddling a cell boundary is missed, the standard
+    * SemDeDup trade (raise nCells granularity or lower fitFraction
+    * variance to tune).
+    *
+    * @return one row per corpus doc: (idCol, cluster_id, cluster_size,
+    *         is_kept) — `is_kept` marks the group canonical
+    */
+  def semDeDup(corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nCells: Int = 16, fitFraction: Double = 0.1,
+      minFitRows: Long = 256): DataFrame = {
+    val (assigned, _) = assignCells(
+      corpus, idCol, vecCol, nCells, fitFraction, minFitRows)
+    val left = assigned.select(col("cell"),
+      col("id").as("id1"), col("vec").as("vec1"))
+    val right = assigned.select(col("cell"),
+      col("id").as("id2"), col("vec").as("vec2"))
+    val pairs = left.join(right, "cell") // intra-cell only: Σ|cell|²
+      .where(col("id1") < col("id2"))
+      .where(cosine(col("vec1"), col("vec2")) >= minCosine)
+      .select("id1", "id2")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    NearDup.clusters(corpus.select(col(idCol)), idCol, pairs)
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("is_kept", col(idCol) === col("cluster_id"))
   }
 
   /** ANN via random-hyperplane LSH (spark.ml BucketedRandomProjectionLSH,

@@ -1218,6 +1218,67 @@ object LlmQueries extends QueryPack {
                  AS coverage
         FROM ranked r JOIN totals t USING (lang)
         WHERE r.rank <= 5
-        ORDER BY r.lang, r.rank"""))
+        ORDER BY r.lang, r.rank""")),
+
+    // ---- q73: SemDeDup — SEMANTIC dedup by embedding clustering
+    // (cell the corpus with the sampled coarse quantizer, exact cosine
+    // within cells, connected components → keep one doc per group).
+    // Oracle-able form: the planted duplicates are EXACT copies, so
+    // they land in the SAME k-means cell unconditionally (identical
+    // vector ⇒ identical assignment) at cosine ~1, and the corpus's max
+    // natural pairwise cosine is ~0.51 — far under the 0.95 threshold —
+    // so the semantic groups are exactly the planted copy-groups and
+    // DuckDB can brute-force all pairs + recursive transitive closure.
+    // Cell-boundary recall on PERTURBED copies stays covered by
+    // ExtSpec. Copies of every 20th vector appear twice (three-member
+    // groups), exercising cluster_size > 2. ----
+    Q("q73_embed_semantic_dedup",
+      (s, dir) => {
+        val emb = fan(t(s, dir, "embeddings"))
+        val c1 = emb.where(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+        val c2 = emb.where(col("vec_id") % 20 === 0)
+          .withColumn("vec_id", col("vec_id") + 2000000L)
+        Similarity.semDeDup(
+            emb.unionByName(c1).unionByName(c2), "vec_id", "embedding",
+            minCosine = 0.95, nCells = 8)
+          .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+            col("is_kept"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH RECURSIVE
+        u AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings
+          WHERE vec_id % 10 = 0
+          UNION ALL
+          SELECT vec_id + 2000000, embedding FROM embeddings
+          WHERE vec_id % 20 = 0),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM u a JOIN u b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                       a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]))) >= 0.95),
+        edges AS (
+          SELECT id1 AS s, id2 AS d FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(src, dst) AS (
+          SELECT vec_id, vec_id FROM u
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        comp AS (
+          SELECT src AS vec_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src)
+        SELECT vec_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size,
+               vec_id = cluster_id AS is_kept
+        FROM comp ORDER BY vec_id"""))
   )
 }

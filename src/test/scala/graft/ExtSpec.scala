@@ -160,6 +160,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup groups perturbed copies; non-dups stay singletons") {
+    // one-hot base vectors: pairwise cosine EXACTLY 0 between distinct
+    // docs, so only planted pairs can ever cluster (a sin-family corpus
+    // has natural near-collisions that would pollute the expectation)
+    val corpus = (0L until 10L).map(i =>
+      (i, (0 until 16).map(j => if (j == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    // perturbed (not exact) copies of vecs 0..4: cosine ≈ 1 but the
+    // vectors differ, so grouping must survive the quantizer's cell
+    // assignment of two DISTINCT nearby points (nCells=2 keeps cells
+    // coarse enough that a ~0.001-perturbation can't straddle)
+    val mutants = corpus.where(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100L)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 15, (x + lit(0.001f)).cast("float")).otherwise(x)))
+    val out = Similarity.semDeDup(corpus.unionByName(mutants),
+        "vec_id", "embedding", minCosine = 0.999, nCells = 2,
+        fitFraction = 1.0)
+      .select("vec_id", "cluster_id", "cluster_size", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length === 15)
+    (0L until 5L).foreach { i =>
+      assert(byId(i) === ((i, i, 2L, true)), s"canonical $i")
+      assert(byId(i + 100L) === ((i + 100L, i, 2L, false)), s"dup of $i")
+    }
+    // everything else is its own singleton cluster, kept
+    (5L until 10L).foreach { i =>
+      assert(byId(i) === ((i, i, 1L, true)), s"singleton $i")
+    }
+    // exactly one kept doc per cluster
+    assert(out.count(_._4) === 10)
+  }
+
   test("codec fallback decode is deterministic and batch-shaped") {
     val media = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
