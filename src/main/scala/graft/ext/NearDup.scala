@@ -158,6 +158,57 @@ object NearDup {
         col("sz1"), col("sz2"), col("jaccard"))
   }
 
+  /** Frequency-skew statistic of the shingle distribution: Σf²/Σf, the
+    * posting-list length a random posting row sits in (frequency-
+    * weighted mean). Flat prose corpora sit near 1–3 (most shingles
+    * unique); boilerplate/template corpora blow into the tens+ — and
+    * Σf² is, exactly, the row count the direct self-join would emit, so
+    * the statistic IS the cost model, per posting row.
+    *
+    * Computed from a 1-pass aggregate over the postings of a
+    * DETERMINISTIC hash-sample of docs (xxhash64 threshold — stable
+    * across runs/partitionings, never rand()). Heavy hitters survive
+    * sampling by definition, which is all regime choice needs; sampling
+    * scales f by ~p, so the caller-facing cutoff is interpreted against
+    * the sampled statistic (default sampleFraction=1.0 → exact; at
+    * 100 TB pass 0.01 and the boilerplate signal still dominates).
+    */
+  private[graft] def shingleSkew(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, sampleFraction: Double = 1.0): Double = {
+    val sampled =
+      if (sampleFraction >= 1.0) docs
+      else docs.where(pmod(xxhash64(col(idCol), lit("regime")), lit(1000000L))
+        < lit((sampleFraction * 1000000L).toLong))
+    val f = postings(sampled, idCol, textCol, n)
+      .groupBy("_sh").agg(count(lit(1)).as("_f"))
+    val row = f.agg(
+      sum(col("_f")).as("tot"),
+      sum(col("_f") * col("_f")).as("sq")).head()
+    if (row.isNullAt(0) || row.getLong(0) == 0L) 1.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+
+  /** [[jaccardPairs]] with the REGIME CHOSEN IN-PLAN: the direct
+    * inverted-index form on flat shingle frequencies, the
+    * prefix-filtered AllPairs form ([[jaccardPairsPrefix]]) when the
+    * frequency sketch says the direct self-join would go quadratic
+    * (measured crossover: q31's flat corpus runs 2.9 s direct / 13 s
+    * prefixed; q48's boilerplate shape 2.8 s direct / 1.3 s prefixed).
+    * Output is identical either way (ExtSpec proves the two forms equal
+    * pair-for-pair on both corpus shapes), so the choice is free to be
+    * a physical-plan decision — the engine's regime optimizer, one
+    * sketch aggregate as its statistics pass.
+    *
+    * @param skewCutoff regime threshold on [[shingleSkew]]; the default
+    *   sits between flat-corpus (~1–3) and boilerplate (~10+) readings
+    */
+  def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8, maxShingleFreq: Long = 0,
+      sampleFraction: Double = 1.0, skewCutoff: Double = 8.0): DataFrame =
+    if (shingleSkew(docs, idCol, textCol, n, sampleFraction) > skewCutoff)
+      jaccardPairsPrefix(docs, idCol, textCol, n, minJaccard, maxShingleFreq)
+    else jaccardPairs(docs, idCol, textCol, n, minJaccard, maxShingleFreq)
+
   /** MinHash signature: numHashes parallel min-aggregates in ONE hash
     * aggregation over the postings. The hash family is Carter-Wegman:
     * g_i(sh) = h1(sh) + i·h2(sh) with h1/h2 two seeded xxhash64 draws

@@ -385,6 +385,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("auto-regime Jaccard picks prefix on boilerplate, direct on flat") {
+    val boiler = (0L until 60L).map(i =>
+      (i, s"shared template header words repeated across all docs tail$i " +
+        s"extra${i % 7} unique${i % 3}"))
+      .toDF("doc_id", "text")
+    // the sketch statistic separates the shapes by a wide margin
+    val skewBoiler = NearDup.shingleSkew(boiler, "doc_id", "text", 3)
+    val skewFlat = NearDup.shingleSkew(docs, "doc_id", "text", 3)
+    assert(skewBoiler > 8.0, s"boilerplate skew $skewBoiler")
+    assert(skewFlat < 8.0, s"flat skew $skewFlat")
+    // a deterministic sample reads the same regime (heavy hitters survive)
+    assert(NearDup.shingleSkew(boiler, "doc_id", "text", 3,
+      sampleFraction = 0.5) > 8.0)
+    // and the auto form returns the same pairs as both fixed forms
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), math.round(r.getDouble(5) * 1e9))
+    for ((corpus, t) <- Seq((boiler, 0.45), (docs, 0.5))) {
+      val auto = NearDup.jaccardPairsAuto(corpus, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val direct = NearDup.jaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(auto === direct)
+      assert(auto.nonEmpty)
+    }
+  }
+
   test("crossDocSpans counts documents, not occurrences") {
     val d = Seq(
       (1L, "a b c d a b c d"), // span "a b c" twice WITHIN one doc
