@@ -14,10 +14,12 @@ import org.apache.spark.sql.connector.catalog.{
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownRequiredColumns}
+  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
+  In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -84,6 +86,137 @@ object TleSource {
     while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
     buf.toArray
   }
+
+  // ---------------------------------------------------------------
+  // per-file stats index (file skipping for pushed-down predicates)
+  // ---------------------------------------------------------------
+
+  /** Per-file landing stats: lexical [minName, maxName] over the
+    * record names (compared as UTF8 bytes — the same binary order
+    * Catalyst string comparisons use) and [minNorad, maxNorad] over the
+    * PARSABLE l1 norad fields (minNorad > maxNorad ⇔ none parsed).
+    */
+  final case class FileStats(minName: String, maxName: String,
+      minNorad: Int, maxNorad: Int)
+
+  private def indexPath(dir: String) = new Path(dir, "_index.json")
+
+  /** Build/refresh the sidecar stats index for a landing directory —
+    * one distributed pass over the landing files (a task per file, the
+    * same unit the scan parallelizes on), one tiny JSON at
+    * `<dir>/_index.json` keyed by relative path. The `_` prefix keeps
+    * it invisible to every data listing. Files landed AFTER the index
+    * write are simply absent from it and always scanned, so a stale
+    * index can never lose records — only skip less.
+    */
+  def writeIndex(spark: SparkSession, dir: String): Unit = {
+    val sep = if (dir.endsWith("/")) "" else "/"
+    val rels = graft.util.FsListing.dataFiles(dir).map(_._1)
+    val props = sessionConfProps()
+    val stats = spark.sparkContext
+      .parallelize(rels, math.max(1, rels.size))
+      .map { rel => rel -> statsOf(s"$dir$sep$rel", props) }
+      .collect()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    stats.foreach { case (rel, s) =>
+      val n = root.putObject(rel)
+      n.put("minName", s.minName); n.put("maxName", s.maxName)
+      n.put("minNorad", s.minNorad); n.put("maxNorad", s.maxNorad)
+      ()
+    }
+    val fs = new Path(dir).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"._index-${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(m.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(indexPath(dir), false)
+    require(fs.rename(tmp, indexPath(dir)), s"index publish failed for $dir")
+  }
+
+  /** The sidecar index, keyed by relative path; empty when absent. */
+  def readIndex(dir: String): Map[String, FileStats] = {
+    val fs = new Path(dir).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val p = indexPath(dir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try {
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val buf = ArrayBuffer.empty[(String, FileStats)]
+    val it = node.fieldNames()
+    while (it.hasNext) {
+      val k = it.next()
+      val v = node.get(k)
+      buf += k -> FileStats(
+        v.get("minName").asText(), v.get("maxName").asText(),
+        v.get("minNorad").asInt(), v.get("maxNorad").asInt())
+    }
+    buf.toMap
+  }
+
+  /** One file's stats via the same streaming reader the scan uses. */
+  private def statsOf(file: String,
+      props: Array[(String, String)]): FileStats = {
+    val r = new TleFileReader(file, Array("sat_name", "l1"), props,
+      Array.empty, Int.MinValue, Int.MaxValue)
+    var minN: UTF8String = null; var maxN: UTF8String = null
+    var minId = Int.MaxValue; var maxId = Int.MinValue
+    try {
+      while (r.next()) {
+        val row = r.get()
+        val name = row.getUTF8String(0) // fresh per row (no buffer reuse)
+        if (minN == null || name.compareTo(minN) < 0) minN = name
+        if (maxN == null || name.compareTo(maxN) > 0) maxN = name
+        val id = TleFileReader.parseNorad(row.getUTF8String(1).toString)
+        if (id != Int.MinValue) {
+          if (id < minId) minId = id
+          if (id > maxId) maxId = id
+        }
+      }
+    } finally r.close()
+    FileStats(
+      if (minN == null) "" else minN.toString,
+      if (maxN == null) "" else maxN.toString,
+      minId, maxId)
+  }
+
+  /** Can a file whose names span [mn, mx] (binary UTF8 order) contain a
+    * row passing `f`? Conservative: unknown filter shapes → true.
+    * Prefix test compares byte-TRUNCATED bounds: truncation is monotone
+    * in unsigned byte order, so mn ≤ s ≤ mx ∧ s startsWith p ⇒
+    * trunc(mn,|p|) ≤ p ≤ trunc(mx,|p|).
+    */
+  private[sources] def nameRangeMayMatch(mn: String, mx: String,
+      f: Filter): Boolean = {
+    def u(s: String) = UTF8String.fromString(s)
+    def truncCmp(bound: String, p: String): Int = {
+      val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = bound.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val tb = if (bb.length <= pb.length) bb else java.util.Arrays.copyOf(bb, pb.length)
+      java.util.Arrays.compareUnsigned(tb, pb)
+    }
+    f match {
+      case EqualTo("sat_name", v: String) =>
+        u(mn).compareTo(u(v)) <= 0 && u(v).compareTo(u(mx)) <= 0
+      case In("sat_name", vs) => vs.exists {
+        case v: String => u(mn).compareTo(u(v)) <= 0 && u(v).compareTo(u(mx)) <= 0
+        case _ => true
+      }
+      case StringStartsWith("sat_name", p) =>
+        truncCmp(mn, p) <= 0 && truncCmp(mx, p) >= 0
+      case GreaterThan("sat_name", v: String) => u(mx).compareTo(u(v)) > 0
+      case GreaterThanOrEqual("sat_name", v: String) => u(mx).compareTo(u(v)) >= 0
+      case LessThan("sat_name", v: String) => u(mn).compareTo(u(v)) < 0
+      case LessThanOrEqual("sat_name", v: String) => u(mn).compareTo(u(v)) <= 0
+      case IsNotNull("sat_name") => true
+      case _ => true
+    }
+  }
 }
 
 class TleTable(path: String) extends Table with SupportsRead {
@@ -92,33 +225,99 @@ class TleTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TleScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // norad is a DERIVED column (substr of l1) in every downstream
+    // plan, so a norad range can never reach the source as a Catalyst
+    // Filter — it arrives as read options instead:
+    //   .option("noradMin", 44000).option("noradMax", 45000)
+    val lo = Option(options.get("noradMin")).map(_.toInt).getOrElse(Int.MinValue)
+    val hi = Option(options.get("noradMax")).map(_.toInt).getOrElse(Int.MaxValue)
+    new TleScanBuilder(path, lo, hi)
+  }
 }
 
-class TleScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+class TleScanBuilder(path: String, noradLo: Int, noradHi: Int)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = TleSource.SCHEMA
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TleScan(path, required)
+  /** Accept the `sat_name` shapes the file-stats index can skip on and
+    * the row filter can evaluate exactly; everything is ALSO returned
+    * as residual, so Spark re-applies each filter post-scan — pushdown
+    * here is purely an I/O reduction, never a correctness dependency.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("sat_name", _: String) => true
+      case In("sat_name", _) => true
+      case StringStartsWith("sat_name", _) => true
+      case GreaterThan("sat_name", _: String) => true
+      case GreaterThanOrEqual("sat_name", _: String) => true
+      case LessThan("sat_name", _: String) => true
+      case LessThanOrEqual("sat_name", _: String) => true
+      case _ => false
+    }
+    filters // all residual: Spark keeps the exact post-scan Filter
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new TleScan(path, required, pushed, noradLo, noradHi)
 }
 
-class TleScan(path: String, required: StructType) extends Scan with Batch {
+class TleScan(path: String, required: StructType, filters: Array[Filter],
+    noradLo: Int, noradHi: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-tle $path, columns=${required.fieldNames.mkString(",")}"
+  override def description(): String = {
+    val nr = if (noradLo == Int.MinValue && noradHi == Int.MaxValue) ""
+             else s", norad=[$noradLo,$noradHi]"
+    s"graft-tle $path, columns=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]$nr"
+  }
+
+  /** One InputPartition per landing file the sidecar stats index cannot
+    * rule out: a file is SKIPPED when its recorded name range can't
+    * satisfy some pushed name filter, or its norad range misses the
+    * option-pinned [noradLo, noradHi]. Files absent from the index (or
+    * with no index at all) are always scanned — a stale index skips
+    * less, never loses records.
+    */
+  private[sources] def selectedFiles(files: Seq[String]): Seq[String] = {
+    if (filters.isEmpty && noradLo == Int.MinValue && noradHi == Int.MaxValue)
+      return files
+    val idx = TleSource.readIndex(path)
+    val sep = if (path.endsWith("/")) "" else "/"
+    files.filter { abs =>
+      val rel = abs.stripPrefix(s"$path$sep")
+      idx.get(rel) match {
+        case None => true
+        case Some(st) =>
+          val nameOk = filters.forall(
+            TleSource.nameRangeMayMatch(st.minName, st.maxName, _))
+          // minNorad > maxNorad ⇔ no parsable norad in the file: only a
+          // pinned range may then drop it (its rows can't pass the
+          // range filter anyway — unparsable records are dropped by
+          // the norad row filter's contract)
+          val noradOk =
+            if (noradLo == Int.MinValue && noradHi == Int.MaxValue) true
+            else st.minNorad <= st.maxNorad &&
+              st.maxNorad >= noradLo && st.minNorad <= noradHi
+          nameOk && noradOk
+      }
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
-    TleSource.listDataFiles(path).map(TleFilePartition)
+    selectedFiles(TleSource.listDataFiles(path)).map(TleFilePartition)
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TleReaderFactory(required.fieldNames, TleSource.sessionConfProps())
+    new TleReaderFactory(required.fieldNames, TleSource.sessionConfProps(),
+      TleFileReader.compile(filters), noradLo, noradHi)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TleMicroBatchStream(path, required)
+    new TleMicroBatchStream(path, required, this)
 }
 
 /** Streaming form of the landing-zone read — the reference's poll loop
@@ -136,8 +335,8 @@ class TleScan(path: String, required: StructType) extends Scan with Batch {
   * records out), which bounds it. Files are immutable once landed
   * (writers write to `_tmp` then rename), so `commit` is a no-op.
   */
-class TleMicroBatchStream(path: String, required: StructType)
-  extends MicroBatchStream {
+class TleMicroBatchStream(path: String, required: StructType,
+    scan: TleScan) extends MicroBatchStream {
 
   private def snapshot(): TleFileSetOffset =
     TleFileSetOffset(TleSource.listDataFiles(path))
@@ -149,12 +348,15 @@ class TleMicroBatchStream(path: String, required: StructType)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TleFileSetOffset].files.toSet
-    end.asInstanceOf[TleFileSetOffset].files
-      .filterNot(seen).map(TleFilePartition).toArray[InputPartition]
+    // the offset tracks EVERY file (progress must not depend on the
+    // filter), but skipped files plan no reader work
+    scan.selectedFiles(end.asInstanceOf[TleFileSetOffset].files
+        .filterNot(seen))
+      .map(TleFilePartition).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TleReaderFactory(required.fieldNames, TleSource.sessionConfProps())
+    scan.createReaderFactory()
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -186,10 +388,40 @@ object TleFileSetOffset {
 
 case class TleFilePartition(file: String) extends InputPartition
 
-class TleReaderFactory(cols: Array[String], confProps: Array[(String, String)])
+class TleReaderFactory(cols: Array[String], confProps: Array[(String, String)],
+    nameFilters: Array[(String, Array[String])] = Array.empty,
+    noradLo: Int = Int.MinValue, noradHi: Int = Int.MaxValue)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TleFileReader(partition.asInstanceOf[TleFilePartition].file, cols, confProps)
+    new TleFileReader(partition.asInstanceOf[TleFilePartition].file, cols,
+      confProps, nameFilters, noradLo, noradHi)
+}
+
+object TleFileReader {
+  /** Compile pushed Catalyst filters to the serializable (op, values)
+    * form the executor-side reader evaluates — only the shapes
+    * `pushFilters` accepted appear here.
+    */
+  def compile(filters: Array[Filter]): Array[(String, Array[String])] =
+    filters.collect {
+      case EqualTo("sat_name", v: String) => ("eq", Array(v))
+      case In("sat_name", vs) =>
+        ("in", vs.collect { case s: String => s })
+      case StringStartsWith("sat_name", p) => ("sw", Array(p))
+      case GreaterThan("sat_name", v: String) => ("gt", Array(v))
+      case GreaterThanOrEqual("sat_name", v: String) => ("ge", Array(v))
+      case LessThan("sat_name", v: String) => ("lt", Array(v))
+      case LessThanOrEqual("sat_name", v: String) => ("le", Array(v))
+    }
+
+  /** The norad field of l1 (cols 3-7, 1-indexed), Int.MinValue when
+    * unparsable — mirrors `tle_parse`'s null-on-failure cast.
+    */
+  def parseNorad(l1: String): Int = {
+    if (l1.length < 7) return Int.MinValue
+    val s = l1.substring(2, 7).trim
+    try s.toInt catch { case _: NumberFormatException => Int.MinValue }
+  }
 }
 
 /** Streams one landing file as record triples. Reads lines lazily,
@@ -198,7 +430,9 @@ class TleReaderFactory(cols: Array[String], confProps: Array[(String, String)])
   * follows (so trailing blanks never emit).
   */
 class TleFileReader(file: String, cols: Array[String],
-    confProps: Array[(String, String)])
+    confProps: Array[(String, String)],
+    nameFilters: Array[(String, Array[String])] = Array.empty,
+    noradLo: Int = Int.MinValue, noradHi: Int = Int.MaxValue)
   extends PartitionReader[InternalRow] {
 
   private val fsPath = new Path(file)
@@ -241,20 +475,54 @@ class TleFileReader(file: String, cols: Array[String],
     null // EOF: any pending blankRun was trailing — dropped
   }
 
+  /** Pushed-filter evaluation on the assembled record — binary UTF8
+    * comparisons, the same order Catalyst uses on strings. Spark
+    * re-applies every filter post-scan (all are residual), so this is
+    * purely an emission cut; the norad option range is authoritative
+    * though (it exists only here), with unparsable-norad records
+    * dropped when a range is pinned.
+    */
+  private def passes(name: String, l1: String): Boolean = {
+    val u = UTF8String.fromString(name)
+    val nameOk = nameFilters.forall { case (op, vs) =>
+      op match {
+        case "eq" => u.compareTo(UTF8String.fromString(vs(0))) == 0
+        case "in" => vs.exists(v => u.compareTo(UTF8String.fromString(v)) == 0)
+        case "sw" => u.startsWith(UTF8String.fromString(vs(0)))
+        case "gt" => u.compareTo(UTF8String.fromString(vs(0))) > 0
+        case "ge" => u.compareTo(UTF8String.fromString(vs(0))) >= 0
+        case "lt" => u.compareTo(UTF8String.fromString(vs(0))) < 0
+        case "le" => u.compareTo(UTF8String.fromString(vs(0))) <= 0
+        case _ => true
+      }
+    }
+    if (!nameOk) return false
+    if (noradLo == Int.MinValue && noradHi == Int.MaxValue) return true
+    val id = TleFileReader.parseNorad(l1)
+    id != Int.MinValue && id >= noradLo && id <= noradHi
+  }
+
   override def next(): Boolean = {
-    window.clear()
-    while (window.size < 3) {
-      val line = nextLine()
-      if (line == null) return false // EOF: partial trailer dropped
-      window += line
+    while (true) {
+      window.clear()
+      while (window.size < 3) {
+        val line = nextLine()
+        if (line == null) return false // EOF: partial trailer dropped
+        window += line
+      }
+      val name = window(0).trim
+      val l1 = window(1).trim
+      if (passes(name, l1)) {
+        val vals = cols.map {
+          case "sat_name" => UTF8String.fromString(name)
+          case "l1" => UTF8String.fromString(l1)
+          case "l2" => UTF8String.fromString(window(2).trim)
+        }
+        current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        return true
+      }
     }
-    val vals = cols.map {
-      case "sat_name" => UTF8String.fromString(window(0).trim)
-      case "l1" => UTF8String.fromString(window(1).trim)
-      case "l2" => UTF8String.fromString(window(2).trim)
-    }
-    current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current

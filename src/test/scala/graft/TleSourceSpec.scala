@@ -94,6 +94,79 @@ class TleSourceSpec extends SparkSpec {
     assert(second === first + (("SAT-C", "1 C1", "2 C2")))
   }
 
+  private def noradLine(id: Int) = f"1 $id%05dU 98067A   26012.5"
+
+  /** Three landing files with disjoint name prefixes + norad ranges. */
+  private def indexedDir(): String = {
+    val dir = Files.createTempDirectory("graft-tleidx-").toString
+    write(dir, "a.txt", (0 until 3).map(i =>
+      s"ALPHA-$i\n${noradLine(100 + i)}\n2 x").mkString("\n"))
+    write(dir, "b.txt", (0 until 3).map(i =>
+      s"BETA-$i\n${noradLine(200 + i)}\n2 x").mkString("\n"))
+    write(dir, "c.txt", (0 until 3).map(i =>
+      s"GAMMA-$i\n${noradLine(300 + i)}\n2 x").mkString("\n"))
+    graft.sources.TleSource.writeIndex(spark, dir)
+    dir
+  }
+
+  test("pushed name filters skip whole files via the stats index") {
+    val dir = indexedDir()
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft-tle").load(dir)
+      .where(col("sat_name").startsWith("BETA"))
+    // one of three files survives planning; the scan advertises the push
+    assert(df.rdd.getNumPartitions === 1, "files not skipped")
+    val scan = df.queryExecution.executedPlan
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.getOrElse("")
+    assert(scan.contains("PushedFilters") && scan.contains("BETA"), scan)
+    // and the rows are exactly the BETA records (Spark re-applies the
+    // residual filter on top — pushdown is never a correctness gate)
+    assert(df.select("sat_name").as[String].collect().sorted ===
+      Array("BETA-0", "BETA-1", "BETA-2"))
+
+    // equality + range shapes skip too
+    assert(spark.read.format("graft-tle").load(dir)
+      .where(col("sat_name") === "GAMMA-1").rdd.getNumPartitions === 1)
+    assert(spark.read.format("graft-tle").load(dir)
+      .where(col("sat_name") >= "GAMMA").rdd.getNumPartitions === 1)
+  }
+
+  test("norad-range options skip files and filter rows") {
+    val dir = indexedDir()
+    val mid = spark.read.format("graft-tle")
+      .option("noradMin", 200).option("noradMax", 299).load(dir)
+    assert(mid.rdd.getNumPartitions === 1)
+    assert(mid.count() === 3)
+    // a range straddling two files keeps both, drops out-of-range rows
+    val straddle = spark.read.format("graft-tle")
+      .option("noradMin", 102).option("noradMax", 201).load(dir)
+    assert(straddle.rdd.getNumPartitions === 2)
+    assert(straddle.select("sat_name").as[String].collect().sorted ===
+      Array("ALPHA-2", "BETA-0", "BETA-1"))
+  }
+
+  test("files landed after the index write are still scanned (stale-safe)") {
+    val dir = indexedDir()
+    write(dir, "late.txt", s"BETA-LATE\n${noradLine(250)}\n2 x")
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft-tle").load(dir)
+      .where(col("sat_name").startsWith("BETA"))
+    // b.txt (indexed, matching) + late.txt (unindexed, always scanned)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.count() === 4)
+    // without any index at all, nothing skips but results are identical
+    val plain = Files.createTempDirectory("graft-tlenoidx-").toString
+    write(plain, "a.txt", s"ALPHA-0\n${noradLine(100)}\n2 x")
+    write(plain, "b.txt", s"BETA-0\n${noradLine(200)}\n2 x")
+    val noIdx = spark.read.format("graft-tle").load(plain)
+      .where(col("sat_name").startsWith("BETA"))
+    assert(noIdx.rdd.getNumPartitions === 2) // no skip without stats
+    assert(noIdx.select("sat_name").as[String].collect() === Array("BETA-0"))
+  }
+
   test("empty and missing directories yield empty frames, not errors") {
     val dir = Files.createTempDirectory("graft-tlesrc5-").toString
     assert(spark.read.format("graft-tle").load(dir).count() === 0)
