@@ -87,6 +87,66 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CURATION: DEDUPE-ON-ARRIVAL for a document landing
+    * stream — the streaming twin of the batch dedup ladder (q30/q32).
+    * Each micro-batch:
+    *
+    *   1. MinHash-signs its documents (`NearDup.minhashSignatures` —
+    *      deterministic CW family, identical signatures for identical
+    *      content) and keys each doc by the 64-bit hash of its full
+    *      signature;
+    *   2. keeps the FIRST doc per key within the batch (deterministic
+    *      min-id, the batch `keepFirst` contract);
+    *   3. anti-joins the survivors against the SIGNATURE STATE TABLE of
+    *      everything accepted so far — one long per accepted doc, the
+    *      bounded state that replaces an ever-growing text comparison;
+    *   4. appends the fresh docs to `acceptedDir` and their keys to
+    *      `stateDir`.
+    *
+    * The same idempotent-sink shape as [[dimUpsertStream]]: re-delivery
+    * of a batch re-checks against the state table and appends nothing
+    * new (at-least-once writes, converging state). Scale: state is one
+    * row per accepted doc, the anti-join is an equi-join on the key —
+    * and the key side stays orders of magnitude smaller than the text
+    * it stands for.
+    */
+  def dedupeOnArrivalStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, acceptedDir: String,
+      stateDir: String, checkpointDir: String,
+      n: Int = 3, numHashes: Int = 16): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val df = batch.toDF()
+        val keyed = df.join(
+          graft.ext.NearDup.minhashSignatures(df, "doc_id", "text",
+              n, numHashes)
+            .select(col("_id").as("doc_id"),
+              xxhash64(col("_sig")).as("_sigkey")),
+          "doc_id")
+        val firsts = graft.dedup.Dedup.keepFirst(
+          keyed, Seq("_sigkey"), Seq(col("doc_id")))
+        val state = stateTable(spark, stateDir)
+        val fresh = firsts.join(state, Seq("_sigkey"), "left_anti")
+          .persist() // two writes below, one computation
+        try {
+          fresh.drop("_sigkey").write.mode("append").parquet(acceptedDir)
+          fresh.select("_sigkey").write.mode("append").parquet(stateDir)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private def stateTable(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema("_sigkey LONG").parquet(stateDir)
+    else spark.range(0).select(col("id").as("_sigkey"))
+  }
+
   /** Streaming SESSIONIZATION with custom state — the
     * `flatMapGroupsWithState` surface (§2.11): gap-based sessions per
     * user, the streaming twin of the batch q14 window form, for session

@@ -82,6 +82,50 @@ class StreamingSpec extends SparkSpec {
     assert(dim.where("norad_id = 2 AND sat_name = 'SAT-2'").count() === 1)
   }
 
+  test("dedupe-on-arrival stream equals the batch keep-first dedup") {
+    val root = Files.createTempDirectory("graft-stream-cur")
+    val (src, acc, st) = (s"$root/src", s"$root/accepted", s"$root/state")
+    import spark.implicits._
+    def docs(rows: (Long, String)*) = rows.toSeq
+      .toDF("doc_id", "text")
+    val schema = docs((0L, "")).schema
+    def run(): Unit = StreamingIngest.dedupeOnArrivalStream(
+      spark, src, schema, acc, st, s"$root/ckp").awaitTermination()
+
+    // batch 1: in-batch duplicates (4 dups 1, 6 dups 2) — keep-first
+    docs(1L -> "alpha bravo charlie delta echo",
+         2L -> "foxtrot golf hotel india juliet",
+         3L -> "kilo lima mike november oscar",
+         4L -> "alpha bravo charlie delta echo",
+         5L -> "papa quebec romeo sierra tango",
+         6L -> "foxtrot golf hotel india juliet")
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(acc).select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 2L, 3L, 5L))
+
+    // batch 2 (restart from checkpoint): cross-batch dups (7 dups 3,
+    // 9 dups 1) are dropped by the signature state table; new docs pass
+    docs(7L -> "kilo lima mike november oscar",
+         8L -> "uniform victor whiskey xray yankee",
+         9L -> "alpha bravo charlie delta echo",
+         10L -> "zulu one two three four")
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    val streamed = spark.read.parquet(acc).select("doc_id").as[Long]
+      .collect().sorted
+    assert(streamed === Array(1L, 2L, 3L, 5L, 8L, 10L))
+
+    // equality with the BATCH form of the same ladder: exact dedup
+    // keep-first by doc_id over the full corpus
+    val all = spark.read.parquet(src)
+    val batchKept = graft.ext.NearDup.exact(all, "text", Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(streamed === batchKept)
+    // state is one row per accepted doc
+    assert(spark.read.parquet(st).count() === streamed.length)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch q14 form") {
     val root = Files.createTempDirectory("graft-stream-sess")
     val (src, ckp) = (s"$root/src", s"$root/ckp")
