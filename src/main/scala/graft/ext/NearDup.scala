@@ -74,9 +74,18 @@ object NearDup {
     val inter = filtered.as("a")
       .join(filtered.as("b"), col("a._sh") === col("b._sh") &&
         col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+    scorePairs(inter, sizes, minJaccard)
+  }
+
+  /** The shared Jaccard tail: one row per (pair, shared shingle) in →
+    * per-pair intersection count → J = i / (|A|+|B|−i) ≥ t out.
+    */
+  private def scorePairs(interRows: DataFrame, sizes: DataFrame,
+      minJaccard: Double): DataFrame =
+    interRows
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_common"))
-    inter
       .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_sz", "sz2"), "id2")
       .withColumn("jaccard",
@@ -85,6 +94,53 @@ object NearDup {
       .where(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("n_common"),
         col("sz1"), col("sz2"), col("jaccard"))
+
+  /** [[jaccardPairs]] with HOT-SHINGLE SALTING — output-identical, built
+    * for the skew the plain self-join cannot shed: one near-
+    * `maxShingleFreq` shingle puts its whole f² pair block on a single
+    * reducer (the shuffle key is the shingle), and AQE's skew handling
+    * cannot split a single join KEY. The `Salted.join` salt-replicate
+    * pattern, specialized to a self-join:
+    *
+    *   - postings split by corpus frequency: shingles with
+    *     f > hotShingleFreq take the salted path, the rest join direct;
+    *   - hot path: the left occurrence gets a content-derived salt
+    *     (hash(id) mod buckets — deterministic, retry-safe), the right
+    *     is replicated to ALL salt values; equi-join on
+    *     (shingle, salt) puts each hot pair on exactly one reducer and
+    *     splits the f² block `saltBuckets` ways;
+    *   - each shared shingle still contributes exactly one row in
+    *     exactly one path, so the unioned rows feed the same
+    *     count/score tail and the result is row-identical (ExtSpec).
+    *
+    * Replication multiplies only the HOT postings by `saltBuckets` —
+    * the cold majority pays nothing, which is what makes this viable at
+    * scale where the hot set is boilerplate (small, frequent).
+    */
+  def jaccardPairsSalted(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8, maxShingleFreq: Long = 0,
+      saltBuckets: Int = 8, hotShingleFreq: Long = 64): DataFrame = {
+    val post = postings(docs, idCol, textCol, n)
+    val freq = post.groupBy("_sh").agg(count(lit(1)).as("_f"))
+    val kept = post.join(
+      if (maxShingleFreq <= 0) freq else freq.where(col("_f") <= maxShingleFreq),
+      "_sh")
+    val sizes = kept.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val cold = kept.where(col("_f") <= hotShingleFreq)
+    val hot = kept.where(col("_f") > hotShingleFreq)
+    val coldInter = cold.as("a")
+      .join(cold.as("b"), col("a._sh") === col("b._sh") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+    val hotLeft = hot.withColumn("_salt",
+      pmod(xxhash64(col("_id")), lit(saltBuckets.toLong)))
+    val hotRight = hot.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    val hotInter = hotLeft.as("a")
+      .join(hotRight.as("b"), col("a._sh") === col("b._sh") &&
+        col("a._salt") === col("b._salt") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+    scorePairs(coldInter.unionByName(hotInter), sizes, minJaccard)
   }
 
   /** [[jaccardPairs]] with PREFIX-FILTERED candidate generation (the

@@ -385,6 +385,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("salted Jaccard self-join is row-identical on a hot-shingle corpus") {
+    // ~90% of postings are the shared template's shingles (hot in every
+    // doc); tails keep real similarity structure. hotShingleFreq=10
+    // forces the template shingles through the salted path while the
+    // tails stay direct — both regimes active in one query.
+    val hot = (0L until 80L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+        s"tail${i % 4} end${i % 2}"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), math.round(r.getDouble(5) * 1e9))
+    for (t <- Seq(0.5, 0.9)) {
+      val direct = NearDup.jaccardPairs(hot, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val salted = NearDup.jaccardPairsSalted(hot, "doc_id", "text", 3, t,
+          saltBuckets = 8, hotShingleFreq = 10)
+        .collect().map(key).toSet
+      assert(salted === direct)
+      assert(direct.nonEmpty)
+    }
+    // no-hot corpus: everything takes the cold path, still identical
+    val flat = NearDup.jaccardPairsSalted(docs, "doc_id", "text", 3, 0.5,
+        saltBuckets = 8, hotShingleFreq = 64)
+      .collect().map(key).toSet
+    assert(flat === NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(key).toSet)
+    // and the freq-cut composes with salting
+    val cut = NearDup.jaccardPairsSalted(hot, "doc_id", "text", 3, 0.2,
+        maxShingleFreq = 30, saltBuckets = 4, hotShingleFreq = 5)
+      .collect().map(key).toSet
+    assert(cut === NearDup.jaccardPairs(hot, "doc_id", "text", 3, 0.2,
+      maxShingleFreq = 30).collect().map(key).toSet)
+  }
+
   test("auto-regime Jaccard picks prefix on boilerplate, direct on flat") {
     val boiler = (0L until 60L).map(i =>
       (i, s"shared template header words repeated across all docs tail$i " +
