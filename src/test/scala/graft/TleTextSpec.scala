@@ -85,6 +85,27 @@ class TleTextSpec extends SparkSpec {
     assert(recs.forall(_.getAs[Int]("norad_id") == 44714))
   }
 
+  test("HttpFetch.land publishes atomically and feeds the TLE readers") {
+    import graft.ingest.HttpFetch
+    val dir = Files.createTempDirectory("graft-landing").toString
+    val payload = Seq("SAT-A", l1, l2).mkString("\n")
+    val landed = HttpFetch.land(payload, dir, "celestrak-batch1.txt")
+    // no temp leftovers, one visible data file
+    assert(graft.util.FsListing.dataFiles(dir).map(_._1) ===
+      Seq("celestrak-batch1.txt"))
+    // both readers consume it under their normal contracts
+    assert(TleText.triples(spark, landed).count() === 1)
+    assert(spark.read.format("graft-tle").load(dir).count() === 1)
+    // landed files are immutable: re-landing the same name fails
+    intercept[IllegalStateException] {
+      HttpFetch.land("other", dir, "celestrak-batch1.txt")
+    }
+    // hidden names would vanish from listings — rejected up front
+    intercept[IllegalArgumentException] {
+      HttpFetch.land(payload, dir, "_sneaky.txt")
+    }
+  }
+
   test("noaa decode: header skipped, date split at space, floats parsed") {
     val json =
       """[["time_tag","f10.7"],
