@@ -56,7 +56,15 @@ import graft.util.FsListing
   * partitions via `epoch_date` AND then skips files whose `epoch_utc`
   * range ends before the horizon.
   */
-class Warehouse(spark: SparkSession, dir: String) {
+/** @param retainReplaced when true, merge/compact DEFER deletion of the
+  *   files they replace to [[Warehouse!.vacuum]] instead of deleting them
+  *   right after the commit — the retention mode that keeps every
+  *   committed version readable ([[Warehouse!.readVersion]] time travel)
+  *   until vacuum's manifest-retention horizon passes it. The default
+  *   (eager) keeps the steady-state directory exactly one version big.
+  */
+class Warehouse(spark: SparkSession, dir: String,
+    retainReplaced: Boolean = false) {
 
   import Warehouse.FileEntry
 
@@ -114,25 +122,28 @@ class Warehouse(spark: SparkSession, dir: String) {
 
   private def manifestDir(name: String) = new Path(path(name), "_manifests")
 
-  /** (version, live files); (0, Nil) when the table has no manifest. */
-  private[graft] def loadLatest(name: String): (Long, Seq[FileEntry]) = {
+  /** All committed manifest versions, ascending (empty = no manifest). */
+  def versions(name: String): Seq[Long] = {
     val fs = fileSystem
     val mdir = manifestDir(name)
-    if (!fs.exists(mdir)) return (0L, Nil)
-    val versions = fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+    if (!fs.exists(mdir)) return Nil
+    fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
       case ManifestName(v) => Some(v.toLong)
       case _ => None
-    })
-    if (versions.isEmpty) return (0L, Nil)
-    val v = versions.max
-    val in = fs.open(new Path(mdir, f"v$v%012d.mf"))
+    }).sorted
+  }
+
+  /** The file list committed as manifest `version` (must exist). */
+  private[graft] def loadAt(name: String, version: Long): Seq[FileEntry] = {
+    val fs = fileSystem
+    val in = fs.open(new Path(manifestDir(name), f"v$version%012d.mf"))
     val text = try {
       new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     val lines = text.split('\n').toSeq
     require(lines.headOption.contains(ManifestHeader),
-      s"$name manifest v$v: unrecognized header")
-    val entries = lines.tail.filter(_.nonEmpty).map { line =>
+      s"$name manifest v$version: unrecognized header")
+    lines.tail.filter(_.nonEmpty).map { line =>
       val Array(rel, bytes, stats) = line.split('\t').padTo(3, "")
       val parsed = stats.split(';').filter(_.nonEmpty).map { s =>
         val Array(c, mm) = s.split('=')
@@ -141,8 +152,14 @@ class Warehouse(spark: SparkSession, dir: String) {
       }.toMap
       FileEntry(rel, bytes.toLong, parsed)
     }
-    (v, entries)
   }
+
+  /** (version, live files); (0, Nil) when the table has no manifest. */
+  private[graft] def loadLatest(name: String): (Long, Seq[FileEntry]) =
+    versions(name) match {
+      case Nil => (0L, Nil)
+      case vs => (vs.last, loadAt(name, vs.last))
+    }
 
   /** Publish manifest `version` atomically (tmp write + rename). The
     * rename is the COMMIT POINT: it either lands whole or not at all,
@@ -244,15 +261,34 @@ class Warehouse(spark: SparkSession, dir: String) {
       case cols => w1.partitionBy(cols: _*)
     }).parquet(staging.toString)
     // part file names embed the write job's UUID — already unique in the
-    // destination dirs; the move is a pure metadata rename per file
-    val entries = FsListing.dataFiles(staging.toString).map {
-      case (rel, bytes) =>
-        val dest = new Path(path(name), rel)
-        fs.mkdirs(dest.getParent)
-        require(fs.rename(new Path(staging, rel), dest),
-          s"$name: staging move failed for $rel")
-        FileEntry(rel, bytes, footerStats(dest, statColumns(name)))
-    }
+    // destination dirs. Listing, the per-file metadata rename, and the
+    // footer-stat read are all independent I/O: a date-partitioned
+    // append lands hundreds of one-file directories, and the serial
+    // forms of these loops taxed the pipeline measurably (q46 +80%:
+    // 2.7 s listing + 1.3 s moves + ~2 s footer opens at 366 files) —
+    // all three run on a bounded pool now.
+    val staged = FsListing.dataFiles(staging.toString, parallelism = 16)
+    val cols = statColumns(name)
+    val entries =
+      if (staged.isEmpty) Seq.empty[FileEntry]
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, staged.size))
+        try {
+          staged.map { case (rel, bytes) =>
+            pool.submit(new java.util.concurrent.Callable[FileEntry] {
+              override def call(): FileEntry = {
+                val dest = new Path(path(name), rel)
+                fs.mkdirs(dest.getParent)
+                require(fs.rename(new Path(staging, rel), dest),
+                  s"$name: staging move failed for $rel")
+                FileEntry(rel, bytes,
+                  if (cols.isEmpty) Map.empty else footerStats(dest, cols))
+              }
+            })
+          }.map(_.get())
+        } finally { pool.shutdown(); () }
+      }
     fs.delete(staging, true)
     entries
   }
@@ -308,6 +344,41 @@ class Warehouse(spark: SparkSession, dir: String) {
     if (v == 0L) return read(name)
     dfFor(name, entries.filter(_.stats.get(column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi }))
+  }
+
+  /** TIME TRAVEL: the table exactly as committed at manifest `version`.
+    * Readable as long as that version's files survive — always true for
+    * append-only history; for merge/compact history it requires
+    * `retainReplaced` (or simply not having vacuumed past the version):
+    * eager GC deletes replaced files right after the NEXT commit.
+    * Missing files fail fast here with the retention story, not later
+    * with a FileNotFound mid-job.
+    */
+  def readVersion(name: String, version: Long): DataFrame = {
+    require(versions(name).contains(version),
+      s"$name has no manifest v$version (vacuumed or never committed)")
+    val entries = loadAt(name, version)
+    val fs = fileSystem
+    val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
+    require(gone.isEmpty,
+      s"$name v$version is no longer readable: ${gone.size} file(s) GC'd " +
+        s"(e.g. ${gone.head.rel}); use retainReplaced=true and vacuum " +
+        "retention to keep versions readable")
+    dfFor(name, entries)
+  }
+
+  /** INCREMENTAL read: rows of files ADDED after manifest
+    * `sinceVersion` — appended batches plus the rewritten output of any
+    * merge/compact (i.e. current versions of upserted partitions). The
+    * files-added diff is the manifest-native change feed: an
+    * incremental consumer checkpoints a version, reads forward, and
+    * never rescans history.
+    */
+  def readChanges(name: String, sinceVersion: Long): DataFrame = {
+    require(versions(name).contains(sinceVersion),
+      s"$name has no manifest v$sinceVersion to diff from")
+    val before = loadAt(name, sinceVersion).map(_.rel).toSet
+    dfFor(name, loadLatest(name)._2.filterNot(e => before(e.rel)))
   }
 
   private def dfFor(name: String, entries: Seq[FileEntry]): DataFrame =
@@ -386,7 +457,7 @@ class Warehouse(spark: SparkSession, dir: String) {
     maybeCrash("after-write")
     commit(name, v + 1, entries.diff(replaced) ++ fresh)
     maybeCrash("after-commit")
-    gc(name, replaced)
+    if (!retainReplaced) gc(name, replaced)
   }
 
   /** Hive-escaped partition directory for one partition-values row. */
@@ -464,36 +535,36 @@ class Warehouse(spark: SparkSession, dir: String) {
     maybeCrash("after-write")
     commit(name, v + 1, entries.diff(replaced) ++ fresh)
     maybeCrash("after-commit")
-    gc(name, replaced)
+    if (!retainReplaced) gc(name, replaced)
     val after = fresh.count(e => fragmented.contains(dirOf(e.rel)))
     (fragmented.size, before, after.toLong)
   }
 
-  /** Garbage collection: delete data files the latest manifest does not
-    * reference (crash leftovers, un-collected replaced files), stray
-    * staging trees, and manifest versions older than `keepManifests`.
-    * Single-writer contract: must not run concurrently with a mutation.
+  /** Garbage collection with RETENTION-COHERENT semantics: the kept
+    * manifests (the newest `keepManifests` versions) define the live
+    * set — every file any of them references survives, so the retained
+    * versions stay [[readVersion]]-readable after the vacuum. Deleted:
+    * data files referenced by no kept manifest (crash leftovers,
+    * replaced files past retention), stray staging trees, and the
+    * manifests older than the horizon. Single-writer contract: must not
+    * run concurrently with a mutation.
     *
     * @return number of orphan data files deleted
     */
   def vacuum(name: String, keepManifests: Int = 2): Long = {
     val fs = fileSystem
-    val (v, entries) = loadLatest(name)
-    if (v == 0L) return 0L
-    val live = entries.map(_.rel).toSet
+    val vs = versions(name)
+    if (vs.isEmpty) return 0L
+    val kept = vs.takeRight(math.max(keepManifests, 1))
+    val live = kept.flatMap(loadAt(name, _)).map(_.rel).toSet
     var n = 0L
     FsListing.dataFiles(path(name)).foreach { case (rel, _) =>
       if (!live(rel) && fs.delete(new Path(path(name), rel), false)) n += 1
     }
     val staging = new Path(path(name), "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    val mdir = manifestDir(name)
-    fs.listStatus(mdir).foreach { st =>
-      st.getPath.getName match {
-        case ManifestName(mv) if mv.toLong <= v - keepManifests =>
-          fs.delete(st.getPath, false); ()
-        case _ => ()
-      }
+    vs.dropRight(math.max(keepManifests, 1)).foreach { mv =>
+      fs.delete(new Path(manifestDir(name), f"v$mv%012d.mf"), false)
     }
     n
   }

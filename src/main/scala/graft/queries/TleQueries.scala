@@ -159,6 +159,43 @@ object TleQueries extends QueryPack {
       (s"$tmp/tle", s"$tmp/noaa")
     }
 
+  /** The q56/q74 upsert fixture: a key-unique telemetry base synthesized
+    * from orders (epoch injective in o_orderkey) and an update batch
+    * that replaces every 3rd key and inserts a shifted-norad copy of
+    * every 11th. Returned with the `k` helper column still attached.
+    */
+  private def mergeFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val baseTs = lit(java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .toEpochMilli * 1000L)
+    val fetched = lit(java.sql.Timestamp.from(
+      java.time.Instant.parse("2027-01-10T00:00:00Z")))
+    val epoch = timestamp_micros(
+      baseTs + ((k % 40) * 86400L + k) * 1000000L)
+    val base = t(s, dir, "orders").select(
+      ((k * 7919) % 997).cast("int").as("norad_id"),
+      epoch.as("epoch_utc"),
+      fetched.as("fetched_at_utc"),
+      (k % 180).cast("double").as("inclination"),
+      lit(null).cast("double").as("raan"),
+      lit(null).cast("double").as("eccentricity"),
+      lit(null).cast("double").as("arg_perigee"),
+      lit(null).cast("double").as("mean_anomaly"),
+      ((k % 1600).cast("double") / 100.0).as("mean_motion"),
+      when(k % 5 === 0, lit(null).cast("double"))
+        .otherwise((k % 7).cast("double")).as("b_star_drag"),
+      (k % 100000).cast("int").as("rev_number"),
+      to_date(epoch).as("epoch_date"),
+      k.as("k"))
+    val updates = base.where(k % 3 === 0)
+        .withColumn("mean_motion", col("mean_motion") + 100.0)
+        .withColumn("rev_number", (col("rev_number") + 1).cast("int"))
+      .unionByName(base.where(k % 11 === 0)
+        .withColumn("norad_id", (col("norad_id") + 2000).cast("int")))
+      .drop("k")
+    (base, updates)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- q22: tle_bstar quirk table (X1; script.py:11-20). Six input
@@ -810,36 +847,10 @@ object TleQueries extends QueryPack {
       (s, dir) => {
         val whDir = java.nio.file.Files.createTempDirectory("graft-q56-")
           .toString
-        val baseTs = lit(java.time.Instant.parse("2026-01-01T00:00:00Z")
-          .toEpochMilli * 1000L)
-        val fetched = lit(java.sql.Timestamp.from(
-          java.time.Instant.parse("2027-01-10T00:00:00Z")))
-        val epoch = timestamp_micros(
-          baseTs + ((k % 40) * 86400L + k) * 1000000L)
-        val base = t(s, dir, "orders").select(
-          ((k * 7919) % 997).cast("int").as("norad_id"),
-          epoch.as("epoch_utc"),
-          fetched.as("fetched_at_utc"),
-          (k % 180).cast("double").as("inclination"),
-          lit(null).cast("double").as("raan"),
-          lit(null).cast("double").as("eccentricity"),
-          lit(null).cast("double").as("arg_perigee"),
-          lit(null).cast("double").as("mean_anomaly"),
-          ((k % 1600).cast("double") / 100.0).as("mean_motion"),
-          when(k % 5 === 0, lit(null).cast("double"))
-            .otherwise((k % 7).cast("double")).as("b_star_drag"),
-          (k % 100000).cast("int").as("rev_number"),
-          to_date(epoch).as("epoch_date"),
-          k.as("k"))
+        val (base, updates) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
         wh.bootstrap()
         wh.append("fact_telemetry", base.drop("k"))
-        val updates = base.where(k % 3 === 0)
-            .withColumn("mean_motion", col("mean_motion") + 100.0)
-            .withColumn("rev_number", (col("rev_number") + 1).cast("int"))
-          .unionByName(base.where(k % 11 === 0)
-            .withColumn("norad_id", (col("norad_id") + 2000).cast("int")))
-          .drop("k")
         wh.merge("fact_telemetry", updates, Seq("norad_id", "epoch_utc"))
         wh.read("fact_telemetry")
           .select(col("norad_id"),
@@ -876,6 +887,71 @@ object TleQueries extends QueryPack {
         SELECT norad_id, epoch_micros, mean_motion, b_star_drag, rev_number
         FROM upd
         ORDER BY norad_id, epoch_micros""")),
+
+    // ---- q74: TIME TRAVEL through the versioned manifest — the
+    // capability the crash-safe commit protocol buys beyond safety:
+    // under retainReplaced retention, the pre-merge version stays
+    // readable AFTER the merge rewrote its partitions. Emits the
+    // pre-merge snapshot and the post-merge head tagged side by side
+    // (same upsert fixture as q56); the oracle replays both states
+    // relationally — 'before' is the raw base, 'after' is q56's merged
+    // result. ----
+    Q("q74_warehouse_time_travel",
+      (s, dir) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft-q74-")
+          .toString
+        val (base, updates) = mergeFixture(s, dir)
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          retainReplaced = true)
+        wh.bootstrap()
+        wh.append("fact_telemetry", base.drop("k"))
+        val preMerge = wh.versions("fact_telemetry").last
+        wh.merge("fact_telemetry", updates, Seq("norad_id", "epoch_utc"))
+        def shot(df: DataFrame, tag: String) = df.select(
+          lit(tag).as("snapshot"), col("norad_id"),
+          unix_micros(col("epoch_utc")).as("epoch_micros"),
+          col("mean_motion"), col("b_star_drag"),
+          col("rev_number").cast("int").as("rev_number"))
+        shot(wh.readVersion("fact_telemetry", preMerge), "before")
+          .unionByName(shot(wh.read("fact_telemetry"), "after"))
+          .orderBy("snapshot", "norad_id", "epoch_micros")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders),
+        base AS (
+          SELECT CAST((k * 7919) % 997 AS INT) AS norad_id,
+                 epoch_us(TIMESTAMP '2026-01-01')
+                   + ((k % 40) * 86400 + k) * 1000000 AS epoch_micros,
+                 CAST(k % 1600 AS DOUBLE) / 100.0 AS mean_motion,
+                 CASE WHEN k % 5 = 0 THEN NULL
+                      ELSE CAST(k % 7 AS DOUBLE) END AS b_star_drag,
+                 CAST(k % 100000 AS INT) AS rev_number, k
+          FROM src),
+        upd AS (
+          SELECT norad_id, epoch_micros, mean_motion + 100.0 AS mean_motion,
+                 b_star_drag, CAST(rev_number + 1 AS INT) AS rev_number
+          FROM base WHERE k % 3 = 0
+          UNION ALL
+          SELECT CAST(norad_id + 2000 AS INT), epoch_micros, mean_motion,
+                 b_star_drag, rev_number
+          FROM base WHERE k % 11 = 0),
+        merged AS (
+          SELECT norad_id, epoch_micros, mean_motion, b_star_drag, rev_number
+          FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM upd u
+                            WHERE u.norad_id = b.norad_id
+                              AND u.epoch_micros = b.epoch_micros)
+          UNION ALL
+          SELECT norad_id, epoch_micros, mean_motion, b_star_drag, rev_number
+          FROM upd)
+        SELECT 'before' AS snapshot, norad_id, epoch_micros, mean_motion,
+               b_star_drag, rev_number
+        FROM base
+        UNION ALL
+        SELECT 'after', norad_id, epoch_micros, mean_motion,
+               b_star_drag, rev_number
+        FROM merged
+        ORDER BY snapshot, norad_id, epoch_micros""")),
 
     // ---- q65: the DataSource V2 TLE source under the gate — S1/S2 as
     // a first-class `spark.read.format("graft-tle")` source (one

@@ -89,7 +89,9 @@ class WarehouseCommitSpec extends SparkSpec {
     // commit landed → new state is what readers see, even though the
     // replaced files still sit on disk un-deleted
     assert(telemetry(reopened) === expected)
-    val orphans = reopened.vacuum("fact_telemetry")
+    // retention-coherent vacuum: the default horizon keeps the previous
+    // version's files live; shrinking it to 1 collects the replaced set
+    val orphans = reopened.vacuum("fact_telemetry", keepManifests = 1)
     assert(orphans >= 1L, "replaced files should have survived the crash")
     assert(telemetry(reopened) === expected)
   }
@@ -176,6 +178,67 @@ class WarehouseCommitSpec extends SparkSpec {
     // a column with no recorded stats never skips
     assert(wh.readRange("fact_telemetry", "rev_number", 0, 1)
       .inputFiles.length === 3)
+  }
+
+  test("time travel: every committed version readable under retention") {
+    val dir = Files.createTempDirectory("graft-tt-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = true)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase(Seq(1, 2)))          // v2
+    wh.append("fact_telemetry", mkBase(Seq(3)))             // v3
+    val v3 = telemetry(wh)
+    wh.merge("fact_telemetry", updatesDf, Seq("norad_id", "epoch_utc")) // v4
+    assert(wh.versions("fact_telemetry") === Seq(1L, 2L, 3L, 4L))
+    // each version replays its exact committed state
+    assert(wh.readVersion("fact_telemetry", 1L).count() === 0)
+    assert(wh.readVersion("fact_telemetry", 2L).count() === 4)
+    assert(wh.readVersion("fact_telemetry", 3L)
+      .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
+      .as[(Int, Timestamp, Double, Int)].collect().toSet === v3)
+    assert(telemetry(wh) !== v3) // merge changed the head
+    // retention horizon: keep 3 manifests → v2..v4 stay readable, v1 gone
+    wh.vacuum("fact_telemetry", keepManifests = 3)
+    assert(wh.versions("fact_telemetry") === Seq(2L, 3L, 4L))
+    assert(wh.readVersion("fact_telemetry", 3L)
+      .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
+      .as[(Int, Timestamp, Double, Int)].collect().toSet === v3)
+    intercept[IllegalArgumentException] {
+      wh.readVersion("fact_telemetry", 1L)
+    }
+  }
+
+  test("eager GC fails time travel fast with the retention story") {
+    val (wh, _) = freshTable() // default: eager deletion on merge
+    val pre = wh.versions("fact_telemetry").last
+    wh.merge("fact_telemetry", updatesDf, Seq("norad_id", "epoch_utc"))
+    val err = intercept[IllegalArgumentException] {
+      wh.readVersion("fact_telemetry", pre).count()
+    }
+    assert(err.getMessage.contains("retainReplaced"))
+  }
+
+  test("readChanges feeds an incremental consumer only the new files") {
+    val dir = Files.createTempDirectory("graft-cdc-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase(Seq(1)))   // v2
+    val checkpoint = wh.versions("fact_telemetry").last
+    wh.append("fact_telemetry", mkBase(Seq(2)))   // v3
+    wh.append("fact_telemetry", mkBase(Seq(3)))   // v4
+    val changes = wh.readChanges("fact_telemetry", checkpoint)
+      .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
+      .as[(Int, Timestamp, Double, Int)].collect().toSet
+    // exactly the rows of the two appended batches, not day 1
+    assert(changes.map(_._2.toString.take(10)).forall(d =>
+      d == "2026-01-02" || d == "2026-01-03"))
+    assert(changes.size === 4)
+    // a merge's rewritten partition shows up as changed content
+    wh.merge("fact_telemetry", updatesDf, Seq("norad_id", "epoch_utc"))
+    val afterMerge = wh.readChanges("fact_telemetry", checkpoint)
+    assert(afterMerge.where($"rev_number" === 777).count() === 1)
+    // nothing changed since head → empty feed
+    assert(wh.readChanges("fact_telemetry",
+      wh.versions("fact_telemetry").last).count() === 0)
   }
 
   test("manifest versions advance and vacuum trims old ones") {
