@@ -121,7 +121,11 @@ object Similarity {
       if (fitFraction >= 1.0) corpusV
       else if (sampled.count() >= math.max(minFitRows, 4L * nCells)) sampled
       else corpusV // small-corpus fallback: sample would starve the fit
-    val model = new KMeans().setK(nCells).setSeed(42L)
+    // a COARSE quantizer doesn't need converged centroids — cells only
+    // gate candidate discovery (probe-all IVF and exact-copy SemDeDup
+    // results are invariant to centroid quality), so cap the iterative
+    // driver-coordinated fit well below the spark.ml default of 20
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitSet)
     val assigned = model.transform(corpusV).select(
