@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{NearDup, Packing, Sampling, Similarity, TextFunctions}
+import graft.ext.{NearDup, Packing, Sampling, Similarity, TextFunctions, Vocab}
 
 /** Training-data-pipeline operator surface over the `documents` and
   * `embeddings` tables: exact + near deduplication, similarity search,
@@ -1219,6 +1219,51 @@ object LlmQueries extends QueryPack {
         FROM ranked r JOIN totals t USING (lang)
         WHERE r.rank <= 5
         ORDER BY r.lang, r.rank""")),
+
+    // ---- q75: tokenizer APPLICATION — the deployment half of q72's
+    // induction: ids 1..V for the global top-50 tokens (count desc,
+    // token asc ties), every doc encoded as its ordered id sequence
+    // with OOV → 0, emitted as a comma-joined string so every id sits
+    // inside the hash compare. Empty docs encode to the empty
+    // sequence (the encoder is total). The oracle replays the same
+    // rank → id assignment and re-assembles with string_agg ORDER BY
+    // position. ----
+    Q("q75_docs_tokenize_ids",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val vocab = Vocab.induce(docs, "text", vocabSize = 50)
+        Vocab.encode(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        tok AS (
+          SELECT doc_id, i AS pos, tk[i] AS token
+          FROM d, UNNEST(range(1, len(tk) + 1)) AS r(i)),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        vocab AS (
+          SELECT token,
+                 row_number() OVER (ORDER BY n DESC, token) AS id
+          FROM counts ORDER BY n DESC, token LIMIT 50),
+        mapped AS (
+          SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS tid
+          FROM tok t LEFT JOIN vocab v USING (token)),
+        agg AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+                 string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+          FROM mapped GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+               coalesce(a.ids, '') AS ids
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // ---- q73: SemDeDup — SEMANTIC dedup by embedding clustering
     // (cell the corpus with the sampled coarse quantizer, exact cosine

@@ -448,6 +448,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("vocab induce+encode: ids by rank, OOV 0, order kept, total over docs") {
+    import graft.ext.Vocab
+    val d = Seq(
+      (1L, "b a b c b a"),   // b:3 a:2 c:1 (+ d below)
+      (2L, "a d b"),
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Vocab.induce(d, "text", 3)
+      .select("token", "id").as[(String, Int)].collect().toMap
+    // counts: b=4, a=3, c=1, d=1 → top-3 with tie (c,d) broken by token
+    assert(vocab === Map("b" -> 1, "a" -> 2, "c" -> 3))
+    val out = Vocab.encode(d, "doc_id", "text", Vocab.induce(d, "text", 3))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 6L, 0L, "1,2,1,3,1,2")))
+    assert(out(1) === ((2L, 3L, 1L, "2,0,1"))) // d is OOV → 0, order kept
+    assert(out(2) === ((3L, 0L, 0L, "")))      // empty doc still encoded
+  }
+
   test("crossDocSpans counts documents, not occurrences") {
     val d = Seq(
       (1L, "a b c d a b c d"), // span "a b c" twice WITHIN one doc
