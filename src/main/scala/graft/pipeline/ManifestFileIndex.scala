@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, BoundReference, Cast, EqualTo, Expression,
+  GenericInternalRow, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{
+  DataType, IntegerType, LongType, StructType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.Warehouse.FileEntry
+
+/** The warehouse's Delta-style FileIndex: Spark's scan planning asks
+  * THIS for the file list instead of listing the filesystem — the
+  * manifest already knows every live file, its size, and its column
+  * stats, so a read costs zero filesystem listings and planning-time
+  * skipping comes in two layers:
+  *
+  *   - PARTITION pruning: partition values are parsed from the
+  *     manifest's relative paths (hive `k=v` dirs, Hive's own
+  *     unescaping) and evaluated against Catalyst's partitionFilters —
+  *     the same contract InMemoryFileIndex implements by listing;
+  *   - FILE skipping: dataFilters' simple comparisons
+  *     (=, <, <=, >, >=, in either operand order) against columns with
+  *     manifest footer stats drop files whose [min, max] cannot
+  *     overlap — [[Warehouse.readRange]]'s hint made automatic for
+  *     every Catalyst-pushed predicate. Unknown filter shapes skip
+  *     nothing (stats absence is always safe).
+  *
+  * Scale: planning state is the manifest entry list — the table-format
+  * trade every lakehouse makes; file counts are bounded by compaction.
+  */
+class ManifestFileIndex(
+    spark: SparkSession,
+    tablePath: Path,
+    entries: Seq[FileEntry],
+    override val partitionSchema: StructType)
+  extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(tablePath)
+  override def sizeInBytes: Long = entries.map(_.bytes).sum
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] =
+    entries.map(e => new Path(tablePath, e.rel).toString).toArray
+
+  private def dirOf(rel: String): String = rel.split('/').init.mkString("/")
+
+  /** `k=v/...` dir → typed partition-value row (Hive unescape + cast
+    * with the session's non-ANSI null-on-failure semantics; Hive's
+    * default-partition name → null).
+    */
+  private def partitionValues(dir: String): InternalRow = {
+    val vals = dir.split('/').zipWithIndex.map { case (comp, i) =>
+      val f = partitionSchema(i)
+      val raw = ExternalCatalogUtils.unescapePathName(
+        comp.stripPrefix(s"${f.name}="))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else Cast(Literal(UTF8String.fromString(raw)), f.dataType,
+        Some("UTC")).eval(InternalRow.empty)
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  /** Long-encode a literal for stat comparison (timestamp literals are
+    * already epoch micros internally); None = type we don't stat.
+    */
+  private def statLong(v: Any, dt: DataType): Option[Long] = (v, dt) match {
+    case (i: Int, IntegerType) => Some(i.toLong)
+    case (l: Long, LongType) => Some(l)
+    case (l: Long, TimestampType) => Some(l)
+    case _ => None
+  }
+
+  /** (column, lo, hi) constraints from the filters' simple comparisons. */
+  private def statRanges(filters: Seq[Expression]): Seq[(String, Long, Long)] = {
+    def flat(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(flat).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).map(x => (a.name, x, x))
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).map(x => (a.name, x, x))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).map(x => (a.name, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).map(x => (a.name, x, Long.MaxValue))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).map(x => (a.name, Long.MinValue, x - 1))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).map(x => (a.name, Long.MinValue, x))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).map(x => (a.name, Long.MinValue, x - 1))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).map(x => (a.name, Long.MinValue, x))
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).map(x => (a.name, x + 1, Long.MaxValue))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).map(x => (a.name, x, Long.MaxValue))
+      case _ => Nil // unknown shape: never skip on it
+    }
+  }
+
+  private def status(e: FileEntry): FileStatus =
+    new FileStatus(e.bytes, false, 0, 1, 0L, new Path(tablePath, e.rel))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val ranges = statRanges(dataFilters)
+    def keepFile(e: FileEntry): Boolean = ranges.forall { case (c, lo, hi) =>
+      e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (partitionSchema.isEmpty) {
+      Seq(PartitionDirectory(InternalRow.empty,
+        entries.filter(keepFile).map(status).toArray))
+    } else {
+      // the same bound-predicate evaluation InMemoryFileIndex uses
+      val keepPartition: InternalRow => Boolean =
+        partitionFilters.reduceOption(And) match {
+          case None => _ => true
+          case Some(pred) =>
+            val bound = Predicate.createInterpreted(pred.transform {
+              case a: AttributeReference =>
+                val i = partitionSchema.indexWhere(_.name == a.name)
+                BoundReference(i, partitionSchema(i).dataType, nullable = true)
+            })
+            row => bound.eval(row)
+        }
+      entries.groupBy(e => dirOf(e.rel)).toSeq.sortBy(_._1)
+        .flatMap { case (dir, fl) =>
+          val values = partitionValues(dir)
+          if (!keepPartition(values)) None
+          else Some(PartitionDirectory(values,
+            fl.filter(keepFile).map(status).toArray))
+        }
+    }
+  }
+}

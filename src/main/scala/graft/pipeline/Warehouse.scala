@@ -381,12 +381,30 @@ class Warehouse(spark: SparkSession, dir: String,
     dfFor(name, loadLatest(name)._2.filterNot(e => before(e.rel)))
   }
 
-  private def dfFor(name: String, entries: Seq[FileEntry]): DataFrame =
+  /** Manifest entries → DataFrame through [[ManifestFileIndex]]: scan
+    * planning asks the manifest for files (zero filesystem listings),
+    * partition pruning works as with a listed directory, and manifest
+    * footer stats skip files for any Catalyst-pushed comparison — the
+    * explicit [[readRange]] hint made automatic.
+    */
+  private def dfFor(name: String, entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tables(name))
-    else
-      spark.read.schema(tables(name)).option("basePath", path(name))
-        .parquet(entries.map(e => s"${path(name)}/${e.rel}"): _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        tables(name))
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val schema = tables(name)
+    val parts = partitioning(name)
+    val partitionSchema = StructType(parts.map(p => schema(p)))
+    val dataSchema = StructType(schema.filterNot(f => parts.contains(f.name)))
+    val index = new ManifestFileIndex(spark, new Path(path(name)),
+      entries, partitionSchema)
+    val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
+      None, new ParquetFileFormat(), Map.empty)(spark)
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(relation, false))
+  }
 
   /** K2-K4 — append insert. Parquet has no JDBC-style `batchsize`, so
     * chunking maps to output-partition sizing: rows-per-file caps the

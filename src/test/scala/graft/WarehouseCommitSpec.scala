@@ -241,6 +241,43 @@ class WarehouseCommitSpec extends SparkSpec {
       wh.versions("fact_telemetry").last).count() === 0)
   }
 
+  test("FileIndex skips files automatically for pushed predicates") {
+    val dir = Files.createTempDirectory("graft-autoskip-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    def batch(norad: Int, hour: Int) = Seq(
+      (norad, ts(f"2026-01-01T$hour%02d:00:00Z"), ts("2026-02-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 15.0, 0.1, 100,
+        java.sql.Date.valueOf("2026-01-01"))
+    ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date")
+    wh.append("fact_telemetry", batch(10, 1))
+    wh.append("fact_telemetry", batch(20, 8))
+    wh.append("fact_telemetry", batch(30, 20))
+
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // metrics populate on execution
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      df.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    // an ORDINARY Catalyst predicate on a stat column skips files — no
+    // explicit readRange hint needed (the FileIndex reads the manifest
+    // stats during scan planning)
+    assert(filesRead(wh.read("fact_telemetry")
+      .where($"norad_id" === 20)) === 1L)
+    assert(filesRead(wh.read("fact_telemetry")
+      .where($"epoch_utc" > ts("2026-01-01T12:00:00Z"))) === 1L)
+    assert(filesRead(wh.read("fact_telemetry")
+      .where($"norad_id" >= 15 && $"norad_id" <= 25)) === 1L)
+    // non-stat predicates read everything and still answer correctly
+    assert(filesRead(wh.read("fact_telemetry")
+      .where($"rev_number" === 100)) === 3L)
+    assert(wh.read("fact_telemetry").where($"norad_id" === 20).count() === 1)
+  }
+
   test("manifest versions advance and vacuum trims old ones") {
     val dir = Files.createTempDirectory("graft-vers-").toString
     val wh = new Warehouse(spark, dir)
