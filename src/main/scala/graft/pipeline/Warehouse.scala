@@ -381,6 +381,45 @@ class Warehouse(spark: SparkSession, dir: String,
     dfFor(name, loadLatest(name)._2.filterNot(e => before(e.rel)))
   }
 
+  /** CHANGE FEED with retractions: every row that entered or left the
+    * table between manifest `sinceVersion` and the latest, tagged with
+    * `_change_delta` = +1 (row in a file ADDED since) or -1 (row in a
+    * file REMOVED since). [[readChanges]] alone is enough for
+    * append-only consumers; this form additionally makes MERGE/COMPACT
+    * history consumable incrementally: a downstream aggregate is
+    * maintained exactly by folding the feed weighted by the delta
+    * (sum += x*δ, count += δ) — no rescan of table history.
+    *
+    * A rewrite re-emits untouched rows of touched partitions as -1/+1
+    * pairs; they cancel in any delta-weighted fold, so the feed is
+    * correct (not minimal — minimality would need row-level diffing,
+    * which is exactly the rescan this avoids). Compaction-only commits
+    * net to zero everywhere.
+    *
+    * Reading removed files requires them to still exist: run with
+    * `retainReplaced=true` (or consume before vacuuming past
+    * `sinceVersion`); missing files fail fast here like [[readVersion]].
+    */
+  def readChangeFeed(name: String, sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(versions(name).contains(sinceVersion),
+      s"$name has no manifest v$sinceVersion to diff from")
+    val before = loadAt(name, sinceVersion)
+    val beforeSet = before.map(_.rel).toSet
+    val latest = loadLatest(name)._2
+    val latestSet = latest.map(_.rel).toSet
+    val added = latest.filterNot(e => beforeSet(e.rel))
+    val removed = before.filterNot(e => latestSet(e.rel))
+    val fs = fileSystem
+    val gone = removed.filterNot(e => fs.exists(new Path(path(name), e.rel)))
+    require(gone.isEmpty,
+      s"$name change feed since v$sinceVersion unreadable: ${gone.size} " +
+        s"removed file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
+        "warehouse with retainReplaced=true to keep feeds consumable")
+    dfFor(name, added).withColumn("_change_delta", lit(1))
+      .unionByName(dfFor(name, removed).withColumn("_change_delta", lit(-1)))
+  }
+
   /** Manifest entries → DataFrame through [[ManifestFileIndex]]: scan
     * planning asks the manifest for files (zero filesystem listings),
     * partition pruning works as with a listed directory, and manifest

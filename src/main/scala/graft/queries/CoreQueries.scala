@@ -723,6 +723,38 @@ object CoreQueries extends QueryPack {
                CAST(sum(CAST(floor(p_value * 1000) AS BIGINT)) AS BIGINT)
                  AS value_milli
         FROM w JOIN p ON p.pt BETWEEN w.lo AND w.hi
-        GROUP BY w_id ORDER BY w_id"""))
+        GROUP BY w_id ORDER BY w_id""")),
+
+    // ---- q77: explicit bloom-filter semi-join pruning. A ~1%-selective
+    // order set (top price band) builds a distributed bloom filter; the
+    // lineitem scan is pruned by the codegen'd `bloom_key_filter`
+    // BEFORE its shuffle, then the exact join removes false positives —
+    // result-identical to the plain join (the oracle IS the plain
+    // join), which is precisely the operator's contract. At scale this
+    // is the star-schema fact-scan kill: the fact side's exchange
+    // carries only probable matches. ----
+    Q("q77_bloom_pruned_join",
+      (s, dir) => {
+        import graft.operators.BloomPrune
+        val hot = t(s, dir, "orders")
+          .where(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        BloomPrune.prunedJoin(
+            t(s, dir, "lineitem"), hot, "l_orderkey", "o_orderkey",
+            fpp = 0.01)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

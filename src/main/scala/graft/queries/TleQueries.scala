@@ -953,6 +953,71 @@ object TleQueries extends QueryPack {
         FROM merged
         ORDER BY snapshot, norad_id, epoch_micros""")),
 
+    // ---- q76: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the
+    // warehouse change feed. A per-satellite aggregate (row count + sum
+    // of mean_motion) is materialized from the appended base, then a
+    // MERGE upsert lands, and the view is brought current by folding
+    // ONLY `readChangeFeed` (rows ± their `_change_delta`) into the
+    // stale state — never rescanning the table. The oracle recomputes
+    // the aggregate from scratch over the merged state: incremental ==
+    // full is exactly the MV-maintenance correctness statement. Scale:
+    // the feed reads the touched partitions' files twice (old + new
+    // version); maintenance cost is O(merge footprint), not O(history).
+    Q("q76_warehouse_incremental_mv",
+      (s, dir) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft-q76-")
+          .toString
+        val (base, updates) = mergeFixture(s, dir)
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          retainReplaced = true)
+        wh.bootstrap()
+        wh.append("fact_telemetry", base.drop("k"))
+        val checkpoint = wh.versions("fact_telemetry").last
+        // stale MV: the file list is resolved eagerly at read() time, so
+        // this plan keeps reading the pre-merge snapshot lazily
+        val mv0 = wh.read("fact_telemetry").groupBy("norad_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("mean_motion")).as("sum_mm"))
+        wh.merge("fact_telemetry", updates, Seq("norad_id", "epoch_utc"))
+        val delta = wh.readChangeFeed("fact_telemetry", checkpoint)
+          .groupBy("norad_id")
+          .agg(sum(col("_change_delta")).cast("long").as("n_rows"),
+            sum(col("mean_motion") * col("_change_delta")).as("sum_mm"))
+        mv0.unionByName(delta).groupBy("norad_id")
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_mm")).as("sum_mm"))
+          .where(col("n_rows") > 0)
+          .select(col("norad_id"), col("n_rows").cast("long").as("n_rows"),
+            round(col("sum_mm"), 2).as("sum_mean_motion"))
+          .orderBy("norad_id")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders),
+        base AS (
+          SELECT CAST((k * 7919) % 997 AS INT) AS norad_id,
+                 epoch_us(TIMESTAMP '2026-01-01')
+                   + ((k % 40) * 86400 + k) * 1000000 AS epoch_micros,
+                 CAST(k % 1600 AS DOUBLE) / 100.0 AS mean_motion, k
+          FROM src),
+        upd AS (
+          SELECT norad_id, epoch_micros, mean_motion + 100.0 AS mean_motion
+          FROM base WHERE k % 3 = 0
+          UNION ALL
+          SELECT CAST(norad_id + 2000 AS INT), epoch_micros, mean_motion
+          FROM base WHERE k % 11 = 0),
+        merged AS (
+          SELECT norad_id, epoch_micros, mean_motion
+          FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM upd u
+                            WHERE u.norad_id = b.norad_id
+                              AND u.epoch_micros = b.epoch_micros)
+          UNION ALL
+          SELECT norad_id, epoch_micros, mean_motion FROM upd)
+        SELECT norad_id, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(mean_motion), 2) AS sum_mean_motion
+        FROM merged
+        GROUP BY norad_id
+        ORDER BY norad_id""")),
+
     // ---- q65: the DataSource V2 TLE source under the gate — S1/S2 as
     // a first-class `spark.read.format("graft-tle")` source (one
     // InputPartition per landing file, per-file triple assembly,

@@ -146,6 +146,81 @@ class WarehouseMergeSpec extends SparkSpec {
     assert(wh.compact("fact_telemetry") === ((0, 0L, 0L)))
   }
 
+  test("change feed folds a stale aggregate to the merged state") {
+    val dir = Files.createTempDirectory("graft-feed-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = true)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase(Seq(1, 2, 3, 4, 5)))
+    val checkpoint = wh.versions("fact_telemetry").last
+    // stale MV materialized before the merge (eager file list)
+    val mv0 = wh.read("fact_telemetry").groupBy("norad_id")
+      .agg(count(lit(1)).as("n"), sum($"mean_motion").as("s"))
+    val updates = Seq(
+      (1, ts("2026-01-02T01:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 99.0, 0.2, 777,
+        java.sql.Date.valueOf("2026-01-02")),
+      (9, ts("2026-01-04T09:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 88.0, 0.3, 888,
+        java.sql.Date.valueOf("2026-01-04"))
+    ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date")
+    wh.merge("fact_telemetry", updates, Seq("norad_id", "epoch_utc"))
+
+    val feed = wh.readChangeFeed("fact_telemetry", checkpoint)
+    // net row delta is exactly the one unmatched insert
+    assert(feed.agg(sum($"_change_delta")).as[Long].head() === 1L)
+    // untouched partitions contribute no feed rows at all (file-level diff)
+    assert(feed.where(!$"epoch_date".isin(
+      java.sql.Date.valueOf("2026-01-02"),
+      java.sql.Date.valueOf("2026-01-04"))).count() === 0L)
+
+    val folded = mv0.unionByName(
+        feed.groupBy("norad_id").agg(
+          sum($"_change_delta").as("n"),
+          sum($"mean_motion" * $"_change_delta").as("s")))
+      .groupBy("norad_id").agg(sum($"n").as("n"), sum($"s").as("s"))
+      .where($"n" > 0)
+      .as[(Int, Long, Double)].collect()
+      .map { case (id, n, s0) => id -> ((n, s0)) }.toMap
+    val full = wh.read("fact_telemetry").groupBy("norad_id")
+      .agg(count(lit(1)).as("n"), sum($"mean_motion").as("s"))
+      .as[(Int, Long, Double)].collect()
+      .map { case (id, n, s0) => id -> ((n, s0)) }.toMap
+    assert(folded === full)
+
+    // a compaction-only commit nets to zero everywhere
+    val v2 = wh.versions("fact_telemetry").last
+    (1 to 4).foreach(_ => wh.append("fact_telemetry",
+      mkBase(Seq(1)).repartition(1)))
+    val v3 = wh.versions("fact_telemetry").last
+    wh.compact("fact_telemetry")
+    val compactFeed = wh.readChangeFeed("fact_telemetry", v3)
+    assert(compactFeed.groupBy("norad_id", "epoch_utc", "rev_number")
+      .agg(sum($"_change_delta").as("d")).where($"d" =!= 0).count() === 0L)
+    assert(v2 < v3) // appends really committed between the checkpoints
+  }
+
+  test("change feed fails fast when removed files were GC'd") {
+    val dir = Files.createTempDirectory("graft-feed-gc-").toString
+    val wh = new Warehouse(spark, dir) // eager GC
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase(Seq(1)))
+    val checkpoint = wh.versions("fact_telemetry").last
+    wh.merge("fact_telemetry", Seq(
+      (1, ts("2026-01-01T01:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 99.0, 0.2, 777,
+        java.sql.Date.valueOf("2026-01-01"))
+    ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date"),
+      Seq("norad_id", "epoch_utc"))
+    val e = intercept[IllegalArgumentException] {
+      wh.readChangeFeed("fact_telemetry", checkpoint)
+    }
+    assert(e.getMessage.contains("retainReplaced"))
+  }
+
   test("compact bin-packs an unpartitioned table") {
     val dir = Files.createTempDirectory("graft-compact-flat-").toString
     val wh = new Warehouse(spark, dir)
