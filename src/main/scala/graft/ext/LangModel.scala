@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model QUALITY SCORING — the curation rung where
+  * each document is priced by how surprising its tokens are under a
+  * corpus-fit model (the KenLM-perplexity filter of CCNet-style
+  * pipelines, reduced to the n-gram statistics Spark computes natively).
+  * Low cross-entropy ≈ fluent, in-distribution text; extreme values
+  * flag boilerplate (too predictable) or garbage (too surprising), and
+  * a percentile cutoff over the score (see [[Stats.percentileCutoff]])
+  * turns it into a keep/drop gate.
+  *
+  * Scale shape: fitting is ONE map-side-combined count shuffle over
+  * token instances; the model is a (term, log-prob) table joined back
+  * to the exploded corpus on the term key — vocabulary-sized, so the
+  * join is broadcast-able for bounded vocabularies and AQE picks that
+  * up from stats; nothing here is quadratic and no state lives on the
+  * driver (corpus totals fold in-plan as a broadcast scalar, the q43
+  * pattern).
+  */
+object LangModel {
+
+  /** Unigram model fit on `corpus`: one row per distinct token with its
+    * add-one-smoothed log probability `ln((c + 1) / (N + V))`, where N =
+    * total token instances and V = vocabulary size. Smoothing keeps
+    * unseen-at-score-time tokens finite when the model is applied to a
+    * DIFFERENT corpus: they score `ln(1 / (N + V))` via
+    * [[crossEntropy]]'s fallback, consistent with the fit formula.
+    */
+  def unigramFit(corpus: DataFrame, textCol: String): DataFrame = {
+    val terms = corpus.select(
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("c"))
+    // corpus totals in-plan: a 1-row aggregate cross-joined (broadcast)
+    // rather than a driver-side collect
+    val totals = counts.agg(sum(col("c")).cast("double").as("_n_total"),
+      count(lit(1)).cast("double").as("_n_vocab"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        log((col("c") + 1) / (col("_n_total") + col("_n_vocab"))).as("logp"),
+        col("_n_total"), col("_n_vocab"))
+  }
+
+  /** Per-document cross-entropy under a fitted unigram model: mean
+    * `-ln p(token)` over the document's token instances (and its exp,
+    * the perplexity). Tokens absent from the model take the smoothed
+    * unseen probability `1 / (N + V)`. Documents with zero tokens are
+    * dropped — they have no distribution to score.
+    */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // totals ride separately (broadcast 1-row aggregate) so the unseen
+    // fallback is computable even for terms with no model row
+    val totals = model.agg(
+      coalesce(max(col("_n_total")), lit(1.0)).as("_nt"),
+      coalesce(max(col("_n_vocab")), lit(1.0)).as("_nv"))
+    terms.join(model.select("term", "logp"), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp",
+        coalesce(col("logp"), log(lit(1.0) / (col("_nt") + col("_nv")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        avg(-col("_lp")).as("cross_entropy"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+  }
+
+  /** Fit on the corpus and score the same corpus — the self-scoring
+    * shape quality filtering uses when no external reference corpus
+    * exists (outliers against the corpus's own distribution).
+    */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    crossEntropy(docs, idCol, textCol, unigramFit(docs, textCol))
+}

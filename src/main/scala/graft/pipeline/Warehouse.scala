@@ -240,15 +240,27 @@ class Warehouse(spark: SparkSession, dir: String,
     * and no live file is touched.
     */
   private def writeBatch(name: String, df: DataFrame, rowsPerFile: Long = 0,
-      flatFiles: Int = 0): Seq[FileEntry] = {
+      flatFiles: Int = 0,
+      sortCols: Seq[org.apache.spark.sql.Column] = Nil): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
     val clustered = parts match {
-      case Nil => if (flatFiles > 0) df.coalesce(flatFiles) else df
+      case Nil =>
+        // flat layout: range-partition on the cluster key so each output
+        // file covers a disjoint key range (coalesce alone would leave
+        // arbitrary row placement)
+        if (sortCols.nonEmpty && flatFiles > 0)
+          df.repartitionByRange(flatFiles, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+        else if (flatFiles > 0) df.coalesce(flatFiles) else df
       case cols =>
         // one task per partition dir (the 11k-small-files fix, r3);
-        // maxRecordsPerFile still splits oversized ones
-        df.repartition(cols.map(col): _*)
+        // maxRecordsPerFile still splits oversized ones — and when a
+        // cluster key is given, splits a SORTED stream, so each split
+        // file covers a contiguous key range (tight footer stats)
+        val re = df.repartition(cols.map(col): _*)
+        if (sortCols.isEmpty) re
+        else re.sortWithinPartitions(cols.map(col) ++ sortCols: _*)
     }
     val fs = fileSystem
     val staging = new Path(path(name),
@@ -557,19 +569,29 @@ class Warehouse(spark: SparkSession, dir: String,
     * cost scales with the fragmented partitions' bytes, never with
     * table history.
     *
+    * @param clusterBy optional CLUSTERING key (e.g.
+    *         [[graft.functions.ZOrder.interleave]] over two normalized
+    *         stat columns): rewritten data is sorted by it before the
+    *         rows-per-file split, so each output file covers a narrow
+    *         key range and the manifest footer stats skip hard on the
+    *         clustered dimensions. When set, ALL manifest directories
+    *         rewrite (re-layout is the point), not just fragmented ones.
     * @return (partitionsRewritten, filesBefore, filesAfter) over the
     *         rewritten directories only
     */
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
-      rowsPerFile: Long = 0): (Int, Long, Long) = {
+      rowsPerFile: Long = 0,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): (Int, Long, Long) = {
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"compact $name: table not bootstrapped")
     val byDir = entries.groupBy(e => dirOf(e.rel))
-    val fragmented = byDir.filter { case (_, fl) =>
-      val ideal = math.max(1L,
-        (fl.map(_.bytes).sum + targetBytes - 1) / targetBytes)
-      fl.size > ideal
-    }
+    val fragmented =
+      if (clusterBy.nonEmpty) byDir
+      else byDir.filter { case (_, fl) =>
+        val ideal = math.max(1L,
+          (fl.map(_.bytes).sum + targetBytes - 1) / targetBytes)
+        fl.size > ideal
+      }
     if (fragmented.isEmpty) return (0, 0L, 0L)
     val replaced = fragmented.values.flatten.toSeq
     val before = replaced.size.toLong
@@ -588,7 +610,8 @@ class Warehouse(spark: SparkSession, dir: String,
         if (n == 0) 0L else math.max(1L, targetBytes * n / math.max(bytes, 1L))
       }
     val fresh = writeBatch(name, pruned, rowsPerFile = effRows,
-      flatFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
+      flatFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt,
+      sortCols = clusterBy)
     maybeCrash("after-write")
     commit(name, v + 1, entries.diff(replaced) ++ fresh)
     maybeCrash("after-commit")

@@ -755,6 +755,37 @@ object CoreQueries extends QueryPack {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000.0
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // ---- q80: EXACT heavy hitters via a Misra-Gries sketch + verify
+    // pass. A skew key concentrates ~a third of events on 5 hot values
+    // (~6.7% each) and thins the rest over ~10k cold ones; the sketch
+    // pass folds k=200 counters per partition (never shuffling the full
+    // key cardinality), the second pass counts only the ≤k candidates
+    // exactly. MG guarantees no hot key can be missed (share 6.7% ≫
+    // 1/(k+1)), so the answer is EXACT and the oracle brute-forces it
+    // with a plain GROUP BY + HAVING. ----
+    Q("q80_events_heavy_hitters",
+      (s, dir) => {
+        import graft.plans.HeavyHitters
+        val ev = t(s, dir, "events").select(
+          when(col("user_id") % 3 === 0, col("user_id") % 5)
+            .otherwise(col("user_id") % 10000 + 100).as("skew_key"))
+        HeavyHitters.exact(ev, col("skew_key"), minShare = 0.02)
+          .select(col("key"), col("n_rows"),
+            round(col("share"), 6).as("share"))
+          .orderBy("key")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 5
+                      ELSE user_id % 10000 + 100 END AS key
+          FROM events),
+        tot AS (SELECT count(*) * 1.0 AS n FROM e)
+        SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+               round(count(*) / (SELECT n FROM tot), 6) AS share
+        FROM e GROUP BY key
+        HAVING count(*) > 0.02 * (SELECT n FROM tot)
+        ORDER BY key"""))
   )
 }

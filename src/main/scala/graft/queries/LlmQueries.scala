@@ -1324,6 +1324,41 @@ object LlmQueries extends QueryPack {
                CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                  AS cluster_size,
                vec_id = cluster_id AS is_kept
-        FROM comp ORDER BY vec_id"""))
+        FROM comp ORDER BY vec_id""")),
+
+    // ---- q78: LM-perplexity quality scoring (the CCNet/KenLM curation
+    // rung): a unigram model with add-one smoothing is fit on the
+    // corpus IN-PLAN (one count shuffle; totals fold to a broadcast
+    // scalar), then every doc is priced by mean -ln p(token). Fit and
+    // score are both relational, so DuckDB replays the identical
+    // model — the smoothing arithmetic, not just the plumbing, is under
+    // the hash gate. Blank docs have no distribution and drop on both
+    // sides. ----
+    Q("q78_docs_lm_perplexity",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        graft.ext.LangModel.selfScore(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            col("n_tokens"),
+            round(col("cross_entropy"), 6).as("cross_entropy"),
+            round(col("perplexity"), 2).as("perplexity"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents WHERE trim(text) <> ''),
+        counts AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+        totals AS (SELECT sum(c) * 1.0 AS nt, count(*) * 1.0 AS nv
+                   FROM counts),
+        lp AS (SELECT term, ln((c + 1) / (nt + nv)) AS logp
+               FROM counts, totals)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-lp.logp), 6) AS cross_entropy,
+               round(exp(avg(-lp.logp)), 2) AS perplexity
+        FROM terms t JOIN lp ON t.term = lp.term
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id"""))
   )
 }

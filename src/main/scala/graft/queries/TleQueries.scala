@@ -1018,6 +1018,47 @@ object TleQueries extends QueryPack {
         GROUP BY norad_id
         ORDER BY norad_id""")),
 
+    // ---- q79: Z-ORDER CLUSTERED COMPACTION end-to-end: a fragmented
+    // append (many small files per date partition) is rewritten by
+    // compact(clusterBy = morton(norad_id, minute-of-day)), then a
+    // selective 2-D scan runs over the re-laid table. The oracle
+    // recomputes relationally — proving the re-layout is purely
+    // physical (no row lost/dup'd, predicate semantics intact), while
+    // ZOrderSpec asserts the physical half (files actually skipped on
+    // both dimensions). ----
+    Q("q79_warehouse_zorder_scan",
+      (s, dir) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft-q79-")
+          .toString
+        val (base, _) = mergeFixture(s, dir)
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
+        wh.bootstrap()
+        wh.append("fact_telemetry", base.drop("k"), rowsPerFile = 100)
+        val minuteOfDay =
+          (unix_micros(col("epoch_utc")) % 86400000000L) / 60000000L
+        wh.compact("fact_telemetry", rowsPerFile = 100,
+          clusterBy = Seq(graft.functions.ZOrder.interleave(
+            col("norad_id"), minuteOfDay)))
+        wh.read("fact_telemetry")
+          .where(col("norad_id") >= 100 && col("norad_id") < 300)
+          .groupBy("norad_id")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            round(sum(col("mean_motion")), 2).as("sum_mean_motion"))
+          .orderBy("norad_id")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders),
+        base AS (
+          SELECT CAST((k * 7919) % 997 AS INT) AS norad_id,
+                 CAST(k % 1600 AS DOUBLE) / 100.0 AS mean_motion
+          FROM src)
+        SELECT norad_id, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(mean_motion), 2) AS sum_mean_motion
+        FROM base
+        WHERE norad_id >= 100 AND norad_id < 300
+        GROUP BY norad_id
+        ORDER BY norad_id""")),
+
     // ---- q65: the DataSource V2 TLE source under the gate — S1/S2 as
     // a first-class `spark.read.format("graft-tle")` source (one
     // InputPartition per landing file, per-file triple assembly,

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+import graft.pipeline.Warehouse
+
+/** Z-order clustering: the Morton code's bit arithmetic, and the payoff
+  * it exists for — after a z-clustered compaction, selective predicates
+  * on EITHER clustered dimension skip files, where a lexicographic sort
+  * skips on the leading dimension only.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("interleave matches hand-computed Morton codes") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (5L, 9L),
+        (0xFFFFFFFFL, 0L))
+      .toDF("a", "b")
+      .select(ZOrder.interleave($"a", $"b")).as[Long].collect()
+    // z(a,b): a on even bits, b on odd. z(3,1)=0b0111=7;
+    // z(5,9): a=0b101 spreads to 0b10001=17, b=0b1001 spreads to
+    // 0b1000001=65, shifted odd = 130; 17|130 = 147
+    assert(got(0) === 0L)
+    assert(got(1) === 1L)
+    assert(got(2) === 2L)
+    assert(got(3) === 7L)
+    assert(got(4) === 147L)
+    assert(got(5) === 0x5555555555555555L) // all 32 bits spread to even
+  }
+
+  test("z-clustered compaction skips files on both dimensions") {
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    // a 64x64 grid over one date partition: norad 0..63, minute 0..63,
+    // appended in EPOCH order so pre-compaction files are epoch-sliced
+    val grid = spark.range(0L, 64L * 64L).select(
+      ($"id" % 64).cast("int").as("norad_id"),
+      expr(s"timestamp_micros(${base.toEpochMilli * 1000L} + (id div 64) * 60000000)")
+        .as("epoch_utc"),
+      lit(Timestamp.from(base)).as("fetched_at_utc"),
+      lit(1.0).as("inclination"), lit(2.0).as("raan"),
+      lit(3.0).as("eccentricity"), lit(4.0).as("arg_perigee"),
+      lit(5.0).as("mean_anomaly"), lit(15.0).as("mean_motion"),
+      lit(0.1).as("b_star_drag"), lit(100).as("rev_number"),
+      lit(java.sql.Date.valueOf("2026-01-01")).as("epoch_date"))
+
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      df.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    val minuteOfDay = (unix_micros($"epoch_utc")
+      - lit(base.toEpochMilli * 1000L)) / 60000000L
+
+    // --- z-ordered layout ---
+    val zDir = Files.createTempDirectory("graft-zorder-").toString
+    val zwh = new Warehouse(spark, zDir)
+    zwh.bootstrap()
+    zwh.append("fact_telemetry", grid)
+    zwh.compact("fact_telemetry", rowsPerFile = 1024,
+      clusterBy = Seq(ZOrder.interleave($"norad_id", minuteOfDay)))
+    val zFiles = zwh.loadLatest("fact_telemetry")._2.size
+    assert(zFiles === 4, s"expected 4 z files, got $zFiles")
+
+    // 4 files along the z-curve = the four quadrants: a half-range
+    // predicate on EITHER dimension touches exactly 2 of 4
+    assert(filesRead(zwh.read("fact_telemetry")
+      .where($"norad_id" < 32)) === 2L)
+    assert(filesRead(zwh.read("fact_telemetry")
+      .where($"epoch_utc" < Timestamp.from(base.plusSeconds(32 * 60)))) === 2L)
+    // and a quadrant predicate (both dims) touches exactly 1
+    assert(filesRead(zwh.read("fact_telemetry")
+      .where($"norad_id" < 32 &&
+        $"epoch_utc" < Timestamp.from(base.plusSeconds(32 * 60)))) === 1L)
+
+    // --- lexicographic (norad, epoch) layout for contrast ---
+    val lDir = Files.createTempDirectory("graft-lex-").toString
+    val lwh = new Warehouse(spark, lDir)
+    lwh.bootstrap()
+    lwh.append("fact_telemetry", grid)
+    lwh.compact("fact_telemetry", rowsPerFile = 1024,
+      clusterBy = Seq($"norad_id", $"epoch_utc"))
+    // leading dimension skips the same...
+    assert(filesRead(lwh.read("fact_telemetry")
+      .where($"norad_id" < 32)) === 2L)
+    // ...but the trailing dimension spans every file: no skip at all
+    assert(filesRead(lwh.read("fact_telemetry")
+      .where($"epoch_utc" < Timestamp.from(base.plusSeconds(32 * 60)))) === 4L)
+
+    // layout never changes results
+    assert(zwh.read("fact_telemetry").where($"norad_id" < 32).count() ===
+      32L * 64L)
+    assert(zwh.read("fact_telemetry").count() === 4096L)
+  }
+}
