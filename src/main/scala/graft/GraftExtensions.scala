@@ -77,7 +77,29 @@ object GraftExtensions {
         }
         // bare AggregateFunction — the analyzer wraps it
         graft.plans.TopKAgg(args(0), k)
-      }))
+      }),
+    (FunctionIdentifier("mg_candidates"),
+      info("mg_candidates",
+        "Misra-Gries heavy-hitter candidates: every value with frequency" +
+          " > n/(k+1) is guaranteed present (k-counter mergeable sketch)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "mg_candidates expects (col, k)")
+        require(args(1).foldable,
+          "mg_candidates: k must be an integer literal, not a column")
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"mg_candidates: k must be an integer literal, got $other")
+        }
+        graft.plans.HeavyHittersAgg(args(0), k)
+      }),
+    (FunctionIdentifier("z_interleave"),
+      info("z_interleave",
+        "2-D Morton (z-order) code of two non-negative 32-bit values"),
+      col2("z_interleave", graft.functions.ZOrder.interleave) _))
 
   /** Register the pack on a session that ALREADY exists. Builder
     * extensions only run when the builder constructs a new session —

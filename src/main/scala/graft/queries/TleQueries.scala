@@ -1033,10 +1033,14 @@ object TleQueries extends QueryPack {
         val (base, _) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
         wh.bootstrap()
-        wh.append("fact_telemetry", base.drop("k"), rowsPerFile = 100)
+        // fragment to ~4 files per date partition at ANY scale factor —
+        // a fixed rows-per-file would write O(rows) files at sf1+ (the
+        // q46 small-files trap, measured and documented in SURVEY §8)
+        val perFile = math.max(100L, base.count() / 160L)
+        wh.append("fact_telemetry", base.drop("k"), rowsPerFile = perFile)
         val minuteOfDay =
           (unix_micros(col("epoch_utc")) % 86400000000L) / 60000000L
-        wh.compact("fact_telemetry", rowsPerFile = 100,
+        wh.compact("fact_telemetry", rowsPerFile = perFile,
           clusterBy = Seq(graft.functions.ZOrder.interleave(
             col("norad_id"), minuteOfDay)))
         wh.read("fact_telemetry")

@@ -80,6 +80,13 @@ class HeavyHittersSpec extends SparkSpec {
     assert(cand.size <= 5)
   }
 
+  test("mg_candidates is callable from SQL via the extension registry") {
+    skewed.createOrReplaceTempView("hh_sql_t")
+    val cand = spark.sql("SELECT mg_candidates(key, 10) FROM hh_sql_t")
+      .head().getSeq[Long](0)
+    assert(cand.contains(1L) && cand.contains(2L))
+  }
+
   test("a strict-majority item survives k=1") {
     val maj = spark.range(0L, 999L).select(
       when($"id" % 3 =!= 0, lit(42L)).otherwise($"id").as("key"))

@@ -35,6 +35,10 @@ class ZOrderSpec extends SparkSpec {
     assert(got(5) === 0x5555555555555555L) // all 32 bits spread to even
   }
 
+  test("z_interleave is callable from SQL via the extension registry") {
+    assert(spark.sql("SELECT z_interleave(5L, 9L)").head().getLong(0) === 147L)
+  }
+
   test("z-clustered compaction skips files on both dimensions") {
     val base = Instant.parse("2026-01-01T00:00:00Z")
     // a 64x64 grid over one date partition: norad 0..63, minute 0..63,
