@@ -436,12 +436,24 @@ class Warehouse(spark: SparkSession, dir: String,
     * planning asks the manifest for files (zero filesystem listings),
     * partition pruning works as with a listed directory, and manifest
     * footer stats skip files for any Catalyst-pushed comparison — the
-    * explicit [[readRange]] hint made automatic.
+    * explicit [[readRange]] hint made automatic. `isStreaming` marks
+    * the relation as a streaming batch — the form a v1 streaming
+    * Source's getBatch must return (see
+    * [[graft.sources.WarehouseChangeSource]]).
     */
-  private def dfFor(name: String, entries: Seq[FileEntry]): DataFrame = {
-    if (entries.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+  private[graft] def dfFor(name: String, entries: Seq[FileEntry],
+      isStreaming: Boolean = false): DataFrame = {
+    if (entries.isEmpty) {
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         tables(name))
+      // an empty streaming batch still needs the streaming flag; an
+      // empty LocalRelation carries it
+      return if (!isStreaming) empty
+      else org.apache.spark.sql.GraftBridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.GraftBridge.analyzed(empty).output,
+          Seq.empty, isStreaming = true))
+    }
     import org.apache.spark.sql.execution.datasources.{
       HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -454,7 +466,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty)(spark)
     org.apache.spark.sql.GraftBridge.ofRows(spark,
-      LogicalRelation(relation, false))
+      LogicalRelation(relation, isStreaming))
   }
 
   /** K2-K4 — append insert. Parquet has no JDBC-style `batchsize`, so

@@ -1063,6 +1063,50 @@ object TleQueries extends QueryPack {
         GROUP BY norad_id
         ORDER BY norad_id""")),
 
+    // ---- q81: the graft-warehouse STREAMING source under the gate —
+    // manifest-version offsets, snapshot-then-follow. Three appends
+    // land as three commits with a checkpointed AvailableNow drain
+    // after each; the parquet sink must then hold the table EXACTLY
+    // once (any duplicate or dropped delta fails the count/hash
+    // compare), and the oracle recomputes the final table
+    // relationally. ----
+    Q("q81_warehouse_stream_follow",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-q81-")
+          .toString
+        val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
+        val (base, _) = mergeFixture(s, dir)
+        val wh = new graft.pipeline.Warehouse(s, whDir)
+        wh.bootstrap()
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-warehouse")
+            .option("path", whDir).option("table", "fact_telemetry").load()
+            .select(col("norad_id"),
+              unix_micros(col("epoch_utc")).as("epoch_micros"),
+              col("mean_motion"))
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        (0 to 2).foreach { i =>
+          wh.append("fact_telemetry", base.where(k % 3 === i).drop("k"))
+          drain()
+        }
+        s.read.schema("norad_id int, epoch_micros long, mean_motion double")
+          .parquet(sink)
+          .orderBy("norad_id", "epoch_micros")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders)
+        SELECT CAST((k * 7919) % 997 AS INT) AS norad_id,
+               epoch_us(TIMESTAMP '2026-01-01')
+                 + ((k % 40) * 86400 + k) * 1000000 AS epoch_micros,
+               CAST(k % 1600 AS DOUBLE) / 100.0 AS mean_motion
+        FROM src
+        ORDER BY norad_id, epoch_micros""")),
+
     // ---- q65: the DataSource V2 TLE source under the gate — S1/S2 as
     // a first-class `spark.read.format("graft-tle")` source (one
     // InputPartition per landing file, per-file triple assembly,

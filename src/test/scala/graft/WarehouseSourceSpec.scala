@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.Warehouse
+
+/** The graft-warehouse streaming source: manifest version as the
+  * offset. Snapshot-then-follow, exactly-once for appends across
+  * checkpointed restarts (the SerializedOffset path), compaction
+  * absorption, and the documented at-least-once re-emission on merge.
+  */
+class WarehouseSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private def mkRows(day: Int, norads: Seq[Int], rev: Int = 100) =
+    norads.map { n =>
+      (n, ts(f"2026-01-$day%02dT0${n % 10}:00:00Z"),
+        ts("2026-02-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 15.0, 0.1, rev,
+        java.sql.Date.valueOf(f"2026-01-$day%02d"))
+    }.toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date")
+
+  private def drain(whDir: String, ckp: String, sinkDir: String): Unit = {
+    val q = spark.readStream.format("graft-warehouse")
+      .option("path", whDir).option("table", "fact_telemetry").load()
+      .select("norad_id", "epoch_utc", "rev_number")
+      .writeStream.format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", ckp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("snapshot then follow: appends arrive exactly once across restarts") {
+    val root = Files.createTempDirectory("graft-whstream-").toString
+    val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
+    val wh = new Warehouse(spark, whDir)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkRows(1, Seq(1, 2)))
+    wh.append("fact_telemetry", mkRows(2, Seq(3)))
+
+    // run 1: full snapshot at the current version
+    drain(whDir, ckp, sink)
+    val after1 = spark.read.parquet(sink).select($"norad_id")
+      .as[Int].collect().sorted
+    assert(after1.toSeq === Seq(1, 2, 3))
+
+    // no new commits → a restarted drain emits nothing
+    drain(whDir, ckp, sink)
+    assert(spark.read.parquet(sink).count() === 3L)
+
+    // two more commits; restart picks up exactly the delta
+    wh.append("fact_telemetry", mkRows(3, Seq(4)))
+    wh.append("fact_telemetry", mkRows(3, Seq(5)))
+    drain(whDir, ckp, sink)
+    val after3 = spark.read.parquet(sink).select($"norad_id")
+      .as[Int].collect().sorted
+    assert(after3.toSeq === Seq(1, 2, 3, 4, 5))
+  }
+
+  test("write-side compaction between commits never duplicates or drops rows") {
+    val root = Files.createTempDirectory("graft-whstream-c-").toString
+    val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
+    val wh = new Warehouse(spark, whDir, retainReplaced = true)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkRows(1, Seq(1)))
+    drain(whDir, ckp, sink) // checkpoint at v2
+
+    // fragment day 2 with three appends, then compact it away BEFORE
+    // the stream sees any of it: the diff v2→latest contains the
+    // compacted files, not the replaced originals
+    (2 to 4).foreach(n =>
+      wh.append("fact_telemetry", mkRows(2, Seq(n)).repartition(1)))
+    wh.compact("fact_telemetry")
+    drain(whDir, ckp, sink)
+    val got = spark.read.parquet(sink).select($"norad_id")
+      .as[Int].collect().sorted
+    assert(got.toSeq === Seq(1, 2, 3, 4))
+  }
+
+  test("merge re-emits the touched partition (documented at-least-once)") {
+    val root = Files.createTempDirectory("graft-whstream-m-").toString
+    val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
+    val wh = new Warehouse(spark, whDir, retainReplaced = true)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkRows(1, Seq(1, 2)) // day 1
+      .unionByName(mkRows(2, Seq(3))))               // day 2
+    drain(whDir, ckp, sink)
+    assert(spark.read.parquet(sink).count() === 3L)
+
+    // upsert norad 1 on day 1: the rewritten partition re-emits both
+    // its rows (1 updated + 2 surviving); day 2 stays silent
+    wh.merge("fact_telemetry", mkRows(1, Seq(1), rev = 999),
+      Seq("norad_id", "epoch_utc"))
+    drain(whDir, ckp, sink)
+    val emitted = spark.read.parquet(sink)
+      .groupBy($"norad_id").agg(count(lit(1)).as("n"),
+        max($"rev_number").as("maxRev"))
+      .as[(Int, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(emitted(1) === ((2L, 999)))  // snapshot + re-emission w/ update
+    assert(emitted(2) === ((2L, 100)))  // same-partition survivor re-emitted
+    assert(emitted(3) === ((1L, 100)))  // untouched partition: once only
+  }
+}
