@@ -49,10 +49,14 @@ class WarehouseSourceProvider extends StreamSourceProvider
   private def tableSchema(params: Map[String, String]): StructType = {
     val spark = SparkSession.active
     val wh = new Warehouse(spark, params("path"))
-    wh.tables.getOrElse(params.getOrElse("table", ""),
+    val base = wh.tables.getOrElse(params.getOrElse("table", ""),
       throw new IllegalArgumentException(
         s"graft-warehouse: 'table' option must be one of " +
           s"${wh.tables.keys.mkString(", ")}"))
+    if (WarehouseSourceProvider.cdfEnabled(params))
+      base.add(org.apache.spark.sql.types.StructField("_change_delta",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    else base
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -68,17 +72,36 @@ class WarehouseSourceProvider extends StreamSourceProvider
     val table = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-warehouse: 'table' required"))
     new WarehouseChangeSource(sqlContext.sparkSession, path, table,
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      WarehouseSourceProvider.cdfEnabled(parameters))
   }
 }
 
+object WarehouseSourceProvider {
+  private[sources] def cdfEnabled(params: Map[String, String]): Boolean =
+    params.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+}
+
+/** @param cdf when true, batches are CHANGE FEEDS: rows carry
+  *   `_change_delta` (+1 file added / -1 file removed since the start
+  *   offset, [[Warehouse.readChangeFeed]] semantics), so a
+  *   delta-weighted downstream fold is EXACT across merges and
+  *   compactions — the streaming twin of q76's batch MV maintenance.
+  *   The first batch (no start offset) is the snapshot, all +1.
+  *   Requires replaced files to be retained while streams are behind
+  *   (`retainReplaced` + conservative vacuum), like the batch feed.
+  */
 class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
-    startingVersion: Option[Long]) extends Source
+    startingVersion: Option[Long], cdf: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val wh = new Warehouse(spark, dir)
 
-  override def schema: StructType = wh.tables(table)
+  override def schema: StructType =
+    if (!cdf) wh.tables(table)
+    else wh.tables(table).add(org.apache.spark.sql.types.StructField(
+      "_change_delta", org.apache.spark.sql.types.IntegerType,
+      nullable = false))
 
   private def version(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -122,16 +145,24 @@ class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
     * checkpoint still points at fails fast here, like readVersion.
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endV = version(end)
     val startV = start.map(version).orElse(startingVersion)
     val endEntries = wh.loadAt(table, endV)
-    val added = startV match {
-      case None => endEntries
+    val (added, removed) = startV match {
+      case None => (endEntries, Seq.empty[Warehouse.FileEntry])
       case Some(sv) =>
-        val before = wh.loadAt(table, sv).map(_.rel).toSet
-        endEntries.filterNot(e => before(e.rel))
+        val startEntries = wh.loadAt(table, sv)
+        val before = startEntries.map(_.rel).toSet
+        val after = endEntries.map(_.rel).toSet
+        (endEntries.filterNot(e => before(e.rel)),
+          startEntries.filterNot(e => after(e.rel)))
     }
-    wh.dfFor(table, added, isStreaming = true)
+    val addedDf = wh.dfFor(table, added, isStreaming = true)
+    if (!cdf) addedDf
+    else addedDf.withColumn("_change_delta", lit(1))
+      .unionByName(wh.dfFor(table, removed, isStreaming = true)
+        .withColumn("_change_delta", lit(-1)))
   }
 
   override def commit(end: Offset): Unit = ()

@@ -87,6 +87,96 @@ class WarehouseSourceSpec extends SparkSpec {
     assert(got.toSeq === Seq(1, 2, 3, 4))
   }
 
+  test("live MV: streaming aggregation over the source tracks the table") {
+    // the composition the source exists for — a per-satellite aggregate
+    // maintained by Spark's OWN stateful streaming aggregation, fed by
+    // manifest diffs: restart after each append, state carries the MV
+    val root = Files.createTempDirectory("graft-whstream-mv-").toString
+    val (whDir, ckp) = (s"$root/wh", s"$root/ckp")
+    val wh = new Warehouse(spark, whDir)
+    wh.bootstrap()
+
+    def drainAgg(): Unit = {
+      val q = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "fact_telemetry").load()
+        .groupBy($"norad_id")
+        .agg(count(lit(1)).as("n"), sum($"mean_motion").as("s"))
+        .writeStream.format("memory").queryName("wh_mv")
+        .option("checkpointLocation", ckp)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    wh.append("fact_telemetry", mkRows(1, Seq(1, 2)))
+    drainAgg()
+    wh.append("fact_telemetry", mkRows(2, Seq(1, 3)))
+    drainAgg()
+
+    val mv = spark.table("wh_mv")
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val full = wh.read("fact_telemetry").groupBy($"norad_id")
+      .agg(count(lit(1)).as("n"), sum($"mean_motion").as("s"))
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mv === full)
+    assert(mv(1)._1 === 2L) // norad 1 appeared in both appends
+  }
+
+  test("CDF mode: delta-weighted fold is exact across a merge") {
+    // readChangeFeed semantics in the stream: rows carry _change_delta,
+    // so maintaining an aggregate by folding n += δ, s += mm*δ is
+    // EXACT even though the merge rewrites whole partitions
+    val root = Files.createTempDirectory("graft-whstream-cdf-").toString
+    val (whDir, ckp) = (s"$root/wh", s"$root/ckp")
+    val wh = new Warehouse(spark, whDir, retainReplaced = true)
+    wh.bootstrap()
+
+    // Spark's OWN streaming aggregation state does the folding (sum of
+    // δ and mm*δ across the whole feed IS the current count/sum);
+    // update mode emits the changed keys' CUMULATIVE values, which the
+    // consumer upserts — a keyed store would do the identical upsert
+    val mv = scala.collection.mutable.Map.empty[Int, (Long, Double)]
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "fact_telemetry")
+        .option("readChangeFeed", "true").load()
+        .groupBy($"norad_id")
+        .agg(sum($"_change_delta").as("n"),
+          sum($"mean_motion" * $"_change_delta").as("s"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[(Int, Long, Double)].collect().foreach {
+            case (id, n, s) =>
+              if (n == 0L) mv.remove(id) else mv(id) = (n, s)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckp)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    wh.append("fact_telemetry", mkRows(1, Seq(1, 2))
+      .unionByName(mkRows(2, Seq(3))))
+    drainCdf()
+    // upsert norad 1 on day 1 (mean_motion unchanged, rev bumped) and
+    // insert norad 9 on day 2
+    wh.merge("fact_telemetry",
+      mkRows(1, Seq(1), rev = 999).unionByName(mkRows(2, Seq(9))),
+      Seq("norad_id", "epoch_utc"))
+    drainCdf()
+
+    val full = wh.read("fact_telemetry").groupBy($"norad_id")
+      .agg(count(lit(1)).as("n"), sum($"mean_motion").as("s"))
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mv.toMap === full)
+    assert(full.keySet === Set(1, 2, 3, 9))
+  }
+
   test("merge re-emits the touched partition (documented at-least-once)") {
     val root = Files.createTempDirectory("graft-whstream-m-").toString
     val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
