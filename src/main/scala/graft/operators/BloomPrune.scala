@@ -69,4 +69,29 @@ object BloomPrune {
       fpp: Double = 0.01): DataFrame =
     prune(big, bigKey, small, smallKey, expectedItems, fpp)
       .join(small, col(bigKey) === col(smallKey))
+
+  /** Bloom-pruned ANTI join — the check-then-write dedup shape (J1-J3)
+    * at scale: rows whose key the bloom rules out are DEFINITELY new
+    * and bypass the join entirely (no shuffle, no probe); only the
+    * might-match slice pays the exact anti-join that removes the false
+    * positives. Result-identical to `big.join(small, ..., "left_anti")`
+    * for any fpp: might-contain=false proves absence (no false
+    * negatives), so the fast path can never leak a duplicate.
+    *
+    * When the incoming batch is mostly-new (the steady state of an
+    * idempotent ingest), the anti-join's big-side exchange shrinks from
+    * O(batch) to O(probable dups) — the same economics as [[prunedJoin]]
+    * with the keep/drop sides swapped. NULL keys match nothing in an
+    * anti join and are kept; the fast path keeps them too (null
+    * evaluates might-contain=false).
+    */
+  def prunedAntiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val might = mightContain(keyBloom(small, smallKey, expectedItems, fpp),
+      col(bigKey))
+    big.where(!might).unionByName(
+      big.where(might).join(small, col(bigKey) === col(smallKey),
+          "left_anti"))
+  }
 }

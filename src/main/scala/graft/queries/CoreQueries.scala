@@ -786,6 +786,37 @@ object CoreQueries extends QueryPack {
                round(count(*) / (SELECT n FROM tot), 6) AS share
         FROM e GROUP BY key
         HAVING count(*) > 0.02 * (SELECT n FROM tot)
-        ORDER BY key"""))
+        ORDER BY key""")),
+
+    // ---- q82: bloom-pruned ANTI join — the J1-J3 check-then-write
+    // dedup shape with the mostly-new fast path: lineitems whose order
+    // key the bloom rules out bypass the anti-join shuffle entirely;
+    // only probable matches pay the exact probe. The oracle is the
+    // plain NOT EXISTS — result identity for any fpp is the operator's
+    // contract. ----
+    Q("q82_bloom_pruned_antijoin",
+      (s, dir) => {
+        import graft.operators.BloomPrune
+        val hot = t(s, dir, "orders")
+          .where(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"))
+        BloomPrune.prunedAntiJoin(
+            t(s, dir, "lineitem"), hot, "l_orderkey", "o_orderkey",
+            fpp = 0.01)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_totalprice > 400000.0)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }

@@ -46,6 +46,20 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.collect().toSet === plain.collect().toSet)
   }
 
+  test("pruned anti join == plain anti join, nulls kept, any fpp") {
+    val withNulls = big.withColumn("k",
+      when($"k" % 2 === 0, $"k").otherwise(lit(null).cast("long")))
+    val plain = withNulls.join(small, $"k" === $"dk", "left_anti")
+      .select($"k", $"payload")
+    for (fpp <- Seq(0.5, 0.01)) {
+      val pruned = BloomPrune.prunedAntiJoin(withNulls, small, "k", "dk",
+          fpp = fpp)
+        .select($"k", $"payload")
+      assert(pruned.collect().toSet === plain.collect().toSet)
+      assert(pruned.count() === plain.count()) // null-key rows not dup'd
+    }
+  }
+
   test("predicate is a native expression inside the scan stage") {
     // spark.range source (a Seq-backed frame constant-folds the filter
     // into its LocalTableScan, hiding the plan shape under test)
