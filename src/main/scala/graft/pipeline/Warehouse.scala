@@ -63,27 +63,26 @@ import graft.util.FsListing
   *   until vacuum's manifest-retention horizon passes it. The default
   *   (eager) keeps the steady-state directory exactly one version big.
   */
+/** @param specs the table layout this warehouse manages — name →
+  *   (schema, partition columns, stat columns). Defaults to the TLE
+  *   star schema ([[Warehouse.starSchema]]); any application schema
+  *   works (the curation tables, say). [[bootstrap]] persists the
+  *   specs under `_meta/`, and [[Warehouse.open]] reopens a directory
+  *   from that metadata alone — the path the `graft-warehouse` read
+  *   formats use, so readers never need the specs in code.
+  */
 class Warehouse(spark: SparkSession, dir: String,
-    retainReplaced: Boolean = false) {
+    retainReplaced: Boolean = false,
+    specs: Map[String, Warehouse.TableSpec] = Warehouse.starSchema) {
 
   import Warehouse.FileEntry
 
-  val tables: Map[String, StructType] = Map(
-    "dim_satellites" -> Schemas.dimSatellites,
-    "fact_space_weather" -> Schemas.factSpaceWeather,
-    // fact_telemetry is DATE-PARTITIONED on epoch_date (engine addition;
-    // the reference's Postgres leans on an index instead): the 3-day
-    // recent-keys scan that guards every telemetry load then prunes to
-    // ~3 partitions instead of scanning all history — the difference
-    // between O(days) and O(corpus) at warehouse scale.
-    "fact_telemetry" -> Schemas.factTelemetry.add(
-      StructField("epoch_date", DateType)))
+  val tables: Map[String, StructType] =
+    specs.view.mapValues(_.schema).toMap
 
   /** Partition-column layout per table (empty = unpartitioned). */
-  val partitioning: Map[String, Seq[String]] = Map(
-    "dim_satellites" -> Nil,
-    "fact_space_weather" -> Nil,
-    "fact_telemetry" -> Seq("epoch_date"))
+  val partitioning: Map[String, Seq[String]] =
+    specs.view.mapValues(_.partitionBy).toMap
 
   /** Columns whose per-file min/max land in the manifest for
     * [[readRange]] file skipping. Restricted to types whose parquet
@@ -91,10 +90,8 @@ class Warehouse(spark: SparkSession, dir: String,
     * a column missing here — or a file whose footer lacks stats — is
     * simply never skipped, which is always safe.
     */
-  val statColumns: Map[String, Seq[String]] = Map(
-    "dim_satellites" -> Seq("norad_id"),
-    "fact_space_weather" -> Nil,
-    "fact_telemetry" -> Seq("norad_id", "epoch_utc"))
+  val statColumns: Map[String, Seq[String]] =
+    specs.view.mapValues(_.statColumns).toMap
 
   private def path(name: String) = s"$dir/$name"
 
@@ -330,7 +327,33 @@ class Warehouse(spark: SparkSession, dir: String,
           writeBatch(name, empty)
         }
       commit(name, 1L, entries)
+      persistSpec(name)
     }
+  }
+
+  /** Write the table's spec to `_meta/<name>.json` (tmp + rename) so
+    * [[Warehouse.open]] and the `graft-warehouse` read formats can
+    * reopen the directory without the specs in code.
+    */
+  private def persistSpec(name: String): Unit = {
+    val fs = fileSystem
+    val metaDir = new Path(dir, "_meta")
+    fs.mkdirs(metaDir)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("schema", tables(name).json)
+    val pb = node.putArray("partitionBy")
+    partitioning(name).foreach(pb.add)
+    val sc = node.putArray("statColumns")
+    statColumns(name).foreach(sc.add)
+    val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(m.writeValueAsString(node)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(metaDir, s"$name.json")
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"spec publish failed for $name")
   }
 
   /** Current table contents: the latest manifest's files, read with
@@ -454,8 +477,18 @@ class Warehouse(spark: SparkSession, dir: String,
           org.apache.spark.sql.GraftBridge.analyzed(empty).output,
           Seq.empty, isStreaming = true))
     }
-    import org.apache.spark.sql.execution.datasources.{
-      HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(relationFor(name, entries), isStreaming))
+  }
+
+  /** The manifest-planned `HadoopFsRelation` itself — the BaseRelation
+    * handed to `spark.read.format("graft-warehouse")`'s RelationProvider
+    * (see [[graft.sources.WarehouseSourceProvider]]).
+    */
+  private[graft] def relationFor(name: String, entries: Seq[FileEntry])
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val schema = tables(name)
     val parts = partitioning(name)
@@ -463,10 +496,8 @@ class Warehouse(spark: SparkSession, dir: String,
     val dataSchema = StructType(schema.filterNot(f => parts.contains(f.name)))
     val index = new ManifestFileIndex(spark, new Path(path(name)),
       entries, partitionSchema)
-    val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
+    HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty)(spark)
-    org.apache.spark.sql.GraftBridge.ofRows(spark,
-      LogicalRelation(relation, isStreaming))
   }
 
   /** K2-K4 — append insert. Parquet has no JDBC-style `batchsize`, so
@@ -669,4 +700,62 @@ object Warehouse {
     */
   final case class FileEntry(rel: String, bytes: Long,
       stats: Map[String, (Long, Long)])
+
+  /** One managed table's layout. */
+  final case class TableSpec(schema: StructType,
+      partitionBy: Seq[String] = Nil, statColumns: Seq[String] = Nil) {
+    partitionBy.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column $p not in schema"))
+  }
+
+  /** The reference's star schema (README.md:18-32, script.py:78-82,
+    * 144, 151-155) — the default layout. fact_telemetry is
+    * DATE-PARTITIONED on epoch_date (engine addition; the reference's
+    * Postgres leans on an index instead): the 3-day recent-keys scan
+    * that guards every telemetry load then prunes to ~horizon
+    * partitions instead of scanning all history.
+    */
+  val starSchema: Map[String, TableSpec] = Map(
+    "dim_satellites" -> TableSpec(Schemas.dimSatellites,
+      statColumns = Seq("norad_id")),
+    "fact_space_weather" -> TableSpec(Schemas.factSpaceWeather),
+    "fact_telemetry" -> TableSpec(
+      Schemas.factTelemetry.add(StructField("epoch_date", DateType)),
+      partitionBy = Seq("epoch_date"),
+      statColumns = Seq("norad_id", "epoch_utc")))
+
+  /** Reopen a warehouse directory from its persisted `_meta/` table
+    * specs (written by [[Warehouse!.bootstrap]]) — no schema in code.
+    * Falls back to [[starSchema]] for pre-metadata directories.
+    */
+  def open(spark: SparkSession, dir: String,
+      retainReplaced: Boolean = false): Warehouse = {
+    val metaDir = new Path(dir, "_meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loaded =
+      if (!fs.exists(metaDir)) Map.empty[String, TableSpec]
+      else fs.listStatus(metaDir).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+        .map { st =>
+          val in = fs.open(st.getPath)
+          val text = try {
+            new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(text)
+          def strs(field: String): Seq[String] = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            val it = node.get(field).elements()
+            while (it.hasNext) buf += it.next().asText()
+            buf.toSeq
+          }
+          st.getPath.getName.stripSuffix(".json") -> TableSpec(
+            org.apache.spark.sql.types.DataType
+              .fromJson(node.get("schema").asText()).asInstanceOf[StructType],
+            strs("partitionBy"), strs("statColumns"))
+        }.toMap
+    new Warehouse(spark, dir, retainReplaced,
+      if (loaded.nonEmpty) loaded else starSchema)
+  }
 }

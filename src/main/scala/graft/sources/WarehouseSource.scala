@@ -42,13 +42,40 @@ import graft.pipeline.Warehouse
   * batch plan.
   */
 class WarehouseSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-warehouse"
 
+  /** BATCH read — `spark.read.format("graft-warehouse")
+    * .option("path", dir).option("table", t).load()`, with
+    * `.option("versionAsOf", v)` for reader-API time travel (the
+    * DataFrameReader spelling of [[Warehouse.readVersion]]; default is
+    * the latest committed version).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-warehouse: 'path' required"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft-warehouse: 'table' required"))
+    val wh = Warehouse.open(sqlContext.sparkSession, path)
+    val entries = parameters.get("versionAsOf") match {
+      case Some(v) =>
+        // readVersion's existence + retention checks, then the entries
+        val ver = v.toLong
+        require(wh.versions(table).contains(ver),
+          s"$table has no manifest v$ver (vacuumed or never committed)")
+        wh.loadAt(table, ver)
+      case None => wh.loadLatest(table)._2
+    }
+    wh.relationFor(table, entries)
+  }
+
   private def tableSchema(params: Map[String, String]): StructType = {
     val spark = SparkSession.active
-    val wh = new Warehouse(spark, params("path"))
+    val wh = Warehouse.open(spark, params("path"))
     val base = wh.tables.getOrElse(params.getOrElse("table", ""),
       throw new IllegalArgumentException(
         s"graft-warehouse: 'table' option must be one of " +
@@ -95,7 +122,7 @@ class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
     startingVersion: Option[Long], cdf: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private val wh = new Warehouse(spark, dir)
+  private val wh = Warehouse.open(spark, dir)
 
   override def schema: StructType =
     if (!cdf) wh.tables(table)

@@ -40,6 +40,85 @@ class WarehouseSourceSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  test("custom-schema warehouse: specs persist and reopen from _meta") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-whcustom-").toString
+    val whDir = s"$root/wh"
+    val docsSpec = Map("documents" -> Warehouse.TableSpec(
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType),
+        StructField("lang", StringType))),
+      partitionBy = Seq("lang"),
+      statColumns = Seq("doc_id")))
+    val wh = new Warehouse(spark, whDir, specs = docsSpec)
+    wh.bootstrap()
+    wh.append("documents", Seq(
+      (1L, "hello", "en"), (2L, "welt", "de"), (3L, "monde", "fr"))
+      .toDF("doc_id", "text", "lang"))
+
+    // reopen with NO specs in code — _meta carries the layout
+    val reopened = Warehouse.open(spark, whDir)
+    assert(reopened.tables.keySet === Set("documents"))
+    assert(reopened.partitioning("documents") === Seq("lang"))
+    assert(reopened.statColumns("documents") === Seq("doc_id"))
+    assert(reopened.read("documents").count() === 3L)
+    // partition pruning on the custom layout
+    assert(reopened.read("documents").where($"lang" === "de")
+      .select($"text").as[String].head() === "welt")
+
+    // both read formats self-describe from _meta
+    val batch = spark.read.format("graft-warehouse")
+      .option("path", whDir).option("table", "documents").load()
+    assert(batch.count() === 3L)
+    val ckp = s"$root/ckp"
+    val q = spark.readStream.format("graft-warehouse")
+      .option("path", whDir).option("table", "documents").load()
+      .writeStream.format("memory").queryName("custom_docs")
+      .option("checkpointLocation", ckp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("custom_docs").count() === 3L)
+
+    // upserts work on the custom key/partition layout
+    reopened.merge("documents",
+      Seq((2L, "hallo welt", "de")).toDF("doc_id", "text", "lang"),
+      Seq("doc_id"))
+    assert(reopened.read("documents").where($"doc_id" === 2L)
+      .select($"text").as[String].head() === "hallo welt")
+  }
+
+  test("batch read format: latest + versionAsOf time travel") {
+    val root = Files.createTempDirectory("graft-whbatch-").toString
+    val whDir = s"$root/wh"
+    val wh = new Warehouse(spark, whDir, retainReplaced = true)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkRows(1, Seq(1, 2)))
+    val v2 = wh.versions("fact_telemetry").last
+    wh.append("fact_telemetry", mkRows(2, Seq(3)))
+
+    def readWh(opts: Map[String, String]) = spark.read
+      .format("graft-warehouse")
+      .option("path", whDir).option("table", "fact_telemetry")
+      .options(opts).load()
+
+    assert(readWh(Map.empty).count() === 3L)
+    assert(readWh(Map("versionAsOf" -> v2.toString))
+      .select($"norad_id").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // manifest stat skipping works through the reader API too
+    val selective = readWh(Map.empty).where($"norad_id" === 3)
+    assert(selective.collect().length === 1) // populates THIS plan's metrics
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    assert(selective.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }.get === 1L)
+    // unknown version fails fast
+    val e = intercept[IllegalArgumentException] {
+      readWh(Map("versionAsOf" -> "999"))
+    }
+    assert(e.getMessage.contains("no manifest"))
+  }
+
   test("snapshot then follow: appends arrive exactly once across restarts") {
     val root = Files.createTempDirectory("graft-whstream-").toString
     val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
