@@ -77,12 +77,17 @@ class Warehouse(spark: SparkSession, dir: String,
 
   import Warehouse.FileEntry
 
-  val tables: Map[String, StructType] =
-    specs.view.mapValues(_.schema).toMap
+  /** Current table layouts — a `var` because [[addColumn]] evolves a
+    * schema in place (the only mutation; partitioning never changes).
+    */
+  private var specsNow: Map[String, Warehouse.TableSpec] = specs
+
+  def tables: Map[String, StructType] =
+    specsNow.view.mapValues(_.schema).toMap
 
   /** Partition-column layout per table (empty = unpartitioned). */
-  val partitioning: Map[String, Seq[String]] =
-    specs.view.mapValues(_.partitionBy).toMap
+  def partitioning: Map[String, Seq[String]] =
+    specsNow.view.mapValues(_.partitionBy).toMap
 
   /** Columns whose per-file min/max land in the manifest for
     * [[readRange]] file skipping. Restricted to types whose parquet
@@ -90,8 +95,8 @@ class Warehouse(spark: SparkSession, dir: String,
     * a column missing here — or a file whose footer lacks stats — is
     * simply never skipped, which is always safe.
     */
-  val statColumns: Map[String, Seq[String]] =
-    specs.view.mapValues(_.statColumns).toMap
+  def statColumns: Map[String, Seq[String]] =
+    specsNow.view.mapValues(_.statColumns).toMap
 
   private def path(name: String) = s"$dir/$name"
 
@@ -109,6 +114,12 @@ class Warehouse(spark: SparkSession, dir: String,
   private def maybeCrash(p: String): Unit =
     if (crashPoint.contains(p))
       throw new IllegalStateException(s"injected crash at $p")
+
+  /** Test-only interleaving hook: runs after a mutation's files are
+    * staged+moved but before its first commit attempt — the window a
+    * concurrent writer's commit creates an optimistic conflict in.
+    */
+  private[graft] var beforeCommit: Option[() => Unit] = None
 
   // ------------------------------------------------------------------
   // manifest machinery
@@ -160,8 +171,19 @@ class Warehouse(spark: SparkSession, dir: String,
 
   /** Publish manifest `version` atomically (tmp write + rename). The
     * rename is the COMMIT POINT: it either lands whole or not at all,
-    * and it fails if the version already exists (optimistic conflict
-    * detection for the single-writer contract).
+    * and it fails with [[Warehouse.CommitConflict]] if the version
+    * already exists — optimistic conflict detection. [[append]] resolves
+    * conflicts automatically (blind appends commute); the read-modify
+    * ops (merge/update/delete/compact) fail fast because their read
+    * snapshot is stale once another commit landed.
+    *
+    * The exists() pre-check matters on local filesystems, where
+    * `rename(2)` silently replaces an existing destination; HDFS-style
+    * stores reject the rename themselves. The check-then-rename pair is
+    * not atomic, but losing THAT race requires two writers committing
+    * the same version within the same millisecond — the declared
+    * contract is single-writer-per-table with conflict DETECTION, not a
+    * coordination service.
     */
   private def commit(name: String, version: Long,
       entries: Seq[FileEntry]): Unit = {
@@ -180,10 +202,10 @@ class Warehouse(spark: SparkSession, dir: String,
       out.hsync()
     } finally out.close()
     val dest = new Path(mdir, f"v$version%012d.mf")
-    if (!fs.rename(tmp, dest)) {
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"$name: manifest v$version commit lost a race (concurrent writer?)")
+      throw new Warehouse.CommitConflict(
+        s"$name: manifest v$version commit lost a race (concurrent writer)")
     }
   }
 
@@ -511,7 +533,22 @@ class Warehouse(spark: SparkSession, dir: String,
     require(v > 0L, s"append into $name: table not bootstrapped")
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
-    commit(name, v + 1, existing ++ fresh)
+    beforeCommit.foreach(_())
+    // Optimistic concurrency, Delta-style: a blind append COMMUTES with
+    // any concurrent commit (it only adds files), so a lost manifest
+    // race is resolved by re-reading the new head and re-attaching the
+    // same already-written files — no data is rewritten on retry.
+    var attempt = (v, existing)
+    var done = false
+    var retries = 0
+    while (!done) {
+      try { commit(name, attempt._1 + 1, attempt._2 ++ fresh); done = true }
+      catch {
+        case _: Warehouse.CommitConflict if retries < 20 =>
+          retries += 1
+          attempt = loadLatest(name)
+      }
+    }
   }
 
   /** MERGE upsert (copy-on-write): rows of `updates` REPLACE existing
@@ -663,6 +700,124 @@ class Warehouse(spark: SparkSession, dir: String,
     (fragmented.size, before, after.toLong)
   }
 
+  /** The live files that CONTAIN rows matching `cond` — the unit a
+    * row-level DELETE/UPDATE rewrites. Discovery is one distributed
+    * pass over the manifest-planned scan, so partition pruning and
+    * manifest stat skipping cut it to candidate files before any row is
+    * read; the collected result is one row per MATCHING file (the
+    * DML batch's footprint, not the table), the same bounded-driver
+    * trade as [[merge]]'s touched-partition list.
+    */
+  private def touchedFiles(name: String, entries: Seq[FileEntry],
+      cond: org.apache.spark.sql.Column): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.input_file_name
+    if (entries.isEmpty) return Nil
+    val hit = dfFor(name, entries).where(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val fs = fileSystem
+    entries.filter(e => hit(
+      fs.makeQualified(new Path(path(name), e.rel)).toUri.getPath))
+  }
+
+  /** Row-level DELETE (copy-on-write): removes the rows where `cond` is
+    * TRUE (false/null rows are kept — SQL DELETE semantics). Only files
+    * that CONTAIN matching rows are rewritten; every other live file is
+    * untouched byte-for-byte and keeps its manifest entry. The curation
+    * op the reference's append-only sinks can't express at all — and
+    * the one a 100 TB training-data store legally cannot live without
+    * (the GDPR/opt-out path: purge all documents from a revoked
+    * source). Crash-safe like every mutation here: new files first,
+    * manifest rename is the commit, replaced files deleted only after.
+    *
+    * @return number of rows deleted
+    */
+  def delete(name: String, cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"delete from $name: table not bootstrapped")
+    val replaced = touchedFiles(name, entries, cond)
+    if (replaced.isEmpty) return 0L
+    val touched = dfFor(name, replaced)
+    val matched = coalesce(cond, lit(false))
+    val removed = touched.where(matched).count()
+    val fresh = writeBatch(name, touched.where(not(matched)))
+    maybeCrash("after-write")
+    beforeCommit.foreach(_())
+    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    maybeCrash("after-commit")
+    if (!retainReplaced) gc(name, replaced)
+    removed
+  }
+
+  /** Row-level UPDATE (copy-on-write): for rows where `cond` is TRUE,
+    * each column in `set` is replaced by its expression (evaluated
+    * against the OLD row, so `set("rev" -> col("rev") + 1)` works);
+    * false/null rows pass through bit-unchanged. Same file-targeted
+    * rewrite and crash-safety as [[delete]]. Partition columns are not
+    * updatable — a row must never move partitions (the [[merge]]
+    * contract), and stat-column updates are safe because replaced
+    * files' manifest entries are rebuilt from the new footers.
+    *
+    * @return number of rows updated
+    */
+  def update(name: String, cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val schema = tables(name)
+    val parts = partitioning(name)
+    set.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"update $name: no column $c")
+      require(!parts.contains(c),
+        s"update $name: partition column $c is not updatable " +
+          "(rows must not move partitions)")
+    }
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"update $name: table not bootstrapped")
+    val replaced = touchedFiles(name, entries, cond)
+    if (replaced.isEmpty) return 0L
+    val touched = dfFor(name, replaced)
+    val matched = coalesce(cond, lit(false))
+    val changed = touched.where(matched).count()
+    val rewritten = touched.select(schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) =>
+          when(matched, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val fresh = writeBatch(name, rewritten)
+    maybeCrash("after-write")
+    beforeCommit.foreach(_())
+    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    maybeCrash("after-commit")
+    if (!retainReplaced) gc(name, replaced)
+    changed
+  }
+
+  /** SCHEMA EVOLUTION: append a new column to `name`'s schema. The data
+    * files are untouched — parquet reads fill a requested-but-absent
+    * column with nulls, so existing rows surface the new column as NULL
+    * and subsequent appends/merges carry real values. The field must be
+    * nullable for exactly that reason. The evolved spec is persisted to
+    * `_meta/` (atomic publish), so [[Warehouse.open]] and the
+    * `graft-warehouse` read formats see it immediately; time-travel
+    * reads of PRE-evolution versions also surface the column (as null
+    * for files that predate it) — schema is table-level, not
+    * per-version, the minimal-evolution trade.
+    */
+  def addColumn(name: String, field: StructField): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"addColumn: no table $name"))
+    require(field.nullable,
+      s"addColumn $name.${field.name}: added columns must be nullable " +
+        "(existing files carry no values for them)")
+    require(!spec.schema.fieldNames.contains(field.name),
+      s"addColumn: $name.${field.name} already exists")
+    specsNow = specsNow.updated(name, spec.copy(schema = spec.schema.add(field)))
+    persistSpec(name)
+  }
+
   /** Garbage collection with RETENTION-COHERENT semantics: the kept
     * manifests (the newest `keepManifests` versions) define the live
     * set — every file any of them references survives, so the retained
@@ -700,6 +855,12 @@ object Warehouse {
     */
   final case class FileEntry(rel: String, bytes: Long,
       stats: Map[String, (Long, Long)])
+
+  /** A manifest version another writer committed first. Appends resolve
+    * this automatically (see [[Warehouse!.append]]); read-modify ops
+    * surface it — their snapshot is stale and the caller must re-run.
+    */
+  final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
   /** One managed table's layout. */
   final case class TableSpec(schema: StructType,

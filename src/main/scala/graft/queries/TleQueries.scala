@@ -1107,6 +1107,59 @@ object TleQueries extends QueryPack {
         FROM src
         ORDER BY norad_id, epoch_micros""")),
 
+    // ---- q83: row-level DML through the versioned manifest — the
+    // DELETE/UPDATE pair that completes the warehouse's Delta-op
+    // surface (merge=q56, compact=q79, time travel=q74, CDF=q76/q81).
+    // DELETE purges a norad band (the GDPR/opt-out shape: both ops
+    // rewrite ONLY files containing matches — WarehouseDmlSpec pins the
+    // untouched-file identity and both crash windows), then UPDATE
+    // patches the null-B* rows against their OLD values. The oracle
+    // replays both statements relationally with SQL three-valued
+    // predicate semantics. ----
+    Q("q83_warehouse_delete_update",
+      (s, dir) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft-q83-")
+          .toString
+        val (base, _) = mergeFixture(s, dir)
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
+        wh.bootstrap()
+        wh.append("fact_telemetry", base.drop("k"))
+        wh.delete("fact_telemetry",
+          col("norad_id") % 10 === 3 && col("mean_motion") < 8.0)
+        wh.update("fact_telemetry", col("b_star_drag").isNull,
+          Map("rev_number" -> (col("rev_number") + 100000),
+            "mean_motion" -> (col("mean_motion") + 1000.0)))
+        wh.read("fact_telemetry")
+          .select(col("norad_id"),
+            unix_micros(col("epoch_utc")).as("epoch_micros"),
+            col("mean_motion"), col("b_star_drag"),
+            col("rev_number").cast("int").as("rev_number"))
+          .orderBy("norad_id", "epoch_micros")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders),
+        base AS (
+          SELECT CAST((k * 7919) % 997 AS INT) AS norad_id,
+                 epoch_us(TIMESTAMP '2026-01-01')
+                   + ((k % 40) * 86400 + k) * 1000000 AS epoch_micros,
+                 CAST(k % 1600 AS DOUBLE) / 100.0 AS mean_motion,
+                 CASE WHEN k % 5 = 0 THEN NULL
+                      ELSE CAST(k % 7 AS DOUBLE) END AS b_star_drag,
+                 CAST(k % 100000 AS INT) AS rev_number
+          FROM src),
+        kept AS (
+          SELECT * FROM base
+          WHERE NOT (norad_id % 10 = 3 AND mean_motion < 8.0))
+        SELECT norad_id, epoch_micros,
+               CASE WHEN b_star_drag IS NULL THEN mean_motion + 1000.0
+                    ELSE mean_motion END AS mean_motion,
+               b_star_drag,
+               CASE WHEN b_star_drag IS NULL
+                    THEN CAST(rev_number + 100000 AS INT)
+                    ELSE rev_number END AS rev_number
+        FROM kept
+        ORDER BY norad_id, epoch_micros""")),
+
     // ---- q65: the DataSource V2 TLE source under the gate — S1/S2 as
     // a first-class `spark.read.format("graft-tle")` source (one
     // InputPartition per landing file, per-file triple assembly,

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+import graft.pipeline.Warehouse
+
+/** Row-level DML through the versioned manifest: predicate DELETE and
+  * UPDATE (file-targeted copy-on-write, SQL three-valued predicate
+  * semantics, crash-safe in both commit windows), schema evolution via
+  * addColumn, and optimistic-concurrency resolution of commuting
+  * appends.
+  */
+class WarehouseDmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  /** 3 partitions × 4 rows; b_star_drag null on norad 4 (the null-
+    * predicate rows), distinct mean_motion per (day, norad).
+    */
+  private def mkBase() = (1 to 3).flatMap { d =>
+    Seq(1, 2, 3, 4).map { n =>
+      (n, ts(f"2026-01-0${d}T0$n:00:00Z"), ts("2026-02-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, d * 10.0 + n,
+        if (n == 4) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(0.1 * n),
+        100 * d + n, java.sql.Date.valueOf(f"2026-01-0$d"))
+    }
+  }.toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+    "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+    "b_star_drag", "rev_number", "epoch_date")
+
+  private def freshTable(): (Warehouse, String) = {
+    val dir = Files.createTempDirectory("graft-dml-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase())
+    (wh, dir)
+  }
+
+  private def state(wh: Warehouse) = wh.read("fact_telemetry")
+    .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
+    .as[(Int, Timestamp, Double, Int)].collect().toSet
+
+  test("delete removes exactly the TRUE-predicate rows; null keeps") {
+    val (wh, _) = freshTable()
+    // b_star_drag > 0.15 is TRUE for norad 2,3, FALSE for 1, NULL for 4:
+    // SQL DELETE semantics keep both FALSE and NULL rows
+    val n = wh.delete("fact_telemetry",
+      col("b_star_drag") > 0.15 && col("epoch_date") === "2026-01-02")
+    assert(n === 2L)
+    val left = state(wh)
+    assert(left.size === 10)
+    assert(left.count(_._2.toString.startsWith("2026-01-02")) === 2)
+    assert(left.exists(r => r._1 == 1 && r._4 == 201)) // FALSE row kept
+    assert(left.exists(r => r._1 == 4 && r._4 == 204)) // NULL row kept
+  }
+
+  test("delete rewrites only files containing matches") {
+    val (wh, _) = freshTable()
+    val before = wh.loadLatest("fact_telemetry")._2
+    wh.delete("fact_telemetry", col("epoch_date") === "2026-01-02")
+    val after = wh.loadLatest("fact_telemetry")._2
+    // untouched partitions keep their EXACT manifest entries (same file
+    // names, bytes, stats): no rewrite amplification outside the match
+    def others(es: Seq[Warehouse.FileEntry]) =
+      es.filterNot(_.rel.contains("epoch_date=2026-01-02")).toSet
+    assert(others(after) === others(before))
+    // the matched partition's files are gone entirely (all rows matched)
+    assert(after.forall(!_.rel.contains("epoch_date=2026-01-02")))
+  }
+
+  test("delete with zero matches is a commit-free no-op") {
+    val (wh, _) = freshTable()
+    val v0 = wh.versions("fact_telemetry").last
+    assert(wh.delete("fact_telemetry", col("norad_id") === 999) === 0L)
+    assert(wh.versions("fact_telemetry").last === v0)
+  }
+
+  test("delete crash in both windows leaves a consistent table") {
+    // before the manifest rename: old state intact, rerun completes
+    val (wh, dir) = freshTable()
+    val before = state(wh)
+    wh.crashPoint = Some("after-write")
+    intercept[IllegalStateException] {
+      wh.delete("fact_telemetry", col("norad_id") === 1)
+    }
+    wh.crashPoint = None
+    val reopened = new Warehouse(spark, dir)
+    assert(state(reopened) === before)
+    assert(reopened.vacuum("fact_telemetry") >= 1L)
+    assert(reopened.delete("fact_telemetry", col("norad_id") === 1) === 3L)
+    assert(state(reopened).forall(_._1 != 1))
+
+    // after the rename: new state fully published, orphans collectable
+    val (wh2, dir2) = freshTable()
+    wh2.crashPoint = Some("after-commit")
+    intercept[IllegalStateException] {
+      wh2.delete("fact_telemetry", col("norad_id") === 1)
+    }
+    wh2.crashPoint = None
+    val re2 = new Warehouse(spark, dir2)
+    assert(state(re2).forall(_._1 != 1))
+    assert(re2.vacuum("fact_telemetry", keepManifests = 1) >= 1L)
+    assert(state(re2).forall(_._1 != 1))
+  }
+
+  test("update rewrites matched rows against their OLD values") {
+    val (wh, _) = freshTable()
+    val n = wh.update("fact_telemetry",
+      col("b_star_drag").isNull,
+      Map("rev_number" -> (col("rev_number") + 1000),
+        "mean_motion" -> lit(0.0)))
+    assert(n === 3L) // norad 4 in each of 3 partitions
+    val rows = state(wh)
+    assert(rows.size === 12)
+    assert(rows.filter(_._1 == 4).map(_._4) === Set(1104, 1204, 1304))
+    assert(rows.filter(_._1 == 4).forall(_._3 == 0.0))
+    // unmatched rows bit-unchanged
+    assert(rows.exists(r => r._1 == 2 && r._3 == 12.0 && r._4 == 102))
+  }
+
+  test("update refuses partition columns and unknown columns") {
+    val (wh, _) = freshTable()
+    intercept[IllegalArgumentException] {
+      wh.update("fact_telemetry", lit(true),
+        Map("epoch_date" -> lit("2026-02-01")))
+    }
+    intercept[IllegalArgumentException] {
+      wh.update("fact_telemetry", lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("update refreshes manifest stats for rewritten files") {
+    val (wh, _) = freshTable()
+    wh.update("fact_telemetry",
+      col("epoch_date") === "2026-01-01",
+      Map("norad_id" -> (col("norad_id") + 50)))
+    // the rewritten partition's footer stats must reflect the NEW values
+    // (51..54), or stat-based skipping would wrongly prune them
+    val jan1 = wh.loadLatest("fact_telemetry")._2
+      .filter(_.rel.contains("epoch_date=2026-01-01"))
+    assert(jan1.nonEmpty)
+    val (lo, hi) = jan1.head.stats("norad_id")
+    assert(lo === 51L && hi === 54L)
+    assert(wh.readRange("fact_telemetry", "norad_id", 51, 54).count() === 4)
+  }
+
+  test("addColumn surfaces NULL for old rows, values for new appends") {
+    val (wh, dir) = freshTable()
+    wh.addColumn("fact_telemetry",
+      StructField("data_source", StringType, nullable = true))
+    // evolved schema visible through a METADATA reopen (no specs in code)
+    val re = Warehouse.open(spark, dir)
+    assert(re.tables("fact_telemetry").fieldNames.contains("data_source"))
+    assert(re.read("fact_telemetry").where($"data_source".isNull)
+      .count() === 12)
+    val extra = Seq((9, ts("2026-01-04T00:00:00Z"),
+      ts("2026-02-01T00:00:00Z"), 1.0, 2.0, 3.0, 4.0, 5.0, 9.0, 0.9, 9,
+      java.sql.Date.valueOf("2026-01-04"), "celestrak"))
+      .toDF(re.tables("fact_telemetry").fieldNames.toIndexedSeq: _*)
+    re.append("fact_telemetry", extra)
+    val byNull = re.read("fact_telemetry")
+      .groupBy($"data_source".isNull.as("isOld")).count()
+      .as[(Boolean, Long)].collect().toMap
+    assert(byNull(true) === 12L && byNull(false) === 1L)
+    // non-nullable or duplicate additions fail fast
+    intercept[IllegalArgumentException] {
+      re.addColumn("fact_telemetry",
+        StructField("x", LongType, nullable = false))
+    }
+    intercept[IllegalArgumentException] {
+      re.addColumn("fact_telemetry",
+        StructField("data_source", StringType))
+    }
+  }
+
+  test("concurrent blind appends auto-resolve the manifest race") {
+    val (wh, dir) = freshTable()
+    val other = new Warehouse(spark, dir)
+    val extra1 = mkBase().where($"epoch_date" === "2026-01-01")
+      .withColumn("norad_id", $"norad_id" + 10)
+    val extra2 = mkBase().where($"epoch_date" === "2026-01-01")
+      .withColumn("norad_id", $"norad_id" + 20)
+    // interleave: after wh staged its files, `other` commits first —
+    // wh's first commit attempt hits the version conflict and must
+    // re-attach its files onto the new head
+    wh.beforeCommit = Some(() => other.append("fact_telemetry", extra2))
+    wh.append("fact_telemetry", extra1)
+    wh.beforeCommit = None
+    val ids = state(wh).map(_._1)
+    assert(Set(11, 12, 13, 14).subsetOf(ids), s"lost wh's batch: $ids")
+    assert(Set(21, 22, 23, 24).subsetOf(ids), s"lost other's batch: $ids")
+    // both commits are distinct manifest versions
+    assert(new Warehouse(spark, dir).versions("fact_telemetry").size === 4)
+  }
+
+  test("read-modify ops fail fast on a concurrent commit") {
+    val (wh, dir) = freshTable()
+    val other = new Warehouse(spark, dir)
+    val extra = mkBase().where($"epoch_date" === "2026-01-01")
+      .withColumn("norad_id", $"norad_id" + 10)
+    wh.beforeCommit = Some(() => other.append("fact_telemetry", extra))
+    intercept[Warehouse.CommitConflict] {
+      wh.delete("fact_telemetry", col("norad_id") === 1)
+    }
+    wh.beforeCommit = None
+    // nothing committed by the failed delete; the concurrent append is in
+    val reopened = new Warehouse(spark, dir)
+    assert(state(reopened).count(_._1 == 1) === 3)
+    assert(state(reopened).count(_._1 == 11) === 1)
+    // and the delete re-runs cleanly against the new head
+    assert(reopened.delete("fact_telemetry", col("norad_id") === 1) === 3L)
+  }
+}
