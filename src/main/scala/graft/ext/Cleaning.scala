@@ -71,4 +71,52 @@ object Cleaning {
 
   /** The full scrub: redact PII, then normalize whitespace. */
   def clean(text: Column): Column = normalizeWs(redact(text))
+
+  // ---- HTML boilerplate removal (the extraction pass that precedes
+  // every web-corpus curation ladder — the trafilatura/CCNet step,
+  // reduced to its deterministic core) ----
+
+  /** Content-bearing block removals FIRST: script/style lose their
+    * CONTENT, not just their tags. Two patterns, not one with a
+    * backreference — RE2 engines (DuckDB) have no backreferences, and
+    * the Java∩RE2 dialect is this module's contract. `(?is)`: tags are
+    * case-insensitive, scripts span lines.
+    */
+  val ScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val StyleRe = "(?is)<style[^>]*>.*?</style>"
+
+  /** HTML comments (dotall: comments span lines). */
+  val CommentRe = "(?s)<!--.*?-->"
+
+  /** Any remaining tag. The leading letter (or `/`) requirement keeps
+    * free-standing `<` in prose (`1 < 2`) out of the match — only
+    * markup-shaped spans strip.
+    */
+  val TagRe = "(?i)</?[a-z][^>]*>"
+
+  /** Single-pass entity table. `&amp;` decodes LAST, so an escaped
+    * entity (`&amp;lt;`) yields the literal text `&lt;` rather than
+    * double-decoding — the standard one-pass unescape contract.
+    */
+  val entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#34;" -> "\"",
+    "&#39;" -> "'",
+    "&amp;" -> "&")
+
+  /** HTML → text: drop script/style blocks and comments, replace every
+    * tag with a space (block boundaries must break words), decode the
+    * entity table, collapse whitespace. Pure codegen'd per-row
+    * expressions, same scale shape as [[clean]].
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = Seq(ScriptRe, StyleRe, CommentRe, TagRe)
+      .foldLeft(html)((c, re) => regexp_replace(c, re, " "))
+    normalizeWs(entities.foldLeft(noBlocks) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    })
+  }
 }

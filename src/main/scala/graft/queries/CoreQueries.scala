@@ -817,6 +817,104 @@ object CoreQueries extends QueryPack {
                           WHERE o.o_orderkey = l.l_orderkey
                             AND o.o_totalprice > 400000.0)
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ---- q86: COHORT RETENTION — the product-analytics staple
+    // (cohort = a user's first active week; retention = the share of
+    // that cohort still active N weeks later). Weeks are integral
+    // epoch-millis division, so bucket edges are engine-exact. Shape:
+    // one (user, week) distinct, one per-user min, one join back
+    // partitioned on user_id, one (cohort, offset) count; the per-cohort
+    // base size joins back as a broadcast (≤ #cohorts rows). ----
+    Q("q86_events_cohort_retention",
+      (s, dir) => {
+        val uw = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) DIV 604800000").as("week"))
+          .distinct()
+        val coh = uw.groupBy("user_id").agg(min(col("week")).as("cweek"))
+        val act = uw.join(coh, "user_id")
+          .groupBy(col("cweek"), (col("week") - col("cweek")).as("off"))
+          .agg(count(lit(1)).as("n_active"))
+        val c0 = act.where(col("off") === 0)
+          .select(col("cweek"), col("n_active").as("n0"))
+        act.join(broadcast(c0), "cweek")
+          .select(col("cweek").as("cohort_week"),
+            col("off").as("week_offset"),
+            col("n_active").cast("long").as("n_active"),
+            round(col("n_active").cast("double") / col("n0"), 4)
+              .as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS week
+          FROM events),
+        coh AS (SELECT user_id, min(week) AS cweek FROM uw GROUP BY user_id),
+        act AS (
+          SELECT c.cweek, u.week - c.cweek AS off, count(*) AS n_active
+          FROM uw u JOIN coh c USING (user_id)
+          GROUP BY 1, 2)
+        SELECT a.cweek AS cohort_week, a.off AS week_offset,
+               CAST(a.n_active AS BIGINT) AS n_active,
+               round(CAST(a.n_active AS DOUBLE) / c0.n_active, 4) AS retention
+        FROM act a JOIN act c0 ON a.cweek = c0.cweek AND c0.off = 0
+        ORDER BY cohort_week, week_offset""")),
+
+    // ---- q88: PageRank over the nation TRADE GRAPH (edges = customer
+    // nation → supplier nation, weighted by lineitem count) — the
+    // second iterative graph operator beside q54's connected
+    // components, 5 fixed power iterations from a uniform start
+    // (operators.PageRank: per round one normalized-weight join + one
+    // dst aggregate; rank state never touches the driver). The oracle
+    // UNROLLS the same 5 iterations as chained CTEs — identical
+    // dataflow, so the 6-dp rounded fixpoint matches exactly. ----
+    Q("q88_nation_trade_pagerank",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select(col("c_custkey"),
+            col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier").select(col("s_suppkey"),
+            col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val nodes = t(s, dir, "nation")
+          .select(col("n_nationkey").as("node"))
+        graft.operators.PageRank.run(edges, nodes, iters = 5)
+          .select(col("node"), round(col("rank"), 6).as("pr_rank"))
+          .orderBy("node")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (
+          SELECT n.node, 0.15 / nt.nn + 0.85 * coalesce(c.cin, 0) AS pr
+          FROM n CROSS JOIN nt
+          LEFT JOIN (SELECT tr.dst, sum(r.pr * tr.p) AS cin
+                     FROM tr JOIN r${i - 1} r ON r.node = tr.src
+                     GROUP BY tr.dst) c ON c.dst = n.node)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH e AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+        tr AS (SELECT e.src, e.dst, e.w / ow.wout AS p
+               FROM e JOIN ow USING (src)),
+        n AS (SELECT n_nationkey AS node FROM nation),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        r0 AS (SELECT node, 1.0 / nt.nn AS pr FROM n CROSS JOIN nt),
+        $iters
+        SELECT node, round(pr, 6) AS pr_rank FROM r5 ORDER BY node"""
+      })
   )
 }

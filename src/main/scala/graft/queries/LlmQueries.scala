@@ -1359,6 +1359,138 @@ object LlmQueries extends QueryPack {
                round(exp(avg(-lp.logp)), 2) AS perplexity
         FROM terms t JOIN lp ON t.term = lp.term
         GROUP BY t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ---- q84: BM25 ranked retrieval (Retrieval.bm25TopK) — the
+    // Lucene/Elasticsearch default scorer as a declarative plan. Only
+    // query-term postings ever shuffle (the isin filter rides the
+    // explode, before any exchange), df is a |terms|-row broadcast,
+    // corpus constants fold to one broadcast scalar row, and the cut is
+    // TakeOrdered (no global sort, no single-partition window). Scores
+    // round to 6 dp BEFORE the top-k boundary so the cut is
+    // engine-deterministic; the oracle replays idf/tf normalization
+    // arithmetic exactly. ----
+    Q("q84_docs_bm25_topk",
+      (s, dir) => {
+        graft.ext.Retrieval.bm25TopK(fan(t(s, dir, "documents")),
+            "doc_id", "text",
+            Seq("join", "vector", "stream", "spark", "customer"), 25)
+          .select(col("id").as("doc_id"), col("n_terms_hit"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, tk FROM d),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                         avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dl)
+          WHERE term IN ('join', 'vector', 'stream', 'spark', 'customer')
+          GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY term)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+               round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                     6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 25""")),
+
+    // ---- q85: HTML boilerplate removal (Cleaning.stripHtml) — the
+    // extraction pass that precedes every web-corpus curation ladder.
+    // Each doc is wrapped in deterministic markup IN-PLAN (head/style
+    // block, comment spanning a newline, a script whose BODY contains a
+    // stray `</p>` and a free-standing `<` — the canaries that catch a
+    // tag-only stripper), then stripped: script/style/comments lose
+    // their content, tags become word breaks, the entity table decodes
+    // single-pass (&amp; last), whitespace collapses. Exact string
+    // equality against DuckDB replaying the same Java∩RE2 patterns. ----
+    Q("q85_docs_html_clean",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style type=\"text/css\">p { color: red; }" +
+            "</style></head><body><!-- nav\nboilerplate -->" +
+            "<div id=\"main\"><p>"), col("text"),
+          lit("</p></div><script>var x = 1 < 2 && \"</p>\" != null;" +
+            "</script><p>&amp;lt; &lt;tail&gt; &nbsp;&quot;end&quot; " +
+            "it&#39;s</p></body></html>"))
+        fan(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            graft.ext.Cleaning.stripHtml(html).as("clean_text"))
+          .select(col("doc_id"), col("clean_text"),
+            length(col("clean_text")).cast("long").as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH wrapped AS (
+          SELECT doc_id,
+            '<html><head><title>Doc ' || doc_id
+            || '</title><style type="text/css">p { color: red; }'
+            || '</style></head><body><!-- nav' || chr(10)
+            || 'boilerplate --><div id="main"><p>' || text
+            || '</p></div><script>var x = 1 < 2 && "</p>" != null;'
+            || '</script><p>&amp;lt; &lt;tail&gt; &nbsp;&quot;end&quot; '
+            || 'it&#39;s</p></body></html>' AS html
+          FROM documents),
+        stripped AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(html,
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?i)</?[a-z][^>]*>', ' ', 'g'),
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#34;', '"'), '&#39;', ''''),
+                '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')) AS clean_text
+          FROM wrapped)
+        SELECT doc_id, clean_text,
+               CAST(length(clean_text) AS BIGINT) AS clean_len
+        FROM stripped ORDER BY doc_id""")),
+
+    // ---- q87: deterministic TRAIN/VAL/TEST split — the reproducible
+    // 80/10/10 assignment every training corpus needs. The split key is
+    // a PORTABLE hash (Knuth multiplicative: id·2654435761 mod 2³²,
+    // pure BIGINT arithmetic — identical in any engine, unlike
+    // engine-native hash functions), so the same doc lands in the same
+    // split everywhere, forever. Per-(split, lang) inventory: pure
+    // per-row compute + one small aggregate, no join. ----
+    Q("q87_docs_train_split",
+      (s, dir) => {
+        val bucket = (col("doc_id") * lit(2654435761L)) % 4294967296L % 100
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        fan(t(s, dir, "documents"))
+          .select(split.as("split"), col("lang"), col("n_chars"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("split", "lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                      THEN 'train'
+                      WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                      THEN 'val' ELSE 'test' END AS split,
+                 lang, n_chars
+          FROM documents)
+        SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM d GROUP BY split, lang
+        ORDER BY split, lang"""))
   )
 }

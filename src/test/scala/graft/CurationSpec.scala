@@ -46,6 +46,21 @@ class CurationSpec extends SparkSpec {
     assert(out === "<EMAIL> has left us")
   }
 
+  test("stripHtml drops block content, keeps prose, decodes entities") {
+    val html =
+      """<HTML><head><STYLE a=b>h1 { x: y; }</style></head><body>
+        |<!-- a
+        | multiline comment --><p class="x">keep &amp;lt; 1 < 2 ok</p>
+        |<script type="t">var s = "</p>"; if (1 < 2) alert();</script>
+        |A&nbsp;B &quot;q&quot; it&#39;s &gt;end&lt;</body>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(Cleaning.stripHtml(col("h"))).as[String].collect()(0)
+    // script/style lose their CONTENT (incl. the embedded </p> and <);
+    // the free-standing `<` in prose survives; &amp;lt; decodes ONCE to
+    // the literal text `&lt;`; tags are word breaks, case-insensitive
+    assert(out === "keep &lt; 1 < 2 ok A B \"q\" it's >end<")
+  }
+
   // ---- Curation ----
 
   private lazy val scored = Seq(

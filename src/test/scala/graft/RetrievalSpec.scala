@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Retrieval
+import graft.operators.PageRank
+
+/** Hand-computed fixtures for the ranked-retrieval scorer and the
+  * PageRank power iteration — the arithmetic the q84/q88 oracles state
+  * only as end-to-end hashes.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark spark spark joins data"), // tf(spark)=3, dl=5
+    (2L, "spark is fast"),                // tf(spark)=1, dl=3
+    (3L, "ducks quack loudly here"),      // no query terms, dl=4
+    (4L, "")                              // blank: 0 tokens, no postings
+  ).toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed score") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark"), k = 10)
+      .select($"id", $"n_terms_hit", $"score")
+      .as[(Long, Long, Double)].collect().toList
+    // N=4 docs, avgdl=(5+3+4+0)/4=3, df(spark)=2
+    // idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2)
+    val idf = math.log(2.0)
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === List((1L, 1L, s(3, 5)), (2L, 1L, s(1, 3))))
+  }
+
+  test("bm25 k cuts on (rounded score desc, id)") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark"), k = 1).select($"id").as[Long].collect().toList
+    assert(got === List(1L)) // tf=3 outranks tf=1 at equal idf
+  }
+
+  test("bm25 ignores terms absent from the corpus") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark", "zzz_absent"), k = 10)
+      .select($"id", $"n_terms_hit").as[(Long, Long)].collect().toList
+    assert(got.map(_._1) === List(1L, 2L))
+    assert(got.forall(_._2 === 1L)) // the absent term hits nothing
+  }
+
+  test("pagerank: 2-cycle holds uniform, isolated node keeps teleport") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val pr = PageRank.run(edges, nodes, iters = 5)
+      .select($"node", $"rank").as[(Long, Double)].collect().toMap
+    // nodes 1,2 exchange all mass: pr = 0.05 + 0.85*pr_other converges
+    // to 1/3 (uniform start IS the fixpoint: 0.05 + 0.85/3 = 1/3)
+    assert(math.abs(pr(1L) - 1.0 / 3) < 1e-12)
+    assert(math.abs(pr(2L) - 1.0 / 3) < 1e-12)
+    // node 3 has no in-edges: teleport share only
+    assert(math.abs(pr(3L) - 0.05) < 1e-12)
+  }
+
+  test("pagerank: weights split contributions proportionally") {
+    // 1 -> 2 (w=3), 1 -> 3 (w=1): node 2 gets 3/4 of node 1's mass
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val pr = PageRank.run(edges, nodes, iters = 1)
+      .select($"node", $"rank").as[(Long, Double)].collect().toMap
+    val third = 1.0 / 3
+    assert(math.abs(pr(1L) - 0.15 / 3) < 1e-12)
+    assert(math.abs(pr(2L) - (0.15 / 3 + 0.85 * third * 0.75)) < 1e-12)
+    assert(math.abs(pr(3L) - (0.15 / 3 + 0.85 * third * 0.25)) < 1e-12)
+  }
+}
