@@ -99,7 +99,32 @@ object GraftExtensions {
     (FunctionIdentifier("z_interleave"),
       info("z_interleave",
         "2-D Morton (z-order) code of two non-negative 32-bit values"),
-      col2("z_interleave", graft.functions.ZOrder.interleave) _))
+      col2("z_interleave", graft.functions.ZOrder.interleave) _),
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "serialized bloom filter over a column's values " +
+          "(mergeable; probe with graft.plans.BloomAgg.mightContain)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bloom_agg expects (col, expectedItems, fpp)")
+        require(args(1).foldable && args(2).foldable,
+          "bloom_agg: expectedItems and fpp must be literals")
+        val items = args(1).eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg: expectedItems must be integral, got $other")
+        }
+        val fpp = args(2).eval() match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg: fpp must be numeric, got $other")
+        }
+        graft.plans.BloomAgg(args(0), items, fpp)
+      }))
 
   /** Register the pack on a session that ALREADY exists. Builder
     * extensions only run when the builder constructs a new session —

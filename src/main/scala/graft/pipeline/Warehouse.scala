@@ -209,13 +209,17 @@ class Warehouse(spark: SparkSession, dir: String,
     }
   }
 
-  /** Per-file min/max for `cols`, read from the parquet FOOTER (no data
-    * scan). A column is dropped whenever any row group lacks usable
-    * stats — absence of stats must never enable a skip.
+  /** Per-file (rowCount, min/max for `cols`), read from the parquet
+    * FOOTER (no data scan). A column is dropped whenever any row group
+    * lacks usable stats — absence of stats must never enable a skip.
+    * The row count lets [[writeBatch]] suppress ZERO-ROW files (an
+    * unpartitioned rewrite emits one part file per task, empty tasks
+    * included): an empty file carries no stats and no bloom sidecar,
+    * so it would be kept by every skip-read forever — pure overhead in
+    * the manifest.
     */
-  private def footerStats(file: Path,
-      cols: Seq[String]): Map[String, (Long, Long)] = {
-    if (cols.isEmpty) return Map.empty
+  private def footerInfo(file: Path,
+      cols: Seq[String]): (Long, Map[String, (Long, Long)]) = {
     import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -224,7 +228,9 @@ class Warehouse(spark: SparkSession, dir: String,
     try {
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
       val dropped = scala.collection.mutable.Set.empty[String]
+      var rows = 0L
       reader.getFooter.getBlocks.forEach { block =>
+        rows += block.getRowCount
         block.getColumns.forEach { cc =>
           val n = cc.getPath.toDotString
           if (cols.contains(n) && !dropped(n)) {
@@ -248,7 +254,7 @@ class Warehouse(spark: SparkSession, dir: String,
           }
         }
       }
-      acc.toMap
+      (rows, acc.toMap)
     } finally reader.close()
   }
 
@@ -300,28 +306,130 @@ class Warehouse(spark: SparkSession, dir: String,
     // all three run on a bounded pool now.
     val staged = FsListing.dataFiles(staging.toString, parallelism = 16)
     val cols = statColumns(name)
-    val entries =
-      if (staged.isEmpty) Seq.empty[FileEntry]
+    val moved =
+      if (staged.isEmpty) Seq.empty[(Long, FileEntry)]
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, staged.size))
         try {
           staged.map { case (rel, bytes) =>
-            pool.submit(new java.util.concurrent.Callable[FileEntry] {
-              override def call(): FileEntry = {
+            pool.submit(new java.util.concurrent.Callable[(Long, FileEntry)] {
+              override def call(): (Long, FileEntry) = {
                 val dest = new Path(path(name), rel)
                 fs.mkdirs(dest.getParent)
                 require(fs.rename(new Path(staging, rel), dest),
                   s"$name: staging move failed for $rel")
-                FileEntry(rel, bytes,
-                  if (cols.isEmpty) Map.empty else footerStats(dest, cols))
+                val (rows, stats) = footerInfo(dest, cols)
+                (rows, FileEntry(rel, bytes, stats))
               }
             })
           }.map(_.get())
         } finally { pool.shutdown(); () }
       }
+    // zero-row part files (empty tasks of an unpartitioned rewrite, the
+    // bootstrap empty write) never enter the manifest — delete in place;
+    // they are uncommitted, so this is not a data deletion
+    val entries = moved.collect { case (rows, e) if rows > 0 => e }
+    moved.collect { case (0, e) => e }
+      .foreach(e => fs.delete(new Path(path(name), e.rel), false))
     fs.delete(staging, true)
+    writeBloomSidecars(name, entries)
     entries
+  }
+
+  // ------------------------------------------------------------------
+  // bloom file index
+  // ------------------------------------------------------------------
+
+  private def bloomDir(name: String) = new Path(path(name), "_bloomidx")
+
+  /** Sidecar name: sha1(rel) keeps the flat `_bloomidx/` dir free of
+    * the partition tree's nesting and of any path-char issues.
+    */
+  private def relHash(rel: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def bloomFileName(rel: String, column: String): String =
+    s"${relHash(rel)}-$column.bf"
+
+  /** Absolute filesystem path (scheme-stripped) → manifest entry, the
+    * join key between `input_file_name()` and the manifest.
+    */
+  private def byAbsPath(name: String,
+      entries: Seq[FileEntry]): Map[String, FileEntry] = {
+    val fs = fileSystem
+    entries.map(e =>
+      fs.makeQualified(new Path(path(name), e.rel)).toUri.getPath -> e).toMap
+  }
+
+  /** One distributed pass building a bloom sidecar per (new file, bloom
+    * column): `groupBy(input_file_name).agg(bloom_agg(col)...)` — the
+    * batch is read back once, per-file filters fold in parallel, and
+    * the collected result is |files| × |columns| serialized blooms.
+    * Sidecars land BEFORE the manifest commit; a crash strands orphan
+    * sidecars that vacuum collects. A file without a sidecar is simply
+    * never skipped, so the index is always safe.
+    */
+  private def writeBloomSidecars(name: String, fresh: Seq[FileEntry]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val spec = specsNow(name)
+    if (spec.bloomColumns.isEmpty || fresh.isEmpty) return
+    val aggs = spec.bloomColumns.map(c => graft.plans.BloomAgg.bloom(
+      col(c), spec.bloomExpectedItems, spec.bloomFpp).as(c))
+    val rows = dfFor(name, fresh)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val relOf = byAbsPath(name, fresh)
+    val fs = fileSystem
+    fs.mkdirs(bloomDir(name))
+    rows.foreach { r =>
+      relOf.get(new Path(r.getString(0)).toUri.getPath).foreach { e =>
+        spec.bloomColumns.zipWithIndex.foreach { case (c, i) =>
+          val out = fs.create(
+            new Path(bloomDir(name), bloomFileName(e.rel, c)), true)
+          try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
+        }
+      }
+    }
+  }
+
+  /** POINT-LOOKUP read: [[read]] restricted to files that might contain
+    * `column = value` — manifest min/max stats prune first (free), then
+    * each survivor's bloom sidecar is probed. Purely a file skip (the
+    * caller still applies the exact predicate); files without stats or
+    * sidecar are always kept, and a null probe keeps everything (blooms
+    * never attest nulls).
+    */
+  def readPoint(name: String, column: String, value: Any): DataFrame = {
+    val (v, entries) = loadLatest(name)
+    if (v == 0L) return read(name)
+    dfFor(name, pointCandidates(name, column, value, entries))
+  }
+
+  private[graft] def pointCandidates(name: String, column: String,
+      value: Any, entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val statKept = value match {
+      case n: Number =>
+        val v = n.longValue()
+        entries.filter(_.stats.get(column)
+          .forall { case (lo, hi) => v >= lo && v <= hi })
+      case _ => entries
+    }
+    if (!specsNow(name).bloomColumns.contains(column)) return statKept
+    val fs = fileSystem
+    statKept.filter { e =>
+      val p = new Path(bloomDir(name), bloomFileName(e.rel, column))
+      if (!fs.exists(p)) true
+      else {
+        val in = fs.open(p)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+        graft.plans.BloomAgg.mightContain(bf, value)
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -368,6 +476,13 @@ class Warehouse(spark: SparkSession, dir: String,
     partitioning(name).foreach(pb.add)
     val sc = node.putArray("statColumns")
     statColumns(name).foreach(sc.add)
+    val spec = specsNow(name)
+    if (spec.bloomColumns.nonEmpty) {
+      val bc = node.putArray("bloomColumns")
+      spec.bloomColumns.foreach(bc.add)
+      node.put("bloomExpectedItems", spec.bloomExpectedItems)
+      node.put("bloomFpp", spec.bloomFpp)
+    }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(m.writeValueAsString(node)
@@ -627,9 +742,16 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   private def gc(name: String, replaced: Seq[FileEntry]): Unit = {
     val fs = fileSystem
+    val bloomCols = specsNow(name).bloomColumns
     replaced.foreach { e =>
       try { fs.delete(new Path(path(name), e.rel), false); () }
       catch { case _: java.io.IOException => () }
+      bloomCols.foreach { c =>
+        try {
+          fs.delete(new Path(bloomDir(name), bloomFileName(e.rel, c)), false)
+          ()
+        } catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -841,6 +963,17 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val staging = new Path(path(name), "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
+    // bloom sidecars of non-live files (replaced past retention, crash
+    // leftovers): keep any sidecar whose rel-hash prefix matches a live
+    // file, drop the rest
+    val bdir = bloomDir(name)
+    if (fs.exists(bdir)) {
+      val liveHashes = live.map(relHash)
+      fs.listStatus(bdir).foreach { st =>
+        if (!liveHashes.contains(st.getPath.getName.takeWhile(_ != '-')))
+          fs.delete(st.getPath, false)
+      }
+    }
     vs.dropRight(math.max(keepManifests, 1)).foreach { mv =>
       fs.delete(new Path(manifestDir(name), f"v$mv%012d.mf"), false)
     }
@@ -862,11 +995,29 @@ object Warehouse {
     */
   final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
-  /** One managed table's layout. */
+  /** One managed table's layout.
+    *
+    * @param bloomColumns columns that get a per-file BLOOM FILTER
+    *   sidecar at write time (`_bloomidx/`), enabling
+    *   [[Warehouse!.readPoint]] to SKIP files for equality lookups on
+    *   high-cardinality keys whose min/max ranges overlap every file —
+    *   the case footer [[statColumns]] can never prune (and the only
+    *   skipping story for STRING keys, which footer long-stats can't
+    *   encode at all). Sidecar size ≈ 1.2 · items · ln(1/fpp) bits per
+    *   file per column — the Delta bloom-index trade.
+    */
   final case class TableSpec(schema: StructType,
-      partitionBy: Seq[String] = Nil, statColumns: Seq[String] = Nil) {
+      partitionBy: Seq[String] = Nil, statColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      bloomExpectedItems: Long = 1000000L, bloomFpp: Double = 0.03) {
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
+    bloomColumns.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"bloom column $c not in schema")
+      require(!partitionBy.contains(c),
+        s"bloom column $c is a partition column (already pruned exactly)")
+    }
   }
 
   /** The reference's star schema (README.md:18-32, script.py:78-82,
@@ -906,6 +1057,7 @@ object Warehouse {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(text)
           def strs(field: String): Seq[String] = {
+            if (!node.has(field)) return Nil
             val buf = scala.collection.mutable.ArrayBuffer.empty[String]
             val it = node.get(field).elements()
             while (it.hasNext) buf += it.next().asText()
@@ -914,7 +1066,12 @@ object Warehouse {
           st.getPath.getName.stripSuffix(".json") -> TableSpec(
             org.apache.spark.sql.types.DataType
               .fromJson(node.get("schema").asText()).asInstanceOf[StructType],
-            strs("partitionBy"), strs("statColumns"))
+            strs("partitionBy"), strs("statColumns"),
+            strs("bloomColumns"),
+            if (node.has("bloomExpectedItems"))
+              node.get("bloomExpectedItems").asLong() else 1000000L,
+            if (node.has("bloomFpp")) node.get("bloomFpp").asDouble()
+            else 0.03)
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

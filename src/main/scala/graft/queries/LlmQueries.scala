@@ -1491,6 +1491,47 @@ object LlmQueries extends QueryPack {
         SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM d GROUP BY split, lang
-        ORDER BY split, lang"""))
+        ORDER BY split, lang""")),
+
+    // ---- q89: warehouse POINT LOOKUP through the bloom file index —
+    // the skip rung after partition pruning (partition cols) and
+    // footer min/max (clustered numerics): equality on a
+    // high-cardinality STRING key, where ranges can't prune at all.
+    // Four interleaved appends give every file the full doc_id spread;
+    // each readPoint probes per-file bloom sidecars and plans only the
+    // owning file (WarehouseBloomSpec pins the skip counts; skipping
+    // is result-invisible by construction, which is exactly what this
+    // gate proves end-to-end — incl. an absent key yielding zero
+    // rows). ----
+    Q("q89_warehouse_point_lookup",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = java.nio.file.Files.createTempDirectory("graft-q89-")
+          .toString
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("key", StringType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType)))
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("docs" -> graft.pipeline.Warehouse.TableSpec(schema,
+            statColumns = Seq("doc_id"), bloomColumns = Seq("key"),
+            bloomExpectedItems = 100000L, bloomFpp = 0.01)))
+        wh.bootstrap()
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("doc-"), col("doc_id")).as("key"),
+          col("lang"), col("n_chars"))
+        (0 until 4).foreach(i =>
+          wh.append("docs", docs.where(col("doc_id") % 4 === i).coalesce(1)))
+        Seq("doc-4", "doc-17", "doc-33", "doc-999999999")
+          .map(k => wh.readPoint("docs", "key", k).where(col("key") === k))
+          .reduce(_ unionByName _)
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'doc-' || doc_id AS key, lang, n_chars
+        FROM documents
+        WHERE doc_id IN (4, 17, 33)
+        ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Warehouse
+
+/** The per-file bloom index: sidecars written per batch, point lookups
+  * skipping files min/max stats can't (high-cardinality longs whose
+  * ranges interleave, and strings — which footer long-stats can't
+  * encode at all), result identity with the plain filter, and sidecar
+  * lifecycle across DML + vacuum.
+  */
+class WarehouseBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("key", StringType),
+    StructField("body", StringType)))
+
+  private def spec = Map("docs" -> Warehouse.TableSpec(docSchema,
+    statColumns = Seq("doc_id"),
+    bloomColumns = Seq("doc_id", "key"),
+    bloomExpectedItems = 10000L, bloomFpp = 0.01))
+
+  /** 4 appends of 1 file each; doc_ids INTERLEAVE across batches
+    * (i, i+4, i+8, ...) so every file's min/max range overlaps every
+    * lookup — stats alone can skip nothing, blooms must do the work.
+    */
+  private def freshTable(): (Warehouse, String) = {
+    val dir = Files.createTempDirectory("graft-bloom-").toString
+    val wh = new Warehouse(spark, dir, specs = spec)
+    wh.bootstrap()
+    (0 until 4).foreach { i =>
+      val rows = (0 until 250).map { j =>
+        val id = (j * 4 + i).toLong
+        (id, s"key-$id", s"body of $id")
+      }
+      wh.append("docs", rows.toDF("doc_id", "key", "body").coalesce(1))
+    }
+    (wh, dir)
+  }
+
+  test("point lookup on an interleaved long key probes to one file") {
+    val (wh, _) = freshTable()
+    val entries = wh.loadLatest("docs")._2
+    assert(entries.size >= 4)
+    // stats can't help: id 42 ∈ [min, max] of every file
+    assert(entries.forall(_.stats("doc_id") match {
+      case (lo, hi) => lo <= 42L && 42L <= hi
+    }))
+    val kept = wh.pointCandidates("docs", "doc_id", 42L, entries)
+    // exactly the owning file (+ fpp=1% false positives, usually none)
+    assert(kept.nonEmpty && kept.size <= 2, s"kept ${kept.size} files")
+    assert(wh.readPoint("docs", "doc_id", 42L)
+      .where($"doc_id" === 42L).count() === 1L)
+  }
+
+  test("point lookup on a string key skips files stats never could") {
+    val (wh, _) = freshTable()
+    val entries = wh.loadLatest("docs")._2
+    val kept = wh.pointCandidates("docs", "key", "key-999", entries)
+    assert(kept.nonEmpty && kept.size <= 2, s"kept ${kept.size} files")
+    val got = wh.readPoint("docs", "key", "key-999")
+      .where($"key" === "key-999").as[(Long, String, String)].collect()
+    assert(got.toSeq === Seq((999L, "key-999", "body of 999")))
+  }
+
+  test("absent values keep at most fpp-level files; nulls keep all") {
+    val (wh, _) = freshTable()
+    val entries = wh.loadLatest("docs")._2
+    // 5 absent probes: blooms may false-positive a file occasionally
+    // but must never keep everything
+    val keptCounts = (1 to 5).map(i =>
+      wh.pointCandidates("docs", "key", s"nope-$i", entries).size)
+    assert(keptCounts.sum <= entries.size, s"absent probes kept $keptCounts")
+    assert(wh.readPoint("docs", "key", "absent-key")
+      .where($"key" === "absent-key").count() === 0L)
+    // blooms never attest nulls — a null probe cannot skip
+    assert(wh.pointCandidates("docs", "key", null, entries).size
+      === entries.size)
+  }
+
+  test("non-bloom columns fall back to stat pruning only") {
+    val (wh, _) = freshTable()
+    val entries = wh.loadLatest("docs")._2
+    assert(wh.pointCandidates("docs", "body", "body of 7", entries).size
+      === entries.size)
+  }
+
+  test("DML rewrites refresh sidecars; vacuum collects orphans") {
+    val (wh, dir) = freshTable()
+    // delete rewrites every file containing a multiple of 4 (= all);
+    // new files get new sidecars, old sidecars become garbage
+    wh.delete("docs", $"doc_id" % 4 === 0)
+    val entries = wh.loadLatest("docs")._2
+    val kept = wh.pointCandidates("docs", "doc_id", 41L, entries)
+    assert(kept.nonEmpty && kept.size <= 2)
+    assert(wh.readPoint("docs", "doc_id", 40L)
+      .where($"doc_id" === 40L).count() === 0L)
+    // reopen from _meta alone: bloom config survives the round-trip
+    val re = Warehouse.open(spark, dir)
+    assert(re.pointCandidates("docs", "key", "key-41", entries).size <= 2)
+    re.vacuum("docs", keepManifests = 1)
+    // every surviving sidecar belongs to a live file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = re.loadLatest("docs")._2.size
+    val sidecars = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/docs/_bloomidx")).length
+    assert(sidecars === live * 2, s"$sidecars sidecars for $live files")
+  }
+}

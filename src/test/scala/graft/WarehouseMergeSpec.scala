@@ -235,7 +235,8 @@ class WarehouseMergeSpec extends SparkSpec {
         .repartition(1)))
     val before = wh.read("fact_space_weather").collect().toSet
     val (nParts, fb, fa) = wh.compact("fact_space_weather")
-    assert(nParts === 1 && fb === 4L && fa === 1L) // 3 appends + bootstrap seed
+    // 3 appends; the bootstrap's zero-row seed never enters the manifest
+    assert(nParts === 1 && fb === 3L && fa === 1L)
     assert(wh.read("fact_space_weather").collect().toSet === before)
   }
 }
