@@ -917,6 +917,28 @@ class Warehouse(spark: SparkSession, dir: String,
     changed
   }
 
+  /** RESTORE (rollback): make manifest `version`'s file list the new
+    * HEAD, as a new commit — history is never rewritten (the Delta
+    * RESTORE shape), so the rolled-back-over states stay time-travel
+    * readable until vacuum's retention passes them. Requires the
+    * target version's files to still exist (retainReplaced retention,
+    * same rule as [[readVersion]]); files unique to the abandoned head
+    * stay on disk for vacuum — restore never deletes anything.
+    */
+  def restore(name: String, version: Long): Unit = {
+    require(versions(name).contains(version),
+      s"$name has no manifest v$version to restore")
+    val entries = loadAt(name, version)
+    val fs = fileSystem
+    val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
+    require(gone.isEmpty,
+      s"$name v$version is not restorable: ${gone.size} file(s) GC'd " +
+        s"(e.g. ${gone.head.rel}); use retainReplaced=true retention")
+    val (v, _) = loadLatest(name)
+    if (v == version) return
+    commit(name, v + 1, entries)
+  }
+
   /** SCHEMA EVOLUTION: append a new column to `name`'s schema. The data
     * files are untouched — parquet reads fill a requested-but-absent
     * column with nulls, so existing rows surface the new column as NULL

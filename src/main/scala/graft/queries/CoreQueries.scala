@@ -915,6 +915,44 @@ object CoreQueries extends QueryPack {
         r0 AS (SELECT node, 1.0 / nt.nn AS pr FROM n CROSS JOIN nt),
         $iters
         SELECT node, round(pr, 6) AS pr_rank FROM r5 ORDER BY node"""
-      })
+      }),
+
+    // ---- q90: ordered FUNNEL completion (operators.Funnel) —
+    // signup → view → purchase with strict first-touch ordering: each
+    // step counts users whose earliest qualifying event falls strictly
+    // after their completion of the previous step. One user-keyed
+    // filtered aggregate per step over the shrinking survivor set; no
+    // windows, no sequence collection. Millisecond event times keep
+    // the strict inequality engine-exact. ----
+    Q("q90_events_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), unix_millis(col("ts")).as("ms"))
+        graft.operators.Funnel.completion(ev, "user_id", "event_type",
+            "ms", Seq("signup", "view", "purchase"))
+          .orderBy("step")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+          FROM events),
+        s1 AS (SELECT user_id, min(ms) AS t FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ms) AS t
+               FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND e.ms > s1.t
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ms) AS t
+               FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND e.ms > s2.t
+               GROUP BY e.user_id)
+        SELECT 1 AS step, 'signup' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        ORDER BY step"""))
   )
 }

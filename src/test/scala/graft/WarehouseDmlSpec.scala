@@ -201,6 +201,38 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(new Warehouse(spark, dir).versions("fact_telemetry").size === 4)
   }
 
+  test("restore rolls back to a prior version as a new commit") {
+    val dir = Files.createTempDirectory("graft-restore-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = true)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase())
+    val before = state(wh)
+    val preDelete = wh.versions("fact_telemetry").last
+    wh.delete("fact_telemetry", col("norad_id") === 1)
+    val deleted = wh.versions("fact_telemetry").last
+    assert(state(wh).forall(_._1 != 1))
+    wh.restore("fact_telemetry", preDelete)
+    assert(state(wh) === before)
+    // history preserved: the deleted state is still time-travel readable
+    assert(wh.readVersion("fact_telemetry", deleted)
+      .where($"norad_id" === 1).count() === 0L)
+    // restore is a COMMIT, not a history rewrite
+    assert(wh.versions("fact_telemetry").last > deleted)
+    intercept[IllegalArgumentException] {
+      wh.restore("fact_telemetry", 999L)
+    }
+    // eager-GC mode: the pre-delete files are gone, restore fails fast
+    val dir2 = Files.createTempDirectory("graft-restore2-").toString
+    val wh2 = new Warehouse(spark, dir2)
+    wh2.bootstrap()
+    wh2.append("fact_telemetry", mkBase())
+    val v2 = wh2.versions("fact_telemetry").last
+    wh2.delete("fact_telemetry", col("epoch_date") === "2026-01-02")
+    intercept[IllegalArgumentException] {
+      wh2.restore("fact_telemetry", v2)
+    }
+  }
+
   test("read-modify ops fail fast on a concurrent commit") {
     val (wh, dir) = freshTable()
     val other = new Warehouse(spark, dir)
