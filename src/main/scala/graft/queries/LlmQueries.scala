@@ -1532,6 +1532,124 @@ object LlmQueries extends QueryPack {
         SELECT doc_id, 'doc-' || doc_id AS key, lang, n_chars
         FROM documents
         WHERE doc_id IN (4, 17, 33)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q91: multinomial NAIVE BAYES (TextClassifier.naiveBayes) —
+    // the curation ladder's trainable classifier rung kept ORACLE-EXACT:
+    // closed-form counting fit (priors + add-one-smoothed likelihoods)
+    // means the entire fit+predict replays as relational algebra, which
+    // no iterative classifier allows. Emits the label confusion matrix
+    // (fit and scored on the same corpus — the determinism statement,
+    // not a generalization claim). Log-posteriors round to 6 dp before
+    // the per-doc argmax; ties break on label order. ----
+    Q("q91_docs_naive_bayes",
+      (s, dir) => {
+        graft.ext.TextClassifier.naiveBayes(fan(t(s, dir, "documents")),
+            "doc_id", "text", "lang")
+          .groupBy(col("label").as("true_lang"),
+            col("predicted").as("pred_lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        toks AS (SELECT doc_id, lang, unnest(tk) AS term FROM d),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+        pri AS (SELECT lang,
+                       ln(count(*) / (SELECT n_total FROM nt)) AS ln_prior
+                FROM documents GROUP BY lang),
+        tc AS (SELECT term, lang, count(*) AS n_tc FROM toks GROUP BY 1, 2),
+        ct AS (SELECT lang, sum(n_tc) AS n_c FROM tc GROUP BY lang),
+        vocab AS (SELECT DISTINCT term FROM tc),
+        vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        grid AS (
+          SELECT vocab.term, ct.lang AS c,
+                 ln((coalesce(tc.n_tc, 0) + 1.0)
+                    / (ct.n_c + (SELECT v FROM vs))) AS ln_p
+          FROM vocab CROSS JOIN ct
+          LEFT JOIN tc ON tc.term = vocab.term AND tc.lang = ct.lang),
+        scored AS (
+          SELECT t.doc_id, t.lang AS true_lang, g.c,
+                 round(p.ln_prior + sum(g.ln_p), 6) AS score
+          FROM toks t
+          JOIN grid g ON g.term = t.term
+          JOIN pri p ON p.lang = g.c
+          GROUP BY t.doc_id, t.lang, g.c, p.ln_prior),
+        best AS (
+          SELECT doc_id, true_lang, c AS pred_lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, c) AS rn
+          FROM scored)
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM best WHERE rn = 1
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // ---- q92: k-NN CLASSIFICATION over embeddings — majority label of
+    // the 7 nearest neighbors (exact cosine, q33's broadcast-query
+    // shape: the corpus streams once, nothing all-pairs). Votes break
+    // ties on (count desc, label asc) and neighbor ranking uses the
+    // repo's rounded-cosine + id tiebreak, so the prediction is
+    // engine-deterministic end to end. ----
+    Q("q92_embed_knn_classify",
+      (s, dir) => {
+        val emb = fan(t(s, dir, "embeddings"))
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("true_label"))
+        val nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries.select("qid", "qvec"), "qid", "qvec", k = 7)
+        val votes = nn
+          .join(emb.select(col("vec_id").as("id"),
+            col("label").as("nn_label")), "id")
+          .groupBy("qid", "nn_label")
+          .agg(count(lit(1)).as("n_votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(col("n_votes").desc, col("nn_label").asc)
+        votes.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1)
+          .join(broadcast(queries.select("qid", "true_label")), "qid")
+          .select(col("qid"), col("true_label"),
+            col("nn_label").as("pred_label"),
+            col("n_votes").cast("long").as("n_votes"))
+          .orderBy("qid")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label
+          FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.qid, e.vec_id AS id, e.label AS nn_label,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        nn AS (
+          SELECT qid, id, nn_label,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, id) AS rank
+          FROM scored),
+        votes AS (
+          SELECT qid, nn_label, count(*) AS n_votes
+          FROM nn WHERE rank <= 7
+          GROUP BY qid, nn_label),
+        best AS (
+          SELECT qid, nn_label, n_votes,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY n_votes DESC, nn_label) AS rn
+          FROM votes)
+        SELECT b.qid, q.label AS true_label, b.nn_label AS pred_label,
+               CAST(b.n_votes AS BIGINT) AS n_votes
+        FROM best b JOIN q ON q.qid = b.qid
+        WHERE b.rn = 1
+        ORDER BY b.qid"""))
   )
 }
