@@ -151,7 +151,8 @@ class Warehouse(spark: SparkSession, dir: String,
     val lines = text.split('\n').toSeq
     require(lines.headOption.contains(ManifestHeader),
       s"$name manifest v$version: unrecognized header")
-    lines.tail.filter(_.nonEmpty).map { line =>
+    // '#'-prefixed lines are commit metadata (see [[history]]), not files
+    lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val Array(rel, bytes, stats) = line.split('\t').padTo(3, "")
       val parsed = stats.split(';').filter(_.nonEmpty).map { s =>
         val Array(c, mm) = s.split('=')
@@ -159,6 +160,29 @@ class Warehouse(spark: SparkSession, dir: String,
         c -> ((lo.toLong, hi.toLong))
       }.toMap
       FileEntry(rel, bytes.toLong, parsed)
+    }
+  }
+
+  /** DESCRIBE HISTORY: every committed version with its commit metadata
+    * (operation + counts), ascending. Metadata is the '#'-line of the
+    * manifest itself, so it is exactly as atomic and crash-safe as the
+    * commit; versions without one (pre-metadata manifests, directory
+    * adoption) yield an empty map.
+    */
+  def history(name: String): Seq[(Long, Map[String, String])] = {
+    val fs = fileSystem
+    versions(name).map { v =>
+      val in = fs.open(new Path(manifestDir(name), f"v$v%012d.mf"))
+      val text = try {
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val meta = text.split('\n').find(_.startsWith("#")).map { line =>
+        line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
+          val i = kv.indexOf('=')
+          kv.take(i) -> kv.drop(i + 1)
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+      v -> meta
     }
   }
 
@@ -186,11 +210,18 @@ class Warehouse(spark: SparkSession, dir: String,
     * coordination service.
     */
   private def commit(name: String, version: Long,
-      entries: Seq[FileEntry]): Unit = {
+      entries: Seq[FileEntry], meta: Map[String, String] = Map.empty): Unit = {
     val fs = fileSystem
     val mdir = manifestDir(name)
     fs.mkdirs(mdir)
-    val body = (ManifestHeader +: entries.sortBy(_.rel).map { e =>
+    // commit metadata rides the manifest as one '#'-prefixed line — the
+    // DESCRIBE HISTORY record (operation, counts), atomic with the
+    // commit itself because it IS part of the committed file
+    val metaLine =
+      if (meta.isEmpty) Nil
+      else Seq("#" + meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("\t"))
+    val body = (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
       s"${e.rel}\t${e.bytes}\t$st"
@@ -456,7 +487,8 @@ class Warehouse(spark: SparkSession, dir: String,
             spark.sparkContext.emptyRDD[Row], schema)
           writeBatch(name, empty)
         }
-      commit(name, 1L, entries)
+      commit(name, 1L, entries,
+        Map("op" -> "bootstrap", "numFiles" -> entries.size.toString))
       persistSpec(name)
     }
   }
@@ -657,7 +689,11 @@ class Warehouse(spark: SparkSession, dir: String,
     var done = false
     var retries = 0
     while (!done) {
-      try { commit(name, attempt._1 + 1, attempt._2 ++ fresh); done = true }
+      try {
+        commit(name, attempt._1 + 1, attempt._2 ++ fresh,
+          Map("op" -> "append", "numFilesAdded" -> fresh.size.toString))
+        done = true
+      }
       catch {
         case _: Warehouse.CommitConflict if retries < 20 =>
           retries += 1
@@ -719,7 +755,9 @@ class Warehouse(spark: SparkSession, dir: String,
       .unionByName(updates.select(schemaCols.map(col): _*))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
-    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+      Map("op" -> "merge", "numFilesReplaced" -> replaced.size.toString,
+        "numFilesAdded" -> fresh.size.toString))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
   }
@@ -815,7 +853,9 @@ class Warehouse(spark: SparkSession, dir: String,
       flatFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt,
       sortCols = clusterBy)
     maybeCrash("after-write")
-    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+      Map("op" -> "compact", "numFilesReplaced" -> replaced.size.toString,
+        "numFilesAdded" -> fresh.size.toString))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
     val after = fresh.count(e => fragmented.contains(dirOf(e.rel)))
@@ -866,7 +906,9 @@ class Warehouse(spark: SparkSession, dir: String,
     val fresh = writeBatch(name, touched.where(not(matched)))
     maybeCrash("after-write")
     beforeCommit.foreach(_())
-    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+      Map("op" -> "delete", "numRowsDeleted" -> removed.toString,
+        "numFilesRewritten" -> replaced.size.toString))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
     removed
@@ -911,7 +953,9 @@ class Warehouse(spark: SparkSession, dir: String,
     val fresh = writeBatch(name, rewritten)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
-    commit(name, v + 1, entries.diff(replaced) ++ fresh)
+    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+      Map("op" -> "update", "numRowsUpdated" -> changed.toString,
+        "numFilesRewritten" -> replaced.size.toString))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
     changed
@@ -936,7 +980,8 @@ class Warehouse(spark: SparkSession, dir: String,
         s"(e.g. ${gone.head.rel}); use retainReplaced=true retention")
     val (v, _) = loadLatest(name)
     if (v == version) return
-    commit(name, v + 1, entries)
+    commit(name, v + 1, entries,
+      Map("op" -> "restore", "restoredVersion" -> version.toString))
   }
 
   /** SCHEMA EVOLUTION: append a new column to `name`'s schema. The data

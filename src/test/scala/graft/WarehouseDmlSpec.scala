@@ -233,6 +233,21 @@ class WarehouseDmlSpec extends SparkSpec {
     }
   }
 
+  test("history records each commit's operation and counts") {
+    val (wh, dir) = freshTable()
+    wh.delete("fact_telemetry", col("norad_id") === 1)
+    wh.update("fact_telemetry", col("norad_id") === 2,
+      Map("rev_number" -> lit(0)))
+    val h = wh.history("fact_telemetry").toMap
+    assert(h(1L)("op") === "bootstrap")
+    assert(h(2L)("op") === "append")
+    assert(h(3L)("op") === "delete" && h(3L)("numRowsDeleted") === "3")
+    assert(h(4L)("op") === "update" && h(4L)("numRowsUpdated") === "3")
+    // the metadata line is part of the committed manifest — a reopened
+    // handle reads the identical history
+    assert(new Warehouse(spark, dir).history("fact_telemetry").toMap === h)
+  }
+
   test("read-modify ops fail fast on a concurrent commit") {
     val (wh, dir) = freshTable()
     val other = new Warehouse(spark, dir)
