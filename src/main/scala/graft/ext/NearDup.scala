@@ -464,4 +464,46 @@ object NearDup {
     comp.join(ids.select(col(idCol).as("_vid")), Seq("_vid"))
       .select(col("_vid").as(idCol), col("_comp").as("cluster_id"))
   }
+
+  /** EDIT-DISTANCE-1 pairs via the SymSpell deletion neighborhood — the
+    * typo-dedup rung for SHORT KEYS (titles, names, identifiers), where
+    * shingle Jaccard is too coarse. Each key emits itself plus its
+    * |key| single-character deletions; two keys within Levenshtein
+    * distance 1 PROVABLY share a variant (equal → the key itself;
+    * substitution at i → both drop i; insertion → the longer drops the
+    * inserted char), so the variant equi-join is a LOSSLESS candidate
+    * generator and the exact `levenshtein` verify makes the result
+    * exact — same bucket-then-verify economics as every rung above,
+    * never an all-pairs scan.
+    *
+    * Scale shape: ~(|key|+1) variant rows per key shuffle on the
+    * variant string; candidate multiplicity collapses with a distinct
+    * BEFORE the verify so each pair pays one Levenshtein.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String,
+      keyCol: String): DataFrame = {
+    // empty keys are excluded: sequence(1, 0) is DESCENDING (the shingle
+    // guard's trap, NearDup.shingles), and "all empty keys are pairwise
+    // equal" is never the wanted typo semantics anyway
+    val base = df.select(col(idCol).as("_id"), col(keyCol).as("_key"))
+      .where(col("_key").isNotNull && length(col("_key")) >= 1)
+    // the key plus every single-char deletion (1-based substring
+    // slicing; array_union also dedups variants of repeated chars)
+    val variants = base.select(col("_id"), col("_key"),
+      explode(expr(
+        """array_union(
+             array(_key),
+             transform(sequence(1, length(_key)),
+                       i -> concat(substring(_key, 1, i - 1),
+                                   substring(_key, i + 1, length(_key)))))"""
+      )).as("_v"))
+    val cand = variants.as("a")
+      .join(variants.as("b"), col("a._v") === col("b._v"))
+      .where(col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("a._key").as("key1"),
+        col("b._id").as("id2"), col("b._key").as("key2"))
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("key1"), col("key2")))
+      .where(col("dist") <= 1)
+  }
 }

@@ -953,6 +953,45 @@ object CoreQueries extends QueryPack {
         SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
         UNION ALL
         SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
-        ORDER BY step"""))
+        ORDER BY step""")),
+
+    // ---- q94: trailing RANGE-interval window — 7-day rolling revenue
+    // per order priority over the daily aggregate, expressed as a
+    // value-range frame (RANGE BETWEEN 6 PRECEDING) on an integral day
+    // index, NOT a row frame: days with no orders correctly shrink the
+    // window (a rows-frame would silently span gaps). Integral
+    // epoch-millis day buckets keep frame edges engine-exact; the
+    // window is priority-partitioned (the repo-wide no-global-window
+    // rule). ----
+    Q("q94_rolling_revenue_7d",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            // o_orderdate reads as TIMESTAMP_NTZ; the cast pins it to
+            // the session's UTC, matching the oracle's epoch_ms
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000")
+              .as("day"))
+          .agg(sum(col("o_totalprice")).as("rev"))
+        val w = Window.partitionBy("pri").orderBy("day").rangeBetween(-6, 0)
+        daily.select(col("pri"), col("day"),
+            round(sum(col("rev")).over(w), 2).as("rev_7d"),
+            count(lit(1)).over(w).cast("long").as("n_days_7d"))
+          .orderBy("pri", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderpriority AS pri,
+                 epoch_ms(o_orderdate) // 86400000 AS day,
+                 sum(o_totalprice) AS rev
+          FROM orders GROUP BY 1, 2)
+        SELECT pri, day,
+               round(sum(rev) OVER (PARTITION BY pri ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d,
+               CAST(count(*) OVER (PARTITION BY pri ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_days_7d
+        FROM daily
+        ORDER BY pri, day"""))
   )
 }

@@ -1650,6 +1650,44 @@ object LlmQueries extends QueryPack {
                CAST(b.n_votes AS BIGINT) AS n_votes
         FROM best b JOIN q ON q.qid = b.qid
         WHERE b.rn = 1
-        ORDER BY b.qid"""))
+        ORDER BY b.qid""")),
+
+    // ---- q95: edit-distance-1 typo pairs via the SymSpell deletion
+    // neighborhood (NearDup.editDistancePairs) — the short-key rung of
+    // the dedup ladder. Keys are 'doc-<id>' plus planted typos (every
+    // 25th key's last char replaced); the deletion-variant equi-join is
+    // a PROVABLY lossless candidate generator for distance ≤ 1, each
+    // surviving pair pays one exact Levenshtein. The oracle
+    // brute-forces all pairs with DuckDB's levenshtein — candidate
+    // generation itself is under the hash compare (a missed pair fails
+    // the row count). ----
+    Q("q95_docs_typo_pairs",
+      (s, dir) => {
+        val keys = fan(t(s, dir, "documents"))
+          .select(col("doc_id"), concat(lit("doc-"), col("doc_id")).as("key"))
+        val typos = keys.where(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(expr("substring(key, 1, length(key) - 1)"), lit("x"))
+              .as("key"))
+        graft.ext.NearDup.editDistancePairs(
+            keys.unionByName(typos), "doc_id", "key")
+          .select(col("id1"), col("id2"), col("key1"), col("key2"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("id1", "id2")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, 'doc-' || doc_id AS key FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 substring('doc-' || doc_id, 1,
+                           length('doc-' || doc_id) - 1) || 'x'
+          FROM documents WHERE doc_id % 25 = 0)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               a.key AS key1, b.key AS key2,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        FROM u a JOIN u b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.key, b.key) <= 1
+        ORDER BY id1, id2"""))
   )
 }

@@ -1160,6 +1160,57 @@ object TleQueries extends QueryPack {
         FROM kept
         ORDER BY norad_id, epoch_micros""")),
 
+    // ---- q93: time-series RESAMPLING with last-observation-carried-
+    // forward — irregular telemetry onto a regular daily grid per
+    // satellite, THROUGH the native as-of join (the resample grid is
+    // the left side, observations the right: LOCF IS an as-of join).
+    // Day indices are integral micros division so grid edges are
+    // engine-exact; the oracle uses DuckDB's own ASOF LEFT JOIN, a
+    // genuinely independent second implementation of the semantics.
+    // Grid rows before a satellite's first observation surface NULL
+    // (left-join contract on both sides). ----
+    Q("q93_telemetry_resample_locf",
+      (s, dir) => {
+        val (base, _) = mergeFixture(s, dir)
+        val obs = base.where(col("norad_id") < 50)
+          .select(col("norad_id"),
+            unix_micros(col("epoch_utc")).as("ts"), col("mean_motion"))
+        val span = obs.groupBy("norad_id")
+          .agg(expr("min(ts) DIV 86400000000").as("d0"),
+            expr("max(ts) DIV 86400000000").as("d1"))
+        val grid = span
+          .select(col("norad_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+          .select(col("norad_id"), col("day"),
+            (col("day") * 86400000000L).as("ts"))
+        graft.operators.AsOfJoin.asof(grid, obs, Seq("norad_id"), "ts",
+            Seq("mean_motion"))
+          .select(col("norad_id"), col("day"),
+            col("asof_mean_motion").as("mean_motion_locf"))
+          .orderBy("norad_id", "day")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders),
+        base AS (
+          SELECT CAST((k * 7919) % 997 AS INT) AS norad_id,
+                 epoch_us(TIMESTAMP '2026-01-01')
+                   + ((k % 40) * 86400 + k) * 1000000 AS ts,
+                 CAST(k % 1600 AS DOUBLE) / 100.0 AS mean_motion
+          FROM src
+          WHERE (k * 7919) % 997 < 50),
+        span AS (
+          SELECT norad_id, min(ts) // 86400000000 AS d0,
+                 max(ts) // 86400000000 AS d1
+          FROM base GROUP BY norad_id),
+        grid AS (
+          SELECT norad_id, unnest(range(d0, d1 + 1)) AS day
+          FROM span),
+        g2 AS (SELECT norad_id, day, day * 86400000000 AS ts FROM grid)
+        SELECT g.norad_id, g.day, o.mean_motion AS mean_motion_locf
+        FROM g2 g ASOF LEFT JOIN base o
+          ON g.norad_id = o.norad_id AND o.ts <= g.ts
+        ORDER BY g.norad_id, g.day""")),
+
     // ---- q65: the DataSource V2 TLE source under the gate — S1/S2 as
     // a first-class `spark.read.format("graft-tle")` source (one
     // InputPartition per landing file, per-file triple assembly,

@@ -584,4 +584,23 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().map(_._1).toSet
     assert(kept === Set(1L, 2L))
   }
+
+  test("editDistancePairs: all three edit kinds found, distance 2 not") {
+    val keys = Seq(
+      (1L, "kitten"),   // vs 2: substitution (1)
+      (2L, "mitten"),
+      (3L, "kitte"),    // vs 1: deletion (1); vs 2: distance 2
+      (4L, "kittens"),  // vs 1: insertion (1); vs 3: distance 2
+      (5L, "kitten"),   // vs 1: equal (0)
+      (6L, "dog"),      // isolated
+      (7L, null.asInstanceOf[String]),
+      (8L, "")          // excluded (empty)
+    ).toDF("id", "key")
+    val got = NearDup.editDistancePairs(keys, "id", "key")
+      .select($"id1", $"id2", $"dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0),
+      (2L, 5L, 1), (3L, 5L, 1), (4L, 5L, 1)))
+  }
 }
