@@ -762,6 +762,97 @@ class Warehouse(spark: SparkSession, dir: String,
     if (!retainReplaced) gc(name, replaced)
   }
 
+  /** Full conditional MERGE — the Delta `MERGE INTO` clause set over
+    * the same copy-on-write machinery as [[merge]]:
+    *
+    *   - WHEN MATCHED [AND cond] THEN DELETE
+    *   - WHEN MATCHED [AND cond] THEN UPDATE SET ...
+    *   - WHEN NOT MATCHED [AND cond] THEN INSERT
+    *
+    * Clause conditions and update expressions see the TARGET row's
+    * columns by name and the SOURCE row's as `src_<name>` (the
+    * classic target/source scoping, flattened). Delete is evaluated
+    * before update (Delta's clause order); unmatched target rows pass
+    * through untouched; the insert condition sees only source columns
+    * (by their plain names). Only files of partitions the source
+    * TOUCHES are read and rewritten — the not-matched anti join probes
+    * those same files, which is exact because partition columns are a
+    * pure function of the key (the [[merge]] contract: a source key
+    * outside the touched partitions cannot exist in the table).
+    *
+    * @param source key-unique batch (caller dedups, like [[merge]])
+    */
+  def mergeInto(name: String, source: DataFrame, keys: Seq[String],
+      matchedDelete: Option[org.apache.spark.sql.Column] = None,
+      matchedUpdate: Option[(Option[org.apache.spark.sql.Column],
+        Map[String, org.apache.spark.sql.Column])] = None,
+      notMatchedInsert: Option[Option[org.apache.spark.sql.Column]] = None)
+      : Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val schema = tables(name)
+    val parts = partitioning(name)
+    require(parts.forall(source.columns.contains),
+      s"mergeInto $name: source must carry partition cols $parts")
+    matchedUpdate.foreach { case (_, set) =>
+      set.keys.foreach { c =>
+        require(schema.fieldNames.contains(c), s"mergeInto $name: no column $c")
+        require(!parts.contains(c),
+          s"mergeInto $name: partition column $c is not updatable")
+      }
+    }
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"mergeInto $name: table not bootstrapped")
+    val replaced: Seq[FileEntry] = parts match {
+      case Nil =>
+        if (source.isEmpty) return
+        entries
+      case cols =>
+        val touched = source.select(cols.map(col): _*).distinct().collect()
+        if (touched.isEmpty) return
+        val dirs = touched.map(r => partitionDir(cols, r)).toSet
+        entries.filter(e => dirs.contains(dirOf(e.rel)))
+    }
+    // source columns flattened to src_<name>; _src_hit marks the match
+    val srcPrefixed = source.select(
+      keys.map(col) ++ source.columns.filterNot(keys.contains)
+        .map(c => col(c).as(s"src_$c")) :+ lit(1).as("_src_hit"): _*)
+    val joined = dfFor(name, replaced).join(srcPrefixed, keys, "left")
+    val hit = col("_src_hit").isNotNull
+    val delCond = matchedDelete
+      .map(c => hit && coalesce(c, lit(false))).getOrElse(lit(false))
+    val updCond = matchedUpdate
+      .map { case (c, _) =>
+        hit && coalesce(c.getOrElse(lit(true)), lit(false)) && !delCond }
+      .getOrElse(lit(false))
+    val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
+    val survived = joined.where(!delCond)
+      .select(schema.fields.toSeq.map { f =>
+        updSet.get(f.name) match {
+          case Some(e) =>
+            when(updCond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val merged = notMatchedInsert match {
+      case None => survived
+      case Some(cond) =>
+        val inserts = source
+          .join(dfFor(name, replaced).select(keys.map(col): _*),
+            keys, "left_anti")
+          .where(coalesce(cond.getOrElse(lit(true)), lit(false)))
+          .select(schema.fieldNames.toSeq.map(col): _*)
+        survived.unionByName(inserts)
+    }
+    val fresh = writeBatch(name, merged)
+    maybeCrash("after-write")
+    beforeCommit.foreach(_())
+    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+      Map("op" -> "mergeInto", "numFilesReplaced" -> replaced.size.toString,
+        "numFilesAdded" -> fresh.size.toString))
+    maybeCrash("after-commit")
+    if (!retainReplaced) gc(name, replaced)
+  }
+
   /** Hive-escaped partition directory for one partition-values row. */
   private def partitionDir(cols: Seq[String], row: Row): String =
     cols.zipWithIndex.map { case (c, i) =>

@@ -1160,6 +1160,73 @@ object TleQueries extends QueryPack {
         FROM kept
         ORDER BY norad_id, epoch_micros""")),
 
+    // ---- q96: CONDITIONAL MERGE (the full Delta MERGE INTO clause
+    // set) — one source batch carrying deletions (negative mean_motion
+    // markers), corrections, and candidate inserts: WHEN MATCHED AND
+    // src<0 DELETE / WHEN MATCHED UPDATE from source / WHEN NOT MATCHED
+    // AND even-rev INSERT, all in one touched-partition copy-on-write
+    // commit. The oracle replays the clause semantics (delete
+    // precedence, conditional insert) relationally. ----
+    Q("q96_warehouse_merge_into",
+      (s, dir) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft-q96-")
+          .toString
+        val (base, _) = mergeFixture(s, dir)
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
+        wh.bootstrap()
+        wh.append("fact_telemetry", base.drop("k"))
+        val source = base.where(k % 3 === 0)
+            // col("k"): base CARRIES the key copy — the bare `k`
+            // (o_orderkey) only resolves in Filter/Sort via the
+            // missing-reference rule, not inside a projection
+            .withColumn("mean_motion",
+              when(col("k") % 9 === 0, lit(-1.0))
+                .otherwise(col("mean_motion") + 100.0))
+            .withColumn("rev_number", (col("rev_number") + 1).cast("int"))
+          .unionByName(base.where(k % 11 === 0)
+            .withColumn("norad_id", (col("norad_id") + 2000).cast("int")))
+          .drop("k")
+        wh.mergeInto("fact_telemetry", source, Seq("norad_id", "epoch_utc"),
+          matchedDelete = Some(col("src_mean_motion") < 0),
+          matchedUpdate = Some((None,
+            Map("mean_motion" -> col("src_mean_motion"),
+              "rev_number" -> col("src_rev_number")))),
+          notMatchedInsert = Some(Some(col("rev_number") % 2 === 0)))
+        wh.read("fact_telemetry")
+          .select(col("norad_id"),
+            unix_micros(col("epoch_utc")).as("epoch_micros"),
+            col("mean_motion"),
+            col("rev_number").cast("int").as("rev_number"))
+          .orderBy("norad_id", "epoch_micros")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey AS k FROM orders),
+        base AS (
+          SELECT CAST((k * 7919) % 997 AS INT) AS norad_id,
+                 epoch_us(TIMESTAMP '2026-01-01')
+                   + ((k % 40) * 86400 + k) * 1000000 AS epoch_micros,
+                 CAST(k % 1600 AS DOUBLE) / 100.0 AS mean_motion,
+                 CAST(k % 100000 AS INT) AS rev_number, k
+          FROM src),
+        survivors AS (
+          SELECT norad_id, epoch_micros,
+                 CASE WHEN k % 3 = 0 THEN mean_motion + 100.0
+                      ELSE mean_motion END AS mean_motion,
+                 CASE WHEN k % 3 = 0 THEN CAST(rev_number + 1 AS INT)
+                      ELSE rev_number END AS rev_number
+          FROM base
+          WHERE NOT (k % 3 = 0 AND k % 9 = 0)),
+        inserts AS (
+          SELECT CAST(norad_id + 2000 AS INT) AS norad_id, epoch_micros,
+                 mean_motion, rev_number
+          FROM base
+          WHERE k % 11 = 0 AND rev_number % 2 = 0)
+        SELECT norad_id, epoch_micros, mean_motion, rev_number
+        FROM survivors
+        UNION ALL
+        SELECT norad_id, epoch_micros, mean_motion, rev_number FROM inserts
+        ORDER BY norad_id, epoch_micros""")),
+
     // ---- q93: time-series RESAMPLING with last-observation-carried-
     // forward — irregular telemetry onto a regular daily grid per
     // satellite, THROUGH the native as-of join (the resample grid is

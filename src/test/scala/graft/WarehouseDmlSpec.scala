@@ -233,6 +233,40 @@ class WarehouseDmlSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto applies conditional delete/update/insert clauses") {
+    val (wh, _) = freshTable()
+    val day2 = java.sql.Date.valueOf("2026-01-02")
+    def srcRow(n: Int, mm: Double, rev: Int) =
+      (n, ts(f"2026-01-02T$n%02d:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, mm, 0.5, rev, day2)
+    val source = Seq(
+      srcRow(1, -1.0, 0),    // matched, mm<0  -> DELETE
+      srcRow(2, 50.0, 999),  // matched, rev=999 -> UPDATE rev
+      srcRow(3, 60.0, 555),  // matched, neither clause -> untouched
+      srcRow(9, 9.0, 100),   // unmatched, rev<900 -> INSERT
+      srcRow(10, 10.0, 950)  // unmatched, rev>=900 -> dropped
+    ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date")
+    wh.mergeInto("fact_telemetry", source, Seq("norad_id", "epoch_utc"),
+      matchedDelete = Some(col("src_mean_motion") < 0),
+      matchedUpdate = Some((Some(col("src_rev_number") === 999),
+        Map("rev_number" -> col("src_rev_number")))),
+      notMatchedInsert = Some(Some(col("rev_number") < 900)))
+    val rows = state(wh)
+    assert(rows.size === 12) // 12 - 1 deleted + 1 inserted
+    val day2Rows = rows.filter(_._2.toString.startsWith("2026-01-02"))
+    assert(!day2Rows.exists(_._1 == 1), "delete clause missed")
+    assert(day2Rows.exists(r => r._1 == 2 && r._4 == 999), "update missed")
+    assert(day2Rows.exists(r => r._1 == 3 && r._4 == 203 && r._3 == 23.0),
+      "conditional update must not touch non-matching rows")
+    assert(day2Rows.exists(r => r._1 == 9 && r._4 == 100), "insert missed")
+    assert(!rows.exists(_._1 == 10), "insert condition ignored")
+    // untouched partitions' rows bit-unchanged
+    assert(rows.count(_._2.toString.startsWith("2026-01-01")) === 4)
+    assert(wh.history("fact_telemetry").last._2("op") === "mergeInto")
+  }
+
   test("history records each commit's operation and counts") {
     val (wh, dir) = freshTable()
     wh.delete("fact_telemetry", col("norad_id") === 1)
