@@ -42,4 +42,35 @@ object ZOrder {
   /** 2-D Morton code: `a`'s bits on even positions, `b`'s on odd. */
   def interleave(a: Column, b: Column): Column =
     spread32(a).bitwiseOR(shiftleft(spread32(b), 1))
+
+  /** N-DIMENSIONAL Morton code: round-robin bit interleave of `dims`
+    * (dims(0) owns bit positions 0, N, 2N, …). The 2-D fast path keeps
+    * the 5-step magic-number spread; the general form assembles
+    * bit-by-bit — O(bits · N) shift/mask/or expressions, still pure
+    * built-ins inside WholeStageCodegen, no UDF. Each dimension
+    * contributes its low `bitsPer` bits (bitsPer · N ≤ 63), so callers
+    * normalize exactly as for [[interleave]]; with more dimensions,
+    * fewer bits per dimension usually suffice — a LAYOUT key only needs
+    * enough resolution to separate files, not rows.
+    */
+  def interleaveN(dims: Seq[Column], bitsPer: Int = 16): Column = {
+    require(dims.nonEmpty, "interleaveN: at least one dimension")
+    require(bitsPer >= 1 && bitsPer * dims.size <= 63,
+      s"interleaveN: bitsPer * nDims must fit a long, got " +
+        s"$bitsPer * ${dims.size}")
+    if (dims.size == 1) return dims.head.cast("long")
+      .bitwiseAND(lit((1L << bitsPer) - 1))
+    if (dims.size == 2 && bitsPer == 16)
+      return interleave(
+        dims(0).cast("long").bitwiseAND(lit(0xFFFFL)),
+        dims(1).cast("long").bitwiseAND(lit(0xFFFFL)))
+    val n = dims.size
+    val terms = for {
+      (dim, d) <- dims.zipWithIndex
+      bit <- 0 until bitsPer
+    } yield shiftleft(
+      shiftright(dim.cast("long"), bit).bitwiseAND(lit(1L)),
+      bit * n + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
 }

@@ -992,6 +992,41 @@ object CoreQueries extends QueryPack {
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS n_days_7d
         FROM daily
-        ORDER BY pri, day"""))
+        ORDER BY pri, day""")),
+
+    // ---- q98: NTILE decile segmentation — per-nation account-balance
+    // deciles with per-decile stats. The tile assignment is made
+    // engine-deterministic by a TOTAL order ((acctbal, custkey) is
+    // unique), since ntile ties are resolved purely by row order;
+    // nation-partitioned window per the repo rule. ----
+    Q("q98_customer_balance_deciles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("c_nationkey", "decile")
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            round(avg(col("c_acctbal")), 2).as("avg_bal"),
+            round(max(col("c_acctbal")), 2).as("max_bal"))
+          .select(col("c_nationkey"), col("decile").cast("long").as("decile"),
+            col("n_customers"), col("avg_bal"), col("max_bal"))
+          .orderBy("c_nationkey", "decile")
+      },
+      Some("""
+        WITH tiled AS (
+          SELECT c_nationkey, c_acctbal,
+                 ntile(10) OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal, c_custkey) AS decile
+          FROM customer)
+        SELECT c_nationkey, CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_bal,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM tiled
+        GROUP BY c_nationkey, decile
+        ORDER BY c_nationkey, decile"""))
   )
 }

@@ -1688,6 +1688,63 @@ object LlmQueries extends QueryPack {
                CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
         FROM u a JOIN u b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.key, b.key) <= 1
-        ORDER BY id1, id2"""))
+        ORDER BY id1, id2""")),
+
+    // ---- q97: embedding OUTLIER detection — the mislabeled-data check
+    // of the curation ladder: per-label centroids, then each vector's
+    // cosine to its OWN centroid, worst 3 per label. Entirely in the
+    // exploded (vec, position) relational domain — centroid build is
+    // one (label, pos) aggregate, distances re-join on (label, pos) and
+    // fold per vector, so no array arithmetic and no UDF anywhere; cost
+    // scales with rows × dim, never pairs. Cosines round to 6 dp before
+    // the rank (engine-stable), ties break on vec_id. ----
+    Q("q97_embed_label_outliers",
+      (s, dir) => {
+        val expl = fan(t(s, dir, "embeddings"))
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            col("xf").cast("double").as("x"))
+        val cent = expl.groupBy("label", "pos").agg(avg(col("x")).as("c"))
+        val per = expl.join(cent, Seq("label", "pos"))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("x") * col("c")).as("dot"),
+            sum(col("x") * col("x")).as("nv"),
+            sum(col("c") * col("c")).as("nc"))
+          .select(col("vec_id"), col("label"),
+            round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6)
+              .as("cos_to_centroid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label")
+          .orderBy(col("cos_to_centroid").asc, col("vec_id").asc)
+        per.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("label"), col("rnk").cast("long").as("rnk"),
+            col("vec_id"), col("cos_to_centroid"))
+          .orderBy("label", "rnk")
+      },
+      Some("""
+        WITH expl AS (
+          SELECT vec_id, label, i AS pos,
+                 CAST(embedding[i + 1] AS DOUBLE) AS x
+          FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+        cent AS (
+          SELECT label, pos, avg(x) AS c
+          FROM expl GROUP BY label, pos),
+        per AS (
+          SELECT e.vec_id, e.label,
+                 round(sum(e.x * c.c)
+                       / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.c * c.c))), 6)
+                   AS cos_to_centroid
+          FROM expl e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+          GROUP BY e.vec_id, e.label),
+        ranked AS (
+          SELECT label, vec_id, cos_to_centroid,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY cos_to_centroid, vec_id) AS rnk
+          FROM per)
+        SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_to_centroid
+        FROM ranked WHERE rnk <= 3
+        ORDER BY label, rnk"""))
   )
 }

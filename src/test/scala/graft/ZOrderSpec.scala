@@ -35,6 +35,40 @@ class ZOrderSpec extends SparkSpec {
     assert(got(5) === 0x5555555555555555L) // all 32 bits spread to even
   }
 
+  test("interleaveN: round-robin bit ownership, 2-D path equivalence") {
+    // 3-D: dim d owns bits d, d+3, d+6, ... — unit vectors land on
+    // 1, 2, 4; value 3 in dim 0 sets bits 0 and 3 (= 9)
+    val got3 = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+        (3L, 0L, 0L), (0L, 3L, 0L), (2L, 1L, 3L))
+      .toDF("a", "b", "c")
+      .select(ZOrder.interleaveN(Seq($"a", $"b", $"c"), bitsPer = 8))
+      .as[Long].collect()
+    assert(got3.toSeq === Seq(1L, 2L, 4L, 9L, 18L,
+      // a=0b10 -> bit 3; b=0b1 -> bit 1; c=0b11 -> bits 2, 5
+      8L + 2L + 4L + 32L))
+    // the 2-D specialization must agree with the magic-number spread
+    val pairs = Seq((5L, 9L), (1234L, 4321L), (65535L, 65535L))
+    val viaN = pairs.toDF("a", "b")
+      .select(ZOrder.interleaveN(Seq($"a", $"b"), bitsPer = 16))
+      .as[Long].collect().toSeq
+    val via2 = pairs.toDF("a", "b")
+      .select(ZOrder.interleave($"a", $"b")).as[Long].collect().toSeq
+    assert(viaN === via2)
+    // general N-bit path (bitsPer != 16) agrees with the 2-D spread on
+    // values inside the narrower budget
+    val viaN8 = pairs.map { case (a, b) => (a % 256, b % 256) }
+      .toDF("a", "b")
+      .select(ZOrder.interleaveN(Seq($"a", $"b"), bitsPer = 8))
+      .as[Long].collect().toSeq
+    val via28 = pairs.map { case (a, b) => (a % 256, b % 256) }
+      .toDF("a", "b")
+      .select(ZOrder.interleave($"a", $"b")).as[Long].collect().toSeq
+    assert(viaN8 === via28)
+    intercept[IllegalArgumentException] {
+      ZOrder.interleaveN(Seq($"a", $"b", $"c"), bitsPer = 32)
+    }
+  }
+
   test("z_interleave is callable from SQL via the extension registry") {
     assert(spark.sql("SELECT z_interleave(5L, 9L)").head().getLong(0) === 147L)
   }
