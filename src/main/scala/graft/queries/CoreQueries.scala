@@ -1027,6 +1027,40 @@ object CoreQueries extends QueryPack {
                round(max(c_acctbal), 2) AS max_bal
         FROM tiled
         GROUP BY c_nationkey, decile
-        ORDER BY c_nationkey, decile"""))
+        ORDER BY c_nationkey, decile""")),
+
+    // ---- q99: event-sequence PATTERN MATCHING (MATCH_RECOGNIZE-lite):
+    // each user's history collapses to an ordered initial-letter string
+    // (total order (ts, event_id) — engine-stable), and a regex counts
+    // view-burst purchases ('v+p'). Per-user state is that user's own
+    // event count (bounded, groupBy-keyed — the CEP shape without a
+    // sequence library); both engines run the same greedy
+    // non-overlapping regex automaton. ----
+    Q("q99_events_pattern_match",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+        ev.groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("ch")))),
+            x => x.getField("ch")), "").as("seq"))
+          .select(col("user_id"),
+            length(col("seq")).cast("long").as("seq_len"),
+            regexp_count(col("seq"), lit("v+p")).cast("long").as("n_vp"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg(substring(event_type, 1, 1), ''
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS seq
+          FROM events GROUP BY user_id)
+        SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+               CAST(length(regexp_extract_all(seq, 'v+p')) AS BIGINT)
+                 AS n_vp
+        FROM seqs ORDER BY user_id"""))
   )
 }

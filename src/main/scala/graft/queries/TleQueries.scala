@@ -1227,6 +1227,48 @@ object TleQueries extends QueryPack {
         SELECT norad_id, epoch_micros, mean_motion, rev_number FROM inserts
         ORDER BY norad_id, epoch_micros""")),
 
+    // ---- q100: the warehouse LIFECYCLE grand tour — bootstrap →
+    // append → addColumn schema evolution → post-evolution append →
+    // UPDATE backfilling the new column on pre-evolution rows → DELETE
+    // → compact → vacuum, final state under the hash gate. This puts
+    // schema evolution itself under the ORACLE (pre-evolution rows
+    // surface the new column as NULL until the backfill), and proves
+    // compact+vacuum are content-invariant end-to-end. ----
+    Q("q100_warehouse_lifecycle",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = java.nio.file.Files.createTempDirectory("graft-q100-")
+          .toString
+        val schema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("val", DoubleType)))
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(schema,
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        val src = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+          col("o_totalprice").as("val"))
+        wh.append("t", src.where(col("id") % 2 === 0))
+        wh.addColumn("t", StructField("tag", StringType))
+        wh.append("t", src.where(col("id") % 2 === 1)
+          .withColumn("tag", lit("b2")))
+        wh.update("t", col("tag").isNull, Map("tag" -> lit("b1")))
+        wh.delete("t", col("id") % 7 === 0)
+        wh.compact("t")
+        wh.vacuum("t")
+        wh.read("t").orderBy("id")
+      },
+      Some("""
+        SELECT o_orderkey AS id,
+               'g' || (o_orderkey % 10) AS grp,
+               o_totalprice AS "val",
+               CASE WHEN o_orderkey % 2 = 0 THEN 'b1' ELSE 'b2' END AS tag
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+        ORDER BY id""")),
+
     // ---- q93: time-series RESAMPLING with last-observation-carried-
     // forward — irregular telemetry onto a regular daily grid per
     // satellite, THROUGH the native as-of join (the resample grid is
