@@ -1052,6 +1052,22 @@ class Warehouse(spark: SparkSession, dir: String,
     changed
   }
 
+  /** Register every table as a temp view (`<prefix><table>`), so the
+    * warehouse is queryable from `spark.sql` — the SQL-first surface
+    * the reference's Postgres users have. Views resolve through the
+    * manifest AT REGISTRATION time (a consistent snapshot across all
+    * tables, the same read semantics as [[read]]); re-register after
+    * commits to advance, exactly like re-running [[read]]. Snapshot
+    * readability across later rewrites follows the retention rules: a
+    * merge/delete under eager GC removes the files a stale view still
+    * references (open with `retainReplaced=true` to keep stale
+    * snapshots readable until vacuum).
+    */
+  def registerViews(prefix: String = "wh_"): Unit =
+    tables.keys.foreach { name =>
+      read(name).createOrReplaceTempView(s"$prefix$name")
+    }
+
   /** RESTORE (rollback): make manifest `version`'s file list the new
     * HEAD, as a new commit — history is never rewritten (the Delta
     * RESTORE shape), so the rolled-back-over states stay time-travel

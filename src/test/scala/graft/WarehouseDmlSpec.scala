@@ -267,6 +267,26 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(wh.history("fact_telemetry").last._2("op") === "mergeInto")
   }
 
+  test("registerViews exposes a consistent SQL snapshot") {
+    // retention mode: the stale view's files must survive the delete
+    // below (eager GC would remove them — the readVersion rule)
+    val dir = Files.createTempDirectory("graft-views-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = true)
+    wh.bootstrap()
+    wh.append("fact_telemetry", mkBase())
+    wh.registerViews()
+    assert(spark.sql(
+      "SELECT count(*) FROM wh_fact_telemetry").head().getLong(0) === 12L)
+    // snapshot semantics: a later delete is invisible until re-register
+    wh.delete("fact_telemetry", col("norad_id") === 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM wh_fact_telemetry").head().getLong(0) === 12L)
+    wh.registerViews()
+    assert(spark.sql(
+      "SELECT count(*) FROM wh_fact_telemetry WHERE norad_id = 1")
+      .head().getLong(0) === 0L)
+  }
+
   test("history records each commit's operation and counts") {
     val (wh, dir) = freshTable()
     wh.delete("fact_telemetry", col("norad_id") === 1)
