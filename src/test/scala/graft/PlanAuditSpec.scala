@@ -61,6 +61,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
   }
 
+  test("bm25 cuts with TakeOrdered, never a global sort-limit (q84)") {
+    assert(plans("q84_docs_bm25_topk").contains("TakeOrderedAndProject"),
+      plans("q84_docs_bm25_topk"))
+  }
+
+  test("knn neighbor rank gets a map-side WindowGroupLimit (q92)") {
+    val p = plans("q92_embed_knn_classify")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("anti-join dedup stays a hash join, never a loop join (q26)") {
     val p = plans("q26_telemetry_antijoin_dedup")
     assert(p.contains("LeftAnti"), p)
