@@ -1191,6 +1191,16 @@ object Warehouse {
         s"bloom column $c not in schema")
       require(!partitionBy.contains(c),
         s"bloom column $c is a partition column (already pruned exactly)")
+      // fail at spec construction, not mid-write: bloom_agg supports
+      // exactly these types (BloomAgg.checkInputDataTypes)
+      val t = schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.BinaryType).contains(t),
+        s"bloom column $c: unsupported type $t (integral/string/binary only)")
     }
   }
 

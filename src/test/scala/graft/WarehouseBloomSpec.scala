@@ -84,6 +84,18 @@ class WarehouseBloomSpec extends SparkSpec {
       === entries.size)
   }
 
+  test("bloom spec validation fails fast on unsupported column types") {
+    intercept[IllegalArgumentException] {
+      Warehouse.TableSpec(
+        StructType(Seq(StructField("ts", TimestampType))),
+        bloomColumns = Seq("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.TableSpec(docSchema, partitionBy = Seq("key"),
+        bloomColumns = Seq("key"))
+    }
+  }
+
   test("non-bloom columns fall back to stat pruning only") {
     val (wh, _) = freshTable()
     val entries = wh.loadLatest("docs")._2
