@@ -79,8 +79,11 @@ class Warehouse(spark: SparkSession, dir: String,
 
   /** Current table layouts — a `var` because [[addColumn]] evolves a
     * schema in place (the only mutation; partitioning never changes).
+    * `@volatile` because readers run off-thread (the bounded write
+    * pools, streaming sources calling [[dfFor]]) and must see a
+    * published evolution rather than a stale schema indefinitely.
     */
-  private var specsNow: Map[String, Warehouse.TableSpec] = specs
+  @volatile private var specsNow: Map[String, Warehouse.TableSpec] = specs
 
   def tables: Map[String, StructType] =
     specsNow.view.mapValues(_.schema).toMap
@@ -193,21 +196,26 @@ class Warehouse(spark: SparkSession, dir: String,
       case vs => (vs.last, loadAt(name, vs.last))
     }
 
-  /** Publish manifest `version` atomically (tmp write + rename). The
-    * rename is the COMMIT POINT: it either lands whole or not at all,
-    * and it fails with [[Warehouse.CommitConflict]] if the version
-    * already exists — optimistic conflict detection. [[append]] resolves
-    * conflicts automatically (blind appends commute); the read-modify
-    * ops (merge/update/delete/compact) fail fast because their read
-    * snapshot is stale once another commit landed.
+  /** Publish manifest `version` atomically (tmp write + atomic
+    * publish). The publish is the COMMIT POINT: it either lands whole
+    * or not at all, and it fails with [[Warehouse.CommitConflict]] if
+    * the version already exists — optimistic conflict detection.
+    * [[append]] resolves conflicts automatically (blind appends
+    * commute); read-modify ops rebase when footprints are disjoint and
+    * fail fast otherwise (their read snapshot is stale).
     *
-    * The exists() pre-check matters on local filesystems, where
-    * `rename(2)` silently replaces an existing destination; HDFS-style
-    * stores reject the rename themselves. The check-then-rename pair is
-    * not atomic, but losing THAT race requires two writers committing
-    * the same version within the same millisecond — the declared
-    * contract is single-writer-per-table with conflict DETECTION, not a
-    * coordination service.
+    * Atomicity of the conflict check itself is store-dependent, so the
+    * publish picks the primitive that IS atomic on each store: on local
+    * filesystems `rename(2)` silently replaces an existing destination
+    * (check-then-rename has a window two same-version committers can
+    * both pass, silently dropping the first writer's files), so local
+    * commits publish via `link(2)` — hard-link creation is
+    * create-exclusive at the kernel level, exactly one of two racing
+    * committers gets EEXIST. HDFS-style stores reject a rename onto an
+    * existing destination atomically in the NameNode, so rename remains
+    * the commit point there (object stores without atomic rename would
+    * need a coordination service — out of scope, like Delta's LogStore
+    * matrix).
     */
   private def commit(name: String, version: Long,
       entries: Seq[FileEntry], meta: Map[String, String] = Map.empty): Unit = {
@@ -233,11 +241,23 @@ class Warehouse(spark: SparkSession, dir: String,
       out.hsync()
     } finally out.close()
     val dest = new Path(mdir, f"v$version%012d.mf")
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
+    val committed =
+      if ("file" == fs.getUri.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dest) && fs.rename(tmp, dest)
+    // local link leaves tmp behind; a successful rename already moved it
+    // (delete is then a harmless no-op)
+    fs.delete(tmp, false)
+    if (!committed)
       throw new Warehouse.CommitConflict(
         s"$name: manifest v$version commit lost a race (concurrent writer)")
-    }
   }
 
   /** Per-file (rowCount, min/max for `cols`), read from the parquet
@@ -442,24 +462,49 @@ class Warehouse(spark: SparkSession, dir: String,
 
   private[graft] def pointCandidates(name: String, column: String,
       value: Any, entries: Seq[FileEntry]): Seq[FileEntry] = {
-    val statKept = value match {
-      case n: Number =>
-        val v = n.longValue()
-        entries.filter(_.stats.get(column)
-          .forall { case (lo, hi) => v >= lo && v <= hi })
-      case _ => entries
+    import org.apache.spark.sql.types._
+    // Normalize the probe against the column's DECLARED type before any
+    // skipping: manifest stats and bloom sidecars are encoded per column
+    // type (widened longs for integrals, bytes for strings/binary), so a
+    // probe whose runtime class mismatches the column — readPoint("t",
+    // "key", 42) on a StringType key, a fractional Double on an integral
+    // column — must never be encoded and tested: it would skip files
+    // that DO contain rows matching the caller's coercing predicate.
+    // Any mismatch keeps ALL files (skipping is purely an optimization;
+    // keep-all can never change a result).
+    val colType = specsNow(name).schema.fields
+      .find(_.name == column).map(_.dataType)
+    val probe: Option[Any] = (colType, value) match {
+      case (Some(ByteType | ShortType | IntegerType | LongType),
+            n @ (_: Byte | _: Short | _: Int | _: Long)) =>
+        Some(n.asInstanceOf[Number].longValue())
+      case (Some(StringType), s: String) => Some(s)
+      case (Some(BinaryType), b: Array[Byte]) => Some(b)
+      case _ => None
     }
-    if (!specsNow(name).bloomColumns.contains(column)) return statKept
-    val fs = fileSystem
-    statKept.filter { e =>
-      val p = new Path(bloomDir(name), bloomFileName(e.rel, column))
-      if (!fs.exists(p)) true
-      else {
-        val in = fs.open(p)
-        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                 finally in.close()
-        graft.plans.BloomAgg.mightContain(bf, value)
-      }
+    probe match {
+      case None => entries
+      case Some(v) =>
+        // stat prune only on the lossless integral encoding; strings and
+        // binary have no long-encoded footer stats to test
+        val statKept = v match {
+          case l: Long =>
+            entries.filter(_.stats.get(column)
+              .forall { case (lo, hi) => l >= lo && l <= hi })
+          case _ => entries
+        }
+        if (!specsNow(name).bloomColumns.contains(column)) return statKept
+        val fs = fileSystem
+        statKept.filter { e =>
+          val p = new Path(bloomDir(name), bloomFileName(e.rel, column))
+          if (!fs.exists(p)) true
+          else {
+            val in = fs.open(p)
+            val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                     finally in.close()
+            graft.plans.BloomAgg.mightContain(bf, v)
+          }
+        }
     }
   }
 

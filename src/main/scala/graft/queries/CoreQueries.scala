@@ -39,7 +39,7 @@ object CoreQueries extends QueryPack {
   private def q61Csv(s: SparkSession, dir: String): String =
     Fixtures.cached(s"q61:$dir") {
       import org.apache.spark.sql.functions.{col => c}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q61-")
+      val tmp = graft.util.Scratch.dir("graft-q61-")
         .toString
       val k = c("o_orderkey")
       val priceStr = format_string("%d.%d", c("o_custkey") % 1000, k % 100)
@@ -593,7 +593,7 @@ object CoreQueries extends QueryPack {
     Q("q62_orc_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val tmp = java.nio.file.Files.createTempDirectory("graft-q62-")
+        val tmp = graft.util.Scratch.dir("graft-q62-")
           .toString
         t(s, dir, "lineitem")
           .select($"l_orderkey", $"l_returnflag", $"l_quantity",

@@ -1506,7 +1506,7 @@ object LlmQueries extends QueryPack {
     Q("q89_warehouse_point_lookup",
       (s, dir) => {
         import org.apache.spark.sql.types._
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q89-")
+        val whDir = graft.util.Scratch.dir("graft-q89-")
           .toString
         val schema = StructType(Seq(
           StructField("doc_id", LongType, nullable = false),

@@ -127,7 +127,7 @@ object TleQueries extends QueryPack {
     */
   private def q46Landing(s: SparkSession, dir: String): (String, String) =
     Fixtures.cached(s"q46:$dir") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q46-landing-")
+      val tmp = graft.util.Scratch.dir("graft-q46-landing-")
         .toString
       // TLE landing file: one 3-line record per orders row. Whole
       // records stay contiguous within a row, so multi-part output
@@ -621,7 +621,7 @@ object TleQueries extends QueryPack {
         // warehouse below stays fresh per invocation — the run-twice
         // fixpoint must start empty.
         val (tlePath, noaaPath) = q46Landing(s, dir)
-        val tmp = java.nio.file.Files.createTempDirectory("graft-q46-")
+        val tmp = graft.util.Scratch.dir("graft-q46-")
           .toString
         // run the pipeline twice, same inputs, batch-constant fetched_at
         // the landing fixture writes one whole record per text row, so
@@ -716,7 +716,7 @@ object TleQueries extends QueryPack {
     // drops nothing. The oracle is then simply the distinct base set. ----
     Q("q50_streaming_dedup",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-q50-")
+        val tmp = graft.util.Scratch.dir("graft-q50-")
           .toString
         def mk(o: DataFrame): DataFrame = o.select(
           (k % 500).cast("int").as("norad_id"),
@@ -815,7 +815,7 @@ object TleQueries extends QueryPack {
       (s, dir) => {
         // unique per-invocation db name (temp path uniqueness), so bench
         // re-runs never append into a previous invocation's table
-        val db = java.nio.file.Files.createTempDirectory("graft-q52-")
+        val db = graft.util.Scratch.dir("graft-q52-")
           .getFileName.toString
         val url = s"jdbc:derby:memory:$db;create=true"
         val src = t(s, dir, "customer").select(
@@ -845,7 +845,7 @@ object TleQueries extends QueryPack {
     // base minus updated keys, union updates. ----
     Q("q56_warehouse_merge_upsert",
       (s, dir) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q56-")
+        val whDir = graft.util.Scratch.dir("graft-q56-")
           .toString
         val (base, updates) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
@@ -898,7 +898,7 @@ object TleQueries extends QueryPack {
     // result. ----
     Q("q74_warehouse_time_travel",
       (s, dir) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q74-")
+        val whDir = graft.util.Scratch.dir("graft-q74-")
           .toString
         val (base, updates) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
@@ -965,7 +965,7 @@ object TleQueries extends QueryPack {
     // version); maintenance cost is O(merge footprint), not O(history).
     Q("q76_warehouse_incremental_mv",
       (s, dir) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q76-")
+        val whDir = graft.util.Scratch.dir("graft-q76-")
           .toString
         val (base, updates) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
@@ -1028,7 +1028,7 @@ object TleQueries extends QueryPack {
     // both dimensions). ----
     Q("q79_warehouse_zorder_scan",
       (s, dir) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q79-")
+        val whDir = graft.util.Scratch.dir("graft-q79-")
           .toString
         val (base, _) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
@@ -1072,7 +1072,7 @@ object TleQueries extends QueryPack {
     // relationally. ----
     Q("q81_warehouse_stream_follow",
       (s, dir) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-q81-")
+        val root = graft.util.Scratch.dir("graft-q81-")
           .toString
         val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
         val (base, _) = mergeFixture(s, dir)
@@ -1118,7 +1118,7 @@ object TleQueries extends QueryPack {
     // predicate semantics. ----
     Q("q83_warehouse_delete_update",
       (s, dir) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q83-")
+        val whDir = graft.util.Scratch.dir("graft-q83-")
           .toString
         val (base, _) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
@@ -1169,7 +1169,7 @@ object TleQueries extends QueryPack {
     // precedence, conditional insert) relationally. ----
     Q("q96_warehouse_merge_into",
       (s, dir) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q96-")
+        val whDir = graft.util.Scratch.dir("graft-q96-")
           .toString
         val (base, _) = mergeFixture(s, dir)
         val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh")
@@ -1237,7 +1237,7 @@ object TleQueries extends QueryPack {
     Q("q100_warehouse_lifecycle",
       (s, dir) => {
         import org.apache.spark.sql.types._
-        val whDir = java.nio.file.Files.createTempDirectory("graft-q100-")
+        val whDir = graft.util.Scratch.dir("graft-q100-")
           .toString
         val schema = StructType(Seq(
           StructField("id", LongType, nullable = false),

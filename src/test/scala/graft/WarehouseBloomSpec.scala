@@ -96,6 +96,26 @@ class WarehouseBloomSpec extends SparkSpec {
     }
   }
 
+  test("type-mismatched probes keep ALL files (never a wrong skip)") {
+    val (wh, _) = freshTable()
+    val entries = wh.loadLatest("docs")._2
+    // Int probe on a StringType bloom column: the caller's coercing
+    // predicate col("key") === 999 could still match rows, so the probe
+    // must not be long-encoded against a string-encoded bloom (which
+    // would skip nearly everything) — it must keep all files.
+    assert(wh.pointCandidates("docs", "key", 999, entries).size
+      === entries.size)
+    // String probe on a LongType column: same rule, keep all.
+    assert(wh.pointCandidates("docs", "doc_id", "42", entries).size
+      === entries.size)
+    // Fractional probe on an integral column: must not truncate to 42
+    // and stat-prune/bloom-probe with it — keep all.
+    assert(wh.pointCandidates("docs", "doc_id", 42.9, entries).size
+      === entries.size)
+    // Widening integral probe on a long column still skips normally.
+    assert(wh.pointCandidates("docs", "doc_id", 42, entries).size <= 2)
+  }
+
   test("non-bloom columns fall back to stat pruning only") {
     val (wh, _) = freshTable()
     val entries = wh.loadLatest("docs")._2
