@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator custom plans (SURVEY §4 ladder rung c): the planner
     // strategy that turns AsOfJoinNode into AsOfJoinExec.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL statement surface for the warehouse (SURVEY §2.2/§8; the Delta
+    // injectParser shape): MERGE INTO / DELETE / UPDATE / INSERT /
+    // VERSION AS OF / DESCRIBE HISTORY / RESTORE / VACUUM against names
+    // a Warehouse.registerSql call routed. Parser injection only works
+    // at session construction — cached foreign sessions keep the Scala
+    // API + registerViews surface.
+    ext.injectParser((s, delegate) => new graft.sql.GraftSqlParser(s, delegate))
   }
 }
 

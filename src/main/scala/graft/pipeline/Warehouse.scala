@@ -1113,6 +1113,22 @@ class Warehouse(spark: SparkSession, dir: String,
       read(name).createOrReplaceTempView(s"$prefix$name")
     }
 
+  /** The full SQL-STATEMENT surface: routes `<prefix><table>` through
+    * the session's graft parser ([[graft.sql.WarehouseSql]]) so
+    * `spark.sql` can run MERGE INTO / DELETE / UPDATE / INSERT /
+    * `VERSION AS OF` time travel / DESCRIBE HISTORY / RESTORE / VACUUM
+    * against this warehouse — and plain SELECTs resolve the LATEST
+    * committed manifest at each statement, not a frozen view snapshot.
+    * Also registers the [[registerViews]] temp views as the read-only
+    * fallback for sessions built without the graft extensions (no
+    * parser hook there — parse-time routing shadows these views
+    * whenever the parser IS present).
+    */
+  def registerSql(prefix: String = "wh_"): Unit = {
+    graft.sql.WarehouseSql.register(spark, this, prefix)
+    registerViews(prefix)
+  }
+
   /** RESTORE (rollback): make manifest `version`'s file list the new
     * HEAD, as a new commit — history is never rewritten (the Delta
     * RESTORE shape), so the rolled-back-over states stay time-travel

@@ -1269,6 +1269,88 @@ object TleQueries extends QueryPack {
         WHERE o_orderkey % 7 <> 0
         ORDER BY id""")),
 
+    // ---- q101: the SQL STATEMENT surface end-to-end — the same
+    // warehouse engine as q100, but every mutation and read is a
+    // `spark.sql` string routed through the injected parser
+    // (graft.sql.WarehouseSql): INSERT INTO ×2, UPDATE, DELETE, a
+    // 3-clause MERGE INTO, and a final SELECT joining the current state
+    // against `VERSION AS OF 2` time travel. The reference user speaks
+    // SQL (script.py:77-83,159); this is that surface under the hash
+    // gate, with the oracle replaying every statement relationally. ----
+    Q("q101_warehouse_sql_dml",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q101-").toString
+        val schema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("val", DoubleType)))
+        // retention mode: the VERSION AS OF 2 read at the end must
+        // still find the first append's files after the DML rewrites
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          retainReplaced = true,
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(schema,
+            statColumns = Seq("id"))))
+        wh.bootstrap()                                              // v1
+        wh.registerSql("dml_")
+        t(s, dir, "orders").select(col("o_orderkey").as("id"),
+            concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("dml_src")
+        s.sql("INSERT INTO dml_t SELECT id, grp, val FROM dml_src " +
+          "WHERE id % 2 = 0")                                       // v2
+        s.sql("INSERT INTO dml_t (id, grp, val) " +
+          "SELECT id, grp, val FROM dml_src WHERE id % 2 = 1")      // v3
+        s.sql("UPDATE dml_t SET val = val + 1000 WHERE grp = 'g3'") // v4
+        s.sql("DELETE FROM dml_t WHERE id % 7 = 0")                 // v5
+        s.sql("""
+          MERGE INTO dml_t tgt USING (
+            SELECT id, concat('m', grp) AS grp, val FROM dml_src
+            WHERE id % 5 = 0
+          ) src ON tgt.id = src.id
+          WHEN MATCHED AND tgt.val < 1000 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET grp = src.grp
+          WHEN NOT MATCHED AND src.id % 2 = 0 THEN INSERT *
+        """)                                                        // v6
+        s.sql("""
+          SELECT c.id, c.grp, round(c.val, 2) AS val,
+                 round(v.val, 2) AS val_v2
+          FROM dml_t c
+          LEFT JOIN (SELECT id, val FROM dml_t VERSION AS OF 2) v
+            ON c.id = v.id
+          ORDER BY c.id
+        """)
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS id, 'g' || (o_orderkey % 10) AS grp,
+                 o_totalprice AS "val"
+          FROM orders),
+        after_upd AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'g3' THEN "val" + 1000 ELSE "val" END AS "val"
+          FROM src),
+        after_del AS (SELECT * FROM after_upd WHERE id % 7 <> 0),
+        msrc AS (
+          SELECT id, 'm' || grp AS grp, "val" FROM src WHERE id % 5 = 0),
+        merged AS (
+          SELECT d.id,
+                 CASE WHEN m.id IS NOT NULL THEN m.grp ELSE d.grp END AS grp,
+                 d."val"
+          FROM after_del d LEFT JOIN msrc m ON d.id = m.id
+          WHERE NOT (m.id IS NOT NULL AND d."val" < 1000)),
+        inserts AS (
+          SELECT m.id, m.grp, m."val"
+          FROM msrc m LEFT JOIN after_del d ON m.id = d.id
+          WHERE d.id IS NULL AND m.id % 2 = 0),
+        current_t AS (
+          SELECT * FROM merged UNION ALL SELECT * FROM inserts),
+        v2 AS (SELECT id, "val" FROM src WHERE id % 2 = 0)
+        SELECT c.id, c.grp, round(c."val", 2) AS "val",
+               round(v."val", 2) AS val_v2
+        FROM current_t c LEFT JOIN v2 v ON c.id = v.id
+        ORDER BY c.id""")),
+
     // ---- q93: time-series RESAMPLING with last-observation-carried-
     // forward — irregular telemetry onto a regular daily grid per
     // satellite, THROUGH the native as-of join (the resample grid is

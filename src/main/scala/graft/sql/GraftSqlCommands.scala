@@ -1,0 +1,143 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.pipeline.Warehouse
+
+/** The RunnableCommand plans [[WarehouseSql]]'s parse-time routing emits
+  * — the same execution shape as Delta's command plans: parsing/planning
+  * is side-effect free, the warehouse mutation happens when Spark
+  * executes the command (eagerly on `spark.sql(...)` for commands), and
+  * row-count results surface as the command's result rows.
+  *
+  * Source/condition fields hold PARSE-time state on purpose: they are
+  * constructor data, not children, so the analyzer leaves them alone,
+  * and `run` resolves them against the execution-time snapshot — a
+  * lifecycle of statements against the same table each sees the
+  * previous statement's commit. Conditions/values ride as [[Column]]s
+  * (not bare Expressions): Expression-typed product fields of a command
+  * are visible to CheckAnalysis, which would reject their unresolved
+  * attributes before run() ever got to resolve them against the table.
+  */
+object GraftSqlCommands // scaladoc anchor
+
+/** `DELETE FROM wh_t WHERE ...` → [[Warehouse!.delete]]. */
+case class GraftDeleteCommand(wh: Warehouse, table: String,
+    cond: Column) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(wh.delete(table, cond)))
+}
+
+/** `UPDATE wh_t SET c = e, ... [WHERE ...]` → [[Warehouse!.update]]. */
+case class GraftUpdateCommand(wh: Warehouse, table: String,
+    cond: Column, set: Map[String, Column])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(wh.update(table, cond, set)))
+}
+
+/** `MERGE INTO wh_t USING src ON ... WHEN ...` →
+  * [[Warehouse!.mergeInto]]. The source plan resolves at execution, so
+  * it reads whatever its relations hold THEN (including other warehouse
+  * tables routed through the manifest).
+  */
+case class GraftMergeCommand(wh: Warehouse, table: String,
+    source: LogicalPlan, keys: Seq[String],
+    matchedDelete: Option[Column],
+    matchedUpdate: Option[(Option[Column], Map[String, Column])],
+    notMatchedInsert: Option[Option[Column]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.mergeInto(table, GraftBridge.ofRows(spark, source), keys,
+      matchedDelete, matchedUpdate, notMatchedInsert)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO wh_t [(cols)] SELECT ...` → [[Warehouse!.append]].
+  * Bare form maps the query's columns POSITIONALLY onto the table
+  * schema (SQL INSERT semantics); an explicit column list must cover
+  * every table column (appended files carry full rows); `BY NAME`
+  * matches by name. Values are cast to the declared column types —
+  * non-ANSI, so unconvertible values null out like every other
+  * reference-semantics cast.
+  */
+case class GraftAppendCommand(wh: Warehouse, table: String,
+    userCols: Seq[String], query: LogicalPlan, byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftBridge.ofRows(spark, query)
+    val schema = wh.tables(table)
+    val named =
+      if (byName) df
+      else if (userCols.nonEmpty) {
+        require(userCols.size == df.columns.length,
+          s"INSERT INTO $table: ${userCols.size} target columns but " +
+            s"${df.columns.length} query columns")
+        val missing = schema.fieldNames
+          .filterNot(c => userCols.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"INSERT INTO $table: column list must cover the full schema " +
+            s"(missing ${missing.mkString(", ")}); appended files carry " +
+            "whole rows")
+        df.toDF(userCols: _*)
+      } else {
+        require(df.columns.length == schema.size,
+          s"INSERT INTO $table: expected ${schema.size} columns " +
+            s"positionally, got ${df.columns.length}")
+        df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      }
+    val casted = named.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    wh.append(table, casted)
+    Seq.empty
+  }
+}
+
+/** `DESCRIBE HISTORY wh_t` → [[Warehouse!.history]]: one row per
+  * committed version, ascending — version, operation, and the remaining
+  * commit metadata as sorted `k=v` pairs.
+  */
+case class GraftHistoryCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("details", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    wh.history(table).map { case (v, meta) =>
+      Row(v, meta.getOrElse("op", null),
+        meta.view.filterKeys(_ != "op").toSeq.sortBy(_._1)
+          .map { case (k, value) => s"$k=$value" }.mkString(","))
+    }
+}
+
+/** `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]. */
+case class GraftRestoreCommand(wh: Warehouse, table: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.restore(table, version)
+    Seq.empty
+  }
+}
+
+/** `VACUUM wh_t [RETAIN n VERSIONS]` → [[Warehouse!.vacuum]]. */
+case class GraftVacuumCommand(wh: Warehouse, table: String, keep: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_files_deleted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(wh.vacuum(table, keep)))
+}

@@ -46,6 +46,13 @@ object GraftBridge {
   def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** Stable per-session identity (`sessionUUID` lives on the classic
+    * session) — the key the warehouse SQL registry scopes its
+    * name→table routes by, so two sessions' registrations never collide.
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** The session planner's assembled strategy list (extension-injected +
     * experimental) — lets registration code test "already planned?"
     * instead of guessing from extraStrategies alone.

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Warehouse
+
+/** The SQL STATEMENT surface (graft.sql): INSERT / UPDATE / DELETE /
+  * MERGE INTO / VERSION AS OF / DESCRIBE HISTORY / RESTORE / VACUUM
+  * routed through the injected parser to the Warehouse API, plus the
+  * always-current SELECT semantics and the fail-fast contract for
+  * unsupported merge shapes.
+  */
+class WarehouseSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("grp", StringType),
+    StructField("val", DoubleType)))
+
+  private def fresh(retain: Boolean = false): Warehouse = {
+    val dir = Files.createTempDirectory("graft-sqlwh-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = retain,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("id"))))
+    wh.bootstrap()
+    // distinct prefix: the registry is session-scoped and parse-time
+    // routing shadows same-named temp views, so suites sharing the
+    // session must not reuse each other's names
+    wh.registerSql("sdml_")
+    wh
+  }
+
+  private def srcView(): Unit =
+    (1L to 20L).map(i => (i, s"g${i % 3}", i * 1.0))
+      .toDF("id", "grp", "val").createOrReplaceTempView("sdml_src")
+
+  test("INSERT INTO appends; SELECT always sees the latest commit") {
+    val wh = fresh()
+    srcView()
+    // positional form
+    spark.sql("INSERT INTO sdml_t SELECT id, grp, val FROM sdml_src WHERE id <= 10")
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 10L)
+    // explicit-columns form; no re-registration between statements —
+    // reads resolve the manifest at statement time
+    spark.sql("INSERT INTO sdml_t (id, grp, val) " +
+      "SELECT id, grp, val FROM sdml_src WHERE id > 10")
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 20L)
+    assert(wh.history("t").last._2("op") === "append")
+    // a same-prefix name that is NOT registered stays a plain temp view
+    assert(spark.sql("SELECT count(*) FROM sdml_src").head().getLong(0) === 20L)
+  }
+
+  test("UPDATE and DELETE: row counts returned, subqueries routed") {
+    fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    // SET expression over the OLD row; WHERE with alias qualifier
+    val updated = spark.sql(
+      "UPDATE sdml_t SET val = val + 100 WHERE sdml_t.id % 2 = 0")
+      .head().getLong(0)
+    assert(updated === 10L)
+    assert(spark.sql("SELECT sum(val) FROM sdml_t WHERE id = 4")
+      .head().getDouble(0) === 104.0)
+    // DELETE with an IN-subquery that itself reads the warehouse table
+    val deleted = spark.sql(
+      "DELETE FROM sdml_t WHERE id IN (SELECT id FROM sdml_t WHERE val > 115)")
+      .head().getLong(0)
+    assert(deleted === 3L) // ids 16, 18, 20 (116, 118, 120)
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 17L)
+    // SQL three-valued semantics: a null-yielding predicate keeps rows
+    val noop = spark.sql("DELETE FROM sdml_t WHERE CAST(NULL AS BOOLEAN)")
+      .head().getLong(0)
+    assert(noop === 0L)
+  }
+
+  test("MERGE INTO runs the full clause set through one commit") {
+    fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 10")
+    Seq((2L, "gX", -1.0), (3L, "gY", 30.0), (11L, "gZ", 110.0),
+      (12L, "gW", 120.0))
+      .toDF("id", "grp", "val").createOrReplaceTempView("sdml_batch")
+    spark.sql("""
+      MERGE INTO sdml_t AS t USING sdml_batch AS s ON t.id = s.id
+      WHEN MATCHED AND s.val < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET grp = s.grp, val = s.val + t.val
+      WHEN NOT MATCHED AND s.id % 2 = 0 THEN INSERT *
+    """)
+    val rows = spark.sql("SELECT id, grp, val FROM sdml_t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(!rows.exists(_._1 == 2L), "matched delete missed")
+    assert(rows.contains((3L, "gY", 33.0)), "matched update missed")
+    assert(rows.contains((12L, "gW", 120.0)), "conditional insert missed")
+    assert(!rows.exists(_._1 == 11L), "insert condition ignored")
+    assert(rows.size === 10) // 10 - 1 deleted + 1 inserted
+    // merge #2: UPDATE SET * and the explicit same-name INSERT spelling
+    Seq((3L, "gS", 300.0), (13L, "gN", 130.0))
+      .toDF("id", "grp", "val").createOrReplaceTempView("sdml_batch")
+    spark.sql("""
+      MERGE INTO sdml_t USING sdml_batch s ON sdml_t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT (id, grp, val) VALUES (s.id, s.grp, s.val)
+    """)
+    val rows2 = spark.sql("SELECT id, grp, val FROM sdml_t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows2.contains((3L, "gS", 300.0)), "SET * missed")
+    assert(rows2.contains((13L, "gN", 130.0)), "explicit INSERT missed")
+    assert(rows2.size === 11)
+  }
+
+  test("VERSION AS OF, DESCRIBE HISTORY, RESTORE, VACUUM") {
+    fresh(retain = true)
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 5") // v2
+    spark.sql("UPDATE sdml_t SET val = 0 WHERE id > 3")                  // v3
+    assert(spark.sql("SELECT sum(val) FROM sdml_t").head().getDouble(0) === 6.0)
+    // time travel reads the pre-update snapshot (1+2+3+4+5)
+    assert(spark.sql("SELECT sum(val) FROM sdml_t VERSION AS OF 2")
+      .head().getDouble(0) === 15.0)
+    val hist = spark.sql("DESCRIBE HISTORY sdml_t")
+      .as[(Long, String, String)].collect().toSeq
+    assert(hist.map(_._2) === Seq("bootstrap", "append", "update"))
+    spark.sql("RESTORE sdml_t TO VERSION AS OF 2") // v4 = v2's files
+    assert(spark.sql("SELECT sum(val) FROM sdml_t").head().getDouble(0) === 15.0)
+    // vacuum keeps the latest manifest only; count is the GC'd orphans
+    val vac = spark.sql("VACUUM sdml_t RETAIN 1 VERSIONS").head().getLong(0)
+    assert(vac >= 1L, s"expected the v3 rewrite's files GC'd, got $vac")
+    assert(spark.sql("SELECT sum(val) FROM sdml_t").head().getDouble(0) === 15.0)
+  }
+
+  test("unsupported merge shapes fail at parse with a named limit") {
+    fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 5")
+    Seq((1L, "g", 1.0)).toDF("id", "grp", "val")
+      .createOrReplaceTempView("sdml_batch")
+    val bySource = intercept[IllegalArgumentException] {
+      spark.sql("""
+        MERGE INTO sdml_t t USING sdml_batch s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+      """)
+    }
+    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val crossNamed = intercept[IllegalArgumentException] {
+      spark.sql("""
+        MERGE INTO sdml_t t USING sdml_batch s ON t.id = s.val
+        WHEN MATCHED THEN DELETE
+      """)
+    }
+    assert(crossNamed.getMessage.contains("same-named"))
+    val computed = intercept[IllegalArgumentException] {
+      spark.sql("""
+        MERGE INTO sdml_t t USING sdml_batch s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, grp, val) VALUES (s.id, s.grp, s.val + 1)
+      """)
+    }
+    assert(computed.getMessage.contains("INSERT values"))
+    val overwrite = intercept[IllegalArgumentException] {
+      spark.sql("INSERT OVERWRITE sdml_t SELECT * FROM sdml_src")
+    }
+    assert(overwrite.getMessage.contains("INSERT OVERWRITE"))
+  }
+}
