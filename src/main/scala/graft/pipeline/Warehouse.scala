@@ -172,22 +172,36 @@ class Warehouse(spark: SparkSession, dir: String,
     * commit; versions without one (pre-metadata manifests, directory
     * adoption) yield an empty map.
     */
-  def history(name: String): Seq[(Long, Map[String, String])] = {
+  def history(name: String): Seq[(Long, Map[String, String])] =
+    versions(name).map(v => v -> commitMeta(name, v))
+
+  /** One committed version's metadata map (empty for version 0 / pre-
+    * metadata manifests).
+    */
+  private def commitMeta(name: String, version: Long): Map[String, String] = {
+    if (version == 0L) return Map.empty
     val fs = fileSystem
-    versions(name).map { v =>
-      val in = fs.open(new Path(manifestDir(name), f"v$v%012d.mf"))
-      val text = try {
-        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      val meta = text.split('\n').find(_.startsWith("#")).map { line =>
-        line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
-          val i = kv.indexOf('=')
-          kv.take(i) -> kv.drop(i + 1)
-        }.toMap
-      }.getOrElse(Map.empty[String, String])
-      v -> meta
-    }
+    val in = fs.open(new Path(manifestDir(name), f"v$version%012d.mf"))
+    val text = try {
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split('\n').find(_.startsWith("#")).map { line =>
+      line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
   }
+
+  /** The txn watermarks (streaming-writer idempotence ledger) as of
+    * `version`: `txn_<queryId>` → highest epoch that query has
+    * committed. Every commit CARRIES THE FULL MAP FORWARD (the Delta
+    * setTransaction shape), so the LATEST manifest alone answers "was
+    * this epoch already written?" — vacuuming old manifests never
+    * forgets a watermark.
+    */
+  private def txnWatermarks(name: String, version: Long): Map[String, String] =
+    commitMeta(name, version).view.filterKeys(_.startsWith("txn_")).toMap
 
   /** (version, live files); (0, Nil) when the table has no manifest. */
   private[graft] def loadLatest(name: String): (Long, Seq[FileEntry]) =
@@ -224,10 +238,14 @@ class Warehouse(spark: SparkSession, dir: String,
     fs.mkdirs(mdir)
     // commit metadata rides the manifest as one '#'-prefixed line — the
     // DESCRIBE HISTORY record (operation, counts), atomic with the
-    // commit itself because it IS part of the committed file
+    // commit itself because it IS part of the committed file. The
+    // previous head's txn watermarks are carried into EVERY commit so
+    // the latest manifest always holds the complete idempotence ledger
+    // (new values in `meta` win — that's the epoch advancing).
+    val full = txnWatermarks(name, version - 1) ++ meta
     val metaLine =
-      if (meta.isEmpty) Nil
-      else Seq("#" + meta.toSeq.sortBy(_._1)
+      if (full.isEmpty) Nil
+      else Seq("#" + full.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("\t"))
     val body = (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
@@ -720,9 +738,23 @@ class Warehouse(spark: SparkSession, dir: String,
     * batches (`script.py:171`). Commit adds the new files; nothing is
     * ever replaced, so there is no delete at any point.
     */
-  def append(name: String, df: DataFrame, rowsPerFile: Long = 0): Unit = {
+  /** @param txn optional idempotence fence `(writerId, epoch)` — the
+    *   exactly-once contract for streaming sinks: if the table's txn
+    *   ledger already records `epoch` (or later) for `writerId`, the
+    *   append is a NO-OP — a replayed micro-batch (sink committed, then
+    *   crash before the checkpoint advanced) writes nothing twice. A
+    *   successful commit records the new watermark atomically WITH the
+    *   data (it rides the manifest's metadata line), so fence and files
+    *   can never disagree.
+    */
+  def append(name: String, df: DataFrame, rowsPerFile: Long = 0,
+      txn: Option[(String, Long)] = None): Unit = {
     val (v, existing) = loadLatest(name)
     require(v > 0L, s"append into $name: table not bootstrapped")
+    def replayed(headVersion: Long): Boolean = txn.exists { case (q, e) =>
+      txnWatermarks(name, headVersion).get(s"txn_$q").exists(_.toLong >= e)
+    }
+    if (replayed(v)) return
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -730,19 +762,28 @@ class Warehouse(spark: SparkSession, dir: String,
     // any concurrent commit (it only adds files), so a lost manifest
     // race is resolved by re-reading the new head and re-attaching the
     // same already-written files — no data is rewritten on retry.
+    val txnMeta = txn.map { case (q, e) => s"txn_$q" -> e.toString }.toMap
     var attempt = (v, existing)
     var done = false
     var retries = 0
     while (!done) {
       try {
         commit(name, attempt._1 + 1, attempt._2 ++ fresh,
-          Map("op" -> "append", "numFilesAdded" -> fresh.size.toString))
+          Map("op" -> "append",
+            "numFilesAdded" -> fresh.size.toString) ++ txnMeta)
         done = true
       }
       catch {
         case _: Warehouse.CommitConflict if retries < 20 =>
           retries += 1
           attempt = loadLatest(name)
+          // the conflicting commit may have been OUR epoch from another
+          // attempt of the same query (restart racing a hung writer):
+          // drop this attempt's files — they are uncommitted orphans
+          if (replayed(attempt._1)) {
+            gc(name, fresh)
+            return
+          }
       }
     }
   }

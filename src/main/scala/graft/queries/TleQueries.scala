@@ -1351,6 +1351,52 @@ object TleQueries extends QueryPack {
         FROM current_t c LEFT JOIN v2 v ON c.id = v.id
         ORDER BY c.id""")),
 
+    // ---- q102: the native STREAMING SINK under the gate —
+    // writeStream.format("graft-warehouse") drains a file-source in
+    // AvailableNow mode, a second wave lands and re-drains over the
+    // SAME checkpoint, then an idle third drain runs. Exactly-once is
+    // what the hash proves: any replayed epoch would double rows and
+    // break the oracle, which is just the source relation itself. ----
+    Q("q102_warehouse_stream_sink",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val root = graft.util.Scratch.dir("graft-q102-").toString
+        val schema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("val", DoubleType)))
+        val src = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+          col("o_totalprice").as("val"))
+        src.where(col("id") % 2 === 0).write.parquet(s"$root/src")
+        val wh = new graft.pipeline.Warehouse(s, s"$root/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(schema,
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        def drain(): Unit = {
+          val q = s.readStream.schema(schema).parquet(s"$root/src")
+            .writeStream.format("graft-warehouse")
+            .option("path", s"$root/wh").option("table", "t")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drain()                                             // wave 1
+        src.where(col("id") % 2 === 1).write.mode("append")
+          .parquet(s"$root/src")
+        drain()                                             // wave 2
+        drain()                                             // idle restart
+        wh.read("t")
+          .select(col("id"), col("grp"), round(col("val"), 2).as("val"))
+          .orderBy("id")
+      },
+      Some("""
+        SELECT o_orderkey AS id, 'g' || (o_orderkey % 10) AS grp,
+               round(o_totalprice, 2) AS "val"
+        FROM orders
+        ORDER BY id""")),
+
     // ---- q93: time-series RESAMPLING with last-observation-carried-
     // forward — irregular telemetry onto a regular daily grid per
     // satellite, THROUGH the native as-of join (the resample grid is

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+
+import graft.pipeline.Warehouse
+
+/** NATIVE STREAMING SINK for the warehouse — the write half of the
+  * `graft-warehouse` format ([[WarehouseSourceProvider]] serves reads):
+  *
+  *   df.writeStream.format("graft-warehouse")
+  *     .option("path", warehouseDir).option("table", "fact_telemetry")
+  *     .option("checkpointLocation", ckpt).start()
+  *
+  * EXACTLY-ONCE, not at-least-once: the prior pattern (foreachBatch →
+  * `wh.append`) double-writes when a micro-batch replays — the sink
+  * committed, the query crashed before its checkpoint advanced, and the
+  * restarted query re-runs the epoch. This sink fences each epoch with
+  * the warehouse txn ledger ([[Warehouse!.append]]'s `txn` parameter,
+  * the Delta `setTransaction` shape): the `(queryId, batchId)` pair is
+  * recorded atomically WITH the appended files in the manifest's commit
+  * metadata, carried forward by every subsequent commit, and a replayed
+  * epoch is a no-op. queryId is Structured Streaming's stable query
+  * identity (persisted in the checkpoint), so the fence survives
+  * restarts, which is the entire point.
+  *
+  * Append output mode only — the warehouse is an append-ledger at the
+  * streaming surface; updates flow through the batch DML/merge ops.
+  */
+class WarehouseStreamSink(spark: SparkSession, path: String, table: String,
+    rowsPerFile: Long) extends Sink {
+
+  private val wh = Warehouse.open(spark, path)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the streaming query id rides a thread-local property on the
+    // micro-batch thread (how Delta's sink obtains its txn appId)
+    val queryId = Option(
+      spark.sparkContext.getLocalProperty(StreamExecution.QUERY_ID_KEY))
+      .getOrElse(throw new IllegalStateException(
+        "graft-warehouse sink: no streaming query id on this thread " +
+          "(addBatch must run inside a streaming query)"))
+    wh.append(table, GraftBridge.freshBatch(data), rowsPerFile,
+      txn = Some((queryId, batchId)))
+  }
+
+  override def toString: String = s"WarehouseStreamSink[$path/$table]"
+}

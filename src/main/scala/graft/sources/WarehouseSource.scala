@@ -42,10 +42,30 @@ import graft.pipeline.Warehouse
   * batch plan.
   */
 class WarehouseSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.RelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-warehouse"
+
+  /** STREAMING SINK — `df.writeStream.format("graft-warehouse")`; see
+    * [[WarehouseStreamSink]] for the exactly-once txn fence.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-warehouse sink: only Append output mode is supported " +
+        s"(got $outputMode); route update/complete results through " +
+        "foreachBatch + Warehouse.merge")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-warehouse: 'path' required"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft-warehouse: 'table' required"))
+    new WarehouseStreamSink(sqlContext.sparkSession, path, table,
+      parameters.get("rowsPerFile").map(_.toLong).getOrElse(0L))
+  }
 
   /** BATCH read — `spark.read.format("graft-warehouse")
     * .option("path", dir).option("table", t).load()`, with

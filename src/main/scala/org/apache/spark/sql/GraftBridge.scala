@@ -46,6 +46,20 @@ object GraftBridge {
   def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** Rebuild a v1 Sink's `addBatch` DataFrame as a plain BATCH plan over
+    * the micro-batch's RDD — the exact ForeachBatchSink recipe
+    * (`LogicalRDD.fromDataset(toRdd, ..., isStreaming = false)`). The
+    * incoming Dataset is bound to the incremental execution; re-planning
+    * it through batch writers (the warehouse append path) needs this
+    * re-wrap.
+    */
+  def freshBatch(data: Dataset[Row]): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   /** Stable per-session identity (`sessionUUID` lives on the classic
     * session) — the key the warehouse SQL registry scopes its
     * name→table routes by, so two sessions' registrations never collide.

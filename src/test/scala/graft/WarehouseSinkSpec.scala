@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Warehouse
+
+/** The native graft-warehouse STREAMING SINK and its exactly-once txn
+  * fence: replayed epochs are no-ops (the crash-between-sink-commit-
+  * and-checkpoint case), watermarks survive interleaved batch commits
+  * (carry-forward), and a checkpointed restart appends only new data.
+  */
+class WarehouseSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", DoubleType)))
+
+  private def fresh(): (Warehouse, String) = {
+    val dir = Files.createTempDirectory("graft-sink-").toString
+    val wh = new Warehouse(spark, s"$dir/wh",
+      specs = Map("t" -> Warehouse.TableSpec(schema, statColumns = Seq("id"))))
+    wh.bootstrap()
+    (wh, s"$dir/wh")
+  }
+
+  private def rows(ids: Range) = ids.map(i => (i.toLong, i * 1.0)).toDF("id", "val")
+
+  test("append txn fence: replayed and stale epochs are no-ops") {
+    val (wh, _) = fresh()
+    wh.append("t", rows(1 to 10), txn = Some(("q1", 0L)))
+    assert(wh.read("t").count() === 10L)
+    // exact replay (the restart-after-sink-commit case)
+    wh.append("t", rows(1 to 10), txn = Some(("q1", 0L)))
+    assert(wh.read("t").count() === 10L)
+    // stale epoch from a lagging writer instance
+    wh.append("t", rows(1 to 5), txn = Some(("q1", -1L)))
+    assert(wh.read("t").count() === 10L)
+    // next epoch commits; a different query's epoch 0 also commits
+    wh.append("t", rows(11 to 15), txn = Some(("q1", 1L)))
+    wh.append("t", rows(16 to 18), txn = Some(("q2", 0L)))
+    assert(wh.read("t").count() === 18L)
+    // no-ops left no versions behind: bootstrap + 3 commits
+    assert(wh.versions("t").size === 4)
+  }
+
+  test("txn watermarks survive interleaved non-streaming commits") {
+    val (wh, _) = fresh()
+    wh.append("t", rows(1 to 10), txn = Some(("q1", 7L)))
+    // interleaved batch ops commit new manifests; carry-forward must
+    // keep the q1 watermark visible at the new head
+    wh.append("t", rows(11 to 12))
+    wh.delete("t", org.apache.spark.sql.functions.col("id") === 12L)
+    wh.append("t", rows(1 to 10), txn = Some(("q1", 7L))) // replay → no-op
+    assert(wh.read("t").count() === 11L)
+    wh.append("t", rows(13 to 13), txn = Some(("q1", 8L)))
+    assert(wh.read("t").count() === 12L)
+  }
+
+  test("sink addBatch is idempotent per (queryId, batchId)") {
+    val (wh, whDir) = fresh()
+    val sink = new WarehouseSinkSpecAccess().createSink(spark, whDir, "t")
+    spark.sparkContext.setLocalProperty(StreamExecution.QUERY_ID_KEY, "spec-q")
+    try {
+      sink.addBatch(0, rows(1 to 10))
+      sink.addBatch(0, rows(1 to 10)) // epoch replay
+      assert(wh.read("t").count() === 10L)
+      sink.addBatch(1, rows(11 to 20))
+      assert(wh.read("t").count() === 20L)
+    } finally {
+      spark.sparkContext.setLocalProperty(StreamExecution.QUERY_ID_KEY, null)
+    }
+  }
+
+  test("writeStream end-to-end with checkpointed restart: no dup, no loss") {
+    val (wh, whDir) = fresh()
+    val root = Files.createTempDirectory("graft-sinke2e-").toString
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    rows(1 to 100).coalesce(1).write.parquet(srcDir)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "t")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(wh.read("t").count() === 100L)
+    // restart over the same checkpoint with MORE source data: only the
+    // new files flow; nothing replays
+    rows(101 to 150).coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val got = wh.read("t").as[(Long, Double)].collect().toSeq.sorted
+    assert(got === (1 to 150).map(i => (i.toLong, i * 1.0)))
+    // and an idle restart appends nothing
+    run()
+    assert(wh.read("t").count() === 150L)
+  }
+}
+
+/** Test access to the provider's createSink (package-private surface
+  * stays package-private; the spec drives the public format string in
+  * the end-to-end test above).
+  */
+private class WarehouseSinkSpecAccess {
+  def createSink(spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String): graft.sources.WarehouseStreamSink =
+    new graft.sources.WarehouseStreamSink(spark, path, table, 0L)
+}
