@@ -110,22 +110,33 @@ object Similarity {
     * @return (assigned `(id, vec, cell)` frame, centroid rows
     *         `(cell, centroid: array<float>)` — tiny, broadcastable)
     */
+  /** Resolve an `nCells` request: explicit positive values pass
+    * through; `<= 0` means SCALE WITH THE CORPUS — ceil(√N), floored at
+    * 16 (one cheap count). √N is the classic IVF balance point: it
+    * makes E[|cell|] = √N too, so the Σ|cell|² intra-cell work is ~N·√N
+    * instead of the N²/k a FIXED k degrades to as the corpus grows.
+    */
+  private[ext] def resolveCells(corpus: DataFrame, nCells: Int): Int =
+    if (nCells > 0) nCells
+    else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+
   private[ext] def assignCells(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, fitFraction: Double,
       minFitRows: Long): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("features", asFeatures(col("vec")))
+    val kCells = resolveCells(corpusV, nCells)
     val sampled = corpusV.sample(withReplacement = false, fitFraction, 42L)
     val fitSet =
       if (fitFraction >= 1.0) corpusV
-      else if (sampled.count() >= math.max(minFitRows, 4L * nCells)) sampled
+      else if (sampled.count() >= math.max(minFitRows, 4L * kCells)) sampled
       else corpusV // small-corpus fallback: sample would starve the fit
     // a COARSE quantizer doesn't need converged centroids — cells only
     // gate candidate discovery (probe-all IVF and exact-copy SemDeDup
     // results are invariant to centroid quality), so cap the iterative
     // driver-coordinated fit well below the spark.ml default of 20
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
+    val model = new KMeans().setK(kCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitSet)
     val assigned = model.transform(corpusV).select(
@@ -203,29 +214,51 @@ object Similarity {
     * Scale shape: the quadratic is bounded per cell — Σ|cell|² work,
     * never |corpus|² (the published design point: cells play the role
     * LSH bands play one rung down); the pair join is an equi-join on
-    * `cell`, bucketed by construction. Recall < 1 by design: a
-    * duplicate pair straddling a cell boundary is missed, the standard
-    * SemDeDup trade (raise nCells granularity or lower fitFraction
-    * variance to tune).
+    * `cell`, bucketed by construction. The default `nCells = 0` SCALES
+    * the cell count with the corpus (≈√N, [[resolveCells]]) — a fixed
+    * k would quietly degrade Σ|cell|² back toward N²/k as the corpus
+    * grows. Recall < 1 by design: a duplicate pair straddling a cell
+    * boundary is missed, the standard SemDeDup trade — `nProbe = 2`
+    * assigns each vector to its 2 nearest cells so boundary pairs meet
+    * in one of them (multi-probe; cost scales by ≤ nProbe² per cell
+    * pair, recall rises accordingly).
     *
     * @return one row per corpus doc: (idCol, cluster_id, cluster_size,
     *         is_kept) — `is_kept` marks the group canonical
     */
   def semDeDup(corpus: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, nCells: Int = 16, fitFraction: Double = 0.1,
-      minFitRows: Long = 256): DataFrame = {
-    val (assigned, _) = assignCells(
+      minCosine: Double, nCells: Int = 0, fitFraction: Double = 0.1,
+      minFitRows: Long = 256, nProbe: Int = 1): DataFrame = {
+    val (assigned, centroids) = assignCells(
       corpus, idCol, vecCol, nCells, fitFraction, minFitRows)
-    val left = assigned.select(col("cell"),
+    // multi-probe: re-rank every vector against ALL centroids
+    // (broadcast — nCells × dim is tiny) and keep the nProbe nearest
+    // cells; rank<=k folds to a map-side WindowGroupLimit. nProbe=1
+    // keeps the quantizer's own assignment (identical plan to r4).
+    val probed =
+      if (nProbe <= 1) assigned
+      else assigned.select(col("id"), col("vec"))
+        .join(broadcast(centroids))
+        .withColumn("d2",
+          dot(col("vec"), col("vec"))
+            - lit(2.0) * dot(col("vec"), col("centroid"))
+            + dot(col("centroid"), col("centroid")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("id").orderBy(col("d2"), col("cell"))))
+        .where(col("crank") <= nProbe)
+        .select("id", "vec", "cell")
+    val left = probed.select(col("cell"),
       col("id").as("id1"), col("vec").as("vec1"))
-    val right = assigned.select(col("cell"),
+    val right = probed.select(col("cell"),
       col("id").as("id2"), col("vec").as("vec2"))
     val pairs = left.join(right, "cell") // intra-cell only: Σ|cell|²
       .where(col("id1") < col("id2"))
       .where(cosine(col("vec1"), col("vec2")) >= minCosine)
       .select("id1", "id2")
+    // multi-probe can discover one pair in BOTH shared cells
+    val edges = if (nProbe <= 1) pairs else pairs.distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    NearDup.clusters(corpus.select(col(idCol)), idCol, pairs)
+    NearDup.clusters(corpus.select(col(idCol)), idCol, edges)
       .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
       .withColumn("is_kept", col(idCol) === col("cluster_id"))
   }

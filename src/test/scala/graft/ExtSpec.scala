@@ -194,6 +194,38 @@ class ExtSpec extends SparkSpec {
     assert(out.count(_._4) === 10)
   }
 
+  test("semDeDup multi-probe catches boundary-straddling duplicates") {
+    // two tight x-clusters pin the k=2 centroids at x ≈ ±1; a duplicate
+    // PAIR rides the boundary between them at x = ±0.09, y = 0.9 — each
+    // copy is EUCLIDEAN-nearest its own side's centroid (margin ≈ 0.28
+    // in d², no tie for the quantizer to break), so the two copies
+    // quantize into DIFFERENT cells and single-probe cannot see the
+    // pair in one cell; nProbe=2 probes both cells and must recover it.
+    // cosine(pair) ≈ 0.980; straddler↔anchor cosine ≈ 0.12, so no other
+    // edge can merge them transitively.
+    val anchors = (0 until 20).map { i =>
+      val x = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(x + (i % 5) * 0.01f, (i % 5) * 0.01f))
+    }
+    val straddle = Seq(
+      (100L, Seq(0.09f, 0.9f)), (101L, Seq(-0.09f, 0.9f)))
+    val corpus = (anchors ++ straddle).toDF("vec_id", "embedding")
+    def clustersOf(nProbe: Int): Map[Long, Long] =
+      Similarity.semDeDup(corpus, "vec_id", "embedding",
+          minCosine = 0.975, nCells = 2, fitFraction = 1.0,
+          nProbe = nProbe)
+        .select("vec_id", "cluster_id")
+        .as[(Long, Long)].collect().toMap
+    val single = clustersOf(1)
+    assert(single(100L) !== single(101L),
+      "fixture broken: single-probe should miss the straddling pair")
+    val multi = clustersOf(2)
+    assert(multi(100L) === multi(101L),
+      "nProbe=2 must join the boundary-straddling duplicates")
+    // multi-probe adds edges, never removes: anchor clusters unchanged
+    assert(multi.values.toSet.size === single.values.toSet.size - 1)
+  }
+
   test("codec fallback decode is deterministic and batch-shaped") {
     val media = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("content"),
