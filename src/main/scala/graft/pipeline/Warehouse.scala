@@ -37,9 +37,11 @@ import graft.util.FsListing
   * A crash before the rename leaves the previous manifest as the
   * latest: readers see the old, consistent state and the half-written
   * files are invisible orphans. A crash after the rename leaves the new
-  * state fully published and only un-collected garbage behind. The
-  * protocol assumes a single writer per table (the reference's cron
-  * shape); concurrent commits lose the manifest rename and fail fast.
+  * state fully published and only un-collected garbage behind.
+  * Concurrency is optimistic, Delta-style: blind appends auto-resolve
+  * (they commute), merges/compactions REBASE when the conflicting
+  * commit's footprint is provably disjoint ([[commitReadModify]]), and
+  * everything else fails fast with [[Warehouse.CommitConflict]].
   *
   * Readers resolve through the manifest: [[read]] hands Spark the
   * explicit live-file list (with `basePath` so hive-style partition
@@ -819,18 +821,20 @@ class Warehouse(spark: SparkSession, dir: String,
     // empty-batch no-op guards live per branch so a non-empty merge
     // never pays an extra pass over the updates plan: the partitioned
     // branch detects emptiness from the touched-partitions collect it
-    // needs anyway
-    val replaced: Seq[FileEntry] = parts match {
+    // needs anyway. The footprint (ALL touched partition dirs, insert-
+    // only ones included) is what conflict rebase proves disjointness
+    // against — see [[commitReadModify]].
+    val (replaced: Seq[FileEntry], footprint: Set[String]) = parts match {
       case Nil =>
         if (updates.isEmpty) return
-        entries
+        (entries, Set(""))
       case cols =>
         // one row per touched partition — tiny by the batch-footprint
         // contract
         val touched = updates.select(cols.map(col): _*).distinct().collect()
         if (touched.isEmpty) return
         val dirs = touched.map(r => partitionDir(cols, r)).toSet
-        entries.filter(e => dirs.contains(dirOf(e.rel)))
+        (entries.filter(e => dirs.contains(dirOf(e.rel))), dirs)
     }
     // the old files stay live until the commit below, so the merged plan
     // can read them lazily while the batch writes NEW files — no
@@ -841,9 +845,11 @@ class Warehouse(spark: SparkSession, dir: String,
       .unionByName(updates.select(schemaCols.map(col): _*))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
-    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+    beforeCommit.foreach(_())
+    commitReadModify(name, (v, entries), replaced, fresh,
       Map("op" -> "merge", "numFilesReplaced" -> replaced.size.toString,
-        "numFilesAdded" -> fresh.size.toString))
+        "numFilesAdded" -> fresh.size.toString),
+      Some(footprint))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
   }
@@ -888,15 +894,15 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"mergeInto $name: table not bootstrapped")
-    val replaced: Seq[FileEntry] = parts match {
+    val (replaced: Seq[FileEntry], footprint: Set[String]) = parts match {
       case Nil =>
         if (source.isEmpty) return
-        entries
+        (entries, Set(""))
       case cols =>
         val touched = source.select(cols.map(col): _*).distinct().collect()
         if (touched.isEmpty) return
         val dirs = touched.map(r => partitionDir(cols, r)).toSet
-        entries.filter(e => dirs.contains(dirOf(e.rel)))
+        (entries.filter(e => dirs.contains(dirOf(e.rel))), dirs)
     }
     // source columns flattened to src_<name>; _src_hit marks the match
     val srcPrefixed = source.select(
@@ -932,11 +938,72 @@ class Warehouse(spark: SparkSession, dir: String,
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
-    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+    commitReadModify(name, (v, entries), replaced, fresh,
       Map("op" -> "mergeInto", "numFilesReplaced" -> replaced.size.toString,
-        "numFilesAdded" -> fresh.size.toString))
+        "numFilesAdded" -> fresh.size.toString),
+      Some(footprint))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
+  }
+
+  /** Commit a read-modify operation (merge/compact) with OPTIMISTIC
+    * REBASE: when a concurrent commit wins the version race, the
+    * operation re-reads the head and re-commits `head − replaced +
+    * fresh` — WITHOUT rereading or rewriting any data — iff the
+    * conflict is PROVABLY disjoint:
+    *
+    *   1. every file this op replaced is still live at the head (no
+    *      write-write conflict: nobody else rewrote/removed what we
+    *      rewrote), and
+    *   2. for footprint-scoped ops (`touchedDirs = Some(dirs)`), no
+    *      foreign commit added or removed ANY file inside the
+    *      partitions this op read — a merge's read set is exactly its
+    *      touched partitions (partition cols are a pure function of the
+    *      key, so a source key cannot exist elsewhere), which is what
+    *      makes "nothing foreign in my dirs" a proof the concurrent
+    *      writer could not have affected this op's result (including
+    *      insert-key collisions). `None` (compact) is content-
+    *      invariant: condition 1 alone suffices — foreign files in
+    *      compacted dirs simply stay live, un-compacted this round.
+    *
+    * Anything unprovable throws [[Warehouse.CommitConflict]]: the
+    * caller's snapshot is stale and the operation must re-run (the
+    * Delta ConcurrentAppend/ConcurrentDeleteRead distinction, reduced
+    * to the manifest's file-set algebra). delete/update never rebase —
+    * their predicate reads the WHOLE table, so any foreign commit may
+    * have added matching rows.
+    */
+  private def commitReadModify(name: String, base: (Long, Seq[FileEntry]),
+      replaced: Seq[FileEntry], fresh: Seq[FileEntry],
+      meta: Map[String, String], touchedDirs: Option[Set[String]]): Unit = {
+    var attempt = base
+    var retries = 0
+    var done = false
+    while (!done) {
+      try {
+        commit(name, attempt._1 + 1, attempt._2.diff(replaced) ++ fresh, meta)
+        done = true
+      } catch {
+        case e: Warehouse.CommitConflict if retries < 20 =>
+          retries += 1
+          val head = loadLatest(name)
+          val headSet = head._2.map(_.rel).toSet
+          val lastSet = attempt._2.map(_.rel).toSet
+          // the foreign delta: files the concurrent commit(s) added or
+          // removed relative to the snapshot we last tried against
+          val foreign = head._2.filterNot(e => lastSet(e.rel)) ++
+            attempt._2.filterNot(e => headSet(e.rel))
+          val replacedLive = replaced.forall(e => headSet(e.rel))
+          val disjoint = touchedDirs.forall(dirs =>
+            foreign.forall(e => !dirs.contains(dirOf(e.rel))))
+          if (!replacedLive || !disjoint)
+            throw new Warehouse.CommitConflict(
+              s"$name: concurrent commit overlaps this " +
+                s"${meta.getOrElse("op", "operation")}'s footprint " +
+                "(stale snapshot — re-run the operation)")
+          attempt = head
+      }
+    }
   }
 
   /** Hive-escaped partition directory for one partition-values row. */
@@ -1030,9 +1097,13 @@ class Warehouse(spark: SparkSession, dir: String,
       flatFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt,
       sortCols = clusterBy)
     maybeCrash("after-write")
-    commit(name, v + 1, entries.diff(replaced) ++ fresh,
+    beforeCommit.foreach(_())
+    // content-invariant: rebases over ANY concurrent commit that left
+    // the compacted files live (touchedDirs = None) — a foreign append
+    // into a compacted dir just stays live, un-compacted this round
+    commitReadModify(name, (v, entries), replaced, fresh,
       Map("op" -> "compact", "numFilesReplaced" -> replaced.size.toString,
-        "numFilesAdded" -> fresh.size.toString))
+        "numFilesAdded" -> fresh.size.toString), None)
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
     val after = fresh.count(e => fragmented.contains(dirOf(e.rel)))

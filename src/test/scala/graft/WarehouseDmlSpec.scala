@@ -302,6 +302,102 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(new Warehouse(spark, dir).history("fact_telemetry").toMap === h)
   }
 
+  test("disjoint-partition merges interleave without caller retry") {
+    val (wh, dir) = freshTable()
+    val other = new Warehouse(spark, dir)
+    // wh merges day 1; mid-flight (files staged, before its commit) a
+    // second writer merges day 3 — disjoint partition footprints, so
+    // BOTH must commit, wh via automatic rebase
+    val day1 = mkBase().where($"epoch_date" === "2026-01-01")
+      .withColumn("rev_number", lit(111))
+    val day3 = mkBase().where($"epoch_date" === "2026-01-03")
+      .withColumn("rev_number", lit(333))
+    wh.beforeCommit = Some(() => {
+      other.mergeInto("fact_telemetry", day3,
+        Seq("norad_id", "epoch_utc"),
+        matchedUpdate = Some((None,
+          Map("rev_number" -> col("src_rev_number")))))
+    })
+    wh.mergeInto("fact_telemetry", day1, Seq("norad_id", "epoch_utc"),
+      matchedUpdate = Some((None,
+        Map("rev_number" -> col("src_rev_number")))))
+    wh.beforeCommit = None
+    val rows = state(new Warehouse(spark, dir))
+    assert(rows.count(_._4 == 111) === 4, "rebased day-1 merge lost")
+    assert(rows.count(_._4 == 333) === 4, "interleaved day-3 merge lost")
+    assert(rows.count(r => r._2.toString.startsWith("2026-01-02")
+      && r._4 < 300) === 4, "untouched partition changed")
+    // both commits are in history, merge after merge
+    assert(wh.history("fact_telemetry").takeRight(2)
+      .map(_._2("op")) === Seq("mergeInto", "mergeInto"))
+  }
+
+  test("overlapping-partition merges still fail fast") {
+    val (wh, dir) = freshTable()
+    val other = new Warehouse(spark, dir)
+    val day1a = mkBase().where($"epoch_date" === "2026-01-01")
+      .withColumn("rev_number", lit(111))
+    val day1b = mkBase().where($"epoch_date" === "2026-01-01")
+      .withColumn("rev_number", lit(222))
+    wh.beforeCommit = Some(() => {
+      other.mergeInto("fact_telemetry", day1b,
+        Seq("norad_id", "epoch_utc"),
+        matchedUpdate = Some((None,
+          Map("rev_number" -> col("src_rev_number")))))
+    })
+    intercept[Warehouse.CommitConflict] {
+      wh.mergeInto("fact_telemetry", day1a, Seq("norad_id", "epoch_utc"),
+        matchedUpdate = Some((None,
+          Map("rev_number" -> col("src_rev_number")))))
+    }
+    wh.beforeCommit = None
+    // the interleaved writer's state won; the loser left no trace
+    assert(state(new Warehouse(spark, dir)).count(_._4 == 222) === 4)
+  }
+
+  test("merge rebase rejects a concurrent append INTO its footprint") {
+    val (wh, dir) = freshTable()
+    val other = new Warehouse(spark, dir)
+    // foreign append lands new rows in day 1 — the partition the merge
+    // read — so the merge's anti-join/update ran against stale data and
+    // must NOT silently rebase over it
+    val extra = mkBase().where($"epoch_date" === "2026-01-01")
+      .withColumn("norad_id", $"norad_id" + 10)
+    wh.beforeCommit = Some(() => other.append("fact_telemetry", extra))
+    intercept[Warehouse.CommitConflict] {
+      wh.mergeInto("fact_telemetry",
+        mkBase().where($"epoch_date" === "2026-01-01")
+          .withColumn("rev_number", lit(111)),
+        Seq("norad_id", "epoch_utc"),
+        matchedUpdate = Some((None,
+          Map("rev_number" -> col("src_rev_number")))))
+    }
+    wh.beforeCommit = None
+    assert(state(new Warehouse(spark, dir)).count(_._1 == 11) === 1)
+  }
+
+  test("compact rebases over any commit that leaves its files live") {
+    val (wh, dir) = freshTable()
+    // fragment day 1 so compact has work
+    (1 to 3).foreach { i =>
+      wh.append("fact_telemetry",
+        mkBase().where($"epoch_date" === "2026-01-01")
+          .withColumn("norad_id", $"norad_id" + 20 * i))
+    }
+    val other = new Warehouse(spark, dir)
+    val extra = mkBase().where($"epoch_date" === "2026-01-02")
+      .withColumn("norad_id", $"norad_id" + 100)
+    wh.beforeCommit = Some(() => other.append("fact_telemetry", extra))
+    val (rewritten, _, _) = wh.compact("fact_telemetry",
+      targetBytes = 1L << 30)
+    wh.beforeCommit = None
+    assert(rewritten >= 1, "compaction had nothing to do")
+    // both the compaction and the interleaved append are present
+    val rows = state(new Warehouse(spark, dir))
+    assert(rows.count(_._1 > 100) === 4, "interleaved append lost")
+    assert(rows.size === 12 + 12 + 4, "compaction dropped rows")
+  }
+
   test("read-modify ops fail fast on a concurrent commit") {
     val (wh, dir) = freshTable()
     val other = new Warehouse(spark, dir)
