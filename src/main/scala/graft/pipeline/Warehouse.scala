@@ -73,9 +73,22 @@ import graft.util.FsListing
   *   from that metadata alone — the path the `graft-warehouse` read
   *   formats use, so readers never need the specs in code.
   */
+/** @param checkpointInterval how often a commit writes a FULL manifest
+  *   (`.mf` checkpoint) instead of a DELTA (`.mfd`: this commit's adds
+  *   and removes only). Full-per-commit is O(live files) write I/O per
+  *   commit — quadratic history bytes as the table grows to 10⁷ files;
+  *   deltas bound the per-commit manifest bytes by the BATCH, with one
+  *   amortized checkpoint every `checkpointInterval` commits (the Delta
+  *   `_last_checkpoint` shape). Readers reconstruct any version from
+  *   the nearest checkpoint at or below it plus ≤ interval−1 deltas.
+  *   `1` = checkpoint every commit (the pre-delta behavior).
+  */
 class Warehouse(spark: SparkSession, dir: String,
     retainReplaced: Boolean = false,
-    specs: Map[String, Warehouse.TableSpec] = Warehouse.starSchema) {
+    specs: Map[String, Warehouse.TableSpec] = Warehouse.starSchema,
+    checkpointInterval: Int = 10) {
+  require(checkpointInterval >= 1,
+    s"checkpointInterval must be >= 1, got $checkpointInterval")
 
   import Warehouse.FileEntry
 
@@ -131,9 +144,29 @@ class Warehouse(spark: SparkSession, dir: String,
   // ------------------------------------------------------------------
 
   private val ManifestHeader = "graft-manifest 1"
-  private val ManifestName = """v(\d{12})\.mf""".r
+  private val DeltaHeader = "graft-manifest-delta 1"
+  private val ManifestName = """v(\d{12})\.mfd?""".r
 
   private def manifestDir(name: String) = new Path(path(name), "_manifests")
+
+  /** A version commits as a FULL checkpoint when this is true; deltas
+    * otherwise. Purely a function of the version number, so two racing
+    * committers of the same version always pick the same file name —
+    * the create-exclusive publish stays a valid conflict detector.
+    * (Vacuum additionally MATERIALIZES checkpoints at non-checkpoint
+    * versions before trimming their ancestors; readers prefer `.mf`.)
+    */
+  private def isCheckpointVersion(version: Long): Boolean =
+    version == 1L || version % checkpointInterval == 0L
+
+  /** Resolve a version's manifest file, preferring a full `.mf` (a
+    * scheduled checkpoint or a vacuum-materialized one) over `.mfd`.
+    */
+  private def manifestPathOf(name: String, version: Long): Path = {
+    val full = new Path(manifestDir(name), f"v$version%012d.mf")
+    if (fileSystem.exists(full)) full
+    else new Path(manifestDir(name), f"v$version%012d.mfd")
+  }
 
   /** All committed manifest versions, ascending (empty = no manifest). */
   def versions(name: String): Seq[Long] = {
@@ -143,29 +176,69 @@ class Warehouse(spark: SparkSession, dir: String,
     fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
       case ManifestName(v) => Some(v.toLong)
       case _ => None
-    }).sorted
+    }).distinct.sorted
   }
 
-  /** The file list committed as manifest `version` (must exist). */
-  private[graft] def loadAt(name: String, version: Long): Seq[FileEntry] = {
-    val fs = fileSystem
-    val in = fs.open(new Path(manifestDir(name), f"v$version%012d.mf"))
+  private def readManifestLines(name: String, p: Path): Seq[String] = {
+    val in = fileSystem.open(p)
     val text = try {
       new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    val lines = text.split('\n').toSeq
-    require(lines.headOption.contains(ManifestHeader),
-      s"$name manifest v$version: unrecognized header")
-    // '#'-prefixed lines are commit metadata (see [[history]]), not files
-    lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-      val Array(rel, bytes, stats) = line.split('\t').padTo(3, "")
-      val parsed = stats.split(';').filter(_.nonEmpty).map { s =>
-        val Array(c, mm) = s.split('=')
-        val Array(lo, hi) = mm.split(':')
-        c -> ((lo.toLong, hi.toLong))
-      }.toMap
-      FileEntry(rel, bytes.toLong, parsed)
+    text.split('\n').toSeq
+  }
+
+  private def parseEntry(line: String): FileEntry = {
+    val Array(rel, bytes, stats) = line.split('\t').padTo(3, "")
+    val parsed = stats.split(';').filter(_.nonEmpty).map { s =>
+      val Array(c, mm) = s.split('=')
+      val Array(lo, hi) = mm.split(':')
+      c -> ((lo.toLong, hi.toLong))
+    }.toMap
+    FileEntry(rel, bytes.toLong, parsed)
+  }
+
+  /** The file list committed as manifest `version`: walk BACK from
+    * `version` collecting deltas until the nearest full checkpoint,
+    * then replay the deltas forward — ≤ checkpointInterval−1 small
+    * files plus one checkpoint, regardless of table size.
+    */
+  private[graft] def loadAt(name: String, version: Long): Seq[FileEntry] = {
+    var deltas = List.empty[Seq[String]]
+    var v = version
+    var base = Seq.empty[FileEntry]
+    var found = false
+    while (!found) {
+      require(v >= 1L, s"$name: cannot reconstruct manifest v$version " +
+        "(no checkpoint at or below it — vacuumed?)")
+      val lines = readManifestLines(name, manifestPathOf(name, v))
+      lines.headOption match {
+        case Some(ManifestHeader) =>
+          base = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+            .map(parseEntry)
+          found = true
+        case Some(DeltaHeader) =>
+          deltas ::= lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+          v -= 1
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name manifest v$v: unrecognized header $other")
+      }
     }
+    if (deltas.isEmpty) return base
+    val state = scala.collection.mutable.LinkedHashMap
+      .from(base.map(e => e.rel -> e))
+    deltas.foreach(_.foreach { line =>
+      if (line.startsWith("+\t")) {
+        val e = parseEntry(line.drop(2))
+        state(e.rel) = e
+        ()
+      } else if (line.startsWith("-\t")) {
+        state.remove(line.drop(2))
+        ()
+      } else throw new IllegalArgumentException(
+        s"$name delta manifest: unrecognized line $line")
+    })
+    state.values.toSeq.sortBy(_.rel)
   }
 
   /** DESCRIBE HISTORY: every committed version with its commit metadata
@@ -182,17 +255,13 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   private def commitMeta(name: String, version: Long): Map[String, String] = {
     if (version == 0L) return Map.empty
-    val fs = fileSystem
-    val in = fs.open(new Path(manifestDir(name), f"v$version%012d.mf"))
-    val text = try {
-      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split('\n').find(_.startsWith("#")).map { line =>
-      line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
-        val i = kv.indexOf('=')
-        kv.take(i) -> kv.drop(i + 1)
-      }.toMap
-    }.getOrElse(Map.empty[String, String])
+    readManifestLines(name, manifestPathOf(name, version))
+      .find(_.startsWith("#")).map { line =>
+        line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
+          val i = kv.indexOf('=')
+          kv.take(i) -> kv.drop(i + 1)
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
   }
 
   /** The txn watermarks (streaming-writer idempotence ledger) as of
@@ -244,23 +313,54 @@ class Warehouse(spark: SparkSession, dir: String,
     // previous head's txn watermarks are carried into EVERY commit so
     // the latest manifest always holds the complete idempotence ledger
     // (new values in `meta` win — that's the epoch advancing).
-    val full = txnWatermarks(name, version - 1) ++ meta
+    val fullMeta = txnWatermarks(name, version - 1) ++ meta
     val metaLine =
-      if (full.isEmpty) Nil
-      else Seq("#" + full.toSeq.sortBy(_._1)
+      if (fullMeta.isEmpty) Nil
+      else Seq("#" + fullMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("\t"))
-    val body = (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map { e =>
+    def entryLine(e: FileEntry): String = {
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
       s"${e.rel}\t${e.bytes}\t$st"
-    }).mkString("\n")
+    }
+    // checkpoint versions write the full file list; every other commit
+    // writes only its DELTA vs the previous version — manifest bytes
+    // bounded by the batch, not the table (see class checkpointInterval
+    // doc). The diff is an in-memory rel-keyed set compare of lists the
+    // commit already holds; entries never change under the same rel
+    // (rewrites always mint fresh names), so rel identity is enough.
+    val body =
+      if (isCheckpointVersion(version))
+        (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map(entryLine))
+          .mkString("\n")
+      else {
+        val prev = loadAt(name, version - 1)
+        val prevSet = prev.map(_.rel).toSet
+        val curSet = entries.map(_.rel).toSet
+        val adds = entries.filterNot(e => prevSet(e.rel)).sortBy(_.rel)
+        val removes = prev.map(_.rel).filterNot(curSet).sorted
+        (DeltaHeader +: metaLine ++:
+          (adds.map(e => s"+\t${entryLine(e)}") ++
+            removes.map(r => s"-\t$r"))).mkString("\n")
+      }
+    publishManifest(name, f"v$version%012d." +
+      (if (isCheckpointVersion(version)) "mf" else "mfd"), body)
+  }
+
+  /** Atomically publish a manifest body under `fileName`; throws
+    * [[Warehouse.CommitConflict]] if the destination already exists.
+    */
+  private def publishManifest(name: String, fileName: String,
+      body: String): Unit = {
+    val fs = fileSystem
+    val mdir = manifestDir(name)
     val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try {
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.hsync()
     } finally out.close()
-    val dest = new Path(mdir, f"v$version%012d.mf")
+    val dest = new Path(mdir, fileName)
     val committed =
       if ("file" == fs.getUri.getScheme) {
         try {
@@ -277,7 +377,7 @@ class Warehouse(spark: SparkSession, dir: String,
     fs.delete(tmp, false)
     if (!committed)
       throw new Warehouse.CommitConflict(
-        s"$name: manifest v$version commit lost a race (concurrent writer)")
+        s"$name: manifest $fileName commit lost a race (concurrent writer)")
   }
 
   /** Per-file (rowCount, min/max for `cols`), read from the parquet
@@ -1321,8 +1421,32 @@ class Warehouse(spark: SparkSession, dir: String,
           fs.delete(st.getPath, false)
       }
     }
+    // delta-manifest retention invariant: the oldest KEPT version must
+    // be self-contained after its ancestors are deleted — materialize
+    // it as a full checkpoint first if it's a delta (readers prefer
+    // `.mf`, so the materialized file takes over and the `.mfd` is
+    // dropped). Entries are reconstructible HERE because the ancestors
+    // still exist; deletion happens strictly after.
+    val oldestKept = kept.head
+    val fullPath = new Path(manifestDir(name), f"v$oldestKept%012d.mf")
+    if (!fs.exists(fullPath)) {
+      val entries = loadAt(name, oldestKept)
+      val meta = commitMeta(name, oldestKept)
+      val metaLine =
+        if (meta.isEmpty) Nil
+        else Seq("#" + meta.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("\t"))
+      publishManifest(name, f"v$oldestKept%012d.mf",
+        (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map { e =>
+          val st = e.stats.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+          s"${e.rel}\t${e.bytes}\t$st"
+        }).mkString("\n"))
+      fs.delete(new Path(manifestDir(name), f"v$oldestKept%012d.mfd"), false)
+    }
     vs.dropRight(math.max(keepManifests, 1)).foreach { mv =>
       fs.delete(new Path(manifestDir(name), f"v$mv%012d.mf"), false)
+      fs.delete(new Path(manifestDir(name), f"v$mv%012d.mfd"), false)
     }
     n
   }

@@ -320,6 +320,49 @@ class WarehouseCommitSpec extends SparkSpec {
         s"numPartitions=$pruned")
   }
 
+  test("delta manifests: per-commit bytes bounded by the batch") {
+    val dir = Files.createTempDirectory("graft-delta-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 10)
+    wh.bootstrap()
+    // many-file fixture: 30 single-row appends → 30 live files by v31
+    (1 to 30).foreach { i =>
+      wh.append("fact_space_weather",
+        Seq((java.sql.Date.valueOf("2026-01-01"), 100.0 + i))
+          .toDF("date_utc", "f10_7_flux").coalesce(1))
+    }
+    val mdir = Paths.get(dir, "fact_space_weather", "_manifests")
+    def size(n: String) = Files.size(mdir.resolve(n))
+    // v30 is a full checkpoint listing all ~29 files; v31 is a delta
+    // carrying ONE add — an order of magnitude apart even at this tiny
+    // scale, and the gap grows with the table while deltas stay flat
+    assert(Files.exists(mdir.resolve("v000000000030.mf")))
+    assert(Files.exists(mdir.resolve("v000000000031.mfd")))
+    assert(size("v000000000031.mfd") * 5 < size("v000000000030.mf"),
+      s"delta ${size("v000000000031.mfd")}B not bounded vs " +
+        s"checkpoint ${size("v000000000030.mf")}B")
+    // delta commits reconstruct exactly: every version's file count is
+    // its append count, and TIME TRAVEL through delta chains works
+    assert(wh.read("fact_space_weather").count() === 30L)
+    (2L to 31L by 7L).foreach { v =>
+      assert(wh.readVersion("fact_space_weather", v).count() === v - 1,
+        s"time travel to delta version $v")
+    }
+    // history metadata survives in delta manifests
+    val h = wh.history("fact_space_weather").toMap
+    assert(h(31L)("op") === "append")
+    // vacuum past the checkpoints materializes the oldest kept version
+    wh.vacuum("fact_space_weather", keepManifests = 3)
+    assert(Files.exists(mdir.resolve("v000000000029.mf")),
+      "oldest kept delta version must be materialized as a checkpoint")
+    assert(wh.readVersion("fact_space_weather", 29L).count() === 28L)
+    assert(wh.read("fact_space_weather").count() === 30L)
+    // and the next commit after vacuum still chains correctly
+    wh.append("fact_space_weather",
+      Seq((java.sql.Date.valueOf("2026-01-02"), 200.0))
+        .toDF("date_utc", "f10_7_flux"))
+    assert(wh.read("fact_space_weather").count() === 31L)
+  }
+
   test("manifest versions advance and vacuum trims old ones") {
     val dir = Files.createTempDirectory("graft-vers-").toString
     val wh = new Warehouse(spark, dir)
