@@ -52,8 +52,11 @@ object TextClassifier {
           .as("ln_p"))
     // score every doc against every class it has evidence rows for:
     // a doc's terms all exist in the vocab (they trained it), so each
-    // (doc, class) pair accumulates the full Σ tf·ln P(t|c)
-    val scored = toks.join(grid, "term")
+    // (doc, class) pair accumulates the full Σ tf·ln P(t|c). The grid
+    // is vocabulary-bounded (|vocab| × |classes|), so pin the broadcast
+    // rather than trusting the auto-broadcast size estimate of a
+    // multi-join subtree — the postings side must never shuffle for it
+    val scored = toks.join(broadcast(grid), "term")
       .groupBy(col("id"), col("label"), col("_c"))
       .agg(sum(col("ln_p")).as("ln_like"))
       .join(broadcast(priors.select(col("label").as("_c"),

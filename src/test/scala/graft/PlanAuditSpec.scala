@@ -71,6 +71,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("vocabulary-bounded grids broadcast, pinned (q91, q84)") {
+    // naive-bayes scoring joins postings against the |vocab|×|classes|
+    // likelihood grid; bm25 joins postings against per-term df — both
+    // sides are vocabulary-bounded and must broadcast by HINT, not by
+    // the auto-threshold's estimate of a multi-join subtree
+    assert(plans("q91_docs_naive_bayes").contains("BroadcastHashJoin"),
+      plans("q91_docs_naive_bayes"))
+    assert(plans("q84_docs_bm25_topk").contains("BroadcastHashJoin"),
+      plans("q84_docs_bm25_topk"))
+  }
+
   test("anti-join dedup stays a hash join, never a loop join (q26)") {
     val p = plans("q26_telemetry_antijoin_dedup")
     assert(p.contains("LeftAnti"), p)
