@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * uncut 20-round plan tree re-executes the whole prefix under AQE
   * re-planning; same fix as NearDup.clusters).
   *
-  * Dangling nodes (no out-edges) leak their mass — the simplified
-  * textbook formulation; ranks then sum to < 1, which is fine for
-  * RANKING (the use case) and keeps the per-round plan to one join.
+  * Dangling nodes (no out-edges) LEAK their mass in the default mode —
+  * the simplified textbook formulation; ranks then sum to < 1, which is
+  * fine for RANKING (the use case) and keeps the per-round plan to one
+  * join. `redistributeDangling = true` is the exact-PageRank mode: one
+  * extra SCALAR aggregate per round folds the leaked mass back as a
+  * uniform teleport share (broadcast — never a per-node join), so ranks
+  * sum to 1 every round.
   */
 object PageRank {
 
@@ -27,27 +31,47 @@ object PageRank {
     * @param nodes one `node` column — the vertex universe (isolated
     *   vertices keep the teleport rank)
     * @param iters fixed power-iteration count
+    * @param redistributeDangling fold dangling-node mass back uniformly
+    *   each round (exact PageRank); default keeps the cheaper leaky
+    *   ranking mode and the r4 plan unchanged
     * @return (node, rank) after `iters` rounds from a uniform start
     */
   def run(edges: DataFrame, nodes: DataFrame, iters: Int,
-      damping: Double = 0.85, checkpointEvery: Int = 8): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 8,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val total = nodes.agg(count(lit(1)).cast("double").as("nn"))
     val outW = edges.groupBy("src").agg(sum(col("w")).as("wout"))
     // normalized transition weights, reused every round
     val trans = edges.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+    // the static dangling set: vertices with no out-edge
+    val dangling = nodes.join(
+      outW.select(col("src").as("node")), Seq("node"), "left_anti")
     var ranks = nodes.crossJoin(broadcast(total))
       .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
     for (i <- 1 to iters) {
       val contribs = trans.join(ranks, col("src") === col("node"))
         .groupBy("dst").agg(sum(col("p") * col("pr")).as("cin"))
-      ranks = nodes
+      val base = nodes
         .join(contribs, col("node") === col("dst"), "left")
         .crossJoin(broadcast(total))
-        .select(col("node"),
-          (lit(1.0 - damping) / col("nn") +
-            lit(damping) * coalesce(col("cin"), lit(0.0))).as("pr"))
+      ranks =
+        if (!redistributeDangling)
+          base.select(col("node"),
+            (lit(1.0 - damping) / col("nn") +
+              lit(damping) * coalesce(col("cin"), lit(0.0))).as("pr"))
+        else {
+          // leaked mass this round: one scalar reduce over the dangling
+          // subset of the rank table, broadcast into the update
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(1.0 - damping) / col("nn") +
+                lit(damping) * (coalesce(col("cin"), lit(0.0)) +
+                  col("dm") / col("nn"))).as("pr"))
+        }
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("pr").as("rank"))

@@ -917,6 +917,68 @@ object CoreQueries extends QueryPack {
         SELECT node, round(pr, 6) AS pr_rank FROM r5 ORDER BY node"""
       }),
 
+    // ---- q103: PageRank with DANGLING-MASS REDISTRIBUTION — the
+    // exact-PageRank mode of the q88 operator on a graph where nations
+    // 15..24 have NO out-edges (customer side restricted to < 15): each
+    // round one extra scalar aggregate folds the leaked mass back as a
+    // uniform teleport share, so ranks sum to 1. The oracle unrolls the
+    // same 5 rounds with an explicit dangling-mass CTE per round. ----
+    Q("q103_pagerank_dangling",
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select(col("c_custkey"),
+            col("c_nationkey")).where(col("c_nationkey") < 15),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier").select(col("s_suppkey"),
+            col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val nodes = t(s, dir, "nation")
+          .select(col("n_nationkey").as("node"))
+        graft.operators.PageRank.run(edges, nodes, iters = 5,
+            redistributeDangling = true)
+          .select(col("node"), round(col("rank"), 6).as("pr_rank"))
+          .orderBy("node")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (
+          SELECT n.node,
+                 0.15 / nt.nn + 0.85 * (coalesce(c.cin, 0) + dm.m / nt.nn)
+                   AS pr
+          FROM n CROSS JOIN nt
+          CROSS JOIN (SELECT coalesce(sum(r.pr), 0) AS m
+                      FROM r${i - 1} r JOIN d USING (node)) dm
+          LEFT JOIN (SELECT tr.dst, sum(r.pr * tr.p) AS cin
+                     FROM tr JOIN r${i - 1} r ON r.node = tr.src
+                     GROUP BY tr.dst) c ON c.dst = n.node)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH e AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey < 15
+          GROUP BY 1, 2),
+        ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+        tr AS (SELECT e.src, e.dst, e.w / ow.wout AS p
+               FROM e JOIN ow USING (src)),
+        n AS (SELECT n_nationkey AS node FROM nation),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        d AS (SELECT node FROM n
+              WHERE node NOT IN (SELECT DISTINCT src FROM tr)),
+        r0 AS (SELECT node, 1.0 / nt.nn AS pr FROM n CROSS JOIN nt),
+        $iters
+        SELECT node, round(pr, 6) AS pr_rank FROM r5 ORDER BY node"""
+      }),
+
     // ---- q90: ordered FUNNEL completion (operators.Funnel) —
     // signup → view → purchase with strict first-touch ordering: each
     // step counts users whose earliest qualifying event falls strictly

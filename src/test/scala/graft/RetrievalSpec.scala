@@ -60,6 +60,39 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(pr(3L) - 0.05) < 1e-12)
   }
 
+  test("pagerank redistribution conserves mass with dangling nodes") {
+    // 1 → 2 → 3, and 3 is DANGLING (no out-edges). Leaky mode bleeds
+    // 3's mass each round; redistribution folds it back uniformly.
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    def massOf(redistribute: Boolean): (Map[Long, Double], Double) = {
+      val m = PageRank.run(edges, nodes, iters = 4,
+          redistributeDangling = redistribute)
+        .select($"node", $"rank").as[(Long, Double)].collect().toMap
+      (m, m.values.sum)
+    }
+    val (leaky, leakySum) = massOf(redistribute = false)
+    val (exact, exactSum) = massOf(redistribute = true)
+    assert(leakySum < 0.999, s"leaky mode should lose mass, got $leakySum")
+    assert(math.abs(exactSum - 1.0) < 1e-12,
+      s"redistribution must conserve total mass, got $exactSum")
+    // hand-unrolled exact iteration: pr' = 0.05 + 0.85*(cin + dm/3)
+    // with dm = pr(3) of the previous round
+    var p = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    (1 to 4).foreach { _ =>
+      val dm = p(3L) / 3
+      p = Map(1L -> (0.05 + 0.85 * dm),
+        2L -> (0.05 + 0.85 * (p(1L) + dm)),
+        3L -> (0.05 + 0.85 * (p(2L) + dm)))
+    }
+    (1L to 3L).foreach { n =>
+      assert(math.abs(exact(n) - p(n)) < 1e-12, s"node $n")
+    }
+    // ranking order is preserved between the modes on this chain
+    assert(leaky.toSeq.sortBy(-_._2).map(_._1)
+      === exact.toSeq.sortBy(-_._2).map(_._1))
+  }
+
   test("pagerank: weights split contributions proportionally") {
     // 1 -> 2 (w=3), 1 -> 3 (w=1): node 2 gets 3/4 of node 1's mass
     val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "w")
