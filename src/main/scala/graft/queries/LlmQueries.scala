@@ -1745,6 +1745,89 @@ object LlmQueries extends QueryPack {
           FROM per)
         SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_to_centroid
         FROM ranked WHERE rnk <= 3
-        ORDER BY label, rnk"""))
+        ORDER BY label, rnk""")),
+
+    // ---- q104: PRODUCT QUANTIZATION with asymmetric scoring
+    // (ext.PQ) — the compression rung after int8 (q57): 64 dims → 4
+    // codes against a FIXED closed-form codebook (4 subspaces × 4
+    // centroids × 16 dims), so encoding is a pure per-row argmin the
+    // oracle replays arithmetic-exactly: DuckDB computes the same
+    // per-subspace squared distances from the same decimal literals,
+    // picks codes by the same (distance, code) order, and re-ranks the
+    // ADC sums rounded to 6 dp. The operator's k-means fit path is
+    // spec-covered (ExtSpec PQ recall); the gate pins the plan-literal
+    // encode + ADC machinery itself. ----
+    Q("q104_embed_pq_adc",
+      (s, dir) => {
+        val emb = fan(t(s, dir, "embeddings"))
+        val queries = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.ext.PQ.topK(emb, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 10, LlmQueries.pqFixedCodebook)
+          .select(col("qid"), col("id"), col("adist"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val cbRows = LlmQueries.pqFixedCodebook.zipWithIndex.flatMap {
+          case (ks, m) => ks.zipWithIndex.map { case (cent, k) =>
+            s"($m, $k, [${cent.mkString(", ")}])"
+          }
+        }.mkString(",\n          ")
+        s"""
+        WITH cb(sub, code, cent) AS (VALUES
+          $cbRows),
+        ms AS (SELECT unnest(range(4)) AS m),
+        sub AS (
+          SELECT e.vec_id, ms.m,
+                 list_slice(e.embedding, ms.m * 16 + 1, ms.m * 16 + 16) AS sv
+          FROM embeddings e CROSS JOIN ms),
+        dists AS (
+          SELECT s.vec_id, s.m, cb.code,
+                 list_sum(list_transform(range(16), j ->
+                   (CAST(sv[j + 1] AS DOUBLE) - cent[j + 1])
+                     * (CAST(sv[j + 1] AS DOUBLE) - cent[j + 1]))) AS d
+          FROM sub s JOIN cb ON cb.sub = s.m),
+        codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY d, code) AS rn
+            FROM dists) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qvec
+              FROM embeddings WHERE vec_id < 5),
+        qsub AS (
+          SELECT q.qid, ms.m,
+                 list_slice(q.qvec, ms.m * 16 + 1, ms.m * 16 + 16) AS sv
+          FROM q CROSS JOIN ms),
+        qtab AS (
+          SELECT s.qid, s.m, cb.code,
+                 list_sum(list_transform(range(16), j ->
+                   (CAST(sv[j + 1] AS DOUBLE) - cent[j + 1])
+                     * (CAST(sv[j + 1] AS DOUBLE) - cent[j + 1]))) AS d
+          FROM qsub s JOIN cb ON cb.sub = s.m),
+        scored AS (
+          SELECT qt.qid, c.vec_id AS id, round(sum(qt.d), 6) AS adist
+          FROM codes c JOIN qtab qt ON qt.m = c.m AND qt.code = c.code
+          WHERE c.vec_id <> qt.qid
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT qid, id, adist,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY adist, id) AS INT) AS rank
+          FROM scored)
+        SELECT qid, id, adist, rank FROM ranked WHERE rank <= 10
+        ORDER BY qid, rank"""
+      })
   )
+
+  /** q104's fixed PQ codebook: 4 subspaces × 4 centroids × 16 dims of
+    * short-decimal doubles spanning the embeddings' ±0.5 value range.
+    * Closed-form (no fit) so an independent engine can replay code
+    * assignment from the same literals; `Double.toString` round-trips
+    * bit-exactly through the oracle SQL text.
+    */
+  private[queries] def pqFixedCodebook: graft.ext.PQ.Codebook =
+    (0 until 4).map(m => (0 until 4).map(k => (0 until 16).map(j =>
+      (k - 1.5) * 0.25 + ((m + j) % 4) * 0.05 - 0.075)))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, NearDup, Sampling, Similarity, TextFunctions}
+import graft.ext.{Multimodal, NearDup, PQ, Sampling, Similarity, TextFunctions}
 
 /** Semantic checks for the training-data extension pack — especially the
   * properties the DuckDB gate can't express (MinHash recall, SimHash
@@ -224,6 +224,55 @@ class ExtSpec extends SparkSpec {
       "nProbe=2 must join the boundary-straddling duplicates")
     // multi-probe adds edges, never removes: anchor clusters unchanged
     assert(multi.values.toSet.size === single.values.toSet.size - 1)
+  }
+
+  test("PQ: codes are in range, encode is pure, ADC recall beats floor") {
+    // deterministic clustered corpus: 120 vectors, dim 16, 4 planted
+    // centers with sin-jitter (no RNG — re-runs are bit-identical)
+    val dim = 16
+    val base = (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j =>
+        (c * 2.0 + 0.3 * math.sin(i * 7919.0 + j * 104729.0)).toFloat))
+    }
+    // 200 is an EXACT copy of 0: identical bytes ⇒ identical codes
+    val corpus = (base :+ ((200L, base.head._2)))
+      .toDF("vec_id", "embedding")
+    val cb = PQ.fitCodebook(corpus, "embedding", m = 4, k = 8,
+      fitFraction = 1.0)
+    assert(cb.size === 4 && cb.forall(_.size === 8)
+      && cb.forall(_.forall(_.size === 4)))
+    val codes = corpus.select($"vec_id",
+        PQ.encodeExpr($"embedding", cb).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 8)))
+    // identical vectors get identical codes (argmin determinism canary)
+    assert(codes(0L) === codes(200L))
+    // recall@10 of PQ-ADC vs EXACT euclidean top-10 for 6 queries
+    val queries = corpus.where($"vec_id" % 20 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val approx = PQ.topK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, cb)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = corpus.crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        aggregate(zip_with($"embedding", $"qvec",
+            (a, b) => (a.cast("double") - b.cast("double"))
+              * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy($"d2", $"vec_id")))
+      .where($"rn" <= 10)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      approx(q).intersect(ex).size.toDouble / ex.size }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5,
+      s"PQ recall@10 too low: $meanRecall (${recalls.toSeq.sorted})")
   }
 
   test("codec fallback decode is deterministic and batch-shaped") {
