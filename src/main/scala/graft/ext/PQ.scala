@@ -119,4 +119,46 @@ object PQ {
         Window.partitionBy("qid").orderBy(col("adist"), col("id"))))
       .where(col("rank") <= k)
   }
+
+  /** Full IVF-PQ: the coarse IVF quantizer
+    * ([[Similarity.assignCells]], seeded-sample fit) restricts each
+    * query's ADC scan to its `nProbe` nearest cells, and PQ codes stand
+    * in for the vectors inside them — the two published approximations
+    * composed, which is THE 100 TB ANN layout (a plain ADC sweep is
+    * still O(|corpus|) per query; cells cut it to ~nProbe/nCells of
+    * that). Candidate discovery is a bucketed equi-join on `cell`
+    * exactly like [[Similarity.ivfTopK]]; at `nProbe == nCells` the
+    * result equals [[topK]] for ANY quantizer (the probe-all
+    * invariant), which is what makes the sampled fit safe.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, cb: Codebook, nCells: Int = 16, nProbe: Int = 4,
+      fitFraction: Double = 0.1, minFitRows: Long = 256): DataFrame = {
+    val (assigned, centroids) = Similarity.assignCells(
+      corpus, idCol, vecCol, nCells, fitFraction, minFitRows)
+    // PQ codes ride the assigned frame — still a pure projection
+    val encoded = assigned.select(col("id"), col("cell"),
+      encodeExpr(col("vec"), cb).as("codes"))
+    // per-query nProbe nearest cells by exact euclidean distance to the
+    // centroid (ADC approximates euclidean, so the probe metric matches)
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .join(broadcast(centroids))
+      .withColumn("d2",
+        Similarity.dot(col("qvec"), col("qvec"))
+          - lit(2.0) * Similarity.dot(col("qvec"), col("centroid"))
+          + Similarity.dot(col("centroid"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select("qid", "qvec", "cell")
+    probes.join(encoded, "cell") // bucketed candidate join
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(adcDistExpr(col("qvec"), col("codes"), cb), 6).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("id"))))
+      .where(col("rank") <= k)
+  }
 }

@@ -183,15 +183,25 @@ object Similarity {
     * which is the LSH join radius used.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, bucketLength: Double = 1.0,
+      minCosine: Double, bucketLength: Double = 0.0,
       numTables: Int = 3): DataFrame = {
     val a = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("features", asFeatures(l2normalize(col("vec"))))
+    val radius = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    // Default bucket length SCALES WITH THE SEARCH RADIUS (4×r, floored
+    // for the r→0 exact-dup case). On normalized vectors every random
+    // projection is ~N(0,1), so a FIXED bucket length spreads the whole
+    // corpus over a constant number of buckets — at high thresholds the
+    // "LSH" self-join quietly degenerates to Σ|bucket|² ≈ |corpus|²/c
+    // (the r5 10× suite caught q40 at 81× for 10× data exactly this
+    // way). 4×r keeps per-table miss probability for a true pair at
+    // ~r/(4r) = 25%, i.e. ~1.6% after 3 tables, while bucket occupancy
+    // now shrinks as the threshold tightens.
+    val bl = if (bucketLength > 0) bucketLength else math.max(4 * radius, 0.05)
     val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setBucketLength(bl).setNumHashTables(numTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)
     val model = lsh.fit(a)
-    val radius = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
     model.approxSimilarityJoin(model.transform(a), model.transform(a),
         radius, "dist")
       .select(col("datasetA.id").as("id1"), col("datasetA.vec").as("vec1"),

@@ -273,6 +273,24 @@ class ExtSpec extends SparkSpec {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.5,
       s"PQ recall@10 too low: $meanRecall (${recalls.toSeq.sorted})")
+    // IVF-PQ composition: probe-all equals the plain ADC sweep exactly
+    // (for ANY quantizer — same invariant as ivfTopK probe-all), and a
+    // partial probe keeps most of the ADC ranking
+    val bruteAdc = PQ.topK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, cb)
+      .select($"qid", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    val probeAll = PQ.ivfPqTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, cb, nCells = 4, nProbe = 4,
+        fitFraction = 1.0)
+      .select($"qid", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(probeAll === bruteAdc)
+    val partial = PQ.ivfPqTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, cb, nCells = 4, nProbe = 2,
+        fitFraction = 1.0)
+      .select($"qid", $"rank", $"id").as[(Long, Int, Long)].collect().toSet
+    assert((partial & bruteAdc).size >= bruteAdc.size / 2,
+      s"partial-probe IVF-PQ lost too much: ${(partial & bruteAdc).size}" +
+        s"/${bruteAdc.size}")
   }
 
   test("codec fallback decode is deterministic and batch-shaped") {
