@@ -213,6 +213,14 @@ object WarehouseSql {
   private[sql] def rewriteReads(spark: SparkSession,
       plan: LogicalPlan): LogicalPlan =
     plan.transformDownWithSubqueries {
+      // CTE definitions at parse time live in UnresolvedWith's
+      // cteRelations TUPLES — not children, so no transform reaches
+      // them on its own: rewrite each body explicitly (recursively, so
+      // nested CTEs and their subqueries route too)
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, body, m) =>
+          (n, rewriteReads(spark, body).asInstanceOf[SubqueryAlias], m)
+        })
       case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
           if lookup(spark, r.multipartIdentifier).isDefined =>
         val (wh, table) = lookup(spark, r.multipartIdentifier).get

@@ -131,6 +131,33 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(val) FROM sdml_t").head().getDouble(0) === 15.0)
   }
 
+  test("VALUES insert, CTE reads, and non-registered names pass through") {
+    val wh = fresh()
+    // INSERT ... VALUES (inline table through the same append route)
+    spark.sql("INSERT INTO sdml_t VALUES (1, 'g1', 1.5), (2, 'g2', 2.5)")
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 2L)
+    // warehouse relations inside CTEs and subqueries route too
+    assert(spark.sql("""
+      WITH big AS (SELECT id, val FROM sdml_t WHERE val > 2)
+      SELECT count(*) FROM big
+        WHERE id IN (SELECT id FROM sdml_t)""").head().getLong(0) === 1L)
+    // a non-registered temp view keeps stock Spark semantics: reads work,
+    // DML against it fails in Spark's own analyzer (not our router)
+    Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("sdml_plain")
+    assert(spark.sql("SELECT count(*) FROM sdml_plain").head().getLong(0) === 1L)
+    // stock Spark rejects DML on a plain view (exception class varies
+    // by version; the point is it is NOT routed to any warehouse)
+    intercept[Exception] {
+      spark.sql("DELETE FROM sdml_plain WHERE id = 1")
+    }
+    // Delta-style maintenance syntax on unregistered names falls through
+    // to the delegate (which errors in its own way - never our router)
+    intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY sdml_plain")
+    }
+    assert(wh.history("t").size === 2) // bootstrap + one insert
+  }
+
   test("unsupported merge shapes fail at parse with a named limit") {
     fresh()
     srcView()
