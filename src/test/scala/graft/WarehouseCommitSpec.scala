@@ -363,6 +363,64 @@ class WarehouseCommitSpec extends SparkSpec {
     assert(wh.read("fact_space_weather").count() === 31L)
   }
 
+  test("delta manifests are observationally identical to full manifests") {
+    // DIFFERENTIAL: the same op sequence against checkpointInterval=10
+    // (delta chains) and =1 (the pre-delta full-per-commit behavior)
+    // must agree on every observable after every step — contents,
+    // versions, history ops, and time travel to every live version.
+    import org.apache.spark.sql.functions.col
+    val specs = Map("t" -> Warehouse.TableSpec(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))),
+      statColumns = Seq("id")))
+    val whs = Seq(10, 1).map { interval =>
+      val dir = Files.createTempDirectory(s"graft-diff$interval-").toString
+      val wh = new Warehouse(spark, dir, retainReplaced = true,
+        specs = specs, checkpointInterval = interval)
+      wh.bootstrap()
+      wh
+    }
+    import spark.implicits._
+    def batch(r: Range) = r.map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    val ops: Seq[Warehouse => Unit] = Seq(
+      _.append("t", batch(1 to 20)),
+      _.append("t", batch(21 to 40)),
+      { w => w.delete("t", col("id") % 7 === 0); () },
+      { w => w.update("t", col("id") < 5, Map("v" -> (col("v") + 100))); () },
+      _.merge("t", batch(35 to 50), Seq("id")),
+      { w => w.compact("t"); () },
+      _.append("t", batch(51 to 55)),
+      { w => w.mergeInto("t", batch(1 to 10), Seq("id"),
+          matchedDelete = Some(col("src_v") > 8),
+          matchedUpdate = Some((None, Map("v" -> col("src_v"))))); () },
+      _.restore("t", 5L),
+      _.append("t", batch(60 to 70)))
+    ops.zipWithIndex.foreach { case (op, i) =>
+      whs.foreach(op)
+      val Seq(a, b) = whs.map(w =>
+        w.read("t").as[(Long, Double)].collect().toSet)
+      assert(a === b, s"contents diverged after op $i")
+      val Seq(va, vb) = whs.map(_.versions("t"))
+      assert(va === vb, s"versions diverged after op $i")
+      val Seq(ha, hb) = whs.map(_.history("t").map(_._2.get("op")))
+      assert(ha === hb, s"history diverged after op $i")
+    }
+    // time travel to EVERY version agrees (delta chains reconstruct)
+    whs.head.versions("t").foreach { v =>
+      val Seq(a, b) = whs.map(w =>
+        w.readVersion("t", v).as[(Long, Double)].collect().toSet)
+      assert(a === b, s"time travel diverged at v$v")
+    }
+    // vacuum with materialization keeps both readable and equal
+    whs.foreach(_.vacuum("t", keepManifests = 2))
+    val Seq(fa, fb) = whs.map(w =>
+      w.read("t").as[(Long, Double)].collect().toSet)
+    assert(fa === fb, "contents diverged after vacuum")
+  }
+
   test("manifest versions advance and vacuum trims old ones") {
     val dir = Files.createTempDirectory("graft-vers-").toString
     val wh = new Warehouse(spark, dir)
