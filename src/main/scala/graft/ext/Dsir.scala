@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR) — the published
+  * recipe (Xie et al., NeurIPS 2023) for choosing raw-pool documents
+  * that LOOK LIKE a small target corpus: fit cheap bag-of-hashed-ngram
+  * language models on target and raw, weight every raw doc by the
+  * log-likelihood ratio, then draw a fixed-size sample ∝ the weights
+  * with the Gumbel top-k trick. The reference pipeline has no data
+  * selection at all (`/root/reference/script.py` ingests everything);
+  * this is the curation rung a training pipeline puts in front of
+  * expensive downstream processing.
+  *
+  * Everything is engine-replayable by construction:
+  *   - features are unigrams + bigrams hashed into `buckets` cells via
+  *     an md5 fold (NOT Spark's murmur3, which no oracle can replay);
+  *   - the Gumbel noise is a pure function of (id, salt): uniform u
+  *     from the first 8 md5 hex chars, g = -ln(-ln(u)) — the
+  *     [[Sampling]] determinism contract extended to weighted draws;
+  *   - scores round to 6 dp BEFORE the top-k boundary (the q84
+  *     convention), ties break on id.
+  *
+  * Scale shape: each model fit is ONE map-side-combined count shuffle
+  * whose result is bounded by `buckets` (NOT vocabulary — that is the
+  * point of hashing: the model table size is a constant chosen up
+  * front, whatever the corpus); scoring is a per-(doc, bucket) count
+  * aggregate joined against the two broadcast model tables and folded
+  * per doc; the draw is TakeOrdered (no global sort). Nothing is
+  * quadratic, no state lives on the driver.
+  */
+object Dsir {
+
+  /** Hashed feature id of a term: first 4 md5 hex chars → int, mod
+    * `buckets`. Uniform enough for LM features, trivially replayable.
+    */
+  def featureBucket(term: Column, buckets: Int): Column =
+    conv(substring(md5(term.cast("binary")), 1, 4), 16, 10)
+      .cast("long") % buckets
+
+  /** Per-doc hashed-ngram feature instances: unigram tokens plus
+    * consecutive-bigram shingles (the DSIR feature set), WITH
+    * multiplicity — counts matter to the likelihood.
+    */
+  def features(text: Column): Column =
+    concat(TextFunctions.tokens(text), TextFunctions.shingles(text, n = 2))
+
+  /** Hashed-ngram unigram-LM over feature buckets, add-one smoothed
+    * over the FIXED feature space: one row per OCCUPIED bucket with
+    * `logp = ln((c + 1) / (N + buckets))`; buckets never observed score
+    * the same formula at c = 0 via the scorer's fallback. Result is
+    * ≤ `buckets` rows — broadcastable by construction.
+    */
+  def fitHashedLm(corpus: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    val feats = corpus.select(
+      explode(features(col(textCol))).as("feat"))
+    val counts = feats
+      .select(featureBucket(col("feat"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).cast("double").as("_n_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log((col("c") + 1) / (col("_n_total") + buckets)).as("logp"),
+        col("_n_total"))
+  }
+
+  /** Per-doc importance log-weight under target model p and raw model
+    * q: Σ over the doc's feature instances of `ln p(b) - ln q(b)`.
+    * Folded from per-(doc, bucket) counts so the model joins see one
+    * row per distinct bucket per doc, not one per instance. Docs with
+    * zero features carry weight 0 (the empty product).
+    *
+    * Returns (idCol, n_features, log_weight) — log_weight UNROUNDED;
+    * callers round at their output boundary.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    val p = fitHashedLm(target, textCol, buckets)
+    val q = fitHashedLm(raw, textCol, buckets)
+    // unseen-bucket fallbacks ride as broadcast 1-row scalars (the
+    // LangModel.crossEntropy pattern): ln(1 / (N + B)) per model
+    val fb = p.agg(coalesce(max(col("_n_total")), lit(0.0)).as("_np"))
+      .crossJoin(q.agg(coalesce(max(col("_n_total")), lit(0.0)).as("_nq")))
+    val perBucket = raw
+      .select(col(idCol), explode(features(col(textCol))).as("feat"))
+      .select(col(idCol), featureBucket(col("feat"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+      .join(broadcast(p.select(col("bucket"), col("logp").as("_lpp"))),
+        Seq("bucket"), "left")
+      .join(broadcast(q.select(col("bucket"), col("logp").as("_lpq"))),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(fb))
+      .select(col(idCol), col("n"),
+        (coalesce(col("_lpp"), log(lit(1.0) / (col("_np") + buckets))) -
+          coalesce(col("_lpq"), log(lit(1.0) / (col("_nq") + buckets))))
+          .as("_llr"))
+    val weights = perBucket.groupBy(col(idCol))
+      .agg(sum(col("n")).cast("long").as("n_features"),
+        sum(col("n") * col("_llr")).as("log_weight"))
+    // empty docs never reach the explode; restore them at weight 0 so
+    // the resample is over the whole pool (they just never win)
+    raw.select(col(idCol)).join(weights, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
+
+  /** Deterministic Gumbel noise for id: u = (h + 0.5) / 2³², h the
+    * first 8 md5 hex chars of `id:salt`; g = -ln(-ln(u)). u ∈ (0, 1)
+    * strictly, so g is always finite.
+    */
+  def gumbel(id: Column, salt: String): Column = {
+    val h = conv(
+      substring(md5(concat(id.cast("string"), lit(":" + salt)).cast("binary")),
+        1, 8), 16, 10).cast("double")
+    -log(-log((h + 0.5) / 4294967296.0))
+  }
+
+  /** The DSIR draw: top-k raw docs by `log_weight + Gumbel(id, salt)` —
+    * a sample without replacement ∝ softmax of the importance weights,
+    * reproducible anywhere. Keys round to 6 dp before the cut; ties
+    * break on id. Output: (idCol, n_features, log_weight, sample_key).
+    */
+  def resample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 256,
+      salt: String = "dsir"): DataFrame =
+    importanceWeights(raw, target, idCol, textCol, buckets)
+      .select(col(idCol), col("n_features"),
+        round(col("log_weight"), 6).as("log_weight"),
+        round(col("log_weight") + gumbel(col(idCol), salt), 6)
+          .as("sample_key"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+}

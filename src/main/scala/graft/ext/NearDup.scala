@@ -386,6 +386,61 @@ object NearDup {
         min(col("_id")).as("min_doc"), max(col("_id")).as("max_doc"))
       .where(col("n_docs") >= minDocs)
 
+  /** C4-style duplicate-span SCRUB — the REMOVAL transform behind
+    * [[crossDocSpans]]'s detection (C4 deleted all but one occurrence
+    * of any three-sentence span repeated in the corpus; the unit here
+    * is the n-token span). Every occurrence of a span that appears
+    * more than once — across docs or within one — is removed except
+    * the globally FIRST occurrence (min (id, offset): deterministic,
+    * engine-replayable), where "removed" means every token position
+    * the occurrence covers is dropped; surviving tokens re-assemble in
+    * order. Overlapping duplicate occurrences remove the union of
+    * their positions.
+    *
+    * Scale shape: one shuffle of span occurrences (window partitioned
+    * by span — per-span cost is linear in its occurrence count, never
+    * pairwise), one distinct on removed (doc, pos), one anti-join
+    * against the token stream, one per-doc fold. A boilerplate-heavy
+    * corpus concentrates occurrences on few spans; the window still
+    * only sorts each span's occurrence list (the quadratic blowup of
+    * pair-joins on hot spans cannot happen here — removal needs rank,
+    * not pairs).
+    *
+    * Output: (idCol, n_tokens, n_kept, text_clean) for EVERY input
+    * doc — a fully-scrubbed doc keeps `text_clean = ""`.
+    */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // all span occurrences WITH their offset (postings() distincts and
+    // drops offsets — here each occurrence is individually removable)
+    val occ = docs.select(col(idCol).as("_id"),
+      posexplode(TextFunctions.shingles(col(textCol), n))
+        .as(Seq("_i", "_sh")))
+    val w = Window.partitionBy(col("_sh")).orderBy(col("_id"), col("_i"))
+    val removedPos = occ.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") >= 2) // rn ≥ 2 ⟺ non-first occurrence of a dup
+      .select(col("_id"),
+        explode(sequence(col("_i"), col("_i") + (n - 1))).as("_pos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val kept = toks.join(removedPos, Seq("_id", "_pos"), "left_anti")
+    // ordered reassembly: collect_list order is partition-dependent;
+    // array_sort on (pos, tok) structs restores the total token order
+    val agg = kept.groupBy(col("_id"))
+      .agg(count(lit(1)).as("_n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            s => s.getField("_tok")), " ").as("_text"))
+    docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(agg.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("_n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("_text"), lit("")).as("text_clean"))
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise similarity output (`jaccardPairs`, `minhashLshPairs`,
     * `Similarity.cosineNearDupPairs`) into dedup GROUPS: every document

@@ -1818,6 +1818,132 @@ object LlmQueries extends QueryPack {
           FROM scored)
         SELECT qid, id, adist, rank FROM ranked WHERE rank <= 10
         ORDER BY qid, rank"""
+      }),
+
+    // ---- q105: DSIR importance resampling (ext.Dsir) — pick the 50
+    // raw-pool docs that best match a target corpus (the zh subset) by
+    // hashed-ngram log-likelihood ratio, drawn with deterministic
+    // Gumbel top-k. Feature hashing is an md5 fold (replayable — never
+    // murmur3), Gumbel noise is a pure function of (doc_id, salt), and
+    // both the weight and the sample key round to 6 dp BEFORE the cut,
+    // so the oracle re-derives the exact sample: model fits (two
+    // bucket-bounded count aggregates), per-doc weight folds, noise,
+    // ranking — all under the hash gate. ----
+    Q("q105_docs_dsir_resample",
+      (s, dir) => {
+        val raw = fan(t(s, dir, "documents"))
+        graft.ext.Dsir.resample(raw, raw.where(col("lang") === "zh"),
+            "doc_id", "text", k = 50, buckets = 256, salt = "dsir")
+          .orderBy(col("sample_key").desc, col("doc_id"))
+      },
+      Some {
+        // hex-fold helpers: value of the first `w` md5 hex chars of `e`
+        def hexFold(e: String, w: Int) =
+          s"""CAST(list_sum(list_transform(range(1, ${w + 1}), i ->
+             (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)
+             * CAST(power(16, $w - i) AS BIGINT))) AS BIGINT)"""
+        s"""
+        WITH tk AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\\s+')
+                 END AS tk
+          FROM documents),
+        feats AS (
+          SELECT doc_id, lang,
+                 tk || list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i+1]) AS fs
+          FROM tk),
+        inst AS (
+          SELECT doc_id, lang, ${hexFold("f", 4)} % 256 AS bucket
+          FROM feats, UNNEST(fs) AS t(f)),
+        pc AS (SELECT bucket, count(*) AS c FROM inst
+               WHERE lang = 'zh' GROUP BY bucket),
+        qc AS (SELECT bucket, count(*) AS c FROM inst GROUP BY bucket),
+        pt AS (SELECT sum(c) * 1.0 AS n FROM pc),
+        qt AS (SELECT sum(c) * 1.0 AS n FROM qc),
+        db AS (SELECT doc_id, bucket, count(*) AS n
+               FROM inst GROUP BY doc_id, bucket),
+        w AS (
+          SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_features,
+                 sum(db.n * (
+                   coalesce(ln((pc.c + 1) / (pt.n + 256)),
+                            ln(1.0 / (pt.n + 256)))
+                   - coalesce(ln((qc.c + 1) / (qt.n + 256)),
+                              ln(1.0 / (qt.n + 256))))) AS lw
+          FROM db LEFT JOIN pc USING (bucket) LEFT JOIN qc USING (bucket)
+          CROSS JOIN pt CROSS JOIN qt
+          GROUP BY db.doc_id),
+        allw AS (
+          SELECT d.doc_id, coalesce(w.n_features, 0) AS n_features,
+                 coalesce(w.lw, 0.0) AS lw
+          FROM documents d LEFT JOIN w USING (doc_id)),
+        keyed AS (
+          SELECT doc_id, n_features, round(lw, 6) AS log_weight,
+                 round(lw + (-ln(-ln(
+                   (CAST(${hexFold("doc_id || ':dsir'", 8)} AS DOUBLE) + 0.5)
+                   / 4294967296.0))), 6) AS sample_key
+          FROM allw)
+        SELECT doc_id, n_features, log_weight, sample_key
+        FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50"""
+      }),
+
+    // ---- q106: C4-style duplicate-span SCRUB
+    // (NearDup.scrubRepeatedSpans) — the removal half of q71's
+    // detection: every non-first occurrence of a repeated 8-token span
+    // loses its covered tokens, and docs re-assemble from the
+    // survivors. On the near-dup fixture the mutants (original text +
+    // ' zq zq') scrub down to just their unique tail while every
+    // original survives intact — and the oracle replays occurrence
+    // ranking, position coverage, anti-join, and ordered reassembly
+    // relationally, so the whole transform sits under the hash gate
+    // (pure string/int arithmetic — no floats anywhere). ----
+    Q("q106_docs_scrub_spans",
+      (s, dir) => {
+        val docs = withNearDups(fan(t(s, dir, "documents")))
+        graft.ext.NearDup.scrubRepeatedSpans(docs, "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        val spanConcat = (0 until 8).map(o => s"tk[i+$o]")
+          .mkString(" || ' ' || ")
+        s"""
+        WITH u AS ($nearDupUnionSql),
+        tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\\s+')
+                 END AS tk
+          FROM u),
+        occ AS (
+          SELECT doc_id, i, $spanConcat AS sh
+          FROM tk, UNNEST(range(1, greatest(len(tk) - 6, 1))) AS t(i)),
+        marked AS (
+          SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY sh
+                                    ORDER BY doc_id, i) AS rn
+          FROM occ),
+        rem AS (
+          SELECT DISTINCT doc_id, p
+          FROM marked, UNNEST(range(i, i + 8)) AS t(p)
+          WHERE rn >= 2),
+        toks AS (
+          SELECT doc_id, p, tk[p] AS tok
+          FROM tk, UNNEST(range(1, len(tk) + 1)) AS t(p)),
+        kept AS (
+          SELECT t.doc_id, t.p, t.tok
+          FROM toks t LEFT JOIN rem r
+            ON r.doc_id = t.doc_id AND r.p = t.p
+          WHERE r.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY p) AS text_clean
+          FROM kept GROUP BY doc_id)
+        SELECT tk.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+               CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(agg.text_clean, '') AS text_clean
+        FROM tk LEFT JOIN agg USING (doc_id)
+        ORDER BY tk.doc_id"""
       })
   )
 

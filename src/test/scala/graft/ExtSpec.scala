@@ -702,4 +702,81 @@ class ExtSpec extends SparkSpec {
       (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0),
       (2L, 5L, 1), (3L, 5L, 1), (4L, 5L, 1)))
   }
+
+  test("scrubRepeatedSpans: non-first occurrences lose covered tokens") {
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 tail1 tail2"), // first occurrence — intact
+      (2L, "a1 a2 a3 a4 a5 uniq1 uniq2"), // repeats doc 1's 5-span
+      (3L, "a1 a2 a3 a4 a5"),             // exact span only → scrubs empty
+      (4L, "b1 b2 b3 b4 b5 b6 b7"),       // unique — intact
+      (5L, "")                            // empty — stays empty
+    ).toDF("doc_id", "text")
+    val out = graft.ext.NearDup
+      .scrubRepeatedSpans(corpus, "doc_id", "text", n = 5)
+      .select($"doc_id", $"n_tokens", $"n_kept", $"text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 7L, 7L, "a1 a2 a3 a4 a5 tail1 tail2")))
+    assert(out(2L) === ((2L, 7L, 2L, "uniq1 uniq2")))
+    assert(out(3L) === ((3L, 5L, 0L, "")))
+    assert(out(4L) === ((4L, 7L, 7L, "b1 b2 b3 b4 b5 b6 b7")))
+    assert(out(5L) === ((5L, 0L, 0L, "")))
+  }
+
+  test("scrubRepeatedSpans: overlapping dup occurrences remove the union") {
+    // doc 2 contains doc 1's span twice, overlapping itself at 'a1':
+    // occurrences at offsets 0 and 3 of "a1 a2 a3 a1 a2 a3" (n=3)
+    val corpus = Seq(
+      (1L, "a1 a2 a3"),
+      (2L, "a1 a2 a3 a1 a2 a3 t1")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.NearDup
+      .scrubRepeatedSpans(corpus, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_kept", $"text_clean")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, "a1 a2 a3")))
+    // every token of doc 2 covered by SOME non-first occurrence except t1
+    assert(out(2L) === ((2L, 1L, "t1")))
+  }
+
+  test("dsir: target-like docs get higher importance weight and the " +
+    "gumbel draw is deterministic") {
+    import graft.ext.Dsir
+    // two clearly-separated token distributions
+    val zhish = (0 until 30).map(i =>
+      (i.toLong, "zh", s"za zb zc zd z$i za zb"))
+    val enish = (30 until 60).map(i =>
+      (i.toLong, "en", s"ea eb ec ed e$i ea eb"))
+    val raw = (zhish ++ enish).toDF("doc_id", "lang", "text")
+    val target = raw.where($"lang" === "zh")
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .join(raw.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg($"log_weight").as("mw"))
+      .as[(String, Double)].collect().toMap
+    assert(w("zh") > w("en") + 1.0,
+      s"target-like docs must score clearly higher: $w")
+    val draw = Dsir.resample(raw, target, "doc_id", "text", k = 20)
+    val ids = draw.select("doc_id").as[Long].collect().toSet
+    // weighted draw: the zh half should dominate the selected 20
+    val nZh = ids.count(_ < 30)
+    assert(nZh >= 15, s"expected zh-heavy sample, got $nZh/20 zh")
+    // pure function of (corpus, salt): a second run draws identically
+    val ids2 = Dsir.resample(raw, target, "doc_id", "text", k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === ids2)
+    // a different salt redraws the noise (weights unchanged)
+    val ids3 = Dsir.resample(raw, target, "doc_id", "text", k = 20,
+      salt = "other").select("doc_id").as[Long].collect().toSet
+    assert(ids3 !== ids)
+  }
+
+  test("dsir: empty docs stay in the pool at weight zero") {
+    import graft.ext.Dsir
+    val raw = Seq((1L, "aa bb cc"), (2L, ""), (3L, "aa bb dd"))
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, raw.where($"doc_id" === 1), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w(2L) === ((2L, 0L, 0.0)))
+    assert(w.size === 3)
+  }
 }

@@ -71,6 +71,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("dsir cuts with TakeOrdered and broadcasts both LM tables (q105)") {
+    // the draw is top-k by sample key — a global sort-limit would sort
+    // the whole pool; the two hashed-LM model tables are bucket-bounded
+    // (≤ 256 rows) and must ride as broadcasts, pinned in Dsir
+    val p = plans("q105_docs_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("vocabulary-bounded grids broadcast, pinned (q91, q84)") {
     // naive-bayes scoring joins postings against the |vocab|×|classes|
     // likelihood grid; bm25 joins postings against per-term df — both
