@@ -1539,6 +1539,59 @@ object TleQueries extends QueryPack {
                  CAST(count(*) AS BIGINT)
           FROM mut WHERE ck IS NOT NULL
             AND ck NOT IN (SELECT c_custkey FROM customer))
-        ORDER BY "check" """))
+        ORDER BY "check" """)),
+
+    // ---- q107: INCREMENTAL VIEW MAINTENANCE from the change feed —
+    // the consumer contract of readChangeFeed under the hash gate: a
+    // (count, sum) aggregate materialized at an early snapshot is
+    // advanced by delta-folding ONE feed spanning append + UPDATE
+    // (retract pre-image, assert post-image) + DELETE (retract) +
+    // COMPACT (net zero), with no rescan of table history — and must
+    // equal the oracle's direct recompute of the final state. At
+    // 100 TB this is a view refresh costing O(changed partitions),
+    // not O(table). ----
+    Q("q107_warehouse_incremental_view",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q107-").toString
+        val schema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("val", DoubleType)))
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          retainReplaced = true,
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(schema,
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        val src = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+          col("o_totalprice").as("val"))
+        wh.append("t", src.where(col("id") % 3 === 0))
+        val snapV = wh.versions("t").max
+        val state0 = graft.pipeline.MaterializedView
+          .initAgg(wh.read("t"), Seq("grp"), "val").localCheckpoint()
+        wh.append("t", src.where(col("id") % 3 === 1))
+        wh.update("t", col("grp") === "g4", Map("val" -> (col("val") + 500.0)))
+        wh.delete("t", col("id") % 11 === 0)
+        wh.compact("t")
+        graft.pipeline.MaterializedView.foldAgg(state0,
+            wh.readChangeFeed("t", snapV), Seq("grp"), "val")
+          .select(col("grp"), col("n_rows"),
+            round(col("total"), 2).as("total"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS id, 'g' || (o_orderkey % 10) AS grp,
+                 o_totalprice AS "val"
+          FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        upd AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'g4' THEN "val" + 500 ELSE "val" END AS "val"
+          FROM src),
+        del AS (SELECT * FROM upd WHERE id % 11 <> 0)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum("val"), 2) AS total
+        FROM del GROUP BY grp ORDER BY grp"""))
   )
 }
