@@ -21,9 +21,16 @@ object Bench {
     // NUMERIC query order (q2 < q10 < q100): a plain string sort runs
     // q100 between q10 and q11, so its time landed in the truncated head
     // of the r4 bench artifact. Ties (same number) fall back to name.
-    val queries = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
-    }
+    // SPARK_GRAFT_ONLY=q105_..,q106_.. restricts the run — the isolated
+    // scaling-probe mode (same warm-up + min-of-two harness as the full
+    // artifact run, so probe numbers and BENCH numbers are comparable).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) =>
+        ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
+      }
     // Untimed warm-up of EVERY query (JIT + codegen + parquet footers), so
     // first-touch costs don't land on whichever query runs first.
     queries.foreach { case (_, fn) =>
