@@ -639,7 +639,11 @@ class Warehouse(spark: SparkSession, dir: String,
     * (legacy) directory is adopted by committing a manifest over its
     * current listing.
     */
-  def bootstrap(): Unit = tables.foreach { case (name, schema) =>
+  def bootstrap(): Unit =
+    tables.keys.foreach(bootstrapTable(_, Map.empty))
+
+  private def bootstrapTable(name: String,
+      extraMeta: Map[String, String]): Unit =
     if (loadLatest(name)._1 == 0L) {
       val p = new Path(path(name))
       val fs = fileSystem
@@ -649,14 +653,43 @@ class Warehouse(spark: SparkSession, dir: String,
             FileEntry(rel, bytes, Map.empty[String, (Long, Long)]) }
         else {
           val empty = spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], schema)
+            spark.sparkContext.emptyRDD[Row], tables(name))
           writeBatch(name, empty)
         }
       commit(name, 1L, entries,
-        Map("op" -> "bootstrap", "numFiles" -> entries.size.toString))
+        Map("op" -> "bootstrap", "numFiles" -> entries.size.toString)
+          ++ extraMeta)
       persistSpec(name)
     }
-  }
+
+  /** DDL: add a NEW table to this warehouse at runtime (the
+    * `CREATE TABLE` statement's engine half — [[bootstrap]] covers the
+    * declared-in-code layout; this covers schemas that arrive as DDL,
+    * like the reference's `CREATE TABLE IF NOT EXISTS` strings,
+    * script.py:77-83). Commits the empty v1 manifest and persists the
+    * spec like any bootstrapped table. Single-writer contract, like
+    * [[addColumn]].
+    *
+    * @param extraMeta recorded on the bootstrap commit (e.g. the
+    *   advisory `pk=` a PRIMARY KEY clause declares — surfaced by
+    *   DESCRIBE HISTORY; enforcement stays with the anti-join dedup /
+    *   uniqueness-audit surface, the documented reference trade)
+    * @return true if created; false if it already existed and
+    *   `ifNotExists` allowed that
+    */
+  def createTable(name: String, spec: Warehouse.TableSpec,
+      ifNotExists: Boolean = false,
+      extraMeta: Map[String, String] = Map.empty): Boolean =
+    if (specsNow.contains(name)) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"createTable: table $name already exists (CREATE TABLE IF NOT " +
+          "EXISTS makes this a no-op)")
+      false
+    } else {
+      specsNow = specsNow + (name -> spec)
+      bootstrapTable(name, extraMeta)
+      true
+    }
 
   /** Write the table's spec to `_meta/<name>.json` (tmp + rename) so
     * [[Warehouse.open]] and the `graft-warehouse` read formats can

@@ -1592,6 +1592,55 @@ object TleQueries extends QueryPack {
         del AS (SELECT * FROM upd WHERE id % 11 <> 0)
         SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
                round(sum("val"), 2) AS total
-        FROM del GROUP BY grp ORDER BY grp"""))
+        FROM del GROUP BY grp ORDER BY grp"""))  ,
+
+    // ---- q108: SQL DDL + the reference's EP3 ingest shape, statements
+    // only — CREATE TABLE (with the reference's PRIMARY KEY syntax,
+    // script.py:77-83) routed through the injected parser to
+    // Warehouse.createTable, then the fetch_space_weather load twice:
+    // full first load, then an overlapping second load inserting ONLY
+    // new dates via a NOT IN subquery that reads the same warehouse
+    // table (script.py:84-92's anti-join, as one SQL statement). The
+    // oracle recomputes the final table directly — any double-insert of
+    // the overlap, broken DDL routing, or stale subquery read breaks
+    // the hash. ----
+    Q("q108_warehouse_sql_ddl",
+      (s, dir) => {
+        val whDir = graft.util.Scratch.dir("graft-q108-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("ep3_")
+        t(s, dir, "orders").createOrReplaceTempView("ep3_orders_src")
+        s.sql("""CREATE TABLE IF NOT EXISTS ep3_fact_space_weather (
+                   date_utc DATE PRIMARY KEY,
+                   f10_7_flux DOUBLE
+                 )""")
+        s.sql("""
+          INSERT INTO ep3_fact_space_weather
+          SELECT CAST(o_orderdate AS DATE) AS date_utc,
+                 round(sum(o_totalprice) / 1000, 2) AS f10_7_flux
+          FROM ep3_orders_src WHERE year(o_orderdate) = 1995
+          GROUP BY CAST(o_orderdate AS DATE)
+        """)
+        s.sql("""
+          INSERT INTO ep3_fact_space_weather
+          SELECT CAST(o_orderdate AS DATE) AS date_utc,
+                 round(sum(o_totalprice) / 1000, 2) AS f10_7_flux
+          FROM ep3_orders_src
+          WHERE year(o_orderdate) IN (1995, 1996)
+            AND CAST(o_orderdate AS DATE) NOT IN
+                (SELECT date_utc FROM ep3_fact_space_weather)
+          GROUP BY CAST(o_orderdate AS DATE)
+        """)
+        s.sql("""SELECT date_utc, f10_7_flux FROM ep3_fact_space_weather
+                 ORDER BY date_utc""")
+      },
+      Some("""
+        SELECT CAST(o_orderdate AS DATE) AS date_utc,
+               round(sum(o_totalprice) / 1000, 2) AS f10_7_flux
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        GROUP BY CAST(o_orderdate AS DATE)
+        ORDER BY date_utc"""))
   )
 }

@@ -133,6 +133,26 @@ case class GraftRestoreCommand(wh: Warehouse, table: String, version: Long)
   }
 }
 
+/** `CREATE TABLE [IF NOT EXISTS] <prefix><t> (...)` →
+  * [[Warehouse!.createTable]], then re-registration so the new name
+  * routes for every following statement of the lifecycle. PK columns
+  * ride as advisory `pk=` commit metadata (DESCRIBE HISTORY shows
+  * them); `created=false` is the IF NOT EXISTS no-op.
+  */
+case class GraftCreateTableCommand(wh: Warehouse, table: String,
+    spec: Warehouse.TableSpec, ifNotExists: Boolean, pk: Seq[String],
+    prefix: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("created",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val created = wh.createTable(table, spec, ifNotExists,
+      if (pk.isEmpty) Map.empty else Map("pk" -> pk.mkString(",")))
+    WarehouseSql.register(spark, wh, prefix)
+    Seq(Row(created))
+  }
+}
+
 /** `VACUUM wh_t [RETAIN n VERSIONS]` → [[Warehouse!.vacuum]]. */
 case class GraftVacuumCommand(wh: Warehouse, table: String, keep: Int)
     extends LeafRunnableCommand {

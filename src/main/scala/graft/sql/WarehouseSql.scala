@@ -59,17 +59,27 @@ object WarehouseSql {
   private val registry =
     new ConcurrentHashMap[(String, String), (Warehouse, String)]()
 
+  /** (sessionUUID, prefix) → warehouse: which warehouse OWNS a name
+    * family — the route `CREATE TABLE <prefix><t>` needs, since its
+    * target name doesn't exist yet. An empty prefix (registerSql(""))
+    * claims every CREATE TABLE of the session — the mode that runs the
+    * reference's verbatim DDL.
+    */
+  private val prefixRegistry = new ConcurrentHashMap[(String, String), Warehouse]()
+
   /** Route `<prefix><table>` for every table of `wh` in `spark`'s
     * registry. Re-registration overwrites (latest warehouse wins) —
     * the registry holds the INSTANCE, so reads always resolve the
     * latest committed manifest at statement time, never a frozen
     * snapshot.
     */
-  def register(spark: SparkSession, wh: Warehouse, prefix: String = "wh_"): Unit =
+  def register(spark: SparkSession, wh: Warehouse, prefix: String = "wh_"): Unit = {
+    prefixRegistry.put((GraftBridge.sessionUUID(spark), prefix.toLowerCase), wh)
     wh.tables.keys.foreach { t =>
       registry.put((GraftBridge.sessionUUID(spark), (prefix + t).toLowerCase), (wh, t))
       ()
     }
+  }
 
   private[sql] def lookup(spark: SparkSession,
       ident: Seq[String]): Option[(Warehouse, String)] =
@@ -103,7 +113,103 @@ object WarehouseSql {
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftVacuumCommand(wh, t,
           Option(keep).map(_.toInt).getOrElse(2)) }
+    case _ => parseCreateTable(spark, sqlText)
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE TABLE — the reference's own DDL shape (script.py:77-83)
+  // ------------------------------------------------------------------
+
+  private val CreateTableHead =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)""".r
+
+  /** `CREATE TABLE [IF NOT EXISTS] <prefix><t> (col type [PRIMARY KEY],
+    * ..., [PRIMARY KEY (c, ...)]) [PARTITIONED BY (c, ...)]` →
+    * [[Warehouse!.createTable]]. The name routes by the longest
+    * registered warehouse PREFIX (the target itself doesn't exist yet).
+    * Column types parse through Spark's own DDL grammar after the
+    * PRIMARY KEY markers are stripped — so the reference's verbatim
+    * SQLite-dialect DDL runs. PK columns are recorded as advisory
+    * commit metadata (`pk=`, visible in DESCRIBE HISTORY); uniqueness
+    * enforcement remains the anti-join/audit surface, the documented
+    * trade. A matched prefix with a malformed body FAILS (no silent
+    * fall-through to the delegate's different CREATE TABLE semantics).
+    */
+  private[sql] def parseCreateTable(spark: SparkSession,
+      sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CreateTableHead(ine, name, rest) =>
+      prefixFor(spark, name).map { case (wh, prefix) =>
+        def fail(msg: String) = throw new IllegalArgumentException(
+          s"CREATE TABLE $name: $msg")
+        // balanced scan for the column list's closing paren (types like
+        // DECIMAL(10,2) nest parens, so no regex split)
+        var depth = 1
+        var i = 0
+        while (i < rest.length && depth > 0) {
+          rest.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth != 0) fail("unbalanced parentheses in column list")
+        val colsDdl = rest.substring(0, i - 1)
+        val tail = rest.substring(i)
+        val TailRe =
+          """(?is)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+        val partitionBy = tail match {
+          case TailRe(p) => Option(p).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim).filter(_.nonEmpty)
+          case _ => fail(s"unsupported clause after column list: '$tail' " +
+            "(only PARTITIONED BY (...) is supported)")
+        }
+        // split column defs on top-level commas only
+        val items = {
+          val out = Seq.newBuilder[String]
+          val sb = new StringBuilder
+          var d = 0
+          colsDdl.foreach {
+            case ',' if d == 0 => out += sb.result(); sb.clear()
+            case c =>
+              if (c == '(') d += 1 else if (c == ')') d -= 1
+              sb.append(c)
+          }
+          out += sb.result()
+          out.result().map(_.trim).filter(_.nonEmpty)
+        }
+        val TablePk = """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+        val ColPk = """(?is)(.*?)\s+PRIMARY\s+KEY\s*""".r
+        val pk = Seq.newBuilder[String]
+        val colDefs = items.flatMap {
+          case TablePk(cols) =>
+            pk ++= cols.split(",").map(_.trim).filter(_.nonEmpty); None
+          case ColPk(colDef) =>
+            pk += colDef.trim.split("\\s+").head; Some(colDef)
+          case colDef => Some(colDef)
+        }
+        if (colDefs.isEmpty) fail("no columns")
+        val schema =
+          try org.apache.spark.sql.types.StructType.fromDDL(colDefs.mkString(", "))
+          catch { case e: Exception => fail(s"cannot parse columns: ${e.getMessage}") }
+        GraftCreateTableCommand(wh, name.drop(prefix.length),
+          Warehouse.TableSpec(schema, partitionBy = partitionBy),
+          ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
+      }
     case _ => None
+  }
+
+  /** Longest registered prefix of `name` for this session (the table
+    * part must be nonempty). */
+  private def prefixFor(spark: SparkSession,
+      name: String): Option[(Warehouse, String)] = {
+    val uuid = GraftBridge.sessionUUID(spark)
+    val lower = name.toLowerCase
+    import scala.jdk.CollectionConverters._
+    prefixRegistry.asScala.collect {
+      case ((u, p), wh) if u == uuid && lower.startsWith(p) &&
+          lower.length > p.length => (wh, p)
+    }.toSeq.sortBy(-_._2.length).headOption
   }
 
   // ------------------------------------------------------------------

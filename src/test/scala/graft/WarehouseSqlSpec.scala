@@ -191,4 +191,66 @@ class WarehouseSqlSpec extends SparkSpec {
     }
     assert(overwrite.getMessage.contains("INSERT OVERWRITE"))
   }
+
+  test("CREATE TABLE: DDL creates, routes, partitions, and is idempotent") {
+    val wh = fresh()
+    srcView()
+    val created = spark.sql(
+      """CREATE TABLE sdml_events (
+           ev_id BIGINT, kind STRING, score DECIMAL(10,2),
+           PRIMARY KEY (ev_id)
+         ) PARTITIONED BY (kind)""").head().getBoolean(0)
+    assert(created)
+    // the new name routes immediately — full DML lifecycle via SQL only
+    spark.sql("INSERT INTO sdml_events " +
+      "SELECT id, grp, CAST(val AS DECIMAL(10,2)) FROM sdml_src")
+    assert(spark.sql("SELECT count(*) FROM sdml_events").head().getLong(0) === 20L)
+    assert(wh.partitioning("events") === Seq("kind"))
+    // the partition layout is real: per-kind row counts survive it
+    assert(wh.read("events").where($"kind" === "g1").count() === 7L)
+    // PK advisory metadata surfaces in DESCRIBE HISTORY
+    val hist = spark.sql("DESCRIBE HISTORY sdml_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(hist.exists { case (v, op, d) =>
+      op == "bootstrap" && d.contains("pk=ev_id") })
+    // IF NOT EXISTS: second create is a visible no-op
+    assert(!spark.sql("CREATE TABLE IF NOT EXISTS sdml_events (x INT)")
+      .head().getBoolean(0))
+    // without IF NOT EXISTS: fail fast
+    val dup = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE sdml_events (x INT)")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    // malformed body with a matched prefix fails loudly, never silently
+    // falling through to the delegate's catalog CREATE TABLE
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE sdml_bad (a INT) USING parquet")
+    }
+    assert(bad.getMessage.contains("unsupported clause"))
+  }
+
+  test("CREATE TABLE: the reference's verbatim DDL runs (empty prefix)") {
+    val dir = Files.createTempDirectory("graft-sqlddl-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map.empty[String, Warehouse.TableSpec])
+    wh.registerSql("") // claim unprefixed DDL for this warehouse
+    // /root/reference/script.py:77-82, character for character
+    spark.sql("""
+                CREATE TABLE IF NOT EXISTS fact_space_weather (
+                    date_utc DATE PRIMARY KEY,
+                    f10_7_flux FLOAT
+                );
+            """)
+    assert(wh.tables("fact_space_weather").fieldNames.toSeq ===
+      Seq("date_utc", "f10_7_flux"))
+    spark.sql("INSERT INTO fact_space_weather VALUES " +
+      "(DATE'2026-01-01', CAST(101.5 AS FLOAT))")
+    assert(spark.sql("SELECT f10_7_flux FROM fact_space_weather")
+      .head().getFloat(0) === 101.5f)
+    // re-running the reference's idempotent DDL is a no-op
+    spark.sql("CREATE TABLE IF NOT EXISTS fact_space_weather " +
+      "(date_utc DATE PRIMARY KEY, f10_7_flux FLOAT);")
+    assert(spark.sql("SELECT count(*) FROM fact_space_weather")
+      .head().getLong(0) === 1L)
+  }
 }
