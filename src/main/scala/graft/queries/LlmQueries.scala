@@ -1944,7 +1944,68 @@ object LlmQueries extends QueryPack {
                coalesce(agg.text_clean, '') AS text_clean
         FROM tk LEFT JOIN agg USING (doc_id)
         ORDER BY tk.doc_id"""
-      })
+      }),
+
+    // ---- q109: the Gopher quality-rule ladder (QualityRules) — five
+    // named pass/fail predicates per doc (word-count bounds, mean word
+    // length, symbol ratio, alphabetic-token ratio, stopword presence),
+    // a conjunctive keep verdict, and FIRST-failing-rule attribution —
+    // the per-rule tuning signal a blended score (q35) can't give. All
+    // pure codegen'd row expressions on the scan; the oracle replays
+    // every predicate and the attribution order. ----
+    Q("q109_docs_gopher_rules",
+      (s, dir) => {
+        import graft.ext.QualityRules
+        val docs = fan(t(s, dir, "documents"))
+        QualityRules.evaluate(docs, "text",
+            QualityRules.gopher(col("text")))
+          .select(col("doc_id"), col("word_count"),
+            col("mean_word_length"), col("symbol_to_word_ratio"),
+            col("alpha_word_ratio"), col("stopword_hits"),
+            col("keep"), col("first_fail"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(tk) AS n,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                   / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS mean_len,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS sym_ratio,
+                 CAST(len(list_filter(tk,
+                        t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                   / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS alpha_ratio,
+                 len(list_filter(tk, t -> t IN
+                   ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stops
+          FROM tk),
+        flags AS (
+          SELECT doc_id,
+                 (n >= 50 AND n <= 100000) AS word_count,
+                 (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_length,
+                 (sym_ratio <= 0.1) AS symbol_to_word_ratio,
+                 (alpha_ratio >= 0.8) AS alpha_word_ratio,
+                 (stops >= 2) AS stopword_hits
+          FROM m)
+        SELECT doc_id, word_count, mean_word_length, symbol_to_word_ratio,
+               alpha_word_ratio, stopword_hits,
+               (word_count AND mean_word_length AND symbol_to_word_ratio
+                AND alpha_word_ratio AND stopword_hits) AS keep,
+               CASE WHEN NOT word_count THEN 'word_count'
+                    WHEN NOT mean_word_length THEN 'mean_word_length'
+                    WHEN NOT symbol_to_word_ratio THEN 'symbol_to_word_ratio'
+                    WHEN NOT alpha_word_ratio THEN 'alpha_word_ratio'
+                    WHEN NOT stopword_hits THEN 'stopword_hits'
+                    ELSE NULL END AS first_fail
+        FROM flags
+        ORDER BY doc_id"""))
   )
 
   /** q104's fixed PQ codebook: 4 subspaces × 4 centroids × 16 dims of

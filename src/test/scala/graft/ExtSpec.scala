@@ -770,6 +770,31 @@ class ExtSpec extends SparkSpec {
     assert(ids3 !== ids)
   }
 
+  test("gopher rules: per-rule flags, conjunctive keep, first-fail order") {
+    import graft.ext.QualityRules
+    def filler(n: Int) = (1 to n).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"the a ${filler(48)}"),                 // all rules pass
+      (2L, "the a short doc"),                      // fails word_count first
+      (3L, s"xx ${filler(49)}"),                    // fails stopword_hits only
+      (4L, ("the a " + (1 to 48).map(_ => "hyperlongtokenxyz").mkString(" ")))
+                                                    // fails mean_word_length
+    ).toDF("doc_id", "text")
+    val out = QualityRules.evaluate(corpus, "text",
+        QualityRules.gopher(col("text")))
+      .select($"doc_id", $"keep", $"first_fail")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, true, null)))
+    assert(out(2L) === ((2L, false, "word_count")))
+    assert(out(3L) === ((3L, false, "stopword_hits")))
+    assert(out(4L) === ((4L, false, "mean_word_length")))
+    val report = QualityRules.killReport(
+        QualityRules.evaluate(corpus, "text", QualityRules.gopher(col("text"))))
+      .as[(String, Long)].collect().toMap
+    assert(report === Map("(kept)" -> 1L, "word_count" -> 1L,
+      "stopword_hits" -> 1L, "mean_word_length" -> 1L))
+  }
+
   test("dsir: empty docs stay in the pool at weight zero") {
     import graft.ext.Dsir
     val raw = Seq((1L, "aa bb cc"), (2L, ""), (3L, "aa bb dd"))
