@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.types.{DateType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
 
 import graft.schema.Schemas
 import graft.util.FsListing
@@ -1241,6 +1241,68 @@ class Warehouse(spark: SparkSession, dir: String,
     if (!retainReplaced) gc(name, replaced)
     val after = fresh.count(e => fragmented.contains(dirOf(e.rel)))
     (fragmented.size, before, after.toLong)
+  }
+
+  /** Delta's `OPTIMIZE [ZORDER BY (...)]` as one call: [[compact]],
+    * with the z-order clustering key DERIVED — callers name raw
+    * columns and the engine normalizes them into [[ZOrder.interleaveN]]
+    * range (non-negative, bitsPer bits) by linear min/max scaling.
+    * Bounds come from manifest footer stats when the column is a
+    * declared stat column (METADATA-only — no data read), else from one
+    * min/max aggregate over the table (which the manifest-planned scan
+    * prunes as usual). The bounds land as plan literals, so the rewrite
+    * itself stays one clustered sort — the shape of the caller-
+    * normalized [[compact]] path, minus the caller's homework.
+    *
+    * Supported z-order types: integral, timestamp (µs), date (days) —
+    * the same lossless long encodings the manifest stats use. Nulls
+    * sort first (layout-only effect, never a result change).
+    */
+  def optimize(name: String, zorderBy: Seq[String] = Nil,
+      targetBytes: Long = 128L * 1024 * 1024,
+      rowsPerFile: Long = 0): (Int, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, datediff, floor, lit, max => smax, min => smin, to_date, unix_micros}
+    if (zorderBy.isEmpty) return compact(name, targetBytes, rowsPerFile)
+    val schema = tables(name)
+    val parts = partitioning(name)
+    zorderBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"optimize $name: no column $c")
+      require(!parts.contains(c),
+        s"optimize $name: $c is a partition column (directory-pruned " +
+          "exactly already; z-order the in-partition dimensions)")
+    }
+    def enc(c: String): org.apache.spark.sql.Column =
+      schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c).cast("long")
+        case TimestampType => unix_micros(col(c))
+        case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
+        case t => throw new IllegalArgumentException(
+          s"optimize $name ZORDER BY $c: unsupported type $t " +
+            "(integral, timestamp, date)")
+      }
+    val (_, entries) = loadLatest(name)
+    val bounds: Map[String, (Long, Long)] = zorderBy.map { c =>
+      val fromStats =
+        if (entries.nonEmpty && entries.forall(_.stats.contains(c)))
+          Some(entries.map(_.stats(c))
+            .reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2))))
+        else None
+      c -> fromStats.getOrElse {
+        val r = dfFor(name, entries).agg(smin(enc(c)), smax(enc(c))).head()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
+    }.toMap
+    val bitsPer = math.min(16, 63 / zorderBy.size)
+    val dims = zorderBy.map { c =>
+      val (lo, hi) = bounds(c)
+      val scale = ((1L << bitsPer) - 1).toDouble /
+        math.max(hi - lo, 1L).toDouble
+      floor((enc(c).cast("double") - lo.toDouble) * scale).cast("long")
+    }
+    compact(name, targetBytes, rowsPerFile,
+      clusterBy = Seq(graft.functions.ZOrder.interleaveN(dims, bitsPer)))
   }
 
   /** The live files that CONTAIN rows matching `cond` — the unit a

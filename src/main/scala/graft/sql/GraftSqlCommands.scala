@@ -153,6 +153,22 @@ case class GraftCreateTableCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `OPTIMIZE wh_t [ZORDER BY (c, ...)]` → [[Warehouse!.optimize]]:
+  * compaction, optionally clustered by the engine-normalized z-order
+  * key over the named columns.
+  */
+case class GraftOptimizeCommand(wh: Warehouse, table: String,
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partitions_rewritten", LongType, nullable = false)(),
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (p, before, after) = wh.optimize(table, zorderBy)
+    Seq(Row(p.toLong, before, after))
+  }
+}
+
 /** `VACUUM wh_t [RETAIN n VERSIONS]` → [[Warehouse!.vacuum]]. */
 case class GraftVacuumCommand(wh: Warehouse, table: String, keep: Int)
     extends LeafRunnableCommand {

@@ -27,6 +27,9 @@ import graft.pipeline.Warehouse
   *   - `DESCRIBE HISTORY wh_t`                  → [[Warehouse!.history]]
   *   - `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]
   *   - `VACUUM wh_t [RETAIN n VERSIONS]`        → [[Warehouse!.vacuum]]
+  *   - `OPTIMIZE wh_t [ZORDER BY (c, ...)]`     → [[Warehouse!.optimize]]
+  *   - `CREATE TABLE [IF NOT EXISTS] wh_t (...)` → [[Warehouse!.createTable]]
+  *     (routed by registered PREFIX — see [[parseCreateTable]])
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -97,6 +100,8 @@ object WarehouseSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -113,6 +118,11 @@ object WarehouseSql {
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftVacuumCommand(wh, t,
           Option(keep).map(_.toInt).getOrElse(2)) }
+    case OptimizeStmt(name, zcols) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftOptimizeCommand(wh, t,
+          Option(zcols).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim).filter(_.nonEmpty)) }
     case _ => parseCreateTable(spark, sqlText)
   }
 

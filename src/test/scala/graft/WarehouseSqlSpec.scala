@@ -229,6 +229,27 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("unsupported clause"))
   }
 
+  test("OPTIMIZE statement compacts; ZORDER BY variant re-clusters") {
+    val wh = fresh()
+    srcView()
+    // two appends → two files; plain OPTIMIZE folds them into one
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 10")
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id > 10")
+    val r = spark.sql("OPTIMIZE sdml_t").head()
+    assert(r.getLong(1) > r.getLong(2) && r.getLong(2) === 1L,
+      s"expected many files -> 1, got $r")
+    // the z-order variant routes through the same statement; results
+    // unchanged (layout-only), table still fully readable
+    spark.sql("OPTIMIZE sdml_t ZORDER BY (id)")
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 20L)
+    assert(spark.sql("SELECT sum(id) FROM sdml_t").head().getLong(0) === 210L)
+    // unsupported z-order type fails with a named limit
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE sdml_t ZORDER BY (grp)")
+    }
+    assert(bad.getMessage.contains("unsupported type"))
+  }
+
   test("CREATE TABLE: the reference's verbatim DDL runs (empty prefix)") {
     val dir = Files.createTempDirectory("graft-sqlddl-").toString
     val wh = new Warehouse(spark, dir,

@@ -73,6 +73,47 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.sql("SELECT z_interleave(5L, 9L)").head().getLong(0) === 147L)
   }
 
+  test("optimize(zorderBy) auto-normalizes raw dimensions from stats") {
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    val grid = spark.range(0L, 64L * 64L).select(
+      ($"id" % 64).cast("int").as("norad_id"),
+      expr(s"timestamp_micros(${base.toEpochMilli * 1000L} + (id div 64) * 60000000)")
+        .as("epoch_utc"),
+      lit(Timestamp.from(base)).as("fetched_at_utc"),
+      lit(1.0).as("inclination"), lit(2.0).as("raan"),
+      lit(3.0).as("eccentricity"), lit(4.0).as("arg_perigee"),
+      lit(5.0).as("mean_anomaly"), lit(15.0).as("mean_motion"),
+      lit(0.1).as("b_star_drag"), lit(100).as("rev_number"),
+      lit(java.sql.Date.valueOf("2026-01-01")).as("epoch_date"))
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      df.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    val dir = Files.createTempDirectory("graft-opt-").toString
+    val wh = new Warehouse(spark, dir)
+    wh.bootstrap()
+    wh.append("fact_telemetry", grid)
+    // both dims are DECLARED stat columns, so bounds come from the
+    // manifest (no data scan); epoch_utc is raw absolute micros
+    // (~1.7e18) — exactly what the caller-normalized API couldn't take
+    val (_, before, after) =
+      wh.optimize("fact_telemetry", Seq("norad_id", "epoch_utc"),
+        rowsPerFile = 1024)
+    assert(after === 4L, s"expected 4 z files, got $after (before $before)")
+    // half-range predicates on EITHER dimension touch 2 of 4 files
+    assert(filesRead(wh.read("fact_telemetry")
+      .where($"norad_id" < 32)) === 2L)
+    assert(filesRead(wh.read("fact_telemetry")
+      .where($"epoch_utc" < Timestamp.from(base.plusSeconds(32 * 60)))) === 2L)
+    // partition columns are rejected (already directory-pruned)
+    intercept[IllegalArgumentException] {
+      wh.optimize("fact_telemetry", Seq("epoch_date"))
+    }
+  }
+
   test("z-clustered compaction skips files on both dimensions") {
     val base = Instant.parse("2026-01-01T00:00:00Z")
     // a 64x64 grid over one date partition: norad 0..63, minute 0..63,
