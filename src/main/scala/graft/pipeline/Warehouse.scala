@@ -713,6 +713,10 @@ class Warehouse(spark: SparkSession, dir: String,
       node.put("bloomExpectedItems", spec.bloomExpectedItems)
       node.put("bloomFpp", spec.bloomFpp)
     }
+    if (spec.checks.nonEmpty) {
+      val ck = node.putObject("checks")
+      spec.checks.toSeq.sortBy(_._1).foreach { case (n, e) => ck.put(n, e) }
+    }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(m.writeValueAsString(node)
@@ -890,6 +894,7 @@ class Warehouse(spark: SparkSession, dir: String,
       txnWatermarks(name, headVersion).get(s"txn_$q").exists(_.toLong >= e)
     }
     if (replayed(v)) return
+    enforceChecks(name, df)
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -976,6 +981,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val merged = dfFor(name, replaced)
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(schemaCols.map(col): _*))
+    enforceChecks(name, updates.select(schemaCols.map(col): _*))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -1068,6 +1074,7 @@ class Warehouse(spark: SparkSession, dir: String,
           .select(schema.fieldNames.toSeq.map(col): _*)
         survived.unionByName(inserts)
     }
+    enforceChecks(name, merged) // clause results are NEW values: check all
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -1393,6 +1400,7 @@ class Warehouse(spark: SparkSession, dir: String,
         case None => col(f.name)
       }
     }: _*)
+    enforceChecks(name, rewritten) // SET results are NEW values: check all
     val fresh = writeBatch(name, rewritten)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -1479,6 +1487,60 @@ class Warehouse(spark: SparkSession, dir: String,
     require(!spec.schema.fieldNames.contains(field.name),
       s"addColumn: $name.${field.name} already exists")
     specsNow = specsNow.updated(name, spec.copy(schema = spec.schema.add(field)))
+    persistSpec(name)
+  }
+
+  /** Enforce the table's CHECK constraints on rows about to be written:
+    * one aggregate pass over `df` counting violations of every check at
+    * once (SQL semantics — NULL passes, only FALSE violates), throwing
+    * [[Warehouse.CheckViolation]] for the first violated check in name
+    * order. Costs one extra evaluation of the batch when checks exist
+    * (the Delta trade); content-invariant rewrites (compaction) and
+    * survivor re-writes (delete) skip it — their rows were checked when
+    * first written.
+    */
+  private def enforceChecks(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val checks = specsNow(name).checks.toSeq.sortBy(_._1)
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (n, e) =>
+      sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch
+      if (v > 0L) throw Warehouse.CheckViolation(name, n, e, v)
+    }
+  }
+
+  /** DDL: declare a CHECK constraint. Validates the expression against
+    * the CURRENT data first (one aggregate over the manifest-planned
+    * scan — existing rows must satisfy a new constraint, the Delta
+    * `ALTER TABLE ADD CONSTRAINT` contract), then persists it in
+    * `_meta/` so reopened warehouses enforce it too. Single-writer
+    * contract, like [[addColumn]].
+    */
+  def addCheck(name: String, checkName: String, exprSql: String): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"addCheck: no table $name"))
+    require(!spec.checks.contains(checkName),
+      s"addCheck: $name already has constraint $checkName")
+    val probe = specsNow.updated(name,
+      spec.copy(checks = spec.checks + (checkName -> exprSql)))
+    val prev = specsNow
+    specsNow = probe
+    try enforceChecks(name, read(name))
+    catch { case t: Throwable => specsNow = prev; throw t }
+    persistSpec(name)
+  }
+
+  /** DDL: drop a CHECK constraint. */
+  def dropCheck(name: String, checkName: String): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"dropCheck: no table $name"))
+    require(spec.checks.contains(checkName),
+      s"dropCheck: $name has no constraint $checkName")
+    specsNow = specsNow.updated(name,
+      spec.copy(checks = spec.checks - checkName))
     persistSpec(name)
   }
 
@@ -1572,10 +1634,21 @@ object Warehouse {
     *   encode at all). Sidecar size ≈ 1.2 · items · ln(1/fpp) bits per
     *   file per column — the Delta bloom-index trade.
     */
+  /** Thrown when a write would violate a declared CHECK constraint; the
+    * commit never happens (the staged files are garbage the next vacuum
+    * sweeps).
+    */
+  final case class CheckViolation(table: String, check: String,
+      expr: String, violations: Long)
+      extends RuntimeException(
+        s"CHECK constraint '$check' on $table violated by $violations " +
+          s"row(s): $expr")
+
   final case class TableSpec(schema: StructType,
       partitionBy: Seq[String] = Nil, statColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
-      bloomExpectedItems: Long = 1000000L, bloomFpp: Double = 0.03) {
+      bloomExpectedItems: Long = 1000000L, bloomFpp: Double = 0.03,
+      checks: Map[String, String] = Map.empty) {
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
     bloomColumns.foreach { c =>
@@ -1639,6 +1712,14 @@ object Warehouse {
             while (it.hasNext) buf += it.next().asText()
             buf.toSeq
           }
+          val checks =
+            if (!node.has("checks")) Map.empty[String, String]
+            else {
+              val buf = scala.collection.mutable.LinkedHashMap.empty[String, String]
+              node.get("checks").fields().forEachRemaining { e =>
+                buf += e.getKey -> e.getValue.asText() }
+              buf.toMap
+            }
           st.getPath.getName.stripSuffix(".json") -> TableSpec(
             org.apache.spark.sql.types.DataType
               .fromJson(node.get("schema").asText()).asInstanceOf[StructType],
@@ -1647,7 +1728,8 @@ object Warehouse {
             if (node.has("bloomExpectedItems"))
               node.get("bloomExpectedItems").asLong() else 1000000L,
             if (node.has("bloomFpp")) node.get("bloomFpp").asDouble()
-            else 0.03)
+            else 0.03,
+            checks)
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

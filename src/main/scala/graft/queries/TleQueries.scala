@@ -1641,6 +1641,60 @@ object TleQueries extends QueryPack {
         FROM orders
         WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
         GROUP BY CAST(o_orderdate AS DATE)
-        ORDER BY date_utc"""))
+        ORDER BY date_utc"""))  ,
+
+    // ---- q110: CHECK constraints under the gate — ALTER TABLE ADD
+    // CONSTRAINT declares an invariant, then two statements that would
+    // violate it (a batch with planted bad rows, an UPDATE whose SET
+    // result breaks the cap) are REJECTED atomically while compliant
+    // DML lands. The hash is the enforcement proof: if a violating
+    // write ever committed (or a valid one were wrongly blocked), the
+    // final table would differ from the oracle's valid-rows-only
+    // recompute. ----
+    Q("q110_warehouse_check_constraints",
+      (s, dir) => {
+        val whDir = graft.util.Scratch.dir("graft-q110-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("chk110_")
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+            // plant violations: every 13th row arrives negated
+            when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("val"))
+          .createOrReplaceTempView("chk110_src")
+        s.sql("""CREATE TABLE chk110_t (
+                   id BIGINT, grp STRING, val DOUBLE)""")
+        s.sql("ALTER TABLE chk110_t ADD CONSTRAINT val_nonneg " +
+          "CHECK (val >= 0)")
+        s.sql("INSERT INTO chk110_t SELECT * FROM chk110_src " +
+          "WHERE val >= 0") // compliant load lands
+        try { // the dirty batch must be rejected whole
+          s.sql("INSERT INTO chk110_t SELECT * FROM chk110_src " +
+            "WHERE id % 2 = 0")
+        } catch { case _: graft.pipeline.Warehouse.CheckViolation => () }
+        try { // SET result would break the invariant on matching rows
+          s.sql("UPDATE chk110_t SET val = val - 2000000 WHERE grp = 'g7'")
+        } catch { case _: graft.pipeline.Warehouse.CheckViolation => () }
+        s.sql("UPDATE chk110_t SET val = val + 1 WHERE grp = 'g5'")
+        s.sql("""SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+                        round(sum(val), 2) AS total
+                 FROM chk110_t GROUP BY grp ORDER BY grp""")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS id, 'g' || (o_orderkey % 10) AS grp,
+                 CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice
+                      ELSE o_totalprice END AS "val"
+          FROM orders),
+        kept AS (SELECT * FROM src WHERE "val" >= 0),
+        upd AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'g5' THEN "val" + 1 ELSE "val" END AS "val"
+          FROM kept)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum("val"), 2) AS total
+        FROM upd GROUP BY grp ORDER BY grp"""))
   )
 }

@@ -153,6 +153,22 @@ case class GraftCreateTableCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `ALTER TABLE wh_t ADD CONSTRAINT n CHECK (expr)` →
+  * [[Warehouse!.addCheck]] (expr = Some); `... DROP CONSTRAINT n` →
+  * [[Warehouse!.dropCheck]] (expr = None).
+  */
+case class GraftCheckCommand(wh: Warehouse, table: String,
+    check: String, expr: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    expr match {
+      case Some(e) => wh.addCheck(table, check, e)
+      case None => wh.dropCheck(table, check)
+    }
+    Seq.empty
+  }
+}
+
 /** `OPTIMIZE wh_t [ZORDER BY (c, ...)]` → [[Warehouse!.optimize]]:
   * compaction, optionally clustered by the engine-normalized z-order
   * key over the named columns.

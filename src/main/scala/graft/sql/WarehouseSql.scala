@@ -30,6 +30,8 @@ import graft.pipeline.Warehouse
   *   - `OPTIMIZE wh_t [ZORDER BY (c, ...)]`     → [[Warehouse!.optimize]]
   *   - `CREATE TABLE [IF NOT EXISTS] wh_t (...)` → [[Warehouse!.createTable]]
   *     (routed by registered PREFIX — see [[parseCreateTable]])
+  *   - `ALTER TABLE wh_t ADD CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT n`
+  *     → [[Warehouse!.addCheck]] / [[Warehouse!.dropCheck]]
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -102,6 +104,10 @@ object WarehouseSql {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val AddCheckStmt = // greedy (.*) + final \) = balanced to the end
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*""".r
+  private val DropCheckStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -123,6 +129,12 @@ object WarehouseSql {
         GraftOptimizeCommand(wh, t,
           Option(zcols).toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim).filter(_.nonEmpty)) }
+    case AddCheckStmt(name, check, e) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftCheckCommand(wh, t, check, Some(e.trim)) }
+    case DropCheckStmt(name, check) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftCheckCommand(wh, t, check, None) }
     case _ => parseCreateTable(spark, sqlText)
   }
 
