@@ -949,6 +949,39 @@ class Warehouse(spark: SparkSession, dir: String,
     *     `epoch_date` = date(epoch_utc)): a key can then never "move"
     *     partitions, so replaced rows always live in touched partitions.
     */
+  /** Atomic REPLACE of the table's contents (SQL `INSERT OVERWRITE`,
+    * pandas' `if_exists='replace'`): write `df` as new files, commit a
+    * manifest referencing ONLY them. One commit — readers see the old
+    * snapshot until the manifest flips, and time travel keeps the
+    * replaced version readable under the usual retention. Concurrency:
+    * an overwrite's footprint is the whole table, so ANY concurrent
+    * commit fails it fast ([[Warehouse.CommitConflict]]) — there is
+    * nothing provably disjoint to rebase over.
+    */
+  def overwrite(name: String, df: DataFrame, rowsPerFile: Long = 0): Unit = {
+    val (v, live) = loadLatest(name)
+    require(v > 0L, s"overwrite $name: table not bootstrapped")
+    enforceChecks(name, df)
+    val fresh = writeBatch(name, df, rowsPerFile)
+    maybeCrash("after-write")
+    commit(name, v + 1, fresh, Map("op" -> "overwrite",
+      "numFiles" -> fresh.size.toString,
+      "numRemoved" -> live.size.toString))
+    maybeCrash("after-commit")
+    if (!retainReplaced) gc(name, live)
+  }
+
+  /** `TRUNCATE TABLE`: [[overwrite]] with zero rows — one empty-list
+    * manifest commit; the data files follow retention like any replace.
+    */
+  def truncate(name: String): Unit = {
+    val (v, live) = loadLatest(name)
+    require(v > 0L, s"truncate $name: table not bootstrapped")
+    commit(name, v + 1, Nil, Map("op" -> "truncate",
+      "numRemoved" -> live.size.toString))
+    if (!retainReplaced) gc(name, live)
+  }
+
   def merge(name: String, updates: DataFrame, keys: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)

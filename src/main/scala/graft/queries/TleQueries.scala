@@ -1695,6 +1695,43 @@ object TleQueries extends QueryPack {
           FROM kept)
         SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
                round(sum("val"), 2) AS total
-        FROM upd GROUP BY grp ORDER BY grp"""))
+        FROM upd GROUP BY grp ORDER BY grp"""))  ,
+
+    // ---- q111: INSERT OVERWRITE + TRUNCATE TABLE under the gate —
+    // the blind-replace statements (pandas' if_exists='replace', the
+    // reference sink's other mode): full load, atomic OVERWRITE with a
+    // transformed subset, TRUNCATE, reload of a different slice. The
+    // oracle recomputes only the final slice — a leaked pre-overwrite
+    // row, a partial replace, or a half-truncate breaks the hash. ----
+    Q("q111_warehouse_overwrite_truncate",
+      (s, dir) => {
+        val whDir = graft.util.Scratch.dir("graft-q111-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("ow_")
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+            col("o_totalprice").as("val"),
+            year(col("o_orderdate")).as("yr"))
+          .createOrReplaceTempView("ow_src")
+        s.sql("CREATE TABLE ow_t (id BIGINT, grp STRING, val DOUBLE)")
+        s.sql("INSERT INTO ow_t SELECT id, grp, val FROM ow_src")
+        s.sql("INSERT OVERWRITE ow_t " +
+          "SELECT id, grp, val * 2 FROM ow_src WHERE yr = 1995")
+        s.sql("TRUNCATE TABLE ow_t")
+        s.sql("INSERT INTO ow_t SELECT id, grp, val FROM ow_src " +
+          "WHERE yr = 1996")
+        s.sql("""SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+                        round(sum(val), 2) AS total
+                 FROM ow_t GROUP BY grp ORDER BY grp""")
+      },
+      Some("""
+        SELECT 'g' || (o_orderkey % 10) AS grp,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        GROUP BY 1 ORDER BY grp"""))
   )
 }

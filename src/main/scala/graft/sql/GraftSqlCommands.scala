@@ -73,7 +73,8 @@ case class GraftMergeCommand(wh: Warehouse, table: String,
   * reference-semantics cast.
   */
 case class GraftAppendCommand(wh: Warehouse, table: String,
-    userCols: Seq[String], query: LogicalPlan, byName: Boolean)
+    userCols: Seq[String], query: LogicalPlan, byName: Boolean,
+    overwrite: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -100,7 +101,8 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
       }
     val casted = named.select(schema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    wh.append(table, casted)
+    if (overwrite) wh.overwrite(table, casted)
+    else wh.append(table, casted)
     Seq.empty
   }
 }
@@ -150,6 +152,18 @@ case class GraftCreateTableCommand(wh: Warehouse, table: String,
       if (pk.isEmpty) Map.empty else Map("pk" -> pk.mkString(",")))
     WarehouseSql.register(spark, wh, prefix)
     Seq(Row(created))
+  }
+}
+
+/** `TRUNCATE TABLE wh_t` → [[Warehouse!.truncate]]: one empty-manifest
+  * commit; replaced files follow retention.
+  */
+case class GraftTruncateCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.truncate(table)
+    Seq.empty
   }
 }
 

@@ -17,6 +17,8 @@ import graft.pipeline.Warehouse
   * parity in spirit needs the statement form:
   *
   *   - `INSERT INTO wh_t SELECT ...`            → [[Warehouse!.append]]
+  *   - `INSERT OVERWRITE wh_t SELECT ...`       → [[Warehouse!.overwrite]]
+  *   - `TRUNCATE TABLE wh_t`                    → [[Warehouse!.truncate]]
   *   - `DELETE FROM wh_t WHERE ...`             → [[Warehouse!.delete]]
   *   - `UPDATE wh_t SET c = e [WHERE ...]`      → [[Warehouse!.update]]
   *   - `MERGE INTO wh_t USING src ON ... WHEN`  → [[Warehouse!.mergeInto]]
@@ -108,6 +110,8 @@ object WarehouseSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*""".r
   private val DropCheckStmt =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val TruncateStmt =
+    """(?is)\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -135,6 +139,9 @@ object WarehouseSql {
     case DropCheckStmt(name, check) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftCheckCommand(wh, t, check, None) }
+    case TruncateStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftTruncateCommand(wh, t) }
     case _ => parseCreateTable(spark, sqlText)
   }
 
@@ -273,15 +280,12 @@ object WarehouseSql {
       case i: InsertIntoStatement =>
         targetOf(spark, i.table) match {
           case Some((wh, table, _)) =>
-            require(!i.overwrite,
-              s"INSERT OVERWRITE $table: unsupported on graft warehouse " +
-                "tables (appends are the only blind write; use DELETE + " +
-                "INSERT or MERGE)")
             require(i.partitionSpec.isEmpty,
               s"INSERT INTO $table PARTITION (...): partition values ride " +
                 "the rows themselves (hive-style static spec unsupported)")
             GraftAppendCommand(wh, table, i.userSpecifiedCols,
-              rewriteReads(spark, i.query), i.byName)
+              rewriteReads(spark, i.query), i.byName,
+              overwrite = i.overwrite)
           case None => rewriteReads(spark, plan)
         }
       case other => rewriteReads(spark, other)

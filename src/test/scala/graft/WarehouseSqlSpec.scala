@@ -186,10 +186,8 @@ class WarehouseSqlSpec extends SparkSpec {
       """)
     }
     assert(computed.getMessage.contains("INSERT values"))
-    val overwrite = intercept[IllegalArgumentException] {
-      spark.sql("INSERT OVERWRITE sdml_t SELECT * FROM sdml_src")
-    }
-    assert(overwrite.getMessage.contains("INSERT OVERWRITE"))
+    // (INSERT OVERWRITE graduated from named limit to a supported
+    // statement — see the overwrite/truncate test)
   }
 
   test("CREATE TABLE: DDL creates, routes, partitions, and is idempotent") {
@@ -248,6 +246,33 @@ class WarehouseSqlSpec extends SparkSpec {
       spark.sql("OPTIMIZE sdml_t ZORDER BY (grp)")
     }
     assert(bad.getMessage.contains("unsupported type"))
+  }
+
+  test("INSERT OVERWRITE replaces atomically; TRUNCATE empties; both " +
+    "time-travelable") {
+    fresh(retain = true)                                           // v1
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")         // v2
+    spark.sql("INSERT OVERWRITE sdml_t " +
+      "SELECT * FROM sdml_src WHERE id <= 5")                      // v3
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 5L)
+    // the replaced snapshot stays readable under retention
+    assert(spark.sql("SELECT count(*) FROM sdml_t VERSION AS OF 2")
+      .head().getLong(0) === 20L)
+    val hist = spark.sql("DESCRIBE HISTORY sdml_t").collect()
+    assert(hist.map(_.getString(1)).contains("overwrite"))
+    spark.sql("TRUNCATE TABLE sdml_t")                             // v4
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 0L)
+    // constraints bind the overwrite path too: a violating replace is
+    // rejected whole and the table keeps its (empty) contents
+    spark.sql("ALTER TABLE sdml_t ADD CONSTRAINT pos CHECK (val >= 0)")
+    intercept[graft.pipeline.Warehouse.CheckViolation] {
+      spark.sql("INSERT OVERWRITE sdml_t SELECT id, grp, -val FROM sdml_src")
+    }
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 0L)
+    // and a compliant overwrite lands after the rejection
+    spark.sql("INSERT OVERWRITE sdml_t SELECT * FROM sdml_src WHERE id > 15")
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 5L)
   }
 
   test("CREATE TABLE: the reference's verbatim DDL runs (empty prefix)") {
