@@ -103,6 +103,11 @@ class Warehouse(spark: SparkSession, dir: String,
   def tables: Map[String, StructType] =
     specsNow.view.mapValues(_.schema).toMap
 
+  /** The full current spec of one table (DESCRIBE DETAIL's source). */
+  def tableSpec(name: String): Warehouse.TableSpec =
+    specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"tableSpec: no table $name"))
+
   /** Partition-column layout per table (empty = unpartitioned). */
   def partitioning: Map[String, Seq[String]] =
     specsNow.view.mapValues(_.partitionBy).toMap

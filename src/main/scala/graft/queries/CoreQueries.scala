@@ -1123,6 +1123,49 @@ object CoreQueries extends QueryPack {
         SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
                CAST(length(regexp_extract_all(seq, 'v+p')) AS BIGINT)
                  AS n_vp
-        FROM seqs ORDER BY user_id"""))
+        FROM seqs ORDER BY user_id"""))  ,
+
+    // ---- q112: TRIANGLE COUNTING (operators.Triangles) — the third
+    // graph operator beside components (q54) and PageRank (q88), via
+    // degree-ordered wedge closure: wedges form only between
+    // OUT-neighbors under the (deg, id) orientation, so the hottest
+    // vertex's wedge cost is bounded by O(sqrt |E|) out-degree, not
+    // deg² — the published power-law fix (Σ outdeg² ≤ |E|^1.5). The
+    // graph is a deterministic sparse pseudo-random graph over orders
+    // arithmetic (both engines build it identically); the oracle
+    // brute-forces the closed triple join under id order — same
+    // triangle set, so per-node participation hash-matches while the
+    // engine side exercises the oriented plan. ----
+    Q("q112_orders_triangle_count",
+      (s, dir) => {
+        val edges = t(s, dir, "orders").select(
+          (col("o_orderkey") % 997).as("e_src"),
+          // second endpoint through a coprime modulus so the pair
+          // varies per key (mod 997 alone would collapse the graph to
+          // out-degree 1 per residue — no triangles)
+          ((col("o_orderkey") * 31 + 7) % 1009 % 997).as("e_dst"))
+        graft.operators.Triangles.perNode(edges, "e_src", "e_dst")
+          .orderBy("node")
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT
+                 least(o_orderkey % 997,
+                       (o_orderkey * 31 + 7) % 1009 % 997) AS u,
+                 greatest(o_orderkey % 997,
+                          (o_orderkey * 31 + 7) % 1009 % 997) AS v
+          FROM orders
+          WHERE o_orderkey % 997 <> (o_orderkey * 31 + 7) % 1009 % 997),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        nodes AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY node ORDER BY node"""))
   )
 }

@@ -155,6 +155,33 @@ case class GraftCreateTableCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `DESCRIBE DETAIL wh_t` (the Delta statement): one row of table
+  * metadata — current version, live file count/bytes straight from the
+  * manifest (no filesystem listing), and the declared layout
+  * (partitioning, stat/bloom columns, CHECK constraints).
+  */
+case class GraftDetailCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType)(),
+    AttributeReference("stat_columns", StringType)(),
+    AttributeReference("bloom_columns", StringType)(),
+    AttributeReference("checks", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, entries) = wh.loadLatest(table)
+    val spec = wh.tableSpec(table)
+    Seq(Row(table, v, entries.size.toLong, entries.map(_.bytes).sum,
+      spec.partitionBy.mkString(","), spec.statColumns.mkString(","),
+      spec.bloomColumns.mkString(","),
+      spec.checks.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n: $e" }.mkString("; ")))
+  }
+}
+
 /** `TRUNCATE TABLE wh_t` → [[Warehouse!.truncate]]: one empty-manifest
   * commit; replaced files follow retention.
   */

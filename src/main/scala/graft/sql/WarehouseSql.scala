@@ -27,6 +27,7 @@ import graft.pipeline.Warehouse
   *     registration-time views of [[Warehouse!.registerViews]])
   *   - `... FROM wh_t VERSION AS OF n`          → [[Warehouse!.readVersion]]
   *   - `DESCRIBE HISTORY wh_t`                  → [[Warehouse!.history]]
+  *   - `DESCRIBE DETAIL wh_t`                   → manifest-backed metadata
   *   - `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]
   *   - `VACUUM wh_t [RETAIN n VERSIONS]`        → [[Warehouse!.vacuum]]
   *   - `OPTIMIZE wh_t [ZORDER BY (c, ...)]`     → [[Warehouse!.optimize]]
@@ -112,6 +113,8 @@ object WarehouseSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val TruncateStmt =
     """(?is)\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+  private val DescribeDetailStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -142,6 +145,9 @@ object WarehouseSql {
     case TruncateStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftTruncateCommand(wh, t) }
+    case DescribeDetailStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDetailCommand(wh, t) }
     case _ => parseCreateTable(spark, sqlText)
   }
 

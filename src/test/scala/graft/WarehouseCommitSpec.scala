@@ -96,6 +96,32 @@ class WarehouseCommitSpec extends SparkSpec {
     assert(telemetry(reopened) === expected)
   }
 
+  test("overwrite crash windows: old state before commit, new after") {
+    val (wh, dir) = freshTable()
+    val before = telemetry(wh)
+    val replacement = mkBase(Seq(5))
+    // crash between staging the replacement files and the manifest flip
+    wh.crashPoint = Some("after-write")
+    intercept[IllegalStateException] {
+      wh.overwrite("fact_telemetry", replacement)
+    }
+    wh.crashPoint = None
+    val reopened = new Warehouse(spark, dir)
+    assert(telemetry(reopened) === before) // old snapshot intact
+    assert(reopened.vacuum("fact_telemetry") >= 1L) // staged orphans
+    // crash after the flip: replace is visible, leftovers collectable
+    reopened.crashPoint = Some("after-commit")
+    intercept[IllegalStateException] {
+      reopened.overwrite("fact_telemetry", replacement)
+    }
+    reopened.crashPoint = None
+    val again = new Warehouse(spark, dir)
+    assert(telemetry(again) ===
+      replacement.select($"norad_id", $"epoch_utc", $"mean_motion",
+        $"rev_number").as[(Int, Timestamp, Double, Int)].collect().toSet)
+    assert(again.vacuum("fact_telemetry", keepManifests = 1) >= 1L)
+  }
+
   test("append crash before commit leaves the table unchanged") {
     val (wh, dir) = freshTable()
     val before = telemetry(wh)

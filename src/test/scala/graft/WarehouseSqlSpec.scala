@@ -275,6 +275,19 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 5L)
   }
 
+  test("DESCRIBE DETAIL: manifest-backed metadata, no listing") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    spark.sql("ALTER TABLE sdml_t ADD CONSTRAINT pos CHECK (val >= 0)")
+    val d = spark.sql("DESCRIBE DETAIL sdml_t").head()
+    assert(d.getString(0) === "t")
+    assert(d.getLong(1) === wh.versions("t").max)
+    assert(d.getLong(2) > 0L && d.getLong(3) > 0L) // files, bytes
+    assert(d.getString(5) === "id")                // stat columns
+    assert(d.getString(7) === "pos: val >= 0")     // checks
+  }
+
   test("CREATE TABLE: the reference's verbatim DDL runs (empty prefix)") {
     val dir = Files.createTempDirectory("graft-sqlddl-").toString
     val wh = new Warehouse(spark, dir,
