@@ -987,13 +987,23 @@ class Warehouse(spark: SparkSession, dir: String,
     if (!retainReplaced) gc(name, live)
   }
 
-  def merge(name: String, updates: DataFrame, keys: Seq[String]): Unit = {
+  /** @param txn optional (writerId, epoch) idempotence fence, the
+    *   [[append]] ledger shape extended to upserts: a replayed or STALE
+    *   epoch is a no-op — without it, a restarted update-mode streaming
+    *   writer replaying epoch N after N+1 landed would regress the
+    *   upserted values to N's snapshot.
+    */
+  def merge(name: String, updates: DataFrame, keys: Seq[String],
+      txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
     require(parts.forall(updates.columns.contains),
       s"merge into $name: updates must carry partition cols $parts")
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"merge into $name: table not bootstrapped")
+    if (txn.exists { case (q, e) =>
+        txnWatermarks(name, v).get(s"txn_$q").exists(_.toLong >= e) })
+      return
     // empty-batch no-op guards live per branch so a non-empty merge
     // never pays an extra pass over the updates plan: the partitioned
     // branch detects emptiness from the touched-partitions collect it
@@ -1025,7 +1035,8 @@ class Warehouse(spark: SparkSession, dir: String,
     beforeCommit.foreach(_())
     commitReadModify(name, (v, entries), replaced, fresh,
       Map("op" -> "merge", "numFilesReplaced" -> replaced.size.toString,
-        "numFilesAdded" -> fresh.size.toString),
+        "numFilesAdded" -> fresh.size.toString)
+        ++ txn.map { case (q, e) => s"txn_$q" -> e.toString }.toMap,
       Some(footprint))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)

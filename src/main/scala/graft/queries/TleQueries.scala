@@ -1397,6 +1397,63 @@ object TleQueries extends QueryPack {
         FROM orders
         ORDER BY id""")),
 
+    // ---- q113: the upsert half of the streaming sink (q102 is the
+    // append half): an UPDATE-mode streaming aggregation flows straight
+    // into a warehouse table via `.option("mergeKeys", ...)` — each
+    // epoch's changed groups merge by key, so the table IS a
+    // continuously-maintained materialized view, exactly-once across
+    // the restart (the txn fence makes stale cumulative snapshots
+    // no-ops — a replay would otherwise REGRESS the view). The oracle
+    // recomputes the aggregate directly over all waves. ----
+    Q("q113_warehouse_stream_upsert",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val root = graft.util.Scratch.dir("graft-q113-").toString
+        val srcSchema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("val", DoubleType)))
+        val mvSchema = StructType(Seq(
+          StructField("grp", StringType),
+          StructField("n", LongType),
+          StructField("total", DoubleType)))
+        val src = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+          col("o_totalprice").as("val"))
+        src.where(col("id") % 2 === 0).write.parquet(s"$root/src")
+        val wh = new graft.pipeline.Warehouse(s, s"$root/wh",
+          specs = Map("mv" -> graft.pipeline.Warehouse.TableSpec(mvSchema)))
+        wh.bootstrap()
+        def drain(): Unit = {
+          val q = s.readStream.schema(srcSchema).parquet(s"$root/src")
+            .groupBy(col("grp"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("val")).as("total"))
+            .writeStream.format("graft-warehouse")
+            .option("path", s"$root/wh").option("table", "mv")
+            .option("mergeKeys", "grp")
+            .option("checkpointLocation", s"$root/ckpt")
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drain()                                             // wave 1
+        src.where(col("id") % 2 === 1).write.mode("append")
+          .parquet(s"$root/src")
+        drain()                                             // wave 2
+        drain()                                             // idle restart
+        wh.read("mv")
+          .select(col("grp"), col("n"), round(col("total"), 2).as("total"))
+          .orderBy("grp")
+      },
+      Some("""
+        SELECT 'g' || (o_orderkey % 10) AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1 ORDER BY grp""")),
+
     // ---- q93: time-series RESAMPLING with last-observation-carried-
     // forward — irregular telemetry onto a regular daily grid per
     // satellite, THROUGH the native as-of join (the resample grid is

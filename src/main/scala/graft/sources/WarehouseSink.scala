@@ -25,11 +25,18 @@ import graft.pipeline.Warehouse
   * identity (persisted in the checkpoint), so the fence survives
   * restarts, which is the entire point.
   *
-  * Append output mode only — the warehouse is an append-ledger at the
-  * streaming surface; updates flow through the batch DML/merge ops.
+  * Append mode appends; UPDATE mode (`.option("mergeKeys", "k1,k2")`)
+  * turns the sink into a keyed streaming UPSERT — each epoch's changed
+  * rows merge by key, which is exactly what an update-mode streaming
+  * aggregation emits (cumulative values for changed keys): a
+  * continuously-maintained materialized view INTO the warehouse. The
+  * same txn ledger fences upserts — crucially, a replayed or STALE
+  * epoch is a no-op, because re-merging epoch N's cumulative snapshot
+  * after N+1 landed would REGRESS the view. Complete mode stays
+  * unsupported (it would rewrite the table every epoch).
   */
 class WarehouseStreamSink(spark: SparkSession, path: String, table: String,
-    rowsPerFile: Long) extends Sink {
+    rowsPerFile: Long, mergeKeys: Seq[String] = Nil) extends Sink {
 
   private val wh = Warehouse.open(spark, path)
 
@@ -41,8 +48,12 @@ class WarehouseStreamSink(spark: SparkSession, path: String, table: String,
       .getOrElse(throw new IllegalStateException(
         "graft-warehouse sink: no streaming query id on this thread " +
           "(addBatch must run inside a streaming query)"))
-    wh.append(table, GraftBridge.freshBatch(data), rowsPerFile,
-      txn = Some((queryId, batchId)))
+    if (mergeKeys.nonEmpty)
+      wh.merge(table, GraftBridge.freshBatch(data), mergeKeys,
+        txn = Some((queryId, batchId)))
+    else
+      wh.append(table, GraftBridge.freshBatch(data), rowsPerFile,
+        txn = Some((queryId, batchId)))
   }
 
   override def toString: String = s"WarehouseStreamSink[$path/$table]"

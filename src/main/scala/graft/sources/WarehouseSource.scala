@@ -55,16 +55,23 @@ class WarehouseSourceProvider extends StreamSourceProvider
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft-warehouse sink: only Append output mode is supported " +
-        s"(got $outputMode); route update/complete results through " +
-        "foreachBatch + Warehouse.merge")
+    val mergeKeys = parameters.get("mergeKeys").toSeq
+      .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+    val update = outputMode == org.apache.spark.sql.streaming.OutputMode.Update()
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append()
+        || (update && mergeKeys.nonEmpty),
+      s"graft-warehouse sink: Append mode (plain), or Update mode with " +
+        s".option(\"mergeKeys\", \"k1,k2\") for keyed streaming upserts " +
+        s"(got $outputMode" +
+        (if (update) " without mergeKeys" else "") +
+        "); Complete mode is unsupported")
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-warehouse: 'path' required"))
     val table = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-warehouse: 'table' required"))
     new WarehouseStreamSink(sqlContext.sparkSession, path, table,
-      parameters.get("rowsPerFile").map(_.toLong).getOrElse(0L))
+      parameters.get("rowsPerFile").map(_.toLong).getOrElse(0L),
+      if (update) mergeKeys else Nil)
   }
 
   /** BATCH read — `spark.read.format("graft-warehouse")

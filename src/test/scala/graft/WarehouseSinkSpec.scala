@@ -103,6 +103,64 @@ class WarehouseSinkSpec extends SparkSpec {
     run()
     assert(wh.read("t").count() === 150L)
   }
+  test("update-mode upsert sink: continuous MV; stale epochs never regress") {
+    val mvSchema = StructType(Seq(
+      StructField("grp", LongType, nullable = false),
+      StructField("n", LongType),
+      StructField("total", DoubleType)))
+    val root = Files.createTempDirectory("graft-upsink-").toString
+    val (whDir, srcDir, ckpt) = (s"$root/wh", s"$root/src", s"$root/ckpt")
+    val wh = new Warehouse(spark, whDir,
+      specs = Map("mv" -> Warehouse.TableSpec(mvSchema)))
+    wh.bootstrap()
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy((org.apache.spark.sql.functions.col("id") % 3).as("grp"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).cast("long").as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("val")).as("total"))
+        .writeStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "mv")
+        .option("mergeKeys", "grp")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def mvState = wh.read("mv").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def expect(r: Range) = r.groupBy(_.toLong % 3)
+      .map { case (g, xs) => g -> ((xs.size.toLong, xs.map(_ * 1.0).sum)) }
+
+    rows(1 to 30).coalesce(1).write.parquet(srcDir)
+    run()
+    assert(mvState === expect(1 to 30))
+    // second wave over the same checkpoint: cumulative upsert, not append
+    rows(31 to 50).coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(mvState === expect(1 to 50))
+    run() // idle restart: no change
+    assert(mvState === expect(1 to 50))
+
+    // stale-epoch fence at the unit level: after epoch 5 lands, a
+    // lagging writer's epoch 3 snapshot must be a NO-OP (re-merging an
+    // older cumulative snapshot would silently regress the view)
+    val sink = new WarehouseSinkSpecAccess()
+      .createUpsertSink(spark, whDir, "mv", Seq("grp"))
+    spark.sparkContext.setLocalProperty(StreamExecution.QUERY_ID_KEY, "up-q")
+    try {
+      sink.addBatch(5, Seq((0L, 100L, 100.0)).toDF("grp", "n", "total"))
+      val after5 = mvState
+      assert(after5(0L) === ((100L, 100.0)))
+      sink.addBatch(3, Seq((0L, 7L, 7.0)).toDF("grp", "n", "total"))
+      assert(mvState === after5) // stale epoch: no regression
+      sink.addBatch(6, Seq((0L, 101L, 101.0)).toDF("grp", "n", "total"))
+      assert(mvState(0L) === ((101L, 101.0)))
+    } finally {
+      spark.sparkContext.setLocalProperty(StreamExecution.QUERY_ID_KEY, null)
+    }
+  }
 }
 
 /** Test access to the provider's createSink (package-private surface
@@ -113,4 +171,7 @@ private class WarehouseSinkSpecAccess {
   def createSink(spark: org.apache.spark.sql.SparkSession, path: String,
       table: String): graft.sources.WarehouseStreamSink =
     new graft.sources.WarehouseStreamSink(spark, path, table, 0L)
+  def createUpsertSink(spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String, keys: Seq[String]): graft.sources.WarehouseStreamSink =
+    new graft.sources.WarehouseStreamSink(spark, path, table, 0L, keys)
 }
