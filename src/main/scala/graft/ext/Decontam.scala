@@ -62,4 +62,51 @@ object Decontam {
         round(col("n_hit").cast("double") /
           col("n_shingles").cast("double"), 6))
   }
+
+  /** FUZZY decontamination — [[overlap]] catches verbatim n-gram
+    * leakage; this catches PARAPHRASED/trimmed leakage by full-document
+    * Jaccard against each benchmark doc (the near-dup machinery turned
+    * cross-corpus): a training doc is contaminated when its token-
+    * n-gram Jaccard to ANY benchmark doc reaches `minJaccard`.
+    *
+    * Shape: the inverted-index join of [[NearDup.jaccardPairs]]
+    * restricted ACROSS the two sides — corpus postings join benchmark
+    * postings on the shingle (benchmark side distinct-collapsed and
+    * broadcast, like [[overlap]]), per-(doc, bench) intersection
+    * counts, exact Jaccard on candidates only. No corpus×corpus work,
+    * no crossJoin anywhere.
+    *
+    * Returns one row per contaminated corpus doc: (idCol, n_bench_hits,
+    * worst_bench, max_jaccard).
+    */
+  def fuzzyContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val docSh = corpus.select(col(idCol).as("_id"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+        .as("_sh"))
+    val benchSh = bench.select(col(benchIdCol).as("_bid"),
+      explode(array_distinct(TextFunctions.shingles(col(benchTextCol), n)))
+        .as("_sh"))
+    val docSz = corpus.select(col(idCol).as("_id"),
+      size(array_distinct(TextFunctions.shingles(col(textCol), n)))
+        .cast("long").as("_sz"))
+    val benchSz = bench.select(col(benchIdCol).as("_bid"),
+      size(array_distinct(TextFunctions.shingles(col(benchTextCol), n)))
+        .cast("long").as("_bsz"))
+    val inter = docSh.join(broadcast(benchSh), "_sh")
+      .groupBy("_id", "_bid").agg(count(lit(1)).as("_common"))
+    val j = inter
+      .join(docSz, "_id").join(broadcast(benchSz), "_bid")
+      .withColumn("_j", round(col("_common").cast("double") /
+        (col("_sz") + col("_bsz") - col("_common")).cast("double"), 6))
+      .where(col("_j") >= minJaccard)
+    j.groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+        // deterministic attribution: the (max j, min bid) witness
+        max(struct(col("_j").as("j"), (-col("_bid")).as("nb"))).as("_w"))
+      .select(col(idCol), col("n_bench_hits"),
+        (-col("_w.nb")).cast("long").as("worst_bench"),
+        col("_w.j").as("max_jaccard"))
+  }
 }

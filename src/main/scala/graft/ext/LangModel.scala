@@ -74,4 +74,65 @@ object LangModel {
     */
   def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     crossEntropy(docs, idCol, textCol, unigramFit(docs, textCol))
+
+  /** Bigram LM with STUPID BACKOFF scoring (Brants et al. 2007 — the
+    * web-scale "don't normalize, just back off" recipe Google used at
+    * 2T tokens, and the published rung above the unigram filter):
+    *
+    *   S(w₂|w₁) = c(w₁w₂)/c(w₁)            when the bigram was seen,
+    *            = 0.4 · (c(w₂)+1)/(N+V)    otherwise (λ = 0.4, the
+    *                                        paper's constant; add-one
+    *                                        smoothing closes the
+    *                                        unigram floor so unseen
+    *                                        words stay finite).
+    *
+    * Fit on `fitCorpus`, score `docs` (score the fit slice itself and
+    * the backoff branch is dead — every observed bigram has c ≥ 1).
+    * Per-doc output: (idCol, n_bigrams, sb_cross_entropy = mean −ln S
+    * over bigram positions, sb_perplexity); docs with < 2 tokens have
+    * no bigram distribution and drop, like [[crossEntropy]]'s empties.
+    *
+    * Scale shape: two count shuffles (unigrams — vocabulary-bounded;
+    * bigrams — distinct-bigram-bounded, the n-gram-LM trade), scoring
+    * is per-(doc, bigram) counts joined against the two count tables
+    * and folded per doc; corpus totals ride as a broadcast scalar.
+    */
+  def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+      fitCorpus: DataFrame): DataFrame = {
+    def toks(df: DataFrame) = TextFunctions.tokens(col(textCol))
+    def bigrams(df: DataFrame): DataFrame = {
+      val t = TextFunctions.tokens(col(textCol))
+      df.select(col(idCol),
+        explode(when(size(t) >= 2,
+            arrays_zip(slice(t, lit(1), size(t) - 1).as("w1"),
+              slice(t, lit(2), size(t) - 1).as("w2")))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("_bg"))
+        .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    }
+    val uni = fitCorpus.select(explode(toks(fitCorpus)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).cast("double").as("_n"),
+      count(lit(1)).cast("double").as("_v"))
+    val big = bigrams(fitCorpus).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cb"))
+    val inst = bigrams(docs).groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("term").as("w1"), col("cu").as("_cu1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("term").as("w2"), col("cu").as("_cu2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+    val score = when(col("cb").isNotNull && col("_cu1").isNotNull,
+        col("cb").cast("double") / col("_cu1").cast("double"))
+      .otherwise(lit(0.4) * (coalesce(col("_cu2"), lit(0L)) + 1) /
+        (col("_n") + col("_v")))
+    inst.select(col(idCol), col("n"), (-log(score)).as("_nll"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        (sum(col("n") * col("_nll")) / sum(col("n")))
+          .as("sb_cross_entropy"))
+      .withColumn("sb_perplexity", exp(col("sb_cross_entropy")))
+  }
 }

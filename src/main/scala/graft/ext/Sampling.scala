@@ -92,6 +92,41 @@ object Sampling {
     * two keep n_s / w_s float-exact; other weights still replay (IEEE
     * ops are deterministic), they just aren't round numbers.
     */
+  /** TEMPERATURE-sampled mixture (the multilingual-pretraining rule of
+    * XLM/mBERT/mT5): resample so stratum s's share follows
+    * q_s ∝ n_s^α — α = 1 keeps the natural distribution, α = 0 is
+    * uniform, and the published α ≈ 0.3–0.7 range lifts low-resource
+    * strata without drowning high-resource ones. Exactly [[rebalance]]
+    * with weights derived IN-PLAN from the stratum counts (w_s = n_s^α;
+    * λ* normalization makes proportionality sufficient), so the whole
+    * decision remains a pure function of (row id, salt, corpus counts):
+    * per-stratum counts (tiny agg) → binding-stratum scale (broadcast
+    * scalar) → per-row hash threshold. α = 0.5 computes via sqrt
+    * (correctly rounded by IEEE in every engine, unlike pow's 1-ulp
+    * licence — oracle-exact thresholds).
+    */
+  def temperature(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double = 0.5, salt: String = "graft"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_wt",
+        if (alpha == 0.5) sqrt(col("_n").cast("double"))
+        else pow(col("_n").cast("double"), alpha))
+    val lam = counts.agg(min(col("_n").cast("double") / col("_wt"))
+      .as("_lam"))
+    val cutExpr = {
+      val n = floor(col("_lam") * col("_wt") / col("_n").cast("double") *
+        lit(4294967296.0)).cast("bigint")
+      when(n >= 4294967296L, lit("g"))
+        .otherwise(lpad(lower(hex(n)), 8, "0"))
+    }
+    val cuts = counts.crossJoin(broadcast(lam))
+      .select(col(strataCol), cutExpr.as("_cut"))
+    df.join(broadcast(cuts), Seq(strataCol))
+      .where(hashCoord(col(idCol), salt) < col("_cut"))
+      .drop("_cut")
+  }
+
   def rebalance(df: DataFrame, idCol: String, strataCol: String,
       weights: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),

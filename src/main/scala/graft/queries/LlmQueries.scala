@@ -602,6 +602,208 @@ object LlmQueries extends QueryPack {
         FROM scored s JOIN cuts c USING (lang)
         ORDER BY s.doc_id""")),
 
+    // ---- q114: bigram LM with STUPID BACKOFF (LangModel.stupidBackoff,
+    // Brants et al. 2007) — the rung above q78's unigram filter: fit on
+    // the even-id half, score EVERY doc, so odd docs genuinely exercise
+    // the 0.4-weighted backoff branch (self-scoring would never back
+    // off — every observed bigram has c >= 1). The oracle replays fit
+    // counts, the per-instance CASE, and the weighted fold. ----
+    Q("q114_docs_stupid_backoff",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        graft.ext.LangModel.stupidBackoff(docs, "doc_id", "text",
+            fitCorpus = docs.where(col("doc_id") % 2 === 0))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sb_cross_entropy"), 6).as("sb_cross_entropy"),
+            round(col("sb_perplexity"), 2).as("sb_perplexity"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        fit AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        uni AS (
+          SELECT term, count(*) AS cu
+          FROM (SELECT unnest(tk) AS term FROM fit) GROUP BY term),
+        tot AS (SELECT sum(cu) * 1.0 AS n, count(*) * 1.0 AS v FROM uni),
+        bigf AS (
+          SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS cb
+          FROM fit, UNNEST(range(1, greatest(len(tk), 1))) AS r(i)
+          GROUP BY 1, 2),
+        binst AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, count(*) AS n
+          FROM tk, UNNEST(range(1, greatest(len(tk), 1))) AS r(i)
+          GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT b.doc_id, b.n,
+                 CASE WHEN f.cb IS NOT NULL AND u1.cu IS NOT NULL
+                      THEN CAST(f.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
+                      ELSE 0.4 * (coalesce(u2.cu, 0) + 1)
+                           / (tot.n + tot.v) END AS s
+          FROM binst b
+          LEFT JOIN bigf f ON f.w1 = b.w1 AND f.w2 = b.w2
+          LEFT JOIN uni u1 ON u1.term = b.w1
+          LEFT JOIN uni u2 ON u2.term = b.w2
+          CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+               round(sum(n * -ln(s)) / sum(n), 6) AS sb_cross_entropy,
+               round(exp(sum(n * -ln(s)) / sum(n)), 2) AS sb_perplexity
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q115: TEMPERATURE-sampled mixture (Sampling.temperature,
+    // the XLM/mT5 multilingual rule): stratum shares follow n_s^0.5,
+    // lifting low-resource languages — the binding (smallest) stratum
+    // keeps everything, larger ones thin toward sqrt proportions. The
+    // whole decision is (row id, salt, corpus counts)-pure: the oracle
+    // re-derives counts, sqrt weights, the binding scale, the 8-hex
+    // thresholds, and every per-row keep decision. ----
+    Q("q115_docs_temperature_mixture",
+      (s, dir) => {
+        Sampling.temperature(t(s, dir, "documents"), "doc_id", "lang",
+            alpha = 0.5, salt = "temp")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+        lam AS (SELECT min(CAST(n AS DOUBLE) / wt) AS lam FROM w),
+        cuts AS (
+          SELECT lang,
+                 CASE WHEN CAST(floor(lam.lam * wt / CAST(n AS DOUBLE)
+                                      * 4294967296.0) AS BIGINT)
+                           >= 4294967296
+                      THEN 'g'
+                      ELSE lpad(lower(hex(CAST(floor(lam.lam * wt
+                             / CAST(n AS DOUBLE) * 4294967296.0)
+                             AS BIGINT))), 8, '0') END AS cut
+          FROM w CROSS JOIN lam)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN cuts c ON d.lang = c.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)
+              < c.cut
+        ORDER BY d.doc_id""")),
+
+    // ---- q116: FUZZY decontamination (Decontam.fuzzyContaminated) —
+    // q68 catches verbatim n-gram leakage; this catches paraphrased/
+    // extended leakage by full-document Jaccard against each benchmark
+    // doc (the benchmark here is an EXTENDED mutant of every 37th doc,
+    // so no corpus doc matches verbatim but the sources sit at
+    // J ≈ 0.9). Inverted-index join across the two sides, benchmark
+    // broadcast, exact Jaccard on candidates only; attribution is the
+    // deterministic (max J, min bench id) witness. ----
+    Q("q116_docs_fuzzy_decontam",
+      (s, dir) => {
+        import graft.ext.Decontam
+        val base = fan(t(s, dir, "documents"))
+        val bench = base.where(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("bid"),
+            concat(col("text"), lit(" zq zq zq")).as("btext"))
+        Decontam.fuzzyContaminated(base, "doc_id", "text",
+            bench, "bid", "btext", n = 3, minJaccard = 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id AS bid, text || ' zq zq zq' AS btext
+          FROM documents WHERE doc_id % 37 = 0),
+        ctk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        btk AS (
+          SELECT bid, string_split_regex(lower(trim(btext)), '\s+') AS tk
+          FROM bench),
+        cp AS (
+          SELECT DISTINCT doc_id, sh FROM ctk,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        bp AS (
+          SELECT DISTINCT bid, sh FROM btk,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        csz AS (SELECT doc_id, count(*) AS sz FROM cp GROUP BY doc_id),
+        bsz AS (SELECT bid, count(*) AS bsz FROM bp GROUP BY bid),
+        j0 AS (
+          SELECT i.doc_id, i.bid,
+                 round(CAST(i.common AS DOUBLE)
+                       / CAST(c.sz + b.bsz - i.common AS DOUBLE), 6) AS j
+          FROM (SELECT cp.doc_id, bp.bid, count(*) AS common
+                FROM cp JOIN bp USING (sh) GROUP BY 1, 2) i
+          JOIN csz c ON c.doc_id = i.doc_id
+          JOIN bsz b ON b.bid = i.bid),
+        j AS (SELECT * FROM j0 WHERE j >= 0.5),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits
+                 FROM j GROUP BY doc_id),
+        wit AS (
+          SELECT doc_id, bid, j,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY j DESC, bid) AS rn
+          FROM j)
+        SELECT h.doc_id, h.n_bench_hits, w.bid AS worst_bench,
+               w.j AS max_jaccard
+        FROM hits h JOIN wit w ON w.doc_id = h.doc_id AND w.rn = 1
+        ORDER BY h.doc_id""")),
+
+    // ---- q117: the CCNet HEAD/MIDDLE/TAIL split — per-language
+    // perplexity terciles (Wenzek et al. 2020: score with an LM, split
+    // each language at the 1/3 and 2/3 perplexity quantiles; training
+    // recipes then weight head > middle > tail). Composes q78's
+    // unigram scorer with the histogram-exact percentile (bounded
+    // aggregate state — q59's machinery), cutoffs broadcast back.
+    // Oracle: DuckDB quantile_cont reproduces Spark's Percentile
+    // interpolation on the rounded-2 grid (the q59-proven identity). ----
+    Q("q117_docs_ccnet_ppl_buckets",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val scored = graft.ext.LangModel.selfScore(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"),
+            round(col("perplexity"), 2).as("ppl"))
+          .localCheckpoint() // one scoring pass feeds cutoffs AND labels
+        val c33 = graft.ext.Stats.percentileDiscrete(
+          scored, Seq("lang"), "ppl", 1.0 / 3, as = "c33")
+        val c67 = graft.ext.Stats.percentileDiscrete(
+          scored, Seq("lang"), "ppl", 2.0 / 3, as = "c67")
+        scored.join(broadcast(c33), "lang").join(broadcast(c67), "lang")
+          .select(col("doc_id"), col("lang"), col("ppl"),
+            round(col("c33"), 6).as("c33"), round(col("c67"), 6).as("c67"),
+            when(col("ppl") <= col("c33"), lit("head"))
+              .when(col("ppl") <= col("c67"), lit("middle"))
+              .otherwise(lit("tail")).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH terms AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents WHERE trim(text) <> ''),
+        counts AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+        totals AS (SELECT sum(c) * 1.0 AS nt, count(*) * 1.0 AS nv
+                   FROM counts),
+        lp AS (SELECT term, ln((c + 1) / (nt + nv)) AS logp
+               FROM counts, totals),
+        scored AS (
+          SELECT t.doc_id, d.lang,
+                 round(exp(avg(-lp.logp)), 2) AS ppl
+          FROM terms t JOIN lp ON t.term = lp.term
+          JOIN documents d ON d.doc_id = t.doc_id
+          GROUP BY t.doc_id, d.lang),
+        cuts AS (
+          SELECT lang, quantile_cont(ppl, 1.0 / 3) AS c33,
+                 quantile_cont(ppl, 2.0 / 3) AS c67
+          FROM scored GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.ppl,
+               round(c.c33, 6) AS c33, round(c.c67, 6) AS c67,
+               CASE WHEN s.ppl <= c.c33 THEN 'head'
+                    WHEN s.ppl <= c.c67 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN cuts c USING (lang)
+        ORDER BY s.doc_id""")),
+
     // ---- q36: content fingerprint rollup (rolling-hash analog via md5
     // of normalized text): duplicate-group inventory. ----
     Q("q36_docs_fingerprint",

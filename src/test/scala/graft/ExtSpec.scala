@@ -795,6 +795,43 @@ class ExtSpec extends SparkSpec {
       "stopword_hits" -> 1L, "mean_word_length" -> 1L))
   }
 
+  test("temperature sampling: binding stratum keeps all, shares follow n^alpha") {
+    val pool = (0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))
+    val df = pool.toDF("id", "lang")
+    val kept = Sampling.temperature(df, "id", "lang", alpha = 0.5)
+      .groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // λ* binds at the smallest stratum: small keeps all 100;
+    // big keeps ≈ sqrt(900/100)·100 = 300 (hash-threshold binomial noise)
+    assert(kept("small") === 100L)
+    assert(kept("big") > 240L && kept("big") < 360L, kept.toString)
+    // pure function of (id, salt, counts): re-run identical
+    val again = Sampling.temperature(df, "id", "lang", alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(Sampling.temperature(df, "id", "lang", alpha = 0.5)
+      .select("id").as[Long].collect().toSet === again)
+  }
+
+  test("fuzzy decontamination: extended benchmark doc flags its source") {
+    import graft.ext.Decontam
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).toDF("doc_id", "text")
+    // bench 7 extends doc 1 (paraphrase-ish: high but < 1 Jaccard);
+    // bench 8 is unrelated
+    val bench = Seq(
+      (7L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 tail tail"),
+      (8L, "y1 y2 y3 y4 y5")).toDF("bid", "btext")
+    val got = Decontam.fuzzyContaminated(corpus, "doc_id", "text",
+        bench, "bid", "btext", n = 3, minJaccard = 0.5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: common 3-grams = 8, doc has 8, bench has 10 → J = 0.8
+    assert(got.keySet === Set(1L))
+    assert(got(1L)._2 === 1L && got(1L)._3 === 7L)
+    assert(math.abs(got(1L)._4 - 0.8) < 1e-9)
+  }
+
   test("dsir: empty docs stay in the pool at weight zero") {
     import graft.ext.Dsir
     val raw = Seq((1L, "aa bb cc"), (2L, ""), (3L, "aa bb dd"))
