@@ -50,4 +50,38 @@ object Packing {
       ((cum - n) % budget).as("offset_in_seq"),
       extra.as("extra_seqs"))
   }
+
+  /** RAG-style CHUNKING with overlap — the retrieval-side twin of
+    * [[packAssignments]]: each document splits into fixed-size token
+    * windows advancing by `stride` (< chunk ⟹ overlap), the universal
+    * pre-embedding step of retrieval pipelines. Chunk count is the
+    * closed form 1 + ceil(max(n − chunk, 0) / stride): the final chunk
+    * always reaches the document's end, and no chunk starts past it —
+    * so no trailing chunk is a subset of its predecessor.
+    *
+    * Pure per-row array arithmetic (sequence + slice inside
+    * WholeStageCodegen, one explode) — no shuffle, no state; output
+    * order is (id, chunk_idx). Empty docs produce zero chunks.
+    */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    val t = TextFunctions.tokens(col(textCol))
+    val n = size(t)
+    val nChunks = when(n <= 0, lit(0))
+      .otherwise(lit(1) + ceil((greatest(n - chunk, lit(0)))
+        .cast("double") / stride).cast("int"))
+    docs.select(col(idCol), t.as("_tk"), nChunks.as("_nc"))
+      .where(col("_nc") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_idx"),
+        col("_tk"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_tk"), col("chunk_idx") * stride + 1, lit(chunk))
+          .as("_ck"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_ck")).cast("long").as("chunk_tokens"),
+        array_join(col("_ck"), " ").as("chunk_text"))
+  }
 }

@@ -60,4 +60,31 @@ object Retrieval {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Positional PROXIMITY match — the phrase/near-query rung above
+    * [[bm25TopK]]'s bag-of-words scoring: documents where `termA` and
+    * `termB` co-occur within `window` tokens, with the closest pair
+    * distance as the relevance signal (Lucene's sloppy phrase query,
+    * relationally). Only the two terms' positional postings survive the
+    * scan-side filter; the pair join is per-document (keyed on the doc
+    * id) and bounded by per-doc term frequencies — never corpus-sized.
+    * Output: (idCol, n_a, n_b, min_dist) for docs where both occur and
+    * min |posA − posB| ≤ window.
+    */
+  def proximity(docs: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(termA != termB, "proximity needs two distinct terms")
+    val pos = docs.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("_p", "_t")))
+      .where(col("_t").isin(termA, termB))
+    val pa = pos.where(col("_t") === termA).select(col(idCol), col("_p").as("_pa"))
+    val pb = pos.where(col("_t") === termB).select(col(idCol), col("_p").as("_pb"))
+    pa.join(pb, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("_pa")).as("n_a"),
+        count_distinct(col("_pb")).as("n_b"),
+        min(abs(col("_pa") - col("_pb"))).cast("long").as("min_dist"))
+      .where(col("min_dist") <= window)
+  }
 }

@@ -804,6 +804,74 @@ object LlmQueries extends QueryPack {
         FROM scored s JOIN cuts c USING (lang)
         ORDER BY s.doc_id""")),
 
+    // ---- q118: RAG chunking with OVERLAP (Packing.chunkOverlap) —
+    // 32-token windows advancing by 24 (8-token overlap), the universal
+    // pre-embedding step of retrieval pipelines; the closed-form chunk
+    // count guarantees tail coverage with no subset chunks. Pure
+    // codegen'd array arithmetic, one explode; every chunk string sits
+    // inside the hash compare. ----
+    Q("q118_docs_chunk_overlap",
+      (s, dir) => {
+        Packing.chunkOverlap(fan(t(s, dir, "documents")),
+            "doc_id", "text", chunk = 32, stride = 24)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        nn AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0),
+        ch AS (
+          SELECT doc_id, i AS chunk_idx,
+                 list_slice(tk, i * 24 + 1,
+                            least(i * 24 + 32, CAST(n AS BIGINT))) AS ck
+          FROM nn, UNNEST(range(0,
+            1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS t(i))
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(ck) AS BIGINT) AS chunk_tokens,
+               array_to_string(ck, ' ') AS chunk_text
+        FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    // ---- q119: positional PROXIMITY search (Retrieval.proximity) —
+    // Lucene's sloppy-phrase rung above q84's bag-of-words BM25: docs
+    // where 'spark' and 'query' co-occur within 5 tokens, closest-pair
+    // distance as the signal. Only the two terms' positional postings
+    // survive the scan filter; the pair join is per-doc and
+    // tf-bounded. Oracle replays positions, the pair minimum, and the
+    // window cut. ----
+    Q("q119_docs_proximity_search",
+      (s, dir) => {
+        graft.ext.Retrieval.proximity(fan(t(s, dir, "documents")),
+            "doc_id", "text", "spark", "query", window = 5)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        pos AS (
+          SELECT doc_id, p, tk[p] AS t
+          FROM tk, UNNEST(range(1, len(tk) + 1)) AS r(p)
+          WHERE tk[p] IN ('spark', 'query')),
+        pairs AS (
+          SELECT a.doc_id,
+                 count(DISTINCT a.p) AS n_a, count(DISTINCT b.p) AS n_b,
+                 min(abs(a.p - b.p)) AS min_dist
+          FROM pos a JOIN pos b
+            ON a.doc_id = b.doc_id AND a.t = 'spark' AND b.t = 'query'
+          GROUP BY a.doc_id)
+        SELECT doc_id, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(min_dist AS BIGINT) AS min_dist
+        FROM pairs WHERE min_dist <= 5
+        ORDER BY doc_id""")),
+
     // ---- q36: content fingerprint rollup (rolling-hash analog via md5
     // of normalized text): duplicate-group inventory. ----
     Q("q36_docs_fingerprint",

@@ -832,6 +832,46 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(got(1L)._4 - 0.8) < 1e-9)
   }
 
+  test("chunkOverlap: tail coverage, no subset chunks, empty-doc zero") {
+    import graft.ext.Packing
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than chunk
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkOverlap(docs, "doc_id", "text",
+        chunk = 8, stride = 4)
+      .select($"doc_id", $"chunk_idx", $"chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    // n=10, c=8, s=4 → 1 + ceil(2/4) = 2 chunks: [1..8], [5..10]
+    assert(got === Set(
+      (1L, 0L, 8L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1L, 6L, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 0L, 3L, "a b c")))
+    // stride == chunk: disjoint cover
+    val disjoint = Packing.chunkOverlap(docs.where($"doc_id" === 1),
+        "doc_id", "text", chunk = 4, stride = 4)
+      .select($"chunk_text").as[String].collect().toSet
+    assert(disjoint === Set("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+  }
+
+  test("proximity: window cut on the closest pair, per-doc only") {
+    import graft.ext.Retrieval
+    val docs = Seq(
+      (1L, "spark x x x query tail"),     // dist 4 → in window 5
+      (2L, "spark x x x x x x query"),    // dist 7 → out
+      (3L, "query y spark y query"),      // closest pair dist 2
+      (4L, "spark only here"),            // missing one term
+      (5L, "query only here")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.proximity(docs, "doc_id", "text",
+        "spark", "query", window = 5)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L) === ((1L, 1L, 1L, 4L)))
+    assert(got(3L) === ((3L, 1L, 2L, 2L)))
+  }
+
   test("dsir: empty docs stay in the pool at weight zero") {
     import graft.ext.Dsir
     val raw = Seq((1L, "aa bb cc"), (2L, ""), (3L, "aa bb dd"))
