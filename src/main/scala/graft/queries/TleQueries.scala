@@ -1454,6 +1454,72 @@ object TleQueries extends QueryPack {
         FROM orders
         GROUP BY 1 ORDER BY grp""")),
 
+    // ---- q120: the full CDC REPLICATION composition under one hash
+    // gate — upstream warehouse takes an append + UPDATE + DELETE mix,
+    // its change feed streams through the CDF source into a downstream
+    // EVENT LOG via the exactly-once sink (two drains + an idle
+    // restart over one checkpoint), and the log DELTA-FOLDS to exactly
+    // the upstream state the oracle recomputes directly. A lost feed
+    // row, replayed epoch, or broken retraction breaks the hash. ----
+    Q("q120_warehouse_cdc_replication",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val root = graft.util.Scratch.dir("graft-q120-").toString
+        val upSchema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("val", DoubleType)))
+        val logSchema = upSchema.add(
+          StructField("_change_delta", IntegerType, nullable = false))
+        val up = new graft.pipeline.Warehouse(s, s"$root/up",
+          retainReplaced = true,
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(upSchema)))
+        up.bootstrap()
+        val down = new graft.pipeline.Warehouse(s, s"$root/down",
+          specs = Map("log" -> graft.pipeline.Warehouse.TableSpec(logSchema)))
+        down.bootstrap()
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-warehouse")
+            .option("path", s"$root/up").option("table", "t")
+            .option("readChangeFeed", "true").load()
+            .writeStream.format("graft-warehouse")
+            .option("path", s"$root/down").option("table", "log")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val src = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+          col("o_totalprice").as("val"))
+        up.append("t", src.where(col("id") % 3 === 0))
+        drain()                                             // wave 1
+        up.append("t", src.where(col("id") % 3 === 1))
+        up.update("t", col("grp") === "g4",
+          Map("val" -> (col("val") + 500.0)))
+        up.delete("t", col("id") % 11 === 0)
+        drain()                                             // wave 2
+        drain()                                             // idle restart
+        down.read("log").groupBy(col("grp"))
+          .agg(sum(col("_change_delta")).cast("long").as("n_rows"),
+            round(sum(col("val") * col("_change_delta")), 2).as("total"))
+          .where(col("n_rows") > 0)
+          .orderBy("grp")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS id, 'g' || (o_orderkey % 10) AS grp,
+                 o_totalprice AS "val"
+          FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        upd AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'g4' THEN "val" + 500 ELSE "val" END AS "val"
+          FROM src),
+        del AS (SELECT * FROM upd WHERE id % 11 <> 0)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum("val"), 2) AS total
+        FROM del GROUP BY grp ORDER BY grp""")),
+
     // ---- q93: time-series RESAMPLING with last-observation-carried-
     // forward — irregular telemetry onto a regular daily grid per
     // satellite, THROUGH the native as-of join (the resample grid is
