@@ -182,6 +182,20 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
   }
 }
 
+/** `ALTER TABLE wh_t ADD COLUMN c type` → [[Warehouse!.addColumn]]
+  * (nullable — existing files carry no values for it, the schema-
+  * evolution contract).
+  */
+case class GraftAddColumnCommand(wh: Warehouse, table: String,
+    field: org.apache.spark.sql.types.StructField)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.addColumn(table, field)
+    Seq.empty
+  }
+}
+
 /** `TRUNCATE TABLE wh_t` → [[Warehouse!.truncate]]: one empty-manifest
   * commit; replaced files follow retention.
   */

@@ -35,6 +35,7 @@ import graft.pipeline.Warehouse
   *     (routed by registered PREFIX — see [[parseCreateTable]])
   *   - `ALTER TABLE wh_t ADD CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT n`
   *     → [[Warehouse!.addCheck]] / [[Warehouse!.dropCheck]]
+  *   - `ALTER TABLE wh_t ADD COLUMN c type`     → [[Warehouse!.addColumn]]
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -113,6 +114,8 @@ object WarehouseSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val TruncateStmt =
     """(?is)\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+  private val AddColumnStmt = // type = rest-of-statement, Spark DDL grammar
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*;?\s*""".r
   private val DescribeDetailStmt =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
 
@@ -148,6 +151,15 @@ object WarehouseSql {
     case DescribeDetailStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftDetailCommand(wh, t) }
+    case AddColumnStmt(name, colName, colType) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        val dt =
+          try org.apache.spark.sql.types.DataType.fromDDL(colType)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"ALTER TABLE $name ADD COLUMN $colName: cannot parse type " +
+              s"'$colType': ${e.getMessage}") }
+        GraftAddColumnCommand(wh, t,
+          org.apache.spark.sql.types.StructField(colName, dt)) }
     case _ => parseCreateTable(spark, sqlText)
   }
 

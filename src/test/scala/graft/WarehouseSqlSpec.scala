@@ -275,6 +275,28 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 5L)
   }
 
+  test("ALTER TABLE ADD COLUMN evolves the schema via SQL") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 5")
+    spark.sql("ALTER TABLE sdml_t ADD COLUMN tag STRING")
+    assert(wh.tables("t").fieldNames.contains("tag"))
+    // pre-evolution rows read null; post-evolution inserts carry it
+    spark.sql("INSERT INTO sdml_t SELECT id, grp, val, 'new' " +
+      "FROM sdml_src WHERE id > 15")
+    val got = spark.sql(
+      "SELECT count(*) FILTER (WHERE tag IS NULL), " +
+        "count(*) FILTER (WHERE tag = 'new') FROM sdml_t").head()
+    assert(got.getLong(0) === 5L && got.getLong(1) === 5L)
+    // parametrized types parse through Spark's DDL grammar
+    spark.sql("ALTER TABLE sdml_t ADD COLUMN score DECIMAL(10,2)")
+    assert(wh.tables("t")("score").dataType.typeName.startsWith("decimal"))
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE sdml_t ADD COLUMN broken NOTATYPE(")
+    }
+    assert(bad.getMessage.contains("cannot parse type"))
+  }
+
   test("DESCRIBE DETAIL: manifest-backed metadata, no listing") {
     val wh = fresh()
     srcView()
