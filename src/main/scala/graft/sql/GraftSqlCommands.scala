@@ -155,6 +155,31 @@ case class GraftCreateTableCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `CREATE TABLE [IF NOT EXISTS] <prefix><t> AS SELECT ...` (CTAS):
+  * [[Warehouse!.createTable]] with the SELECT's analyzed schema
+  * (nullable columns — parquet-backed tables make no narrower
+  * promise), then the initial append, then re-registration. IF NOT
+  * EXISTS on an existing table skips BOTH the create and the load
+  * (the SQL-standard no-op, like the DDL form).
+  */
+case class GraftCtasCommand(wh: Warehouse, table: String,
+    query: LogicalPlan, ifNotExists: Boolean, prefix: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("created",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftBridge.ofRows(spark, query)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true)))
+    val created = wh.createTable(table, Warehouse.TableSpec(schema),
+      ifNotExists)
+    if (created) wh.append(table, df)
+    WarehouseSql.register(spark, wh, prefix)
+    Seq(Row(created))
+  }
+}
+
 /** `DESCRIBE DETAIL wh_t` (the Delta statement): one row of table
   * metadata — current version, live file count/bytes straight from the
   * manifest (no filesystem listing), and the declared layout

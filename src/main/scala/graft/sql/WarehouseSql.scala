@@ -33,6 +33,8 @@ import graft.pipeline.Warehouse
   *   - `OPTIMIZE wh_t [ZORDER BY (c, ...)]`     → [[Warehouse!.optimize]]
   *   - `CREATE TABLE [IF NOT EXISTS] wh_t (...)` → [[Warehouse!.createTable]]
   *     (routed by registered PREFIX — see [[parseCreateTable]])
+  *   - `CREATE TABLE [IF NOT EXISTS] wh_t AS SELECT ...` → createTable
+  *     with the query's schema, then the first append (CTAS)
   *   - `ALTER TABLE wh_t ADD CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT n`
   *     → [[Warehouse!.addCheck]] / [[Warehouse!.dropCheck]]
   *   - `ALTER TABLE wh_t ADD COLUMN c type`     → [[Warehouse!.addColumn]]
@@ -293,6 +295,22 @@ object WarehouseSql {
       case m: MergeIntoTable =>
         targetOf(spark, m.targetTable) match {
           case Some((wh, table, quals)) => translateMerge(spark, m, wh, table, quals)
+          case None => rewriteReads(spark, plan)
+        }
+      case ctas: CreateTableAsSelect =>
+        val ident = ctas.name match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+              if u.nameParts.size == 1 => Some(u.nameParts.head)
+          case _ => None
+        }
+        ident.flatMap(n => prefixFor(spark, n).map(w => (n, w))) match {
+          case Some((sqlName, (wh, prefix))) =>
+            require(ctas.partitioning.isEmpty,
+              s"CREATE TABLE $sqlName AS SELECT: PARTITIONED BY is " +
+                "unsupported in the CTAS form (declare the table with " +
+                "CREATE TABLE ... PARTITIONED BY, then INSERT)")
+            GraftCtasCommand(wh, sqlName.drop(prefix.length),
+              rewriteReads(spark, ctas.query), ctas.ignoreIfExists, prefix)
           case None => rewriteReads(spark, plan)
         }
       case i: InsertIntoStatement =>

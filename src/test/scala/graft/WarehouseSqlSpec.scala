@@ -297,6 +297,29 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("cannot parse type"))
   }
 
+  test("CREATE TABLE AS SELECT: schema from the query, loaded in one go") {
+    val wh = fresh()
+    srcView()
+    val created = spark.sql(
+      """CREATE TABLE sdml_summary AS
+         SELECT grp, count(*) AS n, sum(val) AS total
+         FROM sdml_src GROUP BY grp""").head().getBoolean(0)
+    assert(created)
+    assert(wh.tables("summary").fieldNames.toSeq === Seq("grp", "n", "total"))
+    assert(spark.sql("SELECT count(*) FROM sdml_summary").head().getLong(0) === 3L)
+    // the new name is a full citizen: DML routes against it
+    spark.sql("DELETE FROM sdml_summary WHERE grp = 'g0'")
+    assert(spark.sql("SELECT count(*) FROM sdml_summary").head().getLong(0) === 2L)
+    // IF NOT EXISTS on an existing table: no create, NO reload
+    assert(!spark.sql("CREATE TABLE IF NOT EXISTS sdml_summary AS " +
+      "SELECT * FROM sdml_src").head().getBoolean(0))
+    assert(spark.sql("SELECT count(*) FROM sdml_summary").head().getLong(0) === 2L)
+    // CTAS can read warehouse tables through the routed FROM side
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 4")
+    spark.sql("CREATE TABLE sdml_copy AS SELECT id, grp, val FROM sdml_t")
+    assert(spark.sql("SELECT count(*) FROM sdml_copy").head().getLong(0) === 4L)
+  }
+
   test("DESCRIBE DETAIL: manifest-backed metadata, no listing") {
     val wh = fresh()
     srcView()
