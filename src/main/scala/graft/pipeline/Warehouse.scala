@@ -969,6 +969,7 @@ class Warehouse(spark: SparkSession, dir: String,
     enforceChecks(name, df)
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
+    beforeCommit.foreach(_())
     commit(name, v + 1, fresh, Map("op" -> "overwrite",
       "numFiles" -> fresh.size.toString,
       "numRemoved" -> live.size.toString))

@@ -398,6 +398,27 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(rows.size === 12 + 12 + 4, "compaction dropped rows")
   }
 
+  test("overwrite fails fast on ANY concurrent commit (whole-table footprint)") {
+    val (wh, dir) = freshTable()
+    val other = new Warehouse(spark, dir)
+    val extra = mkBase().where($"epoch_date" === "2026-01-02")
+      .withColumn("norad_id", $"norad_id" + 100)
+    wh.beforeCommit = Some(() => other.append("fact_telemetry", extra))
+    intercept[Warehouse.CommitConflict] {
+      wh.overwrite("fact_telemetry",
+        mkBase().where($"epoch_date" === "2026-01-01"))
+    }
+    wh.beforeCommit = None
+    // the overwrite never landed; the concurrent append did
+    val rows = state(new Warehouse(spark, dir))
+    assert(rows.size === 12 + 4)
+    assert(rows.count(_._1 > 100) === 4)
+    // and it re-runs cleanly against the new head
+    wh.overwrite("fact_telemetry",
+      mkBase().where($"epoch_date" === "2026-01-01"))
+    assert(state(new Warehouse(spark, dir)).size === 4)
+  }
+
   test("read-modify ops fail fast on a concurrent commit") {
     val (wh, dir) = freshTable()
     val other = new Warehouse(spark, dir)
