@@ -100,6 +100,14 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   @volatile private var specsNow: Map[String, Warehouse.TableSpec] = specs
 
+  /** Serializes specsNow read-modify-writes (addColumn / addCheck /
+    * dropCheck / createTable): DDL is single-writer by contract, but a
+    * concurrent APPEND is documented safe, and an unsynchronized RMW
+    * could lose a concurrent DDL's update. Reads stay lock-free
+    * (volatile).
+    */
+  private val specsLock = new Object
+
   def tables: Map[String, StructType] =
     specsNow.view.mapValues(_.schema).toMap
 
@@ -155,14 +163,49 @@ class Warehouse(spark: SparkSession, dir: String,
   private def manifestDir(name: String) = new Path(path(name), "_manifests")
 
   /** A version commits as a FULL checkpoint when this is true; deltas
-    * otherwise. Purely a function of the version number, so two racing
-    * committers of the same version always pick the same file name —
-    * the create-exclusive publish stays a valid conflict detector.
-    * (Vacuum additionally MATERIALIZES checkpoints at non-checkpoint
-    * versions before trimming their ancestors; readers prefer `.mf`.)
+    * otherwise. Purely a function of the version number and the
+    * PERSISTED interval, so two racing committers of the same version
+    * always pick the same file name — the create-exclusive publish
+    * stays a valid conflict detector. (Vacuum additionally MATERIALIZES
+    * checkpoints at non-checkpoint versions before trimming their
+    * ancestors; readers prefer `.mf`.)
     */
   private def isCheckpointVersion(version: Long): Boolean =
-    version == 1L || version % checkpointInterval == 0L
+    version == 1L || version % ckptInterval == 0L
+
+  /** EFFECTIVE checkpoint cadence: the constructor's value is only a
+    * REQUEST — the first writer persists it to `_meta/_warehouse.json`
+    * (create-exclusive, losers read the winner's value back) and every
+    * later instance reads it from there, whatever its own constructor
+    * asked for. Without this, two writers opened with different
+    * intervals could commit the SAME version as `.mf` and `.mfd`
+    * siblings — neither publish collides, and the `.mfd` writer's
+    * commit is silently shadowed (readers prefer `.mf`). The sibling
+    * re-check in [[publishManifest]] backstops legacy directories that
+    * predate the persisted value.
+    */
+  private lazy val ckptInterval: Int = {
+    val fs = fileSystem
+    val p = new Path(new Path(dir, "_meta"), "_warehouse.json")
+    def readBack(): Option[Int] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try {
+          new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        if (node.has("checkpointInterval"))
+          Some(node.get("checkpointInterval").asInt()) else None
+      }
+    readBack().getOrElse {
+      val won = publishExclusive(p,
+        s"""{"checkpointInterval":$checkpointInterval}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (won) checkpointInterval
+      else readBack().getOrElse(checkpointInterval)
+    }
+  }
 
   /** Resolve a version's manifest file, preferring a full `.mf` (a
     * scheduled checkpoint or a vacuum-materialized one) over `.mfd`.
@@ -353,19 +396,63 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   /** Atomically publish a manifest body under `fileName`; throws
-    * [[Warehouse.CommitConflict]] if the destination already exists.
+    * [[Warehouse.CommitConflict]] if the destination already exists —
+    * OR if the SIBLING extension of the same version exists (`.mf` vs
+    * `.mfd`): a writer whose checkpoint-interval view disagrees with a
+    * concurrent committer's (a legacy directory predating the persisted
+    * interval) would otherwise publish version N under the OTHER
+    * extension without colliding, and readers preferring `.mf` would
+    * silently drop one commit. The sibling is checked before the write
+    * (cheap fail-fast) and re-checked after the publish; in the
+    * re-check race both writers may abort — safe (neither version
+    * lands; appends retry), never lossy.
+    *
+    * @param allowSibling vacuum's checkpoint MATERIALIZATION publishes
+    *   a `.mf` at a version that legitimately already has a `.mfd`
     */
   private def publishManifest(name: String, fileName: String,
-      body: String): Unit = {
+      body: String, allowSibling: Boolean = false): Unit = {
     val fs = fileSystem
     val mdir = manifestDir(name)
-    val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID}")
+    val sibling = new Path(mdir,
+      if (fileName.endsWith(".mfd")) fileName.dropRight(1) else fileName + "d")
+    def siblingConflict(): Unit =
+      throw new Warehouse.CommitConflict(
+        s"$name: version ${fileName.takeWhile(_ != '.')} already " +
+          s"committed under the sibling extension (${sibling.getName}) " +
+          "— concurrent writer with a different checkpoint interval")
+    if (!allowSibling && fs.exists(sibling)) siblingConflict()
+    val dest = new Path(mdir, fileName)
+    val committed = publishExclusive(dest,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!committed)
+      throw new Warehouse.CommitConflict(
+        s"$name: manifest $fileName commit lost a race (concurrent writer)")
+    if (!allowSibling && fs.exists(sibling)) {
+      // sibling appeared inside the publish window: yield — delete our
+      // manifest (data files become vacuumable orphans) and conflict
+      fs.delete(dest, false)
+      siblingConflict()
+    }
+  }
+
+  /** Create-exclusive publish of `bytes` at `dest`: returns true iff
+    * THIS call created the file. Atomicity picks the primitive that IS
+    * atomic per store: local filesystems publish via `link(2)` (hard-
+    * link creation is create-exclusive at the kernel level — exactly
+    * one of two racers gets EEXIST; `rename(2)` would silently replace),
+    * HDFS-style stores via rename (the NameNode rejects an existing
+    * destination atomically).
+    */
+  private def publishExclusive(dest: Path, bytes: Array[Byte]): Boolean = {
+    val fs = fileSystem
+    fs.mkdirs(dest.getParent)
+    val tmp = new Path(dest.getParent, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try {
-      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(bytes)
       out.hsync()
     } finally out.close()
-    val dest = new Path(mdir, fileName)
     val committed =
       if ("file" == fs.getUri.getScheme) {
         try {
@@ -380,9 +467,7 @@ class Warehouse(spark: SparkSession, dir: String,
     // local link leaves tmp behind; a successful rename already moved it
     // (delete is then a harmless no-op)
     fs.delete(tmp, false)
-    if (!committed)
-      throw new Warehouse.CommitConflict(
-        s"$name: manifest $fileName commit lost a race (concurrent writer)")
+    committed
   }
 
   /** Per-file (rowCount, min/max for `cols`), read from the parquet
@@ -605,6 +690,23 @@ class Warehouse(spark: SparkSession, dir: String,
         Some(n.asInstanceOf[Number].longValue())
       case (Some(StringType), s: String) => Some(s)
       case (Some(BinaryType), b: Array[Byte]) => Some(b)
+      // temporal columns: stats and blooms are long-encoded off the
+      // Catalyst internal representation (timestamps = epoch MICROS,
+      // dates = epoch DAYS) — accept the typed probes by converting to
+      // that encoding, and integral probes as ALREADY encoded (the
+      // documented manifest encoding, same as readRange's contract)
+      case (Some(TimestampType), t: java.sql.Timestamp) =>
+        Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+      case (Some(TimestampType), i: java.time.Instant) =>
+        Some(Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+      case (Some(TimestampType), n @ (_: Int | _: Long)) =>
+        Some(n.asInstanceOf[Number].longValue())
+      case (Some(DateType), d: java.sql.Date) =>
+        Some(d.toLocalDate.toEpochDay)
+      case (Some(DateType), d: java.time.LocalDate) => Some(d.toEpochDay)
+      case (Some(DateType), n @ (_: Byte | _: Short | _: Int | _: Long)) =>
+        Some(n.asInstanceOf[Number].longValue())
       case _ => None
     }
     probe match {
@@ -648,22 +750,32 @@ class Warehouse(spark: SparkSession, dir: String,
     tables.keys.foreach(bootstrapTable(_, Map.empty))
 
   private def bootstrapTable(name: String,
-      extraMeta: Map[String, String]): Unit =
+      extraMeta: Map[String, String],
+      initial: Option[DataFrame] = None): Unit =
     if (loadLatest(name)._1 == 0L) {
       val p = new Path(path(name))
       val fs = fileSystem
-      val entries =
-        if (fs.exists(p)) FsListing.dataFiles(path(name))
-          .map { case (rel, bytes) =>
-            FileEntry(rel, bytes, Map.empty[String, (Long, Long)]) }
-        else {
-          val empty = spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], tables(name))
-          writeBatch(name, empty)
-        }
+      val entries = initial match {
+        // CTAS: the first load IS the v1 commit — a crash before the
+        // publish leaves NO committed table (staged files become
+        // vacuumable orphans), never an empty table an IF NOT EXISTS
+        // re-run would silently skip the load of. Pre-existing stray
+        // files are NOT adopted on this path (fresh names don't clash).
+        case Some(df) => writeBatch(name, df)
+        case None =>
+          if (fs.exists(p)) FsListing.dataFiles(path(name))
+            .map { case (rel, bytes) =>
+              FileEntry(rel, bytes, Map.empty[String, (Long, Long)]) }
+          else {
+            val empty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], tables(name))
+            writeBatch(name, empty)
+          }
+      }
+      maybeCrash("after-write")
       commit(name, 1L, entries,
-        Map("op" -> "bootstrap", "numFiles" -> entries.size.toString)
-          ++ extraMeta)
+        Map("op" -> (if (initial.isDefined) "ctas" else "bootstrap"),
+          "numFiles" -> entries.size.toString) ++ extraMeta)
       persistSpec(name)
     }
 
@@ -679,20 +791,32 @@ class Warehouse(spark: SparkSession, dir: String,
     *   advisory `pk=` a PRIMARY KEY clause declares — surfaced by
     *   DESCRIBE HISTORY; enforcement stays with the anti-join dedup /
     *   uniqueness-audit surface, the documented reference trade)
+    * @param initial CTAS data: when present, the v1 manifest commits
+    *   the CREATE and the first load ATOMICALLY (one manifest, op
+    *   `ctas`) — no window where an empty table is committed but the
+    *   load is not
     * @return true if created; false if it already existed and
     *   `ifNotExists` allowed that
     */
   def createTable(name: String, spec: Warehouse.TableSpec,
       ifNotExists: Boolean = false,
-      extraMeta: Map[String, String] = Map.empty): Boolean =
+      extraMeta: Map[String, String] = Map.empty,
+      initial: Option[DataFrame] = None): Boolean =
     if (specsNow.contains(name)) {
       if (!ifNotExists) throw new IllegalArgumentException(
         s"createTable: table $name already exists (CREATE TABLE IF NOT " +
           "EXISTS makes this a no-op)")
       false
     } else {
-      specsNow = specsNow + (name -> spec)
-      bootstrapTable(name, extraMeta)
+      specsLock.synchronized { specsNow = specsNow + (name -> spec) }
+      try bootstrapTable(name, extraMeta, initial)
+      catch { case t: Throwable =>
+        // no manifest committed → roll the in-memory spec back so a
+        // retry (or an IF NOT EXISTS re-run) re-attempts the create
+        // instead of seeing a phantom empty table
+        specsLock.synchronized { specsNow = specsNow - name }
+        throw t
+      }
       true
     }
 
@@ -1536,7 +1660,11 @@ class Warehouse(spark: SparkSession, dir: String,
         "(existing files carry no values for them)")
     require(!spec.schema.fieldNames.contains(field.name),
       s"addColumn: $name.${field.name} already exists")
-    specsNow = specsNow.updated(name, spec.copy(schema = spec.schema.add(field)))
+    specsLock.synchronized {
+      val cur = specsNow(name)
+      specsNow = specsNow.updated(name,
+        cur.copy(schema = cur.schema.add(field)))
+    }
     persistSpec(name)
   }
 
@@ -1549,9 +1677,17 @@ class Warehouse(spark: SparkSession, dir: String,
     * survivor re-writes (delete) skip it — their rows were checked when
     * first written.
     */
-  private def enforceChecks(name: String, df: DataFrame): Unit = {
+  private def enforceChecks(name: String, df: DataFrame): Unit =
+    enforceChecks(name, df, specsNow(name).checks)
+
+  /** [[enforceChecks]] against an EXPLICIT constraint set — the form
+    * [[addCheck]] validates a candidate with, so the candidate is never
+    * visible to concurrent writers before it passes.
+    */
+  private def enforceChecks(name: String, df: DataFrame,
+      checksIn: Map[String, String]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
-    val checks = specsNow(name).checks.toSeq.sortBy(_._1)
+    val checks = checksIn.toSeq.sortBy(_._1)
     if (checks.isEmpty) return
     val aggs = checks.map { case (n, e) =>
       sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(n) }
@@ -1574,23 +1710,30 @@ class Warehouse(spark: SparkSession, dir: String,
       throw new IllegalArgumentException(s"addCheck: no table $name"))
     require(!spec.checks.contains(checkName),
       s"addCheck: $name already has constraint $checkName")
-    val probe = specsNow.updated(name,
-      spec.copy(checks = spec.checks + (checkName -> exprSql)))
-    val prev = specsNow
-    specsNow = probe
-    try enforceChecks(name, read(name))
-    catch { case t: Throwable => specsNow = prev; throw t }
+    // validate against a LOCAL candidate set — the constraint is never
+    // published to specsNow until it passes, so a concurrent append can
+    // neither transiently enforce a doomed constraint nor observe a
+    // mid-validation rollback
+    enforceChecks(name, read(name), Map(checkName -> exprSql))
+    specsLock.synchronized {
+      val cur = specsNow(name)
+      specsNow = specsNow.updated(name,
+        cur.copy(checks = cur.checks + (checkName -> exprSql)))
+    }
     persistSpec(name)
   }
 
   /** DDL: drop a CHECK constraint. */
   def dropCheck(name: String, checkName: String): Unit = {
-    val spec = specsNow.getOrElse(name,
+    require(specsNow.getOrElse(name,
       throw new IllegalArgumentException(s"dropCheck: no table $name"))
-    require(spec.checks.contains(checkName),
+      .checks.contains(checkName),
       s"dropCheck: $name has no constraint $checkName")
-    specsNow = specsNow.updated(name,
-      spec.copy(checks = spec.checks - checkName))
+    specsLock.synchronized {
+      val cur = specsNow(name)
+      specsNow = specsNow.updated(name,
+        cur.copy(checks = cur.checks - checkName))
+    }
     persistSpec(name)
   }
 
@@ -1648,7 +1791,7 @@ class Warehouse(spark: SparkSession, dir: String,
           val st = e.stats.toSeq.sortBy(_._1)
             .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
           s"${e.rel}\t${e.bytes}\t$st"
-        }).mkString("\n"))
+        }).mkString("\n"), allowSibling = true)
       fs.delete(new Path(manifestDir(name), f"v$oldestKept%012d.mfd"), false)
     }
     vs.dropRight(math.max(keepManifests, 1)).foreach { mv =>

@@ -157,10 +157,12 @@ case class GraftCreateTableCommand(wh: Warehouse, table: String,
 
 /** `CREATE TABLE [IF NOT EXISTS] <prefix><t> AS SELECT ...` (CTAS):
   * [[Warehouse!.createTable]] with the SELECT's analyzed schema
-  * (nullable columns — parquet-backed tables make no narrower
-  * promise), then the initial append, then re-registration. IF NOT
-  * EXISTS on an existing table skips BOTH the create and the load
-  * (the SQL-standard no-op, like the DDL form).
+  * (nullable columns — parquet-backed tables make no narrower promise)
+  * AND the SELECT's rows as the table's ATOMIC v1 commit (create +
+  * first load in one manifest — a crash mid-CTAS leaves no committed
+  * table, so a re-run reloads instead of silently skipping), then
+  * re-registration. IF NOT EXISTS on an existing table skips BOTH the
+  * create and the load (the SQL-standard no-op, like the DDL form).
   */
 case class GraftCtasCommand(wh: Warehouse, table: String,
     query: LogicalPlan, ifNotExists: Boolean, prefix: String)
@@ -173,8 +175,7 @@ case class GraftCtasCommand(wh: Warehouse, table: String,
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true)))
     val created = wh.createTable(table, Warehouse.TableSpec(schema),
-      ifNotExists)
-    if (created) wh.append(table, df)
+      ifNotExists, initial = Some(df))
     WarehouseSql.register(spark, wh, prefix)
     Seq(Row(created))
   }

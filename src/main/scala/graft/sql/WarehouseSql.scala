@@ -78,6 +78,33 @@ object WarehouseSql {
     */
   private val prefixRegistry = new ConcurrentHashMap[(String, String), Warehouse]()
 
+  /** Eviction: the registries are process-global and their Warehouse
+    * values pin SparkSession references, so without eviction every
+    * registerSql would leak its session for the JVM's lifetime (test
+    * suites, notebook servers spawning many sessions). Weak values are
+    * NOT an option — a route silently vanishing at GC time would turn
+    * registered statements into delegate parse errors nondeterministi-
+    * cally — so eviction is deterministic instead: [[unregister]] for a
+    * session a caller knows is done, plus a context-stop listener
+    * (installed once per active context) that clears everything when
+    * the application ends — the backstop that unpins all sessions of a
+    * stopped context.
+    */
+  private val listenerInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def ensureEviction(spark: SparkSession): Unit =
+    if (listenerInstalled.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            registry.clear()
+            prefixRegistry.clear()
+            listenerInstalled.set(false) // a future context re-installs
+          }
+        })
+
   /** Route `<prefix><table>` for every table of `wh` in `spark`'s
     * registry. Re-registration overwrites (latest warehouse wins) —
     * the registry holds the INSTANCE, so reads always resolve the
@@ -85,11 +112,23 @@ object WarehouseSql {
     * snapshot.
     */
   def register(spark: SparkSession, wh: Warehouse, prefix: String = "wh_"): Unit = {
+    ensureEviction(spark)
     prefixRegistry.put((GraftBridge.sessionUUID(spark), prefix.toLowerCase), wh)
     wh.tables.keys.foreach { t =>
       registry.put((GraftBridge.sessionUUID(spark), (prefix + t).toLowerCase), (wh, t))
       ()
     }
+  }
+
+  /** Drop every route of `spark`'s session — a test suite's afterAll,
+    * a notebook kernel shutdown. Idempotent; other sessions' routes
+    * are untouched.
+    */
+  def unregister(spark: SparkSession): Unit = {
+    val uuid = GraftBridge.sessionUUID(spark)
+    registry.keySet.removeIf(_._1 == uuid)
+    prefixRegistry.keySet.removeIf(_._1 == uuid)
+    ()
   }
 
   private[sql] def lookup(spark: SparkSession,

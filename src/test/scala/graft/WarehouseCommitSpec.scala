@@ -389,6 +389,101 @@ class WarehouseCommitSpec extends SparkSpec {
     assert(wh.read("fact_space_weather").count() === 31L)
   }
 
+  test("checkpoint interval is PERSISTED: a writer opened with a " +
+      "different interval still picks the same manifest extension") {
+    val dir = Files.createTempDirectory("graft-ival-").toString
+    val a = new Warehouse(spark, dir, checkpointInterval = 10)
+    a.bootstrap() // first commit persists interval=10 in _meta
+    // a second writer ASKS for checkpoint-every-commit; the persisted
+    // value must win, else the two would commit the same version as
+    // .mf / .mfd siblings — neither colliding — and readers preferring
+    // .mf would silently drop the delta writer's commit
+    val b = new Warehouse(spark, dir, checkpointInterval = 1)
+    (1 to 3).foreach { i =>
+      b.append("fact_space_weather",
+        Seq((java.sql.Date.valueOf("2026-01-01"), 100.0 + i))
+          .toDF("date_utc", "f10_7_flux"))
+    }
+    val mdir = Paths.get(dir, "fact_space_weather", "_manifests")
+    assert(Files.exists(mdir.resolve("v000000000002.mfd")),
+      "persisted interval=10 must make v2 a DELTA despite b's interval=1")
+    assert(!Files.exists(mdir.resolve("v000000000002.mf")))
+    assert(Files.exists(Paths.get(dir, "_meta", "_warehouse.json")))
+    // both handles read the same, complete table
+    assert(a.read("fact_space_weather").count() === 3L)
+    assert(b.read("fact_space_weather").count() === 3L)
+  }
+
+  test("a sibling-extension manifest of the same version conflicts " +
+      "instead of being silently shadowed") {
+    val dir = Files.createTempDirectory("graft-sib-").toString
+    val wh = new Warehouse(spark, dir) // interval 10 → v2 commits as .mfd
+    wh.bootstrap()
+    val mdir = Paths.get(dir, "fact_space_weather", "_manifests")
+    // a legacy/misconfigured writer publishes v2 as a FULL manifest in
+    // the window after this append computed its target version — the
+    // worst case the create-exclusive publish alone cannot see
+    wh.beforeCommit = Some(() => {
+      Files.write(mdir.resolve("v000000000002.mf"),
+        "graft-manifest 1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    })
+    try wh.append("fact_space_weather",
+      Seq((java.sql.Date.valueOf("2026-01-01"), 42.0))
+        .toDF("date_utc", "f10_7_flux"))
+    finally wh.beforeCommit = None
+    // the appender must NOT have published v2.mfd alongside the foreign
+    // v2.mf; its retry loop re-read the head and committed v3 instead
+    assert(!Files.exists(mdir.resolve("v000000000002.mfd")),
+      "sibling .mfd published next to a foreign .mf — silent shadow")
+    assert(wh.versions("fact_space_weather") === Seq(1L, 2L, 3L))
+    assert(wh.readVersion("fact_space_weather", 2L).count() === 0L)
+    assert(wh.read("fact_space_weather").count() === 1L)
+  }
+
+  test("point-lookup pruning covers timestamp and date stat columns") {
+    // timestamp: fact_telemetry stats epoch_utc as epoch MICROS
+    val (wh, _) = freshTable() // 3 single-day files, days Jan 1-3
+    val (_, entries) = wh.loadLatest("fact_telemetry")
+    assert(entries.size === 3)
+    val probe = ts("2026-01-02T01:00:00Z")
+    for (p <- Seq[Any](probe, probe.toInstant,
+        probe.toInstant.getEpochSecond * 1000000L)) {
+      assert(wh.pointCandidates("fact_telemetry", "epoch_utc", p, entries)
+        .size === 1, s"probe ${p.getClass.getSimpleName} did not prune")
+    }
+    assert(wh.readPoint("fact_telemetry", "epoch_utc", probe)
+      .filter($"epoch_utc" === probe).count() === 1L)
+    // a mistyped probe (string on a timestamp column) keeps all files
+    assert(wh.pointCandidates("fact_telemetry", "epoch_utc",
+      "2026-01-02", entries).size === 3)
+
+    // date: a custom table with a DateType stat column (epoch DAYS)
+    val dir = Files.createTempDirectory("graft-dpt-").toString
+    val wd = new Warehouse(spark, dir, specs = Map("d" ->
+      Warehouse.TableSpec(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))),
+        statColumns = Seq("day"))))
+    wd.bootstrap()
+    (1 to 3).foreach { d =>
+      wd.append("d", Seq((java.sql.Date.valueOf(f"2026-03-0$d"), d.toLong))
+        .toDF("day", "v").coalesce(1))
+    }
+    val (_, de) = wd.loadLatest("d")
+    assert(de.size === 3)
+    val day = java.sql.Date.valueOf("2026-03-02")
+    for (p <- Seq[Any](day, day.toLocalDate, day.toLocalDate.toEpochDay)) {
+      assert(wd.pointCandidates("d", "day", p, de).size === 1,
+        s"date probe ${p.getClass.getSimpleName} did not prune")
+    }
+    assert(wd.readPoint("d", "day", day)
+      .filter($"day" === day).count() === 1L)
+  }
+
   test("delta manifests are observationally identical to full manifests") {
     // DIFFERENTIAL: the same op sequence against checkpointInterval=10
     // (delta chains) and =1 (the pre-delta full-per-commit behavior)

@@ -320,6 +320,45 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM sdml_copy").head().getLong(0) === 4L)
   }
 
+  test("CTAS is ATOMIC: a crash mid-load leaves no committed table, " +
+      "and the re-run loads instead of skipping") {
+    val wh = fresh()
+    srcView()
+    wh.crashPoint = Some("after-write")
+    intercept[IllegalStateException] {
+      spark.sql("CREATE TABLE sdml_part AS SELECT * FROM sdml_src")
+    }
+    wh.crashPoint = None
+    // the create rolled back WITH the load: no phantom empty table that
+    // an IF NOT EXISTS re-run would silently skip the load of
+    assert(!wh.tables.contains("part"),
+      "crashed CTAS left a created (empty) table behind")
+    val created = spark.sql(
+      "CREATE TABLE IF NOT EXISTS sdml_part AS SELECT * FROM sdml_src")
+      .head().getBoolean(0)
+    assert(created, "re-run after crash must CREATE, not no-op")
+    assert(spark.sql("SELECT count(*) FROM sdml_part").head().getLong(0) === 20L)
+    // create + first load are ONE commit: v1, op=ctas
+    assert(wh.versions("part") === Seq(1L))
+    assert(wh.history("part").head._2("op") === "ctas")
+  }
+
+  test("unregister drops a session's routes and only that session's") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    graft.sql.WarehouseSql.unregister(spark)
+    // the route is gone: the registered name no longer resolves
+    val err = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM sdml_t").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("sdml_t") ||
+      err.getMessage.toLowerCase.contains("table"))
+    // re-registration restores the surface (idempotent lifecycle)
+    wh.registerSql("sdml_")
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 20L)
+  }
+
   test("DESCRIBE DETAIL: manifest-backed metadata, no listing") {
     val wh = fresh()
     srcView()
