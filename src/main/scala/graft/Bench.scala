@@ -40,15 +40,22 @@ object Bench {
     // runs swing ±30%); a failed query records a NEGATIVE time so
     // failures are visible in BENCH json rather than masquerading as
     // fast successes.
-    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
+      // failures go to stderr (the artifact captures stdout only) so a
+      // negative bench number is diagnosable without re-running
       val ok = try { exec(fn(spark, sfDir)); true }
-               catch { case _: Throwable => false }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: $e")
+                 if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
+                 false
+               }
       val dt = (System.nanoTime() - t0) / 1e9
       if (ok) dt else -dt
     }
     val results = queries.map { case (name, fn) =>
-      val (a, b) = (timeOnce(fn), timeOnce(fn))
+      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
       // min picks the faster pass; any failure is negative and therefore
       // wins the min, keeping failures visible in the output
       name -> math.min(a, b)

@@ -1889,7 +1889,11 @@ object Warehouse {
     val loaded =
       if (!fs.exists(metaDir)) Map.empty[String, TableSpec]
       else fs.listStatus(metaDir).toSeq
-        .filter(_.getPath.getName.endsWith(".json"))
+        // `_`-prefixed entries are warehouse-level metadata (e.g. the
+        // persisted checkpoint interval in `_warehouse.json`), not
+        // table specs — table names never start with `_`
+        .filter { st => val n = st.getPath.getName
+          n.endsWith(".json") && !n.startsWith("_") }
         .map { st =>
           val in = fs.open(st.getPath)
           val text = try {
