@@ -18,13 +18,23 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // ts arrives as long nanos (see GraftSession nanosAsLong). Integer
-      // division (DIV) — a double division would lose precision above
-      // 2^53 ns (~104 days since epoch).
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    if (name == "events") {
+      // Normalize `ts` to TimestampType (LTZ) whatever the generator
+      // wrote: int64 NANOS surfaces as LongType (GraftSession sets
+      // nanosAsLong) and needs integer DIV 1000 — a double division
+      // would lose precision above 2^53 ns; TIMESTAMP(MICROS) without
+      // UTC adjustment surfaces as TIMESTAMP_NTZ, a pure
+      // reinterpretation under the session's fixed UTC zone.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
+    } else raw
   }
 
   /** Register all tables as temp views named after themselves, so both the
