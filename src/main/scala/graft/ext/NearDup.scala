@@ -520,6 +520,39 @@ object NearDup {
       .select(col("_vid").as(idCol), col("_comp").as("cluster_id"))
   }
 
+  /** Canonical selection: dedup that keeps the BEST copy of each
+    * duplicate cluster — argmax `score` (quality, length, recency …),
+    * ties to the smallest id — instead of [[exact]]'s first-seen. This
+    * is the curation form of near-dedup: a boilerplate-mutated family
+    * keeps its highest-quality member, wherever it appeared.
+    *
+    * Composes [[clusters]] (transitive components over the pair list)
+    * with a per-cluster argmax window. Scale: the window partitions by
+    * cluster_id — component-bounded groups, no global window; the score
+    * is evaluated once per row. Determinism: argmax on
+    * (round(score, 6) DESC, id) so cross-engine float noise can't flip
+    * the kept member.
+    *
+    * @param pairs undirected duplicate edges (`id1`, `id2`), e.g. from
+    *   [[jaccardPairs]] / [[minhashLshPairs]]
+    * @param score any Column over `docs`' columns
+    * @return every `docs` row annotated with cluster_id, cluster_size
+    *   and is_kept — filter on is_kept for the deduped corpus
+    */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(docs.select(col(idCol)), idCol, pairs)
+    val size = Window.partitionBy(col("cluster_id"))
+    val pick = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_score").desc, col(idCol))
+    docs.join(cl, idCol)
+      .withColumn("_score", round(score, 6))
+      .withColumn("cluster_size", count(lit(1)).over(size).cast("long"))
+      .withColumn("is_kept", row_number().over(pick) === 1)
+      .drop("_score")
+  }
+
   /** EDIT-DISTANCE-1 pairs via the SymSpell deletion neighborhood — the
     * typo-dedup rung for SHORT KEYS (titles, names, identifiers), where
     * shingle Jaccard is too coarse. Each key emits itself plus its

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked full-text retrieval over a document corpus — the classic
@@ -59,6 +60,47 @@ object Retrieval {
         round(sum(idf * norm), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
+  }
+
+  /** Reciprocal-rank fusion — the standard rank combiner for HYBRID
+    * retrieval (lexical BM25 ∪ dense cosine): each retriever ranks its
+    * own candidate list per query, and a document's fused score is
+    * Σ_lists 1/(kRrf + rank). Fusing in RANK space needs no score
+    * calibration between BM25's unbounded scores and cosine's [-1, 1]
+    * — only the orders matter (kRrf=60 is the published default).
+    *
+    * Scale shape: the inputs are already per-(query, retriever) TOP-K
+    * candidate lists, so everything here acts on
+    * |queries| × |retrievers| × k rows — never corpus-sized; the heavy
+    * lifting stays inside each retriever. The rank windows partition by
+    * (query, retriever) and the final cut by query, so no global
+    * window appears at any scale.
+    *
+    * Determinism: per-list rank orders by (round(score, 6) DESC, id);
+    * the fused score rounds to 9 dp (each row sums ≤ |retrievers|
+    * reciprocals, so accumulation-order error is far below 1e-9) and
+    * ties break on id — both cuts replay exactly in an independent
+    * engine.
+    *
+    * @param candidates rows of (qidCol, srcCol, idCol, scoreCol): one
+    *   row per retained candidate per retriever list
+    * @return (qid, id, n_lists, rrf, rank) — top `k` per qid by
+    *   (rrf DESC, id), rank 1..k
+    */
+  def rrfFuse(candidates: DataFrame, qidCol: String, srcCol: String,
+      idCol: String, scoreCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k > 0 && kRrf > 0, s"rrfFuse: k=$k, kRrf=$kRrf must be > 0")
+    val perList = Window.partitionBy(col(qidCol), col(srcCol))
+      .orderBy(round(col(scoreCol), 6).desc, col(idCol))
+    val fused = candidates
+      .withColumn("_r", row_number().over(perList))
+      .groupBy(col(qidCol).as("qid"), col(idCol).as("id"))
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("_r"))), 9).as("rrf"))
+    val perQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(perQuery).cast("long"))
+      .where(col("rank") <= k)
   }
 
   /** Positional PROXIMITY match — the phrase/near-query rung above

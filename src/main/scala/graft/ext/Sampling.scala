@@ -92,6 +92,34 @@ object Sampling {
     * two keep n_s / w_s float-exact; other weights still replay (IEEE
     * ops are deterministic), they just aren't round numbers.
     */
+  /** Deterministic per-key VOLUME CAP — the domain-balancing rung of
+    * web-corpus curation: keep at most `cap` rows per key (source,
+    * domain, host) so no single origin dominates the mixture, choosing
+    * WHICH rows by the same hash coordinate as [[sample]] rather than
+    * arrival order. A pure function of (id, salt, key's member set):
+    * the kept set is identical across runs, partitionings, task
+    * retries, and engines.
+    *
+    * Scale shape: one exchange on the key, then a per-key window —
+    * groups are bounded by per-key row counts (a pathologically hot
+    * key still sorts its own group once; pre-split upstream if one key
+    * exceeds a partition). Unlike rate-based [[sampleBy]], the cap is
+    * an absolute bound: a 10⁹-doc domain and a 10³-doc domain both cap
+    * at `cap`.
+    *
+    * @return input rows with `key_rank` (1-based priority rank within
+    *   the key), filtered to key_rank <= cap
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, cap: Int,
+      salt: String = "graft"): DataFrame = {
+    require(cap > 0, s"capPerKey: cap must be > 0, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashCoord(col(idCol), salt), col(idCol))
+    df.withColumn("key_rank", row_number().over(w).cast("long"))
+      .where(col("key_rank") <= cap)
+  }
+
   /** TEMPERATURE-sampled mixture (the multilingual-pretraining rule of
     * XLM/mBERT/mT5): resample so stratum s's share follows
     * q_s ∝ n_s^α — α = 1 keeps the natural distribution, α = 0 is

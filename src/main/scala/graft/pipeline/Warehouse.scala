@@ -170,8 +170,14 @@ class Warehouse(spark: SparkSession, dir: String,
     * checkpoints at non-checkpoint versions before trimming their
     * ancestors; readers prefer `.mf`.)
     */
-  private def isCheckpointVersion(version: Long): Boolean =
-    version == 1L || version % ckptInterval == 0L
+  private def isCheckpointVersion(version: Long): Boolean = {
+    // Force the lazy interval BEFORE the v1 short-circuit: the first
+    // commit is always a checkpoint, but it must still PERSIST the
+    // winner's interval — otherwise the second writer's (possibly
+    // different) request would win the _warehouse.json race.
+    val interval = ckptInterval
+    version == 1L || version % interval == 0L
+  }
 
   /** EFFECTIVE checkpoint cadence: the constructor's value is only a
     * REQUEST — the first writer persists it to `_meta/_warehouse.json`

@@ -2275,6 +2275,204 @@ object LlmQueries extends QueryPack {
                     WHEN NOT stopword_hits THEN 'stopword_hits'
                     ELSE NULL END AS first_fail
         FROM flags
+        ORDER BY doc_id""")),
+
+    // ---- q121: HYBRID retrieval — BM25 lexical candidates ∪ dense
+    // cosine candidates, fused by reciprocal rank (RRF). Two query
+    // ids, each with a term bag (lexical side) and the id's own
+    // embedding (dense side, doc_id ≡ vec_id); each retriever emits
+    // its top-50, fusion scores 1/(60+rank) summed across lists, top-10
+    // per query survives. Rank-space fusion is exactly replayable: the
+    // oracle re-derives BM25 (the q84 formula), cosine (the q33
+    // formula), both rank cuts, and the reciprocal-rank arithmetic. ----
+    Q("q121_docs_hybrid_rrf",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val emb = fan(t(s, dir, "embeddings"))
+        val lex = Seq(
+            3L -> Seq("join", "vector", "stream"),
+            11L -> Seq("customer", "order", "spark"))
+          .map { case (qid, terms) =>
+            graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 50)
+              .select(lit(qid).as("qid"), lit("lex").as("src"),
+                col("id"), col("score"))
+          }.reduce(_ unionByName _)
+        val qvecs = emb.where(col("vec_id").isin(3L, 11L))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            qvecs, "q_id", "q_vec", k = 50)
+          .select(col("qid"), lit("dense").as("src"), col("id"),
+            col("cosine").as("score"))
+        graft.ext.Retrieval.rrfFuse(lex.unionByName(dense),
+            "qid", "src", "id", "score", k = 10)
+          .select(col("qid"), col("id"), col("n_lists"), col("rrf"),
+            col("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH dtk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS tk
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, tk FROM dtk),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                         avg(dl) AS avgdl FROM dl),
+        q(qid, term) AS (VALUES
+          (3, 'join'), (3, 'vector'), (3, 'stream'),
+          (11, 'customer'), (11, 'order'), (11, 'spark')),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dl)
+          WHERE term IN (SELECT term FROM q)
+          GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY term),
+        bm25 AS (
+          SELECT q.qid, tf.doc_id AS id,
+                 round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                       6) AS score
+          FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+          CROSS JOIN stats
+          GROUP BY q.qid, tf.doc_id),
+        lex AS (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, id) AS r
+          FROM bm25 QUALIFY r <= 50),
+        qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id IN (3, 11)),
+        cos AS (
+          SELECT qv.qid, e.vec_id AS id,
+                 round(list_dot_product(e.embedding::DOUBLE[], qv.qvec) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(qv.qvec, qv.qvec))), 6)
+                   AS score
+          FROM embeddings e, qv WHERE e.vec_id <> qv.qid),
+        dense AS (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, id) AS r
+          FROM cos QUALIFY r <= 50),
+        u AS (SELECT qid, id, r FROM lex
+              UNION ALL SELECT qid, id, r FROM dense),
+        fused AS (
+          SELECT qid, id, CAST(count(*) AS BIGINT) AS n_lists,
+                 round(sum(1.0 / (60 + r)), 9) AS rrf
+          FROM u GROUP BY qid, id)
+        SELECT CAST(qid AS BIGINT) AS qid, id, n_lists, rrf,
+               CAST(row_number() OVER (PARTITION BY qid
+                                       ORDER BY rrf DESC, id) AS BIGINT)
+                 AS rank
+        FROM fused
+        QUALIFY rank <= 10
+        ORDER BY qid, rank""")),
+
+    // ---- q122: CANONICAL SELECTION — near-dedup that keeps the
+    // highest-QUALITY member of each duplicate cluster (argmax
+    // qualityScore, ties to the smallest id), not the first-seen. The
+    // chain corpus (orig → mutant → mutant²) makes the choice
+    // non-trivial: appended junk tokens change the quality score, so
+    // the kept member is a real decision the oracle must replay —
+    // recursive transitive closure for the clusters + the q35 quality
+    // formula + a per-cluster argmax. ----
+    Q("q122_docs_cluster_canonical",
+      (s, dir) => {
+        val docs = withNearDupChains(fan(t(s, dir, "documents")))
+          .select("doc_id", "text")
+        val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.6)
+        NearDup.keepBest(docs, "doc_id", pairs,
+            TextFunctions.qualityScore(col("text")))
+          .where(col("is_kept"))
+          .select(col("doc_id"), col("cluster_id"),
+            col("cluster_size"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        u AS ($nearDupChainSql),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM u),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id1, id2
+          FROM inter
+          JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+          WHERE CAST(n_common AS DOUBLE) /
+                CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 0.6),
+        edges AS (
+          SELECT id1 AS s, id2 AS d FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM u
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        comp AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        scored AS (
+          SELECT u.doc_id, comp.cluster_id,
+            round(0.4 * least(CAST(length(trim(text)) AS DOUBLE) / 500.0, 1.0)
+                + 0.4 * CAST(length(regexp_replace(lower(trim(text)),
+                                                   '[^a-z]', '', 'g')) AS DOUBLE)
+                      / greatest(CAST(length(trim(text)) AS DOUBLE), 1.0)
+                + 0.2 * (CASE WHEN CAST(length(trim(text)) AS DOUBLE)
+                              / greatest(CAST(len(CASE
+                                  WHEN trim(text) = ''
+                                  THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split_regex(lower(trim(text)),
+                                                          '\\s+')
+                                END) AS DOUBLE), 1.0)
+                              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+                  6) AS quality
+          FROM u JOIN comp USING (doc_id))
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size,
+               quality
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) = 1
+        ORDER BY doc_id""")),
+
+    // ---- q123: per-SOURCE volume caps — domain balancing: each source
+    // keeps at most 15 docs, chosen by the deterministic md5 hash
+    // priority (not arrival order), so the kept set replays exactly in
+    // any engine. The curation counterpart to q55's rate sampling: an
+    // absolute per-origin bound instead of a fraction. ----
+    Q("q123_docs_source_caps",
+      (s, dir) => {
+        Sampling.capPerKey(fan(t(s, dir, "documents")),
+            "doc_id", "source", cap = 15, salt = "caps")
+          .select(col("doc_id"), col("source"), col("key_rank"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, CAST(rn AS BIGINT) AS key_rank
+        FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':caps'),
+                            1, 8), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 15
         ORDER BY doc_id"""))
   )
 

@@ -126,6 +126,12 @@ object WarehouseSql {
     */
   def unregister(spark: SparkSession): Unit = {
     val uuid = GraftBridge.sessionUUID(spark)
+    // Drop the temp views registerSql created alongside the routes —
+    // a half-unregistered surface (route gone, view alive) would keep
+    // resolving reads against a possibly-stale snapshot view.
+    registry.keySet.forEach { case (u, name) =>
+      if (u == uuid) spark.catalog.dropTempView(name)
+    }
     registry.keySet.removeIf(_._1 == uuid)
     prefixRegistry.keySet.removeIf(_._1 == uuid)
     ()

@@ -684,6 +684,61 @@ class ExtSpec extends SparkSpec {
     assert(kept === Set(1L, 2L))
   }
 
+  test("keepBest keeps the argmax-score member per cluster, not first") {
+    // 1 ↔ 2 near-dup; 2 carries the higher score → 2 kept, 1 dropped;
+    // 4 is a singleton cluster and always survives
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the bank", 0.3),
+      (2L, "the quick brown fox jumps over the lazy dog near the shore", 0.9),
+      (4L, "completely different content about spark engines here", 0.1)
+    ).toDF("doc_id", "text", "score")
+    val pairs = NearDup.jaccardPairs(corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.6)
+    assert(pairs.count() === 1L) // sanity: 1↔2 is the only edge
+    val out = NearDup.keepBest(corpus, "doc_id", pairs, col("score"))
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (4L, 4L, 1L, true)))
+  }
+
+  test("keepBest breaks score ties toward the smaller id") {
+    val corpus = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta", 0.5),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta", 0.5)
+    ).toDF("doc_id", "text", "score")
+    val pairs = NearDup.jaccardPairs(corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.6)
+    val kept = NearDup.keepBest(corpus, "doc_id", pairs, col("score"))
+      .where($"is_kept").select($"doc_id").as[Long].collect().toList
+    assert(kept === List(7L))
+  }
+
+  test("capPerKey: cap binds per key, ranks are 1..cap, " +
+      "membership survives repartitioning") {
+    val rows = (1L to 20L).map(i => (i, if (i <= 12) "big" else "small"))
+      .toDF("id", "key")
+    val out = Sampling.capPerKey(rows, "id", "key", cap = 5, salt = "t")
+      .select($"id", $"key", $"key_rank").as[(Long, String, Long)]
+      .collect().toList
+    assert(out.count(_._2 == "big") === 5)   // 12 rows capped to 5
+    assert(out.count(_._2 == "small") === 5) // 8 rows capped to 5
+    assert(out.groupBy(_._2).forall { case (_, g) =>
+      g.map(_._3).sorted == (1L to g.size).toList })
+    // pure function of (id, salt): identical kept set on any layout
+    val re = Sampling.capPerKey(rows.repartition(13, $"id"),
+        "id", "key", cap = 5, salt = "t")
+      .select($"id").as[Long].collect().toSet
+    assert(re === out.map(_._1).toSet)
+  }
+
+  test("capPerKey keeps whole groups smaller than the cap") {
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "key")
+    val out = Sampling.capPerKey(rows, "id", "key", cap = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L))
+  }
+
   test("editDistancePairs: all three edit kinds found, distance 2 not") {
     val keys = Seq(
       (1L, "kitten"),   // vs 2: substitution (1)

@@ -47,6 +47,46 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(_._2 === 1L)) // the absent term hits nothing
   }
 
+  test("rrf fusion matches the hand-computed reciprocal-rank sum") {
+    // list a ranks 10 > 20; list b ranks 20 > 30:
+    //   rrf(10) = 1/61, rrf(20) = 1/62 + 1/61, rrf(30) = 1/62
+    val cands = Seq(
+      (1L, "a", 10L, 0.9), (1L, "a", 20L, 0.8),
+      (1L, "b", 20L, 0.7), (1L, "b", 30L, 0.5)
+    ).toDF("qid", "src", "id", "score")
+    val got = Retrieval.rrfFuse(cands, "qid", "src", "id", "score", k = 10)
+      .select($"id", $"n_lists", $"rrf", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toList
+    def r9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === List(
+      (20L, 2L, r9(1.0 / 62 + 1.0 / 61), 1L),
+      (10L, 1L, r9(1.0 / 61), 2L),
+      (30L, 1L, r9(1.0 / 62), 3L)))
+  }
+
+  test("rrf ties break on id; k cuts after the fused ranking") {
+    // ids 5 and 10 each top exactly one list: identical rrf, 5 first
+    val cands = Seq(
+      (1L, "a", 10L, 0.9), (1L, "b", 5L, 0.9),
+      (1L, "a", 7L, 0.1) // single list, rank 2: 1/62 < 1/61
+    ).toDF("qid", "src", "id", "score")
+    val got = Retrieval.rrfFuse(cands, "qid", "src", "id", "score", k = 2)
+      .select($"id", $"rank").as[(Long, Long)].collect().toList
+    assert(got === List((5L, 1L), (10L, 2L))) // 7 (rank 3) cut by k=2
+  }
+
+  test("rrf ranks per query, never across queries") {
+    val cands = Seq(
+      (1L, "a", 10L, 0.9), (1L, "a", 11L, 0.8),
+      (2L, "a", 10L, 0.5) // worse score, but rank 1 WITHIN qid 2
+    ).toDF("qid", "src", "id", "score")
+    val got = Retrieval.rrfFuse(cands, "qid", "src", "id", "score", k = 10)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((1L, 10L, 1L), (1L, 11L, 2L), (2L, 10L, 1L)))
+  }
+
   test("pagerank: 2-cycle holds uniform, isolated node keeps teleport") {
     val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "w")
     val nodes = Seq(1L, 2L, 3L).toDF("node")
