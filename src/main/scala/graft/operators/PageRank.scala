@@ -42,12 +42,20 @@ object PageRank {
     require(iters >= 0, "iters must be >= 0")
     val total = nodes.agg(count(lit(1)).cast("double").as("nn"))
     val outW = edges.groupBy("src").agg(sum(col("w")).as("wout"))
-    // normalized transition weights, reused every round
+    // Normalized transition weights, reused EVERY round: materialize
+    // once. The caller's edge frame is often an expensive derivation
+    // (q103 builds it from a 4-table join) — without the cut, every
+    // round's replay re-runs it.
     val trans = edges.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
-    // the static dangling set: vertices with no out-edge
-    val dangling = nodes.join(
+      .localCheckpoint()
+    // the static dangling set: vertices with no out-edge (materialized
+    // only when the redistribute mode will actually read it — a
+    // localCheckpoint is eager)
+    val dangling0 = nodes.join(
       outW.select(col("src").as("node")), Seq("node"), "left_anti")
+    val dangling =
+      if (redistributeDangling) dangling0.localCheckpoint() else dangling0
     var ranks = nodes.crossJoin(broadcast(total))
       .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
     for (i <- 1 to iters) {
@@ -72,7 +80,13 @@ object PageRank {
                 lit(damping) * (coalesce(col("cin"), lit(0.0)) +
                   col("dm") / col("nn"))).as("pr"))
         }
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
+      // Redistribute mode reads each round's ranks TWICE (contribution
+      // join + dangling-mass scalar): uncut, the lineage would DOUBLE
+      // per round — 2^iters replays of everything upstream. Cut every
+      // round there; the leaky mode's single-consumer lineage grows
+      // linearly and keeps the cheaper cadence.
+      if (redistributeDangling || i % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("pr").as("rank"))
   }
