@@ -181,6 +181,28 @@ case class GraftCtasCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `SHOW WAREHOUSE TABLES` — catalog discovery for the routed surface:
+  * every registered SQL name of THIS session with its table, head
+  * version, and live file count/bytes straight from the manifest (no
+  * filesystem listing — the same sources as DESCRIBE DETAIL, one row
+  * per route). The WAREHOUSE keyword keeps Spark's own `SHOW TABLES`
+  * (catalog/temp views) untouched. Routes are read at EXECUTION time,
+  * so a cached plan re-run reflects registrations made since the parse.
+  */
+case class GraftShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    WarehouseSql.routes(spark).map { case (name, wh, t) =>
+      val (v, entries) = wh.loadLatest(t)
+      Row(name, t, v, entries.size.toLong, entries.map(_.bytes).sum)
+    }
+}
+
 /** `DESCRIBE DETAIL wh_t` (the Delta statement): one row of table
   * metadata — current version, live file count/bytes straight from the
   * manifest (no filesystem listing), and the declared layout

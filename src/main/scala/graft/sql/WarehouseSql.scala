@@ -38,6 +38,8 @@ import graft.pipeline.Warehouse
   *   - `ALTER TABLE wh_t ADD CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT n`
   *     → [[Warehouse!.addCheck]] / [[Warehouse!.dropCheck]]
   *   - `ALTER TABLE wh_t ADD COLUMN c type`     → [[Warehouse!.addColumn]]
+  *   - `SHOW WAREHOUSE TABLES`                  → this session's routed
+  *     names with manifest-backed version/files/bytes
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -143,6 +145,18 @@ object WarehouseSql {
     else Option(registry.get(
       (GraftBridge.sessionUUID(spark), ident.head.toLowerCase)))
 
+  /** This session's routes, (sql name, warehouse, table), name-sorted —
+    * the SHOW WAREHOUSE TABLES surface.
+    */
+  private[sql] def routes(spark: SparkSession): Seq[(String, Warehouse, String)] = {
+    val uuid = GraftBridge.sessionUUID(spark)
+    import scala.jdk.CollectionConverters._
+    registry.entrySet().asScala.toSeq
+      .filter(_.getKey._1 == uuid)
+      .map(e => (e.getKey._2, e.getValue._1, e.getValue._2))
+      .sortBy(_._1)
+  }
+
   // ------------------------------------------------------------------
   // extended statements (syntax Spark's grammar lacks)
   // ------------------------------------------------------------------
@@ -165,6 +179,8 @@ object WarehouseSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*;?\s*""".r
   private val DescribeDetailStmt =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val ShowTablesStmt =
+    """(?is)\s*SHOW\s+WAREHOUSE\s+TABLES\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -198,6 +214,7 @@ object WarehouseSql {
     case DescribeDetailStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftDetailCommand(wh, t) }
+    case ShowTablesStmt() => Some(GraftShowTablesCommand())
     case AddColumnStmt(name, colName, colType) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         val dt =

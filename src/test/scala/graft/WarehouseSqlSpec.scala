@@ -343,6 +343,32 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(wh.history("part").head._2("op") === "ctas")
   }
 
+  test("SHOW WAREHOUSE TABLES lists the session's routes from the " +
+      "manifest, and empties after unregister") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    val rows = spark.sql("SHOW WAREHOUSE TABLES")
+      .select("name", "table", "version", "num_files")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val t = rows.find(_._1 == "sdml_t").get
+    assert(t._2 === "t")
+    assert(t._3 === wh.versions("t").max) // head version, post-insert
+    assert(t._4 >= 1L)
+    // size_bytes reflects live manifest entries
+    val bytes = spark.sql("SHOW WAREHOUSE TABLES")
+      .where($"name" === "sdml_t").select("size_bytes")
+      .head().getLong(0)
+    assert(bytes > 0L)
+    graft.sql.WarehouseSql.unregister(spark)
+    // scope to this suite's prefix: suites share the session, so a
+    // concurrently-running suite may hold routes of its own
+    assert(spark.sql("SHOW WAREHOUSE TABLES")
+      .where($"name".startsWith("sdml_")).count() === 0L)
+    wh.registerSql("sdml_") // restore for later tests in the suite
+  }
+
   test("unregister drops a session's routes and only that session's") {
     val wh = fresh()
     srcView()
