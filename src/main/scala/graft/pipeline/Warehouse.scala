@@ -908,6 +908,36 @@ class Warehouse(spark: SparkSession, dir: String,
     dfFor(name, entries)
   }
 
+  /** TIMESTAMP AS OF resolution (the classic Delta rule): the newest
+    * committed version whose manifest file's MODIFICATION TIME is
+    * <= `tsMillis`. The commit time is read from the filesystem, not
+    * commit metadata, so it works for every table ever committed; per
+    * version the MINIMUM modtime across the extensions present is used
+    * (`.mfd` original vs a vacuum-MATERIALIZED `.mf` sibling published
+    * much later — the materialization must not make an old version
+    * look newly committed). Assumes the writer clock is monotonic
+    * across commits, the same assumption Delta's timestamp travel
+    * makes.
+    */
+  def versionAt(name: String, tsMillis: Long): Long = {
+    val fs = fileSystem
+    def commitMillis(v: Long): Long = {
+      val exts = Seq("mf", "mfd")
+        .map(e => new Path(manifestDir(name), f"v$v%012d.$e"))
+        .filter(fs.exists)
+      exts.map(p => fs.getFileStatus(p).getModificationTime).min
+    }
+    val at = versions(name).filter(commitMillis(_) <= tsMillis)
+    require(at.nonEmpty,
+      s"$name: no version committed at or before epoch-ms $tsMillis " +
+        "(before the table's first commit, or earlier history vacuumed)")
+    at.max
+  }
+
+  /** TIME TRAVEL by wall clock: [[readVersion]] of [[versionAt]]. */
+  def readTimestamp(name: String, tsMillis: Long): DataFrame =
+    readVersion(name, versionAt(name, tsMillis))
+
   /** INCREMENTAL read: rows of files ADDED after manifest
     * `sinceVersion` — appended batches plus the rewritten output of any
     * merge/compact (i.e. current versions of upserted partitions). The

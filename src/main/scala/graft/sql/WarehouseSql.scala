@@ -26,6 +26,8 @@ import graft.pipeline.Warehouse
   *     (always the LATEST committed snapshot, unlike the frozen
   *     registration-time views of [[Warehouse!.registerViews]])
   *   - `... FROM wh_t VERSION AS OF n`          → [[Warehouse!.readVersion]]
+  *   - `... FROM wh_t TIMESTAMP AS OF ts`       → [[Warehouse!.readTimestamp]]
+  *     (newest version committed at or before ts, by manifest modtime)
   *   - `DESCRIBE HISTORY wh_t`                  → [[Warehouse!.history]]
   *   - `DESCRIBE DETAIL wh_t`                   → manifest-backed metadata
   *   - `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]
@@ -454,21 +456,48 @@ object WarehouseSql {
       case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
           if lookup(spark, r.multipartIdentifier).isDefined =>
         val (wh, table) = lookup(spark, r.multipartIdentifier).get
-        require(ts.isEmpty,
-          s"${r.multipartIdentifier.head}: graft warehouse time travel " +
-            "is by VERSION AS OF <n> (timestamps don't name manifest " +
-            "versions)")
-        val v = ver.getOrElse(throw new IllegalArgumentException(
-          s"${r.multipartIdentifier.head}: VERSION AS OF requires a " +
-            "version number"))
-        SubqueryAlias(r.multipartIdentifier.head,
-          GraftBridge.analyzed(wh.readVersion(table, v.toLong)))
+        val df = (ts, ver) match {
+          case (None, Some(v)) => wh.readVersion(table, v.toLong)
+          case (Some(e), None) =>
+            wh.readTimestamp(table, evalTimestampMillis(
+              r.multipartIdentifier.head, e))
+          case _ => throw new IllegalArgumentException(
+            s"${r.multipartIdentifier.head}: time travel needs exactly " +
+              "one of VERSION AS OF <n> / TIMESTAMP AS OF <ts>")
+        }
+        SubqueryAlias(r.multipartIdentifier.head, GraftBridge.analyzed(df))
       case r: UnresolvedRelation if !r.isStreaming &&
           lookup(spark, r.multipartIdentifier).isDefined =>
         val (wh, table) = lookup(spark, r.multipartIdentifier).get
         SubqueryAlias(r.multipartIdentifier.head,
           GraftBridge.analyzed(wh.read(table)))
     }
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis. The
+    * parser hands a foldable literal (string or timestamp); strings
+    * parse with Spark's own timestamp rules under the session zone
+    * (UTC for GraftSession) so `'2026-01-01 12:00:00'` means what a
+    * CAST would mean.
+    */
+  private def evalTimestampMillis(name: String, e: Expression): Long = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    require(e.foldable,
+      s"$name: TIMESTAMP AS OF must be a literal, got $e")
+    e.dataType match {
+      case TimestampType => e.eval().asInstanceOf[Long] / 1000L
+      case StringType =>
+        val s = e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        val micros = DateTimeUtils.stringToTimestamp(s,
+            java.time.ZoneId.of("UTC"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name: cannot parse TIMESTAMP AS OF '$s'"))
+        micros / 1000L
+      case other => throw new IllegalArgumentException(
+        s"$name: TIMESTAMP AS OF must be a timestamp or string " +
+          s"literal, got type $other")
+    }
+  }
 
   // ------------------------------------------------------------------
   // MERGE INTO translation

@@ -343,6 +343,37 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(wh.history("part").head._2("op") === "ctas")
   }
 
+  test("TIMESTAMP AS OF resolves to the newest commit at or before " +
+      "the instant; VERSION AS OF unchanged") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 5")
+    Thread.sleep(30) // fs modtime granularity fence between commits
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id > 5")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.of("UTC"))
+    val tsBetween = fmt.format(java.time.Instant.ofEpochMilli(between))
+    assert(spark.sql(
+      s"SELECT count(*) FROM sdml_t TIMESTAMP AS OF '$tsBetween'")
+      .head().getLong(0) === 5L)
+    // a future instant = the current head; the API agrees
+    val now = System.currentTimeMillis() + 60000
+    assert(wh.readTimestamp("t", now).count() === 20L)
+    assert(wh.versionAt("t", now) === wh.versions("t").max)
+    // before the first commit: fail fast, not an empty table
+    val err = intercept[IllegalArgumentException] {
+      spark.sql("SELECT count(*) FROM sdml_t TIMESTAMP AS OF " +
+        "'2000-01-01 00:00:00'").collect()
+    }
+    assert(err.getMessage.contains("no version committed"))
+    // VERSION AS OF still routes
+    assert(spark.sql("SELECT count(*) FROM sdml_t VERSION AS OF 2")
+      .head().getLong(0) === 5L)
+  }
+
   test("SHOW WAREHOUSE TABLES lists the session's routes from the " +
       "manifest, and empties after unregister") {
     val wh = fresh()
