@@ -23,7 +23,9 @@ import graft.pipeline.Warehouse
   * Semantics: an APPEND-ONLY row stream. The first batch is the full
   * snapshot at the then-latest version (classic backfill-then-follow;
   * `.option("startingVersion", v)` follows from `v` instead, skipping
-  * the snapshot). Manifest set-diff gives exactly-once delivery for
+  * the snapshot). `.option("maxVersionsPerTrigger", n)` rate-limits
+  * the follow phase to n manifest versions per micro-batch — bounded
+  * catch-up batches instead of one backlog-sized batch. Manifest set-diff gives exactly-once delivery for
   * pure appends — and absorbs write-side compaction mid-stream for
   * free: a file added at v2 and compacted away by v4 is absent from
   * the v4 diff while its compacted REPLACEMENT is present, so rows
@@ -125,9 +127,16 @@ class WarehouseSourceProvider extends StreamSourceProvider
       throw new IllegalArgumentException("graft-warehouse: 'path' required"))
     val table = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-warehouse: 'table' required"))
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n > 0,
+        s"graft-warehouse: maxVersionsPerTrigger must be > 0, got $n")
+      n
+    }
     new WarehouseChangeSource(sqlContext.sparkSession, path, table,
       parameters.get("startingVersion").map(_.toLong),
-      WarehouseSourceProvider.cdfEnabled(parameters))
+      WarehouseSourceProvider.cdfEnabled(parameters),
+      maxVersions)
   }
 }
 
@@ -146,7 +155,8 @@ object WarehouseSourceProvider {
   *   (`retainReplaced` + conservative vacuum), like the batch feed.
   */
 class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
-    startingVersion: Option[Long], cdf: Boolean = false) extends Source
+    startingVersion: Option[Long], cdf: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val wh = Warehouse.open(spark, dir)
@@ -173,8 +183,17 @@ class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
     availableNowCap = wh.versions(table).lastOption
 
   // SupportsAdmissionControl plumbing (inherited via
-  // SupportsTriggerAvailableNow, the FileStreamSource shape): no rate
-  // limiting — a manifest version is the indivisible read unit
+  // SupportsTriggerAvailableNow, the FileStreamSource shape). A
+  // manifest version is the indivisible read unit; `.option(
+  // "maxVersionsPerTrigger", n)` rate-limits the FOLLOW phase to n
+  // versions per micro-batch — without it, a stream catching up on a
+  // long-lived table reads the whole commit backlog in one giant batch
+  // (the Delta maxFilesPerTrigger concern, one level up). The INITIAL
+  // snapshot batch stays a single unit (it reads a version's file SET,
+  // not a version range); cap the backfill with `startingVersion`
+  // when the snapshot itself is too big for one batch. Under
+  // AvailableNow the pinned drain target is reached over ceil(lag/n)
+  // micro-batches instead of one.
   override def getDefaultReadLimit:
       org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
@@ -182,8 +201,18 @@ class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val end = (getOffset.map(version), maxVersionsPerTrigger) match {
+      case (Some(l), Some(n)) =>
+        Option(start).map(o => version(o.asInstanceOf[Offset]))
+          .orElse(startingVersion) match {
+          case Some(b) => Some(math.min(l, b + n))
+          case None => Some(l) // initial snapshot: one indivisible unit
+        }
+      case (l, _) => l
+    }
+    end.map(LongOffset.apply).orNull
+  }
 
   /** Latest committed manifest version (capped under AvailableNow);
     * None before the first commit.

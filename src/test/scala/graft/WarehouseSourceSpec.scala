@@ -119,6 +119,45 @@ class WarehouseSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("no manifest"))
   }
 
+  test("maxVersionsPerTrigger: follow phase drains in bounded steps, " +
+      "checkpointed restart continues the cadence") {
+    val root = Files.createTempDirectory("graft-whrate-").toString
+    val whDir = s"$root/wh"
+    val ckp = s"$root/ckp"
+    val wh = new Warehouse(spark, whDir)
+    wh.bootstrap() // v1
+    (1 to 5).foreach { i => // v2..v6, one row each
+      wh.append("fact_telemetry", mkRows(i, Seq(100 + i)))
+    }
+    val counts = scala.collection.mutable.ArrayBuffer[Long]()
+    def drainLimited(): Unit = {
+      val q = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "fact_telemetry")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = df.count()
+          counts.synchronized { counts += n }
+          ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainLimited()
+    // 5 versions of lag at 2 versions/batch: 2 + 2 + 1 rows
+    assert(counts.sum === 5L, counts)
+    assert(counts.forall(_ <= 2L), counts)
+    assert(counts.count(_ > 0L) === 3, counts)
+    // restart from the checkpoint: only the new commit, same cadence
+    counts.clear()
+    wh.append("fact_telemetry", mkRows(9, Seq(200))) // v7
+    drainLimited()
+    assert(counts.sum === 1L, counts)
+  }
+
   test("snapshot then follow: appends arrive exactly once across restarts") {
     val root = Files.createTempDirectory("graft-whstream-").toString
     val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
