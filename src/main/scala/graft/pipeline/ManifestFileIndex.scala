@@ -49,7 +49,12 @@ class ManifestFileIndex(
   override def inputFiles: Array[String] =
     entries.map(e => new Path(tablePath, e.rel).toString).toArray
 
-  private def dirOf(rel: String): String = rel.split('/').init.mkString("/")
+  // The TRAILING partition components only: a shallow-cloned entry's
+  // rel is an absolute path into the source table, so leading
+  // components are arbitrary; for table-local rels (exactly the
+  // partition dirs + file) this is the same value as before.
+  private def dirOf(rel: String): String =
+    rel.split('/').init.takeRight(partitionSchema.length).mkString("/")
 
   /** `k=v/...` dir → typed partition-value row (Hive unescape + cast
     * with the session's non-ANSI null-on-failure semantics; Hive's

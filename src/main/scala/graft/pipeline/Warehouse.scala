@@ -785,6 +785,61 @@ class Warehouse(spark: SparkSession, dir: String,
       persistSpec(name)
     }
 
+  /** SHALLOW CLONE (the Delta zero-copy fork): create table `dst`
+    * whose first commit REFERENCES `src`'s files as of `versionAsOf`
+    * (default: the head) without copying a byte — the dev/test/
+    * what-if primitive: experiment with DML, schema evolution, or
+    * compaction on a clone of a huge table instantly, then drop it.
+    *
+    * Borrowed entries carry ABSOLUTE paths into the source table;
+    * every read path resolves them transparently (Hadoop's
+    * child-absolute Path rule) and partition matching counts only the
+    * trailing partition components. Divergence is copy-on-write: a
+    * clone rewrite (merge/delete/update/compact) writes NEW local
+    * files and merely drops borrowed references from the clone's
+    * manifest — [[gc]]/vacuum never delete outside-table files, so
+    * the source is untouchable from the clone. Compaction localizes a
+    * clone fully. The one operational caveat (Delta's too): the SOURCE
+    * must not vacuum files the clone still references — clones are for
+    * bounded experiments, not long-lived forks of hot tables.
+    *
+    * The clone copies src's TableSpec (schema, partitioning, stat and
+    * bloom columns, CHECK constraints). Its commit metadata records
+    * the provenance (`op=clone`, source table + version).
+    */
+  def shallowClone(src: String, dst: String,
+      versionAsOf: Option[Long] = None): Unit = {
+    require(tables.contains(src), s"shallowClone: unknown source $src")
+    require(!specsNow.contains(dst),
+      s"shallowClone: table $dst already exists")
+    val v = versionAsOf.getOrElse {
+      val vs = versions(src)
+      require(vs.nonEmpty, s"shallowClone: $src has no committed version")
+      vs.max
+    }
+    require(versions(src).contains(v),
+      s"shallowClone: $src has no manifest v$v")
+    val entries = loadAt(src, v)
+    val fs = fileSystem
+    val gone = entries.filterNot(e => fs.exists(new Path(path(src), e.rel)))
+    require(gone.isEmpty,
+      s"shallowClone: $src v$v is not clonable: ${gone.size} file(s) " +
+        s"GC'd (e.g. ${gone.headOption.map(_.rel).getOrElse("")})")
+    val borrowed = entries.map(e =>
+      e.copy(rel = new Path(path(src), e.rel).toString))
+    specsLock.synchronized { specsNow = specsNow + (dst -> specsNow(src)) }
+    try {
+      commit(dst, 1L, borrowed,
+        Map("op" -> "clone", "sourceTable" -> src,
+          "sourceVersion" -> v.toString,
+          "numFiles" -> borrowed.size.toString))
+      persistSpec(dst)
+    } catch { case t: Throwable =>
+      specsLock.synchronized { specsNow = specsNow - dst }
+      throw t
+    }
+  }
+
   /** DDL: add a NEW table to this warehouse at runtime (the
     * `CREATE TABLE` statement's engine half — [[bootstrap]] covers the
     * declared-in-code layout; this covers schemas that arrive as DDL,
@@ -1181,7 +1236,7 @@ class Warehouse(spark: SparkSession, dir: String,
         val touched = updates.select(cols.map(col): _*).distinct().collect()
         if (touched.isEmpty) return
         val dirs = touched.map(r => partitionDir(cols, r)).toSet
-        (entries.filter(e => dirs.contains(dirOf(e.rel))), dirs)
+        (entries.filter(e => dirs.contains(dirOf(name, e.rel))), dirs)
     }
     // the old files stay live until the commit below, so the merged plan
     // can read them lazily while the batch writes NEW files — no
@@ -1251,7 +1306,7 @@ class Warehouse(spark: SparkSession, dir: String,
         val touched = source.select(cols.map(col): _*).distinct().collect()
         if (touched.isEmpty) return
         val dirs = touched.map(r => partitionDir(cols, r)).toSet
-        (entries.filter(e => dirs.contains(dirOf(e.rel))), dirs)
+        (entries.filter(e => dirs.contains(dirOf(name, e.rel))), dirs)
     }
     // source columns flattened to src_<name>; _src_hit marks the match
     val srcPrefixed = source.select(
@@ -1345,7 +1400,7 @@ class Warehouse(spark: SparkSession, dir: String,
             attempt._2.filterNot(e => headSet(e.rel))
           val replacedLive = replaced.forall(e => headSet(e.rel))
           val disjoint = touchedDirs.forall(dirs =>
-            foreign.forall(e => !dirs.contains(dirOf(e.rel))))
+            foreign.forall(e => !dirs.contains(dirOf(name, e.rel))))
           if (!replacedLive || !disjoint)
             throw new Warehouse.CommitConflict(
               s"$name: concurrent commit overlaps this " +
@@ -1365,8 +1420,13 @@ class Warehouse(spark: SparkSession, dir: String,
         row.get(i).toString)
     }.mkString("/")
 
-  private def dirOf(rel: String): String =
-    rel.split('/').init.mkString("/")
+  /** The partition directory of an entry. Robust to shallow-clone
+    * entries whose rel is an ABSOLUTE path into the source table: only
+    * the trailing partitioning-depth components count — identical to
+    * the full dir for table-local rels (exactly partition dirs + file).
+    */
+  private def dirOf(name: String, rel: String): String =
+    rel.split('/').init.takeRight(partitioning(name).length).mkString("/")
 
   /** Post-commit deletion of replaced files. Failures are swallowed —
     * an undeleted orphan is invisible to readers (not in the manifest)
@@ -1375,7 +1435,12 @@ class Warehouse(spark: SparkSession, dir: String,
   private def gc(name: String, replaced: Seq[FileEntry]): Unit = {
     val fs = fileSystem
     val bloomCols = specsNow(name).bloomColumns
-    replaced.foreach { e =>
+    // BORROWED entries (absolute rel = a shallow clone referencing the
+    // source table's files) are never deleted: the clone only ever
+    // owns references, the source owns the bytes. A rewrite just drops
+    // them from the clone's manifest. (Vacuum is safe structurally —
+    // it lists only this table's directory.)
+    replaced.filterNot(e => new Path(e.rel).isAbsolute).foreach { e =>
       try { fs.delete(new Path(path(name), e.rel), false); () }
       catch { case _: java.io.IOException => () }
       bloomCols.foreach { c =>
@@ -1418,7 +1483,7 @@ class Warehouse(spark: SparkSession, dir: String,
       clusterBy: Seq[org.apache.spark.sql.Column] = Nil): (Int, Long, Long) = {
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"compact $name: table not bootstrapped")
-    val byDir = entries.groupBy(e => dirOf(e.rel))
+    val byDir = entries.groupBy(e => dirOf(name, e.rel))
     val fragmented =
       if (clusterBy.nonEmpty) byDir
       else byDir.filter { case (_, fl) =>
@@ -1456,7 +1521,7 @@ class Warehouse(spark: SparkSession, dir: String,
         "numFilesAdded" -> fresh.size.toString), None)
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
-    val after = fresh.count(e => fragmented.contains(dirOf(e.rel)))
+    val after = fresh.count(e => fragmented.contains(dirOf(name, e.rel)))
     (fragmented.size, before, after.toLong)
   }
 

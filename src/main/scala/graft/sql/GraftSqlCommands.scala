@@ -181,6 +181,20 @@ case class GraftCtasCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `CREATE TABLE <p><dst> SHALLOW CLONE <p><src> [VERSION AS OF n]` →
+  * [[Warehouse!.shallowClone]], then route the new name so the clone
+  * is immediately addressable by statements.
+  */
+case class GraftCloneCommand(wh: Warehouse, dst: String, src: String,
+    version: Option[Long], prefix: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.shallowClone(src, dst, version)
+    WarehouseSql.register(spark, wh, prefix)
+    Nil
+  }
+}
+
 /** `SHOW WAREHOUSE TABLES` — catalog discovery for the routed surface:
   * every registered SQL name of THIS session with its table, head
   * version, and live file count/bytes straight from the manifest (no

@@ -42,6 +42,8 @@ import graft.pipeline.Warehouse
   *   - `ALTER TABLE wh_t ADD COLUMN c type`     → [[Warehouse!.addColumn]]
   *   - `SHOW WAREHOUSE TABLES`                  → this session's routed
   *     names with manifest-backed version/files/bytes
+  *   - `CREATE TABLE wh_d SHALLOW CLONE wh_s [VERSION AS OF n]`
+  *     → [[Warehouse!.shallowClone]] (zero-copy fork by reference)
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -183,6 +185,8 @@ object WarehouseSql {
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val ShowTablesStmt =
     """(?is)\s*SHOW\s+WAREHOUSE\s+TABLES\s*;?\s*""".r
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -226,6 +230,19 @@ object WarehouseSql {
               s"'$colType': ${e.getMessage}") }
         GraftAddColumnCommand(wh, t,
           org.apache.spark.sql.types.StructField(colName, dt)) }
+    case CloneStmt(dstName, srcName, ver) =>
+      prefixFor(spark, dstName).map { case (wh, prefix) =>
+        val (srcWh, srcTable) = lookup(spark, Seq(srcName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE TABLE $dstName SHALLOW CLONE: $srcName is not a " +
+              "registered warehouse table"))
+        require(srcWh eq wh,
+          s"CREATE TABLE $dstName SHALLOW CLONE $srcName: source and " +
+            "destination must live in the same warehouse (borrowed " +
+            "file references don't cross warehouse roots)")
+        GraftCloneCommand(wh, dstName.toLowerCase.drop(prefix.length),
+          srcTable, Option(ver).map(_.toLong), prefix)
+      }
     case _ => parseCreateTable(spark, sqlText)
   }
 

@@ -7,6 +7,7 @@ import java.time.Instant
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Warehouse
+import graft.util.FsListing
 
 /** The versioned-manifest commit protocol: a crash inside ANY window of
   * a maintenance op must leave the table readable in a consistent state
@@ -49,6 +50,67 @@ class WarehouseCommitSpec extends SparkSpec {
   private def telemetry(wh: Warehouse) = wh.read("fact_telemetry")
     .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
     .as[(Int, Timestamp, Double, Int)].collect().toSet
+
+  test("shallow clone: zero-copy read, copy-on-write divergence, " +
+      "source files never deleted from the clone") {
+    val (wh, dir) = freshTable() // fact_telemetry, partitioned, days 1-3
+    val srcCount = wh.read("fact_telemetry").count()
+    val srcV = wh.versions("fact_telemetry").max
+    wh.shallowClone("fact_telemetry", "clone_t")
+    // zero-copy: the clone directory holds no data files
+    assert(FsListing.dataFiles(s"$dir/clone_t").isEmpty)
+    // reads agree with the cloned version
+    assert(wh.read("clone_t").count() === srcCount)
+    assert(wh.history("clone_t").head._2("op") === "clone")
+    assert(wh.history("clone_t").head._2("sourceVersion") === srcV.toString)
+    // partition pruning works through borrowed absolute entries
+    val pruned = wh.read("clone_t")
+      .where(col("epoch_date") === java.sql.Date.valueOf("2026-01-02"))
+    assert(pruned.count() === 2L)
+    // DIVERGE the clone: merge rewrites one partition copy-on-write
+    wh.merge("clone_t", updatesDf, Seq("norad_id", "epoch_utc"))
+    assert(wh.read("clone_t")
+      .where(col("rev_number") === 777).count() === 1L)
+    // the source never sees it, and not one source file was deleted
+    assert(wh.read("fact_telemetry").count() === srcCount)
+    assert(wh.read("fact_telemetry")
+      .where(col("rev_number") === 777).count() === 0L)
+    val srcEntries = wh.loadAt("fact_telemetry", srcV)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    srcEntries.foreach { e =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/fact_telemetry/${e.rel}")), s"source file ${e.rel} deleted")
+    }
+    // vacuum on the clone touches nothing of the source either
+    wh.vacuum("clone_t", keepManifests = 1)
+    srcEntries.foreach { e =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/fact_telemetry/${e.rel}")))
+    }
+    // compaction LOCALIZES: afterwards no borrowed (absolute) entries
+    wh.compact("clone_t", clusterBy = Seq(col("norad_id")))
+    val after = wh.loadAt("clone_t", wh.versions("clone_t").max)
+    assert(after.forall(e => !new org.apache.hadoop.fs.Path(e.rel).isAbsolute),
+      after.map(_.rel).mkString(", "))
+    assert(wh.read("clone_t").count() === srcCount)
+  }
+
+  test("shallow clone of a PAST version is the time-travel fork") {
+    val (wh, _) = freshTable()
+    val v = wh.versions("fact_telemetry").max // 6 rows (days 1-3)
+    wh.append("fact_telemetry", mkBase(Seq(4)))
+    wh.shallowClone("fact_telemetry", "clone_v", Some(v))
+    assert(wh.read("clone_v").count() === 6L)
+    assert(wh.read("fact_telemetry").count() === 8L)
+    // unknown version / existing name fail fast
+    intercept[IllegalArgumentException] {
+      wh.shallowClone("fact_telemetry", "clone_x", Some(999L))
+    }
+    intercept[IllegalArgumentException] {
+      wh.shallowClone("fact_telemetry", "clone_v")
+    }
+  }
 
   test("merge crash BEFORE the manifest commit preserves the old state") {
     val (wh, dir) = freshTable()

@@ -343,6 +343,33 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(wh.history("part").head._2("op") === "ctas")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE: statement routes, clone is " +
+      "immediately addressable, source isolated") {
+    fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 5")
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id > 5")
+    // clone a PAST version (v2 = the first insert) by statement
+    spark.sql("CREATE TABLE sdml_t2 SHALLOW CLONE sdml_t VERSION AS OF 2")
+    assert(spark.sql("SELECT count(*) FROM sdml_t2").head().getLong(0) === 5L)
+    // the clone takes DML; the source is isolated from it
+    spark.sql("INSERT INTO sdml_t2 SELECT * FROM sdml_src WHERE id > 15")
+    assert(spark.sql("SELECT count(*) FROM sdml_t2").head().getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 20L)
+    // provenance in DESCRIBE HISTORY; clone listed by SHOW
+    val ops = spark.sql("DESCRIBE HISTORY sdml_t2")
+      .orderBy("version")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head === "clone", ops)
+    assert(spark.sql("SHOW WAREHOUSE TABLES")
+      .where($"name" === "sdml_t2").count() === 1L)
+    // unregistered source fails fast
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE sdml_t3 SHALLOW CLONE sdml_nope")
+    }
+    assert(err.getMessage.contains("not a registered warehouse table"))
+  }
+
   test("TIMESTAMP AS OF resolves to the newest commit at or before " +
       "the instant; VERSION AS OF unchanged") {
     val wh = fresh()
