@@ -1520,6 +1520,57 @@ object TleQueries extends QueryPack {
                round(sum("val"), 2) AS total
         FROM del GROUP BY grp ORDER BY grp""")),
 
+    // ---- q124: SHALLOW CLONE fork-and-diverge under the hash gate —
+    // the zero-copy what-if workflow: clone the table at a PAST version
+    // (evens-only state), rewrite the clone twice (DELETE + UPDATE,
+    // both copy-on-write over borrowed file references), and read both
+    // sides. The source must be bit-identical to never-forked history
+    // and the fork must show exactly the cloned version plus its own
+    // DML — the oracle replays both lineages relationally. A leaked
+    // borrowed-file deletion, a clone write visible in the source, or
+    // a fork reading the wrong version all break the hash. ----
+    Q("q124_warehouse_clone_fork",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q124-").toString
+        val schema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("val", DoubleType)))
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(schema,
+            statColumns = Seq("id"))))
+        wh.bootstrap() // v1
+        val src = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 10).as("grp"),
+          col("o_totalprice").as("val"))
+        wh.append("t", src.where(col("id") % 2 === 0)) // v2: evens
+        wh.append("t", src.where(col("id") % 2 === 1)) // v3: odds
+        wh.shallowClone("t", "fork", Some(2L)) // fork the evens state
+        wh.delete("fork", col("id") % 10 === 0)
+        wh.update("fork", col("id") % 4 === 2,
+          Map("val" -> (col("val") + 1)))
+        wh.read("t").withColumn("side", lit("src"))
+          .unionByName(wh.read("fork").withColumn("side", lit("fork")))
+          .select(col("side"), col("id"), col("grp"), col("val"))
+          .orderBy("side", "id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS id,
+                 'g' || (o_orderkey % 10) AS grp,
+                 o_totalprice AS "val"
+          FROM orders),
+        fork AS (
+          SELECT id, grp,
+                 CASE WHEN id % 4 = 2 THEN "val" + 1 ELSE "val" END AS "val"
+          FROM src
+          WHERE id % 2 = 0 AND id % 10 <> 0)
+        SELECT 'src' AS side, id, grp, "val" FROM src
+        UNION ALL
+        SELECT 'fork' AS side, id, grp, "val" FROM fork
+        ORDER BY side, id""")),
+
     // ---- q93: time-series RESAMPLING with last-observation-carried-
     // forward — irregular telemetry onto a regular daily grid per
     // satellite, THROUGH the native as-of join (the resample grid is
