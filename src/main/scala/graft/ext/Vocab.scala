@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer DEPLOYMENT — the application half of vocabulary induction
@@ -35,6 +35,93 @@ object Vocab {
       .map { case ((tok, n), i) => (tok, i + 1, n) }
       .toSeq.toDF("token", "id", "n")
   }
+
+  /** The classic BPE initial segmentation: one symbol per character,
+    * the LAST carrying the Sennrich end-of-word marker ("hug" → h, u,
+    * g</w>), so merges crossing word boundaries can't form and a
+    * word-final subword is distinguishable from a word-internal one.
+    */
+  private def initialSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i =>
+      when(i === length(word),
+        concat(word.substr(i, lit(1)), lit("</w>")))
+        .otherwise(word.substr(i, lit(1))))
+
+  /** One left-to-right greedy pass replacing adjacent (l, r) with the
+    * merged symbol — exactly the reference tokenizer's scan-and-splice
+    * (after a splice the scan continues AFTER the new symbol, so
+    * "a a a" under (a,a) gives [aa, a], not [aa, aa-overlap]).
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BYTE-PAIR-ENCODING merge induction (Sennrich et al. 2016,
+    * arXiv:1508.07909) — the real subword-tokenizer trainer, one rung
+    * above [[induce]]'s whole-word vocabulary: `nMerges` rounds of
+    * "count all adjacent symbol pairs, merge the most frequent".
+    *
+    * Scale shape (the published one): training operates on the DISTINCT
+    * WORD-FREQUENCY table, not the raw corpus — one corpus-sized count
+    * shuffle up front, then every round touches |distinct words| rows
+    * (orders of magnitude smaller; Zipf guarantees it). Per round: one
+    * pair-explode + count shuffle over the word table, one single-row
+    * argmax collect (the merge being learned IS driver state — it is
+    * the output), one map-side splice, lineage cut per round. Ties
+    * break (count desc, left asc, right asc) so the merge sequence is
+    * deterministic across runs, partitionings, and engines.
+    *
+    * @return the merge table, (rank, left, right, merged) with rank
+    *   1..k in learned order — the tokenizer's merges.txt; fewer than
+    *   `nMerges` rows when the corpus runs out of adjacent pairs
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"bpeMerges: nMerges must be > 0, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seg = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), initialSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val best = seg
+        .select(col("n"), explode(expr(
+          "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), " +
+            "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      best match {
+        case Array((l, r, _)) =>
+          merges += ((merges.size + 1, l, r))
+          seg = seg.select(col("n"),
+            applyMerge(col("syms"), l, r).as("syms")).localCheckpoint()
+        case _ => exhausted = true
+      }
+    }
+    merges.toSeq.map { case (k, l, r) => (k, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Segment one word column with a LEARNED merge list (from
+    * [[bpeMerges]], collected): the deployment half — apply every merge
+    * in rank order as one greedy pass each. Pure per-row expression
+    * chain (no shuffle, no UDF); depth scales with `merges.size`, the
+    * caller's constant.
+    */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(initialSyms(word)) { case (syms, (l, r)) =>
+      applyMerge(syms, l, r)
+    }
 
   /** Encode each document as its ordered token-id sequence under
     * `vocab` (from [[induce]] or any `(token, id)` frame): one row per

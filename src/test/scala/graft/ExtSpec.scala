@@ -684,6 +684,82 @@ class ExtSpec extends SparkSpec {
     assert(kept === Set(1L, 2L))
   }
 
+  // Sequential reference BPE (Sennrich 2016) — the ground truth the
+  // distributed trainer must reproduce exactly, same tie-break.
+  private def refBpe(words: Map[String, Long],
+      nMerges: Int): (Seq[(String, String)], Map[String, List[String]]) = {
+    var segs: Map[String, (List[String], Long)] = words.map { case (w, c) =>
+      val syms = w.toList.map(_.toString) match {
+        case init :+ last => init :+ (last + "</w>")
+        case Nil => Nil
+      }
+      w -> (syms, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def applyRef(s: List[String], l: String, r: String): List[String] =
+      s.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    while (merges.size < nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      segs.values.foreach { case (s, c) =>
+        s.zip(s.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) return (merges.toSeq, segs.map { case (w, (s, _)) => w -> s })
+      val (l, r) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+      merges += ((l, r))
+      segs = segs.map { case (w, (s, c)) => w -> (applyRef(s, l, r), c) }
+    }
+    (merges.toSeq, segs.map { case (w, (s, _)) => w -> s })
+  }
+
+  test("bpeMerges reproduces the sequential reference trainer exactly, " +
+      "bpeSegment matches its segmentations") {
+    // the classic BPE teaching corpus, as documents with repeated words
+    val freqs = Map("hug" -> 10L, "pug" -> 5L, "pun" -> 12L,
+      "bun" -> 4L, "hugs" -> 5L)
+    val corpus = freqs.toSeq.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }.grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = graft.ext.Vocab.bpeMerges(corpus, "text", nMerges = 6)
+      .orderBy("rank")
+      .select($"left", $"right").as[(String, String)].collect().toSeq
+    val (want, wantSegs) = refBpe(freqs, 6)
+    assert(got === want)
+    // deployment: per-word segmentation under the learned merges
+    val segged = freqs.keys.toSeq.sorted.toDF("word")
+      .select($"word",
+        graft.ext.Vocab.bpeSegment($"word", got).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    freqs.keys.foreach { w =>
+      assert(segged(w) === wantSegs(w), s"word $w")
+    }
+    // merged symbols reassemble the word (+ end marker): lossless
+    freqs.keys.foreach { w =>
+      assert(segged(w).mkString === w + "</w>")
+    }
+  }
+
+  test("bpeMerges stops early when no adjacent pairs remain") {
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    // [a, b</w>] fully merges in ONE step; asking for 10 yields just it
+    val m = graft.ext.Vocab.bpeMerges(tiny, "text", nMerges = 10)
+    assert(m.count() === 1L)
+    val segs = Seq("ab").toDF("word")
+      .select(graft.ext.Vocab.bpeSegment($"word",
+        m.orderBy("rank").select($"left", $"right")
+          .as[(String, String)].collect().toSeq).as("s"))
+      .as[Seq[String]].head()
+    assert(segs === Seq("ab</w>"))
+  }
+
   test("keepBest keeps the argmax-score member per cluster, not first") {
     // 1 ↔ 2 near-dup; 2 carries the higher score → 2 kept, 1 dropped;
     // 4 is a singleton cluster and always survives
