@@ -840,6 +840,31 @@ class Warehouse(spark: SparkSession, dir: String,
     }
   }
 
+  /** DROP TABLE: remove `name` from the warehouse — manifests first
+    * (the commit point in reverse: with them gone the table is
+    * unreadable and re-creation starts from a clean slate), then the
+    * persisted spec, the in-memory spec, and the data directory.
+    * LOCAL files only: a shallow clone's borrowed absolute references
+    * live OUTSIDE the directory, so dropping a clone never touches its
+    * source — and dropping a SOURCE breaks clones still referencing
+    * it, the same operational caveat as vacuuming past a clone (the
+    * Delta contract: clones are bounded experiments). A crash mid-drop
+    * leaves only unreadable leftovers; re-running with `ifExists`
+    * completes the removal.
+    */
+  def dropTable(name: String, ifExists: Boolean = false): Unit = {
+    if (!specsNow.contains(name)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(s"dropTable: unknown table $name")
+    }
+    val fs = fileSystem
+    fs.delete(manifestDir(name), true)
+    fs.delete(new Path(new Path(dir, "_meta"), s"$name.json"), false)
+    specsLock.synchronized { specsNow = specsNow - name }
+    fs.delete(new Path(path(name)), true)
+    ()
+  }
+
   /** DDL: add a NEW table to this warehouse at runtime (the
     * `CREATE TABLE` statement's engine half — [[bootstrap]] covers the
     * declared-in-code layout; this covers schemas that arrive as DDL,

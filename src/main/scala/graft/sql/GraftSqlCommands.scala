@@ -195,6 +195,21 @@ case class GraftCloneCommand(wh: Warehouse, dst: String, src: String,
   }
 }
 
+/** `DROP TABLE [IF EXISTS] wh_t` for a REGISTERED name →
+  * [[Warehouse!.dropTable]], then remove the route and its view (the
+  * clone workflow's cleanup half: clone, experiment, drop). Unroutes
+  * only the dropped name; other tables' routes stay live.
+  */
+case class GraftDropTableCommand(wh: Warehouse, table: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.dropTable(table)
+    WarehouseSql.unroute(spark, name)
+    Nil
+  }
+}
+
 /** `SHOW WAREHOUSE TABLES` — catalog discovery for the routed surface:
   * every registered SQL name of THIS session with its table, head
   * version, and live file count/bytes straight from the manifest (no

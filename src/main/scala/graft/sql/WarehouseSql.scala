@@ -44,6 +44,8 @@ import graft.pipeline.Warehouse
   *     names with manifest-backed version/files/bytes
   *   - `CREATE TABLE wh_d SHALLOW CLONE wh_s [VERSION AS OF n]`
   *     → [[Warehouse!.shallowClone]] (zero-copy fork by reference)
+  *   - `DROP TABLE [IF EXISTS] wh_t` (registered names only)
+  *     → [[Warehouse!.dropTable]] + route removal
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -149,6 +151,15 @@ object WarehouseSql {
     else Option(registry.get(
       (GraftBridge.sessionUUID(spark), ident.head.toLowerCase)))
 
+  /** Remove ONE route (and its temp view) from `spark`'s session —
+    * the DROP TABLE counterpart of [[register]].
+    */
+  private[sql] def unroute(spark: SparkSession, name: String): Unit = {
+    registry.remove((GraftBridge.sessionUUID(spark), name.toLowerCase))
+    spark.catalog.dropTempView(name)
+    ()
+  }
+
   /** This session's routes, (sql name, warehouse, table), name-sorted —
     * the SHOW WAREHOUSE TABLES surface.
     */
@@ -187,6 +198,8 @@ object WarehouseSql {
     """(?is)\s*SHOW\s+WAREHOUSE\s+TABLES\s*;?\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val DropTableStmt =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -243,6 +256,11 @@ object WarehouseSql {
         GraftCloneCommand(wh, dstName.toLowerCase.drop(prefix.length),
           srcTable, Option(ver).map(_.toLong), prefix)
       }
+    // DROP TABLE routes only for REGISTERED names — a plain temp view
+    // or catalog table falls through to the delegate's own DROP TABLE
+    case DropTableStmt(_, name) if lookup(spark, Seq(name)).isDefined =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDropTableCommand(wh, t, name.toLowerCase) }
     case _ => parseCreateTable(spark, sqlText)
   }
 

@@ -112,6 +112,34 @@ class WarehouseCommitSpec extends SparkSpec {
     }
   }
 
+  test("dropTable removes only the table's own files; a clone drop " +
+      "leaves the source whole, a source drop fails the clone fast") {
+    val (wh, dir) = freshTable()
+    val srcCount = wh.read("fact_telemetry").count()
+    wh.shallowClone("fact_telemetry", "gone_t")
+    wh.append("gone_t", updatesDf) // one LOCAL file in the clone dir
+    wh.dropTable("gone_t")
+    assert(!wh.tables.contains("gone_t"))
+    assert(!java.nio.file.Files.exists(Paths.get(s"$dir/gone_t")))
+    // every source file survives; source reads unchanged
+    assert(wh.read("fact_telemetry").count() === srcCount)
+    // reopening from _meta agrees the table is gone
+    assert(!Warehouse.open(spark, dir).tables.contains("gone_t"))
+    // unknown drop: fail fast unless ifExists
+    intercept[IllegalArgumentException] { wh.dropTable("gone_t") }
+    wh.dropTable("gone_t", ifExists = true) // no-op
+    // the documented caveat: dropping a SOURCE breaks clones that
+    // still reference it — readVersion's retention check names it,
+    // and a plain read fails at scan time rather than silently
+    // returning partial data
+    wh.shallowClone("fact_telemetry", "orphan_t")
+    wh.dropTable("fact_telemetry")
+    intercept[IllegalArgumentException] {
+      wh.readVersion("orphan_t", 1L).count()
+    }
+    intercept[Exception] { wh.read("orphan_t").count() }
+  }
+
   test("merge crash BEFORE the manifest commit preserves the old state") {
     val (wh, dir) = freshTable()
     val before = telemetry(wh)

@@ -370,6 +370,34 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("not a registered warehouse table"))
   }
 
+  test("DROP TABLE: the clone-cleanup half — clone dropped, source " +
+      "intact, routes scoped to the dropped name") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    spark.sql("CREATE TABLE sdml_d2 SHALLOW CLONE sdml_t")
+    spark.sql("INSERT INTO sdml_d2 SELECT * FROM sdml_src WHERE id <= 3")
+    assert(spark.sql("SELECT count(*) FROM sdml_d2").head().getLong(0) === 23L)
+    spark.sql("DROP TABLE sdml_d2")
+    // the dropped name no longer resolves; the table is gone from the
+    // warehouse; the SOURCE and its route are untouched
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM sdml_d2").collect()
+    }
+    assert(!wh.tables.contains("d2"))
+    assert(spark.sql("SELECT count(*) FROM sdml_t").head().getLong(0) === 20L)
+    assert(spark.sql("SHOW WAREHOUSE TABLES")
+      .where($"name" === "sdml_d2").count() === 0L)
+    // a same-named re-clone starts from a clean slate
+    spark.sql("CREATE TABLE sdml_d2 SHALLOW CLONE sdml_t")
+    assert(spark.sql("SELECT count(*) FROM sdml_d2").head().getLong(0) === 20L)
+    spark.sql("DROP TABLE sdml_d2")
+    // unregistered names fall through to the delegate (temp views)
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("sdml_plainview")
+    spark.sql("DROP TABLE IF EXISTS sdml_plainview") // delegate, no throw
+    assert(wh.tables.contains("t"))
+  }
+
   test("TIMESTAMP AS OF resolves to the newest commit at or before " +
       "the instant; VERSION AS OF unchanged") {
     val wh = fresh()
