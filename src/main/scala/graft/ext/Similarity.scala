@@ -72,6 +72,47 @@ object Similarity {
     scored.withColumn("rank", rnk).where(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive embedding training (the
+    * dense-retrieval curation step of DPR/ANCE-style pipelines): for
+    * each query, the nearest corpus vectors whose LABEL differs — the
+    * semantically-close-but-wrong examples a contrastive loss learns
+    * most from. Two rank cuts, both deterministic: the kCand nearest
+    * by cosine (the candidate pool), then the kNeg best cross-label
+    * members re-ranked within it.
+    *
+    * Scale shape: [[bruteForceTopK]]'s broadcast-queries contract does
+    * the heavy scan (corpus never shuffles); the candidate pool
+    * (|queries| × kCand rows) then BROADCASTS back onto the corpus
+    * scan to attach labels — no corpus-sized shuffle anywhere. Swap
+    * the candidate stage for [[ivfTopK]] at IVF scale.
+    *
+    * @return (qid, id, neg_label, cosine, neg_rank), neg_rank 1..kNeg
+    *   per qid by (cosine desc, id)
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, qlabelCol: String,
+      kCand: Int, kNeg: Int): DataFrame = {
+    require(kNeg <= kCand,
+      s"hardNegatives: kNeg ($kNeg) must be <= kCand ($kCand)")
+    val cands = bruteForceTopK(corpus, idCol, vecCol,
+      queries.select(col(qidCol), col(qvecCol)), qidCol, qvecCol, kCand)
+    val labeled = corpus
+      .select(col(idCol).as("id"), col(labelCol).as("neg_label"))
+      .join(broadcast(cands.select(col("qid"), col("id"), col("cosine"))),
+        "id")
+    val ql = queries.select(col(qidCol).as("qid"),
+      col(qlabelCol).as("_qlab"))
+    val negRank = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id")))
+    labeled.join(broadcast(ql), "qid")
+      .where(col("neg_label") =!= col("_qlab"))
+      .withColumn("neg_rank", negRank.cast("long"))
+      .where(col("neg_rank") <= kNeg)
+      .select(col("qid"), col("id"), col("neg_label"), col("cosine"),
+        col("neg_rank"))
+  }
+
   /** IVF (inverted-file) top-k — the other classic ANN scale path:
     * a coarse k-means quantizer splits the corpus into cells; each query
     * probes only its `nProbe` nearest cells, so the scored candidate set

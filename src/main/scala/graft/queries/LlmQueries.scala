@@ -2372,6 +2372,53 @@ object LlmQueries extends QueryPack {
         QUALIFY rank <= 10
         ORDER BY qid, rank""")),
 
+    // ---- q125: HARD-NEGATIVE mining — the contrastive-training
+    // curation step (DPR/ANCE): per query vector, the nearest corpus
+    // vectors whose LABEL differs. Two deterministic rank cuts (kCand
+    // nearest by cosine, then kNeg best cross-label within them), both
+    // replayed by the oracle with the q33 cosine arithmetic plus the
+    // label joins. A same-label neighbor leaking through, a candidate
+    // outside the top-20 pool, or a rank off by one all break the
+    // hash. ----
+    Q("q125_embed_hard_negatives",
+      (s, dir) => {
+        val emb = fan(t(s, dir, "embeddings"))
+        val queries = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_lab"))
+        Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+            queries, "q_id", "q_vec", "q_lab", kCand = 20, kNeg = 5)
+          .orderBy("qid", "neg_rank")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlab
+          FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.qid, e.vec_id AS id, e.label AS neg_label,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(q.qvec, q.qvec))), 6)
+                   AS cosine,
+                 q.qlab
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        cands AS (
+          SELECT qid, id, neg_label, cosine, qlab,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, id) AS crank
+          FROM scored QUALIFY crank <= 20),
+        negs AS (
+          SELECT qid, id, neg_label, cosine,
+                 CAST(row_number() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, id)
+                      AS BIGINT) AS neg_rank
+          FROM cands WHERE neg_label <> qlab)
+        SELECT qid, id, neg_label, cosine, neg_rank
+        FROM negs
+        WHERE neg_rank <= 5
+        ORDER BY qid, neg_rank""")),
+
     // ---- q122: CANONICAL SELECTION — near-dedup that keeps the
     // highest-QUALITY member of each duplicate cluster (argmax
     // qualityScore, ties to the smallest id), not the first-seen. The

@@ -760,6 +760,29 @@ class ExtSpec extends SparkSpec {
     assert(segs === Seq("ab</w>"))
   }
 
+  test("hardNegatives excludes same-label neighbors, keeps the " +
+      "closest cross-label ones in rank order") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),  // same label as query — excluded
+      (2L, Seq(0.9f, 0.1f), 1),  // closest cross-label → rank 1
+      (3L, Seq(0.0f, 1.0f), 1),  // near-orthogonal → rank 2
+      (10L, Seq(1.0f, 0.05f), 0) // the query itself (self-excluded)
+    ).toDF("vec_id", "embedding", "label")
+    val qs = corpus.where($"vec_id" === 10L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_lab"))
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        "label", qs, "q_id", "q_vec", "q_lab", kCand = 10, kNeg = 5)
+      .select($"id", $"neg_rank").as[(Long, Long)]
+      .collect().toList.sortBy(_._2)
+    assert(got === List((2L, 1L), (3L, 2L)))
+    // kNeg cuts after the cross-label re-rank
+    val one = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        "label", qs, "q_id", "q_vec", "q_lab", kCand = 10, kNeg = 1)
+      .select($"id").as[Long].collect().toList
+    assert(one === List(2L))
+  }
+
   test("keepBest keeps the argmax-score member per cluster, not first") {
     // 1 ↔ 2 near-dup; 2 carries the higher score → 2 kept, 1 dropped;
     // 4 is a singleton cluster and always survives
