@@ -40,8 +40,19 @@ object Bench {
     // runs swing ±30%); a failed query records a NEGATIVE time so
     // failures are visible in BENCH json rather than masquerading as
     // fast successes.
+    //
+    // Each pass also records process-CPU seconds (whole-JVM delta across
+    // the query — correct in local mode where driver + all executor
+    // threads share one process). wall >> cpu/cores on a query that
+    // didn't change is the signature of EXTERNAL contention in the
+    // capture environment, not a code regression — the r7 artifact was
+    // unusable for exactly this reason and needed manual re-runs to
+    // adjudicate. cpu makes it diagnosable from the artifact alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def timeOnce(name: String,
-        fn: (SparkSession, String) => DataFrame): Double = {
+        fn: (SparkSession, String) => DataFrame): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       // failures go to stderr (the artifact captures stdout only) so a
       // negative bench number is diagnosable without re-running
@@ -52,14 +63,17 @@ object Bench {
                  false
                }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) dt else -dt
+      val dc = (osBean.getProcessCpuTime - c0) / 1e9
+      (if (ok) dt else -dt, dc)
     }
-    val results = queries.map { case (name, fn) =>
+    val detailed = queries.map { case (name, fn) =>
       val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
-      // min picks the faster pass; any failure is negative and therefore
-      // wins the min, keeping failures visible in the output
-      name -> math.min(a, b)
+      // min-wall picks the faster pass (any failure is negative and
+      // therefore wins the min, keeping failures visible); report that
+      // same pass's cpu so the wall/cpu pair is internally consistent
+      name -> (if (a._1 <= b._1) a else b)
     }
+    val results = detailed.map { case (name, (wall, _)) => name -> wall }
     // Millisecond precision keeps the per-query JSON line compact (~3 KB
     // for 100 queries instead of ~6 KB of full-double digits).
     def fmt(v: Double): String = {
@@ -68,15 +82,25 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // "queries" stays a plain name→seconds map (the driver's parser
+    // depends on that shape); the wall+cpu pairs ride in a parallel
+    // "detail" map for the contention post-mortem.
+    val det = detailed.map { case (k, (w, c)) =>
+      s"\"" + k + "\":{\"wall\":" + fmt(w) + ",\"cpu\":" + fmt(c) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
+    val totalCpu = detailed.map { case (_, (_, c)) => c }.sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute system load average at end of run: load >> cores while
+    // wall >> cpu pins the blame on co-tenant processes.
+    val load = osBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$det,"sf":"$sfDir"}""")
     // The driver's artifact capture keeps the TAIL of the output; the
     // r3/r4 single-line form lost its leading total when the per-query
     // map outgrew the window. This second, short, totals-only line lands
     // LAST so the tail capture always retains the headline numbers even
     // if the full per-query line above is truncated.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"cpu_total":${fmt(totalCpu)},"load_avg":${fmt(load)},"cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

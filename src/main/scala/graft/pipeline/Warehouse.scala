@@ -827,7 +827,16 @@ class Warehouse(spark: SparkSession, dir: String,
         s"GC'd (e.g. ${gone.headOption.map(_.rel).getOrElse("")})")
     val borrowed = entries.map(e =>
       e.copy(rel = new Path(path(src), e.rel).toString))
-    specsLock.synchronized { specsNow = specsNow + (dst -> specsNow(src)) }
+    // Existence check + insert in ONE critical section: two concurrent
+    // clones (or clone vs createTable) to the same dst must not both
+    // pass the check — and because only the guarded winner inserts, the
+    // catch-block rollback below can only ever remove its OWN spec,
+    // never a concurrent winner's.
+    specsLock.synchronized {
+      require(!specsNow.contains(dst),
+        s"shallowClone: table $dst already exists")
+      specsNow = specsNow + (dst -> specsNow(src))
+    }
     try {
       commit(dst, 1L, borrowed,
         Map("op" -> "clone", "sourceTable" -> src,
@@ -851,17 +860,23 @@ class Warehouse(spark: SparkSession, dir: String,
     * Delta contract: clones are bounded experiments). A crash mid-drop
     * leaves only unreadable leftovers; re-running with `ifExists`
     * completes the removal.
+    *
+    * Crash-ordering: every filesystem delete happens BEFORE the spec
+    * is removed, and an IF EXISTS re-run re-attempts the (idempotent)
+    * deletes even when the spec is already gone — so a crash at ANY
+    * point leaves a state the re-run fully cleans. (The previous order
+    * — spec removal before the data-dir delete — let an `ifExists`
+    * re-run return early on the missing spec and orphan the directory
+    * forever.)
     */
   def dropTable(name: String, ifExists: Boolean = false): Unit = {
-    if (!specsNow.contains(name)) {
-      if (ifExists) return
+    if (!specsNow.contains(name) && !ifExists)
       throw new IllegalArgumentException(s"dropTable: unknown table $name")
-    }
     val fs = fileSystem
     fs.delete(manifestDir(name), true)
     fs.delete(new Path(new Path(dir, "_meta"), s"$name.json"), false)
-    specsLock.synchronized { specsNow = specsNow - name }
     fs.delete(new Path(path(name)), true)
+    specsLock.synchronized { specsNow = specsNow - name }
     ()
   }
 
@@ -998,6 +1013,15 @@ class Warehouse(spark: SparkSession, dir: String,
     * look newly committed). Assumes the writer clock is monotonic
     * across commits, the same assumption Delta's timestamp travel
     * makes.
+    *
+    * DELIBERATE divergence from Delta: a timestamp LATER than the
+    * newest commit resolves to the head version instead of erroring
+    * (Delta raises "timestamp after the latest commit"). The as-of-NOW
+    * read (`readTimestamp(t, System.currentTimeMillis)`) is the most
+    * common call shape and must mean "the current snapshot, pinned";
+    * the cost is that a mistyped future timestamp silently reads the
+    * head rather than failing — callers that want Delta's strictness
+    * can compare against `history(name).last` first.
     */
   def versionAt(name: String, tsMillis: Long): Long = {
     val fs = fileSystem

@@ -151,6 +151,7 @@ case class GraftCreateTableCommand(wh: Warehouse, table: String,
     val created = wh.createTable(table, spec, ifNotExists,
       if (pk.isEmpty) Map.empty else Map("pk" -> pk.mkString(",")))
     WarehouseSql.register(spark, wh, prefix)
+    WarehouseSql.rerouteAll(wh) // other sessions see the new name too
     Seq(Row(created))
   }
 }
@@ -177,6 +178,7 @@ case class GraftCtasCommand(wh: Warehouse, table: String,
     val created = wh.createTable(table, Warehouse.TableSpec(schema),
       ifNotExists, initial = Some(df))
     WarehouseSql.register(spark, wh, prefix)
+    WarehouseSql.rerouteAll(wh) // other sessions see the new name too
     Seq(Row(created))
   }
 }
@@ -191,14 +193,17 @@ case class GraftCloneCommand(wh: Warehouse, dst: String, src: String,
   override def run(spark: SparkSession): Seq[Row] = {
     wh.shallowClone(src, dst, version)
     WarehouseSql.register(spark, wh, prefix)
+    WarehouseSql.rerouteAll(wh) // other sessions see the clone too
     Nil
   }
 }
 
 /** `DROP TABLE [IF EXISTS] wh_t` for a REGISTERED name →
   * [[Warehouse!.dropTable]], then remove the route and its view (the
-  * clone workflow's cleanup half: clone, experiment, drop). Unroutes
-  * only the dropped name; other tables' routes stay live.
+  * clone workflow's cleanup half: clone, experiment, drop) — in EVERY
+  * session registered on this warehouse, not just the executing one,
+  * so no session is left holding a route whose reads would fail at
+  * scan time. Other tables' routes stay live.
   */
 case class GraftDropTableCommand(wh: Warehouse, table: String,
     name: String) extends LeafRunnableCommand {
@@ -206,6 +211,7 @@ case class GraftDropTableCommand(wh: Warehouse, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     wh.dropTable(table)
     WarehouseSql.unroute(spark, name)
+    WarehouseSql.unrouteTable(wh, table)
     Nil
   }
 }

@@ -109,6 +109,7 @@ object WarehouseSql {
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             registry.clear()
             prefixRegistry.clear()
+            sessions.clear()
             listenerInstalled.set(false) // a future context re-installs
           }
         })
@@ -121,11 +122,59 @@ object WarehouseSql {
     */
   def register(spark: SparkSession, wh: Warehouse, prefix: String = "wh_"): Unit = {
     ensureEviction(spark)
+    sessions.put(GraftBridge.sessionUUID(spark),
+      new java.lang.ref.WeakReference(spark))
     prefixRegistry.put((GraftBridge.sessionUUID(spark), prefix.toLowerCase), wh)
     wh.tables.keys.foreach { t =>
       registry.put((GraftBridge.sessionUUID(spark), (prefix + t).toLowerCase), (wh, t))
       ()
     }
+  }
+
+  /** uuid → session, WEAKLY held (routes must not pin sessions — see
+    * [[ensureEviction]]'s eviction story): lets table-level DDL
+    * executed in ONE session fix up the routes and temp views of every
+    * OTHER session registered on the same warehouse, instead of
+    * leaving them pointing at a dropped table or missing a new clone.
+    * A GC'd session has no views left to fix — skipping it is correct,
+    * not lossy.
+    */
+  private val sessions =
+    new ConcurrentHashMap[String, java.lang.ref.WeakReference[SparkSession]]()
+
+  private def liveSession(uuid: String): Option[SparkSession] =
+    Option(sessions.get(uuid)).flatMap(r => Option(r.get()))
+      .filterNot(s => s.sparkContext.isStopped)
+
+  /** DROP TABLE's cross-session half: remove EVERY session's route to
+    * (`wh`, `table`) — identity on the warehouse instance, so an
+    * unrelated warehouse's same-named table keeps its routes — and
+    * drop each live session's same-named temp view. Without this,
+    * other sessions registered on the same warehouse keep stale routes
+    * whose reads fail at scan time (ADVICE r7).
+    */
+  private[sql] def unrouteTable(wh: Warehouse, table: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    registry.entrySet().asScala.toSeq
+      .filter(e => (e.getValue._1 eq wh) && e.getValue._2 == table)
+      .foreach { e =>
+        registry.remove(e.getKey)
+        liveSession(e.getKey._1).foreach(_.catalog.dropTempView(e.getKey._2))
+      }
+  }
+
+  /** CREATE/CTAS/CLONE's cross-session half: re-register every session
+    * whose prefix routes to `wh`, so a table created in one session is
+    * immediately addressable from every other session registered on
+    * the same warehouse.
+    */
+  private[sql] def rerouteAll(wh: Warehouse): Unit = {
+    import scala.jdk.CollectionConverters._
+    prefixRegistry.entrySet().asScala.toSeq
+      .filter(_.getValue eq wh)
+      .foreach { e =>
+        liveSession(e.getKey._1).foreach(register(_, wh, e.getKey._2))
+      }
   }
 
   /** Drop every route of `spark`'s session — a test suite's afterAll,

@@ -140,6 +140,24 @@ class WarehouseCommitSpec extends SparkSpec {
     intercept[Exception] { wh.read("orphan_t").count() }
   }
 
+  test("dropTable IF EXISTS re-run cleans an orphaned data directory " +
+      "left by a crash mid-drop") {
+    val (wh, dir) = freshTable()
+    wh.shallowClone("fact_telemetry", "crash_t")
+    wh.append("crash_t", updatesDf)
+    wh.dropTable("crash_t")
+    // Simulate the r7-ADVICE crash window: spec already gone but the
+    // data directory resurfaced (crash after spec removal in the OLD
+    // delete order). The ifExists re-run must attempt the idempotent
+    // filesystem deletes instead of returning early on the missing
+    // spec — the old code orphaned this directory forever.
+    val leftover = Paths.get(s"$dir/crash_t/part-leftover.parquet")
+    java.nio.file.Files.createDirectories(leftover.getParent)
+    java.nio.file.Files.write(leftover, Array[Byte](1, 2, 3))
+    wh.dropTable("crash_t", ifExists = true)
+    assert(!java.nio.file.Files.exists(Paths.get(s"$dir/crash_t")))
+  }
+
   test("merge crash BEFORE the manifest commit preserves the old state") {
     val (wh, dir) = freshTable()
     val before = telemetry(wh)

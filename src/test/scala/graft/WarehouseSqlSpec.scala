@@ -398,6 +398,29 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(wh.tables.contains("t"))
   }
 
+  test("DROP TABLE and CREATE fix up EVERY registered session's " +
+      "routes, not just the executing one") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    spark.sql("CREATE TABLE sdml_ms1 SHALLOW CLONE sdml_t")
+    val other = spark.newSession()
+    graft.sql.WarehouseSql.register(other, wh, "sdml_")
+    assert(other.sql("SELECT count(*) FROM sdml_ms1").head().getLong(0) === 20L)
+    // drop executes in the ORIGINAL session; the other session's route
+    // must go too — the r7-ADVICE stale route would fail at SCAN time
+    // (manifest gone) instead of failing to resolve
+    spark.sql("DROP TABLE sdml_ms1")
+    intercept[Exception] {
+      other.sql("SELECT count(*) FROM sdml_ms1").collect()
+    }
+    // and a clone created in one session is immediately addressable
+    // from the other (rerouteAll's other half)
+    spark.sql("CREATE TABLE sdml_ms2 SHALLOW CLONE sdml_t")
+    assert(other.sql("SELECT count(*) FROM sdml_ms2").head().getLong(0) === 20L)
+    spark.sql("DROP TABLE sdml_ms2")
+  }
+
   test("TIMESTAMP AS OF resolves to the newest commit at or before " +
       "the instant; VERSION AS OF unchanged") {
     val wh = fresh()
