@@ -311,24 +311,33 @@ object NearDup {
       .select(col("_id"), col("b.band").as("_band"), col("b.bh").as("_bh"))
   }
 
-  /** MinHash-LSH near-dup: banded candidate generation, then EXACT
-    * Jaccard verification of candidates only (computed on the candidates'
-    * distinct-shingle arrays — candidate volume is LSH-bounded, so the
-    * per-pair array intersection is cheap and there is still no
-    * crossJoin). Recall < 1 by design; tune bands/rows for the target
-    * threshold (P[detect] = 1-(1-j^rows)^bands).
+  /** Banded candidate pairs (`id1 < id2`, distinct) from a signature
+    * frame `(_id, _sig: array<long>)` — the LSH candidate stage shared
+    * by [[minhashLshPairs]] (fresh signatures) and the persisted-index
+    * probe ([[graft.pipeline.IndexStore]]), which is what makes
+    * probe == refit structural: both run THIS plan over signature rows
+    * that per-row purity makes identical.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, numBands: Int = 16,
-      minJaccard: Double = 0.8): DataFrame = {
-    require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
-    val b = bands(sigs, numBands, numHashes / numBands)
-    val cands = b.as("x").join(b.as("y"),
+  private[graft] def bandCandidates(sigs: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val b = bands(sigs, numBands, rowsPerBand)
+    b.as("x").join(b.as("y"),
         col("x._band") === col("y._band") && col("x._bh") === col("y._bh") &&
           col("x._id") < col("y._id"))
       .select(col("x._id").as("id1"), col("y._id").as("id2"))
       .distinct()
+  }
+
+  /** EXACT Jaccard verification of candidate pairs against the docs'
+    * distinct-shingle arrays — candidate volume is LSH-bounded, so the
+    * per-pair array intersection is cheap and there is no crossJoin.
+    * Pairs whose ids are no longer in `docs` (deleted since the index
+    * was signed) inner-join away here, which is what makes a STALE
+    * index entry harmless at probe time.
+    */
+  private[graft] def verifyJaccard(cands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minJaccard: Double): DataFrame = {
     val shingleSets = docs.select(col(idCol).as("_id"),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("_shs"))
     cands
@@ -339,6 +348,20 @@ object NearDup {
         (size(col("shs1")) + size(col("shs2")) - col("n_common")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash-LSH near-dup: banded candidate generation, then EXACT
+    * Jaccard verification of candidates only. Recall < 1 by design;
+    * tune bands/rows for the target threshold
+    * (P[detect] = 1-(1-j^rows)^bands).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val cands = bandCandidates(sigs, numBands, numHashes / numBands)
+    verifyJaccard(cands, docs, idCol, textCol, n, minJaccard)
   }
 
   /** 64-bit SimHash from token hashes: sign-sum of each bit of

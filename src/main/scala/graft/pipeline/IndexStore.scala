@@ -1,0 +1,317 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.{NearDup, PQ, Similarity}
+
+/** PERSISTED, INCREMENTALLY-MAINTAINED index artifacts — the missing
+  * piece between the per-query ANN/dedup operators (`graft.ext`) and a
+  * 100 TB corpus: [[NearDup.minhashSignatures]] re-signs the corpus per
+  * run, [[Similarity.assignCells]] refits the quantizer per run, and at
+  * scale that FIT/SIGN pass, not the probe, is the dominant cost. Here
+  * the artifacts live as ordinary warehouse tables — so they inherit
+  * manifests, atomic commits, time travel, and the change feed for
+  * free — and are maintained INCREMENTALLY from the source table's
+  * manifest diff ([[Warehouse!.readChanges]]): a refresh derives rows
+  * only for files added since the version the index last reflected.
+  *
+  * Consistency bookkeeping rides the txn-watermark ledger (the Delta
+  * setTransaction shape, [[Warehouse!.append]]): every index commit
+  * records `txn_graft_index_<src> = <source version>` atomically WITH
+  * the derived rows, so "which source version does this index reflect"
+  * is answered by the index's own head manifest — crash-safe, and a
+  * re-run of the same refresh is a watermark no-op.
+  *
+  * Maintenance is a MERGE keyed on the doc id: append-only sources only
+  * insert; a source MERGE/UPDATE rewrites its partitions, the rewritten
+  * rows reappear in the manifest diff, and the index merge REPLACES
+  * their stale derived rows. Source DELETEs leave stale index entries
+  * behind (they never reappear in an added file) — harmless at probe
+  * time because every probe joins candidates back to the live source
+  * (stale ids inner-join away), and reclaimable by [[compactIndex]].
+  * Index tables are hash-partitioned on the id (`part = pmod(xxhash64
+  * (id), nParts)` — a pure function of the merge key, as the merge
+  * contract requires), so a refresh rewrites only the partitions its
+  * batch touches, never the whole index.
+  *
+  * Incremental == rebuild is STRUCTURAL for every artifact here: each
+  * derived row is a PURE function of its source row (MinHash
+  * signatures) or of (source row, persisted model) (IVF cell under
+  * FIXED centroids, PQ codes under a FIXED codebook) — no derived row
+  * depends on which batch its source row arrived in. The models
+  * themselves (centroids, codebooks) are fit ONCE at build time and
+  * persisted; that is the published IVF/PQ lifecycle (train once,
+  * encode forever), not a shortcut.
+  *
+  * Reference scope: the reference re-derives everything per run
+  * (`/root/reference/script.py` has no persisted derived state); this
+  * is the engine-side generalization its warehouse tables make cheap.
+  */
+object IndexStore {
+
+  /** txn-ledger query id under which index commits record the source
+    * version they reflect.
+    */
+  private def txnId(src: String) = s"graft_index_$src"
+
+  /** The source version `idx` currently reflects, from the txn
+    * watermark on its head commit — None for a never-refreshed index.
+    */
+  def indexedVersion(wh: Warehouse, idx: String, src: String): Option[Long] =
+    wh.history(idx).lastOption
+      .flatMap(_._2.get(s"txn_${txnId(src)}")).map(_.toLong)
+
+  private def partExpr(idCol: String, nParts: Int): Column =
+    pmod(xxhash64(col(idCol)), lit(nParts)).cast("int")
+
+  /** Generic derived-table maintenance: derive rows for everything the
+    * source added since the indexed version (or the whole source on
+    * first build / after the diff base was vacuumed) and MERGE them in
+    * keyed on `idCol`, recording the new watermark atomically with the
+    * rows. Contract: source rows unique by `idCol` (the star-schema /
+    * documents invariant), `derive` emits exactly one row per input id.
+    *
+    * @return the source version the index now reflects
+    */
+  private def refreshDerived(wh: Warehouse, src: String, idx: String,
+      idCol: String, derive: DataFrame => DataFrame): Long = {
+    val head = wh.versions(src).max
+    val since = indexedVersion(wh, idx, src)
+      // a vacuumed-away diff base forces a full re-derive (still
+      // correct: merge replaces rows it already has)
+      .filter(v => wh.versions(src).contains(v))
+    if (since.contains(head)) return head // watermark no-op
+    val changed = since match {
+      case Some(v) => wh.readChanges(src, v)
+      case None => wh.read(src)
+    }
+    wh.merge(idx, derive(changed), Seq(idCol),
+      txn = Some((txnId(src), head)))
+    head
+  }
+
+  /** Drop index entries whose id no longer exists in the source (left
+    * behind by source DELETEs — see class doc). One anti-join keyed on
+    * id; probe correctness never requires it, it only reclaims space.
+    */
+  def compactIndex(wh: Warehouse, src: String, idx: String,
+      idCol: String): Long = {
+    val live = wh.read(src).select(col(idCol))
+    val stale = wh.read(idx).join(live, Seq(idCol), "left_anti")
+      .select(col(idCol))
+    val ids = stale.distinct().collect().map(_.get(0)).toSeq
+    if (ids.nonEmpty) wh.delete(idx, col(idCol).isInCollection(ids))
+    else 0L
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash signature index
+  // ------------------------------------------------------------------
+
+  /** Create (if missing) the signature table `(id, part, sig)` and
+    * bring it up to date with the source: full sign on first call,
+    * manifest-diff increment afterwards. Signatures are per-row pure
+    * ([[NearDup.minhashSignatures]]'s seeded Carter-Wegman family), so
+    * the incremental table is bit-identical to a full rebuild.
+    *
+    * @return the source version the index now reflects
+    */
+  def refreshMinhash(wh: Warehouse, src: String, idx: String,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
+      nParts: Int = 16): Long = {
+    val idType = wh.tables(src)(idCol).dataType
+    wh.createTable(idx, Warehouse.TableSpec(
+      StructType(Seq(
+        StructField(idCol, idType),
+        StructField("part", IntegerType),
+        StructField("sig", ArrayType(LongType)))),
+      partitionBy = Seq("part")), ifNotExists = true)
+    refreshDerived(wh, src, idx, idCol, changed =>
+      NearDup.minhashSignatures(changed, idCol, textCol, n, numHashes)
+        .select(col("_id").as(idCol), partExpr(idCol, nParts).as("part"),
+          col("_sig").as("sig")))
+  }
+
+  /** Near-dup pairs from the PERSISTED signatures: the LSH band join
+    * runs over the index table (no re-signing — at 100 TB this is the
+    * whole point), exact Jaccard verification joins candidates back to
+    * the live source text. Identical result to
+    * [[NearDup.minhashLshPairs]] over the current source because the
+    * stored signatures ARE the signatures that run would compute.
+    */
+  def minhashProbePairs(wh: Warehouse, src: String, idx: String,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
+      numBands: Int = 16, minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val sigs = wh.read(idx)
+      .select(col(idCol).as("_id"), col("sig").as("_sig"))
+    val cands = NearDup.bandCandidates(sigs, numBands, numHashes / numBands)
+    NearDup.verifyJaccard(cands, wh.read(src), idCol, textCol, n, minJaccard)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF index (persisted centroids + persisted cell assignments)
+  // ------------------------------------------------------------------
+
+  private def centroidsTable(idx: String) = s"${idx}_centroids"
+  private def vectorsTable(idx: String) = s"${idx}_vectors"
+
+  /** Nearest-centroid cell id as a PURE per-row expression: the
+    * centroid list (nCells × dim doubles — tiny) rides the plan as a
+    * literal, exactly like [[PQ.encodeExpr]]'s codebook, so assignment
+    * is a shuffle-free map over the corpus — no broadcast join, no
+    * window. Strict argmin with smallest-cell tie-break, deterministic
+    * double arithmetic with fixed fold order: an incremental assign of
+    * late rows equals the full assign bit-for-bit.
+    */
+  private def cellExpr(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val cbLit = typedlit(cents)
+    val dists = transform(cbLit, c =>
+      aggregate(
+        zip_with(vec.cast("array<double>"), c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Centroid rows, cell-ordered, collected (nCells × dim — model-
+    * sized, the standard Delta-style driver-state shape).
+    */
+  private def loadCentroids(wh: Warehouse, idx: String): Seq[Seq[Double]] =
+    wh.read(centroidsTable(idx)).orderBy("cell").collect().toSeq
+      .map(_.getSeq[Double](1).toSeq)
+
+  /** BUILD the IVF index: fit the coarse quantizer once (seeded-sample
+    * k-means, the [[Similarity.assignCells]] stance), persist the
+    * centroids, then assign the full corpus through [[cellExpr]] into
+    * the vectors table. Subsequent [[refreshIvf]] calls assign only new
+    * rows against the SAME persisted centroids — the published IVF
+    * lifecycle (train once, assign forever); re-TRAINING is an explicit
+    * rebuild, not a refresh.
+    *
+    * @return the source version the index now reflects
+    */
+  def buildIvf(wh: Warehouse, src: String, idx: String, idCol: String,
+      vecCol: String, nCells: Int, fitFraction: Double = 0.1,
+      minFitRows: Long = 256, nParts: Int = 16, seed: Long = 42L): Long = {
+    require(nCells > 0, s"buildIvf: nCells must be positive, got $nCells")
+    val corpus = wh.read(src)
+    val spark = corpus.sparkSession
+    val feats = corpus.select(
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol))
+        .as("features"))
+    val sampled = feats.sample(withReplacement = false, fitFraction, seed)
+    val fitSet =
+      if (fitFraction >= 1.0) feats
+      else if (sampled.count() >= math.max(minFitRows, 4L * nCells)) sampled
+      else feats // small-corpus fallback, as in assignCells
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(fitSet)
+    val centRows = model.clusterCenters.zipWithIndex.toSeq.map {
+      case (c, i) => Row(i, c.toArray.toSeq)
+    }
+    val centSchema = StructType(Seq(
+      StructField("cell", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    wh.createTable(centroidsTable(idx), Warehouse.TableSpec(centSchema),
+      ifNotExists = true)
+    wh.overwrite(centroidsTable(idx), spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centSchema))
+    refreshIvf(wh, src, idx, idCol, vecCol, nParts)
+  }
+
+  /** Incremental IVF maintenance: assign rows the source added since
+    * the indexed version against the PERSISTED centroids and merge
+    * them into the vectors table. Equals a full re-assignment under the
+    * same centroid table (per-row purity of [[cellExpr]]).
+    */
+  def refreshIvf(wh: Warehouse, src: String, idx: String, idCol: String,
+      vecCol: String, nParts: Int = 16): Long = {
+    wh.createTable(vectorsTable(idx), Warehouse.TableSpec(
+      StructType(Seq(
+        StructField(idCol, wh.tables(src)(idCol).dataType),
+        StructField("part", IntegerType),
+        StructField("cell", IntegerType),
+        StructField("vec", wh.tables(src)(vecCol).dataType))),
+      partitionBy = Seq("part")), ifNotExists = true)
+    val cents = loadCentroids(wh, idx)
+    refreshDerived(wh, src, vectorsTable(idx), idCol, changed =>
+      changed.select(col(idCol), partExpr(idCol, nParts).as("part"),
+        cellExpr(col(vecCol), cents).as("cell"), col(vecCol).as("vec")))
+  }
+
+  /** Top-k cosine from the PERSISTED index: each query ranks the
+    * persisted centroids (pure expression — the centroid list is plan
+    * data), probes its `nProbe` nearest cells, and scores only those
+    * cells' vectors via the bucketed equi-join on `cell`. At
+    * `nProbe == nCells` this equals exact brute force for ANY centroid
+    * table (the probe-all invariant) — the property the spec gates.
+    */
+  def ivfProbeTopK(wh: Warehouse, idx: String, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    val cents = loadCentroids(wh, idx)
+    // nProbe nearest cells per query, by (distance, cell) — the same
+    // argmin arithmetic as cellExpr generalized to a top-n slice, still
+    // a pure expression (struct arrays sort field-by-field, so the
+    // cell id is the deterministic tie-break)
+    val cbLit = typedlit(cents)
+    val qv = col("qvec").cast("array<double>")
+    val ranked = array_sort(zip_with(cbLit,
+      sequence(lit(0), lit(cents.size - 1)),
+      (c, i) => struct(
+        aggregate(zip_with(qv, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        i.as("cell"))))
+    val probeCells = transform(slice(ranked, 1, nProbe),
+      s => s.getField("cell"))
+    // two selects: probeCells references `qvec`, which the FIRST select
+    // introduces — one select would make it a lateral alias reference
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .select(col("qid"), col("qvec"), explode(probeCells).as("cell"))
+    val scored = probes.join(wh.read(vectorsTable(idx)), "cell")
+      .where(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("id"),
+        round(Similarity.cosine(col("vec"), col("qvec")), 6).as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))))
+      .where(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // PQ codebook persistence
+  // ------------------------------------------------------------------
+
+  /** Persist a PQ codebook as a warehouse table `(m, code, centroid)` —
+    * the train-once artifact [[PQ.topK]]/[[PQ.ivfPqTopK]] embed as a
+    * plan literal. Overwrites atomically; history keeps prior books.
+    */
+  def saveCodebook(wh: Warehouse, tbl: String, cb: PQ.Codebook): Unit = {
+    val schema = StructType(Seq(
+      StructField("m", IntegerType),
+      StructField("code", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    wh.createTable(tbl, Warehouse.TableSpec(schema), ifNotExists = true)
+    val rows = for {
+      (sub, mi) <- cb.zipWithIndex
+      (cent, ci) <- sub.zipWithIndex
+    } yield Row(mi, ci, cent)
+    val spark = wh.read(tbl).sparkSession
+    wh.overwrite(tbl, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  /** Load a persisted codebook back to the exact in-memory shape
+    * [[PQ.encodeExpr]] takes — doubles round-trip parquet losslessly,
+    * so encode/ADC under the loaded book is bit-identical to the
+    * fresh-fit book it came from.
+    */
+  def loadCodebook(wh: Warehouse, tbl: String): PQ.Codebook =
+    wh.read(tbl).orderBy("m", "code").collect().toSeq
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+}

@@ -2520,8 +2520,134 @@ object LlmQueries extends QueryPack {
                             1, 8), doc_id) AS rn
           FROM documents)
         WHERE rn <= 15
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q126: BPE SEGMENTATION under a FIXED merge table — the
+    // deployment half of the tokenizer (training runs under spec
+    // equality with a sequential reference trainer; segmentation is
+    // pure and replayable, so it goes under the hash gate). Every
+    // word splits to characters (last carrying Sennrich's </w>
+    // marker), then the 10 literal merges apply in rank order, each
+    // as one greedy left-to-right scan-and-splice pass. The whole
+    // query is ONE per-row expression chain: tokens → per-word
+    // fold of applyMerge — no explode, no shuffle, no UDF. The
+    // oracle replays the greedy pass as chained REPLACEs over a
+    // brace-delimited symbol string ('{' and '}' cannot occur in the
+    // corpus alphabet or the marker): REPLACE's non-overlapping
+    // left-to-right sweep IS the greedy splice, and the full
+    // delimiters make a symbol-boundary-crossing match impossible. ----
+    Q("q126_docs_bpe_segment",
+      (s, dir) => {
+        val docs = fan(t(s, dir, "documents"))
+        val toks = TextFunctions.tokens(col("text"))
+        val segs = transform(col("tk"),
+          w => Vocab.bpeSegment(w, bpeFixedMerges))
+        docs.select(col("doc_id"), toks.as("tk"))
+          .withColumn("flat", flatten(segs))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_words"),
+            size(col("flat")).cast("long").as("n_bpe"),
+            concat_ws(" ", col("flat")).as("seg"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val chain = bpeFixedMerges.foldLeft(
+          """array_to_string(list_transform(range(1, len(w) + 1), i ->
+               '{' || substr(w, i, 1) ||
+               CASE WHEN i = len(w) THEN '</w>' ELSE '' END || '}'), '')""") {
+          case (acc, (l, r)) => s"REPLACE($acc, '{$l}{$r}', '{$l$r}')"
+        }
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\\s+')
+                 END AS tk
+          FROM documents),
+        seg AS (
+          SELECT doc_id, tk,
+                 flatten(list_transform(tk, w ->
+                   string_split(substr($chain, 2,
+                     len($chain) - 2), '}{'))) AS flat
+          FROM t)
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(len(flat) AS BIGINT) AS n_bpe,
+               array_to_string(flat, ' ') AS seg
+        FROM seg ORDER BY doc_id"""
+      }),
+
+    // ---- q127: the PERSISTED MinHash index — build on the first
+    // corpus batch, INCREMENTALLY refresh after the second lands
+    // (only the manifest-diff rows get signed; the watermark rides
+    // the index commit), then probe near-dup pairs from the stored
+    // signatures. Cross-batch duplicate pairs prove the increment
+    // composes with the original build: batch-2 copies of batch-1
+    // docs are found without ever re-signing batch 1. At
+    // minJaccard = 1.0 recall is structural (identical shingle sets
+    // ⇒ identical signatures ⇒ same band keys), so the DuckDB oracle
+    // brute-forces equal-shingle-set pairs over the same corpus —
+    // the q32 criterion, now against index tables instead of a
+    // per-run signing pass. ----
+    Q("q127_docs_persisted_index",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q127-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("docs" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("text", StringType))))))
+        wh.bootstrap()
+        val corpus = withExactDups(fan(t(s, dir, "documents")))
+          .select(col("doc_id"), col("text"))
+        wh.append("docs", corpus.where(col("doc_id") % 3 =!= 0))
+        graft.pipeline.IndexStore.refreshMinhash(wh, "docs", "idx",
+          "doc_id", "text", n = 3, numHashes = 64, nParts = 8)
+        wh.append("docs", corpus.where(col("doc_id") % 3 === 0))
+        graft.pipeline.IndexStore.refreshMinhash(wh, "docs", "idx",
+          "doc_id", "text", n = 3, numHashes = 64, nParts = 8)
+        graft.pipeline.IndexStore.minhashProbePairs(wh, "docs", "idx",
+            "doc_id", "text", n = 3, numHashes = 64, numBands = 16,
+            minJaccard = 1.0)
+          .select(col("id1"), col("id2"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""
+        WITH u AS ($dupUnionSql),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM u),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+               round(CAST(n_common AS DOUBLE) /
+                     CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE CAST(n_common AS DOUBLE) /
+              CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 1.0
+        ORDER BY id1, id2"""))
   )
+
+  /** q126's fixed BPE merge table, rank-ordered: literal so an
+    * independent engine can replay segmentation without replaying the
+    * training loop (which [[Vocab.bpeMerges]]' spec gates instead).
+    * Merges 2/4/6 chain on 1/3/5 — rank order is load-bearing.
+    */
+  private def bpeFixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e</w>", "i" -> "n", "in" -> "g</w>",
+    "a" -> "n", "an" -> "d</w>", "e" -> "r", "o" -> "r",
+    "s" -> "t", "t" -> "o</w>")
 
   /** q104's fixed PQ codebook: 4 subspaces × 4 centroids × 16 dims of
     * short-decimal doubles spanning the embeddings' ±0.5 value range.

@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.{NearDup, PQ, Similarity}
+import graft.pipeline.{IndexStore, Warehouse}
+
+/** Persisted, incrementally-maintained index artifacts (IndexStore):
+  * the incremental-refresh == full-rebuild contracts, the probe ==
+  * refit contracts, stale-entry behavior under source DELETE/UPDATE,
+  * the watermark no-op, and PQ codebook round-tripping.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def freshDocsWh(): Warehouse = {
+    val dir = Files.createTempDirectory("graft-idx-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map("docs" -> Warehouse.TableSpec(docSchema)))
+    wh.bootstrap()
+    wh
+  }
+
+  // deterministic toy corpus: every doc id ending in 5 is an exact
+  // duplicate of doc id-5 (which keeps its own text — no chaining)
+  private def docs(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).toDF("doc_id")
+      .withColumn("base",
+        when(col("doc_id") % 10 === 5, col("doc_id") - 5)
+          .otherwise(col("doc_id")))
+      .select(col("doc_id"), concat(lit("alpha beta gamma delta "),
+        col("base"), lit(" epsilon zeta"), lit(" tok"), col("base") % 7)
+        .as("text"))
+
+  test("minhash index: incremental refresh equals full rebuild " +
+      "bit-for-bit; probe equals fresh minhashLshPairs") {
+    val wh = freshDocsWh()
+    wh.append("docs", docs(0, 43))
+    val v1 = IndexStore.refreshMinhash(wh, "docs", "idx_mh", "doc_id",
+      "text", n = 2, numHashes = 16, nParts = 4)
+    assert(IndexStore.indexedVersion(wh, "idx_mh", "docs") === Some(v1))
+    wh.append("docs", docs(43, 70))
+    val v2 = IndexStore.refreshMinhash(wh, "docs", "idx_mh", "doc_id",
+      "text", n = 2, numHashes = 16, nParts = 4)
+    assert(v2 > v1)
+    // incremental signatures == full re-sign of the current corpus
+    val incr = wh.read("idx_mh").select("doc_id", "sig")
+      .as[(Long, Seq[Long])].collect().toMap
+    val full = NearDup.minhashSignatures(wh.read("docs"), "doc_id",
+        "text", n = 2, numHashes = 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(incr === full)
+    // probe from the persisted index == fresh end-to-end LSH run
+    val probe = IndexStore.minhashProbePairs(wh, "docs", "idx_mh",
+        "doc_id", "text", n = 2, numHashes = 16, numBands = 4,
+        minJaccard = 1.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val fresh = NearDup.minhashLshPairs(wh.read("docs"), "doc_id",
+        "text", n = 2, numHashes = 16, numBands = 4, minJaccard = 1.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(probe === fresh)
+    assert(probe.nonEmpty) // the planted dups are found
+    // cross-batch pairs exist: doc 45 (batch 2) duplicates doc 40
+    // (batch 1, signed in the FIRST refresh) — the index finds the
+    // pair without ever re-signing batch 1
+    assert(probe.exists { case (a, b) => a < 43 && b >= 43 })
+  }
+
+  test("minhash index: refresh is a watermark no-op at head; source " +
+      "UPDATE replaces the stale signature; DELETE is probe-harmless " +
+      "and compactIndex reclaims it") {
+    val wh = freshDocsWh()
+    wh.append("docs", docs(0, 30))
+    IndexStore.refreshMinhash(wh, "docs", "idx_mh", "doc_id", "text",
+      n = 2, numHashes = 16, nParts = 4)
+    val nIdxVersions = wh.versions("idx_mh").size
+    // no source change → refresh must not commit anything
+    IndexStore.refreshMinhash(wh, "docs", "idx_mh", "doc_id", "text",
+      n = 2, numHashes = 16, nParts = 4)
+    assert(wh.versions("idx_mh").size === nIdxVersions)
+    // UPDATE rewrites doc 7's text; the refresh must REPLACE its
+    // signature (the rewritten partition reappears in the diff)
+    wh.update("docs", col("doc_id") === 7,
+      Map("text" -> lit("totally different words now")))
+    IndexStore.refreshMinhash(wh, "docs", "idx_mh", "doc_id", "text",
+      n = 2, numHashes = 16, nParts = 4)
+    val sigs = wh.read("idx_mh").where(col("doc_id") === 7)
+      .select("sig").as[Seq[Long]].collect()
+    assert(sigs.length === 1) // replaced, not duplicated
+    val expected = NearDup.minhashSignatures(
+        wh.read("docs").where(col("doc_id") === 7), "doc_id", "text",
+        n = 2, numHashes = 16)
+      .select("_sig").as[Seq[Long]].head()
+    assert(sigs.head === expected)
+    // DELETE doc 10 (an original with a planted dup at 15): the stale
+    // index row must not produce a pair (inner join against live docs
+    // drops it), and compactIndex removes exactly the stale ids
+    wh.delete("docs", col("doc_id") === 10)
+    val probe = IndexStore.minhashProbePairs(wh, "docs", "idx_mh",
+        "doc_id", "text", n = 2, numHashes = 16, numBands = 4,
+        minJaccard = 1.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!probe.exists { case (a, b) => a == 10L || b == 10L })
+    assert(wh.read("idx_mh").where(col("doc_id") === 10).count() === 1L)
+    IndexStore.compactIndex(wh, "docs", "idx_mh", "doc_id")
+    assert(wh.read("idx_mh").where(col("doc_id") === 10).count() === 0L)
+    assert(wh.read("idx_mh").count() === wh.read("docs").count())
+  }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def freshEmbWh(): Warehouse = {
+    val dir = Files.createTempDirectory("graft-idxv-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map("emb" -> Warehouse.TableSpec(embSchema)))
+    wh.bootstrap()
+    wh
+  }
+
+  // deterministic 8-dim embeddings
+  private def embs(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(0), lit(7)), i =>
+        (sin(col("vec_id") * 0.7 + i * 1.3) +
+          cos(col("vec_id") * 0.3 - i)).cast("float")).as("embedding"))
+
+  test("ivf index: incremental assignment under persisted centroids " +
+      "equals full re-assignment; probe-all equals brute force") {
+    val wh = freshEmbWh()
+    wh.append("emb", embs(0, 120))
+    IndexStore.buildIvf(wh, "emb", "idx_ivf", "vec_id", "embedding",
+      nCells = 6, fitFraction = 1.0, nParts = 4)
+    wh.append("emb", embs(120, 200))
+    IndexStore.refreshIvf(wh, "emb", "idx_ivf", "vec_id", "embedding",
+      nParts = 4)
+    // the incrementally-maintained assignments == assigning the whole
+    // corpus from scratch against the SAME persisted centroids: build
+    // a second index over the full corpus reusing the first's centroid
+    // table, then compare
+    val cents = wh.read("idx_ivf_centroids")
+    val wh2 = freshEmbWh()
+    wh2.append("emb", embs(0, 200))
+    wh2.createTable("idx_ivf_centroids",
+      Warehouse.TableSpec(cents.schema), initial = Some(cents))
+    IndexStore.refreshIvf(wh2, "emb", "idx_ivf", "vec_id", "embedding",
+      nParts = 4)
+    val a = wh.read("idx_ivf_vectors").select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val b = wh2.read("idx_ivf_vectors").select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    assert(a === b)
+    assert(a.size === 200)
+    // probe-all invariant: nProbe == nCells scores every pair exactly
+    // once → identical to the exact brute-force baseline
+    val queries = wh.read("emb").where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probed = IndexStore.ivfProbeTopK(wh, "idx_ivf", "vec_id",
+        queries, "qid", "qvec", k = 5, nProbe = 6)
+      .select("qid", "rank", "id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(wh.read("emb"), "vec_id",
+        "embedding", queries, "qid", "qvec", k = 5)
+      .select("qid", "rank", "id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(probed === brute)
+  }
+
+  test("pq codebook round-trips through the warehouse exactly") {
+    val wh = freshEmbWh()
+    wh.append("emb", embs(0, 100))
+    val cb = PQ.fitCodebook(wh.read("emb"), "embedding", m = 2, k = 4,
+      fitFraction = 1.0)
+    IndexStore.saveCodebook(wh, "idx_pq_book", cb)
+    val loaded = IndexStore.loadCodebook(wh, "idx_pq_book")
+    assert(loaded === cb)
+    // ADC top-k under the loaded book == under the fresh book
+    val queries = wh.read("emb").where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fresh = PQ.topK(wh.read("emb"), "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, cb)
+      .select("qid", "rank", "id", "adist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val persisted = PQ.topK(wh.read("emb"), "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, loaded)
+      .select("qid", "rank", "id", "adist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(persisted === fresh)
+  }
+}
