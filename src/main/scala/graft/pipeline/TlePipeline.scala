@@ -88,14 +88,16 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
     * the reference's frame order is epoch order after parse; ties broken
     * by name).
     */
-  def runDimSatellites(records: DataFrame): Long = {
+  def runDimSatellites(records: DataFrame): Long =
+    gatedAppend("dim_satellites", freshDimSatellites(records))
+
+  private def freshDimSatellites(records: DataFrame): DataFrame = {
     val fresh = Dedup.antiJoinNew(
       records, warehouse.read("dim_satellites"), Seq("norad_id"))
-    val unique = Dedup.keepFirst(
+    Dedup.keepFirst(
       fresh.select("norad_id", "sat_name", "intl_designator", "epoch_utc"),
       Seq("norad_id"), Seq(col("epoch_utc"), col("sat_name")))
       .drop("epoch_utc")
-    gatedAppend("dim_satellites", unique)
   }
 
   /** EP2 — telemetry load (`script.py:150-177`): project the 11 fact
@@ -104,7 +106,11 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
     * the filter prunes the build side BEFORE the join, so the state the
     * dedup carries is bounded), chunked append (K4).
     */
-  def runTelemetry(records: DataFrame, now: Timestamp): Long = {
+  def runTelemetry(records: DataFrame, now: Timestamp): Long =
+    gatedAppend("fact_telemetry", freshTelemetry(records, now),
+      cfg.chunkRows)
+
+  private def freshTelemetry(records: DataFrame, now: Timestamp): DataFrame = {
     val fact = records.select(
         "norad_id", "epoch_utc", "fetched_at_utc", "inclination", "raan",
         "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
@@ -126,8 +132,34 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
       .where(col("epoch_date") >= to_date(horizon) &&
         col("epoch_utc") > horizon)
       .select("norad_id", "epoch_utc")
-    val fresh = fact.join(recent, Seq("norad_id", "epoch_utc"), "left_anti")
-    gatedAppend("fact_telemetry", fresh, cfg.chunkRows)
+    fact.join(recent, Seq("norad_id", "epoch_utc"), "left_anti")
+  }
+
+  /** EP1+EP2 published ATOMICALLY ([[Warehouse!.appendAll]]): the dim
+    * upsert and the telemetry load land as one cross-table transaction,
+    * so a crash between them can never leave a referentially-stale
+    * warehouse (satellites without their telemetry batch or vice
+    * versa) — the integrity the reference's per-INSERT Postgres
+    * transactions do NOT give across its two inserts
+    * (`/root/reference/script.py:146-171`); the manifest machinery
+    * makes the stronger contract cheap. Per-table K5 gating is
+    * unchanged: a table whose batch misses `minRows` simply isn't a
+    * transaction member.
+    */
+  private def runSatellitesAtomic(records: DataFrame,
+      now: Timestamp): (Long, Long) = {
+    val dim = freshDimSatellites(records).persist()
+    val fact = freshTelemetry(records, now).persist()
+    try {
+      val nDim = dim.count()
+      val nFact = fact.count()
+      val min = math.max(cfg.minRows, 1)
+      warehouse.appendAll(
+        (if (nDim >= min) Seq(("dim_satellites", dim, 0L)) else Nil) ++
+        (if (nFact >= min) Seq(("fact_telemetry", fact, cfg.chunkRows))
+         else Nil))
+      (if (nDim >= min) nDim else 0L, if (nFact >= min) nFact else 0L)
+    } finally { dim.unpersist(); fact.unpersist(); () }
   }
 
   /** Full run in reference order. `fetchedAt` is the batch constant
@@ -151,9 +183,11 @@ class TlePipeline(spark: SparkSession, cfg: PipelineConfig) {
       val parsed = records.count()
       // "No valid TLE records found" → skip both loads (script.py:132-134)
       if (parsed == 0) PipelineRun(weather, 0, 0, 0)
-      else PipelineRun(weather, parsed,
-        runDimSatellites(records),
-        runTelemetry(records, fetchedAt))
+      else {
+        val (satsNew, telemetryNew) =
+          runSatellitesAtomic(records, fetchedAt)
+        PipelineRun(weather, parsed, satsNew, telemetryNew)
+      }
     } finally { records.unpersist(); () }
   }
 }

@@ -222,8 +222,23 @@ class Warehouse(spark: SparkSession, dir: String,
     else new Path(manifestDir(name), f"v$version%012d.mfd")
   }
 
-  /** All committed manifest versions, ascending (empty = no manifest). */
-  def versions(name: String): Seq[Long] = {
+  /** All CONFIRMED manifest versions, ascending (empty = no manifest).
+    * A version published as a member of a multi-table transaction
+    * ([[appendAll]]) carries `mtxn=<id>` metadata and is visible only
+    * once the transaction's marker file exists — before that it is a
+    * PENDING manifest every read path here skips, so a crash between a
+    * transaction's per-table commits can never surface a partial
+    * publish. Single-table commits carry no `mtxn` and are visible at
+    * manifest-publish time, exactly as before.
+    */
+  def versions(name: String): Seq[Long] =
+    rawVersions(name).filter(isVisible(name, _))
+
+  /** Every manifest version ON DISK, pending members of unconfirmed
+    * transactions included — the maintenance view ([[vacuum]] must see
+    * what it may need to clean; readers use [[versions]]).
+    */
+  private def rawVersions(name: String): Seq[Long] = {
     val fs = fileSystem
     val mdir = manifestDir(name)
     if (!fs.exists(mdir)) return Nil
@@ -231,6 +246,69 @@ class Warehouse(spark: SparkSession, dir: String,
       case ManifestName(v) => Some(v.toLong)
       case _ => None
     }).distinct.sorted
+  }
+
+  // ------------------------------------------------------------------
+  // multi-table transactions
+  // ------------------------------------------------------------------
+
+  /** Marker directory for multi-table transactions: the create-exclusive
+    * publish of `_meta/_txn/<id>` AFTER every member table's manifest is
+    * the cross-table commit point. Markers are tiny (the member list)
+    * and are kept forever — a confirmed version's visibility must never
+    * expire, and one file per [[appendAll]] call is negligible next to
+    * the data it commits.
+    */
+  private def txnDir = new Path(new Path(dir, "_meta"), "_txn")
+
+  private def txnConfirmed(id: String): Boolean =
+    fileSystem.exists(new Path(txnDir, id))
+
+  /** Visible = not a pending member of an unconfirmed transaction. */
+  private def isVisible(name: String, version: Long): Boolean =
+    commitMeta(name, version).get("mtxn").forall(txnConfirmed)
+
+  /** How long a pending transaction manifest may block its version slot
+    * before a conflicting writer (or vacuum) may ABORT it — the lease
+    * that lets the warehouse self-heal after a writer dies between a
+    * transaction's manifest publishes and its marker. Large enough that
+    * a LIVE writer (which publishes its marker milliseconds after the
+    * last manifest) can never be aborted mid-flight; tests shrink it.
+    */
+  private[graft] var txnStaleMs: Long = 10L * 60 * 1000
+
+  /** If `version`'s slot is occupied by a STALE pending transaction
+    * manifest, delete it (abort the dead transaction) and return true.
+    * The abort re-checks the marker after the delete: if the transaction
+    * confirmed inside the check-delete window (a writer stalled past the
+    * lease, then published), the manifest bytes are restored — the
+    * marker, not the manifest, is the commit point, so a confirmed
+    * member must never stay deleted.
+    */
+  private def abortStalePending(name: String, version: Long): Boolean = {
+    val fs = fileSystem
+    val paths = Seq("mf", "mfd")
+      .map(e => new Path(manifestDir(name), f"v$version%012d.$e"))
+      .filter(fs.exists)
+    if (paths.isEmpty) return false
+    commitMeta(name, version).get("mtxn") match {
+      case Some(id) if !txnConfirmed(id) =>
+        val age = System.currentTimeMillis() -
+          paths.map(p => fs.getFileStatus(p).getModificationTime).max
+        if (age < txnStaleMs) false
+        else {
+          val saved = paths.map(p => p -> {
+            val in = fs.open(p)
+            try in.readAllBytes() finally in.close()
+          })
+          paths.foreach(fs.delete(_, false))
+          if (txnConfirmed(id)) { // lost the race: restore, don't abort
+            saved.foreach { case (p, bytes) => publishExclusive(p, bytes) }
+            false
+          } else true
+        }
+      case _ => false
+    }
   }
 
   private def readManifestLines(name: String, p: Path): Seq[String] = {
@@ -799,9 +877,11 @@ class Warehouse(spark: SparkSession, dir: String,
     * files and merely drops borrowed references from the clone's
     * manifest — [[gc]]/vacuum never delete outside-table files, so
     * the source is untouchable from the clone. Compaction localizes a
-    * clone fully. The one operational caveat (Delta's too): the SOURCE
-    * must not vacuum files the clone still references — clones are for
-    * bounded experiments, not long-lived forks of hot tables.
+    * clone fully. The reverse direction is guarded too (stronger than
+    * Delta's documented caveat): source-side [[gc]] and [[vacuum]]
+    * treat files other tables still borrow as live
+    * ([[borrowedFromBy]]), and [[dropTable]] refuses while borrowers
+    * exist — a source rewrite or vacuum can no longer strand a clone.
     *
     * The clone copies src's TableSpec (schema, partitioning, stat and
     * bloom columns, CHECK constraints). Its commit metadata records
@@ -872,6 +952,16 @@ class Warehouse(spark: SparkSession, dir: String,
   def dropTable(name: String, ifExists: Boolean = false): Unit = {
     if (!specsNow.contains(name) && !ifExists)
       throw new IllegalArgumentException(s"dropTable: unknown table $name")
+    // clone guard (same hazard as vacuum's): dropping a table whose
+    // files other tables still borrow would strand every clone at scan
+    // time — fail fast with the borrowers named instead
+    if (specsNow.contains(name)) {
+      val borrowers = borrowedFromBy(name).values.flatten.toSet
+      require(borrowers.isEmpty,
+        s"dropTable $name: table(s) ${borrowers.toSeq.sorted.mkString(", ")} " +
+          "still borrow its files (shallow clones) — drop or compact " +
+          "(localize) the clones first")
+    }
     val fs = fileSystem
     fs.delete(manifestDir(name), true)
     fs.delete(new Path(new Path(dir, "_meta"), s"$name.json"), false)
@@ -1185,6 +1275,10 @@ class Warehouse(spark: SparkSession, dir: String,
       catch {
         case _: Warehouse.CommitConflict if retries < 20 =>
           retries += 1
+          // the blocker may be a DEAD transaction's pending manifest
+          // squatting on the slot (writer crashed between its member
+          // commits and the marker): abort it past the lease and retry
+          abortStalePending(name, attempt._1 + 1)
           attempt = loadLatest(name)
           // the conflicting commit may have been OUR epoch from another
           // attempt of the same query (restart racing a hung writer):
@@ -1195,6 +1289,73 @@ class Warehouse(spark: SparkSession, dir: String,
           }
       }
     }
+  }
+
+  /** MULTI-TABLE ATOMIC APPEND: append a batch to EACH named table such
+    * that a reader observes either ALL the appends or NONE — the
+    * referential-integrity publish the reference's single Postgres
+    * transaction gives EP1's dim+fact pair for free (and its own
+    * script actually lacks across tables, `script.py:146-171`).
+    *
+    * Protocol (the `_txn` marker shape):
+    *   1. stage + move every table's files ([[writeBatch]] per table);
+    *   2. publish each table's manifest normally, carrying
+    *      `mtxn=<uuid>` metadata — these versions are PENDING: every
+    *      read path skips a version whose transaction marker is absent;
+    *   3. publish `_meta/_txn/<uuid>` create-exclusively — the ONE
+    *      atomic operation that flips every member visible at once.
+    *
+    * A crash anywhere before step 3 leaves only pending manifests:
+    * readers see none of the appends, and the dead transaction's slots
+    * are reclaimed by the next conflicting writer or [[vacuum]] after
+    * the [[txnStaleMs]] lease. A crash after step 3 is a complete
+    * publish. Per-table conflicts retry exactly like [[append]] (blind
+    * appends commute).
+    *
+    * @param batches (table, rows, rowsPerFile) — distinct tables
+    */
+  def appendAll(batches: Seq[(String, DataFrame, Long)]): Unit = {
+    require(batches.map(_._1).distinct.size == batches.size,
+      s"appendAll: duplicate tables in ${batches.map(_._1)}")
+    if (batches.isEmpty) return
+    if (batches.size == 1) { // one table needs no cross-table marker
+      val (t, df, rpf) = batches.head
+      return append(t, df, rpf)
+    }
+    batches.foreach { case (t, _, _) =>
+      require(loadLatest(t)._1 > 0L, s"appendAll into $t: not bootstrapped")
+    }
+    batches.foreach { case (t, df, _) => enforceChecks(t, df) }
+    val id = java.util.UUID.randomUUID.toString
+    val staged = batches.map { case (t, df, rpf) =>
+      t -> writeBatch(t, df, rpf)
+    }
+    maybeCrash("after-write")
+    staged.zipWithIndex.foreach { case ((t, fresh), i) =>
+      if (i > 0) maybeCrash("between-manifests")
+      var attempt = loadLatest(t)
+      var done = false
+      var retries = 0
+      while (!done) {
+        try {
+          commit(t, attempt._1 + 1, attempt._2 ++ fresh,
+            Map("op" -> "append", "mtxn" -> id,
+              "numFilesAdded" -> fresh.size.toString))
+          done = true
+        } catch {
+          case _: Warehouse.CommitConflict if retries < 20 =>
+            retries += 1
+            abortStalePending(t, attempt._1 + 1)
+            attempt = loadLatest(t)
+        }
+      }
+    }
+    maybeCrash("before-marker")
+    val body = staged.map { case (t, fresh) =>
+      s"$t\t${fresh.size}" }.mkString("\n")
+    require(publishExclusive(new Path(txnDir, id),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      s"appendAll: transaction marker $id already exists")
   }
 
   /** MERGE upsert (copy-on-write): rows of `updates` REPLACE existing
@@ -1440,6 +1601,7 @@ class Warehouse(spark: SparkSession, dir: String,
       } catch {
         case e: Warehouse.CommitConflict if retries < 20 =>
           retries += 1
+          abortStalePending(name, attempt._1 + 1) // dead-txn squatter
           val head = loadLatest(name)
           val headSet = head._2.map(_.rel).toSet
           val lastSet = attempt._2.map(_.rel).toSet
@@ -1484,12 +1646,22 @@ class Warehouse(spark: SparkSession, dir: String,
   private def gc(name: String, replaced: Seq[FileEntry]): Unit = {
     val fs = fileSystem
     val bloomCols = specsNow(name).bloomColumns
+    // Clone guard, eager-GC side: a merge/delete/compact on a SOURCE
+    // table replaces files a shallow clone may still borrow — deleting
+    // them here would strand the clone exactly like a vacuum would.
+    // Borrowed-by files stay on disk (dropped from this manifest, so
+    // invisible here); once the last borrower localizes or drops, they
+    // are plain orphans the next vacuum collects. Cost: a few manifest
+    // reads over the warehouse's other tables, trivial next to the
+    // rewrite that preceded this call.
+    val lent = borrowedFromBy(name).keySet
     // BORROWED entries (absolute rel = a shallow clone referencing the
     // source table's files) are never deleted: the clone only ever
     // owns references, the source owns the bytes. A rewrite just drops
     // them from the clone's manifest. (Vacuum is safe structurally —
     // it lists only this table's directory.)
-    replaced.filterNot(e => new Path(e.rel).isAbsolute).foreach { e =>
+    replaced.filterNot(e =>
+      new Path(e.rel).isAbsolute || lent(e.rel)).foreach { e =>
       try { fs.delete(new Path(path(name), e.rel), false); () }
       catch { case _: java.io.IOException => () }
       bloomCols.foreach { c =>
@@ -1900,10 +2072,27 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   def vacuum(name: String, keepManifests: Int = 2): Long = {
     val fs = fileSystem
-    val vs = versions(name)
-    if (vs.isEmpty) return 0L
-    val kept = vs.takeRight(math.max(keepManifests, 1))
-    val live = kept.flatMap(loadAt(name, _)).map(_.rel).toSet
+    val all = rawVersions(name)
+    if (all.isEmpty) return 0L
+    // Pending members of unconfirmed multi-table transactions: STALE
+    // ones are a dead writer's leftovers (crashed between its member
+    // commits and the marker) — aborting deletes their manifests so
+    // their files become collectable orphans below; FRESH ones may yet
+    // confirm, so their manifests and files both survive this vacuum.
+    val pendingLive = all.filterNot(isVisible(name, _))
+      .filterNot(abortStalePending(name, _))
+    val confirmed = all.filter(isVisible(name, _))
+    val keptConfirmed = confirmed.takeRight(math.max(keepManifests, 1))
+    val kept = (keptConfirmed ++ pendingLive).distinct.sorted
+    if (kept.isEmpty) return 0L
+    // CLONE GUARD: other tables of this warehouse may be SHALLOW CLONES
+    // whose manifests borrow this table's files by absolute reference —
+    // those files are live no matter what THIS table's retention says
+    // (vacuuming them would strand every clone at scan time, the Delta
+    // caveat this guard closes). Protection scans the other tables'
+    // retained manifests, bounded by their own vacuum retention.
+    val live = kept.flatMap(loadAt(name, _)).map(_.rel).toSet ++
+      borrowedFromBy(name).keySet
     var n = 0L
     FsListing.dataFiles(path(name)).foreach { case (rel, _) =>
       if (!live(rel) && fs.delete(new Path(path(name), rel), false)) n += 1
@@ -1927,7 +2116,7 @@ class Warehouse(spark: SparkSession, dir: String,
     // `.mf`, so the materialized file takes over and the `.mfd` is
     // dropped). Entries are reconstructible HERE because the ancestors
     // still exist; deletion happens strictly after.
-    val oldestKept = kept.head
+    val oldestKept = kept.min
     val fullPath = new Path(manifestDir(name), f"v$oldestKept%012d.mf")
     if (!fs.exists(fullPath)) {
       val entries = loadAt(name, oldestKept)
@@ -1944,11 +2133,38 @@ class Warehouse(spark: SparkSession, dir: String,
         }).mkString("\n"), allowSibling = true)
       fs.delete(new Path(manifestDir(name), f"v$oldestKept%012d.mfd"), false)
     }
-    vs.dropRight(math.max(keepManifests, 1)).foreach { mv =>
+    all.filter(_ < oldestKept).foreach { mv =>
       fs.delete(new Path(manifestDir(name), f"v$mv%012d.mf"), false)
       fs.delete(new Path(manifestDir(name), f"v$mv%012d.mfd"), false)
     }
     n
+  }
+
+  /** rel (in THIS table's tree) → borrowing tables: every file of
+    * `name` that another table's retained manifests reference by
+    * ABSOLUTE path — shallow clones of `name` (and clones of those
+    * clones; all tables are scanned, so transitivity is free). These
+    * files are live regardless of `name`'s own retention: [[vacuum]]
+    * unions them into its live set, and `DESCRIBE DETAIL` surfaces the
+    * count, so "source vacuumed past a clone" can no longer strand the
+    * clone. Unreconstructible historic versions of a borrowing table
+    * (its own vacuum already trimmed their ancestors) are skipped —
+    * they are unreadable there too, so they pin nothing.
+    */
+  private[graft] def borrowedFromBy(name: String): Map[String, Set[String]] = {
+    val prefix = path(name) + "/"
+    val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+    specsNow.keys.filterNot(_ == name).foreach { t =>
+      rawVersions(t).foreach { v =>
+        scala.util.Try(loadAt(t, v)).toOption.toSeq.flatten.foreach { e =>
+          if (new Path(e.rel).isAbsolute && e.rel.startsWith(prefix)) {
+            val rel = e.rel.stripPrefix(prefix)
+            acc(rel) = acc.getOrElse(rel, Set.empty) + t
+          }
+        }
+      }
+    }
+    acc.toMap
   }
 }
 

@@ -240,8 +240,15 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
 
 /** `DESCRIBE DETAIL wh_t` (the Delta statement): one row of table
   * metadata — current version, live file count/bytes straight from the
-  * manifest (no filesystem listing), and the declared layout
-  * (partitioning, stat/bloom columns, CHECK constraints).
+  * manifest (no filesystem listing), the declared layout (partitioning,
+  * stat/bloom columns, CHECK constraints), and CLONE PROVENANCE:
+  * `source_table`/`source_version` from the table's v1 clone commit
+  * (null for non-clones), `borrowed_files` = entries of the CURRENT
+  * manifest still referencing another table's files by absolute path
+  * (0 once a clone is fully localized by compaction), and
+  * `borrowed_by` = files of THIS table that other tables' retained
+  * manifests still borrow (the clone-guard view: vacuum keeps exactly
+  * these alive, and dropTable refuses while any exist).
   */
 case class GraftDetailCommand(wh: Warehouse, table: String)
     extends LeafRunnableCommand {
@@ -253,15 +260,61 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     AttributeReference("partition_columns", StringType)(),
     AttributeReference("stat_columns", StringType)(),
     AttributeReference("bloom_columns", StringType)(),
-    AttributeReference("checks", StringType)())
+    AttributeReference("checks", StringType)(),
+    AttributeReference("source_table", StringType)(),
+    AttributeReference("source_version", LongType)(),
+    AttributeReference("borrowed_files", LongType, nullable = false)(),
+    AttributeReference("borrowed_by", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, entries) = wh.loadLatest(table)
     val spec = wh.tableSpec(table)
+    val v1 = wh.history(table).headOption.map(_._2).getOrElse(Map.empty)
+    val (srcTable, srcVersion) =
+      if (v1.get("op").contains("clone"))
+        (v1.get("sourceTable").orNull,
+          v1.get("sourceVersion").map(_.toLong))
+      else (null, None)
+    val borrowed = entries.count(e =>
+      new org.apache.hadoop.fs.Path(e.rel).isAbsolute)
     Seq(Row(table, v, entries.size.toLong, entries.map(_.bytes).sum,
       spec.partitionBy.mkString(","), spec.statColumns.mkString(","),
       spec.bloomColumns.mkString(","),
       spec.checks.toSeq.sortBy(_._1)
-        .map { case (n, e) => s"$n: $e" }.mkString("; ")))
+        .map { case (n, e) => s"$n: $e" }.mkString("; "),
+      srcTable, srcVersion.getOrElse(null),
+      borrowed.toLong, wh.borrowedFromBy(table).size.toLong))
+  }
+}
+
+/** `SHOW CREATE TABLE wh_t`: one `createtab_stmt` string that RE-CREATES
+  * the table's full spec when replayed — a `CREATE TABLE` carrying the
+  * schema, PARTITIONED BY, STATS BY, and BLOOM BY [ITEMS/FPP] clauses,
+  * followed by one `ALTER TABLE ... ADD CONSTRAINT` per CHECK (";"-
+  * separated). Everything derives from the live `_meta/` spec, so the
+  * statement is always current (schema evolution and constraint DDL
+  * included).
+  */
+case class GraftShowCreateCommand(wh: Warehouse, table: String,
+    sqlName: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val spec = wh.tableSpec(table)
+    val cols = spec.schema.fields
+      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val clauses = Seq(
+      if (spec.partitionBy.isEmpty) ""
+      else s" PARTITIONED BY (${spec.partitionBy.mkString(", ")})",
+      if (spec.statColumns.isEmpty) ""
+      else s" STATS BY (${spec.statColumns.mkString(", ")})",
+      if (spec.bloomColumns.isEmpty) ""
+      else s" BLOOM BY (${spec.bloomColumns.mkString(", ")})" +
+        s" ITEMS ${spec.bloomExpectedItems} FPP ${spec.bloomFpp}"
+    ).mkString
+    val create = s"CREATE TABLE $sqlName (\n$cols\n)$clauses"
+    val alters = spec.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"ALTER TABLE $sqlName ADD CONSTRAINT $n CHECK ($e)" }
+    Seq(Row((create +: alters).mkString(";\n")))
   }
 }
 

@@ -46,6 +46,9 @@ import graft.pipeline.Warehouse
   *     → [[Warehouse!.shallowClone]] (zero-copy fork by reference)
   *   - `DROP TABLE [IF EXISTS] wh_t` (registered names only)
   *     → [[Warehouse!.dropTable]] + route removal
+  *   - `SHOW CREATE TABLE wh_t` → round-trippable DDL from the live
+  *     `_meta/` spec (CREATE + PARTITIONED/STATS/BLOOM BY clauses,
+  *     plus one ALTER ... ADD CONSTRAINT per CHECK)
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -249,6 +252,8 @@ object WarehouseSql {
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val DropTableStmt =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  private val ShowCreateStmt =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -282,6 +287,9 @@ object WarehouseSql {
     case DescribeDetailStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftDetailCommand(wh, t) }
+    case ShowCreateStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftShowCreateCommand(wh, t, name.toLowerCase) }
     case ShowTablesStmt() => Some(GraftShowTablesCommand())
     case AddColumnStmt(name, colName, colType) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
@@ -353,14 +361,28 @@ object WarehouseSql {
         if (depth != 0) fail("unbalanced parentheses in column list")
         val colsDdl = rest.substring(0, i - 1)
         val tail = rest.substring(i)
+        // STATS BY / BLOOM BY are the engine's layout clauses (manifest
+        // footer-stat columns, bloom sidecar columns) — the additions
+        // that make SHOW CREATE TABLE round-trip the FULL TableSpec,
+        // not just schema + partitioning
         val TailRe =
-          """(?is)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
-        val partitionBy = tail match {
-          case TailRe(p) => Option(p).toSeq.flatMap(_.split(",").toSeq)
-            .map(_.trim).filter(_.nonEmpty)
-          case _ => fail(s"unsupported clause after column list: '$tail' " +
-            "(only PARTITIONED BY (...) is supported)")
-        }
+          ("""(?is)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+            """\s*(?:STATS\s+BY\s*\(([^)]*)\))?""" +
+            """\s*(?:BLOOM\s+BY\s*\(([^)]*)\)""" +
+            """(?:\s+ITEMS\s+(\d+))?(?:\s+FPP\s+([\d.eE+-]+))?)?""" +
+            """\s*;?\s*""").r
+        def cols(s: String): Seq[String] = Option(s).toSeq
+          .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+        val (partitionBy, statsBy, bloomBy, bloomItems, bloomFpp) =
+          tail match {
+            case TailRe(p, s, b, items, fpp) =>
+              (cols(p), cols(s), cols(b),
+                Option(items).map(_.toLong),
+                Option(fpp).map(_.toDouble))
+            case _ => fail(s"unsupported clause after column list: " +
+              s"'$tail' (supported: PARTITIONED BY (...), STATS BY " +
+              "(...), BLOOM BY (...) [ITEMS n] [FPP x])")
+          }
         // split column defs on top-level commas only
         val items = {
           val out = Seq.newBuilder[String]
@@ -390,7 +412,10 @@ object WarehouseSql {
           try org.apache.spark.sql.types.StructType.fromDDL(colDefs.mkString(", "))
           catch { case e: Exception => fail(s"cannot parse columns: ${e.getMessage}") }
         GraftCreateTableCommand(wh, name.drop(prefix.length),
-          Warehouse.TableSpec(schema, partitionBy = partitionBy),
+          Warehouse.TableSpec(schema, partitionBy = partitionBy,
+            statColumns = statsBy, bloomColumns = bloomBy,
+            bloomExpectedItems = bloomItems.getOrElse(1000000L),
+            bloomFpp = bloomFpp.getOrElse(0.03)),
           ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
       }
     case _ => None

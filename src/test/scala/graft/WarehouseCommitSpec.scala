@@ -128,16 +128,18 @@ class WarehouseCommitSpec extends SparkSpec {
     // unknown drop: fail fast unless ifExists
     intercept[IllegalArgumentException] { wh.dropTable("gone_t") }
     wh.dropTable("gone_t", ifExists = true) // no-op
-    // the documented caveat: dropping a SOURCE breaks clones that
-    // still reference it — readVersion's retention check names it,
-    // and a plain read fails at scan time rather than silently
-    // returning partial data
+    // the r7 caveat, now CLOSED: dropping a SOURCE while a clone still
+    // borrows its files refuses fast with the borrower named — the
+    // clone-guard contract (see WarehouseTxnSpec for the vacuum/gc
+    // sides); dropping the clone first unblocks the source drop
     wh.shallowClone("fact_telemetry", "orphan_t")
-    wh.dropTable("fact_telemetry")
-    intercept[IllegalArgumentException] {
-      wh.readVersion("orphan_t", 1L).count()
+    val err = intercept[IllegalArgumentException] {
+      wh.dropTable("fact_telemetry")
     }
-    intercept[Exception] { wh.read("orphan_t").count() }
+    assert(err.getMessage.contains("orphan_t"))
+    wh.dropTable("orphan_t")
+    wh.dropTable("fact_telemetry")
+    assert(!wh.tables.contains("fact_telemetry"))
   }
 
   test("dropTable IF EXISTS re-run cleans an orphaned data directory " +
