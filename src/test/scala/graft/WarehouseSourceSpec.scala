@@ -318,4 +318,61 @@ class WarehouseSourceSpec extends SparkSpec {
     assert(emitted(2) === ((2L, 100)))  // same-partition survivor re-emitted
     assert(emitted(3) === ((1L, 100)))  // untouched partition: once only
   }
+
+  test("stream-stream join of two warehouse sources: fact-enrichment " +
+      "across checkpointed restarts equals the batch join of final states") {
+    val root = Files.createTempDirectory("graft-whstream-j-").toString
+    val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
+    val wh = new Warehouse(spark, whDir)
+    wh.bootstrap()
+    // batch 1: dims for sats 1,2 — facts for sats 1,2,3 (3 is EARLY:
+    // its dim arrives in batch 2, so the join must hold its fact rows
+    // in state and emit them when the dim lands)
+    wh.append("dim_satellites",
+      Seq((1, "SAT-1", "2026-001"), (2, "SAT-2", "2026-002"))
+        .toDF("norad_id", "sat_name", "intl_designator"))
+    wh.append("fact_telemetry", mkRows(1, Seq(1, 2, 3)))
+
+    def enriched() = {
+      val facts = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "fact_telemetry").load()
+        .select("norad_id", "epoch_utc", "rev_number")
+      val dims = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "dim_satellites").load()
+        .select("norad_id", "sat_name")
+      facts.join(dims, Seq("norad_id")) // stream-stream INNER equi-join
+    }
+    def drainJoin(): Unit = {
+      val q = enriched().writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainJoin()
+    // sat 3's fact has no dim yet: only 1,2 enriched so far
+    assert(spark.read.parquet(sink).select($"norad_id")
+      .as[Int].collect().sorted.toSeq === Seq(1, 2))
+
+    // batch 2: the late dim for 3, plus a new fact for 1 — the restart
+    // resumes BOTH sources and the join state from the checkpoint
+    wh.append("dim_satellites",
+      Seq((3, "SAT-3", "2026-003"))
+        .toDF("norad_id", "sat_name", "intl_designator"))
+    wh.append("fact_telemetry", mkRows(2, Seq(1)))
+    drainJoin()
+
+    val streamed = spark.read.parquet(sink)
+      .select($"norad_id", $"epoch_utc", $"rev_number", $"sat_name")
+      .as[(Int, Timestamp, Int, String)].collect()
+    val batch = wh.read("fact_telemetry")
+      .select("norad_id", "epoch_utc", "rev_number")
+      .join(wh.read("dim_satellites").select("norad_id", "sat_name"),
+        Seq("norad_id"))
+      .as[(Int, Timestamp, Int, String)].collect()
+    // exactly the batch join of the FINAL states — the held-back sat-3
+    // fact emitted once its dim arrived, nothing duplicated across the
+    // restart, nothing dropped
+    assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+    assert(streamed.length === 4) // 3 facts day1 + 1 fact day2, all dims
+  }
 }
