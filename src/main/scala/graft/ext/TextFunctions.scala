@@ -21,16 +21,30 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Consecutive token n-grams ("shingles") — the unit of near-dup
-    * comparison. 1-based `element_at`, distinct-ified by callers.
+    * comparison. Distinct-ified by callers.
+    *
+    * Built as a `zip_with` CHAIN over shifted slices of the token
+    * array, NOT as `transform(sequence(...), i => element_at(t, i+o))`:
+    * a higher-order lambda does not share its captured subtree, so the
+    * element_at form re-evaluated the whole `split(lower(trim(text)))`
+    * for EVERY element of every shingle — O(n·|shingles|) full regex
+    * splits per document, the silently dominant CPU cost of every
+    * shingle consumer (near-dup pairs, MinHash signing, decontam) at
+    * any scale. The chain form evaluates the split O(n) times PER ROW.
+    * Step o zips the (o+1)-gram prefix with the o-shifted token slice;
+    * `concat_ws` skips the null padding zip_with adds past the shorter
+    * slice, and the final `slice(…, 1, cnt)` drops those partial
+    * trailing grams — output identical to the old form, including the
+    * explicit zero-shingle guard for docs shorter than n tokens.
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
     val cnt = size(t) - (n - 1)
-    // guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] —
-    // docs shorter than n tokens must produce zero shingles explicitly
-    when(cnt >= 1,
-      transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+    val grams = (1 until n).foldLeft(t) { (acc, o) =>
+      zip_with(acc, slice(t, lit(o + 1), size(t) - o),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    when(cnt >= 1, slice(grams, lit(1), cnt))
       .otherwise(array().cast("array<string>"))
   }
 

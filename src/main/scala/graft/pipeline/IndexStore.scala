@@ -89,7 +89,14 @@ object IndexStore {
       case Some(v) => wh.readChanges(src, v)
       case None => wh.read(src)
     }
-    wh.merge(idx, derive(changed), Seq(idCol),
+    // materialize the derived batch ONCE: merge evaluates its updates
+    // plan three times (touched-partition collect, the anti-join build
+    // side, the union arm), and the signature/assignment derivations
+    // are the expensive part of a refresh — re-deriving per consumer
+    // tripled the refresh cost. Derived rows are small (id + signature/
+    // cell), so the checkpoint is bytes-bounded by the batch.
+    val derived = derive(changed).localCheckpoint()
+    wh.merge(idx, derived, Seq(idCol),
       txn = Some((txnId(src), head)))
     head
   }

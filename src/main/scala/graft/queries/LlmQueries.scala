@@ -2636,7 +2636,198 @@ object LlmQueries extends QueryPack {
         JOIN sizes s2 ON s2.doc_id = id2
         WHERE CAST(n_common AS DOUBLE) /
               CAST(s1.sz + s2.sz - n_common AS DOUBLE) >= 1.0
-        ORDER BY id1, id2"""))
+        ORDER BY id1, id2""")),
+
+    // ---- q128: the DEDUP LADDER end-to-end — the chain a real corpus
+    // runs as ONE pipeline, each rung over the previous rung's
+    // survivors, with the MinHash rung probing PERSISTED signatures
+    // (built incrementally over two appends, the q127 state handoff):
+    //   rung 1  byte-exact      min-id per raw text (md5 shuffle key)
+    //   rung 2  shingle-exact   persisted-index LSH probe at j = 1.0 —
+    //           catches normalization variants (whitespace doubling)
+    //           byte-equality misses; recall is STRUCTURAL at 1.0
+    //           (equal shingle sets ⇒ equal signatures ⇒ same bands)
+    //   rung 3  near-dup        inverted-index Jaccard ≥ 0.6 pairs →
+    //           transitive clusters → quality-argmax canonical
+    // Output: EVERY corpus doc with its fate ('exact'/'shingle'/
+    // 'near'/'kept') and the id it resolved to at its killing rung —
+    // the full curation audit trail, deterministic in both engines.
+    // Scale: one md5 shuffle + the q127 index probe + the q31/q54
+    // bucketed machinery — no new shuffle class, no all-pairs scan;
+    // each rung shrinks the next rung's input. ----
+    Q("q128_docs_dedup_ladder",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val docs = fan(t(s, dir, "documents")).select("doc_id", "text")
+        val corpus = docs
+          .unionByName(docs.where(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+          .unionByName(docs.where(col("doc_id") % 15 === 0)
+            .withColumn("doc_id", col("doc_id") + 2000000L)
+            .withColumn("text", expr("replace(text, ' ', '  ')")))
+          .unionByName(docs.where(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 3000000L)
+            .withColumn("text", concat(col("text"), lit(" zq zq"))))
+          .unionByName(docs.where(col("doc_id") % 40 === 0)
+            .withColumn("doc_id", col("doc_id") + 4000000L)
+            .withColumn("text", concat(col("text"), lit(" zq zq zq zq"))))
+        // rung 1: byte-exact keep-min-id; the window partitions by
+        // md5(text) so the shuffle key is 16 bytes, not the document
+        val w1 = Window.partitionBy(md5(col("text")))
+        val r1 = corpus.withColumn("exact_ref", min("doc_id").over(w1))
+        val exactLosers = r1.where(col("doc_id") =!= col("exact_ref"))
+          .select(col("doc_id"), lit("exact").as("fate"),
+            col("exact_ref").as("ref_id"))
+        // each rung's survivor set feeds MANY consumers (two warehouse
+        // appends, the probe's anti-join, the pair join, the cluster
+        // loop) — materialize once so the corpus union + window don't
+        // replay per consumer
+        val s1 = r1.where(col("doc_id") === col("exact_ref"))
+          .select("doc_id", "text").localCheckpoint()
+        // rung 2: survivors land in a warehouse in two batches; the
+        // signature index refreshes incrementally (batch 2 never
+        // re-signs batch 1) and the probe reads STORED signatures
+        val whDir = graft.util.Scratch.dir("graft-q128-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("docs" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("text", StringType))))))
+        wh.bootstrap()
+        wh.append("docs", s1.where(col("doc_id") % 3 =!= 0))
+        graft.pipeline.IndexStore.refreshMinhash(wh, "docs", "idx",
+          "doc_id", "text", n = 3, numHashes = 64, nParts = 8)
+        wh.append("docs", s1.where(col("doc_id") % 3 === 0))
+        graft.pipeline.IndexStore.refreshMinhash(wh, "docs", "idx",
+          "doc_id", "text", n = 3, numHashes = 64, nParts = 8)
+        val pairs2 = graft.pipeline.IndexStore.minhashProbePairs(wh,
+          "docs", "idx", "doc_id", "text", n = 3, numHashes = 64,
+          numBands = 16, minJaccard = 1.0).localCheckpoint()
+        // shingle-equality is transitive and banding recall at 1.0 is
+        // total, so each equivalence class is a complete pair graph:
+        // min(id1) per id2 IS the class minimum
+        val shingleLosers = pairs2.groupBy(col("id2").as("doc_id"))
+          .agg(min("id1").as("ref_id"))
+          .select(col("doc_id"), lit("shingle").as("fate"), col("ref_id"))
+        val s2 = s1.join(pairs2.select(col("id2").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        // rung 3: lossless inverted-index pairs, transitive clusters,
+        // per-cluster quality argmax (the q122 canonical rule)
+        val pairs3 = NearDup.jaccardPairs(s2, "doc_id", "text",
+          n = 3, minJaccard = 0.6)
+        val best = NearDup.keepBest(s2, "doc_id", pairs3,
+          TextFunctions.qualityScore(col("text")))
+        val winners = best.where(col("is_kept"))
+          .select(col("cluster_id"), col("doc_id").as("_win"))
+        val resolved = best.join(winners, "cluster_id")
+          .select(col("doc_id"),
+            when(col("is_kept"), lit("kept")).otherwise(lit("near"))
+              .as("fate"),
+            col("_win").as("ref_id"))
+        exactLosers.unionByName(shingleLosers).unionByName(resolved)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, replace(text, ' ', '  ')
+          FROM documents WHERE doc_id % 15 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' zq zq'
+          FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 4000000, text || ' zq zq zq zq'
+          FROM documents WHERE doc_id % 40 = 0),
+        r1 AS (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY text) AS exact_ref
+          FROM u),
+        s1 AS (SELECT doc_id, text FROM r1 WHERE doc_id = exact_ref),
+        toks1 AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM s1),
+        post1 AS (
+          SELECT DISTINCT doc_id, sh FROM toks1,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        skey AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list(DISTINCT sh)), chr(1)) AS k
+          FROM post1 GROUP BY doc_id),
+        r2 AS (
+          SELECT s1.doc_id,
+                 min(s1.doc_id) OVER (PARTITION BY skey.k) AS sh_ref
+          FROM s1 JOIN skey USING (doc_id)),
+        s2 AS (
+          SELECT s1.doc_id, s1.text
+          FROM s1 LEFT JOIN r2 USING (doc_id)
+          WHERE r2.sh_ref IS NULL OR r2.sh_ref = s1.doc_id),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM s2),
+        post AS (
+          SELECT DISTINCT doc_id, sh FROM toks,
+          UNNEST(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t(sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id1, id2
+          FROM inter
+          JOIN sizes z1 ON z1.doc_id = id1
+          JOIN sizes z2 ON z2.doc_id = id2
+          WHERE CAST(n_common AS DOUBLE) /
+                CAST(z1.sz + z2.sz - n_common AS DOUBLE) >= 0.6),
+        edges AS (
+          SELECT id1 AS s, id2 AS d FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM s2
+          UNION
+          SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s),
+        comp AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        scored AS (
+          SELECT s2.doc_id, comp.cluster_id,
+            round(0.4 * least(CAST(length(trim(text)) AS DOUBLE) / 500.0, 1.0)
+                + 0.4 * CAST(length(regexp_replace(lower(trim(text)),
+                                                   '[^a-z]', '', 'g')) AS DOUBLE)
+                      / greatest(CAST(length(trim(text)) AS DOUBLE), 1.0)
+                + 0.2 * (CASE WHEN CAST(length(trim(text)) AS DOUBLE)
+                              / greatest(CAST(len(CASE
+                                  WHEN trim(text) = ''
+                                  THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split_regex(lower(trim(text)),
+                                                          '\\s+')
+                                END) AS DOUBLE), 1.0)
+                              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END),
+                  6) AS quality
+          FROM s2 JOIN comp USING (doc_id)),
+        win AS (
+          SELECT cluster_id, doc_id AS win_id
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY quality DESC, doc_id) = 1)
+        SELECT doc_id, fate, ref_id FROM (
+          SELECT doc_id, 'exact' AS fate, exact_ref AS ref_id
+          FROM r1 WHERE doc_id <> exact_ref
+          UNION ALL
+          SELECT doc_id, 'shingle', sh_ref FROM r2 WHERE doc_id <> sh_ref
+          UNION ALL
+          SELECT sc.doc_id,
+                 CASE WHEN sc.doc_id = w.win_id THEN 'kept' ELSE 'near' END,
+                 w.win_id
+          FROM scored sc JOIN win w USING (cluster_id))
+        ORDER BY doc_id"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
