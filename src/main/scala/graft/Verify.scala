@@ -14,7 +14,13 @@ object Verify {
     GraftExtensions.register(spark) // in case getOrCreate hit a cached session
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q129_..,q130_.. restricts the dump — builder-side
+    // iteration on one query; the driver never sets it (Bench convention)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // coalesce(1) is ORACLE-DUMP-ONLY: this entry point runs at sf0.01
       // where every result is small, and one part file keeps the driver's
       // reader trivial. Production writes (Warehouse/JdbcSink/Bench's

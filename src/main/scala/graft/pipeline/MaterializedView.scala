@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Incremental MATERIALIZED-AGGREGATE maintenance over the warehouse
   * change feed — the consumer-side contract [[Warehouse.readChangeFeed]]
@@ -24,6 +25,36 @@ import org.apache.spark.sql.functions._
   * |groups| rows. The maintained state never rescans the table — at
   * 100 TB that is the difference between a view refresh costing
   * O(changed partitions) and O(table).
+  *
+  * Two layers live here:
+  *   - [[initAgg]]/[[foldAgg]]: the RAW fold primitive over a caller-held
+  *     state frame (q107's oracle-gated shape);
+  *   - [[ViewDef]]/[[refresh]]/[[read]]: the PERSISTED VIEW lifecycle —
+  *     the aggregate sibling of [[IndexStore]]. State lives as an
+  *     ordinary warehouse table of mergeable partials (row count,
+  *     per-agg sum + non-null count, min/max), inheriting manifests,
+  *     atomic commits, time travel and the change feed; each view commit
+  *     records `txn_graft_mv_<src> = <source version>` on the
+  *     txn-watermark ledger atomically with the rows, so refresh is
+  *     crash-safe and re-runs are watermark no-ops. A refresh costs one
+  *     partial-aggregate over the manifest diff plus a keyed merge into
+  *     the (groups-sized, not corpus-sized) state table; the full
+  *     `GROUP BY` scan happens once at build time. Min/max are
+  *     maintained under insert-safe histories and trigger an automatic
+  *     FULL REBUILD when a retracting commit could have evicted an
+  *     extremum — the honest fallback for non-invertible aggregates.
+  *
+  * Contracts for the persisted layer: group columns must be NON-NULL
+  * ([[Warehouse!.merge]]'s anti-join is null-hostile — coalesce
+  * upstream, the standard MV restriction); a group whose row count
+  * folds to zero stays as a tombstone row (filtered by [[read]]) until
+  * [[compactView]] reclaims it. The state table is hash-partitioned on
+  * the group key (a pure function of the merge key, as merge requires),
+  * so a refresh rewrites only the partitions its changed groups live in.
+  *
+  * Reference scope: the reference recomputes its summary frames per run
+  * (`/root/reference/script.py` derives everything from full re-reads);
+  * this is the warehouse-side generalization.
   */
 object MaterializedView {
 
@@ -54,4 +85,236 @@ object MaterializedView {
         sum(col("total")).as("total"))
       .where(col("n_rows") > 0)
   }
+
+
+  // ------------------------------------------------------------------
+  // PERSISTED, INCREMENTALLY-REFRESHED VIEWS (warehouse-table state)
+  // ------------------------------------------------------------------
+
+  /** Aggregate algebra. `out` is the view's output column name. */
+  sealed trait Agg { def out: String }
+  /** `count(*) AS out`. */
+  final case class Count(out: String) extends Agg
+  /** `sum(in) AS out` — null when the group has no non-null `in`. */
+  final case class Sum(in: String, out: String) extends Agg
+  /** `avg(in) AS out` (double) — null when no non-null `in`. */
+  final case class Avg(in: String, out: String) extends Agg
+  /** `min(in) AS out` — forces rebuild on retracting commits. */
+  final case class Min(in: String, out: String) extends Agg
+  /** `max(in) AS out` — forces rebuild on retracting commits. */
+  final case class Max(in: String, out: String) extends Agg
+
+  /** A view definition: `view` materializes
+    * `src GROUP BY groupBy` with `aggs`, state hash-spread over
+    * `nParts` partitions.
+    */
+  final case class ViewDef(src: String, view: String,
+      groupBy: Seq[String], aggs: Seq[Agg], nParts: Int = 16) {
+    require(groupBy.nonEmpty, "MatView: groupBy must be non-empty")
+    require(aggs.nonEmpty, "MatView: aggs must be non-empty")
+    require(aggs.map(_.out).distinct.size == aggs.size,
+      "MatView: duplicate output column names")
+    private[MaterializedView] def hasOrderAggs: Boolean = aggs.exists {
+      case _: Min | _: Max => true
+      case _ => false
+    }
+  }
+
+  private def txnId(src: String) = s"graft_mv_$src"
+
+  /** The source version `view` currently reflects (None = never built). */
+  def viewedVersion(wh: Warehouse, vd: ViewDef): Option[Long] =
+    wh.history(vd.view).lastOption
+      .flatMap(_._2.get(s"txn_${txnId(vd.src)}")).map(_.toLong)
+
+  /** Row-count state column — always maintained (tombstone filter +
+    * `Count` share it).
+    */
+  private val nRows = "s_rows"
+
+  private def sumIsLong(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** (state column name, type) pairs an agg needs, beyond [[nRows]]. */
+  private def stateCols(vd: ViewDef, srcSchema: StructType): Seq[StructField] =
+    vd.aggs.flatMap {
+      case Count(_) => Nil
+      case Sum(in, out) =>
+        val lt = if (sumIsLong(srcSchema(in).dataType)) LongType
+                 else DoubleType
+        Seq(StructField(s"s_sum_$out", lt), StructField(s"s_n_$out", LongType))
+      case Avg(in, out) =>
+        Seq(StructField(s"s_sum_$out", DoubleType),
+          StructField(s"s_n_$out", LongType))
+      case Min(in, out) => Seq(StructField(s"s_min_$out", srcSchema(in).dataType))
+      case Max(in, out) => Seq(StructField(s"s_max_$out", srcSchema(in).dataType))
+    }
+
+  /** Partial-aggregate a (possibly δ-weighted) batch into state-shaped
+    * rows. `delta` is the ±1 weight column (literal 1 for inserts).
+    */
+  private def partialState(vd: ViewDef, srcSchema: StructType,
+      batch: DataFrame, delta: Column): DataFrame = {
+    val d = delta.cast("long")
+    val aggExprs: Seq[Column] =
+      sum(d).as(nRows) +: vd.aggs.flatMap {
+        case Count(_) => Nil
+        case Sum(in, out) =>
+          val x = col(in)
+          val lt = if (sumIsLong(srcSchema(in).dataType)) LongType
+                   else DoubleType
+          Seq(
+            sum(when(x.isNotNull, x.cast(lt) * d.cast(lt)).otherwise(lit(0).cast(lt)))
+              .cast(lt).as(s"s_sum_$out"),
+            sum(when(x.isNotNull, d).otherwise(lit(0L))).as(s"s_n_$out"))
+        case Avg(in, out) =>
+          val x = col(in).cast("double")
+          Seq(
+            sum(when(x.isNotNull, x * d.cast("double")).otherwise(lit(0.0)))
+              .as(s"s_sum_$out"),
+            sum(when(x.isNotNull, d).otherwise(lit(0L))).as(s"s_n_$out"))
+        case Min(in, out) => Seq(min(col(in)).as(s"s_min_$out"))
+        case Max(in, out) => Seq(max(col(in)).as(s"s_max_$out"))
+      }
+    batch.groupBy(vd.groupBy.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  private def partExpr(vd: ViewDef): Column =
+    pmod(xxhash64(vd.groupBy.map(col): _*), lit(vd.nParts)).cast("int")
+
+  /** Pure-insert commits: the cheap [[Warehouse!.readChanges]] path is
+    * exact (added files hold only NEW rows).
+    */
+  private val pureInsertOps = Set("append", "bootstrap", "ctas")
+
+  /** Net-zero row churn on top of pure inserts: a compaction's added
+    * files re-emit existing rows, so added-only reads double-count
+    * (feed required), but no VALUE ever leaves the table — min/max
+    * state stays valid (a re-added value cannot move an extremum).
+    */
+  private val minMaxSafeOps = pureInsertOps ++ Set("compact", "optimize")
+
+  private def opsSince(wh: Warehouse, src: String, since: Long): Seq[String] =
+    wh.history(src).filter(_._1 > since)
+      .map { case (_, m) => m.getOrElse("op", "") }
+
+  /** Bring `view` up to date with `src`: full aggregate on first call,
+    * manifest-diff increment afterwards — δ-weighted change-feed fold
+    * for count/sum/avg under any DML, insert fold when the diff range
+    * is insert-safe, full rebuild when a retracting commit invalidates
+    * min/max state. Crash-safe and re-runnable (txn watermark).
+    *
+    * @return the source version the view now reflects
+    */
+  def refresh(wh: Warehouse, vd: ViewDef): Long = {
+    val srcSchema = wh.tables(vd.src)
+    val viewSchema = StructType(
+      vd.groupBy.map(g => StructField(g, srcSchema(g).dataType)) ++
+        (StructField("part", IntegerType) +:
+          StructField(nRows, LongType) +: stateCols(vd, srcSchema)))
+    wh.createTable(vd.view, Warehouse.TableSpec(viewSchema,
+      partitionBy = Seq("part")), ifNotExists = true)
+    val head = wh.versions(vd.src).max
+    val since = viewedVersion(wh, vd)
+      // a vacuumed-away diff base forces a rebuild (same as IndexStore)
+      .filter(v => wh.versions(vd.src).contains(v))
+    if (since.contains(head)) return head
+    val stateShape = viewSchema.fieldNames.toSeq
+
+    def fullBuild(): Unit = {
+      val full = partialState(vd, srcSchema, wh.read(vd.src), lit(1))
+        .withColumn("part", partExpr(vd))
+        .select(stateShape.map(col): _*)
+      // one atomic replace: no stale groups can linger, and the
+      // watermark overrides the carried-forward ledger entry
+      wh.overwrite(vd.view, full,
+        meta = Map(s"txn_${txnId(vd.src)}" -> head.toString))
+    }
+
+    since match {
+      case None => fullBuild()
+      case Some(v) =>
+        val ops = opsSince(wh, vd.src, v)
+        val pureInsert = ops.forall(pureInsertOps)
+        if (vd.hasOrderAggs && !ops.forall(minMaxSafeOps)) fullBuild()
+        else {
+          val delta =
+            if (pureInsert)
+              partialState(vd, srcSchema, wh.readChanges(vd.src, v), lit(1))
+            else
+              partialState(vd, srcSchema,
+                wh.readChangeFeed(vd.src, v), col("_change_delta"))
+          // combine with current state for the touched groups only:
+          // left join keeps the delta bounded by the batch, and merge
+          // rewrites only the state partitions those groups hash to
+          val stCols = stateCols(vd, srcSchema).map(_.name)
+          val st = wh.read(vd.view).select(
+            vd.groupBy.map(col) ++
+              (nRows +: stCols).map(c => col(c).as(s"o_$c")): _*)
+          val joined = delta.join(st, vd.groupBy, "left")
+          val combined: Seq[Column] =
+            (coalesce(col(s"o_$nRows"), lit(0L)) + col(nRows)).as(nRows) +:
+              vd.aggs.flatMap {
+                case Count(_) => Nil
+                case Sum(in, out) =>
+                  val lt = if (sumIsLong(srcSchema(in).dataType)) LongType
+                           else DoubleType
+                  Seq(
+                    (coalesce(col(s"o_s_sum_$out"), lit(0).cast(lt)) +
+                      col(s"s_sum_$out")).cast(lt).as(s"s_sum_$out"),
+                    (coalesce(col(s"o_s_n_$out"), lit(0L)) +
+                      col(s"s_n_$out")).as(s"s_n_$out"))
+                case Avg(in, out) =>
+                  Seq(
+                    (coalesce(col(s"o_s_sum_$out"), lit(0.0)) +
+                      col(s"s_sum_$out")).as(s"s_sum_$out"),
+                    (coalesce(col(s"o_s_n_$out"), lit(0L)) +
+                      col(s"s_n_$out")).as(s"s_n_$out"))
+                // least/greatest skip nulls: first batch for a group has
+                // no stored value, late batch may have no non-null input
+                case Min(in, out) =>
+                  Seq(least(col(s"o_s_min_$out"), col(s"s_min_$out"))
+                    .as(s"s_min_$out"))
+                case Max(in, out) =>
+                  Seq(greatest(col(s"o_s_max_$out"), col(s"s_max_$out"))
+                    .as(s"s_max_$out"))
+              }
+          val updates = joined
+            .select((vd.groupBy.map(col) ++ combined): _*)
+            .withColumn("part", partExpr(vd))
+            .select(stateShape.map(col): _*)
+          wh.merge(vd.view, updates, vd.groupBy,
+            txn = Some((txnId(vd.src), head)))
+        }
+    }
+    head
+  }
+
+  /** The view's CONTENTS — group columns + final aggregate values,
+    * tombstones filtered, partial state folded (`avg = sum/n`,
+    * empty-group sum/avg → null). This is the frame the equivalent
+    * `GROUP BY` over the live source would produce.
+    */
+  def read(wh: Warehouse, vd: ViewDef): DataFrame = {
+    val finals: Seq[Column] = vd.aggs.map {
+      case Count(out) => col(nRows).as(out)
+      case Sum(_, out) =>
+        when(col(s"s_n_$out") > 0, col(s"s_sum_$out")).as(out)
+      case Avg(_, out) =>
+        when(col(s"s_n_$out") > 0,
+          col(s"s_sum_$out") / col(s"s_n_$out").cast("double")).as(out)
+      case Min(_, out) => col(s"s_min_$out").as(out)
+      case Max(_, out) => col(s"s_max_$out").as(out)
+    }
+    wh.read(vd.view).where(col(nRows) > 0)
+      .select((vd.groupBy.map(col) ++ finals): _*)
+  }
+
+  /** Reclaim zero-count tombstone groups (space only — [[read]] never
+    * shows them). One file-targeted delete.
+    */
+  def compactView(wh: Warehouse, vd: ViewDef): Long =
+    wh.delete(vd.view, col(nRows) <= 0)
 }

@@ -1388,16 +1388,19 @@ class Warehouse(spark: SparkSession, dir: String,
     * commit fails it fast ([[Warehouse.CommitConflict]]) — there is
     * nothing provably disjoint to rebase over.
     */
-  def overwrite(name: String, df: DataFrame, rowsPerFile: Long = 0): Unit = {
+  def overwrite(name: String, df: DataFrame, rowsPerFile: Long = 0,
+      meta: Map[String, String] = Map.empty): Unit = {
     val (v, live) = loadLatest(name)
     require(v > 0L, s"overwrite $name: table not bootstrapped")
     enforceChecks(name, df)
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
+    // caller meta LAST so a rebuild can override a carried-forward txn
+    // watermark (commit() re-applies the previous head's ledger first)
     commit(name, v + 1, fresh, Map("op" -> "overwrite",
       "numFiles" -> fresh.size.toString,
-      "numRemoved" -> live.size.toString))
+      "numRemoved" -> live.size.toString) ++ meta)
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, live)
   }

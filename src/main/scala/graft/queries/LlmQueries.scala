@@ -2827,7 +2827,84 @@ object LlmQueries extends QueryPack {
                  CASE WHEN sc.doc_id = w.win_id THEN 'kept' ELSE 'near' END,
                  w.win_id
           FROM scored sc JOIN win w USING (cluster_id))
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q129: PERSISTED MATERIALIZED VIEWS under the hash gate — the
+    // aggregate sibling of q127's index store. Corpus stats (the frame
+    // every curation decision reads: docs/chars/avg/min/max per
+    // lang×source) live as warehouse-table STATE, refreshed from the
+    // manifest diff, never by rescanning the corpus. Two views over one
+    // source exercise both maintenance regimes through the same
+    // append → append → UPDATE → DELETE history:
+    //   - mv_sums (count/sum/avg): δ-weighted change-feed fold the
+    //     whole way — retractions handled exactly, no rebuild ever;
+    //   - mv_full (adds min/max): insert-fold through the appends,
+    //     automatic full rebuild when the UPDATE's retraction could
+    //     have evicted an extremum (the honest IVM fallback).
+    // The final frame joins both reads; the oracle recomputes the
+    // aggregate directly over the mutated survivor set — any
+    // double-count, stale watermark, missed retraction, or stale
+    // min/max breaks the hash. n_chars is integral so every sum state
+    // (long, and double < 2^53) is order-independent-EXACT; avg is an
+    // exact sum over an exact count. ----
+    Q("q129_docs_matview",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import graft.pipeline.{MaterializedView => MV}
+        val whDir = graft.util.Scratch.dir("graft-q129-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          retainReplaced = true,
+          specs = Map("docs" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("lang", StringType),
+              StructField("source", StringType),
+              StructField("n_chars", LongType))))))
+        wh.bootstrap()
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val full = MV.ViewDef("docs", "mv_full", Seq("lang", "source"),
+          Seq(MV.Count("n_docs"), MV.Sum("n_chars", "sum_chars"),
+            MV.Avg("n_chars", "avg_chars"), MV.Min("n_chars", "min_chars"),
+            MV.Max("n_chars", "max_chars")), nParts = 8)
+        val sums = MV.ViewDef("docs", "mv_sums", Seq("lang", "source"),
+          Seq(MV.Count("n_docs_d"), MV.Sum("n_chars", "sum_chars_d"),
+            MV.Avg("n_chars", "avg_chars_d")), nParts = 8)
+        def refreshBoth(): Unit = {
+          MV.refresh(wh, full); MV.refresh(wh, sums); ()
+        }
+        wh.append("docs", docs.where(col("doc_id") % 3 =!= 0))
+        refreshBoth() // full build
+        wh.append("docs", docs.where(col("doc_id") % 3 === 0))
+        refreshBoth() // pure-insert delta path (min/max via least/greatest)
+        wh.update("docs", col("doc_id") % 7 === 0,
+          Map("n_chars" -> (col("n_chars") + 1000L)))
+        wh.delete("docs", col("doc_id") % 11 === 0)
+        refreshBoth() // mv_sums: δ-feed retraction fold; mv_full: rebuild
+        MV.read(wh, full).join(MV.read(wh, sums), Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("sum_chars"), round(col("avg_chars"), 2).as("avg_chars"),
+            col("min_chars"), col("max_chars"), col("n_docs_d"),
+            col("sum_chars_d"),
+            round(col("avg_chars_d"), 2).as("avg_chars_d"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        WITH mut AS (
+          SELECT lang, source,
+                 CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                      ELSE n_chars END AS n_chars
+          FROM documents WHERE doc_id % 11 <> 0)
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               round(avg(n_chars), 2) AS avg_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(count(*) AS BIGINT) AS n_docs_d,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars_d,
+               round(avg(n_chars), 2) AS avg_chars_d
+        FROM mut GROUP BY lang, source ORDER BY lang, source"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
