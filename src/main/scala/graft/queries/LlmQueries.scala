@@ -2904,7 +2904,107 @@ object LlmQueries extends QueryPack {
                CAST(count(*) AS BIGINT) AS n_docs_d,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars_d,
                round(avg(n_chars), 2) AS avg_chars_d
-        FROM mut GROUP BY lang, source ORDER BY lang, source"""))
+        FROM mut GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- q130: DoReMi-SHAPED DOMAIN MIXTURE OPTIMIZATION — solve
+    // per-language mixture weights by iterated multiplicative updates
+    // against a mixture-weighted excess signal, then materialize the
+    // optimized mixture as a deterministic hash sample. The solver
+    // input is ONE tiny per-domain aggregate; the solve is
+    // O(rounds × domains) driver arithmetic with FIXED domain order and
+    // left-to-right folds; membership is the q55 md5-threshold rule
+    // under broadcast per-domain cuts — corpus scanned twice, shuffled
+    // never. The linear update (1 + η·centered-excess) replaces
+    // DoReMi's exp() precisely so the DuckDB oracle can replay the
+    // whole solve bit-exactly with ordered list_reduce folds (exp's
+    // 1-ulp licence differs across libms; +,×,/ are IEEE-exact
+    // everywhere). Any drift anywhere — stats, excess, 4 solver
+    // rounds, rate, cut quantization, membership — breaks the hash. ----
+    Q("q130_docs_doremi_mixture",
+      (s, dir) => {
+        import graft.ext.Mixture
+        val docs = t(s, dir, "documents")
+        val stats = docs.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").cast("double").as("sc"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+        val ws = Mixture.doremiWeights(stats, eta = 0.25, rounds = 4)
+        val target = ws.map(_.n.toDouble).foldLeft(0.0)(_ + _) / 2.0
+        val sampled = Mixture
+          .mixtureSample(docs, "doc_id", "lang", ws, target, salt = "doremi")
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        import s.implicits._
+        val doms = ws.map(w => (w.domain, w.n, w.excess, w.weight))
+          .toDF("lang", "n_docs", "excess", "weight")
+        doms.join(sampled, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            round(col("excess"), 6).as("excess"),
+            round(col("weight"), 6).as("weight"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some {
+        // 4 unrolled solver rounds, each: weighted-mean fold → linear
+        // update → normalization fold — ordered list_reduce everywhere
+        // so the float result is bit-identical to the Scala solve
+        val rounds = (0 until 4).map { r =>
+          s"""
+        m$r AS (SELECT *, list_reduce(list_transform(range(1, len(exs)+1),
+                  i -> w$r[i]*exs[i]), (a,b) -> a+b) AS wm$r FROM w${r}cte),
+        r$r AS (SELECT *, list_transform(range(1, len(exs)+1),
+                  i -> w$r[i]*(CAST(1.0 AS DOUBLE)
+                    + CAST(0.25 AS DOUBLE)*(exs[i]-wm$r))) AS raw$r FROM m$r),
+        z$r AS (SELECT *, list_reduce(raw$r, (a,b) -> a+b) AS zz$r FROM r$r),
+        w${r + 1}cte AS (SELECT *, list_transform(range(1, len(raw$r)+1),
+                  i -> raw$r[i]/zz$r) AS w${r + 1} FROM z$r)"""
+        }.mkString(",")
+        s"""
+        WITH s AS (
+          SELECT lang, count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS sc
+          FROM documents GROUP BY lang),
+        base AS (
+          SELECT list(lang ORDER BY lang) AS langs,
+                 list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
+                 list(sc ORDER BY lang) AS scs
+          FROM s),
+        om AS (SELECT langs, ns, scs,
+                 list_reduce(scs, (a,b) -> a+b)
+                   / list_reduce(ns, (a,b) -> a+b) AS om
+               FROM base),
+        ex AS (SELECT langs, ns,
+                 list_transform(range(1, len(ns)+1),
+                   i -> ((scs[i]/ns[i]) - om)/om) AS exs
+               FROM om),
+        w0cte AS (SELECT *, list_transform(langs,
+                    x -> CAST(1.0 AS DOUBLE)/len(langs)) AS w0 FROM ex),
+        $rounds,
+        fin AS (SELECT langs, ns, exs, w4,
+                  list_reduce(ns, (a,b) -> a+b) AS totn FROM w4cte),
+        doms AS (
+          SELECT langs[i] AS lang,
+                 CAST(ns[i] AS BIGINT) AS n_docs,
+                 round(exs[i], 6) AS excess,
+                 round(w4[i], 6) AS weight,
+                 least(CAST(1.0 AS DOUBLE),
+                       (w4[i]*(totn/CAST(2.0 AS DOUBLE)))/ns[i]) AS rate
+          FROM fin, UNNEST(range(1, len(langs)+1)) AS u(i)),
+        cuts AS (
+          SELECT *, CASE WHEN CAST(floor(rate*4294967296.0) AS BIGINT)
+                              >= 4294967296 THEN 'g'
+                         ELSE lpad(lower(hex(CAST(floor(rate*4294967296.0)
+                                AS BIGINT))), 8, '0') END AS cut
+          FROM doms),
+        samp AS (
+          SELECT d.lang, count(*) AS n_sampled
+          FROM documents d JOIN cuts c ON d.lang = c.lang
+          WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':doremi'), 1, 8)
+                < c.cut
+          GROUP BY d.lang)
+        SELECT c.lang, c.n_docs, c.excess, c.weight,
+               CAST(coalesce(s2.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM cuts c LEFT JOIN samp s2 ON c.lang = s2.lang
+        ORDER BY c.lang"""
+      })
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
