@@ -122,6 +122,61 @@ object MaterializedView {
 
   private def txnId(src: String) = s"graft_mv_$src"
 
+  /** Commit-metadata key carrying the encoded [[ViewDef]] on the state
+    * table's bootstrap commit — how `REFRESH MATERIALIZED VIEW` in a
+    * LATER session recovers the definition from the table alone.
+    */
+  private val defKey = "mvdef"
+
+  /** Encode a [[ViewDef]] for commit metadata. All names are SQL
+    * identifiers (`\w+`), so the fixed delimiters are unambiguous.
+    */
+  private[graft] def encodeDef(vd: ViewDef): String = {
+    val aggs = vd.aggs.map {
+      case Count(out) => s"count:*:$out"
+      case Sum(in, out) => s"sum:$in:$out"
+      case Avg(in, out) => s"avg:$in:$out"
+      case Min(in, out) => s"min:$in:$out"
+      case Max(in, out) => s"max:$in:$out"
+    }.mkString(";")
+    s"${vd.src}|${vd.view}|${vd.groupBy.mkString(",")}|$aggs|${vd.nParts}"
+  }
+
+  private[graft] def decodeDef(s: String): ViewDef = {
+    val Array(src, view, groups, aggs, nParts) = s.split("\\|", -1)
+    ViewDef(src, view, groups.split(",").toSeq,
+      aggs.split(";").toSeq.map(_.split(":") match {
+        case Array("count", "*", out) => Count(out)
+        case Array("sum", in, out) => Sum(in, out)
+        case Array("avg", in, out) => Avg(in, out)
+        case Array("min", in, out) => Min(in, out)
+        case Array("max", in, out) => Max(in, out)
+        case other => throw new IllegalArgumentException(
+          s"mvdef: bad agg '${other.mkString(":")}'")
+      }), nParts.toInt)
+  }
+
+  /** Declare the view: create its state table with the encoded
+    * definition stamped on the bootstrap commit. Idempotent (IF NOT
+    * EXISTS semantics); [[refresh]] alone also works for a pure-Scala
+    * caller, but only a defined view is refreshable by name from a
+    * fresh session ([[loadDef]]).
+    *
+    * @return true if this call created the table
+    */
+  def define(wh: Warehouse, vd: ViewDef): Boolean =
+    wh.createTable(vd.view, stateSpec(wh, vd), ifNotExists = true,
+      extraMeta = Map(defKey -> encodeDef(vd)))
+
+  /** Recover a view's definition from its own history (None: table
+    * absent, or never [[define]]d — a plain table).
+    */
+  def loadDef(wh: Warehouse, view: String): Option[ViewDef] =
+    if (!wh.tables.contains(view)) None
+    else wh.history(view).reverse.collectFirst {
+      case (_, m) if m.contains(defKey) => decodeDef(m(defKey))
+    }
+
   /** The source version `view` currently reflects (None = never built). */
   def viewedVersion(wh: Warehouse, vd: ViewDef): Option[Long] =
     wh.history(vd.view).lastOption
@@ -208,14 +263,19 @@ object MaterializedView {
     *
     * @return the source version the view now reflects
     */
-  def refresh(wh: Warehouse, vd: ViewDef): Long = {
+  private def stateSpec(wh: Warehouse, vd: ViewDef): Warehouse.TableSpec = {
     val srcSchema = wh.tables(vd.src)
-    val viewSchema = StructType(
+    Warehouse.TableSpec(StructType(
       vd.groupBy.map(g => StructField(g, srcSchema(g).dataType)) ++
         (StructField("part", IntegerType) +:
-          StructField(nRows, LongType) +: stateCols(vd, srcSchema)))
-    wh.createTable(vd.view, Warehouse.TableSpec(viewSchema,
-      partitionBy = Seq("part")), ifNotExists = true)
+          StructField(nRows, LongType) +: stateCols(vd, srcSchema))),
+      partitionBy = Seq("part"))
+  }
+
+  def refresh(wh: Warehouse, vd: ViewDef): Long = {
+    val srcSchema = wh.tables(vd.src)
+    val viewSchema = stateSpec(wh, vd).schema
+    wh.createTable(vd.view, stateSpec(wh, vd), ifNotExists = true)
     val head = wh.versions(vd.src).max
     val since = viewedVersion(wh, vd)
       // a vacuumed-away diff base forces a rebuild (same as IndexStore)

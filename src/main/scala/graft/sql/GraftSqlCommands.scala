@@ -384,3 +384,51 @@ case class GraftVacuumCommand(wh: Warehouse, table: String, keep: Int)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(wh.vacuum(table, keep)))
 }
+
+/** `CREATE MATERIALIZED VIEW <prefix><v> AS SELECT ... FROM <prefix><s>
+  * GROUP BY ...` → [[graft.pipeline.MaterializedView.define]] + first
+  * [[graft.pipeline.MaterializedView.refresh]]. The view's SQL name
+  * routes like any table, but reads resolve to the view CONTENTS
+  * (see [[WarehouseSql.rewriteReads]]).
+  */
+case class GraftCreateMvCommand(wh: Warehouse,
+    vd: graft.pipeline.MaterializedView.ViewDef, prefix: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.pipeline.MaterializedView.define(wh, vd)
+    val v = graft.pipeline.MaterializedView.refresh(wh, vd)
+    WarehouseSql.cacheMvDef(wh, vd)
+    WarehouseSql.register(spark, wh, prefix)
+    WarehouseSql.rerouteAll(wh) // other sessions see the view too
+    Seq(Row(vd.view, v))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW wh_v` →
+  * [[graft.pipeline.MaterializedView.refresh]] under the view's
+  * persisted definition (recovered from the state table's own history
+  * in a fresh session). Reports the source version now reflected.
+  */
+case class GraftRefreshMvCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vd = WarehouseSql.mvDefFor(wh, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"REFRESH MATERIALIZED VIEW: $table is not a materialized view"))
+    Seq(Row(table, graft.pipeline.MaterializedView.refresh(wh, vd)))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW IF EXISTS <unknown>` — nothing to do, but
+  * the statement must still parse to a plan.
+  */
+case class GraftNoopCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = Nil
+}

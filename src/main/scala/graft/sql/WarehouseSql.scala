@@ -49,6 +49,16 @@ import graft.pipeline.Warehouse
   *   - `SHOW CREATE TABLE wh_t` → round-trippable DDL from the live
   *     `_meta/` spec (CREATE + PARTITIONED/STATS/BLOOM BY clauses,
   *     plus one ALTER ... ADD CONSTRAINT per CHECK)
+  *   - `CREATE MATERIALIZED VIEW wh_v AS SELECT g, agg(c) AS n, ...
+  *     FROM wh_s GROUP BY g` → [[graft.pipeline.MaterializedView]]
+  *     define + first refresh (restricted algebra:
+  *     count(*)/sum/avg/min/max — incrementally maintainable by
+  *     construction); SELECT on the view name reads its CONTENTS
+  *   - `REFRESH MATERIALIZED VIEW wh_v` → incremental refresh from the
+  *     source's manifest diff (definition recovered from the view's
+  *     own history in a fresh session)
+  *   - `DROP MATERIALIZED VIEW [IF EXISTS] wh_v` → dropTable, guarded
+  *     to names that ARE views
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -158,6 +168,7 @@ object WarehouseSql {
     */
   private[sql] def unrouteTable(wh: Warehouse, table: String): Unit = {
     import scala.jdk.CollectionConverters._
+    purgeMvDef(wh, table) // a recreated same-name table must re-probe
     registry.entrySet().asScala.toSeq
       .filter(e => (e.getValue._1 eq wh) && e.getValue._2 == table)
       .foreach { e =>
@@ -254,6 +265,12 @@ object WarehouseSql {
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val ShowCreateStmt =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+  private val CreateMvStmt =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([\w.]+)\s+GROUP\s+BY\s+([\w.,\s]+?)\s*;?\s*""".r
+  private val RefreshMvStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  private val DropMvStmt =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -318,7 +335,101 @@ object WarehouseSql {
     case DropTableStmt(_, name) if lookup(spark, Seq(name)).isDefined =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftDropTableCommand(wh, t, name.toLowerCase) }
+    case CreateMvStmt(viewName, items, srcName, groupBy) =>
+      prefixFor(spark, viewName).map { case (wh, prefix) =>
+        val (srcWh, srcTable) = lookup(spark, Seq(srcName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW $viewName: $srcName is not a " +
+              "registered warehouse table"))
+        require(srcWh eq wh,
+          s"CREATE MATERIALIZED VIEW $viewName: view and source must " +
+            "live in the same warehouse")
+        val vd = parseMvSelect(
+          viewName.toLowerCase.drop(prefix.length), srcTable, items, groupBy)
+        GraftCreateMvCommand(wh, vd, prefix)
+      }
+    case RefreshMvStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftRefreshMvCommand(wh, t) }
+    // DROP MATERIALIZED VIEW only accepts names that ARE views (the
+    // plain-table path is DROP TABLE); a view drops like any table
+    case DropMvStmt(ifExists, name) =>
+      lookup(spark, Seq(name)) match {
+        case Some((wh, t)) =>
+          require(mvDefFor(wh, t).isDefined,
+            s"DROP MATERIALIZED VIEW $name: not a materialized view " +
+              "(use DROP TABLE)")
+          Some(GraftDropTableCommand(wh, t, name.toLowerCase))
+        case None if ifExists != null => Some(GraftNoopCommand())
+        case None => throw new IllegalArgumentException(
+          s"DROP MATERIALIZED VIEW $name: unknown view")
+      }
     case _ => parseCreateTable(spark, sqlText)
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE MATERIALIZED VIEW — restricted aggregate grammar
+  // ------------------------------------------------------------------
+
+  private val MvCountItem = """(?is)\s*count\s*\(\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MvAggItem =
+    """(?is)\s*(sum|avg|min|max)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MvGroupItem = """(?is)\s*(\w+)\s*""".r
+
+  /** Parse the restricted MV select list: bare group columns plus
+    * `count(*)/sum/avg/min/max(col) AS name` items (the
+    * [[graft.pipeline.MaterializedView]] algebra — incrementally
+    * maintainable by construction; anything richer belongs in a
+    * downstream SELECT over the view). Group columns in the select
+    * list must match the GROUP BY clause as a set; select order wins.
+    */
+  private[sql] def parseMvSelect(view: String, src: String,
+      items: String, groupBy: String): graft.pipeline.MaterializedView.ViewDef = {
+    import graft.pipeline.{MaterializedView => MV}
+    val groupCols = scala.collection.mutable.ArrayBuffer[String]()
+    val aggs = scala.collection.mutable.ArrayBuffer[MV.Agg]()
+    items.split(",").foreach {
+      case MvCountItem(out) => aggs += MV.Count(out.toLowerCase)
+      case MvAggItem(f, in, out) => aggs += (f.toLowerCase match {
+        case "sum" => MV.Sum(in.toLowerCase, out.toLowerCase)
+        case "avg" => MV.Avg(in.toLowerCase, out.toLowerCase)
+        case "min" => MV.Min(in.toLowerCase, out.toLowerCase)
+        case "max" => MV.Max(in.toLowerCase, out.toLowerCase)
+      })
+      case MvGroupItem(g) => groupCols += g.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $view: unsupported select item " +
+          s"'${other.trim}' (supported: group column, count(*) AS n, " +
+          "sum/avg/min/max(col) AS n)")
+    }
+    val declared = groupBy.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    require(declared.toSet == groupCols.toSet,
+      s"CREATE MATERIALIZED VIEW $view: GROUP BY ${declared.mkString(",")} " +
+        s"must match the select list's bare columns ${groupCols.mkString(",")}")
+    MV.ViewDef(src, view, groupCols.toSeq, aggs.toSeq)
+  }
+
+  /** (warehouse identity, table) → decoded view definition, cached so
+    * read routing doesn't rescan table history per statement. Populated
+    * on CREATE, invalidated on DROP ([[unrouteTable]]), loaded lazily
+    * from table history otherwise (covers fresh sessions).
+    */
+  private val mvDefs = new ConcurrentHashMap[(Warehouse, String),
+    Option[graft.pipeline.MaterializedView.ViewDef]]()
+
+  private[sql] def mvDefFor(wh: Warehouse, table: String)
+      : Option[graft.pipeline.MaterializedView.ViewDef] =
+    mvDefs.computeIfAbsent((wh, table),
+      _ => graft.pipeline.MaterializedView.loadDef(wh, table))
+
+  private[sql] def cacheMvDef(wh: Warehouse,
+      vd: graft.pipeline.MaterializedView.ViewDef): Unit = {
+    mvDefs.put((wh, vd.view), Some(vd)); ()
+  }
+
+  private[sql] def purgeMvDef(wh: Warehouse, table: String): Unit = {
+    mvDefs.remove((wh, table)); ()
   }
 
   // ------------------------------------------------------------------
@@ -578,8 +689,14 @@ object WarehouseSql {
       case r: UnresolvedRelation if !r.isStreaming &&
           lookup(spark, r.multipartIdentifier).isDefined =>
         val (wh, table) = lookup(spark, r.multipartIdentifier).get
-        SubqueryAlias(r.multipartIdentifier.head,
-          GraftBridge.analyzed(wh.read(table)))
+        // a MATERIALIZED VIEW name reads its CONTENTS (finals frame,
+        // tombstones filtered) — the state table stays an internal
+        // representation; time travel above still reads raw state
+        val df = mvDefFor(wh, table) match {
+          case Some(vd) => graft.pipeline.MaterializedView.read(wh, vd)
+          case None => wh.read(table)
+        }
+        SubqueryAlias(r.multipartIdentifier.head, GraftBridge.analyzed(df))
     }
 
   /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis. The

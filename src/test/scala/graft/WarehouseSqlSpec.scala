@@ -531,4 +531,51 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM fact_space_weather")
       .head().getLong(0) === 1L)
   }
+
+  test("CREATE/REFRESH/SELECT/DROP MATERIALIZED VIEW lifecycle") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 10")
+    val created = spark.sql(
+      "CREATE MATERIALIZED VIEW sdml_mv AS SELECT grp, count(*) AS n, " +
+        "sum(val) AS total, max(val) AS hi FROM sdml_t GROUP BY grp")
+      .collect()
+    assert(created.head.getString(0) === "mv")
+    // SELECT on the view name reads the CONTENTS, not the state table
+    val got = spark.sql(
+        "SELECT grp, n, total, hi FROM sdml_mv ORDER BY grp")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val want = spark.sql(
+        "SELECT grp, count(*) AS n, sum(val) AS total, max(val) AS hi " +
+          "FROM sdml_t GROUP BY grp ORDER BY grp")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got === want)
+    // stale until refreshed; REFRESH brings it to the new source head
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id > 10")
+    assert(spark.sql("SELECT sum(n) FROM sdml_mv").head().getLong(0) === 10L)
+    spark.sql("REFRESH MATERIALIZED VIEW sdml_mv")
+    assert(spark.sql("SELECT sum(n) FROM sdml_mv").head().getLong(0) === 20L)
+    // retracting DML triggers the min/max rebuild path on refresh
+    spark.sql("DELETE FROM sdml_t WHERE id % 2 = 0")
+    spark.sql("REFRESH MATERIALIZED VIEW sdml_mv")
+    val got2 = spark.sql("SELECT grp, n, total, hi FROM sdml_mv ORDER BY grp")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val want2 = spark.sql(
+        "SELECT grp, count(*) AS n, sum(val) AS total, max(val) AS hi " +
+          "FROM sdml_t GROUP BY grp ORDER BY grp")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got2 === want2)
+    // definition survives a fresh registration (recovered from history)
+    graft.sql.WarehouseSql.unregister(spark)
+    wh.registerSql("sdml_")
+    spark.sql("REFRESH MATERIALIZED VIEW sdml_mv") // watermark no-op
+    assert(spark.sql("SELECT count(*) FROM sdml_mv").count() === 1L)
+    // guards: refresh of a plain table fails; MV drops via its own verb
+    val e = intercept[Exception] {
+      spark.sql("REFRESH MATERIALIZED VIEW sdml_t") }
+    assert(e.getMessage.contains("not a materialized view"))
+    spark.sql("DROP MATERIALIZED VIEW sdml_mv")
+    assert(!wh.tables.contains("mv"))
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS sdml_mv") // no-op
+  }
 }
