@@ -1906,6 +1906,51 @@ object TleQueries extends QueryPack {
                round(sum(o_totalprice), 2) AS total
         FROM orders
         WHERE year(CAST(o_orderdate AS DATE)) = 1996
-        GROUP BY 1 ORDER BY grp"""))
+        GROUP BY 1 ORDER BY grp"""))  ,
+
+    // ---- q131: the MATERIALIZED VIEW statement surface, statements
+    // only (the q108 discipline applied to q129's lifecycle): CREATE
+    // MATERIALIZED VIEW over a warehouse table, a second INSERT +
+    // REFRESH (insert-fold), a DELETE + REFRESH (min forces the
+    // rebuild path), then SELECT on the VIEW NAME — which must resolve
+    // to the view CONTENTS, not the internal partial-state table. The
+    // oracle recomputes the aggregate directly over the survivor set;
+    // a stale watermark, a missed retraction, raw-state leakage
+    // through the read route, or a lost view definition all break the
+    // hash. ----
+    Q("q131_warehouse_sql_matview",
+      (s, dir) => {
+        val whDir = graft.util.Scratch.dir("graft-q131-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("mvq_")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .createOrReplaceTempView("mvq_src")
+        s.sql("CREATE TABLE mvq_docs (doc_id BIGINT, lang STRING, " +
+          "n_chars BIGINT)")
+        s.sql("INSERT INTO mvq_docs SELECT * FROM mvq_src " +
+          "WHERE doc_id % 3 <> 0")
+        s.sql("CREATE MATERIALIZED VIEW mvq_stats AS " +
+          "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
+          "avg(n_chars) AS avg_chars, min(n_chars) AS min_chars " +
+          "FROM mvq_docs GROUP BY lang")
+        s.sql("INSERT INTO mvq_docs SELECT * FROM mvq_src " +
+          "WHERE doc_id % 3 = 0")
+        s.sql("REFRESH MATERIALIZED VIEW mvq_stats") // insert fold
+        s.sql("DELETE FROM mvq_docs WHERE doc_id % 11 = 0")
+        s.sql("REFRESH MATERIALIZED VIEW mvq_stats") // min ⇒ rebuild
+        s.sql("""SELECT lang, n_docs, sum_chars,
+                        round(avg_chars, 2) AS avg_chars, min_chars
+                 FROM mvq_stats ORDER BY lang""")
+      },
+      Some("""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               round(avg(n_chars), 2) AS avg_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars
+        FROM documents WHERE doc_id % 11 <> 0
+        GROUP BY lang ORDER BY lang"""))
   )
 }
