@@ -3,8 +3,8 @@ package graft.sql
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 import graft.pipeline.Warehouse
@@ -433,6 +433,123 @@ object WarehouseSql {
   }
 
   // ------------------------------------------------------------------
+  // Transparent aggregate rewrite over MATERIALIZED VIEWS
+  // ------------------------------------------------------------------
+
+  /** `SELECT g, agg(c) FROM wh_src GROUP BY g` answered from a FRESH
+    * materialized view instead of the source scan — the classic
+    * engine-side MV substitution (Calcite / warehouse optimizers), done
+    * at the same parse-time routing layer as everything else here.
+    *
+    * Soundness gates, all checked per statement:
+    *   - the view's txn watermark must equal the source's HEAD version
+    *     (a stale view never answers a query — the rewrite is an
+    *     optimization, not a semantics change);
+    *   - the query's group columns must equal the view's (answered by a
+    *     Project over the view contents) or be a SUBSET of them
+    *     (answered by RE-AGGREGATING the view: count(*) → sum(n),
+    *     sum/min/max → themselves — the distributive rollup; avg only
+    *     on the exact match, where the view's own avg is the answer);
+    *   - every aggregate item must map onto a declared view output; any
+    *     DISTINCT, FILTER, WHERE, expression-valued group, or unmapped
+    *     function aborts the rewrite (the source scan is always
+    *     correct).
+    *
+    * At 100 TB this turns a full-corpus GROUP BY into a scan of a
+    * groups-sized state table. Disable with
+    * `spark.graft.mv.autoRewrite=false`.
+    */
+  private val mvAggNames: Seq[String] => Boolean = {
+    case Seq(n) => Set("count", "sum", "avg", "min", "max")(n)
+    case _ => false
+  }
+
+  private def rewriteAggOverMv(spark: SparkSession,
+      agg: Aggregate): Option[LogicalPlan] = {
+    val rel = agg.child match {
+      case r: UnresolvedRelation if !r.isStreaming => r
+      case _ => return None
+    }
+    val (wh, src) = lookup(spark, rel.multipartIdentifier)
+      .getOrElse(return None)
+    if (spark.conf.get("spark.graft.mv.autoRewrite", "true") != "true")
+      return None
+    if (mvDefFor(wh, src).isDefined) return None // the view itself
+    val qGroups = agg.groupingExpressions
+      .foldLeft(Option(Vector.empty[String])) {
+        case (Some(acc), UnresolvedAttribute(Seq(n))) =>
+          Some(acc :+ n.toLowerCase)
+        case _ => None
+      }.getOrElse(return None)
+    if (qGroups.distinct.size != qGroups.size) return None
+    val head = wh.versions(src).max
+    wh.tables.keys.toSeq.sorted.iterator
+      .flatMap(t => mvDefFor(wh, t))
+      .filter(vd => vd.src == src &&
+        qGroups.toSet.subsetOf(vd.groupBy.map(_.toLowerCase).toSet) &&
+        graft.pipeline.MaterializedView.viewedVersion(wh, vd)
+          .contains(head))
+      .map(vd => tryMvRewrite(spark, agg, rel, wh, vd, qGroups))
+      .collectFirst { case Some(p) => p }
+  }
+
+  private def tryMvRewrite(spark: SparkSession, agg: Aggregate,
+      rel: UnresolvedRelation, wh: Warehouse,
+      vd: graft.pipeline.MaterializedView.ViewDef,
+      qGroups: Seq[String]): Option[LogicalPlan] = {
+    import graft.pipeline.{MaterializedView => MV}
+    val exact = vd.groupBy.map(_.toLowerCase).toSet == qGroups.toSet
+    val mvPlan = GraftBridge.analyzed(MV.read(wh, vd))
+    val attr = mvPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val countOut = vd.aggs.collectFirst { case MV.Count(o) => o }
+    def aggOut(f: String, in: String): Option[String] =
+      vd.aggs.collectFirst {
+        case MV.Sum(i, o) if f == "sum" && i.toLowerCase == in => o
+        case MV.Avg(i, o) if f == "avg" && i.toLowerCase == in => o
+        case MV.Min(i, o) if f == "min" && i.toLowerCase == in => o
+        case MV.Max(i, o) if f == "max" && i.toLowerCase == in => o
+      }
+    def reAgg(f: String, out: String): Expression =
+      UnresolvedFunction(Seq(f), Seq(attr(out.toLowerCase)),
+        isDistinct = false)
+    def mapAggExpr(e: Expression): Option[Expression] = e match {
+      case UnresolvedAttribute(Seq(n))
+          if qGroups.contains(n.toLowerCase) =>
+        Some(attr(n.toLowerCase))
+      case f: UnresolvedFunction if !f.isDistinct && f.filter.isEmpty =>
+        (f.nameParts.map(_.toLowerCase), f.arguments) match {
+          case (Seq("count"), Seq(_: UnresolvedStar)) |
+               (Seq("count"), Seq(Literal(1, _))) =>
+            countOut.map(o =>
+              if (exact) attr(o.toLowerCase) else reAgg("sum", o))
+          case (Seq(fn @ ("sum" | "min" | "max")),
+              Seq(UnresolvedAttribute(Seq(in)))) =>
+            aggOut(fn, in.toLowerCase).map(o =>
+              if (exact) attr(o.toLowerCase) else reAgg(fn, o))
+          case (Seq("avg"), Seq(UnresolvedAttribute(Seq(in)))) if exact =>
+            // subset-avg would need the view's internal non-null count;
+            // finals don't expose it — exact match only
+            aggOut("avg", in.toLowerCase).map(o => attr(o.toLowerCase))
+          case _ => None
+        }
+      case _ => None
+    }
+    val mapped = agg.aggregateExpressions.map {
+      case UnresolvedAttribute(Seq(n)) if qGroups.contains(n.toLowerCase) =>
+        Some(attr(n.toLowerCase))
+      case Alias(child, name) => mapAggExpr(child).map(e => Alias(e, name)())
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else {
+      val outs = mapped.map(_.get.asInstanceOf[NamedExpression])
+      val base = SubqueryAlias(rel.multipartIdentifier.head, mvPlan)
+      if (exact) Some(Project(outs, base))
+      else Some(Aggregate(qGroups.map(attr), outs, base))
+    }
+  }
+
+  // ------------------------------------------------------------------
   // CREATE TABLE — the reference's own DDL shape (script.py:77-83)
   // ------------------------------------------------------------------
 
@@ -669,6 +786,20 @@ object WarehouseSql {
       // cteRelations TUPLES — not children, so no transform reaches
       // them on its own: rewrite each body explicitly (recursively, so
       // nested CTEs and their subqueries route too)
+      case agg: Aggregate =>
+        rewriteAggOverMv(spark, agg).getOrElse(agg)
+      // a GLOBAL aggregate parses as a Project (the analyzer's
+      // GlobalAggregates rule runs later) — treat it as an Aggregate
+      // with no group columns when it visibly contains agg functions
+      case p: Project if p.projectList.exists {
+          case Alias(f: UnresolvedFunction, _) =>
+            mvAggNames(f.nameParts.map(_.toLowerCase))
+          case f: UnresolvedFunction =>
+            mvAggNames(f.nameParts.map(_.toLowerCase))
+          case _ => false
+        } =>
+        rewriteAggOverMv(spark, Aggregate(Nil, p.projectList, p.child))
+          .getOrElse(p)
       case w: UnresolvedWith =>
         w.copy(cteRelations = w.cteRelations.map { case (n, body, m) =>
           (n, rewriteReads(spark, body).asInstanceOf[SubqueryAlias], m)

@@ -578,4 +578,69 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(!wh.tables.contains("mv"))
     spark.sql("DROP MATERIALIZED VIEW IF EXISTS sdml_mv") // no-op
   }
+
+  private def scans(df: org.apache.spark.sql.DataFrame,
+      table: String): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString).exists(p =>
+              p.endsWith(s"/$table") || p.contains(s"/$table/"))
+          case _ => false
+        }
+    }.exists(identity)
+
+  test("aggregate queries over the source are answered from a fresh " +
+      "materialized view; stale or uncovered shapes scan the source") {
+    fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    spark.sql("CREATE MATERIALIZED VIEW sdml_agg AS SELECT grp, " +
+      "count(*) AS n, sum(val) AS total, avg(val) AS mean, " +
+      "min(val) AS lo FROM sdml_t GROUP BY grp")
+    // exact group match: Project over the view — the source is not
+    // scanned at all
+    val q = spark.sql("SELECT grp, count(*) AS n, sum(val) AS total, " +
+      "avg(val) AS mean FROM sdml_t GROUP BY grp ORDER BY grp")
+    assert(scans(q, "agg") && !scans(q, "t"))
+    val direct = spark.sql("SELECT grp, n, total, mean FROM sdml_agg " +
+      "ORDER BY grp").collect().toSeq
+    assert(q.collect().toSeq === direct)
+    // subset rollup: global count/sum/min re-aggregate the view
+    val roll = spark.sql(
+      "SELECT count(*) AS n, sum(val) AS total, min(val) AS lo " +
+        "FROM sdml_t GROUP BY grp")
+    // (grouped by grp, selecting no group col — still covered)
+    assert(scans(roll, "agg") && !scans(roll, "t"))
+    assert(roll.collect().map(_.getLong(0)).sum === 20L)
+    // avg over a group SUBSET (here: global) is not answerable from the
+    // view's finals — source scan
+    val avgRoll = spark.sql("SELECT avg(val) AS m FROM sdml_t")
+    assert(scans(avgRoll, "t"))
+    // ...but global count/sum ARE (empty group set ⊂ {grp})
+    val globalRoll = spark.sql(
+      "SELECT count(*) AS n, sum(val) AS total FROM sdml_t")
+    assert(scans(globalRoll, "agg") && !scans(globalRoll, "t"))
+    assert(globalRoll.head().getLong(0) === 20L)
+    assert(globalRoll.head().getDouble(1) === 210.0)
+    // DISTINCT aborts the rewrite
+    val dq = spark.sql("SELECT grp, count(DISTINCT val) AS n FROM sdml_t " +
+      "GROUP BY grp")
+    assert(scans(dq, "t"))
+    // stale view: new source commit without refresh → source scan again
+    spark.sql("INSERT INTO sdml_t SELECT id + 100, grp, val FROM sdml_src")
+    val sq = spark.sql("SELECT grp, count(*) AS n FROM sdml_t GROUP BY grp")
+    assert(scans(sq, "t") && !scans(sq, "agg"))
+    assert(sq.collect().map(_.getLong(1)).sum === 40L)
+    spark.sql("REFRESH MATERIALIZED VIEW sdml_agg")
+    val fq = spark.sql("SELECT grp, count(*) AS n FROM sdml_t GROUP BY grp")
+    assert(scans(fq, "agg"))
+    assert(fq.collect().map(_.getLong(1)).sum === 40L)
+    // kill switch
+    spark.conf.set("spark.graft.mv.autoRewrite", "false")
+    try assert(scans(spark.sql(
+      "SELECT grp, count(*) AS n FROM sdml_t GROUP BY grp"), "t"))
+    finally spark.conf.unset("spark.graft.mv.autoRewrite")
+  }
 }
