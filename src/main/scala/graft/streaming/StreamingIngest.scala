@@ -87,6 +87,40 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming append with DERIVED-STATE maintenance: each micro-batch
+    * appends to the warehouse table EXACTLY-ONCE (the txn-ledger fence
+    * keyed on `queryId` + batch id — a re-delivered batch is a no-op)
+    * and then brings the registered materialized views up to the new
+    * head via [[graft.pipeline.MaterializedView.refresh]]. Refresh is
+    * itself watermark-idempotent, so the compose converges under
+    * at-least-once delivery: every view always reflects some committed
+    * source version, and the NEXT refresh (this batch's or a later
+    * one's) folds exactly the manifest diff since it.
+    *
+    * This is the streaming half of the warehouse-side derived-state
+    * story: the batch half maintains on demand ([[graft.pipeline
+    * .MaterializedView.refresh]] / [[graft.pipeline.IndexStore]]); here
+    * the maintenance rides the ingest trigger, so downstream aggregate
+    * readers (and the MV auto-rewrite route) see fresh state at
+    * micro-batch granularity without ever rescanning the corpus.
+    */
+  def maintainedAppendStream(batches: DataFrame, checkpointDir: String,
+      queryId: String, wh: graft.pipeline.Warehouse, table: String,
+      views: Seq[graft.pipeline.MaterializedView.ViewDef])
+      : StreamingQuery = {
+    require(views.forall(_.src == table),
+      s"maintainedAppendStream: every view must derive from $table")
+    batches.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        wh.append(table, b.toDF(), txn = Some((queryId, id)))
+        views.foreach(vd =>
+          graft.pipeline.MaterializedView.refresh(wh, vd))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming CURATION: DEDUPE-ON-ARRIVAL for a document landing
     * stream — the streaming twin of the batch dedup ladder (q30/q32).
     * Each micro-batch:

@@ -234,4 +234,56 @@ class StreamingSpec extends SparkSpec {
       ("2026-01-14 00:00:00.0", "click", 2L),
       ("2026-01-14 01:00:00.0", "click", 1L)))
   }
+
+  test("maintained append stream keeps a materialized view fresh " +
+      "across micro-batches and restarts") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.{MaterializedView => MV, Warehouse}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-mvstream")
+    val (src, ckp) = (s"$root/src", s"$root/ckp")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grp", StringType),
+      StructField("val", DoubleType)))
+    val wh = new Warehouse(spark, s"$root/wh",
+      specs = Map("t" -> Warehouse.TableSpec(schema)))
+    wh.bootstrap()
+    val vd = MV.ViewDef("t", "mv", Seq("grp"),
+      Seq(MV.Count("n"), MV.Sum("val", "total"), MV.Max("val", "hi")),
+      nParts = 4)
+    MV.define(wh, vd)
+
+    def rows(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"g${i % 3}", i * 0.5))
+        .toDF("id", "grp", "val")
+    def drain(): Unit = StreamingIngest.maintainedAppendStream(
+      spark.readStream.schema(schema).parquet(src),
+      ckp, "mvs", wh, "t", Seq(vd)).awaitTermination()
+    def viewOk(): Unit = {
+      val got = MV.read(wh, vd).select($"grp", $"n", $"total", $"hi")
+        .as[(String, Long, Double, Double)].collect().toSet
+      val want = wh.read("t").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("val").as("total"),
+          max("val").as("hi"))
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(got === want && got.nonEmpty)
+    }
+
+    rows(0, 60).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    viewOk()
+    assert(wh.read("t").count() === 60)
+    // restart with more data: a new run on the same checkpoint picks up
+    // only the new files; the view follows
+    rows(60, 100).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    viewOk()
+    assert(wh.read("t").count() === 100)
+    // replayed drain with nothing new: txn fence + watermark no-op
+    val vBefore = (wh.versions("t").max, wh.versions("mv").max)
+    drain()
+    assert((wh.versions("t").max, wh.versions("mv").max) === vBefore)
+    viewOk()
+  }
 }
