@@ -432,3 +432,37 @@ case class GraftNoopCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = Nil
 }
+
+/** `SHOW MATERIALIZED VIEWS`: every routed name of this session that IS
+  * a materialized view, with its definition and freshness — `fresh` is
+  * the MV auto-rewrite eligibility bit (watermark == source head).
+  */
+case class GraftShowMvsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("group_by", StringType, nullable = false)(),
+    AttributeReference("aggs", StringType, nullable = false)(),
+    AttributeReference("indexed_version", LongType, nullable = true)(),
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("fresh", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.pipeline.{MaterializedView => MV}
+    WarehouseSql.routes(spark).flatMap { case (name, wh, t) =>
+      WarehouseSql.mvDefFor(wh, t).map { vd =>
+        val head = wh.versions(vd.src).max
+        val at = MV.viewedVersion(wh, vd)
+        Row(name, vd.src, vd.groupBy.mkString(","),
+          vd.aggs.map {
+            case MV.Count(o) => s"count(*) AS $o"
+            case MV.Sum(i, o) => s"sum($i) AS $o"
+            case MV.Avg(i, o) => s"avg($i) AS $o"
+            case MV.Min(i, o) => s"min($i) AS $o"
+            case MV.Max(i, o) => s"max($i) AS $o"
+          }.mkString(", "),
+          at.map(Long.box).orNull, head, at.contains(head))
+      }
+    }
+  }
+}

@@ -59,6 +59,8 @@ import graft.pipeline.Warehouse
   *     own history in a fresh session)
   *   - `DROP MATERIALIZED VIEW [IF EXISTS] wh_v` → dropTable, guarded
   *     to names that ARE views
+  *   - `SHOW MATERIALIZED VIEWS` → the session's views with definition
+  *     and freshness (the auto-rewrite eligibility bit)
   *
   * Spark's own parser already produces `MergeIntoTable` /
   * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` /
@@ -259,6 +261,8 @@ object WarehouseSql {
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val ShowTablesStmt =
     """(?is)\s*SHOW\s+WAREHOUSE\s+TABLES\s*;?\s*""".r
+  private val ShowMvsStmt =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val DropTableStmt =
@@ -308,6 +312,7 @@ object WarehouseSql {
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftShowCreateCommand(wh, t, name.toLowerCase) }
     case ShowTablesStmt() => Some(GraftShowTablesCommand())
+    case ShowMvsStmt() => Some(GraftShowMvsCommand())
     case AddColumnStmt(name, colName, colType) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         val dt =

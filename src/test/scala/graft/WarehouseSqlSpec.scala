@@ -642,5 +642,13 @@ class WarehouseSqlSpec extends SparkSpec {
     try assert(scans(spark.sql(
       "SELECT grp, count(*) AS n FROM sdml_t GROUP BY grp"), "t"))
     finally spark.conf.unset("spark.graft.mv.autoRewrite")
+    // SHOW MATERIALIZED VIEWS: definition + freshness surface
+    val shown = spark.sql("SHOW MATERIALIZED VIEWS")
+      .where($"name" === "sdml_agg").collect()
+    assert(shown.length === 1)
+    val r = shown.head
+    assert(r.getString(1) === "t" && r.getString(2) === "grp")
+    assert(r.getString(3).contains("count(*) AS n"))
+    assert(r.getBoolean(6), "view refreshed above - must be fresh")
   }
 }
