@@ -3004,7 +3004,64 @@ object LlmQueries extends QueryPack {
                CAST(coalesce(s2.n_sampled, 0) AS BIGINT) AS n_sampled
         FROM cuts c LEFT JOIN samp s2 ON c.lang = s2.lang
         ORDER BY c.lang"""
-      })
+      }),
+
+    // ---- q132: the PERSISTED IVF INDEX under the hash gate — q127's
+    // discipline applied to the second index family. Build on the
+    // first corpus batch (seeded-sample k-means fit ONCE, centroids
+    // persisted as a warehouse table), incrementally refresh after the
+    // second batch lands (only the manifest-diff rows are assigned,
+    // against the SAME persisted centroids), then top-k from the
+    // stored assignments at nProbe == nCells — the probe-all
+    // invariant: exact brute force for ANY centroid table, so the
+    // DuckDB oracle brute-forces cosine over the full corpus exactly
+    // like q41, but here the path under test is centroid round-trip +
+    // incremental assignment + the bucketed cell probe join. ----
+    Q("q132_embed_persisted_ivf",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q132-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("emb" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("vec_id", LongType),
+              StructField("embedding", ArrayType(FloatType)))))))
+        wh.bootstrap()
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        wh.append("emb", emb.where(col("vec_id") % 3 =!= 0))
+        graft.pipeline.IndexStore.buildIvf(wh, "emb", "ivf",
+          "vec_id", "embedding", nCells = 8, nParts = 8)
+        wh.append("emb", emb.where(col("vec_id") % 3 === 0))
+        graft.pipeline.IndexStore.refreshIvf(wh, "emb", "ivf",
+          "vec_id", "embedding", nParts = 8)
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.pipeline.IndexStore.ivfProbeTopK(wh, "ivf", "vec_id",
+            queries, "qid", "qvec", k = 5, nProbe = 8)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("id"), col("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.qid, e.vec_id AS id,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        SELECT qid, rank, id, cosine FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
