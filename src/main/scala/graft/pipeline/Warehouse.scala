@@ -320,13 +320,15 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   private def parseEntry(line: String): FileEntry = {
-    val Array(rel, bytes, stats) = line.split('\t').padTo(3, "")
+    // 4th field (row count) is absent in pre-round-8 manifests → −1
+    val Array(rel, bytes, stats, rows) = line.split('\t').padTo(4, "")
     val parsed = stats.split(';').filter(_.nonEmpty).map { s =>
       val Array(c, mm) = s.split('=')
       val Array(lo, hi) = mm.split(':')
       c -> ((lo.toLong, hi.toLong))
     }.toMap
-    FileEntry(rel, bytes.toLong, parsed)
+    FileEntry(rel, bytes.toLong, parsed,
+      if (rows.isEmpty) -1L else rows.toLong)
   }
 
   /** The file list committed as manifest `version`: walk BACK from
@@ -413,6 +415,85 @@ class Warehouse(spark: SparkSession, dir: String,
       case vs => (vs.last, loadAt(name, vs.last))
     }
 
+  // ------------------------------------------------------------------
+  // metadata-only statistics (the Delta OptimizeMetadataOnlyQuery /
+  // Iceberg manifest-aggregate surface): answers that never open a
+  // data file. At 100 TB, `count(*)` over the table is a sum over the
+  // manifest the driver already holds — milliseconds, zero scan.
+  // ------------------------------------------------------------------
+
+  /** EXACT head row count from manifest footer counts, or None when any
+    * live file predates row-count manifests (adopted files, pre-upgrade
+    * commits) — absence of metadata must never change an answer, so
+    * callers fall back to a scan. Copy-on-write DML keeps this exact:
+    * DELETE/UPDATE/MERGE rewrite files, and rewritten files re-enter
+    * the manifest with fresh footer counts.
+    */
+  def metaRowCount(name: String): Option[Long] = {
+    val entries = loadLatest(name)._2
+    if (entries.exists(_.rows < 0L)) None else Some(entries.map(_.rows).sum)
+  }
+
+  /** EXACT head min/max for a stat-tracked column, long-encoded exactly
+    * as the manifest stores it (raw int/long value; epoch micros for
+    * timestamps, epoch days for dates). None unless EVERY live file
+    * carries the stat — a file whose footer lacked usable stats for the
+    * column (all-null, or written before the column joined `statsBy`)
+    * makes the manifest answer unknowable, and only a scan is correct.
+    * Empty table → None (SQL min/max of nothing is NULL, which the
+    * caller distinguishes from "don't know" via [[metaRowCount]]).
+    */
+  def metaMinMax(name: String, col: String): Option[(Long, Long)] = {
+    val entries = loadLatest(name)._2
+    if (entries.isEmpty || !entries.forall(_.stats.contains(col))) None
+    else Some((entries.map(_.stats(col)._1).min,
+      entries.map(_.stats(col)._2).max))
+  }
+
+  /** Manifest-only PER-PARTITION-SLICE statistics: live head entries
+    * grouped by the hive-decoded values of `cols` (any subset of the
+    * table's partition columns), each slice carrying its exact row
+    * count and the fold of per-file footer stats for every stat column
+    * covered by ALL of the slice's files. `count(*) GROUP BY day` over
+    * 100 TB becomes a manifest walk — the partition-grouped twin of
+    * [[metaRowCount]]. Values are the RAW partition-path strings
+    * (unescaped; the `__HIVE_DEFAULT_PARTITION__` null marker → null) —
+    * exactly what the read path feeds Spark's string→type cast, so a
+    * caller casting them reproduces scan semantics. None when `cols`
+    * isn't a non-empty subset of the partition columns, any live file
+    * predates row-count manifests, or a file's path lacks a partition
+    * segment (foreign-layout adoption) — fall back to a scan.
+    */
+  def metaPartitionStats(name: String, cols: Seq[String])
+      : Option[Seq[(Seq[String], Long, Map[String, (Long, Long)])]] = {
+    val parts = partitioning(name)
+    if (cols.isEmpty || !cols.forall(parts.contains)) return None
+    val entries = loadLatest(name)._2
+    if (entries.exists(_.rows < 0L)) return None
+    val decoded = entries.map { e =>
+      val kv = dirOf(name, e.rel).split('/').filter(_.nonEmpty).map { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) return None
+        seg.take(i) -> seg.drop(i + 1)
+      }.toMap
+      val vals = cols.map { c =>
+        kv.get(c) match {
+          case None => return None
+          case Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+          case Some(raw) => ExternalCatalogUtils.unescapePathName(raw)
+        }
+      }
+      (vals, e)
+    }
+    Some(decoded.groupBy(_._1).toSeq.map { case (vals, slice) =>
+      val es = slice.map(_._2)
+      val covered = es.map(_.stats.keySet).reduce(_ intersect _)
+      val stats = covered.map(c => c -> ((es.map(_.stats(c)._1).min,
+        es.map(_.stats(c)._2).max))).toMap
+      (vals, es.map(_.rows).sum, stats)
+    })
+  }
+
   /** Publish manifest `version` atomically (tmp write + atomic
     * publish). The publish is the COMMIT POINT: it either lands whole
     * or not at all, and it fails with [[Warehouse.CommitConflict]] if
@@ -453,7 +534,7 @@ class Warehouse(spark: SparkSession, dir: String,
     def entryLine(e: FileEntry): String = {
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
-      s"${e.rel}\t${e.bytes}\t$st"
+      s"${e.rel}\t${e.bytes}\t$st\t${e.rows}"
     }
     // checkpoint versions write the full file list; every other commit
     // writes only its DELTA vs the previous version — manifest bytes
@@ -665,7 +746,7 @@ class Warehouse(spark: SparkSession, dir: String,
                 require(fs.rename(new Path(staging, rel), dest),
                   s"$name: staging move failed for $rel")
                 val (rows, stats) = footerInfo(dest, cols)
-                (rows, FileEntry(rel, bytes, stats))
+                (rows, FileEntry(rel, bytes, stats, rows))
               }
             })
           }.map(_.get())
@@ -2132,7 +2213,7 @@ class Warehouse(spark: SparkSession, dir: String,
         (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map { e =>
           val st = e.stats.toSeq.sortBy(_._1)
             .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
-          s"${e.rel}\t${e.bytes}\t$st"
+          s"${e.rel}\t${e.bytes}\t$st\t${e.rows}"
         }).mkString("\n"), allowSibling = true)
       fs.delete(new Path(manifestDir(name), f"v$oldestKept%012d.mfd"), false)
     }
@@ -2172,12 +2253,15 @@ class Warehouse(spark: SparkSession, dir: String,
 }
 
 object Warehouse {
-  /** One live data file: table-relative path, size, and per-column
+  /** One live data file: table-relative path, size, per-column
     * long-encoded min/max footer stats (raw value for int/long columns,
-    * epoch micros for timestamps).
+    * epoch micros for timestamps), and the footer ROW COUNT (−1 when
+    * unknown — legacy manifests and adopted pre-existing files). Known
+    * row counts make `count(*)` a manifest sum ([[Warehouse!.metaRowCount]],
+    * the Delta/Iceberg metadata-only-query surface).
     */
   final case class FileEntry(rel: String, bytes: Long,
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, (Long, Long)], rows: Long = -1L)
 
   /** A manifest version another writer committed first. Appends resolve
     * this automatically (see [[Warehouse!.append]]); read-modify ops

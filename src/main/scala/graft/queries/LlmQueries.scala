@@ -3061,7 +3061,134 @@ object LlmQueries extends QueryPack {
                                     ORDER BY cosine DESC, id) AS rank
           FROM scored)
         SELECT qid, rank, id, cosine FROM ranked
-        WHERE rank <= 5 ORDER BY qid, rank"""))
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- q133: METADATA-ONLY aggregates under the hash gate — the
+    // Delta OptimizeMetadataOnlyQuery surface. After two inserts, a
+    // copy-on-write DELETE, and an UPDATE, the same count/min/max block
+    // is computed twice in one statement: once over the bare table
+    // (answered from the HEAD MANIFEST — per-file footer row counts and
+    // long-encoded stats, zero data files opened; WarehouseSqlSpec pins
+    // the LocalRelation plan) and once under `WHERE id >= 0` (the
+    // always-correct scan path). Both rows must hash-match the oracle's
+    // single recompute — if manifest metadata ever drifted from the
+    // data under DML, the meta row would break the hash. Exercises all
+    // three stat decodes: long, date (epoch days), timestamp (micros).
+    Q("q133_warehouse_meta_aggregates",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q133-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("oday", DateType),
+              StructField("ots", TimestampType),
+              StructField("val", DoubleType))),
+            statColumns = Seq("id", "oday", "ots"))))
+        wh.bootstrap()
+        wh.registerSql("meta133_")
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            col("o_orderdate").cast("date").as("oday"),
+            col("o_orderdate").as("ots"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("meta133_src")
+        s.sql("INSERT INTO meta133_t SELECT * FROM meta133_src WHERE id % 2 = 0")
+        s.sql("INSERT INTO meta133_t SELECT * FROM meta133_src WHERE id % 2 = 1")
+        s.sql("DELETE FROM meta133_t WHERE id % 97 = 0")
+        s.sql("UPDATE meta133_t SET val = val + 1 WHERE id % 11 = 0")
+        s.sql("""
+          SELECT 'meta' AS src, m.* FROM (
+            SELECT count(*) AS n_rows, min(id) AS id_lo, max(id) AS id_hi,
+                   min(oday) AS day_lo, max(oday) AS day_hi,
+                   min(ots) AS ts_lo, max(ots) AS ts_hi
+            FROM meta133_t) m
+          UNION ALL
+          SELECT 'scan' AS src, sc.* FROM (
+            SELECT count(*) AS n_rows, min(id) AS id_lo, max(id) AS id_hi,
+                   min(oday) AS day_lo, max(oday) AS day_hi,
+                   min(ots) AS ts_lo, max(ots) AS ts_hi
+            FROM meta133_t WHERE id >= 0) sc
+          ORDER BY src""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id,
+                 CAST(o_orderdate AS DATE) AS oday,
+                 o_orderdate AS ots
+          FROM orders),
+        kept AS (SELECT * FROM base WHERE id % 97 <> 0),
+        agg AS (
+          SELECT count(*) AS n_rows, min(id) AS id_lo, max(id) AS id_hi,
+                 min(oday) AS day_lo, max(oday) AS day_hi,
+                 min(ots) AS ts_lo, max(ots) AS ts_hi
+          FROM kept)
+        SELECT s.src, a.n_rows, a.id_lo, a.id_hi, a.day_lo, a.day_hi,
+               a.ts_lo, a.ts_hi
+        FROM (SELECT 'meta' AS src UNION ALL SELECT 'scan') s
+        CROSS JOIN agg a ORDER BY s.src""")),
+
+    // ---- q134: PARTITION-GROUPED metadata aggregates — q133's
+    // discipline one level down. `count(*) GROUP BY yr, status` over a
+    // partitioned warehouse table is answered from partition DIRECTORY
+    // values + per-file footer counts (per-group min/max folds the
+    // slice's footer stats), again twice in one statement: bare (the
+    // manifest walk; WarehouseSqlSpec pins the LocalRelation plan) and
+    // under `WHERE id >= 0` (the scan). Group values re-enter typed
+    // through the same string→type cast the scan path applies to
+    // partition dirs — the int year and the string status both
+    // round-trip. At 100 TB this is THE freshness dashboard query
+    // (rows per day per source), served without opening a file. ----
+    Q("q134_warehouse_meta_partition_counts",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q134-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("pt" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("yr", IntegerType),
+              StructField("status", StringType),
+              StructField("val", DoubleType))),
+            partitionBy = Seq("yr", "status"),
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        wh.registerSql("meta134_")
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            year(col("o_orderdate")).as("yr"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("meta134_src")
+        s.sql("INSERT INTO meta134_pt SELECT * FROM meta134_src WHERE id % 3 <> 0")
+        s.sql("INSERT INTO meta134_pt SELECT * FROM meta134_src WHERE id % 3 = 0")
+        s.sql("DELETE FROM meta134_pt WHERE id % 53 = 0")
+        val block =
+          """SELECT yr, status, count(*) AS n_rows,
+                    min(id) AS id_lo, max(id) AS id_hi
+             FROM meta134_pt"""
+        s.sql(s"""
+          SELECT 'meta' AS src, m.* FROM ($block GROUP BY yr, status) m
+          UNION ALL
+          SELECT 'scan' AS src, sc.* FROM (
+            $block WHERE id >= 0 GROUP BY yr, status) sc
+          ORDER BY src, yr, status""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id,
+                 CAST(year(o_orderdate) AS INTEGER) AS yr,
+                 o_orderstatus AS status
+          FROM orders),
+        kept AS (SELECT * FROM base WHERE id % 53 <> 0),
+        agg AS (
+          SELECT yr, status, count(*) AS n_rows,
+                 min(id) AS id_lo, max(id) AS id_hi
+          FROM kept GROUP BY yr, status)
+        SELECT s.src, a.yr, a.status, a.n_rows, a.id_lo, a.id_hi
+        FROM (SELECT 'meta' AS src UNION ALL SELECT 'scan') s
+        CROSS JOIN agg a ORDER BY s.src, a.yr, a.status"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -3,7 +3,7 @@ package graft.sql
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 
@@ -555,6 +555,137 @@ object WarehouseSql {
   }
 
   // ------------------------------------------------------------------
+  // METADATA-ONLY aggregates (Delta OptimizeMetadataOnlyQuery shape)
+  // ------------------------------------------------------------------
+
+  /** `SELECT count(*) [, min(c), max(c) ...] FROM wh_t` — optionally
+    * `GROUP BY <partition columns>` — with no WHERE, DISTINCT or FILTER
+    * is answered from the HEAD MANIFEST: row counts are sums of
+    * per-file footer counts, min/max the fold of per-file footer stats,
+    * partition groups the hive-decoded directory values the files
+    * already live under — without opening a single data file. At
+    * 100 TB that turns the two most common sanity queries in any
+    * pipeline (`count(*)`, `count(*) GROUP BY day`) into driver-side
+    * metadata reads.
+    *
+    * Soundness gates: every live file must carry a footer row count
+    * (legacy/adopted files → scan); every min/max column must be
+    * stat-covered in EVERY file of every answered slice (an all-null
+    * or untracked file makes the manifest answer unknowable → scan);
+    * the column's type must have a lossless long decode (int/long/
+    * short/byte, date, timestamp — the types footer stats encode); and
+    * group columns must be PARTITION columns (their values are exact
+    * in the file paths; group values re-enter typed through the same
+    * string→type cast the scan path applies to partition dirs).
+    * Copy-on-write DML keeps all of it exact (rewritten files re-enter
+    * with fresh footers). Disable with `spark.graft.metaOnlyAgg=false`.
+    */
+  private def rewriteMetaOnlyAgg(spark: SparkSession,
+      agg: Aggregate): Option[LogicalPlan] = {
+    val rel = agg.child match {
+      case r: UnresolvedRelation if !r.isStreaming => r
+      case _ => return None
+    }
+    val (wh, t) = lookup(spark, rel.multipartIdentifier)
+      .getOrElse(return None)
+    if (spark.conf.get("spark.graft.metaOnlyAgg", "true") != "true")
+      return None
+    // a view NAME resolves to view contents, not the state table the
+    // manifest describes — never answer it from that table's metadata
+    if (mvDefFor(wh, t).isDefined) return None
+    val schema = wh.tables(t)
+    def fieldOf(n: String) = schema.fields.find(_.name.equalsIgnoreCase(n))
+    import org.apache.spark.sql.types._
+    // manifest stats are long-encoded (footerInfo): decode back to the
+    // column's external type, or None for types stats never cover
+    def decoder(dt: DataType): Option[Long => Any] = dt match {
+      case IntegerType => Some(v => v.toInt)
+      case LongType => Some(v => v)
+      case ShortType => Some(v => v.toShort)
+      case ByteType => Some(v => v.toByte)
+      case DateType => Some(v =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v)))
+      case TimestampType => Some(v => java.sql.Timestamp.from(
+        java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)))
+      case _ => None
+    }
+    val groups = agg.groupingExpressions.map {
+      case UnresolvedAttribute(Seq(n)) => fieldOf(n).getOrElse(return None).name
+      case _ => return None
+    }
+    if (groups.distinct.size != groups.size) return None
+    sealed trait Item { def out: String }
+    case class GroupRef(fld: StructField, out: String) extends Item
+    case class CountAll(out: String) extends Item
+    case class MinMax(fn: String, fld: StructField, dec: Long => Any,
+        out: String) extends Item
+    def classify(core: Expression, alias: Option[String]): Option[Item] =
+      core match {
+        case UnresolvedAttribute(Seq(n))
+            if groups.exists(_.equalsIgnoreCase(n)) =>
+          fieldOf(n).map(f => GroupRef(f, alias.getOrElse(f.name)))
+        case f: UnresolvedFunction if !f.isDistinct && f.filter.isEmpty &&
+            f.orderingWithinGroup.isEmpty =>
+          (f.nameParts.map(_.toLowerCase), f.arguments) match {
+            case (Seq("count"), Seq(_: UnresolvedStar)) =>
+              Some(CountAll(alias.getOrElse("count(1)")))
+            case (Seq("count"), Seq(Literal(v, _))) if v != null =>
+              Some(CountAll(alias.getOrElse("count(1)")))
+            case (Seq(fn @ ("min" | "max")),
+                Seq(UnresolvedAttribute(Seq(c)))) =>
+              fieldOf(c).flatMap(fld => decoder(fld.dataType).map(dec =>
+                MinMax(fn, fld, dec, alias.getOrElse(s"$fn(${fld.name})"))))
+            case _ => None
+          }
+        case _ => None
+      }
+    val classified = agg.aggregateExpressions.map {
+      case Alias(core, name) => classify(core, Some(name))
+      case ua: UnresolvedAlias => classify(ua.child, None)
+      case e => classify(e, None)
+    }
+    if (classified.exists(_.isEmpty)) return None
+    val items = classified.map(_.get)
+    // slices: (group values as partition-path strings, rows, stat fold)
+    val slices: Seq[(Seq[String], Long, String => Option[(Long, Long)])] =
+      if (groups.isEmpty) {
+        val n = wh.metaRowCount(t).getOrElse(return None)
+        Seq((Nil, n, c => wh.metaMinMax(t, c)))
+      } else wh.metaPartitionStats(t, groups).getOrElse(return None)
+        .map { case (vals, n, st) => (vals, n, (c: String) => st.get(c)) }
+    val rows = slices.map { case (vals, n, statOf) =>
+      val cells = items.map {
+        case GroupRef(fld, _) => Some(vals(groups.indexOf(fld.name)))
+        case CountAll(_) => Some(n)
+        case MinMax(fn, fld, dec, _) =>
+          // empty global slice: SQL min/max of no rows is NULL; a
+          // grouped slice always holds ≥1 row (files with rows enter)
+          if (n == 0L) Some(null)
+          else statOf(fld.name).map { case (lo, hi) =>
+            dec(if (fn == "min") lo else hi) }
+      }
+      if (cells.exists(_.isEmpty)) return None
+      org.apache.spark.sql.Row.fromSeq(cells.map(_.get))
+    }
+    // group values ride as partition-path strings and re-enter typed
+    // through the same cast the scan path applies to partition dirs
+    val raw = StructType(items.zipWithIndex.map {
+      case (_: GroupRef, i) => StructField(s"c$i", StringType, true)
+      case (_: CountAll, i) => StructField(s"c$i", LongType, true)
+      case (m: MinMax, i) => StructField(s"c$i", m.fld.dataType, true)
+    })
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, raw)
+      .select(items.zipWithIndex.map {
+        case (g: GroupRef, i) => org.apache.spark.sql.functions.col(s"c$i")
+          .cast(g.fld.dataType).as(g.out)
+        case (it, i) =>
+          org.apache.spark.sql.functions.col(s"c$i").as(it.out)
+      }: _*)
+    Some(SubqueryAlias(rel.multipartIdentifier.head, GraftBridge.analyzed(df)))
+  }
+
+  // ------------------------------------------------------------------
   // CREATE TABLE — the reference's own DDL shape (script.py:77-83)
   // ------------------------------------------------------------------
 
@@ -785,26 +916,39 @@ object WarehouseSql {
     * relations and streaming relations pass through untouched.
     */
   private[sql] def rewriteReads(spark: SparkSession,
-      plan: LogicalPlan): LogicalPlan =
+      plan: LogicalPlan): LogicalPlan = {
+    // an Aggregate directly under HAVING must stay an Aggregate — the
+    // analyzer resolves UnresolvedHaving against its child's grouping,
+    // and both rewrites can replace the child with a Project
+    val underHaving = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.collectWithSubqueries {
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        underHaving.add(h.child)
+    }
     plan.transformDownWithSubqueries {
       // CTE definitions at parse time live in UnresolvedWith's
       // cteRelations TUPLES — not children, so no transform reaches
       // them on its own: rewrite each body explicitly (recursively, so
       // nested CTEs and their subqueries route too)
-      case agg: Aggregate =>
-        rewriteAggOverMv(spark, agg).getOrElse(agg)
+      case agg: Aggregate if !underHaving.contains(agg) =>
+        rewriteAggOverMv(spark, agg)
+          .orElse(rewriteMetaOnlyAgg(spark, agg)).getOrElse(agg)
       // a GLOBAL aggregate parses as a Project (the analyzer's
       // GlobalAggregates rule runs later) — treat it as an Aggregate
       // with no group columns when it visibly contains agg functions
       case p: Project if p.projectList.exists {
           case Alias(f: UnresolvedFunction, _) =>
             mvAggNames(f.nameParts.map(_.toLowerCase))
+          case UnresolvedAlias(f: UnresolvedFunction, _) =>
+            mvAggNames(f.nameParts.map(_.toLowerCase))
           case f: UnresolvedFunction =>
             mvAggNames(f.nameParts.map(_.toLowerCase))
           case _ => false
         } =>
-        rewriteAggOverMv(spark, Aggregate(Nil, p.projectList, p.child))
-          .getOrElse(p)
+        val asAgg = Aggregate(Nil, p.projectList, p.child)
+        rewriteAggOverMv(spark, asAgg)
+          .orElse(rewriteMetaOnlyAgg(spark, asAgg)).getOrElse(p)
       case w: UnresolvedWith =>
         w.copy(cteRelations = w.cteRelations.map { case (n, body, m) =>
           (n, rewriteReads(spark, body).asInstanceOf[SubqueryAlias], m)
@@ -834,6 +978,7 @@ object WarehouseSql {
         }
         SubqueryAlias(r.multipartIdentifier.head, GraftBridge.analyzed(df))
     }
+  }
 
   /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis. The
     * parser hands a foldable literal (string or timestamp); strings

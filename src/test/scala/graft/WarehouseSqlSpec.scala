@@ -651,4 +651,135 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(r.getString(3).contains("count(*) AS n"))
     assert(r.getBoolean(6), "view refreshed above - must be fresh")
   }
+
+  /** No data file is opened at all — the optimized plan has no relation
+    * over the table's directory (stronger than [[scans]]' negation
+    * alone: we also require a LocalRelation carrying the answer). */
+  private def metaOnly(df: org.apache.spark.sql.DataFrame,
+      table: String): Boolean =
+    !scans(df, table) && df.queryExecution.optimizedPlan.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+    }.nonEmpty
+
+  test("global count/min/max are answered from the manifest without " +
+      "opening a data file; DML keeps the answer exact; WHERE, " +
+      "untracked columns and the kill switch fall back to a scan") {
+    val wh = fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src")
+    spark.sql("INSERT INTO sdml_t SELECT id + 100, grp, val FROM sdml_src")
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM sdml_t")
+    assert(metaOnly(q, "t"))
+    assert(q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))) === Seq((40L, 1L, 120L)))
+    // copy-on-write DELETE rewrites files → manifest stays exact
+    spark.sql("DELETE FROM sdml_t WHERE id > 110 OR id = 1")
+    val afterDel = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM sdml_t")
+    assert(metaOnly(afterDel, "t"))
+    assert(afterDel.head() ===
+      org.apache.spark.sql.Row(29L, 2L, 110L))
+    // un-aliased items keep Spark's auto names
+    val bare = spark.sql("SELECT count(*), max(id) FROM sdml_t")
+    assert(metaOnly(bare, "t"))
+    assert(bare.columns.toSeq === Seq("count(1)", "max(id)"))
+    // a predicate makes the manifest answer unknowable → scan
+    val filtered = spark.sql("SELECT count(*) AS n FROM sdml_t WHERE id < 10")
+    assert(scans(filtered, "t") && filtered.head().getLong(0) === 8L)
+    // min/max of a column outside statsBy → scan, same answer
+    val untracked = spark.sql("SELECT min(val) AS lo FROM sdml_t")
+    assert(scans(untracked, "t") && untracked.head().getDouble(0) === 1.0)
+    // count(col) needs a null count the footer stats don't carry → scan
+    assert(scans(spark.sql("SELECT count(grp) AS n FROM sdml_t"), "t"))
+    // kill switch
+    spark.conf.set("spark.graft.metaOnlyAgg", "false")
+    try assert(scans(spark.sql("SELECT count(*) AS n FROM sdml_t"), "t"))
+    finally spark.conf.unset("spark.graft.metaOnlyAgg")
+    // TRUNCATE: empty table answers count 0 / NULL extrema from metadata
+    spark.sql("TRUNCATE TABLE sdml_t")
+    val empty = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo FROM sdml_t")
+    assert(metaOnly(empty, "t"))
+    assert(empty.head() === org.apache.spark.sql.Row(0L, null))
+    assert(wh.metaRowCount("t") === Some(0L))
+  }
+
+  test("count(*) GROUP BY partition columns is answered from partition " +
+      "directories and footer counts, per-group min/max folds per " +
+      "slice; HAVING, non-partition groups and partition-col extrema " +
+      "fall back to a scan") {
+    val dir = Files.createTempDirectory("graft-sqlwh-pmeta-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map("p" -> Warehouse.TableSpec(
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("grp", StringType),
+          StructField("yr", IntegerType),
+          StructField("val", DoubleType))),
+        partitionBy = Seq("grp", "yr"), statColumns = Seq("id"))))
+    wh.bootstrap()
+    wh.registerSql("smeta_")
+    (1L to 30L).map(i => (i, s"g${i % 3}", 2020 + (i % 2).toInt, i * 1.0))
+      .toDF("id", "grp", "yr", "val").createOrReplaceTempView("smeta_src")
+    spark.sql("INSERT INTO smeta_p SELECT * FROM smeta_src")
+    spark.sql("INSERT INTO smeta_p SELECT id + 100, grp, yr, val " +
+      "FROM smeta_src WHERE grp = 'g1'")
+    spark.sql("DELETE FROM smeta_p WHERE id = 3")
+    // full partition-set grouping
+    val q = spark.sql("SELECT grp, count(*) AS n, min(id) AS lo, " +
+      "max(id) AS hi FROM smeta_p GROUP BY grp ORDER BY grp")
+    assert(metaOnly(q, "p"))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("g0", 9L, 6L, 30L), ("g1", 20L, 1L, 128L),
+        ("g2", 10L, 2L, 29L)))
+    // SUBSET of the partition columns, typed group value: the int year
+    // decodes from the dir string through the scan path's own cast
+    val byYr = spark.sql("SELECT yr, count(*) AS n, min(id) AS lo, " +
+      "max(id) AS hi FROM smeta_p GROUP BY yr ORDER BY yr")
+    assert(metaOnly(byYr, "p"))
+    assert(byYr.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((2020, 20L, 2L, 128L), (2021, 19L, 1L, 125L)))
+    // HAVING stays on the always-correct scan path (the Aggregate
+    // under UnresolvedHaving must remain an Aggregate)
+    val hv = spark.sql("SELECT grp, count(*) AS n FROM smeta_p " +
+      "GROUP BY grp HAVING count(*) > 9 ORDER BY grp")
+    assert(scans(hv, "p"))
+    assert(hv.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("g1", 20L), ("g2", 10L)))
+    // non-partition group column → scan
+    assert(scans(spark.sql(
+      "SELECT val, count(*) AS n FROM smeta_p GROUP BY val"), "p"))
+    // extrema of a partition column: dir-encoded, no footer stats → scan
+    val pm = spark.sql("SELECT min(grp) AS lo FROM smeta_p")
+    assert(scans(pm, "p") && pm.head().getString(0) === "g0")
+  }
+
+  test("adopted pre-existing files have no footer counts in the " +
+      "manifest - metadata answers decline and the scan answers") {
+    val dir = Files.createTempDirectory("graft-sqlwh-adopt-").toString
+    // files land BEFORE the warehouse exists: bootstrap adopts the
+    // listing verbatim, with no row counts and no stats
+    (1L to 7L).map(i => (i, s"g$i", i * 1.0)).toDF("id", "grp", "val")
+      .write.parquet(s"$dir/t")
+    val wh = new Warehouse(spark, dir,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("id"))))
+    wh.bootstrap()
+    wh.registerSql("sadopt_")
+    assert(wh.metaRowCount("t") === None)
+    assert(wh.metaMinMax("t", "id") === None)
+    val q = spark.sql("SELECT count(*) AS n, max(id) AS hi FROM sadopt_t")
+    assert(scans(q, "t"))
+    assert(q.head() === org.apache.spark.sql.Row(7L, 7L))
+    // the first REAL write replaces nothing, so the unknown-count files
+    // remain live and the table stays scan-answered — correctness
+    // never depends on the upgrade
+    spark.sql("INSERT INTO sadopt_t SELECT 8, 'g8', 8.0")
+    val q2 = spark.sql("SELECT count(*) AS n FROM sadopt_t")
+    assert(scans(q2, "t") && q2.head().getLong(0) === 8L)
+  }
 }
