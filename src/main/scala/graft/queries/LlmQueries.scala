@@ -3188,7 +3188,83 @@ object LlmQueries extends QueryPack {
           FROM kept GROUP BY yr, status)
         SELECT s.src, a.yr, a.status, a.n_rows, a.id_lo, a.id_hi
         FROM (SELECT 'meta' AS src UNION ALL SELECT 'scan') s
-        CROSS JOIN agg a ORDER BY s.src, a.yr, a.status"""))
+        CROSS JOIN agg a ORDER BY s.src, a.yr, a.status""")),
+
+    // ---- q135: STREAM-STREAM JOIN of two live warehouse sources under
+    // the hash gate — the fact-enrichment composition
+    // (WarehouseSourceSpec proves the restart semantics; this gates the
+    // values). Facts and dims land in INTERLEAVED waves: wave 1 joins
+    // only even-custkey facts (odd-custkey facts are HELD in join
+    // state), wave 2 delivers the odd dims and must emit the held
+    // facts exactly once — across an AvailableNow drain boundary and
+    // an idle checkpointed restart. The joined event log then folds to
+    // per-segment totals the oracle recomputes as a plain batch join:
+    // a dropped held row, a double emission after restart, or a lost
+    // source offset all break the hash. ----
+    Q("q135_warehouse_stream_stream_join",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val root = graft.util.Scratch.dir("graft-q135-").toString
+        val src = new graft.pipeline.Warehouse(s, s"$root/src",
+          specs = Map(
+            "fact" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+              StructField("id", LongType, nullable = false),
+              StructField("custkey", LongType),
+              StructField("val", DoubleType)))),
+            "dim" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+              StructField("custkey", LongType, nullable = false),
+              StructField("seg", StringType))))))
+        src.bootstrap()
+        val down = new graft.pipeline.Warehouse(s, s"$root/down",
+          specs = Map("log" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("custkey", LongType),
+              StructField("val", DoubleType),
+              StructField("seg", StringType))))))
+        down.bootstrap()
+        def drain(): Unit = {
+          val fact = s.readStream.format("graft-warehouse")
+            .option("path", s"$root/src").option("table", "fact").load()
+          val dim = s.readStream.format("graft-warehouse")
+            .option("path", s"$root/src").option("table", "dim").load()
+          val q = fact.join(dim, "custkey")
+            .select(col("id"), col("custkey"), col("val"), col("seg"))
+            .writeStream.format("graft-warehouse")
+            .option("path", s"$root/down").option("table", "log")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val facts = t(s, dir, "orders").select(
+          col("o_orderkey").as("id"), col("o_custkey").as("custkey"),
+          col("o_totalprice").as("val"))
+          .where(col("id") % 3 <= 1)
+        val dims = t(s, dir, "customer").select(
+          col("c_custkey").as("custkey"), col("c_mktsegment").as("seg"))
+        src.append("fact", facts)                           // all facts
+        src.append("dim", dims.where(col("custkey") % 2 === 0))
+        drain()                   // wave 1: odd-custkey facts held
+        src.append("dim", dims.where(col("custkey") % 2 === 1))
+        drain()                   // wave 2: held facts emit exactly once
+        drain()                   // idle restart: nothing re-emits
+        down.read("log").groupBy(col("seg"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            round(sum(col("val")), 2).as("total"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH fact AS (
+          SELECT o_orderkey AS id, o_custkey AS custkey,
+                 o_totalprice AS "val"
+          FROM orders WHERE o_orderkey % 3 <= 1),
+        dim AS (
+          SELECT c_custkey AS custkey, c_mktsegment AS seg FROM customer)
+        SELECT d.seg, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(f."val"), 2) AS total
+        FROM fact f JOIN dim d USING (custkey)
+        GROUP BY d.seg ORDER BY d.seg"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
