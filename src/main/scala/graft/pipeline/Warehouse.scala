@@ -429,9 +429,19 @@ class Warehouse(spark: SparkSession, dir: String,
     * DELETE/UPDATE/MERGE rewrite files, and rewritten files re-enter
     * the manifest with fresh footer counts.
     */
-  def metaRowCount(name: String): Option[Long] = {
-    val entries = loadLatest(name)._2
+  def metaRowCount(name: String, versionAsOf: Option[Long] = None)
+      : Option[Long] = {
+    val entries = metaEntries(name, versionAsOf)
     if (entries.exists(_.rows < 0L)) None else Some(entries.map(_.rows).sum)
+  }
+
+  /** The entry list a metadata answer folds over: the head manifest, or
+    * a pinned past version — time travel is free here, every manifest
+    * IS a snapshot. */
+  private def metaEntries(name: String, versionAsOf: Option[Long])
+      : Seq[FileEntry] = versionAsOf match {
+    case Some(v) => loadAt(name, v)
+    case None => loadLatest(name)._2
   }
 
   /** EXACT head min/max for a stat-tracked column, long-encoded exactly
@@ -443,8 +453,9 @@ class Warehouse(spark: SparkSession, dir: String,
     * Empty table → None (SQL min/max of nothing is NULL, which the
     * caller distinguishes from "don't know" via [[metaRowCount]]).
     */
-  def metaMinMax(name: String, col: String): Option[(Long, Long)] = {
-    val entries = loadLatest(name)._2
+  def metaMinMax(name: String, col: String,
+      versionAsOf: Option[Long] = None): Option[(Long, Long)] = {
+    val entries = metaEntries(name, versionAsOf)
     if (entries.isEmpty || !entries.forall(_.stats.contains(col))) None
     else Some((entries.map(_.stats(col)._1).min,
       entries.map(_.stats(col)._2).max))
@@ -464,11 +475,12 @@ class Warehouse(spark: SparkSession, dir: String,
     * predates row-count manifests, or a file's path lacks a partition
     * segment (foreign-layout adoption) — fall back to a scan.
     */
-  def metaPartitionStats(name: String, cols: Seq[String])
+  def metaPartitionStats(name: String, cols: Seq[String],
+      versionAsOf: Option[Long] = None)
       : Option[Seq[(Seq[String], Long, Map[String, (Long, Long)])]] = {
     val parts = partitioning(name)
     if (cols.isEmpty || !cols.forall(parts.contains)) return None
-    val entries = loadLatest(name)._2
+    val entries = metaEntries(name, versionAsOf)
     if (entries.exists(_.rows < 0L)) return None
     val decoded = entries.map { e =>
       val kv = dirOf(name, e.rel).split('/').filter(_.nonEmpty).map { seg =>

@@ -256,6 +256,9 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     AttributeReference("table", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = false)(),
+    // exact manifest row count; null when any live file predates
+    // row-count manifests (see Warehouse.metaRowCount)
+    AttributeReference("row_count", LongType)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType)(),
     AttributeReference("stat_columns", StringType)(),
@@ -276,7 +279,9 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
       else (null, None)
     val borrowed = entries.count(e =>
       new org.apache.hadoop.fs.Path(e.rel).isAbsolute)
-    Seq(Row(table, v, entries.size.toLong, entries.map(_.bytes).sum,
+    Seq(Row(table, v, entries.size.toLong,
+      wh.metaRowCount(table).map(Long.box).orNull,
+      entries.map(_.bytes).sum,
       spec.partitionBy.mkString(","), spec.statColumns.mkString(","),
       spec.bloomColumns.mkString(","),
       spec.checks.toSeq.sortBy(_._1)

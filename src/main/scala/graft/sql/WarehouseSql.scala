@@ -582,14 +582,25 @@ object WarehouseSql {
     */
   private def rewriteMetaOnlyAgg(spark: SparkSession,
       agg: Aggregate): Option[LogicalPlan] = {
-    val rel = agg.child match {
-      case r: UnresolvedRelation if !r.isStreaming => r
+    // time travel is free for metadata answers — every manifest IS a
+    // snapshot, so VERSION/TIMESTAMP AS OF just pins the entry list
+    val (rel, travel) = agg.child match {
+      case r: UnresolvedRelation if !r.isStreaming => (r, None)
+      case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
+          if !r.isStreaming =>
+        (r, Some((ts, ver)))
       case _ => return None
     }
     val (wh, t) = lookup(spark, rel.multipartIdentifier)
       .getOrElse(return None)
     if (spark.conf.get("spark.graft.metaOnlyAgg", "true") != "true")
       return None
+    val versionAsOf: Option[Long] = travel.map {
+      case (None, Some(v)) => v.toLong
+      case (Some(e), None) => wh.versionAt(t,
+        evalTimestampMillis(rel.multipartIdentifier.head, e))
+      case _ => return None
+    }
     // a view NAME resolves to view contents, not the state table the
     // manifest describes — never answer it from that table's metadata
     if (mvDefFor(wh, t).isDefined) return None
@@ -649,9 +660,10 @@ object WarehouseSql {
     // slices: (group values as partition-path strings, rows, stat fold)
     val slices: Seq[(Seq[String], Long, String => Option[(Long, Long)])] =
       if (groups.isEmpty) {
-        val n = wh.metaRowCount(t).getOrElse(return None)
-        Seq((Nil, n, c => wh.metaMinMax(t, c)))
-      } else wh.metaPartitionStats(t, groups).getOrElse(return None)
+        val n = wh.metaRowCount(t, versionAsOf).getOrElse(return None)
+        Seq((Nil, n, c => wh.metaMinMax(t, c, versionAsOf)))
+      } else wh.metaPartitionStats(t, groups, versionAsOf)
+        .getOrElse(return None)
         .map { case (vals, n, st) => (vals, n, (c: String) => st.get(c)) }
     val rows = slices.map { case (vals, n, statOf) =>
       val cells = items.map {

@@ -502,9 +502,10 @@ class WarehouseSqlSpec extends SparkSpec {
     val d = spark.sql("DESCRIBE DETAIL sdml_t").head()
     assert(d.getString(0) === "t")
     assert(d.getLong(1) === wh.versions("t").max)
-    assert(d.getLong(2) > 0L && d.getLong(3) > 0L) // files, bytes
-    assert(d.getString(5) === "id")                // stat columns
-    assert(d.getString(7) === "pos: val >= 0")     // checks
+    assert(d.getLong(2) > 0L && d.getLong(4) > 0L) // files, bytes
+    assert(d.getLong(3) === 20L)                   // manifest row count
+    assert(d.getString(6) === "id")                // stat columns
+    assert(d.getString(8) === "pos: val >= 0")     // checks
   }
 
   test("CREATE TABLE: the reference's verbatim DDL runs (empty prefix)") {
@@ -681,6 +682,12 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(metaOnly(afterDel, "t"))
     assert(afterDel.head() ===
       org.apache.spark.sql.Row(29L, 2L, 110L))
+    // time travel pins the manifest snapshot — still metadata-only
+    // (v1 bootstrap, v2/v3 the two inserts, v4 the delete)
+    val tt = spark.sql(
+      "SELECT count(*) AS n, max(id) AS hi FROM sdml_t VERSION AS OF 3")
+    assert(metaOnly(tt, "t"))
+    assert(tt.head() === org.apache.spark.sql.Row(40L, 120L))
     // un-aliased items keep Spark's auto names
     val bare = spark.sql("SELECT count(*), max(id) FROM sdml_t")
     assert(metaOnly(bare, "t"))
