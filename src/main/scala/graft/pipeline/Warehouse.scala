@@ -320,15 +320,18 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   private def parseEntry(line: String): FileEntry = {
-    // 4th field (row count) is absent in pre-round-8 manifests → −1
-    val Array(rel, bytes, stats, rows) = line.split('\t').padTo(4, "")
+    // 4th field (row count) and 5th/6th (deletion vector ref + count)
+    // are absent in earlier manifests → unknown / none
+    val Array(rel, bytes, stats, rows, dv, dvRows) =
+      line.split('\t').padTo(6, "")
     val parsed = stats.split(';').filter(_.nonEmpty).map { s =>
       val Array(c, mm) = s.split('=')
       val Array(lo, hi) = mm.split(':')
       c -> ((lo.toLong, hi.toLong))
     }.toMap
     FileEntry(rel, bytes.toLong, parsed,
-      if (rows.isEmpty) -1L else rows.toLong)
+      if (rows.isEmpty) -1L else rows.toLong,
+      dv, if (dvRows.isEmpty) 0L else dvRows.toLong)
   }
 
   /** The file list committed as manifest `version`: walk BACK from
@@ -432,7 +435,8 @@ class Warehouse(spark: SparkSession, dir: String,
   def metaRowCount(name: String, versionAsOf: Option[Long] = None)
       : Option[Long] = {
     val entries = metaEntries(name, versionAsOf)
-    if (entries.exists(_.rows < 0L)) None else Some(entries.map(_.rows).sum)
+    if (entries.exists(_.rows < 0L)) None
+    else Some(entries.map(e => e.rows - e.dvRows).sum)
   }
 
   /** The entry list a metadata answer folds over: the head manifest, or
@@ -456,7 +460,10 @@ class Warehouse(spark: SparkSession, dir: String,
   def metaMinMax(name: String, col: String,
       versionAsOf: Option[Long] = None): Option[(Long, Long)] = {
     val entries = metaEntries(name, versionAsOf)
-    if (entries.isEmpty || !entries.forall(_.stats.contains(col))) None
+    // a deletion vector may have removed the very row a footer extremum
+    // came from — a vectored file makes the fold unknowable
+    if (entries.isEmpty || entries.exists(_.dvRows > 0L) ||
+        !entries.forall(_.stats.contains(col))) None
     else Some((entries.map(_.stats(col)._1).min,
       entries.map(_.stats(col)._2).max))
   }
@@ -499,11 +506,18 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     Some(decoded.groupBy(_._1).toSeq.map { case (vals, slice) =>
       val es = slice.map(_._2)
-      val covered = es.map(_.stats.keySet).reduce(_ intersect _)
+      // per-slice min/max folds are unknowable once any of the slice's
+      // files carries a deletion vector (the extremum may be deleted);
+      // counts stay exact — they just subtract the vector sizes
+      val covered =
+        if (es.exists(_.dvRows > 0L)) Set.empty[String]
+        else es.map(_.stats.keySet).reduce(_ intersect _)
       val stats = covered.map(c => c -> ((es.map(_.stats(c)._1).min,
         es.map(_.stats(c)._2).max))).toMap
-      (vals, es.map(_.rows).sum, stats)
-    })
+      (vals, es.map(e => e.rows - e.dvRows).sum, stats)
+      // a slice whose every row is vectored away yields NO group in a
+      // scan — mirror that (live == 0 ⇒ drop the slice)
+    }.filter(_._2 > 0L))
   }
 
   /** Publish manifest `version` atomically (tmp write + atomic
@@ -543,26 +557,26 @@ class Warehouse(spark: SparkSession, dir: String,
       if (fullMeta.isEmpty) Nil
       else Seq("#" + fullMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("\t"))
-    def entryLine(e: FileEntry): String = {
-      val st = e.stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
-      s"${e.rel}\t${e.bytes}\t$st\t${e.rows}"
-    }
+    def entryLine(e: FileEntry): String = Warehouse.formatEntry(e)
     // checkpoint versions write the full file list; every other commit
     // writes only its DELTA vs the previous version — manifest bytes
     // bounded by the batch, not the table (see class checkpointInterval
-    // doc). The diff is an in-memory rel-keyed set compare of lists the
-    // commit already holds; entries never change under the same rel
-    // (rewrites always mint fresh names), so rel identity is enough.
+    // doc). The diff is an in-memory rel-keyed compare of lists the
+    // commit already holds. Data files never change under a rel
+    // (rewrites mint fresh names), but an entry's METADATA can — a
+    // vectored delete swaps the deletion-vector ref in place — so an
+    // entry differing from its predecessor under the same rel re-emits
+    // as `+` (delta replay overwrites by rel).
     val body =
       if (isCheckpointVersion(version))
         (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map(entryLine))
           .mkString("\n")
       else {
         val prev = loadAt(name, version - 1)
-        val prevSet = prev.map(_.rel).toSet
+        val prevByRel = prev.map(e => e.rel -> e).toMap
         val curSet = entries.map(_.rel).toSet
-        val adds = entries.filterNot(e => prevSet(e.rel)).sortBy(_.rel)
+        val adds = entries.filterNot(e => prevByRel.get(e.rel).contains(e))
+          .sortBy(_.rel)
         val removes = prev.map(_.rel).filterNot(curSet).sorted
         (DeltaHeader +: metaLine ++:
           (adds.map(e => s"+\t${entryLine(e)}") ++
@@ -999,7 +1013,9 @@ class Warehouse(spark: SparkSession, dir: String,
       s"shallowClone: $src v$v is not clonable: ${gone.size} file(s) " +
         s"GC'd (e.g. ${gone.headOption.map(_.rel).getOrElse("")})")
     val borrowed = entries.map(e =>
-      e.copy(rel = new Path(path(src), e.rel).toString))
+      e.copy(rel = new Path(path(src), e.rel).toString,
+        dv = if (e.dv.isEmpty || new Path(e.dv).isAbsolute) e.dv
+          else new Path(path(src), e.dv).toString))
     // Existence check + insert in ONE critical section: two concurrent
     // clones (or clone vs createTable) to the same dst must not both
     // pass the check — and because only the guarded winner inserts, the
@@ -1259,23 +1275,87 @@ class Warehouse(spark: SparkSession, dir: String,
     * `sinceVersion`); missing files fail fast here like [[readVersion]].
     */
   def readChangeFeed(name: String, sinceVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     require(versions(name).contains(sinceVersion),
       s"$name has no manifest v$sinceVersion to diff from")
     val before = loadAt(name, sinceVersion)
-    val beforeSet = before.map(_.rel).toSet
     val latest = loadLatest(name)._2
-    val latestSet = latest.map(_.rel).toSet
-    val added = latest.filterNot(e => beforeSet(e.rel))
-    val removed = before.filterNot(e => latestSet(e.rel))
     val fs = fileSystem
-    val gone = removed.filterNot(e => fs.exists(new Path(path(name), e.rel)))
+    val latestSet = latest.map(_.rel).toSet
+    val gone = before.filterNot(e => latestSet(e.rel))
+      .filterNot(e => fs.exists(new Path(path(name), e.rel)))
     require(gone.isEmpty,
       s"$name change feed since v$sinceVersion unreadable: ${gone.size} " +
         s"removed file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
         "warehouse with retainReplaced=true to keep feeds consumable")
-    dfFor(name, added).withColumn("_change_delta", lit(1))
-      .unionByName(dfFor(name, removed).withColumn("_change_delta", lit(-1)))
+    changeFeedDf(name, before, latest, isStreaming = false)
+  }
+
+  /** The CHANGE FEED between two entry snapshots — the shared core of
+    * [[readChangeFeed]] and the streaming CDF source:
+    *   +1  rows of rels ADDED since `before` (each entry's own vector
+    *       applied — rows both added and vectored away inside the window
+    *       net out by never appearing);
+    *   −1  rows of rels REMOVED since (the BEFORE entry's vector
+    *       applied — rows already deleted then must not retract again);
+    *   −1  rows a GROWN DELETION VECTOR removed from a file present on
+    *       both sides (the merge-on-read delete's retractions: exactly
+    *       the positions in dvNow ∖ dvThen, read back from the live
+    *       file).
+    * Delta-weighted folds stay exact across copy-on-write DML,
+    * compaction, and vectored deletes alike.
+    */
+  private[graft] def changeFeedDf(name: String, before: Seq[FileEntry],
+      latest: Seq[FileEntry], isStreaming: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val beforeByRel = before.map(e => e.rel -> e).toMap
+    val latestSet = latest.map(_.rel).toSet
+    val added = latest.filterNot(e => beforeByRel.contains(e.rel))
+    val removed = before.filterNot(e => latestSet(e.rel))
+    val dvGrown = latest.flatMap { e =>
+      beforeByRel.get(e.rel) match {
+        case Some(b) if e.dvRows > b.dvRows || (e.dv != b.dv && e.dvRows > 0) =>
+          val now = if (e.dv.isEmpty) Array.empty[Long]
+            else readDvFile(name, e.dv)
+          val thenSet = (if (b.dv.isEmpty) Array.empty[Long]
+            else readDvFile(name, b.dv)).toSet
+          val diff = now.filterNot(thenSet)
+          if (diff.isEmpty) None else Some((e, diff))
+        case _ => None
+      }
+    }
+    dfFor(name, added, isStreaming).withColumn("_change_delta", lit(1))
+      .unionByName(dfFor(name, removed, isStreaming)
+        .withColumn("_change_delta", lit(-1)))
+      .unionByName(dfForPositions(name, dvGrown, isStreaming)
+        .withColumn("_change_delta", lit(-1)))
+  }
+
+  /** Rows of `picks`' files at exactly the given physical positions —
+    * the POSITIVE selection twin of [[applyDv]], used to read back the
+    * rows a grown deletion vector removed.
+    */
+  private def dfForPositions(name: String,
+      picks: Seq[(FileEntry, Array[Long])],
+      isStreaming: Boolean): DataFrame = {
+    if (picks.isEmpty) return dfFor(name, Nil, isStreaming)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.functions.col
+    // strip the entries' own vectors: selection is explicit here
+    val base = org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(relationFor(name,
+        picks.map(_._1.copy(dv = "", dvRows = 0L))), isStreaming))
+    val cols = base.columns.toSeq.map(col)
+    val keys = picks.map { case (e, _) =>
+      if (e.rel.startsWith("/")) e.rel else "/" + e.rel }.toArray
+    val lookup = new graft.plans.DvLookup(keys, picks.map(_._2).toArray)
+    base.select(cols :+ col("_metadata.file_path").as("__gf_dv_path")
+      :+ col("_metadata.row_index").as("__gf_dv_idx"): _*)
+      .where(org.apache.spark.sql.GraftBridge.toColumn(
+        graft.plans.DvRowDeleted(
+          org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_path")),
+          org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_idx")),
+          lookup)))
+      .select(cols: _*)
   }
 
   /** Manifest entries → DataFrame through [[ManifestFileIndex]]: scan
@@ -1301,8 +1381,161 @@ class Warehouse(spark: SparkSession, dir: String,
           Seq.empty, isStreaming = true))
     }
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    org.apache.spark.sql.GraftBridge.ofRows(spark,
-      LogicalRelation(relationFor(name, entries), isStreaming))
+    applyDv(name, entries, org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(relationFor(name, entries), isStreaming)))
+  }
+
+  // ------------------------------------------------------------------
+  // deletion vectors (merge-on-read DELETE)
+  // ------------------------------------------------------------------
+
+  /** Filter the entries' DELETION VECTORS out of a manifest-planned
+    * scan: rows whose `(_metadata.file_path, _metadata.row_index)` a
+    * sidecar marks deleted never surface. A no-op (the unmodified plan)
+    * when no entry carries a vector — the common case pays nothing.
+    * Runs inside whole-stage codegen ([[graft.plans.DvRowDeleted]]);
+    * every entry applies ITS OWN vector, so time travel, change feeds
+    * and clones all see the snapshot their manifest describes.
+    */
+  private def applyDv(name: String, entries: Seq[FileEntry],
+      base: DataFrame): DataFrame = {
+    if (!entries.exists(e => e.dv.nonEmpty && e.dvRows > 0)) return base
+    import org.apache.spark.sql.functions.col
+    val cols = base.columns.toSeq.map(col)
+    scanWithDvMeta(name, entries, base).select(cols: _*)
+  }
+
+  /** The DV-filtered scan WITH the file-position columns still exposed
+    * (`__gf_dv_path`, `__gf_dv_idx`) — metadata attributes must be
+    * projected before anything else drops them. [[deleteVectored]]
+    * builds its position sets from this form.
+    */
+  private def scanWithDvMeta(name: String, entries: Seq[FileEntry],
+      base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val cols = base.columns.toSeq.map(col)
+    val withMeta = base.select(
+      cols :+ col("_metadata.file_path").as("__gf_dv_path")
+        :+ col("_metadata.row_index").as("__gf_dv_idx"): _*)
+    val dved = entries.filter(e => e.dv.nonEmpty && e.dvRows > 0)
+    if (dved.isEmpty) withMeta
+    else withMeta.where(not(org.apache.spark.sql.GraftBridge.toColumn(
+      graft.plans.DvRowDeleted(
+        org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_path")),
+        org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_idx")),
+        dvLookup(name, dved)))))
+  }
+
+  /** Load the entries' sidecars into the executor-side lookup. Keys are
+    * leading-slash path suffixes of the data files (unique within one
+    * manifest; absolute borrowed rels are already full paths).
+    */
+  private def dvLookup(name: String,
+      dved: Seq[FileEntry]): graft.plans.DvLookup = {
+    val keys = dved.map(e =>
+      if (e.rel.startsWith("/")) e.rel else "/" + e.rel).toArray
+    val arrs = dved.map(e => readDvFile(name, e.dv)).toArray
+    new graft.plans.DvLookup(keys, arrs)
+  }
+
+  /** A deletion-vector sidecar: "GDV1" magic, big-endian count, then
+    * `count` big-endian long row positions, sorted ascending. Sidecars
+    * are IMMUTABLE — growth writes a fresh file with the union — and
+    * live under the owning table's `_dv/` dir (entry refs are
+    * table-relative, absolute once borrowed by a clone, like data
+    * rels).
+    */
+  private def readDvFile(name: String, dv: String): Array[Long] = {
+    val p = if (new Path(dv).isAbsolute) new Path(dv)
+      else new Path(path(name), dv)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fileSystem.open(p)))
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII)
+        == "GDV1", s"$name: bad deletion-vector magic in $dv")
+      val n = in.readLong()
+      require(n >= 0 && n < Int.MaxValue, s"$name: bad dv count $n in $dv")
+      val out = new Array[Long](n.toInt)
+      var i = 0
+      while (i < out.length) { out(i) = in.readLong(); i += 1 }
+      out
+    } finally in.close()
+  }
+
+  private def writeDvFile(name: String, positions: Array[Long]): String = {
+    val rel = s"_dv/${java.util.UUID.randomUUID}.dv"
+    val p = new Path(path(name), rel)
+    fileSystem.mkdirs(p.getParent)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fileSystem.create(p, false)))
+    try {
+      out.write("GDV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.writeLong(positions.length.toLong)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+    rel
+  }
+
+  /** Merge-on-read DELETE: mark matching rows deleted in per-file
+    * DELETION VECTORS instead of rewriting the files — the thin-delete
+    * path ([[delete]] is the wide-delete path). At 100 TB, removing a
+    * 0.01% slice under copy-on-write rewrites every touched file;
+    * here it writes sidecars proportional to the DELETED rows and one
+    * manifest delta. Reads apply vectors inside the scan (codegen
+    * filter), DML rewrites materialize them automatically (they read
+    * through the same plan), and [[compact]] purges them.
+    *
+    * The matched positions pass through the driver (grouped into
+    * per-file sorted arrays — the same driver-state shape Delta's DV
+    * writer uses), so the thin-delete contract is enforced:
+    * `maxRows` (default 10M) caps the collected positions and the call
+    * fails fast past it, naming [[delete]] as the wide-delete tool.
+    *
+    * @return number of rows newly deleted
+    */
+  def deleteVectored(name: String, cond: org.apache.spark.sql.Column,
+      maxRows: Long = 10000000L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"deleteVectored $name: table not bootstrapped")
+    val candidates = touchedFiles(name, entries, cond)
+    if (candidates.isEmpty) return 0L
+    // the scan applies EXISTING vectors, so already-deleted rows can't
+    // match again; row_index is the physical position either way
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val matched = scanWithDvMeta(name, candidates,
+      org.apache.spark.sql.GraftBridge.ofRows(spark,
+        LogicalRelation(relationFor(name, candidates), false)))
+      .where(coalesce(cond, lit(false)))
+      .select(col("__gf_dv_path").as("p"), col("__gf_dv_idx").as("i"))
+    val n = matched.count()
+    if (n == 0L) return 0L
+    require(n <= maxRows,
+      s"deleteVectored $name: $n matching rows exceed maxRows=$maxRows — " +
+        "use delete() (copy-on-write) for wide deletes")
+    val byPath = matched.collect().groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+    val byRel = candidates.flatMap { e =>
+      val key = if (e.rel.startsWith("/")) e.rel else "/" + e.rel
+      byPath.collectFirst { case (p, idxs) if p.endsWith(key) => e -> idxs }
+    }
+    val updated = byRel.map { case (e, fresh) =>
+      val old = if (e.dv.isEmpty) Array.empty[Long] else readDvFile(name, e.dv)
+      val union = (old ++ fresh).distinct.sorted
+      e -> e.copy(dv = writeDvFile(name, union),
+        dvRows = union.length.toLong)
+    }.toMap
+    maybeCrash("after-write")
+    beforeCommit.foreach(_())
+    commit(name, v + 1, entries.map(e => updated.getOrElse(e, e)),
+      Map("op" -> "delete", "mode" -> "merge-on-read",
+        "numRowsDeleted" -> n.toString,
+        "numDeletionVectors" -> updated.size.toString))
+    maybeCrash("after-commit")
+    // superseded sidecars are invisible orphans; vacuum collects them
+    n
   }
 
   /** The manifest-planned `HadoopFsRelation` itself — the BaseRelation
@@ -1760,6 +1993,13 @@ class Warehouse(spark: SparkSession, dir: String,
       new Path(e.rel).isAbsolute || lent(e.rel)).foreach { e =>
       try { fs.delete(new Path(path(name), e.rel), false); () }
       catch { case _: java.io.IOException => () }
+      // the replaced file's deletion vector dies with it (a rewrite
+      // materialized it); borrowed/absolute sidecars stay — a clone's
+      // reads still reference them
+      if (e.dv.nonEmpty && !new Path(e.dv).isAbsolute && !lent(e.dv)) {
+        try { fs.delete(new Path(path(name), e.dv), false); () }
+        catch { case _: java.io.IOException => () }
+      }
       bloomCols.foreach { c =>
         try {
           fs.delete(new Path(bloomDir(name), bloomFileName(e.rel, c)), false)
@@ -2195,6 +2435,19 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val staging = new Path(path(name), "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
+    // deletion-vector sidecars: live = referenced by any KEPT manifest
+    // (superseded vectors of further deletes, and vectors of files
+    // rewritten past retention, are orphans) or borrowed by a clone
+    val dvDir = new Path(path(name), "_dv")
+    if (fs.exists(dvDir)) {
+      val liveDvs = kept.flatMap(loadAt(name, _))
+        .collect { case e if e.dv.nonEmpty && !new Path(e.dv).isAbsolute =>
+          e.dv } .toSet ++ live.filter(_.startsWith("_dv/"))
+      fs.listStatus(dvDir).foreach { st =>
+        if (!liveDvs.contains(s"_dv/${st.getPath.getName}"))
+          fs.delete(st.getPath, false)
+      }
+    }
     // bloom sidecars of non-live files (replaced past retention, crash
     // leftovers): keep any sidecar whose rel-hash prefix matches a live
     // file, drop the rest
@@ -2222,11 +2475,8 @@ class Warehouse(spark: SparkSession, dir: String,
         else Seq("#" + meta.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString("\t"))
       publishManifest(name, f"v$oldestKept%012d.mf",
-        (ManifestHeader +: metaLine ++: entries.sortBy(_.rel).map { e =>
-          val st = e.stats.toSeq.sortBy(_._1)
-            .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
-          s"${e.rel}\t${e.bytes}\t$st\t${e.rows}"
-        }).mkString("\n"), allowSibling = true)
+        (ManifestHeader +: metaLine ++: entries.sortBy(_.rel)
+          .map(Warehouse.formatEntry)).mkString("\n"), allowSibling = true)
       fs.delete(new Path(manifestDir(name), f"v$oldestKept%012d.mfd"), false)
     }
     all.filter(_ < oldestKept).foreach { mv =>
@@ -2257,6 +2507,14 @@ class Warehouse(spark: SparkSession, dir: String,
             val rel = e.rel.stripPrefix(prefix)
             acc(rel) = acc.getOrElse(rel, Set.empty) + t
           }
+          // borrowed DELETION VECTORS pin like borrowed data files — a
+          // clone's reads apply the source-resident sidecar its entry
+          // references
+          if (e.dv.nonEmpty && new Path(e.dv).isAbsolute &&
+              e.dv.startsWith(prefix)) {
+            val rel = e.dv.stripPrefix(prefix)
+            acc(rel) = acc.getOrElse(rel, Set.empty) + t
+          }
         }
       }
     }
@@ -2271,15 +2529,35 @@ object Warehouse {
     * unknown — legacy manifests and adopted pre-existing files). Known
     * row counts make `count(*)` a manifest sum ([[Warehouse!.metaRowCount]],
     * the Delta/Iceberg metadata-only-query surface).
+    *
+    * `dv`/`dvRows`: the file's DELETION VECTOR — a sidecar under the
+    * table's `_dv/` dir (absolute for borrowed clone entries, like
+    * `rel`) listing the sorted physical row positions a merge-on-read
+    * [[Warehouse!.deleteVectored]] removed, and their count. Empty =
+    * no deletions. `rows` stays the PHYSICAL footer count; live rows =
+    * `rows - dvRows`. DV files are immutable — a further delete writes
+    * a new sidecar with the union — so past versions and clones stay
+    * readable.
     */
   final case class FileEntry(rel: String, bytes: Long,
-      stats: Map[String, (Long, Long)], rows: Long = -1L)
+      stats: Map[String, (Long, Long)], rows: Long = -1L,
+      dv: String = "", dvRows: Long = 0L)
 
   /** A manifest version another writer committed first. Appends resolve
     * this automatically (see [[Warehouse!.append]]); read-modify ops
     * surface it — their snapshot is stale and the caller must re-run.
     */
   final class CommitConflict(msg: String) extends IllegalStateException(msg)
+
+  /** The manifest line for one entry — the inverse of `parseEntry`.
+    * Trailing defaults are still written explicitly (fixed 6-field
+    * layout); only lines from OLDER writers may be short.
+    */
+  private[pipeline] def formatEntry(e: FileEntry): String = {
+    val st = e.stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+    s"${e.rel}\t${e.bytes}\t$st\t${e.rows}\t${e.dv}\t${e.dvRows}"
+  }
 
   /** One managed table's layout.
     *

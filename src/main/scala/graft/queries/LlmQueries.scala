@@ -3264,7 +3264,77 @@ object LlmQueries extends QueryPack {
         SELECT d.seg, CAST(count(*) AS BIGINT) AS n_rows,
                round(sum(f."val"), 2) AS total
         FROM fact f JOIN dim d USING (custkey)
-        GROUP BY d.seg ORDER BY d.seg"""))
+        GROUP BY d.seg ORDER BY d.seg""")),
+
+    // ---- q136: MERGE-ON-READ deletion vectors under the hash gate —
+    // the thin-delete ladder no 100 TB table can live without. Two
+    // vectored DELETEs (sidecar positions, zero files rewritten —
+    // WarehouseDvSpec pins the inputFiles invariant), a copy-on-write
+    // UPDATE that MATERIALIZES the vectors mid-history, a third
+    // vectored DELETE over the rewritten files, a time-travel read of
+    // the pre-delete version (vectors must not corrupt history), and
+    // the final per-group state — all replayed relationally by the
+    // oracle. A resurfaced deleted row, a vector applied to the wrong
+    // file, or history bleeding through the sidecars breaks the hash.
+    Q("q136_warehouse_deletion_vectors",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q136-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          retainReplaced = true,
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("grp", StringType),
+              StructField("val", DoubleType))),
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        wh.registerSql("dv136_")
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            concat(lit("g"), col("o_orderkey") % 5).as("grp"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("dv136_src")
+        s.sql("INSERT INTO dv136_t SELECT * FROM dv136_src") // v2
+        s.conf.set("spark.graft.delete.mode", "dv")
+        try {
+          s.sql("DELETE FROM dv136_t WHERE id % 7 = 0")   // vector 1
+          s.sql("DELETE FROM dv136_t WHERE id % 11 = 0")  // vector union
+          s.conf.set("spark.graft.delete.mode", "cow")
+          s.sql("UPDATE dv136_t SET val = val + 100 WHERE grp = 'g3'")
+          s.conf.set("spark.graft.delete.mode", "dv")
+          s.sql("DELETE FROM dv136_t WHERE id % 13 = 0")  // fresh vectors
+        } finally s.conf.unset("spark.graft.delete.mode")
+        s.sql("""
+          SELECT 'final' AS section, grp,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 round(sum(val), 2) AS total
+          FROM dv136_t GROUP BY grp
+          UNION ALL
+          SELECT 'v2' AS section, 'all' AS grp,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(NULL AS DOUBLE) AS total
+          FROM dv136_t VERSION AS OF 2
+          ORDER BY section, grp""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, 'g' || (o_orderkey % 5) AS grp,
+                 o_totalprice AS "val"
+          FROM orders),
+        live AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'g3' THEN "val" + 100 ELSE "val" END AS "val"
+          FROM base
+          WHERE id % 7 <> 0 AND id % 11 <> 0 AND id % 13 <> 0)
+        SELECT 'final' AS section, grp, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum("val"), 2) AS total
+        FROM live GROUP BY grp
+        UNION ALL
+        SELECT 'v2' AS section, 'all' AS grp, CAST(count(*) AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM base
+        ORDER BY section, grp"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -99,7 +99,27 @@ class WarehouseSourceProvider extends StreamSourceProvider
         wh.loadAt(table, ver)
       case None => wh.loadLatest(table)._2
     }
-    wh.relationFor(table, entries)
+    if (!entries.exists(e => e.dv.nonEmpty && e.dvRows > 0))
+      wh.relationFor(table, entries)
+    else {
+      // DELETION VECTORS present: the raw HadoopFsRelation would
+      // resurface vectored rows, so delegate to the DV-filtered plan.
+      // Column pruning survives (PrunedScan); predicate pushdown on
+      // this alternate reader path is traded for correctness — the
+      // primary Warehouse.read/SQL route keeps full pushdown.
+      val ctx = sqlContext
+      new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.PrunedScan {
+        override val sqlContext: SQLContext = ctx
+        override def schema: StructType = wh.tables(table)
+        override def buildScan(requiredColumns: Array[String])
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          import org.apache.spark.sql.functions.col
+          val df = wh.dfFor(table, entries)
+          df.select(requiredColumns.toSeq.map(col): _*).rdd
+        }
+      }
+    }
   }
 
   private def tableSchema(params: Map[String, String]): StructType = {
@@ -228,24 +248,27 @@ class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
     * checkpoint still points at fails fast here, like readVersion.
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val endV = version(end)
     val startV = start.map(version).orElse(startingVersion)
     val endEntries = wh.loadAt(table, endV)
-    val (added, removed) = startV match {
-      case None => (endEntries, Seq.empty[Warehouse.FileEntry])
-      case Some(sv) =>
-        val startEntries = wh.loadAt(table, sv)
-        val before = startEntries.map(_.rel).toSet
-        val after = endEntries.map(_.rel).toSet
-        (endEntries.filterNot(e => before(e.rel)),
-          startEntries.filterNot(e => after(e.rel)))
+    val startEntries = startV match {
+      case None => Seq.empty[Warehouse.FileEntry]
+      case Some(sv) => wh.loadAt(table, sv)
     }
-    val addedDf = wh.dfFor(table, added, isStreaming = true)
-    if (!cdf) addedDf
-    else addedDf.withColumn("_change_delta", lit(1))
-      .unionByName(wh.dfFor(table, removed, isStreaming = true)
-        .withColumn("_change_delta", lit(-1)))
+    if (cdf)
+      // the full feed: added/removed rels plus the retractions of any
+      // deletion vector that GREW between the offsets (merge-on-read
+      // deletes) — Warehouse.changeFeedDf semantics, streaming-tagged
+      wh.changeFeedDf(table, startEntries, endEntries, isStreaming = true)
+    else {
+      // plain follow: rows of rels added between the offsets. A grown
+      // deletion vector changes no rel, so vectored deletes are
+      // invisible here (append-only consumers); use readChangeFeed for
+      // retraction-aware consumption.
+      val before = startEntries.map(_.rel).toSet
+      wh.dfFor(table, endEntries.filterNot(e => before(e.rel)),
+        isStreaming = true)
+    }
   }
 
   override def commit(end: Offset): Unit = ()

@@ -26,13 +26,23 @@ import graft.pipeline.Warehouse
   */
 object GraftSqlCommands // scaladoc anchor
 
-/** `DELETE FROM wh_t WHERE ...` → [[Warehouse!.delete]]. */
+/** `DELETE FROM wh_t WHERE ...` → [[Warehouse!.delete]] (copy-on-write,
+  * the default), or [[Warehouse!.deleteVectored]] (merge-on-read
+  * deletion vectors — the thin-delete path) when the session sets
+  * `spark.graft.delete.mode=dv`. The mode is read at EXECUTION, so one
+  * session can flip per statement.
+  */
 case class GraftDeleteCommand(wh: Warehouse, table: String,
     cond: Column) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(wh.delete(table, cond)))
+    spark.conf.get("spark.graft.delete.mode", "cow") match {
+      case "dv" => Seq(Row(wh.deleteVectored(table, cond)))
+      case "cow" => Seq(Row(wh.delete(table, cond)))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.delete.mode must be 'cow' or 'dv', got '$other'")
+    }
 }
 
 /** `UPDATE wh_t SET c = e, ... [WHERE ...]` → [[Warehouse!.update]]. */
@@ -267,7 +277,11 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     AttributeReference("source_table", StringType)(),
     AttributeReference("source_version", LongType)(),
     AttributeReference("borrowed_files", LongType, nullable = false)(),
-    AttributeReference("borrowed_by", LongType, nullable = false)())
+    AttributeReference("borrowed_by", LongType, nullable = false)(),
+    // merge-on-read state: live files carrying a deletion vector, and
+    // the total vectored-away row count (0/0 = fully materialized)
+    AttributeReference("deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, entries) = wh.loadLatest(table)
     val spec = wh.tableSpec(table)
@@ -287,7 +301,9 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
       spec.checks.toSeq.sortBy(_._1)
         .map { case (n, e) => s"$n: $e" }.mkString("; "),
       srcTable, srcVersion.getOrElse(null),
-      borrowed.toLong, wh.borrowedFromBy(table).size.toLong))
+      borrowed.toLong, wh.borrowedFromBy(table).size.toLong,
+      entries.count(e => e.dv.nonEmpty && e.dvRows > 0).toLong,
+      entries.map(_.dvRows).sum))
   }
 }
 

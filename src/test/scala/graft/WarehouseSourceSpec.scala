@@ -295,6 +295,49 @@ class WarehouseSourceSpec extends SparkSpec {
     assert(full.keySet === Set(1, 2, 3, 9))
   }
 
+  test("CDF mode: a vectored delete streams its retractions exactly " +
+      "once (grown deletion vector, no file rewritten)") {
+    val root = Files.createTempDirectory("graft-whstream-dv-").toString
+    val (whDir, ckp) = (s"$root/wh", s"$root/ckp")
+    val wh = new Warehouse(spark, whDir, retainReplaced = true)
+    wh.bootstrap()
+    val mv = scala.collection.mutable.Map.empty[Int, (Long, Double)]
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "fact_telemetry")
+        .option("readChangeFeed", "true").load()
+        .groupBy($"norad_id")
+        .agg(sum($"_change_delta").as("n"),
+          sum($"mean_motion" * $"_change_delta").as("s"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[(Int, Long, Double)].collect().foreach {
+            case (id, n, s) =>
+              if (n == 0L) mv.remove(id) else mv(id) = (n, s)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckp)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    wh.append("fact_telemetry", mkRows(1, Seq(1, 2, 3)))
+    drainCdf()
+    assert(mv.keySet === Set(1, 2, 3))
+    // merge-on-read delete: the entry's vector grows, no rel changes —
+    // the stream must still see norad 2 leave, as -1 retractions
+    wh.deleteVectored("fact_telemetry", $"norad_id" === 2)
+    drainCdf()
+    drainCdf() // idle restart: nothing re-retracts
+    val full = wh.read("fact_telemetry").groupBy($"norad_id")
+      .agg(count(lit(1)).as("n"), sum($"mean_motion").as("s"))
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mv.toMap === full)
+    assert(full.keySet === Set(1, 3))
+  }
+
   test("merge re-emits the touched partition (documented at-least-once)") {
     val root = Files.createTempDirectory("graft-whstream-m-").toString
     val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
