@@ -1538,6 +1538,87 @@ class Warehouse(spark: SparkSession, dir: String,
     n
   }
 
+  /** Merge-on-read UPDATE: vector the OLD versions of matching rows
+    * out of their files and append the NEW versions as fresh files —
+    * one commit, no rewrite of untouched rows. The thin-update twin of
+    * [[deleteVectored]] (same `maxRows` guard; [[update]] is the wide
+    * path): at 100 TB, bumping one column on a 0.01% slice writes
+    * sidecars + a slice-sized batch instead of rewriting every touched
+    * file. The change feed needs nothing new — fresh files are +1,
+    * grown vectors are −1, exactly the add/retract pair an exact
+    * delta-weighted fold wants. Same contract as [[update]] otherwise:
+    * SET evaluates against the OLD row, partition columns are not
+    * updatable, CHECK constraints validate the new values before
+    * anything commits.
+    *
+    * @return number of rows updated
+    */
+  def updateVectored(name: String, cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      maxRows: Long = 10000000L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val schema = tables(name)
+    val parts = partitioning(name)
+    set.keys.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"updateVectored $name: no column $c")
+      require(!parts.contains(c),
+        s"updateVectored $name: partition column $c is not updatable " +
+          "(rows must not move partitions)")
+    }
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"updateVectored $name: table not bootstrapped")
+    val candidates = touchedFiles(name, entries, cond)
+    if (candidates.isEmpty) return 0L
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val matched = scanWithDvMeta(name, candidates,
+      org.apache.spark.sql.GraftBridge.ofRows(spark,
+        LogicalRelation(relationFor(name, candidates), false)))
+      .where(coalesce(cond, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0L) return 0L
+      require(n <= maxRows,
+        s"updateVectored $name: $n matching rows exceed maxRows=$maxRows" +
+          " — use update() (copy-on-write) for wide updates")
+      val rewritten = matched.select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      enforceChecks(name, rewritten) // before any sidecar hits disk
+      val positions = matched
+        .select(col("__gf_dv_path").as("p"), col("__gf_dv_idx").as("i"))
+        .collect().groupBy(_.getString(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+      val byRel = candidates.flatMap { e =>
+        val key = if (e.rel.startsWith("/")) e.rel else "/" + e.rel
+        positions.collectFirst {
+          case (p, idxs) if p.endsWith(key) => e -> idxs }
+      }
+      val updatedEntries = byRel.map { case (e, freshIdx) =>
+        val old =
+          if (e.dv.isEmpty) Array.empty[Long] else readDvFile(name, e.dv)
+        val union = (old ++ freshIdx).distinct.sorted
+        e -> e.copy(dv = writeDvFile(name, union),
+          dvRows = union.length.toLong)
+      }.toMap
+      val fresh = writeBatch(name, rewritten)
+      maybeCrash("after-write")
+      beforeCommit.foreach(_())
+      commit(name, v + 1,
+        entries.map(e => updatedEntries.getOrElse(e, e)) ++ fresh,
+        Map("op" -> "update", "mode" -> "merge-on-read",
+          "numRowsUpdated" -> n.toString,
+          "numDeletionVectors" -> updatedEntries.size.toString,
+          "numFilesAdded" -> fresh.size.toString))
+      maybeCrash("after-commit")
+      n
+    } finally { matched.unpersist(); () }
+  }
+
   /** The manifest-planned `HadoopFsRelation` itself — the BaseRelation
     * handed to `spark.read.format("graft-warehouse")`'s RelationProvider
     * (see [[graft.sources.WarehouseSourceProvider]]).
@@ -2080,6 +2161,33 @@ class Warehouse(spark: SparkSession, dir: String,
     if (!retainReplaced) gc(name, replaced)
     val after = fresh.count(e => fragmented.contains(dirOf(name, e.rel)))
     (fragmented.size, before, after.toLong)
+  }
+
+  /** PURGE merge-on-read state (Delta's `REORG ... APPLY (PURGE)`):
+    * rewrite ONLY the files carrying a deletion vector — the rewrite
+    * reads through the vectors, so the fresh files hold exactly the
+    * live rows and need none. Bounded by the vectored files, not the
+    * table: the periodic maintenance that keeps the read-side DV
+    * filter thin after a burst of vectored DML. Footer stats and
+    * metadata min/max become exact again ([[metaMinMax]] declines
+    * while vectors exist). Conflict-rebases like [[compact]].
+    *
+    * @return (files rewritten, vectored rows purged)
+    */
+  def purgeVectors(name: String): (Int, Long) = {
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"purgeVectors $name: table not bootstrapped")
+    val dved = entries.filter(e => e.dv.nonEmpty && e.dvRows > 0)
+    if (dved.isEmpty) return (0, 0L)
+    val fresh = writeBatch(name, dfFor(name, dved))
+    maybeCrash("after-write")
+    beforeCommit.foreach(_())
+    commitReadModify(name, (v, entries), dved, fresh,
+      Map("op" -> "purge", "numFilesRewritten" -> dved.size.toString,
+        "numDeletedRowsPurged" -> dved.map(_.dvRows).sum.toString), None)
+    maybeCrash("after-commit")
+    if (!retainReplaced) gc(name, dved)
+    (dved.size, dved.map(_.dvRows).sum)
   }
 
   /** Delta's `OPTIMIZE [ZORDER BY (...)]` as one call: [[compact]],

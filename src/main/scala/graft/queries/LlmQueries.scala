@@ -3334,7 +3334,74 @@ object LlmQueries extends QueryPack {
         SELECT 'v2' AS section, 'all' AS grp, CAST(count(*) AS BIGINT),
                CAST(NULL AS DOUBLE)
         FROM base
-        ORDER BY section, grp"""))
+        ORDER BY section, grp""")),
+
+    // ---- q137: MERGE-ON-READ DML feeding INCREMENTAL MV MAINTENANCE —
+    // the exactness composition the deletion vectors must uphold.
+    // Vectored UPDATE (old row vectors out, new version appends),
+    // vectored DELETE, another vectored UPDATE over the freshly-
+    // appended files, with an incremental view refresh in the middle
+    // and at the end: each refresh folds the change feed, where a
+    // grown vector arrives as −1 retractions of exactly the old row
+    // versions. The view's count/sum/avg per group must equal the
+    // oracle's from-scratch replay of the DML ladder — a missed
+    // retraction, a double-counted append, or a vector applied to the
+    // wrong file makes the fold drift and breaks the hash. Integer
+    // cents keep the sums hash-exact. ----
+    Q("q137_warehouse_mor_update_mv",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import graft.pipeline.{MaterializedView => MV}
+        val whDir = graft.util.Scratch.dir("graft-q137-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          retainReplaced = true,
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("grp", StringType),
+              StructField("cents", LongType))),
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        val vd = MV.ViewDef("t", "mv", Seq("grp"),
+          Seq(MV.Count("n_rows"), MV.Sum("cents", "total"),
+            MV.Avg("cents", "mean")), nParts = 8)
+        wh.append("t", t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 8).as("grp"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")))
+        MV.refresh(wh, vd) // full build
+        wh.updateVectored("t", col("id") % 9 === 0,
+          Map("cents" -> (col("cents") + 5000L)))
+        wh.deleteVectored("t", col("id") % 4 === 0)
+        MV.refresh(wh, vd) // fold a mixed +1/−1 vectored window
+        wh.updateVectored("t", col("id") % 10 === 3,
+          Map("cents" -> (col("cents") * 2L)))
+        MV.refresh(wh, vd) // fold vectors grown over fresh files
+        MV.read(wh, vd)
+          .select(col("grp"), col("n_rows"), col("total"),
+            round(col("mean"), 2).as("mean"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, 'g' || (o_orderkey % 8) AS grp,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        s1 AS (
+          SELECT id, grp,
+                 CASE WHEN id % 9 = 0 THEN cents + 5000 ELSE cents END
+                   AS cents
+          FROM base),
+        s2 AS (SELECT * FROM s1 WHERE id % 4 <> 0),
+        s3 AS (
+          SELECT id, grp,
+                 CASE WHEN id % 10 = 3 THEN cents * 2 ELSE cents END
+                   AS cents
+          FROM s2)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS total,
+               round(avg(cents), 2) AS mean
+        FROM s3 GROUP BY grp ORDER BY grp"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

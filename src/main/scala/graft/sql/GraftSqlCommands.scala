@@ -45,14 +45,23 @@ case class GraftDeleteCommand(wh: Warehouse, table: String,
     }
 }
 
-/** `UPDATE wh_t SET c = e, ... [WHERE ...]` → [[Warehouse!.update]]. */
+/** `UPDATE wh_t SET c = e, ... [WHERE ...]` → [[Warehouse!.update]]
+  * (copy-on-write, the default) or [[Warehouse!.updateVectored]]
+  * (merge-on-read: vector old rows + append new versions) when the
+  * session sets `spark.graft.update.mode=dv`; read at execution.
+  */
 case class GraftUpdateCommand(wh: Warehouse, table: String,
     cond: Column, set: Map[String, Column])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(wh.update(table, cond, set)))
+    spark.conf.get("spark.graft.update.mode", "cow") match {
+      case "dv" => Seq(Row(wh.updateVectored(table, cond, set)))
+      case "cow" => Seq(Row(wh.update(table, cond, set)))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.update.mode must be 'cow' or 'dv', got '$other'")
+    }
 }
 
 /** `MERGE INTO wh_t USING src ON ... WHEN ...` →
@@ -394,6 +403,21 @@ case class GraftOptimizeCommand(wh: Warehouse, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val (p, before, after) = wh.optimize(table, zorderBy)
     Seq(Row(p.toLong, before, after))
+  }
+}
+
+/** `REORG TABLE wh_t APPLY (PURGE)` → [[Warehouse!.purgeVectors]]:
+  * rewrite only the files carrying deletion vectors, dropping the
+  * merge-on-read state (the Delta statement, verbatim).
+  */
+case class GraftReorgPurgeCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", LongType, nullable = false)(),
+    AttributeReference("rows_purged", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, rows) = wh.purgeVectors(table)
+    Seq(Row(files.toLong, rows))
   }
 }
 

@@ -249,6 +249,8 @@ object WarehouseSql {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val ReorgPurgeStmt = // Delta's REORG TABLE t APPLY (PURGE)
+    """(?is)\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val AddCheckStmt = // greedy (.*) + final \) = balanced to the end
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*""".r
   private val DropCheckStmt =
@@ -296,6 +298,9 @@ object WarehouseSql {
         GraftOptimizeCommand(wh, t,
           Option(zcols).toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim).filter(_.nonEmpty)) }
+    case ReorgPurgeStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftReorgPurgeCommand(wh, t) }
     case AddCheckStmt(name, check, e) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftCheckCommand(wh, t, check, Some(e.trim)) }

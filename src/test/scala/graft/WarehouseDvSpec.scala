@@ -155,6 +155,96 @@ class WarehouseDvSpec extends SparkSpec {
       "only the live sidecar survives the vacuum")
   }
 
+  test("vectored UPDATE: old versions vector out, new versions append, " +
+      "one commit; the change feed folds it exactly; checks veto " +
+      "before any sidecar lands") {
+    val wh = fresh(retain = true)
+    wh.append("t", src(60)) // v2
+    val oldFiles = wh.read("t").inputFiles.toSet
+    val n = wh.updateVectored("t", col("id") % 6 === 0,
+      Map("val" -> (col("val") + 1000.0)))
+    assert(n === 10L)
+    assert(wh.read("t").count() === 60L, "an update changes no row count")
+    assert(wh.read("t").where(col("val") > 1000).count() === 10L)
+    assert(wh.read("t").where(col("id") === 6).head().getDouble(2) === 1006.0)
+    assert(wh.read("t").where(col("id") === 7).head().getDouble(2) === 7.0)
+    // old files untouched (vectored), the new versions landed as fresh
+    // files alongside
+    assert(oldFiles.subsetOf(wh.read("t").inputFiles.toSet))
+    val meta = wh.history("t").last._2
+    assert(meta("op") === "update" && meta("mode") === "merge-on-read")
+    // double-update of the same slice: vectors union into the FRESH
+    // files' rows too? No - fresh files carry the current versions; the
+    // second update vectors those and appends again
+    val n2 = wh.updateVectored("t", col("id") === 6,
+      Map("val" -> (col("val") - 6.0)))
+    assert(n2 === 1L)
+    assert(wh.read("t").where(col("id") === 6).head().getDouble(2) === 1000.0)
+    assert(wh.read("t").count() === 60L)
+    // delta-weighted fold since bootstrap equals the final state
+    val fold = wh.readChangeFeed("t", 1L)
+      .agg(sum(col("_change_delta")).as("n"),
+        round(sum(col("val") * col("_change_delta")), 2).as("tot")).head()
+    assert(fold.getLong(0) === 60L)
+    val expect = (1L to 60L).map { i =>
+      if (i == 6L) 1000.0
+      else if (i % 6 == 0) i + 1000.0
+      else i.toDouble
+    }.sum
+    assert(fold.getDouble(1) === expect)
+    // CHECK constraints veto the whole statement before sidecars land
+    wh.addCheck("t", "val_cap", "val <= 2000")
+    val e = intercept[Warehouse.CheckViolation] {
+      wh.updateVectored("t", col("id") === 12,
+        Map("val" -> (col("val") + 5000.0)))
+    }
+    assert(wh.read("t").where(col("id") === 12).head().getDouble(2)
+      === 1012.0, "vetoed update changed nothing")
+  }
+
+  test("SQL surface: mode confs route DELETE/UPDATE to vectors, REORG " +
+      "APPLY (PURGE) drops them, DESCRIBE DETAIL reports the state") {
+    val dir = Files.createTempDirectory("graft-dv-sql-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("id"))))
+    wh.bootstrap()
+    wh.registerSql("sdv_")
+    src(50).createOrReplaceTempView("sdv_src")
+    spark.sql("INSERT INTO sdv_t SELECT * FROM sdv_src")
+    val files = wh.read("t").inputFiles.toSet
+    spark.conf.set("spark.graft.delete.mode", "dv")
+    spark.conf.set("spark.graft.update.mode", "dv")
+    try {
+      assert(spark.sql("DELETE FROM sdv_t WHERE id % 5 = 0")
+        .head().getLong(0) === 10L)
+      assert(spark.sql("UPDATE sdv_t SET val = val + 7 WHERE id = 1")
+        .head().getLong(0) === 1L)
+    } finally {
+      spark.conf.unset("spark.graft.delete.mode")
+      spark.conf.unset("spark.graft.update.mode")
+    }
+    assert(files.subsetOf(wh.read("t").inputFiles.toSet),
+      "dv-mode statements must not rewrite the original files")
+    assert(spark.sql("SELECT count(*) FROM sdv_t").head().getLong(0) === 40L)
+    assert(spark.sql("SELECT val FROM sdv_t WHERE id = 1")
+      .head().getDouble(0) === 8.0)
+    val d = spark.sql("DESCRIBE DETAIL sdv_t").head()
+    assert(d.getLong(13) > 0L && d.getLong(14) === 11L,
+      "deletion_vectors / deleted_rows surface the merge-on-read state")
+    // REORG purges: vectored files rewritten, state zeroed, results same
+    val r = spark.sql("REORG TABLE sdv_t APPLY (PURGE)").head()
+    assert(r.getLong(1) === 11L)
+    val d2 = spark.sql("DESCRIBE DETAIL sdv_t").head()
+    assert(d2.getLong(13) === 0L && d2.getLong(14) === 0L)
+    assert(spark.sql("SELECT count(*) FROM sdv_t").head().getLong(0) === 40L)
+    assert(wh.metaMinMax("t", "id").isDefined,
+      "purged footers make metadata extrema exact again")
+    // defaults unchanged: DELETE without the conf rewrites (cow)
+    assert(spark.sql("DELETE FROM sdv_t WHERE id = 2").head().getLong(0) === 1L)
+    assert(wh.history("t").last._2.get("mode") !== Some("merge-on-read"))
+  }
+
   test("the thin-delete guard refuses wide deletes and names the " +
       "copy-on-write path") {
     val wh = fresh()
