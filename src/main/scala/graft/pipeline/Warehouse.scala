@@ -721,23 +721,50 @@ class Warehouse(spark: SparkSession, dir: String,
       sortCols: Seq[org.apache.spark.sql.Column] = Nil): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
-    val clustered = parts match {
-      case Nil =>
-        // flat layout: range-partition on the cluster key so each output
-        // file covers a disjoint key range (coalesce alone would leave
-        // arbitrary row placement)
-        if (sortCols.nonEmpty && flatFiles > 0)
-          df.repartitionByRange(flatFiles, sortCols: _*)
-            .sortWithinPartitions(sortCols: _*)
-        else if (flatFiles > 0) df.coalesce(flatFiles) else df
-      case cols =>
-        // one task per partition dir (the 11k-small-files fix, r3);
-        // maxRecordsPerFile still splits oversized ones — and when a
-        // cluster key is given, splits a SORTED stream, so each split
-        // file covers a contiguous key range (tight footer stats)
-        val re = df.repartition(cols.map(col): _*)
-        if (sortCols.isEmpty) re
-        else re.sortWithinPartitions(cols.map(col) ++ sortCols: _*)
+    val bucketed = specsNow.get(name).filter(_.numBuckets > 0)
+    val clustered = bucketed match {
+      case Some(s) =>
+        // BUCKETED layout: hash-place every row into its bucket, so the
+        // write task index IS the bucket id and the move below can
+        // stamp it into the `_NNNNN` file-name slot the scan parses.
+        //
+        // NOT a plain `repartition(n, bucketBy)`: when the input df
+        // itself reads this (or a same-layout) bucketed table — every
+        // compact/merge/purge rewrite does — the scan CLAIMS
+        // HashPartitioning(bucketBy, n), the planner elides the
+        // repartition as redundant, and then DisableUnnecessaryBucketedScan
+        // may STILL disable the bucketed read, leaving arbitrary
+        // file-bin partitions whose task indices are NOT bucket ids
+        // (observed: a compact of 66 files rewrote 8 buckets into 4
+        // mis-stamped files). Repartitioning on a per-bucket
+        // REPRESENTATIVE value — chosen so pmod(murmur3(rep_b), n) == b
+        // — places identically, stays whole-stage-codegen, and can
+        // never be elided (no child ever claims partitioning on it).
+        import org.apache.spark.sql.functions.{element_at, hash, lit, pmod}
+        val reps = Warehouse.bucketRepresentatives(s.numBuckets)
+        val bucketId = pmod(hash(s.bucketBy.map(col): _*), lit(s.numBuckets))
+        val key = element_at(lit(reps), bucketId + lit(1))
+        val b = df.repartition(s.numBuckets, key)
+        val sorts = parts.map(col) ++ sortCols
+        if (sorts.nonEmpty) b.sortWithinPartitions(sorts: _*) else b
+      case None => parts match {
+        case Nil =>
+          // flat layout: range-partition on the cluster key so each
+          // output file covers a disjoint key range (coalesce alone
+          // would leave arbitrary row placement)
+          if (sortCols.nonEmpty && flatFiles > 0)
+            df.repartitionByRange(flatFiles, sortCols: _*)
+              .sortWithinPartitions(sortCols: _*)
+          else if (flatFiles > 0) df.coalesce(flatFiles) else df
+        case cols =>
+          // one task per partition dir (the 11k-small-files fix, r3);
+          // maxRecordsPerFile still splits oversized ones — and when a
+          // cluster key is given, splits a SORTED stream, so each split
+          // file covers a contiguous key range (tight footer stats)
+          val re = df.repartition(cols.map(col): _*)
+          if (sortCols.isEmpty) re
+          else re.sortWithinPartitions(cols.map(col) ++ sortCols: _*)
+      }
     }
     val fs = fileSystem
     val staging = new Path(path(name),
@@ -767,12 +794,15 @@ class Warehouse(spark: SparkSession, dir: String,
           staged.map { case (rel, bytes) =>
             pool.submit(new java.util.concurrent.Callable[(Long, FileEntry)] {
               override def call(): (Long, FileEntry) = {
-                val dest = new Path(path(name), rel)
+                val destRel =
+                  if (bucketed.isDefined) bucketStampedRel(name, rel)
+                  else rel
+                val dest = new Path(path(name), destRel)
                 fs.mkdirs(dest.getParent)
                 require(fs.rename(new Path(staging, rel), dest),
                   s"$name: staging move failed for $rel")
                 val (rows, stats) = footerInfo(dest, cols)
-                (rows, FileEntry(rel, bytes, stats, rows))
+                (rows, FileEntry(destRel, bytes, stats, rows))
               }
             })
           }.map(_.get())
@@ -787,6 +817,28 @@ class Warehouse(spark: SparkSession, dir: String,
     fs.delete(staging, true)
     writeBloomSidecars(name, entries)
     entries
+  }
+
+  /** Stamp a staged part file's TASK index — the bucket id, by the
+    * [[writeBatch]] bucketed-repartition invariant — into the `_NNNNN`
+    * file-name slot Spark's bucketed scan parses
+    * (`BucketingUtils.getBucketId`): `part-00003-<uuid>-c000.snappy
+    * .parquet` → `part-00003-<uuid>-c000_00003.snappy.parquet`. Names
+    * stay unique (the stamp is injective per name), and a partitioned
+    * table's dir prefix rides along untouched.
+    */
+  private def bucketStampedRel(name: String, rel: String): String = {
+    val slash = rel.lastIndexOf('/')
+    val base = rel.substring(slash + 1)
+    val m = java.util.regex.Pattern.compile("^part-(\\d+)-").matcher(base)
+    require(m.find(),
+      s"$name: bucketed write cannot parse a task id from $base")
+    val id = m.group(1).toInt
+    val dot = base.indexOf('.')
+    val stamped =
+      if (dot < 0) base + f"_$id%05d"
+      else base.substring(0, dot) + f"_$id%05d" + base.substring(dot)
+    rel.substring(0, slash + 1) + stamped
   }
 
   // ------------------------------------------------------------------
@@ -1145,6 +1197,11 @@ class Warehouse(spark: SparkSession, dir: String,
     if (spec.checks.nonEmpty) {
       val ck = node.putObject("checks")
       spec.checks.toSeq.sortBy(_._1).foreach { case (n, e) => ck.put(n, e) }
+    }
+    if (spec.numBuckets > 0) {
+      val bb = node.putArray("bucketBy")
+      spec.bucketBy.foreach(bb.add)
+      node.put("numBuckets", spec.numBuckets)
     }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
@@ -1633,8 +1690,16 @@ class Warehouse(spark: SparkSession, dir: String,
     val dataSchema = StructType(schema.filterNot(f => parts.contains(f.name)))
     val index = new ManifestFileIndex(spark, new Path(path(name)),
       entries, partitionSchema)
+    // bucketed layout → the scan reports HashPartitioning(bucketBy, n)
+    // and equi-joins/aggregations on the bucket key elide their
+    // exchanges. Every committed file carries the `_NNNNN` bucket stamp
+    // ([[bucketStampedRel]]); borrowed clone files come from a
+    // same-spec source, so the invariant holds across clones too.
+    val buckets = specsNow.get(name).filter(_.numBuckets > 0).map(s =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        s.numBuckets, s.bucketBy, Nil))
     HadoopFsRelation(index, partitionSchema, dataSchema,
-      None, new ParquetFileFormat(), Map.empty)(spark)
+      buckets, new ParquetFileFormat(), Map.empty)(spark)
   }
 
   /** K2-K4 — append insert. Parquet has no JDBC-style `batchsize`, so
@@ -2688,13 +2753,63 @@ object Warehouse {
         s"CHECK constraint '$check' on $table violated by $violations " +
           s"row(s): $expr")
 
+  /** Per-bucket representative longs for [[numBuckets]]=n: `reps(b)` is
+    * the smallest non-negative long with `pmod(murmur3(reps(b)), n) ==
+    * b` — evaluated through Catalyst's own [[Murmur3Hash]] so driver
+    * and executor agree bit-for-bit. Repartitioning a write on
+    * `reps(bucketId)` places every row in partition `bucketId` exactly,
+    * through a shuffle no optimizer rule can elide (see writeBatch).
+    * Coupon-collector search: ~n·ln(n) hashes, cached per n.
+    */
+  private val bucketReps =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private[pipeline] def bucketRepresentatives(n: Int): Array[Long] =
+    bucketReps.computeIfAbsent(n, _ => {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+      val reps = new Array[Long](n)
+      val have = new Array[Boolean](n)
+      var found = 0
+      var i = 0L
+      val cap = 1000L * n + 1000000L
+      while (found < n && i < cap) {
+        val h = new Murmur3Hash(Seq(Literal(i))).eval(null).asInstanceOf[Int]
+        val b = ((h % n) + n) % n
+        if (!have(b)) { have(b) = true; reps(b) = i; found += 1 }
+        i += 1
+      }
+      require(found == n,
+        s"bucketRepresentatives($n): search exhausted at $cap")
+      reps
+    })
+
+  /** @param bucketBy with [[numBuckets]], the table's BUCKETED layout
+    *   (Hive/Spark `CLUSTERED BY ... INTO n BUCKETS`): every write
+    *   hash-places rows into `pmod(murmur3(bucketBy), numBuckets)`
+    *   file groups (Spark's own `HashPartitioning` id expression, so
+    *   the scan may TRUST the layout), and reads report that
+    *   partitioning to the planner — equi-joins and aggregations on
+    *   the bucket key then elide their shuffle exchanges entirely.
+    *   At warehouse scale this is the difference between a fact-fact
+    *   join that moves the whole table and one that moves nothing.
+    */
   final case class TableSpec(schema: StructType,
       partitionBy: Seq[String] = Nil, statColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
       bloomExpectedItems: Long = 1000000L, bloomFpp: Double = 0.03,
-      checks: Map[String, String] = Map.empty) {
+      checks: Map[String, String] = Map.empty,
+      bucketBy: Seq[String] = Nil, numBuckets: Int = 0) {
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
+    require(bucketBy.isEmpty == (numBuckets == 0),
+      "bucketBy and numBuckets must be given together")
+    require(numBuckets >= 0 && numBuckets <= 100000,
+      s"numBuckets out of range: $numBuckets")
+    bucketBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"bucket column $c not in schema")
+      require(!partitionBy.contains(c),
+        s"bucket column $c is a partition column (pick one layout role)")
+    }
     bloomColumns.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"bloom column $c not in schema")
@@ -2777,7 +2892,9 @@ object Warehouse {
               node.get("bloomExpectedItems").asLong() else 1000000L,
             if (node.has("bloomFpp")) node.get("bloomFpp").asDouble()
             else 0.03,
-            checks)
+            checks,
+            strs("bucketBy"),
+            if (node.has("numBuckets")) node.get("numBuckets").asInt() else 0)
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

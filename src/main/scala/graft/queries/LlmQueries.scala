@@ -3401,7 +3401,64 @@ object LlmQueries extends QueryPack {
         SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS total,
                round(avg(cents), 2) AS mean
-        FROM s3 GROUP BY grp ORDER BY grp"""))
+        FROM s3 GROUP BY grp ORDER BY grp""")),
+
+    // ---- q138: BUCKETED warehouse tables — the co-located fact/dim
+    // layout (`CLUSTERED BY (k) INTO n BUCKETS`). Both sides hash-
+    // place rows into pmod(murmur3(custkey), 8) file groups at write
+    // time; the scan reports that partitioning, so the merge join runs
+    // with ZERO shuffle exchanges (WarehouseBucketSpec pins the plan —
+    // here the hash gate proves the exchange-free path computes the
+    // same answer as DuckDB's shuffle-free-by-luck single-node join).
+    // The compact between the two appends rewrites files THROUGH the
+    // layout — the rewrite that silently mis-stamps if the placement
+    // shuffle gets elided (see Warehouse.writeBatch). At 100 TB this
+    // layout turns every fact-fact/fact-dim join and bucket-key
+    // aggregation from a full-table shuffle into a local zip. ----
+    Q("q138_warehouse_bucketed_join",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q138-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map(
+            "o" -> graft.pipeline.Warehouse.TableSpec(
+              StructType(Seq(
+                StructField("custkey", LongType),
+                StructField("price", DoubleType))),
+              bucketBy = Seq("custkey"), numBuckets = 8),
+            "c" -> graft.pipeline.Warehouse.TableSpec(
+              StructType(Seq(
+                StructField("custkey", LongType),
+                StructField("segment", StringType))),
+              bucketBy = Seq("custkey"), numBuckets = 8)))
+        wh.bootstrap()
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"),
+            col("o_totalprice").as("price"))
+        wh.append("o", orders.where(col("custkey") % 2 === 0))
+        wh.append("o", orders.where(col("custkey") % 2 =!= 0))
+        wh.compact("o") // rewrite under the layout, mid-lifecycle
+        wh.append("c", t(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"),
+            col("c_mktsegment").as("segment")))
+        // hint forces the sort-merge path (a broadcast at this SF would
+        // bypass the bucket layout the query is about); with both sides
+        // bucketed the join needs no exchange at any scale
+        wh.read("o").hint("merge")
+          .join(wh.read("c"), "custkey")
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("custkey")).as("n_customers"),
+            round(sum(col("price")), 2).as("revenue"))
+          .orderBy("segment")
+      },
+      Some("""
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -280,6 +280,8 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     AttributeReference("row_count", LongType)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType)(),
+    // "col,col INTO n BUCKETS" for a bucketed layout, else empty
+    AttributeReference("bucket_spec", StringType)(),
     AttributeReference("stat_columns", StringType)(),
     AttributeReference("bloom_columns", StringType)(),
     AttributeReference("checks", StringType)(),
@@ -305,7 +307,10 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     Seq(Row(table, v, entries.size.toLong,
       wh.metaRowCount(table).map(Long.box).orNull,
       entries.map(_.bytes).sum,
-      spec.partitionBy.mkString(","), spec.statColumns.mkString(","),
+      spec.partitionBy.mkString(","),
+      if (spec.numBuckets == 0) ""
+      else s"${spec.bucketBy.mkString(",")} INTO ${spec.numBuckets} BUCKETS",
+      spec.statColumns.mkString(","),
       spec.bloomColumns.mkString(","),
       spec.checks.toSeq.sortBy(_._1)
         .map { case (n, e) => s"$n: $e" }.mkString("; "),
@@ -335,6 +340,9 @@ case class GraftShowCreateCommand(wh: Warehouse, table: String,
     val clauses = Seq(
       if (spec.partitionBy.isEmpty) ""
       else s" PARTITIONED BY (${spec.partitionBy.mkString(", ")})",
+      if (spec.numBuckets == 0) ""
+      else s" CLUSTERED BY (${spec.bucketBy.mkString(", ")})" +
+        s" INTO ${spec.numBuckets} BUCKETS",
       if (spec.statColumns.isEmpty) ""
       else s" STATS BY (${spec.statColumns.mkString(", ")})",
       if (spec.bloomColumns.isEmpty) ""

@@ -748,21 +748,25 @@ object WarehouseSql {
         // not just schema + partitioning
         val TailRe =
           ("""(?is)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+            """\s*(?:CLUSTERED\s+BY\s*\(([^)]*)\)\s+INTO\s+(\d+)\s+BUCKETS)?""" +
             """\s*(?:STATS\s+BY\s*\(([^)]*)\))?""" +
             """\s*(?:BLOOM\s+BY\s*\(([^)]*)\)""" +
             """(?:\s+ITEMS\s+(\d+))?(?:\s+FPP\s+([\d.eE+-]+))?)?""" +
             """\s*;?\s*""").r
         def cols(s: String): Seq[String] = Option(s).toSeq
           .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
-        val (partitionBy, statsBy, bloomBy, bloomItems, bloomFpp) =
+        val (partitionBy, bucketBy, numBuckets, statsBy, bloomBy,
+            bloomItems, bloomFpp) =
           tail match {
-            case TailRe(p, s, b, items, fpp) =>
-              (cols(p), cols(s), cols(b),
+            case TailRe(p, cb, nb, s, b, items, fpp) =>
+              (cols(p), cols(cb), Option(nb).map(_.toInt).getOrElse(0),
+                cols(s), cols(b),
                 Option(items).map(_.toLong),
                 Option(fpp).map(_.toDouble))
             case _ => fail(s"unsupported clause after column list: " +
-              s"'$tail' (supported: PARTITIONED BY (...), STATS BY " +
-              "(...), BLOOM BY (...) [ITEMS n] [FPP x])")
+              s"'$tail' (supported: PARTITIONED BY (...), CLUSTERED BY " +
+              "(...) INTO n BUCKETS, STATS BY (...), BLOOM BY (...) " +
+              "[ITEMS n] [FPP x])")
           }
         // split column defs on top-level commas only
         val items = {
@@ -796,7 +800,8 @@ object WarehouseSql {
           Warehouse.TableSpec(schema, partitionBy = partitionBy,
             statColumns = statsBy, bloomColumns = bloomBy,
             bloomExpectedItems = bloomItems.getOrElse(1000000L),
-            bloomFpp = bloomFpp.getOrElse(0.03)),
+            bloomFpp = bloomFpp.getOrElse(0.03),
+            bucketBy = bucketBy, numBuckets = numBuckets),
           ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
       }
     case _ => None

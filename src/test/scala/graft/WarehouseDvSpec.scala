@@ -230,13 +230,13 @@ class WarehouseDvSpec extends SparkSpec {
     assert(spark.sql("SELECT val FROM sdv_t WHERE id = 1")
       .head().getDouble(0) === 8.0)
     val d = spark.sql("DESCRIBE DETAIL sdv_t").head()
-    assert(d.getLong(13) > 0L && d.getLong(14) === 11L,
+    assert(d.getAs[Long]("deletion_vectors") > 0L && d.getAs[Long]("deleted_rows") === 11L,
       "deletion_vectors / deleted_rows surface the merge-on-read state")
     // REORG purges: vectored files rewritten, state zeroed, results same
     val r = spark.sql("REORG TABLE sdv_t APPLY (PURGE)").head()
     assert(r.getLong(1) === 11L)
     val d2 = spark.sql("DESCRIBE DETAIL sdv_t").head()
-    assert(d2.getLong(13) === 0L && d2.getLong(14) === 0L)
+    assert(d2.getAs[Long]("deletion_vectors") === 0L && d2.getAs[Long]("deleted_rows") === 0L)
     assert(spark.sql("SELECT count(*) FROM sdv_t").head().getLong(0) === 40L)
     assert(wh.metaMinMax("t", "id").isDefined,
       "purged footers make metadata extrema exact again")

@@ -504,8 +504,8 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(d.getLong(1) === wh.versions("t").max)
     assert(d.getLong(2) > 0L && d.getLong(4) > 0L) // files, bytes
     assert(d.getLong(3) === 20L)                   // manifest row count
-    assert(d.getString(6) === "id")                // stat columns
-    assert(d.getString(8) === "pos: val >= 0")     // checks
+    assert(d.getAs[String]("stat_columns") === "id")
+    assert(d.getAs[String]("checks") === "pos: val >= 0")
   }
 
   test("CREATE TABLE: the reference's verbatim DDL runs (empty prefix)") {
