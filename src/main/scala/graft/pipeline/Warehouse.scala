@@ -549,10 +549,13 @@ class Warehouse(spark: SparkSession, dir: String,
     // commit metadata rides the manifest as one '#'-prefixed line — the
     // DESCRIBE HISTORY record (operation, counts), atomic with the
     // commit itself because it IS part of the committed file. The
-    // previous head's txn watermarks are carried into EVERY commit so
-    // the latest manifest always holds the complete idempotence ledger
-    // (new values in `meta` win — that's the epoch advancing).
-    val fullMeta = txnWatermarks(name, version - 1) ++ meta
+    // previous head's txn watermarks AND copy-ledger list are carried
+    // into EVERY commit so the latest manifest alone holds the complete
+    // idempotence state even after vacuum prunes old manifests (new
+    // values in `meta` win — that's the epoch/ledger advancing).
+    val carried = commitMeta(name, version - 1).view
+      .filterKeys(k => k.startsWith("txn_") || k == "copyLedgers").toMap
+    val fullMeta = carried ++ meta
     val metaLine =
       if (fullMeta.isEmpty) Nil
       else Seq("#" + fullMeta.toSeq.sortBy(_._1)
@@ -1761,6 +1764,132 @@ class Warehouse(spark: SparkSession, dir: String,
           }
       }
     }
+  }
+
+  /** COPY INTO (Delta's idempotent bulk file ingest): append the files
+    * under `srcDir` that no previous copyInto of this table has loaded,
+    * and remember them — re-running the same statement after new files
+    * land loads ONLY the new files; re-running with nothing new is a
+    * no-op. The memory is a fingerprint set (`relPath:bytes` per source
+    * file) persisted as immutable ledger sidecars under
+    * `_meta/_copy/<table>/`, each referenced by its data commit's
+    * `copyLedger` metadata — so ledger and rows are exactly as atomic
+    * as the commit (a crash between sidecar and commit leaves an
+    * orphaned, never-referenced ledger, and the re-run loads the batch
+    * again from scratch). `force=true` bypasses the ledger (reloads
+    * everything matched). Loaded data flows through [[writeBatch]], so
+    * checks, stats, blooms and a bucketed layout all apply.
+    *
+    * Scale shape: listing + fingerprint diff are driver-side metadata
+    * work proportional to the SOURCE DIRECTORY, never the table; the
+    * data move is one distributed read of only the new files. Ledger
+    * growth is bounded by total files ever copied (the same contract as
+    * Delta's COPY INTO state).
+    *
+    * Concurrency: a lost commit race retries like [[append]] (blind
+    * appends commute). Two copyInto calls racing over the SAME source
+    * files may load them twice — idempotence is per committed ledger,
+    * not a cross-writer lock (Delta's contract as well).
+    *
+    * @param pattern optional glob over source FILE NAMES (`*.parquet`)
+    * @return (source files loaded, rows loaded)
+    */
+  def copyInto(name: String, srcDir: String, format: String = "parquet",
+      pattern: String = "", force: Boolean = false,
+      options: Map[String, String] = Map.empty): (Long, Long) = {
+    val (v0, _) = loadLatest(name)
+    require(v0 > 0L, s"copyInto $name: table not bootstrapped")
+    val listed = FsListing.dataFiles(srcDir, parallelism = 16)
+    val matched =
+      if (pattern.isEmpty) listed
+      else {
+        val rx = java.util.regex.Pattern.compile(
+          pattern.flatMap {
+            case '*' => ".*"
+            case '?' => "."
+            case c if "\\.[]{}()+-^$|".contains(c) => s"\\$c"
+            case c => c.toString
+          })
+        listed.filter { case (rel, _) =>
+          rx.matcher(rel.split('/').last).matches }
+      }
+    val loaded: Set[String] = if (force) Set.empty else copyLedger(name)
+    val fresh = matched.filterNot { case (rel, b) => loaded(s"$rel:$b") }
+    if (fresh.isEmpty) return (0L, 0L)
+    import org.apache.spark.sql.functions.col
+    val schema = tables(name)
+    val df = spark.read.format(format).schema(schema).options(options)
+      .load(fresh.map { case (rel, _) => s"$srcDir/$rel" }: _*)
+      .select(schema.fieldNames.map(col): _*)
+    enforceChecks(name, df)
+    val staged = writeBatch(name, df)
+    val ledgerRel = writeCopyLedger(name,
+      fresh.map { case (rel, b) => s"$rel:$b" })
+    maybeCrash("after-write")
+    beforeCommit.foreach(_())
+    var attempt = loadLatest(name)
+    var done = false
+    var retries = 0
+    while (!done) {
+      try {
+        // the carried-forward ledger LIST is recomputed against the
+        // head this attempt commits over — a racing copy's ledger must
+        // not be dropped from the list (commit() re-carries it too,
+        // but `meta` wins, so the list here must already include it)
+        val prevLedgers = commitMeta(name, attempt._1)
+          .get("copyLedgers").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+        commit(name, attempt._1 + 1, attempt._2 ++ staged,
+          Map("op" -> "copy_into",
+            "copyLedgers" -> (prevLedgers :+ ledgerRel).mkString(","),
+            "numSourceFiles" -> fresh.size.toString,
+            "numFilesAdded" -> staged.size.toString))
+        done = true
+      } catch {
+        case _: Warehouse.CommitConflict if retries < 20 =>
+          retries += 1
+          abortStalePending(name, attempt._1 + 1)
+          attempt = loadLatest(name)
+      }
+    }
+    (fresh.size.toLong, staged.map(_.rows).sum)
+  }
+
+  /** The union of the HEAD commit's referenced copy ledgers — the list
+    * rides every commit forward (see [[commit]]), so vacuuming old
+    * manifests never forgets a loaded file; a crashed copy's orphaned
+    * sidecar is never referenced and stays invisible, which is what
+    * makes the re-run correct.
+    */
+  private def copyLedger(name: String): Set[String] = {
+    val fs = fileSystem
+    val (v, _) = loadLatest(name)
+    commitMeta(name, v).get("copyLedgers").toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty).flatMap { rel =>
+        val p = new Path(copyLedgerDir(name), rel)
+        require(fs.exists(p),
+          s"copyInto $name: referenced ledger sidecar $rel is missing")
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      }.toSet
+  }
+
+  private def copyLedgerDir(name: String): Path =
+    new Path(new Path(new Path(dir, "_meta"), "_copy"), name)
+
+  /** One immutable ledger sidecar (newline-separated fingerprints);
+    * returns its file name for the commit metadata reference.
+    */
+  private def writeCopyLedger(name: String, fps: Seq[String]): String = {
+    val fs = fileSystem
+    fs.mkdirs(copyLedgerDir(name))
+    val rel = s"${java.util.UUID.randomUUID}.txt"
+    val out = fs.create(new Path(copyLedgerDir(name), rel), false)
+    try out.write(fps.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    rel
   }
 
   /** MULTI-TABLE ATOMIC APPEND: append a batch to EACH named table such

@@ -3458,7 +3458,48 @@ object LlmQueries extends QueryPack {
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                round(sum(o_totalprice), 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q139: COPY INTO — idempotent bulk file ingest (the Delta
+    // statement). Two waves of parquet files land in a directory;
+    // COPY INTO runs after each wave, with a deliberate re-run in
+    // between. The re-run must load NOTHING (each source file's
+    // fingerprint is remembered on the manifest itself) and the third
+    // run must load ONLY wave 2 — if idempotence breaks, wave 1 counts
+    // double and the hash breaks. The oracle is the plain aggregate of
+    // all rows, which is only reachable by exactly-once ingest. ----
+    Q("q139_warehouse_copy_into",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q139-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("grp", StringType),
+              StructField("price", DoubleType))))))
+        wh.bootstrap()
+        val src = s"$whDir/landing"
+        val orders = t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 7).as("grp"),
+          col("o_totalprice").as("price"))
+        orders.where(col("id") % 3 === 0)
+          .write.mode("overwrite").parquet(s"$src/w1")
+        wh.copyInto("t", src)
+        wh.copyInto("t", src) // no-op: nothing new landed
+        orders.where(col("id") % 3 =!= 0)
+          .write.mode("overwrite").parquet(s"$src/w2")
+        wh.copyInto("t", src) // loads ONLY wave 2
+        wh.read("t").groupBy("grp")
+          .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+          .orderBy("grp")
+      },
+      Some("""
+        SELECT 'g' || (o_orderkey % 7) AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

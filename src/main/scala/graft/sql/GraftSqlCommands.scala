@@ -321,6 +321,23 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
   }
 }
 
+/** `COPY INTO wh_t FROM '<dir>' [FILEFORMAT = X] [PATTERN = '<glob>']
+  * [FORCE]` → [[Warehouse!.copyInto]]: idempotent bulk file ingest —
+  * only files no previous COPY INTO loaded are appended; FORCE reloads
+  * everything matched.
+  */
+case class GraftCopyIntoCommand(wh: Warehouse, table: String,
+    srcDir: String, format: String, pattern: String, force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files_loaded", LongType, nullable = false)(),
+    AttributeReference("num_rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, rows) = wh.copyInto(table, srcDir, format, pattern, force)
+    Seq(Row(files, rows))
+  }
+}
+
 /** `SHOW CREATE TABLE wh_t`: one `createtab_stmt` string that RE-CREATES
   * the table's full spec when replayed — a `CREATE TABLE` carrying the
   * schema, PARTITIONED BY, STATS BY, and BLOOM BY [ITEMS/FPP] clauses,

@@ -33,6 +33,8 @@ import graft.pipeline.Warehouse
   *   - `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]
   *   - `VACUUM wh_t [RETAIN n VERSIONS]`        → [[Warehouse!.vacuum]]
   *   - `OPTIMIZE wh_t [ZORDER BY (c, ...)]`     → [[Warehouse!.optimize]]
+  *   - `COPY INTO wh_t FROM '<dir>' [FILEFORMAT = X] [PATTERN = '<glob>']
+  *     [FORCE]` → [[Warehouse!.copyInto]] (idempotent bulk file ingest)
   *   - `CREATE TABLE [IF NOT EXISTS] wh_t (...)` → [[Warehouse!.createTable]]
   *     (routed by registered PREFIX — see [[parseCreateTable]])
   *   - `CREATE TABLE [IF NOT EXISTS] wh_t AS SELECT ...` → createTable
@@ -277,6 +279,10 @@ object WarehouseSql {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val DropMvStmt =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  private val CopyIntoStmt = // Delta's idempotent bulk file ingest
+    ("""(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+      """(?:\s+(FORCE))?\s*;?\s*""").r
 
   /** Whole-statement match for the Delta-style maintenance syntax; None
     * (unmatched, or a name the registry doesn't know) falls through to
@@ -301,6 +307,11 @@ object WarehouseSql {
     case ReorgPurgeStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftReorgPurgeCommand(wh, t) }
+    case CopyIntoStmt(name, src, fmt, pat, force) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftCopyIntoCommand(wh, t, src,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+          Option(pat).getOrElse(""), force != null) }
     case AddCheckStmt(name, check, e) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftCheckCommand(wh, t, check, Some(e.trim)) }
