@@ -719,11 +719,17 @@ class Warehouse(spark: SparkSession, dir: String,
     * Returns the new entries (with footer stats); nothing is committed
     * and no live file is touched.
     */
-  private def writeBatch(name: String, df: DataFrame, rowsPerFile: Long = 0,
+  private def writeBatch(name: String, df0: DataFrame, rowsPerFile: Long = 0,
       flatFiles: Int = 0,
       sortCols: Seq[org.apache.spark.sql.Column] = Nil): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
+    // column mapping: stage files under PHYSICAL names (restricted
+    // columns keep logical == physical, so partition/bucket/stat logic
+    // below is unaffected); exact no-op when mapping is inactive
+    val df = if (!mappingActive(name)) df0
+      else df0.select(tables(name).fields.toSeq.map(f =>
+        col(f.name).as(Warehouse.physicalName(f))): _*)
     val bucketed = specsNow.get(name).filter(_.numBuckets > 0)
     val clustered = bucketed match {
       case Some(s) =>
@@ -1206,6 +1212,10 @@ class Warehouse(spark: SparkSession, dir: String,
       spec.bucketBy.foreach(bb.add)
       node.put("numBuckets", spec.numBuckets)
     }
+    if (spec.retiredPhysical.nonEmpty) {
+      val rp = node.putArray("retiredPhysical")
+      spec.retiredPhysical.foreach(rp.add)
+    }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(m.writeValueAsString(node)
@@ -1408,14 +1418,15 @@ class Warehouse(spark: SparkSession, dir: String,
     val keys = picks.map { case (e, _) =>
       if (e.rel.startsWith("/")) e.rel else "/" + e.rel }.toArray
     val lookup = new graft.plans.DvLookup(keys, picks.map(_._2).toArray)
-    base.select(cols :+ col("_metadata.file_path").as("__gf_dv_path")
-      :+ col("_metadata.row_index").as("__gf_dv_idx"): _*)
-      .where(org.apache.spark.sql.GraftBridge.toColumn(
-        graft.plans.DvRowDeleted(
-          org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_path")),
-          org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_idx")),
-          lookup)))
-      .select(cols: _*)
+    logicalView(name,
+      base.select(cols :+ col("_metadata.file_path").as("__gf_dv_path")
+        :+ col("_metadata.row_index").as("__gf_dv_idx"): _*)
+        .where(org.apache.spark.sql.GraftBridge.toColumn(
+          graft.plans.DvRowDeleted(
+            org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_path")),
+            org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_idx")),
+            lookup)))
+        .select(cols: _*))
   }
 
   /** Manifest entries → DataFrame through [[ManifestFileIndex]]: scan
@@ -1441,8 +1452,9 @@ class Warehouse(spark: SparkSession, dir: String,
           Seq.empty, isStreaming = true))
     }
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    applyDv(name, entries, org.apache.spark.sql.GraftBridge.ofRows(spark,
-      LogicalRelation(relationFor(name, entries), isStreaming)))
+    logicalView(name,
+      applyDv(name, entries, org.apache.spark.sql.GraftBridge.ofRows(spark,
+        LogicalRelation(relationFor(name, entries), isStreaming))))
   }
 
   // ------------------------------------------------------------------
@@ -1565,9 +1577,10 @@ class Warehouse(spark: SparkSession, dir: String,
     // the scan applies EXISTING vectors, so already-deleted rows can't
     // match again; row_index is the physical position either way
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val matched = scanWithDvMeta(name, candidates,
-      org.apache.spark.sql.GraftBridge.ofRows(spark,
-        LogicalRelation(relationFor(name, candidates), false)))
+    val matched = logicalView(name, scanWithDvMeta(name, candidates,
+        org.apache.spark.sql.GraftBridge.ofRows(spark,
+          LogicalRelation(relationFor(name, candidates), false))),
+        keep = Seq("__gf_dv_path", "__gf_dv_idx"))
       .where(coalesce(cond, lit(false)))
       .select(col("__gf_dv_path").as("p"), col("__gf_dv_idx").as("i"))
     val n = matched.count()
@@ -1631,9 +1644,10 @@ class Warehouse(spark: SparkSession, dir: String,
     val candidates = touchedFiles(name, entries, cond)
     if (candidates.isEmpty) return 0L
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val matched = scanWithDvMeta(name, candidates,
-      org.apache.spark.sql.GraftBridge.ofRows(spark,
-        LogicalRelation(relationFor(name, candidates), false)))
+    val matched = logicalView(name, scanWithDvMeta(name, candidates,
+        org.apache.spark.sql.GraftBridge.ofRows(spark,
+          LogicalRelation(relationFor(name, candidates), false))),
+        keep = Seq("__gf_dv_path", "__gf_dv_idx"))
       .where(coalesce(cond, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1690,7 +1704,10 @@ class Warehouse(spark: SparkSession, dir: String,
     val schema = tables(name)
     val parts = partitioning(name)
     val partitionSchema = StructType(parts.map(p => schema(p)))
-    val dataSchema = StructType(schema.filterNot(f => parts.contains(f.name)))
+    // column mapping: the scan reads PHYSICAL names (what the files
+    // contain); dfFor aliases back to logical — identical when inactive
+    val dataSchema = StructType(schema.filterNot(f => parts.contains(f.name))
+      .map(f => StructField(Warehouse.physicalName(f), f.dataType, f.nullable)))
     val index = new ManifestFileIndex(spark, new Path(path(name)),
       entries, partitionSchema)
     // bucketed layout → the scan reports HashPartitioning(bucketBy, n)
@@ -2622,10 +2639,128 @@ class Warehouse(spark: SparkSession, dir: String,
       s"addColumn: $name.${field.name} already exists")
     specsLock.synchronized {
       val cur = specsNow(name)
+      // under active column mapping a new logical name must not collide
+      // with any PHYSICAL name still present in data files (a live
+      // field's backing column, or a dropped column's retired one) —
+      // pin a fresh unique physical name in that case
+      val clash = cur.schema.fields.exists(f =>
+        Warehouse.physicalName(f) == field.name) ||
+        cur.retiredPhysical.contains(field.name)
+      val pinned =
+        if (!clash) field
+        else field.copy(metadata = new org.apache.spark.sql.types
+          .MetadataBuilder().withMetadata(field.metadata)
+          .putString(Warehouse.PhysicalKey,
+            s"${field.name}_${java.util.UUID.randomUUID.toString.take(8)}")
+          .build())
       specsNow = specsNow.updated(name,
-        cur.copy(schema = cur.schema.add(field)))
+        cur.copy(schema = cur.schema.add(pinned)))
     }
     persistSpec(name)
+  }
+
+  // ------------------------------------------------------------------
+  // column mapping: RENAME / DROP COLUMN without rewriting any data
+  // ------------------------------------------------------------------
+
+  /** Whether any field's logical name diverges from its parquet name —
+    * when false, every mapping hook below is an exact no-op.
+    */
+  private[graft] def mappingActive(name: String): Boolean =
+    tables(name).fields.exists(_.metadata.contains(Warehouse.PhysicalKey))
+
+  /** RENAME COLUMN as pure metadata (Delta's column-mapping shape): the
+    * parquet files keep the original column; the spec field is renamed
+    * and pinned to its PHYSICAL name, reads alias physical → logical
+    * inside the scan plan, writes alias logical → physical before
+    * staging. No data file is touched — at 100 TB that is the
+    * difference between a catalog update and a full rewrite.
+    *
+    * Restricted to PLAIN columns: partition, bucket, stat, bloom and
+    * CHECK-referenced columns keep logical == physical (their names key
+    * directory layouts, manifest stat maps, sidecars and persisted
+    * expressions — renaming them would orphan that state). The same
+    * restriction applies to [[dropColumn]].
+    */
+  def renameColumn(name: String, oldName: String, newName: String): Unit = {
+    specsLock.synchronized {
+      val cur = specsNow.getOrElse(name,
+        throw new IllegalArgumentException(s"renameColumn: no table $name"))
+      require(cur.schema.fieldNames.contains(oldName),
+        s"renameColumn $name: no column $oldName")
+      require(!cur.schema.fieldNames.contains(newName),
+        s"renameColumn $name: $newName already exists")
+      requirePlainColumn(name, cur, oldName, "renameColumn")
+      val renamed = StructType(cur.schema.fields.map { f =>
+        if (f.name != oldName) f
+        else f.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(Warehouse.PhysicalKey, Warehouse.physicalName(f))
+            .build())
+      })
+      specsNow = specsNow.updated(name, cur.copy(schema = renamed))
+    }
+    persistSpec(name)
+  }
+
+  /** DROP COLUMN as pure metadata: the spec field disappears (reads
+    * never project it again, writes stop producing it); the physical
+    * column stays in old files and is RETIRED — a later addColumn of
+    * the same logical name maps to a fresh physical name so the stale
+    * values can never resurface. See [[renameColumn]] for the
+    * plain-column restriction.
+    */
+  def dropColumn(name: String, colName: String): Unit = {
+    specsLock.synchronized {
+      val cur = specsNow.getOrElse(name,
+        throw new IllegalArgumentException(s"dropColumn: no table $name"))
+      require(cur.schema.fieldNames.contains(colName),
+        s"dropColumn $name: no column $colName")
+      require(cur.schema.length > 1,
+        s"dropColumn $name: cannot drop the last column")
+      requirePlainColumn(name, cur, colName, "dropColumn")
+      val field = cur.schema(colName)
+      specsNow = specsNow.updated(name, cur.copy(
+        schema = StructType(cur.schema.fields.filterNot(_.name == colName)),
+        retiredPhysical =
+          cur.retiredPhysical :+ Warehouse.physicalName(field)))
+    }
+    persistSpec(name)
+  }
+
+  /** The rename/drop restriction: only columns with no layout or
+    * constraint role may diverge from their physical name.
+    */
+  private def requirePlainColumn(name: String, spec: Warehouse.TableSpec,
+      colName: String, op: String): Unit = {
+    require(!spec.partitionBy.contains(colName),
+      s"$op $name.$colName: partition columns key the directory layout")
+    require(!spec.bucketBy.contains(colName),
+      s"$op $name.$colName: bucket columns key the file layout")
+    require(!spec.statColumns.contains(colName),
+      s"$op $name.$colName: stat columns key the manifest stat maps")
+    require(!spec.bloomColumns.contains(colName),
+      s"$op $name.$colName: bloom columns key the sidecar indexes")
+    val word = ("""\b""" + java.util.regex.Pattern.quote(colName) +
+      """\b""").r
+    spec.checks.foreach { case (n, e) =>
+      require(word.findFirstIn(e).isEmpty,
+        s"$op $name.$colName: referenced by CHECK constraint $n ($e) — " +
+          "drop the constraint first")
+    }
+  }
+
+  /** physical → logical projection appended to every scan of a
+    * mapping-active table; `keep` names pass-through columns (the DV
+    * metadata pair) that must survive the projection.
+    */
+  private def logicalView(name: String, df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    if (!mappingActive(name)) return df
+    import org.apache.spark.sql.functions.col
+    df.select(tables(name).fields.toSeq.map(f =>
+      col(Warehouse.physicalName(f)).as(f.name)) ++ keep.map(col): _*)
   }
 
   /** Enforce the table's CHECK constraints on rows about to be written:
@@ -2890,6 +3025,18 @@ object Warehouse {
     * through a shuffle no optimizer rule can elide (see writeBatch).
     * Coupon-collector search: ~n·ln(n) hashes, cached per n.
     */
+  /** StructField.metadata key pinning a column's PHYSICAL (parquet)
+    * name once a rename/drop made it diverge from the logical name.
+    */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  /** The parquet column backing a spec field (the field's own name
+    * until a rename pinned something else).
+    */
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
   private val bucketReps =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
   private[pipeline] def bucketRepresentatives(n: Int): Array[Long] =
@@ -2921,12 +3068,18 @@ object Warehouse {
     *   At warehouse scale this is the difference between a fact-fact
     *   join that moves the whole table and one that moves nothing.
     */
+  /** @param retiredPhysical PHYSICAL column names that once backed a
+    *   since-dropped logical column — a later addColumn of the same
+    *   logical name must map to a FRESH physical name, or stale values
+    *   from pre-drop files would resurface (see [[Warehouse!.dropColumn]]).
+    */
   final case class TableSpec(schema: StructType,
       partitionBy: Seq[String] = Nil, statColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
       bloomExpectedItems: Long = 1000000L, bloomFpp: Double = 0.03,
       checks: Map[String, String] = Map.empty,
-      bucketBy: Seq[String] = Nil, numBuckets: Int = 0) {
+      bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
+      retiredPhysical: Seq[String] = Nil) {
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
     require(bucketBy.isEmpty == (numBuckets == 0),
@@ -3023,7 +3176,8 @@ object Warehouse {
             else 0.03,
             checks,
             strs("bucketBy"),
-            if (node.has("numBuckets")) node.get("numBuckets").asInt() else 0)
+            if (node.has("numBuckets")) node.get("numBuckets").asInt() else 0,
+            strs("retiredPhysical"))
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

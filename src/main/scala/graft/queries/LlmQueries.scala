@@ -3499,6 +3499,55 @@ object LlmQueries extends QueryPack {
         SELECT 'g' || (o_orderkey % 7) AS grp,
                CAST(count(*) AS BIGINT) AS n,
                round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q140: COLUMN MAPPING lifecycle under the hash gate — rename
+    // and drop as PURE METADATA (zero data files rewritten; Delta's
+    // column-mapping shape). Wave 1 lands under the original name,
+    // the column is renamed, wave 2 lands under the NEW name (the
+    // files now mix physical names), a routed UPDATE mutates through
+    // the mapping, a drop retires one column, and a re-add of the
+    // SAME logical name must come back all-NULL — if the retired
+    // physical column resurfaced, the n_flagged count would jump and
+    // the hash would break. ----
+    Q("q140_warehouse_column_mapping",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q140-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("grp", StringType),
+              StructField("price", DoubleType),
+              StructField("flag", LongType))))))
+        wh.bootstrap()
+        wh.registerSql("cm140_")
+        val orders = t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          concat(lit("g"), col("o_orderkey") % 5).as("grp"),
+          col("o_totalprice").as("price"),
+          (col("o_orderkey") % 2).as("flag"))
+        wh.append("t", orders.where(col("id") % 2 === 0))
+        s.sql("ALTER TABLE cm140_t RENAME COLUMN price TO amount")
+        wh.append("t", orders.where(col("id") % 2 =!= 0)
+          .withColumnRenamed("price", "amount"))
+        s.sql("UPDATE cm140_t SET amount = amount + 10 WHERE grp = 'g2'")
+        s.sql("ALTER TABLE cm140_t DROP COLUMN flag")
+        s.sql("ALTER TABLE cm140_t ADD COLUMN flag BIGINT")
+        s.sql("""
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(amount), 2) AS total,
+                 CAST(count(flag) AS BIGINT) AS n_flagged
+          FROM cm140_t GROUP BY grp ORDER BY grp""")
+      },
+      Some("""
+        SELECT 'g' || (o_orderkey % 5) AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(CASE WHEN o_orderkey % 5 = 2
+                              THEN o_totalprice + 10
+                              ELSE o_totalprice END), 2) AS total,
+               CAST(0 AS BIGINT) AS n_flagged
         FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 

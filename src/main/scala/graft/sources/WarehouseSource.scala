@@ -99,14 +99,17 @@ class WarehouseSourceProvider extends StreamSourceProvider
         wh.loadAt(table, ver)
       case None => wh.loadLatest(table)._2
     }
-    if (!entries.exists(e => e.dv.nonEmpty && e.dvRows > 0))
+    if (!entries.exists(e => e.dv.nonEmpty && e.dvRows > 0) &&
+        !wh.mappingActive(table))
       wh.relationFor(table, entries)
     else {
-      // DELETION VECTORS present: the raw HadoopFsRelation would
-      // resurface vectored rows, so delegate to the DV-filtered plan.
-      // Column pruning survives (PrunedScan); predicate pushdown on
-      // this alternate reader path is traded for correctness — the
-      // primary Warehouse.read/SQL route keeps full pushdown.
+      // DELETION VECTORS present (the raw HadoopFsRelation would
+      // resurface vectored rows) or COLUMN MAPPING active (the raw
+      // relation exposes physical names): delegate to the corrected
+      // dfFor plan. Column pruning survives (PrunedScan); predicate
+      // pushdown on this alternate reader path is traded for
+      // correctness — the primary Warehouse.read/SQL route keeps full
+      // pushdown.
       val ctx = sqlContext
       new org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.PrunedScan {

@@ -387,6 +387,30 @@ case class GraftAddColumnCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `ALTER TABLE wh_t RENAME COLUMN a TO b` → [[Warehouse!.renameColumn]]
+  * (pure metadata — no data rewrite; restricted to plain columns).
+  */
+case class GraftRenameColumnCommand(wh: Warehouse, table: String,
+    oldName: String, newName: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.renameColumn(table, oldName, newName)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE wh_t DROP COLUMN c` → [[Warehouse!.dropColumn]] (pure
+  * metadata; the physical column is retired, never rewritten).
+  */
+case class GraftDropColumnCommand(wh: Warehouse, table: String,
+    colName: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.dropColumn(table, colName)
+    Seq.empty
+  }
+}
+
 /** `TRUNCATE TABLE wh_t` → [[Warehouse!.truncate]]: one empty-manifest
   * commit; replaced files follow retention.
   */

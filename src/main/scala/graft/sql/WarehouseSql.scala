@@ -261,6 +261,10 @@ object WarehouseSql {
     """(?is)\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val AddColumnStmt = // type = rest-of-statement, Spark DDL grammar
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*;?\s*""".r
+  private val RenameColumnStmt = // pure-metadata column mapping
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropColumnStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val DescribeDetailStmt =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val ShowTablesStmt =
@@ -329,6 +333,12 @@ object WarehouseSql {
         GraftShowCreateCommand(wh, t, name.toLowerCase) }
     case ShowTablesStmt() => Some(GraftShowTablesCommand())
     case ShowMvsStmt() => Some(GraftShowMvsCommand())
+    case RenameColumnStmt(name, oldCol, newCol) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftRenameColumnCommand(wh, t, oldCol, newCol) }
+    case DropColumnStmt(name, colName) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDropColumnCommand(wh, t, colName) }
     case AddColumnStmt(name, colName, colType) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         val dt =
