@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 import graft.schema.Schemas
 import graft.util.FsListing
@@ -1871,6 +1871,57 @@ class Warehouse(spark: SparkSession, dir: String,
     (fresh.size.toLong, staged.map(_.rows).sum)
   }
 
+  /** EXPECTATIONS WITH QUARANTINE (the "expect or quarantine" pipeline
+    * shape): split `df` by the TARGET table's CHECK constraints —
+    * passing rows append to `name`, violating rows append to
+    * `quarantine` with a `violation` column naming the FIRST failed
+    * check (name order, the [[graft.ext.QualityRules]] first-fail
+    * attribution) — in ONE atomic multi-table commit ([[appendAll]]'s
+    * `_txn` marker): a reader observes both sides or neither, so
+    * "rows in = rows kept + rows quarantined" holds at every snapshot.
+    * The alternative to [[append]]'s fail-the-batch contract when bad
+    * rows are expected and must be auditable rather than fatal.
+    *
+    * The quarantine table is auto-created (IF NOT EXISTS) with the
+    * target's schema plus `violation STRING` and NO checks of its own
+    * (everything it receives violates something by construction).
+    * SQL three-valued semantics as everywhere: a NULL check result
+    * PASSES. `df` is evaluated once per side (two staged writes, the
+    * [[appendAll]] shape) — cache upstream if the batch is expensive.
+    *
+    * @return (rows kept, rows quarantined)
+    */
+  def appendQuarantine(name: String, quarantine: String, df: DataFrame,
+      rowsPerFile: Long = 0L): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, when}
+    val checks = specsNow(name).checks.toSeq.sortBy(_._1)
+    require(checks.nonEmpty,
+      s"appendQuarantine $name: the table has no CHECK constraints — " +
+        "use append")
+    require(name != quarantine,
+      s"appendQuarantine: target and quarantine must differ")
+    val schema = tables(name)
+    createTable(quarantine, Warehouse.TableSpec(
+      schema.add(StructField("violation", StringType, nullable = false))),
+      ifNotExists = true)
+    require(tables(quarantine).fieldNames.toSeq ==
+        schema.fieldNames.toSeq :+ "violation",
+      s"appendQuarantine: $quarantine exists with an incompatible schema")
+    val firstFail = checks.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (n, e)) =>
+        when(not(coalesce(expr(e), lit(true))), lit(n)).otherwise(acc)
+    }
+    val tagged = df.withColumn("violation", firstFail)
+    val good = tagged.where(col("violation").isNull).drop("violation")
+    val bad = tagged.where(col("violation").isNotNull)
+    def rc(t: String): Long = metaRowCount(t).getOrElse(
+      throw new IllegalStateException(
+        s"appendQuarantine: $t has no manifest row counts"))
+    val (g0, b0) = (rc(name), rc(quarantine))
+    appendAll(Seq((name, good, rowsPerFile), (quarantine, bad, rowsPerFile)))
+    (rc(name) - g0, rc(quarantine) - b0)
+  }
+
   /** The union of the HEAD commit's referenced copy ledgers — the list
     * rides every commit forward (see [[commit]]), so vacuuming old
     * manifests never forgets a loaded file; a crashed copy's orphaned
@@ -2087,6 +2138,111 @@ class Warehouse(spark: SparkSession, dir: String,
       Some(footprint))
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
+  }
+
+  /** SCD TYPE-2 MERGE (slowly changing dimensions): apply a batch of
+    * attribute updates to a versioned dimension table in ONE commit.
+    * Per source row, against the table's CURRENT rows
+    * (`currentFlag = true`):
+    *
+    *   - key absent                      → INSERT a new current version
+    *   - key present, attrs identical    → no-op (null-safe compare)
+    *   - key present, attrs differ       → CLOSE the old version
+    *     (`validTo = ts`, `currentFlag = false`) AND insert the new
+    *     current version (`validFrom = ts`, `validTo = null`)
+    *
+    * The table schema must carry the three bookkeeping columns; the
+    * source carries key + attribute columns only. Same copy-on-write
+    * machinery and contracts as [[merge]]: key-unique source, partition
+    * columns a pure function of the key (they ride in the source),
+    * only touched-partition files rewritten, crash-safe commit,
+    * conflict REBASE over provably-disjoint concurrent commits. History
+    * rows are never touched — a closed version is frozen forever, which
+    * is what makes `VERSION AS OF` + SCD time travel compose.
+    *
+    * @param ts the transaction time written to `validTo` (closed rows)
+    *   and `validFrom` (new versions) — pass a literal for replayable
+    *   pipelines
+    * @return (versions closed, versions inserted)
+    */
+  def scdMerge(name: String, source: DataFrame, keys: Seq[String],
+      ts: org.apache.spark.sql.Column,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      currentFlag: String = "is_current"): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, lit, not, when}
+    val schema = tables(name)
+    val book = Seq(validFrom, validTo, currentFlag)
+    (keys ++ book).foreach(c => require(schema.fieldNames.contains(c),
+      s"scdMerge $name: no column $c"))
+    require(schema(currentFlag).dataType == BooleanType,
+      s"scdMerge $name: $currentFlag must be BOOLEAN")
+    val tracked = schema.fieldNames.toSeq
+      .filterNot(c => keys.contains(c) || book.contains(c))
+    require(tracked.nonEmpty, s"scdMerge $name: no tracked attribute " +
+      "columns outside keys and SCD bookkeeping")
+    val parts = partitioning(name)
+    require(parts.forall(source.columns.contains),
+      s"scdMerge $name: source must carry partition cols $parts")
+    require(!parts.contains(currentFlag) && !parts.contains(validTo),
+      s"scdMerge $name: SCD bookkeeping cannot be partition columns " +
+        "(closing a version must not move it)")
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"scdMerge $name: table not bootstrapped")
+    val (replaced: Seq[FileEntry], footprint: Set[String]) = parts match {
+      case Nil =>
+        if (source.isEmpty) return (0L, 0L)
+        (entries, Set(""))
+      case cols =>
+        val touched = source.select(cols.map(col): _*).distinct().collect()
+        if (touched.isEmpty) return (0L, 0L)
+        val dirs = touched.map(r => partitionDir(cols, r)).toSet
+        (entries.filter(e => dirs.contains(dirOf(name, e.rel))), dirs)
+    }
+    val srcProj = source.select((keys ++ tracked).map(col): _*)
+    val curPrefixed = dfFor(name, replaced).where(col(currentFlag))
+      .select(keys.map(col) ++ tracked.map(c => col(c).as(s"cur_$c"))
+        :+ lit(1).as("_hit"): _*)
+    val joined = srcProj.join(curPrefixed, keys, "left")
+    val differs = tracked.map(c => not(col(c) <=> col(s"cur_$c")))
+      .reduce(_ || _)
+    val toInsert = joined.where(col("_hit").isNull || differs)
+      .select((keys ++ tracked).map(col): _*)
+      .withColumn(validFrom, ts.cast(schema(validFrom).dataType))
+      .withColumn(validTo, lit(null).cast(schema(validTo).dataType))
+      .withColumn(currentFlag, lit(true))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    val closeKeys = joined.where(col("_hit").isNotNull && differs)
+      .select(keys.map(col): _*)
+    // the result counts double as the driver-side sizing probe; both
+    // aggregates run over touched-partition files only
+    val nInserted = toInsert.count()
+    if (nInserted == 0L) return (0L, 0L) // nothing new, nothing changed
+    val nClosed = closeKeys.count()
+    val closeMark = closeKeys.withColumn("_close", lit(1))
+    val closing = col("_close").isNotNull && col(currentFlag)
+    val rewritten = dfFor(name, replaced)
+      .join(closeMark, keys, "left")
+      .withColumn(validTo,
+        when(closing, ts.cast(schema(validTo).dataType))
+          .otherwise(col(validTo)))
+      .withColumn(currentFlag, when(closing, lit(false))
+        .otherwise(col(currentFlag)))
+      .drop("_close")
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    enforceChecks(name, toInsert)
+    val fresh = writeBatch(name, rewritten.unionByName(toInsert))
+    maybeCrash("after-write")
+    beforeCommit.foreach(_())
+    commitReadModify(name, (v, entries), replaced, fresh,
+      Map("op" -> "scd_merge",
+        "numVersionsClosed" -> nClosed.toString,
+        "numVersionsInserted" -> nInserted.toString,
+        "numFilesReplaced" -> replaced.size.toString,
+        "numFilesAdded" -> fresh.size.toString),
+      Some(footprint))
+    maybeCrash("after-commit")
+    if (!retainReplaced) gc(name, replaced)
+    (nClosed, nInserted)
   }
 
   /** Full conditional MERGE — the Delta `MERGE INTO` clause set over

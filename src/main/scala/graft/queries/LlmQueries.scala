@@ -3548,7 +3548,196 @@ object LlmQueries extends QueryPack {
                               THEN o_totalprice + 10
                               ELSE o_totalprice END), 2) AS total,
                CAST(0 AS BIGINT) AS n_flagged
-        FROM orders GROUP BY 1 ORDER BY 1"""))
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q141: EXPECTATIONS WITH QUARANTINE — the "expect or
+    // quarantine" pipeline contract: one batch splits by the target's
+    // CHECK constraints into kept rows and quarantined rows carrying
+    // FIRST-FAIL attribution (name order), in one atomic multi-table
+    // commit. The oracle replays the same CASE ladder; the section
+    // totals only reconcile (kept + quarantined = batch) if the split
+    // is exactly-once and the attribution deterministic. ----
+    Q("q141_warehouse_quarantine",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q141-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("status", StringType),
+              StructField("price", DoubleType))),
+            checks = Map(
+              "a_price_cap" -> "price < 400000",
+              "b_no_f_status" -> "status <> 'F'"))))
+        wh.bootstrap()
+        val batch = t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        wh.appendQuarantine("t", "t_bad", batch)
+        wh.read("t")
+          .select(lit("kept").as("section"), lit("-").as("violation"),
+            col("price"))
+          .unionByName(wh.read("t_bad")
+            .select(lit("quarantined").as("section"), col("violation"),
+              col("price")))
+          .groupBy("section", "violation")
+          .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+          .orderBy("section", "violation")
+      },
+      Some("""
+        WITH tagged AS (
+          SELECT o_totalprice AS price,
+                 CASE WHEN NOT (o_totalprice < 400000) THEN 'a_price_cap'
+                      WHEN NOT (o_orderstatus <> 'F') THEN 'b_no_f_status'
+                      END AS violation
+          FROM orders)
+        SELECT CASE WHEN violation IS NULL THEN 'kept'
+                    ELSE 'quarantined' END AS section,
+               coalesce(violation, '-') AS violation,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(price), 2) AS total
+        FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- q142: SCD TYPE-2 MERGE — versioned dimension maintenance.
+    // Wave 1 loads the customer dimension; wave 2 upgrades every
+    // custkey % 3 == 0 segment and lands a synthetic batch of new
+    // members. Changed keys must CLOSE their old version (frozen with
+    // the wave-2 timestamp) and insert a new current one; unchanged
+    // keys must be exact no-ops (null-safe compare); new keys insert.
+    // The oracle replays the ladder set-theoretically — a double
+    // insert, a missed close, or a spurious close of an unchanged key
+    // each shifts a group count and breaks the hash. ----
+    Q("q142_warehouse_scd2_dimension",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q142-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("dim" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("segment", StringType),
+              StructField("nation", LongType),
+              StructField("valid_from", TimestampType),
+              StructField("valid_to", TimestampType),
+              StructField("is_current", BooleanType))))))
+        wh.bootstrap()
+        val base = t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("long").as("nation"))
+        def ts(v: String) = lit(v).cast(TimestampType)
+        wh.scdMerge("dim", base, Seq("id"), ts("2024-01-01 00:00:00"))
+        val wave2 = base
+          .withColumn("segment", when(col("id") % 3 === 0,
+            lit("UPGRADED")).otherwise(col("segment")))
+          .unionByName(base.where(col("id") < 50)
+            .select((col("id") + 10000000L).as("id"),
+              lit("NEWCO").as("segment"), col("nation")))
+        wh.scdMerge("dim", wave2, Seq("id"), ts("2024-02-01 00:00:00"))
+        wh.read("dim")
+          .groupBy("is_current", "segment")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("valid_to")).as("n_close_ts"))
+          .orderBy("is_current", "segment")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey AS id, c_mktsegment AS seg FROM customer),
+        rows_ AS (
+          SELECT CASE WHEN id % 3 = 0 THEN 'UPGRADED' ELSE seg END AS segment,
+                 true AS is_current, NULL AS valid_to
+          FROM base
+          UNION ALL
+          SELECT 'NEWCO', true, NULL FROM base WHERE id < 50
+          UNION ALL
+          SELECT seg, false, '2024-02-01' FROM base WHERE id % 3 = 0)
+        SELECT is_current, segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT valid_to) AS BIGINT) AS n_close_ts
+        FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- q143: CLUSTER TOPIC LABELING (the BERTopic / data-map
+    // shape): assign every embedding to its nearest of K fixed
+    // centroids (argmax dot — closed-form literals so an independent
+    // engine replays the assignment bit-exactly: dot products are
+    // pure IEEE mul/add chains over identical doubles in identical
+    // order, no libm), then label each cluster with its top c-TF-IDF
+    // terms over the joined documents. The idf here is the LINEAR
+    // variant (K + 1 − cluster-df) so scores stay integer-exact
+    // across engines — the classic ln(K/df) is a one-line swap whose
+    // last-ulp libm differences would make cross-engine rank order
+    // unverifiable. Ranking ties break on the term itself. ----
+    Q("q143_embed_cluster_topics",
+      (s, dir) => {
+        val K = 4
+        val dim = 64
+        def cent(k: Int): Array[Double] = (0 until dim).map(j =>
+          (((k + 1) * ((j % 5) + 1)) - 6) * 0.05).toArray
+        val scoredK = (0 until K).map { k =>
+          val dot = aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              lit(cent(k)), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x)
+          // max over (dot, -k) structs = argmax dot, ties -> smaller k
+          struct(dot.as("dot"), lit(-k).as("negk"))
+        }
+        val assigned = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            (-array_max(array(scoredK: _*)).getField("negk"))
+              .cast("long").as("cluster"))
+        val toks = t(s, dir, "documents")
+          .join(assigned, col("doc_id") === col("vec_id"))
+          .select(col("cluster"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .where(length(col("term")) > 0)
+        val tf = toks.groupBy("cluster", "term")
+          .agg(count(lit(1)).as("cnt"))
+        val dfc = tf.groupBy("term")
+          .agg(countDistinct(col("cluster")).as("dfc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfc, "term")
+          .withColumn("score",
+            (col("cnt") * (lit(K.toLong + 1) - col("dfc"))).cast("long"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("cluster"), col("rank"), col("term"), col("score"))
+          .orderBy("cluster", "rank")
+      },
+      Some("""
+        WITH cents AS (
+          SELECT k, list_transform(range(0, 64),
+                   j -> (((k + 1) * ((j % 5) + 1)) - 6) * 0.05) AS c
+          FROM (SELECT unnest(range(0, 4)) AS k)),
+        dots AS (
+          SELECT e.vec_id, c.k,
+                 list_dot_product(e.embedding::DOUBLE[], c.c) AS dot
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, CAST(k AS BIGINT) AS cluster FROM (
+            SELECT vec_id, k, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
+            FROM dots) WHERE rn = 1),
+        toks AS (
+          SELECT a.cluster, t.term FROM documents d
+          JOIN assigned a ON a.vec_id = d.doc_id,
+          UNNEST(string_split_regex(lower(trim(d.text)), '\s+')) AS t(term)
+          WHERE len(t.term) > 0),
+        tf AS (
+          SELECT cluster, term, count(*) AS cnt
+          FROM toks GROUP BY 1, 2),
+        dfc AS (
+          SELECT term, count(DISTINCT cluster) AS dfc FROM tf GROUP BY 1),
+        ranked AS (
+          SELECT f.cluster, f.term,
+                 CAST(f.cnt * (5 - x.dfc) AS BIGINT) AS score,
+                 row_number() OVER (PARTITION BY f.cluster
+                   ORDER BY f.cnt * (5 - x.dfc) DESC, f.term) AS rank
+          FROM tf f JOIN dfc x USING (term))
+        SELECT cluster, CAST(rank AS BIGINT) AS rank, term, score
+        FROM ranked WHERE rank <= 5 ORDER BY cluster, rank"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -110,4 +110,49 @@ class WarehouseCheckSpec extends SparkSpec {
     spark.sql("INSERT INTO chk_t VALUES (100, 'g0', -1.0)")
     assert(spark.sql("SELECT count(*) FROM chk_t").head().getLong(0) === 6L)
   }
+
+  test("appendQuarantine: split is atomic, first-fail attributed") {
+    val wh = fresh(checks = Map(
+      "a_nonneg" -> "val >= 0", "b_small_id" -> "id < 100"))
+    // id 150 violates b; val<0 violates a; id 200 + val<0 violates BOTH
+    // and must be attributed to the FIRST check in name order (a_nonneg)
+    val batch = Seq(
+      (1L, "g0", 5.0), (2L, "g1", 6.0),           // good
+      (150L, "g2", 7.0),                          // b_small_id
+      (3L, "g0", -1.0),                           // a_nonneg
+      (200L, "g1", -2.0)                          // both -> a_nonneg
+    ).toDF("id", "grp", "val")
+    val (kept, quarantined) = wh.appendQuarantine("t", "t_bad", batch)
+    assert(kept === 2L && quarantined === 3L)
+    assert(wh.read("t").count() === 2L)
+    val bad = wh.read("t_bad")
+      .select(col("id"), col("violation")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bad === Map(150L -> "b_small_id", 3L -> "a_nonneg",
+      200L -> "a_nonneg"))
+    // re-run with an all-good batch: quarantine stays put
+    val (k2, q2) = wh.appendQuarantine("t", "t_bad",
+      Seq((10L, "g2", 1.0)).toDF("id", "grp", "val"))
+    assert(k2 === 1L && q2 === 0L)
+  }
+
+  test("appendQuarantine: crash between member commits publishes neither") {
+    val wh = fresh(checks = Map("a_nonneg" -> "val >= 0"))
+    wh.crashPoint = Some("between-manifests")
+    intercept[IllegalStateException] {
+      wh.appendQuarantine("t", "t_bad",
+        Seq((1L, "g0", 1.0), (2L, "g1", -1.0)).toDF("id", "grp", "val"))
+    }
+    wh.crashPoint = None
+    assert(wh.read("t").count() === 0L)
+    assert(wh.read("t_bad").count() === 0L)
+    // the re-run completes both sides exactly once (lease expired so
+    // the dead transaction's pending slot is reclaimable immediately)
+    wh.txnStaleMs = 0L
+    val (k, q) = wh.appendQuarantine("t", "t_bad",
+      Seq((1L, "g0", 1.0), (2L, "g1", -1.0)).toDF("id", "grp", "val"))
+    assert(k === 1L && q === 1L)
+    assert(wh.read("t").count() === 1L && wh.read("t_bad").count() === 1L)
+  }
+
 }
