@@ -311,6 +311,37 @@ class Warehouse(spark: SparkSession, dir: String,
     }
   }
 
+  /** Abort a PENDING manifest left by a previous attempt of OUR OWN
+    * fenced epoch — an unconfirmed mtxn whose metadata carries exactly
+    * our `(writerId, epoch)` watermark. No lease wait: the fence makes
+    * the epoch idempotent (any live writer of the same fence writes the
+    * same logical batch), so reclaiming converges either way. Same
+    * restore-on-race guard as [[abortStalePending]].
+    */
+  private def abortOwnPending(name: String, version: Long,
+      fence: (String, Long)): Boolean = {
+    val fs = fileSystem
+    val paths = Seq("mf", "mfd")
+      .map(e => new Path(manifestDir(name), f"v$version%012d.$e"))
+      .filter(fs.exists)
+    if (paths.isEmpty) return false
+    val meta = commitMeta(name, version)
+    val ours = meta.get(s"txn_${fence._1}").contains(fence._2.toString)
+    meta.get("mtxn") match {
+      case Some(id) if ours && !txnConfirmed(id) =>
+        val saved = paths.map(p => p -> {
+          val in = fs.open(p)
+          try in.readAllBytes() finally in.close()
+        })
+        paths.foreach(fs.delete(_, false))
+        if (txnConfirmed(id)) { // lost the race: restore, don't abort
+          saved.foreach { case (p, bytes) => publishExclusive(p, bytes) }
+          false
+        } else true
+      case _ => false
+    }
+  }
+
   private def readManifestLines(name: String, p: Path): Seq[String] = {
     val in = fileSystem.open(p)
     val text = try {
@@ -1216,6 +1247,11 @@ class Warehouse(spark: SparkSession, dir: String,
       val rp = node.putArray("retiredPhysical")
       spec.retiredPhysical.foreach(rp.add)
     }
+    if (spec.generated.nonEmpty) {
+      val gn = node.putObject("generated")
+      spec.generated.toSeq.sortBy(_._1).foreach { case (c, e) =>
+        gn.put(c, e) }
+    }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(m.writeValueAsString(node)
@@ -1310,6 +1346,18 @@ class Warehouse(spark: SparkSession, dir: String,
   /** TIME TRAVEL by wall clock: [[readVersion]] of [[versionAt]]. */
   def readTimestamp(name: String, tsMillis: Long): DataFrame =
     readVersion(name, versionAt(name, tsMillis))
+
+  /** A committed version's wall-clock commit time (the [[versionAt]]
+    * clock: min manifest modtime across the extensions present).
+    */
+  def commitTimeMillis(name: String, version: Long): Long = {
+    val fs = fileSystem
+    val exts = Seq("mf", "mfd")
+      .map(e => new Path(manifestDir(name), f"v$version%012d.$e"))
+      .filter(fs.exists)
+    require(exts.nonEmpty, s"$name has no manifest v$version")
+    exts.map(p => fs.getFileStatus(p).getModificationTime).min
+  }
 
   /** INCREMENTAL read: rows of files ADDED after manifest
     * `sinceVersion` — appended batches plus the rewritten output of any
@@ -1745,8 +1793,9 @@ class Warehouse(spark: SparkSession, dir: String,
       txnWatermarks(name, headVersion).get(s"txn_$q").exists(_.toLong >= e)
     }
     if (replayed(v)) return
-    enforceChecks(name, df)
-    val fresh = writeBatch(name, df, rowsPerFile)
+    val full = applyGenerated(name, df)
+    enforceChecks(name, full)
+    val fresh = writeBatch(name, full, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
     // Optimistic concurrency, Delta-style: a blind append COMMUTES with
@@ -1835,9 +1884,15 @@ class Warehouse(spark: SparkSession, dir: String,
     if (fresh.isEmpty) return (0L, 0L)
     import org.apache.spark.sql.functions.col
     val schema = tables(name)
-    val df = spark.read.format(format).schema(schema).options(options)
-      .load(fresh.map { case (rel, _) => s"$srcDir/$rel" }: _*)
-      .select(schema.fieldNames.map(col): _*)
+    // GENERATED columns never come from the source files — the read
+    // schema excludes them and the engine derives canonical values
+    val gen = specsNow(name).generated
+    val readSchema = StructType(
+      schema.filterNot(f => gen.contains(f.name)))
+    val df = applyGenerated(name,
+      spark.read.format(format).schema(readSchema).options(options)
+        .load(fresh.map { case (rel, _) => s"$srcDir/$rel" }: _*)
+        .select(readSchema.fieldNames.map(col): _*))
     enforceChecks(name, df)
     val staged = writeBatch(name, df)
     val ledgerRel = writeCopyLedger(name,
@@ -1889,10 +1944,13 @@ class Warehouse(spark: SparkSession, dir: String,
     * PASSES. `df` is evaluated once per side (two staged writes, the
     * [[appendAll]] shape) — cache upstream if the batch is expensive.
     *
-    * @return (rows kept, rows quarantined)
+    * @param txn optional (writerId, epoch) fence — EXACTLY-ONCE across
+    *   the atomic pair (the streaming-sink contract; see [[appendAll]])
+    * @return (rows kept, rows quarantined) — (0, 0) for a replay
     */
   def appendQuarantine(name: String, quarantine: String, df: DataFrame,
-      rowsPerFile: Long = 0L): (Long, Long) = {
+      rowsPerFile: Long = 0L,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, when}
     val checks = specsNow(name).checks.toSeq.sortBy(_._1)
     require(checks.nonEmpty,
@@ -1902,7 +1960,8 @@ class Warehouse(spark: SparkSession, dir: String,
       s"appendQuarantine: target and quarantine must differ")
     val schema = tables(name)
     createTable(quarantine, Warehouse.TableSpec(
-      schema.add(StructField("violation", StringType, nullable = false))),
+      schema.add(StructField("violation", StringType, nullable = false)),
+      generated = specsNow(name).generated),
       ifNotExists = true)
     require(tables(quarantine).fieldNames.toSeq ==
         schema.fieldNames.toSeq :+ "violation",
@@ -1918,7 +1977,8 @@ class Warehouse(spark: SparkSession, dir: String,
       throw new IllegalStateException(
         s"appendQuarantine: $t has no manifest row counts"))
     val (g0, b0) = (rc(name), rc(quarantine))
-    appendAll(Seq((name, good, rowsPerFile), (quarantine, bad, rowsPerFile)))
+    appendAll(Seq((name, good, rowsPerFile), (quarantine, bad, rowsPerFile)),
+      txn)
     (rc(name) - g0, rc(quarantine) - b0)
   }
 
@@ -1982,21 +2042,39 @@ class Warehouse(spark: SparkSession, dir: String,
     * appends commute).
     *
     * @param batches (table, rows, rowsPerFile) — distinct tables
+    * @param txn optional (writerId, epoch) idempotence fence across the
+    *   WHOLE transaction: every member commit records the watermark, so
+    *   one member's confirmed fence proves the marker flipped and the
+    *   entire epoch published — a replay is a no-op. A replay that
+    *   finds its own DEAD attempt's pending manifests (fence match,
+    *   marker absent) reclaims them immediately, lease or no lease:
+    *   the fence makes the epoch idempotent, so aborting even a live
+    *   zombie's identical attempt converges.
     */
-  def appendAll(batches: Seq[(String, DataFrame, Long)]): Unit = {
+  def appendAll(batches: Seq[(String, DataFrame, Long)],
+      txn: Option[(String, Long)] = None): Unit = {
     require(batches.map(_._1).distinct.size == batches.size,
       s"appendAll: duplicate tables in ${batches.map(_._1)}")
     if (batches.isEmpty) return
     if (batches.size == 1) { // one table needs no cross-table marker
       val (t, df, rpf) = batches.head
-      return append(t, df, rpf)
+      return append(t, df, rpf, txn)
     }
     batches.foreach { case (t, _, _) =>
       require(loadLatest(t)._1 > 0L, s"appendAll into $t: not bootstrapped")
     }
-    batches.foreach { case (t, df, _) => enforceChecks(t, df) }
+    val txnMeta = txn.map { case (q, e) => s"txn_$q" -> e.toString }.toMap
+    def replayed: Boolean = txn.exists { case (q, e) =>
+      val (v0, _) = loadLatest(batches.head._1)
+      txnWatermarks(batches.head._1, v0).get(s"txn_$q")
+        .exists(_.toLong >= e)
+    }
+    if (replayed) return
+    val derived = batches.map { case (t, df, rpf) =>
+      (t, applyGenerated(t, df), rpf) }
+    derived.foreach { case (t, df, _) => enforceChecks(t, df) }
     val id = java.util.UUID.randomUUID.toString
-    val staged = batches.map { case (t, df, rpf) =>
+    val staged = derived.map { case (t, df, rpf) =>
       t -> writeBatch(t, df, rpf)
     }
     maybeCrash("after-write")
@@ -2009,13 +2087,23 @@ class Warehouse(spark: SparkSession, dir: String,
         try {
           commit(t, attempt._1 + 1, attempt._2 ++ fresh,
             Map("op" -> "append", "mtxn" -> id,
-              "numFilesAdded" -> fresh.size.toString))
+              "numFilesAdded" -> fresh.size.toString) ++ txnMeta)
           done = true
         } catch {
           case _: Warehouse.CommitConflict if retries < 20 =>
             retries += 1
-            abortStalePending(t, attempt._1 + 1)
+            // a restart replaying this epoch reclaims its own previous
+            // attempt's pending slot immediately; foreign dead txns
+            // wait out the lease as usual
+            if (!txn.exists(f => abortOwnPending(t, attempt._1 + 1, f)))
+              abortStalePending(t, attempt._1 + 1)
             attempt = loadLatest(t)
+            if (replayed) {
+              // a racing instance of the SAME epoch won: drop our
+              // uncommitted files and exit — the data is published
+              staged.foreach { case (st, sf) => gc(st, sf) }
+              return
+            }
         }
       }
     }
@@ -2057,10 +2145,11 @@ class Warehouse(spark: SparkSession, dir: String,
     * commit fails it fast ([[Warehouse.CommitConflict]]) — there is
     * nothing provably disjoint to rebase over.
     */
-  def overwrite(name: String, df: DataFrame, rowsPerFile: Long = 0,
+  def overwrite(name: String, df0: DataFrame, rowsPerFile: Long = 0,
       meta: Map[String, String] = Map.empty): Unit = {
     val (v, live) = loadLatest(name)
     require(v > 0L, s"overwrite $name: table not bootstrapped")
+    val df = applyGenerated(name, df0)
     enforceChecks(name, df)
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
@@ -2905,6 +2994,13 @@ class Warehouse(spark: SparkSession, dir: String,
         s"$op $name.$colName: referenced by CHECK constraint $n ($e) — " +
           "drop the constraint first")
     }
+    require(!spec.generated.contains(colName),
+      s"$op $name.$colName: GENERATED columns keep their identity " +
+        "(the expression and verification key on the name)")
+    spec.generated.foreach { case (g, e) =>
+      require(word.findFirstIn(e).isEmpty,
+        s"$op $name.$colName: referenced by generated column $g ($e)")
+    }
   }
 
   /** physical → logical projection appended to every scan of a
@@ -2928,8 +3024,33 @@ class Warehouse(spark: SparkSession, dir: String,
     * survivor re-writes (delete) skip it — their rows were checked when
     * first written.
     */
-  private def enforceChecks(name: String, df: DataFrame): Unit =
-    enforceChecks(name, df, specsNow(name).checks)
+  private def enforceChecks(name: String, df: DataFrame): Unit = {
+    val spec = specsNow(name)
+    // GENERATED columns verify as implicit checks: a batch that carries
+    // the column must agree with the expression (null-safe), the Delta
+    // generated-column contract — violation names read `__gen_<col>`
+    val genChecks = spec.generated.map { case (c, e) =>
+      s"__gen_$c" ->
+        s"$c <=> CAST(($e) AS ${tables(name)(c).dataType.sql})"
+    }
+    enforceChecks(name, df, spec.checks ++ genChecks)
+  }
+
+  /** Derive the GENERATED columns an append batch omits (present ones
+    * pass through and are verified by [[enforceChecks]]); output
+    * columns land in spec order.
+    */
+  private def applyGenerated(name: String, df: DataFrame): DataFrame = {
+    val gen = specsNow(name).generated
+    if (gen.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, expr}
+    val schema = tables(name)
+    val withCols = gen.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, expr(e).cast(schema(c).dataType))
+    }
+    withCols.select(schema.fieldNames.toSeq.map(col): _*)
+  }
 
   /** [[enforceChecks]] against an EXPLICIT constraint set — the form
     * [[addCheck]] validates a candidate with, so the candidate is never
@@ -2999,10 +3120,25 @@ class Warehouse(spark: SparkSession, dir: String,
     *
     * @return number of orphan data files deleted
     */
-  def vacuum(name: String, keepManifests: Int = 2): Long = {
+  /** @param dryRun report WITHOUT deleting: returns the count of data
+    *   files retention would collect, touches nothing (no stale-txn
+    *   aborts, no checkpoint materialization, no sidecar cleanup) —
+    *   every pending transaction is conservatively treated as live.
+    */
+  def vacuum(name: String, keepManifests: Int = 2,
+      dryRun: Boolean = false): Long = {
     val fs = fileSystem
     val all = rawVersions(name)
     if (all.isEmpty) return 0L
+    if (dryRun) {
+      val kept = (all.filter(isVisible(name, _))
+        .takeRight(math.max(keepManifests, 1)) ++
+        all.filterNot(isVisible(name, _))).distinct.sorted
+      val live = kept.flatMap(loadAt(name, _)).map(_.rel).toSet ++
+        borrowedFromBy(name).keySet
+      return FsListing.dataFiles(path(name))
+        .count { case (rel, _) => !live(rel) }.toLong
+    }
     // Pending members of unconfirmed multi-table transactions: STALE
     // ones are a dead writer's leftovers (crashed between its member
     // commits and the marker) — aborting deletes their manifests so
@@ -3077,6 +3213,53 @@ class Warehouse(spark: SparkSession, dir: String,
       fs.delete(new Path(manifestDir(name), f"v$mv%012d.mfd"), false)
     }
     n
+  }
+
+  /** FSCK: manifest ↔ filesystem consistency audit, read-only. Returns
+    * one (severity, issue, detail) row per finding, empty = healthy:
+    *
+    *   - `error` / missing-file: a LIVE manifest entry whose data file
+    *     is gone (external deletion; reads will fail at scan time)
+    *   - `error` / size-mismatch: entry bytes ≠ filesystem bytes (the
+    *     file was REWRITTEN in place — stats and skipping are
+    *     untrustworthy for it)
+    *   - `error` / missing-dv: an entry's deletion-vector sidecar is
+    *     gone (vectored rows would resurface)
+    *   - `info` / orphan-file: a data file no retained manifest (or
+    *     borrowing clone) references — vacuum will collect it
+    *
+    * Borrowed absolute references (shallow clones) are checked for
+    * existence like local ones. The audit never mutates anything — it
+    * is the diagnosis half; vacuum/restore are the repair half.
+    */
+  def fsck(name: String): Seq[(String, String, String)] = {
+    val fs = fileSystem
+    val out = Seq.newBuilder[(String, String, String)]
+    val (v, entries) = loadLatest(name)
+    if (v == 0L) return Seq.empty
+    entries.foreach { e =>
+      val p = if (e.rel.startsWith("/")) new Path(e.rel)
+        else new Path(path(name), e.rel)
+      if (!fs.exists(p))
+        out += (("error", "missing-file", e.rel))
+      else if (fs.getFileStatus(p).getLen != e.bytes)
+        out += (("error", "size-mismatch",
+          s"${e.rel}: manifest ${e.bytes} B, filesystem " +
+            s"${fs.getFileStatus(p).getLen} B"))
+      if (e.dv.nonEmpty && e.dvRows > 0) {
+        val dp = if (new Path(e.dv).isAbsolute) new Path(e.dv)
+          else new Path(path(name), e.dv)
+        if (!fs.exists(dp))
+          out += (("error", "missing-dv", s"${e.rel}: ${e.dv}"))
+      }
+    }
+    val retained = rawVersions(name).filter(isVisible(name, _))
+      .flatMap(mv => scala.util.Try(loadAt(name, mv)).toOption.toSeq.flatten)
+      .map(_.rel).toSet ++ borrowedFromBy(name).keySet
+    FsListing.dataFiles(path(name)).foreach { case (rel, _) =>
+      if (!retained(rel)) out += (("info", "orphan-file", rel))
+    }
+    out.result()
   }
 
   /** rel (in THIS table's tree) → borrowing tables: every file of
@@ -3228,6 +3411,12 @@ object Warehouse {
     *   since-dropped logical column — a later addColumn of the same
     *   logical name must map to a FRESH physical name, or stale values
     *   from pre-drop files would resurface (see [[Warehouse!.dropColumn]]).
+    * @param generated GENERATED ALWAYS AS columns (col → SQL expr over
+    *   the other columns): append paths DERIVE the column when the
+    *   batch omits it, and VERIFY it (null-safe `<=>`) when present —
+    *   the Delta generated-column contract. With `partitionBy` on a
+    *   generated column this is HIDDEN PARTITIONING: callers write the
+    *   raw column, the engine derives the partition key.
     */
   final case class TableSpec(schema: StructType,
       partitionBy: Seq[String] = Nil, statColumns: Seq[String] = Nil,
@@ -3235,7 +3424,10 @@ object Warehouse {
       bloomExpectedItems: Long = 1000000L, bloomFpp: Double = 0.03,
       checks: Map[String, String] = Map.empty,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
-      retiredPhysical: Seq[String] = Nil) {
+      retiredPhysical: Seq[String] = Nil,
+      generated: Map[String, String] = Map.empty) {
+    generated.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"generated column $c not in schema"))
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
     require(bucketBy.isEmpty == (numBuckets == 0),
@@ -3333,7 +3525,17 @@ object Warehouse {
             checks,
             strs("bucketBy"),
             if (node.has("numBuckets")) node.get("numBuckets").asInt() else 0,
-            strs("retiredPhysical"))
+            strs("retiredPhysical"),
+            {
+              if (!node.has("generated")) Map.empty[String, String]
+              else {
+                val buf =
+                  scala.collection.mutable.LinkedHashMap.empty[String, String]
+                node.get("generated").fields().forEachRemaining { e =>
+                  buf += e.getKey -> e.getValue.asText() }
+                buf.toMap
+              }
+            })
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

@@ -3737,7 +3737,47 @@ object LlmQueries extends QueryPack {
                    ORDER BY f.cnt * (5 - x.dfc) DESC, f.term) AS rank
           FROM tf f JOIN dfc x USING (term))
         SELECT cluster, CAST(rank AS BIGINT) AS rank, term, score
-        FROM ranked WHERE rank <= 5 ORDER BY cluster, rank"""))
+        FROM ranked WHERE rank <= 5 ORDER BY cluster, rank""")),
+
+    // ---- q144: GENERATED COLUMNS / HIDDEN PARTITIONING — the table
+    // is partitioned on `event_date GENERATED ALWAYS AS (CAST(ts AS
+    // DATE))`; the INSERT omits the column entirely and the engine
+    // derives the partition key (the Iceberg hidden-partitioning
+    // contract, expressed the Delta generated-column way). The final
+    // aggregate groups by the DERIVED column — if derivation drifted
+    // from CAST(ts AS DATE) by even one row the hash breaks. A second
+    // wave arrives WITH the column present (verified, not re-derived)
+    // to pin the dual contract. ----
+    Q("q144_warehouse_generated_partitioning",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val whDir = graft.util.Scratch.dir("graft-q144-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$whDir/wh",
+          specs = Map("ev" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("event_id", LongType),
+              StructField("ts", TimestampType),
+              StructField("event_type", StringType),
+              StructField("value", DoubleType),
+              StructField("event_date", DateType))),
+            partitionBy = Seq("event_date"),
+            generated = Map("event_date" -> "CAST(ts AS DATE)"))))
+        wh.bootstrap()
+        val ev = t(s, dir, "events").select(
+          col("event_id"), col("ts"), col("event_type"), col("value"))
+        wh.append("ev", ev.where(col("event_id") % 2 === 0)) // derived
+        wh.append("ev", ev.where(col("event_id") % 2 =!= 0)  // provided
+          .withColumn("event_date", col("ts").cast(DateType)))
+        wh.read("ev")
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("event_date", "event_type")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum("value"), 2) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -35,8 +35,18 @@ import graft.pipeline.Warehouse
   * after N+1 landed would REGRESS the view. Complete mode stays
   * unsupported (it would rewrite the table every epoch).
   */
+/** @param quarantine when set, each epoch splits by the TARGET table's
+  *   CHECK constraints through [[Warehouse!.appendQuarantine]] —
+  *   STREAMING EXPECTATIONS: passing rows land in `table`, violating
+  *   rows in the quarantine table with first-fail attribution, both in
+  *   one atomic marker-fenced transaction per epoch, exactly-once
+  *   across restarts (the fence reclaims a dead attempt's pending
+  *   slots immediately). The alternative to the default sink contract
+  *   where one bad row fails the whole epoch forever (a poison batch).
+  */
 class WarehouseStreamSink(spark: SparkSession, path: String, table: String,
-    rowsPerFile: Long, mergeKeys: Seq[String] = Nil) extends Sink {
+    rowsPerFile: Long, mergeKeys: Seq[String] = Nil,
+    quarantine: Option[String] = None) extends Sink {
 
   private val wh = Warehouse.open(spark, path)
 
@@ -48,7 +58,11 @@ class WarehouseStreamSink(spark: SparkSession, path: String, table: String,
       .getOrElse(throw new IllegalStateException(
         "graft-warehouse sink: no streaming query id on this thread " +
           "(addBatch must run inside a streaming query)"))
-    if (mergeKeys.nonEmpty)
+    if (quarantine.nonEmpty)
+      wh.appendQuarantine(table, quarantine.get,
+        GraftBridge.freshBatch(data), rowsPerFile,
+        txn = Some((queryId, batchId)))
+    else if (mergeKeys.nonEmpty)
       wh.merge(table, GraftBridge.freshBatch(data), mergeKeys,
         txn = Some((queryId, batchId)))
     else

@@ -71,9 +71,13 @@ class WarehouseSourceProvider extends StreamSourceProvider
       throw new IllegalArgumentException("graft-warehouse: 'path' required"))
     val table = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-warehouse: 'table' required"))
+    val quarantine = parameters.get("quarantine")
+    require(quarantine.isEmpty || mergeKeys.isEmpty,
+      "graft-warehouse sink: quarantine and mergeKeys are exclusive " +
+        "(expectations split appends; upserts have no quarantine path)")
     new WarehouseStreamSink(sqlContext.sparkSession, path, table,
       parameters.get("rowsPerFile").map(_.toLong).getOrElse(0L),
-      if (update) mergeKeys else Nil)
+      if (update) mergeKeys else Nil, quarantine)
   }
 
   /** BATCH read — `spark.read.format("graft-warehouse")

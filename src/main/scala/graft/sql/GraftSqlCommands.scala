@@ -99,6 +99,8 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftBridge.ofRows(spark, query)
     val schema = wh.tables(table)
+    // GENERATED columns may be omitted everywhere — append derives them
+    val gen = wh.tableSpec(table).generated
     val named =
       if (byName) df
       else if (userCols.nonEmpty) {
@@ -106,20 +108,26 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
           s"INSERT INTO $table: ${userCols.size} target columns but " +
             s"${df.columns.length} query columns")
         val missing = schema.fieldNames
-          .filterNot(c => userCols.exists(_.equalsIgnoreCase(c)))
+          .filterNot(c => userCols.exists(_.equalsIgnoreCase(c)) ||
+            gen.contains(c))
         require(missing.isEmpty,
           s"INSERT INTO $table: column list must cover the full schema " +
             s"(missing ${missing.mkString(", ")}); appended files carry " +
             "whole rows")
         df.toDF(userCols: _*)
       } else {
-        require(df.columns.length == schema.size,
+        val noGen = schema.fieldNames.filterNot(gen.contains)
+        require(df.columns.length == schema.size ||
+            df.columns.length == noGen.length,
           s"INSERT INTO $table: expected ${schema.size} columns " +
+            (if (gen.nonEmpty) s"(or ${noGen.length} with the generated " +
+              s"columns ${gen.keys.mkString(", ")} omitted) " else "") +
             s"positionally, got ${df.columns.length}")
-        df.toDF(schema.fieldNames.toIndexedSeq: _*)
+        df.toDF((if (df.columns.length == schema.size) schema.fieldNames
+          else noGen).toIndexedSeq: _*)
       }
-    val casted = named.select(schema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val casted = named.select(named.columns.toSeq.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*)
     if (overwrite) wh.overwrite(table, casted)
     else wh.append(table, casted)
     Seq.empty
@@ -353,7 +361,10 @@ case class GraftShowCreateCommand(wh: Warehouse, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val spec = wh.tableSpec(table)
     val cols = spec.schema.fields
-      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+      .map(f => s"  ${f.name} ${f.dataType.sql}" +
+        spec.generated.get(f.name)
+          .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse(""))
+      .mkString(",\n")
     val clauses = Seq(
       if (spec.partitionBy.isEmpty) ""
       else s" PARTITIONED BY (${spec.partitionBy.mkString(", ")})",
@@ -471,12 +482,45 @@ case class GraftReorgPurgeCommand(wh: Warehouse, table: String)
 }
 
 /** `VACUUM wh_t [RETAIN n VERSIONS]` → [[Warehouse!.vacuum]]. */
-case class GraftVacuumCommand(wh: Warehouse, table: String, keep: Int)
+case class GraftVacuumCommand(wh: Warehouse, table: String, keep: Int,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_files_deleted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(wh.vacuum(table, keep)))
+    Seq(Row(wh.vacuum(table, keep, dryRun)))
+}
+
+/** `RESTORE [TABLE] wh_t [TO] TIMESTAMP AS OF '<ts>'` →
+  * [[Warehouse!.restore]] of [[Warehouse!.versionAt]] (the newest
+  * version committed at or before the timestamp).
+  */
+case class GraftRestoreTsCommand(wh: Warehouse, table: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val micros = DateTimeUtils.stringToTimestamp(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+      java.time.ZoneId.of("UTC")).getOrElse(
+      throw new IllegalArgumentException(
+        s"RESTORE $table: cannot parse TIMESTAMP AS OF '$ts'"))
+    wh.restore(table, wh.versionAt(table, micros / 1000L))
+    Seq.empty
+  }
+}
+
+/** `FSCK TABLE wh_t` → [[Warehouse!.fsck]]: read-only manifest ↔
+  * filesystem audit, one row per finding (empty result = healthy).
+  */
+case class GraftFsckCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("severity", StringType, nullable = false)(),
+    AttributeReference("issue", StringType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    wh.fsck(table).map { case (s, i, d) => Row(s, i, d) }
 }
 
 /** `CREATE MATERIALIZED VIEW <prefix><v> AS SELECT ... FROM <prefix><s>

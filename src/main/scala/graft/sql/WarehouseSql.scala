@@ -31,7 +31,10 @@ import graft.pipeline.Warehouse
   *   - `DESCRIBE HISTORY wh_t`                  → [[Warehouse!.history]]
   *   - `DESCRIBE DETAIL wh_t`                   → manifest-backed metadata
   *   - `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]
-  *   - `VACUUM wh_t [RETAIN n VERSIONS]`        → [[Warehouse!.vacuum]]
+  *   - `RESTORE [TABLE] wh_t [TO] TIMESTAMP AS OF '<ts>'` → restore of
+  *     [[Warehouse!.versionAt]]
+  *   - `VACUUM wh_t [RETAIN n VERSIONS] [DRY RUN]` → [[Warehouse!.vacuum]]
+  *   - `FSCK TABLE wh_t` → [[Warehouse!.fsck]] (read-only consistency audit)
   *   - `OPTIMIZE wh_t [ZORDER BY (c, ...)]`     → [[Warehouse!.optimize]]
   *   - `COPY INTO wh_t FROM '<dir>' [FILEFORMAT = X] [PATTERN = '<glob>']
   *     [FORCE]` → [[Warehouse!.copyInto]] (idempotent bulk file ingest)
@@ -248,7 +251,11 @@ object WarehouseSql {
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
+  private val RestoreTsStmt =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val FsckStmt =
+    """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val ReorgPurgeStmt = // Delta's REORG TABLE t APPLY (PURGE)
@@ -299,10 +306,16 @@ object WarehouseSql {
     case RestoreStmt(name, v) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftRestoreCommand(wh, t, v.toLong) }
-    case VacuumStmt(name, keep) =>
+    case VacuumStmt(name, keep, dry) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftVacuumCommand(wh, t,
-          Option(keep).map(_.toInt).getOrElse(2)) }
+          Option(keep).map(_.toInt).getOrElse(2), dry != null) }
+    case RestoreTsStmt(name, ts) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftRestoreTsCommand(wh, t, ts) }
+    case FsckStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftFsckCommand(wh, t) }
     case OptimizeStmt(name, zcols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftOptimizeCommand(wh, t,
@@ -805,10 +818,17 @@ object WarehouseSql {
         }
         val TablePk = """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
         val ColPk = """(?is)(.*?)\s+PRIMARY\s+KEY\s*""".r
+        // column-level GENERATED ALWAYS AS ((expr)) — greedy capture so
+        // nested parens in the expression survive
+        val ColGen =
+          """(?is)(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*$""".r
         val pk = Seq.newBuilder[String]
+        val gen = Map.newBuilder[String, String]
         val colDefs = items.flatMap {
           case TablePk(cols) =>
             pk ++= cols.split(",").map(_.trim).filter(_.nonEmpty); None
+          case ColGen(colDef, e) =>
+            gen += colDef.trim.split("\\s+").head -> e.trim; Some(colDef)
           case ColPk(colDef) =>
             pk += colDef.trim.split("\\s+").head; Some(colDef)
           case colDef => Some(colDef)
@@ -822,7 +842,8 @@ object WarehouseSql {
             statColumns = statsBy, bloomColumns = bloomBy,
             bloomExpectedItems = bloomItems.getOrElse(1000000L),
             bloomFpp = bloomFpp.getOrElse(0.03),
-            bucketBy = bucketBy, numBuckets = numBuckets),
+            bucketBy = bucketBy, numBuckets = numBuckets,
+            generated = gen.result()),
           ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
       }
     case _ => None

@@ -161,6 +161,69 @@ class WarehouseSinkSpec extends SparkSpec {
       spark.sparkContext.setLocalProperty(StreamExecution.QUERY_ID_KEY, null)
     }
   }
+
+  test("quarantine sink: epochs split atomically, replay is a no-op") {
+    val dir = Files.createTempDirectory("graft-sinkq-").toString
+    val wh = new Warehouse(spark, s"$dir/wh",
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        checks = Map("nonneg" -> "val >= 0"))))
+    wh.bootstrap()
+    val sink = new WarehouseSinkSpecAccess()
+      .createQuarantineSink(spark, s"$dir/wh", "t", "t_bad")
+    spark.sparkContext.setLocalProperty(StreamExecution.QUERY_ID_KEY, "spec-qq")
+    try {
+      sink.addBatch(0, Seq((1L, 1.0), (2L, -2.0), (3L, 3.0))
+        .toDF("id", "val"))
+      // the sink auto-created t_bad in ITS warehouse instance; a fresh
+      // open sees it through the persisted _meta spec
+      val whR = Warehouse.open(spark, s"$dir/wh")
+      assert(whR.read("t").count() === 2L)
+      assert(whR.read("t_bad").count() === 1L)
+      assert(whR.read("t_bad").head().getAs[String]("violation") === "nonneg")
+      // epoch replay (restart after sink commit, before checkpoint):
+      // NEITHER side double-writes
+      sink.addBatch(0, Seq((1L, 1.0), (2L, -2.0), (3L, 3.0))
+        .toDF("id", "val"))
+      assert(whR.read("t").count() === 2L)
+      assert(whR.read("t_bad").count() === 1L)
+      // next epoch: all good rows — quarantine stays put
+      sink.addBatch(1, Seq((4L, 4.0)).toDF("id", "val"))
+      assert(whR.read("t").count() === 3L)
+      assert(whR.read("t_bad").count() === 1L)
+    } finally {
+      spark.sparkContext.setLocalProperty(StreamExecution.QUERY_ID_KEY, null)
+    }
+  }
+
+  test("quarantine sink: dead attempt's pending slots reclaimed on replay") {
+    val dir = Files.createTempDirectory("graft-sinkq2-").toString
+    val wh = new Warehouse(spark, s"$dir/wh",
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        checks = Map("nonneg" -> "val >= 0"))))
+    wh.bootstrap()
+    // crash BETWEEN the member manifests: target pending, quarantine
+    // absent, marker absent — nothing visible
+    wh.crashPoint = Some("between-manifests")
+    intercept[IllegalStateException] {
+      wh.appendQuarantine("t", "t_bad",
+        Seq((1L, 1.0), (2L, -2.0)).toDF("id", "val"),
+        txn = Some(("spec-qr", 0L)))
+    }
+    wh.crashPoint = None
+    assert(wh.read("t").count() === 0L)
+    // the replay must reclaim its own dead pending slot IMMEDIATELY
+    // (no lease wait — txnStaleMs stays at the 10-minute default)
+    val (k, q) = wh.appendQuarantine("t", "t_bad",
+      Seq((1L, 1.0), (2L, -2.0)).toDF("id", "val"),
+      txn = Some(("spec-qr", 0L)))
+    assert(k === 1L && q === 1L)
+    assert(wh.read("t").count() === 1L)
+    assert(wh.read("t_bad").count() === 1L)
+    // and a full replay after success is a (0, 0) no-op
+    assert(wh.appendQuarantine("t", "t_bad",
+      Seq((1L, 1.0), (2L, -2.0)).toDF("id", "val"),
+      txn = Some(("spec-qr", 0L))) === ((0L, 0L)))
+  }
 }
 
 /** Test access to the provider's createSink (package-private surface
@@ -171,6 +234,11 @@ private class WarehouseSinkSpecAccess {
   def createSink(spark: org.apache.spark.sql.SparkSession, path: String,
       table: String): graft.sources.WarehouseStreamSink =
     new graft.sources.WarehouseStreamSink(spark, path, table, 0L)
+  def createQuarantineSink(spark: org.apache.spark.sql.SparkSession,
+      path: String, table: String,
+      quarantine: String): graft.sources.WarehouseStreamSink =
+    new graft.sources.WarehouseStreamSink(spark, path, table, 0L, Nil,
+      Some(quarantine))
   def createUpsertSink(spark: org.apache.spark.sql.SparkSession, path: String,
       table: String, keys: Seq[String]): graft.sources.WarehouseStreamSink =
     new graft.sources.WarehouseStreamSink(spark, path, table, 0L, keys)
