@@ -3777,7 +3777,52 @@ object LlmQueries extends QueryPack {
         SELECT CAST(ts AS DATE) AS event_date, event_type,
                CAST(count(*) AS BIGINT) AS n,
                round(sum("value"), 2) AS total
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- q145: EPOCH-AWARE DETERMINISTIC GLOBAL SHUFFLE — the
+    // training-dataloader order: every epoch visits the whole corpus
+    // in a different but fully reproducible order (resume a crashed
+    // run mid-epoch, shard the same order across workers, replay an
+    // ablation bit-for-bit). The shuffle key is an LCG over exact
+    // integer arithmetic — no float, no libm, so any engine replays
+    // it. Scale shape: the per-epoch head is TakeOrdered (top-k per
+    // partition, merge k), never a global single-partition window;
+    // the full-epoch order is just ORDER BY (a distributed range
+    // sort) when a consumer wants all of it. ----
+    Q("q145_docs_epoch_shuffle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch")
+          .orderBy(col("shuffle_key"), col("doc_id"))
+        Seq(0L, 1L, 2L).map { ep =>
+          docs.select(lit(ep).as("epoch"), col("doc_id"),
+            ((col("doc_id") * lit(48271L) + lit(ep * 7919L + 11L))
+              % lit(2147483647L)).as("shuffle_key"))
+            .orderBy("shuffle_key", "doc_id")
+            .limit(10) // TakeOrdered: distributed top-k, bounded
+        }.reduce(_ unionByName _)
+          // the window runs over 10-row epoch groups, not the corpus
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("epoch"), col("rank"), col("doc_id"),
+            col("shuffle_key"))
+          .orderBy("epoch", "rank")
+      },
+      Some("""
+        WITH eps AS (SELECT unnest(range(0, 3)) AS epoch),
+        keyed AS (
+          SELECT e.epoch, d.doc_id,
+                 (d.doc_id * 48271 + e.epoch * 7919 + 11)
+                   % 2147483647 AS shuffle_key
+          FROM documents d CROSS JOIN eps e),
+        ranked AS (
+          SELECT epoch, doc_id, shuffle_key,
+                 row_number() OVER (PARTITION BY epoch
+                   ORDER BY shuffle_key, doc_id) AS rank
+          FROM keyed)
+        SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank,
+               doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key
+        FROM ranked WHERE rank <= 10 ORDER BY epoch, rank"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
