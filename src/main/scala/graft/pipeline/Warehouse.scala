@@ -3262,6 +3262,44 @@ class Warehouse(spark: SparkSession, dir: String,
     out.result()
   }
 
+  /** REPAIR after external damage (Delta's FSCK REPAIR TABLE): commit a
+    * manifest that drops the entries whose data files are GONE, so the
+    * table reads again — an explicit acknowledgement that those rows
+    * are lost (the audit half, [[fsck]], only reports). Entries whose
+    * deletion-vector sidecar vanished are repaired CONSERVATIVELY: the
+    * entry survives with its vector ref cleared, which RESURFACES the
+    * vectored-out rows rather than silently dropping live ones — the
+    * recoverable direction (a re-run of the DELETE re-vectors them).
+    *
+    * @return (entries dropped, vector refs cleared); (0, 0) = healthy,
+    *   no commit
+    */
+  def repairTable(name: String): (Long, Long) = {
+    val fs = fileSystem
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"repairTable $name: table not bootstrapped")
+    def exists(rel: String): Boolean = {
+      val p = if (rel.startsWith("/")) new Path(rel)
+        else new Path(path(name), rel)
+      fs.exists(p)
+    }
+    val (kept, dropped) = entries.partition(e => exists(e.rel))
+    val (clean, devectored) = kept.partition { e =>
+      e.dv.isEmpty || e.dvRows == 0L || {
+        val p = if (new Path(e.dv).isAbsolute) new Path(e.dv)
+          else new Path(path(name), e.dv)
+        fs.exists(p)
+      }
+    }
+    if (dropped.isEmpty && devectored.isEmpty) return (0L, 0L)
+    commit(name, v + 1,
+      clean ++ devectored.map(_.copy(dv = "", dvRows = 0L)),
+      Map("op" -> "repair",
+        "numEntriesDropped" -> dropped.size.toString,
+        "numVectorsCleared" -> devectored.size.toString))
+    (dropped.size.toLong, devectored.size.toLong)
+  }
+
   /** rel (in THIS table's tree) → borrowing tables: every file of
     * `name` that another table's retained manifests reference by
     * ABSOLUTE path — shallow clones of `name` (and clones of those

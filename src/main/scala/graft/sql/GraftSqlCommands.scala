@@ -523,6 +523,22 @@ case class GraftFsckCommand(wh: Warehouse, table: String)
     wh.fsck(table).map { case (s, i, d) => Row(s, i, d) }
 }
 
+/** `FSCK REPAIR TABLE wh_t` → [[Warehouse!.repairTable]]: commit a
+  * manifest dropping entries whose data files are gone (explicit
+  * data-loss acknowledgement) and clearing vector refs whose sidecars
+  * vanished (conservative: vectored rows resurface, none are lost).
+  */
+case class GraftFsckRepairCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_entries_dropped", LongType, nullable = false)(),
+    AttributeReference("num_vectors_cleared", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (d, c) = wh.repairTable(table)
+    Seq(Row(d, c))
+  }
+}
+
 /** `CREATE MATERIALIZED VIEW <prefix><v> AS SELECT ... FROM <prefix><s>
   * GROUP BY ...` → [[graft.pipeline.MaterializedView.define]] + first
   * [[graft.pipeline.MaterializedView.refresh]]. The view's SQL name

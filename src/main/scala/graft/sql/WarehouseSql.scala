@@ -256,6 +256,8 @@ object WarehouseSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val FsckStmt =
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
+  private val FsckRepairStmt =
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val ReorgPurgeStmt = // Delta's REORG TABLE t APPLY (PURGE)
@@ -313,6 +315,9 @@ object WarehouseSql {
     case RestoreTsStmt(name, ts) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftRestoreTsCommand(wh, t, ts) }
+    case FsckRepairStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftFsckRepairCommand(wh, t) }
     case FsckStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftFsckCommand(wh, t) }

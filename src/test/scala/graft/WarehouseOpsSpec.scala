@@ -66,6 +66,28 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(wh.history("t").last._2("op") === "restore")
   }
 
+  test("FSCK REPAIR drops lost entries and clears lost vectors") {
+    val (wh, dir) = fresh()
+    wh.append("t", rows(0 until 10), rowsPerFile = 2) // 5 files
+    wh.deleteVectored("t", col("id") === 3L)
+    // lose one data file and the deletion-vector sidecar externally
+    val files = graft.util.FsListing.dataFiles(s"$dir/t")
+      .map(_._1).filterNot(_.startsWith("_")).sorted
+    new java.io.File(s"$dir/t/${files.head}").delete()
+    new java.io.File(s"$dir/t/_dv").listFiles().foreach(_.delete())
+    intercept[Exception] { wh.read("t").count() } // unreadable as-is
+    val r = spark.sql("FSCK REPAIR TABLE ops_t").head()
+    assert(r.getLong(0) === 1L && r.getLong(1) >= 1L)
+    // readable again: the lost file's rows are gone (acknowledged),
+    // the vectored row RESURFACES (conservative direction)
+    val ids = wh.read("t").select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L))
+    assert(ids.size === 8) // 10 - 2 rows of the lost file
+    assert(spark.sql("FSCK TABLE ops_t").collect()
+      .forall(_.getString(0) != "error"))
+    assert(wh.history("t").last._2("op") === "repair")
+  }
+
   test("FSCK: healthy is empty; missing file and orphan are reported") {
     val (wh, dir) = fresh()
     wh.append("t", rows(0 until 10))
