@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{
-  DataType, IntegerType, LongType, StructType, TimestampType}
+  DataType, DateType, IntegerType, LongType, StructType, TimestampNTZType,
+  TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.pipeline.Warehouse.FileEntry
@@ -79,6 +80,11 @@ class ManifestFileIndex(
     case (i: Int, IntegerType) => Some(i.toLong)
     case (l: Long, LongType) => Some(l)
     case (l: Long, TimestampType) => Some(l)
+    // NTZ internal literals are epoch micros too (naive-UTC reading);
+    // date internal literals are epoch days — both match the manifest's
+    // footer-stat encoding exactly
+    case (l: Long, TimestampNTZType) => Some(l)
+    case (i: Int, DateType) => Some(i.toLong)
     case _ => None
   }
 

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 import graft.schema.Schemas
 import graft.util.FsListing
@@ -984,6 +984,17 @@ class Warehouse(spark: SparkSession, dir: String,
         Some(Math.addExact(
           Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
       case (Some(TimestampType), n @ (_: Int | _: Long)) =>
+        Some(n.asInstanceOf[Number].longValue())
+      // NTZ timestamps: same epoch-micros manifest encoding (parquet
+      // stores NTZ as INT64 micros with isAdjustedToUTC=false, so
+      // footerInfo's LongStatistics already cover them); the EXTERNAL
+      // probe type is LocalDateTime, interpreted as naive-UTC — the
+      // same reading Catalyst's internal NTZ micros use
+      case (Some(TimestampNTZType), ldt: java.time.LocalDateTime) =>
+        val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+        Some(Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+      case (Some(TimestampNTZType), n @ (_: Int | _: Long)) =>
         Some(n.asInstanceOf[Number].longValue())
       case (Some(DateType), d: java.sql.Date) =>
         Some(d.toLocalDate.toEpochDay)
@@ -2680,6 +2691,10 @@ class Warehouse(spark: SparkSession, dir: String,
         case ByteType | ShortType | IntegerType | LongType =>
           col(c).cast("long")
         case TimestampType => unix_micros(col(c))
+        // NTZ → LTZ cast under the pinned UTC session zone is an
+        // identity on the internal micros, so unix_micros yields the
+        // same naive-UTC encoding the manifest stats use
+        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
         case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
         case t => throw new IllegalArgumentException(
           s"optimize $name ZORDER BY $c: unsupported type $t " +

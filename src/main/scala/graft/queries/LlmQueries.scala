@@ -3083,7 +3083,12 @@ object LlmQueries extends QueryPack {
             StructType(Seq(
               StructField("id", LongType),
               StructField("oday", DateType),
-              StructField("ots", TimestampType),
+              // NTZ, matching the parquet source's TIMESTAMP_NTZ
+              // encoding — the warehouse round-trip must preserve the
+              // naive type (the r8 failure: declaring LTZ here made
+              // ts_lo/ts_hi come back TIMESTAMP WITH TIME ZONE where
+              // the oracle emits naive TIMESTAMP)
+              StructField("ots", TimestampNTZType),
               StructField("val", DoubleType))),
             statColumns = Seq("id", "oday", "ots"))))
         wh.bootstrap()

@@ -662,6 +662,13 @@ object WarehouseSql {
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v)))
       case TimestampType => Some(v => java.sql.Timestamp.from(
         java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)))
+      // NTZ stats share the epoch-micros encoding; the external value a
+      // LocalRelation of NTZ type carries is a LocalDateTime (naive-UTC
+      // reading of the micros — the Catalyst internal convention)
+      case TimestampNTZType => Some(v => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v, 1000000L),
+        Math.floorMod(v, 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC))
       case _ => None
     }
     val groups = agg.groupingExpressions.map {

@@ -71,6 +71,29 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def schema_problems(got: pd.DataFrame, want: pd.DataFrame) -> list:
+    """Raw-dtype comparison BEFORE norm() erases representational
+    differences — the driver's schema gate checks the types the two
+    engines actually emit, and norm()'s tz_localize used to hide exactly
+    the class that failed q133 in r8 (TIMESTAMPTZ vs naive TIMESTAMP).
+    A tz-aware/naive mismatch is a hard FAIL (proven driver-checked);
+    width/representation diffs that hash identically after norm (int32
+    vs int64, duckdb decimal-as-object vs float) are warnings only.
+    """
+    hard, soft = [], []
+    for c in sorted(set(got.columns) & set(want.columns)):
+        a, b = str(got[c].dtype), str(want[c].dtype)
+        if a == b:
+            continue
+        a_dt, b_dt = a.startswith("datetime64"), b.startswith("datetime64")
+        a_tz, b_tz = "UTC" in a or "+" in a, "UTC" in b or "+" in b
+        if a_dt and b_dt and a_tz != b_tz:
+            hard.append(f"col {c}: tz-awareness mismatch spark={a} oracle={b}")
+        else:
+            soft.append(f"{c}:{a}!={b}")
+    return hard, soft
+
+
 def main():
     if not _ARGS.skip_verify:
         run_verify()
@@ -102,8 +125,9 @@ def main():
                 n_pass += 1
             continue
         want = con.execute(oracles[name]).fetchdf()
+        hard_dtype, soft_dtype = schema_problems(got, want)
         g, w = norm(got), norm(want)
-        problems = []
+        problems = list(hard_dtype)
         if list(g.columns) != list(w.columns):
             problems.append(f"cols spark={list(g.columns)} oracle={list(w.columns)}")
         elif len(g) != len(w):
@@ -120,9 +144,7 @@ def main():
                     problems.append(
                         f"col {c}: {(~eq).sum()} diffs, first@{i}: "
                         f"spark={a.iloc[i]!r} oracle={b.iloc[i]!r}")
-        # dtype drift report (informational — driver may compare schemas)
-        dt = [f"{c}:{g[c].dtype}!={w[c].dtype}" for c in g.columns
-              if c in w.columns and g[c].dtype != w[c].dtype]
+        dt = soft_dtype
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:3]))
             n_fail += 1
