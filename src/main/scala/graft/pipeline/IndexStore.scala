@@ -102,17 +102,20 @@ object IndexStore {
   }
 
   /** Drop index entries whose id no longer exists in the source (left
-    * behind by source DELETEs — see class doc). One anti-join keyed on
-    * id; probe correctness never requires it, it only reclaims space.
+    * behind by source DELETEs — see class doc). The stale set is
+    * data-sized after a large source DELETE, so it NEVER touches the
+    * driver: one distributed anti-join derives it and
+    * [[Warehouse!.deleteKeys]] applies it as a join inside the rewrite
+    * (footprint = files containing matches; no `IN (…)` literal list,
+    * no O(|stale|) driver memory). Probe correctness never requires
+    * compaction — stale ids inner-join away — it only reclaims space.
     */
   def compactIndex(wh: Warehouse, src: String, idx: String,
       idCol: String): Long = {
     val live = wh.read(src).select(col(idCol))
-    val stale = wh.read(idx).join(live, Seq(idCol), "left_anti")
-      .select(col(idCol))
-    val ids = stale.distinct().collect().map(_.get(0)).toSeq
-    if (ids.nonEmpty) wh.delete(idx, col(idCol).isInCollection(ids))
-    else 0L
+    val stale = wh.read(idx).select(col(idCol))
+      .join(live, Seq(idCol), "left_anti")
+    wh.deleteKeys(idx, stale, Seq(idCol))
   }
 
   // ------------------------------------------------------------------

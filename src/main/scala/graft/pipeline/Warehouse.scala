@@ -2775,6 +2775,63 @@ class Warehouse(spark: SparkSession, dir: String,
     removed
   }
 
+  /** JOIN-DRIVEN row-level DELETE (copy-on-write): removes the rows
+    * whose `keyCols` tuple appears in `keys` — [[delete]] for the case
+    * where the doomed set is ITSELF data-sized (index compaction after
+    * a large source DELETE, opt-out purges keyed by a revocation
+    * table). The predicate never exists as an expression: matching is
+    * a distributed semi/anti join, so there is no `IN (…)` literal
+    * list to collect to the driver and no plan whose size grows with
+    * |keys|. Driver state stays the MATCHING-FILE list, the same
+    * bounded footprint as [[delete]]'s `touchedFiles`.
+    *
+    * `keys` is evaluated once into a localCheckpoint (distributed,
+    * bytes-bounded by |keys| × key width) because the op probes it
+    * three times (touched-file discovery, the removed count, the
+    * survivor anti-join) — and because a caller's lazily-derived key
+    * set (e.g. "ids no longer in the source") must not re-evaluate
+    * mid-rewrite. SQL join-null semantics: a null key component never
+    * matches, so null-keyed rows are always kept.
+    *
+    * @return number of rows deleted
+    */
+  def deleteKeys(name: String, keys: DataFrame,
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keyCols.nonEmpty, s"deleteKeys $name: empty keyCols")
+    val schema = tables(name)
+    keyCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"deleteKeys $name: no column $c")
+      require(keys.columns.contains(c),
+        s"deleteKeys $name: keys frame lacks column $c")
+    }
+    val (v, entries) = loadLatest(name)
+    require(v > 0L, s"deleteKeys $name: table not bootstrapped")
+    if (entries.isEmpty) return 0L
+    val k = keys.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    try {
+      val hit = dfFor(name, entries).join(k, keyCols, "left_semi")
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      val fs = fileSystem
+      val replaced = entries.filter(e => hit(
+        fs.makeQualified(new Path(path(name), e.rel)).toUri.getPath))
+      if (replaced.isEmpty) return 0L
+      val touched = dfFor(name, replaced)
+      val removed = touched.join(k, keyCols, "left_semi").count()
+      val fresh = writeBatch(name, touched.join(k, keyCols, "left_anti"))
+      maybeCrash("after-write")
+      beforeCommit.foreach(_())
+      commit(name, v + 1, entries.diff(replaced) ++ fresh,
+        Map("op" -> "deleteKeys", "numRowsDeleted" -> removed.toString,
+          "numFilesRewritten" -> replaced.size.toString))
+      maybeCrash("after-commit")
+      if (!retainReplaced) gc(name, replaced)
+      removed
+    } finally k.unpersist()
+  }
+
   /** Row-level UPDATE (copy-on-write): for rows where `cond` is TRUE,
     * each column in `set` is replaced by its expression (evaluated
     * against the OLD row, so `set("rev" -> col("rev") + 1)` works);

@@ -115,6 +115,66 @@ class IndexStoreSpec extends SparkSpec {
     assert(wh.read("idx_mh").count() === wh.read("docs").count())
   }
 
+  test("compactIndex reclaims 100k+ stale ids with no data-sized " +
+      "driver materialization (join-driven delete, no IN-list plan)") {
+    val dir = Files.createTempDirectory("graft-idxc-").toString
+    val idSchema = StructType(Seq(StructField("doc_id", LongType)))
+    val idxSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", LongType)))
+    val wh = new Warehouse(spark, dir, specs = Map(
+      "s" -> Warehouse.TableSpec(idSchema),
+      "i" -> Warehouse.TableSpec(idxSchema)))
+    wh.bootstrap()
+    // 120k index entries, only 10k still live in the source → 110k
+    // stale ids. The pre-r9 shape (collect + isInCollection) would put
+    // a 110k-element literal list in the plan; the join-driven delete
+    // must keep every plan's IN-lists bounded.
+    wh.append("i", spark.range(0, 120000).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 3))
+    wh.append("s", spark.range(0, 10000).toDF("doc_id"))
+    val bigIn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sawMarker = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        if (qe.analyzed.output.exists(_.name == "__drain_marker"))
+          sawMarker.set(true)
+        else qe.optimizedPlan.foreach(_.expressions.foreach(_.foreach {
+          case in: In if in.list.length > 1000 => bigIn.incrementAndGet()
+          case is: InSet if is.hset.size > 1000 => bigIn.incrementAndGet()
+          case _ =>
+        }))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val removed = IndexStore.compactIndex(wh, "s", "i", "doc_id")
+      assert(removed === 110000L)
+      // listener delivery is async but FIFO: run a recognizable marker
+      // query and poll until its event lands — every compactIndex plan
+      // event is then delivered too
+      spark.range(0, 1).toDF("__drain_marker").collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!sawMarker.get() && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(sawMarker.get(), "listener bus did not drain in 30s")
+    } finally spark.listenerManager.unregister(listener)
+    assert(bigIn.get() === 0,
+      s"compactIndex planned ${bigIn.get()} data-sized IN-list(s)")
+    assert(wh.read("i").count() === 10000L)
+    assert(wh.read("i").join(wh.read("s"), Seq("doc_id"), "left_anti")
+      .count() === 0L)
+    // idempotent: nothing stale left → no-op, no new commit
+    val nv = wh.versions("i").size
+    assert(IndexStore.compactIndex(wh, "s", "i", "doc_id") === 0L)
+    assert(wh.versions("i").size === nv)
+  }
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
