@@ -88,33 +88,64 @@ class ManifestFileIndex(
     case _ => None
   }
 
-  /** (column, lo, hi) constraints from the filters' simple comparisons. */
-  private def statRanges(filters: Seq[Expression]): Seq[(String, Long, Long)] = {
+  /** Per-predicate (column, disjunction-of-[lo,hi]) constraints from
+    * the filters' simple comparisons. A file survives a constraint when
+    * its stat range intersects ANY of the ranges (single-range for
+    * comparisons; one point range per value for IN lists, so an
+    * `id IN (5, 9000)` skips the files covering 10..8999 that a naive
+    * [min,max] envelope would keep).
+    */
+  private def statRanges(filters: Seq[Expression])
+      : Seq[(String, Seq[(Long, Long)])] = {
     def flat(e: Expression): Seq[Expression] = e match {
       case And(l, r) => flat(l) ++ flat(r)
       case other => Seq(other)
     }
+    def one(c: String, lo: Long, hi: Long) = Some((c, Seq((lo, hi))))
+    // bound per-value skip work: a pathological IN list degrades to the
+    // sound envelope instead of O(|list| × |files|) planning cost
+    val maxPoints = 1024
+    def points(c: String, vals: Seq[Option[Long]]) : Option[(String, Seq[(Long, Long)])] = {
+      if (vals.isEmpty || vals.exists(_.isEmpty)) None // untyped value → no skip
+      else {
+        val xs = vals.map(_.get)
+        if (xs.length <= maxPoints) Some((c, xs.map(x => (x, x))))
+        else Some((c, Seq((xs.min, xs.max))))
+      }
+    }
     filters.flatMap(flat).flatMap {
       case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).map(x => (a.name, x, x))
+        statLong(v, dt).flatMap(x => one(a.name, x, x))
       case EqualTo(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).map(x => (a.name, x, x))
+        statLong(v, dt).flatMap(x => one(a.name, x, x))
       case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).map(x => (a.name, x + 1, Long.MaxValue))
+        statLong(v, dt).flatMap(x => one(a.name, x + 1, Long.MaxValue))
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).map(x => (a.name, x, Long.MaxValue))
+        statLong(v, dt).flatMap(x => one(a.name, x, Long.MaxValue))
       case LessThan(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).map(x => (a.name, Long.MinValue, x - 1))
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x - 1))
       case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).map(x => (a.name, Long.MinValue, x))
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x))
       case GreaterThan(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).map(x => (a.name, Long.MinValue, x - 1))
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x - 1))
       case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).map(x => (a.name, Long.MinValue, x))
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x))
       case LessThan(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).map(x => (a.name, x + 1, Long.MaxValue))
+        statLong(v, dt).flatMap(x => one(a.name, x + 1, Long.MaxValue))
       case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).map(x => (a.name, x, Long.MaxValue))
+        statLong(v, dt).flatMap(x => one(a.name, x, Long.MaxValue))
+      // IN lists: the restricted-scan shape MV retraction repair and
+      // dirty-group rescans plan — null values drop out (null never
+      // matches IN), non-literal members abort the skip
+      case org.apache.spark.sql.catalyst.expressions.In(
+          a: AttributeReference, list)
+          if list.forall(_.isInstanceOf[Literal]) =>
+        points(a.name, list.collect {
+          case Literal(v, dt) if v != null => statLong(v, dt) })
+      case org.apache.spark.sql.catalyst.expressions.InSet(
+          a: AttributeReference, hset) =>
+        points(a.name, hset.toSeq.filter(_ != null)
+          .map(v => statLong(v, a.dataType)))
       case _ => Nil // unknown shape: never skip on it
     }
   }
@@ -125,8 +156,9 @@ class ManifestFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val ranges = statRanges(dataFilters)
-    def keepFile(e: FileEntry): Boolean = ranges.forall { case (c, lo, hi) =>
-      e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    def keepFile(e: FileEntry): Boolean = ranges.forall { case (c, rs) =>
+      e.stats.get(c).forall { case (mn, mx) =>
+        rs.exists { case (lo, hi) => mx >= lo && mn <= hi } }
     }
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty,

@@ -209,9 +209,18 @@ object MaterializedView {
 
   /** Partial-aggregate a (possibly δ-weighted) batch into state-shaped
     * rows. `delta` is the ±1 weight column (literal 1 for inserts).
+    * Min/max partials fold ASSERTED rows only (`delta > 0`) — identical
+    * for pure inserts, and under compaction feeds every −1 value
+    * reappears as +1 so the fold is unchanged; for retracting feeds it
+    * is the only correct reading (a deleted value must not assert into
+    * an extremum). `withRetracted` additionally emits per-group
+    * `r_min_*`/`r_max_*` — the extrema of the RETRACTED values — which
+    * the repair path compares against stored state to decide which
+    * groups actually need a rescan.
     */
   private def partialState(vd: ViewDef, srcSchema: StructType,
-      batch: DataFrame, delta: Column): DataFrame = {
+      batch: DataFrame, delta: Column,
+      withRetracted: Boolean = false): DataFrame = {
     val d = delta.cast("long")
     val aggExprs: Seq[Column] =
       sum(d).as(nRows) +: vd.aggs.flatMap {
@@ -230,8 +239,14 @@ object MaterializedView {
             sum(when(x.isNotNull, x * d.cast("double")).otherwise(lit(0.0)))
               .as(s"s_sum_$out"),
             sum(when(x.isNotNull, d).otherwise(lit(0L))).as(s"s_n_$out"))
-        case Min(in, out) => Seq(min(col(in)).as(s"s_min_$out"))
-        case Max(in, out) => Seq(max(col(in)).as(s"s_max_$out"))
+        case Min(in, out) =>
+          min(when(d > 0, col(in))).as(s"s_min_$out") +:
+            (if (withRetracted)
+              Seq(min(when(d < 0, col(in))).as(s"r_min_$out")) else Nil)
+        case Max(in, out) =>
+          max(when(d > 0, col(in))).as(s"s_max_$out") +:
+            (if (withRetracted)
+              Seq(max(when(d < 0, col(in))).as(s"r_max_$out")) else Nil)
       }
     batch.groupBy(vd.groupBy.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
   }
@@ -298,14 +313,24 @@ object MaterializedView {
       case Some(v) =>
         val ops = opsSince(wh, vd.src, v)
         val pureInsert = ops.forall(pureInsertOps)
-        if (vd.hasOrderAggs && !ops.forall(minMaxSafeOps)) fullBuild()
-        else {
+        // a retracting commit can evict a min/max extremum — but only
+        // for groups where a RETRACTED value ties the stored extremum
+        // and no asserted value re-covers it. Those groups (usually
+        // none or few) get a targeted rescan below; everything else
+        // folds δ-exactly. Pre-r9 behavior was a full source rebuild.
+        val retracting = vd.hasOrderAggs && !ops.forall(minMaxSafeOps)
+        // every non-pure-insert path folds the change feed, which needs
+        // the since-removed files still on disk — vacuumed/GC'd history
+        // (retainReplaced=false) makes a rebuild the only exact answer
+        if (!pureInsert && !wh.changeFeedReadable(vd.src, v)) fullBuild()
+        else locally {
           val delta =
             if (pureInsert)
               partialState(vd, srcSchema, wh.readChanges(vd.src, v), lit(1))
             else
               partialState(vd, srcSchema,
-                wh.readChangeFeed(vd.src, v), col("_change_delta"))
+                wh.readChangeFeed(vd.src, v), col("_change_delta"),
+                withRetracted = retracting)
           // combine with current state for the touched groups only:
           // left join keeps the delta bounded by the batch, and merge
           // rewrites only the state partitions those groups hash to
@@ -341,12 +366,82 @@ object MaterializedView {
                   Seq(greatest(col(s"o_s_max_$out"), col(s"s_max_$out"))
                     .as(s"s_max_$out"))
               }
-          val updates = joined
-            .select((vd.groupBy.map(col) ++ combined): _*)
-            .withColumn("part", partExpr(vd))
-            .select(stateShape.map(col): _*)
-          wh.merge(vd.view, updates, vd.groupBy,
-            txn = Some((txnId(vd.src), head)))
+          if (!retracting) {
+            val updates = joined
+              .select((vd.groupBy.map(col) ++ combined): _*)
+              .withColumn("part", partExpr(vd))
+              .select(stateShape.map(col): _*)
+            wh.merge(vd.view, updates, vd.groupBy,
+              txn = Some((txnId(vd.src), head)))
+          } else {
+            // RETRACTION REPAIR. Dirty iff some retracted value ties
+            // the stored extremum (r ≤ o for min — eviction possible;
+            // `<` would mean the state was already wrong, recompute
+            // too) AND no asserted value covers it (a ≤ o makes the
+            // new min a regardless of what left). o null with a
+            // retraction present is an inconsistent state → recompute.
+            val dirty: Column = vd.aggs.collect {
+              case Min(_, out) =>
+                val r = col(s"r_min_$out"); val o = col(s"o_s_min_$out")
+                val a = col(s"s_min_$out")
+                r.isNotNull && (o.isNull ||
+                  (r <= o && (a.isNull || a > o)))
+              case Max(_, out) =>
+                val r = col(s"r_max_$out"); val o = col(s"o_s_max_$out")
+                val a = col(s"s_max_$out")
+                r.isNotNull && (o.isNull ||
+                  (r >= o && (a.isNull || a < o)))
+            }.reduce(_ || _)
+            // groups-sized (bounded by the feed's touched groups), and
+            // probed several times below — materialize once
+            val base = joined
+              .select((vd.groupBy.map(col) ++ combined
+                :+ dirty.as("__dirty")): _*)
+              .localCheckpoint()
+            try {
+              val dirtyKeys = base.where(col("__dirty"))
+                .select(vd.groupBy.map(col): _*)
+              val nDirty = dirtyKeys.count()
+              val updates =
+                if (nDirty == 0L) base.drop("__dirty")
+                else {
+                  // rescan ONLY the dirty groups: a literal IN when the
+                  // key list is driver-bounded (manifest stat + bloom
+                  // file skipping applies — the scan opens only files
+                  // whose range covers a dirty key), a semi-join
+                  // otherwise (no IN-list plan at any |dirty|)
+                  val srcDf = wh.read(vd.src)
+                  val restricted =
+                    if (vd.groupBy.size == 1 && nDirty <= 1000L) {
+                      val vals = dirtyKeys.collect().map(_.get(0)).toSeq
+                      srcDf.where(col(vd.groupBy.head).isInCollection(vals))
+                    } else srcDf.join(dirtyKeys, vd.groupBy, "left_semi")
+                  val recAggs = vd.aggs.collect {
+                    case Min(in, out) => min(col(in)).as(s"rec_s_min_$out")
+                    case Max(in, out) => max(col(in)).as(s"rec_s_max_$out")
+                  }
+                  val rec = restricted.groupBy(vd.groupBy.map(col): _*)
+                    .agg(recAggs.head, recAggs.tail: _*)
+                  val repaired: Seq[Column] =
+                    (nRows +: stateCols(vd, srcSchema).map(_.name)).map {
+                      case c if c.startsWith("s_min_") ||
+                          c.startsWith("s_max_") =>
+                        // dirty → the rescan's answer (null when the
+                        // group lost all rows — tombstone territory);
+                        // clean → the δ-fold
+                        when(col("__dirty"), col(s"rec_$c"))
+                          .otherwise(col(c)).as(c)
+                      case c => col(c)
+                    }
+                  base.join(rec, vd.groupBy, "left")
+                    .select((vd.groupBy.map(col) ++ repaired): _*)
+                }
+              wh.merge(vd.view,
+                updates.withColumn("part", partExpr(vd))
+                  .select(stateShape.map(col): _*),
+                vd.groupBy, txn = Some((txnId(vd.src), head)))
+            } finally base.unpersist()
+          }
         }
     }
     head

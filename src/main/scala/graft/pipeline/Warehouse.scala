@@ -1419,6 +1419,22 @@ class Warehouse(spark: SparkSession, dir: String,
     changeFeedDf(name, before, latest, isStreaming = false)
   }
 
+  /** Whether [[readChangeFeed]] since `sinceVersion` would succeed —
+    * the known base version exists and every since-removed file is
+    * still on disk. Consumers that can fall back to a rebuild
+    * (MaterializedView's retraction repair) probe this instead of
+    * catching the feed's fail-fast. Metadata-only (one manifest diff +
+    * existence checks on the removed set).
+    */
+  def changeFeedReadable(name: String, sinceVersion: Long): Boolean = {
+    if (!versions(name).contains(sinceVersion)) return false
+    val before = loadAt(name, sinceVersion)
+    val latestSet = loadLatest(name)._2.map(_.rel).toSet
+    val fs = fileSystem
+    before.filterNot(e => latestSet(e.rel))
+      .forall(e => fs.exists(new Path(path(name), e.rel)))
+  }
+
   /** The CHANGE FEED between two entry snapshots — the shared core of
     * [[readChangeFeed]] and the streaming CDF source:
     *   +1  rows of rels ADDED since `before` (each entry's own vector

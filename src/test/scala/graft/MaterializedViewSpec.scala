@@ -150,6 +150,106 @@ class MaterializedViewSpec extends SparkSpec {
     assert(wh.read("mvs").where($"s_rows" <= 0).count() === 0)
   }
 
+  test("persisted view: min/max retraction repair rescans only dirty " +
+      "groups' files (no full rebuild), and a clean retraction " +
+      "rescans nothing") {
+    val dir = graft.util.Scratch.dir("graft-mvr-").toString
+    val s2 = StructType(Seq(
+      StructField("gid", LongType, nullable = false),
+      StructField("val", DoubleType)))
+    val wh = new Warehouse(spark, s"$dir/wh", retainReplaced = true,
+      specs = Map("t2" -> Warehouse.TableSpec(s2,
+        statColumns = Seq("gid"))))
+    wh.bootstrap()
+    // three files with disjoint gid ranges; per gid, vals gid*10+j
+    def batch(gidLo: Long) = (gidLo until gidLo + 10)
+      .flatMap(g => (0 until 4).map(j => (g, g * 10.0 + j)))
+      .toDF("gid", "val").coalesce(1)
+    wh.append("t2", batch(0))
+    wh.append("t2", batch(100))
+    wh.append("t2", batch(200))
+    val vd = MaterializedView.ViewDef("t2", "mv2", Seq("gid"),
+      Seq(MaterializedView.Count("n"), MaterializedView.Min("val", "lo"),
+        MaterializedView.Max("val", "hi")), nParts = 4)
+    MaterializedView.refresh(wh, vd) // full build
+    def recompute2() = wh.read("t2").groupBy("gid").agg(
+      count(lit(1)).as("n"), min("val").as("lo"), max("val").as("hi"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"gid", $"n", $"lo", $"hi")
+        .as[(Long, Long, Double, Double)].collect().toSet
+
+    // listener: per-scan numFiles for scans over the SOURCE table dir
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+    }.flatten
+    val srcScanFiles =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Long]())
+    val sawMarker = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        if (qe.analyzed.output.exists(_.name == "__drain_marker2"))
+          sawMarker.set(true)
+        else scansOf(qe.executedPlan)
+          .filter(_.relation.location.rootPaths
+            .exists(_.toString.contains("/t2")))
+          .foreach(s => srcScanFiles.add(s.metrics("numFiles").value))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+
+    // DIRTY retraction: delete gid 5's min row (val 50.0)
+    wh.delete("t2", col("gid") === 5 && col("val") === 50.0)
+    spark.listenerManager.register(listener)
+    try {
+      MaterializedView.refresh(wh, vd)
+      spark.range(0, 1).toDF("__drain_marker2").collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!sawMarker.get() && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(sawMarker.get(), "listener bus did not drain in 30s")
+    } finally spark.listenerManager.unregister(listener)
+    assert(asSet(MaterializedView.read(wh, vd)) === asSet(recompute2()))
+    assert(MaterializedView.read(wh, vd).where($"gid" === 5)
+      .select($"lo").as[Double].head() === 51.0)
+    // no full rebuild: latest view commit is a merge, not an overwrite
+    assert(wh.history("mv2").last._2("op") === "merge")
+    // strict file subset: the table has 3 live files; no refresh scan
+    // read all of them, and the dirty-group rescan (IN (5) under
+    // manifest gid stats) read exactly 1
+    val reads = {
+      val it = srcScanFiles.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    assert(reads.nonEmpty, "no source scans observed")
+    assert(reads.max < 3,
+      s"a refresh scan read the whole table: numFiles=$reads")
+    assert(reads.contains(1L),
+      s"dirty-group rescan did not skip files: numFiles=$reads")
+
+    // CLEAN retraction: delete a NON-extremum row (gid 7, val 71.0 —
+    // min 70, max 73 untouched) → δ-fold only, merge commit, correct
+    wh.delete("t2", col("gid") === 7 && col("val") === 71.0)
+    MaterializedView.refresh(wh, vd)
+    assert(asSet(MaterializedView.read(wh, vd)) === asSet(recompute2()))
+    assert(wh.history("mv2").last._2("op") === "merge")
+
+    // group wipe-out: delete ALL of gid 9 → tombstone, read hides it
+    wh.delete("t2", col("gid") === 9)
+    MaterializedView.refresh(wh, vd)
+    assert(asSet(MaterializedView.read(wh, vd)) === asSet(recompute2()))
+    assert(!asSet(MaterializedView.read(wh, vd)).exists(_._1 == 9L))
+  }
+
   test("persisted view: sum of an all-null group reads as null") {
     val wh = freshWh()
     val vd = MaterializedView.ViewDef("t", "mvn", Seq("grp"),
