@@ -133,18 +133,49 @@ object IndexStore {
   def refreshMinhash(wh: Warehouse, src: String, idx: String,
       idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
       nParts: Int = 16): Long = {
-    val idType = wh.tables(src)(idCol).dataType
+    ensureMinhashTable(wh, src, idx, idCol)
+    refreshDerived(wh, src, idx, idCol,
+      minhashRows(_, idCol, textCol, n, numHashes, nParts))
+  }
+
+  /** Create the minhash signature table `(id, part, sig, sigkey)` if
+    * missing — shared by [[refreshMinhash]] and the streaming
+    * dedupe-on-arrival maintainer, so both write ONE index. `sigkey`
+    * (the 64-bit hash of the full signature) is stored, not derived at
+    * probe time: the streaming anti-join reads one long column per
+    * accepted doc instead of re-hashing every stored signature per
+    * micro-batch.
+    */
+  def ensureMinhashTable(wh: Warehouse, src: String, idx: String,
+      idCol: String): Boolean =
     wh.createTable(idx, Warehouse.TableSpec(
       StructType(Seq(
-        StructField(idCol, idType),
+        StructField(idCol, wh.tables(src)(idCol).dataType),
         StructField("part", IntegerType),
-        StructField("sig", ArrayType(LongType)))),
+        StructField("sig", ArrayType(LongType)),
+        StructField("sigkey", LongType))),
       partitionBy = Seq("part")), ifNotExists = true)
-    refreshDerived(wh, src, idx, idCol, changed =>
-      NearDup.minhashSignatures(changed, idCol, textCol, n, numHashes)
-        .select(col("_id").as(idCol), partExpr(idCol, nParts).as("part"),
-          col("_sig").as("sig")))
-  }
+
+  /** Index-shaped signature rows for a batch — the pure derivation both
+    * maintainers share (incremental == rebuild holds BECAUSE this is
+    * the only way signature rows are ever produced).
+    */
+  def minhashRows(batch: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, nParts: Int): DataFrame =
+    NearDup.minhashSignatures(batch, idCol, textCol, n, numHashes)
+      .select(col("_id").as(idCol), partExpr(idCol, nParts).as("part"),
+        col("_sig").as("sig"), xxhash64(col("_sig")).as("sigkey"))
+
+  /** Merge externally-derived signature rows (the streaming
+    * dedupe-on-arrival path) into the index, stamping the SAME
+    * watermark ledger [[refreshMinhash]] maintains — after a streamed
+    * epoch that brought the index to source version `srcVersion`, a
+    * subsequent batch `refreshMinhash` is a watermark no-op: one
+    * signature store, two maintainers, zero double-signing.
+    */
+  def mergeMinhashRows(wh: Warehouse, src: String, idx: String,
+      idCol: String, rows: DataFrame, srcVersion: Long): Unit =
+    wh.merge(idx, rows, Seq(idCol), txn = Some((txnId(src), srcVersion)))
 
   /** Near-dup pairs from the PERSISTED signatures: the LSH band join
     * runs over the index table (no re-signing — at 100 TB this is the

@@ -3827,7 +3827,51 @@ object LlmQueries extends QueryPack {
           FROM keyed)
         SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank,
                doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key
-        FROM ranked WHERE rank <= 10 ORDER BY epoch, rank"""))
+        FROM ranked WHERE rank <= 10 ORDER BY epoch, rank""")),
+
+    // ---- q146: STREAMING dedupe-on-arrival through the PERSISTED
+    // signature index — the unified curation path (one signature store,
+    // batch + streaming maintainers). Two sequential AvailableNow runs
+    // over one landing dir (epoch A: groups 0..299; epoch B: groups
+    // 200..399) dedupe against the SAME warehouse index the batch
+    // ladder maintains: in-epoch dups fall to keep-first, cross-epoch
+    // dups fall to the index anti-join on the STORED sigkey column.
+    // Texts are built so distinct groups share ZERO token shingles
+    // (every token embeds the group id), making signature-dedup
+    // provably equal to group-dedup — which DuckDB replays as
+    // min(doc_id) per group. First-wins is deterministic because every
+    // group's full row set arrives within a single epoch.
+    Q("q146_docs_streaming_dedup_indexed",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q146-").toString
+        val mk = t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("doc_id"),
+            (col("o_orderkey") % 400).cast("int").as("grp"))
+          .withColumn("text", concat_ws(" ", expr(
+            "transform(sequence(1, 6), i -> concat('w', i, 'g', grp))")))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("grp", IntegerType),
+          StructField("text", StringType)))
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("acc" -> graft.pipeline.Warehouse.TableSpec(schema)))
+        wh.bootstrap()
+        mk.where(col("grp") < 300)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+        graft.streaming.StreamingIngest.dedupeOnArrivalStream(
+          s, s"$tmp/src", schema, wh, "acc", "sig_idx", s"$tmp/ckpt")
+          .awaitTermination()
+        mk.where(col("grp") >= 200)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+        graft.streaming.StreamingIngest.dedupeOnArrivalStream(
+          s, s"$tmp/src", schema, wh, "acc", "sig_idx", s"$tmp/ckpt")
+          .awaitTermination()
+        wh.read("acc").select(col("doc_id"), col("grp")).orderBy("grp")
+      },
+      Some("""
+        SELECT CAST(min(o_orderkey) AS BIGINT) AS doc_id,
+               CAST(o_orderkey % 400 AS INT) AS grp
+        FROM orders GROUP BY 2 ORDER BY grp"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

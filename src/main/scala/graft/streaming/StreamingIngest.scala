@@ -122,64 +122,74 @@ object StreamingIngest {
   }
 
   /** Streaming CURATION: DEDUPE-ON-ARRIVAL for a document landing
-    * stream — the streaming twin of the batch dedup ladder (q30/q32).
-    * Each micro-batch:
+    * stream — the streaming twin of the batch dedup ladder (q30/q32),
+    * maintaining THE SAME persisted signature index the batch ladder
+    * uses ([[graft.pipeline.IndexStore.refreshMinhash]]): one signature
+    * store per corpus, two maintainers, zero double-signing. Each
+    * micro-batch:
     *
-    *   1. MinHash-signs its documents (`NearDup.minhashSignatures` —
-    *      deterministic CW family, identical signatures for identical
-    *      content) and keys each doc by the 64-bit hash of its full
-    *      signature;
-    *   2. keeps the FIRST doc per key within the batch (deterministic
-    *      min-id, the batch `keepFirst` contract);
-    *   3. anti-joins the survivors against the SIGNATURE STATE TABLE of
-    *      everything accepted so far — one long per accepted doc, the
-    *      bounded state that replaces an ever-growing text comparison;
-    *   4. appends the fresh docs to `acceptedDir` and their keys to
-    *      `stateDir`.
+    *   1. MinHash-signs its documents via
+    *      [[graft.pipeline.IndexStore.minhashRows]] — the one shared
+    *      derivation (deterministic CW family, identical signatures for
+    *      identical content), each doc keyed by `sigkey`, the 64-bit
+    *      hash of its full signature;
+    *   2. keeps the FIRST doc per sigkey within the batch
+    *      (deterministic min-id, the batch `keepFirst` contract);
+    *   3. anti-joins survivors against the index's STORED `sigkey`
+    *      column — one long per accepted doc, read not recomputed;
+    *   4. appends fresh docs to the `accepted` warehouse table
+    *      (epoch-fenced: `txn = (queryId, epoch)`), then merges their
+    *      signature rows into the index stamped with the accepted
+    *      table's new version on the SAME `graft_index_*` watermark
+    *      ledger `refreshMinhash` maintains — so a later batch refresh
+    *      is a watermark no-op.
     *
-    * The same idempotent-sink shape as [[dimUpsertStream]]: re-delivery
-    * of a batch re-checks against the state table and appends nothing
-    * new (at-least-once writes, converging state). Scale: state is one
-    * row per accepted doc, the anti-join is an equi-join on the key —
-    * and the key side stays orders of magnitude smaller than the text
-    * it stands for.
+    * Crash-safety across the two commits: if the process dies between
+    * the doc append and the signature merge, the replayed epoch
+    * recomputes the same `fresh` set (the index still lacks those
+    * signatures), the doc append is txn-fenced to a no-op, and the
+    * merge completes the pair — convergent, like every idempotent sink
+    * here. A replay after both commits recomputes `fresh` as EMPTY
+    * (signatures present) and writes nothing.
+    *
+    * Scale: signing is per-batch work; the anti-join reads a single
+    * long column of the index (columnar scan, no signature re-hash);
+    * the index merge rewrites only the id-hash partitions the batch
+    * touches.
     */
   def dedupeOnArrivalStream(spark: SparkSession, sourceDir: String,
-      schema: org.apache.spark.sql.types.StructType, acceptedDir: String,
-      stateDir: String, checkpointDir: String,
-      n: Int = 3, numHashes: Int = 16): StreamingQuery =
+      schema: org.apache.spark.sql.types.StructType,
+      wh: graft.pipeline.Warehouse, accepted: String, idx: String,
+      checkpointDir: String, queryId: String = "dedupe_arrival",
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 16, nParts: Int = 16): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(sourceDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         val df = batch.toDF()
-        val keyed = df.join(
-          graft.ext.NearDup.minhashSignatures(df, "doc_id", "text",
-              n, numHashes)
-            .select(col("_id").as("doc_id"),
-              xxhash64(col("_sig")).as("_sigkey")),
-          "doc_id")
+        graft.pipeline.IndexStore.ensureMinhashTable(wh, accepted, idx, idCol)
+        val signed = graft.pipeline.IndexStore.minhashRows(
+          df, idCol, textCol, n, numHashes, nParts)
+        val keyed = df.join(signed, idCol)
         val firsts = graft.dedup.Dedup.keepFirst(
-          keyed, Seq("_sigkey"), Seq(col("doc_id")))
-        val state = stateTable(spark, stateDir)
-        val fresh = firsts.join(state, Seq("_sigkey"), "left_anti")
-          .persist() // two writes below, one computation
+          keyed, Seq("sigkey"), Seq(col(idCol)))
+        val fresh = firsts.join(wh.read(idx).select("sigkey"),
+            Seq("sigkey"), "left_anti")
+          .localCheckpoint() // probed by both commits; stable mid-write
         try {
-          fresh.drop("_sigkey").write.mode("append").parquet(acceptedDir)
-          fresh.select("_sigkey").write.mode("append").parquet(stateDir)
+          wh.append(accepted, fresh.select(df.columns.toSeq.map(col): _*),
+            txn = Some((queryId, epoch)))
+          val v = wh.versions(accepted).max
+          graft.pipeline.IndexStore.mergeMinhashRows(wh, accepted, idx,
+            idCol, fresh.select(col(idCol), col("part"), col("sig"),
+              col("sigkey")), v)
         } finally { fresh.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
-
-  private def stateTable(spark: SparkSession, stateDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema("_sigkey LONG").parquet(stateDir)
-    else spark.range(0).select(col("id").as("_sigkey"))
-  }
 
   /** Streaming SESSIONIZATION with custom state — the
     * `flatMapGroupsWithState` surface (§2.11): gap-based sessions per

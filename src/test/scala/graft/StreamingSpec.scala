@@ -82,15 +82,23 @@ class StreamingSpec extends SparkSpec {
     assert(dim.where("norad_id = 2 AND sat_name = 'SAT-2'").count() === 1)
   }
 
-  test("dedupe-on-arrival stream equals the batch keep-first dedup") {
+  test("dedupe-on-arrival stream equals the batch keep-first dedup and " +
+      "shares ONE persisted signature index with the batch maintainer") {
     val root = Files.createTempDirectory("graft-stream-cur")
-    val (src, acc, st) = (s"$root/src", s"$root/accepted", s"$root/state")
+    val src = s"$root/src"
     import spark.implicits._
+    import org.apache.spark.sql.types._
     def docs(rows: (Long, String)*) = rows.toSeq
       .toDF("doc_id", "text")
     val schema = docs((0L, "")).schema
+    val wh = new graft.pipeline.Warehouse(spark, s"$root/wh",
+      specs = Map("acc" -> graft.pipeline.Warehouse.TableSpec(
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))))
+    wh.bootstrap()
     def run(): Unit = StreamingIngest.dedupeOnArrivalStream(
-      spark, src, schema, acc, st, s"$root/ckp").awaitTermination()
+      spark, src, schema, wh, "acc", "sig_idx", s"$root/ckp")
+      .awaitTermination()
 
     // batch 1: in-batch duplicates (4 dups 1, 6 dups 2) — keep-first
     docs(1L -> "alpha bravo charlie delta echo",
@@ -101,18 +109,18 @@ class StreamingSpec extends SparkSpec {
          6L -> "foxtrot golf hotel india juliet")
       .coalesce(1).write.mode("append").parquet(src)
     run()
-    assert(spark.read.parquet(acc).select("doc_id").as[Long]
+    assert(wh.read("acc").select("doc_id").as[Long]
       .collect().sorted === Array(1L, 2L, 3L, 5L))
 
     // batch 2 (restart from checkpoint): cross-batch dups (7 dups 3,
-    // 9 dups 1) are dropped by the signature state table; new docs pass
+    // 9 dups 1) are dropped by the persisted index; new docs pass
     docs(7L -> "kilo lima mike november oscar",
          8L -> "uniform victor whiskey xray yankee",
          9L -> "alpha bravo charlie delta echo",
          10L -> "zulu one two three four")
       .coalesce(1).write.mode("append").parquet(src)
     run()
-    val streamed = spark.read.parquet(acc).select("doc_id").as[Long]
+    val streamed = wh.read("acc").select("doc_id").as[Long]
       .collect().sorted
     assert(streamed === Array(1L, 2L, 3L, 5L, 8L, 10L))
 
@@ -122,8 +130,28 @@ class StreamingSpec extends SparkSpec {
     val batchKept = graft.ext.NearDup.exact(all, "text", Seq(col("doc_id")))
       .select("doc_id").as[Long].collect().sorted
     assert(streamed === batchKept)
-    // state is one row per accepted doc
-    assert(spark.read.parquet(st).count() === streamed.length)
+    // ONE shared index: one signature row per accepted doc, bit-equal
+    // to what the batch maintainer would derive from the accepted table
+    val idxSigs = wh.read("sig_idx").select("doc_id", "sig")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(idxSigs.keySet === streamed.toSet)
+    val batchSigs = graft.pipeline.IndexStore.minhashRows(
+        wh.read("acc"), "doc_id", "text", 3, 16, 16)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(idxSigs === batchSigs)
+    // the streamed epochs stamped refreshMinhash's own watermark
+    // ledger: a batch refresh right after is a WATERMARK NO-OP (no new
+    // index commit — nothing is re-signed)
+    val nIdxVersions = wh.versions("sig_idx").size
+    graft.pipeline.IndexStore.refreshMinhash(wh, "acc", "sig_idx",
+      "doc_id", "text", n = 3, numHashes = 16, nParts = 16)
+    assert(wh.versions("sig_idx").size === nIdxVersions,
+      "batch refresh after streaming must be a watermark no-op")
+    // and the probe surface works off the shared index
+    val pairs = graft.pipeline.IndexStore.minhashProbePairs(wh, "acc",
+      "sig_idx", "doc_id", "text", n = 3, numHashes = 16, numBands = 4,
+      minJaccard = 1.0)
+    assert(pairs.count() === 0L) // accepted set is dup-free by construction
   }
 
   test("flatMapGroupsWithState sessionization equals the batch q14 form") {
