@@ -78,7 +78,8 @@ object IndexStore {
     * @return the source version the index now reflects
     */
   private def refreshDerived(wh: Warehouse, src: String, idx: String,
-      idCol: String, derive: DataFrame => DataFrame): Long = {
+      idCol: String, derive: DataFrame => DataFrame,
+      stats: DataFrame => Map[String, String] = _ => Map.empty): Long = {
     val head = wh.versions(src).max
     val since = indexedVersion(wh, idx, src)
       // a vacuumed-away diff base forces a full re-derive (still
@@ -96,8 +97,10 @@ object IndexStore {
     // tripled the refresh cost. Derived rows are small (id + signature/
     // cell), so the checkpoint is bytes-bounded by the batch.
     val derived = derive(changed).localCheckpoint()
+    // per-batch observations (drift tracking) ride the SAME commit as
+    // the rows — one agg over the already-cached batch, crash-atomic
     wh.merge(idx, derived, Seq(idCol),
-      txn = Some((txnId(src), head)))
+      txn = Some((txnId(src), head)), extraMeta = stats(derived))
     head
   }
 
@@ -261,16 +264,13 @@ object IndexStore {
       ifNotExists = true)
     wh.overwrite(centroidsTable(idx), spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1), centSchema))
-    refreshIvf(wh, src, idx, idCol, vecCol, nParts)
-  }
-
-  /** Incremental IVF maintenance: assign rows the source added since
-    * the indexed version against the PERSISTED centroids and merge
-    * them into the vectors table. Equals a full re-assignment under the
-    * same centroid table (per-row purity of [[cellExpr]]).
-    */
-  def refreshIvf(wh: Warehouse, src: String, idx: String, idCol: String,
-      vecCol: String, nParts: Int = 16): Long = {
+    // full (re)assignment under the NEW centroids as an OVERWRITE — a
+    // REBUILD on an already-indexed corpus must not leave assignments
+    // computed under the previous centroid table behind (the diff-based
+    // refresh would be a watermark no-op and keep every stale cell).
+    // The overwrite stamps the same txn watermark refreshIvf uses plus
+    // the build-time drift baseline, atomically with the rows.
+    val head = wh.versions(src).max
     wh.createTable(vectorsTable(idx), Warehouse.TableSpec(
       StructType(Seq(
         StructField(idCol, wh.tables(src)(idCol).dataType),
@@ -279,9 +279,96 @@ object IndexStore {
         StructField("vec", wh.tables(src)(vecCol).dataType))),
       partitionBy = Seq("part")), ifNotExists = true)
     val cents = loadCentroids(wh, idx)
-    refreshDerived(wh, src, vectorsTable(idx), idCol, changed =>
-      changed.select(col(idCol), partExpr(idCol, nParts).as("part"),
-        cellExpr(col(vecCol), cents).as("cell"), col(vecCol).as("vec")))
+    val assigned = corpus.select(col(idCol), partExpr(idCol, nParts).as("part"),
+      cellExpr(col(vecCol), cents).as("cell"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    try {
+      wh.overwrite(vectorsTable(idx), assigned,
+        meta = Map(s"txn_${txnId(src)}" -> head.toString) ++
+          driftMeta(assigned, cents, isBuild = true))
+      head
+    } finally assigned.unpersist()
+  }
+
+  /** The per-batch drift observation ([[refreshIvf]]'s scaladoc): mean
+    * squared distance to the assigned centroid + row count, empty for
+    * an empty batch.
+    */
+  private def driftMeta(batch: DataFrame, cents: Seq[Seq[Double]],
+      isBuild: Boolean): Map[String, String] = {
+    val cbLit = typedlit(cents)
+    val d2 = aggregate(
+      zip_with(col("vec").cast("array<double>"),
+        element_at(cbLit, col("cell") + 1),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val r = batch.agg(avg(d2).as("m"), count(lit(1)).as("n")).head()
+    if (r.isNullAt(0)) Map.empty
+    else Map("ivfMeanD2" -> r.getDouble(0).toString,
+      "ivfRows" -> r.getLong(1).toString) ++
+      (if (isBuild) Map("ivfBuild" -> "true") else Map.empty)
+  }
+
+  /** Incremental IVF maintenance: assign rows the source added since
+    * the indexed version against the PERSISTED centroids and merge
+    * them into the vectors table. Equals a full re-assignment under the
+    * same centroid table (per-row purity of [[cellExpr]]).
+    *
+    * DRIFT TRACKING: each refresh records the batch's mean squared
+    * distance to its assigned centroid (`ivfMeanD2`) and row count on
+    * the commit metadata, atomically with the rows (`isBuild` marks the
+    * build-time baseline). Incremental assignment against frozen
+    * centroids silently degrades RECALL as the embedding distribution
+    * shifts — probe-all stays exact by the invariant, but nProbe<all
+    * probes miss more — and a rising mean distance is the signal.
+    * [[ivfDrift]] folds these into a staleness ratio; the history
+    * surface (`DESCRIBE HISTORY`) shows the raw per-commit numbers.
+    */
+  def refreshIvf(wh: Warehouse, src: String, idx: String, idCol: String,
+      vecCol: String, nParts: Int = 16, isBuild: Boolean = false): Long = {
+    wh.createTable(vectorsTable(idx), Warehouse.TableSpec(
+      StructType(Seq(
+        StructField(idCol, wh.tables(src)(idCol).dataType),
+        StructField("part", IntegerType),
+        StructField("cell", IntegerType),
+        StructField("vec", wh.tables(src)(vecCol).dataType))),
+      partitionBy = Seq("part")), ifNotExists = true)
+    val cents = loadCentroids(wh, idx)
+    refreshDerived(wh, src, vectorsTable(idx), idCol,
+      changed =>
+        changed.select(col(idCol), partExpr(idCol, nParts).as("part"),
+          cellExpr(col(vecCol), cents).as("cell"), col(vecCol).as("vec")),
+      stats = driftMeta(_, cents, isBuild))
+  }
+
+  /** Staleness of a persisted IVF index: build-time vs latest-batch
+    * mean assigned-centroid distance. None until a build-marked commit
+    * exists. `ratio` ≈ 1 → the embedding distribution still matches the
+    * quantizer; a ratio past ~2 means new batches land far from every
+    * centroid (coarse cells → degraded recall at nProbe < nCells) and a
+    * refit ([[buildIvf]]) is recommended. Metadata-only: two history
+    * lookups, no data read.
+    */
+  final case class IvfDrift(buildMeanD2: Double, lastMeanD2: Double,
+      lastRows: Long) {
+    def ratio: Double =
+      if (buildMeanD2 > 0) lastMeanD2 / buildMeanD2
+      else if (lastMeanD2 == 0) 1.0
+      else Double.PositiveInfinity
+    def needsRefit(threshold: Double = 2.0): Boolean = ratio >= threshold
+  }
+
+  def ivfDrift(wh: Warehouse, idx: String): Option[IvfDrift] = {
+    val metas = wh.history(vectorsTable(idx)).map(_._2).reverse
+    for {
+      b <- metas.collectFirst {
+        case m if m.get("ivfBuild").contains("true") &&
+          m.contains("ivfMeanD2") => m("ivfMeanD2").toDouble }
+      l <- metas.collectFirst {
+        case m if m.contains("ivfMeanD2") =>
+          (m("ivfMeanD2").toDouble,
+            m.getOrElse("ivfRows", "0").toLong) }
+    } yield IvfDrift(b, l._1, l._2)
   }
 
   /** Top-k cosine from the PERSISTED index: each query ranks the

@@ -2208,7 +2208,10 @@ class Warehouse(spark: SparkSession, dir: String,
     *   upserted values to N's snapshot.
     */
   def merge(name: String, updates: DataFrame, keys: Seq[String],
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
+    require(!extraMeta.keySet.exists(k => k == "op" || k.startsWith("txn_")),
+      s"merge into $name: extraMeta must not shadow op/txn_* keys")
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
     require(parts.forall(updates.columns.contains),
@@ -2248,8 +2251,9 @@ class Warehouse(spark: SparkSession, dir: String,
     maybeCrash("after-write")
     beforeCommit.foreach(_())
     commitReadModify(name, (v, entries), replaced, fresh,
-      Map("op" -> "merge", "numFilesReplaced" -> replaced.size.toString,
-        "numFilesAdded" -> fresh.size.toString)
+      extraMeta
+        ++ Map("op" -> "merge", "numFilesReplaced" -> replaced.size.toString,
+          "numFilesAdded" -> fresh.size.toString)
         ++ txn.map { case (q, e) => s"txn_$q" -> e.toString }.toMap,
       Some(footprint))
     maybeCrash("after-commit")

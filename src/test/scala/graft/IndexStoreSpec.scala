@@ -235,6 +235,72 @@ class IndexStoreSpec extends SparkSpec {
     assert(probed === brute)
   }
 
+  test("ivf drift: an in-distribution second batch keeps the staleness " +
+      "ratio near 1, a shifted batch trips needsRefit, and probe-all " +
+      "recall stays exact throughout") {
+    val wh = freshEmbWh()
+    wh.append("emb", embs(0, 150))
+    IndexStore.buildIvf(wh, "emb", "idx_ivf", "vec_id", "embedding",
+      nCells = 6, fitFraction = 1.0, nParts = 4)
+    val d0 = IndexStore.ivfDrift(wh, "idx_ivf").get
+    assert(d0.ratio === 1.0) // baseline IS the latest commit
+    // in-distribution arrivals: same generator, new ids → mean
+    // assigned distance stays in family
+    wh.append("emb", embs(150, 250))
+    IndexStore.refreshIvf(wh, "emb", "idx_ivf", "vec_id", "embedding",
+      nParts = 4)
+    val d1 = IndexStore.ivfDrift(wh, "idx_ivf").get
+    assert(d1.ratio < 2.0 && !d1.needsRefit(),
+      s"in-distribution batch flagged stale: $d1")
+    // distribution SHIFT: vectors offset far outside the fitted cloud
+    // (embs values are in [-2, 2]; +25 per dim is ~unreachable)
+    val shifted = spark.range(250, 330).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(0), lit(7)), i =>
+        (sin(col("vec_id") * 0.7 + i * 1.3) + lit(25.0)).cast("float"))
+        .as("embedding"))
+    wh.append("emb", shifted)
+    IndexStore.refreshIvf(wh, "emb", "idx_ivf", "vec_id", "embedding",
+      nParts = 4)
+    val d2 = IndexStore.ivfDrift(wh, "idx_ivf").get
+    assert(d2.needsRefit(),
+      s"shifted batch did not trip the drift signal: $d2")
+    assert(d2.buildMeanD2 === d0.buildMeanD2) // baseline pinned to build
+    // the probe-all INVARIANT is distribution-independent: even with a
+    // badly-fitting quantizer, nProbe == nCells equals brute force
+    val queries = wh.read("emb").where(col("vec_id") % 60 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probed = IndexStore.ivfProbeTopK(wh, "idx_ivf", "vec_id",
+        queries, "qid", "qvec", k = 5, nProbe = 6)
+      .select("qid", "rank", "id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(wh.read("emb"), "vec_id",
+        "embedding", queries, "qid", "qvec", k = 5)
+      .select("qid", "rank", "id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(probed === brute)
+    // REFIT: a rebuild reassigns the WHOLE corpus under fresh centroids
+    // (an overwrite — no stale cells can linger) and resets the
+    // baseline, so the ratio returns to exactly 1
+    IndexStore.buildIvf(wh, "emb", "idx_ivf", "vec_id", "embedding",
+      nCells = 6, fitFraction = 1.0, nParts = 4)
+    val d3 = IndexStore.ivfDrift(wh, "idx_ivf").get
+    assert(d3.ratio === 1.0 && !d3.needsRefit())
+    assert(d3.buildMeanD2 !== d0.buildMeanD2) // new quantizer, new floor
+    // and the reassignment is real: every row's cell matches a fresh
+    // assignment under the new centroid table
+    val cents2 = wh.read("idx_ivf_centroids")
+    val wh3 = freshEmbWh()
+    wh3.append("emb", wh.read("emb"))
+    wh3.createTable("idx_ivf_centroids",
+      Warehouse.TableSpec(cents2.schema), initial = Some(cents2))
+    IndexStore.refreshIvf(wh3, "emb", "idx_ivf", "vec_id", "embedding",
+      nParts = 4)
+    assert(wh.read("idx_ivf_vectors").select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap ===
+      wh3.read("idx_ivf_vectors").select("vec_id", "cell")
+        .as[(Long, Int)].collect().toMap)
+  }
+
   test("pq codebook round-trips through the warehouse exactly") {
     val wh = freshEmbWh()
     wh.append("emb", embs(0, 100))
