@@ -97,9 +97,15 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":$det,"sf":"$sfDir"}""")
     // The driver's artifact capture keeps the TAIL of the output; the
     // r3/r4 single-line form lost its leading total when the per-query
-    // map outgrew the window. This second, short, totals-only line lands
-    // LAST so the tail capture always retains the headline numbers even
-    // if the full per-query line above is truncated.
+    // map outgrew the window, and the r8 capture kept only q114+ of the
+    // big map. Two short lines land LAST so the tail always retains
+    // (a) the slowest-queries head — the part of the per-query map an
+    // expensive-query post-mortem actually needs — and (b) the headline
+    // totals, even when the full line above is truncated.
+    val slowest = results.sortBy { case (_, v) => -math.abs(v) }.take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"slowest20","queries":$slowest,"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"cpu_total":${fmt(totalCpu)},"load_avg":${fmt(load)},"cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }

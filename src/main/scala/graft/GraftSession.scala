@@ -41,6 +41,16 @@ object GraftSession {
     // garbage throws; non-ANSI CAST yields null, which is exactly the
     // domain's contract (SURVEY.md §2.3 T5, §2.8 C1-C2, §2.9 X1-X2).
     .config("spark.sql.ansi.enabled", "false")
+    // Cost-based optimization ON: warehouse relations publish their
+    // manifest row counts as CatalogStatistics (Warehouse.dfFor), so
+    // registered tables get rowCount-driven join sizing/reordering at
+    // parity with ANALYZE'd tables — without ever running ANALYZE (the
+    // counts are already in the manifest). Non-warehouse scans carry no
+    // rowCount and fall back to size-only estimation, as stock.
+    .config("spark.sql.cbo.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
+    .config("spark.sql.cbo.joinReorder.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
     .config("spark.ui.enabled", "false")
     // managed tables (bucketed-join layout) land outside the repo
     .config("spark.sql.warehouse.dir",

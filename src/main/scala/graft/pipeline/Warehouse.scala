@@ -335,7 +335,17 @@ class Warehouse(spark: SparkSession, dir: String,
         })
         paths.foreach(fs.delete(_, false))
         if (txnConfirmed(id)) { // lost the race: restore, don't abort
-          saved.foreach { case (p, bytes) => publishExclusive(p, bytes) }
+          // the restore MUST land: if a third writer claimed the slot
+          // between our delete and this publish, a CONFIRMED txn's
+          // member manifest would be silently lost — that is corruption,
+          // not a retryable race, so fail loudly rather than return
+          saved.foreach { case (p, bytes) =>
+            if (!publishExclusive(p, bytes))
+              throw new IllegalStateException(
+                s"abortOwnPending $name v$version: lost restore race for " +
+                  s"$p — confirmed transaction $id's member manifest was " +
+                  "displaced by a concurrent writer")
+          }
           false
         } else true
       case _ => false
@@ -1526,10 +1536,48 @@ class Warehouse(spark: SparkSession, dir: String,
           org.apache.spark.sql.GraftBridge.analyzed(empty).output,
           Seq.empty, isStreaming = true))
     }
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
     logicalView(name,
       applyDv(name, entries, org.apache.spark.sql.GraftBridge.ofRows(spark,
-        LogicalRelation(relationFor(name, entries), isStreaming))))
+        statsRelation(name, entries, isStreaming))))
+  }
+
+  /** [[relationFor]] wrapped in a LogicalRelation that PUBLISHES the
+    * manifest's statistics to the optimizer as `CatalogStatistics` —
+    * exact byte size plus the exact row count for the PLANNED ENTRY
+    * SUBSET (entry-subset reads — readRange/readPoint/time travel —
+    * report their subset's counts; predicate pruning below the relation
+    * does not re-derive them, the standard ANALYZE behavior). Under CBO
+    * (on in GraftSession) this is what ANALYZE
+    * TABLE would provide, for free: rowCount-driven join sizing and
+    * join reordering for every warehouse scan. rowCount is omitted when
+    * any planned file predates row-count manifests (unknown ≠ 0) and
+    * physical counts are reported for deletion-vectored files net of
+    * their vectored rows (the live-row estimate). The CatalogTable is
+    * plan-local metadata — nothing registers in the session catalog.
+    */
+  private def statsRelation(name: String, entries: Seq[FileEntry],
+      isStreaming: Boolean)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
+      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val relation = relationFor(name, entries)
+    val rows =
+      if (entries.forall(_.rows >= 0L))
+        Some(BigInt(entries.map(e => e.rows - e.dvRows).sum))
+      else None
+    val ct = CatalogTable(
+      identifier = TableIdentifier(name),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = relation.schema,
+      provider = Some("parquet"),
+      stats = Some(CatalogStatistics(
+        BigInt(entries.map(_.bytes).sum).max(1), rows)))
+    LogicalRelation(relation, DataTypeUtils.toAttributes(relation.schema),
+      Some(ct), isStreaming, None)
   }
 
   // ------------------------------------------------------------------
@@ -1812,14 +1860,20 @@ class Warehouse(spark: SparkSession, dir: String,
     *   data (it rides the manifest's metadata line), so fence and files
     *   can never disagree.
     */
+  /** @return (committed manifest version, rows appended) — (head, 0)
+    *   when the txn fence made the call a replay no-op. The row count
+    *   comes from the committed entries' own parquet footers, so it is
+    *   exact for THIS append regardless of concurrent writers (unlike
+    *   a before/after head-count delta).
+    */
   def append(name: String, df: DataFrame, rowsPerFile: Long = 0,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None): (Long, Long) = {
     val (v, existing) = loadLatest(name)
     require(v > 0L, s"append into $name: table not bootstrapped")
     def replayed(headVersion: Long): Boolean = txn.exists { case (q, e) =>
       txnWatermarks(name, headVersion).get(s"txn_$q").exists(_.toLong >= e)
     }
-    if (replayed(v)) return
+    if (replayed(v)) return (v, 0L)
     val full = applyGenerated(name, df)
     enforceChecks(name, full)
     val fresh = writeBatch(name, full, rowsPerFile)
@@ -1837,7 +1891,8 @@ class Warehouse(spark: SparkSession, dir: String,
       try {
         commit(name, attempt._1 + 1, attempt._2 ++ fresh,
           Map("op" -> "append",
-            "numFilesAdded" -> fresh.size.toString) ++ txnMeta)
+            "numFilesAdded" -> fresh.size.toString,
+            "numRowsAdded" -> fresh.map(_.rows).sum.toString) ++ txnMeta)
         done = true
       }
       catch {
@@ -1853,10 +1908,11 @@ class Warehouse(spark: SparkSession, dir: String,
           // drop this attempt's files — they are uncommitted orphans
           if (replayed(attempt._1)) {
             gc(name, fresh)
-            return
+            return (attempt._1, 0L)
           }
       }
     }
+    (attempt._1 + 1, fresh.map(_.rows).sum)
   }
 
   /** COPY INTO (Delta's idempotent bulk file ingest): append the files
@@ -1903,8 +1959,11 @@ class Warehouse(spark: SparkSession, dir: String,
             case c if "\\.[]{}()+-^$|".contains(c) => s"\\$c"
             case c => c.toString
           })
-        listed.filter { case (rel, _) =>
-          rx.matcher(rel.split('/').last).matches }
+        // Delta's PATTERN semantics: the glob matches the SOURCE-
+        // RELATIVE PATH (so 'w1/*.parquet' selects a subdirectory);
+        // a bare file glob like '*.parquet' still matches at any depth
+        // because `*` here crosses '/' (documented, glob-over-path)
+        listed.filter { case (rel, _) => rx.matcher(rel).matches }
       }
     val loaded: Set[String] = if (force) Set.empty else copyLedger(name)
     val fresh = matched.filterNot { case (rel, b) => loaded(s"$rel:$b") }
@@ -1997,16 +2056,19 @@ class Warehouse(spark: SparkSession, dir: String,
       case (acc, (n, e)) =>
         when(not(coalesce(expr(e), lit(true))), lit(n)).otherwise(acc)
     }
-    val tagged = df.withColumn("violation", firstFail)
+    // derive GENERATED columns BEFORE evaluating the checks: a CHECK
+    // referencing a generated column the batch omits must tag its rows
+    // into quarantine, not explode the whole batch with an unresolved-
+    // column AnalysisException (the poison-batch contract)
+    val tagged = applyGenerated(name, df).withColumn("violation", firstFail)
     val good = tagged.where(col("violation").isNull).drop("violation")
     val bad = tagged.where(col("violation").isNotNull)
-    def rc(t: String): Long = metaRowCount(t).getOrElse(
-      throw new IllegalStateException(
-        s"appendQuarantine: $t has no manifest row counts"))
-    val (g0, b0) = (rc(name), rc(quarantine))
-    appendAll(Seq((name, good, rowsPerFile), (quarantine, bad, rowsPerFile)),
-      txn)
-    (rc(name) - g0, rc(quarantine) - b0)
+    // counts come from THIS transaction's committed footers (appendAll's
+    // return), not head-count deltas — exact under concurrent writers
+    val committed = appendAll(
+      Seq((name, good, rowsPerFile), (quarantine, bad, rowsPerFile)), txn)
+      .map(c => c._1 -> c._3).toMap
+    (committed(name), committed(quarantine))
   }
 
   /** The union of the HEAD commit's referenced copy ledgers — the list
@@ -2078,14 +2140,20 @@ class Warehouse(spark: SparkSession, dir: String,
     *   the fence makes the epoch idempotent, so aborting even a live
     *   zombie's identical attempt converges.
     */
+  /** @return per input table: (table, committed version, rows
+    *   appended) — rows from the committed entries' footers, exact for
+    *   THIS transaction under concurrency; all-zeros rows on a replay
+    *   no-op.
+    */
   def appendAll(batches: Seq[(String, DataFrame, Long)],
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None): Seq[(String, Long, Long)] = {
     require(batches.map(_._1).distinct.size == batches.size,
       s"appendAll: duplicate tables in ${batches.map(_._1)}")
-    if (batches.isEmpty) return
+    if (batches.isEmpty) return Nil
     if (batches.size == 1) { // one table needs no cross-table marker
       val (t, df, rpf) = batches.head
-      return append(t, df, rpf, txn)
+      val (v, n) = append(t, df, rpf, txn)
+      return Seq((t, v, n))
     }
     batches.foreach { case (t, _, _) =>
       require(loadLatest(t)._1 > 0L, s"appendAll into $t: not bootstrapped")
@@ -2096,7 +2164,8 @@ class Warehouse(spark: SparkSession, dir: String,
       txnWatermarks(batches.head._1, v0).get(s"txn_$q")
         .exists(_.toLong >= e)
     }
-    if (replayed) return
+    if (replayed)
+      return batches.map(b => (b._1, loadLatest(b._1)._1, 0L))
     val derived = batches.map { case (t, df, rpf) =>
       (t, applyGenerated(t, df), rpf) }
     derived.foreach { case (t, df, _) => enforceChecks(t, df) }
@@ -2105,7 +2174,7 @@ class Warehouse(spark: SparkSession, dir: String,
       t -> writeBatch(t, df, rpf)
     }
     maybeCrash("after-write")
-    staged.zipWithIndex.foreach { case ((t, fresh), i) =>
+    val committed = staged.zipWithIndex.map { case ((t, fresh), i) =>
       if (i > 0) maybeCrash("between-manifests")
       var attempt = loadLatest(t)
       var done = false
@@ -2114,7 +2183,8 @@ class Warehouse(spark: SparkSession, dir: String,
         try {
           commit(t, attempt._1 + 1, attempt._2 ++ fresh,
             Map("op" -> "append", "mtxn" -> id,
-              "numFilesAdded" -> fresh.size.toString) ++ txnMeta)
+              "numFilesAdded" -> fresh.size.toString,
+              "numRowsAdded" -> fresh.map(_.rows).sum.toString) ++ txnMeta)
           done = true
         } catch {
           case _: Warehouse.CommitConflict if retries < 20 =>
@@ -2129,10 +2199,11 @@ class Warehouse(spark: SparkSession, dir: String,
               // a racing instance of the SAME epoch won: drop our
               // uncommitted files and exit — the data is published
               staged.foreach { case (st, sf) => gc(st, sf) }
-              return
+              return batches.map(b => (b._1, loadLatest(b._1)._1, 0L))
             }
         }
       }
+      (t, attempt._1 + 1, fresh.map(_.rows).sum)
     }
     maybeCrash("before-marker")
     val body = staged.map { case (t, fresh) =>
@@ -2140,6 +2211,7 @@ class Warehouse(spark: SparkSession, dir: String,
     require(publishExclusive(new Path(txnDir, id),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       s"appendAll: transaction marker $id already exists")
+    committed
   }
 
   /** MERGE upsert (copy-on-write): rows of `updates` REPLACE existing
@@ -2283,7 +2355,12 @@ class Warehouse(spark: SparkSession, dir: String,
     * @param ts the transaction time written to `validTo` (closed rows)
     *   and `validFrom` (new versions) — pass a literal for replayable
     *   pipelines
-    * @return (versions closed, versions inserted)
+    * @return (versions closed, versions inserted) — counted from probe
+    *   aggregates over the source plan, which is ALSO evaluated by the
+    *   write below: cache/checkpoint the source upstream if it is
+    *   expensive or non-deterministic (a non-deterministic source can
+    *   make the committed rows diverge from the returned counts — the
+    *   same caveat as [[appendQuarantine]]'s batch)
     */
   def scdMerge(name: String, source: DataFrame, keys: Seq[String],
       ts: org.apache.spark.sql.Column,

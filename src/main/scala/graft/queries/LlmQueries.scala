@@ -3871,7 +3871,102 @@ object LlmQueries extends QueryPack {
       Some("""
         SELECT CAST(min(o_orderkey) AS BIGINT) AS doc_id,
                CAST(o_orderkey % 400 AS INT) AS grp
-        FROM orders GROUP BY 2 ORDER BY grp"""))
+        FROM orders GROUP BY 2 ORDER BY grp""")),
+
+    // ---- q147: JOIN-DRIVEN OPT-OUT PURGE — the GDPR/revocation path
+    // at corpus scale. The doomed set is DERIVED (every doc whose
+    // n_chars lands on the revoked residue — data-sized, could be
+    // millions at 100 TB) and is applied through Warehouse.deleteKeys:
+    // distributed semi/anti joins inside the copy-on-write rewrite, no
+    // IN-list plan, no O(|revoked|) driver state. The gate recomputes
+    // the survivor aggregate per source in DuckDB.
+    Q("q147_docs_optout_purge",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q147-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("docs" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("source", StringType),
+              StructField("n_chars", LongType))))))
+        wh.bootstrap()
+        wh.append("docs", t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("source"),
+            col("n_chars").cast("long")))
+        val revoked = wh.read("docs")
+          .where(col("n_chars") % 7 === 0).select("doc_id")
+        val removed = wh.deleteKeys("docs", revoked, Seq("doc_id"))
+        require(removed >= 0L)
+        wh.read("docs").groupBy("source")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("id_lo"),
+            max("doc_id").as("id_hi"), sum("n_chars").as("chars"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n,
+               CAST(min(doc_id) AS BIGINT) AS id_lo,
+               CAST(max(doc_id) AS BIGINT) AS id_hi,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE n_chars % 7 <> 0
+        GROUP BY source ORDER BY source""")),
+
+    // ---- q148: MIN/MAX MATERIALIZED VIEW maintained through
+    // RETRACTING DML — the r9 bounded-repair path under the hash gate.
+    // Build a count/sum/min/max view, then DELETE rows (some evict
+    // group minima, some don't) and UPDATE values (retract + assert
+    // pairs); each refresh must take the targeted-repair merge path
+    // (MaterializedViewSpec pins the plan shape; here the CONTENTS are
+    // gated against DuckDB's full recompute over the same DML result).
+    // Values stay integral-scaled doubles so sums hash exactly.
+    Q("q148_orders_matview_minmax_dml",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q148-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true,
+          specs = Map("o" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("grp", IntegerType),
+              StructField("val", DoubleType))))))
+        wh.bootstrap()
+        wh.append("o", t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("id"),
+            (col("o_orderkey") % 50).cast("int").as("grp"),
+            col("o_totalprice").as("val")))
+        val vd = graft.pipeline.MaterializedView.ViewDef("o", "mv",
+          Seq("grp"), Seq(
+            graft.pipeline.MaterializedView.Count("n"),
+            graft.pipeline.MaterializedView.Sum("val", "total"),
+            graft.pipeline.MaterializedView.Min("val", "lo"),
+            graft.pipeline.MaterializedView.Max("val", "hi")),
+          nParts = 8)
+        graft.pipeline.MaterializedView.refresh(wh, vd) // full build
+        wh.delete("o", col("id") % 9 === 0)             // evicts extrema
+        graft.pipeline.MaterializedView.refresh(wh, vd) // targeted repair
+        wh.update("o", col("id") % 11 === 0,
+          Map("val" -> (col("val") + 100.0)))           // retract+assert
+        graft.pipeline.MaterializedView.refresh(wh, vd)
+        graft.pipeline.MaterializedView.read(wh, vd)
+          .select(col("grp"), col("n"),
+            round(col("total"), 2).as("total"), col("lo"), col("hi"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id,
+                 CAST(o_orderkey % 50 AS INT) AS grp,
+                 o_totalprice AS val
+          FROM orders),
+        kept AS (SELECT * FROM base WHERE id % 9 <> 0),
+        mutated AS (
+          SELECT id, grp,
+                 CASE WHEN id % 11 = 0 THEN val + 100.0 ELSE val END AS val
+          FROM kept)
+        SELECT grp, count(*) AS n, round(sum(val), 2) AS total,
+               min(val) AS lo, max(val) AS hi
+        FROM mutated GROUP BY grp ORDER BY grp"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

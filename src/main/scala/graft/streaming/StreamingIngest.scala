@@ -81,7 +81,7 @@ object StreamingIngest {
           graft.dedup.Dedup.keepFirst(batch.toDF(), Seq("norad_id"),
             Seq(col("sat_name"))),
           warehouse.read("dim_satellites"), Seq("norad_id"))
-        if (!fresh.isEmpty) warehouse.append("dim_satellites", fresh)
+        if (!fresh.isEmpty) { warehouse.append("dim_satellites", fresh); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

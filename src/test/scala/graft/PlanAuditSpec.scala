@@ -158,4 +158,66 @@ class PlanAuditSpec extends SparkSpec {
       conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevScan)
     }
   }
+
+  test("warehouse scans publish manifest row counts as CBO statistics: " +
+      "a 3-table star join broadcasts both dims with NO ANALYZE, and " +
+      "plan stats carry the exact manifest counts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val whDir = graft.util.Scratch.dir("graft-cbo-").toString
+    val wh = new graft.pipeline.Warehouse(spark, s"$whDir/wh", specs = Map(
+      "fact" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+        StructField("k1", LongType), StructField("k2", LongType),
+        StructField("v", DoubleType)))),
+      "dim1" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+        StructField("k1", LongType), StructField("a", StringType)))),
+      "dim2" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+        StructField("k2", LongType), StructField("b", StringType))))))
+    wh.bootstrap()
+    wh.append("fact", spark.range(0, 50000).toDF("id").select(
+      (col("id") % 20).as("k1"), (col("id") % 10).as("k2"),
+      col("id").cast("double").as("v")))
+    wh.append("dim1", spark.range(0, 20).toDF("k1")
+      .withColumn("a", concat(lit("a"), col("k1"))))
+    wh.append("dim2", spark.range(0, 10).toDF("k2")
+      .withColumn("b", concat(lit("b"), col("k2"))))
+    // exact manifest counts reach the logical plan's statistics — the
+    // ANALYZE-parity surface (cbo on in GraftSession, zero ANALYZE run)
+    assert(spark.conf.get("spark.sql.cbo.enabled") === "true")
+    def scanStats(t: String) = {
+      val lr = wh.read(t).queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.get
+      lr.stats
+    }
+    assert(scanStats("fact").rowCount === Some(BigInt(50000)))
+    assert(scanStats("dim1").rowCount === Some(BigInt(20)))
+    assert(scanStats("dim2").rowCount === Some(BigInt(10)))
+    // the star join: both dims broadcast, the fact side never does
+    val j = wh.read("fact")
+      .join(wh.read("dim1"), "k1")
+      .join(wh.read("dim2"), "k2")
+      .groupBy("a", "b").agg(sum("v").as("total"))
+    assert(j.collect().length === 20 * 10 / 10) // 20 (k1,k2) combos
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def joins(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case b: BroadcastHashJoinExec => Seq(b)
+      case s: SortMergeJoinExec => Seq(s)
+      case s: ShuffledHashJoinExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case q: QueryStageExec => joins(q.plan)
+    }.flatten
+    val js = joins(j.queryExecution.executedPlan)
+    assert(js.size === 2 && js.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected exactly 2 broadcast joins:\n${j.queryExecution.executedPlan}")
+    // an entry-subset read (readRange) publishes the SUBSET's stats,
+    // and results stay correct under the stats-bearing relation
+    val byK = wh.readRange("fact", "k1", 0, 5)
+    assert(byK.where(col("k1") <= 5).count() ===
+      wh.read("fact").where(col("k1") <= 5).count())
+  }
 }

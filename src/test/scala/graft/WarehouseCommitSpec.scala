@@ -423,6 +423,14 @@ class WarehouseCommitSpec extends SparkSpec {
     val wh = new Warehouse(spark, dir)
     wh.bootstrap()
     wh.append("fact_telemetry", mkBase(Seq(1, 2, 3, 4, 5)))
+    // Under CBO the manifest-published row counts make the benefit
+    // estimator see this 5-ROW fixture as too small to bother pruning —
+    // a correct call at 5 rows that would go the other way at real
+    // scale. Pin the MECHANISM (DPP composes with ManifestFileIndex) on
+    // file-size estimation, as pre-CBO plans did.
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    try {
 
     // dim must be FILE-backed: a Seq-backed frame constant-folds its
     // filter into the LocalRelation and the pruning rule sees no
@@ -454,6 +462,7 @@ class WarehouseCommitSpec extends SparkSpec {
       pruned.exists(_ <= 1L),
       s"DPP did not prune: numFiles=${scan.metrics("numFiles").value} " +
         s"numPartitions=$pruned")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
   test("delta manifests: per-commit bytes bounded by the batch") {

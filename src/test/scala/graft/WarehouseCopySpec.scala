@@ -12,7 +12,7 @@ import graft.pipeline.Warehouse
   * idempotent bulk file ingest — each source file loads AT MOST once
   * across re-runs, new files load incrementally, the ledger survives
   * unrelated commits (it rides every manifest forward), PATTERN
-  * filters by file name, FORCE bypasses the ledger.
+  * globs the source-relative path, FORCE bypasses the ledger.
   */
 class WarehouseCopySpec extends SparkSpec {
   import spark.implicits._
@@ -54,7 +54,7 @@ class WarehouseCopySpec extends SparkSpec {
     assert(wh.read("t").count() === 160L)
   }
 
-  test("FORCE reloads; PATTERN filters by file name") {
+  test("FORCE reloads; PATTERN globs the source-relative path") {
     val (wh, _) = fresh()
     val src = Files.createTempDirectory("graft-copysrc-").toString
     wave(src, "w1", rows(0, 40))
@@ -67,6 +67,17 @@ class WarehouseCopySpec extends SparkSpec {
     assert(wh.copyInto("t", src, pattern = "*.parquet", force = true)
       === ((1L, 40L)))
     assert(wh.read("t").count() === 80L)
+    // Delta PATTERN semantics: the glob matches the path RELATIVE TO
+    // the source dir, so a subdirectory prefix selects one wave — the
+    // shape 'w2/*.parquet' that leaf-name-only matching silently missed
+    val (wh2, _) = fresh()
+    wave(src, "w2", rows(100, 130))
+    assert(wh2.copyInto("t", src, pattern = "w2/*.parquet")
+      === ((1L, 30L)))
+    assert(wh2.read("t").count() === 30L)
+    assert(wh2.copyInto("t", src, pattern = "w1/*.parquet")
+      === ((1L, 40L)))
+    assert(wh2.read("t").count() === 70L)
   }
 
   test("statement route: COPY INTO ... FROM ... PATTERN ... and history") {
