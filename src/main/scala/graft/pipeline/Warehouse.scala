@@ -918,35 +918,125 @@ class Warehouse(spark: SparkSession, dir: String,
       fs.makeQualified(new Path(path(name), e.rel)).toUri.getPath -> e).toMap
   }
 
-  /** One distributed pass building a bloom sidecar per (new file, bloom
-    * column): `groupBy(input_file_name).agg(bloom_agg(col)...)` — the
-    * batch is read back once, per-file filters fold in parallel, and
-    * the collected result is |files| × |columns| serialized blooms.
-    * Sidecars land BEFORE the manifest commit; a crash strands orphan
-    * sidecars that vacuum collects. A file without a sidecar is simply
-    * never skipped, so the index is always safe.
+  private def ndvDir(name: String) = new Path(path(name), "_ndvidx")
+
+  private def ndvFileName(rel: String, column: String): String =
+    s"${relHash(rel)}-$column.hll"
+
+  /** NDV memo: (table, planned-rel-set, column-set) → estimates. Values
+    * are recomputable pure functions of immutable sidecars, so the
+    * cache needs no invalidation — a new commit plans a new rel set.
+    */
+  private val ndvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** One distributed pass building the PER-FILE sidecars for every new
+    * file: bloom filters for [[TableSpec.bloomColumns]] and HLL
+    * distinct-count sketches (Spark's own DataSketches `hll_sketch_agg`,
+    * lgK 12 ≈ ±2%) for [[TableSpec.ndvColumns]], all in ONE
+    * `groupBy(input_file_name)` read-back of the batch. Per-file
+    * sketches are the Iceberg-puffin design: copy-on-write DML composes
+    * exactly (a rewritten file gets a fresh sketch over its actual
+    * rows; survivors keep theirs), so the snapshot NDV is always the
+    * union over LIVE files — no decrement problem. Sidecars land BEFORE
+    * the manifest commit; a crash strands orphans that vacuum collects.
+    * A file without a sidecar simply contributes no bloom skip and
+    * withholds the NDV estimate — absence never corrupts an answer.
     */
   private def writeBloomSidecars(name: String, fresh: Seq[FileEntry]): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, input_file_name}
     val spec = specsNow(name)
-    if (spec.bloomColumns.isEmpty || fresh.isEmpty) return
-    val aggs = spec.bloomColumns.map(c => graft.plans.BloomAgg.bloom(
-      col(c), spec.bloomExpectedItems, spec.bloomFpp).as(c))
+    if ((spec.bloomColumns.isEmpty && spec.ndvColumns.isEmpty) ||
+      fresh.isEmpty) return
+    val schema = tables(name)
+    val bloomAggs = spec.bloomColumns.map(c => graft.plans.BloomAgg.bloom(
+      col(c), spec.bloomExpectedItems, spec.bloomFpp).as(s"_bf_$c"))
+    // hll_sketch_agg accepts int/long/string/binary — temporals get the
+    // manifest's injective long encodings (days / micros), so the
+    // distinct count is exact for the original values
+    def hllInput(c: String): org.apache.spark.sql.Column =
+      schema(c).dataType match {
+        case ByteType | ShortType | IntegerType => col(c).cast("long")
+        case DateType => org.apache.spark.sql.functions.datediff(
+          col(c), org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.lit("1970-01-01"))).cast("long")
+        case TimestampType =>
+          org.apache.spark.sql.functions.unix_micros(col(c))
+        case TimestampNTZType => org.apache.spark.sql.functions.unix_micros(
+          col(c).cast(TimestampType)) // UTC session: identity on micros
+        case _ => col(c)
+      }
+    val ndvAggs = spec.ndvColumns.map(c =>
+      hll_sketch_agg(hllInput(c)).as(s"_hll_$c"))
+    val aggs = bloomAggs ++ ndvAggs
     val rows = dfFor(name, fresh)
       .groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val relOf = byAbsPath(name, fresh)
     val fs = fileSystem
-    fs.mkdirs(bloomDir(name))
+    if (spec.bloomColumns.nonEmpty) fs.mkdirs(bloomDir(name))
+    if (spec.ndvColumns.nonEmpty) fs.mkdirs(ndvDir(name))
     rows.foreach { r =>
       relOf.get(new Path(r.getString(0)).toUri.getPath).foreach { e =>
-        spec.bloomColumns.zipWithIndex.foreach { case (c, i) =>
+        spec.bloomColumns.foreach { c =>
           val out = fs.create(
             new Path(bloomDir(name), bloomFileName(e.rel, c)), true)
-          try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
+          try out.write(r.getAs[Array[Byte]](s"_bf_$c"))
+          finally out.close()
+        }
+        spec.ndvColumns.foreach { c =>
+          val out = fs.create(
+            new Path(ndvDir(name), ndvFileName(e.rel, c)), true)
+          try out.write(r.getAs[Array[Byte]](s"_hll_$c"))
+          finally out.close()
         }
       }
+    }
+  }
+
+  /** APPROXIMATE DISTINCT COUNTS for the planned entry subset: the
+    * union of the entries' per-file HLL sketches, one estimate per ndv
+    * column that EVERY planned file carries a sidecar for (a missing
+    * sketch withholds the column — an estimate must never silently
+    * undercount). Driver cost: |files|×|cols| reads of ~1.5 KB
+    * sidecars, memoized per (rel-set, col-set). Exact under append/
+    * compact/copy-on-write DML; an UPPER bound on files carrying
+    * deletion vectors (the vectored rows are still sketched) until
+    * REORG materializes them.
+    */
+  def ndvEstimates(name: String,
+      entries: Seq[FileEntry]): Map[String, Long] = {
+    val cols = specsNow.get(name).map(_.ndvColumns).getOrElse(Nil)
+    if (cols.isEmpty || entries.isEmpty) return Map.empty
+    val key = name + "#" + cols.mkString(",") + "#" +
+      entries.map(_.rel).sorted.mkString("|").hashCode
+    Option(ndvMemo.get(key)).getOrElse {
+      val fs = fileSystem
+      val computed = cols.flatMap { c =>
+        val union = new org.apache.datasketches.hll.Union(12)
+        var complete = true
+        entries.foreach { e =>
+          if (complete) {
+            val p = new Path(ndvDir(name), ndvFileName(e.rel, c))
+            if (!fs.exists(p)) complete = false
+            else {
+              val in = fs.open(p)
+              val bytes = try in.readAllBytes() finally in.close()
+              union.update(
+                org.apache.datasketches.hll.HllSketch.heapify(bytes))
+            }
+          }
+        }
+        if (complete) Some(c -> math.round(union.getEstimate))
+        else None
+      }.toMap
+      // memoize ONLY complete answers: writeBatch's own read-back of
+      // just-written files plans this path BEFORE their sidecars land,
+      // and caching that transient miss would pin the rel set to "no
+      // estimate" forever
+      if (computed.size == cols.size) ndvMemo.put(key, computed)
+      computed
     }
   }
 
@@ -1273,6 +1363,10 @@ class Warehouse(spark: SparkSession, dir: String,
       spec.generated.toSeq.sortBy(_._1).foreach { case (c, e) =>
         gn.put(c, e) }
     }
+    if (spec.ndvColumns.nonEmpty) {
+      val nv = node.putArray("ndvColumns")
+      spec.ndvColumns.foreach(nv.add)
+    }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(m.writeValueAsString(node)
@@ -1563,11 +1657,39 @@ class Warehouse(spark: SparkSession, dir: String,
       CatalogStorageFormat, CatalogTable, CatalogTableType}
     import org.apache.spark.sql.catalyst.types.DataTypeUtils
     import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
     val relation = relationFor(name, entries)
     val rows =
       if (entries.forall(_.rows >= 0L))
         Some(BigInt(entries.map(e => e.rows - e.dvRows).sum))
       else None
+    // COLUMN-LEVEL statistics from the per-file HLL sidecars
+    // ([[ndvEstimates]]) + the manifest's min/max fold — join
+    // selectivity estimation at ANALYZE parity, maintained by the write
+    // path. Only integral min/max are published (their external string
+    // form is unambiguous); a column is skipped entirely when mapping
+    // renamed it (colStats key by output attribute name) or a planned
+    // file lacks its sketch.
+    val schema = tables(name)
+    val colStats: Map[String, CatalogColumnStat] =
+      ndvEstimates(name, entries).flatMap { case (c, est) =>
+        val f = schema(c)
+        if (Warehouse.physicalName(f) != f.name) None
+        else {
+          val mm = f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType
+                if entries.nonEmpty && entries.forall(_.stats.contains(c)) &&
+                  entries.forall(e => e.dvRows == 0L) =>
+              Some((entries.map(_.stats(c)._1).min,
+                entries.map(_.stats(c)._2).max))
+            case _ => None
+          }
+          Some(c -> CatalogColumnStat(
+            distinctCount = Some(BigInt(est)),
+            min = mm.map(_._1.toString),
+            max = mm.map(_._2.toString)))
+        }
+      }
     val ct = CatalogTable(
       identifier = TableIdentifier(name),
       tableType = CatalogTableType.EXTERNAL,
@@ -1575,7 +1697,7 @@ class Warehouse(spark: SparkSession, dir: String,
       schema = relation.schema,
       provider = Some("parquet"),
       stats = Some(CatalogStatistics(
-        BigInt(entries.map(_.bytes).sum).max(1), rows)))
+        BigInt(entries.map(_.bytes).sum).max(1), rows, colStats)))
     LogicalRelation(relation, DataTypeUtils.toAttributes(relation.schema),
       Some(ct), isStreaming, None)
   }
@@ -2651,6 +2773,12 @@ class Warehouse(spark: SparkSession, dir: String,
           ()
         } catch { case _: java.io.IOException => () }
       }
+      specsNow(name).ndvColumns.foreach { c =>
+        try {
+          fs.delete(new Path(ndvDir(name), ndvFileName(e.rel, c)), false)
+          ()
+        } catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -3346,15 +3474,16 @@ class Warehouse(spark: SparkSession, dir: String,
           fs.delete(st.getPath, false)
       }
     }
-    // bloom sidecars of non-live files (replaced past retention, crash
-    // leftovers): keep any sidecar whose rel-hash prefix matches a live
-    // file, drop the rest
-    val bdir = bloomDir(name)
-    if (fs.exists(bdir)) {
-      val liveHashes = live.map(relHash)
-      fs.listStatus(bdir).foreach { st =>
-        if (!liveHashes.contains(st.getPath.getName.takeWhile(_ != '-')))
-          fs.delete(st.getPath, false)
+    // bloom/ndv sidecars of non-live files (replaced past retention,
+    // crash leftovers): keep any sidecar whose rel-hash prefix matches
+    // a live file, drop the rest
+    Seq(bloomDir(name), ndvDir(name)).foreach { sdir =>
+      if (fs.exists(sdir)) {
+        val liveHashes = live.map(relHash)
+        fs.listStatus(sdir).foreach { st =>
+          if (!liveHashes.contains(st.getPath.getName.takeWhile(_ != '-')))
+            fs.delete(st.getPath, false)
+        }
       }
     }
     // delta-manifest retention invariant: the oldest KEPT version must
@@ -3632,7 +3761,8 @@ object Warehouse {
       checks: Map[String, String] = Map.empty,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
       retiredPhysical: Seq[String] = Nil,
-      generated: Map[String, String] = Map.empty) {
+      generated: Map[String, String] = Map.empty,
+      ndvColumns: Seq[String] = Nil) {
     generated.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"generated column $c not in schema"))
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
@@ -3662,6 +3792,24 @@ object Warehouse {
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.BinaryType).contains(t),
         s"bloom column $c: unsupported type $t (integral/string/binary only)")
+    }
+    ndvColumns.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"ndv column $c not in schema")
+      // fail at spec construction: the write-time sketch agg casts
+      // temporals/integrals to long and passes strings/binary through
+      val t = schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.DateType,
+          org.apache.spark.sql.types.TimestampType,
+          org.apache.spark.sql.types.TimestampNTZType,
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.BinaryType).contains(t),
+        s"ndv column $c: unsupported type $t " +
+          "(integral/temporal/string/binary)")
     }
   }
 
@@ -3742,7 +3890,8 @@ object Warehouse {
                   buf += e.getKey -> e.getValue.asText() }
                 buf.toMap
               }
-            })
+            },
+            strs("ndvColumns"))
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

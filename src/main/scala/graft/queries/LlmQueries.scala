@@ -3966,7 +3966,54 @@ object LlmQueries extends QueryPack {
           FROM kept)
         SELECT grp, count(*) AS n, round(sum(val), 2) AS total,
                min(val) AS lo, max(val) AS hi
-        FROM mutated GROUP BY grp ORDER BY grp"""))
+        FROM mutated GROUP BY grp ORDER BY grp""")),
+
+    // ---- q149: PER-FILE NDV SKETCHES under the hash gate — the
+    // Iceberg-puffin surface. Each committed file carries an HLL
+    // distinct-count sketch per declared ndv column (written in the
+    // bloom pass); the snapshot NDV is the union over live files and
+    // feeds the optimizer as CatalogColumnStat. Cardinalities here stay
+    // below the sketch's coupon-list capacity, where DataSketches HLL
+    // is EXACT — so the estimates must hash-match DuckDB's exact
+    // count(DISTINCT) even across multi-file appends and a
+    // copy-on-write DELETE that re-sketches the touched files.
+    Q("q149_warehouse_ndv_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q149-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("o" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("status", StringType),
+              StructField("prio", StringType),
+              StructField("bucket", LongType))),
+            statColumns = Seq("id"),
+            ndvColumns = Seq("status", "prio", "bucket"))))
+        wh.bootstrap()
+        val src = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("id"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          (col("o_orderkey") % 50).as("bucket"))
+        wh.append("o", src.where(col("id") % 2 === 0))
+        wh.append("o", src.where(col("id") % 2 === 1))
+        wh.delete("o", col("id") % 97 === 0)
+        val est = wh.ndvEstimates("o", wh.loadLatest("o")._2)
+        import s.implicits._
+        est.toSeq.sortBy(_._1).toDF("col", "ndv")
+      },
+      Some("""
+        WITH kept AS (
+          SELECT o_orderstatus AS status, o_orderpriority AS prio,
+                 o_orderkey % 50 AS bucket
+          FROM orders WHERE o_orderkey % 97 <> 0)
+        SELECT 'bucket' AS col, count(DISTINCT bucket) AS ndv FROM kept
+        UNION ALL
+        SELECT 'prio', count(DISTINCT prio) FROM kept
+        UNION ALL
+        SELECT 'status', count(DISTINCT status) FROM kept
+        ORDER BY col"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -300,7 +300,10 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     // merge-on-read state: live files carrying a deletion vector, and
     // the total vectored-away row count (0/0 = fully materialized)
     AttributeReference("deletion_vectors", LongType, nullable = false)(),
-    AttributeReference("deleted_rows", LongType, nullable = false)())
+    AttributeReference("deleted_rows", LongType, nullable = false)(),
+    // ndv-sketched columns and their CURRENT snapshot estimates
+    // ("col=approx;..." — empty when none declared / sketches missing)
+    AttributeReference("ndv_estimates", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, entries) = wh.loadLatest(table)
     val spec = wh.tableSpec(table)
@@ -325,7 +328,9 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
       srcTable, srcVersion.getOrElse(null),
       borrowed.toLong, wh.borrowedFromBy(table).size.toLong,
       entries.count(e => e.dv.nonEmpty && e.dvRows > 0).toLong,
-      entries.map(_.dvRows).sum))
+      entries.map(_.dvRows).sum,
+      wh.ndvEstimates(table, entries).toSeq.sorted
+        .map { case (c, n) => s"$c=$n" }.mkString(";")))
   }
 }
 
