@@ -3171,6 +3171,58 @@ class Warehouse(spark: SparkSession, dir: String,
     * for files that predate it) — schema is table-level, not
     * per-version, the minimal-evolution trade.
     */
+  /** DDL: (re)declare the table's skip/stat index columns and BACKFILL
+    * the per-file sidecars for live files that predate the declaration
+    * — without this, adding [[TableSpec.bloomColumns]] /
+    * [[TableSpec.ndvColumns]] to an existing table yields no skipping
+    * and no estimates until every file happens to be rewritten. `None`
+    * keeps a dimension unchanged. Validation (column exists, supported
+    * type) happens at spec construction; the backfill is ONE
+    * distributed pass over only the files missing any sidecar. Sidecar
+    * content is a pure function of the file, so the backfill is
+    * idempotent and crash-safe (a half-written set just backfills less
+    * next call; nothing reads a sidecar that must exist). Single-writer
+    * DDL contract, like [[addColumn]].
+    *
+    * @return number of files backfilled
+    */
+  def setIndexColumns(name: String,
+      bloomColumns: Option[Seq[String]] = None,
+      ndvColumns: Option[Seq[String]] = None): Long = {
+    require(specsNow.contains(name), s"setIndexColumns: no table $name")
+    specsLock.synchronized {
+      val cur = specsNow(name)
+      // TableSpec's own requires validate the new column sets
+      specsNow = specsNow.updated(name, cur.copy(
+        bloomColumns = bloomColumns.getOrElse(cur.bloomColumns),
+        ndvColumns = ndvColumns.getOrElse(cur.ndvColumns)))
+    }
+    persistSpec(name)
+    backfillSidecars(name)
+  }
+
+  /** Build the missing bloom/ndv sidecars for the CURRENT live files —
+    * one [[writeBloomSidecars]] pass restricted to files lacking any
+    * declared sidecar. Safe anytime (absence only withholds skipping /
+    * estimates); re-running is a no-op.
+    *
+    * @return number of files backfilled
+    */
+  def backfillSidecars(name: String): Long = {
+    val spec = specsNow(name)
+    if (spec.bloomColumns.isEmpty && spec.ndvColumns.isEmpty) return 0L
+    val fs = fileSystem
+    val (_, entries) = loadLatest(name)
+    val missing = entries.filter { e =>
+      spec.bloomColumns.exists(c =>
+        !fs.exists(new Path(bloomDir(name), bloomFileName(e.rel, c)))) ||
+      spec.ndvColumns.exists(c =>
+        !fs.exists(new Path(ndvDir(name), ndvFileName(e.rel, c))))
+    }
+    if (missing.nonEmpty) writeBloomSidecars(name, missing)
+    missing.size.toLong
+  }
+
   def addColumn(name: String, field: StructField): Unit = {
     val spec = specsNow.getOrElse(name,
       throw new IllegalArgumentException(s"addColumn: no table $name"))

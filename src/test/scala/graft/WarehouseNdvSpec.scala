@@ -84,6 +84,37 @@ class WarehouseNdvSpec extends SparkSpec {
     assert(!byName.contains("val"))
   }
 
+  test("setIndexColumns on an existing table backfills sidecars for " +
+      "pre-declaration files: estimates and bloom point-skips work " +
+      "without rewriting a single data file") {
+    val dir = Files.createTempDirectory("graft-ndvbf-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("id"))))
+    wh.bootstrap()
+    wh.append("t", batch(0, 1500).coalesce(1))
+    wh.append("t", batch(1500, 3000).coalesce(1))
+    assert(wh.ndvEstimates("t", wh.loadLatest("t")._2) === Map.empty)
+    // declare ndv + bloom AFTER the data exists → one backfill pass
+    val backfilled = wh.setIndexColumns("t",
+      bloomColumns = Some(Seq("cat")), ndvColumns = Some(Seq("id", "cat")))
+    assert(backfilled === 2L)
+    val est = wh.ndvEstimates("t", wh.loadLatest("t")._2)
+    assert(within(est("id"), 3000L) && within(est("cat"), 37L))
+    // bloom sidecars now skip point lookups on the backfilled files:
+    // a probe for a value NO file contains opens zero files
+    assert(wh.readPoint("t", "cat", "nope").inputFiles.isEmpty)
+    assert(wh.readPoint("t", "cat", "c5").where($"cat" === "c5").count() ===
+      wh.read("t").where($"cat" === "c5").count())
+    // idempotent: nothing left to backfill
+    assert(wh.backfillSidecars("t") === 0L)
+    // new appends keep writing sidecars through the normal pass
+    wh.append("t", batch(3000, 3500).coalesce(1))
+    assert(wh.backfillSidecars("t") === 0L)
+    val est2 = wh.ndvEstimates("t", wh.loadLatest("t")._2)
+    assert(within(est2("id"), 3500L))
+  }
+
   test("a file without a sketch withholds the estimate instead of " +
       "undercounting; vacuum reclaims dead sidecars") {
     val dir = Files.createTempDirectory("graft-ndv2-").toString
