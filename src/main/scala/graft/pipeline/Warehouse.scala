@@ -2810,10 +2810,44 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
       rowsPerFile: Long = 0,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): (Int, Long, Long) = {
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      partitionWhere: Option[org.apache.spark.sql.Column] = None)
+      : (Int, Long, Long) = {
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"compact $name: table not bootstrapped")
-    val byDir = entries.groupBy(e => dirOf(name, e.rel))
+    val byDir0 = entries.groupBy(e => dirOf(name, e.rel))
+    // PARTITION-SCOPED maintenance (Delta's `OPTIMIZE ... WHERE`): the
+    // predicate selects partition DIRS, so a 100 TB table compacts
+    // yesterday's partition without touching the other 3 650. Dir
+    // values re-enter typed through the same string→type cast the read
+    // path applies, so predicate semantics match a scan's; a predicate
+    // touching a non-partition column fails analysis (the Delta rule —
+    // row predicates cannot scope a content-invariant rewrite).
+    val byDir = partitionWhere match {
+      case None => byDir0
+      case Some(pred) =>
+        val parts = partitioning(name)
+        require(parts.nonEmpty,
+          s"compact $name WHERE: table has no partition columns")
+        import org.apache.spark.sql.functions.col
+        val schema = tables(name)
+        val raw = byDir0.keys.toSeq.map { d =>
+          Row.fromSeq(d.split('/').filter(_.nonEmpty).map { seg =>
+            val x = seg.drop(seg.indexOf('=') + 1)
+            if (x == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else ExternalCatalogUtils.unescapePathName(x)
+          }.toSeq :+ d)
+        }
+        val strSchema = StructType(parts.map(p =>
+          StructField(p, StringType)) :+ StructField("__dir", StringType))
+        val typed = spark.createDataFrame(
+          spark.sparkContext.parallelize(raw, 1), strSchema)
+          .select(parts.map(p =>
+            col(p).cast(schema(p).dataType).as(p)) :+ col("__dir"): _*)
+        val keep = typed.where(pred).select("__dir")
+          .collect().map(_.getString(0)).toSet
+        byDir0.filter { case (d, _) => keep(d) }
+    }
     val fragmented =
       if (clusterBy.nonEmpty) byDir
       else byDir.filter { case (_, fl) =>
@@ -2899,9 +2933,13 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   def optimize(name: String, zorderBy: Seq[String] = Nil,
       targetBytes: Long = 128L * 1024 * 1024,
-      rowsPerFile: Long = 0): (Int, Long, Long) = {
+      rowsPerFile: Long = 0,
+      partitionWhere: Option[org.apache.spark.sql.Column] = None)
+      : (Int, Long, Long) = {
     import org.apache.spark.sql.functions.{col, datediff, floor, lit, max => smax, min => smin, to_date, unix_micros}
-    if (zorderBy.isEmpty) return compact(name, targetBytes, rowsPerFile)
+    if (zorderBy.isEmpty)
+      return compact(name, targetBytes, rowsPerFile,
+        partitionWhere = partitionWhere)
     val schema = tables(name)
     val parts = partitioning(name)
     zorderBy.foreach { c =>
@@ -2945,7 +2983,8 @@ class Warehouse(spark: SparkSession, dir: String,
       floor((enc(c).cast("double") - lo.toDouble) * scale).cast("long")
     }
     compact(name, targetBytes, rowsPerFile,
-      clusterBy = Seq(graft.functions.ZOrder.interleaveN(dims, bitsPer)))
+      clusterBy = Seq(graft.functions.ZOrder.interleaveN(dims, bitsPer)),
+      partitionWhere = partitionWhere)
   }
 
   /** The live files that CONTAIN rows matching `cond` — the unit a

@@ -455,18 +455,23 @@ case class GraftCheckCommand(wh: Warehouse, table: String,
   }
 }
 
-/** `OPTIMIZE wh_t [ZORDER BY (c, ...)]` → [[Warehouse!.optimize]]:
-  * compaction, optionally clustered by the engine-normalized z-order
-  * key over the named columns.
+/** `OPTIMIZE wh_t [WHERE <partition predicate>] [ZORDER BY (c, ...)]`
+  * → [[Warehouse!.optimize]]: compaction, optionally scoped to the
+  * partition dirs matching WHERE (the Delta statement — at 100 TB you
+  * compact yesterday's partition, never the table) and optionally
+  * clustered by the engine-normalized z-order key over the named
+  * columns. A WHERE touching a non-partition column fails analysis.
   */
 case class GraftOptimizeCommand(wh: Warehouse, table: String,
-    zorderBy: Seq[String]) extends LeafRunnableCommand {
+    zorderBy: Seq[String], whereSql: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("partitions_rewritten", LongType, nullable = false)(),
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (p, before, after) = wh.optimize(table, zorderBy)
+    val (p, before, after) = wh.optimize(table, zorderBy,
+      partitionWhere = whereSql.map(org.apache.spark.sql.functions.expr))
     Seq(Row(p.toLong, before, after))
   }
 }

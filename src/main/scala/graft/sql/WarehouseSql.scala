@@ -259,7 +259,7 @@ object WarehouseSql {
   private val FsckRepairStmt =
     """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val ReorgPurgeStmt = // Delta's REORG TABLE t APPLY (PURGE)
     """(?is)\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val AddCheckStmt = // greedy (.*) + final \) = balanced to the end
@@ -321,11 +321,12 @@ object WarehouseSql {
     case FsckStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftFsckCommand(wh, t) }
-    case OptimizeStmt(name, zcols) =>
+    case OptimizeStmt(name, whereSql, zcols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftOptimizeCommand(wh, t,
           Option(zcols).toSeq.flatMap(_.split(",").toSeq)
-            .map(_.trim).filter(_.nonEmpty)) }
+            .map(_.trim).filter(_.nonEmpty),
+          Option(whereSql).map(_.trim).filter(_.nonEmpty)) }
     case ReorgPurgeStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftReorgPurgeCommand(wh, t) }

@@ -436,4 +436,41 @@ class WarehouseDmlSpec extends SparkSpec {
     // and the delete re-runs cleanly against the new head
     assert(reopened.delete("fact_telemetry", col("norad_id") === 1) === 3L)
   }
+
+  test("partition-scoped OPTIMIZE compacts only the WHERE-matched " +
+      "dirs; a non-partition predicate fails analysis") {
+    val (wh, _) = freshTable()
+    // fragment every partition: 4 more single-file appends per day
+    (1 to 4).foreach { i =>
+      wh.append("fact_telemetry",
+        mkBase().withColumn("norad_id", $"norad_id" + i * 100).coalesce(1))
+    }
+    val before = wh.read("fact_telemetry").inputFiles.length
+    def filesIn(day: String) = wh.read("fact_telemetry")
+      .inputFiles.count(_.contains(s"epoch_date=$day"))
+    val f1 = filesIn("2026-01-01")
+    assert(f1 >= 5)
+    val rowsBefore = wh.read("fact_telemetry").count()
+    // scope: only day 1 compacts
+    val (nParts, _, _) = wh.compact("fact_telemetry",
+      partitionWhere = Some($"epoch_date" === "2026-01-01"))
+    assert(nParts === 1)
+    assert(filesIn("2026-01-01") === 1)
+    assert(filesIn("2026-01-02") === f1) // untouched
+    assert(wh.read("fact_telemetry").count() === rowsBefore)
+    // SQL route with WHERE + the day-2/3 remainder
+    wh.registerSql("opt_")
+    val r = spark.sql(
+      "OPTIMIZE opt_fact_telemetry WHERE epoch_date >= '2026-01-02'")
+      .head()
+    assert(r.getLong(0) === 2L)
+    assert(filesIn("2026-01-02") === 1 && filesIn("2026-01-03") === 1)
+    assert(wh.read("fact_telemetry").count() === rowsBefore)
+    assert(wh.read("fact_telemetry").inputFiles.length < before)
+    // a row-column predicate cannot scope a content-invariant rewrite
+    intercept[org.apache.spark.sql.AnalysisException] {
+      wh.compact("fact_telemetry",
+        partitionWhere = Some($"mean_motion" > 0))
+    }
+  }
 }
