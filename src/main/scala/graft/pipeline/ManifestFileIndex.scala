@@ -41,7 +41,8 @@ class ManifestFileIndex(
     spark: SparkSession,
     tablePath: Path,
     entries: Seq[FileEntry],
-    override val partitionSchema: StructType)
+    override val partitionSchema: StructType,
+    genPruners: Map[String, (String, Long => Long)] = Map.empty)
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
@@ -160,6 +161,21 @@ class ManifestFileIndex(
       e.stats.get(c).forall { case (mn, mx) =>
         rs.exists { case (lo, hi) => mx >= lo && mn <= hi } }
     }
+    // HIDDEN PARTITIONING (Iceberg's signature): a predicate on the
+    // BASE column of a generated partition column prunes partition
+    // DIRS. For each pruner (p ← monotone f over base b) and each
+    // pushed range [lo, hi] on b, a dir with value v for p can hold
+    // matching rows only if f(lo) ≤ v ≤ f(hi) (f monotone
+    // non-decreasing; sentinels pass through unmapped to dodge
+    // overflow). Disjunctions (IN lists) derive per-point.
+    val derivedPart: Seq[(String, Seq[(Long, Long)])] =
+      genPruners.toSeq.flatMap { case (p, (b, f)) =>
+        def m(x: Long): Long =
+          if (x == Long.MinValue || x == Long.MaxValue) x else f(x)
+        ranges.collect { case (c, rs) if c == b =>
+          (p, rs.map { case (lo, hi) => (m(lo), m(hi)) })
+        }
+      }
     if (partitionSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty,
         entries.filter(keepFile).map(status).toArray))
@@ -176,10 +192,26 @@ class ManifestFileIndex(
             })
             row => bound.eval(row)
         }
+      // a dir's long-encoded value for a partition column (days for
+      // dates, raw for integrals) — None (keep) for nulls/other types
+      def partLong(values: InternalRow, p: String): Option[Long] = {
+        val i = partitionSchema.indexWhere(_.name == p)
+        if (i < 0 || values.isNullAt(i)) None
+        else partitionSchema(i).dataType match {
+          case IntegerType | DateType => Some(values.getInt(i).toLong)
+          case LongType => Some(values.getLong(i))
+          case _ => None
+        }
+      }
+      def keepDerived(values: InternalRow): Boolean =
+        derivedPart.forall { case (p, rs) =>
+          partLong(values, p).forall(v =>
+            rs.exists { case (lo, hi) => v >= lo && v <= hi })
+        }
       entries.groupBy(e => dirOf(e.rel)).toSeq.sortBy(_._1)
         .flatMap { case (dir, fl) =>
           val values = partitionValues(dir)
-          if (!keepPartition(values)) None
+          if (!keepPartition(values) || !keepDerived(values)) None
           else Some(PartitionDirectory(values,
             fl.filter(keepFile).map(status).toArray))
         }

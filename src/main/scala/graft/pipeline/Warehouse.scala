@@ -1942,6 +1942,90 @@ class Warehouse(spark: SparkSession, dir: String,
     * handed to `spark.read.format("graft-warehouse")`'s RelationProvider
     * (see [[graft.sources.WarehouseSourceProvider]]).
     */
+  /** Monotone base→partition value maps derived from GENERATED
+    * partition columns — the hidden-partitioning pruners
+    * [[ManifestFileIndex]] applies so a predicate on the BASE column
+    * (`WHERE ts >= …` on a table partitioned by the generated
+    * `day = CAST(ts AS DATE)`) prunes partition dirs without the
+    * caller ever naming `day` (Iceberg's partition-transform pruning).
+    * Whitelisted shapes, all monotone non-decreasing over the
+    * manifest's long encodings:
+    *
+    *   - `CAST(b AS DATE)` / `to_date(b)`: timestamp micros → epoch
+    *     days; date base → identity
+    *   - `year(b)`: date days / timestamp micros → calendar year
+    *   - `b DIV k` (k > 0 literal): integral truncating divide
+    *
+    * Anything else yields no pruner (never wrong, just unpruned —
+    * `month`/`day` alone are cyclic, NOT monotone, and must not be
+    * added here).
+    */
+  private def genPartitionPruners(
+      name: String): Map[String, (String, Long => Long)] = {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Cast => CCast, Expression, IntegralDivide, Literal => CLit}
+    val spec = specsNow(name)
+    val parts = partitioning(name).toSet
+    val schema = tables(name)
+    def baseName(e: Expression): Option[String] = e match {
+      case UnresolvedAttribute(Seq(n)) => Some(n)
+      case _ => None
+    }
+    def baseType(n: String) =
+      schema.fields.find(_.name == n).map(_.dataType)
+    def toDays(n: String): Option[(String, Long => Long)] =
+      baseType(n).collect {
+        case TimestampType | TimestampNTZType =>
+          n -> ((x: Long) => Math.floorDiv(x, 86400000000L))
+        case DateType => n -> ((x: Long) => x)
+      }
+    def toYear(n: String): Option[(String, Long => Long)] =
+      baseType(n).collect {
+        case DateType =>
+          n -> ((x: Long) => java.time.LocalDate.ofEpochDay(x).getYear.toLong)
+        case TimestampType | TimestampNTZType =>
+          n -> ((x: Long) => java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(x, 1000000L), 0, java.time.ZoneOffset.UTC)
+            .getYear.toLong)
+      }
+    spec.generated.flatMap { case (p, sql) =>
+      if (!parts(p)) None
+      else {
+        val parsed =
+          try Some(org.apache.spark.sql.GraftBridge
+            .parseExpression(spark, sql))
+          catch { case _: Exception => None }
+        val pruner = parsed.flatMap {
+          case CCast(b, DateType, _, _) => baseName(b).flatMap(toDays)
+          case f: UnresolvedFunction
+              if f.nameParts.map(_.toLowerCase) == Seq("to_date") &&
+                f.arguments.size == 1 =>
+            baseName(f.arguments.head).flatMap(toDays)
+          case f: UnresolvedFunction
+              if f.nameParts.map(_.toLowerCase) == Seq("year") &&
+                f.arguments.size == 1 =>
+            baseName(f.arguments.head).flatMap(toYear)
+          case IntegralDivide(b, CLit(k: Long, LongType), _)
+              if k > 0 =>
+            baseName(b).flatMap(n => baseType(n).collect {
+              case ByteType | ShortType | IntegerType | LongType =>
+                n -> ((x: Long) => x / k)
+            })
+          case IntegralDivide(b, CLit(k: Int, IntegerType), _)
+              if k > 0 =>
+            baseName(b).flatMap(n => baseType(n).collect {
+              case ByteType | ShortType | IntegerType | LongType =>
+                n -> ((x: Long) => x / k)
+            })
+          case _ => None
+        }
+        pruner.map(p -> _)
+      }
+    }
+  }
+
   private[graft] def relationFor(name: String, entries: Seq[FileEntry])
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -1954,7 +2038,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val dataSchema = StructType(schema.filterNot(f => parts.contains(f.name))
       .map(f => StructField(Warehouse.physicalName(f), f.dataType, f.nullable)))
     val index = new ManifestFileIndex(spark, new Path(path(name)),
-      entries, partitionSchema)
+      entries, partitionSchema, genPartitionPruners(name))
     // bucketed layout → the scan reports HashPartitioning(bucketBy, n)
     // and equi-joins/aggregations on the bucket key elide their
     // exchanges. Every committed file carries the `_NNNNN` bucket stamp

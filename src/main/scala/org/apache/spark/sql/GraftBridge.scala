@@ -31,6 +31,14 @@ object GraftBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
 
+  /** Parse a SQL expression string to its unresolved Catalyst AST
+    * (`sessionState` is `private[sql]`) — shape analysis of
+    * generated-column definitions (hidden-partitioning pruners).
+    */
+  def parseExpression(spark: SparkSession, sql: String): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(sql)
+
   /** Wrap a custom logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`) — the construction path for whole-operator custom
     * nodes (graft.plans.AsOfJoinNode) that have no Column-DSL spelling.

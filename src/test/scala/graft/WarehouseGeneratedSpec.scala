@@ -77,6 +77,72 @@ class WarehouseGeneratedSpec extends SparkSpec {
     assert(re.read("t").where(col("day").isNull).count() === 0L)
   }
 
+  // shared scan collector for the hidden-pruning assertions
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+    }.flatten
+  }
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    scansOf(df.queryExecution.executedPlan).map(
+      _.metrics("numFiles").value).sum
+  }
+
+  test("a predicate on the BASE column prunes generated partitions — " +
+      "cast-to-date, year and DIV transforms (Iceberg-style hidden " +
+      "partition pruning)") {
+    // day = CAST(ts AS DATE): a ts range never mentioning `day`
+    val (wh, _) = fresh()
+    wh.append("t", rows(0 until 30).coalesce(1)) // 3 day-dirs, 1 file each
+    val cut = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val q = wh.read("t").where(col("ts") >= cut)
+    assert(q.count() === 10L)
+    assert(filesRead(wh.read("t").where(col("ts") >= cut)) === 1L,
+      "ts predicate did not prune the generated day partitions")
+    // equality too
+    assert(filesRead(wh.read("t").where(
+      col("ts") === java.sql.Timestamp.valueOf("2024-01-02 06:00:00")))
+      === 1L)
+    // yr = year(ts): integer partition dirs pruned by a ts predicate
+    val dir2 = Files.createTempDirectory("graft-genwh2-").toString
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType),
+      StructField("yr", IntegerType)))
+    val wh2 = new Warehouse(spark, dir2, specs = Map(
+      "t" -> Warehouse.TableSpec(s2, partitionBy = Seq("yr"),
+        generated = Map("yr" -> "year(ts)"))))
+    wh2.bootstrap()
+    wh2.append("t", (0 until 30).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          s"${2021 + i % 3}-06-15 12:00:00")))
+      .toDF("id", "ts").coalesce(1))
+    assert(filesRead(wh2.read("t").where(
+      col("ts") >= java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
+      === 1L, "ts predicate did not prune year() partitions")
+    // bucket = id DIV 1000: integral range predicate prunes
+    val dir3 = Files.createTempDirectory("graft-genwh3-").toString
+    val s3 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bucket", LongType)))
+    val wh3 = new Warehouse(spark, dir3, specs = Map(
+      "t" -> Warehouse.TableSpec(s3, partitionBy = Seq("bucket"),
+        generated = Map("bucket" -> "id DIV 1000"))))
+    wh3.bootstrap()
+    wh3.append("t", spark.range(0, 3000).toDF("id").coalesce(1))
+    assert(filesRead(wh3.read("t").where(col("id") < 500)) === 1L,
+      "id predicate did not prune DIV partitions")
+    assert(wh3.read("t").where(col("id") < 500).count() === 500L)
+  }
+
   test("rename/drop refuse generated and referenced columns") {
     val (wh, _) = fresh()
     intercept[IllegalArgumentException] { wh.renameColumn("t", "ts", "t2") }
