@@ -4013,7 +4013,57 @@ object LlmQueries extends QueryPack {
         SELECT 'prio', count(DISTINCT prio) FROM kept
         UNION ALL
         SELECT 'status', count(DISTINCT status) FROM kept
-        ORDER BY col"""))
+        ORDER BY col""")),
+
+    // ---- q150: VERSIONED CHANGE FEED (Delta CDF's _commit_version) —
+    // per-commit attribution under the hash gate. Two inserts, a
+    // copy-on-write DELETE and an UPDATE; the feed's per-commit net row
+    // delta and δ-weighted value sum are exact REGARDLESS of file
+    // layout (rewrite re-emissions cancel pairwise within their own
+    // commit), so DuckDB replays them from the DML definitions alone.
+    // Versions are deterministic: v1 bootstrap, v2/v3 inserts,
+    // v4 delete, v5 update.
+    Q("q150_warehouse_cdf_versioned",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q150-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true,
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("val", DoubleType))))))
+        wh.bootstrap()
+        val src = t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("id"),
+            col("o_totalprice").as("val"))
+        wh.append("t", src.where(col("id") % 2 === 0))
+        wh.append("t", src.where(col("id") % 2 === 1))
+        wh.delete("t", col("id") % 13 === 0)
+        wh.update("t", col("id") % 31 === 0,
+          Map("val" -> (col("val") + 7.0)))
+        wh.readChangeFeedVersioned("t", 1L)
+          .groupBy(col("_commit_version").as("v"))
+          .agg(sum(col("_change_delta")).as("net_rows"),
+            round(sum(col("val") * col("_change_delta")), 2).as("net_val"))
+          .orderBy("v")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_totalprice AS val FROM orders),
+        v2 AS (SELECT * FROM base WHERE id % 2 = 0),
+        v3 AS (SELECT * FROM base WHERE id % 2 = 1),
+        v4 AS (SELECT * FROM base WHERE id % 13 = 0),
+        v5 AS (SELECT * FROM base WHERE id % 31 = 0 AND id % 13 <> 0)
+        SELECT CAST(2 AS BIGINT) AS v, count(*) AS net_rows,
+               round(sum(val), 2) AS net_val FROM v2
+        UNION ALL
+        SELECT 3, count(*), round(sum(val), 2) FROM v3
+        UNION ALL
+        SELECT 4, -count(*), round(-sum(val), 2) FROM v4
+        UNION ALL
+        SELECT 5, 0, round(7.0 * count(*), 2) FROM v5
+        ORDER BY v"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -85,4 +85,51 @@ class CdcReplicationSpec extends SparkSpec {
       Seq("grp"), "val")
     assert(asMap(folded) === asMap(upState))
   }
+
+  test("versioned change feed attributes every row to its commit and " +
+      "folds identically to the unversioned feed") {
+    val root = Files.createTempDirectory("graft-cdcv-").toString
+    val wh = new Warehouse(spark, s"$root/wh", retainReplaced = true,
+      specs = Map("t" -> Warehouse.TableSpec(upSchema)))
+    wh.bootstrap() // v1
+    def rows(r: Range) =
+      r.map(i => (i.toLong, s"g${i % 4}", i * 0.5)).toDF("id", "grp", "val")
+    wh.append("t", rows(0 until 40))                       // v2: +40
+    wh.append("t", rows(40 until 60))                      // v3: +20
+    val deleted = wh.delete("t", $"id" % 5 === 0)          // v4: net -12
+    assert(deleted === 12L)
+    wh.update("t", $"id" === 7, Map("val" -> lit(99.0)))   // v5: net 0
+    val feed = wh.readChangeFeedVersioned("t", 1L)
+    // per-commit NET row deltas are exact regardless of file layout
+    val net = feed.groupBy($"_commit_version")
+      .agg(sum($"_change_delta").as("net"))
+      .as[(Long, Long)].collect().toMap
+    assert(net === Map(2L -> 40L, 3L -> 20L, 4L -> -12L, 5L -> 0L))
+    // value-level attribution: v5's asserted-minus-retracted val delta
+    // is the update's +99 - old (7*0.5)
+    val v5 = feed.where($"_commit_version" === 5L)
+      .agg(sum($"val" * $"_change_delta")).as[Double].head()
+    assert(math.abs(v5 - (99.0 - 3.5)) < 1e-9)
+    // commit timestamps ride along, non-null and non-decreasing
+    val ts = feed.select($"_commit_version", $"_commit_timestamp")
+      .distinct().orderBy($"_commit_version")
+      .as[(Long, java.sql.Timestamp)].collect()
+    assert(ts.forall(_._2 != null))
+    assert(ts.sliding(2).forall(p =>
+      p.length < 2 || !p(0)._2.after(p(1)._2)))
+    // dropping the attribution folds exactly like the two-snapshot feed
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      MaterializedView.foldAgg(
+        spark.emptyDataset[(String, Long, Double)]
+          .toDF("grp", "n_rows", "total"),
+        df, Seq("grp"), "val")
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(fold(feed.drop("_commit_version", "_commit_timestamp")) ===
+      fold(wh.readChangeFeed("t", 1L)))
+    // since==head → empty frame with the full attributed schema
+    val empty2 = wh.readChangeFeedVersioned("t", wh.versions("t").max)
+    assert(empty2.count() === 0L)
+    assert(empty2.columns.takeRight(3).toSeq ===
+      Seq("_change_delta", "_commit_version", "_commit_timestamp"))
+  }
 }
