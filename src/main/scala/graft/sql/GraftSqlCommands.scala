@@ -476,6 +476,27 @@ case class GraftOptimizeCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `ANALYZE TABLE wh_t COMPUTE STATISTICS` →
+  * [[Warehouse!.backfillSidecars]]: build the missing per-file
+  * bloom/ndv sidecars for the current snapshot and report the
+  * resulting column NDV estimates. Row counts and min/max need no
+  * ANALYZE (the manifest always carries them); this statement exists
+  * for tables whose files PREDATE an index-column declaration — after
+  * it, every declared statistic is live.
+  */
+case class GraftAnalyzeCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_backfilled", LongType, nullable = false)(),
+    AttributeReference("ndv_estimates", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = wh.backfillSidecars(table)
+    val est = wh.ndvEstimates(table, wh.loadLatest(table)._2)
+      .toSeq.sorted.map { case (c, v) => s"$c=$v" }.mkString(";")
+    Seq(Row(n, est))
+  }
+}
+
 /** `REORG TABLE wh_t APPLY (PURGE)` → [[Warehouse!.purgeVectors]]:
   * rewrite only the files carrying deletion vectors, dropping the
   * merge-on-read state (the Delta statement, verbatim).

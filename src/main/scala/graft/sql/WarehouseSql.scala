@@ -254,6 +254,8 @@ object WarehouseSql {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val RestoreTsStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val AnalyzeStmt = // ANALYZE TABLE t COMPUTE STATISTICS
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
   private val FsckStmt =
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val FsckRepairStmt =
@@ -321,6 +323,9 @@ object WarehouseSql {
     case FsckStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftFsckCommand(wh, t) }
+    case AnalyzeStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftAnalyzeCommand(wh, t) }
     case OptimizeStmt(name, whereSql, zcols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftOptimizeCommand(wh, t,

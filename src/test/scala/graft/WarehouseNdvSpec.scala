@@ -108,6 +108,11 @@ class WarehouseNdvSpec extends SparkSpec {
       wh.read("t").where($"cat" === "c5").count())
     // idempotent: nothing left to backfill
     assert(wh.backfillSidecars("t") === 0L)
+    // the SQL route: ANALYZE reports 0 files (already live) + estimates
+    wh.registerSql("ndvbf_")
+    val r = spark.sql("ANALYZE TABLE ndvbf_t COMPUTE STATISTICS").head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getString(1).contains("cat=") && r.getString(1).contains("id="))
     // new appends keep writing sidecars through the normal pass
     wh.append("t", batch(3000, 3500).coalesce(1))
     assert(wh.backfillSidecars("t") === 0L)
