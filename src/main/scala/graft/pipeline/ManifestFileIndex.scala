@@ -199,7 +199,8 @@ class ManifestFileIndex(
         if (i < 0 || values.isNullAt(i)) None
         else partitionSchema(i).dataType match {
           case IntegerType | DateType => Some(values.getInt(i).toLong)
-          case LongType => Some(values.getLong(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            Some(values.getLong(i))
           case _ => None
         }
       }

@@ -2052,6 +2052,50 @@ class Warehouse(spark: SparkSession, dir: String,
               if f.nameParts.map(_.toLowerCase) == Seq("year") &&
                 f.arguments.size == 1 =>
             baseName(f.arguments.head).flatMap(toYear)
+          // date_trunc(unit, b): every unit is a monotone floor. The
+          // partition column is a timestamp whose dir value long-encodes
+          // as micros, so f maps base micros → truncated micros.
+          case f: UnresolvedFunction
+              if f.nameParts.map(_.toLowerCase) == Seq("date_trunc") &&
+                f.arguments.size == 2 =>
+            (f.arguments.head, baseName(f.arguments(1))) match {
+              case (CLit(u, StringType), Some(n)) if u != null =>
+                val unit = u.toString.toUpperCase
+                def trunc(micros: Long): Long = {
+                  val ldt = java.time.LocalDateTime.ofEpochSecond(
+                    Math.floorDiv(micros, 1000000L),
+                    (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+                    java.time.ZoneOffset.UTC)
+                  val t = unit match {
+                    case "YEAR" | "YYYY" | "YY" =>
+                      ldt.withDayOfYear(1).toLocalDate.atStartOfDay
+                    case "QUARTER" =>
+                      ldt.withMonth((ldt.getMonthValue - 1) / 3 * 3 + 1)
+                        .withDayOfMonth(1).toLocalDate.atStartOfDay
+                    case "MONTH" | "MON" | "MM" =>
+                      ldt.withDayOfMonth(1).toLocalDate.atStartOfDay
+                    case "WEEK" =>
+                      ldt.toLocalDate.`with`(java.time.DayOfWeek.MONDAY)
+                        .atStartOfDay
+                    case "DAY" | "DD" => ldt.toLocalDate.atStartOfDay
+                    case "HOUR" => ldt.truncatedTo(
+                      java.time.temporal.ChronoUnit.HOURS)
+                    case "MINUTE" => ldt.truncatedTo(
+                      java.time.temporal.ChronoUnit.MINUTES)
+                    case _ => ldt // unknown unit: identity (still sound)
+                  }
+                  t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond *
+                    1000000L + t.getNano / 1000L
+                }
+                val known = Set("YEAR", "YYYY", "YY", "QUARTER", "MONTH",
+                  "MON", "MM", "WEEK", "DAY", "DD", "HOUR", "MINUTE")
+                if (!known(unit)) None
+                else baseType(n).collect {
+                  case TimestampType | TimestampNTZType =>
+                    n -> ((x: Long) => trunc(x))
+                }
+              case _ => None
+            }
           case IntegralDivide(b, CLit(k: Long, LongType), _)
               if k > 0 =>
             baseName(b).flatMap(n => baseType(n).collect {

@@ -128,6 +128,29 @@ class WarehouseGeneratedSpec extends SparkSpec {
     assert(filesRead(wh2.read("t").where(
       col("ts") >= java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
       === 1L, "ts predicate did not prune year() partitions")
+    // mon = date_trunc('MONTH', ts): timestamp partition dirs pruned;
+    // the derived month floor must agree with Spark's own date_trunc
+    // (the generated check pins dir values to Spark's evaluation)
+    val dirT = Files.createTempDirectory("graft-genwhT-").toString
+    val sT = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType),
+      StructField("mon", TimestampType)))
+    val whT = new Warehouse(spark, dirT, specs = Map(
+      "t" -> Warehouse.TableSpec(sT, partitionBy = Seq("mon"),
+        generated = Map("mon" -> "date_trunc('MONTH', ts)"))))
+    whT.bootstrap()
+    whT.append("t", (0 until 30).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          s"2026-0${i % 3 + 1}-2${i % 8} 13:0$i:00".takeWhile(_ != ' ') +
+            " 13:00:00")))
+      .toDF("id", "ts").coalesce(1))
+    assert(filesRead(whT.read("t").where(
+      col("ts") >= java.sql.Timestamp.valueOf("2026-03-01 00:00:00")))
+      === 1L, "ts predicate did not prune date_trunc(MONTH) partitions")
+    assert(whT.read("t").where(
+      col("ts") >= java.sql.Timestamp.valueOf("2026-03-01 00:00:00"))
+      .count() === 10L)
     // bucket = id DIV 1000: integral range predicate prunes
     val dir3 = Files.createTempDirectory("graft-genwh3-").toString
     val s3 = StructType(Seq(
