@@ -1241,6 +1241,98 @@ class Warehouse(spark: SparkSession, dir: String,
     }
   }
 
+  /** DEEP CLONE (Delta's independent fork): [[shallowClone]] followed
+    * by LOCALIZING every borrowed reference as a byte-for-byte file
+    * copy into the clone's own tree — footer stats, row counts and
+    * bloom/ndv sidecars carry over unchanged (the bytes are identical),
+    * and deletion vectors copy as local sidecars, so the clone is
+    * immediately independent: vacuuming or dropping the source can
+    * never strand it. The copy is a per-file loop (driver-orchestrated
+    * filesystem copies — IO-bound, no compute; Delta's deep clone is
+    * the same shape); the localized entry list commits as v2, so a
+    * crash mid-copy leaves a valid SHALLOW clone whose next deepClone
+    * call resumes (already-copied files are content-identical and
+    * re-copy idempotently).
+    */
+  def deepClone(src: String, dst: String,
+      versionAsOf: Option[Long] = None): Unit = {
+    require(tables.contains(src), s"deepClone: unknown source $src")
+    require(!specsNow.contains(dst), s"deepClone: table $dst already exists")
+    val v = versionAsOf.getOrElse {
+      val vs = versions(src)
+      require(vs.nonEmpty, s"deepClone: $src has no committed version")
+      vs.max
+    }
+    require(versions(src).contains(v), s"deepClone: $src has no manifest v$v")
+    val entries = loadAt(src, v)
+    val fs = fileSystem
+    val spec = specsNow(src)
+    val nParts = spec.partitionBy.size
+    // COPY FIRST, COMMIT ONCE: unlike a shallow-then-localize sequence,
+    // no manifest version of the clone ever references the source's
+    // files, so the source stays droppable/vacuumable from the instant
+    // the clone exists. A crash mid-copy leaves orphan files under an
+    // uncreated table — the re-run overwrite-copies them idempotently.
+    val localized = entries.map { e =>
+      // a borrowed absolute rel (source itself a shallow clone) keeps
+      // its trailing table-relative layout: partition dirs + file name
+      val rel =
+        if (!new Path(e.rel).isAbsolute) e.rel
+        else e.rel.split('/').takeRight(nParts + 1).mkString("/")
+      val from = if (new Path(e.rel).isAbsolute) new Path(e.rel)
+        else new Path(path(src), e.rel)
+      require(fs.exists(from),
+        s"deepClone: $src v$v is not clonable: ${e.rel} GC'd")
+      val dest = new Path(path(dst), rel)
+      fs.mkdirs(dest.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, dest,
+        false, true, hadoopConf)
+      val dv2 =
+        if (e.dv.isEmpty) e.dv
+        else {
+          val dvSrc = if (new Path(e.dv).isAbsolute) new Path(e.dv)
+            else new Path(path(src), e.dv)
+          val dvRel = "_dv/" + dvSrc.getName
+          val dvDest = new Path(path(dst), dvRel)
+          fs.mkdirs(dvDest.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(fs, dvSrc, fs, dvDest,
+            false, true, hadoopConf)
+          dvRel
+        }
+      // sidecars (bloom/ndv) are keyed by rel hash — same rel on both
+      // sides for table-local entries, so the sidecar names carry over
+      (spec.bloomColumns.map(c =>
+        (new Path(bloomDir(src), bloomFileName(e.rel, c)),
+          new Path(bloomDir(dst), bloomFileName(rel, c)))) ++
+        spec.ndvColumns.map(c =>
+          (new Path(ndvDir(src), ndvFileName(e.rel, c)),
+            new Path(ndvDir(dst), ndvFileName(rel, c)))))
+        .foreach { case (s0, d0) =>
+          if (fs.exists(s0)) {
+            fs.mkdirs(d0.getParent)
+            org.apache.hadoop.fs.FileUtil.copy(fs, s0, fs, d0,
+              false, true, hadoopConf)
+          }
+        }
+      e.copy(rel = rel, dv = dv2)
+    }
+    specsLock.synchronized {
+      require(!specsNow.contains(dst),
+        s"deepClone: table $dst already exists")
+      specsNow = specsNow + (dst -> spec)
+    }
+    try {
+      commit(dst, 1L, localized,
+        Map("op" -> "deep_clone", "sourceTable" -> src,
+          "sourceVersion" -> v.toString,
+          "numFilesCopied" -> localized.size.toString))
+      persistSpec(dst)
+    } catch { case t: Throwable =>
+      specsLock.synchronized { specsNow = specsNow - dst }
+      throw t
+    }
+  }
+
   /** DROP TABLE: remove `name` from the warehouse — manifests first
     * (the commit point in reverse: with them gone the table is
     * unreadable and re-creation starts from a clean slate), then the
@@ -2155,6 +2247,34 @@ class Warehouse(spark: SparkSession, dir: String,
     *   data (it rides the manifest's metadata line), so fence and files
     *   can never disagree.
     */
+  /** [[append]] with AUTOMATIC SCHEMA EVOLUTION (Delta's mergeSchema):
+    * columns the batch carries beyond the table schema are first added
+    * to the spec via [[addColumn]] (nullable — existing files read
+    * them as null), then the widened batch appends normally. Only
+    * ADDITIVE evolution: a batch column whose name exists with a
+    * DIFFERENT type still fails in writeBatch's select cast, and
+    * nothing is ever dropped. Single-writer DDL contract for the
+    * evolution step, like addColumn itself.
+    *
+    * @return (committed version, rows appended), as [[append]]
+    */
+  def appendMergeSchema(name: String, df: DataFrame,
+      rowsPerFile: Long = 0,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
+    val have = tables(name).fieldNames.toSet
+    df.schema.fields.filterNot(f => have(f.name)).foreach { f =>
+      addColumn(name, f.copy(nullable = true))
+    }
+    // older columns the batch omits surface as nulls (select order is
+    // the spec's; missing columns fill with typed nulls)
+    import org.apache.spark.sql.functions.{col, lit}
+    val full = tables(name).fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    append(name, df.select(full: _*), rowsPerFile, txn)
+  }
+
   /** @return (committed manifest version, rows appended) — (head, 0)
     *   when the txn fence made the call a replay no-op. The row count
     *   comes from the committed entries' own parquet footers, so it is

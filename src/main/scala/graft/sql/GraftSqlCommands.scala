@@ -210,15 +210,18 @@ case class GraftCtasCommand(wh: Warehouse, table: String,
   }
 }
 
-/** `CREATE TABLE <p><dst> SHALLOW CLONE <p><src> [VERSION AS OF n]` →
-  * [[Warehouse!.shallowClone]], then route the new name so the clone
-  * is immediately addressable by statements.
+/** `CREATE TABLE <p><dst> SHALLOW|DEEP CLONE <p><src> [VERSION AS OF
+  * n]` → [[Warehouse!.shallowClone]] / [[Warehouse!.deepClone]], then
+  * route the new name so the clone is immediately addressable by
+  * statements.
   */
 case class GraftCloneCommand(wh: Warehouse, dst: String, src: String,
-    version: Option[Long], prefix: String) extends LeafRunnableCommand {
+    version: Option[Long], prefix: String, deep: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    wh.shallowClone(src, dst, version)
+    if (deep) wh.deepClone(src, dst, version)
+    else wh.shallowClone(src, dst, version)
     WarehouseSql.register(spark, wh, prefix)
     WarehouseSql.rerouteAll(wh) // other sessions see the clone too
     Nil

@@ -283,7 +283,7 @@ object WarehouseSql {
   private val ShowMvsStmt =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val CloneStmt =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val DropTableStmt =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val ShowCreateStmt =
@@ -372,18 +372,19 @@ object WarehouseSql {
               s"'$colType': ${e.getMessage}") }
         GraftAddColumnCommand(wh, t,
           org.apache.spark.sql.types.StructField(colName, dt)) }
-    case CloneStmt(dstName, srcName, ver) =>
+    case CloneStmt(dstName, kind, srcName, ver) =>
       prefixFor(spark, dstName).map { case (wh, prefix) =>
         val (srcWh, srcTable) = lookup(spark, Seq(srcName)).getOrElse(
           throw new IllegalArgumentException(
-            s"CREATE TABLE $dstName SHALLOW CLONE: $srcName is not a " +
+            s"CREATE TABLE $dstName $kind CLONE: $srcName is not a " +
               "registered warehouse table"))
         require(srcWh eq wh,
-          s"CREATE TABLE $dstName SHALLOW CLONE $srcName: source and " +
+          s"CREATE TABLE $dstName $kind CLONE $srcName: source and " +
             "destination must live in the same warehouse (borrowed " +
             "file references don't cross warehouse roots)")
         GraftCloneCommand(wh, dstName.toLowerCase.drop(prefix.length),
-          srcTable, Option(ver).map(_.toLong), prefix)
+          srcTable, Option(ver).map(_.toLong), prefix,
+          deep = kind.equalsIgnoreCase("DEEP"))
       }
     // DROP TABLE routes only for REGISTERED names — a plain temp view
     // or catalog table falls through to the delegate's own DROP TABLE

@@ -51,6 +51,61 @@ class WarehouseCommitSpec extends SparkSpec {
     .select($"norad_id", $"epoch_utc", $"mean_motion", $"rev_number")
     .as[(Int, Timestamp, Double, Int)].collect().toSet
 
+  test("deep clone localizes every file: fully independent of the " +
+      "source, stats intact, DROP of the source harmless") {
+    val (wh, dir) = freshTable() // fact_telemetry, partitioned, days 1-3
+    val srcCount = wh.read("fact_telemetry").count()
+    wh.deepClone("fact_telemetry", "deep_t")
+    // every entry localized: the clone tree holds real data files and
+    // the manifest carries no absolute borrowed references
+    assert(wh.read("deep_t").count() === srcCount)
+    assert(graft.util.FsListing.dataFiles(s"$dir/deep_t").nonEmpty)
+    val (_, entries) = wh.loadLatest("deep_t")
+    assert(entries.forall(e =>
+      !new org.apache.hadoop.fs.Path(e.rel).isAbsolute))
+    // footer stats carried byte-identically → manifest skipping works
+    assert(entries.forall(_.stats.nonEmpty))
+    assert(wh.read("deep_t")
+      .where(col("epoch_date") === java.sql.Date.valueOf("2026-01-02"))
+      .count() === 2L)
+    // drop the SOURCE — a shallow clone would be stranded; deep is not
+    wh.dropTable("fact_telemetry")
+    assert(wh.read("deep_t").count() === srcCount)
+    // SQL route: DEEP CLONE of the deep clone
+    wh.registerSql("dcl_")
+    spark.sql("CREATE TABLE dcl_deep2 DEEP CLONE dcl_deep_t")
+    assert(spark.sql("SELECT count(*) FROM dcl_deep2").head().getLong(0)
+      === srcCount)
+  }
+
+  test("appendMergeSchema evolves additively: new batch columns join " +
+      "the schema, old files read them as null, omitted columns fill") {
+    val dir = Files.createTempDirectory("graft-msch-").toString
+    import org.apache.spark.sql.types._
+    val wh = new Warehouse(spark, dir, specs = Map(
+      "t" -> Warehouse.TableSpec(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", DoubleType))))))
+    wh.bootstrap()
+    wh.append("t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    // batch carries an EXTRA column → schema evolves, old rows null
+    val (_, n) = wh.appendMergeSchema("t",
+      Seq((3L, 3.0, "x3")).toDF("id", "v", "tag"))
+    assert(n === 1L)
+    assert(wh.tables("t").fieldNames.toSeq === Seq("id", "v", "tag"))
+    val got = wh.read("t").orderBy("id")
+      .select("id", "tag").as[(Long, Option[String])].collect().toSeq
+    assert(got === Seq((1L, None), (2L, None), (3L, Some("x3"))))
+    // a later batch OMITTING the evolved column fills it with null
+    wh.appendMergeSchema("t", Seq((4L, 4.0)).toDF("id", "v"))
+    assert(wh.read("t").where(col("id") === 4 && col("tag").isNull)
+      .count() === 1L)
+    // reopened warehouse sees the evolved schema (persisted spec)
+    val re = Warehouse.open(spark, dir)
+    assert(re.tables("t").fieldNames.toSeq === Seq("id", "v", "tag"))
+    assert(re.read("t").count() === 4L)
+  }
+
   test("shallow clone: zero-copy read, copy-on-write divergence, " +
       "source files never deleted from the clone") {
     val (wh, dir) = freshTable() // fact_telemetry, partitioned, days 1-3
