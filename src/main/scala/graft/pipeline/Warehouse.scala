@@ -2863,32 +2863,50 @@ class Warehouse(spark: SparkSession, dir: String,
     *   - WHEN MATCHED [AND cond] THEN DELETE
     *   - WHEN MATCHED [AND cond] THEN UPDATE SET ...
     *   - WHEN NOT MATCHED [AND cond] THEN INSERT
+    *   - WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+    *   - WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ...
     *
     * Clause conditions and update expressions see the TARGET row's
     * columns by name and the SOURCE row's as `src_<name>` (the
     * classic target/source scoping, flattened). Delete is evaluated
-    * before update (Delta's clause order); unmatched target rows pass
-    * through untouched; the insert condition sees only source columns
-    * (by their plain names). Only files of partitions the source
-    * TOUCHES are read and rewritten — the not-matched anti join probes
-    * those same files, which is exact because partition columns are a
-    * pure function of the key (the [[merge]] contract: a source key
-    * outside the touched partitions cannot exist in the table).
+    * before update (Delta's clause order, on both the matched and the
+    * by-source side); unmatched target rows pass through untouched
+    * unless a by-source clause claims them; the insert condition sees
+    * only source columns (by their plain names); by-source conditions
+    * and SET expressions see only TARGET columns (there is no source
+    * row). Only files of partitions the source TOUCHES are read and
+    * rewritten — the not-matched anti join probes those same files,
+    * which is exact because partition columns are a pure function of
+    * the key (the [[merge]] contract: a source key outside the touched
+    * partitions cannot exist in the table). By-source clauses widen
+    * the footprint beyond the touched partitions, but NOT to the whole
+    * table: by the same contract every row outside the touched
+    * partitions is unmatched, so candidacy there is purely the
+    * by-source condition — [[touchedFiles]] discovers exactly the
+    * files containing a row satisfying it (manifest stat skipping
+    * prunes first), and an unconditional by-source DELETE of a 0.01%
+    * slice still rewrites only the files that hold it.
     *
     * @param source key-unique batch (caller dedups, like [[merge]])
+    * @param bySourceDelete  WHEN NOT MATCHED BY SOURCE [AND c] DELETE
+    * @param bySourceUpdate  WHEN NOT MATCHED BY SOURCE [AND c] UPDATE
     */
   def mergeInto(name: String, source: DataFrame, keys: Seq[String],
       matchedDelete: Option[org.apache.spark.sql.Column] = None,
       matchedUpdate: Option[(Option[org.apache.spark.sql.Column],
         Map[String, org.apache.spark.sql.Column])] = None,
-      notMatchedInsert: Option[Option[org.apache.spark.sql.Column]] = None)
+      notMatchedInsert: Option[Option[org.apache.spark.sql.Column]] = None,
+      bySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      bySourceUpdate: Option[(Option[org.apache.spark.sql.Column],
+        Map[String, org.apache.spark.sql.Column])] = None)
       : Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val schema = tables(name)
     val parts = partitioning(name)
+    val bySource = bySourceDelete.nonEmpty || bySourceUpdate.nonEmpty
     require(parts.forall(source.columns.contains),
       s"mergeInto $name: source must carry partition cols $parts")
-    matchedUpdate.foreach { case (_, set) =>
+    (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { case (_, set) =>
       set.keys.foreach { c =>
         require(schema.fieldNames.contains(c), s"mergeInto $name: no column $c")
         require(!parts.contains(c),
@@ -2897,16 +2915,42 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"mergeInto $name: table not bootstrapped")
-    val (replaced: Seq[FileEntry], footprint: Set[String]) = parts match {
-      case Nil =>
-        if (source.isEmpty) return
-        (entries, Set(""))
-      case cols =>
-        val touched = source.select(cols.map(col): _*).distinct().collect()
-        if (touched.isEmpty) return
-        val dirs = touched.map(r => partitionDir(cols, r)).toSet
-        (entries.filter(e => dirs.contains(dirOf(name, e.rel))), dirs)
-    }
+    val (matchedReplaced: Seq[FileEntry], matchedDirs: Set[String]) =
+      parts match {
+        case Nil =>
+          if (source.isEmpty && !bySource) return
+          (entries, Set(""))
+        case cols =>
+          val touched = source.select(cols.map(col): _*).distinct().collect()
+          if (touched.isEmpty && !bySource) return
+          val dirs = touched.map(r => partitionDir(cols, r)).toSet
+          (entries.filter(e => dirs.contains(dirOf(name, e.rel))), dirs)
+      }
+    // by-source candidacy OUTSIDE the touched partitions: those rows are
+    // unmatched by contract, so a file there needs rewriting iff some row
+    // satisfies a by-source condition (an unconditional clause claims
+    // every remaining file that still has rows)
+    val bySrcReplaced: Seq[FileEntry] =
+      if (!bySource) Nil
+      else {
+        val rest = entries.diff(matchedReplaced)
+        if (rest.isEmpty) Nil
+        else {
+          val delC = bySourceDelete.map(c => coalesce(c, lit(false)))
+          val updC = bySourceUpdate.map { case (c, _) =>
+            coalesce(c.getOrElse(lit(true)), lit(false)) }
+          val candidacy = (delC.toSeq ++ updC.toSeq).reduce(_ || _)
+          touchedFiles(name, rest, candidacy)
+        }
+      }
+    val replaced: Seq[FileEntry] = matchedReplaced ++ bySrcReplaced
+    // nothing to rewrite and nothing to insert → no commit at all (the
+    // empty-source + by-source-with-no-candidates path lands here)
+    if (replaced.isEmpty && (notMatchedInsert.isEmpty || source.isEmpty))
+      return
+    val footprint: Set[String] =
+      if (parts.isEmpty) Set("")
+      else matchedDirs ++ bySrcReplaced.map(e => dirOf(name, e.rel))
     // source columns flattened to src_<name>; _src_hit marks the match
     val srcPrefixed = source.select(
       keys.map(col) ++ source.columns.filterNot(keys.contains)
@@ -2920,12 +2964,28 @@ class Warehouse(spark: SparkSession, dir: String,
         hit && coalesce(c.getOrElse(lit(true)), lit(false)) && !delCond }
       .getOrElse(lit(false))
     val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
-    val survived = joined.where(!delCond)
+    // by-source clauses fire on the join MISSES (no source row, so their
+    // conditions/SET expressions reference target columns only)
+    val bySrcDelCond = bySourceDelete
+      .map(c => !hit && coalesce(c, lit(false))).getOrElse(lit(false))
+    val bySrcUpdCond = bySourceUpdate
+      .map { case (c, _) =>
+        !hit && coalesce(c.getOrElse(lit(true)), lit(false)) && !bySrcDelCond }
+      .getOrElse(lit(false))
+    val bySrcSet = bySourceUpdate.map(_._2).getOrElse(Map.empty)
+    val survived = joined.where(!delCond && !bySrcDelCond)
       .select(schema.fields.toSeq.map { f =>
-        updSet.get(f.name) match {
-          case Some(e) =>
-            when(updCond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
+        (updSet.get(f.name), bySrcSet.get(f.name)) match {
+          case (None, None) => col(f.name)
+          case (m, b) =>
+            val withMatched = m.map(e => when(updCond, e.cast(f.dataType)))
+            val chained = b match {
+              case Some(e) => withMatched
+                .map(_.when(bySrcUpdCond, e.cast(f.dataType)))
+                .getOrElse(when(bySrcUpdCond, e.cast(f.dataType)))
+              case None => withMatched.get
+            }
+            chained.otherwise(col(f.name)).as(f.name)
         }
       }: _*)
     val merged = notMatchedInsert match {

@@ -4063,7 +4063,169 @@ object LlmQueries extends QueryPack {
         SELECT 4, -count(*), round(-sum(val), 2) FROM v4
         UNION ALL
         SELECT 5, 0, round(7.0 * count(*), 2) FROM v5
-        ORDER BY v"""))
+        ORDER BY v""")),
+
+    // ---- q151: MERGE INTO with WHEN NOT MATCHED BY SOURCE — the
+    // full-sync idiom (upsert what the source has, age out what it no
+    // longer has) in ONE statement and ONE commit, under the hash gate.
+    // By-source candidacy outside the touched partitions is discovered
+    // file-targeted (the mergeInto contract: those rows are unmatched
+    // by construction, so only files containing a row satisfying a
+    // by-source condition are rewritten). Clause order is Delta's:
+    // delete before update on both the matched and the by-source side.
+    Q("q151_warehouse_merge_sync",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q151-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("status", StringType),
+              StructField("val", DoubleType))),
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        wh.registerSql("ms151_")
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("id"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("val"))
+        wh.append("t", base)
+        // source: doubled-value upserts for id%3, brand-new rows for
+        // id%50 (shifted key space), nothing for the rest
+        base.where(col("id") % 3 === 0)
+          .select(col("id"), lit("S").as("status"),
+            (col("val") * 2).as("val"))
+          .unionByName(base.where(col("id") % 50 === 0)
+            .select((col("id") + 100000000L).as("id"),
+              lit("N").as("status"), col("val")))
+          .createOrReplaceTempView("ms151_src")
+        s.sql("""
+          MERGE INTO ms151_t AS t USING ms151_src AS s ON t.id = s.id
+          WHEN MATCHED AND s.val > 300000 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET status = s.status, val = s.val
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.val < 1000 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE AND t.id % 7 = 0 THEN UPDATE
+            SET status = 'Z'
+        """)
+        s.sql("""
+          SELECT status, count(*) AS n, round(sum(val), 2) AS sv
+          FROM ms151_t GROUP BY status ORDER BY status""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS status,
+                 o_totalprice AS val
+          FROM orders),
+        src AS (
+          SELECT id, 'S' AS status, val * 2 AS val FROM base
+          WHERE id % 3 = 0
+          UNION ALL
+          SELECT id + 100000000, 'N', val FROM base WHERE id % 50 = 0),
+        kept_matched AS (
+          SELECT b.id, s.status, s.val
+          FROM base b JOIN src s ON b.id = s.id
+          WHERE s.val <= 300000),
+        kept_unmatched AS (
+          SELECT id,
+                 CASE WHEN id % 7 = 0 THEN 'Z' ELSE status END AS status,
+                 val
+          FROM base
+          WHERE id NOT IN (SELECT id FROM src) AND NOT (val < 1000)),
+        inserts AS (
+          SELECT id, status, val FROM src
+          WHERE id NOT IN (SELECT id FROM base)),
+        final AS (
+          SELECT * FROM kept_matched UNION ALL
+          SELECT * FROM kept_unmatched UNION ALL
+          SELECT * FROM inserts)
+        SELECT status, count(*) AS n, round(sum(val), 2) AS sv
+        FROM final GROUP BY status ORDER BY status""")),
+
+    // ---- q152: DEEP CLONE — a self-contained physical copy (Delta's
+    // CREATE TABLE ... DEEP CLONE). The clone owns byte-identical
+    // copies of every live data file (and stat sidecars), so DROPPING
+    // THE SOURCE afterwards cannot dangle it — which is exactly what
+    // this query does before reading a single row. The aggregate gates
+    // that the clone carries the source's full post-DML state (two
+    // appends and a copy-on-write DELETE) with no borrowed references.
+    Q("q152_warehouse_deep_clone",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q152-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("src" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("grp", IntegerType),
+              StructField("val", DoubleType))),
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("id"),
+          (col("o_orderkey") % 20).cast("int").as("grp"),
+          col("o_totalprice").as("val"))
+        wh.append("src", base.where(col("id") % 2 === 0))
+        wh.append("src", base.where(col("id") % 2 === 1))
+        wh.delete("src", col("id") % 13 === 0)
+        wh.deepClone("src", "copy")
+        wh.dropTable("src") // the clone must survive its source
+        wh.read("copy").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("sv"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH kept AS (
+          SELECT o_orderkey AS id,
+                 CAST(o_orderkey % 20 AS INT) AS grp,
+                 o_totalprice AS val
+          FROM orders WHERE o_orderkey % 13 <> 0)
+        SELECT grp, count(*) AS n, round(sum(val), 2) AS sv
+        FROM kept GROUP BY grp ORDER BY grp""")),
+
+    // ---- q153: AUTOMATIC ADDITIVE SCHEMA EVOLUTION (Delta's
+    // mergeSchema) — a second batch carries a column the table never
+    // declared (prio) and OMITS one it did (val); appendMergeSchema
+    // widens the spec (nullable add), old files read the new column as
+    // null, and the omitted column fills with typed nulls. The
+    // aggregate gates both null surfaces at once: count(val) counts
+    // only batch-1 rows, sum(val) over an all-batch-2 group is NULL.
+    Q("q153_orders_schema_evolution",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.util.Scratch.dir("graft-q153-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("val", DoubleType))))))
+        wh.bootstrap()
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("id"),
+          col("o_totalprice").as("val"),
+          col("o_orderpriority").as("prio"))
+        wh.append("t", base.select(col("id"), col("val"))
+          .where(col("id") % 2 === 0))
+        wh.appendMergeSchema("t", base.select(col("id"), col("prio"))
+          .where(col("id") % 2 === 1))
+        wh.read("t")
+          .groupBy(coalesce(col("prio"), lit("none")).as("prio"))
+          .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("sv"),
+            count(col("val")).as("n_val"))
+          .orderBy("prio")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey AS id, o_totalprice AS val,
+                 CAST(NULL AS VARCHAR) AS prio
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT coalesce(prio, 'none') AS prio, count(*) AS n,
+               round(sum(val), 2) AS sv, count(val) AS n_val
+        FROM t GROUP BY 1 ORDER BY 1"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

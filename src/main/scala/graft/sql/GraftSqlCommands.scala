@@ -73,12 +73,15 @@ case class GraftMergeCommand(wh: Warehouse, table: String,
     source: LogicalPlan, keys: Seq[String],
     matchedDelete: Option[Column],
     matchedUpdate: Option[(Option[Column], Map[String, Column])],
-    notMatchedInsert: Option[Option[Column]])
+    notMatchedInsert: Option[Option[Column]],
+    bySourceDelete: Option[Column] = None,
+    bySourceUpdate: Option[(Option[Column], Map[String, Column])] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     wh.mergeInto(table, GraftBridge.ofRows(spark, source), keys,
-      matchedDelete, matchedUpdate, notMatchedInsert)
+      matchedDelete, matchedUpdate, notMatchedInsert,
+      bySourceDelete, bySourceUpdate)
     Seq.empty
   }
 }

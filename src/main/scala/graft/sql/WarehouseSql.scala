@@ -1109,21 +1109,22 @@ object WarehouseSql {
     *     (at most one);
     *   - WHEN NOT MATCHED [AND c] THEN INSERT * — or the explicit
     *     same-name full-row spelling `INSERT (a, b, ...) VALUES
-    *     (s.a, s.b, ...)` (at most one).
+    *     (s.a, s.b, ...)` (at most one);
+    *   - WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE and
+    *     ... THEN UPDATE SET col = expr, ... (at most one of each) —
+    *     conditions and SET values may reference TARGET columns only
+    *     (there is no source row on a by-source miss; a source
+    *     reference fails at parse).
     *
     * Clause conditions and update values follow the Warehouse scoping
     * contract: target columns by plain name, source columns as
     * `src_<name>` (keys stay plain — they're equal on a match).
-    * Unsupported shapes (NOT MATCHED BY SOURCE, cross-named keys,
-    * computed inserts) fail AT PARSE with a message naming the limit —
-    * never a silently different semantics.
+    * Unsupported shapes (cross-named keys, computed inserts) fail AT
+    * PARSE with a message naming the limit — never a silently
+    * different semantics.
     */
   private def translateMerge(spark: SparkSession, m: MergeIntoTable,
       wh: Warehouse, table: String, targetQuals: Set[String]): LogicalPlan = {
-    require(m.notMatchedBySourceActions.isEmpty,
-      s"MERGE INTO $table: WHEN NOT MATCHED BY SOURCE is unsupported " +
-        "(the warehouse merge rewrites only touched partitions; " +
-        "by-source clauses need a full-table pass — use UPDATE/DELETE)")
     require(!m.schemaEvolutionEnabled,
       s"MERGE INTO $table: WITH SCHEMA EVOLUTION is unsupported " +
         "(evolve explicitly via Warehouse.addColumn)")
@@ -1248,7 +1249,51 @@ object WarehouseSql {
         s"MERGE INTO $table: unsupported not-matched action $other")
     }
 
+    // by-source scoping: TARGET columns only (plain or target-qualified);
+    // any source reference is meaningless — there is no source row
+    def bySourceExpr(e: Expression): Expression = e.transformUp {
+      case a: UnresolvedAttribute =>
+        val c = a.nameParts.last
+        if (a.nameParts.size == 2) {
+          val q = a.nameParts.head.toLowerCase
+          if (targetQuals.contains(q)) UnresolvedAttribute(Seq(c))
+          else if (srcQuals.contains(q)) throw new IllegalArgumentException(
+            s"MERGE INTO $table: WHEN NOT MATCHED BY SOURCE sees only " +
+              s"target columns, got source reference ${a.sql}")
+          else a
+        } else {
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"MERGE INTO $table: WHEN NOT MATCHED BY SOURCE sees only " +
+              s"target columns, got $c (not in the table schema)")
+          a
+        }
+    }
+    var bySourceDelete: Option[org.apache.spark.sql.Column] = None
+    var bySourceUpdate: Option[(Option[org.apache.spark.sql.Column],
+      Map[String, org.apache.spark.sql.Column])] = None
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond) =>
+        require(bySourceDelete.isEmpty,
+          s"MERGE INTO $table: at most one WHEN NOT MATCHED BY SOURCE " +
+            "... DELETE")
+        bySourceDelete = Some(toCol(cond.map(bySourceExpr)
+          .getOrElse(Literal.TrueLiteral)))
+      case UpdateAction(cond, assignments, _) =>
+        require(bySourceUpdate.isEmpty,
+          s"MERGE INTO $table: at most one WHEN NOT MATCHED BY SOURCE " +
+            "... UPDATE")
+        val set = assignments.map { case Assignment(key, value) =>
+          columnName(schema.fieldNames, key, targetQuals,
+            s"MERGE INTO $table BY SOURCE UPDATE") -> toCol(bySourceExpr(value))
+        }.toMap
+        bySourceUpdate = Some((cond.map(c => toCol(bySourceExpr(c))), set))
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO $table: unsupported not-matched-by-source action " +
+          s"$other (UPDATE SET * has no meaning without a source row)")
+    }
+
     GraftMergeCommand(wh, table, rewriteReads(spark, m.sourceTable), keys,
-      matchedDelete, matchedUpdate, notMatchedInsert)
+      matchedDelete, matchedUpdate, notMatchedInsert,
+      bySourceDelete, bySourceUpdate)
   }
 }

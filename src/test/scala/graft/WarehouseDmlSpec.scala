@@ -267,6 +267,55 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(wh.history("fact_telemetry").last._2("op") === "mergeInto")
   }
 
+  test("mergeInto NOT MATCHED BY SOURCE: file-targeted delete/update of " +
+    "unmatched rows, untouched files keep their manifest entries") {
+    val (wh, _) = freshTable()
+    val day2 = java.sql.Date.valueOf("2026-01-02")
+    // source touches day-2 only (norads 1 and 2 match there)
+    val source = Seq(
+      (1, ts("2026-01-02T01:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 50.0, 0.5, 901, day2),
+      (2, ts("2026-01-02T02:00:00Z"), ts("2026-03-01T00:00:00Z"),
+        1.0, 2.0, 3.0, 4.0, 5.0, 60.0, 0.5, 902, day2)
+    ).toDF("norad_id", "epoch_utc", "fetched_at_utc", "inclination",
+      "raan", "eccentricity", "arg_perigee", "mean_anomaly", "mean_motion",
+      "b_star_drag", "rev_number", "epoch_date")
+    val before = wh.loadLatest("fact_telemetry")._2
+    // by-source clauses aim at day-3 rows ONLY: day-1 has no candidate
+    // row, so its files must survive bit-identical (entry-identical)
+    wh.mergeInto("fact_telemetry", source, Seq("norad_id", "epoch_utc"),
+      matchedUpdate = Some((None,
+        Map("rev_number" -> col("src_rev_number")))),
+      bySourceDelete = Some(col("rev_number") === 303),
+      bySourceUpdate = Some((Some(col("rev_number") === 301),
+        Map("mean_motion" -> (col("mean_motion") + 1000)))))
+    val rows = state(wh)
+    assert(rows.size === 11) // one by-source delete
+    val day2Rows = rows.filter(_._2.toString.startsWith("2026-01-02"))
+    assert(day2Rows.exists(r => r._1 == 1 && r._4 == 901), "matched update")
+    assert(day2Rows.exists(r => r._1 == 2 && r._4 == 902), "matched update")
+    // unmatched day-2 rows fail both by-source conditions -> untouched
+    assert(day2Rows.exists(r => r._1 == 3 && r._4 == 203 && r._3 == 23.0))
+    val day3Rows = rows.filter(_._2.toString.startsWith("2026-01-03"))
+    assert(!day3Rows.exists(_._1 == 3), "by-source delete missed (rev 303)")
+    assert(day3Rows.exists(r => r._1 == 1 && r._3 == 1031.0),
+      "by-source update missed (rev 301: 31.0 + 1000)")
+    assert(day3Rows.exists(r => r._1 == 2 && r._3 == 32.0),
+      "by-source clauses must not touch non-matching unmatched rows")
+    // day-1 contains no by-source candidate: its manifest entries are
+    // EXACTLY the pre-merge ones (no rewrite happened there)
+    val after = wh.loadLatest("fact_telemetry")._2
+    val day1Before = before.filter(_.rel.contains("2026-01-01")).toSet
+    assert(day1Before.nonEmpty)
+    assert(day1Before.subsetOf(after.toSet),
+      "files without by-source candidates must not be rewritten")
+    // empty source + unconditional by-source DELETE clears the table
+    // (every row is unmatched) - the Delta anti-sync idiom
+    wh.mergeInto("fact_telemetry", source.where(lit(false)),
+      Seq("norad_id", "epoch_utc"), bySourceDelete = Some(lit(true)))
+    assert(wh.read("fact_telemetry").isEmpty)
+  }
+
   test("registerViews exposes a consistent SQL snapshot") {
     // retention mode: the stale view's files must survive the delete
     // below (eager GC would remove them — the readVersion rule)

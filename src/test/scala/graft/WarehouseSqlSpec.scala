@@ -111,6 +111,37 @@ class WarehouseSqlSpec extends SparkSpec {
     assert(rows2.size === 11)
   }
 
+  test("MERGE INTO ... WHEN NOT MATCHED BY SOURCE syncs target to source") {
+    fresh()
+    srcView()
+    spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 10")
+    // the classic full-sync shape: upsert everything the source has,
+    // age out what it no longer has (conditionally), flag the rest
+    Seq((3L, "gU", 300.0), (11L, "gI", 110.0))
+      .toDF("id", "grp", "val").createOrReplaceTempView("sdml_batch")
+    spark.sql("""
+      MERGE INTO sdml_t AS t USING sdml_batch AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.val > 8 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.id % 2 = 0 THEN UPDATE
+        SET grp = concat(grp, '-stale'), val = -val
+    """)
+    val rows = spark.sql("SELECT id, grp, val FROM sdml_t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows.contains((3L, "gU", 300.0)), "matched SET * missed")
+    assert(rows.contains((11L, "gI", 110.0)), "insert missed")
+    assert(!rows.exists(r => r._1 == 9L || r._1 == 10L),
+      "by-source delete missed (val 9, 10 > 8)")
+    assert(rows.contains((2L, "g2-stale", -2.0)),
+      "by-source update missed (unmatched even id)")
+    assert(rows.contains((1L, "g1", 1.0)),
+      "unmatched odd id under the delete bar must pass through")
+    // delete wins over update for rows both conditions claim (id 10 was
+    // even AND val > 8): Delta's by-source clause order, delete first
+    assert(rows.size === 9) // 10 - 2 deleted + 1 inserted
+  }
+
   test("VERSION AS OF, DESCRIBE HISTORY, RESTORE, VACUUM") {
     fresh(retain = true)
     srcView()
@@ -164,14 +195,22 @@ class WarehouseSqlSpec extends SparkSpec {
     spark.sql("INSERT INTO sdml_t SELECT * FROM sdml_src WHERE id <= 5")
     Seq((1L, "g", 1.0)).toDF("id", "grp", "val")
       .createOrReplaceTempView("sdml_batch")
-    val bySource = intercept[IllegalArgumentException] {
+    // by-source clauses see only target columns: a source reference in
+    // the condition or SET value is a parse-time error, not a null
+    val bySrcRef = intercept[IllegalArgumentException] {
       spark.sql("""
         MERGE INTO sdml_t t USING sdml_batch s ON t.id = s.id
-        WHEN MATCHED THEN UPDATE SET val = s.val
-        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND s.val > 0 THEN DELETE
       """)
     }
-    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(bySrcRef.getMessage.contains("only target columns"))
+    val bySrcSet = intercept[IllegalArgumentException] {
+      spark.sql("""
+        MERGE INTO sdml_t t USING sdml_batch s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = s.val
+      """)
+    }
+    assert(bySrcSet.getMessage.contains("only target columns"))
     val crossNamed = intercept[IllegalArgumentException] {
       spark.sql("""
         MERGE INTO sdml_t t USING sdml_batch s ON t.id = s.val
