@@ -1155,7 +1155,11 @@ class Warehouse(spark: SparkSession, dir: String,
         // vacuumable orphans), never an empty table an IF NOT EXISTS
         // re-run would silently skip the load of. Pre-existing stray
         // files are NOT adopted on this path (fresh names don't clash).
-        case Some(df) => writeBatch(name, df)
+        case Some(df) =>
+          // the table is empty, so batch-internal NOT NULL/uniqueness
+          // is the whole PK story for an initial load
+          enforcePrimaryKey(name, df, probeLive = false)
+          writeBatch(name, df)
         case None =>
           if (fs.exists(p)) FsListing.dataFiles(path(name))
             .map { case (rel, bytes) =>
@@ -1369,6 +1373,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val fs = fileSystem
     fs.delete(manifestDir(name), true)
     fs.delete(new Path(new Path(dir, "_meta"), s"$name.json"), false)
+    fs.delete(tagsDir(name), true) // tags die with their table
     fs.delete(new Path(path(name)), true)
     specsLock.synchronized { specsNow = specsNow - name }
     ()
@@ -1383,9 +1388,10 @@ class Warehouse(spark: SparkSession, dir: String,
     * [[addColumn]].
     *
     * @param extraMeta recorded on the bootstrap commit (e.g. the
-    *   advisory `pk=` a PRIMARY KEY clause declares — surfaced by
-    *   DESCRIBE HISTORY; enforcement stays with the anti-join dedup /
-    *   uniqueness-audit surface, the documented reference trade)
+    *   `pk=` a PRIMARY KEY clause declares — surfaced by DESCRIBE
+    *   HISTORY; enforcement itself lives in the spec's
+    *   [[Warehouse.TableSpec.primaryKey]], checked on every
+    *   row-adding write)
     * @param initial CTAS data: when present, the v1 manifest commits
     *   the CREATE and the first load ATOMICALLY (one manifest, op
     *   `ctas`) — no window where an empty table is committed but the
@@ -1458,6 +1464,10 @@ class Warehouse(spark: SparkSession, dir: String,
     if (spec.ndvColumns.nonEmpty) {
       val nv = node.putArray("ndvColumns")
       spec.ndvColumns.foreach(nv.add)
+    }
+    if (spec.primaryKey.nonEmpty) {
+      val pkn = node.putArray("primaryKey")
+      spec.primaryKey.foreach(pkn.add)
     }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
@@ -2020,6 +2030,9 @@ class Warehouse(spark: SparkSession, dir: String,
       require(!parts.contains(c),
         s"updateVectored $name: partition column $c is not updatable " +
           "(rows must not move partitions)")
+      require(!specsNow(name).primaryKey.contains(c),
+        s"updateVectored $name: PRIMARY KEY column $c is not updatable " +
+          "(a SET could mint a duplicate key — delete + insert instead)")
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"updateVectored $name: table not bootstrapped")
@@ -2291,6 +2304,7 @@ class Warehouse(spark: SparkSession, dir: String,
     if (replayed(v)) return (v, 0L)
     val full = applyGenerated(name, df)
     enforceChecks(name, full)
+    enforcePrimaryKey(name, full)
     val fresh = writeBatch(name, full, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -2324,6 +2338,14 @@ class Warehouse(spark: SparkSession, dir: String,
           if (replayed(attempt._1)) {
             gc(name, fresh)
             return (attempt._1, 0L)
+          }
+          // a commit slipped in between our PK probe and this attempt:
+          // re-probe against the new head so concurrent same-key appends
+          // cannot both land (single-slot protocol — see probePrimaryKey)
+          if (specsNow(name).primaryKey.nonEmpty) {
+            try probePrimaryKey(name, full)
+            catch { case e: Warehouse.PrimaryKeyViolation =>
+              gc(name, fresh); throw e }
           }
       }
     }
@@ -2395,6 +2417,7 @@ class Warehouse(spark: SparkSession, dir: String,
         .load(fresh.map { case (rel, _) => s"$srcDir/$rel" }: _*)
         .select(readSchema.fieldNames.map(col): _*))
     enforceChecks(name, df)
+    enforcePrimaryKey(name, df)
     val staged = writeBatch(name, df)
     val ledgerRel = writeCopyLedger(name,
       fresh.map { case (rel, b) => s"$rel:$b" })
@@ -2422,6 +2445,12 @@ class Warehouse(spark: SparkSession, dir: String,
           retries += 1
           abortStalePending(name, attempt._1 + 1)
           attempt = loadLatest(name)
+          // PK re-probe against the intervening head (see append)
+          if (specsNow(name).primaryKey.nonEmpty) {
+            try probePrimaryKey(name, df)
+            catch { case e: Warehouse.PrimaryKeyViolation =>
+              gc(name, staged); throw e }
+          }
       }
     }
     (fresh.size.toLong, staged.map(_.rows).sum)
@@ -2452,11 +2481,12 @@ class Warehouse(spark: SparkSession, dir: String,
   def appendQuarantine(name: String, quarantine: String, df: DataFrame,
       rowsPerFile: Long = 0L,
       txn: Option[(String, Long)] = None): (Long, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, not, when}
     val checks = specsNow(name).checks.toSeq.sortBy(_._1)
-    require(checks.nonEmpty,
-      s"appendQuarantine $name: the table has no CHECK constraints — " +
-        "use append")
+    val pk = specsNow(name).primaryKey
+    require(checks.nonEmpty || pk.nonEmpty,
+      s"appendQuarantine $name: the table has no CHECK constraints " +
+        "and no PRIMARY KEY — use append")
     require(name != quarantine,
       s"appendQuarantine: target and quarantine must differ")
     val schema = tables(name)
@@ -2475,7 +2505,31 @@ class Warehouse(spark: SparkSession, dir: String,
     // referencing a generated column the batch omits must tag its rows
     // into quarantine, not explode the whole batch with an unresolved-
     // column AnalysisException (the poison-batch contract)
-    val tagged = applyGenerated(name, df).withColumn("violation", firstFail)
+    val checkTagged =
+      applyGenerated(name, df).withColumn("violation", firstFail)
+    // PRIMARY KEY violations route to quarantine too (violation name
+    // `primary_key`, after every named CHECK): NULL keys, batch-internal
+    // duplicates (ALL members — no arbitrary survivor pick), and keys
+    // already live in the table. Collisions minted by a CONCURRENT
+    // writer between this read and the commit still fail the batch via
+    // the append-path re-probe — quarantine handles data quality, the
+    // serializable probe handles races.
+    val tagged =
+      if (pk.isEmpty) checkTagged
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk.map(col): _*)
+        val dupOrNull = pk.map(c => col(c).isNull).reduce(_ || _) ||
+          (count(lit(1)).over(w) > 1)
+        val existing = read(name).select(pk.map(col): _*).distinct()
+          .withColumn("__gf_pk_hit", lit(true))
+        checkTagged.join(existing, pk, "left")
+          .withColumn("violation",
+            when(col("violation").isNotNull, col("violation"))
+              .when(dupOrNull || col("__gf_pk_hit"), lit("primary_key")))
+          .drop("__gf_pk_hit")
+          .select(checkTagged.columns.map(col): _*)
+      }
     val good = tagged.where(col("violation").isNull).drop("violation")
     val bad = tagged.where(col("violation").isNotNull)
     // counts come from THIS transaction's committed footers (appendAll's
@@ -2583,7 +2637,10 @@ class Warehouse(spark: SparkSession, dir: String,
       return batches.map(b => (b._1, loadLatest(b._1)._1, 0L))
     val derived = batches.map { case (t, df, rpf) =>
       (t, applyGenerated(t, df), rpf) }
-    derived.foreach { case (t, df, _) => enforceChecks(t, df) }
+    derived.foreach { case (t, df, _) =>
+      enforceChecks(t, df)
+      enforcePrimaryKey(t, df)
+    }
     val id = java.util.UUID.randomUUID.toString
     val staged = derived.map { case (t, df, rpf) =>
       t -> writeBatch(t, df, rpf)
@@ -2615,6 +2672,16 @@ class Warehouse(spark: SparkSession, dir: String,
               // uncommitted files and exit — the data is published
               staged.foreach { case (st, sf) => gc(st, sf) }
               return batches.map(b => (b._1, loadLatest(b._1)._1, 0L))
+            }
+            // PK re-probe against the intervening head (see append).
+            // Only THIS table's uncommitted files are reclaimed —
+            // earlier members' pending manifests already reference
+            // theirs, and the never-published marker leaves the whole
+            // transaction invisible (lease reclaim sweeps the rest).
+            if (specsNow(t).primaryKey.nonEmpty) {
+              try probePrimaryKey(t, derived.find(_._1 == t).get._2)
+              catch { case e: Warehouse.PrimaryKeyViolation =>
+                gc(t, fresh); throw e }
             }
         }
       }
@@ -2665,6 +2732,9 @@ class Warehouse(spark: SparkSession, dir: String,
     require(v > 0L, s"overwrite $name: table not bootstrapped")
     val df = applyGenerated(name, df0)
     enforceChecks(name, df)
+    // the batch REPLACES the table, so only batch-internal uniqueness
+    // and NOT NULL apply — there are no surviving rows to collide with
+    enforcePrimaryKey(name, df, probeLive = false)
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -2703,6 +2773,12 @@ class Warehouse(spark: SparkSession, dir: String,
     val parts = partitioning(name)
     require(parts.forall(updates.columns.contains),
       s"merge into $name: updates must carry partition cols $parts")
+    // a PK table merges ON its key, or uniqueness could silently break
+    // (the anti-join below only guarantees key-uniqueness on `keys`)
+    val pkCols = specsNow(name).primaryKey
+    require(pkCols.isEmpty || keys.toSet == pkCols.toSet,
+      s"merge into $name: table declares PRIMARY KEY " +
+        s"(${pkCols.mkString(", ")}) — merge keys must be exactly it")
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"merge into $name: table not bootstrapped")
     if (txn.exists { case (q, e) =>
@@ -2734,6 +2810,10 @@ class Warehouse(spark: SparkSession, dir: String,
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(schemaCols.map(col): _*))
     enforceChecks(name, updates.select(schemaCols.map(col): _*))
+    // keys == PK (required above), so batch-internal uniqueness is the
+    // whole PK story: matched keys replace, the rest insert fresh
+    enforcePrimaryKey(name, updates.select(schemaCols.map(col): _*),
+      probeLive = false)
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -2906,13 +2986,24 @@ class Warehouse(spark: SparkSession, dir: String,
     val bySource = bySourceDelete.nonEmpty || bySourceUpdate.nonEmpty
     require(parts.forall(source.columns.contains),
       s"mergeInto $name: source must carry partition cols $parts")
+    val pkCols = specsNow(name).primaryKey
     (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { case (_, set) =>
       set.keys.foreach { c =>
         require(schema.fieldNames.contains(c), s"mergeInto $name: no column $c")
         require(!parts.contains(c),
           s"mergeInto $name: partition column $c is not updatable")
+        require(!pkCols.contains(c),
+          s"mergeInto $name: PRIMARY KEY column $c is not updatable " +
+            "(a SET could mint a duplicate key — delete + insert instead)")
       }
     }
+    // a PK table merges ON its key: inserts are then anti-joined on the
+    // PK itself and a key-unique source keeps uniqueness invariant
+    require(pkCols.isEmpty || keys.toSet == pkCols.toSet,
+      s"mergeInto $name: table declares PRIMARY KEY " +
+        s"(${pkCols.mkString(", ")}) — merge keys must be exactly it")
+    if (pkCols.nonEmpty)
+      enforcePrimaryKey(name, source, probeLive = false)
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"mergeInto $name: table not bootstrapped")
     val (matchedReplaced: Seq[FileEntry], matchedDirs: Set[String]) =
@@ -3104,13 +3195,26 @@ class Warehouse(spark: SparkSession, dir: String,
     // reads over the warehouse's other tables, trivial next to the
     // rewrite that preceded this call.
     val lent = borrowedFromBy(name).keySet
+    // TAG guard, eager-GC side: a tagged version's files are pinned
+    // (the createTag contract) even under retainReplaced=false — a
+    // rewrite drops them from the new manifest, but the bytes survive
+    // for readTag until the tag is dropped (then vacuum collects).
+    // Cost: loading the tagged manifests' entry lists, driver-side
+    // metadata, zero when no tags exist.
+    val tagPinned: Set[String] = {
+      val tv = tags(name).values.toSeq.distinct
+      if (tv.isEmpty) Set.empty
+      else tv.flatMap(v => scala.util.Try(loadAt(name, v))
+        .toOption.toSeq.flatten).map(_.rel).toSet
+    }
     // BORROWED entries (absolute rel = a shallow clone referencing the
     // source table's files) are never deleted: the clone only ever
     // owns references, the source owns the bytes. A rewrite just drops
     // them from the clone's manifest. (Vacuum is safe structurally —
     // it lists only this table's directory.)
     replaced.filterNot(e =>
-      new Path(e.rel).isAbsolute || lent(e.rel)).foreach { e =>
+      new Path(e.rel).isAbsolute || lent(e.rel) ||
+        tagPinned(e.rel)).foreach { e =>
       try { fs.delete(new Path(path(name), e.rel), false); () }
       catch { case _: java.io.IOException => () }
       // the replaced file's deletion vector dies with it (a rewrite
@@ -3470,6 +3574,9 @@ class Warehouse(spark: SparkSession, dir: String,
       require(!parts.contains(c),
         s"update $name: partition column $c is not updatable " +
           "(rows must not move partitions)")
+      require(!specsNow(name).primaryKey.contains(c),
+        s"update $name: PRIMARY KEY column $c is not updatable " +
+          "(a SET could mint a duplicate key — delete + insert instead)")
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"update $name: table not bootstrapped")
@@ -3728,6 +3835,9 @@ class Warehouse(spark: SparkSession, dir: String,
       s"$op $name.$colName: stat columns key the manifest stat maps")
     require(!spec.bloomColumns.contains(colName),
       s"$op $name.$colName: bloom columns key the sidecar indexes")
+    require(!spec.primaryKey.contains(colName),
+      s"$op $name.$colName: PRIMARY KEY columns keep their identity " +
+        "(the uniqueness constraint keys on the name)")
     val word = ("""\b""" + java.util.regex.Pattern.quote(colName) +
       """\b""").r
     spec.checks.foreach { case (n, e) =>
@@ -3793,6 +3903,84 @@ class Warehouse(spark: SparkSession, dir: String,
     withCols.select(schema.fieldNames.toSeq.map(col): _*)
   }
 
+  /** PRIMARY KEY enforcement for a row-adding batch: NULL keys and
+    * batch-internal duplicates in one grouped pass, then the live-row
+    * collision probe ([[probePrimaryKey]]). No-op unless the table
+    * declares [[Warehouse.TableSpec.primaryKey]]. Adds two passes over
+    * the batch plus the probe — cache the batch upstream if it is
+    * expensive or non-deterministic (the same caveat as every
+    * multi-evaluation write path here).
+    */
+  private def enforcePrimaryKey(name: String, df: DataFrame,
+      probeLive: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val pk = specsNow(name).primaryKey
+    if (pk.isEmpty) return
+    // NOT NULL + uniqueness within the batch: one aggregation (null
+    // keys group like values, so both violations surface per GROUP —
+    // bounded output, limit 1 is all we need)
+    val offender = df.groupBy(pk.map(col): _*)
+      .agg(count(lit(1)).as("__gf_pk_n"))
+      .where(pk.map(c => col(c).isNull).reduce(_ || _) ||
+        col("__gf_pk_n") > 1)
+      .limit(1).collect()
+    if (offender.nonEmpty) {
+      val r = offender.head
+      val hasNull = pk.indices.exists(r.isNullAt)
+      throw Warehouse.PrimaryKeyViolation(name, pk,
+        if (hasNull) "NULL key value in batch (PRIMARY KEY implies NOT NULL)"
+        else "duplicate key within batch: " +
+          pk.zipWithIndex.map { case (c, i) => s"$c=${r.get(i)}" }
+            .mkString(", "))
+    }
+    if (probeLive) probePrimaryKey(name, df)
+  }
+
+  /** The live-row half of PK enforcement: does any batch key already
+    * exist in the table's CURRENT snapshot? One semi-join probe, file-
+    * skipped two ways before a row is read: the batch's own key extrema
+    * become range predicates on every PK column that is also a
+    * [[Warehouse.TableSpec.statColumns]] member (manifest footer-stat
+    * skipping), and bloom sidecars prune equality-infeasible files for
+    * PK columns declared in `bloomColumns`. Declare `primaryKey.head`
+    * in one of the two and the probe reads only files whose key range
+    * overlaps the batch — the 100 TB shape; without either it is an
+    * honest table scan (documented in the TableSpec param doc).
+    *
+    * Serializability: callers probe BEFORE attempting their commit; the
+    * single-slot manifest protocol means any commit that lands between
+    * the probe and ours surfaces as a [[Warehouse.CommitConflict]], and
+    * the retry paths RE-PROBE against the new head — so two concurrent
+    * appends of the same key cannot both land.
+    */
+  private def probePrimaryKey(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val pk = specsNow(name).primaryKey
+    val stats = statColumns(name)
+    val rangeCols = pk.filter(stats.contains)
+    val pruned =
+      if (rangeCols.isEmpty) read(name)
+      else {
+        val aggs = rangeCols.flatMap(c =>
+          Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        // an empty batch has null extrema — nothing to probe
+        if (row.isNullAt(0)) return
+        rangeCols.zipWithIndex.foldLeft(read(name)) { case (d, (c, i)) =>
+          d.where(col(c) >= lit(row.get(2 * i)) &&
+            col(c) <= lit(row.get(2 * i + 1)))
+        }
+      }
+    val hit = pruned.join(df.select(pk.map(col): _*), pk, "left_semi")
+      .limit(1).collect()
+    if (hit.nonEmpty) {
+      val r = hit.head
+      throw Warehouse.PrimaryKeyViolation(name, pk,
+        "key already exists in table: " +
+          pk.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+    }
+  }
+
   /** [[enforceChecks]] against an EXPLICIT constraint set — the form
     * [[addCheck]] validates a candidate with, so the candidate is never
     * visible to concurrent writers before it passes.
@@ -3836,6 +4024,76 @@ class Warehouse(spark: SparkSession, dir: String,
     persistSpec(name)
   }
 
+  // ------------------------------------------------------------------
+  // TAGS — named, immutable version labels (Iceberg's `CREATE TAG`)
+  // ------------------------------------------------------------------
+
+  private def tagsDir(name: String): Path =
+    new Path(new Path(new Path(dir, "_meta"), "_tags"), name)
+
+  /** TAG a version with an immutable name (Iceberg's `ALTER TABLE ...
+    * CREATE TAG`): `readTag`/`VERSION AS OF '<tag>'` then resolve it
+    * forever, and — the load-bearing half — [[vacuum]] PINS every
+    * tagged version's files, so a tagged snapshot stays readable past
+    * any retention window until [[dropTag]] releases it. Tags are
+    * create-exclusive (publish-once): re-pointing a name means drop +
+    * create, so a tag can never silently move under a reader.
+    *
+    * Scale shape: a tag is one ~20-byte metadata file; pinning costs
+    * vacuum exactly the tagged manifests' entry lists (driver-side
+    * metadata it already folds), never a data pass.
+    *
+    * @param version version to tag (default: current head); must be a
+    *   committed, visible version
+    * @return the tagged version
+    */
+  def createTag(name: String, tag: String, version: Long = -1L): Long = {
+    require(specsNow.contains(name), s"createTag: no table $name")
+    require(tag.matches("""[A-Za-z][\w.-]*"""),
+      s"createTag: tag '$tag' must start with a letter and use only " +
+        "word characters, dots and dashes (so it can never be confused " +
+        "with a numeric version)")
+    val v = if (version >= 0L) version else loadLatest(name)._1
+    require(v > 0L, s"createTag $name: table not bootstrapped")
+    require(rawVersions(name).contains(v) && isVisible(name, v),
+      s"createTag $name: version $v does not exist (or is pending)")
+    fileSystem.mkdirs(tagsDir(name))
+    require(publishExclusive(new Path(tagsDir(name), tag),
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      s"createTag $name: tag '$tag' already exists (tags are " +
+        "immutable — DROP TAG first to re-point the name)")
+    v
+  }
+
+  /** Release a tag: the version stays readable until vacuum's normal
+    * retention collects it like any untagged version.
+    */
+  def dropTag(name: String, tag: String): Unit = {
+    val p = new Path(tagsDir(name), tag)
+    require(fileSystem.exists(p), s"dropTag $name: no tag '$tag'")
+    fileSystem.delete(p, false)
+  }
+
+  /** All tags of a table: tag → pinned version. */
+  def tags(name: String): Map[String, Long] = {
+    val d = tagsDir(name)
+    val fs = fileSystem
+    if (!fs.exists(d)) return Map.empty
+    fs.listStatus(d).toSeq.map { st =>
+      val in = fs.open(st.getPath)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      st.getPath.getName -> text.trim.toLong
+    }.toMap
+  }
+
+  /** [[readVersion]] at a tag's pinned version. */
+  def readTag(name: String, tag: String): DataFrame =
+    readVersion(name, tags(name).getOrElse(tag,
+      throw new IllegalArgumentException(
+        s"readTag $name: no tag '$tag' (have: ${tags(name).keys.toSeq.sorted
+          .mkString(", ")})")))
+
   /** DDL: drop a CHECK constraint. */
   def dropCheck(name: String, checkName: String): Unit = {
     require(specsNow.getOrElse(name,
@@ -3871,10 +4129,14 @@ class Warehouse(spark: SparkSession, dir: String,
     val fs = fileSystem
     val all = rawVersions(name)
     if (all.isEmpty) return 0L
+    // TAGGED versions are pinned live regardless of retention (the
+    // tag contract — see createTag); a tag pointing at an already-
+    // collected version (pre-tag-era vacuum) pins nothing
+    val tagged = tags(name).values.toSeq.distinct.filter(all.contains)
     if (dryRun) {
       val kept = (all.filter(isVisible(name, _))
         .takeRight(math.max(keepManifests, 1)) ++
-        all.filterNot(isVisible(name, _))).distinct.sorted
+        all.filterNot(isVisible(name, _)) ++ tagged).distinct.sorted
       val live = kept.flatMap(loadAt(name, _)).map(_.rel).toSet ++
         borrowedFromBy(name).keySet
       return FsListing.dataFiles(path(name))
@@ -3889,7 +4151,7 @@ class Warehouse(spark: SparkSession, dir: String,
       .filterNot(abortStalePending(name, _))
     val confirmed = all.filter(isVisible(name, _))
     val keptConfirmed = confirmed.takeRight(math.max(keepManifests, 1))
-    val kept = (keptConfirmed ++ pendingLive).distinct.sorted
+    val kept = (keptConfirmed ++ pendingLive ++ tagged).distinct.sorted
     if (kept.isEmpty) return 0L
     // CLONE GUARD: other tables of this warehouse may be SHALLOW CLONES
     // whose manifests borrow this table's files by absolute reference —
@@ -4125,6 +4387,19 @@ object Warehouse {
     *   skipping story for STRING keys, which footer long-stats can't
     *   encode at all). Sidecar size ≈ 1.2 · items · ln(1/fpp) bits per
     *   file per column — the Delta bloom-index trade.
+    * @param primaryKey ENFORCED primary key (the reference's Postgres
+    *   `PRIMARY KEY`, `script.py:78-82`): every row-adding write
+    *   rejects NULL keys, batch-internal duplicates and live-row
+    *   collisions atomically (nothing commits —
+    *   [[Warehouse.PrimaryKeyViolation]]); merge-family ops must key
+    *   on it exactly; UPDATE SET of a key column is banned. The
+    *   collision probe is a semi-join over the current snapshot —
+    *   declare `primaryKey.head` in [[statColumns]] (range skipping)
+    *   or [[bloomColumns]] (equality skipping) so the probe reads only
+    *   files whose key range can overlap the batch; without either it
+    *   scans. [[scdMerge]] tables version their keys by design — give
+    *   them no `primaryKey` (uniqueness there is per current-flag, an
+    *   audit-surface concern).
     */
   /** Thrown when a write would violate a declared CHECK constraint; the
     * commit never happens (the staged files are garbage the next vacuum
@@ -4135,6 +4410,18 @@ object Warehouse {
       extends RuntimeException(
         s"CHECK constraint '$check' on $table violated by $violations " +
           s"row(s): $expr")
+
+  /** Thrown when a row-adding write would violate the table's declared
+    * PRIMARY KEY (a NULL key, a duplicate within the batch, or a
+    * collision with a live row) — the reference's Postgres `PRIMARY
+    * KEY` made real (`script.py:78-82` declares one and relies on the
+    * engine to enforce it). Like [[CheckViolation]], the commit never
+    * happens: nothing of the batch becomes visible.
+    */
+  final case class PrimaryKeyViolation(table: String, pk: Seq[String],
+      reason: String)
+      extends RuntimeException(
+        s"PRIMARY KEY (${pk.mkString(", ")}) on $table violated: $reason")
 
   /** Per-bucket representative longs for [[numBuckets]]=n: `reps(b)` is
     * the smallest non-negative long with `pmod(murmur3(reps(b)), n) ==
@@ -4206,9 +4493,14 @@ object Warehouse {
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
       retiredPhysical: Seq[String] = Nil,
       generated: Map[String, String] = Map.empty,
-      ndvColumns: Seq[String] = Nil) {
+      ndvColumns: Seq[String] = Nil,
+      primaryKey: Seq[String] = Nil) {
     generated.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"generated column $c not in schema"))
+    primaryKey.foreach(c => require(schema.fieldNames.contains(c),
+      s"primary key column $c not in schema"))
+    require(primaryKey.distinct.size == primaryKey.size,
+      s"primary key repeats a column: $primaryKey")
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
     require(bucketBy.isEmpty == (numBuckets == 0),
@@ -4335,7 +4627,8 @@ object Warehouse {
                 buf.toMap
               }
             },
-            strs("ndvColumns"))
+            strs("ndvColumns"),
+            strs("primaryKey"))
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

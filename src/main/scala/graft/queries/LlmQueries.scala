@@ -4225,7 +4225,146 @@ object LlmQueries extends QueryPack {
           FROM orders WHERE o_orderkey % 2 = 1)
         SELECT coalesce(prio, 'none') AS prio, count(*) AS n,
                round(sum(val), 2) AS sv, count(val) AS n_val
-        FROM t GROUP BY 1 ORDER BY 1"""))
+        FROM t GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q154: ENFORCED PRIMARY KEY under the gate — the reference's
+    // Postgres `PRIMARY KEY` (script.py:78-82) made real. A colliding
+    // INSERT is rejected WHOLE (the hash proves no row of it leaked),
+    // then a mixed batch goes through the quarantine path: fresh keys
+    // land, live-key collisions, a batch-internal duplicate pair and a
+    // NULL key all route to the quarantine table as `primary_key`
+    // violations. The collision probe file-skips by the batch's own
+    // key extrema over the manifest's footer stats (STATS BY (id)) —
+    // at 100 TB it reads only files whose key range overlaps the
+    // batch, not the table.
+    Q("q154_warehouse_primary_key",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q154-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("pk154_")
+        s.sql("""CREATE TABLE pk154_t (
+                   id BIGINT PRIMARY KEY, grp STRING, val DOUBLE
+                 ) STATS BY (id)""")
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("id"),
+          col("o_orderstatus").as("grp"),
+          col("o_totalprice").as("val"))
+        base.createOrReplaceTempView("pk154_src")
+        s.sql("INSERT INTO pk154_t SELECT * FROM pk154_src")
+        // a colliding INSERT rejects WHOLE — even its non-colliding
+        // rows must not land (the hash would catch a leak)
+        val threw =
+          try {
+            s.sql("""INSERT INTO pk154_t
+                     SELECT id + 200000000, 'LEAK', val FROM pk154_src
+                     WHERE id % 5 = 0
+                     UNION ALL
+                     SELECT id, 'COLLIDE', val FROM pk154_src
+                     WHERE id % 5 = 1""")
+            false
+          } catch {
+            case _: graft.pipeline.Warehouse.PrimaryKeyViolation => true
+          }
+        require(threw, "q154: the colliding INSERT must be rejected")
+        // quarantine path: fresh keys keep, collisions/dup-pair/null
+        // key quarantine with primary_key attribution
+        val mixed = base.where(col("id") % 10 === 0)
+          .select((col("id") + 100000000L).as("id"),
+            lit("NEW").as("grp"), col("val"))
+          .unionByName(base.where(col("id") % 7 === 0)
+            .select(col("id"), lit("DUP").as("grp"), col("val")))
+          .unionByName(s.range(1).select(lit(-1L).as("id"),
+            lit("DD").as("grp"), lit(1.0).as("val")))
+          .unionByName(s.range(1).select(lit(-1L).as("id"),
+            lit("DD").as("grp"), lit(2.0).as("val")))
+          .unionByName(s.range(1).select(
+            lit(null).cast("long").as("id"),
+            lit("NN").as("grp"), lit(3.0).as("val")))
+        wh.appendQuarantine("t", "t_bad", mixed)
+        wh.registerSql("pk154_") // the new quarantine table routes too
+        s.sql("""
+          SELECT 'kept' AS side, grp, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(val), 2) AS sv
+          FROM pk154_t GROUP BY grp
+          UNION ALL
+          SELECT 'quar' AS side, violation AS grp,
+                 CAST(count(*) AS BIGINT) AS n, round(sum(val), 2) AS sv
+          FROM pk154_t_bad GROUP BY violation
+          ORDER BY side, grp""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp,
+                 o_totalprice AS val
+          FROM orders),
+        kept AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT id + 100000000, 'NEW', val FROM base WHERE id % 10 = 0),
+        quar AS (
+          SELECT val FROM base WHERE id % 7 = 0
+          UNION ALL SELECT 1.0 UNION ALL SELECT 2.0 UNION ALL SELECT 3.0)
+        SELECT 'kept' AS side, grp, count(*) AS n,
+               round(sum(val), 2) AS sv
+        FROM kept GROUP BY grp
+        UNION ALL
+        SELECT 'quar', 'primary_key', count(*), round(sum(val), 2)
+        FROM quar
+        ORDER BY side, grp""")),
+
+    // ---- q155: VERSION TAGS under the gate (Iceberg's CREATE TAG) —
+    // a tagged snapshot is PINNED: the copy-on-write DELETE/UPDATE
+    // that follow eagerly GC their replaced files, and a RETAIN 1
+    // VERSIONS vacuum sweeps everything else past retention — yet
+    // `VERSION AS OF 'raw'` still reads the tagged snapshot in full.
+    // The hash gates both worlds at once: the frozen tag side AND the
+    // post-DML current side (a leaked pin or an over-eager GC breaks
+    // one of them). Cost shape: a tag is one metadata file; pinning
+    // costs gc/vacuum only the tagged manifests' entry lists.
+    Q("q155_warehouse_tagged_snapshot",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q155-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("tag155_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("id"),
+            col("o_orderstatus").as("grp"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("tag155_src")
+        s.sql("""CREATE TABLE tag155_t (
+                   id BIGINT, grp STRING, val DOUBLE)""")
+        s.sql("INSERT INTO tag155_t SELECT * FROM tag155_src")
+        s.sql("ALTER TABLE tag155_t CREATE TAG raw")
+        s.sql("DELETE FROM tag155_t WHERE id % 3 = 0")
+        s.sql("UPDATE tag155_t SET val = val * 2 WHERE grp = 'F'")
+        s.sql("VACUUM tag155_t RETAIN 1 VERSIONS")
+        s.sql("""
+          SELECT 'now' AS side, grp, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(val), 2) AS sv
+          FROM tag155_t GROUP BY grp
+          UNION ALL
+          SELECT 'tag' AS side, grp, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(val), 2) AS sv
+          FROM tag155_t VERSION AS OF 'raw' GROUP BY grp
+          ORDER BY side, grp""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp,
+                 o_totalprice AS val
+          FROM orders),
+        now AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'F' THEN val * 2 ELSE val END AS val
+          FROM base WHERE id % 3 <> 0)
+        SELECT 'now' AS side, grp, count(*) AS n, round(sum(val), 2) AS sv
+        FROM now GROUP BY grp
+        UNION ALL
+        SELECT 'tag', grp, count(*), round(sum(val), 2)
+        FROM base GROUP BY grp
+        ORDER BY side, grp"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -165,11 +165,46 @@ case class GraftRestoreCommand(wh: Warehouse, table: String, version: Long)
   }
 }
 
+/** `ALTER TABLE wh_t CREATE TAG <tag> [AS OF VERSION n]` →
+  * [[Warehouse!.createTag]]: an immutable named version label that
+  * [[Warehouse!.vacuum]] pins (the Iceberg tag semantics); read it
+  * with `VERSION AS OF '<tag>'`.
+  */
+case class GraftCreateTagCommand(wh: Warehouse, table: String,
+    tag: String, version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(tag, wh.createTag(table, tag, version.getOrElse(-1L))))
+}
+
+/** `ALTER TABLE wh_t DROP TAG <tag>` → [[Warehouse!.dropTag]]. */
+case class GraftDropTagCommand(wh: Warehouse, table: String, tag: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.dropTag(table, tag)
+    Seq.empty
+  }
+}
+
+/** `SHOW TAGS wh_t`: one (tag, version) row per tag, sorted by name. */
+case class GraftShowTagsCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    wh.tags(table).toSeq.sortBy(_._1).map { case (t, v) => Row(t, v) }
+}
+
 /** `CREATE TABLE [IF NOT EXISTS] <prefix><t> (...)` →
   * [[Warehouse!.createTable]], then re-registration so the new name
   * routes for every following statement of the lifecycle. PK columns
-  * ride as advisory `pk=` commit metadata (DESCRIBE HISTORY shows
-  * them); `created=false` is the IF NOT EXISTS no-op.
+  * are ENFORCED (the spec's `primaryKey`) and additionally ride as
+  * `pk=` commit metadata (DESCRIBE HISTORY shows them);
+  * `created=false` is the IF NOT EXISTS no-op.
   */
 case class GraftCreateTableCommand(wh: Warehouse, table: String,
     spec: Warehouse.TableSpec, ifNotExists: Boolean, pk: Seq[String],
@@ -309,7 +344,9 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     AttributeReference("deleted_rows", LongType, nullable = false)(),
     // ndv-sketched columns and their CURRENT snapshot estimates
     // ("col=approx;..." — empty when none declared / sketches missing)
-    AttributeReference("ndv_estimates", StringType)())
+    AttributeReference("ndv_estimates", StringType)(),
+    // ENFORCED primary key columns (empty when none declared)
+    AttributeReference("primary_key", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, entries) = wh.loadLatest(table)
     val spec = wh.tableSpec(table)
@@ -336,7 +373,8 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
       entries.count(e => e.dv.nonEmpty && e.dvRows > 0).toLong,
       entries.map(_.dvRows).sum,
       wh.ndvEstimates(table, entries).toSeq.sorted
-        .map { case (c, n) => s"$c=$n" }.mkString(";")))
+        .map { case (c, n) => s"$c=$n" }.mkString(";"),
+      spec.primaryKey.mkString(",")))
   }
 }
 
@@ -371,10 +409,12 @@ case class GraftShowCreateCommand(wh: Warehouse, table: String,
     Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val spec = wh.tableSpec(table)
-    val cols = spec.schema.fields
+    val colDefs = spec.schema.fields
       .map(f => s"  ${f.name} ${f.dataType.sql}" +
         spec.generated.get(f.name)
           .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse(""))
+    val cols = (colDefs ++ (if (spec.primaryKey.isEmpty) Nil
+      else Seq(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")})")))
       .mkString(",\n")
     val clauses = Seq(
       if (spec.partitionBy.isEmpty) ""

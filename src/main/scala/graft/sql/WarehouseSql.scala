@@ -26,8 +26,12 @@ import graft.pipeline.Warehouse
   *     (always the LATEST committed snapshot, unlike the frozen
   *     registration-time views of [[Warehouse!.registerViews]])
   *   - `... FROM wh_t VERSION AS OF n`          → [[Warehouse!.readVersion]]
+  *     (or `VERSION AS OF '<tag>'`              → [[Warehouse!.readTag]])
   *   - `... FROM wh_t TIMESTAMP AS OF ts`       → [[Warehouse!.readTimestamp]]
   *     (newest version committed at or before ts, by manifest modtime)
+  *   - `ALTER TABLE wh_t CREATE TAG v1 [AS OF VERSION n]` / `DROP TAG
+  *     v1` / `SHOW TAGS wh_t` → [[Warehouse!.createTag]] (immutable
+  *     named versions, vacuum-pinned) / dropTag / tags
   *   - `DESCRIBE HISTORY wh_t`                  → [[Warehouse!.history]]
   *   - `DESCRIBE DETAIL wh_t`                   → manifest-backed metadata
   *   - `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]
@@ -248,8 +252,14 @@ object WarehouseSql {
 
   private val DescribeHistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
-  private val RestoreStmt =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreStmt = // version number or tag name
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+'?([\w.-]+)'?\s*;?\s*""".r
+  private val CreateTagStmt = // Iceberg's ALTER TABLE t CREATE TAG
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropTagStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+  private val ShowTagsStmt =
+    """(?is)\s*SHOW\s+TAGS\s+([\w.]+)\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val RestoreTsStmt =
@@ -309,7 +319,20 @@ object WarehouseSql {
       lookup(spark, Seq(name)).map { case (wh, t) => GraftHistoryCommand(wh, t) }
     case RestoreStmt(name, v) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
-        GraftRestoreCommand(wh, t, v.toLong) }
+        GraftRestoreCommand(wh, t,
+          if (v.forall(_.isDigit)) v.toLong
+          else wh.tags(t).getOrElse(v, throw new IllegalArgumentException(
+            s"RESTORE $name: no tag '$v'"))) }
+    case CreateTagStmt(name, tag, ver) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftCreateTagCommand(wh, t, tag,
+          Option(ver).map(_.toLong)) }
+    case DropTagStmt(name, tag) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDropTagCommand(wh, t, tag) }
+    case ShowTagsStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftShowTagsCommand(wh, t) }
     case VacuumStmt(name, keep, dry) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftVacuumCommand(wh, t,
@@ -647,7 +670,9 @@ object WarehouseSql {
     if (spark.conf.get("spark.graft.metaOnlyAgg", "true") != "true")
       return None
     val versionAsOf: Option[Long] = travel.map {
-      case (None, Some(v)) => v.toLong
+      case (None, Some(v)) =>
+        if (v.forall(_.isDigit)) v.toLong
+        else wh.tags(t).getOrElse(v, return None) // unknown tag → scan path errors
       case (Some(e), None) => wh.versionAt(t,
         evalTimestampMillis(rel.multipartIdentifier.head, e))
       case _ => return None
@@ -768,10 +793,12 @@ object WarehouseSql {
     * registered warehouse PREFIX (the target itself doesn't exist yet).
     * Column types parse through Spark's own DDL grammar after the
     * PRIMARY KEY markers are stripped — so the reference's verbatim
-    * SQLite-dialect DDL runs. PK columns are recorded as advisory
-    * commit metadata (`pk=`, visible in DESCRIBE HISTORY); uniqueness
-    * enforcement remains the anti-join/audit surface, the documented
-    * trade. A matched prefix with a malformed body FAILS (no silent
+    * SQLite-dialect DDL runs. PK columns are ENFORCED
+    * ([[Warehouse.TableSpec.primaryKey]] — NULL keys, batch duplicates
+    * and live-row collisions all reject the write, the reference's
+    * Postgres semantics) and also ride as `pk=` commit metadata
+    * (visible in DESCRIBE HISTORY). A matched prefix with a malformed
+    * body FAILS (no silent
     * fall-through to the delegate's different CREATE TABLE semantics).
     */
   private[sql] def parseCreateTable(spark: SparkSession,
@@ -862,7 +889,8 @@ object WarehouseSql {
             bloomExpectedItems = bloomItems.getOrElse(1000000L),
             bloomFpp = bloomFpp.getOrElse(0.03),
             bucketBy = bucketBy, numBuckets = numBuckets,
-            generated = gen.result()),
+            generated = gen.result(),
+            primaryKey = pk.result()),
           ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
       }
     case _ => None
@@ -1040,7 +1068,11 @@ object WarehouseSql {
           if lookup(spark, r.multipartIdentifier).isDefined =>
         val (wh, table) = lookup(spark, r.multipartIdentifier).get
         val df = (ts, ver) match {
-          case (None, Some(v)) => wh.readVersion(table, v.toLong)
+          // a non-numeric version is a TAG name (tag grammar forbids
+          // a leading digit, so the two can never collide)
+          case (None, Some(v)) =>
+            if (v.forall(_.isDigit)) wh.readVersion(table, v.toLong)
+            else wh.readTag(table, v)
           case (Some(e), None) =>
             wh.readTimestamp(table, evalTimestampMillis(
               r.multipartIdentifier.head, e))

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Warehouse
+
+/** Named immutable version TAGS (Iceberg's `CREATE TAG`): resolution
+  * through readTag / `VERSION AS OF '<tag>'`, immutability, and the
+  * load-bearing half — vacuum PINS tagged snapshots past any retention
+  * window until the tag is dropped.
+  */
+class WarehouseTagSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val spec = Warehouse.TableSpec(
+    StructType(Seq(
+      StructField("id", LongType),
+      StructField("val", DoubleType))))
+
+  private def fresh(): (Warehouse, String) = {
+    val dir = Files.createTempDirectory("graft-tag-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" -> spec))
+    wh.bootstrap()
+    (wh, dir)
+  }
+
+  private def rows(ids: Range) = ids.map(i => (i.toLong, i * 1.0))
+    .toDF("id", "val")
+
+  test("createTag pins a version for readTag; tags are immutable; " +
+    "dropTag releases; tags die with their table") {
+    val (wh, dir) = fresh()
+    wh.append("t", rows(1 to 10))
+    val v1 = wh.createTag("t", "batch-1")
+    wh.append("t", rows(11 to 20))
+    wh.createTag("t", "batch-2")
+    assert(wh.tags("t") === Map("batch-1" -> v1, "batch-2" -> (v1 + 1)))
+    assert(wh.readTag("t", "batch-1").count() === 10L)
+    assert(wh.readTag("t", "batch-2").count() === 20L)
+    // immutable: re-pointing needs drop + create
+    intercept[IllegalArgumentException] { wh.createTag("t", "batch-1") }
+    // a numeric-looking tag could shadow VERSION AS OF n — rejected
+    intercept[IllegalArgumentException] { wh.createTag("t", "123") }
+    intercept[IllegalArgumentException] { wh.readTag("t", "nope") }
+    wh.dropTag("t", "batch-1")
+    assert(wh.tags("t").keySet === Set("batch-2"))
+    // reopen sees persisted tags
+    assert(Warehouse.open(spark, dir).tags("t") ===
+      Map("batch-2" -> (v1 + 1)))
+    wh.dropTable("t")
+    val wh2 = new Warehouse(spark, dir, specs = Map("t" -> spec))
+    wh2.bootstrap()
+    assert(wh2.tags("t") === Map.empty)
+  }
+
+  test("vacuum pins tagged snapshots: files of a tagged version survive " +
+    "any retention; dropping the tag releases them") {
+    val (wh, _) = fresh()
+    wh.append("t", rows(1 to 10))
+    wh.createTag("t", "keep-me") // v2: the 10-row snapshot
+    val tagged = wh.tags("t")("keep-me")
+    // bury the tagged version under overwrites, far past retention
+    (1 to 5).foreach(i => wh.overwrite("t", rows(100 * i to 100 * i + 3)))
+    assert(wh.vacuum("t", keepManifests = 1) >= 0L)
+    // the tagged snapshot reads in full after the vacuum
+    assert(wh.readTag("t", "keep-me").as[(Long, Double)].collect()
+      .map(_._1).toSet === (1L to 10L).toSet)
+    assert(wh.readVersion("t", tagged).count() === 10L)
+    // released: the same vacuum now collects the old snapshot's files
+    wh.dropTag("t", "keep-me")
+    assert(wh.vacuum("t", keepManifests = 1) > 0L)
+    intercept[Exception] {
+      wh.readVersion("t", tagged).collect()
+    }
+  }
+
+  test("SQL surface: CREATE/DROP TAG, SHOW TAGS, VERSION AS OF 'tag', " +
+    "RESTORE to a tag") {
+    val dir = Files.createTempDirectory("graft-tag-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" -> spec))
+    wh.bootstrap()
+    wh.registerSql("tag_")
+    spark.sql("INSERT INTO tag_t VALUES (1, 1.0), (2, 2.0)")
+    val made = spark.sql("ALTER TABLE tag_t CREATE TAG rel-1").head()
+    assert(made.getString(0) === "rel-1")
+    spark.sql("INSERT INTO tag_t VALUES (3, 3.0)")
+    spark.sql("ALTER TABLE tag_t CREATE TAG rel-2 AS OF VERSION " +
+      made.getLong(1))
+    val shown = spark.sql("SHOW TAGS tag_t")
+      .as[(String, Long)].collect().toSeq
+    assert(shown === Seq(("rel-1", made.getLong(1)),
+      ("rel-2", made.getLong(1))))
+    assert(spark.sql("SELECT count(*) FROM tag_t VERSION AS OF 'rel-1'")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM tag_t").head().getLong(0) === 3L)
+    // RESTORE accepts a tag where it accepts a version
+    spark.sql("RESTORE TABLE tag_t TO VERSION AS OF 'rel-1'")
+    assert(spark.sql("SELECT count(*) FROM tag_t").head().getLong(0) === 2L)
+    spark.sql("ALTER TABLE tag_t DROP TAG rel-2")
+    assert(spark.sql("SHOW TAGS tag_t").count() === 1L)
+  }
+}
