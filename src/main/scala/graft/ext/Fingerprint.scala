@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ORDER-INVARIANT DATASET CONTENT FINGERPRINT — one 60-bit value that
+  * identifies a dataset's CONTENT (multiset of rows over the chosen
+  * columns), independent of row order, partitioning, and file layout.
+  * The training-data reproducibility primitive: fingerprint the corpus
+  * a run trained on, tag the snapshot ([[graft.pipeline.Warehouse!
+  * .createTag]]), and any later reader can prove bit-identity of "what
+  * the model saw" with one aggregate — across engines.
+  *
+  * Construction: per row, the first 15 hex chars (60 bits) of
+  * `md5(concat_ws('|', canonical column strings))`, parsed as a long;
+  * the dataset value is the `bit_xor` fold. Chosen for PORTABILITY
+  * over speed: md5/concat_ws/substr/hex-parse/bit_xor evaluate
+  * bit-identically in Spark, DuckDB, Postgres, Trino — so the
+  * fingerprint can be independently recomputed outside Spark (xxhash64
+  * would be faster but is Spark-private). XOR makes the fold
+  * order-invariant, shuffle-free (one partial agg per partition + a
+  * 1-row merge) and overflow-free; like any multiset-XOR scheme, a row
+  * appearing an EVEN number of times cancels — fingerprint tables
+  * with a primary key or dedup first (documented trade; sum-mod-2^60
+  * would weigh multiplicity but costs portability of overflow
+  * semantics).
+  *
+  * Scale shape: one codegen'd projection + partial aggregate — no
+  * shuffle, no driver materialization beyond a single long.
+  *
+  * NULL canonicalization: `coalesce(cast(c AS string), chr(0))` — the
+  * NUL sentinel keeps NULL distinct from the empty string (chr(0)
+  * cannot appear in parquet string data read back as UTF-8 text
+  * columns in these pipelines; callers with binary-ish strings should
+  * pre-encode). Floating columns should be cast to a fixed DECIMAL by
+  * the caller first — float→string formatting is the one expression
+  * here that engines do NOT agree on.
+  */
+object Fingerprint {
+
+  /** The per-row 60-bit key over the given columns (already-canonical
+    * string rendering per the object doc).
+    */
+  def rowKey(cols: Seq[Column]): Column =
+    conv(substring(md5(
+      concat_ws("|", cols.map(c => coalesce(c.cast("string"),
+        lit("\u0000"))): _*)), 1, 15), 16, 10).cast("long")
+
+  /** The dataset fingerprint: `bit_xor` of [[rowKey]] over `df`.
+    * Returns 0 for an empty dataset (the XOR identity).
+    */
+  def dataset(df: DataFrame, cols: Seq[String]): Long = {
+    val r = df.agg(bit_xor(rowKey(cols.map(df.col))).as("fp")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+}
+
+/** INCREMENTALLY MAINTAINED dataset fingerprint over a warehouse
+  * table. XOR is retraction-exact and SELF-INVERSE, so the change feed
+  * maintains the fingerprint for free: fold [[Fingerprint.rowKey]]
+  * over EVERY feed row, sign-blind — a genuine insert XORs its key in,
+  * a genuine delete XORs the same key out, an update's −old/+new pair
+  * swaps them, and the −1/+1 pairs a rewrite re-emits for untouched
+  * rows cancel to zero by parity. Refresh cost is therefore the
+  * commits' TOUCHED FILES, never the corpus — at 100 TB, verifying
+  * "the table still has exactly the content tag X pinned" is a
+  * metadata read of one stored long.
+  *
+  * State is one row in a warehouse table (`<src>_fp` by default):
+  * (cols, fp, src_version) — committed via [[graft.pipeline.Warehouse!
+  * .overwrite]], so a crash leaves the old watermark and the re-run
+  * folds the same feed again (idempotent: the fold is a pure function
+  * of (stored version, head)). A GC'd feed (eager-GC warehouses) or a
+  * column-set change falls back to one full recompute — same contract
+  * as the materialized-view layer's `changeFeedReadable` fallback.
+  */
+object FingerprintStore {
+
+  import org.apache.spark.sql.types._
+  import graft.pipeline.Warehouse
+
+  private def storeSpec = Warehouse.TableSpec(StructType(Seq(
+    StructField("cols", StringType),
+    StructField("fp", LongType),
+    StructField("src_version", LongType))))
+
+  /** Bring the stored fingerprint up to `src`'s head and return
+    * (fingerprint, source version it reflects).
+    */
+  def refresh(wh: Warehouse, src: String, cols: Seq[String],
+      store: String = ""): (Long, Long) = {
+    val name = if (store.isEmpty) s"${src}_fp" else store
+    wh.createTable(name, storeSpec, ifNotExists = true)
+    val head = wh.versions(src).max
+    val colSig = cols.mkString(",")
+    val cur = wh.read(name).collect().headOption
+      .filter(_.getString(0) == colSig)
+    val fp = cur match {
+      case Some(r) if r.getLong(2) == head => return (r.getLong(1), head)
+      case Some(r) if wh.changeFeedReadable(src, r.getLong(2)) =>
+        // sign-blind XOR fold of the feed — see the object doc
+        val feed = wh.readChangeFeed(src, r.getLong(2))
+        val d = feed.agg(
+          bit_xor(Fingerprint.rowKey(cols.map(feed.col))).as("d")).head()
+        r.getLong(1) ^ (if (d.isNullAt(0)) 0L else d.getLong(0))
+      case _ => Fingerprint.dataset(wh.read(src), cols)
+    }
+    wh.overwrite(name, singleRow(colSig, fp, head))
+    (fp, head)
+  }
+
+  private def singleRow(colSig: String, fp: Long, v: Long): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(colSig, fp, v)),
+      storeSpec.schema)
+  }
+}

@@ -4364,7 +4364,72 @@ object LlmQueries extends QueryPack {
         UNION ALL
         SELECT 'tag', grp, count(*), round(sum(val), 2)
         FROM base GROUP BY grp
-        ORDER BY side, grp"""))
+        ORDER BY side, grp""")),
+
+    // ---- q156: DATASET CONTENT FINGERPRINT × TAGS — the training-
+    // data reproducibility primitive. An order-invariant 60-bit
+    // content hash (md5 → 15 hex chars → bit_xor fold; every piece
+    // evaluates bit-identically in Spark AND DuckDB, which is exactly
+    // what the cross-engine oracle proves) identifies "what the model
+    // saw" with one shuffle-free aggregate — no row comparison, no
+    // ordering, no layout assumptions. The 'tag' side computes it
+    // directly over the pinned snapshot; the 'now' side comes from
+    // the INCREMENTALLY MAINTAINED FingerprintStore: its watermark is
+    // set right after the load, so the copy-on-write DELETE and
+    // UPDATE reach it only through the change feed's sign-blind XOR
+    // fold (touched files only, never the corpus) — a wrong fold
+    // lands a wrong long and the cross-engine hash breaks.
+    Q("q156_warehouse_snapshot_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q156-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true, // keep the feed consumable (class doc)
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("fp156_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("id"),
+            col("o_orderstatus").as("grp"),
+            col("o_totalprice").cast("decimal(12,2)").as("val"))
+          .createOrReplaceTempView("fp156_src")
+        s.sql("""CREATE TABLE fp156_t (
+                   id BIGINT, grp STRING, val DECIMAL(12,2))""")
+        s.sql("INSERT INTO fp156_t SELECT * FROM fp156_src")
+        s.sql("ALTER TABLE fp156_t CREATE TAG v-data")
+        val cols = Seq("id", "grp", "val")
+        // baseline the store HERE: everything after folds incrementally
+        graft.ext.FingerprintStore.refresh(wh, "t", cols)
+        s.sql("DELETE FROM fp156_t WHERE id % 3 = 0")
+        s.sql("UPDATE fp156_t SET val = val + 1 WHERE grp = 'F'")
+        val fpTag = graft.ext.Fingerprint.dataset(
+          wh.readTag("t", "v-data"), cols)
+        val (fpNow, _) = graft.ext.FingerprintStore.refresh(wh, "t", cols)
+        Seq(("now", fpNow), ("tag", fpTag)).toDF("side", "fp")
+          .orderBy("side")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS val
+          FROM orders),
+        now AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'F' THEN val + 1 ELSE val END AS val
+          FROM base WHERE id % 3 <> 0),
+        key AS (
+          SELECT CAST('0x' || substr(md5(concat_ws('|',
+                   coalesce(CAST(id AS VARCHAR), chr(0)),
+                   coalesce(CAST(grp AS VARCHAR), chr(0)),
+                   coalesce(CAST(val AS VARCHAR), chr(0)))), 1, 15)
+                 AS BIGINT) AS k, 'now' AS side FROM now
+          UNION ALL
+          SELECT CAST('0x' || substr(md5(concat_ws('|',
+                   coalesce(CAST(id AS VARCHAR), chr(0)),
+                   coalesce(CAST(grp AS VARCHAR), chr(0)),
+                   coalesce(CAST(val AS VARCHAR), chr(0)))), 1, 15)
+                 AS BIGINT), 'tag' FROM base)
+        SELECT side, bit_xor(k) AS fp FROM key
+        GROUP BY side ORDER BY side"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
