@@ -1054,20 +1054,59 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   private[graft] def pointCandidates(name: String, column: String,
-      value: Any, entries: Seq[FileEntry]): Seq[FileEntry] = {
-    import org.apache.spark.sql.types._
-    // Normalize the probe against the column's DECLARED type before any
-    // skipping: manifest stats and bloom sidecars are encoded per column
-    // type (widened longs for integrals, bytes for strings/binary), so a
-    // probe whose runtime class mismatches the column — readPoint("t",
-    // "key", 42) on a StringType key, a fractional Double on an integral
-    // column — must never be encoded and tested: it would skip files
-    // that DO contain rows matching the caller's coercing predicate.
-    // Any mismatch keeps ALL files (skipping is purely an optimization;
-    // keep-all can never change a result).
+      value: Any, entries: Seq[FileEntry]): Seq[FileEntry] =
+    pointCandidatesMulti(name, column, Seq(value), entries)
+
+  /** [[pointCandidates]] for a SET of probe values: a file survives if
+    * it might contain ANY of them. Stat ranges and each file's bloom
+    * sidecar are tested against all values with the sidecar loaded
+    * ONCE per file — the batched form the PRIMARY KEY collision probe
+    * needs (per-value calls would reload every bloom |values| times).
+    */
+  private[graft] def pointCandidatesMulti(name: String, column: String,
+      values: Seq[Any], entries: Seq[FileEntry]): Seq[FileEntry] = {
     val colType = specsNow(name).schema.fields
       .find(_.name == column).map(_.dataType)
-    val probe: Option[Any] = (colType, value) match {
+    // any unencodable value disables skipping wholesale (keep-all can
+    // never change a result; a partial prune could)
+    val probes = values.map(v => encodeProbe(name, colType, v))
+    if (probes.isEmpty || probes.exists(_.isEmpty)) return entries
+    val ps = probes.map(_.get)
+    val longs = ps.collect { case l: Long => l }
+    val statKept =
+      if (longs.size == ps.size)
+        entries.filter(_.stats.get(column).forall { case (lo, hi) =>
+          longs.exists(l => l >= lo && l <= hi) })
+      else entries
+    if (!specsNow(name).bloomColumns.contains(column)) return statKept
+    val fs = fileSystem
+    statKept.filter { e =>
+      val p = new Path(bloomDir(name), bloomFileName(e.rel, column))
+      if (!fs.exists(p)) true
+      else {
+        val in = fs.open(p)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+        ps.exists(graft.plans.BloomAgg.mightContain(bf, _))
+      }
+    }
+  }
+
+  /** Normalize a probe value against the column's DECLARED type before
+    * any skipping: manifest stats and bloom sidecars are encoded per
+    * column type (widened longs for integrals, bytes for strings/
+    * binary), so a probe whose runtime class mismatches the column —
+    * readPoint("t", "key", 42) on a StringType key, a fractional
+    * Double on an integral column — must never be encoded and tested:
+    * it would skip files that DO contain rows matching the caller's
+    * coercing predicate. Any mismatch keeps ALL files (skipping is
+    * purely an optimization; keep-all can never change a result).
+    */
+  private def encodeProbe(name: String,
+      colType: Option[org.apache.spark.sql.types.DataType],
+      value: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (colType, value) match {
       case (Some(ByteType | ShortType | IntegerType | LongType),
             n @ (_: Byte | _: Short | _: Int | _: Long)) =>
         Some(n.asInstanceOf[Number].longValue())
@@ -1102,30 +1141,6 @@ class Warehouse(spark: SparkSession, dir: String,
       case (Some(DateType), n @ (_: Byte | _: Short | _: Int | _: Long)) =>
         Some(n.asInstanceOf[Number].longValue())
       case _ => None
-    }
-    probe match {
-      case None => entries
-      case Some(v) =>
-        // stat prune only on the lossless integral encoding; strings and
-        // binary have no long-encoded footer stats to test
-        val statKept = v match {
-          case l: Long =>
-            entries.filter(_.stats.get(column)
-              .forall { case (lo, hi) => l >= lo && l <= hi })
-          case _ => entries
-        }
-        if (!specsNow(name).bloomColumns.contains(column)) return statKept
-        val fs = fileSystem
-        statKept.filter { e =>
-          val p = new Path(bloomDir(name), bloomFileName(e.rel, column))
-          if (!fs.exists(p)) true
-          else {
-            val in = fs.open(p)
-            val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                     finally in.close()
-            graft.plans.BloomAgg.mightContain(bf, v)
-          }
-        }
     }
   }
 
@@ -3956,17 +3971,40 @@ class Warehouse(spark: SparkSession, dir: String,
   private def probePrimaryKey(name: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     val pk = specsNow(name).primaryKey
+    val (v, entries) = loadLatest(name)
+    if (v == 0L || entries.isEmpty) return
+    // BLOOM file skip (the string-key story footer stats can't give):
+    // for PK columns with sidecars, collect the batch's distinct keys
+    // (driver-bounded — an over-cap batch just skips this prune) and
+    // drop files no key might live in, loading each sidecar once
+    val bloomPk = pk.filter(specsNow(name).bloomColumns.contains)
+    var candidates = entries
+    if (bloomPk.nonEmpty) {
+      val cap = 65536
+      val rows = df.select(bloomPk.map(col): _*).distinct()
+        .limit(cap + 1).collect()
+      if (rows.isEmpty) return // empty batch — nothing to probe
+      if (rows.length <= cap)
+        bloomPk.zipWithIndex.foreach { case (c, i) =>
+          candidates = pointCandidatesMulti(name, c,
+            rows.map(_.get(i)).toSeq.distinct, candidates)
+        }
+      if (candidates.isEmpty) return // every file bloom-excluded
+    }
     val stats = statColumns(name)
     val rangeCols = pk.filter(stats.contains)
+    val base = dfFor(name, candidates)
     val pruned =
-      if (rangeCols.isEmpty) read(name)
+      if (rangeCols.isEmpty) base
       else {
         val aggs = rangeCols.flatMap(c =>
           Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         // an empty batch has null extrema — nothing to probe
         if (row.isNullAt(0)) return
-        rangeCols.zipWithIndex.foldLeft(read(name)) { case (d, (c, i)) =>
+        // range predicates reach the manifest-planned scan, so footer
+        // stats skip non-overlapping files at plan time
+        rangeCols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
           d.where(col(c) >= lit(row.get(2 * i)) &&
             col(c) <= lit(row.get(2 * i + 1)))
         }

@@ -95,6 +95,40 @@ class WarehousePkSpec extends SparkSpec {
     intercept[Exception] { wh.append("t", rows(Seq(10050L))) }
   }
 
+  test("STRING-key collision probe file-skips by BLOOM sidecars (no " +
+    "footer stats for strings): corrupted non-matching files unread") {
+    val dir = Files.createTempDirectory("graft-pk-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" ->
+      Warehouse.TableSpec(
+        StructType(Seq(
+          StructField("id", StringType),
+          StructField("val", DoubleType))),
+        bloomColumns = Seq("id"), bloomFpp = 0.001,
+        primaryKey = Seq("id"))))
+    wh.bootstrap()
+    def srows(p: String, n: Range) = n.map(i => (s"$p$i", i * 1.0))
+      .toDF("id", "val")
+    wh.append("t", srows("a", 1 to 100))
+    val before = wh.loadLatest("t")._2.map(_.rel).toSet
+    wh.append("t", srows("b", 1 to 100))
+    // corrupt the b-batch's files: readable only if the probe fails
+    // to bloom-skip them
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val victims = wh.loadLatest("t")._2.filterNot(e => before(e.rel))
+    assert(victims.nonEmpty)
+    victims.foreach { e =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/t/${e.rel}"),
+        true)
+      out.write("not parquet".getBytes); out.close()
+    }
+    // fresh keys: every file's bloom excludes them -> nothing is read
+    wh.append("t", srows("c", 1 to 5))
+    // a key IN the corrupted batch: its bloom attests "maybe", the file
+    // must be read, and the corruption surfaces
+    intercept[Exception] { wh.append("t", srows("b", 5 to 5)) }
+  }
+
   test("concurrent same-key appends serialize: the conflict re-probe " +
     "rejects the second writer") {
     val (wh, dir) = fresh()
