@@ -2877,6 +2877,16 @@ class Warehouse(spark: SparkSession, dir: String,
       validFrom: String = "valid_from", validTo: String = "valid_to",
       currentFlag: String = "is_current"): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, lit, not, when}
+    // an SCD2 table VERSIONS its business key — a PK on the bare key
+    // would be violated by the first real update, and this path writes
+    // through writeBatch (no append-side probe), so reject the
+    // mis-modeling up front: either no PK, or one that includes the
+    // version discriminator (key..., validFrom)
+    val pkCols = specsNow(name).primaryKey
+    require(pkCols.isEmpty || pkCols.toSet == (keys :+ validFrom).toSet,
+      s"scdMerge $name: an SCD2 table's PRIMARY KEY must be empty or " +
+        s"exactly (${(keys :+ validFrom).mkString(", ")}) — versions " +
+        "share the business key by design")
     val schema = tables(name)
     val book = Seq(validFrom, validTo, currentFlag)
     (keys ++ book).foreach(c => require(schema.fieldNames.contains(c),
@@ -4436,8 +4446,9 @@ object Warehouse {
     *   or [[bloomColumns]] (equality skipping) so the probe reads only
     *   files whose key range can overlap the batch; without either it
     *   scans. [[scdMerge]] tables version their keys by design — give
-    *   them no `primaryKey` (uniqueness there is per current-flag, an
-    *   audit-surface concern).
+    *   them no `primaryKey`, or exactly (keys..., validFrom) (the
+    *   version-discriminated identity; scdMerge rejects anything
+    *   else up front).
     */
   /** Thrown when a write would violate a declared CHECK constraint; the
     * commit never happens (the staged files are garbage the next vacuum

@@ -192,6 +192,12 @@ class WarehousePkSpec extends SparkSpec {
       Seq("id"),
       matchedUpdate = Some((None, Map("grp" -> col("src_grp")))))
     assert(wh.read("t").where($"id" === 2L).head().getString(1) === "gZ")
+    // an SCD2 merge on a bare-business-key PK is a modeling error —
+    // versions share the key by design; rejected before any write
+    val scd = intercept[IllegalArgumentException] {
+      wh.scdMerge("t", rows(Seq(1L)), Seq("id"), lit("2026-01-01"))
+    }
+    assert(scd.getMessage.contains("SCD2"))
   }
 
   test("appendQuarantine routes PK violations: null keys, ALL batch-dup " +
