@@ -2536,9 +2536,15 @@ class Warehouse(spark: SparkSession, dir: String,
           .partitionBy(pk.map(col): _*)
         val dupOrNull = pk.map(c => col(c).isNull).reduce(_ || _) ||
           (count(lit(1)).over(w) > 1)
-        val existing = read(name).select(pk.map(col): _*).distinct()
-          .withColumn("__gf_pk_hit", lit(true))
-        checkTagged.join(existing, pk, "left")
+        // collision scope is file-skipped like the append probe —
+        // quarantine tagging costs batch-overlapping files, not the
+        // table (None = nothing live can collide)
+        val existing = pkProbeScope(name, checkTagged)
+          .map(_.select(pk.map(col): _*).distinct()
+            .withColumn("__gf_pk_hit", lit(true)))
+        existing.map(checkTagged.join(_, pk, "left"))
+          .getOrElse(checkTagged.withColumn("__gf_pk_hit",
+            lit(null).cast("boolean")))
           .withColumn("violation",
             when(col("violation").isNotNull, col("violation"))
               .when(dupOrNull || col("__gf_pk_hit"), lit("primary_key")))
@@ -3979,54 +3985,67 @@ class Warehouse(spark: SparkSession, dir: String,
     * appends of the same key cannot both land.
     */
   private def probePrimaryKey(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val pk = specsNow(name).primaryKey
+    pkProbeScope(name, df).foreach { pruned =>
+      val hit = pruned.join(df.select(pk.map(col): _*), pk, "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty) {
+        val r = hit.head
+        throw Warehouse.PrimaryKeyViolation(name, pk,
+          "key already exists in table: " +
+            pk.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+      }
+    }
+  }
+
+  /** The live-table scan a batch's PK probe needs, file-skipped two
+    * ways BEFORE a row is read — None when nothing can collide (empty
+    * table, empty batch, or every file excluded):
+    *   - BLOOM sidecars (the string-key story footer stats can't
+    *     give): for PK columns in `bloomColumns`, the batch's distinct
+    *     keys (driver-bounded — an over-cap batch just skips this
+    *     prune) drop files no key might live in, each sidecar loaded
+    *     once ([[pointCandidatesMulti]]);
+    *   - footer-stat ranges: the batch's key extrema become range
+    *     predicates that the manifest-planned scan prunes by at plan
+    *     time for PK columns in `statColumns`.
+    * Shared by [[probePrimaryKey]] (append-family enforcement) and
+    * [[appendQuarantine]]'s collision tagging, so both cost
+    * batch-overlapping files, never the table.
+    */
+  private def pkProbeScope(name: String,
+      df: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     val pk = specsNow(name).primaryKey
     val (v, entries) = loadLatest(name)
-    if (v == 0L || entries.isEmpty) return
-    // BLOOM file skip (the string-key story footer stats can't give):
-    // for PK columns with sidecars, collect the batch's distinct keys
-    // (driver-bounded — an over-cap batch just skips this prune) and
-    // drop files no key might live in, loading each sidecar once
+    if (v == 0L || entries.isEmpty) return None
     val bloomPk = pk.filter(specsNow(name).bloomColumns.contains)
     var candidates = entries
     if (bloomPk.nonEmpty) {
       val cap = 65536
       val rows = df.select(bloomPk.map(col): _*).distinct()
         .limit(cap + 1).collect()
-      if (rows.isEmpty) return // empty batch — nothing to probe
+      if (rows.isEmpty) return None // empty batch — nothing to probe
       if (rows.length <= cap)
         bloomPk.zipWithIndex.foreach { case (c, i) =>
           candidates = pointCandidatesMulti(name, c,
             rows.map(_.get(i)).toSeq.distinct, candidates)
         }
-      if (candidates.isEmpty) return // every file bloom-excluded
+      if (candidates.isEmpty) return None // every file bloom-excluded
     }
-    val stats = statColumns(name)
-    val rangeCols = pk.filter(stats.contains)
+    val rangeCols = pk.filter(statColumns(name).contains)
     val base = dfFor(name, candidates)
-    val pruned =
-      if (rangeCols.isEmpty) base
-      else {
-        val aggs = rangeCols.flatMap(c =>
-          Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        // an empty batch has null extrema — nothing to probe
-        if (row.isNullAt(0)) return
-        // range predicates reach the manifest-planned scan, so footer
-        // stats skip non-overlapping files at plan time
-        rangeCols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
-          d.where(col(c) >= lit(row.get(2 * i)) &&
-            col(c) <= lit(row.get(2 * i + 1)))
-        }
-      }
-    val hit = pruned.join(df.select(pk.map(col): _*), pk, "left_semi")
-      .limit(1).collect()
-    if (hit.nonEmpty) {
-      val r = hit.head
-      throw Warehouse.PrimaryKeyViolation(name, pk,
-        "key already exists in table: " +
-          pk.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
-    }
+    if (rangeCols.isEmpty) return Some(base)
+    val aggs = rangeCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // an empty batch has null extrema — nothing to probe
+    if (row.isNullAt(0)) return None
+    Some(rangeCols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
+      d.where(col(c) >= lit(row.get(2 * i)) &&
+        col(c) <= lit(row.get(2 * i + 1)))
+    })
   }
 
   /** [[enforceChecks]] against an EXPLICIT constraint set — the form

@@ -199,6 +199,50 @@ case class GraftShowTagsCommand(wh: Warehouse, table: String)
     wh.tags(table).toSeq.sortBy(_._1).map { case (t, v) => Row(t, v) }
 }
 
+/** `SHOW FILES wh_t`: the HEAD manifest's file inventory, one row per
+  * live entry — path, bytes, footer row count, deletion-vector rows,
+  * and the encoded footer stats ("col=[lo,hi];...") — pure driver-side
+  * metadata (no listing, no data read), the Iceberg `files` metadata
+  * table's job.
+  */
+case class GraftShowFilesCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("row_count", LongType)(), // null for pre-count files
+    AttributeReference("dv_rows", LongType, nullable = false)(),
+    AttributeReference("stats", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, entries) = wh.loadLatest(table)
+    entries.sortBy(_.rel).map { e =>
+      Row(e.rel, e.bytes,
+        if (e.rows < 0L) null else Long.box(e.rows),
+        e.dvRows,
+        e.stats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=[$lo,$hi]" }.mkString(";"))
+    }
+  }
+}
+
+/** `REFRESH FINGERPRINT wh_t [COLUMNS (a, b, ...)]` →
+  * [[graft.ext.FingerprintStore]].refresh: bring the incrementally
+  * maintained content fingerprint to the table's head and return it.
+  * Default column set = the full schema in spec order.
+  */
+case class GraftRefreshFingerprintCommand(wh: Warehouse, table: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("fingerprint", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val use = if (cols.nonEmpty) cols
+      else wh.tables(table).fieldNames.toSeq
+    val (fp, v) = graft.ext.FingerprintStore.refresh(wh, table, use)
+    Seq(Row(fp, v))
+  }
+}
+
 /** `CREATE TABLE [IF NOT EXISTS] <prefix><t> (...)` →
   * [[Warehouse!.createTable]], then re-registration so the new name
   * routes for every following statement of the lifecycle. PK columns

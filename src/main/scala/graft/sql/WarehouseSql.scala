@@ -32,6 +32,11 @@ import graft.pipeline.Warehouse
   *   - `ALTER TABLE wh_t CREATE TAG v1 [AS OF VERSION n]` / `DROP TAG
   *     v1` / `SHOW TAGS wh_t` → [[Warehouse!.createTag]] (immutable
   *     named versions, vacuum-pinned) / dropTag / tags
+  *   - `SHOW FILES wh_t` → the head manifest's file inventory (bytes,
+  *     row counts, DV rows, footer stats) — driver metadata only
+  *   - `REFRESH FINGERPRINT wh_t [COLUMNS (a, b)]` →
+  *     [[graft.ext.FingerprintStore]].refresh (incrementally
+  *     maintained order-invariant content hash)
   *   - `DESCRIBE HISTORY wh_t`                  → [[Warehouse!.history]]
   *   - `DESCRIBE DETAIL wh_t`                   → manifest-backed metadata
   *   - `RESTORE [TABLE] wh_t [TO] VERSION AS OF n` → [[Warehouse!.restore]]
@@ -260,6 +265,10 @@ object WarehouseSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
   private val ShowTagsStmt =
     """(?is)\s*SHOW\s+TAGS\s+([\w.]+)\s*;?\s*""".r
+  private val ShowFilesStmt = // manifest-backed file inventory
+    """(?is)\s*SHOW\s+FILES\s+([\w.]+)\s*;?\s*""".r
+  private val RefreshFingerprintStmt = // incremental content fingerprint
+    """(?is)\s*REFRESH\s+FINGERPRINT\s+([\w.]+)(?:\s+COLUMNS\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val RestoreTsStmt =
@@ -333,6 +342,14 @@ object WarehouseSql {
     case ShowTagsStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftShowTagsCommand(wh, t) }
+    case ShowFilesStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftShowFilesCommand(wh, t) }
+    case RefreshFingerprintStmt(name, cols) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftRefreshFingerprintCommand(wh, t,
+          Option(cols).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim).filter(_.nonEmpty)) }
     case VacuumStmt(name, keep, dry) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftVacuumCommand(wh, t,

@@ -103,4 +103,30 @@ class WarehouseTagSpec extends SparkSpec {
     spark.sql("ALTER TABLE tag_t DROP TAG rel-2")
     assert(spark.sql("SHOW TAGS tag_t").count() === 1L)
   }
+
+  test("SHOW FILES inventories the head manifest; REFRESH FINGERPRINT " +
+    "maintains the content hash through SQL DML") {
+    val dir = Files.createTempDirectory("graft-tag-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = true,
+      specs = Map("t" -> spec.copy(statColumns = Seq("id"))))
+    wh.bootstrap()
+    wh.registerSql("tsf_")
+    spark.sql("INSERT INTO tsf_t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val files = spark.sql("SHOW FILES tsf_t").collect()
+    assert(files.nonEmpty)
+    assert(files.map(r => r.getLong(r.fieldIndex("row_count"))).sum === 3L)
+    assert(files.forall(_.getAs[String]("stats").startsWith("id=[")))
+    val fp1 = spark.sql("REFRESH FINGERPRINT tsf_t").head()
+    spark.sql("DELETE FROM tsf_t WHERE id = 2")
+    val fp2 = spark.sql("REFRESH FINGERPRINT tsf_t").head()
+    assert(fp1.getLong(0) !== fp2.getLong(0))
+    assert(fp2.getLong(1) === wh.versions("t").max)
+    // the incremental answer equals a direct recompute
+    assert(fp2.getLong(0) === graft.ext.Fingerprint.dataset(
+      wh.read("t"), Seq("id", "val")))
+    // COLUMNS (...) scopes the hash (different column set, own store)
+    val fpId = spark.sql("REFRESH FINGERPRINT tsf_t COLUMNS (id)").head()
+    assert(fpId.getLong(0) === graft.ext.Fingerprint.dataset(
+      wh.read("t"), Seq("id")))
+  }
 }
