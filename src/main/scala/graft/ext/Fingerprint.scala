@@ -39,12 +39,16 @@ import org.apache.spark.sql.functions._
 object Fingerprint {
 
   /** The per-row 60-bit key over the given columns (already-canonical
-    * string rendering per the object doc).
+    * string rendering per the object doc). Each field is md5-hashed
+    * BEFORE joining, so field boundaries are fixed-width hex and a
+    * delimiter character inside a value can never shift content across
+    * columns — ("a|b", "c") and ("a", "b|c") key differently (the
+    * classic concat-injection alias a bare concat_ws would have).
     */
   def rowKey(cols: Seq[Column]): Column =
     conv(substring(md5(
-      concat_ws("|", cols.map(c => coalesce(c.cast("string"),
-        lit("\u0000"))): _*)), 1, 15), 16, 10).cast("long")
+      concat_ws("|", cols.map(c => md5(coalesce(c.cast("string"),
+        lit("\u0000")))): _*)), 1, 15), 16, 10).cast("long")
 
   /** The dataset fingerprint: `bit_xor` of [[rowKey]] over `df`.
     * Returns 0 for an empty dataset (the XOR identity).
@@ -86,24 +90,38 @@ object FingerprintStore {
 
   /** Bring the stored fingerprint up to `src`'s head and return
     * (fingerprint, source version it reflects).
+    *
+    * Concurrency: the target version is pinned FIRST and both the feed
+    * fold and the recompute fallback read exactly that snapshot — a
+    * commit racing the refresh is simply the next refresh's delta,
+    * never double-folded (XOR would cancel a re-folded row out).
+    *
+    * @param store state-table override. The default derives from the
+    *   COLUMN SET (`<src>_fp` for the full schema in spec order, else
+    *   `<src>_fp_<sig>`), so differently-scoped fingerprints keep
+    *   independent watermarks instead of clobbering one store into
+    *   perpetual full recomputes.
     */
   def refresh(wh: Warehouse, src: String, cols: Seq[String],
       store: String = ""): (Long, Long) = {
-    val name = if (store.isEmpty) s"${src}_fp" else store
+    val colSig = cols.mkString(",")
+    val name =
+      if (store.nonEmpty) store
+      else if (cols == wh.tables(src).fieldNames.toSeq) s"${src}_fp"
+      else f"${src}_fp_${colSig.hashCode & 0x7fffffff}%08x"
     wh.createTable(name, storeSpec, ifNotExists = true)
     val head = wh.versions(src).max
-    val colSig = cols.mkString(",")
     val cur = wh.read(name).collect().headOption
       .filter(_.getString(0) == colSig)
     val fp = cur match {
       case Some(r) if r.getLong(2) == head => return (r.getLong(1), head)
       case Some(r) if wh.changeFeedReadable(src, r.getLong(2)) =>
         // sign-blind XOR fold of the feed — see the object doc
-        val feed = wh.readChangeFeed(src, r.getLong(2))
+        val feed = wh.readChangeFeed(src, r.getLong(2), head)
         val d = feed.agg(
           bit_xor(Fingerprint.rowKey(cols.map(feed.col))).as("d")).head()
         r.getLong(1) ^ (if (d.isNullAt(0)) 0L else d.getLong(0))
-      case _ => Fingerprint.dataset(wh.read(src), cols)
+      case _ => Fingerprint.dataset(wh.readVersion(src, head), cols)
     }
     wh.overwrite(name, singleRow(colSig, fp, head))
     (fp, head)

@@ -1176,9 +1176,18 @@ class Warehouse(spark: SparkSession, dir: String,
           enforcePrimaryKey(name, df, probeLive = false)
           writeBatch(name, df)
         case None =>
-          if (fs.exists(p)) FsListing.dataFiles(path(name))
-            .map { case (rel, bytes) =>
-              FileEntry(rel, bytes, Map.empty[String, (Long, Long)]) }
+          if (fs.exists(p)) {
+            val adopted = FsListing.dataFiles(path(name))
+              .map { case (rel, bytes) =>
+                FileEntry(rel, bytes, Map.empty[String, (Long, Long)]) }
+            // a PK-declared spec must not adopt a legacy directory's
+            // violations silently — DESCRIBE DETAIL would advertise an
+            // invariant the data breaks from v1
+            if (specsNow(name).primaryKey.nonEmpty && adopted.nonEmpty)
+              enforcePrimaryKey(name, dfFor(name, adopted),
+                probeLive = false)
+            adopted
+          }
           else {
             val empty = spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], tables(name))
@@ -1624,20 +1633,34 @@ class Warehouse(spark: SparkSession, dir: String,
     * `retainReplaced=true` (or consume before vacuuming past
     * `sinceVersion`); missing files fail fast here like [[readVersion]].
     */
-  def readChangeFeed(name: String, sinceVersion: Long): DataFrame = {
+  def readChangeFeed(name: String, sinceVersion: Long): DataFrame =
+    readChangeFeed(name, sinceVersion, loadLatest(name)._1)
+
+  /** [[readChangeFeed]] PINNED to an explicit end version — the form a
+    * watermark-keeping consumer needs under concurrent writers: compute
+    * the target version FIRST, fold the feed to exactly it, store the
+    * same number as the new watermark. Folding "to latest" instead
+    * races any commit landing between the watermark read and the feed's
+    * own snapshot (the delta would be folded now AND re-folded on the
+    * next refresh).
+    */
+  def readChangeFeed(name: String, sinceVersion: Long,
+      toVersion: Long): DataFrame = {
     require(versions(name).contains(sinceVersion),
       s"$name has no manifest v$sinceVersion to diff from")
+    require(versions(name).contains(toVersion),
+      s"$name has no manifest v$toVersion to diff to")
     val before = loadAt(name, sinceVersion)
-    val latest = loadLatest(name)._2
+    val after = loadAt(name, toVersion)
     val fs = fileSystem
-    val latestSet = latest.map(_.rel).toSet
-    val gone = before.filterNot(e => latestSet(e.rel))
+    val afterSet = after.map(_.rel).toSet
+    val gone = before.filterNot(e => afterSet(e.rel))
       .filterNot(e => fs.exists(new Path(path(name), e.rel)))
     require(gone.isEmpty,
       s"$name change feed since v$sinceVersion unreadable: ${gone.size} " +
         s"removed file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
         "warehouse with retainReplaced=true to keep feeds consumable")
-    changeFeedDf(name, before, latest, isStreaming = false)
+    changeFeedDf(name, before, after, isStreaming = false)
   }
 
   /** [[readChangeFeed]] with PER-COMMIT ATTRIBUTION — Delta CDF's
@@ -1711,9 +1734,13 @@ class Warehouse(spark: SparkSession, dir: String,
     *   −1  rows a GROWN DELETION VECTOR removed from a file present on
     *       both sides (the merge-on-read delete's retractions: exactly
     *       the positions in dvNow ∖ dvThen, read back from the live
-    *       file).
+    *       file);
+    *   +1  rows a SHRUNK vector RESURRECTED (dvThen ∖ dvNow — the
+    *       [[restore]]-past-a-vectored-delete case: a rollback's
+    *       resurrections are inserts to any fold, and omitting them
+    *       would silently corrupt every incremental consumer).
     * Delta-weighted folds stay exact across copy-on-write DML,
-    * compaction, and vectored deletes alike.
+    * compaction, vectored deletes, and restores alike.
     */
   private[graft] def changeFeedDf(name: String, before: Seq[FileEntry],
       latest: Seq[FileEntry], isStreaming: Boolean): DataFrame = {
@@ -1722,23 +1749,28 @@ class Warehouse(spark: SparkSession, dir: String,
     val latestSet = latest.map(_.rel).toSet
     val added = latest.filterNot(e => beforeByRel.contains(e.rel))
     val removed = before.filterNot(e => latestSet(e.rel))
-    val dvGrown = latest.flatMap { e =>
+    val dvChanged = latest.flatMap { e =>
       beforeByRel.get(e.rel) match {
-        case Some(b) if e.dvRows > b.dvRows || (e.dv != b.dv && e.dvRows > 0) =>
+        case Some(b) if e.dv != b.dv || e.dvRows != b.dvRows =>
           val now = if (e.dv.isEmpty) Array.empty[Long]
             else readDvFile(name, e.dv)
-          val thenSet = (if (b.dv.isEmpty) Array.empty[Long]
-            else readDvFile(name, b.dv)).toSet
-          val diff = now.filterNot(thenSet)
-          if (diff.isEmpty) None else Some((e, diff))
+          val prev = if (b.dv.isEmpty) Array.empty[Long]
+            else readDvFile(name, b.dv)
+          val nowSet = now.toSet
+          val prevSet = prev.toSet
+          Some((e, now.filterNot(prevSet), prev.filterNot(nowSet)))
         case _ => None
       }
     }
+    val dvGrown = dvChanged.collect { case (e, g, _) if g.nonEmpty => (e, g) }
+    val dvShrunk = dvChanged.collect { case (e, _, s) if s.nonEmpty => (e, s) }
     dfFor(name, added, isStreaming).withColumn("_change_delta", lit(1))
       .unionByName(dfFor(name, removed, isStreaming)
         .withColumn("_change_delta", lit(-1)))
       .unionByName(dfForPositions(name, dvGrown, isStreaming)
         .withColumn("_change_delta", lit(-1)))
+      .unionByName(dfForPositions(name, dvShrunk, isStreaming)
+        .withColumn("_change_delta", lit(1)))
   }
 
   /** Rows of `picks`' files at exactly the given physical positions —
@@ -2952,6 +2984,29 @@ class Warehouse(spark: SparkSession, dir: String,
         .otherwise(col(currentFlag)))
       .drop("_close")
       .select(schema.fieldNames.toSeq.map(col): _*)
+    // a declared (keys..., validFrom) PK is ENFORCED here like every
+    // other row-adding path: the source must be business-key-unique
+    // with non-null keys, and no touched key may already carry a
+    // version stamped with THIS ts (the same-instant re-version — a
+    // replay with a literal ts after the attribute changed — would
+    // mint a duplicate (key, validFrom) row)
+    if (pkCols.nonEmpty) {
+      import org.apache.spark.sql.functions.count
+      val off = srcProj.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__gf_n"))
+        .where(keys.map(c => col(c).isNull).reduce(_ || _) ||
+          col("__gf_n") > 1)
+        .limit(1).collect()
+      if (off.nonEmpty) throw Warehouse.PrimaryKeyViolation(name, pkCols,
+        "duplicate or NULL business key in SCD2 source batch")
+      val clash = dfFor(name, replaced)
+        .join(toInsert.select(keys.map(col): _*), keys, "left_semi")
+        .where(col(validFrom) === ts.cast(schema(validFrom).dataType))
+        .limit(1).collect()
+      if (clash.nonEmpty) throw Warehouse.PrimaryKeyViolation(name, pkCols,
+        s"a version with $validFrom equal to this merge's ts already " +
+          "exists for a touched key (same-instant re-version)")
+    }
     enforceChecks(name, toInsert)
     val fresh = writeBatch(name, rewritten.unionByName(toInsert))
     maybeCrash("after-write")
@@ -4136,6 +4191,10 @@ class Warehouse(spark: SparkSession, dir: String,
     * retention collects it like any untagged version.
     */
   def dropTag(name: String, tag: String): Unit = {
+    // same grammar as createTag — '.'/'..' would otherwise resolve
+    // OUTSIDE the tag directory (path traversal on the delete)
+    require(tag.matches("""[A-Za-z][\w.-]*"""),
+      s"dropTag $name: invalid tag name '$tag'")
     val p = new Path(tagsDir(name), tag)
     require(fileSystem.exists(p), s"dropTag $name: no tag '$tag'")
     fileSystem.delete(p, false)

@@ -4418,15 +4418,15 @@ object LlmQueries extends QueryPack {
           FROM base WHERE id % 3 <> 0),
         key AS (
           SELECT CAST('0x' || substr(md5(concat_ws('|',
-                   coalesce(CAST(id AS VARCHAR), chr(0)),
-                   coalesce(CAST(grp AS VARCHAR), chr(0)),
-                   coalesce(CAST(val AS VARCHAR), chr(0)))), 1, 15)
+                   md5(coalesce(CAST(id AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(grp AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(val AS VARCHAR), chr(0))))), 1, 15)
                  AS BIGINT) AS k, 'now' AS side FROM now
           UNION ALL
           SELECT CAST('0x' || substr(md5(concat_ws('|',
-                   coalesce(CAST(id AS VARCHAR), chr(0)),
-                   coalesce(CAST(grp AS VARCHAR), chr(0)),
-                   coalesce(CAST(val AS VARCHAR), chr(0)))), 1, 15)
+                   md5(coalesce(CAST(id AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(grp AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(val AS VARCHAR), chr(0))))), 1, 15)
                  AS BIGINT), 'tag' FROM base)
         SELECT side, bit_xor(k) AS fp FROM key
         GROUP BY side ORDER BY side"""))

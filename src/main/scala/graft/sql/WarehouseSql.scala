@@ -329,9 +329,9 @@ object WarehouseSql {
     case RestoreStmt(name, v) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftRestoreCommand(wh, t,
-          if (v.forall(_.isDigit)) v.toLong
-          else wh.tags(t).getOrElse(v, throw new IllegalArgumentException(
-            s"RESTORE $name: no tag '$v'"))) }
+          versionOrTag(wh, t, v).getOrElse(
+            throw new IllegalArgumentException(
+              s"RESTORE $name: no tag '$v'"))) }
     case CreateTagStmt(name, tag, ver) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftCreateTagCommand(wh, t, tag,
@@ -688,8 +688,9 @@ object WarehouseSql {
       return None
     val versionAsOf: Option[Long] = travel.map {
       case (None, Some(v)) =>
-        if (v.forall(_.isDigit)) v.toLong
-        else wh.tags(t).getOrElse(v, return None) // unknown tag → scan path errors
+        // unknown tag → None: fall through to the scan path, whose
+        // readTag raises the error naming the available tags
+        versionOrTag(wh, t, v).getOrElse(return None)
       case (Some(e), None) => wh.versionAt(t,
         evalTimestampMillis(rel.multipartIdentifier.head, e))
       case _ => return None
@@ -912,6 +913,17 @@ object WarehouseSql {
       }
     case _ => None
   }
+
+  /** A `VERSION AS OF` operand: a digit string is a version number,
+    * anything else a TAG (the tag grammar forbids a leading digit, so
+    * the two can never collide). None = unknown tag — callers pick
+    * their own error (RESTORE names the statement; the meta-only
+    * rewrite falls through to the scan path, whose readTag lists the
+    * available tags).
+    */
+  private def versionOrTag(wh: Warehouse, table: String,
+      v: String): Option[Long] =
+    if (v.forall(_.isDigit)) Some(v.toLong) else wh.tags(table).get(v)
 
   /** Longest registered prefix of `name` for this session (the table
     * part must be nonempty). */

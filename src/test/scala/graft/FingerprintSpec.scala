@@ -73,11 +73,31 @@ class FingerprintSpec extends SparkSpec {
     wh.delete("t", $"id" % 7 === 0); check()
     wh.update("t", $"grp" === "g1", Map("val" -> ($"val" * 2))); check()
     wh.deleteVectored("t", $"id" % 11 === 0); check()
+    // RESTORE past the vectored delete: the rollback's resurrections
+    // must reach the feed as +1 rows (the DV-shrink case) — both the
+    // raw feed and the incrementally folded fingerprint must see them
+    val preRestore = wh.versions("t").max
+    wh.restore("t", preRestore - 1) // back before the MoR delete
+    val feed = wh.readChangeFeed("t", preRestore)
+    import org.apache.spark.sql.functions.col
+    val resurrected = feed.where(col("_change_delta") === 1)
+      .select($"id").as[Long].collect().toSet
+    assert(resurrected.nonEmpty && resurrected.forall(_ % 11 == 0),
+      "restore must emit the un-deleted rows as +1 resurrections")
+    check()
     // a GC'd feed falls back to recompute instead of failing: vacuum
     // away history, then mutate from a stale watermark
     wh.append("t", mk(151 to 160))
     wh.vacuum("t", keepManifests = 1)
     check()
+  }
+
+  test("field boundaries are injection-proof: a delimiter inside a " +
+    "value cannot shift content across columns") {
+    val a = Seq(("a|b", "c")).toDF("x", "y")
+    val b = Seq(("a", "b|c")).toDF("x", "y")
+    assert(Fingerprint.dataset(a, Seq("x", "y")) !==
+      Fingerprint.dataset(b, Seq("x", "y")))
   }
 
   test("the fold is shuffle-free: one partial aggregate, no Exchange") {

@@ -200,6 +200,38 @@ class WarehousePkSpec extends SparkSpec {
     assert(scd.getMessage.contains("SCD2"))
   }
 
+  test("scdMerge ENFORCES a (key, validFrom) PK: duplicate-key source " +
+    "and same-instant re-version are rejected; distinct instants work") {
+    val dir = Files.createTempDirectory("graft-pk-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("d" ->
+      Warehouse.TableSpec(
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("attr", StringType),
+          StructField("valid_from", StringType),
+          StructField("valid_to", StringType),
+          StructField("is_current", BooleanType))),
+        primaryKey = Seq("id", "valid_from"))))
+    wh.bootstrap()
+    def src(pairs: (Long, String)*) = pairs.toSeq.toDF("id", "attr")
+    wh.scdMerge("d", src(1L -> "a", 2L -> "b"), Seq("id"), lit("T1"))
+    // duplicate business key in the source batch
+    intercept[Warehouse.PrimaryKeyViolation] {
+      wh.scdMerge("d", src(3L -> "x", 3L -> "y"), Seq("id"), lit("T2"))
+    }
+    // same-instant re-version: the close+insert pair would share
+    // (id=1, valid_from=T1)
+    intercept[Warehouse.PrimaryKeyViolation] {
+      wh.scdMerge("d", src(1L -> "CHANGED"), Seq("id"), lit("T1"))
+    }
+    // a distinct instant versions cleanly and keeps the PK unique
+    wh.scdMerge("d", src(1L -> "CHANGED"), Seq("id"), lit("T2"))
+    val all = wh.read("d").select($"id", $"valid_from")
+      .as[(Long, String)].collect().toSeq
+    assert(all.size === all.distinct.size, "PK must stay unique")
+    assert(all.toSet === Set((1L, "T1"), (2L, "T1"), (1L, "T2")))
+  }
+
   test("appendQuarantine routes PK violations: null keys, ALL batch-dup " +
     "members, live collisions — named CHECKs win attribution") {
     val dir = Files.createTempDirectory("graft-pk-").toString
