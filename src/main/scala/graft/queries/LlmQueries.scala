@@ -4429,7 +4429,61 @@ object LlmQueries extends QueryPack {
                    md5(coalesce(CAST(val AS VARCHAR), chr(0))))), 1, 15)
                  AS BIGINT), 'tag' FROM base)
         SELECT side, bit_xor(k) AS fp FROM key
-        GROUP BY side ORDER BY side"""))
+        GROUP BY side ORDER BY side""")),
+
+    // ---- q157: CHANGE FEED ACROSS RESTORE — the rollback-resurrection
+    // case under the cross-engine gate. A δ-weighted aggregate is
+    // baselined at a watermark, then the table takes a merge-on-read
+    // DELETE, a RESTORE that UNDOES it, and a copy-on-write UPDATE;
+    // the consumer folds ONLY the feed (never rescans). The feed must
+    // emit the MoR delete as −1 retractions AND the restore as +1
+    // resurrections (the DV-shrink case) or the fold nets wrong —
+    // DuckDB recomputes the final state directly, so a missing
+    // resurrection (or a double-counted one) breaks the hash.
+    Q("q157_warehouse_cdf_restore",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q157-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true,
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("cdf157_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("id"),
+            col("o_orderstatus").as("grp"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("cdf157_src")
+        s.sql("CREATE TABLE cdf157_t (id BIGINT, grp STRING, val DOUBLE)")
+        s.sql("INSERT INTO cdf157_t SELECT * FROM cdf157_src")
+        val wm = wh.versions("t").max
+        // baseline the consumer's state AT the watermark snapshot
+        val state0 = wh.readVersion("t", wm).groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum(col("val")).as("sv"))
+        // DML the consumer never sees directly:
+        wh.deleteVectored("t", col("id") % 5 === 0) // MoR: −1 feed rows
+        wh.restore("t", wm)                         // undo: +1 resurrections
+        s.sql("UPDATE cdf157_t SET val = val * 2 WHERE grp = 'O'")
+        // fold ONLY the feed into the baseline
+        val feed = wh.readChangeFeed("t", wm, wh.versions("t").max)
+        val delta = feed.groupBy("grp").agg(
+          sum(col("_change_delta")).as("dn"),
+          sum(col("val") * col("_change_delta")).as("dv"))
+        state0.join(delta, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (coalesce(col("n"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n"),
+            round(coalesce(col("sv"), lit(0.0)) +
+              coalesce(col("dv"), lit(0.0)), 2).as("sv"))
+          .where(col("n") > 0)
+          .orderBy("grp")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp,
+                 CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                      ELSE o_totalprice END AS val
+          FROM orders)
+        SELECT grp, count(*) AS n, round(sum(val), 2) AS sv
+        FROM fin GROUP BY grp ORDER BY grp"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
