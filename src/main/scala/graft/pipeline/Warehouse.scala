@@ -1361,6 +1361,74 @@ class Warehouse(spark: SparkSession, dir: String,
     }
   }
 
+  /** WRITE-AUDIT-PUBLISH: atomically fast-forward `dst` to the state
+    * of `staging`, a shallow (or deep) clone of `dst` that was
+    * audited after arbitrary DML — the Iceberg WAP pattern on the
+    * clone machinery already here. The cycle:
+    *
+    *   1. `shallowClone(dst, staging)`        — zero-copy fork;
+    *   2. DML on `staging` (loads, deletes, fixes) + audits (quality
+    *      gates, [[fsck]], expectations) — `dst` readers see nothing;
+    *   3. `publish(dst, staging)`             — ONE manifest commit
+    *      flips `dst` to the audited state.
+    *
+    * The publish commit references staging-local files by ABSOLUTE
+    * path (the borrow mechanism clones already use, in reverse) and
+    * maps files staging still borrows from `dst` back to their local
+    * rels — no byte moves, metadata only. The borrow guard then keeps
+    * everything sound: dropping `staging` is refused while `dst`
+    * borrows its files, vacuum/gc never delete outside-table paths,
+    * and compacting `dst` localizes the borrows so `staging` can be
+    * dropped (same operational flow as any clone).
+    *
+    * Stale-audit protection: the staging clone records its base
+    * version; if `dst` has advanced past it the publish FAILS —
+    * re-clone and re-audit (the WAP contract: an audit certifies one
+    * exact base). A commit racing the publish into the same slot
+    * fails it the same way via slot exclusivity.
+    *
+    * @return the published `dst` version
+    */
+  def publish(dst: String, staging: String): Long = {
+    require(specsNow.contains(dst), s"publish: unknown table $dst")
+    require(specsNow.contains(staging),
+      s"publish: unknown staging table $staging")
+    val meta1 = commitMeta(staging, 1L)
+    require(meta1.get("op").exists(o => o == "clone" || o == "deep_clone")
+        && meta1.get("sourceTable").contains(dst),
+      s"publish: $staging is not a clone of $dst (WAP stages on a " +
+        "clone so the audit certifies an exact base version)")
+    require(tables(staging) == tables(dst) &&
+        partitioning(staging) == partitioning(dst) &&
+        specsNow(staging).bucketBy == specsNow(dst).bucketBy &&
+        specsNow(staging).numBuckets == specsNow(dst).numBuckets,
+      s"publish: $staging's schema/layout diverged from $dst's " +
+        "(evolve the target first, then re-clone)")
+    val auditBase = meta1("sourceVersion").toLong
+    val (dv, _) = loadLatest(dst)
+    require(dv == auditBase,
+      s"publish: $dst advanced to v$dv since the staging clone " +
+        s"(base v$auditBase) — re-clone and re-audit")
+    val (sv, sEntries) = loadLatest(staging)
+    val dstPrefix = new Path(path(dst)).toString + "/"
+    def toDst(p: String): String =
+      if (p.startsWith(dstPrefix)) p.stripPrefix(dstPrefix) // back home
+      else if (new Path(p).isAbsolute) p // borrowed from elsewhere
+      else new Path(path(staging), p).toString // staging-local: borrow
+    val mapped = sEntries.map { e =>
+      e.copy(rel = toDst(e.rel),
+        dv = if (e.dv.isEmpty) e.dv else toDst(e.dv))
+    }
+    commit(dst, dv + 1, mapped,
+      Map("op" -> "publish", "sourceTable" -> staging,
+        "sourceVersion" -> sv.toString,
+        "numFiles" -> mapped.size.toString))
+    // no eager gc: files leaving dst's live set are still referenced
+    // by its previous version and typically borrowed by staging —
+    // vacuum retention collects them like any replaced snapshot
+    dv + 1
+  }
+
   /** DROP TABLE: remove `name` from the warehouse — manifests first
     * (the commit point in reverse: with them gone the table is
     * unreadable and re-creation starts from a clean slate), then the

@@ -4483,6 +4483,64 @@ object LlmQueries extends QueryPack {
                       ELSE o_totalprice END AS val
           FROM orders)
         SELECT grp, count(*) AS n, round(sum(val), 2) AS sv
+        FROM fin GROUP BY grp ORDER BY grp""")),
+
+    // ---- q158: WRITE-AUDIT-PUBLISH under the gate — the production
+    // pattern for risky loads: stage corrections on a ZERO-COPY clone
+    // (readers of the target see nothing), audit there (the cloned
+    // CHECK constraint rejects a dirty batch — caught, nothing lands),
+    // then PUBLISH fast-forwards the target in ONE metadata commit
+    // referencing the audited files by borrow. The hash gates the
+    // final target: a leaked staging write, a dirty-batch escape, or a
+    // partial publish all break it against DuckDB's direct recompute.
+    Q("q158_warehouse_wap",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q158-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("wap158_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("id"),
+            col("o_orderstatus").as("grp"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("wap158_src")
+        s.sql("CREATE TABLE wap158_t (id BIGINT, grp STRING, val DOUBLE)")
+        s.sql("ALTER TABLE wap158_t ADD CONSTRAINT val_pos " +
+          "CHECK (val >= 0)")
+        s.sql("INSERT INTO wap158_t SELECT * FROM wap158_src")
+        s.sql("CREATE TABLE wap158_stage SHALLOW CLONE wap158_t")
+        s.sql("DELETE FROM wap158_stage WHERE id % 4 = 0")
+        s.sql("""INSERT INTO wap158_stage
+                 SELECT id + 100000000, 'FIX', val * 2
+                 FROM wap158_src WHERE id % 4 = 0""")
+        // the audit catches a dirty batch ON STAGING (cloned CHECK):
+        // rejected whole, target never sees it
+        val rejected =
+          try {
+            s.sql("""INSERT INTO wap158_stage
+                     SELECT id + 200000000, 'BAD', -val
+                     FROM wap158_src WHERE id % 50 = 0""")
+            false
+          } catch {
+            case _: graft.pipeline.Warehouse.CheckViolation => true
+          }
+        require(rejected, "q158: the dirty staging batch must reject")
+        s.sql("PUBLISH TABLE wap158_stage TO wap158_t")
+        s.sql("""SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                        round(sum(val), 2) AS sv
+                 FROM wap158_t GROUP BY grp ORDER BY grp""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp,
+                 o_totalprice AS val
+          FROM orders),
+        fin AS (
+          SELECT * FROM base WHERE id % 4 <> 0
+          UNION ALL
+          SELECT id + 100000000, 'FIX', val * 2
+          FROM base WHERE id % 4 = 0)
+        SELECT grp, count(*) AS n, round(sum(val), 2) AS sv
         FROM fin GROUP BY grp ORDER BY grp"""))
   )
 

@@ -225,6 +225,18 @@ case class GraftShowFilesCommand(wh: Warehouse, table: String)
   }
 }
 
+/** `PUBLISH TABLE wh_stage TO wh_t` → [[Warehouse!.publish]]: the
+  * write-audit-publish fast-forward — one commit flips the target to
+  * the audited staging clone's state (metadata only, borrow-guarded).
+  */
+case class GraftPublishCommand(wh: Warehouse, dst: String,
+    staging: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(wh.publish(dst, staging)))
+}
+
 /** `REFRESH FINGERPRINT wh_t [COLUMNS (a, b, ...)]` →
   * [[graft.ext.FingerprintStore]].refresh: bring the incrementally
   * maintained content fingerprint to the table's head and return it.

@@ -34,6 +34,8 @@ import graft.pipeline.Warehouse
   *     named versions, vacuum-pinned) / dropTag / tags
   *   - `SHOW FILES wh_t` → the head manifest's file inventory (bytes,
   *     row counts, DV rows, footer stats) — driver metadata only
+  *   - `PUBLISH TABLE wh_stage TO wh_t` → [[Warehouse!.publish]]
+  *     (write-audit-publish fast-forward of an audited staging clone)
   *   - `REFRESH FINGERPRINT wh_t [COLUMNS (a, b)]` →
   *     [[graft.ext.FingerprintStore]].refresh (incrementally
   *     maintained order-invariant content hash)
@@ -267,6 +269,8 @@ object WarehouseSql {
     """(?is)\s*SHOW\s+TAGS\s+([\w.]+)\s*;?\s*""".r
   private val ShowFilesStmt = // manifest-backed file inventory
     """(?is)\s*SHOW\s+FILES\s+([\w.]+)\s*;?\s*""".r
+  private val PublishStmt = // write-audit-publish fast-forward
+    """(?is)\s*PUBLISH\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*;?\s*""".r
   private val RefreshFingerprintStmt = // incremental content fingerprint
     """(?is)\s*REFRESH\s+FINGERPRINT\s+([\w.]+)(?:\s+COLUMNS\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumStmt =
@@ -345,6 +349,15 @@ object WarehouseSql {
     case ShowFilesStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftShowFilesCommand(wh, t) }
+    case PublishStmt(stagingName, dstName) =>
+      lookup(spark, Seq(stagingName)).map { case (wh, staging) =>
+        val (dstWh, dst) = lookup(spark, Seq(dstName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"PUBLISH TABLE $stagingName TO $dstName: unknown target"))
+        require(dstWh eq wh,
+          s"PUBLISH TABLE $stagingName TO $dstName: staging and target " +
+            "must live in the same warehouse")
+        GraftPublishCommand(wh, dst, staging) }
     case RefreshFingerprintStmt(name, cols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftRefreshFingerprintCommand(wh, t,
