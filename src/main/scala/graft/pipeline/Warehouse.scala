@@ -1461,6 +1461,10 @@ class Warehouse(spark: SparkSession, dir: String,
         s"dropTable $name: table(s) ${borrowers.toSeq.sorted.mkString(", ")} " +
           "still borrow its files (shallow clones) — drop or compact " +
           "(localize) the clones first")
+      val referers = childForeignKeys(name).map(_._1).filterNot(_ == name)
+      require(referers.isEmpty,
+        s"dropTable $name: table(s) ${referers.distinct.sorted.mkString(", ")} " +
+          "declare FOREIGN KEYs referencing it — drop the children first")
     }
     val fs = fileSystem
     fs.delete(manifestDir(name), true)
@@ -1501,6 +1505,29 @@ class Warehouse(spark: SparkSession, dir: String,
           "EXISTS makes this a no-op)")
       false
     } else {
+      // FK targets validate here, where the other specs are visible: the
+      // parent must exist (self-reference allowed), the referenced
+      // columns must be EXACTLY its enforced PRIMARY KEY (order
+      // included — what makes delete-side RESTRICT exact), and the key
+      // types must line up component-wise
+      spec.foreignKeys.foreach { fk =>
+        def fail(msg: String) = throw new IllegalArgumentException(
+          s"createTable $name: $fk: $msg")
+        val parentSpec =
+          if (fk.parent == name) spec
+          else specsNow.getOrElse(fk.parent,
+            fail(s"parent table ${fk.parent} does not exist"))
+        if (parentSpec.primaryKey != fk.parentCols)
+          fail(s"referenced columns must be exactly ${fk.parent}'s " +
+            s"PRIMARY KEY (${parentSpec.primaryKey.mkString(", ")})")
+        fk.cols.zip(fk.parentCols).foreach { case (c, p) =>
+          if (spec.schema(c).dataType != parentSpec.schema(p).dataType)
+            fail(s"$c (${spec.schema(c).dataType.simpleString}) vs " +
+              s"${fk.parent}.$p " +
+              s"(${parentSpec.schema(p).dataType.simpleString}): " +
+              "key types must match")
+        }
+      }
       specsLock.synchronized { specsNow = specsNow + (name -> spec) }
       try bootstrapTable(name, extraMeta, initial)
       catch { case t: Throwable =>
@@ -1560,6 +1587,15 @@ class Warehouse(spark: SparkSession, dir: String,
     if (spec.primaryKey.nonEmpty) {
       val pkn = node.putArray("primaryKey")
       spec.primaryKey.foreach(pkn.add)
+    }
+    if (spec.foreignKeys.nonEmpty) {
+      val fks = node.putArray("foreignKeys")
+      spec.foreignKeys.foreach { fk =>
+        val o = fks.addObject()
+        val cn = o.putArray("cols"); fk.cols.foreach(cn.add)
+        o.put("parent", fk.parent)
+        val pn = o.putArray("parentCols"); fk.parentCols.foreach(pn.add)
+      }
     }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
@@ -2081,6 +2117,12 @@ class Warehouse(spark: SparkSession, dir: String,
     require(v > 0L, s"deleteVectored $name: table not bootstrapped")
     val candidates = touchedFiles(name, entries, cond)
     if (candidates.isEmpty) return 0L
+    // RESTRICT sees the same doomed set (dfFor applies existing
+    // vectors, so only still-live matches count as deletions)
+    if (childForeignKeys(name).nonEmpty)
+      enforceDeleteRestrict(name, dfFor(name, candidates)
+        .where(coalesce(cond, lit(false)))
+        .select(specsNow(name).primaryKey.map(col): _*))
     // the scan applies EXISTING vectors, so already-deleted rows can't
     // match again; row_index is the physical position either way
     import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -2173,6 +2215,11 @@ class Warehouse(spark: SparkSession, dir: String,
         }
       }: _*)
       enforceChecks(name, rewritten) // before any sidecar hits disk
+      // here `rewritten` is EXACTLY the touched rows (matched already
+      // filtered on old values), so the FK probe batch is tight
+      if (specsNow(name).foreignKeys
+          .exists(_.cols.exists(set.keySet.contains)))
+        enforceForeignKeys(name, rewritten)
       val positions = matched
         .select(col("__gf_dv_path").as("p"), col("__gf_dv_idx").as("i"))
         .collect().groupBy(_.getString(0))
@@ -2420,6 +2467,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val full = applyGenerated(name, df)
     enforceChecks(name, full)
     enforcePrimaryKey(name, full)
+    enforceForeignKeys(name, full)
     val fresh = writeBatch(name, full, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -2533,6 +2581,7 @@ class Warehouse(spark: SparkSession, dir: String,
         .select(readSchema.fieldNames.map(col): _*))
     enforceChecks(name, df)
     enforcePrimaryKey(name, df)
+    enforceForeignKeys(name, df)
     val staged = writeBatch(name, df)
     val ledgerRel = writeCopyLedger(name,
       fresh.map { case (rel, b) => s"$rel:$b" })
@@ -2599,9 +2648,10 @@ class Warehouse(spark: SparkSession, dir: String,
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, not, when}
     val checks = specsNow(name).checks.toSeq.sortBy(_._1)
     val pk = specsNow(name).primaryKey
-    require(checks.nonEmpty || pk.nonEmpty,
-      s"appendQuarantine $name: the table has no CHECK constraints " +
-        "and no PRIMARY KEY — use append")
+    val fks = specsNow(name).foreignKeys
+    require(checks.nonEmpty || pk.nonEmpty || fks.nonEmpty,
+      s"appendQuarantine $name: the table has no CHECK constraints, " +
+        "no PRIMARY KEY and no FOREIGN KEYs — use append")
     require(name != quarantine,
       s"appendQuarantine: target and quarantine must differ")
     val schema = tables(name)
@@ -2651,8 +2701,32 @@ class Warehouse(spark: SparkSession, dir: String,
           .drop("__gf_pk_hit")
           .select(checkTagged.columns.map(col): _*)
       }
-    val good = tagged.where(col("violation").isNull).drop("violation")
-    val bad = tagged.where(col("violation").isNotNull)
+    // FOREIGN KEY violations route as `foreign_key` (after primary_key
+    // — a row failing both reports the PK, the sharper diagnosis).
+    // Each FK's live-parent probe is file-skipped like the PK probe.
+    val fkTagged = fks.foldLeft(tagged) { case (acc, fk) =>
+      val asParent = fk.cols.zip(fk.parentCols).foldLeft(
+        acc.select(fk.cols.map(col): _*)
+          .where(fk.cols.map(c => col(c).isNotNull).reduce(_ && _))
+          .distinct()) { case (d, (c, p)) => d.withColumnRenamed(c, p) }
+      val live = keyProbeScope(fk.parent, fk.parentCols, asParent)
+        .map(_.select(fk.parentCols.map(col): _*).distinct()
+          .withColumn("__gf_fk_hit", lit(true)))
+        .map(p => fk.parentCols.zip(fk.cols)
+          .foldLeft(p) { case (d, (pc, c)) => d.withColumnRenamed(pc, c) })
+      val anyNull = fk.cols.map(c => col(c).isNull).reduce(_ || _)
+      live.map(acc.join(_, fk.cols, "left"))
+        .getOrElse(acc.withColumn("__gf_fk_hit",
+          lit(null).cast("boolean")))
+        .withColumn("violation",
+          when(col("violation").isNotNull, col("violation"))
+            .when(!anyNull && col("__gf_fk_hit").isNull,
+              lit("foreign_key")))
+        .drop("__gf_fk_hit")
+        .select(acc.columns.map(col): _*)
+    }
+    val good = fkTagged.where(col("violation").isNull).drop("violation")
+    val bad = fkTagged.where(col("violation").isNotNull)
     // counts come from THIS transaction's committed footers (appendAll's
     // return), not head-count deltas — exact under concurrent writers
     val committed = appendAll(
@@ -2758,9 +2832,14 @@ class Warehouse(spark: SparkSession, dir: String,
       return batches.map(b => (b._1, loadLatest(b._1)._1, 0L))
     val derived = batches.map { case (t, df, rpf) =>
       (t, applyGenerated(t, df), rpf) }
+    // a child batched WITH its parent in this one-commit transaction
+    // sees the parent batch's keys (arrival order inside the atomic
+    // commit is meaningless, so "parent first" is implied)
+    val pending = derived.map { case (t, df, _) => t -> df }.toMap
     derived.foreach { case (t, df, _) =>
       enforceChecks(t, df)
       enforcePrimaryKey(t, df)
+      enforceForeignKeys(t, df, pending - t)
     }
     val id = java.util.UUID.randomUUID.toString
     val staged = derived.map { case (t, df, rpf) =>
@@ -2856,6 +2935,16 @@ class Warehouse(spark: SparkSession, dir: String,
     // the batch REPLACES the table, so only batch-internal uniqueness
     // and NOT NULL apply — there are no surviving rows to collide with
     enforcePrimaryKey(name, df, probeLive = false)
+    enforceForeignKeys(name, df)
+    // replacing a REFERENCED table deletes every old key the batch
+    // doesn't re-supply — RESTRICT applies to the evicted set
+    if (childForeignKeys(name).nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val pk = specsNow(name).primaryKey
+      enforceDeleteRestrict(name, dfFor(name, live)
+        .select(pk.map(col): _*)
+        .join(df.select(pk.map(col): _*), pk, "left_anti"))
+    }
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -2935,6 +3024,7 @@ class Warehouse(spark: SparkSession, dir: String,
     // whole PK story: matched keys replace, the rest insert fresh
     enforcePrimaryKey(name, updates.select(schemaCols.map(col): _*),
       probeLive = false)
+    enforceForeignKeys(name, updates.select(schemaCols.map(col): _*))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -3076,6 +3166,7 @@ class Warehouse(spark: SparkSession, dir: String,
           "exists for a touched key (same-instant re-version)")
     }
     enforceChecks(name, toInsert)
+    enforceForeignKeys(name, toInsert) // new versions carry new FK values
     val fresh = writeBatch(name, rewritten.unionByName(toInsert))
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -3244,6 +3335,12 @@ class Warehouse(spark: SparkSession, dir: String,
         survived.unionByName(inserts)
     }
     enforceChecks(name, merged) // clause results are NEW values: check all
+    enforceForeignKeys(name, merged)
+    // delete clauses are parent-side deletes: RESTRICT on the doomed keys
+    if ((matchedDelete.nonEmpty || bySourceDelete.nonEmpty) &&
+        childForeignKeys(name).nonEmpty)
+      enforceDeleteRestrict(name, joined.where(delCond || bySrcDelCond)
+        .select(pkCols.map(col): _*))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -3638,6 +3735,11 @@ class Warehouse(spark: SparkSession, dir: String,
     if (replaced.isEmpty) return 0L
     val touched = dfFor(name, replaced)
     val matched = coalesce(cond, lit(false))
+    if (childForeignKeys(name).nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      enforceDeleteRestrict(name, touched.where(matched)
+        .select(specsNow(name).primaryKey.map(col): _*))
+    }
     val removed = touched.where(matched).count()
     val fresh = writeBatch(name, touched.where(not(matched)))
     maybeCrash("after-write")
@@ -3694,6 +3796,9 @@ class Warehouse(spark: SparkSession, dir: String,
         fs.makeQualified(new Path(path(name), e.rel)).toUri.getPath))
       if (replaced.isEmpty) return 0L
       val touched = dfFor(name, replaced)
+      if (childForeignKeys(name).nonEmpty)
+        enforceDeleteRestrict(name, touched.join(k, keyCols, "left_semi")
+          .select(specsNow(name).primaryKey.map(col): _*))
       val removed = touched.join(k, keyCols, "left_semi").count()
       val fresh = writeBatch(name, touched.join(k, keyCols, "left_anti"))
       maybeCrash("after-write")
@@ -3747,6 +3852,18 @@ class Warehouse(spark: SparkSession, dir: String,
       }
     }: _*)
     enforceChecks(name, rewritten) // SET results are NEW values: check all
+    // a SET of an FK column mints new references: probe only the rows
+    // the update actually touched (tight batch extrema for the scope).
+    // Select from `touched` so the WHERE sees OLD values — `rewritten`
+    // already carries the new ones and could mis-pick rows when a SET
+    // column also appears in the condition.
+    if (specsNow(name).foreignKeys
+        .exists(_.cols.exists(set.keySet.contains)))
+      enforceForeignKeys(name, touched.where(matched)
+        .select(schema.fields.toSeq.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }: _*))
     val fresh = writeBatch(name, rewritten)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -3992,6 +4109,17 @@ class Warehouse(spark: SparkSession, dir: String,
     require(!spec.primaryKey.contains(colName),
       s"$op $name.$colName: PRIMARY KEY columns keep their identity " +
         "(the uniqueness constraint keys on the name)")
+    require(!spec.foreignKeys.exists(_.cols.contains(colName)),
+      s"$op $name.$colName: FOREIGN KEY columns keep their identity " +
+        "(the referential constraint keys on the name)")
+    // a PARENT's referenced columns are its PRIMARY KEY — already
+    // banned above for the parent itself; ban cross-table too
+    specsNow.foreach { case (child, cs) =>
+      cs.foreignKeys.foreach { fk =>
+        require(fk.parent != name || !fk.parentCols.contains(colName),
+          s"$op $name.$colName: referenced by $child's $fk")
+      }
+    }
     val word = ("""\b""" + java.util.regex.Pattern.quote(colName) +
       """\b""").r
     spec.checks.foreach { case (n, e) =>
@@ -4138,37 +4266,154 @@ class Warehouse(spark: SparkSession, dir: String,
     * batch-overlapping files, never the table.
     */
   private def pkProbeScope(name: String,
-      df: DataFrame): Option[DataFrame] = {
+      df: DataFrame): Option[DataFrame] =
+    keyProbeScope(name, specsNow(name).primaryKey, df)
+
+  /** The `name`-table scan a key-membership probe needs, file-skipped
+    * two ways BEFORE a row is read — the generalized form behind
+    * [[pkProbeScope]] (probing a table for its OWN keys) and the
+    * FOREIGN KEY probes (probing a PARENT for a child batch's keys, or
+    * a CHILD for a parent delete's doomed keys). `keys` must carry the
+    * probe columns under `name`'s own column names (callers rename).
+    * None = NO row of the table can match any key: empty table, empty
+    * key set, or every file excluded by bloom sidecars / footer-stat
+    * ranges — "no collision" for a PK caller, "every key dangles" for
+    * an FK caller (they branch on it differently by design).
+    */
+  private def keyProbeScope(name: String, cols: Seq[String],
+      keys: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
-    val pk = specsNow(name).primaryKey
     val (v, entries) = loadLatest(name)
     if (v == 0L || entries.isEmpty) return None
-    val bloomPk = pk.filter(specsNow(name).bloomColumns.contains)
+    val bloomCols = cols.filter(specsNow(name).bloomColumns.contains)
     var candidates = entries
-    if (bloomPk.nonEmpty) {
+    if (bloomCols.nonEmpty) {
       val cap = 65536
-      val rows = df.select(bloomPk.map(col): _*).distinct()
+      val rows = keys.select(bloomCols.map(col): _*).distinct()
         .limit(cap + 1).collect()
-      if (rows.isEmpty) return None // empty batch — nothing to probe
+      if (rows.isEmpty) return None // empty key set — nothing to probe
       if (rows.length <= cap)
-        bloomPk.zipWithIndex.foreach { case (c, i) =>
+        bloomCols.zipWithIndex.foreach { case (c, i) =>
           candidates = pointCandidatesMulti(name, c,
             rows.map(_.get(i)).toSeq.distinct, candidates)
         }
       if (candidates.isEmpty) return None // every file bloom-excluded
     }
-    val rangeCols = pk.filter(statColumns(name).contains)
+    val rangeCols = cols.filter(statColumns(name).contains)
     val base = dfFor(name, candidates)
     if (rangeCols.isEmpty) return Some(base)
     val aggs = rangeCols.flatMap(c =>
       Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    // an empty batch has null extrema — nothing to probe
+    val row = keys.agg(aggs.head, aggs.tail: _*).head()
+    // an empty key set has null extrema — nothing to probe
     if (row.isNullAt(0)) return None
     Some(rangeCols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
       d.where(col(c) >= lit(row.get(2 * i)) &&
         col(c) <= lit(row.get(2 * i + 1)))
     })
+  }
+
+  /** FOREIGN KEY enforcement for a row-adding batch (the child-side
+    * half): every non-null key tuple in `df` must exist in the
+    * parent's CURRENT snapshot (MATCH SIMPLE — any null component
+    * satisfies the constraint). One anti-join probe per declared FK,
+    * file-skipped on the PARENT by the batch's key extrema (footer
+    * stats) and distinct keys (bloom sidecars) through
+    * [[keyProbeScope]] — declare the parent PK in its `statColumns` /
+    * `bloomColumns` (PK tables want that anyway for their own probe)
+    * and the check reads only batch-overlapping parent files.
+    *
+    * A SELF-referencing FK admits keys the batch itself introduces
+    * (Postgres checks at statement end, when the batch's own rows are
+    * visible) — the parent side unions the batch's candidate keys.
+    *
+    * Consistency scope: the probe sees the parent's snapshot at probe
+    * time. A concurrent parent DELETE committing after this probe can
+    * orphan the batch — cross-TABLE serializability needs the
+    * single-writer contract or [[appendAll]]'s one-commit transaction
+    * (same scope Delta documents for its constraint checks); within
+    * one table the PK/commit machinery stays fully serializable.
+    */
+  private def enforceForeignKeys(name: String, df: DataFrame,
+      pendingParents: Map[String, DataFrame] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    specsNow(name).foreignKeys.foreach { fk =>
+      val batchKeys = df.select(fk.cols.map(col): _*)
+        .where(fk.cols.map(c => col(c).isNotNull).reduce(_ && _))
+        .distinct()
+      // parent column names, for the probe scope and the anti-join
+      val asParent = fk.cols.zip(fk.parentCols)
+        .foldLeft(batchKeys) { case (d, (c, p)) =>
+          d.withColumnRenamed(c, p) }
+      val parentKeys = keyProbeScope(fk.parent, fk.parentCols, asParent)
+        .map(_.select(fk.parentCols.map(col): _*))
+      // keys a co-committed batch introduces count as parents: a self-
+      // FK sees the batch's own PK rows (Postgres checks at statement
+      // end), and an appendAll loading parent + child in ONE atomic
+      // transaction sees the parent batch's keys
+      val pendingKeys =
+        (if (fk.parent == name) Some(df) else pendingParents.get(fk.parent))
+          .map(_.select(
+            specsNow(fk.parent).primaryKey.map(col): _*)
+            .toDF(fk.parentCols: _*))
+      val parentSide = (parentKeys, pendingKeys) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
+      val dangling = parentSide match {
+        case None => asParent.limit(1).collect() // parent has nothing
+        case Some(p) =>
+          asParent.join(p, fk.parentCols, "left_anti").limit(1).collect()
+      }
+      if (dangling.nonEmpty) {
+        val r = dangling.head
+        throw Warehouse.ForeignKeyViolation(name, fk,
+          "no parent row for " + fk.parentCols
+            .map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+      }
+    }
+  }
+
+  /** Declared FKs that reference `name` as their parent — the children
+    * a parent-side DELETE must consult. Driver-side metadata. */
+  private def childForeignKeys(
+      name: String): Seq[(String, Warehouse.ForeignKey)] =
+    specsNow.toSeq.sortBy(_._1).flatMap { case (t, s) =>
+      s.foreignKeys.filter(_.parent == name).map(t -> _) }
+
+  /** ON DELETE RESTRICT (the parent-side half of FK enforcement):
+    * reject the delete if any child still references a doomed key.
+    * `doomedKeys` carries the PARENT's PK columns (one row per deleted
+    * row — PK uniqueness makes "row deleted ⇒ key gone" exact, no
+    * survivor scan needed). One semi-join probe per referencing child,
+    * file-skipped on the CHILD by the doomed keys' extrema/blooms, so
+    * a thin delete probes only key-overlapping child files. No-op (and
+    * zero added work) for tables nothing references. Self-FK rows
+    * deleted in the same statement still count as referencing — a
+    * delete that would orphan survivors rejects either way, which is
+    * RESTRICT's conservative contract.
+    */
+  private def enforceDeleteRestrict(name: String,
+      doomedKeys: => DataFrame): Unit = {
+    val children = childForeignKeys(name)
+    if (children.isEmpty) return
+    val keys = doomedKeys.distinct().localCheckpoint(true)
+    try children.foreach { case (child, fk) =>
+      import org.apache.spark.sql.functions.col
+      val asChild = fk.parentCols.zip(fk.cols)
+        .foldLeft(keys) { case (d, (p, c)) => d.withColumnRenamed(p, c) }
+      keyProbeScope(child, fk.cols, asChild).foreach { scan =>
+        val hit = scan.select(fk.cols.map(col): _*)
+          .join(asChild, fk.cols, "left_semi").limit(1).collect()
+        if (hit.nonEmpty) {
+          val r = hit.head
+          throw Warehouse.ForeignKeyViolation(child, fk,
+            s"ON DELETE RESTRICT: $child still references " +
+              fk.cols.map(c => s"$c=${r.get(r.fieldIndex(c))}")
+                .mkString(", "))
+        }
+      }
+    } finally { keys.unpersist(); () }
   }
 
   /** [[enforceChecks]] against an EXPLICIT constraint set — the form
@@ -4618,6 +4863,38 @@ object Warehouse {
       extends RuntimeException(
         s"PRIMARY KEY (${pk.mkString(", ")}) on $table violated: $reason")
 
+  /** A declared referential constraint: this table's `cols` tuple must
+    * exist as `parent`'s `parentCols` tuple (which must be exactly the
+    * parent's ENFORCED PRIMARY KEY — the SQL rule that a foreign key
+    * references a key, and what makes "a deleted parent row's key is
+    * gone" true without scanning survivors). SQL MATCH SIMPLE
+    * semantics: a tuple with ANY null component satisfies the
+    * constraint (Postgres's default).
+    */
+  final case class ForeignKey(cols: Seq[String], parent: String,
+      parentCols: Seq[String]) {
+    require(cols.nonEmpty, "foreign key: empty column list")
+    require(cols.size == parentCols.size,
+      s"foreign key: ${cols.size} columns reference " +
+        s"${parentCols.size} parent columns")
+    require(cols.distinct.size == cols.size,
+      s"foreign key repeats a column: $cols")
+    override def toString: String =
+      s"FOREIGN KEY (${cols.mkString(", ")}) REFERENCES " +
+        s"$parent (${parentCols.mkString(", ")})"
+  }
+
+  /** Thrown when a write would violate a declared [[ForeignKey]] —
+    * a row-adding batch carrying a key no parent row has (the child-
+    * side check), or a parent-side DELETE whose doomed keys are still
+    * referenced (ON DELETE RESTRICT, Postgres's default NO ACTION
+    * checked at statement end). Like [[PrimaryKeyViolation]], nothing
+    * of the write becomes visible.
+    */
+  final case class ForeignKeyViolation(table: String, fk: ForeignKey,
+      reason: String)
+      extends RuntimeException(s"$fk on $table violated: $reason")
+
   /** Per-bucket representative longs for [[numBuckets]]=n: `reps(b)` is
     * the smallest non-negative long with `pmod(murmur3(reps(b)), n) ==
     * b` — evaluated through Catalyst's own [[Murmur3Hash]] so driver
@@ -4689,13 +4966,19 @@ object Warehouse {
       retiredPhysical: Seq[String] = Nil,
       generated: Map[String, String] = Map.empty,
       ndvColumns: Seq[String] = Nil,
-      primaryKey: Seq[String] = Nil) {
+      primaryKey: Seq[String] = Nil,
+      foreignKeys: Seq[ForeignKey] = Nil) {
     generated.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"generated column $c not in schema"))
     primaryKey.foreach(c => require(schema.fieldNames.contains(c),
       s"primary key column $c not in schema"))
     require(primaryKey.distinct.size == primaryKey.size,
       s"primary key repeats a column: $primaryKey")
+    foreignKeys.foreach(fk => fk.cols.foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"foreign key column $c not in schema")))
+    // parent existence / PK match validate at createTable time (the
+    // spec alone can't see the other tables)
     partitionBy.foreach(p => require(schema.fieldNames.contains(p),
       s"partition column $p not in schema"))
     require(bucketBy.isEmpty == (numBuckets == 0),
@@ -4823,7 +5106,23 @@ object Warehouse {
               }
             },
             strs("ndvColumns"),
-            strs("primaryKey"))
+            strs("primaryKey"),
+            {
+              if (!node.has("foreignKeys")) Nil
+              else {
+                val buf = Seq.newBuilder[ForeignKey]
+                node.get("foreignKeys").elements().forEachRemaining { o =>
+                  def arr(k: String): Seq[String] = {
+                    val b = Seq.newBuilder[String]
+                    o.get(k).elements().forEachRemaining(e => b += e.asText())
+                    b.result()
+                  }
+                  buf += ForeignKey(arr("cols"), o.get("parent").asText(),
+                    arr("parentCols"))
+                }
+                buf.result()
+              }
+            })
         }.toMap
     new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)

@@ -4541,7 +4541,127 @@ object LlmQueries extends QueryPack {
           SELECT id + 100000000, 'FIX', val * 2
           FROM base WHERE id % 4 = 0)
         SELECT grp, count(*) AS n, round(sum(val), 2) AS sv
-        FROM fin GROUP BY grp ORDER BY grp"""))
+        FROM fin GROUP BY grp ORDER BY grp""")),
+
+    // ---- q159: ENFORCED FOREIGN KEYs under the gate — referential
+    // integrity as the reference's Postgres users know it. One
+    // statement of each kind runs against the hash: a dangling INSERT
+    // rejects WHOLE (its valid rows must not leak), a NULL key passes
+    // (SQL MATCH SIMPLE), appendQuarantine routes danglers as
+    // `foreign_key` rows (collisions keep their sharper `primary_key`
+    // tag), a referenced parent key refuses to DELETE (ON DELETE
+    // RESTRICT) while an unreferenced one goes. Scale shape: both
+    // probe directions are file-skipped through the same footer-stat/
+    // bloom machinery as the PK probe, so enforcement costs
+    // batch-overlapping files, never the tables (WarehouseFkSpec
+    // proves skipped files are never read by corrupting one).
+    Q("q159_warehouse_foreign_key",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q159-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("fk159_")
+        s.sql("""CREATE TABLE fk159_n (
+                   nid BIGINT PRIMARY KEY, nname STRING
+                 ) STATS BY (nid)""")
+        s.sql("""CREATE TABLE fk159_c (
+                   cid BIGINT PRIMARY KEY,
+                   nk BIGINT REFERENCES fk159_n (nid),
+                   bal DOUBLE
+                 ) STATS BY (cid)""")
+        t(s, dir, "nation").select(
+            col("n_nationkey").cast("long").as("nid"),
+            col("n_name").as("nname"))
+          .where(col("nid") < 20)
+          .createOrReplaceTempView("fk159_nsrc")
+        val cust = t(s, dir, "customer").select(
+            col("c_custkey").cast("long").as("cid"),
+            col("c_nationkey").cast("long").as("nk"),
+            col("c_acctbal").cast("double").as("bal"))
+          .where(col("nk") < 20)
+        cust.createOrReplaceTempView("fk159_csrc")
+        s.sql("INSERT INTO fk159_n SELECT * FROM fk159_nsrc")
+        s.sql("INSERT INTO fk159_c SELECT * FROM fk159_csrc")
+        // dangling keys reject the WHOLE insert — the valid LEAK slice
+        // must not land (the hash would catch it)
+        val dangled =
+          try {
+            s.sql("""INSERT INTO fk159_c
+                     SELECT cid + 300000000, nk, bal
+                     FROM fk159_csrc WHERE cid % 11 = 0
+                     UNION ALL
+                     SELECT cid + 400000000, nk + 30, bal
+                     FROM fk159_csrc WHERE cid % 17 = 0""")
+            false
+          } catch {
+            case _: graft.pipeline.Warehouse.ForeignKeyViolation => true
+          }
+        require(dangled, "q159: the dangling INSERT must be rejected")
+        // RESTRICT: a referenced parent refuses to die; an
+        // unreferenced synthetic one deletes cleanly
+        s.sql("INSERT INTO fk159_n VALUES (777, 'ZOMBIE')")
+        s.sql("DELETE FROM fk159_n WHERE nid = 777")
+        val restricted =
+          try { s.sql("DELETE FROM fk159_n WHERE nid = 1"); false }
+          catch {
+            case _: graft.pipeline.Warehouse.ForeignKeyViolation => true
+          }
+        require(restricted, "q159: deleting a referenced key must fail")
+        // quarantine: fresh valid rows + a NULL key KEEP; danglers tag
+        // `foreign_key`; live-key collisions keep `primary_key`
+        val mixed = cust.where(col("cid") % 10 === 0)
+          .select((col("cid") + 1000000000L).as("cid"), col("nk"),
+            col("bal"))
+          .unionByName(cust.where(col("cid") % 13 === 0)
+            .select((col("cid") + 2000000000L).as("cid"),
+              (col("nk") + 30L).as("nk"), col("bal")))
+          .unionByName(cust.where(col("cid") % 7 === 0))
+          .unionByName(s.range(1).select(lit(-5L).as("cid"),
+            lit(null).cast("long").as("nk"), lit(3.0).as("bal")))
+        wh.appendQuarantine("c", "c_bad", mixed)
+        wh.registerSql("fk159_")
+        s.sql("""
+          SELECT 'kept' AS side, coalesce(CAST(nk AS STRING), '~') AS k,
+                 CAST(count(*) AS BIGINT) AS n, round(sum(bal), 2) AS sv
+          FROM fk159_c GROUP BY nk
+          UNION ALL
+          SELECT 'parent' AS side, 'live' AS k,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(nid) AS DOUBLE) AS sv
+          FROM fk159_n
+          UNION ALL
+          SELECT 'quar' AS side, violation AS k,
+                 CAST(count(*) AS BIGINT) AS n, round(sum(bal), 2) AS sv
+          FROM fk159_c_bad GROUP BY violation
+          ORDER BY side, k""")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey AS cid, CAST(c_nationkey AS BIGINT) AS nk,
+                 CAST(c_acctbal AS DOUBLE) AS bal
+          FROM customer WHERE c_nationkey < 20),
+        kept AS (
+          SELECT cid, nk, bal FROM cust
+          UNION ALL
+          SELECT cid + 1000000000, nk, bal FROM cust WHERE cid % 10 = 0
+          UNION ALL
+          SELECT -5, NULL, 3.0),
+        quar AS (
+          SELECT 'foreign_key' AS violation, bal FROM cust
+          WHERE cid % 13 = 0
+          UNION ALL
+          SELECT 'primary_key', bal FROM cust WHERE cid % 7 = 0)
+        SELECT 'kept' AS side, coalesce(CAST(nk AS VARCHAR), '~') AS k,
+               count(*) AS n, round(sum(bal), 2) AS sv
+        FROM kept GROUP BY nk
+        UNION ALL
+        SELECT 'parent', 'live', count(*),
+               CAST(sum(n_nationkey) AS DOUBLE)
+        FROM nation WHERE n_nationkey < 20
+        UNION ALL
+        SELECT 'quar', violation, count(*), round(sum(bal), 2)
+        FROM quar GROUP BY violation
+        ORDER BY side, k"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -470,7 +470,10 @@ case class GraftShowCreateCommand(wh: Warehouse, table: String,
         spec.generated.get(f.name)
           .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse(""))
     val cols = (colDefs ++ (if (spec.primaryKey.isEmpty) Nil
-      else Seq(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")})")))
+      else Seq(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")})"))
+      ++ spec.foreignKeys.map(fk =>
+        s"  FOREIGN KEY (${fk.cols.mkString(", ")}) REFERENCES " +
+          s"${fk.parent} (${fk.parentCols.mkString(", ")})"))
       .mkString(",\n")
     val clauses = Seq(
       if (spec.partitionBy.isEmpty) ""

@@ -895,19 +895,44 @@ object WarehouseSql {
         }
         val TablePk = """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
         val ColPk = """(?is)(.*?)\s+PRIMARY\s+KEY\s*""".r
+        // FOREIGN KEY (a, b) REFERENCES parent (x, y) — table level —
+        // and `c type REFERENCES parent(x)` — column level. The parent
+        // may be written with or without this warehouse's SQL prefix.
+        val TableFk = ("""(?is)FOREIGN\s+KEY\s*\(([^)]*)\)\s*""" +
+          """REFERENCES\s+([A-Za-z0-9_.]+)\s*\(([^)]*)\)\s*""").r
+        val ColFk = ("""(?is)(.+?)\s+REFERENCES\s+""" +
+          """([A-Za-z0-9_.]+)\s*\(([^)]*)\)\s*$""").r
+        def parentName(raw: String): String = {
+          val lower = raw.toLowerCase
+          if (lower.startsWith(prefix) && lower.length > prefix.length)
+            raw.drop(prefix.length)
+          else raw
+        }
         // column-level GENERATED ALWAYS AS ((expr)) — greedy capture so
         // nested parens in the expression survive
         val ColGen =
           """(?is)(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*$""".r
         val pk = Seq.newBuilder[String]
         val gen = Map.newBuilder[String, String]
+        val fks = Seq.newBuilder[Warehouse.ForeignKey]
         val colDefs = items.flatMap {
           case TablePk(cols) =>
             pk ++= cols.split(",").map(_.trim).filter(_.nonEmpty); None
+          case TableFk(cs, parent, ps) =>
+            fks += Warehouse.ForeignKey(
+              cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              parentName(parent),
+              ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            None
           case ColGen(colDef, e) =>
             gen += colDef.trim.split("\\s+").head -> e.trim; Some(colDef)
           case ColPk(colDef) =>
             pk += colDef.trim.split("\\s+").head; Some(colDef)
+          case ColFk(colDef, parent, ps) =>
+            fks += Warehouse.ForeignKey(
+              Seq(colDef.trim.split("\\s+").head), parentName(parent),
+              ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            Some(colDef)
           case colDef => Some(colDef)
         }
         if (colDefs.isEmpty) fail("no columns")
@@ -921,7 +946,8 @@ object WarehouseSql {
             bloomFpp = bloomFpp.getOrElse(0.03),
             bucketBy = bucketBy, numBuckets = numBuckets,
             generated = gen.result(),
-            primaryKey = pk.result()),
+            primaryKey = pk.result(),
+            foreignKeys = fks.result()),
           ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
       }
     case _ => None
