@@ -595,7 +595,8 @@ class Warehouse(spark: SparkSession, dir: String,
     // idempotence state even after vacuum prunes old manifests (new
     // values in `meta` win — that's the epoch/ledger advancing).
     val carried = commitMeta(name, version - 1).view
-      .filterKeys(k => k.startsWith("txn_") || k == "copyLedgers").toMap
+      .filterKeys(k => k.startsWith("txn_") || k == "copyLedgers" ||
+        k == "identityHwm").toMap
     val fullMeta = carried ++ meta
     val metaLine =
       if (fullMeta.isEmpty) Nil
@@ -1597,6 +1598,12 @@ class Warehouse(spark: SparkSession, dir: String,
         val pn = o.putArray("parentCols"); fk.parentCols.foreach(pn.add)
       }
     }
+    spec.identity.foreach { idn =>
+      val o = node.putObject("identity")
+      o.put("column", idn.column)
+      val ob = o.putArray("orderBy"); idn.orderBy.foreach(ob.add)
+      o.put("start", idn.start)
+    }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(m.writeValueAsString(node)
@@ -2190,6 +2197,9 @@ class Warehouse(spark: SparkSession, dir: String,
       require(!specsNow(name).primaryKey.contains(c),
         s"updateVectored $name: PRIMARY KEY column $c is not updatable " +
           "(a SET could mint a duplicate key — delete + insert instead)")
+      require(!specsNow(name).identity.exists(_.column == c),
+        s"updateVectored $name: IDENTITY column $c is engine-assigned " +
+          "and immutable")
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"updateVectored $name: table not bootstrapped")
@@ -2441,12 +2451,16 @@ class Warehouse(spark: SparkSession, dir: String,
       addColumn(name, f.copy(nullable = true))
     }
     // older columns the batch omits surface as nulls (select order is
-    // the spec's; missing columns fill with typed nulls)
+    // the spec's; missing columns fill with typed nulls) — except an
+    // IDENTITY column, which must stay absent for append to assign
     import org.apache.spark.sql.functions.{col, lit}
-    val full = tables(name).fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }
+    val idCol = specsNow(name).identity.map(_.column)
+    val full = tables(name).fields.toSeq
+      .filterNot(f => idCol.contains(f.name) && !df.columns.contains(f.name))
+      .map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
     append(name, df.select(full: _*), rowsPerFile, txn)
   }
 
@@ -2464,11 +2478,13 @@ class Warehouse(spark: SparkSession, dir: String,
       txnWatermarks(name, headVersion).get(s"txn_$q").exists(_.toLong >= e)
     }
     if (replayed(v)) return (v, 0L)
-    val full = applyGenerated(name, df)
+    val (withId, hwm0) = applyIdentity(name, df, v)
+    var assignedHwm = hwm0
+    var full = applyGenerated(name, withId)
     enforceChecks(name, full)
     enforcePrimaryKey(name, full)
     enforceForeignKeys(name, full)
-    val fresh = writeBatch(name, full, rowsPerFile)
+    var fresh = writeBatch(name, full, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
     // Optimistic concurrency, Delta-style: a blind append COMMUTES with
@@ -2484,7 +2500,8 @@ class Warehouse(spark: SparkSession, dir: String,
         commit(name, attempt._1 + 1, attempt._2 ++ fresh,
           Map("op" -> "append",
             "numFilesAdded" -> fresh.size.toString,
-            "numRowsAdded" -> fresh.map(_.rows).sum.toString) ++ txnMeta)
+            "numRowsAdded" -> fresh.map(_.rows).sum.toString)
+            ++ assignedHwm.map("identityHwm" -> _.toString) ++ txnMeta)
         done = true
       }
       catch {
@@ -2501,6 +2518,18 @@ class Warehouse(spark: SparkSession, dir: String,
           if (replayed(attempt._1)) {
             gc(name, fresh)
             return (attempt._1, 0L)
+          }
+          // a racing assigner may have advanced the identity hwm: our
+          // written ids would duplicate its — reassign from the new
+          // head and REWRITE (the one append race that can't re-attach)
+          if (assignedHwm.exists(_ !=
+              identityHwm(name, attempt._1) + fresh.map(_.rows).sum)) {
+            gc(name, fresh)
+            val (reId, reHwm) =
+              applyIdentity(name, df, attempt._1)
+            assignedHwm = reHwm
+            full = applyGenerated(name, reId)
+            fresh = writeBatch(name, full, rowsPerFile)
           }
           // a commit slipped in between our PK probe and this attempt:
           // re-probe against the new head so concurrent same-key appends
@@ -2573,16 +2602,21 @@ class Warehouse(spark: SparkSession, dir: String,
     // GENERATED columns never come from the source files — the read
     // schema excludes them and the engine derives canonical values
     val gen = specsNow(name).generated
+    val idColCi = specsNow(name).identity.map(_.column)
     val readSchema = StructType(
-      schema.filterNot(f => gen.contains(f.name)))
-    val df = applyGenerated(name,
+      schema.filterNot(f => gen.contains(f.name) ||
+        idColCi.contains(f.name)))
+    val (src0, ciHwm0) = applyIdentity(name,
       spark.read.format(format).schema(readSchema).options(options)
         .load(fresh.map { case (rel, _) => s"$srcDir/$rel" }: _*)
-        .select(readSchema.fieldNames.map(col): _*))
+        .select(readSchema.fieldNames.map(col): _*),
+      loadLatest(name)._1)
+    var ciHwm = ciHwm0
+    val df = applyGenerated(name, src0)
     enforceChecks(name, df)
     enforcePrimaryKey(name, df)
     enforceForeignKeys(name, df)
-    val staged = writeBatch(name, df)
+    var staged = writeBatch(name, df)
     val ledgerRel = writeCopyLedger(name,
       fresh.map { case (rel, b) => s"$rel:$b" })
     maybeCrash("after-write")
@@ -2602,13 +2636,28 @@ class Warehouse(spark: SparkSession, dir: String,
           Map("op" -> "copy_into",
             "copyLedgers" -> (prevLedgers :+ ledgerRel).mkString(","),
             "numSourceFiles" -> fresh.size.toString,
-            "numFilesAdded" -> staged.size.toString))
+            "numFilesAdded" -> staged.size.toString)
+            ++ ciHwm.map("identityHwm" -> _.toString))
         done = true
       } catch {
         case _: Warehouse.CommitConflict if retries < 20 =>
           retries += 1
           abortStalePending(name, attempt._1 + 1)
           attempt = loadLatest(name)
+          // a racing assigner advanced the identity hwm: reassign from
+          // the new head and rewrite (see append)
+          if (ciHwm.exists(_ !=
+              identityHwm(name, attempt._1) + staged.map(_.rows).sum)) {
+            gc(name, staged)
+            val (reSrc, reHwm) = applyIdentity(name,
+              spark.read.format(format).schema(readSchema)
+                .options(options)
+                .load(fresh.map { case (rel, _) => s"$srcDir/$rel" }: _*)
+                .select(readSchema.fieldNames.map(col): _*),
+              attempt._1)
+            ciHwm = reHwm
+            staged = writeBatch(name, applyGenerated(name, reSrc))
+          }
           // PK re-probe against the intervening head (see append)
           if (specsNow(name).primaryKey.nonEmpty) {
             try probePrimaryKey(name, df)
@@ -2654,6 +2703,10 @@ class Warehouse(spark: SparkSession, dir: String,
         "no PRIMARY KEY and no FOREIGN KEYs — use append")
     require(name != quarantine,
       s"appendQuarantine: target and quarantine must differ")
+    require(specsNow(name).identity.isEmpty,
+      s"appendQuarantine $name: IDENTITY tables quarantine-split " +
+        "upstream and append the clean side (the atomic two-table " +
+        "commit cannot reassign ids on conflict)")
     val schema = tables(name)
     createTable(quarantine, Warehouse.TableSpec(
       schema.add(StructField("violation", StringType, nullable = false)),
@@ -2821,6 +2874,12 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     batches.foreach { case (t, _, _) =>
       require(loadLatest(t)._1 > 0L, s"appendAll into $t: not bootstrapped")
+      // an identity reassign-on-conflict inside the multi-table pending
+      // protocol would have to unwind sibling manifests — out of scope;
+      // identity tables take the single-table append path
+      require(specsNow(t).identity.isEmpty,
+        s"appendAll into $t: IDENTITY tables append one at a time " +
+          "(the multi-table conflict protocol cannot reassign ids)")
     }
     val txnMeta = txn.map { case (q, e) => s"txn_$q" -> e.toString }.toMap
     def replayed: Boolean = txn.exists { case (q, e) =>
@@ -2930,7 +2989,8 @@ class Warehouse(spark: SparkSession, dir: String,
       meta: Map[String, String] = Map.empty): Unit = {
     val (v, live) = loadLatest(name)
     require(v > 0L, s"overwrite $name: table not bootstrapped")
-    val df = applyGenerated(name, df0)
+    val (withId, ovHwm) = applyIdentity(name, df0, v)
+    val df = applyGenerated(name, withId)
     enforceChecks(name, df)
     // the batch REPLACES the table, so only batch-internal uniqueness
     // and NOT NULL apply — there are no surviving rows to collide with
@@ -2952,7 +3012,8 @@ class Warehouse(spark: SparkSession, dir: String,
     // watermark (commit() re-applies the previous head's ledger first)
     commit(name, v + 1, fresh, Map("op" -> "overwrite",
       "numFiles" -> fresh.size.toString,
-      "numRemoved" -> live.size.toString) ++ meta)
+      "numRemoved" -> live.size.toString)
+      ++ ovHwm.map("identityHwm" -> _.toString) ++ meta)
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, live)
   }
@@ -2979,6 +3040,10 @@ class Warehouse(spark: SparkSession, dir: String,
       extraMeta: Map[String, String] = Map.empty): Unit = {
     require(!extraMeta.keySet.exists(k => k == "op" || k.startsWith("txn_")),
       s"merge into $name: extraMeta must not shadow op/txn_* keys")
+    require(specsNow(name).identity.isEmpty,
+      s"merge into $name: IDENTITY tables are append-only by contract " +
+        "(a whole-row upsert cannot preserve engine-assigned ids) — " +
+        "use append, or mergeInto keyed on a business column")
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
     require(parts.forall(updates.columns.contains),
@@ -3083,6 +3148,9 @@ class Warehouse(spark: SparkSession, dir: String,
       s"scdMerge $name: an SCD2 table's PRIMARY KEY must be empty or " +
         s"exactly (${(keys :+ validFrom).mkString(", ")}) — versions " +
         "share the business key by design")
+    require(specsNow(name).identity.isEmpty,
+      s"scdMerge $name: IDENTITY tables are append-only by contract — " +
+        "version rows through a plain surrogate column instead")
     val schema = tables(name)
     val book = Seq(validFrom, validTo, currentFlag)
     (keys ++ book).foreach(c => require(schema.fieldNames.contains(c),
@@ -3231,6 +3299,9 @@ class Warehouse(spark: SparkSession, dir: String,
     val bySource = bySourceDelete.nonEmpty || bySourceUpdate.nonEmpty
     require(parts.forall(source.columns.contains),
       s"mergeInto $name: source must carry partition cols $parts")
+    require(specsNow(name).identity.isEmpty,
+      s"mergeInto $name: IDENTITY tables are append-only by contract " +
+        "(engine-assigned ids cannot be merged on) — use append")
     val pkCols = specsNow(name).primaryKey
     (matchedUpdate.toSeq ++ bySourceUpdate.toSeq).foreach { case (_, set) =>
       set.keys.foreach { c =>
@@ -3836,6 +3907,9 @@ class Warehouse(spark: SparkSession, dir: String,
       require(!specsNow(name).primaryKey.contains(c),
         s"update $name: PRIMARY KEY column $c is not updatable " +
           "(a SET could mint a duplicate key — delete + insert instead)")
+      require(!specsNow(name).identity.exists(_.column == c),
+        s"update $name: IDENTITY column $c is engine-assigned and " +
+          "immutable")
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"update $name: table not bootstrapped")
@@ -4112,6 +4186,10 @@ class Warehouse(spark: SparkSession, dir: String,
     require(!spec.foreignKeys.exists(_.cols.contains(colName)),
       s"$op $name.$colName: FOREIGN KEY columns keep their identity " +
         "(the referential constraint keys on the name)")
+    require(!spec.identity.exists(i => i.column == colName ||
+        i.orderBy.contains(colName)),
+      s"$op $name.$colName: IDENTITY columns (and their ORDER BY " +
+        "columns) keep their identity")
     // a PARENT's referenced columns are its PRIMARY KEY — already
     // banned above for the parent itself; ban cross-table too
     specsNow.foreach { case (child, cs) =>
@@ -4184,6 +4262,65 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     withCols.select(schema.fieldNames.toSeq.map(col): _*)
   }
+
+  /** The identity high-water mark as of manifest `version`: the last
+    * assigned id, or `start - 1` before any assignment. Rides every
+    * commit's metadata (ratchet — see [[Warehouse.Identity]]), so one
+    * head read answers it even after vacuum pruned old manifests, and
+    * a DELETE of the max row never resurrects its id.
+    */
+  private def identityHwm(name: String, version: Long): Long =
+    commitMeta(name, version).get("identityHwm").map(_.toLong)
+      .getOrElse(specsNow(name).identity.map(_.start - 1L).getOrElse(0L))
+
+  /** GENERATED ALWAYS AS IDENTITY assignment for a row-adding batch:
+    * ranks the batch (range-partitioned sort when `orderBy` is
+    * declared — a DISTRIBUTED dense rank, never a one-partition
+    * window) and mints `hwm+1 .. hwm+n`. The ranked batch is
+    * localCheckpoint'ed first so the rank job and the subsequent write
+    * see ONE evaluation — a non-deterministic source can't skew ids
+    * against rows (bytes-bounded by the batch, which is about to be
+    * written anyway).
+    *
+    * @return (batch with the column, new high-water mark) — the caller
+    *   commits the hwm in its metadata, atomically with the rows
+    */
+  private def assignIdentity(name: String, df: DataFrame,
+      hwm: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.col
+    val idn = specsNow(name).identity.get
+    require(!df.columns.contains(idn.column),
+      s"append into $name: ${idn.column} is GENERATED ALWAYS AS " +
+        "IDENTITY — the engine assigns it; omit the column")
+    val ordered =
+      if (idn.orderBy.isEmpty) df
+      else df.repartitionByRange(idn.orderBy.map(col): _*)
+        .sortWithinPartitions(idn.orderBy.map(col): _*)
+    val ck = ordered.localCheckpoint(true)
+    val outSchema = StructType(
+      ck.schema.fields :+ StructField(idn.column, LongType, false))
+    val withId = spark.createDataFrame(
+      ck.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + 1L + i)) },
+      outSchema)
+    val n = ck.count()
+    (withId, hwm + n)
+  }
+
+  /** [[assignIdentity]] when the table declares one, identity
+    * otherwise. `headVersion` is the snapshot whose hwm the ids extend
+    * — commit-conflict retries MUST re-run this against the new head
+    * (a racing assigner may have advanced it) and rewrite their files.
+    */
+  private def applyIdentity(name: String, df: DataFrame,
+      headVersion: Long): (DataFrame, Option[Long]) =
+    specsNow(name).identity match {
+      case None => (df, None)
+      case Some(_) =>
+        val (withId, newHwm) =
+          assignIdentity(name, df, identityHwm(name, headVersion))
+        (withId, Some(newHwm))
+    }
 
   /** PRIMARY KEY enforcement for a row-adding batch: NULL keys and
     * batch-internal duplicates in one grouped pass, then the live-row
@@ -4884,6 +5021,30 @@ object Warehouse {
         s"$parent (${parentCols.mkString(", ")})"
   }
 
+  /** A GENERATED ALWAYS AS IDENTITY column: the ENGINE assigns a fresh
+    * unique BIGINT to every appended row; a batch supplying the column
+    * rejects (the ALWAYS contract — no caller-minted ids, so uniqueness
+    * needs no probe). Values start at `start` and never repeat: the
+    * high-water mark rides the manifest's commit metadata and only
+    * ratchets up (deletes burn ids, the Delta/identity norm).
+    *
+    * `orderBy` makes the assignment DETERMINISTIC: each batch is
+    * range-partitioned and sorted by those columns before ranking, so
+    * the same batch always mints the same ids — reproducible sample
+    * ids for training-data pipelines, and what lets an independent
+    * engine replay the assignment (`row_number() OVER (ORDER BY ...)`
+    * + the running offset). Ties get unique but order-arbitrary ids —
+    * declare a per-batch-unique key for full determinism. Empty
+    * `orderBy` skips the sort: ids follow the batch's incoming
+    * partitioning (Delta's nondeterministic-but-unique behavior, one
+    * shuffle cheaper).
+    */
+  final case class Identity(column: String, orderBy: Seq[String] = Nil,
+      start: Long = 1L) {
+    require(!orderBy.contains(column),
+      s"identity column $column cannot order itself")
+  }
+
   /** Thrown when a write would violate a declared [[ForeignKey]] —
     * a row-adding batch carrying a key no parent row has (the child-
     * side check), or a parent-side DELETE whose doomed keys are still
@@ -4967,7 +5128,22 @@ object Warehouse {
       generated: Map[String, String] = Map.empty,
       ndvColumns: Seq[String] = Nil,
       primaryKey: Seq[String] = Nil,
-      foreignKeys: Seq[ForeignKey] = Nil) {
+      foreignKeys: Seq[ForeignKey] = Nil,
+      identity: Option[Identity] = None) {
+    identity.foreach { idn =>
+      require(schema.fieldNames.contains(idn.column),
+        s"identity column ${idn.column} not in schema")
+      require(schema(idn.column).dataType ==
+          org.apache.spark.sql.types.LongType,
+        s"identity column ${idn.column} must be BIGINT")
+      require(!generated.contains(idn.column),
+        s"identity column ${idn.column} cannot also be GENERATED AS expr")
+      require(!partitionBy.contains(idn.column),
+        s"identity column ${idn.column} cannot partition the table " +
+          "(every row would mint its own directory)")
+      idn.orderBy.foreach(c => require(schema.fieldNames.contains(c),
+        s"identity ORDER BY column $c not in schema"))
+    }
     generated.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"generated column $c not in schema"))
     primaryKey.foreach(c => require(schema.fieldNames.contains(c),
@@ -5121,6 +5297,17 @@ object Warehouse {
                     arr("parentCols"))
                 }
                 buf.result()
+              }
+            },
+            {
+              if (!node.has("identity")) None
+              else {
+                val o = node.get("identity")
+                val ob = Seq.newBuilder[String]
+                o.get("orderBy").elements()
+                  .forEachRemaining(e => ob += e.asText())
+                Some(Identity(o.get("column").asText(), ob.result(),
+                  o.get("start").asLong()))
               }
             })
         }.toMap

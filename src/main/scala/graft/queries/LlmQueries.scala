@@ -4661,7 +4661,161 @@ object LlmQueries extends QueryPack {
         UNION ALL
         SELECT 'quar', violation, count(*), round(sum(bal), 2)
         FROM quar GROUP BY violation
-        ORDER BY side, k"""))
+        ORDER BY side, k""")),
+
+    // ---- q160: GENERATED ALWAYS AS IDENTITY under the gate — the
+    // training-data sample-id primitive. The engine assigns BIGINT ids
+    // with a DISTRIBUTED rank (range-partition + per-partition offset
+    // — never a one-partition window), deterministic under the
+    // declared ORDER BY, so an independent engine can replay the whole
+    // assignment as row_number() + running offsets — which is exactly
+    // what the DuckDB oracle does. The hash gates three load-bearing
+    // properties at once: batches continue the sequence exactly where
+    // the last stopped, a DELETE burns its ids (the hwm ratchet rides
+    // commit metadata, so no reuse), and copy-on-write rewrites carry
+    // assigned ids through untouched.
+    Q("q160_docs_identity_assignment",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q160-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("d" -> graft.pipeline.Warehouse.TableSpec(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("rid",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("did",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("nch",
+                org.apache.spark.sql.types.LongType))),
+            statColumns = Seq("did"),
+            identity = Some(graft.pipeline.Warehouse.Identity("rid",
+              orderBy = Seq("did"))))))
+        wh.bootstrap()
+        val docs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("did"),
+          col("n_chars").cast("long").as("nch"))
+        // three epoch loads in did-order slices, shuffled on the way in
+        // (assignment must not depend on arrival layout)
+        wh.append("d", docs.where(col("did") % 3 === 0).repartition(16))
+        wh.append("d", docs.where(col("did") % 3 === 1).repartition(16))
+        // burn a slice of ids mid-sequence: the next batch must NOT
+        // reuse them (hwm rides commit metadata, not live max)
+        wh.delete("d", col("did") % 5 === 0)
+        wh.append("d", docs.where(col("did") % 3 === 2).repartition(16))
+        // a CoW rewrite between reads must not disturb assigned ids
+        wh.update("d", col("did") % 7 === 0,
+          Map("nch" -> (col("nch") + 1000000L)))
+        wh.read("d")
+          .groupBy((col("rid") % 11L).as("b"))
+          .agg(count(lit(1)).as("n"), sum(col("rid")).as("sum_rid"),
+            sum(col("did")).as("sum_did"), sum(col("nch")).as("sum_nch"))
+          .orderBy(col("b"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id AS did, n_chars AS nch FROM documents),
+        b1 AS (
+          SELECT did, nch, row_number() OVER (ORDER BY did) AS rid
+          FROM docs WHERE did % 3 = 0),
+        b2 AS (
+          SELECT did, nch,
+                 (SELECT count(*) FROM b1)
+                   + row_number() OVER (ORDER BY did) AS rid
+          FROM docs WHERE did % 3 = 1),
+        b3 AS (
+          SELECT did, nch,
+                 (SELECT count(*) FROM b1) + (SELECT count(*) FROM b2)
+                   + row_number() OVER (ORDER BY did) AS rid
+          FROM docs WHERE did % 3 = 2),
+        live AS (
+          SELECT * FROM (
+            SELECT * FROM b1 UNION ALL SELECT * FROM b2
+            UNION ALL SELECT * FROM b3)
+          WHERE did % 5 <> 0 OR did % 3 = 2),
+        upd AS (
+          SELECT rid, did,
+                 CASE WHEN did % 7 = 0 THEN nch + 1000000 ELSE nch END
+                   AS nch
+          FROM live)
+        SELECT rid % 11 AS b, count(*) AS n,
+               CAST(sum(rid) AS BIGINT) AS sum_rid,
+               CAST(sum(did) AS BIGINT) AS sum_did,
+               CAST(sum(nch) AS BIGINT) AS sum_nch
+        FROM upd GROUP BY 1 ORDER BY b""")),
+
+    // ---- q161: TIME-SERIES REGULARIZATION under the gate — resample
+    // onto an hourly grid, densify each key's own span (per-key
+    // sequence(), never a global cross join), then the two classic
+    // fills: LOCF and linear interpolation, both as PARTITIONED
+    // running windows (no single-partition sort anywhere — the
+    // telemetry-at-scale contract; TimeSeriesSpec pins the plan).
+    // Determinism across engines: per-bucket means divide an EXACT
+    // integer cent-sum, the interpolation expression is the same IEEE
+    // shape on both sides, and the emitted sums integerize per slot
+    // BEFORE summing — so the hash gates the fills value-for-value.
+    Q("q161_events_gapfill_interpolate",
+      (s, dir) => {
+        import graft.ext.TimeSeries
+        val ev = t(s, dir, "events").select(
+          (col("user_id") % 50).as("g"), col("ts"), col("value"))
+        val obs = TimeSeries.resample(ev, Seq("g"), "ts", 3600,
+            Seq(sum(round(col("value") * 100).cast("long")).as("cv"),
+              count(lit(1)).as("m")))
+          .select(col("g"), col("bucket"),
+            (col("cv").cast("double") / col("m") / lit(100.0)).as("v"))
+        val filled = TimeSeries.gapFill(obs, Seq("g"), "bucket", 3600)
+          .withColumn("vi", col("v"))
+        val both = TimeSeries.interpolate(
+          TimeSeries.locf(filled, Seq("g"), "bucket", Seq("v")),
+          Seq("g"), "bucket", "vi")
+        both.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_slots"),
+            count(col("vi")).as("n_interp"),
+            sum(round(col("v") * 10000).cast("long")).as("s_locf"),
+            sum(round(col("vi") * 10000).cast("long")).as("s_interp"))
+          .orderBy(col("g"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id % 50 AS g, ts, value FROM events),
+        obs AS (
+          SELECT g, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS b,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100.0 AS v
+          FROM ev GROUP BY 1, 2),
+        spans AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY g),
+        grid AS (
+          SELECT g, unnest(generate_series(lo, hi, 3600)) AS b FROM spans),
+        filled AS (
+          SELECT grid.g AS g, grid.b AS b, obs.v AS v
+          FROM grid LEFT JOIN obs USING (g, b)),
+        w AS (
+          SELECT g, b, v,
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+              OVER wp AS pt,
+            first_value(v IGNORE NULLS) OVER wf AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+              OVER wf AS nt
+          FROM filled
+          WINDOW wp AS (PARTITION BY g ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY g ORDER BY b
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        fin AS (
+          SELECT g, b, pv AS vl,
+            CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN pv + (nv - pv)
+                   * (CAST(b AS DOUBLE) - CAST(pt AS DOUBLE))
+                   / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))
+            END AS vi
+          FROM w)
+        SELECT g, count(*) AS n_slots, count(vi) AS n_interp,
+               CAST(sum(CAST(round(vl*10000) AS BIGINT)) AS BIGINT)
+                 AS s_locf,
+               CAST(sum(CAST(round(vi*10000) AS BIGINT)) AS BIGINT)
+                 AS s_interp
+        FROM fin GROUP BY g ORDER BY g"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -102,8 +102,10 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftBridge.ofRows(spark, query)
     val schema = wh.tables(table)
-    // GENERATED columns may be omitted everywhere — append derives them
+    // GENERATED columns may be omitted everywhere — append derives
+    // them; an IDENTITY column MUST be omitted — append assigns it
     val gen = wh.tableSpec(table).generated
+    val auto = gen.keySet ++ wh.tableSpec(table).identity.map(_.column)
     val named =
       if (byName) df
       else if (userCols.nonEmpty) {
@@ -112,22 +114,23 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
             s"${df.columns.length} query columns")
         val missing = schema.fieldNames
           .filterNot(c => userCols.exists(_.equalsIgnoreCase(c)) ||
-            gen.contains(c))
+            auto.contains(c))
         require(missing.isEmpty,
           s"INSERT INTO $table: column list must cover the full schema " +
             s"(missing ${missing.mkString(", ")}); appended files carry " +
             "whole rows")
         df.toDF(userCols: _*)
       } else {
-        val noGen = schema.fieldNames.filterNot(gen.contains)
+        val noAuto = schema.fieldNames.filterNot(auto.contains)
         require(df.columns.length == schema.size ||
-            df.columns.length == noGen.length,
+            df.columns.length == noAuto.length,
           s"INSERT INTO $table: expected ${schema.size} columns " +
-            (if (gen.nonEmpty) s"(or ${noGen.length} with the generated " +
-              s"columns ${gen.keys.mkString(", ")} omitted) " else "") +
+            (if (auto.nonEmpty) s"(or ${noAuto.length} with the " +
+              s"engine-supplied columns ${auto.mkString(", ")} omitted) "
+            else "") +
             s"positionally, got ${df.columns.length}")
         df.toDF((if (df.columns.length == schema.size) schema.fieldNames
-          else noGen).toIndexedSeq: _*)
+          else noAuto).toIndexedSeq: _*)
       }
     val casted = named.select(named.columns.toSeq.map(c =>
       col(c).cast(schema(c).dataType).as(c)): _*)
@@ -468,7 +471,15 @@ case class GraftShowCreateCommand(wh: Warehouse, table: String,
     val colDefs = spec.schema.fields
       .map(f => s"  ${f.name} ${f.dataType.sql}" +
         spec.generated.get(f.name)
-          .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse(""))
+          .map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("") +
+        spec.identity.filter(_.column == f.name).map { idn =>
+          val opts = (if (idn.start == 1L) Nil
+            else Seq(s"START WITH ${idn.start}")) ++
+            (if (idn.orderBy.isEmpty) Nil
+            else Seq(s"ORDER BY ${idn.orderBy.mkString(", ")}"))
+          " GENERATED ALWAYS AS IDENTITY" +
+            (if (opts.isEmpty) "" else opts.mkString(" (", " ", ")"))
+        }.getOrElse(""))
     val cols = (colDefs ++ (if (spec.primaryKey.isEmpty) Nil
       else Seq(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")})"))
       ++ spec.foreignKeys.map(fk =>

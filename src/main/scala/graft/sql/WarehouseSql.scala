@@ -912,9 +912,18 @@ object WarehouseSql {
         // nested parens in the expression survive
         val ColGen =
           """(?is)(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*$""".r
+        // column-level GENERATED ALWAYS AS IDENTITY
+        // [(START WITH n | ORDER BY a, b | both)] — matched BEFORE
+        // ColGen (the IDENTITY keyword keeps the grammars disjoint, but
+        // order makes it unambiguous)
+        val ColIdentity = ("""(?is)(.+?)\s+GENERATED\s+ALWAYS\s+AS\s+""" +
+          """IDENTITY\s*(?:\(([^)]*)\))?\s*$""").r
+        val IdStart = """(?is).*START\s+WITH\s+(-?\d+).*""".r
+        val IdOrder = """(?is).*ORDER\s+BY\s+([A-Za-z0-9_,\s]+?)\s*$""".r
         val pk = Seq.newBuilder[String]
         val gen = Map.newBuilder[String, String]
         val fks = Seq.newBuilder[Warehouse.ForeignKey]
+        var identity: Option[Warehouse.Identity] = None
         val colDefs = items.flatMap {
           case TablePk(cols) =>
             pk ++= cols.split(",").map(_.trim).filter(_.nonEmpty); None
@@ -924,6 +933,21 @@ object WarehouseSql {
               parentName(parent),
               ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             None
+          case ColIdentity(colDef, opts) =>
+            val c = colDef.trim.split("\\s+").head
+            if (identity.nonEmpty) fail("at most one IDENTITY column")
+            val o = Option(opts).getOrElse("")
+            val start = o match {
+              case IdStart(n) => n.toLong
+              case _ => 1L
+            }
+            val orderBy = o match {
+              case IdOrder(cols) => cols.split(",").toSeq
+                .map(_.trim).filter(_.nonEmpty)
+              case _ => Nil
+            }
+            identity = Some(Warehouse.Identity(c, orderBy, start))
+            Some(colDef)
           case ColGen(colDef, e) =>
             gen += colDef.trim.split("\\s+").head -> e.trim; Some(colDef)
           case ColPk(colDef) =>
@@ -947,7 +971,8 @@ object WarehouseSql {
             bucketBy = bucketBy, numBuckets = numBuckets,
             generated = gen.result(),
             primaryKey = pk.result(),
-            foreignKeys = fks.result()),
+            foreignKeys = fks.result(),
+            identity = identity),
           ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
       }
     case _ => None
