@@ -596,7 +596,7 @@ class Warehouse(spark: SparkSession, dir: String,
     // values in `meta` win — that's the epoch/ledger advancing).
     val carried = commitMeta(name, version - 1).view
       .filterKeys(k => k.startsWith("txn_") || k == "copyLedgers" ||
-        k == "identityHwm").toMap
+        k == "identityHwm" || k == "partitionBy").toMap
     val fullMeta = carried ++ meta
     val metaLine =
       if (fullMeta.isEmpty) Nil
@@ -1650,6 +1650,7 @@ class Warehouse(spark: SparkSession, dir: String,
   def readVersion(name: String, version: Long): DataFrame = {
     require(versions(name).contains(version),
       s"$name has no manifest v$version (vacuumed or never committed)")
+    requireLayoutReadable(name, version, "readVersion")
     val entries = loadAt(name, version)
     val fs = fileSystem
     val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
@@ -1761,6 +1762,8 @@ class Warehouse(spark: SparkSession, dir: String,
       s"$name has no manifest v$sinceVersion to diff from")
     require(versions(name).contains(toVersion),
       s"$name has no manifest v$toVersion to diff to")
+    requireLayoutReadable(name, sinceVersion, "readChangeFeed")
+    requireLayoutReadable(name, toVersion, "readChangeFeed")
     val before = loadAt(name, sinceVersion)
     val after = loadAt(name, toVersion)
     val fs = fileSystem
@@ -1791,6 +1794,7 @@ class Warehouse(spark: SparkSession, dir: String,
     import org.apache.spark.sql.functions.{lit, timestamp_millis}
     require(versions(name).contains(sinceVersion),
       s"$name has no manifest v$sinceVersion to diff from")
+    requireLayoutReadable(name, sinceVersion, "readChangeFeedVersioned")
     val vs = versions(name).filter(_ >= sinceVersion).sorted
     val hops = vs.zip(vs.drop(1))
     if (hops.isEmpty) {
@@ -1828,6 +1832,7 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   def changeFeedReadable(name: String, sinceVersion: Long): Boolean = {
     if (!versions(name).contains(sinceVersion)) return false
+    if (!layoutReadable(name, sinceVersion)) return false
     val before = loadAt(name, sinceVersion)
     val latestSet = loadLatest(name)._2.map(_.rel).toSet
     val fs = fileSystem
@@ -3989,9 +3994,118 @@ class Warehouse(spark: SparkSession, dir: String,
     * same rule as [[readVersion]]); files unique to the abandoned head
     * stay on disk for vacuum — restore never deletes anything.
     */
+  /** PARTITION LAYOUT MIGRATION — `ALTER TABLE ... SET PARTITIONED BY`.
+    * Rewrites the CURRENT snapshot under the new directory layout in
+    * one commit: read (old dirs supply the old partition columns,
+    * deletion vectors apply), write through [[writeBatch]] (one task
+    * per new partition dir, stats/blooms/NDV sidecars rebuilt, ids and
+    * generated columns carried through as data), commit, persist the
+    * spec. Explicitly a REWRITE, not Iceberg's metadata-only spec
+    * evolution — a DELIBERATE trade: per-file partition specs would
+    * split every downstream read (scans, DV positioning, bucketed
+    * plans, the streaming source) into per-spec relation unions, and
+    * old files don't even contain their partition columns in-file
+    * (hive layout stores them in dir names only). The rewrite keeps
+    * every read path single-relation; its cost is explicit, partition-
+    * parallel, and paid once — the Delta Lake answer to the same
+    * problem.
+    *
+    * The layout in effect rides every commit as `partitionBy` metadata
+    * (carried forward like the txn watermarks), which makes two things
+    * work: (a) crash between commit and spec publish — [[Warehouse.
+    * open]] reconciles the spec from the head's stamp; (b) time
+    * travel / change feeds / RESTORE refuse to cross a migration
+    * boundary with a clear error instead of misparsing old dirs
+    * (pre-migration files typically follow retention anyway). Tagged
+    * snapshots would be pinned-but-unreadable across the boundary, so
+    * migration requires dropping tags first.
+    *
+    * @return rows rewritten
+    */
+  def repartitionTable(name: String, partitionBy: Seq[String],
+      rowsPerFile: Long = 0L): Long = {
+    import org.apache.spark.sql.functions.col
+    val old = specsNow.getOrElse(name, throw new IllegalArgumentException(
+      s"repartitionTable: no table $name"))
+    if (old.partitionBy == partitionBy) return 0L
+    require(tags(name).isEmpty,
+      s"repartitionTable $name: tagged snapshots pin the OLD layout " +
+        s"(${tags(name).keys.toSeq.sorted.mkString(", ")}) — drop the " +
+        "tags first (a tag cannot be read across a layout migration)")
+    val fresh0 = old.copy(partitionBy = partitionBy) // ctor validates
+    val (v, live) = loadLatest(name)
+    require(v > 0L, s"repartitionTable $name: table not bootstrapped")
+    val snapshot = dfFor(name, live)
+      .select(tables(name).fieldNames.toSeq.map(col): _*)
+    specsLock.synchronized { specsNow = specsNow.updated(name, fresh0) }
+    var committed = false
+    try {
+      val fresh = writeBatch(name, snapshot, rowsPerFile)
+      maybeCrash("after-write")
+      beforeCommit.foreach(_())
+      commit(name, v + 1, fresh, Map("op" -> "repartition",
+        "partitionBy" -> partitionBy.mkString(","),
+        "numFilesRewritten" -> live.size.toString,
+        "numFilesAdded" -> fresh.size.toString))
+      committed = true
+      maybeCrash("after-commit")
+      persistSpec(name)
+      if (!retainReplaced) gc(name, live)
+      fresh.map(_.rows).sum
+    } catch { case t: Throwable =>
+      // roll the in-memory layout back ONLY if nothing committed — the
+      // stamp is the truth once the manifest published (a failed spec
+      // publish is what open()'s reconcile repairs)
+      if (!committed)
+        specsLock.synchronized { specsNow = specsNow.updated(name, old) }
+      throw t
+    }
+  }
+
+  /** Adopt any committed `partitionBy` stamp the persisted spec
+    * missed — see [[Warehouse.open]]. */
+  private[pipeline] def reconcilePartitioning(): Unit =
+    specsNow.toSeq.sortBy(_._1).foreach { case (name, spec) =>
+      val vs = versions(name)
+      if (vs.nonEmpty)
+        layoutStamp(name, vs.max).foreach { cols =>
+          if (cols != spec.partitionBy) {
+            specsLock.synchronized {
+              specsNow =
+                specsNow.updated(name, spec.copy(partitionBy = cols))
+            }
+            persistSpec(name)
+          }
+        }
+    }
+
+  /** The partition layout stamped at `version` (None = the table never
+    * migrated as of that commit — the layout is the original spec's).
+    */
+  private def layoutStamp(name: String, version: Long): Option[Seq[String]] =
+    commitMeta(name, version).get("partitionBy")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+
+  /** Whether `version`'s files parse under the CURRENT head's layout —
+    * false only across a [[repartitionTable]] boundary. Public so the
+    * streaming CDF source shares the same refusal.
+    */
+  def layoutReadable(name: String, version: Long): Boolean = {
+    val (h, _) = loadLatest(name)
+    layoutStamp(name, version) == layoutStamp(name, h)
+  }
+
+  private def requireLayoutReadable(name: String, version: Long,
+      op: String): Unit =
+    require(layoutReadable(name, version),
+      s"$op $name v$version: the table's partition layout was migrated " +
+        "since (repartitionTable) — pre-migration snapshots no longer " +
+        "parse under the current directory layout")
+
   def restore(name: String, version: Long): Unit = {
     require(versions(name).contains(version),
       s"$name has no manifest v$version to restore")
+    requireLayoutReadable(name, version, "restore")
     val entries = loadAt(name, version)
     val fs = fileSystem
     val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
@@ -5311,7 +5425,12 @@ object Warehouse {
               }
             })
         }.toMap
-    new Warehouse(spark, dir, retainReplaced,
+    val wh = new Warehouse(spark, dir, retainReplaced,
       if (loaded.nonEmpty) loaded else starSchema)
+    // a crash between repartitionTable's commit and its spec publish
+    // leaves _meta one layout behind the manifest stamp — the stamp is
+    // the committed truth, so adopt it (idempotent, no-op normally)
+    wh.reconcilePartitioning()
+    wh
   }
 }

@@ -4815,7 +4815,53 @@ object LlmQueries extends QueryPack {
                  AS s_locf,
                CAST(sum(CAST(round(vi*10000) AS BIGINT)) AS BIGINT)
                  AS s_interp
-        FROM fin GROUP BY g ORDER BY g"""))
+        FROM fin GROUP BY g ORDER BY g""")),
+
+    // ---- q162: PARTITION LAYOUT MIGRATION under the gate — ALTER
+    // TABLE SET PARTITIONED BY rewrites the snapshot into the new
+    // directory layout in ONE commit (the explicit-rewrite trade over
+    // Iceberg's per-file specs — rationale in repartitionTable's
+    // scaladoc). The hash gates content invariance through the
+    // migration AND full DML function after it: the same rows must
+    // come back from the new dirs, partition-pruned, after a
+    // post-migration DELETE + UPDATE. A row lost/duplicated by the
+    // rewrite, a misparsed partition value, or broken post-migration
+    // DML all break the hash against DuckDB's layout-free replay.
+    Q("q162_warehouse_repartition",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q162-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("rp162_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("id"),
+            col("o_orderstatus").as("grp"),
+            col("o_totalprice").as("val"))
+          .createOrReplaceTempView("rp162_src")
+        s.sql("""CREATE TABLE rp162_t (
+                   id BIGINT, grp STRING, val DOUBLE) STATS BY (id)""")
+        s.sql("INSERT INTO rp162_t SELECT * FROM rp162_src")
+        // migrate flat → partitioned by status, then keep operating
+        s.sql("ALTER TABLE rp162_t SET PARTITIONED BY (grp)")
+        s.sql("DELETE FROM rp162_t WHERE id % 3 = 0")
+        s.sql("UPDATE rp162_t SET val = val * 2 WHERE grp = 'F'")
+        s.sql("""SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                        round(sum(val), 2) AS sv,
+                        CAST(sum(id) AS BIGINT) AS sid
+                 FROM rp162_t GROUP BY grp ORDER BY grp""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp,
+                 o_totalprice AS val
+          FROM orders),
+        fin AS (
+          SELECT id, grp,
+                 CASE WHEN grp = 'F' THEN val * 2 ELSE val END AS val
+          FROM base WHERE id % 3 <> 0)
+        SELECT grp, count(*) AS n, round(sum(val), 2) AS sv,
+               CAST(sum(id) AS BIGINT) AS sid
+        FROM fin GROUP BY grp ORDER BY grp"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

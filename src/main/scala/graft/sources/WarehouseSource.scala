@@ -257,6 +257,15 @@ class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
     val startV = start.map(version).orElse(startingVersion)
+    // a partition-layout migration (repartitionTable) makes older
+    // snapshots unparseable under the current dirs — same refusal as
+    // the batch feed, surfaced before any misparse
+    (startV.toSeq :+ endV).foreach { v =>
+      require(wh.layoutReadable(table, v),
+        s"warehouse stream $table: offset v$v predates a partition " +
+          "layout migration (repartitionTable) — restart the stream " +
+          "from a post-migration checkpoint")
+    }
     val endEntries = wh.loadAt(table, endV)
     val startEntries = startV match {
       case None => Seq.empty[Warehouse.FileEntry]

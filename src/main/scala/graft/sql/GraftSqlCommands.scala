@@ -140,6 +140,19 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
   }
 }
 
+/** `ALTER TABLE wh_t SET PARTITIONED BY (c, ...)` →
+  * [[Warehouse!.repartitionTable]] — one-commit partition layout
+  * migration (an explicit rewrite; `()` migrates to a flat layout).
+  * Returns the rows rewritten.
+  */
+case class GraftRepartitionCommand(wh: Warehouse, table: String,
+    partitionBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rows_rewritten", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(wh.repartitionTable(table, partitionBy)))
+}
+
 /** `DESCRIBE HISTORY wh_t` → [[Warehouse!.history]]: one row per
   * committed version, ascending — version, operation, and the remaining
   * commit metadata as sorted `k=v` pairs.

@@ -287,6 +287,9 @@ object WarehouseSql {
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val ReorgPurgeStmt = // Delta's REORG TABLE t APPLY (PURGE)
     """(?is)\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+  private val SetPartitionedStmt = // one-commit layout migration
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*""" +
+      """\(([^)]*)\)\s*;?\s*""").r
   private val AddCheckStmt = // greedy (.*) + final \) = balanced to the end
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*""".r
   private val DropCheckStmt =
@@ -363,6 +366,10 @@ object WarehouseSql {
         GraftRefreshFingerprintCommand(wh, t,
           Option(cols).toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim).filter(_.nonEmpty)) }
+    case SetPartitionedStmt(name, cols) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftRepartitionCommand(wh, t,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)) }
     case VacuumStmt(name, keep, dry) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftVacuumCommand(wh, t,

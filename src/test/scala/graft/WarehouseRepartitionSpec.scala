@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Warehouse
+
+/** ALTER TABLE ... SET PARTITIONED BY — partition layout migration as
+  * ONE explicit rewrite commit (the Delta trade, deliberately not
+  * Iceberg's per-file spec: see repartitionTable's scaladoc). Content
+  * is invariant, the new layout prunes, the stamp rides commit
+  * metadata (crash between commit and spec publish reconciles at
+  * open), and history APIs refuse to cross the boundary instead of
+  * misparsing old directories.
+  */
+class WarehouseRepartitionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val spec = Warehouse.TableSpec(
+    StructType(Seq(
+      StructField("id", LongType),
+      StructField("grp", StringType),
+      StructField("val", DoubleType))),
+    statColumns = Seq("id"))
+
+  private def fresh(s: Warehouse.TableSpec = spec): (Warehouse, String) = {
+    val dir = Files.createTempDirectory("graft-repart-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" -> s))
+    wh.bootstrap()
+    (wh, dir)
+  }
+
+  private def rows(ids: Seq[Long]) =
+    ids.map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "val")
+
+  test("flat → partitioned: content invariant, spec persisted, the new " +
+    "layout dir-prunes (corrupted sibling partitions are never read), " +
+    "and post-migration DML works") {
+    val (wh, dir) = fresh()
+    wh.append("t", rows(1L to 300L))
+    val before = wh.read("t").select("id", "grp", "val").as[(Long, String, Double)].collect().toSet
+    val n = wh.repartitionTable("t", Seq("grp"))
+    assert(n === 300L)
+    assert(wh.read("t").select("id", "grp", "val").as[(Long, String, Double)].collect().toSet
+      === before)
+    // persisted + reopenable
+    assert(Warehouse.open(spark, dir).tableSpec("t").partitionBy
+      === Seq("grp"))
+    // dir pruning: corrupt every g1/g2 file; a grp=g0 read still works
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val (_, entries) = wh.loadLatest("t")
+    assert(entries.forall(_.rel.contains("grp=")))
+    entries.filterNot(_.rel.contains("grp=g0")).foreach { e =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/t/${e.rel}"),
+        true)
+      out.write("not parquet".getBytes); out.close()
+    }
+    assert(wh.read("t").where($"grp" === "g0").count() === 100L)
+    intercept[Exception] { wh.read("t").where($"grp" === "g1").count() }
+    // migrating to the SAME layout is a no-op
+    assert(wh.repartitionTable("t", Seq("grp")) === 0L)
+  }
+
+  test("partitioned → repartitioned → flat round-trip keeps content; " +
+    "DML and appends work after each hop") {
+    val (wh, _) = fresh(spec.copy(partitionBy = Seq("grp")))
+    wh.append("t", rows(1L to 90L))
+    val want = wh.read("t").select("id", "grp", "val").as[(Long, String, Double)].collect().toSet
+    wh.repartitionTable("t", Seq("val")) // odd but legal
+    assert(wh.read("t").select("id", "grp", "val").as[(Long, String, Double)].collect().toSet === want)
+    wh.repartitionTable("t", Nil) // back to flat
+    assert(wh.read("t").select("id", "grp", "val").as[(Long, String, Double)].collect().toSet === want)
+    wh.append("t", rows(Seq(1000L)))
+    assert(wh.delete("t", $"id" === 1000L) === 1L)
+    assert(wh.read("t").select("id", "grp", "val").as[(Long, String, Double)].collect().toSet === want)
+  }
+
+  test("history refuses to cross the migration boundary: readVersion/" +
+    "restore/change feeds reject pre-migration versions; post-migration " +
+    "history works; tags block the migration") {
+    val (wh, _) = fresh()
+    wh.append("t", rows(1L to 50L))
+    val preV = wh.versions("t").max
+    wh.createTag("t", "pin")
+    val blocked = intercept[IllegalArgumentException] {
+      wh.repartitionTable("t", Seq("grp"))
+    }
+    assert(blocked.getMessage.contains("tag"))
+    wh.dropTag("t", "pin")
+    wh.repartitionTable("t", Seq("grp"))
+    val postV = wh.versions("t").max
+    wh.append("t", rows(51L to 60L))
+    // pre-migration: everything refuses with the layout message
+    val rv = intercept[IllegalArgumentException] {
+      wh.readVersion("t", preV)
+    }
+    assert(rv.getMessage.contains("layout"))
+    intercept[IllegalArgumentException] { wh.restore("t", preV) }
+    intercept[IllegalArgumentException] { wh.readChangeFeed("t", preV) }
+    intercept[IllegalArgumentException] {
+      wh.readChangeFeedVersioned("t", preV)
+    }
+    assert(!wh.changeFeedReadable("t", preV))
+    // post-migration history is fully functional
+    assert(wh.readVersion("t", postV).count() === 50L)
+    assert(wh.changeFeedReadable("t", postV))
+    assert(wh.readChangeFeed("t", postV)
+      .agg(sum($"_change_delta")).head().getLong(0) === 10L)
+    wh.restore("t", postV)
+    assert(wh.read("t").count() === 50L)
+  }
+
+  test("crash between commit and spec publish: open() adopts the " +
+    "committed stamp (the manifest is the truth)") {
+    val (wh, dir) = fresh()
+    wh.append("t", rows(1L to 40L))
+    wh.crashPoint = Some("after-commit")
+    intercept[IllegalStateException] {
+      wh.repartitionTable("t", Seq("grp"))
+    }
+    wh.crashPoint = None
+    // the _meta JSON still says flat; the manifest stamp says grp —
+    // a reopen reconciles to the stamp and reads correctly
+    val wh2 = Warehouse.open(spark, dir)
+    assert(wh2.tableSpec("t").partitionBy === Seq("grp"))
+    assert(wh2.read("t").count() === 40L)
+    assert(wh2.read("t").where($"grp" === "g1").count() > 0L)
+    // and the reconcile re-published the spec
+    val wh3 = Warehouse.open(spark, dir)
+    assert(wh3.tableSpec("t").partitionBy === Seq("grp"))
+  }
+
+  test("SQL: ALTER TABLE SET PARTITIONED BY migrates and reports rows; " +
+    "identity/bucket guards come from the spec constructor") {
+    val dir = Files.createTempDirectory("graft-repart-").toString
+    val wh = new Warehouse(spark, dir, specs = Map.empty)
+    wh.bootstrap()
+    graft.sql.WarehouseSql.register(spark, wh, "rp_")
+    spark.sql("CREATE TABLE rp_t (id BIGINT, grp STRING, val DOUBLE)")
+    rows(1L to 30L).createOrReplaceTempView("rp_src")
+    spark.sql("INSERT INTO rp_t SELECT * FROM rp_src")
+    assert(spark.sql("ALTER TABLE rp_t SET PARTITIONED BY (grp)")
+      .head().getLong(0) === 30L)
+    assert(wh.tableSpec("t").partitionBy === Seq("grp"))
+    assert(spark.sql("SELECT count(*) FROM rp_t WHERE grp = 'g0'")
+      .head().getLong(0) === 10L)
+    // a bucket column cannot also partition (TableSpec's own require)
+    val (whB, _) = {
+      val d = Files.createTempDirectory("graft-repart-").toString
+      val w = new Warehouse(spark, d, specs = Map("t" ->
+        spec.copy(bucketBy = Seq("id"), numBuckets = 4)))
+      w.bootstrap(); (w, d)
+    }
+    whB.append("t", rows(1L to 10L))
+    intercept[IllegalArgumentException] {
+      whB.repartitionTable("t", Seq("id"))
+    }
+  }
+}
