@@ -4861,7 +4861,61 @@ object LlmQueries extends QueryPack {
           FROM base WHERE id % 3 <> 0)
         SELECT grp, count(*) AS n, round(sum(val), 2) AS sv,
                CAST(sum(id) AS BIGINT) AS sid
-        FROM fin GROUP BY grp ORDER BY grp"""))
+        FROM fin GROUP BY grp ORDER BY grp""")),
+
+    // ---- q163: SQL METADATA TABLES under the gate — `FROM wh_t.
+    // partitions` / `.history` as join-able relations (Iceberg's
+    // metadata-table shape). The load-bearing claim the hash gates:
+    // the MANIFEST's per-partition row accounting (footer counts net
+    // of deletion vectors, folded driver-side without touching a data
+    // file) equals what the data actually holds — after an append, a
+    // copy-on-write DELETE, and a merge-on-read vectored DELETE. A
+    // stale footer count, a vector not netted out, or a misattributed
+    // partition dir all break the compare against DuckDB's direct
+    // data-side replay.
+    Q("q163_warehouse_metadata_tables",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q163-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map("t" -> graft.pipeline.Warehouse.TableSpec(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("grp",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("val",
+                org.apache.spark.sql.types.DoubleType))),
+            partitionBy = Seq("grp"),
+            statColumns = Seq("id"))))
+        wh.bootstrap()
+        wh.registerSql("mt163_")
+        wh.append("t", t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("id"),
+          col("o_orderstatus").as("grp"),
+          col("o_totalprice").cast("double").as("val")))
+        s.sql("DELETE FROM mt163_t WHERE id % 3 = 0") // copy-on-write
+        wh.deleteVectored("t", col("id") % 7 === 0)   // merge-on-read
+        s.sql("""
+          SELECT 'part' AS side, partition AS k, rows AS n
+          FROM mt163_t.partitions
+          UNION ALL
+          SELECT 'hist' AS side, operation AS k,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM mt163_t.history
+          WHERE operation IN ('append', 'delete')
+          GROUP BY operation
+          ORDER BY side, k""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp FROM orders),
+        live AS (
+          SELECT * FROM base WHERE id % 3 <> 0 AND id % 7 <> 0)
+        SELECT 'part' AS side, 'grp=' || grp AS k, count(*) AS n
+        FROM live GROUP BY grp
+        UNION ALL SELECT 'hist', 'append', 1
+        UNION ALL SELECT 'hist', 'delete', 2
+        ORDER BY side, k"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

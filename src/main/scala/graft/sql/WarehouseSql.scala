@@ -1181,6 +1181,19 @@ object WarehouseSql {
               "one of VERSION AS OF <n> / TIMESTAMP AS OF <ts>")
         }
         SubqueryAlias(r.multipartIdentifier.head, GraftBridge.analyzed(df))
+      // METADATA TABLES (Iceberg's `db.table.files` shape): a two-part
+      // name whose head routes to a warehouse table and whose tail is
+      // a known metadata kind reads the manifest as a relation —
+      // join-able, filter-able metadata instead of SHOW-only output.
+      // Driver-side by construction (the manifest IS driver metadata).
+      case r: UnresolvedRelation if !r.isStreaming &&
+          r.multipartIdentifier.size == 2 &&
+          metaTableKinds(r.multipartIdentifier(1).toLowerCase) &&
+          lookup(spark, r.multipartIdentifier.take(1)).isDefined =>
+        val (wh, table) = lookup(spark, r.multipartIdentifier.take(1)).get
+        SubqueryAlias(r.multipartIdentifier(1),
+          GraftBridge.analyzed(metaTableDf(spark, wh, table,
+            r.multipartIdentifier(1).toLowerCase)))
       case r: UnresolvedRelation if !r.isStreaming &&
           lookup(spark, r.multipartIdentifier).isDefined =>
         val (wh, table) = lookup(spark, r.multipartIdentifier).get
@@ -1192,6 +1205,54 @@ object WarehouseSql {
           case None => wh.read(table)
         }
         SubqueryAlias(r.multipartIdentifier.head, GraftBridge.analyzed(df))
+    }
+  }
+
+  /** The metadata kinds `FROM wh_t.<kind>` resolves. */
+  private val metaTableKinds =
+    Set("files", "history", "tags", "partitions")
+
+  /** One metadata kind as a DataFrame — all driver-side manifest/meta
+    * folds, bounded by |files| / |versions| / |tags|:
+    *   - `files`: one row per LIVE file — rel path, its partition dir
+    *     (empty for flat tables), bytes, footer row count, and rows
+    *     removed by its deletion vector;
+    *   - `partitions`: files/bytes/live rows per partition dir (rows
+    *     NET of deletion vectors — matches what a scan returns);
+    *   - `history`: version/operation/details (DESCRIBE HISTORY as a
+    *     relation);
+    *   - `tags`: tag → pinned version.
+    */
+  private def metaTableDf(spark: SparkSession, wh: Warehouse,
+      table: String, kind: String): org.apache.spark.sql.DataFrame = {
+    val parts = wh.partitioning.getOrElse(table, Nil).size
+    def dirOf(rel: String): String =
+      rel.split('/').init.takeRight(parts).mkString("/")
+    kind match {
+      case "files" =>
+        val (_, entries) = wh.loadLatest(table)
+        spark.createDataFrame(entries.map(e =>
+            (e.rel, dirOf(e.rel), e.bytes, e.rows, e.dvRows)))
+          .toDF("rel", "partition", "bytes", "rows", "dv_rows")
+      case "partitions" =>
+        val (_, entries) = wh.loadLatest(table)
+        val grouped = entries.groupBy(e => dirOf(e.rel)).toSeq
+          .map { case (d, es) =>
+            (d, es.size.toLong, es.map(_.bytes).sum,
+              es.map(e => e.rows - e.dvRows).sum)
+          }.sortBy(_._1)
+        spark.createDataFrame(grouped)
+          .toDF("partition", "files", "bytes", "rows")
+      case "history" =>
+        spark.createDataFrame(wh.history(table).map { case (v, meta) =>
+            (v, meta.getOrElse("op", null: String),
+              meta.toSeq.filter(_._1 != "op").sortBy(_._1)
+                .map { case (k, x) => s"$k=$x" }.mkString(" "))
+          })
+          .toDF("version", "operation", "details")
+      case "tags" =>
+        spark.createDataFrame(wh.tags(table).toSeq.sortBy(_._1))
+          .toDF("tag", "version")
     }
   }
 

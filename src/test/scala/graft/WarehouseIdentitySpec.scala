@@ -137,6 +137,42 @@ class WarehouseIdentitySpec extends SparkSpec {
     intercept[IllegalArgumentException] { wh.dropColumn("t", "rid") }
   }
 
+  test("streaming sink into an identity table: exactly-once assignment " +
+    "across a checkpointed restart — replays mint nothing, no gaps") {
+    val root = Files.createTempDirectory("graft-id-stream-").toString
+    val wh = new Warehouse(spark, s"$root/wh", specs = Map("t" -> idSpec))
+    wh.bootstrap()
+    val srcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    rows(scala.util.Random.shuffle((1L to 100L).toList)).coalesce(1)
+      .write.parquet(srcDir)
+    def run(): Unit = {
+      val q = spark.readStream.schema(srcSchema).parquet(srcDir)
+        .writeStream.format("graft-warehouse")
+        .option("path", s"$root/wh").option("table", "t")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // one epoch → one deterministic ordered assignment
+    val got = wh.read("t").select("rid", "k").as[(Long, Long)]
+      .collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq === (1L to 100L))
+    // restart with more data: continues; idle restart: mints nothing
+    rows(Seq(500L, 400L)).coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(wh.read("t").where($"k" >= 400L).select("rid", "k")
+      .as[(Long, Long)].collect().sortBy(_._2).toSeq ===
+      Seq((101L, 400L), (102L, 500L)))
+    run()
+    assert(wh.read("t").count() === 102L)
+    assert(wh.read("t").select("rid").distinct().count() === 102L)
+  }
+
   test("DDL: GENERATED ALWAYS AS IDENTITY parses (START WITH/ORDER BY), " +
     "INSERT omits the column, SHOW CREATE + reopen round-trip") {
     val dir = Files.createTempDirectory("graft-id-").toString
