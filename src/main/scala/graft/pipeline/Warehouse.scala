@@ -1529,6 +1529,20 @@ class Warehouse(spark: SparkSession, dir: String,
               "key types must match")
         }
       }
+      // DEFAULTs must be self-contained constants (column-dependent
+      // fills are what GENERATED columns are for) — evaluate now so a
+      // typo fails the CREATE, not the first append
+      spec.defaults.foreach { case (c, e) =>
+        try {
+          spark.range(1).select(org.apache.spark.sql.functions.expr(e)
+            .cast(spec.schema(c).dataType)).collect()
+          ()
+        } catch { case ex: Exception =>
+          throw new IllegalArgumentException(
+            s"createTable $name: DEFAULT for $c ('$e') does not " +
+              s"evaluate as a constant: ${ex.getMessage}")
+        }
+      }
       specsLock.synchronized { specsNow = specsNow + (name -> spec) }
       try bootstrapTable(name, extraMeta, initial)
       catch { case t: Throwable =>
@@ -1603,6 +1617,17 @@ class Warehouse(spark: SparkSession, dir: String,
       o.put("column", idn.column)
       val ob = o.putArray("orderBy"); idn.orderBy.foreach(ob.add)
       o.put("start", idn.start)
+    }
+    if (spec.unique.nonEmpty) {
+      val uq = node.putArray("unique")
+      spec.unique.foreach { u =>
+        val g = uq.addArray(); u.foreach(g.add)
+      }
+    }
+    if (spec.defaults.nonEmpty) {
+      val dfl = node.putObject("defaults")
+      spec.defaults.toSeq.sortBy(_._1).foreach { case (c, e) =>
+        dfl.put(c, e) }
     }
     val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
@@ -2205,6 +2230,9 @@ class Warehouse(spark: SparkSession, dir: String,
       require(!specsNow(name).identity.exists(_.column == c),
         s"updateVectored $name: IDENTITY column $c is engine-assigned " +
           "and immutable")
+      require(!specsNow(name).unique.exists(_.contains(c)),
+        s"updateVectored $name: UNIQUE column $c is not updatable " +
+          "(a SET could mint a duplicate — delete + insert instead)")
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"updateVectored $name: table not bootstrapped")
@@ -2455,6 +2483,13 @@ class Warehouse(spark: SparkSession, dir: String,
     df.schema.fields.filterNot(f => have(f.name)).foreach { f =>
       addColumn(name, f.copy(nullable = true))
     }
+    // a batch arriving WIDER than the schema widens the column first
+    // (metadata-only — see alterColumnType); narrower batches cast up
+    // to the spec below
+    df.schema.fields.filter(f => have(f.name)).foreach { f =>
+      if (widens(tables(name)(f.name).dataType, f.dataType))
+        alterColumnType(name, f.name, f.dataType)
+    }
     // older columns the batch omits surface as nulls (select order is
     // the spec's; missing columns fill with typed nulls) — except an
     // IDENTITY column, which must stay absent for append to assign
@@ -2463,7 +2498,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val full = tables(name).fields.toSeq
       .filterNot(f => idCol.contains(f.name) && !df.columns.contains(f.name))
       .map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
     append(name, df.select(full: _*), rowsPerFile, txn)
@@ -2488,6 +2523,7 @@ class Warehouse(spark: SparkSession, dir: String,
     var full = applyGenerated(name, withId)
     enforceChecks(name, full)
     enforcePrimaryKey(name, full)
+    enforceUnique(name, full)
     enforceForeignKeys(name, full)
     var fresh = writeBatch(name, full, rowsPerFile)
     maybeCrash("after-write")
@@ -2542,6 +2578,11 @@ class Warehouse(spark: SparkSession, dir: String,
           if (specsNow(name).primaryKey.nonEmpty) {
             try probePrimaryKey(name, full)
             catch { case e: Warehouse.PrimaryKeyViolation =>
+              gc(name, fresh); throw e }
+          }
+          if (specsNow(name).unique.nonEmpty) {
+            try enforceUnique(name, full)
+            catch { case e: Warehouse.UniqueViolation =>
               gc(name, fresh); throw e }
           }
       }
@@ -2620,6 +2661,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val df = applyGenerated(name, src0)
     enforceChecks(name, df)
     enforcePrimaryKey(name, df)
+    enforceUnique(name, df)
     enforceForeignKeys(name, df)
     var staged = writeBatch(name, df)
     val ledgerRel = writeCopyLedger(name,
@@ -2669,6 +2711,11 @@ class Warehouse(spark: SparkSession, dir: String,
             catch { case e: Warehouse.PrimaryKeyViolation =>
               gc(name, staged); throw e }
           }
+          if (specsNow(name).unique.nonEmpty) {
+            try enforceUnique(name, df)
+            catch { case e: Warehouse.UniqueViolation =>
+              gc(name, staged); throw e }
+          }
       }
     }
     (fresh.size.toLong, staged.map(_.rows).sum)
@@ -2703,9 +2750,10 @@ class Warehouse(spark: SparkSession, dir: String,
     val checks = specsNow(name).checks.toSeq.sortBy(_._1)
     val pk = specsNow(name).primaryKey
     val fks = specsNow(name).foreignKeys
-    require(checks.nonEmpty || pk.nonEmpty || fks.nonEmpty,
-      s"appendQuarantine $name: the table has no CHECK constraints, " +
-        "no PRIMARY KEY and no FOREIGN KEYs — use append")
+    require(checks.nonEmpty || pk.nonEmpty || fks.nonEmpty ||
+        specsNow(name).unique.nonEmpty,
+      s"appendQuarantine $name: the table declares no constraints " +
+        "(CHECK/PRIMARY KEY/UNIQUE/FOREIGN KEY) — use append")
     require(name != quarantine,
       s"appendQuarantine: target and quarantine must differ")
     require(specsNow(name).identity.isEmpty,
@@ -2759,10 +2807,35 @@ class Warehouse(spark: SparkSession, dir: String,
           .drop("__gf_pk_hit")
           .select(checkTagged.columns.map(col): _*)
       }
+    // UNIQUE violations route as `unique` (after primary_key): batch-
+    // internal duplicates among fully-non-null tuples (ALL members tag,
+    // like the PK's no-survivor-pick rule) and live-table hits, probe
+    // file-skipped the same way. NULLS DISTINCT: null components pass.
+    val uqTagged = specsNow(name).unique.foldLeft(tagged) {
+      case (acc, u) =>
+        val nn = u.map(c => col(c).isNotNull).reduce(_ && _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(u.map(col): _*)
+        val dupInBatch = nn && (count(when(nn, lit(1))).over(w) > 1)
+        val live = keyProbeScope(name, u,
+            acc.where(nn).select(u.map(col): _*).distinct())
+          .map(_.where(u.map(c => col(c).isNotNull).reduce(_ && _))
+            .select(u.map(col): _*).distinct()
+            .withColumn("__gf_uq_hit", lit(true)))
+        live.map(acc.join(_, u, "left"))
+          .getOrElse(acc.withColumn("__gf_uq_hit",
+            lit(null).cast("boolean")))
+          .withColumn("violation",
+            when(col("violation").isNotNull, col("violation"))
+              .when(dupInBatch || (nn && col("__gf_uq_hit")),
+                lit("unique")))
+          .drop("__gf_uq_hit")
+          .select(acc.columns.map(col): _*)
+    }
     // FOREIGN KEY violations route as `foreign_key` (after primary_key
     // — a row failing both reports the PK, the sharper diagnosis).
     // Each FK's live-parent probe is file-skipped like the PK probe.
-    val fkTagged = fks.foldLeft(tagged) { case (acc, fk) =>
+    val fkTagged = fks.foldLeft(uqTagged) { case (acc, fk) =>
       val asParent = fk.cols.zip(fk.parentCols).foldLeft(
         acc.select(fk.cols.map(col): _*)
           .where(fk.cols.map(c => col(c).isNotNull).reduce(_ && _))
@@ -2903,6 +2976,7 @@ class Warehouse(spark: SparkSession, dir: String,
     derived.foreach { case (t, df, _) =>
       enforceChecks(t, df)
       enforcePrimaryKey(t, df)
+      enforceUnique(t, df)
       enforceForeignKeys(t, df, pending - t)
     }
     val id = java.util.UUID.randomUUID.toString
@@ -2945,6 +3019,11 @@ class Warehouse(spark: SparkSession, dir: String,
             if (specsNow(t).primaryKey.nonEmpty) {
               try probePrimaryKey(t, derived.find(_._1 == t).get._2)
               catch { case e: Warehouse.PrimaryKeyViolation =>
+                gc(t, fresh); throw e }
+            }
+            if (specsNow(t).unique.nonEmpty) {
+              try enforceUnique(t, derived.find(_._1 == t).get._2)
+              catch { case e: Warehouse.UniqueViolation =>
                 gc(t, fresh); throw e }
             }
         }
@@ -3000,6 +3079,7 @@ class Warehouse(spark: SparkSession, dir: String,
     // the batch REPLACES the table, so only batch-internal uniqueness
     // and NOT NULL apply — there are no surviving rows to collide with
     enforcePrimaryKey(name, df, probeLive = false)
+    enforceUnique(name, df, probeLive = false)
     enforceForeignKeys(name, df)
     // replacing a REFERENCED table deletes every old key the batch
     // doesn't re-supply — RESTRICT applies to the evicted set
@@ -3095,6 +3175,10 @@ class Warehouse(spark: SparkSession, dir: String,
     enforcePrimaryKey(name, updates.select(schemaCols.map(col): _*),
       probeLive = false)
     enforceForeignKeys(name, updates.select(schemaCols.map(col): _*))
+    // a replaced row may keep its own unique values: probe the live
+    // table MINUS the keys this merge replaces
+    enforceUnique(name, updates.select(schemaCols.map(col): _*),
+      excludeKeys = Some((updates, keys)))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -3156,6 +3240,10 @@ class Warehouse(spark: SparkSession, dir: String,
     require(specsNow(name).identity.isEmpty,
       s"scdMerge $name: IDENTITY tables are append-only by contract — " +
         "version rows through a plain surrogate column instead")
+    require(specsNow(name).unique.isEmpty,
+      s"scdMerge $name: an SCD2 table versions its values by design — " +
+        "declare the version-discriminated identity as the PRIMARY KEY " +
+        "instead of a UNIQUE constraint")
     val schema = tables(name)
     val book = Seq(validFrom, validTo, currentFlag)
     (keys ++ book).foreach(c => require(schema.fieldNames.contains(c),
@@ -3316,6 +3404,9 @@ class Warehouse(spark: SparkSession, dir: String,
         require(!pkCols.contains(c),
           s"mergeInto $name: PRIMARY KEY column $c is not updatable " +
             "(a SET could mint a duplicate key — delete + insert instead)")
+        require(!specsNow(name).unique.exists(_.contains(c)),
+          s"mergeInto $name: UNIQUE column $c is not updatable " +
+            "(a SET could mint a duplicate — delete + insert instead)")
       }
     }
     // a PK table merges ON its key: inserts are then anti-joined on the
@@ -3408,6 +3499,10 @@ class Warehouse(spark: SparkSession, dir: String,
             keys, "left_anti")
           .where(coalesce(cond.getOrElse(lit(true)), lit(false)))
           .select(schema.fieldNames.toSeq.map(col): _*)
+        // updates can't touch unique columns (SET ban above), so only
+        // INSERTS can mint duplicates. A value freed by a same-
+        // statement delete clause conservatively still rejects.
+        enforceUnique(name, inserts)
         survived.unionByName(inserts)
     }
     enforceChecks(name, merged) // clause results are NEW values: check all
@@ -3915,6 +4010,9 @@ class Warehouse(spark: SparkSession, dir: String,
       require(!specsNow(name).identity.exists(_.column == c),
         s"update $name: IDENTITY column $c is engine-assigned and " +
           "immutable")
+      require(!specsNow(name).unique.exists(_.contains(c)),
+        s"update $name: UNIQUE column $c is not updatable " +
+          "(a SET could mint a duplicate — delete + insert instead)")
     }
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"update $name: table not bootstrapped")
@@ -3994,6 +4092,80 @@ class Warehouse(spark: SparkSession, dir: String,
     * same rule as [[readVersion]]); files unique to the abandoned head
     * stay on disk for vacuum — restore never deletes anything.
     */
+  /** The EXACT widening lattice — only upcasts Spark's parquet readers
+    * perform natively when the requested schema is wider than the file
+    * (verified: int32 files read as BIGINT/DOUBLE, float as DOUBLE),
+    * and only value-preserving ones (long→double would lose precision
+    * past 2^53, so it is NOT here).
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** TYPE WIDENING — `ALTER TABLE ... ALTER COLUMN c TYPE t` (Delta's
+    * type-widening feature): a METADATA-ONLY schema change; no file is
+    * rewritten because the parquet scan upcasts old narrow files to
+    * the widened read schema natively ([[widens]] limits the lattice
+    * to exactly those upcasts). Manifest footer stats are long-encoded
+    * and therefore type-erased — old entries' min/max stay valid for
+    * skipping. Banned where a byte-level artifact hashed the OLD
+    * width: bucket layouts (murmur3 of int ≠ of long — the layout
+    * invariant would silently break), bloom/NDV sidecars (same hash
+    * sensitivity; drop the index columns first and re-declare to
+    * backfill at the new width), and FOREIGN KEY columns on either
+    * side (both ends must widen atomically — drop the constraint
+    * first). PRIMARY KEY columns widen fine: the collision probe
+    * compares VALUES through the widened read schema on both sides.
+    * [[appendMergeSchema]] widens automatically when a batch arrives
+    * wider.
+    */
+  def alterColumnType(name: String, colName: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    val spec = specsNow.getOrElse(name, throw new IllegalArgumentException(
+      s"alterColumnType: no table $name"))
+    require(spec.schema.fieldNames.contains(colName),
+      s"alterColumnType $name: no column $colName")
+    val f = spec.schema(colName)
+    if (f.dataType == to) return
+    require(widens(f.dataType, to),
+      s"alterColumnType $name.$colName: ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} is not an exact widening (supported: " +
+        "byte/short/int -> wider integral, int -> double, " +
+        "float -> double)")
+    require(!spec.bucketBy.contains(colName),
+      s"alterColumnType $name.$colName: the bucket hash is " +
+        "type-sensitive — the layout would silently break")
+    require(!spec.bloomColumns.contains(colName) &&
+        !spec.ndvColumns.contains(colName),
+      s"alterColumnType $name.$colName: bloom/NDV sidecars hash the " +
+        "old width — drop the index columns first, widen, re-declare " +
+        "(setIndexColumns backfills at the new width)")
+    require(!spec.foreignKeys.exists(_.cols.contains(colName)),
+      s"alterColumnType $name.$colName: FOREIGN KEY columns widen " +
+        "with their parent or not at all — drop the constraint first")
+    specsNow.foreach { case (child, cs) =>
+      cs.foreignKeys.foreach { fk =>
+        require(fk.parent != name || !fk.parentCols.contains(colName),
+          s"alterColumnType $name.$colName: referenced by $child's $fk " +
+            "— drop the constraint first")
+      }
+    }
+    specsLock.synchronized {
+      specsNow = specsNow.updated(name, spec.copy(schema =
+        StructType(spec.schema.fields.map(x =>
+          if (x.name == colName) x.copy(dataType = to) else x))))
+    }
+    persistSpec(name)
+  }
+
   /** PARTITION LAYOUT MIGRATION — `ALTER TABLE ... SET PARTITIONED BY`.
     * Rewrites the CURRENT snapshot under the new directory layout in
     * one commit: read (old dirs supply the old partition columns,
@@ -4304,6 +4476,12 @@ class Warehouse(spark: SparkSession, dir: String,
         i.orderBy.contains(colName)),
       s"$op $name.$colName: IDENTITY columns (and their ORDER BY " +
         "columns) keep their identity")
+    require(!spec.unique.exists(_.contains(colName)),
+      s"$op $name.$colName: UNIQUE constraint columns keep their " +
+        "identity (the constraint keys on the name)")
+    require(!spec.defaults.contains(colName),
+      s"$op $name.$colName: DEFAULT columns keep their identity " +
+        "(the fill rule keys on the name)")
     // a PARENT's referenced columns are its PRIMARY KEY — already
     // banned above for the parent itself; ban cross-table too
     specsNow.foreach { case (child, cs) =>
@@ -4367,14 +4545,68 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   private def applyGenerated(name: String, df: DataFrame): DataFrame = {
     val gen = specsNow(name).generated
-    if (gen.isEmpty) return df
+    val dfl = specsNow(name).defaults
+    if (gen.isEmpty && dfl.isEmpty) return df
     import org.apache.spark.sql.functions.{col, expr}
     val schema = tables(name)
-    val withCols = gen.foldLeft(df) { case (d, (c, e)) =>
+    // DEFAULT fills first (a generated expression may reference a
+    // defaulted column); a batch CARRYING the column passes through
+    // unverified — DEFAULT is a fill rule, not ALWAYS
+    val withDefaults = dfl.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, expr(e).cast(schema(c).dataType))
+    }
+    val withCols = gen.foldLeft(withDefaults) { case (d, (c, e)) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, expr(e).cast(schema(c).dataType))
     }
     withCols.select(schema.fieldNames.toSeq.map(col): _*)
+  }
+
+  /** UNIQUE enforcement for a row-adding batch: per declared group,
+    * duplicate fully-non-null tuples within the batch, then the
+    * live-table membership probe (file-skipped through
+    * [[keyProbeScope]], exactly the PK probe's shape). SQL NULLS
+    * DISTINCT semantics: a tuple with any null component is exempt.
+    * `excludeKeys` removes live rows about to be REPLACED from the
+    * probe (the [[merge]] upsert: a row may keep its own unique value
+    * across replacement).
+    */
+  private def enforceUnique(name: String, df: DataFrame,
+      probeLive: Boolean = true,
+      excludeKeys: Option[(DataFrame, Seq[String])] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    specsNow(name).unique.foreach { u =>
+      val nn = u.map(c => col(c).isNotNull).reduce(_ && _)
+      val batch = df.where(nn)
+      val dup = batch.groupBy(u.map(col): _*)
+        .agg(count(lit(1)).as("__gf_uq_n")).where(col("__gf_uq_n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty) {
+        val r = dup.head
+        throw Warehouse.UniqueViolation(name, u,
+          "duplicate within batch: " +
+            u.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+      }
+      if (probeLive)
+        keyProbeScope(name, u, batch).foreach { scan0 =>
+          val scan = excludeKeys match {
+            case Some((keys, keyCols)) =>
+              scan0.join(keys.select(keyCols.map(col): _*), keyCols,
+                "left_anti")
+            case None => scan0
+          }
+          val hit = scan.where(u.map(c => col(c).isNotNull).reduce(_ && _))
+            .join(batch.select(u.map(col): _*), u, "left_semi")
+            .limit(1).collect()
+          if (hit.nonEmpty) {
+            val r = hit.head
+            throw Warehouse.UniqueViolation(name, u,
+              "value already exists in table: " +
+                u.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+          }
+        }
+    }
   }
 
   /** The identity high-water mark as of manifest `version`: the last
@@ -5170,6 +5402,18 @@ object Warehouse {
       reason: String)
       extends RuntimeException(s"$fk on $table violated: $reason")
 
+  /** Thrown when a write would violate a declared UNIQUE constraint
+    * ([[TableSpec.unique]]) — a duplicate fully-non-null tuple within
+    * the batch, or one already live in the table. SQL semantics:
+    * tuples with ANY null component are exempt (NULLs compare
+    * distinct, Postgres's default `NULLS DISTINCT`). Like the PK, the
+    * commit never happens.
+    */
+  final case class UniqueViolation(table: String, cols: Seq[String],
+      reason: String)
+      extends RuntimeException(
+        s"UNIQUE (${cols.mkString(", ")}) on $table violated: $reason")
+
   /** Per-bucket representative longs for [[numBuckets]]=n: `reps(b)` is
     * the smallest non-negative long with `pmod(murmur3(reps(b)), n) ==
     * b` — evaluated through Catalyst's own [[Murmur3Hash]] so driver
@@ -5243,7 +5487,28 @@ object Warehouse {
       ndvColumns: Seq[String] = Nil,
       primaryKey: Seq[String] = Nil,
       foreignKeys: Seq[ForeignKey] = Nil,
-      identity: Option[Identity] = None) {
+      identity: Option[Identity] = None,
+      unique: Seq[Seq[String]] = Nil,
+      defaults: Map[String, String] = Map.empty) {
+    unique.foreach { u =>
+      require(u.nonEmpty, "UNIQUE: empty column group")
+      require(u.distinct.size == u.size, s"UNIQUE repeats a column: $u")
+      u.foreach(c => require(schema.fieldNames.contains(c),
+        s"UNIQUE column $c not in schema"))
+      require(primaryKey.isEmpty || u.toSet != primaryKey.toSet,
+        s"UNIQUE (${u.mkString(", ")}) duplicates the PRIMARY KEY " +
+          "(already enforced — don't pay the probe twice)")
+    }
+    require(unique.map(_.toSet).distinct.size == unique.size,
+      s"duplicate UNIQUE groups: $unique")
+    defaults.keys.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"DEFAULT column $c not in schema")
+      require(!generated.contains(c),
+        s"DEFAULT column $c is already GENERATED (pick one fill rule)")
+      require(!identity.exists(_.column == c),
+        s"DEFAULT column $c is the IDENTITY column (engine-assigned)")
+    }
     identity.foreach { idn =>
       require(schema.fieldNames.contains(idn.column),
         s"identity column ${idn.column} not in schema")
@@ -5422,6 +5687,28 @@ object Warehouse {
                   .forEachRemaining(e => ob += e.asText())
                 Some(Identity(o.get("column").asText(), ob.result(),
                   o.get("start").asLong()))
+              }
+            },
+            {
+              if (!node.has("unique")) Nil
+              else {
+                val buf = Seq.newBuilder[Seq[String]]
+                node.get("unique").elements().forEachRemaining { g =>
+                  val b = Seq.newBuilder[String]
+                  g.elements().forEachRemaining(e => b += e.asText())
+                  buf += b.result()
+                }
+                buf.result()
+              }
+            },
+            {
+              if (!node.has("defaults")) Map.empty[String, String]
+              else {
+                val buf =
+                  scala.collection.mutable.LinkedHashMap.empty[String, String]
+                node.get("defaults").fields().forEachRemaining { e =>
+                  buf += e.getKey -> e.getValue.asText() }
+                buf.toMap
               }
             })
         }.toMap

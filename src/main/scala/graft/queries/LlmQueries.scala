@@ -4915,6 +4915,152 @@ object LlmQueries extends QueryPack {
         FROM live GROUP BY grp
         UNION ALL SELECT 'hist', 'append', 1
         UNION ALL SELECT 'hist', 'delete', 2
+        ORDER BY side, k""")),
+
+    // ---- q164: TYPE WIDENING under the gate — ALTER COLUMN c TYPE t
+    // as a METADATA-ONLY schema change (Delta's type widening): the
+    // narrow files written before the ALTER are never rewritten; the
+    // scan upcasts them natively, and footer stats are long-encoded so
+    // skipping survives the boundary (WarehouseWidenSpec corrupts a
+    // pre-widening file behind its stats to prove it). The hash gates
+    // value preservation through the boundary: INT rows and FLOAT rows
+    // loaded before the widening must aggregate bit-consistently with
+    // BIGINT/DOUBLE rows loaded after — DuckDB replays both eras with
+    // explicit casts.
+    Q("q164_lineitem_type_widening",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q164-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("wd164_")
+        s.sql("""CREATE TABLE wd164_t (
+                   ok BIGINT, qty INT, price FLOAT, flag STRING
+                 ) STATS BY (ok)""")
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("long").as("ok"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag").as("flag"))
+        // era 1: narrow INT/FLOAT rows
+        wh.append("t", li.where(col("ok") % 2 === 0).select(col("ok"),
+          col("l_quantity").cast("int").as("qty"),
+          col("l_extendedprice").cast("float").as("price"), col("flag")))
+        s.sql("ALTER TABLE wd164_t ALTER COLUMN qty TYPE BIGINT")
+        s.sql("ALTER TABLE wd164_t ALTER COLUMN price TYPE DOUBLE")
+        // era 2: values only the widened types can hold
+        wh.append("t", li.where(col("ok") % 2 === 1).select(col("ok"),
+          (col("l_quantity").cast("long") + 3000000000L).as("qty"),
+          col("l_extendedprice").cast("double").as("price"), col("flag")))
+        s.sql("""SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(qty) AS BIGINT) AS s_qty,
+                        round(sum(price), 2) AS sv
+                 FROM wd164_t GROUP BY flag ORDER BY flag""")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey AS ok, l_quantity, l_extendedprice,
+                 l_returnflag AS flag
+          FROM lineitem),
+        a AS (
+          SELECT CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                 CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price,
+                 flag
+          FROM li WHERE ok % 2 = 0),
+        b AS (
+          SELECT CAST(l_quantity AS BIGINT) + 3000000000 AS qty,
+                 CAST(l_extendedprice AS DOUBLE) AS price, flag
+          FROM li WHERE ok % 2 = 1),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        SELECT flag, count(*) AS n, CAST(sum(qty) AS BIGINT) AS s_qty,
+               round(sum(price), 2) AS sv
+        FROM u GROUP BY flag ORDER BY flag""")),
+
+    // ---- q165: UNIQUE + DEFAULT under the gate — the rest of the SQL
+    // constraint surface around the enforced PK/FK. One statement of
+    // each kind runs against the hash: a column-list INSERT omitting
+    // the DEFAULTed column (the fill must land for every row), a
+    // unique-stealing INSERT rejecting WHOLE (its fresh rows must not
+    // leak), and a quarantine split routing stolen values as `unique`
+    // rows while PK collisions keep their sharper `primary_key` tag.
+    // The unique probe file-skips through the same keyProbeScope as
+    // the PK/FK probes (WarehouseUniqueSpec).
+    Q("q165_warehouse_unique_default",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q165-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("uq165_")
+        s.sql("""CREATE TABLE uq165_t (
+                   id BIGINT PRIMARY KEY,
+                   ref STRING UNIQUE,
+                   seg STRING DEFAULT 'unassigned',
+                   bal DOUBLE
+                 ) STATS BY (id)""")
+        t(s, dir, "customer").select(
+            col("c_custkey").cast("long").as("id"),
+            concat(lit("r"), col("c_custkey")).as("ref"),
+            col("c_acctbal").cast("double").as("bal"))
+          .createOrReplaceTempView("uq165_src")
+        // column-list INSERT omitting the DEFAULTed seg
+        s.sql("""INSERT INTO uq165_t (id, ref, bal)
+                 SELECT id, ref, bal FROM uq165_src""")
+        // stealing live refs rejects WHOLE — the fresh half must not leak
+        val stole =
+          try {
+            s.sql("""INSERT INTO uq165_t (id, ref, bal)
+                     SELECT id + 500000000, concat('f', id), bal
+                     FROM uq165_src WHERE id % 19 = 0
+                     UNION ALL
+                     SELECT id + 600000000, ref, bal
+                     FROM uq165_src WHERE id % 9 = 0""")
+            false
+          } catch {
+            case _: graft.pipeline.Warehouse.UniqueViolation => true
+          }
+        require(stole, "q165: the ref-stealing INSERT must be rejected")
+        // quarantine: fresh refs keep (DEFAULT fills seg), stolen refs
+        // tag `unique`, live-id collisions keep `primary_key`
+        val cust = s.table("uq165_src")
+        val mixed = cust.where(col("id") % 10 === 0)
+          .select((col("id") + 1000000000L).as("id"),
+            concat(lit("n"), col("id")).as("ref"),
+            lit("new").as("seg"), col("bal"))
+          .unionByName(cust.where(col("id") % 13 === 0)
+            .select((col("id") + 2000000000L).as("id"), col("ref"),
+              lit("steal").as("seg"), col("bal")))
+          .unionByName(cust.where(col("id") % 7 === 0)
+            .select(col("id"), concat(lit("c"), col("id")).as("ref"),
+              lit("coll").as("seg"), col("bal")))
+        wh.appendQuarantine("t", "t_bad", mixed)
+        wh.registerSql("uq165_")
+        s.sql("""
+          SELECT 'kept' AS side, seg AS k, CAST(count(*) AS BIGINT) AS n,
+                 round(sum(bal), 2) AS sv
+          FROM uq165_t GROUP BY seg
+          UNION ALL
+          SELECT 'quar' AS side, violation AS k,
+                 CAST(count(*) AS BIGINT) AS n, round(sum(bal), 2) AS sv
+          FROM uq165_t_bad GROUP BY violation
+          ORDER BY side, k""")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey AS id, 'r' || c_custkey AS ref,
+                 CAST(c_acctbal AS DOUBLE) AS bal
+          FROM customer),
+        kept AS (
+          SELECT 'unassigned' AS seg, bal FROM cust
+          UNION ALL
+          SELECT 'new', bal FROM cust WHERE id % 10 = 0),
+        quar AS (
+          SELECT 'unique' AS violation, bal FROM cust WHERE id % 13 = 0
+          UNION ALL
+          SELECT 'primary_key', bal FROM cust WHERE id % 7 = 0)
+        SELECT 'kept' AS side, seg AS k, count(*) AS n,
+               round(sum(bal), 2) AS sv
+        FROM kept GROUP BY seg
+        UNION ALL
+        SELECT 'quar', violation, count(*), round(sum(bal), 2)
+        FROM quar GROUP BY violation
         ORDER BY side, k"""))
   )
 

@@ -105,7 +105,8 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
     // GENERATED columns may be omitted everywhere — append derives
     // them; an IDENTITY column MUST be omitted — append assigns it
     val gen = wh.tableSpec(table).generated
-    val auto = gen.keySet ++ wh.tableSpec(table).identity.map(_.column)
+    val auto = gen.keySet ++ wh.tableSpec(table).identity.map(_.column) ++
+      wh.tableSpec(table).defaults.keySet
     val named =
       if (byName) df
       else if (userCols.nonEmpty) {
@@ -136,6 +137,20 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
       col(c).cast(schema(c).dataType).as(c)): _*)
     if (overwrite) wh.overwrite(table, casted)
     else wh.append(table, casted)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE wh_t ALTER COLUMN c TYPE t` →
+  * [[Warehouse!.alterColumnType]] — metadata-only exact type widening
+  * (no file rewrite; the parquet scan upcasts old narrow files).
+  */
+case class GraftAlterColumnTypeCommand(wh: Warehouse, table: String,
+    column: String, to: org.apache.spark.sql.types.DataType)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.alterColumnType(table, column, to)
     Seq.empty
   }
 }
@@ -418,7 +433,15 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     // ("col=approx;..." — empty when none declared / sketches missing)
     AttributeReference("ndv_estimates", StringType)(),
     // ENFORCED primary key columns (empty when none declared)
-    AttributeReference("primary_key", StringType)())
+    AttributeReference("primary_key", StringType)(),
+    // ENFORCED referential constraints ("(c)->parent(p); ...")
+    AttributeReference("foreign_keys", StringType)(),
+    // ENFORCED unique groups ("(a,b); (c)")
+    AttributeReference("unique_constraints", StringType)(),
+    // GENERATED ALWAYS AS IDENTITY column ("col [ORDER BY ...]")
+    AttributeReference("identity_column", StringType)(),
+    // DEFAULT fill rules ("col=expr; ...")
+    AttributeReference("column_defaults", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, entries) = wh.loadLatest(table)
     val spec = wh.tableSpec(table)
@@ -446,7 +469,16 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
       entries.map(_.dvRows).sum,
       wh.ndvEstimates(table, entries).toSeq.sorted
         .map { case (c, n) => s"$c=$n" }.mkString(";"),
-      spec.primaryKey.mkString(",")))
+      spec.primaryKey.mkString(","),
+      spec.foreignKeys.map(fk =>
+        s"(${fk.cols.mkString(",")})->${fk.parent}" +
+          s"(${fk.parentCols.mkString(",")})").mkString("; "),
+      spec.unique.map(u => s"(${u.mkString(",")})").mkString("; "),
+      spec.identity.map(i => i.column +
+        (if (i.orderBy.isEmpty) "" else s" ORDER BY ${i.orderBy.mkString(",")}"))
+        .getOrElse(""),
+      spec.defaults.toSeq.sortBy(_._1)
+        .map { case (c, e) => s"$c=$e" }.mkString("; ")))
   }
 }
 
@@ -492,9 +524,11 @@ case class GraftShowCreateCommand(wh: Warehouse, table: String,
             else Seq(s"ORDER BY ${idn.orderBy.mkString(", ")}"))
           " GENERATED ALWAYS AS IDENTITY" +
             (if (opts.isEmpty) "" else opts.mkString(" (", " ", ")"))
-        }.getOrElse(""))
+        }.getOrElse("") +
+        spec.defaults.get(f.name).map(e => s" DEFAULT $e").getOrElse(""))
     val cols = (colDefs ++ (if (spec.primaryKey.isEmpty) Nil
       else Seq(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")})"))
+      ++ spec.unique.map(u => s"  UNIQUE (${u.mkString(", ")})")
       ++ spec.foreignKeys.map(fk =>
         s"  FOREIGN KEY (${fk.cols.mkString(", ")}) REFERENCES " +
           s"${fk.parent} (${fk.parentCols.mkString(", ")})"))

@@ -287,6 +287,9 @@ object WarehouseSql {
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val ReorgPurgeStmt = // Delta's REORG TABLE t APPLY (PURGE)
     """(?is)\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+  private val AlterColumnTypeStmt = // metadata-only exact widening
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
+      """TYPE\s+(.+?)\s*;?\s*""").r
   private val SetPartitionedStmt = // one-commit layout migration
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*""" +
       """\(([^)]*)\)\s*;?\s*""").r
@@ -370,6 +373,15 @@ object WarehouseSql {
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftRepartitionCommand(wh, t,
           cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)) }
+    case AlterColumnTypeStmt(name, colName, ddlType) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        val dt =
+          try org.apache.spark.sql.types.StructType
+            .fromDDL(s"x $ddlType").head.dataType
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"ALTER COLUMN $name.$colName TYPE: cannot parse type " +
+              s"'$ddlType': ${e.getMessage}") }
+        GraftAlterColumnTypeCommand(wh, t, colName, dt) }
     case VacuumStmt(name, keep, dry) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftVacuumCommand(wh, t,
@@ -902,6 +914,11 @@ object WarehouseSql {
         }
         val TablePk = """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
         val ColPk = """(?is)(.*?)\s+PRIMARY\s+KEY\s*""".r
+        val TableUq = """(?is)UNIQUE\s*\(([^)]*)\)""".r
+        val ColUq = """(?is)(.*?)\s+UNIQUE\s*""".r
+        // column-level DEFAULT <expr> — expr runs to the end of the
+        // item (parenthesized exprs survive the top-level comma split)
+        val ColDefault = """(?is)(.+?)\s+DEFAULT\s+(.+?)\s*$""".r
         // FOREIGN KEY (a, b) REFERENCES parent (x, y) — table level —
         // and `c type REFERENCES parent(x)` — column level. The parent
         // may be written with or without this warehouse's SQL prefix.
@@ -930,6 +947,8 @@ object WarehouseSql {
         val pk = Seq.newBuilder[String]
         val gen = Map.newBuilder[String, String]
         val fks = Seq.newBuilder[Warehouse.ForeignKey]
+        val uq = Seq.newBuilder[Seq[String]]
+        val dfl = Map.newBuilder[String, String]
         var identity: Option[Warehouse.Identity] = None
         val colDefs = items.flatMap {
           case TablePk(cols) =>
@@ -959,6 +978,13 @@ object WarehouseSql {
             gen += colDef.trim.split("\\s+").head -> e.trim; Some(colDef)
           case ColPk(colDef) =>
             pk += colDef.trim.split("\\s+").head; Some(colDef)
+          case TableUq(cols) =>
+            uq += cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            None
+          case ColDefault(colDef, e) =>
+            dfl += colDef.trim.split("\\s+").head -> e.trim; Some(colDef)
+          case ColUq(colDef) =>
+            uq += Seq(colDef.trim.split("\\s+").head); Some(colDef)
           case ColFk(colDef, parent, ps) =>
             fks += Warehouse.ForeignKey(
               Seq(colDef.trim.split("\\s+").head), parentName(parent),
@@ -979,7 +1005,9 @@ object WarehouseSql {
             generated = gen.result(),
             primaryKey = pk.result(),
             foreignKeys = fks.result(),
-            identity = identity),
+            identity = identity,
+            unique = uq.result(),
+            defaults = dfl.result()),
           ifNotExists = ine != null, pk = pk.result(), prefix = prefix)
       }
     case _ => None
