@@ -4942,6 +4942,106 @@ class Warehouse(spark: SparkSession, dir: String,
     persistSpec(name)
   }
 
+  /** DDL: declare a UNIQUE constraint on an EXISTING table — validates
+    * the CURRENT data first (one grouped aggregate over the
+    * manifest-planned scan, NULLS DISTINCT like enforcement), then
+    * persists. The [[addCheck]] shape: nothing publishes to specsNow
+    * until the data passes. Single-writer DDL contract.
+    */
+  def addUnique(name: String, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"addUnique: no table $name"))
+    // the candidate spec's own requires validate the group
+    val candidate = spec.copy(unique = spec.unique :+ cols)
+    val nn = cols.map(c => col(c).isNotNull).reduce(_ && _)
+    val dup = read(name).where(nn).groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__gf_uq_n")).where(col("__gf_uq_n") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) {
+      val r = dup.head
+      throw Warehouse.UniqueViolation(name, cols,
+        "existing rows violate the new constraint: " +
+          cols.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+    }
+    specsLock.synchronized {
+      specsNow = specsNow.updated(name, candidate)
+    }
+    persistSpec(name)
+  }
+
+  /** DDL: declare a FOREIGN KEY on an EXISTING table — validates the
+    * parent target like createTable, then that every CURRENT non-null
+    * key has a parent row (one anti-join probe, file-skipped on the
+    * parent), then persists. Single-writer DDL contract.
+    */
+  def addForeignKey(name: String, fk: Warehouse.ForeignKey): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"addForeignKey: no table $name"))
+    fk.cols.foreach(c => require(spec.schema.fieldNames.contains(c),
+      s"addForeignKey $name: no column $c"))
+    val parentSpec = specsNow.getOrElse(fk.parent,
+      throw new IllegalArgumentException(
+        s"addForeignKey $name: $fk: parent table ${fk.parent} " +
+          "does not exist"))
+    require(parentSpec.primaryKey == fk.parentCols,
+      s"addForeignKey $name: $fk: referenced columns must be exactly " +
+        s"${fk.parent}'s PRIMARY KEY " +
+        s"(${parentSpec.primaryKey.mkString(", ")})")
+    fk.cols.zip(fk.parentCols).foreach { case (c, p) =>
+      require(spec.schema(c).dataType == parentSpec.schema(p).dataType,
+        s"addForeignKey $name: $fk: $c vs ${fk.parent}.$p: " +
+          "key types must match")
+    }
+    // validate current data through the ENFORCEMENT path against a
+    // LOCAL candidate (publish only after it passes)
+    specsLock.synchronized {
+      specsNow = specsNow.updated(name,
+        spec.copy(foreignKeys = spec.foreignKeys :+ fk))
+    }
+    try enforceForeignKeys(name, read(name))
+    catch { case t: Throwable =>
+      specsLock.synchronized { specsNow = specsNow.updated(name, spec) }
+      throw t
+    }
+    persistSpec(name)
+  }
+
+  /** DDL: set / replace a column's DEFAULT fill expression (constant —
+    * validated like createTable). Existing rows are untouched (DEFAULT
+    * is an append-time fill rule). Empty `exprSql` DROPS the default.
+    */
+  def setDefault(name: String, colName: String, exprSql: String): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"setDefault: no table $name"))
+    require(spec.schema.fieldNames.contains(colName),
+      s"setDefault $name: no column $colName")
+    if (exprSql.isEmpty) {
+      specsLock.synchronized {
+        specsNow = specsNow.updated(name,
+          spec.copy(defaults = spec.defaults - colName))
+      }
+      persistSpec(name)
+      return
+    }
+    // the candidate spec's requires validate generated/identity clashes
+    val candidate =
+      spec.copy(defaults = spec.defaults + (colName -> exprSql))
+    try {
+      spark.range(1).select(org.apache.spark.sql.functions.expr(exprSql)
+        .cast(spec.schema(colName).dataType)).collect()
+      ()
+    } catch { case ex: Exception =>
+      throw new IllegalArgumentException(
+        s"setDefault $name.$colName: '$exprSql' does not evaluate as " +
+          s"a constant: ${ex.getMessage}")
+    }
+    specsLock.synchronized {
+      specsNow = specsNow.updated(name, candidate)
+    }
+    persistSpec(name)
+  }
+
   // ------------------------------------------------------------------
   // TAGS — named, immutable version labels (Iceberg's `CREATE TAG`)
   // ------------------------------------------------------------------

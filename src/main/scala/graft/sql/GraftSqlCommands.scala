@@ -141,6 +141,19 @@ case class GraftAppendCommand(wh: Warehouse, table: String,
   }
 }
 
+/** A no-output warehouse DDL action (ADD UNIQUE / ADD FOREIGN KEY /
+  * SET|DROP DEFAULT — the validate-then-persist spec mutations that
+  * need no dedicated result shape). Runs on the driver like every
+  * RunnableCommand.
+  */
+case class GraftDdlCommand(action: () => Unit)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    action(); Seq.empty
+  }
+}
+
 /** `ALTER TABLE wh_t ALTER COLUMN c TYPE t` →
   * [[Warehouse!.alterColumnType]] — metadata-only exact type widening
   * (no file rewrite; the parquet scan upcasts old narrow files).

@@ -293,6 +293,19 @@ object WarehouseSql {
   private val SetPartitionedStmt = // one-commit layout migration
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*""" +
       """\(([^)]*)\)\s*;?\s*""").r
+  private val AddUniqueStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+\w+\s+)?""" +
+      """UNIQUE\s*\(([^)]*)\)\s*;?\s*""").r
+  private val AddFkStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+\w+\s+)?""" +
+      """FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+([A-Za-z0-9_.]+)""" +
+      """\s*\(([^)]*)\)\s*;?\s*""").r
+  private val SetDefaultStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
+      """SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
+  private val DropDefaultStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
+      """DROP\s+DEFAULT\s*;?\s*""").r
   private val AddCheckStmt = // greedy (.*) + final \) = balanced to the end
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*""".r
   private val DropCheckStmt =
@@ -373,6 +386,24 @@ object WarehouseSql {
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftRepartitionCommand(wh, t,
           cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)) }
+    case AddUniqueStmt(name, cols) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDdlCommand(() => wh.addUnique(t,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))) }
+    case AddFkStmt(name, cols, parent, pcols) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        val parentTable = lookup(spark, Seq(parent)).map(_._2)
+          .getOrElse(parent) // bare table name, or strip the SQL route
+        GraftDdlCommand(() => wh.addForeignKey(t, Warehouse.ForeignKey(
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          parentTable,
+          pcols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))) }
+    case SetDefaultStmt(name, colName, e) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDdlCommand(() => wh.setDefault(t, colName, e.trim)) }
+    case DropDefaultStmt(name, colName) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDdlCommand(() => wh.setDefault(t, colName, "")) }
     case AlterColumnTypeStmt(name, colName, ddlType) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         val dt =

@@ -170,4 +170,58 @@ class WarehouseUniqueSpec extends SparkSpec {
         defaults = Map("a" -> "no_such_fn()")))
     }
   }
+
+  test("ALTER-time DDL: ADD UNIQUE / ADD FOREIGN KEY validate existing " +
+    "data first; SET/DROP DEFAULT take effect immediately") {
+    val dir = Files.createTempDirectory("graft-uq-").toString
+    val wh = new Warehouse(spark, dir, specs = Map.empty)
+    wh.bootstrap()
+    graft.sql.WarehouseSql.register(spark, wh, "alt_")
+    spark.sql("CREATE TABLE alt_p (pid BIGINT PRIMARY KEY, nm STRING)")
+    spark.sql("CREATE TABLE alt_c (cid BIGINT, pid BIGINT, tag STRING)")
+    spark.sql("INSERT INTO alt_p VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO alt_c VALUES (10, 1, 'x'), (11, 2, 'x')")
+    // ADD UNIQUE over clean data succeeds and then enforces
+    spark.sql("ALTER TABLE alt_c ADD UNIQUE (cid)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO alt_c VALUES (10, 1, 'dup')")
+    }
+    // ADD UNIQUE over dirty data refuses (tag has duplicates)
+    val dirty = intercept[Exception] {
+      spark.sql("ALTER TABLE alt_c ADD CONSTRAINT u2 UNIQUE (tag)")
+    }
+    assert(dirty.getMessage.contains("existing rows violate"))
+    // ADD FOREIGN KEY over satisfied data succeeds and then enforces
+    spark.sql(
+      "ALTER TABLE alt_c ADD FOREIGN KEY (pid) REFERENCES alt_p (pid)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO alt_c VALUES (12, 99, 'y')")
+    }
+    intercept[Exception] { spark.sql("DELETE FROM alt_p WHERE pid = 1") }
+    // ADD FOREIGN KEY over dangling data refuses
+    spark.sql("CREATE TABLE alt_c2 (cid BIGINT, pid BIGINT)")
+    spark.sql("INSERT INTO alt_c2 VALUES (1, 77)")
+    val dangle = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE alt_c2 ADD FOREIGN KEY (pid) REFERENCES alt_p (pid)")
+    }
+    assert(dangle.getMessage.contains("no parent row"))
+    // and the refused constraint did NOT stick
+    spark.sql("INSERT INTO alt_c2 VALUES (2, 88)")
+    // SET DEFAULT applies to subsequent inserts; DROP DEFAULT reverts
+    spark.sql("ALTER TABLE alt_c ALTER COLUMN tag SET DEFAULT 'filled'")
+    spark.sql("INSERT INTO alt_c (cid, pid) VALUES (13, 2)")
+    assert(spark.sql("SELECT tag FROM alt_c WHERE cid = 13")
+      .head().getString(0) === "filled")
+    spark.sql("ALTER TABLE alt_c ALTER COLUMN tag DROP DEFAULT")
+    intercept[Exception] { // tag now required again
+      spark.sql("INSERT INTO alt_c (cid, pid) VALUES (14, 2)")
+    }
+    // everything persisted: reopen sees the added constraints
+    val wh2 = Warehouse.open(spark, dir)
+    assert(wh2.tableSpec("c").unique === Seq(Seq("cid")))
+    assert(wh2.tableSpec("c").foreignKeys ===
+      Seq(Warehouse.ForeignKey(Seq("pid"), "p", Seq("pid"))))
+    assert(wh2.tableSpec("c").defaults === Map.empty)
+  }
 }
