@@ -5061,7 +5061,81 @@ object LlmQueries extends QueryPack {
         UNION ALL
         SELECT 'quar', violation, count(*), round(sum(bal), 2)
         FROM quar GROUP BY violation
-        ORDER BY side, k"""))
+        ORDER BY side, k""")),
+
+    // ---- q166: ALTER-TIME CONSTRAINT DDL under the gate — the
+    // migration story: an EXISTING loaded table takes UNIQUE / FOREIGN
+    // KEY / DEFAULT without recreation. The hash gates the
+    // validate-then-persist contract end-to-end: an ADD UNIQUE over
+    // dirty data refuses AND does not stick (later inserts with
+    // duplicate statuses must land), an ADD FOREIGN KEY over satisfied
+    // data starts enforcing immediately (the dangling INSERT after it
+    // must reject whole), and a SET DEFAULT fills from that statement
+    // on. A constraint that half-sticks, fails open, or back-fills
+    // breaks the compare against DuckDB's plain replay.
+    Q("q166_warehouse_alter_constraints",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q166-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("alt166_")
+        s.sql("""CREATE TABLE alt166_cust (
+                   ck BIGINT PRIMARY KEY) STATS BY (ck)""")
+        s.sql("""CREATE TABLE alt166_o (
+                   oid BIGINT PRIMARY KEY, ck BIGINT, st STRING,
+                   pri STRING) STATS BY (oid)""")
+        t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("ck"))
+          .createOrReplaceTempView("alt166_csrc")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("oid"),
+            col("o_custkey").cast("long").as("ck"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("pri"))
+          .createOrReplaceTempView("alt166_osrc")
+        s.sql("INSERT INTO alt166_cust SELECT * FROM alt166_csrc")
+        s.sql("INSERT INTO alt166_o SELECT * FROM alt166_osrc")
+        // ADD UNIQUE over a dirty column refuses — and must NOT stick
+        val dirty =
+          try { s.sql("ALTER TABLE alt166_o ADD UNIQUE (st)"); false }
+          catch {
+            case _: graft.pipeline.Warehouse.UniqueViolation => true
+          }
+        require(dirty, "q166: ADD UNIQUE over duplicate statuses must fail")
+        // every order's customer exists → the FK takes, then enforces
+        s.sql("ALTER TABLE alt166_o ADD FOREIGN KEY (ck) " +
+          "REFERENCES alt166_cust (ck)")
+        val dangled =
+          try {
+            s.sql("""INSERT INTO alt166_o
+                     SELECT oid + 700000000, ck + 900000000, st, pri
+                     FROM alt166_osrc WHERE oid % 21 = 0""")
+            false
+          } catch {
+            case _: graft.pipeline.Warehouse.ForeignKeyViolation => true
+          }
+        require(dangled, "q166: the post-ALTER dangling INSERT must fail")
+        // SET DEFAULT fills from now on (duplicate statuses still land —
+        // the refused UNIQUE must not have stuck)
+        s.sql("ALTER TABLE alt166_o ALTER COLUMN pri SET DEFAULT 'none'")
+        s.sql("""INSERT INTO alt166_o (oid, ck, st)
+                 SELECT oid + 800000000, ck, st
+                 FROM alt166_osrc WHERE oid % 17 = 0""")
+        s.sql("""SELECT st, pri, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(oid) AS BIGINT) AS soid
+                 FROM alt166_o GROUP BY st, pri ORDER BY st, pri""")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS oid, o_orderstatus AS st,
+                 o_orderpriority AS pri
+          FROM orders),
+        fin AS (
+          SELECT oid, st, pri FROM o
+          UNION ALL
+          SELECT oid + 800000000, st, 'none' FROM o WHERE oid % 17 = 0)
+        SELECT st, pri, count(*) AS n, CAST(sum(oid) AS BIGINT) AS soid
+        FROM fin GROUP BY st, pri ORDER BY st, pri"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
