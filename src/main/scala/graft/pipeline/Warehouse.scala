@@ -2658,7 +2658,10 @@ class Warehouse(spark: SparkSession, dir: String,
         .select(readSchema.fieldNames.map(col): _*),
       loadLatest(name)._1)
     var ciHwm = ciHwm0
-    val df = applyGenerated(name, src0)
+    // `df` is re-pointed after an identity-hwm reassignment so the
+    // conflict-path re-probes test the ids that will actually commit
+    // (append's `full` pattern), not the abandoned pre-conflict ones
+    var df = applyGenerated(name, src0)
     enforceChecks(name, df)
     enforcePrimaryKey(name, df)
     enforceUnique(name, df)
@@ -2703,7 +2706,8 @@ class Warehouse(spark: SparkSession, dir: String,
                 .select(readSchema.fieldNames.map(col): _*),
               attempt._1)
             ciHwm = reHwm
-            staged = writeBatch(name, applyGenerated(name, reSrc))
+            df = applyGenerated(name, reSrc)
+            staged = writeBatch(name, df)
           }
           // PK re-probe against the intervening head (see append)
           if (specsNow(name).primaryKey.nonEmpty) {
@@ -2835,27 +2839,63 @@ class Warehouse(spark: SparkSession, dir: String,
     // FOREIGN KEY violations route as `foreign_key` (after primary_key
     // — a row failing both reports the PK, the sharper diagnosis).
     // Each FK's live-parent probe is file-skipped like the PK probe.
-    val fkTagged = fks.foldLeft(uqTagged) { case (acc, fk) =>
-      val asParent = fk.cols.zip(fk.parentCols).foldLeft(
-        acc.select(fk.cols.map(col): _*)
-          .where(fk.cols.map(c => col(c).isNotNull).reduce(_ && _))
-          .distinct()) { case (d, (c, p)) => d.withColumnRenamed(c, p) }
-      val live = keyProbeScope(fk.parent, fk.parentCols, asParent)
-        .map(_.select(fk.parentCols.map(col): _*).distinct()
-          .withColumn("__gf_fk_hit", lit(true)))
-        .map(p => fk.parentCols.zip(fk.cols)
-          .foldLeft(p) { case (d, (pc, c)) => d.withColumnRenamed(pc, c) })
-      val anyNull = fk.cols.map(c => col(c).isNull).reduce(_ || _)
-      live.map(acc.join(_, fk.cols, "left"))
-        .getOrElse(acc.withColumn("__gf_fk_hit",
-          lit(null).cast("boolean")))
-        .withColumn("violation",
-          when(col("violation").isNotNull, col("violation"))
-            .when(!anyNull && col("__gf_fk_hit").isNull,
-              lit("foreign_key")))
-        .drop("__gf_fk_hit")
-        .select(acc.columns.map(col): _*)
+    // A SELF-FK's parent side unions the batch's own SURVIVING key
+    // tuples (only rows that will actually land can serve as parents —
+    // the quarantine analog of enforceForeignKeys' pendingKeys): a row
+    // referencing an in-batch parent must not misroute to quarantine.
+    def tagFks(base: DataFrame): DataFrame = fks.foldLeft(base) {
+      case (acc, fk) =>
+        val asParent = fk.cols.zip(fk.parentCols).foldLeft(
+          acc.select(fk.cols.map(col): _*)
+            .where(fk.cols.map(c => col(c).isNotNull).reduce(_ && _))
+            .distinct()) { case (d, (c, p)) => d.withColumnRenamed(c, p) }
+        val liveKeys = keyProbeScope(fk.parent, fk.parentCols, asParent)
+          .map(_.select(fk.parentCols.map(col): _*))
+        val selfKeys =
+          if (fk.parent == name && pk.nonEmpty)
+            Some(acc.where(col("violation").isNull)
+              .select(pk.map(col): _*).toDF(fk.parentCols: _*))
+          else None
+        val parentSide = ((liveKeys, selfKeys) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }).map(_.distinct().withColumn("__gf_fk_hit", lit(true)))
+          .map(p => fk.parentCols.zip(fk.cols)
+            .foldLeft(p) { case (d, (pc, c)) => d.withColumnRenamed(pc, c) })
+        val anyNull = fk.cols.map(c => col(c).isNull).reduce(_ || _)
+        parentSide.map(acc.join(_, fk.cols, "left"))
+          .getOrElse(acc.withColumn("__gf_fk_hit",
+            lit(null).cast("boolean")))
+          .withColumn("violation",
+            when(col("violation").isNotNull, col("violation"))
+              .when(!anyNull && col("__gf_fk_hit").isNull,
+                lit("foreign_key")))
+          .drop("__gf_fk_hit")
+          .select(acc.columns.map(col): _*)
     }
+    // Quarantining a row can orphan OTHER batch rows that referenced
+    // it (A → B, B fails a CHECK ⇒ A's parent never lands), so the
+    // self-FK case iterates tagging to a FIXPOINT: each pass only
+    // moves rows surviving → tagged, so it terminates in ≤ chain-depth
+    // passes (each materialized via localCheckpoint — batch-sized).
+    // Without the fixpoint, a cascaded dangler would reach appendAll's
+    // statement-end FK check and fail the WHOLE batch, breaking the
+    // poison-batch contract.
+    val fkTagged =
+      if (!fks.exists(_.parent == name)) tagFks(uqTagged)
+      else {
+        var acc = uqTagged.localCheckpoint(true)
+        var tagged = acc.where(col("violation").isNotNull).count()
+        var converged = false
+        while (!converged) {
+          val next = tagFks(acc).localCheckpoint(true)
+          val nextTagged = next.where(col("violation").isNotNull).count()
+          converged = nextTagged == tagged
+          acc = next
+          tagged = nextTagged
+        }
+        acc
+      }
     val good = fkTagged.where(col("violation").isNull).drop("violation")
     val bad = fkTagged.where(col("violation").isNotNull)
     // counts come from THIS transaction's committed footers (appendAll's
@@ -3080,15 +3120,23 @@ class Warehouse(spark: SparkSession, dir: String,
     // and NOT NULL apply — there are no surviving rows to collide with
     enforcePrimaryKey(name, df, probeLive = false)
     enforceUnique(name, df, probeLive = false)
-    enforceForeignKeys(name, df)
+    // a SELF-FK validates against the batch's OWN keys only — the
+    // overwrite evicts every live key, so a new row referencing an
+    // evicted (non-resupplied) key must fail, not ride the stale
+    // snapshot through the probe
+    enforceForeignKeys(name, df, replacedParents = Set(name))
     // replacing a REFERENCED table deletes every old key the batch
-    // doesn't re-supply — RESTRICT applies to the evicted set
+    // doesn't re-supply — RESTRICT applies to the evicted set. The
+    // self-child is skipped: its old referencing rows are evicted in
+    // the same flip, and the replacement batch was just validated
+    // batch-only above.
     if (childForeignKeys(name).nonEmpty) {
       import org.apache.spark.sql.functions.col
       val pk = specsNow(name).primaryKey
       enforceDeleteRestrict(name, dfFor(name, live)
         .select(pk.map(col): _*)
-        .join(df.select(pk.map(col): _*), pk, "left_anti"))
+        .join(df.select(pk.map(col): _*), pk, "left_anti"),
+        skipChildren = Set(name))
     }
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
@@ -3105,10 +3153,33 @@ class Warehouse(spark: SparkSession, dir: String,
 
   /** `TRUNCATE TABLE`: [[overwrite]] with zero rows — one empty-list
     * manifest commit; the data files follow retention like any replace.
+    *
+    * ON DELETE RESTRICT applies to the WHOLE table: truncating a
+    * referenced parent must not orphan child rows. The probe is
+    * cheaper than a key join — the FK invariant means every fully-
+    * non-null child tuple references SOME live key of this parent, so
+    * any such row at all is a violation (`limit(1)` scan per child).
+    * A self-FK child is exempt: its referencing rows vanish in the
+    * same flip (Postgres analog: `TRUNCATE t` where t only references
+    * itself is legal; referencing from elsewhere requires CASCADE).
     */
   def truncate(name: String): Unit = {
     val (v, live) = loadLatest(name)
     require(v > 0L, s"truncate $name: table not bootstrapped")
+    import org.apache.spark.sql.functions.col
+    childForeignKeys(name).filterNot(_._1 == name).foreach {
+      case (child, fk) =>
+        val hit = read(child)
+          .where(fk.cols.map(c => col(c).isNotNull).reduce(_ && _))
+          .limit(1).collect()
+        if (hit.nonEmpty) {
+          val r = hit.head
+          throw Warehouse.ForeignKeyViolation(child, fk,
+            s"ON DELETE RESTRICT: cannot truncate $name — $child still " +
+              "references it, e.g. " + fk.cols
+                .map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+        }
+    }
     commit(name, v + 1, Nil, Map("op" -> "truncate",
       "numRemoved" -> live.size.toString))
     if (!retainReplaced) gc(name, live)
@@ -4284,8 +4355,30 @@ class Warehouse(spark: SparkSession, dir: String,
     require(gone.isEmpty,
       s"$name v$version is not restorable: ${gone.size} file(s) GC'd " +
         s"(e.g. ${gone.head.rel}); use retainReplaced=true retention")
-    val (v, _) = loadLatest(name)
+    val (v, liveNow) = loadLatest(name)
     if (v == version) return
+    // FK integrity across the flip, both directions (same audit as
+    // truncate/overwrite — a restore is an overwrite with old bytes):
+    //   - child side: resurrected rows may reference parent keys
+    //     deleted since; every restored FK tuple re-validates against
+    //     the parents' CURRENT snapshots (self-FK against the restored
+    //     snapshot itself — it replaces the live one);
+    //   - parent side: keys present now but absent at `version` vanish
+    //     in the flip; ON DELETE RESTRICT probes current non-self
+    //     children for references to them.
+    val spec = specsNow(name)
+    if (spec.foreignKeys.nonEmpty)
+      enforceForeignKeys(name, dfFor(name, entries),
+        replacedParents = Set(name))
+    if (childForeignKeys(name).exists(_._1 != name)) {
+      import org.apache.spark.sql.functions.col
+      val pk = spec.primaryKey
+      enforceDeleteRestrict(name, dfFor(name, liveNow)
+        .select(pk.map(col): _*)
+        .join(dfFor(name, entries).select(pk.map(col): _*),
+          pk, "left_anti"),
+        skipChildren = Set(name))
+    }
     commit(name, v + 1, entries,
       Map("op" -> "restore", "restoredVersion" -> version.toString))
   }
@@ -4810,6 +4903,13 @@ class Warehouse(spark: SparkSession, dir: String,
     * (Postgres checks at statement end, when the batch's own rows are
     * visible) — the parent side unions the batch's candidate keys.
     *
+    * @param replacedParents parents whose LIVE snapshot this operation
+    *   evicts wholesale ([[overwrite]] passes its own name): their
+    *   current keys must NOT count as parents — only the pending batch
+    *   (or, for [[restore]], the restored snapshot) supplies keys.
+    *   Without this, `overwrite` of a self-FK table would accept a new
+    *   row referencing a key the overwrite itself deletes.
+    *
     * Consistency scope: the probe sees the parent's snapshot at probe
     * time. A concurrent parent DELETE committing after this probe can
     * orphan the batch — cross-TABLE serializability needs the
@@ -4818,7 +4918,8 @@ class Warehouse(spark: SparkSession, dir: String,
     * one table the PK/commit machinery stays fully serializable.
     */
   private def enforceForeignKeys(name: String, df: DataFrame,
-      pendingParents: Map[String, DataFrame] = Map.empty): Unit = {
+      pendingParents: Map[String, DataFrame] = Map.empty,
+      replacedParents: Set[String] = Set.empty): Unit = {
     import org.apache.spark.sql.functions.col
     specsNow(name).foreignKeys.foreach { fk =>
       val batchKeys = df.select(fk.cols.map(col): _*)
@@ -4828,8 +4929,10 @@ class Warehouse(spark: SparkSession, dir: String,
       val asParent = fk.cols.zip(fk.parentCols)
         .foldLeft(batchKeys) { case (d, (c, p)) =>
           d.withColumnRenamed(c, p) }
-      val parentKeys = keyProbeScope(fk.parent, fk.parentCols, asParent)
-        .map(_.select(fk.parentCols.map(col): _*))
+      val parentKeys =
+        if (replacedParents.contains(fk.parent)) None // evicted wholesale
+        else keyProbeScope(fk.parent, fk.parentCols, asParent)
+          .map(_.select(fk.parentCols.map(col): _*))
       // keys a co-committed batch introduces count as parents: a self-
       // FK sees the batch's own PK rows (Postgres checks at statement
       // end), and an appendAll loading parent + child in ONE atomic
@@ -4875,10 +4978,18 @@ class Warehouse(spark: SparkSession, dir: String,
     * deleted in the same statement still count as referencing — a
     * delete that would orphan survivors rejects either way, which is
     * RESTRICT's conservative contract.
+    *
+    * @param skipChildren children whose referencing rows this same
+    *   operation REPLACES wholesale ([[overwrite]]/[[restore]] of a
+    *   self-FK table pass their own name): the old rows' references
+    *   die with them, and the replacement batch is validated
+    *   separately via [[enforceForeignKeys]] with `replacedParents`.
     */
   private def enforceDeleteRestrict(name: String,
-      doomedKeys: => DataFrame): Unit = {
+      doomedKeys: => DataFrame,
+      skipChildren: Set[String] = Set.empty): Unit = {
     val children = childForeignKeys(name)
+      .filterNot { case (c, _) => skipChildren.contains(c) }
     if (children.isEmpty) return
     val keys = doomedKeys.distinct().localCheckpoint(true)
     try children.foreach { case (child, fk) =>

@@ -990,38 +990,56 @@ object WarehouseSql {
               parentName(parent),
               ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             None
-          case ColIdentity(colDef, opts) =>
-            val c = colDef.trim.split("\\s+").head
-            if (identity.nonEmpty) fail("at most one IDENTITY column")
-            val o = Option(opts).getOrElse("")
-            val start = o match {
-              case IdStart(n) => n.toLong
-              case _ => 1L
-            }
-            val orderBy = o match {
-              case IdOrder(cols) => cols.split(",").toSeq
-                .map(_.trim).filter(_.nonEmpty)
-              case _ => Nil
-            }
-            identity = Some(Warehouse.Identity(c, orderBy, start))
-            Some(colDef)
-          case ColGen(colDef, e) =>
-            gen += colDef.trim.split("\\s+").head -> e.trim; Some(colDef)
-          case ColPk(colDef) =>
-            pk += colDef.trim.split("\\s+").head; Some(colDef)
           case TableUq(cols) =>
             uq += cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
             None
-          case ColDefault(colDef, e) =>
-            dfl += colDef.trim.split("\\s+").head -> e.trim; Some(colDef)
-          case ColUq(colDef) =>
-            uq += Seq(colDef.trim.split("\\s+").head); Some(colDef)
-          case ColFk(colDef, parent, ps) =>
-            fks += Warehouse.ForeignKey(
-              Seq(colDef.trim.split("\\s+").head), parentName(parent),
-              ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            Some(colDef)
-          case colDef => Some(colDef)
+          case item =>
+            // a column item may stack SEVERAL suffix clauses
+            // (`c INT UNIQUE DEFAULT 5`, `c INT DEFAULT 0 REFERENCES
+            // p(x)`), so clauses strip ITERATIVELY from the right until
+            // only `name type [NOT NULL]` remains. DEFAULT is tried
+            // LAST each pass: its expr capture runs to end-of-item, so
+            // trying it earlier would swallow a trailing constraint
+            // into the default expression. The column name is the
+            // item's first token — stable across stripping.
+            def nameOf(s: String): String = s.trim.split("\\s+").head
+            var rest = item
+            var stripped = true
+            while (stripped) {
+              stripped = true
+              rest match {
+                case ColIdentity(colDef, opts) =>
+                  if (identity.nonEmpty) fail("at most one IDENTITY column")
+                  val o = Option(opts).getOrElse("")
+                  val start = o match {
+                    case IdStart(n) => n.toLong
+                    case _ => 1L
+                  }
+                  val orderBy = o match {
+                    case IdOrder(cols) => cols.split(",").toSeq
+                      .map(_.trim).filter(_.nonEmpty)
+                    case _ => Nil
+                  }
+                  identity = Some(Warehouse.Identity(nameOf(rest),
+                    orderBy, start))
+                  rest = colDef
+                case ColGen(colDef, e) =>
+                  gen += nameOf(rest) -> e.trim; rest = colDef
+                case ColPk(colDef) =>
+                  pk += nameOf(rest); rest = colDef
+                case ColUq(colDef) =>
+                  uq += Seq(nameOf(rest)); rest = colDef
+                case ColFk(colDef, parent, ps) =>
+                  fks += Warehouse.ForeignKey(
+                    Seq(nameOf(rest)), parentName(parent),
+                    ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                  rest = colDef
+                case ColDefault(colDef, e) =>
+                  dfl += nameOf(rest) -> e.trim; rest = colDef
+                case _ => stripped = false
+              }
+            }
+            Some(rest)
         }
         if (colDefs.isEmpty) fail("no columns")
         val schema =
