@@ -264,9 +264,14 @@ class Warehouse(spark: SparkSession, dir: String,
   private def txnConfirmed(id: String): Boolean =
     fileSystem.exists(new Path(txnDir, id))
 
-  /** Visible = not a pending member of an unconfirmed transaction. */
+  /** Visible = not a pending member of an unconfirmed transaction.
+    * A meta-cache hit alone proves visibility — only CONFIRMED
+    * versions are ever cached — so the hot path ([[versions]] checks
+    * every on-disk version per call) costs zero filesystem operations
+    * once warm. */
   private def isVisible(name: String, version: Long): Boolean =
-    commitMeta(name, version).get("mtxn").forall(txnConfirmed)
+    Warehouse.metaCacheGet(cacheKey(name, version)).isDefined ||
+      commitMeta(name, version).get("mtxn").forall(txnConfirmed)
 
   /** How long a pending transaction manifest may block its version slot
     * before a conflicting writer (or vacuum) may ABORT it — the lease
@@ -353,12 +358,19 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   private def readManifestLines(name: String, p: Path): Seq[String] = {
+    Warehouse.manifestReads.incrementAndGet()
     val in = fileSystem.open(p)
     val text = try {
       new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     text.split('\n').toSeq
   }
+
+  /** Cache key of one (table, version) snapshot — dir-qualified so
+    * same-named tables of different warehouses never collide in the
+    * JVM-wide caches. */
+  private def cacheKey(name: String, version: Long): String =
+    s"$dir#$name#$version"
 
   private def parseEntry(line: String): FileEntry = {
     // 4th field (row count) and 5th/6th (deletion vector ref + count)
@@ -379,44 +391,49 @@ class Warehouse(spark: SparkSession, dir: String,
     * `version` collecting deltas until the nearest full checkpoint,
     * then replay the deltas forward — ≤ checkpointInterval−1 small
     * files plus one checkpoint, regardless of table size.
+    *
+    * MEMOIZED per confirmed version in the JVM-wide snapshot cache
+    * (versions are immutable once visible — see the companion's cache
+    * doc): the recursive walk stops at the FIRST cached ancestor, so a
+    * steady-state append chain parses only its own delta and a table's
+    * second open in this JVM parses nothing at all.
     */
   private[graft] def loadAt(name: String, version: Long): Seq[FileEntry] = {
-    var deltas = List.empty[Seq[String]]
-    var v = version
-    var base = Seq.empty[FileEntry]
-    var found = false
-    while (!found) {
-      require(v >= 1L, s"$name: cannot reconstruct manifest v$version " +
-        "(no checkpoint at or below it — vacuumed?)")
-      val lines = readManifestLines(name, manifestPathOf(name, v))
-      lines.headOption match {
-        case Some(ManifestHeader) =>
-          base = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
-            .map(parseEntry)
-          found = true
-        case Some(DeltaHeader) =>
-          deltas ::= lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
-          v -= 1
-        case other =>
-          throw new IllegalArgumentException(
-            s"$name manifest v$v: unrecognized header $other")
-      }
+    require(version >= 1L, s"$name: cannot reconstruct manifest " +
+      "(no checkpoint at or below it — vacuumed?)")
+    val key = cacheKey(name, version)
+    Warehouse.snapshotCacheGet(key) match {
+      case Some(hit) => return hit
+      case None =>
     }
-    if (deltas.isEmpty) return base
-    val state = scala.collection.mutable.LinkedHashMap
-      .from(base.map(e => e.rel -> e))
-    deltas.foreach(_.foreach { line =>
-      if (line.startsWith("+\t")) {
-        val e = parseEntry(line.drop(2))
-        state(e.rel) = e
-        ()
-      } else if (line.startsWith("-\t")) {
-        state.remove(line.drop(2))
-        ()
-      } else throw new IllegalArgumentException(
-        s"$name delta manifest: unrecognized line $line")
-    })
-    state.values.toSeq.sortBy(_.rel)
+    val lines = readManifestLines(name, manifestPathOf(name, version))
+    val entries = lines.headOption match {
+      case Some(ManifestHeader) =>
+        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(parseEntry)
+      case Some(DeltaHeader) =>
+        val base = loadAt(name, version - 1)
+        val state = scala.collection.mutable.LinkedHashMap
+          .from(base.map(e => e.rel -> e))
+        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .foreach { line =>
+            if (line.startsWith("+\t")) {
+              val e = parseEntry(line.drop(2))
+              state(e.rel) = e
+              ()
+            } else if (line.startsWith("-\t")) {
+              state.remove(line.drop(2))
+              ()
+            } else throw new IllegalArgumentException(
+              s"$name delta manifest: unrecognized line $line")
+          }
+        state.values.toSeq.sortBy(_.rel)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name manifest v$version: unrecognized header $other")
+    }
+    if (isVisible(name, version)) Warehouse.snapshotCachePut(key, entries)
+    entries
   }
 
   /** DESCRIBE HISTORY: every committed version with its commit metadata
@@ -429,17 +446,37 @@ class Warehouse(spark: SparkSession, dir: String,
     versions(name).map(v => v -> commitMeta(name, v))
 
   /** One committed version's metadata map (empty for version 0 / pre-
-    * metadata manifests).
+    * metadata manifests). The meta line is always line 2 of the
+    * manifest when present ([[commit]]'s layout), so this is a bounded
+    * HEAD READ — never the full entry list (a checkpoint's list is
+    * O(|files|) bytes; the visibility check walks every version, so
+    * reading whole checkpoints here would make `versions()` O(table)).
+    * Memoized per confirmed version, like [[loadAt]].
     */
   private def commitMeta(name: String, version: Long): Map[String, String] = {
     if (version == 0L) return Map.empty
-    readManifestLines(name, manifestPathOf(name, version))
-      .find(_.startsWith("#")).map { line =>
-        line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
-          val i = kv.indexOf('=')
-          kv.take(i) -> kv.drop(i + 1)
-        }.toMap
-      }.getOrElse(Map.empty[String, String])
+    val key = cacheKey(name, version)
+    Warehouse.metaCacheGet(key) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    Warehouse.manifestReads.incrementAndGet()
+    val in = fileSystem.open(manifestPathOf(name, version))
+    val second = try {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      r.readLine() // header
+      Option(r.readLine())
+    } finally in.close()
+    val meta = second.filter(_.startsWith("#")).map { line =>
+      line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
+    if (meta.get("mtxn").forall(txnConfirmed))
+      Warehouse.metaCachePut(key, meta)
+    meta
   }
 
   /** The txn watermarks (streaming-writer idempotence ledger) as of
@@ -629,6 +666,195 @@ class Warehouse(spark: SparkSession, dir: String,
       }
     publishManifest(name, f"v$version%012d." +
       (if (isCheckpointVersion(version)) "mf" else "mfd"), body)
+    // big checkpoints ALSO materialize as a COLUMNAR (parquet) manifest
+    // sidecar — the Delta-checkpoint/Iceberg-manifest answer to "don't
+    // parse O(|files|) text on one node": probes push their stat-range
+    // filters into a distributed parquet scan and collect only
+    // surviving entries ([[prunedEntries]]). Purely derived from the
+    // committed text manifest (the source of truth), so the write is
+    // best-effort: a crash here just means readers fall back to the
+    // text parse until the next checkpoint (or [[materializeColumnar]]).
+    if (isCheckpointVersion(version) && entries.size >= columnarThreshold)
+      try writeColumnarManifest(name, version, entries)
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Entry count at or above which a checkpoint commit also writes the
+    * columnar manifest sidecar. `var` so specs exercise the columnar
+    * path on small tables; production default keeps small tables on
+    * the (cheaper at that size) pure-text path.
+    */
+  private[graft] var columnarThreshold: Long = 32768L
+
+  private def mfpPath(name: String, version: Long): Path =
+    new Path(manifestDir(name), f"v$version%012d.mfp")
+
+  /** The fixed (non-stat) columns of a columnar manifest; per-table
+    * stat columns ride as `__lo_<c>` / `__hi_<c>` long pairs (null =
+    * the file has no stats for `c`, which every probe treats as
+    * keep — absence is always safe).
+    */
+  private val mfpFixed = StructType(Seq(
+    StructField("rel", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("dv", StringType, nullable = false),
+    StructField("dvRows", LongType, nullable = false)))
+
+  private def writeColumnarManifest(name: String, version: Long,
+      entries: Seq[FileEntry]): Unit = {
+    val fs = fileSystem
+    val dest = mfpPath(name, version)
+    if (fs.exists(dest)) return // racing committer already wrote it
+    val statCols = entries.iterator.flatMap(_.stats.keysIterator)
+      .toSeq.distinct.sorted
+    val schema = StructType(mfpFixed.fields ++ statCols.flatMap(c => Seq(
+      StructField(s"__lo_$c", LongType, nullable = true),
+      StructField(s"__hi_$c", LongType, nullable = true))))
+    val rows = entries.map { e =>
+      Row.fromSeq(Seq(e.rel, e.bytes, e.rows, e.dv, e.dvRows) ++
+        statCols.flatMap(c => e.stats.get(c) match {
+          case Some((lo, hi)) => Seq[Any](lo, hi)
+          case None => Seq[Any](null, null)
+        }))
+    }
+    // a few hundred k entries per task: parallel enough to read
+    // distributed, few enough files to stay listing-cheap
+    val parts = math.max(1, math.min(32, (entries.size / 262144) + 1))
+    val tmp = new Path(manifestDir(name),
+      s".tmp-mfp-${java.util.UUID.randomUUID}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // directory rename is the atomic publish; a loser (concurrent
+    // committer of the same checkpoint writes identical content) just
+    // discards its temp
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
+  }
+
+  /** Backfill the columnar manifest for the newest checkpoint at or
+    * below the current head (idempotent maintenance — the commit-time
+    * write is best-effort). @return true if one was written or already
+    * present, false when the table has no checkpoint yet or sits below
+    * [[columnarThreshold]].
+    */
+  def materializeColumnar(name: String): Boolean =
+    versions(name).lastOption.flatMap(checkpointBelow(name, _)) match {
+      case None => false
+      case Some(ck) =>
+        if (fileSystem.exists(mfpPath(name, ck))) true
+        else {
+          val entries = loadAt(name, ck)
+          if (entries.size < columnarThreshold) false
+          else { writeColumnarManifest(name, ck, entries); true }
+        }
+    }
+
+  /** Newest version ≤ `version` committed (or vacuum-materialized) as a
+    * FULL `.mf` checkpoint — ≤ checkpointInterval−1 existence probes.
+    */
+  private def checkpointBelow(name: String, version: Long): Option[Long] = {
+    var v = version
+    while (v >= 1L) {
+      if (fileSystem.exists(new Path(manifestDir(name), f"v$v%012d.mf")))
+        return Some(v)
+      v -= 1
+    }
+    None
+  }
+
+  /** DISTRIBUTED stat-range file pruning: resolve `version`'s live
+    * entries WITHOUT folding the full manifest on the driver — a
+    * parquet scan of the columnar checkpoint with the range conditions
+    * pushed down, collecting only surviving entries, plus a driver-side
+    * replay of the ≤ interval−1 delta manifests on top (each bounded by
+    * its commit's batch, never the table). `ranges` are long-encoded
+    * [lo, hi] per column, identical semantics to the driver filter
+    * (`stats.get(c).forall(overlap)`): files without stats for a column
+    * always survive it.
+    *
+    * None = no columnar checkpoint serves this version (small table,
+    * pre-columnar history, or a crashed sidecar write) — callers fall
+    * back to the [[loadAt]] fold, which the snapshot cache amortizes.
+    */
+  private[graft] def prunedEntries(name: String, version: Long,
+      ranges: Map[String, (Long, Long)]): Option[Seq[FileEntry]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = fileSystem
+    val ckpt = checkpointBelow(name, version)
+      .filter(v => fs.exists(mfpPath(name, v)))
+      .getOrElse(return None)
+    // replay deltas (ckpt, version] into batch-bounded driver state:
+    // later versions win per rel; a re-add clears a prior remove
+    val removed = scala.collection.mutable.HashSet.empty[String]
+    val upserts = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    ((ckpt + 1) to version).foreach { v =>
+      val lines = readManifestLines(name, manifestPathOf(name, v))
+      require(lines.headOption.contains(DeltaHeader),
+        s"$name v$v: expected a delta manifest above checkpoint v$ckpt")
+      lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).foreach {
+        line =>
+          if (line.startsWith("+\t")) {
+            val e = parseEntry(line.drop(2))
+            upserts(e.rel) = e
+            removed -= e.rel
+            ()
+          } else if (line.startsWith("-\t")) {
+            removed += line.drop(2)
+            upserts.remove(line.drop(2))
+            ()
+          } else throw new IllegalArgumentException(
+            s"$name delta manifest: unrecognized line $line")
+      }
+    }
+    val base = spark.read.parquet(mfpPath(name, ckpt).toString)
+    val cond = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
+      if (!base.columns.contains(s"__lo_$c")) acc // no file has stats: keep all
+      else acc && (col(s"__lo_$c").isNull ||
+        (col(s"__hi_$c") >= lit(lo) && col(s"__lo_$c") <= lit(hi)))
+    }
+    val statColsInDf = base.columns.toSeq.collect {
+      case n if n.startsWith("__lo_") => n.stripPrefix("__lo_") }
+    val survivors = base.where(cond).collect().map { r =>
+      FileEntry(r.getString(r.fieldIndex("rel")),
+        r.getLong(r.fieldIndex("bytes")),
+        statColsInDf.flatMap { c =>
+          val lo = r.fieldIndex(s"__lo_$c")
+          if (r.isNullAt(lo)) None
+          else Some(c -> ((r.getLong(lo),
+            r.getLong(r.fieldIndex(s"__hi_$c")))))
+        }.toMap,
+        r.getLong(r.fieldIndex("rows")),
+        r.getString(r.fieldIndex("dv")),
+        r.getLong(r.fieldIndex("dvRows")))
+    }
+    def overlaps(e: FileEntry): Boolean = ranges.forall { case (c, (lo, hi)) =>
+      e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    Warehouse.columnarPrunes.incrementAndGet()
+    Some((survivors.iterator
+      .filterNot(e => removed(e.rel) || upserts.contains(e.rel)) ++
+      upserts.valuesIterator.filter(overlaps)).toSeq.sortBy(_.rel))
+  }
+
+  /** `version`'s entries restricted to `ranges`, picking the cheapest
+    * correct path: a cached snapshot filters on the driver for free;
+    * otherwise the columnar checkpoint prunes DISTRIBUTED (the 100 TB
+    * shape — the driver never materializes the full list); otherwise
+    * the text fold (which then populates the cache for next time).
+    */
+  private def plannedRange(name: String, version: Long,
+      ranges: Map[String, (Long, Long)]): Seq[FileEntry] = {
+    def driverFilter(entries: Seq[FileEntry]): Seq[FileEntry] =
+      if (ranges.isEmpty) entries
+      else entries.filter(e => ranges.forall { case (c, (lo, hi)) =>
+        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } })
+    Warehouse.snapshotCacheGet(cacheKey(name, version)) match {
+      case Some(entries) => driverFilter(entries)
+      case None if ranges.nonEmpty =>
+        prunedEntries(name, version, ranges)
+          .getOrElse(driverFilter(loadAt(name, version)))
+      case None => loadAt(name, version)
+    }
   }
 
   /** Atomically publish a manifest body under `fileName`; throws
@@ -1473,6 +1699,10 @@ class Warehouse(spark: SparkSession, dir: String,
     fs.delete(tagsDir(name), true) // tags die with their table
     fs.delete(new Path(path(name)), true)
     specsLock.synchronized { specsNow = specsNow - name }
+    // a re-created table restarts version numbering in this directory —
+    // the immutability premise behind the JVM-wide snapshot cache holds
+    // only within one table lifetime
+    Warehouse.invalidateCached(s"$dir#$name#")
     ()
   }
 
@@ -1544,6 +1774,9 @@ class Warehouse(spark: SparkSession, dir: String,
         }
       }
       specsLock.synchronized { specsNow = specsNow + (name -> spec) }
+      // a prior DROP (possibly by another instance) may have left
+      // cached snapshots of this directory+name — new lifetime, new v1
+      Warehouse.invalidateCached(s"$dir#$name#")
       try bootstrapTable(name, extraMeta, initial)
       catch { case t: Throwable =>
         // no manifest committed → roll the in-memory spec back so a
@@ -1658,10 +1891,11 @@ class Warehouse(spark: SparkSession, dir: String,
     * that predicate's result.
     */
   def readRange(name: String, column: String, lo: Long, hi: Long): DataFrame = {
-    val (v, entries) = loadLatest(name)
-    if (v == 0L) return read(name)
-    dfFor(name, entries.filter(_.stats.get(column)
-      .forall { case (mn, mx) => mx >= lo && mn <= hi }))
+    versions(name).lastOption match {
+      case None => read(name)
+      case Some(v) =>
+        dfFor(name, plannedRange(name, v, Map(column -> ((lo, hi)))))
+    }
   }
 
   /** TIME TRAVEL: the table exactly as committed at manifest `version`.
@@ -4859,10 +5093,49 @@ class Warehouse(spark: SparkSession, dir: String,
   private def keyProbeScope(name: String, cols: Seq[String],
       keys: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
-    val (v, entries) = loadLatest(name)
-    if (v == 0L || entries.isEmpty) return None
+    val v = versions(name).lastOption.getOrElse(return None)
+    // key EXTREMA first: they both gate the manifest resolution (the
+    // columnar checkpoint prunes distributed on these ranges — the
+    // driver never folds the full entry list, see [[plannedRange]])
+    // and detect the empty key set before any metadata work
+    val rangeCols = cols.filter(statColumns(name).contains)
+    val rangeRow = if (rangeCols.isEmpty) None else {
+      val aggs = rangeCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+      val row = keys.agg(aggs.head, aggs.tail: _*).head()
+      // an empty key set has null extrema — nothing to probe
+      if (row.isNullAt(0)) return None
+      Some(row)
+    }
+    def longOf(x: Any): Option[Long] = x match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case t: java.sql.Timestamp =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t))
+      case t: java.time.Instant =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+      case t: java.time.LocalDateTime =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(t))
+      case d: java.sql.Date =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaDate(d).toLong)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _ => None
+    }
+    val ranges: Map[String, (Long, Long)] = rangeRow match {
+      case None => Map.empty
+      case Some(row) => rangeCols.zipWithIndex.flatMap { case (c, i) =>
+        (longOf(row.get(2 * i)), longOf(row.get(2 * i + 1))) match {
+          case (Some(lo), Some(hi)) => Some(c -> ((lo, hi)))
+          case _ => None // untyped extrema: no manifest skip on c
+        }
+      }.toMap
+    }
+    var candidates = plannedRange(name, v, ranges)
+    if (candidates.isEmpty) return None // empty table or all range-skipped
     val bloomCols = cols.filter(specsNow(name).bloomColumns.contains)
-    var candidates = entries
     if (bloomCols.nonEmpty) {
       val cap = 65536
       val rows = keys.select(bloomCols.map(col): _*).distinct()
@@ -4875,14 +5148,11 @@ class Warehouse(spark: SparkSession, dir: String,
         }
       if (candidates.isEmpty) return None // every file bloom-excluded
     }
-    val rangeCols = cols.filter(statColumns(name).contains)
     val base = dfFor(name, candidates)
     if (rangeCols.isEmpty) return Some(base)
-    val aggs = rangeCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
-    val row = keys.agg(aggs.head, aggs.tail: _*).head()
-    // an empty key set has null extrema — nothing to probe
-    if (row.isNullAt(0)) return None
+    val row = rangeRow.get
+    // the EXACT range predicate still applies (manifest skipping is a
+    // file-level superset; files without stats survived it)
     Some(rangeCols.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
       d.where(col(c) >= lit(row.get(2 * i)) &&
         col(c) <= lit(row.get(2 * i + 1)))
@@ -5344,10 +5614,16 @@ class Warehouse(spark: SparkSession, dir: String,
         (ManifestHeader +: metaLine ++: entries.sortBy(_.rel)
           .map(Warehouse.formatEntry)).mkString("\n"), allowSibling = true)
       fs.delete(new Path(manifestDir(name), f"v$oldestKept%012d.mfd"), false)
+      // a big materialized checkpoint earns its columnar sidecar too —
+      // the oldest kept version anchors every retained delta chain
+      if (entries.size >= columnarThreshold)
+        try writeColumnarManifest(name, oldestKept, entries)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     all.filter(_ < oldestKept).foreach { mv =>
       fs.delete(new Path(manifestDir(name), f"v$mv%012d.mf"), false)
       fs.delete(new Path(manifestDir(name), f"v$mv%012d.mfd"), false)
+      fs.delete(mfpPath(name, mv), true) // columnar sidecar dies with it
     }
     n
   }
@@ -5493,6 +5769,92 @@ object Warehouse {
   final case class FileEntry(rel: String, bytes: Long,
       stats: Map[String, (Long, Long)], rows: Long = -1L,
       dv: String = "", dvRows: Long = 0L)
+
+  // ------------------------------------------------------------------
+  // JVM-wide parsed-snapshot caches. A CONFIRMED manifest version is
+  // immutable (slots are create-exclusive; aborts only ever touch
+  // UNCONFIRMED pending members), so its parsed entry list and commit
+  // metadata memoize safely across every Warehouse instance of this
+  // JVM — the Delta `Snapshot`-cache shape. Without this, every table
+  // open re-parses the full manifest chain on the driver: O(|files|)
+  // text parse per open(), per probe, per plan — the dominant metadata
+  // term at 100 TB (~800k files). With it, steady-state cost is one
+  // parse per NEW version (delta-sized: the recursive loadAt walk hits
+  // the cache at version−1), and a second open of any table is O(1).
+  //
+  // Bounds: snapshots evict by LRU against a TOTAL ENTRY budget (list
+  // size varies 10⁰..10⁶, so counting snapshots alone would let a few
+  // giants own unbounded heap); metadata maps are tiny and evict by
+  // count. dropTable/createTable invalidate their table's keys — a
+  // re-created table restarts version numbering in the same directory.
+  // ------------------------------------------------------------------
+  private val snapshotEntryBudget: Long = 4L * 1000 * 1000
+  private val snapshotCache =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f, true)
+  private val snapshotCachedEntries =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val metaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Map[String, String]](
+          256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Map[String, String]]): Boolean =
+          size() > 16384
+      })
+
+  private[graft] def snapshotCacheGet(key: String): Option[Seq[FileEntry]] =
+    snapshotCache.synchronized(Option(snapshotCache.get(key)))
+
+  private[graft] def snapshotCachePut(key: String,
+      entries: Seq[FileEntry]): Unit = snapshotCache.synchronized {
+    if (snapshotCache.containsKey(key)) return
+    snapshotCache.put(key, entries)
+    snapshotCachedEntries.addAndGet(math.max(1L, entries.size.toLong))
+    val it = snapshotCache.entrySet().iterator()
+    while (snapshotCachedEntries.get() > snapshotEntryBudget &&
+        snapshotCache.size() > 1 && it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != key) {
+        snapshotCachedEntries.addAndGet(
+          -math.max(1L, eldest.getValue.size.toLong))
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def metaCacheGet(key: String): Option[Map[String, String]] =
+    Option(metaCache.get(key))
+  private[graft] def metaCachePut(key: String,
+      meta: Map[String, String]): Unit = { metaCache.put(key, meta); () }
+
+  /** Drop every cached snapshot/meta of `prefix` (a `dir#table#` key
+    * prefix) — the dropTable/createTable hook. */
+  private[graft] def invalidateCached(prefix: String): Unit = {
+    snapshotCache.synchronized {
+      val it = snapshotCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          snapshotCachedEntries.addAndGet(
+            -math.max(1L, e.getValue.size.toLong))
+          it.remove()
+        }
+      }
+    }
+    metaCache.synchronized {
+      val it = metaCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+  }
+
+  /** Physical manifest reads (text parse / head read) — observability
+    * for the cache contract; specs assert a cached re-open does zero. */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Columnar (parquet) manifest prunes served — specs assert the
+    * distributed path actually ran. */
+  private[graft] val columnarPrunes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A manifest version another writer committed first. Appends resolve
     * this automatically (see [[Warehouse!.append]]); read-modify ops
