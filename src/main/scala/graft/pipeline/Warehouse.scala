@@ -777,15 +777,14 @@ class Warehouse(spark: SparkSession, dir: String,
     * pre-columnar history, or a crashed sidecar write) — callers fall
     * back to the [[loadAt]] fold, which the snapshot cache amortizes.
     */
-  private[graft] def prunedEntries(name: String, version: Long,
-      ranges: Map[String, (Long, Long)]): Option[Seq[FileEntry]] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val fs = fileSystem
-    val ckpt = checkpointBelow(name, version)
-      .filter(v => fs.exists(mfpPath(name, v)))
-      .getOrElse(return None)
-    // replay deltas (ckpt, version] into batch-bounded driver state:
-    // later versions win per rel; a re-add clears a prior remove
+  /** Replay the delta manifests in `(ckpt, version]` into batch-bounded
+    * driver state: later versions win per rel; a re-add clears a prior
+    * remove. Each delta is bounded by its commit's batch — the whole
+    * replay holds ≤ (interval−1) × batch entries, never the table.
+    */
+  private def deltaState(name: String, ckpt: Long, version: Long)
+      : (scala.collection.mutable.HashSet[String],
+         scala.collection.mutable.LinkedHashMap[String, FileEntry]) = {
     val removed = scala.collection.mutable.HashSet.empty[String]
     val upserts = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     ((ckpt + 1) to version).foreach { v =>
@@ -807,6 +806,53 @@ class Warehouse(spark: SparkSession, dir: String,
             s"$name delta manifest: unrecognized line $line")
       }
     }
+    (removed, upserts)
+  }
+
+  /** The head snapshot's entry list AS A DISTRIBUTED RELATION —
+    * (rel, bytes, rows, dv, dvRows) served from the columnar checkpoint
+    * parquet plus the delta replay (checkpoint entries touched by a
+    * delta anti-join out via a broadcast of the batch-bounded touched
+    * set; delta adds union in from a driver local relation). Metadata
+    * relations (`t.files` / `t.partitions`) plan over this, so
+    * `SELECT count(*) FROM t.files` at 800k files never materializes
+    * the entry list on one node. None when no columnar checkpoint
+    * serves the head — at that size the driver fold is the cheaper
+    * path and callers fall back to it.
+    */
+  private[graft] def entriesRelation(name: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.broadcast
+    val fs = fileSystem
+    val v = versions(name).lastOption.getOrElse(return None)
+    val ckpt = checkpointBelow(name, v)
+      .filter(x => fs.exists(mfpPath(name, x)))
+      .getOrElse(return None)
+    val (removed, upserts) = deltaState(name, ckpt, v)
+    val base = spark.read.parquet(mfpPath(name, ckpt).toString)
+      .select("rel", "bytes", "rows", "dv", "dvRows")
+    val touched = (removed ++ upserts.keysIterator).toSeq.sorted
+    val kept =
+      if (touched.isEmpty) base
+      else base.join(
+        broadcast(spark.createDataFrame(touched.map(Tuple1(_)))
+          .toDF("rel")),
+        Seq("rel"), "left_anti")
+    Warehouse.columnarPrunes.incrementAndGet()
+    Some(if (upserts.isEmpty) kept
+      else kept.unionByName(spark.createDataFrame(
+        upserts.valuesIterator.toSeq
+          .map(e => (e.rel, e.bytes, e.rows, e.dv, e.dvRows)))
+        .toDF("rel", "bytes", "rows", "dv", "dvRows")))
+  }
+
+  private[graft] def prunedEntries(name: String, version: Long,
+      ranges: Map[String, (Long, Long)]): Option[Seq[FileEntry]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = fileSystem
+    val ckpt = checkpointBelow(name, version)
+      .filter(v => fs.exists(mfpPath(name, v)))
+      .getOrElse(return None)
+    val (removed, upserts) = deltaState(name, ckpt, version)
     val base = spark.read.parquet(mfpPath(name, ckpt).toString)
     val cond = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
       if (!base.columns.contains(s"__lo_$c")) acc // no file has stats: keep all

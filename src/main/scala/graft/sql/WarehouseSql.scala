@@ -1302,24 +1302,47 @@ object WarehouseSql {
     */
   private def metaTableDf(spark: SparkSession, wh: Warehouse,
       table: String, kind: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{
+      array_join, col, count, expr, lit, slice, split, sum}
     val parts = wh.partitioning.getOrElse(table, Nil).size
     def dirOf(rel: String): String =
       rel.split('/').init.takeRight(parts).mkString("/")
+    // the files/partitions relations plan DISTRIBUTED over the columnar
+    // checkpoint when one serves the head (t.files at 800k entries must
+    // not be a driver fold); small tables fall back to the fold
+    def filesRel: Option[org.apache.spark.sql.DataFrame] =
+      wh.entriesRelation(table).map { rel =>
+        val part =
+          if (parts == 0) lit("")
+          else array_join(slice(split(col("rel"), "/"),
+            expr(s"size(split(rel, '/')) - $parts"), lit(parts)), "/")
+        rel.select(col("rel"), part.as("partition"), col("bytes"),
+          col("rows"), col("dvRows").as("dv_rows"))
+      }
     kind match {
       case "files" =>
-        val (_, entries) = wh.loadLatest(table)
-        spark.createDataFrame(entries.map(e =>
-            (e.rel, dirOf(e.rel), e.bytes, e.rows, e.dvRows)))
-          .toDF("rel", "partition", "bytes", "rows", "dv_rows")
+        filesRel.getOrElse {
+          val (_, entries) = wh.loadLatest(table)
+          spark.createDataFrame(entries.map(e =>
+              (e.rel, dirOf(e.rel), e.bytes, e.rows, e.dvRows)))
+            .toDF("rel", "partition", "bytes", "rows", "dv_rows")
+        }
       case "partitions" =>
-        val (_, entries) = wh.loadLatest(table)
-        val grouped = entries.groupBy(e => dirOf(e.rel)).toSeq
-          .map { case (d, es) =>
-            (d, es.size.toLong, es.map(_.bytes).sum,
-              es.map(e => e.rows - e.dvRows).sum)
-          }.sortBy(_._1)
-        spark.createDataFrame(grouped)
-          .toDF("partition", "files", "bytes", "rows")
+        filesRel.map { fr =>
+          fr.groupBy(col("partition"))
+            .agg(count(lit(1)).as("files"), sum(col("bytes")).as("bytes"),
+              sum(col("rows") - col("dv_rows")).as("rows"))
+            .orderBy(col("partition"))
+        }.getOrElse {
+          val (_, entries) = wh.loadLatest(table)
+          val grouped = entries.groupBy(e => dirOf(e.rel)).toSeq
+            .map { case (d, es) =>
+              (d, es.size.toLong, es.map(_.bytes).sum,
+                es.map(e => e.rows - e.dvRows).sum)
+            }.sortBy(_._1)
+          spark.createDataFrame(grouped)
+            .toDF("partition", "files", "bytes", "rows")
+        }
       case "history" =>
         spark.createDataFrame(wh.history(table).map { case (v, meta) =>
             (v, meta.getOrElse("op", null: String),

@@ -144,6 +144,76 @@ class ManifestScaleSpec extends SparkSpec {
       .collect().toSet === Set((5L, "v5")))
   }
 
+  test("metadata tables plan DISTRIBUTED: count over a 100k-entry " +
+    "t.files never materializes the entry list on the driver") {
+    val dir = Files.createTempDirectory("graft-mscale-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("big" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("k"))))
+    wh.columnarThreshold = 1000L
+    wh.bootstrap()
+    graft.sql.WarehouseSql.register(spark, wh, "msq_")
+    val n = 100000
+    val lines = new StringBuilder("graft-manifest 1")
+    (0 until n).foreach { i =>
+      lines.append(
+        s"\npart-$i.parquet\t1048576\tk=$i:${i + 9}\t100\t\t0")
+    }
+    Files.write(
+      Paths.get(dir, "big", "_manifests", "v000000000002.mf"),
+      lines.result().getBytes(StandardCharsets.UTF_8))
+    assert(wh.materializeColumnar("big"))
+    Warehouse.invalidateCached(s"$dir#big#")
+    val prunes = Warehouse.columnarPrunes.get()
+    assert(spark.sql("SELECT count(*) FROM msq_big.files")
+      .head().getLong(0) === n.toLong)
+    val agg = spark.sql(
+      "SELECT sum(rows), sum(bytes) FROM msq_big.partitions").head()
+    assert((agg.getLong(0), agg.getLong(1)) ===
+      ((n * 100L, n * 1048576L)))
+    assert(Warehouse.columnarPrunes.get() > prunes,
+      "t.files must plan over the columnar relation")
+    assert(Warehouse.snapshotCacheGet(s"$dir#big#2").isEmpty,
+      "the metadata query must not have folded the list on the driver")
+  }
+
+  test("t.files and t.partitions agree between the distributed and " +
+    "driver-fold paths, deltas included") {
+    val dir = Files.createTempDirectory("graft-mscale-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 4,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    graft.sql.WarehouseSql.register(spark, wh, "msd_")
+    (1 to 5).foreach { i =>
+      wh.append("t", Seq((i.toLong, s"g${i % 2}")).toDF("k", "s")) }
+    wh.delete("t", $"k" === 2L) // a delta remove on top of the v4 .mfp
+    def snap(): (Set[String], Set[String]) = (
+      spark.sql("SELECT * FROM msd_t.files").collect()
+        .map(_.mkString("|")).toSet,
+      spark.sql("SELECT * FROM msd_t.partitions").collect()
+        .map(_.mkString("|")).toSet)
+    Warehouse.invalidateCached(s"$dir#t#")
+    val prunes = Warehouse.columnarPrunes.get()
+    val viaColumnar = snap()
+    assert(Warehouse.columnarPrunes.get() > prunes)
+    // force the driver fold by making the columnar relation unavailable
+    val mfp = Paths.get(dir, "t", "_manifests")
+    Files.list(mfp).filter(_.getFileName.toString.endsWith(".mfp"))
+      .forEach { p =>
+        def rm(x: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(x))
+            Files.list(x).forEach(c => rm(c))
+          Files.delete(x)
+        }
+        rm(p)
+      }
+    val viaFold = snap()
+    assert(viaColumnar === viaFold)
+    assert(viaColumnar._1.exists(_.contains("s=g1")))
+  }
+
   test("FK parent probe file-skips through the columnar manifest: a " +
     "child append resolves the parent's candidate files distributed " +
     "when the parent snapshot is not driver-cached") {
