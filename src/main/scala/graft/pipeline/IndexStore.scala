@@ -147,17 +147,32 @@ object IndexStore {
     * (the 64-bit hash of the full signature) is stored, not derived at
     * probe time: the streaming anti-join reads one long column per
     * accepted doc instead of re-hashing every stored signature per
-    * micro-batch.
+    * micro-batch — and it is a declared BLOOM column, so the per-epoch
+    * membership probe ([[Warehouse.probeKeys]]) opens only files whose
+    * sidecar admits some batch key instead of scanning the whole index
+    * (sigkey is a uniform hash: footer [min,max] ranges span the full
+    * domain and can never skip — blooms are the only skipping story).
+    * Pre-existing indexes without the declaration are upgraded in
+    * place: [[Warehouse.setIndexColumns]] backfills the sidecars once.
     */
   def ensureMinhashTable(wh: Warehouse, src: String, idx: String,
-      idCol: String): Boolean =
-    wh.createTable(idx, Warehouse.TableSpec(
+      idCol: String): Boolean = {
+    val created = wh.createTable(idx, Warehouse.TableSpec(
       StructType(Seq(
         StructField(idCol, wh.tables(src)(idCol).dataType),
         StructField("part", IntegerType),
         StructField("sig", ArrayType(LongType)),
         StructField("sigkey", LongType))),
-      partitionBy = Seq("part")), ifNotExists = true)
+      partitionBy = Seq("part"),
+      bloomColumns = Seq("sigkey"),
+      bloomExpectedItems = 262144L), ifNotExists = true)
+    if (!created && !wh.tableSpec(idx).bloomColumns.contains("sigkey")) {
+      wh.setIndexColumns(idx, bloomColumns =
+        Some(wh.tableSpec(idx).bloomColumns :+ "sigkey"))
+      ()
+    }
+    created
+  }
 
   /** Index-shaped signature rows for a batch — the pure derivation both
     * maintainers share (incremental == rebuild holds BECAUSE this is

@@ -1326,6 +1326,27 @@ class Warehouse(spark: SparkSession, dir: String,
     dfFor(name, pointCandidates(name, column, value, entries))
   }
 
+  /** The minimal scan of `name` that can contain any of `keys` — the
+    * PK/FK probe's file-skipping ([[keyProbeScope]]: footer-stat ranges
+    * from the key extrema, bloom sidecars from the distinct keys, the
+    * columnar-manifest prune when the snapshot is not driver-cached)
+    * exposed as a public surface for membership probes against big
+    * indexed tables: `batch.join(probeKeys(t, cols, batchKeys), cols,
+    * "left_anti")` reads only key-overlapping files of `t` instead of
+    * the whole table — the streaming dedupe's per-epoch shape. `keys`
+    * must carry the probe columns under `name`'s own column names.
+    * None = NO row of the table can match any key (empty table, empty
+    * key set, or every file skipped) — for an anti-join caller that
+    * means "everything is fresh".
+    */
+  def probeKeys(name: String, cols: Seq[String],
+      keys: DataFrame): Option[DataFrame] = {
+    require(cols.nonEmpty, s"probeKeys $name: no probe columns")
+    cols.foreach(c => require(tables(name).fieldNames.contains(c),
+      s"probeKeys $name: no column $c"))
+    keyProbeScope(name, cols, keys)
+  }
+
   private[graft] def pointCandidates(name: String, column: String,
       value: Any, entries: Seq[FileEntry]): Seq[FileEntry] =
     pointCandidatesMulti(name, column, Seq(value), entries)
@@ -5542,6 +5563,78 @@ class Warehouse(spark: SparkSession, dir: String,
       throw new IllegalArgumentException(
         s"readTag $name: no tag '$tag' (have: ${tags(name).keys.toSeq.sorted
           .mkString(", ")})")))
+
+  /** DDL: drop a UNIQUE constraint — PURE METADATA (enforcement simply
+    * stops; data, footer stats and bloom sidecars are untouched — they
+    * serve any probe, not just this constraint). The group matches a
+    * declared one set-wise (column order is irrelevant to uniqueness).
+    * The SQL undo path for [[addUnique]]: a migration that declared the
+    * wrong key backs out without a rewrite. Single-writer DDL contract.
+    */
+  def dropUnique(name: String, cols: Seq[String]): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"dropUnique: no table $name"))
+    val hit = spec.unique.find(_.toSet == cols.toSet).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropUnique $name: no UNIQUE (${cols.mkString(", ")}) declared" +
+          (if (spec.unique.isEmpty) "" else " (have: " +
+            spec.unique.map(_.mkString("(", ", ", ")")).mkString(", ") + ")")))
+    specsLock.synchronized {
+      val cur = specsNow(name)
+      specsNow = specsNow.updated(name,
+        cur.copy(unique = cur.unique.filterNot(_ == hit)))
+    }
+    persistSpec(name)
+  }
+
+  /** DDL: drop a FOREIGN KEY — pure metadata, the undo path for
+    * [[addForeignKey]]. Matched by the CHILD columns (constraints are
+    * unnamed here, and one column set referencing two parents is not
+    * expressible anyway — the error names the declared keys when the
+    * match fails). Single-writer DDL contract.
+    */
+  def dropForeignKey(name: String, cols: Seq[String]): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"dropForeignKey: no table $name"))
+    val hit = spec.foreignKeys.find(_.cols.toSet == cols.toSet).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropForeignKey $name: no FOREIGN KEY on " +
+          s"(${cols.mkString(", ")})" +
+          (if (spec.foreignKeys.isEmpty) "" else " (have: " +
+            spec.foreignKeys.map(fk => fk.cols.mkString("(", ", ", ")") +
+              s" -> ${fk.parent}").mkString(", ") + ")")))
+    specsLock.synchronized {
+      val cur = specsNow(name)
+      specsNow = specsNow.updated(name,
+        cur.copy(foreignKeys = cur.foreignKeys.filterNot(_ == hit)))
+    }
+    persistSpec(name)
+  }
+
+  /** DDL: drop the PRIMARY KEY — REFUSES while any FOREIGN KEY (self
+    * included) references it: FKs are validated against exactly the
+    * parent's PK, so dropping it out from under them would orphan the
+    * RESTRICT contract itself. Pure metadata otherwise: the table
+    * becomes append-without-collision-probe, footer stats and bloom
+    * sidecars stay (they serve range/point reads regardless), and
+    * already-stored rows are untouched. Single-writer DDL contract.
+    */
+  def dropPrimaryKey(name: String): Unit = {
+    val spec = specsNow.getOrElse(name,
+      throw new IllegalArgumentException(s"dropPrimaryKey: no table $name"))
+    require(spec.primaryKey.nonEmpty,
+      s"dropPrimaryKey: $name declares no PRIMARY KEY")
+    val referers = childForeignKeys(name).map(_._1)
+    require(referers.isEmpty,
+      s"dropPrimaryKey $name: table(s) ${referers.distinct.sorted
+        .mkString(", ")} declare FOREIGN KEYs referencing it — drop " +
+        "those first")
+    specsLock.synchronized {
+      val cur = specsNow(name)
+      specsNow = specsNow.updated(name, cur.copy(primaryKey = Nil))
+    }
+    persistSpec(name)
+  }
 
   /** DDL: drop a CHECK constraint. */
   def dropCheck(name: String, checkName: String): Unit = {

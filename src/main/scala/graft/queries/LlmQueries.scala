@@ -5135,7 +5135,112 @@ object LlmQueries extends QueryPack {
           UNION ALL
           SELECT oid + 800000000, st, 'none' FROM o WHERE oid % 17 = 0)
         SELECT st, pri, count(*) AS n, CAST(sum(oid) AS BIGINT) AS soid
-        FROM fin GROUP BY st, pri ORDER BY st, pri"""))
+        FROM fin GROUP BY st, pri ORDER BY st, pri""")),
+
+    // ---- q167: CONSTRAINT DROP DDL under the gate — the UNDO half of
+    // q166's migration story (ALTER ... DROP UNIQUE / FOREIGN KEY /
+    // PRIMARY KEY). The hash gates the full add → enforce → drop →
+    // formerly-violating-INSERT-lands cycle for UNIQUE and FK, plus the
+    // RESTRICT contract on the PK side: DROP PRIMARY KEY refuses while
+    // an FK references it and succeeds once the FK is dropped — after
+    // which a duplicate-key INSERT into the ex-parent must land (the
+    // probe really stopped). A drop that fails closed (keeps
+    // enforcing), fails open early, or half-persists diverges from
+    // DuckDB's replay of exactly the surviving rows.
+    Q("q167_warehouse_drop_constraints",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q167-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("drp167_")
+        s.sql("""CREATE TABLE drp167_cust (
+                   ck BIGINT PRIMARY KEY) STATS BY (ck)""")
+        s.sql("""CREATE TABLE drp167_o (
+                   oid BIGINT PRIMARY KEY, ck BIGINT, ref STRING,
+                   st STRING) STATS BY (oid)""")
+        t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("ck"))
+          .createOrReplaceTempView("drp167_csrc")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("oid"),
+            col("o_custkey").cast("long").as("ck"),
+            concat(lit("r"), col("o_orderkey")).as("ref"),
+            col("o_orderstatus").as("st"))
+          .createOrReplaceTempView("drp167_osrc")
+        s.sql("INSERT INTO drp167_cust SELECT * FROM drp167_csrc")
+        s.sql("INSERT INTO drp167_o SELECT * FROM drp167_osrc")
+        // UNIQUE: add (clean refs → sticks), enforce, drop, re-insert
+        s.sql("ALTER TABLE drp167_o ADD UNIQUE (ref)")
+        val stealSql = """INSERT INTO drp167_o
+                          SELECT oid + 100000000, ck, ref, st
+                          FROM drp167_osrc WHERE oid % 13 = 0"""
+        val stole =
+          try { s.sql(stealSql); false }
+          catch {
+            case _: graft.pipeline.Warehouse.UniqueViolation => true
+          }
+        require(stole, "q167: the ref-stealing INSERT must be rejected")
+        s.sql("ALTER TABLE drp167_o DROP UNIQUE (ref)")
+        s.sql(stealSql) // the formerly-violating statement now lands
+        // FK: add (every ck has a parent), enforce, PK-drop refusal,
+        // FK drop, re-insert
+        s.sql("ALTER TABLE drp167_o ADD FOREIGN KEY (ck) " +
+          "REFERENCES drp167_cust (ck)")
+        val dangleSql = """INSERT INTO drp167_o
+                           SELECT oid + 200000000, ck + 900000000,
+                                  concat('d', oid), st
+                           FROM drp167_osrc WHERE oid % 21 = 0"""
+        val dangled =
+          try { s.sql(dangleSql); false }
+          catch {
+            case _: graft.pipeline.Warehouse.ForeignKeyViolation => true
+          }
+        require(dangled, "q167: the dangling INSERT must be rejected")
+        val pkHeld =
+          try { s.sql("ALTER TABLE drp167_cust DROP PRIMARY KEY"); false }
+          catch { case e: Exception
+              if e.getMessage.contains("FOREIGN KEY") => true }
+        require(pkHeld,
+          "q167: DROP PRIMARY KEY must refuse while the FK references it")
+        s.sql("ALTER TABLE drp167_o DROP FOREIGN KEY (ck)")
+        s.sql(dangleSql) // dangling rows land once the FK is gone
+        // PK: drop now succeeds, and duplicate keys land in the
+        // ex-parent (the collision probe really stopped)
+        s.sql("ALTER TABLE drp167_cust DROP PRIMARY KEY")
+        s.sql("""INSERT INTO drp167_cust
+                 SELECT ck FROM drp167_csrc WHERE ck % 11 = 0""")
+        s.sql("""
+          SELECT side, n, sv FROM (
+            SELECT 'o' AS side, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(oid) AS BIGINT) AS sv
+            FROM drp167_o
+            UNION ALL
+            SELECT 'cust' AS side, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ck) AS BIGINT) AS sv
+            FROM drp167_cust)
+          ORDER BY side""")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS oid, o_custkey AS ck FROM orders),
+        c AS (SELECT c_custkey AS ck FROM customer),
+        o_fin AS (
+          SELECT oid FROM o
+          UNION ALL
+          SELECT oid + 100000000 FROM o WHERE oid % 13 = 0
+          UNION ALL
+          SELECT oid + 200000000 FROM o WHERE oid % 21 = 0),
+        c_fin AS (
+          SELECT ck FROM c
+          UNION ALL
+          SELECT ck FROM c WHERE ck % 11 = 0)
+        SELECT side, n, sv FROM (
+          SELECT 'o' AS side, count(*) AS n, CAST(sum(oid) AS BIGINT) AS sv
+          FROM o_fin
+          UNION ALL
+          SELECT 'cust' AS side, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sv
+          FROM c_fin) x
+        ORDER BY side"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -55,6 +55,11 @@ import graft.pipeline.Warehouse
   *     with the query's schema, then the first append (CTAS)
   *   - `ALTER TABLE wh_t ADD CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT n`
   *     → [[Warehouse!.addCheck]] / [[Warehouse!.dropCheck]]
+  *   - `ALTER TABLE wh_t DROP UNIQUE (cols)` / `DROP FOREIGN KEY (cols)`
+  *     / `DROP PRIMARY KEY` → [[Warehouse!.dropUnique]] /
+  *     [[Warehouse!.dropForeignKey]] / [[Warehouse!.dropPrimaryKey]]
+  *     (the metadata-only undo for the ADD side; PK drop refuses while
+  *     referenced)
   *   - `ALTER TABLE wh_t ADD COLUMN c type`     → [[Warehouse!.addColumn]]
   *   - `SHOW WAREHOUSE TABLES`                  → this session's routed
   *     names with manifest-backed version/files/bytes
@@ -300,6 +305,15 @@ object WarehouseSql {
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+\w+\s+)?""" +
       """FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+([A-Za-z0-9_.]+)""" +
       """\s*\(([^)]*)\)\s*;?\s*""").r
+  private val DropUniqueStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+""" +
+      """UNIQUE\s*\(([^)]*)\)\s*;?\s*""").r
+  private val DropFkStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+""" +
+      """FOREIGN\s+KEY\s*\(([^)]*)\)\s*;?\s*""").r
+  private val DropPkStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+""" +
+      """PRIMARY\s+KEY\s*;?\s*""").r
   private val SetDefaultStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
       """SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
@@ -398,6 +412,17 @@ object WarehouseSql {
           cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           parentTable,
           pcols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))) }
+    case DropUniqueStmt(name, cols) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDdlCommand(() => wh.dropUnique(t,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))) }
+    case DropFkStmt(name, cols) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDdlCommand(() => wh.dropForeignKey(t,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))) }
+    case DropPkStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftDdlCommand(() => wh.dropPrimaryKey(t)) }
     case SetDefaultStmt(name, colName, e) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftDdlCommand(() => wh.setDefault(t, colName, e.trim)) }

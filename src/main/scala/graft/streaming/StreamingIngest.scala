@@ -136,7 +136,12 @@ object StreamingIngest {
     *   2. keeps the FIRST doc per sigkey within the batch
     *      (deterministic min-id, the batch `keepFirst` contract);
     *   3. anti-joins survivors against the index's STORED `sigkey`
-    *      column — one long per accepted doc, read not recomputed;
+    *      column — one long per accepted doc, read not recomputed, and
+    *      FILE-SKIPPED: the probe resolves through
+    *      [[graft.pipeline.Warehouse.probeKeys]], whose bloom sidecars
+    *      (sigkey is a declared bloom column) open only index files
+    *      that might contain some batch key — per-epoch probe cost
+    *      tracks the batch's key overlap, not the corpus;
     *   4. appends fresh docs to the `accepted` warehouse table
     *      (epoch-fenced: `txn = (queryId, epoch)`), then merges their
     *      signature rows into the index stamped with the accepted
@@ -152,10 +157,10 @@ object StreamingIngest {
     * here. A replay after both commits recomputes `fresh` as EMPTY
     * (signatures present) and writes nothing.
     *
-    * Scale: signing is per-batch work; the anti-join reads a single
-    * long column of the index (columnar scan, no signature re-hash);
-    * the index merge rewrites only the id-hash partitions the batch
-    * touches.
+    * Scale: signing is per-batch work; the anti-join reads ONE long
+    * column of only the bloom-admitted index files (no signature
+    * re-hash, no full-corpus scan per epoch); the index merge rewrites
+    * only the id-hash partitions the batch touches.
     */
   def dedupeOnArrivalStream(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -175,9 +180,16 @@ object StreamingIngest {
         val keyed = df.join(signed, idCol)
         val firsts = graft.dedup.Dedup.keepFirst(
           keyed, Seq("sigkey"), Seq(col(idCol)))
-        val fresh = firsts.join(wh.read(idx).select("sigkey"),
-            Seq("sigkey"), "left_anti")
-          .localCheckpoint() // probed by both commits; stable mid-write
+        // bloom-pruned membership probe: only index files whose sigkey
+        // sidecar admits some batch key are opened (None = nothing can
+        // collide — the whole batch is fresh)
+        val fresh = wh.probeKeys(idx, Seq("sigkey"),
+            firsts.select("sigkey")) match {
+          case None => firsts.localCheckpoint()
+          case Some(scan) => firsts.join(scan.select("sigkey"),
+              Seq("sigkey"), "left_anti")
+            .localCheckpoint() // probed by both commits; stable mid-write
+        }
         try {
           wh.append(accepted, fresh.select(df.columns.toSeq.map(col): _*),
             txn = Some((queryId, epoch)))

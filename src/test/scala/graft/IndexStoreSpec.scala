@@ -115,6 +115,62 @@ class IndexStoreSpec extends SparkSpec {
     assert(wh.read("idx_mh").count() === wh.read("docs").count())
   }
 
+  test("sigkey membership probe opens a STRICT SUBSET of index files " +
+    "(bloom sidecars): a corrupted skipped file is never read; legacy " +
+    "indexes upgrade in place") {
+    val wh = freshDocsWh()
+    wh.append("docs", docs(0, 400))
+    IndexStore.refreshMinhash(wh, "docs", "sig_idx", "doc_id", "text",
+      numHashes = 16)
+    val allFiles = wh.read("sig_idx").inputFiles.toSet
+    assert(allFiles.size >= 8, s"want many index files, got $allFiles")
+    // probe three known docs' sigkeys — the per-epoch streaming shape
+    val keys = IndexStore.minhashRows(
+        docs(0, 400).where(col("doc_id").isin(3L, 77L, 201L)),
+        "doc_id", "text", 3, 16, 16)
+      .select("sigkey")
+    val probe = wh.probeKeys("sig_idx", Seq("sigkey"), keys).get
+    val probed = probe.inputFiles.toSet
+    assert(probed.nonEmpty && probed.subsetOf(allFiles) &&
+        probed.size < allFiles.size,
+      s"probe must open a strict subset: ${probed.size}/${allFiles.size}")
+    // the proof skipping is real: corrupt a SKIPPED file — the probe
+    // still answers; a full index scan no longer can
+    val skipped = (allFiles -- probed).head
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        if (skipped.startsWith("file:")) new java.net.URI(skipped).getPath
+        else skipped),
+      "garbage".getBytes)
+    assert(probe.join(keys, Seq("sigkey"), "left_semi").count() === 3L)
+    intercept[Exception] { wh.read("sig_idx").count() }
+
+    // legacy upgrade: an index created WITHOUT the bloom declaration
+    // gains it (plus backfilled sidecars) on the next ensure call
+    val wh2 = freshDocsWh()
+    wh2.append("docs", docs(0, 50))
+    wh2.createTable("old_idx", Warehouse.TableSpec(
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("part", IntegerType),
+        StructField("sig", ArrayType(LongType)),
+        StructField("sigkey", LongType))),
+      partitionBy = Seq("part")))
+    assert(!wh2.tableSpec("old_idx").bloomColumns.contains("sigkey"))
+    // the next maintainer touch (refresh calls ensureMinhashTable)
+    // upgrades the legacy spec and backfills sidecars for live files
+    IndexStore.refreshMinhash(wh2, "docs", "old_idx", "doc_id", "text",
+      numHashes = 16)
+    assert(wh2.tableSpec("old_idx").bloomColumns.contains("sigkey"))
+    // sidecars were backfilled: a probe now skips files here too
+    val keys2 = IndexStore.minhashRows(
+        docs(0, 50).where(col("doc_id") === 7L),
+        "doc_id", "text", 3, 16, 16).select("sigkey")
+    val probed2 = wh2.probeKeys("old_idx", Seq("sigkey"), keys2)
+      .get.inputFiles.toSet
+    assert(probed2.size < wh2.read("old_idx").inputFiles.size)
+  }
+
   test("compactIndex reclaims 100k+ stale ids with no data-sized " +
       "driver materialization (join-driven delete, no IN-list plan)") {
     val dir = Files.createTempDirectory("graft-idxc-").toString

@@ -181,6 +181,39 @@ class WarehouseRestrictSpec extends SparkSpec {
     assert(wh.read("e").count() === 3L)
   }
 
+  test("DROP UNIQUE/FOREIGN KEY/PRIMARY KEY: metadata-only undo that " +
+    "persists across reopen; PK drop refuses while referenced") {
+    val dir = Files.createTempDirectory("graft-restrict-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map("p" -> parentSpec, "c" -> childSpec))
+    wh.bootstrap()
+    wh.append("p", Seq((1L, "a")).toDF("pid", "pname"))
+    wh.append("c", Seq((10L, 1L)).toDF("cid", "pid"))
+    // PK drop refuses while c's FK references p
+    val held = intercept[IllegalArgumentException] {
+      wh.dropPrimaryKey("p")
+    }
+    assert(held.getMessage.contains("FOREIGN KEY"))
+    // unknown constraint drops fail loudly, naming what exists
+    assert(intercept[IllegalArgumentException] {
+      wh.dropForeignKey("c", Seq("cid"))
+    }.getMessage.contains("(pid) -> p"))
+    intercept[IllegalArgumentException] { wh.dropUnique("c", Seq("pid")) }
+    // FK drop is metadata-only: the formerly-dangling append now lands
+    wh.dropForeignKey("c", Seq("pid"))
+    wh.append("c", Seq((11L, 99L)).toDF("cid", "pid"))
+    // now the parent's PK can go — and duplicate keys land
+    wh.dropPrimaryKey("p")
+    wh.append("p", Seq((1L, "dup")).toDF("pid", "pname"))
+    assert(wh.read("p").count() === 2L)
+    // the drops PERSISTED: a reopened warehouse enforces neither
+    val wh2 = Warehouse.open(spark, dir)
+    assert(wh2.tableSpec("p").primaryKey.isEmpty)
+    assert(wh2.tableSpec("c").foreignKeys.isEmpty)
+    wh2.append("c", Seq((12L, 98L)).toDF("cid", "pid"))
+    assert(wh2.read("c").count() === 3L)
+  }
+
   test("DDL: stacked column-suffix clauses parse — UNIQUE DEFAULT, " +
     "DEFAULT REFERENCES, PRIMARY KEY DEFAULT") {
     val dir = Files.createTempDirectory("graft-restrict-").toString
