@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   * order-invariant, shuffle-free (one partial agg per partition + a
   * 1-row merge) and overflow-free; like any multiset-XOR scheme, a row
   * appearing an EVEN number of times cancels — fingerprint tables
-  * with a primary key or dedup first (documented trade; sum-mod-2^60
-  * would weigh multiplicity but costs portability of overflow
-  * semantics).
+  * with a primary key or dedup first, or opt into the WEIGHTED fold
+  * (`weighted = true`: SUM MOD 2^60), which weighs multiplicity at the
+  * cost of a pinned overflow argument (see [[dataset]]).
   *
   * Scale shape: one codegen'd projection + partial aggregate — no
   * shuffle, no driver materialization beyond a single long.
@@ -50,11 +50,30 @@ object Fingerprint {
       concat_ws("|", cols.map(c => md5(coalesce(c.cast("string"),
         lit("\u0000")))): _*)), 1, 15), 16, 10).cast("long")
 
-  /** The dataset fingerprint: `bit_xor` of [[rowKey]] over `df`.
-    * Returns 0 for an empty dataset (the XOR identity).
+  /** 2^60 − 1: the mask that reduces a (possibly wrapped) long sum to
+    * the true sum mod 2^60 — see [[dataset]]'s overflow argument. */
+  val Mask60: Long = (1L << 60) - 1
+
+  /** The dataset fingerprint: fold of [[rowKey]] over `df` — `bit_xor`
+    * by default, SUM MOD 2^60 with `weighted = true`. Returns 0 for an
+    * empty dataset (both folds' identity).
+    *
+    * The weighted fold weighs row MULTIPLICITY (the XOR fold cancels
+    * even-multiplicity rows) and its overflow semantics are pinned
+    * cross-engine: row keys are non-negative and < 2^60, so the true
+    * sum fits any 128-bit accumulator (DuckDB sums BIGINT into
+    * HUGEINT, then `% 2^60` is exact), while Spark's non-ANSI long sum
+    * wraps mod 2^64 — and since 2^60 DIVIDES 2^64, masking the wrapped
+    * value with 2^60 − 1 recovers exactly the true sum mod 2^60. Both
+    * engines land the same long, no 128-bit type needed on the Spark
+    * side.
     */
-  def dataset(df: DataFrame, cols: Seq[String]): Long = {
-    val r = df.agg(bit_xor(rowKey(cols.map(df.col))).as("fp")).head()
+  def dataset(df: DataFrame, cols: Seq[String],
+      weighted: Boolean = false): Long = {
+    val key = rowKey(cols.map(df.col))
+    val fold =
+      if (weighted) sum(key).bitwiseAND(lit(Mask60)) else bit_xor(key)
+    val r = df.agg(fold.as("fp")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 }
@@ -94,8 +113,16 @@ object FingerprintStore {
     * Concurrency: the target version is pinned FIRST and both the feed
     * fold and the recompute fallback read exactly that snapshot — a
     * commit racing the refresh is simply the next refresh's delta,
-    * never double-folded (XOR would cancel a re-folded row out).
+    * never double-folded (XOR would cancel a re-folded row out; the
+    * weighted fold's signed delta would subtract it back out).
     *
+    * @param weighted use the SUM-MOD-2^60 fold ([[Fingerprint.dataset]]):
+    *   the incremental step folds the feed SIGNED —
+    *   `Σ key · _change_delta` masked to 60 bits — so deletes subtract,
+    *   inserts add, and a rewrite's −1/+1 re-emissions cancel exactly
+    *   like the XOR fold's parity. Weighted and XOR fingerprints keep
+    *   INDEPENDENT watermark rows (the mode is part of the stored
+    *   column signature).
     * @param store state-table override. The default derives from the
     *   COLUMN SET (`<src>_fp` for the full schema in spec order, else
     *   `<src>_fp_<sig>`), so differently-scoped fingerprints keep
@@ -103,11 +130,12 @@ object FingerprintStore {
     *   perpetual full recomputes.
     */
   def refresh(wh: Warehouse, src: String, cols: Seq[String],
-      store: String = ""): (Long, Long) = {
-    val colSig = cols.mkString(",")
+      store: String = "", weighted: Boolean = false): (Long, Long) = {
+    val colSig = (if (weighted) "w:" else "") + cols.mkString(",")
     val name =
       if (store.nonEmpty) store
-      else if (cols == wh.tables(src).fieldNames.toSeq) s"${src}_fp"
+      else if (cols == wh.tables(src).fieldNames.toSeq)
+        s"${src}_fp" + (if (weighted) "_w" else "")
       else f"${src}_fp_${colSig.hashCode & 0x7fffffff}%08x"
     wh.createTable(name, storeSpec, ifNotExists = true)
     val head = wh.versions(src).max
@@ -116,12 +144,22 @@ object FingerprintStore {
     val fp = cur match {
       case Some(r) if r.getLong(2) == head => return (r.getLong(1), head)
       case Some(r) if wh.changeFeedReadable(src, r.getLong(2)) =>
-        // sign-blind XOR fold of the feed — see the object doc
         val feed = wh.readChangeFeed(src, r.getLong(2), head)
-        val d = feed.agg(
-          bit_xor(Fingerprint.rowKey(cols.map(feed.col))).as("d")).head()
-        r.getLong(1) ^ (if (d.isNullAt(0)) 0L else d.getLong(0))
-      case _ => Fingerprint.dataset(wh.readVersion(src, head), cols)
+        val key = Fingerprint.rowKey(cols.map(feed.col))
+        if (weighted) {
+          // signed fold; products and the wrapped sum reduce mod 2^60
+          // exactly (2^60 | 2^64 — the dataset() overflow argument)
+          val d = feed.agg(sum(key * col("_change_delta"))
+            .bitwiseAND(lit(Fingerprint.Mask60)).as("d")).head()
+          (r.getLong(1) + (if (d.isNullAt(0)) 0L else d.getLong(0))) &
+            Fingerprint.Mask60
+        } else {
+          // sign-blind XOR fold of the feed — see the object doc
+          val d = feed.agg(bit_xor(key).as("d")).head()
+          r.getLong(1) ^ (if (d.isNullAt(0)) 0L else d.getLong(0))
+        }
+      case _ =>
+        Fingerprint.dataset(wh.readVersion(src, head), cols, weighted)
     }
     wh.overwrite(name, singleRow(colSig, fp, head))
     (fp, head)

@@ -1976,7 +1976,13 @@ class Warehouse(spark: SparkSession, dir: String,
   def readVersion(name: String, version: Long): DataFrame = {
     require(versions(name).contains(version),
       s"$name has no manifest v$version (vacuumed or never committed)")
-    requireLayoutReadable(name, version, "readVersion")
+    // a pre-migration snapshot reads under ITS OWN era's directory
+    // layout ([[layoutAtVersion]]); only migrations that predate the
+    // partitionByOld stamp still refuse
+    val layout = layoutAtVersion(name, version).getOrElse {
+      requireLayoutReadable(name, version, "readVersion")
+      Nil // unreachable: the require above throws
+    }
     val entries = loadAt(name, version)
     val fs = fileSystem
     val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
@@ -1984,7 +1990,7 @@ class Warehouse(spark: SparkSession, dir: String,
       s"$name v$version is no longer readable: ${gone.size} file(s) GC'd " +
         s"(e.g. ${gone.head.rel}); use retainReplaced=true and vacuum " +
         "retention to keep versions readable")
-    dfFor(name, entries)
+    dfFor(name, entries, layout = Some(layout))
   }
 
   /** TIMESTAMP AS OF resolution (the classic Delta rule): the newest
@@ -2185,7 +2191,8 @@ class Warehouse(spark: SparkSession, dir: String,
     * compaction, vectored deletes, and restores alike.
     */
   private[graft] def changeFeedDf(name: String, before: Seq[FileEntry],
-      latest: Seq[FileEntry], isStreaming: Boolean): DataFrame = {
+      latest: Seq[FileEntry], isStreaming: Boolean,
+      layout: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val beforeByRel = before.map(e => e.rel -> e).toMap
     val latestSet = latest.map(_.rel).toSet
@@ -2206,13 +2213,101 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val dvGrown = dvChanged.collect { case (e, g, _) if g.nonEmpty => (e, g) }
     val dvShrunk = dvChanged.collect { case (e, _, s) if s.nonEmpty => (e, s) }
-    dfFor(name, added, isStreaming).withColumn("_change_delta", lit(1))
-      .unionByName(dfFor(name, removed, isStreaming)
+    dfFor(name, added, isStreaming, layout)
+      .withColumn("_change_delta", lit(1))
+      .unionByName(dfFor(name, removed, isStreaming, layout)
         .withColumn("_change_delta", lit(-1)))
-      .unionByName(dfForPositions(name, dvGrown, isStreaming)
+      .unionByName(dfForPositions(name, dvGrown, isStreaming, layout)
         .withColumn("_change_delta", lit(-1)))
-      .unionByName(dfForPositions(name, dvShrunk, isStreaming)
+      .unionByName(dfForPositions(name, dvShrunk, isStreaming, layout)
         .withColumn("_change_delta", lit(1)))
+  }
+
+  /** The streaming source's batch between two offsets, RE-ANCHORING
+    * across partition-layout migrations ([[repartitionTable]]) instead
+    * of erroring. A migration commit is a content-identity rewrite, so
+    * its re-added files contribute ZERO rows; the range splits into
+    * ERAS at each migration commit in `(startV, endV]` and each era's
+    * slice reads under its own directory layout ([[layoutAtVersion]]):
+    *
+    *   - follow (`cdf = false`): per era `(a, b]`, rows of rels in
+    *     `b`'s snapshot but not `a`'s — the era's genuine appends; a
+    *     pre-migration era's files must still exist (retainReplaced,
+    *     or a caught-up stream whose pre-migration era is empty —
+    *     checked upfront with the retention hint, not mid-job);
+    *   - CDF (`cdf = true`): per era, [[changeFeedDf]] over that era's
+    *     two snapshots — the migration itself nets zero, matching its
+    *     content identity, and no −all/+all noise is emitted.
+    *
+    * `startV = None` is the initial snapshot: content AT `endV`, one
+    * unit, under `endV`'s own era layout (no splitting needed — the
+    * content is the content). Migrations that predate the
+    * `partitionByOld` stamp still refuse, as every reader did before.
+    */
+  private[graft] def streamSlice(name: String, startV: Option[Long],
+      endV: Long, cdf: Boolean): DataFrame = {
+    def layoutOf(v: Long): Seq[String] =
+      layoutAtVersion(name, v).getOrElse {
+        throw new IllegalArgumentException(
+          s"warehouse stream $name: offset v$v predates a partition " +
+            "layout migration older than the partitionByOld stamp — " +
+            "restart the stream from a post-migration checkpoint")
+      }
+    startV match {
+      case None =>
+        val entries = loadAt(name, endV)
+        val lay = Some(layoutOf(endV))
+        if (cdf) changeFeedDf(name, Nil, entries, isStreaming = true, lay)
+        else dfFor(name, entries, isStreaming = true, lay)
+      case Some(s0) =>
+        val migs = versions(name)
+          .filter(v => v > s0 && v <= endV)
+          .filter(v => commitMeta(name, v).get("op").contains("repartition"))
+          .sorted
+        // crossEra: a migration replaced files an earlier era's slice
+        // still needs — verify they exist upfront (fail fast with the
+        // retention story, not FileNotFound mid-job). A caught-up
+        // stream's pre-migration eras are EMPTY, so it never needs
+        // retention to cross the boundary.
+        def era(a: Long, b: Long, crossEra: Boolean): DataFrame = {
+          if (a >= b) return dfFor(name, Nil, isStreaming = true)
+          val lay = Some(layoutOf(b))
+          val slice =
+            if (cdf) (loadAt(name, a) ++ loadAt(name, b)).distinct
+            else {
+              val before = loadAt(name, a).map(_.rel).toSet
+              loadAt(name, b).filterNot(e => before(e.rel))
+            }
+          if (crossEra) {
+            val fs = fileSystem
+            val gone = slice.filterNot(e =>
+              fs.exists(new Path(path(name), e.rel)))
+            require(gone.isEmpty,
+              s"warehouse stream $name: a layout migration replaced " +
+                s"files the lagging stream still needs (${gone.size} " +
+                s"GC'd, e.g. ${gone.headOption.map(_.rel).getOrElse("")})" +
+                "; open with retainReplaced=true, or restart from a " +
+                "post-migration checkpoint")
+          }
+          if (cdf)
+            changeFeedDf(name, loadAt(name, a), loadAt(name, b),
+              isStreaming = true, lay)
+          else {
+            val before = loadAt(name, a).map(_.rel).toSet
+            dfFor(name,
+              loadAt(name, b).filterNot(e => before(e.rel)),
+              isStreaming = true, lay)
+          }
+        }
+        if (migs.isEmpty) era(s0, endV, crossEra = false)
+        else {
+          val anchors = s0 +: migs
+          val ends = migs.map(_ - 1) :+ endV
+          anchors.zip(ends).zipWithIndex.map { case ((a, b), i) =>
+            era(a, b, crossEra = i < migs.size)
+          }.reduce(_ unionByName _)
+        }
+    }
   }
 
   /** Rows of `picks`' files at exactly the given physical positions —
@@ -2221,14 +2316,15 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   private def dfForPositions(name: String,
       picks: Seq[(FileEntry, Array[Long])],
-      isStreaming: Boolean): DataFrame = {
+      isStreaming: Boolean,
+      layout: Option[Seq[String]] = None): DataFrame = {
     if (picks.isEmpty) return dfFor(name, Nil, isStreaming)
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.functions.col
     // strip the entries' own vectors: selection is explicit here
     val base = org.apache.spark.sql.GraftBridge.ofRows(spark,
       LogicalRelation(relationFor(name,
-        picks.map(_._1.copy(dv = "", dvRows = 0L))), isStreaming))
+        picks.map(_._1.copy(dv = "", dvRows = 0L)), layout), isStreaming))
     val cols = base.columns.toSeq.map(col)
     val keys = picks.map { case (e, _) =>
       if (e.rel.startsWith("/")) e.rel else "/" + e.rel }.toArray
@@ -2254,7 +2350,8 @@ class Warehouse(spark: SparkSession, dir: String,
     * [[graft.sources.WarehouseChangeSource]]).
     */
   private[graft] def dfFor(name: String, entries: Seq[FileEntry],
-      isStreaming: Boolean = false): DataFrame = {
+      isStreaming: Boolean = false,
+      layout: Option[Seq[String]] = None): DataFrame = {
     if (entries.isEmpty) {
       val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         tables(name))
@@ -2268,7 +2365,7 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     logicalView(name,
       applyDv(name, entries, org.apache.spark.sql.GraftBridge.ofRows(spark,
-        statsRelation(name, entries, isStreaming))))
+        statsRelation(name, entries, isStreaming, layout))))
   }
 
   /** [[relationFor]] wrapped in a LogicalRelation that PUBLISHES the
@@ -2286,7 +2383,7 @@ class Warehouse(spark: SparkSession, dir: String,
     * plan-local metadata — nothing registers in the session catalog.
     */
   private def statsRelation(name: String, entries: Seq[FileEntry],
-      isStreaming: Boolean)
+      isStreaming: Boolean, layout: Option[Seq[String]] = None)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
@@ -2294,7 +2391,7 @@ class Warehouse(spark: SparkSession, dir: String,
     import org.apache.spark.sql.catalyst.types.DataTypeUtils
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
-    val relation = relationFor(name, entries)
+    val relation = relationFor(name, entries, layout)
     val rows =
       if (entries.forall(_.rows >= 0L))
         Some(BigInt(entries.map(e => e.rows - e.dvRows).sum))
@@ -2307,6 +2404,25 @@ class Warehouse(spark: SparkSession, dir: String,
     // renamed it (colStats key by output attribute name) or a planned
     // file lacks its sketch.
     val schema = tables(name)
+    // DELETION-VECTOR correction for the published NDV: the sketches
+    // cover PHYSICAL rows (vectored rows included), so on MoR-heavy
+    // tables the raw union over-counts live distincts and CBO join
+    // sizing drifts. Model deletions as uniform over rows: a value
+    // with average multiplicity m = phys/ndv survives with probability
+    // 1 − dvFrac^m, so ndv_live ≈ ndv · (1 − dvFrac^m) — exact at the
+    // two poles (unique column → ndv·liveFrac; high-multiplicity →
+    // ~ndv) and within estimator noise between. dv = 0 is the identity,
+    // so CoW-only tables publish the raw (coupon-exact) estimate.
+    val physRows = if (entries.forall(_.rows >= 0L))
+      Some(entries.map(_.rows).sum) else None
+    val dvSum = entries.map(_.dvRows).sum
+    def liveNdv(est: Long): Long = physRows match {
+      case Some(phys) if dvSum > 0L && phys > 0L && est > 0L =>
+        val dvFrac = dvSum.toDouble / phys
+        val m = phys.toDouble / est
+        math.max(1L, math.round(est * (1.0 - math.pow(dvFrac, m))))
+      case _ => est
+    }
     val colStats: Map[String, CatalogColumnStat] =
       ndvEstimates(name, entries).flatMap { case (c, est) =>
         val f = schema(c)
@@ -2321,7 +2437,7 @@ class Warehouse(spark: SparkSession, dir: String,
             case _ => None
           }
           Some(c -> CatalogColumnStat(
-            distinctCount = Some(BigInt(est)),
+            distinctCount = Some(BigInt(liveNdv(est))),
             min = mm.map(_._1.toString),
             max = mm.map(_._2.toString)))
         }
@@ -2726,12 +2842,17 @@ class Warehouse(spark: SparkSession, dir: String,
     }
   }
 
-  private[graft] def relationFor(name: String, entries: Seq[FileEntry])
+  /** @param layout partition-column override for reading entries
+    *   written under a PRE-MIGRATION directory layout
+    *   ([[layoutAtVersion]]); None = the current spec's layout.
+    */
+  private[graft] def relationFor(name: String, entries: Seq[FileEntry],
+      layout: Option[Seq[String]] = None)
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val schema = tables(name)
-    val parts = partitioning(name)
+    val parts = layout.getOrElse(partitioning(name))
     val partitionSchema = StructType(parts.map(p => schema(p)))
     // column mapping: the scan reads PHYSICAL names (what the files
     // contain); dfFor aliases back to logical — identical when inactive
@@ -4589,6 +4710,10 @@ class Warehouse(spark: SparkSession, dir: String,
       beforeCommit.foreach(_())
       commit(name, v + 1, fresh, Map("op" -> "repartition",
         "partitionBy" -> partitionBy.mkString(","),
+        // the layout this migration REPLACED — what lets readers
+        // resolve pre-migration snapshots' directory layout
+        // ([[layoutAtVersion]]) instead of refusing across the boundary
+        "partitionByOld" -> old.partitionBy.mkString(","),
         "numFilesRewritten" -> live.size.toString,
         "numFilesAdded" -> fresh.size.toString))
       committed = true
@@ -4638,6 +4763,25 @@ class Warehouse(spark: SparkSession, dir: String,
     val (h, _) = loadLatest(name)
     layoutStamp(name, version) == layoutStamp(name, h)
   }
+
+  /** The partition layout `version`'s files were WRITTEN under: the
+    * earliest migration commit strictly after it records the layout it
+    * replaced (`partitionByOld`); no such commit → the head layout.
+    * None = unknown (the next migration predates the stamp — refuse,
+    * like [[requireLayoutReadable]] always did). This is what lets a
+    * reader RE-ANCHOR across a [[repartitionTable]] boundary: a
+    * pre-migration snapshot is perfectly parseable, just under its own
+    * era's directory layout.
+    */
+  private[graft] def layoutAtVersion(name: String,
+      version: Long): Option[Seq[String]] =
+    versions(name).filter(_ > version).sorted
+      .find(v => commitMeta(name, v).get("op").contains("repartition"))
+      match {
+        case None => Some(partitioning(name))
+        case Some(m) => commitMeta(name, m).get("partitionByOld")
+          .map(_.split(',').toSeq.filter(_.nonEmpty))
+      }
 
   private def requireLayoutReadable(name: String, version: Long,
       op: String): Unit =

@@ -5240,7 +5240,85 @@ object LlmQueries extends QueryPack {
           UNION ALL
           SELECT 'cust' AS side, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sv
           FROM c_fin) x
-        ORDER BY side"""))
+        ORDER BY side""")),
+
+    // ---- q168: WEIGHTED (multiplicity-aware) CONTENT FINGERPRINT —
+    // q156's XOR fold cancels even-multiplicity rows by design; the
+    // sum-mod-2^60 variant weighs them. A duplicate-bearing corpus
+    // (every id%7 row inserted TWICE) distinguishes the two modes under
+    // the cross-engine hash: the XOR fingerprint is IDENTICAL before
+    // and after deleting both copies of every duplicated row (parity-
+    // blind), while the weighted one moves — and the post-delete
+    // weighted value comes from the incrementally maintained store's
+    // SIGNED feed fold (Σ key·δ masked to 60 bits), never a rescan.
+    // The overflow argument is itself under test: DuckDB sums into
+    // HUGEINT and reduces % 2^60 exactly; Spark's wrapped long sum
+    // masks to the same residue because 2^60 divides 2^64.
+    Q("q168_docs_weighted_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q168-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true,
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("fpw168_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("id"),
+            col("o_orderstatus").as("grp"),
+            col("o_totalprice").cast("decimal(12,2)").as("val"))
+          .createOrReplaceTempView("fpw168_src")
+        s.sql("""CREATE TABLE fpw168_t (
+                   id BIGINT, grp STRING, val DECIMAL(12,2))""")
+        s.sql("INSERT INTO fpw168_t SELECT * FROM fpw168_src")
+        s.sql("""INSERT INTO fpw168_t
+                 SELECT * FROM fpw168_src WHERE id % 7 = 0""")
+        val cols = Seq("id", "grp", "val")
+        val fpXorDup = graft.ext.Fingerprint.dataset(wh.read("t"), cols)
+        // baseline the WEIGHTED store here: the delete below reaches it
+        // only through the signed change-feed fold
+        val (fpWDup, _) = graft.ext.FingerprintStore.refresh(
+          wh, "t", cols, weighted = true)
+        s.sql("DELETE FROM fpw168_t WHERE id % 7 = 0")
+        val fpXorPost = graft.ext.Fingerprint.dataset(wh.read("t"), cols)
+        val (fpWPost, _) = graft.ext.FingerprintStore.refresh(
+          wh, "t", cols, weighted = true)
+        require(fpXorDup == fpXorPost,
+          "q168: XOR must be blind to removing even-multiplicity rows")
+        require(fpWDup != fpWPost,
+          "q168: the weighted fold must see the multiplicity change")
+        Seq(("w", "dup", fpWDup), ("w", "post", fpWPost),
+            ("x", "dup", fpXorDup), ("x", "post", fpXorPost))
+          .toDF("mode", "phase", "fp").orderBy("mode", "phase")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS id, o_orderstatus AS grp,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS val
+          FROM orders),
+        dupd AS (
+          SELECT * FROM base
+          UNION ALL SELECT * FROM base WHERE id % 7 = 0),
+        post AS (SELECT * FROM base WHERE id % 7 <> 0),
+        key AS (
+          SELECT CAST('0x' || substr(md5(concat_ws('|',
+                   md5(coalesce(CAST(id AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(grp AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(val AS VARCHAR), chr(0))))), 1, 15)
+                 AS BIGINT) AS k, 'dup' AS phase FROM dupd
+          UNION ALL
+          SELECT CAST('0x' || substr(md5(concat_ws('|',
+                   md5(coalesce(CAST(id AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(grp AS VARCHAR), chr(0))),
+                   md5(coalesce(CAST(val AS VARCHAR), chr(0))))), 1, 15)
+                 AS BIGINT), 'post' FROM post)
+        SELECT mode, phase, fp FROM (
+          SELECT 'w' AS mode, phase,
+                 CAST(sum(k) % 1152921504606846976 AS BIGINT) AS fp
+          FROM key GROUP BY phase
+          UNION ALL
+          SELECT 'x' AS mode, phase, bit_xor(k) AS fp
+          FROM key GROUP BY phase) z
+        ORDER BY mode, phase"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an

@@ -254,38 +254,18 @@ class WarehouseChangeSource(spark: SparkSession, dir: String, table: String,
     * versions' manifests must still exist — vacuuming a version a
     * checkpoint still points at fails fast here, like readVersion.
     */
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = version(end)
-    val startV = start.map(version).orElse(startingVersion)
-    // a partition-layout migration (repartitionTable) makes older
-    // snapshots unparseable under the current dirs — same refusal as
-    // the batch feed, surfaced before any misparse
-    (startV.toSeq :+ endV).foreach { v =>
-      require(wh.layoutReadable(table, v),
-        s"warehouse stream $table: offset v$v predates a partition " +
-          "layout migration (repartitionTable) — restart the stream " +
-          "from a post-migration checkpoint")
-    }
-    val endEntries = wh.loadAt(table, endV)
-    val startEntries = startV match {
-      case None => Seq.empty[Warehouse.FileEntry]
-      case Some(sv) => wh.loadAt(table, sv)
-    }
-    if (cdf)
-      // the full feed: added/removed rels plus the retractions of any
-      // deletion vector that GREW between the offsets (merge-on-read
-      // deletes) — Warehouse.changeFeedDf semantics, streaming-tagged
-      wh.changeFeedDf(table, startEntries, endEntries, isStreaming = true)
-    else {
-      // plain follow: rows of rels added between the offsets. A grown
-      // deletion vector changes no rel, so vectored deletes are
-      // invisible here (append-only consumers); use readChangeFeed for
-      // retraction-aware consumption.
-      val before = startEntries.map(_.rel).toSet
-      wh.dfFor(table, endEntries.filterNot(e => before(e.rel)),
-        isStreaming = true)
-    }
-  }
+  /** The slice between the offsets, RE-ANCHORING across partition-
+    * layout migrations: [[Warehouse.streamSlice]] splits the range into
+    * layout ERAS at each repartition commit — the migration itself (a
+    * content-identity rewrite) contributes zero rows, pre-migration
+    * eras read under their own directory layout, and a caught-up
+    * stream crosses the boundary without retention. Plain follow emits
+    * rels added per era (vectored deletes invisible — append-only
+    * consumers); CDF emits the retraction-aware feed per era.
+    */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    wh.streamSlice(table, start.map(version).orElse(startingVersion),
+      version(end), cdf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -44,6 +44,32 @@ class WarehouseNdvSpec extends SparkSpec {
   private def within(est: Long, truth: Long, pct: Double = 0.05): Boolean =
     math.abs(est - truth) <= math.max(1L, (truth * pct).toLong)
 
+  test("published CatalogColumnStat corrects NDV for deletion vectors: " +
+      "a 50%-DV'd unique column publishes ~half, a high-multiplicity " +
+      "column stays ~flat, and the raw sketch union is untouched") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val wh = fresh()
+    wh.append("t", batch(0, 2000).coalesce(1))
+    wh.deleteVectored("t", $"id" % 2 === 0) // 1000 vectored rows
+    assert(wh.read("t").count() === 1000L)
+    def published(c: String): Long = {
+      val ct = wh.read("t").queryExecution.analyzed.collectFirst {
+        case lr: LogicalRelation => lr.catalogTable
+      }.flatten.getOrElse(fail("no CatalogTable on the scan"))
+      ct.stats.get.colStats(c).distinctCount.get.toLong
+    }
+    // id is unique (m = 1): live NDV ≈ ndv · liveFrac = 1000
+    assert(within(published("id"), 1000L, 0.06),
+      s"id live ndv ${published("id")}")
+    // cat has 37 values × ~54 rows (m ≈ 54): deleting half the rows
+    // kills no value — published NDV stays ≈ 37
+    assert(within(published("cat"), 37L), s"cat live ndv ${published("cat")}")
+    // the RAW estimate surface stays the physical union (q149's
+    // coupon-exact contract is about sketches, not liveness)
+    val raw = wh.ndvEstimates("t", wh.loadLatest("t")._2)
+    assert(within(raw("id"), 2000L), s"raw id ndv ${raw("id")}")
+  }
+
   test("ndv sketches union across appended files to the true distinct " +
       "count; copy-on-write delete re-sketches exactly") {
     val wh = fresh()

@@ -12,8 +12,11 @@ import graft.pipeline.Warehouse
   * Iceberg's per-file spec: see repartitionTable's scaladoc). Content
   * is invariant, the new layout prunes, the stamp rides commit
   * metadata (crash between commit and spec publish reconciles at
-  * open), and history APIs refuse to cross the boundary instead of
-  * misparsing old directories.
+  * open). Readers cross the boundary by RE-ANCHORING: the migration
+  * commit stamps the layout it replaced (`partitionByOld`), so
+  * readVersion and the streaming source parse each era under its own
+  * directory layout; restore and the batch change feeds still refuse
+  * (a restore would rewire old-layout dirs under a new-layout spec).
   */
 class WarehouseRepartitionSpec extends SparkSpec {
 
@@ -79,9 +82,9 @@ class WarehouseRepartitionSpec extends SparkSpec {
     assert(wh.read("t").select("id", "grp", "val").as[(Long, String, Double)].collect().toSet === want)
   }
 
-  test("history refuses to cross the migration boundary: readVersion/" +
-    "restore/change feeds reject pre-migration versions; post-migration " +
-    "history works; tags block the migration") {
+  test("history across the migration boundary: readVersion RE-ANCHORS " +
+    "under the old era's layout when files are retained (GC'd message " +
+    "otherwise); restore/change feeds still refuse; tags block") {
     val (wh, _) = fresh()
     wh.append("t", rows(1L to 50L))
     val preV = wh.versions("t").max
@@ -94,11 +97,15 @@ class WarehouseRepartitionSpec extends SparkSpec {
     wh.repartitionTable("t", Seq("grp"))
     val postV = wh.versions("t").max
     wh.append("t", rows(51L to 60L))
-    // pre-migration: everything refuses with the layout message
+    // eager retention GC'd the old era's files: readVersion resolves
+    // the OLD layout fine now ([[layoutAtVersion]]) and fails on the
+    // missing FILES, with the retention story
     val rv = intercept[IllegalArgumentException] {
       wh.readVersion("t", preV)
     }
-    assert(rv.getMessage.contains("layout"))
+    assert(rv.getMessage.contains("retainReplaced"))
+    // restore and feeds still refuse to cross (a restore would rewire
+    // old-layout dirs under a new-layout spec)
     intercept[IllegalArgumentException] { wh.restore("t", preV) }
     intercept[IllegalArgumentException] { wh.readChangeFeed("t", preV) }
     intercept[IllegalArgumentException] {
@@ -112,6 +119,22 @@ class WarehouseRepartitionSpec extends SparkSpec {
       .agg(sum($"_change_delta")).head().getLong(0) === 10L)
     wh.restore("t", postV)
     assert(wh.read("t").count() === 50L)
+
+    // WITH retention, a pre-migration snapshot time-travels across the
+    // boundary: same content, parsed under its own era's layout
+    val dir2 = Files.createTempDirectory("graft-repart-").toString
+    val wh2 = new Warehouse(spark, dir2, retainReplaced = true,
+      specs = Map("t" -> spec.copy(partitionBy = Seq("grp"))))
+    wh2.bootstrap()
+    wh2.append("t", rows(1L to 30L))
+    val pre2 = wh2.versions("t").max
+    wh2.repartitionTable("t", Nil) // partitioned → flat
+    wh2.append("t", rows(31L to 40L))
+    val old = wh2.readVersion("t", pre2)
+    assert(old.count() === 30L)
+    // the old era's partition VALUES parse from its k=v dirs
+    assert(old.where($"grp" === "g1").count() === 10L)
+    assert(wh2.read("t").count() === 40L)
   }
 
   test("crash between commit and spec publish: open() adopts the " +

@@ -418,4 +418,100 @@ class WarehouseSourceSpec extends SparkSpec {
     assert(streamed.sorted.toSeq === batch.sorted.toSeq)
     assert(streamed.length === 4) // 3 facts day1 + 1 fact day2, all dims
   }
+
+  test("follow stream SURVIVES a partition-layout migration: the " +
+    "rewrite emits zero rows, a lagging era re-anchors under the OLD " +
+    "layout, and union-of-emissions equals the batch content") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-whstream-mig-").toString
+    val (whDir, ckp, sink) = (s"$root/wh", s"$root/ckp", s"$root/sink")
+    val wh = new Warehouse(spark, whDir, retainReplaced = true,
+      specs = Map("t" -> Warehouse.TableSpec(
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("grp", StringType),
+          StructField("val", DoubleType))))))
+    wh.bootstrap()
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "val")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "t").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    wh.append("t", rows(1L to 20L))
+    drain()
+    assert(spark.read.parquet(sink).count() === 20L)
+    // the stream now LAGS: an old-layout append, the migration itself,
+    // and a new-layout append all land before the next drain
+    wh.append("t", rows(21L to 30L))
+    wh.repartitionTable("t", Seq("grp"))
+    wh.append("t", rows(31L to 40L))
+    drain()
+    val streamed = spark.read.parquet(sink).select($"id").as[Long]
+      .collect().sorted
+    // exactly-once across the boundary: 21–30 came from the OLD era's
+    // files (re-anchored), 31–40 from the new era, and the migration's
+    // 30-row rewrite emitted NOTHING
+    assert(streamed === (1L to 40L).toArray)
+    assert(streamed.toSeq === wh.read("t").select($"id").as[Long]
+      .collect().sorted.toSeq)
+    // a caught-up stream also crosses (empty pre-era, no retention use)
+    wh.repartitionTable("t", Nil)
+    wh.append("t", rows(41L to 45L))
+    drain()
+    assert(spark.read.parquet(sink).count() === 45L)
+  }
+
+  test("CDF stream across a layout migration nets ZERO for the " +
+    "rewrite: the delta-weighted fold still equals the batch state") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-whstream-migcdf-").toString
+    val (whDir, ckp) = (s"$root/wh", s"$root/ckp")
+    val wh = new Warehouse(spark, whDir, retainReplaced = true,
+      specs = Map("t" -> Warehouse.TableSpec(
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("grp", StringType),
+          StructField("val", DoubleType))))))
+    wh.bootstrap()
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "val")
+    val mv = scala.collection.mutable.Map.empty[String, (Long, Double)]
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-warehouse")
+        .option("path", whDir).option("table", "t")
+        .option("readChangeFeed", "true").load()
+        .groupBy($"grp")
+        .agg(sum($"_change_delta").as("n"),
+          sum($"val" * $"_change_delta").as("s"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[(String, Long, Double)].collect().foreach {
+            case (g, n, s) => if (n == 0L) mv.remove(g) else mv(g) = (n, s)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckp)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    wh.append("t", rows(1L to 30L))
+    drainCdf()
+    // lagging DML on both sides of the migration
+    wh.delete("t", $"id" <= 3L) // old-layout CoW delete
+    wh.repartitionTable("t", Seq("grp"))
+    wh.append("t", rows(31L to 36L))
+    drainCdf()
+    val full = wh.read("t").groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"val").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mv.toMap === full)
+    assert(wh.read("t").count() === 33L)
+  }
 }
