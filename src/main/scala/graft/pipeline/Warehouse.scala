@@ -1373,6 +1373,41 @@ class Warehouse(spark: SparkSession, dir: String,
           longs.exists(l => l >= lo && l <= hi) })
       else entries
     if (!specsNow(name).bloomColumns.contains(column)) return statKept
+    // Above the threshold the sidecar probes run as a SPARK JOB — each
+    // task opens its partition's sidecars and tests the broadcast
+    // probe set, and only surviving rels return to the driver. Below
+    // it, the driver loop is cheaper than a job launch. This removes
+    // the last per-file driver-side loop from the probe path: at 800k
+    // candidate files the driver otherwise opens 800k ~KB sidecars
+    // serially, the exact shape the columnar manifest removed for
+    // footer stats.
+    if (statKept.size >= bloomProbeDistributedThreshold) {
+      Warehouse.distributedBloomProbes.incrementAndGet()
+      val bdir = bloomDir(name).toString
+      val work = statKept.map(e => (e.rel, bloomFileName(e.rel, column)))
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val psB = spark.sparkContext.broadcast(ps)
+      val parts = math.max(1, math.min(256, work.size / 1024 + 1))
+      val kept = spark.sparkContext.parallelize(work, parts)
+        .mapPartitions { it =>
+          val base = new Path(bdir)
+          val tfs = base.getFileSystem(conf.value)
+          it.filter { case (_, fn) =>
+            val p = new Path(base, fn)
+            if (!tfs.exists(p)) true // no sidecar → never skip
+            else {
+              val in = tfs.open(p)
+              val bf =
+                try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                finally in.close()
+              psB.value.exists(graft.plans.BloomAgg.mightContain(bf, _))
+            }
+          }.map(_._1)
+        }.collect().toSet
+      psB.destroy()
+      return statKept.filter(e => kept(e.rel))
+    }
     val fs = fileSystem
     statKept.filter { e =>
       val p = new Path(bloomDir(name), bloomFileName(e.rel, column))
@@ -1385,6 +1420,12 @@ class Warehouse(spark: SparkSession, dir: String,
       }
     }
   }
+
+  /** Candidate-file count at or above which [[pointCandidatesMulti]]'s
+    * bloom sidecar probes run distributed. `var` so specs exercise the
+    * distributed path on small tables.
+    */
+  private[graft] var bloomProbeDistributedThreshold: Int = 2048
 
   /** Normalize a probe value against the column's DECLARED type before
     * any skipping: manifest stats and bloom sidecars are encoded per
@@ -6137,6 +6178,10 @@ object Warehouse {
   /** Columnar (parquet) manifest prunes served — specs assert the
     * distributed path actually ran. */
   private[graft] val columnarPrunes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Bloom sidecar probe sets served as a Spark job (candidate count
+    * over [[Warehouse!.bloomProbeDistributedThreshold]]). */
+  private[graft] val distributedBloomProbes =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A manifest version another writer committed first. Appends resolve

@@ -59,6 +59,28 @@ class WarehouseBloomSpec extends SparkSpec {
       .where($"doc_id" === 42L).count() === 1L)
   }
 
+  test("above the threshold the sidecar probes run as a SPARK JOB and " +
+    "keep exactly what the driver loop keeps") {
+    val (wh, _) = freshTable()
+    val entries = wh.loadLatest("docs")._2
+    val ids = Seq[Any](42L, 107L, 3001L) // two present, one absent
+    // driver path (threshold above the candidate count)
+    wh.bloomProbeDistributedThreshold = 1000000
+    val viaDriver = wh.pointCandidatesMulti("docs", "doc_id", ids, entries)
+    // distributed path (threshold below)
+    wh.bloomProbeDistributedThreshold = 1
+    val before = Warehouse.distributedBloomProbes.get()
+    val viaJob = wh.pointCandidatesMulti("docs", "doc_id", ids, entries)
+    assert(Warehouse.distributedBloomProbes.get() === before + 1,
+      "the probe must have run as a Spark job")
+    assert(viaJob.map(_.rel).sorted === viaDriver.map(_.rel).sorted)
+    assert(viaJob.size < entries.size, "blooms must skip something")
+    // end to end through the same path: exact lookups still answer
+    assert(wh.readPoint("docs", "doc_id", 42L)
+      .where($"doc_id" === 42L).count() === 1L)
+    wh.bloomProbeDistributedThreshold = 2048
+  }
+
   test("point lookup on a string key skips files stats never could") {
     val (wh, _) = freshTable()
     val entries = wh.loadLatest("docs")._2
