@@ -1286,7 +1286,60 @@ class Warehouse(spark: SparkSession, dir: String,
       entries.map(_.rel).sorted.mkString("|").hashCode
     Option(ndvMemo.get(key)).getOrElse {
       val fs = fileSystem
-      val computed = cols.flatMap { c =>
+      // above the threshold the per-file sketch union runs as a SPARK
+      // JOB (HLL unions are associative — each task folds its
+      // partition's sidecars into one partial, the driver folds ~64
+      // partials): at 800k files the driver otherwise opens 800k
+      // ~1.5 KB sidecars serially per estimate, the same shape the
+      // distributed bloom probe removed from the point-lookup path.
+      // A missing sidecar anywhere withholds the column (never
+      // undercount), exactly like the loop below.
+      val computed: Map[String, Long] =
+        if (entries.size >= bloomProbeDistributedThreshold) {
+          val ndir = ndvDir(name).toString
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val colsB = spark.sparkContext.broadcast(cols)
+          val parts = math.max(1, math.min(256, entries.size / 1024 + 1))
+          val partials = spark.sparkContext
+            .parallelize(entries.map(e =>
+              cols.map(c => ndvFileName(e.rel, c))), parts)
+            .mapPartitions { it =>
+              val base = new Path(ndir)
+              val tfs = base.getFileSystem(conf.value)
+              val cs = colsB.value
+              val unions = cs.map(_ =>
+                new org.apache.datasketches.hll.Union(12))
+              val missing = Array.fill(cs.size)(false)
+              it.foreach { fns =>
+                fns.zipWithIndex.foreach { case (fn, i) =>
+                  if (!missing(i)) {
+                    val p = new Path(base, fn)
+                    if (!tfs.exists(p)) missing(i) = true
+                    else {
+                      val in = tfs.open(p)
+                      val bytes = try in.readAllBytes() finally in.close()
+                      unions(i).update(org.apache.datasketches.hll
+                        .HllSketch.heapify(bytes))
+                    }
+                  }
+                }
+              }
+              Iterator.single(cs.indices.map(i =>
+                (i, missing(i),
+                  unions(i).getResult.toCompactByteArray)).toSeq)
+            }.collect()
+          colsB.destroy()
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            if (partials.exists(_(i)._2)) None // a sidecar is missing
+            else {
+              val u = new org.apache.datasketches.hll.Union(12)
+              partials.foreach(p => u.update(
+                org.apache.datasketches.hll.HllSketch.heapify(p(i)._3)))
+              Some(c -> math.round(u.getEstimate))
+            }
+          }.toMap
+        } else cols.flatMap { c =>
         val union = new org.apache.datasketches.hll.Union(12)
         var complete = true
         entries.foreach { e =>
@@ -2135,8 +2188,16 @@ class Warehouse(spark: SparkSession, dir: String,
       s"$name has no manifest v$sinceVersion to diff from")
     require(versions(name).contains(toVersion),
       s"$name has no manifest v$toVersion to diff to")
-    requireLayoutReadable(name, sinceVersion, "readChangeFeed")
-    requireLayoutReadable(name, toVersion, "readChangeFeed")
+    // a partition-layout migration inside the window: RE-ANCHOR like
+    // the streaming source ([[streamSlice]]) — per-era feeds under each
+    // era's own layout, the migration itself netting zero (it is a
+    // content-identity rewrite). Incremental consumers (materialized
+    // views, fingerprint stores, signature indexes) therefore survive
+    // a migration WITHOUT a full recompute. Pre-stamp migrations still
+    // refuse inside streamSlice.
+    if (layoutStamp(name, sinceVersion) != layoutStamp(name, toVersion))
+      return streamSlice(name, Some(sinceVersion), toVersion,
+        cdf = true, isStreaming = false)
     val before = loadAt(name, sinceVersion)
     val after = loadAt(name, toVersion)
     val fs = fileSystem
@@ -2147,7 +2208,13 @@ class Warehouse(spark: SparkSession, dir: String,
       s"$name change feed since v$sinceVersion unreadable: ${gone.size} " +
         s"removed file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
         "warehouse with retainReplaced=true to keep feeds consumable")
-    changeFeedDf(name, before, after, isStreaming = false)
+    // same era end to end — but the era itself may be pre-migration
+    // (both offsets behind the boundary): read under ITS layout
+    val lay = layoutAtVersion(name, toVersion)
+    require(lay.isDefined,
+      s"readChangeFeed $name v$toVersion: a later layout migration " +
+        "predates the partitionByOld stamp — feed unreadable")
+    changeFeedDf(name, before, after, isStreaming = false, lay)
   }
 
   /** [[readChangeFeed]] with PER-COMMIT ATTRIBUTION — Delta CDF's
@@ -2205,12 +2272,31 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   def changeFeedReadable(name: String, sinceVersion: Long): Boolean = {
     if (!versions(name).contains(sinceVersion)) return false
-    if (!layoutReadable(name, sinceVersion)) return false
-    val before = loadAt(name, sinceVersion)
-    val latestSet = loadLatest(name)._2.map(_.rel).toSet
+    if (layoutAtVersion(name, sinceVersion).isEmpty) return false
+    val head = versions(name).last
     val fs = fileSystem
-    before.filterNot(e => latestSet(e.rel))
-      .forall(e => fs.exists(new Path(path(name), e.rel)))
+    val latestSet = loadAt(name, head).map(_.rel).toSet
+    if (layoutStamp(name, sinceVersion) == layoutStamp(name, head)) {
+      val before = loadAt(name, sinceVersion)
+      return before.filterNot(e => latestSet(e.rel))
+        .forall(e => fs.exists(new Path(path(name), e.rel)))
+    }
+    // migration(s) inside the window: the era-split feed additionally
+    // reads each era-boundary snapshot, so EVERY file of every era
+    // anchor/end must still exist (retainReplaced) and every era's
+    // layout must resolve ([[layoutAtVersion]])
+    val migs = versions(name)
+      .filter(v => v > sinceVersion && v <= head)
+      .filter(v => commitMeta(name, v).get("op").contains("repartition"))
+      .sorted
+    (sinceVersion +: migs).zip(migs.map(_ - 1) :+ head)
+      .filter { case (a, b) => a < b } // empty eras read nothing
+      .flatMap { case (a, b) => Seq(a, b) }.distinct
+      .forall { v =>
+        layoutAtVersion(name, v).isDefined &&
+          loadAt(name, v).filterNot(e => latestSet(e.rel))
+            .forall(e => fs.exists(new Path(path(name), e.rel)))
+      }
   }
 
   /** The CHANGE FEED between two entry snapshots — the shared core of
@@ -2286,7 +2372,7 @@ class Warehouse(spark: SparkSession, dir: String,
     * `partitionByOld` stamp still refuse, as every reader did before.
     */
   private[graft] def streamSlice(name: String, startV: Option[Long],
-      endV: Long, cdf: Boolean): DataFrame = {
+      endV: Long, cdf: Boolean, isStreaming: Boolean = true): DataFrame = {
     def layoutOf(v: Long): Seq[String] =
       layoutAtVersion(name, v).getOrElse {
         throw new IllegalArgumentException(
@@ -2298,8 +2384,8 @@ class Warehouse(spark: SparkSession, dir: String,
       case None =>
         val entries = loadAt(name, endV)
         val lay = Some(layoutOf(endV))
-        if (cdf) changeFeedDf(name, Nil, entries, isStreaming = true, lay)
-        else dfFor(name, entries, isStreaming = true, lay)
+        if (cdf) changeFeedDf(name, Nil, entries, isStreaming, lay)
+        else dfFor(name, entries, isStreaming, lay)
       case Some(s0) =>
         val migs = versions(name)
           .filter(v => v > s0 && v <= endV)
@@ -2311,7 +2397,10 @@ class Warehouse(spark: SparkSession, dir: String,
         // stream's pre-migration eras are EMPTY, so it never needs
         // retention to cross the boundary.
         def era(a: Long, b: Long, crossEra: Boolean): DataFrame = {
-          if (a >= b) return dfFor(name, Nil, isStreaming = true)
+          if (a >= b) return { // empty era — schema must match the mode
+            if (cdf) changeFeedDf(name, Nil, Nil, isStreaming)
+            else dfFor(name, Nil, isStreaming)
+          }
           val lay = Some(layoutOf(b))
           val slice =
             if (cdf) (loadAt(name, a) ++ loadAt(name, b)).distinct
@@ -2332,12 +2421,12 @@ class Warehouse(spark: SparkSession, dir: String,
           }
           if (cdf)
             changeFeedDf(name, loadAt(name, a), loadAt(name, b),
-              isStreaming = true, lay)
+              isStreaming, lay)
           else {
             val before = loadAt(name, a).map(_.rel).toSet
             dfFor(name,
               loadAt(name, b).filterNot(e => before(e.rel)),
-              isStreaming = true, lay)
+              isStreaming, lay)
           }
         }
         if (migs.isEmpty) era(s0, endV, crossEra = false)

@@ -44,6 +44,39 @@ class WarehouseNdvSpec extends SparkSpec {
   private def within(est: Long, truth: Long, pct: Double = 0.05): Boolean =
     math.abs(est - truth) <= math.max(1L, (truth * pct).toLong)
 
+  test("above the threshold the NDV sketch union runs as a SPARK JOB " +
+    "and matches the driver fold exactly") {
+    val dir = Files.createTempDirectory("graft-ndv-").toString
+    val wh = new Warehouse(spark, dir,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("id"), ndvColumns = Seq("id", "cat"))))
+    wh.bootstrap()
+    wh.append("t", batch(0, 3000).coalesce(3))
+    wh.append("t", batch(2000, 5000).coalesce(3))
+    val entries = wh.loadLatest("t")._2
+    assert(entries.size >= 6)
+    // distributed path on this instance (fresh memo)
+    wh.bloomProbeDistributedThreshold = 1
+    val viaJob = wh.ndvEstimates("t", entries)
+    // driver fold on an independent instance (fresh memo, default knob)
+    val wh2 = Warehouse.open(spark, dir)
+    val viaDriver = wh2.ndvEstimates("t", entries)
+    assert(viaJob === viaDriver)
+    assert(within(viaJob("id"), 5000L), s"id ndv ${viaJob("id")}")
+    assert(within(viaJob("cat"), 37L), s"cat ndv ${viaJob("cat")}")
+    // a missing sidecar withholds the column on the distributed path
+    // too (never undercount): drop one id-sidecar and re-ask fresh
+    val ndvDir = java.nio.file.Paths.get(dir, "t", "_ndvidx")
+    val victim = java.nio.file.Files.list(ndvDir)
+      .filter(_.getFileName.toString.endsWith("-id.hll"))
+      .findFirst().get()
+    java.nio.file.Files.delete(victim)
+    val wh3 = Warehouse.open(spark, dir)
+    wh3.bloomProbeDistributedThreshold = 1
+    val est3 = wh3.ndvEstimates("t", entries)
+    assert(!est3.contains("id") && est3.contains("cat"))
+  }
+
   test("published CatalogColumnStat corrects NDV for deletion vectors: " +
       "a 50%-DV'd unique column publishes ~half, a high-multiplicity " +
       "column stays ~flat, and the raw sketch union is untouched") {

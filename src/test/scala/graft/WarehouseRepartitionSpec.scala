@@ -104,14 +104,20 @@ class WarehouseRepartitionSpec extends SparkSpec {
       wh.readVersion("t", preV)
     }
     assert(rv.getMessage.contains("retainReplaced"))
-    // restore and feeds still refuse to cross (a restore would rewire
-    // old-layout dirs under a new-layout spec)
+    // restore and the per-commit attributed feed still refuse to cross
+    // (a restore would rewire old-layout dirs under a new-layout spec;
+    // attribution hops the migration commit itself)
     intercept[IllegalArgumentException] { wh.restore("t", preV) }
-    intercept[IllegalArgumentException] { wh.readChangeFeed("t", preV) }
     intercept[IllegalArgumentException] {
       wh.readChangeFeedVersioned("t", preV)
     }
-    assert(!wh.changeFeedReadable("t", preV))
+    // the δ feed CROSSES the boundary by era-splitting: the stream was
+    // caught up at preV (empty pre-migration era — no retention
+    // needed), the rewrite nets ZERO, and only the post-migration
+    // append folds
+    assert(wh.changeFeedReadable("t", preV))
+    assert(wh.readChangeFeed("t", preV)
+      .agg(sum($"_change_delta")).head().getLong(0) === 10L)
     // post-migration history is fully functional
     assert(wh.readVersion("t", postV).count() === 50L)
     assert(wh.changeFeedReadable("t", postV))
@@ -121,20 +127,37 @@ class WarehouseRepartitionSpec extends SparkSpec {
     assert(wh.read("t").count() === 50L)
 
     // WITH retention, a pre-migration snapshot time-travels across the
-    // boundary: same content, parsed under its own era's layout
+    // boundary (same content, parsed under its own era's layout) and a
+    // LAGGING feed folds pre-migration DML exactly
     val dir2 = Files.createTempDirectory("graft-repart-").toString
     val wh2 = new Warehouse(spark, dir2, retainReplaced = true,
       specs = Map("t" -> spec.copy(partitionBy = Seq("grp"))))
     wh2.bootstrap()
     wh2.append("t", rows(1L to 30L))
+    val wm = wh2.versions("t").max // the lagging consumer's watermark
+    wh2.append("t", rows(31L to 35L)) // pre-migration, unfolded
     val pre2 = wh2.versions("t").max
     wh2.repartitionTable("t", Nil) // partitioned → flat
-    wh2.append("t", rows(31L to 40L))
+    wh2.append("t", rows(36L to 40L))
     val old = wh2.readVersion("t", pre2)
-    assert(old.count() === 30L)
+    assert(old.count() === 35L)
     // the old era's partition VALUES parse from its k=v dirs
-    assert(old.where($"grp" === "g1").count() === 10L)
+    assert(old.where($"grp" === "g1").count() > 0L)
     assert(wh2.read("t").count() === 40L)
+    // the lagging feed: +5 old-era rows, ZERO from the 35-row rewrite,
+    // +5 new-era rows — a δ-fold consumer lands on the batch state
+    assert(wh2.changeFeedReadable("t", wm))
+    val feed = wh2.readChangeFeed("t", wm)
+    assert(feed.agg(sum($"_change_delta")).head().getLong(0) === 10L)
+    assert(feed.agg(sum($"id" * $"_change_delta")).head().getLong(0) ===
+      (31L to 40L).sum)
+    // a lagging feed WITHOUT retention is honestly unreadable
+    val (wh3, _) = fresh()
+    wh3.append("t", rows(1L to 10L))
+    val wm3 = wh3.versions("t").max
+    wh3.append("t", rows(11L to 12L))
+    wh3.repartitionTable("t", Seq("grp")) // eager GC drops the old era
+    assert(!wh3.changeFeedReadable("t", wm3))
   }
 
   test("crash between commit and spec publish: open() adopts the " +
