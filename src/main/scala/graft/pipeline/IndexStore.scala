@@ -195,6 +195,25 @@ object IndexStore {
       idCol: String, rows: DataFrame, srcVersion: Long): Unit =
     wh.merge(idx, rows, Seq(idCol), txn = Some((txnId(src), srcVersion)))
 
+  /** [[mergeMinhashRows]] for rows the caller PROVES are fresh (the
+    * streaming dedupe's anti-join survivors): a blind APPEND under the
+    * same `graft_index_*` watermark ledger. The merge form rewrites
+    * every id-hash partition the batch touches — with random ids that
+    * is ~ALL partitions, i.e. an O(index) copy-on-write PLUS an
+    * O(index) bloom-sidecar rebuild, EVERY epoch. The append form
+    * writes batch-sized files and batch-sized sidecars: per-epoch
+    * maintenance cost is O(batch) regardless of corpus size, which is
+    * what makes the bloom-skipped membership probe a net win at scale.
+    * Small files accumulate at one-per-epoch and [[compactIndex]]
+    * folds them down. Batch [[refreshMinhash]] stays the merge path
+    * (it must also REPLACE signatures of updated docs).
+    */
+  def appendMinhashRows(wh: Warehouse, src: String, idx: String,
+      idCol: String, rows: DataFrame, srcVersion: Long): Unit = {
+    wh.append(idx, rows, txn = Some((txnId(src), srcVersion)))
+    ()
+  }
+
   /** Near-dup pairs from the PERSISTED signatures: the LSH band join
     * runs over the index table (no re-signing — at 100 TB this is the
     * whole point), exact Jaccard verification joins candidates back to

@@ -143,19 +143,21 @@ object StreamingIngest {
     *      that might contain some batch key — per-epoch probe cost
     *      tracks the batch's key overlap, not the corpus;
     *   4. appends fresh docs to the `accepted` warehouse table
-    *      (epoch-fenced: `txn = (queryId, epoch)`), then merges their
-    *      signature rows into the index stamped with the accepted
-    *      table's new version on the SAME `graft_index_*` watermark
-    *      ledger `refreshMinhash` maintains — so a later batch refresh
-    *      is a watermark no-op.
+    *      (epoch-fenced: `txn = (queryId, epoch)`), then APPENDS their
+    *      signature rows into the index (fresh-proven rows need no
+    *      merge — a merge would rewrite every touched id-hash
+    *      partition per epoch) stamped with the accepted table's new
+    *      version on the SAME `graft_index_*` watermark ledger
+    *      `refreshMinhash` maintains — so a later batch refresh is a
+    *      watermark no-op.
     *
     * Crash-safety across the two commits: if the process dies between
-    * the doc append and the signature merge, the replayed epoch
+    * the doc append and the signature append, the replayed epoch
     * recomputes the same `fresh` set (the index still lacks those
     * signatures), the doc append is txn-fenced to a no-op, and the
-    * merge completes the pair — convergent, like every idempotent sink
-    * here. A replay after both commits recomputes `fresh` as EMPTY
-    * (signatures present) and writes nothing.
+    * signature append completes the pair — convergent, like every
+    * idempotent sink here. A replay after both commits recomputes
+    * `fresh` as EMPTY (signatures present) and writes nothing.
     *
     * Scale: signing is per-batch work; the anti-join reads ONE long
     * column of only the bloom-admitted index files (no signature
@@ -178,14 +180,19 @@ object StreamingIngest {
         val signed = graft.pipeline.IndexStore.minhashRows(
           df, idCol, textCol, n, numHashes, nParts)
         val keyed = df.join(signed, idCol)
+        // materialize the signed batch ONCE: the bloom probe's key
+        // collection, the anti-join, and both commits all read it —
+        // without this the probe would re-run the whole signing
+        // pipeline a second time per epoch (signing is the dominant
+        // linear cost)
         val firsts = graft.dedup.Dedup.keepFirst(
-          keyed, Seq("sigkey"), Seq(col(idCol)))
+          keyed, Seq("sigkey"), Seq(col(idCol))).localCheckpoint()
         // bloom-pruned membership probe: only index files whose sigkey
         // sidecar admits some batch key are opened (None = nothing can
         // collide — the whole batch is fresh)
         val fresh = wh.probeKeys(idx, Seq("sigkey"),
             firsts.select("sigkey")) match {
-          case None => firsts.localCheckpoint()
+          case None => firsts
           case Some(scan) => firsts.join(scan.select("sigkey"),
               Seq("sigkey"), "left_anti")
             .localCheckpoint() // probed by both commits; stable mid-write
@@ -194,10 +201,14 @@ object StreamingIngest {
           wh.append(accepted, fresh.select(df.columns.toSeq.map(col): _*),
             txn = Some((queryId, epoch)))
           val v = wh.versions(accepted).max
-          graft.pipeline.IndexStore.mergeMinhashRows(wh, accepted, idx,
+          // APPEND, not merge: `fresh` is anti-join-proven new, and a
+          // merge would copy-on-write every id-hash partition the batch
+          // touches (≈ the whole index, every epoch) — see
+          // [[graft.pipeline.IndexStore.appendMinhashRows]]
+          graft.pipeline.IndexStore.appendMinhashRows(wh, accepted, idx,
             idCol, fresh.select(col(idCol), col("part"), col("sig"),
               col("sigkey")), v)
-        } finally { fresh.unpersist(); () }
+        } finally { fresh.unpersist(); firsts.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
