@@ -2072,10 +2072,12 @@ class Warehouse(spark: SparkSession, dir: String,
       s"$name has no manifest v$version (vacuumed or never committed)")
     // a pre-migration snapshot reads under ITS OWN era's directory
     // layout ([[layoutAtVersion]]); only migrations that predate the
-    // partitionByOld stamp still refuse
+    // partitionByOld stamp still refuse — except when the stamps prove
+    // the layouts EQUAL anyway (a pre-stamp round-trip migration), in
+    // which case the current layout is the right one
     val layout = layoutAtVersion(name, version).getOrElse {
       requireLayoutReadable(name, version, "readVersion")
-      Nil // unreachable: the require above throws
+      partitioning(name) // stamps equal ⇒ same layout as the head
     }
     val entries = loadAt(name, version)
     val fs = fileSystem
@@ -2234,7 +2236,6 @@ class Warehouse(spark: SparkSession, dir: String,
     import org.apache.spark.sql.functions.{lit, timestamp_millis}
     require(versions(name).contains(sinceVersion),
       s"$name has no manifest v$sinceVersion to diff from")
-    requireLayoutReadable(name, sinceVersion, "readChangeFeedVersioned")
     val vs = versions(name).filter(_ >= sinceVersion).sorted
     val hops = vs.zip(vs.drop(1))
     if (hops.isEmpty) {
@@ -2247,19 +2248,37 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val fs = fileSystem
     hops.map { case (a, b) =>
-      val beforeE = loadAt(name, a)
-      val afterE = loadAt(name, b)
-      val afterSet = afterE.map(_.rel).toSet
-      val gone = beforeE.filterNot(e => afterSet(e.rel))
-        .filterNot(e => fs.exists(new Path(path(name), e.rel)))
-      require(gone.isEmpty,
-        s"$name change feed v$a→v$b unreadable: ${gone.size} removed " +
-          s"file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
-          "warehouse with retainReplaced=true to keep feeds consumable")
-      changeFeedDf(name, beforeE, afterE, isStreaming = false)
-        .withColumn("_commit_version", lit(b))
-        .withColumn("_commit_timestamp",
-          timestamp_millis(lit(commitTimeMillis(name, b))))
+      // a layout-migration commit is a content-identity rewrite: its
+      // attributed diff is EMPTY by definition (the same re-anchor rule
+      // as [[streamSlice]] — the rewrite is not a data change), and
+      // diffing it rel-wise would mix two directory layouts in one
+      // scan. Every other hop stays within one era and reads under
+      // that era's own layout ([[layoutAtVersion]]).
+      if (commitMeta(name, b).get("op").contains("repartition"))
+        changeFeedDf(name, Nil, Nil, isStreaming = false)
+          .withColumn("_commit_version", lit(b))
+          .withColumn("_commit_timestamp",
+            timestamp_millis(lit(commitTimeMillis(name, b))))
+      else {
+        val lay = layoutAtVersion(name, b)
+        require(lay.isDefined,
+          s"readChangeFeedVersioned $name v$b: a later layout " +
+            "migration predates the partitionByOld stamp — feed " +
+            "unreadable")
+        val beforeE = loadAt(name, a)
+        val afterE = loadAt(name, b)
+        val afterSet = afterE.map(_.rel).toSet
+        val gone = beforeE.filterNot(e => afterSet(e.rel))
+          .filterNot(e => fs.exists(new Path(path(name), e.rel)))
+        require(gone.isEmpty,
+          s"$name change feed v$a→v$b unreadable: ${gone.size} removed " +
+            s"file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
+            "warehouse with retainReplaced=true to keep feeds consumable")
+        changeFeedDf(name, beforeE, afterE, isStreaming = false, lay)
+          .withColumn("_commit_version", lit(b))
+          .withColumn("_commit_timestamp",
+            timestamp_millis(lit(commitTimeMillis(name, b))))
+      }
     }.reduce(_ unionByName _)
   }
 

@@ -104,13 +104,14 @@ class WarehouseRepartitionSpec extends SparkSpec {
       wh.readVersion("t", preV)
     }
     assert(rv.getMessage.contains("retainReplaced"))
-    // restore and the per-commit attributed feed still refuse to cross
-    // (a restore would rewire old-layout dirs under a new-layout spec;
-    // attribution hops the migration commit itself)
+    // restore still refuses to cross (it would rewire old-layout dirs
+    // under a new-layout spec)
     intercept[IllegalArgumentException] { wh.restore("t", preV) }
-    intercept[IllegalArgumentException] {
-      wh.readChangeFeedVersioned("t", preV)
-    }
+    // the per-commit attributed feed crosses too: the migration commit
+    // itself attributes ZERO rows (content-identity rewrite)
+    val attributed = wh.readChangeFeedVersioned("t", preV)
+    assert(attributed.where($"_commit_version" === postV).count() === 0L)
+    assert(attributed.agg(sum($"_change_delta")).head().getLong(0) === 10L)
     // the δ feed CROSSES the boundary by era-splitting: the stream was
     // caught up at preV (empty pre-migration era — no retention
     // needed), the rewrite nets ZERO, and only the post-migration
