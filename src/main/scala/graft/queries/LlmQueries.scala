@@ -5318,7 +5318,80 @@ object LlmQueries extends QueryPack {
           UNION ALL
           SELECT 'x' AS mode, phase, bit_xor(k) AS fp
           FROM key GROUP BY phase) z
-        ORDER BY mode, phase"""))
+        ORDER BY mode, phase""")),
+
+    // ---- q169: CONSUMERS ACROSS A LAYOUT MIGRATION under the gate —
+    // the era-split re-anchor end to end: a δ-fold consumer baselines
+    // at a watermark, the table takes a copy-on-write DELETE, an
+    // `ALTER TABLE SET PARTITIONED BY` migration (a full rewrite), and
+    // a post-migration INSERT; the consumer folds ONLY the feed. The
+    // feed must read the pre-migration era under the OLD layout, emit
+    // ZERO for the rewrite (content identity), and the new era's
+    // appends under the NEW layout — a missed era, a double-counted
+    // rewrite, or a misparsed directory breaks the hash against
+    // DuckDB's direct replay. The metadata relation proves the new
+    // layout is real: per-partition NET row counts from `t.partitions`
+    // equal a data-side GROUP BY that DuckDB replays.
+    Q("q169_warehouse_migration_era_feed",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q169-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true, // pre-migration era must stay readable
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("mig169_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("oid"),
+            col("o_orderstatus").as("st"),
+            col("o_totalprice").cast("double").as("price"))
+          .createOrReplaceTempView("mig169_src")
+        s.sql("""CREATE TABLE mig169_t (
+                   oid BIGINT, st STRING, price DOUBLE) STATS BY (oid)""")
+        s.sql("INSERT INTO mig169_t SELECT * FROM mig169_src")
+        val wm = wh.versions("t").max
+        val state0 = wh.readVersion("t", wm).groupBy("st")
+          .agg(count(lit(1)).as("n0"), sum(col("price")).as("s0"))
+        // DML the consumer never sees directly — on BOTH sides of the
+        // migration, plus the rewrite itself in between
+        s.sql("DELETE FROM mig169_t WHERE oid % 4 = 0")
+        s.sql("ALTER TABLE mig169_t SET PARTITIONED BY (st)")
+        s.sql("""INSERT INTO mig169_t
+                 SELECT oid + 900000000, st, price
+                 FROM mig169_src WHERE oid % 9 = 0""")
+        val feed = wh.readChangeFeed("t", wm)
+        val delta = feed.groupBy("st").agg(
+          sum(col("_change_delta")).as("dn"),
+          sum(col("price") * col("_change_delta")).as("ds"))
+        val fold = state0.join(delta, Seq("st"), "full_outer")
+          .select(lit("fold").as("side"), col("st").as("k"),
+            (coalesce(col("n0"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n"),
+            round(coalesce(col("s0"), lit(0.0)) +
+              coalesce(col("ds"), lit(0.0)), 2).as("sv"))
+          .where(col("n") > 0)
+        val meta = s.sql(
+          """SELECT 'meta' AS side, partition AS k,
+                    CAST(rows AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sv
+             FROM mig169_t.partitions""")
+        fold.unionByName(meta).orderBy("side", "k")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT o_orderkey AS oid, o_orderstatus AS st,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 4 <> 0
+          UNION ALL
+          SELECT o_orderkey + 900000000, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE)
+          FROM orders WHERE o_orderkey % 9 = 0)
+        SELECT side, k, n, sv FROM (
+          SELECT 'fold' AS side, st AS k, count(*) AS n,
+                 round(sum(price), 2) AS sv
+          FROM fin GROUP BY st
+          UNION ALL
+          SELECT 'meta', 'st=' || st, count(*),
+                 CAST(NULL AS DOUBLE)
+          FROM fin GROUP BY st) z
+        ORDER BY side, k"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
