@@ -159,6 +159,11 @@ class Warehouse(spark: SparkSession, dir: String,
   private val ManifestHeader = "graft-manifest 1"
   private val DeltaHeader = "graft-manifest-delta 1"
   private val ManifestName = """v(\d{12})\.mfd?""".r
+  /** Marker file (in `_manifests/`) naming the table LIFETIME — see
+    * [[cacheKey]]. Lives with the manifests so [[rawVersions]]'
+    * existing listing observes it for free and [[dropTable]]'s
+    * directory delete retires it atomically with the lifetime. */
+  private val LifetimePrefix = "_lifetime-"
 
   private def manifestDir(name: String) = new Path(path(name), "_manifests")
 
@@ -241,11 +246,25 @@ class Warehouse(spark: SparkSession, dir: String,
   private def rawVersions(name: String): Seq[Long] = {
     val fs = fileSystem
     val mdir = manifestDir(name)
-    if (!fs.exists(mdir)) return Nil
-    fs.listStatus(mdir).toSeq.flatMap(_.getPath.getName match {
+    if (!fs.exists(mdir)) {
+      Warehouse.lifetimeObserved(s"$dir#$name", "")
+      return Nil
+    }
+    val listed = fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+    // observe the TABLE-LIFETIME id riding the listing this call pays
+    // for anyway: the snapshot/meta caches fold it into their keys
+    // ([[cacheKey]]), so a drop+recreate by ANOTHER process — which
+    // restarts version numbering in the same directory, invisible to
+    // this JVM's dropTable/createTable invalidation — re-keys every
+    // lookup here at the next directory listing instead of serving the
+    // dead lifetime's cached snapshots for re-minted version numbers.
+    Warehouse.lifetimeObserved(s"$dir#$name",
+      listed.filter(_.startsWith(LifetimePrefix)).sorted.lastOption
+        .map(_.stripPrefix(LifetimePrefix)).getOrElse(""))
+    listed.flatMap {
       case ManifestName(v) => Some(v.toLong)
       case _ => None
-    }).distinct.sorted
+    }.distinct.sorted
   }
 
   // ------------------------------------------------------------------
@@ -310,7 +329,14 @@ class Warehouse(spark: SparkSession, dir: String,
           if (txnConfirmed(id)) { // lost the race: restore, don't abort
             saved.foreach { case (p, bytes) => publishExclusive(p, bytes) }
             false
-          } else true
+          } else {
+            // any columnar sidecar dies with the aborted manifest
+            // (pre-fix writers published one for pending members; the
+            // exists-guard in writeColumnarManifest would otherwise
+            // keep it alive to shadow a NEW committer's entry list)
+            fs.delete(mfpPath(name, version), true)
+            true
+          }
         }
       case _ => false
     }
@@ -352,7 +378,11 @@ class Warehouse(spark: SparkSession, dir: String,
                   "displaced by a concurrent writer")
           }
           false
-        } else true
+        } else {
+          // same sidecar hygiene as [[abortStalePending]]
+          fs.delete(mfpPath(name, version), true)
+          true
+        }
       case _ => false
     }
   }
@@ -368,9 +398,20 @@ class Warehouse(spark: SparkSession, dir: String,
 
   /** Cache key of one (table, version) snapshot — dir-qualified so
     * same-named tables of different warehouses never collide in the
-    * JVM-wide caches. */
+    * JVM-wide caches, and LIFETIME-qualified so versions re-minted by
+    * a drop+recreate (even one performed by a different process —
+    * see [[rawVersions]]' observation) never collide with a dead
+    * lifetime's cached snapshots. Pre-lifetime-marker tables key with
+    * an empty id — exactly the old key shape.
+    */
   private def cacheKey(name: String, version: Long): String =
-    s"$dir#$name#$version"
+    s"$dir#$name#${Warehouse.lifetimeOf(s"$dir#$name")}#$version"
+
+  /** The current cache key of (table, version) — spec observability
+    * for the lifetime-qualified key shape (never compute it by hand
+    * in tests). */
+  private[graft] def currentCacheKey(name: String, version: Long): String =
+    cacheKey(name, version)
 
   private def parseEntry(line: String): FileEntry = {
     // 4th field (row count) and 5th/6th (deletion vector ref + count)
@@ -432,9 +473,31 @@ class Warehouse(spark: SparkSession, dir: String,
         throw new IllegalArgumentException(
           s"$name manifest v$version: unrecognized header $other")
     }
-    if (isVisible(name, version)) Warehouse.snapshotCachePut(key, entries)
+    // Cacheability is decided from the SAME read as the parse: the
+    // meta line is already in hand, so visibility (mtxn confirmed?)
+    // cannot race an abort-and-rewrite of the slot between two opens
+    // of the file — re-reading here (isVisible → commitMeta) could
+    // cache the OLD entries under the NEW commit's key, permanently
+    // poisoning the JVM-wide snapshot cache.
+    val meta = parseMetaLine(lines.drop(1).headOption)
+    if (meta.get("mtxn").forall(txnConfirmed)) {
+      Warehouse.snapshotCachePut(key, entries)
+      Warehouse.metaCachePut(key, meta)
+    }
     entries
   }
+
+  /** The commit-metadata map from a manifest's (optional) '#'-line —
+    * shared by [[commitMeta]]'s bounded head read and [[loadAt]]'s
+    * already-in-hand full read, so both parse identically.
+    */
+  private def parseMetaLine(second: Option[String]): Map[String, String] =
+    second.filter(_.startsWith("#")).map { line =>
+      line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
 
   /** DESCRIBE HISTORY: every committed version with its commit metadata
     * (operation + counts), ascending. Metadata is the '#'-line of the
@@ -468,12 +531,7 @@ class Warehouse(spark: SparkSession, dir: String,
       r.readLine() // header
       Option(r.readLine())
     } finally in.close()
-    val meta = second.filter(_.startsWith("#")).map { line =>
-      line.drop(1).split('\t').filter(_.contains('=')).map { kv =>
-        val i = kv.indexOf('=')
-        kv.take(i) -> kv.drop(i + 1)
-      }.toMap
-    }.getOrElse(Map.empty[String, String])
+    val meta = parseMetaLine(second)
     if (meta.get("mtxn").forall(txnConfirmed))
       Warehouse.metaCachePut(key, meta)
     meta
@@ -624,6 +682,19 @@ class Warehouse(spark: SparkSession, dir: String,
     val fs = fileSystem
     val mdir = manifestDir(name)
     fs.mkdirs(mdir)
+    if (version == 1L) {
+      // stamp a fresh TABLE-LIFETIME id before the first manifest
+      // lands: cache keys embed it ([[cacheKey]]), so version numbers
+      // re-minted by a later drop+recreate — by this or any other
+      // process — can never resolve a dead lifetime's cached
+      // snapshots. Create-exclusive: racing v1 committers share
+      // whichever marker landed first; a loser's local observation
+      // corrects at its next directory listing.
+      val id = java.util.UUID.randomUUID().toString
+      if (publishExclusive(new Path(mdir, s"$LifetimePrefix$id"),
+          Array.emptyByteArray))
+        Warehouse.lifetimeObserved(s"$dir#$name", id)
+    }
     // commit metadata rides the manifest as one '#'-prefixed line — the
     // DESCRIBE HISTORY record (operation, counts), atomic with the
     // commit itself because it IS part of the committed file. The
@@ -674,7 +745,14 @@ class Warehouse(spark: SparkSession, dir: String,
     // committed text manifest (the source of truth), so the write is
     // best-effort: a crash here just means readers fall back to the
     // text parse until the next checkpoint (or [[materializeColumnar]]).
-    if (isCheckpointVersion(version) && entries.size >= columnarThreshold)
+    // PENDING transaction members never write one: their manifest can
+    // still be ABORTED, and an aborted slot's sidecar would survive
+    // (writeColumnarManifest's exists-guard) to silently shadow the
+    // entry list of whatever different content a later writer commits
+    // at the same version. Confirmed members backfill via
+    // [[materializeColumnar]] or simply wait for the next checkpoint.
+    if (isCheckpointVersion(version) && entries.size >= columnarThreshold &&
+        !fullMeta.contains("mtxn"))
       try writeColumnarManifest(name, version, entries)
       catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -6214,16 +6292,29 @@ object Warehouse {
   // parse per NEW version (delta-sized: the recursive loadAt walk hits
   // the cache at version−1), and a second open of any table is O(1).
   //
-  // Bounds: snapshots evict by LRU against a TOTAL ENTRY budget (list
-  // size varies 10⁰..10⁶, so counting snapshots alone would let a few
-  // giants own unbounded heap); metadata maps are tiny and evict by
-  // count. dropTable/createTable invalidate their table's keys — a
-  // re-created table restarts version numbering in the same directory.
+  // Bounds: snapshots evict by LRU against a TOTAL APPROXIMATE-BYTE
+  // budget — entry count alone undercounts by the stats map (an entry
+  // with a multi-column stats map weighs ~0.5-1 KB on heap, so a pure
+  // 4M-entry budget could legitimately own several driver GB). The
+  // cost model is deliberately coarse (headers + 2 B/char strings +
+  // ~56 B per boxed stat tuple); it only needs to bound the cache
+  // within the same order as reality. Metadata maps are tiny and
+  // evict by count. dropTable/createTable invalidate their table's
+  // keys — a re-created table restarts version numbering in the same
+  // directory.
   // ------------------------------------------------------------------
-  private val snapshotEntryBudget: Long = 4L * 1000 * 1000
+  /** `var` so a memory-constrained driver can lower it before first
+    * use; 512 MB comfortably holds the ~800k-file design point
+    * (~150 B/entry with one stat column) without letting wide-stat
+    * tables own the heap. */
+  private[graft] var snapshotByteBudget: Long = 512L * 1024 * 1024
+  private def entryCost(e: FileEntry): Long =
+    96L + 2L * (e.rel.length + e.dv.length) + 56L * e.stats.size
+  private def snapshotCost(entries: Seq[FileEntry]): Long =
+    math.max(1L, entries.iterator.map(entryCost).sum)
   private val snapshotCache =
     new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f, true)
-  private val snapshotCachedEntries =
+  private val snapshotCachedBytes =
     new java.util.concurrent.atomic.AtomicLong(0L)
   private val metaCache =
     java.util.Collections.synchronizedMap(
@@ -6241,14 +6332,13 @@ object Warehouse {
       entries: Seq[FileEntry]): Unit = snapshotCache.synchronized {
     if (snapshotCache.containsKey(key)) return
     snapshotCache.put(key, entries)
-    snapshotCachedEntries.addAndGet(math.max(1L, entries.size.toLong))
+    snapshotCachedBytes.addAndGet(snapshotCost(entries))
     val it = snapshotCache.entrySet().iterator()
-    while (snapshotCachedEntries.get() > snapshotEntryBudget &&
+    while (snapshotCachedBytes.get() > snapshotByteBudget &&
         snapshotCache.size() > 1 && it.hasNext) {
       val eldest = it.next()
       if (eldest.getKey != key) {
-        snapshotCachedEntries.addAndGet(
-          -math.max(1L, eldest.getValue.size.toLong))
+        snapshotCachedBytes.addAndGet(-snapshotCost(eldest.getValue))
         it.remove()
       }
     }
@@ -6259,6 +6349,27 @@ object Warehouse {
   private[graft] def metaCachePut(key: String,
       meta: Map[String, String]): Unit = { metaCache.put(key, meta); () }
 
+  /** Last-observed table-lifetime id per `dir#table` — fed by
+    * [[Warehouse!.rawVersions]]' directory listings (and the v1
+    * commit's own stamp), consumed by [[Warehouse!.cacheKey]]. In-
+    * memory only: it is a cache of what the `_lifetime-*` marker on
+    * disk says, refreshed by every listing.
+    */
+  private val lifetimeIds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def lifetimeObserved(tableKey: String, id: String): Unit = {
+    val prev = lifetimeIds.put(tableKey, id)
+    // a lifetime CHANGE seen in a listing is the cross-process
+    // drop+recreate signal: the dead lifetime's cached snapshots are
+    // unreachable now (keys embed the id) — free their budget
+    if (prev != null && prev != id)
+      invalidateCached(s"$tableKey#$prev#")
+  }
+
+  private[graft] def lifetimeOf(tableKey: String): String =
+    Option(lifetimeIds.get(tableKey)).getOrElse("")
+
   /** Drop every cached snapshot/meta of `prefix` (a `dir#table#` key
     * prefix) — the dropTable/createTable hook. */
   private[graft] def invalidateCached(prefix: String): Unit = {
@@ -6267,8 +6378,7 @@ object Warehouse {
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey.startsWith(prefix)) {
-          snapshotCachedEntries.addAndGet(
-            -math.max(1L, e.getValue.size.toLong))
+          snapshotCachedBytes.addAndGet(-snapshotCost(e.getValue))
           it.remove()
         }
       }

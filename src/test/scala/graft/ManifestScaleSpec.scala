@@ -104,7 +104,7 @@ class ManifestScaleSpec extends SparkSpec {
       i >= 4991 && i <= 5050
     })
     // and the head was NEVER cached on the driver by that probe
-    assert(Warehouse.snapshotCacheGet(s"$dir#big#2").isEmpty)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty)
 
     // equivalence: warm the cache (one driver fold), then the same
     // probe takes the cached-driver path and prunes to the same files
@@ -173,7 +173,7 @@ class ManifestScaleSpec extends SparkSpec {
       ((n * 100L, n * 1048576L)))
     assert(Warehouse.columnarPrunes.get() > prunes,
       "t.files must plan over the columnar relation")
-    assert(Warehouse.snapshotCacheGet(s"$dir#big#2").isEmpty,
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty,
       "the metadata query must not have folded the list on the driver")
   }
 

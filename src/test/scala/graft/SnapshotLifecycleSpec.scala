@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Warehouse
+
+/** Snapshot-metadata LIFECYCLE safety — the windows where cached or
+  * derived metadata could outlive the commit it describes:
+  *
+  *   1. A PENDING multi-table-txn member must never leave a columnar
+  *      manifest sidecar behind: an aborted slot's `.mfp` would
+  *      survive (writeColumnarManifest's exists-guard) and silently
+  *      shadow the entry list of whatever a LATER writer commits at
+  *      the same version (wrong pruning, wrong `t.files`, phantom
+  *      files). Commit skips the sidecar for pending members, and the
+  *      abort paths delete any sidecar a pre-fix writer published.
+  *   2. Table-LIFETIME identity in the cache keys: a drop+recreate by
+  *      a DIFFERENT process restarts version numbering in the same
+  *      directory — dir#table#version alone would let a long-lived
+  *      first JVM serve a dead lifetime's cached snapshot for a
+  *      re-minted version number. The `_lifetime-*` marker (observed
+  *      for free by the listing every head resolution already pays
+  *      for) re-keys the caches.
+  *   3. The snapshot cache bounds by APPROXIMATE BYTES, not entry
+  *      count — wide-stats tables must not own gigabytes of driver
+  *      heap under a count-only budget.
+  */
+class SnapshotLifecycleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("s", StringType)))
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+    }
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(x => { Files.delete(x); () })
+
+  test("a pending txn member at a checkpoint version writes NO " +
+    "columnar sidecar; after the abort a new committer's sidecar " +
+    "serves the NEW entry list") {
+    val dir = Files.createTempDirectory("graft-lifec-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map(
+        "a" -> Warehouse.TableSpec(schema, statColumns = Seq("k")),
+        "b" -> Warehouse.TableSpec(schema, statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L // every checkpoint would write .mfp
+    wh.bootstrap()
+    wh.crashPoint = Some("before-marker")
+    intercept[IllegalStateException] {
+      wh.appendAll(Seq(
+        ("a", Seq((1L, "pending")).toDF("k", "s"), 0L),
+        ("b", Seq((1L, "pending")).toDF("k", "s"), 0L)))
+    }
+    wh.crashPoint = None
+    // the pending v2 member manifests exist, but no .mfp rode them
+    val mfpA = Paths.get(dir, "a", "_manifests", "v000000000002.mfp")
+    assert(Files.exists(
+      Paths.get(dir, "a", "_manifests", "v000000000002.mfd")) ||
+      Files.exists(Paths.get(dir, "a", "_manifests", "v000000000002.mf")))
+    assert(!Files.exists(mfpA),
+      "a pending txn member must not publish a columnar sidecar")
+
+    // simulate a PRE-FIX writer's leftover: plant a bogus sidecar for
+    // the pending version, then let a conflicting append abort the
+    // stale txn — the abort must take the sidecar with the manifest
+    spark.createDataFrame(Seq(
+        ("GHOST.parquet", 1L, 1L, "", 0L, 0L, 0L)))
+      .toDF("rel", "bytes", "rows", "dv", "dvRows", "__lo_k", "__hi_k")
+      .write.parquet(mfpA.toString)
+    assert(Files.exists(mfpA))
+    wh.txnStaleMs = 0L
+    wh.append("a", Seq((7L, "fresh")).toDF("k", "s"))
+    // the new v2 commit wrote ITS OWN sidecar (checkpoint, above
+    // threshold); force the columnar path and check the ghost is gone
+    Warehouse.invalidateCached(s"$dir#a#")
+    val prunes = Warehouse.columnarPrunes.get()
+    val got = wh.readRange("a", "k", Long.MinValue, Long.MaxValue)
+      .as[(Long, String)].collect().toSet
+    assert(Warehouse.columnarPrunes.get() === prunes + 1,
+      "the probe must have run through the columnar sidecar")
+    assert(got === Set((7L, "fresh")))
+    assert(!wh.read("a").inputFiles.exists(_.contains("GHOST")))
+  }
+
+  test("cross-process drop+recreate cannot serve a dead lifetime's " +
+    "cached snapshot: the first instance reads fresh data") {
+    val dirA = Files.createTempDirectory("graft-lifeA-").toString
+    val wh1 = new Warehouse(spark, dirA, specs = Map("t" ->
+      Warehouse.TableSpec(schema, statColumns = Seq("k"))))
+    wh1.bootstrap()
+    wh1.append("t", Seq((1L, "old"), (2L, "old")).toDF("k", "s"))
+    assert(wh1.read("t").count() === 2L) // caches v1..v2 under lifetime 1
+    assert(Files.list(Paths.get(dirA, "t", "_manifests")).iterator()
+      .hasNext)
+
+    // "another process": build a same-named table with the SAME version
+    // numbers but different content in a scratch dir, then swap it in
+    // with RAW filesystem ops — no Warehouse code runs, so no local
+    // invalidation fires (exactly what a different JVM looks like here)
+    val dirB = Files.createTempDirectory("graft-lifeB-").toString
+    val wh2 = new Warehouse(spark, dirB, specs = Map("t" ->
+      Warehouse.TableSpec(schema, statColumns = Seq("k"))))
+    wh2.bootstrap()
+    wh2.append("t", Seq((10L, "new"), (20L, "new"), (30L, "new"))
+      .toDF("k", "s"))
+    deleteTree(Paths.get(dirA, "t"))
+    copyTree(Paths.get(dirB, "t"), Paths.get(dirA, "t"))
+
+    // wh1's next read lists the manifest dir (it always does), observes
+    // the replacement lifetime's marker, and must NOT serve the cached
+    // v2 of the dead lifetime
+    assert(wh1.read("t").as[(Long, String)].collect().toSet ===
+      Set((10L, "new"), (20L, "new"), (30L, "new")))
+  }
+
+  test("snapshot cache budgets by approximate bytes and evicts LRU " +
+    "under pressure") {
+    val dir = Files.createTempDirectory("graft-lifeb-").toString
+    val wh = new Warehouse(spark, dir, specs = Map(
+      "x" -> Warehouse.TableSpec(schema),
+      "y" -> Warehouse.TableSpec(schema)))
+    wh.bootstrap()
+    wh.append("x", Seq((1L, "a")).toDF("k", "s"))
+    wh.append("y", Seq((2L, "b")).toDF("k", "s"))
+    val saved = Warehouse.snapshotByteBudget
+    try {
+      Warehouse.invalidateCached(s"$dir#")
+      Warehouse.snapshotByteBudget = 1L // nothing but the newest survives
+      assert(wh.read("x").count() === 1L)
+      val kx = wh.currentCacheKey("x", 2L)
+      assert(Warehouse.snapshotCacheGet(kx).isDefined,
+        "the most recent put always stays, budget notwithstanding")
+      assert(wh.read("y").count() === 1L)
+      assert(Warehouse.snapshotCacheGet(kx).isEmpty,
+        "the 1-byte budget must have evicted x's snapshot")
+      assert(Warehouse.snapshotCacheGet(
+        wh.currentCacheKey("y", 2L)).isDefined)
+    } finally Warehouse.snapshotByteBudget = saved
+  }
+}

@@ -729,8 +729,10 @@ class WarehouseCommitSpec extends SparkSpec {
     val kept = Files.list(mdir).iterator()
     val names = new scala.collection.mutable.ArrayBuffer[String]
     while (kept.hasNext) names += kept.next().getFileName.toString
-    // local FS leaves .crc siblings; only the visible manifests matter
-    assert(names.filterNot(_.startsWith(".")).toSeq.sorted ===
+    // local FS leaves .crc siblings and the lifetime marker is not a
+    // manifest; only the visible manifests matter
+    assert(names.filterNot(n =>
+        n.startsWith(".") || n.startsWith("_lifetime-")).toSeq.sorted ===
       Seq("v000000000004.mf"))
     assert(wh.read("fact_space_weather").count() === 3)
   }
