@@ -5,14 +5,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, BoundReference, Cast, EqualTo, Expression,
-  GenericInternalRow, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, Predicate}
+  And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo,
+  Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, In,
+  InSet, IsNull, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{
-  DataType, DateType, IntegerType, LongType, StructType, TimestampNTZType,
-  TimestampType}
+  BooleanType, ByteType, DataType, DateType, IntegerType, LongType,
+  ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.pipeline.Warehouse.FileEntry
@@ -36,6 +36,10 @@ import graft.pipeline.Warehouse.FileEntry
   *
   * Scale: planning state is the manifest entry list — the table-format
   * trade every lakehouse makes; file counts are bounded by compaction.
+  * For tables big enough to carry a COLUMNAR checkpoint manifest,
+  * [[LazyManifestFileIndex]] removes even that: the entry list is
+  * never materialized on the driver until the scan's own filters have
+  * pruned it distributed.
   */
 class ManifestFileIndex(
     spark: SparkSession,
@@ -74,89 +78,12 @@ class ManifestFileIndex(
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
   }
 
-  /** Long-encode a literal for stat comparison (timestamp literals are
-    * already epoch micros internally); None = type we don't stat.
-    */
-  private def statLong(v: Any, dt: DataType): Option[Long] = (v, dt) match {
-    case (i: Int, IntegerType) => Some(i.toLong)
-    case (l: Long, LongType) => Some(l)
-    case (l: Long, TimestampType) => Some(l)
-    // NTZ internal literals are epoch micros too (naive-UTC reading);
-    // date internal literals are epoch days — both match the manifest's
-    // footer-stat encoding exactly
-    case (l: Long, TimestampNTZType) => Some(l)
-    case (i: Int, DateType) => Some(i.toLong)
-    case _ => None
-  }
-
-  /** Per-predicate (column, disjunction-of-[lo,hi]) constraints from
-    * the filters' simple comparisons. A file survives a constraint when
-    * its stat range intersects ANY of the ranges (single-range for
-    * comparisons; one point range per value for IN lists, so an
-    * `id IN (5, 9000)` skips the files covering 10..8999 that a naive
-    * [min,max] envelope would keep).
-    */
-  private def statRanges(filters: Seq[Expression])
-      : Seq[(String, Seq[(Long, Long)])] = {
-    def flat(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => flat(l) ++ flat(r)
-      case other => Seq(other)
-    }
-    def one(c: String, lo: Long, hi: Long) = Some((c, Seq((lo, hi))))
-    // bound per-value skip work: a pathological IN list degrades to the
-    // sound envelope instead of O(|list| × |files|) planning cost
-    val maxPoints = 1024
-    def points(c: String, vals: Seq[Option[Long]]) : Option[(String, Seq[(Long, Long)])] = {
-      if (vals.isEmpty || vals.exists(_.isEmpty)) None // untyped value → no skip
-      else {
-        val xs = vals.map(_.get)
-        if (xs.length <= maxPoints) Some((c, xs.map(x => (x, x))))
-        else Some((c, Seq((xs.min, xs.max))))
-      }
-    }
-    filters.flatMap(flat).flatMap {
-      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).flatMap(x => one(a.name, x, x))
-      case EqualTo(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).flatMap(x => one(a.name, x, x))
-      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).flatMap(x => one(a.name, x + 1, Long.MaxValue))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).flatMap(x => one(a.name, x, Long.MaxValue))
-      case LessThan(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x - 1))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x))
-      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x - 1))
-      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x))
-      case LessThan(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).flatMap(x => one(a.name, x + 1, Long.MaxValue))
-      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        statLong(v, dt).flatMap(x => one(a.name, x, Long.MaxValue))
-      // IN lists: the restricted-scan shape MV retraction repair and
-      // dirty-group rescans plan — null values drop out (null never
-      // matches IN), non-literal members abort the skip
-      case org.apache.spark.sql.catalyst.expressions.In(
-          a: AttributeReference, list)
-          if list.forall(_.isInstanceOf[Literal]) =>
-        points(a.name, list.collect {
-          case Literal(v, dt) if v != null => statLong(v, dt) })
-      case org.apache.spark.sql.catalyst.expressions.InSet(
-          a: AttributeReference, hset) =>
-        points(a.name, hset.toSeq.filter(_ != null)
-          .map(v => statLong(v, a.dataType)))
-      case _ => Nil // unknown shape: never skip on it
-    }
-  }
-
   private def status(e: FileEntry): FileStatus =
     new FileStatus(e.bytes, false, 0, 1, 0L, new Path(tablePath, e.rel))
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val ranges = statRanges(dataFilters)
+    val ranges = ManifestFileIndex.statRanges(dataFilters)
     def keepFile(e: FileEntry): Boolean = ranges.forall { case (c, rs) =>
       e.stats.get(c).forall { case (mn, mx) =>
         rs.exists { case (lo, hi) => mx >= lo && mn <= hi } }
@@ -216,6 +143,232 @@ class ManifestFileIndex(
           else Some(PartitionDirectory(values,
             fl.filter(keepFile).map(status).toArray))
         }
+    }
+  }
+}
+
+/** [[ManifestFileIndex]] without the driver-resident entry list — the
+  * 100 TB planning path. Construction holds only the batch-bounded
+  * delta state and one pre-aggregated size; the full entry list is
+  * NEVER materialized on the driver. `listFiles` (Spark's scan-
+  * planning callback, which arrives WITH the query's partition and
+  * data filters) translates those filters into conditions a
+  * distributed scan of the columnar checkpoint manifest can evaluate
+  * (`prune`, provided by [[Warehouse]]), collects only the SURVIVING
+  * entries, and delegates to an exact [[ManifestFileIndex]] over them
+  * — the distributed prune is a sound over-approximation (it may keep
+  * extra entries, never drop a matching one), the delegate applies the
+  * full interpreted semantics.
+  *
+  * `full` (the [[Warehouse.loadAt]] fold) backs only the rare explicit
+  * whole-list asks: `inputFiles` on the Dataset, or a `listFiles` with
+  * no translatable filter (which needs every entry anyway).
+  */
+class LazyManifestFileIndex(
+    spark: SparkSession,
+    tablePath: Path,
+    override val partitionSchema: StructType,
+    genPruners: Map[String, (String, Long => Long)],
+    bytesHint: Long,
+    prune: (Seq[Expression], Seq[Expression]) => Seq[FileEntry],
+    full: () => Seq[FileEntry])
+  extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(tablePath)
+  override def sizeInBytes: Long = bytesHint
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] =
+    full().map(e => new Path(tablePath, e.rel).toString).toArray
+
+  // one scan node's listFiles may be asked more than once with the
+  // same filters (selectedPartitions + metadata asks) — don't pay the
+  // distributed prune twice for identical conditions
+  @volatile private var memo: Option[(String, Seq[PartitionDirectory])] =
+    None
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val key = (partitionFilters ++ dataFilters)
+      .map(_.canonicalized.toString).mkString("&")
+    memo match {
+      case Some((k, cached)) if k == key => cached
+      case _ =>
+        val survivors = prune(partitionFilters, dataFilters)
+        val exact = new ManifestFileIndex(spark, tablePath, survivors,
+          partitionSchema, genPruners)
+          .listFiles(partitionFilters, dataFilters)
+        memo = Some((key, exact))
+        exact
+    }
+  }
+}
+
+object ManifestFileIndex {
+
+  /** Long-encode a literal for stat comparison (timestamp literals are
+    * already epoch micros internally); None = type we don't stat.
+    */
+  private def statLong(v: Any, dt: DataType): Option[Long] = (v, dt) match {
+    case (i: Int, IntegerType) => Some(i.toLong)
+    case (l: Long, LongType) => Some(l)
+    case (l: Long, TimestampType) => Some(l)
+    // NTZ internal literals are epoch micros too (naive-UTC reading);
+    // date internal literals are epoch days — both match the manifest's
+    // footer-stat encoding exactly
+    case (l: Long, TimestampNTZType) => Some(l)
+    case (i: Int, DateType) => Some(i.toLong)
+    case _ => None
+  }
+
+  /** Per-predicate (column, disjunction-of-[lo,hi]) constraints from
+    * the filters' simple comparisons. A file survives a constraint when
+    * its stat range intersects ANY of the ranges (single-range for
+    * comparisons; one point range per value for IN lists, so an
+    * `id IN (5, 9000)` skips the files covering 10..8999 that a naive
+    * [min,max] envelope would keep).
+    */
+  private[pipeline] def statRanges(filters: Seq[Expression])
+      : Seq[(String, Seq[(Long, Long)])] = {
+    def flat(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    def one(c: String, lo: Long, hi: Long) = Some((c, Seq((lo, hi))))
+    // bound per-value skip work: a pathological IN list degrades to the
+    // sound envelope instead of O(|list| × |files|) planning cost
+    val maxPoints = 1024
+    def points(c: String, vals: Seq[Option[Long]]) : Option[(String, Seq[(Long, Long)])] = {
+      if (vals.isEmpty || vals.exists(_.isEmpty)) None // untyped value → no skip
+      else {
+        val xs = vals.map(_.get)
+        if (xs.length <= maxPoints) Some((c, xs.map(x => (x, x))))
+        else Some((c, Seq((xs.min, xs.max))))
+      }
+    }
+    filters.flatMap(flat).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).flatMap(x => one(a.name, x, x))
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).flatMap(x => one(a.name, x, x))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).flatMap(x => one(a.name, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).flatMap(x => one(a.name, x, Long.MaxValue))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x - 1))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x - 1))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).flatMap(x => one(a.name, Long.MinValue, x))
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).flatMap(x => one(a.name, x + 1, Long.MaxValue))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        statLong(v, dt).flatMap(x => one(a.name, x, Long.MaxValue))
+      // IN lists: the restricted-scan shape MV retraction repair and
+      // dirty-group rescans plan — null values drop out (null never
+      // matches IN), non-literal members abort the skip
+      case In(a: AttributeReference, list)
+          if list.forall(_.isInstanceOf[Literal]) =>
+        points(a.name, list.collect {
+          case Literal(v, dt) if v != null => statLong(v, dt) })
+      case InSet(a: AttributeReference, hset) =>
+        points(a.name, hset.toSeq.filter(_ != null)
+          .map(v => statLong(v, a.dataType)))
+      case _ => Nil // unknown shape: never skip on it
+    }
+  }
+
+  /** [[statRanges]] collapsed to ONE [lo, hi] envelope per column —
+    * the shape the distributed columnar-manifest prune pushes down
+    * ([[Warehouse.prunedEntries]]). Disjunctions within a predicate
+    * take their envelope (sound: a superset survives); conjunctions
+    * across predicates intersect. The exact per-point semantics are
+    * re-applied by the driver pass over the survivors.
+    */
+  private[pipeline] def envelopeRanges(filters: Seq[Expression])
+      : Map[String, (Long, Long)] =
+    statRanges(filters)
+      .map { case (c, rs) => (c, (rs.map(_._1).min, rs.map(_._2).max)) }
+      .groupBy(_._1)
+      .map { case (c, es) =>
+        c -> ((es.map(_._2._1).max, es.map(_._2._2).min)) }
+
+  /** Partition-filter conjuncts as PATH-SUBSTRING constraints the
+    * distributed prune can evaluate on the manifest's `rel` column
+    * without parsing or casting: each inner Seq is a disjunction of
+    * `/k=v/` segments (IN lists), every outer element must match.
+    * Hive's own escaping makes a `k=v/` substring unambiguous — `=`
+    * and `/` are escaped inside values — so `contains` can never
+    * false-negative on a matching file (leading components of borrowed
+    * absolute rels can only cause OVER-keeping, which the exact driver
+    * pass on the survivors corrects).
+    *
+    * Only segments whose literal renders EXACTLY as the write path
+    * rendered it ([[Warehouse]]'s partitionDir: external `toString` +
+    * Hive escape) become constraints — string/integral/boolean/date
+    * types. Anything else (timestamps' ambiguous external form, casts,
+    * disjunctive predicates) contributes NO constraint: missing a
+    * prune is sound, inventing one is not.
+    */
+  private[pipeline] def partitionSegments(filters: Seq[Expression],
+      partitionSchema: StructType): Seq[Seq[String]] = {
+    def flat(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    def isPart(a: AttributeReference): Boolean =
+      partitionSchema.exists(_.name == a.name)
+    def defaultSeg(c: String): String =
+      s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+    // internal literal value → the exact `k=v` path segment the write
+    // path produced, or None when the rendering is not reproducible
+    def seg(c: String, v: Any, dt: DataType): Option[String] = {
+      if (v == null) return Some(defaultSeg(c))
+      val raw: Option[String] = (v, dt) match {
+        case (s: UTF8String, StringType) => Some(s.toString)
+        case (i: Int, IntegerType) => Some(i.toString)
+        case (l: Long, LongType) => Some(l.toString)
+        case (s: Short, ShortType) => Some(s.toString)
+        case (b: Byte, ByteType) => Some(b.toString)
+        case (b: Boolean, BooleanType) => Some(b.toString)
+        case (d: Int, DateType) =>
+          Some(java.time.LocalDate.ofEpochDay(d.toLong).toString)
+        case _ => None
+      }
+      raw.map(r => ExternalCatalogUtils.getPartitionPathString(c, r))
+    }
+    def wrap(s: String): String = s"/$s/"
+    filters.flatMap(flat).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, dt))
+          if isPart(a) && v != null =>
+        seg(a.name, v, dt).map(s => Seq(wrap(s)))
+      case EqualTo(Literal(v, dt), a: AttributeReference)
+          if isPart(a) && v != null =>
+        seg(a.name, v, dt).map(s => Seq(wrap(s)))
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt))
+          if isPart(a) =>
+        seg(a.name, v, dt).map(s => Seq(wrap(s)))
+      case EqualNullSafe(Literal(v, dt), a: AttributeReference)
+          if isPart(a) =>
+        seg(a.name, v, dt).map(s => Seq(wrap(s)))
+      case IsNull(a: AttributeReference) if isPart(a) =>
+        Some(Seq(wrap(defaultSeg(a.name))))
+      case In(a: AttributeReference, list)
+          if isPart(a) && list.nonEmpty &&
+            list.forall(_.isInstanceOf[Literal]) =>
+        // nulls never match IN — constrain by the non-null alternatives
+        val alts = list.collect { case Literal(v, dt) if v != null =>
+          seg(a.name, v, dt) }
+        if (alts.isEmpty || alts.exists(_.isEmpty)) None
+        else Some(alts.map(a => wrap(a.get)))
+      case InSet(a: AttributeReference, hset) if isPart(a) =>
+        val alts = hset.toSeq.filter(_ != null)
+          .map(v => seg(a.name, v, a.dataType))
+        if (alts.isEmpty || alts.exists(_.isEmpty)) None
+        else Some(alts.map(a => wrap(a.get)))
+      case _ => None // unknown shape: no constraint (sound)
     }
   }
 }

@@ -570,18 +570,22 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   def metaRowCount(name: String, versionAsOf: Option[Long] = None)
       : Option[Long] = {
-    val entries = metaEntries(name, versionAsOf)
-    if (entries.exists(_.rows < 0L)) None
-    else Some(entries.map(e => e.rows - e.dvRows).sum)
-  }
-
-  /** The entry list a metadata answer folds over: the head manifest, or
-    * a pinned past version — time travel is free here, every manifest
-    * IS a snapshot. */
-  private def metaEntries(name: String, versionAsOf: Option[Long])
-      : Seq[FileEntry] = versionAsOf match {
-    case Some(v) => loadAt(name, v)
-    case None => loadLatest(name)._2
+    versionAsOf.orElse(versions(name).lastOption) match {
+      case None => Some(0L)
+      case Some(v) =>
+        // cold + columnar → the memoized distributed fold
+        // ([[lazySnapshotAgg]] — the same facts the lazy read plans
+        // with); a cached snapshot or a small table folds driver-side
+        if (Warehouse.snapshotCacheGet(cacheKey(name, v)).isEmpty)
+          lazySnapshotAgg(name, v) match {
+            case Some(agg) =>
+              return if (agg.rows < 0L) None else Some(agg.rows)
+            case None =>
+          }
+        val entries = loadAt(name, v)
+        if (entries.exists(_.rows < 0L)) None
+        else Some(entries.map(e => e.rows - e.dvRows).sum)
+    }
   }
 
   /** EXACT head min/max for a stat-tracked column, long-encoded exactly
@@ -595,13 +599,66 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   def metaMinMax(name: String, col: String,
       versionAsOf: Option[Long] = None): Option[(Long, Long)] = {
-    val entries = metaEntries(name, versionAsOf)
+    val v = versionAsOf.orElse(versions(name).lastOption)
+      .getOrElse(return None)
+    if (Warehouse.snapshotCacheGet(cacheKey(name, v)).isEmpty)
+      distributedMinMax(name, v, col).foreach(answer => return answer)
+    val entries = loadAt(name, v)
     // a deletion vector may have removed the very row a footer extremum
     // came from — a vectored file makes the fold unknowable
     if (entries.isEmpty || entries.exists(_.dvRows > 0L) ||
         !entries.forall(_.stats.contains(col))) None
     else Some((entries.map(_.stats(col)._1).min,
       entries.map(_.stats(col)._2).max))
+  }
+
+  /** [[metaMinMax]]'s DISTRIBUTED route: the checkpoint portion folds
+    * inside a scan of the columnar manifest (count / nulls / min / max
+    * in one agg), the batch-bounded delta upserts fold driver-side,
+    * and the two combine under exactly the driver rules (every live
+    * file must carry the stat; any deletion vector, or an empty table,
+    * makes the answer unknowable/NULL). Outer None = no columnar
+    * checkpoint serves the version — caller falls back to the driver
+    * fold; inner Option is the answer itself.
+    */
+  private def distributedMinMax(name: String, version: Long, c: String)
+      : Option[Option[(Long, Long)]] = {
+    import org.apache.spark.sql.functions.{
+      broadcast, coalesce, count, lit, max, min, sum, when, col => f}
+    val fs = fileSystem
+    val ckpt = checkpointBelow(name, version)
+      .filter(x => fs.exists(mfpPath(name, x)))
+      .getOrElse(return None)
+    val (removed, upserts) = deltaState(name, ckpt, version)
+    val base0 = spark.read.parquet(mfpPath(name, ckpt).toString)
+    val touched = (removed ++ upserts.keysIterator).toSeq.sorted
+    val kept =
+      if (touched.isEmpty) base0
+      else base0.join(
+        broadcast(spark.createDataFrame(touched.map(Tuple1(_)))
+          .toDF("rel")), Seq("rel"), "left_anti")
+    val hasCol = base0.columns.contains(s"__lo_$c")
+    val loC = if (hasCol) f(s"__lo_$c") else lit(null).cast("long")
+    val hiC = if (hasCol) f(s"__hi_$c") else lit(null).cast("long")
+    val r = kept.agg(
+      count(lit(1)),
+      coalesce(sum(when(loC.isNull, 1L).otherwise(0L)), lit(0L)),
+      min(loC), max(hiC),
+      coalesce(max(when(f("dvRows") > lit(0L), 1).otherwise(0)), lit(0)))
+      .head()
+    Warehouse.columnarPrunes.incrementAndGet()
+    val files = r.getLong(0)
+    val ups = upserts.values.toSeq
+    if (files + ups.size == 0L) return Some(None) // empty → SQL NULL
+    if (r.getInt(4) > 0 || ups.exists(_.dvRows > 0L)) return Some(None)
+    if (r.getLong(1) > 0L || ups.exists(e => !e.stats.contains(c)))
+      return Some(None) // some live file lacks the stat → only a scan
+    val folds = Seq(
+      if (files > 0L) Some((r.getLong(2), r.getLong(3))) else None,
+      if (ups.nonEmpty) Some((ups.map(_.stats(c)._1).min,
+        ups.map(_.stats(c)._2).max)) else None).flatten
+    Some(Some(folds.reduce((a, b) =>
+      (math.min(a._1, b._1), math.max(a._2, b._2)))))
   }
 
   /** Manifest-only PER-PARTITION-SLICE statistics: live head entries
@@ -623,7 +680,12 @@ class Warehouse(spark: SparkSession, dir: String,
       : Option[Seq[(Seq[String], Long, Map[String, (Long, Long)])]] = {
     val parts = partitioning(name)
     if (cols.isEmpty || !cols.forall(parts.contains)) return None
-    val entries = metaEntries(name, versionAsOf)
+    val v = versionAsOf.orElse(versions(name).lastOption)
+      .getOrElse(return Some(Nil))
+    if (Warehouse.snapshotCacheGet(cacheKey(name, v)).isEmpty)
+      distributedPartitionStats(name, v, cols, parts.size)
+        .foreach(answer => return answer)
+    val entries = loadAt(name, v)
     if (entries.exists(_.rows < 0L)) return None
     val decoded = entries.map { e =>
       val kv = dirOf(name, e.rel).split('/').filter(_.nonEmpty).map { seg =>
@@ -654,6 +716,137 @@ class Warehouse(spark: SparkSession, dir: String,
       // a slice whose every row is vectored away yields NO group in a
       // scan — mirror that (live == 0 ⇒ drop the slice)
     }.filter(_._2 > 0L))
+  }
+
+  /** [[metaPartitionStats]]' DISTRIBUTED route: the checkpoint portion
+    * groups by its trailing partition-dir components INSIDE a scan of
+    * the columnar manifest (group count is bounded by the partition
+    * count, so the collect is slice-sized, never |files|-sized); the
+    * batch-bounded delta upserts fold driver-side; the driver then
+    * re-groups by the REQUESTED column subset, unescapes values, and
+    * applies exactly the driver rules (unknown row counts / malformed
+    * paths → None; per-slice stats covered only when every file
+    * carries them and none is deletion-vectored; live == 0 slices
+    * drop). One deliberate narrowing: stat columns absent from the
+    * checkpoint's schema can never report as covered here — consumers
+    * treat a missing stat as "fall back to the scan", so the answer
+    * stays correct, just computed the slower way. Outer None = no
+    * columnar checkpoint serves the version.
+    */
+  private def distributedPartitionStats(name: String, version: Long,
+      cols: Seq[String], np: Int)
+      : Option[Option[Seq[(Seq[String], Long, Map[String, (Long, Long)])]]] = {
+    import org.apache.spark.sql.functions.{
+      broadcast, count, lit, max, min, size, slice, split, sum, when,
+      col => f}
+    val fs = fileSystem
+    val ckpt = checkpointBelow(name, version)
+      .filter(x => fs.exists(mfpPath(name, x)))
+      .getOrElse(return None)
+    val (removed, upserts) = deltaState(name, ckpt, version)
+    val base0 = spark.read.parquet(mfpPath(name, ckpt).toString)
+    val touched = (removed ++ upserts.keysIterator).toSeq.sorted
+    val kept =
+      if (touched.isEmpty) base0
+      else base0.join(
+        broadcast(spark.createDataFrame(touched.map(Tuple1(_)))
+          .toDF("rel")), Seq("rel"), "left_anti")
+    val statCols = base0.columns.toSeq.collect {
+      case n if n.startsWith("__lo_") => n.stripPrefix("__lo_") }
+    // trailing np DIR components (the file name excluded); too-shallow
+    // paths (foreign-layout adoption) group under null and fail the
+    // driver-side validation below, like the driver fold's return None
+    val arr = split(f("rel"), "/")
+    val dirs = when(size(arr) >= np + 1,
+      slice(arr, size(arr) - np, lit(np))).otherwise(lit(null))
+    val aggs = Seq(
+      count(lit(1)).as("__files"),
+      min(f("rows")).as("__minrows"),
+      sum(f("rows") - f("dvRows")).as("__live"),
+      max(when(f("dvRows") > lit(0L), 1).otherwise(0)).as("__anydv")) ++
+      statCols.flatMap(c => Seq(
+        sum(when(f(s"__lo_$c").isNull, 1L).otherwise(0L)).as(s"__miss_$c"),
+        min(f(s"__lo_$c")).as(s"__min_$c"),
+        max(f(s"__hi_$c")).as(s"__max_$c")))
+    val grouped = kept.groupBy(dirs.as("__dirs"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    Warehouse.columnarPrunes.incrementAndGet()
+
+    // mutable per-subset-key accumulator the base groups and upserts
+    // both merge into
+    final case class Acc(var files: Long, var live: Long,
+        var anyDv: Boolean,
+        miss: scala.collection.mutable.Map[String, Long],
+        lo: scala.collection.mutable.Map[String, Long],
+        hi: scala.collection.mutable.Map[String, Long])
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], Acc]
+    def accFor(vals: Seq[String]): Acc =
+      acc.getOrElseUpdate(vals, Acc(0L, 0L, false,
+        scala.collection.mutable.Map.empty,
+        scala.collection.mutable.Map.empty,
+        scala.collection.mutable.Map.empty))
+    // `k=v` segments (ESCAPED, as grouped) → requested cols' DECODED
+    // values, or None on any malformed segment
+    def decode(segs: Seq[String]): Option[Seq[String]] = {
+      val kv = segs.map { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) return None
+        seg.take(i) -> seg.drop(i + 1)
+      }.toMap
+      Some(cols.map { c =>
+        kv.get(c) match {
+          case None => return None
+          case Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+          case Some(raw) => ExternalCatalogUtils.unescapePathName(raw)
+        }
+      })
+    }
+    grouped.foreach { r =>
+      if (r.isNullAt(0)) return Some(None) // path too shallow somewhere
+      if (r.getLong(r.fieldIndex("__minrows")) < 0L) return Some(None)
+      val vals = decode(r.getSeq[String](0)).getOrElse(return Some(None))
+      val a = accFor(vals)
+      a.files += r.getLong(r.fieldIndex("__files"))
+      a.live += r.getLong(r.fieldIndex("__live"))
+      a.anyDv ||= r.getInt(r.fieldIndex("__anydv")) > 0
+      statCols.foreach { c =>
+        a.miss(c) = a.miss.getOrElse(c, 0L) +
+          r.getLong(r.fieldIndex(s"__miss_$c"))
+        if (!r.isNullAt(r.fieldIndex(s"__min_$c"))) {
+          val mn = r.getLong(r.fieldIndex(s"__min_$c"))
+          val mx = r.getLong(r.fieldIndex(s"__max_$c"))
+          a.lo(c) = a.lo.get(c).fold(mn)(math.min(_, mn))
+          a.hi(c) = a.hi.get(c).fold(mx)(math.max(_, mx))
+        }
+      }
+    }
+    upserts.values.foreach { e =>
+      if (e.rows < 0L) return Some(None)
+      val comps = e.rel.split('/').init.takeRight(np).toSeq
+      if (comps.size < np) return Some(None)
+      val vals = decode(comps).getOrElse(return Some(None))
+      val a = accFor(vals)
+      a.files += 1L
+      a.live += e.rows - e.dvRows
+      a.anyDv ||= e.dvRows > 0L
+      statCols.foreach { c =>
+        e.stats.get(c) match {
+          case Some((mn, mx)) =>
+            a.lo(c) = a.lo.get(c).fold(mn)(math.min(_, mn))
+            a.hi(c) = a.hi.get(c).fold(mx)(math.max(_, mx))
+          case None => a.miss(c) = a.miss.getOrElse(c, 0L) + 1L
+        }
+      }
+    }
+    Some(Some(acc.toSeq.map { case (vals, a) =>
+      val stats =
+        if (a.anyDv) Map.empty[String, (Long, Long)]
+        else statCols.filter(c => a.miss.getOrElse(c, 0L) == 0L &&
+            a.lo.contains(c))
+          .map(c => c -> ((a.lo(c), a.hi(c)))).toMap
+      (vals, a.live, stats)
+    }.filter(_._2 > 0L)))
   }
 
   /** Publish manifest `version` atomically (tmp write + atomic
@@ -898,10 +1091,21 @@ class Warehouse(spark: SparkSession, dir: String,
     * serves the head — at that size the driver fold is the cheaper
     * path and callers fall back to it.
     */
-  private[graft] def entriesRelation(name: String): Option[DataFrame] = {
+  private[graft] def entriesRelation(name: String): Option[DataFrame] =
+    versions(name).lastOption
+      .flatMap(v => entriesRelationAt(name, v))
+
+  /** [[entriesRelation]] for ANY committed version — time-traveled
+    * metadata relations (`t.files VERSION AS OF n`) resolve through
+    * the checkpoint at-or-below `version` plus the same batch-bounded
+    * delta replay [[prunedEntries]] uses, so a versioned metadata fold
+    * at 800k entries plans as distributed as the head's.
+    */
+  private[graft] def entriesRelationAt(name: String,
+      version: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.broadcast
     val fs = fileSystem
-    val v = versions(name).lastOption.getOrElse(return None)
+    val v = version
     val ckpt = checkpointBelow(name, v)
       .filter(x => fs.exists(mfpPath(name, x)))
       .getOrElse(return None)
@@ -923,19 +1127,31 @@ class Warehouse(spark: SparkSession, dir: String,
         .toDF("rel", "bytes", "rows", "dv", "dvRows")))
   }
 
+  /** @param relConjuncts CNF of `/k=v/` path-segment constraints from
+    *   partition-filter translation ([[ManifestFileIndex.partitionSegments]]):
+    *   every outer element must match (some alternative substring of
+    *   `'/' + rel`) for an entry to survive. Evaluated INSIDE the
+    *   distributed scan, so a one-partition read of an 800k-entry
+    *   table collects only that partition's entries.
+    */
   private[graft] def prunedEntries(name: String, version: Long,
-      ranges: Map[String, (Long, Long)]): Option[Seq[FileEntry]] = {
-    import org.apache.spark.sql.functions.{col, lit}
+      ranges: Map[String, (Long, Long)],
+      relConjuncts: Seq[Seq[String]] = Nil): Option[Seq[FileEntry]] = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
     val fs = fileSystem
     val ckpt = checkpointBelow(name, version)
       .filter(v => fs.exists(mfpPath(name, v)))
       .getOrElse(return None)
     val (removed, upserts) = deltaState(name, ckpt, version)
     val base = spark.read.parquet(mfpPath(name, ckpt).toString)
-    val cond = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
+    val statCond = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
       if (!base.columns.contains(s"__lo_$c")) acc // no file has stats: keep all
       else acc && (col(s"__lo_$c").isNull ||
         (col(s"__hi_$c") >= lit(lo) && col(s"__lo_$c") <= lit(hi)))
+    }
+    val slashRel = concat(lit("/"), col("rel"))
+    val cond = relConjuncts.foldLeft(statCond) { (acc, alts) =>
+      acc && alts.map(s => slashRel.contains(lit(s))).reduce(_ || _)
     }
     val statColsInDf = base.columns.toSeq.collect {
       case n if n.startsWith("__lo_") => n.stripPrefix("__lo_") }
@@ -954,10 +1170,15 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     def overlaps(e: FileEntry): Boolean = ranges.forall { case (c, (lo, hi)) =>
       e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    // delta upserts get the SAME rel-segment check driver-side (the
+    // delta state is batch-bounded, never the table)
+    def relKeep(e: FileEntry): Boolean = relConjuncts.forall(alts =>
+      alts.exists(s => ("/" + e.rel).contains(s)))
     Warehouse.columnarPrunes.incrementAndGet()
     Some((survivors.iterator
       .filterNot(e => removed(e.rel) || upserts.contains(e.rel)) ++
-      upserts.valuesIterator.filter(overlaps)).toSeq.sortBy(_.rel))
+      upserts.valuesIterator.filter(e => overlaps(e) && relKeep(e)))
+      .toSeq.sortBy(_.rel))
   }
 
   /** `version`'s entries restricted to `ranges`, picking the cheapest
@@ -2117,9 +2338,117 @@ class Warehouse(spark: SparkSession, dir: String,
     * never bootstrapped through this class.
     */
   def read(name: String): DataFrame = {
-    val (v, entries) = loadLatest(name)
-    if (v == 0L) spark.read.schema(tables(name)).parquet(path(name))
-    else dfFor(name, entries)
+    versions(name) match {
+      case Nil => spark.read.schema(tables(name)).parquet(path(name))
+      case vs =>
+        val v = vs.last
+        // The 100 TB shape: a COLD open of a columnar-checkpointed
+        // table plans LAZY — the driver never folds the entry list;
+        // the scan's own partition/data filters prune DISTRIBUTED at
+        // listFiles time ([[LazyManifestFileIndex]]). A cached
+        // snapshot is already free driver-side and keeps the richer
+        // eager plan (per-column NDV stats, DV application), so it
+        // wins when present.
+        if (Warehouse.snapshotCacheGet(cacheKey(name, v)).isEmpty)
+          lazyRead(name, v) match {
+            case Some(df) => return df
+            case None =>
+          }
+        dfFor(name, loadAt(name, v))
+    }
+  }
+
+  /** One snapshot's (bytes, live rows, file count, any-DV) aggregate
+    * computed DISTRIBUTED over [[entriesRelationAt]] and memoized per
+    * confirmed version — the planning facts ([[lazyRead]]'s
+    * CatalogStatistics, `sizeInBytes`, the DV gate) at O(1) driver
+    * cost. None when no columnar checkpoint serves the version.
+    */
+  private def lazySnapshotAgg(name: String,
+      version: Long): Option[Warehouse.SnapshotAgg] = {
+    val key = cacheKey(name, version)
+    Warehouse.snapshotAggGet(key) match {
+      case Some(hit) => return Some(hit)
+      case None =>
+    }
+    val rel = entriesRelationAt(name, version).getOrElse(return None)
+    import org.apache.spark.sql.functions.{
+      coalesce, count, lit, max, min, sum, when, col}
+    val r = rel.agg(
+      coalesce(sum(col("bytes")), lit(0L)),
+      coalesce(sum(col("rows") - col("dvRows")), lit(0L)),
+      coalesce(min(col("rows")), lit(0L)),
+      count(lit(1)),
+      coalesce(max(when(col("dvRows") > lit(0L), 1).otherwise(0)), lit(0)))
+      .head()
+    val agg = Warehouse.SnapshotAgg(
+      bytes = r.getLong(0),
+      rows = if (r.getLong(2) < 0L) -1L else r.getLong(1),
+      files = r.getLong(3),
+      anyDv = r.getInt(4) > 0)
+    Warehouse.snapshotAggPut(key, agg)
+    Some(agg)
+  }
+
+  /** Plan the head WITHOUT materializing the entry list on the driver:
+    * a [[LazyManifestFileIndex]] whose `listFiles` translates the
+    * query's own partition filters (→ `/k=v/` rel-segment conditions)
+    * and data filters (→ stat-range envelopes) into
+    * [[prunedEntries]]' distributed columnar-manifest scan, collecting
+    * only the surviving entries — a one-partition read of an
+    * 800k-entry table holds one partition's entries, ever. The
+    * optimizer still sees exact table-level statistics (bytes + live
+    * rows from [[lazySnapshotAgg]]'s distributed fold); per-column NDV
+    * stats are the eager path's richer trade.
+    *
+    * None (fall back to the eager fold) when: no columnar checkpoint
+    * serves the version; the table is empty (the eager empty-relation
+    * special case is cheaper and exact); or any live file carries a
+    * deletion vector (DV application wires per-entry sidecars into the
+    * plan and needs the list).
+    */
+  private def lazyRead(name: String, version: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
+      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val fs = fileSystem
+    checkpointBelow(name, version)
+      .filter(x => fs.exists(mfpPath(name, x)))
+      .getOrElse(return None)
+    val agg = lazySnapshotAgg(name, version).getOrElse(return None)
+    if (agg.files == 0L || agg.anyDv) return None
+    val schema = tables(name)
+    val parts = partitioning(name)
+    val partitionSchema = StructType(parts.map(p => schema(p)))
+    val prune: (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => Seq[FileEntry] = (pf, dfilt) => {
+      val ranges = ManifestFileIndex.envelopeRanges(dfilt)
+      val conjs = ManifestFileIndex.partitionSegments(pf, partitionSchema)
+      if (ranges.isEmpty && conjs.isEmpty)
+        loadAt(name, version) // unfiltered scan needs every entry anyway
+      else prunedEntries(name, version, ranges, conjs)
+        .getOrElse(loadAt(name, version))
+    }
+    val index = new LazyManifestFileIndex(spark, new Path(path(name)),
+      partitionSchema, genPartitionPruners(name), agg.bytes, prune,
+      () => loadAt(name, version))
+    val relation = relationWithIndex(name, index, partitionSchema)
+    val ct = CatalogTable(
+      identifier = TableIdentifier(name),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = relation.schema,
+      provider = Some("parquet"),
+      stats = Some(CatalogStatistics(BigInt(agg.bytes).max(1),
+        if (agg.rows >= 0L) Some(BigInt(agg.rows)) else None,
+        Map.empty)))
+    Some(logicalView(name, org.apache.spark.sql.GraftBridge.ofRows(spark,
+      LogicalRelation(relation,
+        DataTypeUtils.toAttributes(relation.schema), Some(ct),
+        false, None))))
   }
 
   /** [[read]] restricted to files whose manifest stats for `column` can
@@ -2326,20 +2655,22 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val fs = fileSystem
     hops.map { case (a, b) =>
-      // a layout-migration commit is a content-identity rewrite: its
+      // a REPARTITION commit is a content-identity rewrite: its
       // attributed diff is EMPTY by definition (the same re-anchor rule
       // as [[streamSlice]] — the rewrite is not a data change), and
       // diffing it rel-wise would mix two directory layouts in one
-      // scan. Every other hop stays within one era and reads under
-      // that era's own layout ([[layoutAtVersion]]).
-      if (commitMeta(name, b).get("op").contains("repartition"))
+      // scan. A cross-layout RESTORE commit is a REAL content change:
+      // its hop diffs with each side under its own era's layout. Every
+      // other hop stays within one era ([[layoutAtVersion]]).
+      if (contentIdentityFlip(name, b))
         changeFeedDf(name, Nil, Nil, isStreaming = false)
           .withColumn("_commit_version", lit(b))
           .withColumn("_commit_timestamp",
             timestamp_millis(lit(commitTimeMillis(name, b))))
       else {
         val lay = layoutAtVersion(name, b)
-        require(lay.isDefined,
+        val layBefore = layoutAtVersion(name, a)
+        require(lay.isDefined && layBefore.isDefined,
           s"readChangeFeedVersioned $name v$b: a later layout " +
             "migration predates the partitionByOld stamp — feed " +
             "unreadable")
@@ -2352,7 +2683,8 @@ class Warehouse(spark: SparkSession, dir: String,
           s"$name change feed v$a→v$b unreadable: ${gone.size} removed " +
             s"file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
             "warehouse with retainReplaced=true to keep feeds consumable")
-        changeFeedDf(name, beforeE, afterE, isStreaming = false, lay)
+        changeFeedDf(name, beforeE, afterE, isStreaming = false,
+          lay, layBefore)
           .withColumn("_commit_version", lit(b))
           .withColumn("_commit_timestamp",
             timestamp_millis(lit(commitTimeMillis(name, b))))
@@ -2381,14 +2713,21 @@ class Warehouse(spark: SparkSession, dir: String,
     // migration(s) inside the window: the era-split feed additionally
     // reads each era-boundary snapshot, so EVERY file of every era
     // anchor/end must still exist (retainReplaced) and every era's
-    // layout must resolve ([[layoutAtVersion]])
+    // layout must resolve ([[layoutAtVersion]]). Cross-layout RESTORE
+    // commits are era boundaries too — their anchors/ends are checked
+    // the same way, which also covers their content-carrying hop.
     val migs = versions(name)
       .filter(v => v > sinceVersion && v <= head)
-      .filter(v => commitMeta(name, v).get("op").contains("repartition"))
+      .filter(v => layoutFlip(name, v))
       .sorted
-    (sinceVersion +: migs).zip(migs.map(_ - 1) :+ head)
+    // restore-boundary hops read BOTH their endpoint snapshots even
+    // when the eras around them are empty (adjacent flips) — include
+    // them in the probe explicitly
+    val hopEnds = migs.filterNot(m => contentIdentityFlip(name, m))
+      .flatMap(m => Seq(m - 1, m))
+    ((sinceVersion +: migs).zip(migs.map(_ - 1) :+ head)
       .filter { case (a, b) => a < b } // empty eras read nothing
-      .flatMap { case (a, b) => Seq(a, b) }.distinct
+      .flatMap { case (a, b) => Seq(a, b) } ++ hopEnds).distinct
       .forall { v =>
         layoutAtVersion(name, v).isDefined &&
           loadAt(name, v).filterNot(e => latestSet(e.rel))
@@ -2414,10 +2753,21 @@ class Warehouse(spark: SparkSession, dir: String,
     * Delta-weighted folds stay exact across copy-on-write DML,
     * compaction, vectored deletes, and restores alike.
     */
+  /** @param layoutBefore directory layout of the BEFORE side, when it
+    *   differs from `layout` — exactly one case produces that: a
+    *   [[restore]] across a layout-migration boundary, whose commit
+    *   removes files written under one layout and re-adds files
+    *   written under another. Defaults to `layout` (same-era diffs).
+    *   Files present on BOTH sides always share one era (a cross-
+    *   layout commit's sides are rel-disjoint — every file carries its
+    *   era's directory prefix), so the DV-delta arms stay on `layout`.
+    */
   private[graft] def changeFeedDf(name: String, before: Seq[FileEntry],
       latest: Seq[FileEntry], isStreaming: Boolean,
-      layout: Option[Seq[String]] = None): DataFrame = {
+      layout: Option[Seq[String]] = None,
+      layoutBefore: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    val layB = layoutBefore.orElse(layout)
     val beforeByRel = before.map(e => e.rel -> e).toMap
     val latestSet = latest.map(_.rel).toSet
     val added = latest.filterNot(e => beforeByRel.contains(e.rel))
@@ -2439,7 +2789,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val dvShrunk = dvChanged.collect { case (e, _, s) if s.nonEmpty => (e, s) }
     dfFor(name, added, isStreaming, layout)
       .withColumn("_change_delta", lit(1))
-      .unionByName(dfFor(name, removed, isStreaming, layout)
+      .unionByName(dfFor(name, removed, isStreaming, layB)
         .withColumn("_change_delta", lit(-1)))
       .unionByName(dfForPositions(name, dvGrown, isStreaming, layout)
         .withColumn("_change_delta", lit(-1)))
@@ -2486,7 +2836,7 @@ class Warehouse(spark: SparkSession, dir: String,
       case Some(s0) =>
         val migs = versions(name)
           .filter(v => v > s0 && v <= endV)
-          .filter(v => commitMeta(name, v).get("op").contains("repartition"))
+          .filter(v => layoutFlip(name, v))
           .sorted
         // crossEra: a migration replaced files an earlier era's slice
         // still needs — verify they exist upfront (fail fast with the
@@ -2526,13 +2876,41 @@ class Warehouse(spark: SparkSession, dir: String,
               isStreaming, lay)
           }
         }
+        // a REPARTITION boundary is content-identity — its hop emits
+        // nothing; a cross-layout RESTORE boundary is a real content
+        // change (a rollback) — its hop emits the exact diff, each
+        // side read under ITS OWN era's layout (the only place two
+        // layouts meet in one feed)
+        def boundaryHop(m: Long): DataFrame = {
+          val before = loadAt(name, m - 1)
+          val after = loadAt(name, m)
+          val beforeSet = before.map(_.rel).toSet
+          val added = after.filterNot(e => beforeSet(e.rel))
+          val slice = if (cdf) (before ++ after).distinct else added
+          val fs = fileSystem
+          val gone = slice.filterNot(e =>
+            fs.exists(new Path(path(name), e.rel)))
+          require(gone.isEmpty,
+            s"warehouse stream $name: the v$m restore boundary needs " +
+              s"${gone.size} file(s) already GC'd (e.g. " +
+              s"${gone.headOption.map(_.rel).getOrElse("")}); open with " +
+              "retainReplaced=true, or restart from a post-restore " +
+              "checkpoint")
+          if (cdf)
+            changeFeedDf(name, before, after, isStreaming,
+              Some(layoutOf(m)), Some(layoutOf(m - 1)))
+          else dfFor(name, added, isStreaming, Some(layoutOf(m)))
+        }
         if (migs.isEmpty) era(s0, endV, crossEra = false)
         else {
           val anchors = s0 +: migs
           val ends = migs.map(_ - 1) :+ endV
-          anchors.zip(ends).zipWithIndex.map { case ((a, b), i) =>
+          val eras = anchors.zip(ends).zipWithIndex.map { case ((a, b), i) =>
             era(a, b, crossEra = i < migs.size)
-          }.reduce(_ unionByName _)
+          }
+          val hops = migs.filterNot(m => contentIdentityFlip(name, m))
+            .map(boundaryHop)
+          (eras ++ hops).reduce(_ unionByName _)
         }
     }
   }
@@ -3076,17 +3454,31 @@ class Warehouse(spark: SparkSession, dir: String,
   private[graft] def relationFor(name: String, entries: Seq[FileEntry],
       layout: Option[Seq[String]] = None)
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
-    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val schema = tables(name)
     val parts = layout.getOrElse(partitioning(name))
     val partitionSchema = StructType(parts.map(p => schema(p)))
+    relationWithIndex(name, new ManifestFileIndex(spark,
+      new Path(path(name)), entries, partitionSchema,
+      genPartitionPruners(name)), partitionSchema)
+  }
+
+  /** The HadoopFsRelation around ANY manifest-backed FileIndex —
+    * shared by the eager ([[ManifestFileIndex]]) and lazy
+    * ([[LazyManifestFileIndex]]) planning paths.
+    */
+  private def relationWithIndex(name: String,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      partitionSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val schema = tables(name)
     // column mapping: the scan reads PHYSICAL names (what the files
     // contain); dfFor aliases back to logical — identical when inactive
-    val dataSchema = StructType(schema.filterNot(f => parts.contains(f.name))
-      .map(f => StructField(Warehouse.physicalName(f), f.dataType, f.nullable)))
-    val index = new ManifestFileIndex(spark, new Path(path(name)),
-      entries, partitionSchema, genPartitionPruners(name))
+    val dataSchema = StructType(
+      schema.filterNot(f => partitionSchema.fieldNames.contains(f.name))
+        .map(f => StructField(Warehouse.physicalName(f), f.dataType,
+          f.nullable)))
     // bucketed layout → the scan reports HashPartitioning(bucketBy, n)
     // and equi-joins/aggregations on the bucket key elide their
     // exchanges. Every committed file carries the `_NNNNN` bucket stamp
@@ -4992,23 +5384,40 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   /** The partition layout `version`'s files were WRITTEN under: the
-    * earliest migration commit strictly after it records the layout it
-    * replaced (`partitionByOld`); no such commit → the head layout.
-    * None = unknown (the next migration predates the stamp — refuse,
-    * like [[requireLayoutReadable]] always did). This is what lets a
-    * reader RE-ANCHOR across a [[repartitionTable]] boundary: a
-    * pre-migration snapshot is perfectly parseable, just under its own
-    * era's directory layout.
+    * earliest LAYOUT-FLIPPING commit strictly after it (any commit
+    * stamped with `partitionByOld` — a [[repartitionTable]], or a
+    * [[restore]] across a migration boundary) records the layout it
+    * replaced; no such commit → the head layout. None = unknown (the
+    * next migration predates the stamp — refuse, like
+    * [[requireLayoutReadable]] always did). This is what lets a reader
+    * RE-ANCHOR across a layout boundary: a pre-migration snapshot is
+    * perfectly parseable, just under its own era's directory layout.
     */
   private[graft] def layoutAtVersion(name: String,
       version: Long): Option[Seq[String]] =
     versions(name).filter(_ > version).sorted
-      .find(v => commitMeta(name, v).get("op").contains("repartition"))
+      .find(v => layoutFlip(name, v))
       match {
         case None => Some(partitioning(name))
         case Some(m) => commitMeta(name, m).get("partitionByOld")
           .map(_.split(',').toSeq.filter(_.nonEmpty))
       }
+
+  /** Whether commit `version` FLIPPED the directory layout — the era-
+    * boundary marker every re-anchoring reader splits on. Two commit
+    * kinds stamp it: `repartition` (content-identity: contributes zero
+    * rows to any feed) and a cross-layout `restore` (a REAL content
+    * change: feeds must emit its diff, under per-side layouts).
+    */
+  private def layoutFlip(name: String, version: Long): Boolean =
+    commitMeta(name, version).contains("partitionByOld")
+
+  /** A layout flip whose commit is content-identity (`repartition`);
+    * false for the restore kind, whose boundary hop carries data. */
+  private def contentIdentityFlip(name: String, version: Long): Boolean = {
+    val m = commitMeta(name, version)
+    m.contains("partitionByOld") && m.get("op").contains("repartition")
+  }
 
   private def requireLayoutReadable(name: String, version: Long,
       op: String): Unit =
@@ -5020,7 +5429,25 @@ class Warehouse(spark: SparkSession, dir: String,
   def restore(name: String, version: Long): Unit = {
     require(versions(name).contains(version),
       s"$name has no manifest v$version to restore")
-    requireLayoutReadable(name, version, "restore")
+    // a pre-migration target restores under ITS OWN era's layout (the
+    // flip below); only targets whose layout the stamps cannot resolve
+    // still refuse — except when the stamps prove the layouts EQUAL
+    // anyway (a pre-stamp round-trip migration)
+    val targetLayout = layoutAtVersion(name, version).getOrElse {
+      requireLayoutReadable(name, version, "restore")
+      partitioning(name)
+    }
+    val headLayout = partitioning(name)
+    val flips = targetLayout != headLayout
+    if (flips)
+      // same guard as [[repartitionTable]]: a tag pins a version whose
+      // files parse under the layout active WHEN it was tagged — the
+      // flip would strand it
+      require(tags(name).isEmpty,
+        s"restore $name: tagged snapshots pin the current layout " +
+          s"(${tags(name).keys.toSeq.sorted.mkString(", ")}) — drop " +
+          "the tags first (a tag cannot be read across a layout " +
+          "migration)")
     val entries = loadAt(name, version)
     val fs = fileSystem
     val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
@@ -5038,21 +5465,55 @@ class Warehouse(spark: SparkSession, dir: String,
     //   - parent side: keys present now but absent at `version` vanish
     //     in the flip; ON DELETE RESTRICT probes current non-self
     //     children for references to them.
+    // Restored entries read under the TARGET layout (they were written
+    // under it); the live snapshot reads under the head's.
     val spec = specsNow(name)
+    val restoredDf = dfFor(name, entries, layout = Some(targetLayout))
     if (spec.foreignKeys.nonEmpty)
-      enforceForeignKeys(name, dfFor(name, entries),
-        replacedParents = Set(name))
+      enforceForeignKeys(name, restoredDf, replacedParents = Set(name))
     if (childForeignKeys(name).exists(_._1 != name)) {
       import org.apache.spark.sql.functions.col
       val pk = spec.primaryKey
       enforceDeleteRestrict(name, dfFor(name, liveNow)
         .select(pk.map(col): _*)
-        .join(dfFor(name, entries).select(pk.map(col): _*),
+        .join(restoredDf.select(pk.map(col): _*),
           pk, "left_anti"),
         skipChildren = Set(name))
     }
-    commit(name, v + 1, entries,
-      Map("op" -> "restore", "restoredVersion" -> version.toString))
+    if (!flips)
+      commit(name, v + 1, entries,
+        Map("op" -> "restore", "restoredVersion" -> version.toString))
+    else {
+      // a restore across a layout-migration boundary IS a layout
+      // migration in reverse: the commit stamps the flip
+      // (partitionBy/partitionByOld) so every era-aware reader —
+      // [[layoutAtVersion]], the streaming source, the change feeds —
+      // re-anchors across it, and the spec flips like
+      // [[repartitionTable]]'s. Unlike a repartition the commit is a
+      // REAL content change (a rollback), so feeds emit its diff
+      // ([[streamSlice]]'s boundaryHop) instead of netting zero.
+      val old = specsNow(name)
+      specsLock.synchronized {
+        specsNow = specsNow.updated(name,
+          old.copy(partitionBy = targetLayout))
+      }
+      var committed = false
+      try {
+        commit(name, v + 1, entries,
+          Map("op" -> "restore", "restoredVersion" -> version.toString,
+            "partitionBy" -> targetLayout.mkString(","),
+            "partitionByOld" -> headLayout.mkString(",")))
+        committed = true
+        persistSpec(name)
+      } catch { case t: Throwable =>
+        // roll the in-memory layout back ONLY if nothing committed —
+        // the stamp is the truth once the manifest published (a failed
+        // spec publish is what open()'s reconcile repairs)
+        if (!committed)
+          specsLock.synchronized { specsNow = specsNow.updated(name, old) }
+        throw t
+      }
+    }
   }
 
   /** SCHEMA EVOLUTION: append a new column to `name`'s schema. The data
@@ -6349,6 +6810,25 @@ object Warehouse {
   private[graft] def metaCachePut(key: String,
       meta: Map[String, String]): Unit = { metaCache.put(key, meta); () }
 
+  /** One confirmed snapshot's planning facts, distributed-folded once
+    * ([[Warehouse!.lazyRead]]): total bytes, live rows (−1 unknown),
+    * file count, whether any file carries a deletion vector. */
+  private[graft] final case class SnapshotAgg(bytes: Long, rows: Long,
+      files: Long, anyDv: Boolean)
+
+  private val snapshotAggCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, SnapshotAgg](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, SnapshotAgg]): Boolean =
+          size() > 4096
+      })
+
+  private[graft] def snapshotAggGet(key: String): Option[SnapshotAgg] =
+    Option(snapshotAggCache.get(key))
+  private[graft] def snapshotAggPut(key: String,
+      agg: SnapshotAgg): Unit = { snapshotAggCache.put(key, agg); () }
+
   /** Last-observed table-lifetime id per `dir#table` — fed by
     * [[Warehouse!.rawVersions]]' directory listings (and the v1
     * commit's own stamp), consumed by [[Warehouse!.cacheKey]]. In-
@@ -6385,6 +6865,10 @@ object Warehouse {
     }
     metaCache.synchronized {
       val it = metaCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+    snapshotAggCache.synchronized {
+      val it = snapshotAggCache.keySet().iterator()
       while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
     }
   }

@@ -5391,6 +5391,106 @@ object LlmQueries extends QueryPack {
           SELECT 'meta', 'st=' || st, count(*),
                  CAST(NULL AS DOUBLE)
           FROM fin GROUP BY st) z
+        ORDER BY side, k""")),
+
+    // ---- q170: RESTORE ACROSS A LAYOUT MIGRATION under the gate —
+    // round-11's closure of the one read-path asymmetry: a table takes
+    // pre-migration DML, an `ALTER TABLE SET PARTITIONED BY` rewrite,
+    // a post-migration INSERT, then `RESTORE TO VERSION AS OF` a
+    // PRE-migration version (the layout flips back in the same
+    // commit), then post-restore DML under the restored layout. Four
+    // gated sides: the final state itself; a δ-fold consumer whose
+    // watermark PRE-dates everything (its feed must read the rewrite
+    // as zero, the restore hop as its TRUE rollback diff with each
+    // side under its own era's layout, and both inserts exactly — a
+    // wrong hop breaks the hash); the middle (migrated) era's time
+    // travel, re-anchored THROUGH the restore commit's stamp; and the
+    // versioned metadata relation (`t.partitions VERSION AS OF`) whose
+    // per-partition counts DuckDB replays from data.
+    Q("q170_warehouse_restore_across_migration",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q170-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true, // restore + feeds need the old eras
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("mig170_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("oid"),
+            col("o_orderstatus").as("st"),
+            col("o_totalprice").cast("double").as("price"))
+          .createOrReplaceTempView("mig170_src")
+        s.sql("""CREATE TABLE mig170_t (
+                   oid BIGINT, st STRING, price DOUBLE) STATS BY (oid)""")
+        s.sql("INSERT INTO mig170_t SELECT * FROM mig170_src")
+        val wm = wh.versions("t").max
+        val state0 = wh.readVersion("t", wm).groupBy("st")
+          .agg(count(lit(1)).as("n0"), sum(col("price")).as("s0"))
+        s.sql("DELETE FROM mig170_t WHERE oid % 5 = 0")
+        val preV = wh.versions("t").max // flat era: src minus the %5s
+        s.sql("ALTER TABLE mig170_t SET PARTITIONED BY (st)")
+        s.sql("""INSERT INTO mig170_t
+                 SELECT oid + 900000000, st, price
+                 FROM mig170_src WHERE oid % 11 = 0""")
+        val midV = wh.versions("t").max // migrated era, extra %11 rows
+        s.sql(s"RESTORE TABLE mig170_t TO VERSION AS OF $preV")
+        require(wh.tableSpec("t").partitionBy.isEmpty,
+          "q170: the restore must flip the layout back to flat")
+        s.sql("""INSERT INTO mig170_t
+                 SELECT oid + 500000000, st, price
+                 FROM mig170_src WHERE oid % 13 = 0""")
+        val state = wh.read("t").groupBy("st")
+          .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sv"))
+          .select(lit("state").as("side"), col("st").as("k"),
+            col("n"), col("sv"))
+        val feed = wh.readChangeFeed("t", wm)
+        val delta = feed.groupBy("st").agg(
+          sum(col("_change_delta")).as("dn"),
+          sum(col("price") * col("_change_delta")).as("ds"))
+        val fold = state0.join(delta, Seq("st"), "full_outer")
+          .select(lit("fold").as("side"), col("st").as("k"),
+            (coalesce(col("n0"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n"),
+            round(coalesce(col("s0"), lit(0.0)) +
+              coalesce(col("ds"), lit(0.0)), 2).as("sv"))
+          .where(col("n") > 0)
+        val mid = wh.readVersion("t", midV).groupBy("st")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("mid").as("side"), col("st").as("k"),
+            col("n"), lit(null).cast("double").as("sv"))
+        val metav = s.sql(
+          s"""SELECT 'metav' AS side, partition AS k,
+                     CAST(rows AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sv
+              FROM mig170_t.partitions VERSION AS OF $midV""")
+        state.unionByName(fold).unionByName(mid).unionByName(metav)
+          .orderBy("side", "k")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS oid, o_orderstatus AS st,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders),
+        pre AS (SELECT * FROM src WHERE oid % 5 <> 0),
+        mid AS (
+          SELECT * FROM pre
+          UNION ALL
+          SELECT oid + 900000000, st, price FROM src WHERE oid % 11 = 0),
+        fin AS (
+          SELECT * FROM pre
+          UNION ALL
+          SELECT oid + 500000000, st, price FROM src WHERE oid % 13 = 0)
+        SELECT side, k, n, sv FROM (
+          SELECT 'state' AS side, st AS k, count(*) AS n,
+                 round(sum(price), 2) AS sv
+          FROM fin GROUP BY st
+          UNION ALL
+          SELECT 'fold', st, count(*), round(sum(price), 2)
+          FROM fin GROUP BY st
+          UNION ALL
+          SELECT 'mid', st, count(*), CAST(NULL AS DOUBLE)
+          FROM mid GROUP BY st
+          UNION ALL
+          SELECT 'metav', 'st=' || st, count(*), CAST(NULL AS DOUBLE)
+          FROM mid GROUP BY st) z
         ORDER BY side, k"""))
   )
 

@@ -1266,6 +1266,30 @@ object WarehouseSql {
         w.copy(cteRelations = w.cteRelations.map { case (n, body, m) =>
           (n, rewriteReads(spark, body).asInstanceOf[SubqueryAlias], m)
         })
+      // time-traveled METADATA tables: `FROM wh_t.files VERSION AS OF
+      // n` reads the manifest AS OF that version as a relation —
+      // distributed at |files| scale through the same columnar
+      // checkpoint + delta-replay resolution the head uses
+      // ([[Warehouse.entriesRelationAt]])
+      case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
+          if r.multipartIdentifier.size == 2 &&
+            metaTableKinds(r.multipartIdentifier(1).toLowerCase) &&
+            lookup(spark, r.multipartIdentifier.take(1)).isDefined =>
+        val (wh, table) = lookup(spark, r.multipartIdentifier.take(1)).get
+        val v: Long = (ts, ver) match {
+          case (None, Some(x)) => versionOrTag(wh, table, x).getOrElse(
+            throw new IllegalArgumentException(
+              s"$table: unknown tag '$x' (tags: " +
+                s"${wh.tags(table).keys.toSeq.sorted.mkString(", ")})"))
+          case (Some(e), None) => wh.versionAt(table,
+            evalTimestampMillis(r.multipartIdentifier.head, e))
+          case _ => throw new IllegalArgumentException(
+            s"${r.multipartIdentifier.mkString(".")}: time travel needs " +
+              "exactly one of VERSION AS OF <n> / TIMESTAMP AS OF <ts>")
+        }
+        SubqueryAlias(r.multipartIdentifier(1),
+          GraftBridge.analyzed(metaTableDf(spark, wh, table,
+            r.multipartIdentifier(1).toLowerCase, Some(v))))
       case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
           if lookup(spark, r.multipartIdentifier).isDefined =>
         val (wh, table) = lookup(spark, r.multipartIdentifier).get
@@ -1326,17 +1350,31 @@ object WarehouseSql {
     *   - `tags`: tag → pinned version.
     */
   private def metaTableDf(spark: SparkSession, wh: Warehouse,
-      table: String, kind: String): org.apache.spark.sql.DataFrame = {
+      table: String, kind: String,
+      versionAsOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{
       array_join, col, count, expr, lit, slice, split, sum}
-    val parts = wh.partitioning.getOrElse(table, Nil).size
+    versionAsOf.foreach { v =>
+      require(wh.versions(table).contains(v),
+        s"$table has no manifest v$v (vacuumed or never committed)")
+      require(kind == "files" || kind == "partitions",
+        s"$table.$kind: time travel applies to the files/partitions " +
+          "metadata tables only")
+    }
+    // a versioned ask decodes partition dirs under ITS era's layout
+    // depth (a later repartition changed the head's)
+    val parts = versionAsOf
+      .flatMap(v => wh.layoutAtVersion(table, v)).map(_.size)
+      .getOrElse(wh.partitioning.getOrElse(table, Nil).size)
     def dirOf(rel: String): String =
       rel.split('/').init.takeRight(parts).mkString("/")
     // the files/partitions relations plan DISTRIBUTED over the columnar
-    // checkpoint when one serves the head (t.files at 800k entries must
-    // not be a driver fold); small tables fall back to the fold
+    // checkpoint when one serves the asked version (t.files at 800k
+    // entries must not be a driver fold, head or time-traveled); small
+    // tables fall back to the fold
     def filesRel: Option[org.apache.spark.sql.DataFrame] =
-      wh.entriesRelation(table).map { rel =>
+      versionAsOf.fold(wh.entriesRelation(table))(v =>
+        wh.entriesRelationAt(table, v)).map { rel =>
         val part =
           if (parts == 0) lit("")
           else array_join(slice(split(col("rel"), "/"),
@@ -1344,10 +1382,13 @@ object WarehouseSql {
         rel.select(col("rel"), part.as("partition"), col("bytes"),
           col("rows"), col("dvRows").as("dv_rows"))
       }
+    def entriesAsOf(): Seq[graft.pipeline.Warehouse.FileEntry] =
+      versionAsOf.map(v => wh.loadAt(table, v))
+        .getOrElse(wh.loadLatest(table)._2)
     kind match {
       case "files" =>
         filesRel.getOrElse {
-          val (_, entries) = wh.loadLatest(table)
+          val entries = entriesAsOf()
           spark.createDataFrame(entries.map(e =>
               (e.rel, dirOf(e.rel), e.bytes, e.rows, e.dvRows)))
             .toDF("rel", "partition", "bytes", "rows", "dv_rows")
@@ -1359,8 +1400,7 @@ object WarehouseSql {
               sum(col("rows") - col("dv_rows")).as("rows"))
             .orderBy(col("partition"))
         }.getOrElse {
-          val (_, entries) = wh.loadLatest(table)
-          val grouped = entries.groupBy(e => dirOf(e.rel)).toSeq
+          val grouped = entriesAsOf().groupBy(e => dirOf(e.rel)).toSeq
             .map { case (d, es) =>
               (d, es.size.toLong, es.map(_.bytes).sum,
                 es.map(e => e.rows - e.dvRows).sum)

@@ -214,6 +214,94 @@ class ManifestScaleSpec extends SparkSpec {
     assert(viaColumnar._1.exists(_.contains("s=g1")))
   }
 
+  test("a cold partitioned read plans LAZY end-to-end: the scan's own " +
+    "filters prune distributed, the driver never folds the entry list, " +
+    "and results (weird values and null partitions included) are exact") {
+    val dir = Files.createTempDirectory("graft-mlazy-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    // three partitions incl. a hive-escaped value and a NULL partition
+    wh.append("t", Seq((1L, "g0"), (2L, "g0"), (3L, "g1"),
+      (4L, "a/b=c"), (5L, null)).toDF("k", "s"))
+    Warehouse.invalidateCached(s"$dir#t#")
+
+    val prunes = Warehouse.columnarPrunes.get()
+    // partition-equality read: only g0's entries may be collected
+    assert(wh.read("t").where($"s" === "g0").as[(Long, String)]
+      .collect().toSet === Set((1L, "g0"), (2L, "g0")))
+    assert(Warehouse.columnarPrunes.get() > prunes,
+      "the filtered read must prune through the columnar manifest")
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 2L)).isEmpty,
+      "the lazy read must not have folded the entry list on the driver")
+    // escaped partition value round-trips through the segment prune
+    assert(wh.read("t").where($"s" === "a/b=c").as[(Long, String)]
+      .collect().toSet === Set((4L, "a/b=c")))
+    // null partition via IS NULL → the hive default marker
+    assert(wh.read("t").where($"s".isNull).select($"k").as[Long]
+      .collect().toSet === Set(5L))
+    // data-filter stat pruning composes with the lazy path
+    assert(wh.read("t").where($"k" >= 4L && $"s".isNotNull)
+      .as[(Long, String)].collect().toSet === Set((4L, "a/b=c")))
+    // the unfiltered read is exact too (falls back to the full fold
+    // inside listFiles — no translatable filter means every entry is
+    // needed anyway)
+    assert(wh.read("t").count() === 5L)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 2L)).isDefined,
+      "the unfiltered lazy scan folds (and caches) the list exactly once")
+  }
+
+  test("a one-partition read of a 100k-entry table collects only that " +
+    "partition's entries (LazyManifestFileIndex at scale)") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft-mlazy2-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("big" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1000L
+    wh.bootstrap()
+    val n = 100000
+    val lines = new StringBuilder("graft-manifest 1")
+    (0 until n).foreach { i =>
+      lines.append(
+        s"\ns=g${i % 50}/part-$i.parquet\t1048576\tk=$i:${i + 9}\t100\t\t0")
+    }
+    Files.write(
+      Paths.get(dir, "big", "_manifests", "v000000000002.mf"),
+      lines.result().getBytes(StandardCharsets.UTF_8))
+    assert(wh.materializeColumnar("big"))
+    Warehouse.invalidateCached(s"$dir#big#")
+
+    val df = wh.read("big")
+    val index = df.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => h.location
+    }.get
+    assert(index.isInstanceOf[graft.pipeline.LazyManifestFileIndex],
+      "a cold 100k-entry read must plan through the lazy index")
+    // the scan's sizeInBytes is the distributed fold's exact total
+    assert(index.sizeInBytes === n * 1048576L)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty)
+
+    val attr = df.queryExecution.analyzed.output.find(_.name == "s").get
+    val prunes = Warehouse.columnarPrunes.get()
+    val parts = index.listFiles(
+      Seq(EqualTo(attr,
+        Literal(UTF8String.fromString("g7"),
+          org.apache.spark.sql.types.StringType))), Nil)
+    assert(Warehouse.columnarPrunes.get() === prunes + 1)
+    assert(parts.map(_.files.length).sum === n / 50,
+      "exactly one partition's files must survive")
+    assert(parts.forall(_.files.forall(_.getPath.toString.contains("s=g7"))))
+    // and the driver STILL never held the full list
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty,
+      "the one-partition listFiles must not fold the 100k entries")
+  }
+
   test("FK parent probe file-skips through the columnar manifest: a " +
     "child append resolves the parent's candidate files distributed " +
     "when the parent snapshot is not driver-cached") {
@@ -244,5 +332,68 @@ class ManifestScaleSpec extends SparkSpec {
       wh.append("c", Seq((101L, 999L)).toDF("cid", "k"))
     }
     assert(wh.read("c").count() === 1L)
+  }
+
+  test("metadata aggregates (rowCount / minMax / partitionStats) fold " +
+    "DISTRIBUTED when the snapshot is cold and agree with the driver " +
+    "fold exactly, deltas included") {
+    val dir = Files.createTempDirectory("graft-magg-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 4,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    (1 to 5).foreach { i =>
+      wh.append("t", Seq((i.toLong, s"g${i % 2}")).toDF("k", "s")) }
+    wh.delete("t", $"k" === 2L) // a delta remove on top of the v4 .mfp
+    // driver-fold answers (the ops above left the snapshot cached)
+    val drvCount = wh.metaRowCount("t")
+    val drvMm = wh.metaMinMax("t", "k")
+    val drvPs = wh.metaPartitionStats("t", Seq("s")).get.toSet
+    assert(drvCount === Some(4L))
+
+    Warehouse.invalidateCached(s"$dir#t#")
+    val prunes = Warehouse.columnarPrunes.get()
+    assert(wh.metaRowCount("t") === drvCount)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 7L)).isEmpty,
+      "the distributed rowCount must not fold the list on the driver")
+    assert(wh.metaMinMax("t", "k") === drvMm)
+    assert(wh.metaPartitionStats("t", Seq("s")).get.toSet === drvPs)
+    assert(Warehouse.columnarPrunes.get() > prunes,
+      "the cold metadata aggregates must run through the columnar path")
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 7L)).isEmpty)
+  }
+
+  test("versioned metadata tables (t.files VERSION AS OF) resolve " +
+    "through the columnar checkpoint + delta replay, never the driver " +
+    "fold") {
+    val dir = Files.createTempDirectory("graft-mver-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 2,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    graft.sql.WarehouseSql.register(spark, wh, "msv_")
+    (1 to 3).foreach { i =>
+      wh.append("t", Seq((i.toLong, s"v$i")).toDF("k", "s")) }
+    // v2 checkpoint (+.mfp), v3 delta, v4 checkpoint (+.mfp)
+    Warehouse.invalidateCached(s"$dir#t#")
+    val prunes = Warehouse.columnarPrunes.get()
+    assert(spark.sql(
+        "SELECT count(*) FROM msv_t.files VERSION AS OF 2")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(
+        "SELECT count(*) FROM msv_t.files VERSION AS OF 3")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(
+        "SELECT sum(rows) FROM msv_t.partitions VERSION AS OF 3")
+      .head().getLong(0) === 2L)
+    assert(Warehouse.columnarPrunes.get() > prunes)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 2L)).isEmpty
+      && Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 3L)).isEmpty,
+      "versioned metadata tables must not fold entry lists driver-side")
+    // head ask unchanged
+    assert(spark.sql("SELECT count(*) FROM msv_t.files")
+      .head().getLong(0) === 3L)
   }
 }

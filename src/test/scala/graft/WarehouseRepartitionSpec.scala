@@ -104,9 +104,11 @@ class WarehouseRepartitionSpec extends SparkSpec {
       wh.readVersion("t", preV)
     }
     assert(rv.getMessage.contains("retainReplaced"))
-    // restore still refuses to cross (it would rewire old-layout dirs
-    // under a new-layout spec)
-    intercept[IllegalArgumentException] { wh.restore("t", preV) }
+    // restore CAN cross now (it flips the layout back — see the
+    // dedicated test), but not without the old era's FILES: eager
+    // retention GC'd them, so it refuses with the retention story
+    val rr = intercept[IllegalArgumentException] { wh.restore("t", preV) }
+    assert(rr.getMessage.contains("retainReplaced"))
     // the per-commit attributed feed crosses too: the migration commit
     // itself attributes ZERO rows (content-identity rewrite)
     val attributed = wh.readChangeFeedVersioned("t", preV)
@@ -159,6 +161,64 @@ class WarehouseRepartitionSpec extends SparkSpec {
     wh3.append("t", rows(11L to 12L))
     wh3.repartitionTable("t", Seq("grp")) // eager GC drops the old era
     assert(!wh3.changeFeedReadable("t", wm3))
+  }
+
+  test("restore CROSSES a layout-migration boundary with retention: " +
+    "the layout flips back, post-restore DML works, middle-era time " +
+    "travel re-anchors, and change feeds across the restore sandwich " +
+    "stay exact") {
+    val dir = Files.createTempDirectory("graft-repres-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = true,
+      specs = Map("t" -> spec))
+    wh.bootstrap()
+    wh.append("t", rows(1L to 30L))
+    val wm = wh.versions("t").max // δ-fold consumer's watermark (v2)
+    wh.append("t", rows(31L to 35L))
+    val preV = wh.versions("t").max // v3: flat, ids 1..35
+    wh.repartitionTable("t", Seq("grp")) // v4: flip to grp
+    wh.append("t", rows(36L to 40L)) // v5: grp era
+    val midV = wh.versions("t").max
+
+    // a tag would pin the current layout across the flip — refuse
+    wh.createTag("t", "pin")
+    val tg = intercept[IllegalArgumentException] { wh.restore("t", preV) }
+    assert(tg.getMessage.contains("tag"))
+    wh.dropTag("t", "pin")
+
+    wh.restore("t", preV) // v6: rollback ACROSS the migration
+    // the layout flipped back, in memory and persisted
+    assert(wh.tableSpec("t").partitionBy === Nil)
+    assert(Warehouse.open(spark, dir).tableSpec("t").partitionBy === Nil)
+    assert(wh.read("t").select("id").as[Long].collect().toSet ===
+      (1L to 35L).toSet)
+    val meta = wh.history("t").last._2
+    assert(meta("op") === "restore" && meta("partitionByOld") === "grp")
+    // post-restore DML lands under the restored (flat) layout
+    wh.append("t", rows(41L to 42L)) // v7
+    assert(wh.read("t").count() === 37L)
+    // the middle (grp) era still time-travels, re-anchored through the
+    // restore commit's partitionByOld stamp
+    val mid = wh.readVersion("t", midV)
+    assert(mid.count() === 40L)
+    assert(mid.where($"grp" === "g1").count() > 0L)
+
+    // δ change feed across the whole sandwich: migration nets zero,
+    // the RESTORE hop emits its true diff (−grp-era content, +restored
+    // content), and the fold lands exactly on the final state
+    assert(wh.changeFeedReadable("t", wm))
+    val feed = wh.readChangeFeed("t", wm)
+    assert(feed.agg(sum($"_change_delta")).head().getLong(0) === 7L)
+    assert(feed.agg(sum($"id" * $"_change_delta")).head().getLong(0) ===
+      (31L to 35L).sum + 41L + 42L)
+    // attributed feed: repartition attributes ZERO, the restore commit
+    // attributes its full rollback diff (35 adds + 40 removes)
+    val attributed = wh.readChangeFeedVersioned("t", wm)
+    assert(attributed.where($"_commit_version" === (preV + 1)).count()
+      === 0L)
+    assert(attributed.where($"_commit_version" === (midV + 1)).count()
+      === 75L)
+    assert(attributed.agg(sum($"id" * $"_change_delta")).head().getLong(0)
+      === (31L to 35L).sum + 41L + 42L)
   }
 
   test("crash between commit and spec publish: open() adopts the " +
