@@ -204,14 +204,50 @@ object IndexStore {
     * writes batch-sized files and batch-sized sidecars: per-epoch
     * maintenance cost is O(batch) regardless of corpus size, which is
     * what makes the bloom-skipped membership probe a net win at scale.
-    * Small files accumulate at one-per-epoch and [[compactIndex]]
-    * folds them down. Batch [[refreshMinhash]] stays the merge path
-    * (it must also REPLACE signatures of updated docs).
+    * Small files accumulate at one-per-epoch; [[maybeCompactFiles]]
+    * (folded into the maintained stream's epoch loop) bounds them.
+    * Batch [[refreshMinhash]] stays the merge path (it must also
+    * REPLACE signatures of updated docs).
+    *
+    * DUPLICATE-ID CONTRACT (deliberate, documented): the append is
+    * keyed by NOTHING — a doc re-arriving with the same id but CHANGED
+    * content (a new sigkey) passes the content anti-join and appends a
+    * SECOND row for that id, where [[refreshMinhash]]'s merge would
+    * replace the first. That is the dedupe-on-arrival contract working
+    * as intended (new content is new content; keying the probe on id
+    * would wrongly drop changed docs from `accepted`), and it cannot
+    * produce wrong PAIRS: every near-dup probe joins candidates back
+    * to the LIVE source text for exact verification, so a stale
+    * signature row can at worst propose a candidate the verifier then
+    * scores against current text. It can skew candidate GENERATION
+    * (an id surfaces via either signature) and wastes index bytes —
+    * reconcile with [[compactIndex]] + [[refreshMinhash]] (merge-by-id
+    * replaces stale rows) when id-uniqueness of the index matters.
     */
   def appendMinhashRows(wh: Warehouse, src: String, idx: String,
       idCol: String, rows: DataFrame, srcVersion: Long): Unit = {
     wh.append(idx, rows, txn = Some((txnId(src), srcVersion)))
     ()
+  }
+
+  /** Bound the streaming maintainer's one-file-per-epoch accumulation:
+    * when `idx`'s LIVE FILE COUNT exceeds `maxFiles`, bin-pack its
+    * small files ([[Warehouse!.compact]] — content-invariant, commits
+    * like any rewrite, and the rewritten files get fresh bloom
+    * sidecars from the write path, so the strict-subset membership
+    * probe keeps skipping). The count is a driver-held manifest fact;
+    * the check costs nothing on the epochs that don't trigger. Crash/
+    * replay-safe the way every maintenance rewrite is: a replayed
+    * epoch just re-checks the (now small) file count and moves on.
+    *
+    * @return true when a compaction ran
+    */
+  def maybeCompactFiles(wh: Warehouse, idx: String,
+      maxFiles: Int): Boolean = {
+    if (maxFiles <= 0) return false
+    if (wh.loadLatest(idx)._2.size <= maxFiles) return false
+    wh.compact(idx)
+    true
   }
 
   /** Near-dup pairs from the PERSISTED signatures: the LSH band join

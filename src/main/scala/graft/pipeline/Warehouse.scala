@@ -6549,22 +6549,15 @@ class Warehouse(spark: SparkSession, dir: String,
       val liveDvs = kept.flatMap(loadAt(name, _))
         .collect { case e if e.dv.nonEmpty && !new Path(e.dv).isAbsolute =>
           e.dv } .toSet ++ live.filter(_.startsWith("_dv/"))
-      fs.listStatus(dvDir).foreach { st =>
-        if (!liveDvs.contains(s"_dv/${st.getPath.getName}"))
-          fs.delete(st.getPath, false)
-      }
+      sweepSidecars(dvDir, n => liveDvs.contains(s"_dv/$n"))
     }
     // bloom/ndv sidecars of non-live files (replaced past retention,
     // crash leftovers): keep any sidecar whose rel-hash prefix matches
     // a live file, drop the rest
+    val liveHashes = live.map(relHash)
     Seq(bloomDir(name), ndvDir(name)).foreach { sdir =>
-      if (fs.exists(sdir)) {
-        val liveHashes = live.map(relHash)
-        fs.listStatus(sdir).foreach { st =>
-          if (!liveHashes.contains(st.getPath.getName.takeWhile(_ != '-')))
-            fs.delete(st.getPath, false)
-        }
-      }
+      if (fs.exists(sdir))
+        sweepSidecars(sdir, n => liveHashes.contains(n.takeWhile(_ != '-')))
     }
     // delta-manifest retention invariant: the oldest KEPT version must
     // be self-contained after its ancestors are deleted — materialize
@@ -6597,6 +6590,52 @@ class Warehouse(spark: SparkSession, dir: String,
       fs.delete(mfpPath(name, mv), true) // columnar sidecar dies with it
     }
     n
+  }
+
+  /** Doomed-sidecar count at or above which [[sweepSidecars]]' deletes
+    * run as a Spark job instead of a serial driver loop. `var` so
+    * specs exercise the job path on small directories.
+    */
+  private[graft] var sidecarSweepThreshold: Int = 4096
+
+  /** Delete every file of `sdir` whose NAME fails `keep` — the shared
+    * sweep under vacuum's three sidecar passes (`_dv`, `_bloomidx`,
+    * `_ndvidx`). The listing STREAMS names (never an O(|sidecars|)
+    * FileStatus array on the driver) and membership is driver-side
+    * string work against sets vacuum already holds; at
+    * [[sidecarSweepThreshold]]+ doomed files the DELETES run as a
+    * Spark job — the last maintenance-path O(|files|) serial driver
+    * RPC loop, ~10⁶ round-trips on one node at the design point. The
+    * job path is the driver loop verbatim, sliced across tasks: same
+    * doomed set, same per-file delete, so the two are result-identical
+    * by construction (and spec-pinned).
+    *
+    * @return doomed-file count
+    */
+  private def sweepSidecars(sdir: Path, keep: String => Boolean): Long = {
+    val fs = fileSystem
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listStatusIterator(sdir)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!keep(n)) doomed += n
+    }
+    if (doomed.size < sidecarSweepThreshold)
+      doomed.foreach(n => fs.delete(new Path(sdir, n), false))
+    else {
+      Warehouse.distributedSidecarSweeps.incrementAndGet()
+      val dirStr = sdir.toString
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        hadoopConf)
+      val parts = math.max(1, math.min(64, doomed.size / 4096 + 1))
+      spark.sparkContext.parallelize(doomed.toSeq, parts)
+        .foreachPartition { names =>
+          val base = new Path(dirStr)
+          val tfs = base.getFileSystem(conf.value)
+          names.foreach(n => tfs.delete(new Path(base, n), false))
+        }
+    }
+    doomed.size.toLong
   }
 
   /** FSCK: manifest ↔ filesystem consistency audit, read-only. Returns
@@ -6884,6 +6923,10 @@ object Warehouse {
   /** Bloom sidecar probe sets served as a Spark job (candidate count
     * over [[Warehouse!.bloomProbeDistributedThreshold]]). */
   private[graft] val distributedBloomProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Vacuum sidecar sweeps whose deletes ran as a Spark job (doomed
+    * count over [[Warehouse!.sidecarSweepThreshold]]). */
+  private[graft] val distributedSidecarSweeps =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A manifest version another writer committed first. Appends resolve

@@ -164,12 +164,20 @@ object StreamingIngest {
     * re-hash, no full-corpus scan per epoch); the index merge rewrites
     * only the id-hash partitions the batch touches.
     */
+  /** @param compactAfterFiles auto-compaction bound for the signature
+    *   index: the append-only maintainer accumulates one file+sidecar
+    *   per epoch by design, and once the index's live file count
+    *   exceeds this, the epoch loop folds them down
+    *   ([[graft.pipeline.IndexStore.maybeCompactFiles]], txn-safe like
+    *   every rewrite). 0 disables (manual compactIndex cadence).
+    */
   def dedupeOnArrivalStream(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
       wh: graft.pipeline.Warehouse, accepted: String, idx: String,
       checkpointDir: String, queryId: String = "dedupe_arrival",
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, numHashes: Int = 16, nParts: Int = 16): StreamingQuery =
+      n: Int = 3, numHashes: Int = 16, nParts: Int = 16,
+      compactAfterFiles: Int = 64): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -208,6 +216,12 @@ object StreamingIngest {
           graft.pipeline.IndexStore.appendMinhashRows(wh, accepted, idx,
             idCol, fresh.select(col(idCol), col("part"), col("sig"),
               col("sigkey")), v)
+          // bound the per-epoch small files (see param doc) — after
+          // the append so a triggering epoch still commits its rows
+          // first and a crash between the two is replay-convergent
+          graft.pipeline.IndexStore.maybeCompactFiles(wh, idx,
+            compactAfterFiles)
+          ()
         } finally { fresh.unpersist(); firsts.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)

@@ -128,6 +128,61 @@ class SnapshotLifecycleSpec extends SparkSpec {
       Set((10L, "new"), (20L, "new"), (30L, "new")))
   }
 
+  test("vacuum's sidecar sweep runs as a Spark job above the " +
+    "threshold, with the same result as the driver loop: orphans die, " +
+    "live sidecars survive") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-sweep-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = false,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("k"), bloomColumns = Seq("s"),
+        ndvColumns = Seq("s"))))
+    wh.bootstrap()
+    wh.append("t", (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"))
+    // replace files first (eager GC drops the data files; their
+    // bloom/ndv sidecars stay behind as orphans for the sweep) ...
+    wh.delete("t", col("k") === 5L)
+    // ... then two vectored deletes on the REWRITTEN file: the first
+    // sidecar is superseded by the union vector — a `_dv` orphan
+    wh.deleteVectored("t", col("k") === 3L)
+    wh.deleteVectored("t", col("k") === 4L)
+    def names(sub: String): Set[String] = {
+      val p = Paths.get(dir, "t", sub)
+      if (!Files.exists(p)) Set.empty
+      else {
+        val b = Set.newBuilder[String]
+        Files.list(p).forEach(x => b += x.getFileName.toString)
+        b.result().filterNot(_.startsWith("."))
+      }
+    }
+    val dvBefore = names("_dv")
+    assert(dvBefore.size === 2)
+    val sweeps = Warehouse.distributedSidecarSweeps.get()
+    wh.sidecarSweepThreshold = 1 // every doomed set goes distributed
+    wh.vacuum("t", keepManifests = 1)
+    assert(Warehouse.distributedSidecarSweeps.get() > sweeps,
+      "the sweep must have run as a Spark job")
+    // superseded DV gone, the live union vector survives, reads exact
+    assert(names("_dv").size === 1)
+    assert(wh.read("t").count() === 17L)
+    // every surviving bloom/ndv sidecar belongs to a live file, and
+    // every live file still has both its sidecars (same result the
+    // driver loop always produced — liveness is the only criterion)
+    val live = wh.loadLatest("t")._2.map(_.rel).toSet
+    val liveHashes = live.map(rel =>
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(rel.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString)
+    Seq("_bloomidx", "_ndvidx").foreach { sub =>
+      val ns = names(sub)
+      assert(ns.nonEmpty)
+      assert(ns.forall(n => liveHashes.contains(n.takeWhile(_ != '-'))),
+        s"$sub: an orphan sidecar survived the distributed sweep")
+      assert(liveHashes.forall(h => ns.exists(_.startsWith(h))),
+        s"$sub: a live file's sidecar was wrongly deleted")
+    }
+  }
+
   test("snapshot cache budgets by approximate bytes and evicts LRU " +
     "under pressure") {
     val dir = Files.createTempDirectory("graft-lifeb-").toString

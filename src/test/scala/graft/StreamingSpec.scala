@@ -154,6 +154,54 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.count() === 0L) // accepted set is dup-free by construction
   }
 
+  test("streaming dedupe auto-compaction bounds the index's " +
+      "one-file-per-epoch accumulation; dedup semantics and the " +
+      "bloom-skipped probe survive the fold") {
+    val root = Files.createTempDirectory("graft-stream-cmp")
+    val src = s"$root/src"
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val schema = docs((0L, "")).schema
+    val wh = new graft.pipeline.Warehouse(spark, s"$root/wh",
+      specs = Map("acc" -> graft.pipeline.Warehouse.TableSpec(
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))))
+    wh.bootstrap()
+    // nParts = 2 so epochs actually share partition dirs — compaction
+    // folds WITHIN partitions (the hash layout is the merge key's home)
+    def run(): Unit = StreamingIngest.dedupeOnArrivalStream(
+      spark, src, schema, wh, "acc", "sig_idx", s"$root/ckp",
+      nParts = 2, compactAfterFiles = 3).awaitTermination()
+    // 6 epochs, one new doc each (plus one cross-epoch duplicate at
+    // the end) — without compaction the index would accumulate ~one
+    // file per epoch
+    (1 to 6).foreach { i =>
+      docs(i.toLong -> s"epoch $i words alpha beta $i gamma delta")
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+    }
+    assert(wh.read("acc").count() === 6L)
+    val files = wh.loadLatest("sig_idx")._2
+    assert(files.size <= 4,
+      s"auto-compaction must bound index files, got ${files.size}")
+    // dedup across the compaction: a duplicate of epoch 2 still drops
+    docs(100L -> "epoch 2 words alpha beta 2 gamma delta")
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(wh.read("acc").count() === 6L,
+      "cross-epoch duplicate must still be rejected after compaction")
+    // the strict-subset probe property survives: compacted files carry
+    // fresh bloom sidecars, so probeKeys still serves (and admits the
+    // signature of the duplicate it just rejected)
+    val sig = graft.pipeline.IndexStore.minhashRows(
+      docs(100L -> "epoch 2 words alpha beta 2 gamma delta"),
+      "doc_id", "text", 3, 16, 2).select("sigkey")
+    val probe = wh.probeKeys("sig_idx", Seq("sigkey"), sig)
+    assert(probe.isDefined, "bloom sidecars must exist after compaction")
+    assert(probe.get.join(sig, Seq("sigkey"), "left_semi").count() >= 1L)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch q14 form") {
     val root = Files.createTempDirectory("graft-stream-sess")
     val (src, ckp) = (s"$root/src", s"$root/ckp")
