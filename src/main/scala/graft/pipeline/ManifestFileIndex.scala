@@ -308,12 +308,21 @@ object ManifestFileIndex {
     * Only segments whose literal renders EXACTLY as the write path
     * rendered it ([[Warehouse]]'s partitionDir: external `toString` +
     * Hive escape) become constraints — string/integral/boolean/date
-    * types. Anything else (timestamps' ambiguous external form, casts,
-    * disjunctive predicates) contributes NO constraint: missing a
-    * prune is sound, inventing one is not.
+    * types, plus timestamps when `utcRender` (below). Anything else
+    * (casts, disjunctive predicates) contributes NO constraint:
+    * missing a prune is sound, inventing one is not.
+    *
+    * @param utcRender the session's `spark.sql.session.timeZone` is
+    *   exactly "UTC" — the engine's write contract (GraftSession pins
+    *   it), under which Spark's partitioned write renders TimestampType
+    *   dir values through `Cast(v, StringType)` in UTC, making the
+    *   rendering reproducible here via the same Cast. A non-UTC session
+    *   contributes no timestamp constraint (status quo — sound).
+    *   TimestampNTZ renders timezone-free, so it needs no gate.
     */
   private[pipeline] def partitionSegments(filters: Seq[Expression],
-      partitionSchema: StructType): Seq[Seq[String]] = {
+      partitionSchema: StructType,
+      utcRender: Boolean = false): Seq[Seq[String]] = {
     def flat(e: Expression): Seq[Expression] = e match {
       case And(l, r) => flat(l) ++ flat(r)
       case other => Seq(other)
@@ -335,6 +344,16 @@ object ManifestFileIndex {
         case (b: Boolean, BooleanType) => Some(b.toString)
         case (d: Int, DateType) =>
           Some(java.time.LocalDate.ofEpochDay(d.toLong).toString)
+        // the writer-exact rendering: Spark's dynamic-partition write
+        // renders dir values via Cast-to-string (session TZ for
+        // TimestampType — reproducible only under the UTC contract;
+        // TZ-free for NTZ)
+        case (l: Long, TimestampType) if utcRender =>
+          Some(Cast(Literal(l, TimestampType), StringType, Some("UTC"))
+            .eval(InternalRow.empty).asInstanceOf[UTF8String].toString)
+        case (l: Long, TimestampNTZType) =>
+          Some(Cast(Literal(l, TimestampNTZType), StringType, Some("UTC"))
+            .eval(InternalRow.empty).asInstanceOf[UTF8String].toString)
         case _ => None
       }
       raw.map(r => ExternalCatalogUtils.getPartitionPathString(c, r))
@@ -369,6 +388,71 @@ object ManifestFileIndex {
         if (alts.isEmpty || alts.exists(_.isEmpty)) None
         else Some(alts.map(a => wrap(a.get)))
       case _ => None // unknown shape: no constraint (sound)
+    }
+  }
+
+  /** HIDDEN PARTITIONING, distributed: `/k=v/` segment constraints for
+    * GENERATED partition columns, derived from DATA filters on their
+    * BASE columns — the same monotone-map derivation `listFiles`' exact
+    * pass applies ([[ManifestFileIndex.listFiles]]'s `derivedPart`),
+    * lowered to path segments the columnar-manifest prune can evaluate.
+    * For pruner `p ← (b, f monotone non-decreasing)` and a pushed
+    * envelope `[lo, hi]` on `b`, matching rows live only in dirs with
+    * `f(lo) ≤ v ≤ f(hi)`; that derived range becomes an enumerated
+    * disjunction of writer-exact segments when it is small enough to
+    * enumerate — dates and integrals up to [[derivedEnumCap]] values,
+    * timestamps only at a point (their step is not unit). An
+    * un-enumerable or contradictory range contributes NO constraint
+    * (sound). Sentinel envelope bounds (an unbounded comparison)
+    * contribute nothing: `f` must not be fed Long.Min/MaxValue.
+    * Null-valued dirs (null base → hive default dir) are excluded by
+    * construction — sound, because a pushed comparison on `b` never
+    * matches a null-`b` row, and a generated dir holds only rows whose
+    * base maps to its value.
+    */
+  private[pipeline] val derivedEnumCap = 64L
+  private[pipeline] def derivedSegments(dataFilters: Seq[Expression],
+      genPruners: Map[String, (String, Long => Long)],
+      partitionSchema: StructType,
+      utcRender: Boolean = false): Seq[Seq[String]] = {
+    if (genPruners.isEmpty) return Nil
+    val env = envelopeRanges(dataFilters)
+    def wrap(c: String, r: String): String =
+      "/" + ExternalCatalogUtils.getPartitionPathString(c, r) + "/"
+    genPruners.toSeq.sortBy(_._1).flatMap { case (p, (b, f)) =>
+      val i = partitionSchema.indexWhere(_.name == p)
+      if (i < 0) None
+      else env.get(b).flatMap { case (lo0, hi0) =>
+        if (lo0 == Long.MinValue || hi0 == Long.MaxValue ||
+            lo0 > hi0) None
+        else {
+          val (lo, hi) = (f(lo0), f(hi0))
+          // overflow-safe span: a wrapped difference (huge integral
+          // range) must not look enumerable
+          val enumerable =
+            lo <= hi && hi - lo >= 0L && hi - lo < derivedEnumCap
+          partitionSchema(i).dataType match {
+            case DateType if enumerable =>
+              Some((lo to hi).map(d =>
+                wrap(p, java.time.LocalDate.ofEpochDay(d).toString)))
+            case IntegerType | LongType | ShortType | ByteType
+                if enumerable =>
+              Some((lo to hi).map(v => wrap(p, v.toString)))
+            case TimestampType if lo == hi && utcRender =>
+              Some(Seq(wrap(p,
+                Cast(Literal(lo, TimestampType), StringType, Some("UTC"))
+                  .eval(InternalRow.empty).asInstanceOf[UTF8String]
+                  .toString)))
+            case TimestampNTZType if lo == hi =>
+              Some(Seq(wrap(p,
+                Cast(Literal(lo, TimestampNTZType), StringType,
+                    Some("UTC"))
+                  .eval(InternalRow.empty).asInstanceOf[UTF8String]
+                  .toString)))
+            case _ => None
+          }
+        }
+      }
     }
   }
 }

@@ -1127,6 +1127,38 @@ class Warehouse(spark: SparkSession, dir: String,
         .toDF("rel", "bytes", "rows", "dv", "dvRows")))
   }
 
+  /** `version`'s live entries WITHOUT their stats maps — the bounded
+    * driver representation for scans that need every file but no
+    * skipping: the lazy path's UNFILTERED cold scans and `inputFiles`,
+    * which previously fell back to the full [[loadAt]] fold (~0.3 GB of
+    * FileEntry state at 800k entries, dominated by the per-entry stats
+    * maps). Collected DISTRIBUTED from the columnar checkpoint + delta
+    * replay at ~150 B/entry (rel + counters only — the stats maps, the
+    * heavy term, are never built), memoized per confirmed version under
+    * an entry-count budget ([[Warehouse.slimEntryBudget]]). Sound
+    * wherever no stat skipping is possible: a scan with NO translatable
+    * data filter treats absent stats as keep-everything, which here is
+    * exactly right. None when no columnar checkpoint serves the
+    * version.
+    */
+  private[graft] def slimEntriesAt(name: String,
+      version: Long): Option[Seq[FileEntry]] = {
+    val key = cacheKey(name, version)
+    Warehouse.slimCacheGet(key) match {
+      case Some(hit) => return Some(hit)
+      case None =>
+    }
+    val rel = entriesRelationAt(name, version).getOrElse(return None)
+    val slim = rel.select("rel", "bytes", "rows", "dv", "dvRows")
+      .collect().toSeq
+      .map(r => FileEntry(r.getString(0), r.getLong(1),
+        Map.empty[String, (Long, Long)], r.getLong(2), r.getString(3),
+        r.getLong(4)))
+      .sortBy(_.rel)
+    Warehouse.slimCachePut(key, slim)
+    Some(slim)
+  }
+
   /** @param relConjuncts CNF of `/k=v/` path-segment constraints from
     *   partition-filter translation ([[ManifestFileIndex.partitionSegments]]):
     *   every outer element must match (some alternative substring of
@@ -1139,6 +1171,17 @@ class Warehouse(spark: SparkSession, dir: String,
       relConjuncts: Seq[Seq[String]] = Nil): Option[Seq[FileEntry]] = {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val fs = fileSystem
+    // identical (version, filter-shape) asks memoize: 100 sequential
+    // filtered reads of one cold table run ONE distributed prune per
+    // distinct filter, not one per query (confirmed versions are
+    // immutable, so the survivor list is too)
+    val memoKey = cacheKey(name, version) + "#" +
+      ranges.toSeq.sortBy(_._1).mkString(";") + "#" +
+      relConjuncts.map(_.mkString("|")).mkString("&")
+    Warehouse.pruneMemoGet(memoKey) match {
+      case Some(hit) => return Some(hit)
+      case None =>
+    }
     val ckpt = checkpointBelow(name, version)
       .filter(v => fs.exists(mfpPath(name, v)))
       .getOrElse(return None)
@@ -1151,7 +1194,10 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val slashRel = concat(lit("/"), col("rel"))
     val cond = relConjuncts.foldLeft(statCond) { (acc, alts) =>
-      acc && alts.map(s => slashRel.contains(lit(s))).reduce(_ || _)
+      // an EMPTY disjunction (a derived constraint whose enumerable
+      // value set is empty — contradictory pushed ranges) keeps nothing
+      if (alts.isEmpty) acc && lit(false)
+      else acc && alts.map(s => slashRel.contains(lit(s))).reduce(_ || _)
     }
     val statColsInDf = base.columns.toSeq.collect {
       case n if n.startsWith("__lo_") => n.stripPrefix("__lo_") }
@@ -1175,10 +1221,12 @@ class Warehouse(spark: SparkSession, dir: String,
     def relKeep(e: FileEntry): Boolean = relConjuncts.forall(alts =>
       alts.exists(s => ("/" + e.rel).contains(s)))
     Warehouse.columnarPrunes.incrementAndGet()
-    Some((survivors.iterator
+    val result = (survivors.iterator
       .filterNot(e => removed(e.rel) || upserts.contains(e.rel)) ++
       upserts.valuesIterator.filter(e => overlaps(e) && relKeep(e)))
-      .toSeq.sortBy(_.rel))
+      .toSeq.sortBy(_.rel)
+    Warehouse.pruneMemoPut(memoKey, result)
+    Some(result)
   }
 
   /** `version`'s entries restricted to `ranges`, picking the cheapest
@@ -2345,10 +2393,9 @@ class Warehouse(spark: SparkSession, dir: String,
         // The 100 TB shape: a COLD open of a columnar-checkpointed
         // table plans LAZY — the driver never folds the entry list;
         // the scan's own partition/data filters prune DISTRIBUTED at
-        // listFiles time ([[LazyManifestFileIndex]]). A cached
-        // snapshot is already free driver-side and keeps the richer
-        // eager plan (per-column NDV stats, DV application), so it
-        // wins when present.
+        // listFiles time ([[LazyManifestFileIndex]]), deletion vectors
+        // and per-column statistics included. A cached snapshot is
+        // already free driver-side, so it wins when present.
         if (Warehouse.snapshotCacheGet(cacheKey(name, v)).isEmpty)
           lazyRead(name, v) match {
             case Some(df) => return df
@@ -2379,15 +2426,147 @@ class Warehouse(spark: SparkSession, dir: String,
       coalesce(sum(col("rows") - col("dvRows")), lit(0L)),
       coalesce(min(col("rows")), lit(0L)),
       count(lit(1)),
-      coalesce(max(when(col("dvRows") > lit(0L), 1).otherwise(0)), lit(0)))
+      coalesce(max(when(col("dvRows") > lit(0L), 1).otherwise(0)), lit(0)),
+      coalesce(sum(col("rows")), lit(0L)),
+      coalesce(sum(col("dvRows")), lit(0L)))
       .head()
+    val rowsKnown = r.getLong(2) >= 0L
     val agg = Warehouse.SnapshotAgg(
       bytes = r.getLong(0),
-      rows = if (r.getLong(2) < 0L) -1L else r.getLong(1),
+      rows = if (!rowsKnown) -1L else r.getLong(1),
       files = r.getLong(3),
-      anyDv = r.getInt(4) > 0)
+      anyDv = r.getInt(4) > 0,
+      physRows = if (!rowsKnown) -1L else r.getLong(5),
+      dvSum = r.getLong(6))
     Warehouse.snapshotAggPut(key, agg)
     Some(agg)
+  }
+
+  /** Per-column [min, max] extrema over `version`'s live entries,
+    * distributed-folded from the columnar checkpoint (one metadata-
+    * sized agg) + driver-merged batch-bounded delta upserts — the lazy
+    * path's half of [[statsRelation]]'s min/max publication. A column
+    * qualifies only when EVERY live entry carries its stat (a missing
+    * stat anywhere withholds the column — never a wrong envelope).
+    * Memoized per confirmed version; empty when no columnar checkpoint
+    * serves it.
+    */
+  private def lazyColMinMax(name: String,
+      version: Long): Map[String, (Long, Long)] = {
+    val key = cacheKey(name, version)
+    Warehouse.lazyMinMaxGet(key) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    import org.apache.spark.sql.functions.{
+      broadcast, col, count, lit, max, min, sum, when}
+    val fs = fileSystem
+    val ckpt = checkpointBelow(name, version)
+      .filter(v => fs.exists(mfpPath(name, v)))
+      .getOrElse(return Map.empty)
+    val (removed, upserts) = deltaState(name, ckpt, version)
+    val base = spark.read.parquet(mfpPath(name, ckpt).toString)
+    val statCols = base.columns.toSeq.collect {
+      case n if n.startsWith("__lo_") => n.stripPrefix("__lo_") }
+    if (statCols.isEmpty) {
+      Warehouse.lazyMinMaxPut(key, Map.empty); return Map.empty
+    }
+    val touched = (removed ++ upserts.keysIterator).toSeq.sorted
+    val kept =
+      if (touched.isEmpty) base
+      else base.join(
+        broadcast(spark.createDataFrame(touched.map(Tuple1(_)))
+          .toDF("rel")),
+        Seq("rel"), "left_anti")
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(s"__lo_$c")), max(col(s"__hi_$c")),
+      sum(when(col(s"__lo_$c").isNull, 1L).otherwise(0L))))
+    Warehouse.columnarPrunes.incrementAndGet()
+    val r = kept.agg(count(lit(1)), aggs: _*).head()
+    val keptCount = r.getLong(0)
+    val ups = upserts.valuesIterator.toSeq
+    val out: Map[String, (Long, Long)] =
+      statCols.zipWithIndex.flatMap { case (c, i) =>
+        val (loI, hiI, nullI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+        val coveredBase = keptCount == 0L ||
+          (!r.isNullAt(nullI) && r.getLong(nullI) == 0L)
+        if (!coveredBase || ups.exists(e => !e.stats.contains(c))) None
+        else {
+          val ranges = (if (keptCount == 0L) Nil
+            else Seq((r.getLong(loI), r.getLong(hiI)))) ++
+            ups.flatMap(_.stats.get(c))
+          if (ranges.isEmpty) None
+          else Some(c -> ((ranges.map(_._1).min, ranges.map(_._2).max)))
+        }
+      }.toMap
+    Warehouse.lazyMinMaxPut(key, out)
+    out
+  }
+
+  /** NDV estimates over `version`'s live entries — the lazy
+    * counterpart of [[ndvEstimates]]: the same per-file HLL sidecar
+    * union, but with the rel list STREAMED from the columnar
+    * checkpoint + delta replay instead of a driver-held entry list
+    * (the driver never sees a rel). A missing sidecar anywhere
+    * withholds the column (never undercount). Memoized per confirmed
+    * version — complete answers only, like [[ndvEstimates]]' memo.
+    */
+  private def lazyNdv(name: String, version: Long): Map[String, Long] = {
+    val cols = specsNow.get(name).map(_.ndvColumns).getOrElse(Nil)
+    if (cols.isEmpty) return Map.empty
+    val key = cacheKey(name, version) + "#" + cols.mkString(",")
+    Warehouse.lazyNdvGet(key) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    val rel = entriesRelationAt(name, version).getOrElse(return Map.empty)
+    val ndir = ndvDir(name).toString
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      hadoopConf)
+    val colsB = spark.sparkContext.broadcast(cols)
+    val partials = rel.select("rel").rdd.map(_.getString(0))
+      .mapPartitions { it =>
+        // sidecar names are sha1(rel)-col.hll ([[ndvFileName]]),
+        // recomputed task-side so only the partials travel back
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        def nameOf(r: String, c: String): String =
+          md.digest(r.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString + s"-$c.hll"
+        val base = new Path(ndir)
+        val tfs = base.getFileSystem(conf.value)
+        val cs = colsB.value
+        val unions = cs.map(_ =>
+          new org.apache.datasketches.hll.Union(12))
+        val missing = Array.fill(cs.size)(false)
+        it.foreach { r =>
+          cs.zipWithIndex.foreach { case (c, i) =>
+            if (!missing(i)) {
+              val p = new Path(base, nameOf(r, c))
+              if (!tfs.exists(p)) missing(i) = true
+              else {
+                val in = tfs.open(p)
+                val bytes = try in.readAllBytes() finally in.close()
+                unions(i).update(org.apache.datasketches.hll
+                  .HllSketch.heapify(bytes))
+              }
+            }
+          }
+        }
+        Iterator.single(cs.indices.map(i =>
+          (i, missing(i), unions(i).getResult.toCompactByteArray)).toSeq)
+      }.collect()
+    colsB.destroy()
+    val out: Map[String, Long] = cols.zipWithIndex.flatMap { case (c, i) =>
+      if (partials.isEmpty || partials.exists(_(i)._2)) None
+      else {
+        val u = new org.apache.datasketches.hll.Union(12)
+        partials.foreach(p => u.update(
+          org.apache.datasketches.hll.HllSketch.heapify(p(i)._3)))
+        Some(c -> math.round(u.getEstimate))
+      }
+    }.toMap
+    if (out.size == cols.size) Warehouse.lazyNdvPut(key, out)
+    out
   }
 
   /** Plan the head WITHOUT materializing the entry list on the driver:
@@ -2397,15 +2576,23 @@ class Warehouse(spark: SparkSession, dir: String,
     * [[prunedEntries]]' distributed columnar-manifest scan, collecting
     * only the surviving entries — a one-partition read of an
     * 800k-entry table holds one partition's entries, ever. The
-    * optimizer still sees exact table-level statistics (bytes + live
-    * rows from [[lazySnapshotAgg]]'s distributed fold); per-column NDV
-    * stats are the eager path's richer trade.
+    * optimizer sees exact table-level statistics (bytes + live rows
+    * from [[lazySnapshotAgg]]'s distributed fold) AND per-column
+    * NDV/min-max at eager parity ([[lazyNdv]]/[[lazyColMinMax]], both
+    * distributed and memoized per version).
+    *
+    * DELETION VECTORS compose with the lazy plan: the merge-on-read
+    * filter's lookup ([[graft.plans.GrowableDvLookup]]) starts EMPTY and
+    * is fed each SURVIVING entry's sidecar inside the prune — by the
+    * time any task closure serializes (stage submission), `listFiles`
+    * has already run on the driver, so the filter ships exactly the
+    * survivors' vectors. Driver state and sidecar I/O are
+    * survivor-bounded, never O(|files|) — the MoR-heavy tables DVs
+    * exist for no longer fall back to the eager fold.
     *
     * None (fall back to the eager fold) when: no columnar checkpoint
-    * serves the version; the table is empty (the eager empty-relation
-    * special case is cheaper and exact); or any live file carries a
-    * deletion vector (DV application wires per-entry sidecars into the
-    * plan and needs the list).
+    * serves the version, or the table is empty (the eager
+    * empty-relation special case is cheaper and exact).
     */
   private def lazyRead(name: String, version: Long): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.TableIdentifier
@@ -2418,24 +2605,86 @@ class Warehouse(spark: SparkSession, dir: String,
       .filter(x => fs.exists(mfpPath(name, x)))
       .getOrElse(return None)
     val agg = lazySnapshotAgg(name, version).getOrElse(return None)
-    if (agg.files == 0L || agg.anyDv) return None
+    if (agg.files == 0L) return None
     val schema = tables(name)
     val parts = partitioning(name)
     val partitionSchema = StructType(parts.map(p => schema(p)))
+    val pruners = genPartitionPruners(name)
+    // timestamp partition dirs render reproducibly only under the UTC
+    // write contract (GraftSession pins spark.sql.session.timeZone)
+    val utcRender =
+      spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    val dvLookup =
+      if (agg.anyDv) Some(new graft.plans.GrowableDvLookup) else None
+    // every listFiles funnels through this closure (the unfiltered
+    // fallback included), so feeding here covers every scanned file
+    def feed(entries: Seq[FileEntry]): Seq[FileEntry] = {
+      dvLookup.foreach { g =>
+        entries.foreach { e =>
+          if (e.dv.nonEmpty && e.dvRows > 0L)
+            g.add(if (e.rel.startsWith("/")) e.rel else "/" + e.rel,
+              readDvFile(name, e.dv))
+        }
+      }
+      entries
+    }
     val prune: (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         => Seq[FileEntry] = (pf, dfilt) => {
       val ranges = ManifestFileIndex.envelopeRanges(dfilt)
-      val conjs = ManifestFileIndex.partitionSegments(pf, partitionSchema)
-      if (ranges.isEmpty && conjs.isEmpty)
-        loadAt(name, version) // unfiltered scan needs every entry anyway
-      else prunedEntries(name, version, ranges, conjs)
-        .getOrElse(loadAt(name, version))
+      // direct partition predicates + HIDDEN-partitioning constraints
+      // derived from data filters on generated columns' bases — both
+      // evaluate inside the distributed scan as `/k=v/` rel segments
+      val conjs =
+        ManifestFileIndex.partitionSegments(pf, partitionSchema,
+          utcRender) ++
+        ManifestFileIndex.derivedSegments(dfilt, pruners,
+          partitionSchema, utcRender)
+      feed(
+        if (ranges.isEmpty && conjs.isEmpty)
+          // unfiltered scan needs every entry anyway — but only their
+          // paths/sizes, never the stats maps: slim keeps the driver
+          // fold ~150 B/entry instead of the full FileEntry state
+          slimEntriesAt(name, version).getOrElse(loadAt(name, version))
+        else prunedEntries(name, version, ranges, conjs)
+          .getOrElse(loadAt(name, version)))
     }
     val index = new LazyManifestFileIndex(spark, new Path(path(name)),
-      partitionSchema, genPartitionPruners(name), agg.bytes, prune,
-      () => loadAt(name, version))
+      partitionSchema, pruners, agg.bytes, prune,
+      () => slimEntriesAt(name, version).getOrElse(loadAt(name, version)))
     val relation = relationWithIndex(name, index, partitionSchema)
+    // COLUMN-LEVEL statistics at [[statsRelation]] parity, folded
+    // distributed (NDV from the HLL sidecars via [[lazyNdv]], min/max
+    // from the columnar checkpoint via [[lazyColMinMax]]) — cold CBO
+    // join reordering no longer degrades on exactly the tables too big
+    // to plan eager. Same publication rules as the eager path: min/max
+    // integral-only and withheld under live DVs; NDV gets the
+    // uniform-deletion live correction; column-mapped names skip.
+    val mm: Map[String, (Long, Long)] =
+      if (agg.dvSum == 0L) lazyColMinMax(name, version) else Map.empty
+    val colStats: Map[String,
+        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] =
+      lazyNdv(name, version).flatMap { case (c, est) =>
+        val f = schema(c)
+        if (Warehouse.physicalName(f) != f.name) None
+        else {
+          val mmc = f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType
+                if agg.dvSum == 0L => mm.get(c)
+            case _ => None
+          }
+          def liveNdv(e: Long): Long =
+            if (agg.dvSum > 0L && agg.physRows > 0L && e > 0L) {
+              val dvFrac = agg.dvSum.toDouble / agg.physRows
+              val m = agg.physRows.toDouble / e
+              math.max(1L, math.round(e * (1.0 - math.pow(dvFrac, m))))
+            } else e
+          Some(c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+            distinctCount = Some(BigInt(liveNdv(est))),
+            min = mmc.map(_._1.toString),
+            max = mmc.map(_._2.toString)))
+        }
+      }
     val ct = CatalogTable(
       identifier = TableIdentifier(name),
       tableType = CatalogTableType.EXTERNAL,
@@ -2444,11 +2693,28 @@ class Warehouse(spark: SparkSession, dir: String,
       provider = Some("parquet"),
       stats = Some(CatalogStatistics(BigInt(agg.bytes).max(1),
         if (agg.rows >= 0L) Some(BigInt(agg.rows)) else None,
-        Map.empty)))
-    Some(logicalView(name, org.apache.spark.sql.GraftBridge.ofRows(spark,
+        colStats)))
+    val base = org.apache.spark.sql.GraftBridge.ofRows(spark,
       LogicalRelation(relation,
         DataTypeUtils.toAttributes(relation.schema), Some(ct),
-        false, None))))
+        false, None))
+    val df = dvLookup match {
+      case None => base
+      case Some(g) =>
+        // the same filter shape [[applyDv]] builds, with the growable
+        // lookup in place of the plan-build-time one
+        import org.apache.spark.sql.functions.{col, not}
+        val cols = base.columns.toSeq.map(col)
+        base.select(cols :+ col("_metadata.file_path").as("__gf_dv_path")
+            :+ col("_metadata.row_index").as("__gf_dv_idx"): _*)
+          .where(not(org.apache.spark.sql.GraftBridge.toColumn(
+            graft.plans.DvRowDeleted(
+              org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_path")),
+              org.apache.spark.sql.GraftBridge.toExpr(col("__gf_dv_idx")),
+              g))))
+          .select(cols: _*)
+    }
+    Some(logicalView(name, df))
   }
 
   /** [[read]] restricted to files whose manifest stats for `column` can
@@ -5301,8 +5567,10 @@ class Warehouse(spark: SparkSession, dir: String,
     * travel / change feeds / RESTORE refuse to cross a migration
     * boundary with a clear error instead of misparsing old dirs
     * (pre-migration files typically follow retention anyway). Tagged
-    * snapshots would be pinned-but-unreadable across the boundary, so
-    * migration requires dropping tags first.
+    * snapshots SURVIVE the migration: the commit's `partitionByOld`
+    * stamp lets [[layoutAtVersion]] resolve a tag's own era, so
+    * [[readTag]] keeps reading it under the layout it was written with
+    * (its files stay pinned, as ever).
     *
     * @return rows rewritten
     */
@@ -5312,10 +5580,6 @@ class Warehouse(spark: SparkSession, dir: String,
     val old = specsNow.getOrElse(name, throw new IllegalArgumentException(
       s"repartitionTable: no table $name"))
     if (old.partitionBy == partitionBy) return 0L
-    require(tags(name).isEmpty,
-      s"repartitionTable $name: tagged snapshots pin the OLD layout " +
-        s"(${tags(name).keys.toSeq.sorted.mkString(", ")}) — drop the " +
-        "tags first (a tag cannot be read across a layout migration)")
     val fresh0 = old.copy(partitionBy = partitionBy) // ctor validates
     val (v, live) = loadLatest(name)
     require(v > 0L, s"repartitionTable $name: table not bootstrapped")
@@ -5439,15 +5703,10 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val headLayout = partitioning(name)
     val flips = targetLayout != headLayout
-    if (flips)
-      // same guard as [[repartitionTable]]: a tag pins a version whose
-      // files parse under the layout active WHEN it was tagged — the
-      // flip would strand it
-      require(tags(name).isEmpty,
-        s"restore $name: tagged snapshots pin the current layout " +
-          s"(${tags(name).keys.toSeq.sorted.mkString(", ")}) — drop " +
-          "the tags first (a tag cannot be read across a layout " +
-          "migration)")
+    // tags survive the flip: a cross-layout restore stamps
+    // `partitionByOld` like a repartition does, so [[layoutAtVersion]]
+    // keeps resolving every tagged version's own era and [[readTag]]
+    // reads it under the layout it was written with
     val entries = loadAt(name, version)
     val fs = fileSystem
     val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
@@ -6598,44 +6857,60 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   private[graft] var sidecarSweepThreshold: Int = 4096
 
+  /** Doomed names per delete flush in [[sweepSidecars]] — the driver's
+    * buffering bound. `var` so specs exercise multi-chunk sweeps on
+    * small directories.
+    */
+  private[graft] var sidecarSweepChunk: Int = 65536
+
   /** Delete every file of `sdir` whose NAME fails `keep` — the shared
     * sweep under vacuum's three sidecar passes (`_dv`, `_bloomidx`,
     * `_ndvidx`). The listing STREAMS names (never an O(|sidecars|)
     * FileStatus array on the driver) and membership is driver-side
-    * string work against sets vacuum already holds; at
-    * [[sidecarSweepThreshold]]+ doomed files the DELETES run as a
-    * Spark job — the last maintenance-path O(|files|) serial driver
-    * RPC loop, ~10⁶ round-trips on one node at the design point. The
-    * job path is the driver loop verbatim, sliced across tasks: same
-    * doomed set, same per-file delete, so the two are result-identical
-    * by construction (and spec-pinned).
+    * string work against sets vacuum already holds; doomed names flush
+    * in [[sidecarSweepChunk]]-bounded chunks AS THE LISTING STREAMS, so
+    * driver memory is O(chunk), never O(doomed) — at
+    * [[sidecarSweepThreshold]]+ doomed files in a chunk the deletes run
+    * as a Spark job (the serial loop verbatim, sliced across tasks:
+    * same doomed set, same per-file delete, result-identical by
+    * construction and spec-pinned).
     *
     * @return doomed-file count
     */
   private def sweepSidecars(sdir: Path, keep: String => Boolean): Long = {
     val fs = fileSystem
-    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0L
+    val chunk = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = {
+      if (chunk.isEmpty) return
+      if (chunk.size < sidecarSweepThreshold)
+        chunk.foreach(n => fs.delete(new Path(sdir, n), false))
+      else {
+        Warehouse.distributedSidecarSweeps.incrementAndGet()
+        val dirStr = sdir.toString
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          hadoopConf)
+        val parts = math.max(1, math.min(64, chunk.size / 4096 + 1))
+        spark.sparkContext.parallelize(chunk.toSeq, parts)
+          .foreachPartition { names =>
+            val base = new Path(dirStr)
+            val tfs = base.getFileSystem(conf.value)
+            names.foreach(n => tfs.delete(new Path(base, n), false))
+          }
+      }
+      total += chunk.size
+      chunk.clear()
+    }
     val it = fs.listStatusIterator(sdir)
     while (it.hasNext) {
       val n = it.next().getPath.getName
-      if (!keep(n)) doomed += n
+      if (!keep(n)) {
+        chunk += n
+        if (chunk.size >= sidecarSweepChunk) flush()
+      }
     }
-    if (doomed.size < sidecarSweepThreshold)
-      doomed.foreach(n => fs.delete(new Path(sdir, n), false))
-    else {
-      Warehouse.distributedSidecarSweeps.incrementAndGet()
-      val dirStr = sdir.toString
-      val conf = new org.apache.spark.util.SerializableConfiguration(
-        hadoopConf)
-      val parts = math.max(1, math.min(64, doomed.size / 4096 + 1))
-      spark.sparkContext.parallelize(doomed.toSeq, parts)
-        .foreachPartition { names =>
-          val base = new Path(dirStr)
-          val tfs = base.getFileSystem(conf.value)
-          names.foreach(n => tfs.delete(new Path(base, n), false))
-        }
-    }
-    doomed.size.toLong
+    flush()
+    total
   }
 
   /** FSCK: manifest ↔ filesystem consistency audit, read-only. Returns
@@ -6851,9 +7126,11 @@ object Warehouse {
 
   /** One confirmed snapshot's planning facts, distributed-folded once
     * ([[Warehouse!.lazyRead]]): total bytes, live rows (−1 unknown),
-    * file count, whether any file carries a deletion vector. */
+    * file count, whether any file carries a deletion vector, physical
+    * rows (−1 unknown) and total vectored rows — the last two feed the
+    * lazy path's NDV deletion-vector correction. */
   private[graft] final case class SnapshotAgg(bytes: Long, rows: Long,
-      files: Long, anyDv: Boolean)
+      files: Long, anyDv: Boolean, physRows: Long = -1L, dvSum: Long = 0L)
 
   private val snapshotAggCache =
     java.util.Collections.synchronizedMap(
@@ -6867,6 +7144,93 @@ object Warehouse {
     Option(snapshotAggCache.get(key))
   private[graft] def snapshotAggPut(key: String,
       agg: SnapshotAgg): Unit = { snapshotAggCache.put(key, agg); () }
+
+  // ------------------------------------------------------------------
+  // slim-snapshot cache: stats-stripped entry lists for the lazy
+  // unfiltered path. Deliberately SEPARATE from snapshotCache — a slim
+  // list must never satisfy [[Warehouse!.read]]'s eager-path probe or
+  // [[Warehouse!.plannedRange]]'s driver filter (absent stats would
+  // silently disable file skipping there). Slim entries are near-
+  // constant-size (~150 B), so the budget counts entries, not bytes.
+  // ------------------------------------------------------------------
+  /** `var` so a memory-constrained driver can lower it; 2M entries ≈
+    * ~300 MB worst case, comfortably two 800k-file design points. */
+  private[graft] var slimEntryBudget: Long = 2L * 1024 * 1024
+  private val slimCache =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](16, 0.75f, true)
+  private val slimCachedEntries =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // lazy-path column statistics memos (per confirmed version, like
+  // snapshotAggCache): min/max envelopes and NDV estimates
+  private val lazyMinMaxCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Map[String, (Long, Long)]](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Map[String, (Long, Long)]])
+            : Boolean = size() > 4096
+      })
+  private[graft] def lazyMinMaxGet(key: String)
+      : Option[Map[String, (Long, Long)]] = Option(lazyMinMaxCache.get(key))
+  private[graft] def lazyMinMaxPut(key: String,
+      v: Map[String, (Long, Long)]): Unit = { lazyMinMaxCache.put(key, v); () }
+
+  private val lazyNdvCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Map[String, Long]](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Map[String, Long]]): Boolean =
+          size() > 4096
+      })
+  private[graft] def lazyNdvGet(key: String): Option[Map[String, Long]] =
+    Option(lazyNdvCache.get(key))
+  private[graft] def lazyNdvPut(key: String,
+      v: Map[String, Long]): Unit = { lazyNdvCache.put(key, v); () }
+
+  /** Memoized SURVIVOR lists of [[Warehouse!.prunedEntries]], keyed by
+    * (lifetime-scoped version key, pushed ranges, rel conjuncts): a
+    * long SQL session re-planning the same filtered read of one cold
+    * table pays the distributed prune ONCE per distinct filter shape,
+    * not once per query. Only survivor lists small enough to be cheap
+    * to hold memoize (unselective probes stay uncached — re-pruning is
+    * then no worse than before); bounded LRU.
+    */
+  private[graft] var pruneMemoMaxSurvivors: Int = 10000
+  private val pruneMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean =
+          size() > 256
+      })
+
+  private[graft] def pruneMemoGet(key: String): Option[Seq[FileEntry]] =
+    Option(pruneMemo.get(key))
+  private[graft] def pruneMemoPut(key: String,
+      survivors: Seq[FileEntry]): Unit = {
+    if (survivors.size <= pruneMemoMaxSurvivors) { pruneMemo.put(key, survivors); () }
+  }
+
+  private[graft] def slimCacheGet(key: String): Option[Seq[FileEntry]] =
+    slimCache.synchronized(Option(slimCache.get(key)))
+
+  private[graft] def slimCachePut(key: String,
+      entries: Seq[FileEntry]): Unit = slimCache.synchronized {
+    if (slimCache.containsKey(key)) return
+    slimCache.put(key, entries)
+    slimCachedEntries.addAndGet(entries.size.toLong)
+    val it = slimCache.entrySet().iterator()
+    while (slimCachedEntries.get() > slimEntryBudget &&
+        slimCache.size() > 1 && it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != key) {
+        slimCachedEntries.addAndGet(-eldest.getValue.size.toLong)
+        it.remove()
+      }
+    }
+  }
 
   /** Last-observed table-lifetime id per `dir#table` — fed by
     * [[Warehouse!.rawVersions]]' directory listings (and the v1
@@ -6909,6 +7273,26 @@ object Warehouse {
     snapshotAggCache.synchronized {
       val it = snapshotAggCache.keySet().iterator()
       while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+    slimCache.synchronized {
+      val it = slimCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          slimCachedEntries.addAndGet(-e.getValue.size.toLong)
+          it.remove()
+        }
+      }
+    }
+    pruneMemo.synchronized {
+      val it = pruneMemo.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+    Seq(lazyMinMaxCache, lazyNdvCache).foreach { m =>
+      m.synchronized {
+        val it = m.keySet().iterator()
+        while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+      }
     }
   }
 

@@ -5491,6 +5491,99 @@ object LlmQueries extends QueryPack {
           UNION ALL
           SELECT 'metav', 'st=' || st, count(*), CAST(NULL AS DOUBLE)
           FROM mid GROUP BY st) z
+        ORDER BY side, k""")),
+
+    // ---- q171: TAGS ACROSS A LAYOUT MIGRATION under the gate —
+    // round-12's closure of the last migration asymmetry: a tagged
+    // (flat-era) snapshot rides through `ALTER TABLE SET PARTITIONED
+    // BY`, reads THROUGH the boundary under its own era's layout
+    // (`VERSION AS OF '<tag>'` → readTag → layoutAtVersion), anchors a
+    // cross-layout `RESTORE ... TO VERSION AS OF '<tag>'`, and still
+    // reads after the restore flipped the layout back. Four gated
+    // sides: the tag read post-migration; the tag re-read post-restore
+    // (identical content — a broken era resolution breaks the hash);
+    // the middle (partitioned) era's time travel re-anchored through
+    // the restore stamp; and the final state after post-restore DML.
+    Q("q171_warehouse_tags_across_migration",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q171-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true, // the tag + middle era need their files
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("tag171_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("oid"),
+            col("o_orderstatus").as("st"),
+            col("o_totalprice").cast("double").as("price"))
+          .createOrReplaceTempView("tag171_src")
+        s.sql("""CREATE TABLE tag171_t (
+                   oid BIGINT, st STRING, price DOUBLE) STATS BY (oid)""")
+        s.sql("INSERT INTO tag171_t SELECT * FROM tag171_src")
+        s.sql("DELETE FROM tag171_t WHERE oid % 7 = 0")
+        s.sql("ALTER TABLE tag171_t CREATE TAG pre-mig") // pins flat era
+        s.sql("ALTER TABLE tag171_t SET PARTITIONED BY (st)")
+        s.sql("""INSERT INTO tag171_t
+                 SELECT oid + 900000000, st, price
+                 FROM tag171_src WHERE oid % 11 = 0""")
+        val midV = wh.versions("t").max // partitioned era
+        // the tag reads through the migration, under the FLAT era
+        val tagSide = s.sql(
+          """SELECT 'tag' AS side, st AS k, count(*) AS n,
+                    round(sum(price), 2) AS sv
+             FROM tag171_t VERSION AS OF 'pre-mig' GROUP BY st""")
+        // cross-layout restore ANCHORED BY THE TAG (the layout flips
+        // back to flat in the same commit)
+        s.sql("RESTORE TABLE tag171_t TO VERSION AS OF 'pre-mig'")
+        require(wh.tableSpec("t").partitionBy.isEmpty,
+          "q171: the tag-anchored restore must flip the layout to flat")
+        s.sql("""INSERT INTO tag171_t
+                 SELECT oid + 500000000, st, price
+                 FROM tag171_src WHERE oid % 13 = 0""")
+        // the tag STILL reads after the restore flipped layouts again
+        val tag2 = s.sql(
+          """SELECT 'tag2' AS side, st AS k, count(*) AS n,
+                    round(sum(price), 2) AS sv
+             FROM tag171_t VERSION AS OF 'pre-mig' GROUP BY st""")
+        // the middle (partitioned) era re-anchors through the restore
+        // commit's partitionByOld stamp
+        val mid = wh.readVersion("t", midV).groupBy("st")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("mid").as("side"), col("st").as("k"),
+            col("n"), lit(null).cast("double").as("sv"))
+        val state = s.sql(
+          """SELECT 'state' AS side, st AS k, count(*) AS n,
+                    round(sum(price), 2) AS sv
+             FROM tag171_t GROUP BY st""")
+        tagSide.unionByName(tag2).unionByName(mid).unionByName(state)
+          .orderBy("side", "k")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS oid, o_orderstatus AS st,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders),
+        pre AS (SELECT * FROM src WHERE oid % 7 <> 0),
+        mid AS (
+          SELECT * FROM pre
+          UNION ALL
+          SELECT oid + 900000000, st, price FROM src WHERE oid % 11 = 0),
+        fin AS (
+          SELECT * FROM pre
+          UNION ALL
+          SELECT oid + 500000000, st, price FROM src WHERE oid % 13 = 0)
+        SELECT side, k, n, sv FROM (
+          SELECT 'tag' AS side, st AS k, count(*) AS n,
+                 round(sum(price), 2) AS sv
+          FROM pre GROUP BY st
+          UNION ALL
+          SELECT 'tag2', st, count(*), round(sum(price), 2)
+          FROM pre GROUP BY st
+          UNION ALL
+          SELECT 'mid', st, count(*), CAST(NULL AS DOUBLE)
+          FROM mid GROUP BY st
+          UNION ALL
+          SELECT 'state', st, count(*), round(sum(price), 2)
+          FROM fin GROUP BY st) z
         ORDER BY side, k"""))
   )
 

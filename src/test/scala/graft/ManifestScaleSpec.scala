@@ -3,6 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
 import graft.pipeline.Warehouse
@@ -245,12 +246,13 @@ class ManifestScaleSpec extends SparkSpec {
     // data-filter stat pruning composes with the lazy path
     assert(wh.read("t").where($"k" >= 4L && $"s".isNotNull)
       .as[(Long, String)].collect().toSet === Set((4L, "a/b=c")))
-    // the unfiltered read is exact too (falls back to the full fold
-    // inside listFiles — no translatable filter means every entry is
-    // needed anyway)
+    // the unfiltered read is exact too — and since r12 it collects a
+    // SLIM (stats-stripped) list distributed instead of the full fold:
+    // the driver-side snapshot cache must stay empty
     assert(wh.read("t").count() === 5L)
-    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 2L)).isDefined,
-      "the unfiltered lazy scan folds (and caches) the list exactly once")
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", 2L)).isEmpty,
+      "the unfiltered lazy scan must use the slim distributed list, " +
+        "never the full driver fold")
   }
 
   test("a one-partition read of a 100k-entry table collects only that " +
@@ -300,6 +302,249 @@ class ManifestScaleSpec extends SparkSpec {
     // and the driver STILL never held the full list
     assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty,
       "the one-partition listFiles must not fold the 100k entries")
+  }
+
+  test("a DV-bearing table plans LAZY: the vector filter is fed the " +
+    "SURVIVORS' sidecars inside listFiles, results are exact, and the " +
+    "driver never folds the entry list") {
+    val dir = Files.createTempDirectory("graft-mdv-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    wh.append("t", (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("k", "s"))
+    val n = wh.deleteVectored("t", $"k" % 3 === 0) // 3, 6, 9
+    assert(n === 3L)
+    val v = wh.versions("t").max
+    val expect = (1L to 10L).filter(_ % 3 != 0)
+      .map(i => (i, s"g${i % 2}")).toSet
+    Warehouse.invalidateCached(s"$dir#t#")
+
+    // UNFILTERED cold read: lazy index + growable DV lookup, exact rows
+    val df = wh.read("t")
+    val index = df.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => h.location
+    }.get
+    assert(index.isInstanceOf[graft.pipeline.LazyManifestFileIndex],
+      "a cold DV-bearing read must still plan through the lazy index")
+    assert(df.as[(Long, String)].collect().toSet === expect)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", v)).isEmpty,
+      "the DV-bearing lazy read must not fold the list on the driver")
+
+    // FILTERED cold read: the distributed prune + the vector filter
+    Warehouse.invalidateCached(s"$dir#t#")
+    val prunes = Warehouse.columnarPrunes.get()
+    assert(wh.read("t").where($"s" === "g1").as[(Long, String)]
+      .collect().toSet === expect.filter(_._2 == "g1"))
+    assert(Warehouse.columnarPrunes.get() > prunes)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t", v)).isEmpty)
+    // and the filter's lookup was fed the g1 SURVIVORS only
+    val filtered = wh.read("t").where($"k" <= 100L && $"s" === "g1")
+    filtered.collect()
+    val lookups = filtered.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case d: graft.plans.DvRowDeleted => d.lookup }
+    }.flatten
+    val grow = lookups.collectFirst {
+      case g: graft.plans.GrowableDvLookup => g }
+    assert(grow.isDefined, "the lazy plan must carry a growable lookup")
+    assert(grow.get.fedFiles > 0,
+      "listFiles must have fed the survivors' vectors")
+  }
+
+  test("a 100k-entry DV-bearing manifest cold-plans lazy with " +
+    "SURVIVOR-BOUNDED driver state: only the pruned partition's " +
+    "sidecars are ever opened") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft-mdv2-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("big" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1000L
+    wh.bootstrap()
+    val n = 100000
+    // every g7 entry carries a REAL sidecar; every other partition's
+    // entry references a MISSING one — if the feed ever resolved a
+    // non-survivor, readDvFile would throw
+    val dvDir = Paths.get(dir, "big", "_dv")
+    Files.createDirectories(dvDir)
+    val sidecar = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeBytes("GDV1"); out.writeLong(1L); out.writeLong(0L)
+      out.flush(); bos.toByteArray
+    }
+    val lines = new StringBuilder("graft-manifest 1")
+    (0 until n).foreach { i =>
+      val dv = if (i % 50 == 7) {
+        Files.write(dvDir.resolve(s"dv-$i.gdv"), sidecar)
+        s"_dv/dv-$i.gdv"
+      } else s"_dv/missing-$i.gdv"
+      lines.append(
+        s"\ns=g${i % 50}/part-$i.parquet\t1048576\tk=$i:${i + 9}\t100\t$dv\t1")
+    }
+    Files.write(
+      Paths.get(dir, "big", "_manifests", "v000000000002.mf"),
+      lines.result().getBytes(StandardCharsets.UTF_8))
+    assert(wh.materializeColumnar("big"))
+    Warehouse.invalidateCached(s"$dir#big#")
+
+    val df = wh.read("big")
+    val (index, lookup) = (
+      df.queryExecution.analyzed.collectFirst {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => h.location
+      }.get,
+      df.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case d: graft.plans.DvRowDeleted => d.lookup }
+      }.flatten.collectFirst {
+        case g: graft.plans.GrowableDvLookup => g }.get)
+    assert(index.isInstanceOf[graft.pipeline.LazyManifestFileIndex])
+    val attr = df.queryExecution.analyzed.output.find(_.name == "s").get
+    val parts = index.listFiles(
+      Seq(EqualTo(attr,
+        Literal(UTF8String.fromString("g7"),
+          org.apache.spark.sql.types.StringType))), Nil)
+    assert(parts.map(_.files.length).sum === n / 50)
+    // survivor-bounded: exactly the g7 sidecars were resolved and fed
+    assert(lookup.fedFiles === n / 50)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty,
+      "the DV feed must never fold the 100k entries on the driver")
+  }
+
+  test("hidden partitioning prunes DISTRIBUTED: a one-day predicate on " +
+    "the BASE timestamp of a date-generated partition column collects " +
+    "only that day's entries, cold") {
+    val dir = Files.createTempDirectory("graft-mhid-").toString
+    val tsSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("k", LongType),
+      StructField("day", DateType)))
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("ev" -> Warehouse.TableSpec(tsSchema,
+        partitionBy = Seq("day"), statColumns = Seq("k"),
+        generated = Map("day" -> "CAST(ts AS DATE)"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    val rows = (0 until 72).map { h =>
+      (java.sql.Timestamp.valueOf(f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:30:00"),
+        h.toLong)
+    }
+    wh.append("ev", rows.toDF("ts", "k"))
+    val v = wh.versions("ev").max
+    Warehouse.invalidateCached(s"$dir#ev#")
+
+    // end-to-end: the base-column predicate prunes through the
+    // columnar manifest and the result is exact
+    val prunes = Warehouse.columnarPrunes.get()
+    val got = wh.read("ev")
+      .where($"ts" >= lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))
+        && $"ts" < lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00")))
+      .select($"k").as[Long].collect().toSet
+    assert(got === (24L until 48L).toSet)
+    assert(Warehouse.columnarPrunes.get() > prunes)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("ev", v)).isEmpty,
+      "the hidden-partition read must not fold the list on the driver")
+
+    // direct listFiles: only the one day's dirs survive the
+    // distributed prune (the derived segment did the cut, not just
+    // the exact driver pass)
+    import org.apache.spark.sql.catalyst.expressions.{
+      GreaterThanOrEqual, LessThan, Literal}
+    val df = wh.read("ev")
+    val index = df.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => h.location
+    }.get
+    assert(index.isInstanceOf[graft.pipeline.LazyManifestFileIndex])
+    val ts = df.queryExecution.analyzed.output.find(_.name == "ts").get
+    def micros(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000L
+    val parts = index.listFiles(Nil, Seq(
+      GreaterThanOrEqual(ts, Literal(micros("2024-03-02 00:00:00"),
+        TimestampType)),
+      LessThan(ts, Literal(micros("2024-03-03 00:00:00"), TimestampType))))
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.files.forall(
+      _.getPath.toString.contains("day=2024-03-02"))),
+      "only the predicate's day may survive the distributed prune")
+  }
+
+  test("timestamp-typed partition values prune DISTRIBUTED under the " +
+    "UTC write contract: an equality read renders the writer-exact " +
+    "/k=v/ segment") {
+    val dir = Files.createTempDirectory("graft-mtsp-").toString
+    val tsSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("k", LongType)))
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("tp" -> Warehouse.TableSpec(tsSchema,
+        partitionBy = Seq("ts"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    val stamps = Seq("2024-03-01 00:00:00", "2024-03-01 12:34:56.123",
+      "2024-03-02 23:59:59")
+    wh.append("tp", stamps.zipWithIndex.map { case (s, i) =>
+      (java.sql.Timestamp.valueOf(s), i.toLong) }.toDF("ts", "k"))
+    val v = wh.versions("tp").max
+    Warehouse.invalidateCached(s"$dir#tp#")
+    val prunes = Warehouse.columnarPrunes.get()
+    val got = wh.read("tp")
+      .where($"ts" ===
+        lit(java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123")))
+      .select($"k").as[Long].collect().toSet
+    assert(got === Set(1L))
+    assert(Warehouse.columnarPrunes.get() > prunes)
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("tp", v)).isEmpty)
+    // the sub-second dir survived the round trip; the direct listFiles
+    // keeps exactly one file
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    val df = wh.read("tp")
+    val index = df.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => h.location
+    }.get
+    val ts = df.queryExecution.analyzed.output.find(_.name == "ts").get
+    val parts = index.listFiles(Seq(EqualTo(ts,
+      Literal(java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123")
+        .getTime * 1000L + 0L, TimestampType))), Nil)
+    assert(parts.map(_.files.length).sum === 1)
+  }
+
+  test("identical filtered reads of a cold table memoize: one " +
+    "distributed prune per DISTINCT filter shape, zero for repeats") {
+    val dir = Files.createTempDirectory("graft-mmemo-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    wh.append("t", (1L to 20L).map(i => (i, s"g${i % 4}")).toDF("k", "s"))
+    Warehouse.invalidateCached(s"$dir#t#")
+    // warm: one snapshot agg + stats folds + one prune
+    assert(wh.read("t").where($"s" === "g1").count() === 5L)
+    val prunes = Warehouse.columnarPrunes.get()
+    (1 to 20).foreach { _ =>
+      assert(wh.read("t").where($"s" === "g1").count() === 5L)
+    }
+    assert(Warehouse.columnarPrunes.get() === prunes,
+      "20 repeats of the same filtered read must not re-run any " +
+        "distributed prune (memoized survivors + memoized snapshot agg)")
+    // a DIFFERENT filter shape pays exactly its own prune
+    assert(wh.read("t").where($"s" === "g2").count() === 5L)
+    assert(Warehouse.columnarPrunes.get() === prunes + 1)
+    assert(Warehouse.snapshotCacheGet(
+      wh.currentCacheKey("t", wh.versions("t").max)).isEmpty)
   }
 
   test("FK parent probe file-skips through the columnar manifest: a " +

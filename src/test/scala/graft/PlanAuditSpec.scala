@@ -220,4 +220,81 @@ class PlanAuditSpec extends SparkSpec {
     assert(byK.where(col("k1") <= 5).count() ===
       wh.read("fact").where(col("k1") <= 5).count())
   }
+
+  test("a COLD lazy-planned fact publishes per-column statistics " +
+      "(NDV + min/max, folded distributed): the 3-table star join " +
+      "broadcasts both dims with no cached snapshot and no ANALYZE") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val whDir = graft.util.Scratch.dir("graft-lazycbo-").toString
+    val wh = new graft.pipeline.Warehouse(spark, s"$whDir/wh",
+      checkpointInterval = 1, specs = Map(
+        "fact" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+            StructField("k1", LongType), StructField("k2", LongType),
+            StructField("v", DoubleType))),
+          statColumns = Seq("k1", "k2"), ndvColumns = Seq("k1", "k2")),
+        "dim1" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+          StructField("k1", LongType), StructField("a", StringType)))),
+        "dim2" -> graft.pipeline.Warehouse.TableSpec(StructType(Seq(
+          StructField("k2", LongType), StructField("b", StringType))))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    wh.append("fact", spark.range(0, 50000).toDF("id").select(
+      (col("id") % 20).as("k1"), (col("id") % 10).as("k2"),
+      col("id").cast("double").as("v")))
+    wh.append("dim1", spark.range(0, 20).toDF("k1")
+      .withColumn("a", concat(lit("a"), col("k1"))))
+    wh.append("dim2", spark.range(0, 10).toDF("k2")
+      .withColumn("b", concat(lit("b"), col("k2"))))
+    val v = wh.versions("fact").max
+    graft.pipeline.Warehouse.invalidateCached(s"$whDir/wh#fact#")
+
+    // the COLD fact plans lazy, with column statistics at eager parity
+    val df = wh.read("fact")
+    val lr = df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.get
+    assert(lr.relation
+      .asInstanceOf[org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation]
+      .location.isInstanceOf[graft.pipeline.LazyManifestFileIndex],
+      "the cold fact must plan through the lazy index")
+    assert(lr.stats.rowCount === Some(BigInt(50000)))
+    val byName = lr.stats.attributeStats.map { case (attr, st) =>
+      attr.name -> st }
+    assert(byName.contains("k1") && byName.contains("k2"),
+      s"lazy plan must publish column stats, got ${byName.keys}")
+    // HLL at 20/10 distincts is exact; min/max rode the columnar fold
+    assert(byName("k1").distinctCount === Some(BigInt(20)))
+    assert(byName("k2").distinctCount === Some(BigInt(10)))
+    assert(byName("k1").min === Some(0L) && byName("k1").max === Some(19L))
+    assert(graft.pipeline.Warehouse.snapshotCacheGet(
+      wh.currentCacheKey("fact", v)).isEmpty,
+      "publishing lazy column stats must not fold the list driver-side")
+
+    // the star join from the cold fact: both dims broadcast
+    graft.pipeline.Warehouse.invalidateCached(s"$whDir/wh#fact#")
+    val j = wh.read("fact")
+      .join(wh.read("dim1"), "k1")
+      .join(wh.read("dim2"), "k2")
+      .groupBy("a", "b").agg(sum("v").as("total"))
+    assert(j.collect().length === 20)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def joins(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case b: BroadcastHashJoinExec => Seq(b)
+      case s: SortMergeJoinExec => Seq(s)
+      case s: ShuffledHashJoinExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case q: QueryStageExec => joins(q.plan)
+    }.flatten
+    val js = joins(j.queryExecution.executedPlan)
+    assert(js.size === 2 && js.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected exactly 2 broadcast joins:\n${j.queryExecution.executedPlan}")
+    assert(graft.pipeline.Warehouse.snapshotCacheGet(
+      wh.currentCacheKey("fact", v)).isEmpty)
+  }
 }

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
 
 import graft.pipeline.Warehouse
 
-/** Scaling-probe main (not a test): the 800k-entry PARTITIONED
-  * manifest, measuring the round-11 lazy partition-pruned planning
-  * path against the eager cached-snapshot path. Run with `java -cp`
-  * over classes + test-classes + the Spark jars (JDK17 --add-opens
-  * apply). Results land in SCALING_r11.md.
+/** Scaling-probe main (not a test): 800k-entry manifests, measuring the
+  * lazy planning paths — r11's partition-pruned cold plan, plus r12's
+  * DV-bearing lazy plan (survivor-fed vector filter), the slim
+  * unfiltered cold plan (stats-stripped driver list), and the
+  * hidden-partitioning distributed prune. Run with `java -cp` over
+  * classes + test-classes + the Spark jars (JDK17 --add-opens apply).
+  * Results land in SCALING_r12.md.
   */
 object Probe800k {
   def main(args: Array[String]): Unit = {
@@ -20,13 +22,19 @@ object Probe800k {
     val dir = Files.createTempDirectory("graft-p800k-").toString
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))
+    val n = 800000
+    val nparts = 400
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"TIME $label ${(System.nanoTime - t0) / 1e9}%.3f s"); r
+    }
+
+    // ---------------- r11 flow: partition-pruned lazy plan ----------
     val wh = new Warehouse(spark, dir, checkpointInterval = 1,
       specs = Map("big" -> Warehouse.TableSpec(schema,
         partitionBy = Seq("s"), statColumns = Seq("k"))))
     wh.columnarThreshold = 1000L
     wh.bootstrap()
-    val n = 800000
-    val nparts = 400
     val sb = new StringBuilder("graft-manifest 1")
     var i = 0
     while (i < n) {
@@ -35,10 +43,6 @@ object Probe800k {
     }
     Files.write(Paths.get(dir, "big", "_manifests", "v000000000002.mf"),
       sb.result().getBytes(StandardCharsets.UTF_8))
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime; val r = f
-      println(f"TIME $label ${(System.nanoTime - t0) / 1e9}%.3f s"); r
-    }
     time("materializeColumnar (one-time)") { wh.materializeColumnar("big") }
     Warehouse.invalidateCached(s"$dir#big#")
 
@@ -51,29 +55,33 @@ object Probe800k {
     println(s"cold planned rdd partitions: $cold")
     println("driver folded? " + Warehouse.snapshotCacheGet(
       wh.currentCacheKey("big", 2L)).isDefined)
-    time("WARM one-partition plan (agg memoized)") {
+    time("WARM one-partition plan (agg + prune memoized)") {
       wh.read("big").where(col("s") === "g7").rdd.partitions.length
     }
-    val df = wh.read("big")
-    val idx = df.queryExecution.analyzed.collectFirst {
-      case org.apache.spark.sql.execution.datasources.LogicalRelation(
-          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-          _, _, _, _) => h.location
-    }.get
-    val attr = df.queryExecution.analyzed.output.find(_.name == "s").get
-    val parts = time("listFiles(s=g7) direct") {
-      idx.listFiles(Seq(
-        org.apache.spark.sql.catalyst.expressions.EqualTo(attr,
-          org.apache.spark.sql.catalyst.expressions.Literal(
-            org.apache.spark.unsafe.types.UTF8String.fromString("g7"),
-            StringType))), Nil)
-    }
-    println(s"survivor files: ${parts.map(_.files.length).sum} of $n")
-    println("driver folded after probes? " + Warehouse.snapshotCacheGet(
-      wh.currentCacheKey("big", 2L)).isDefined)
 
-    // EAGER comparison: full text fold (the pre-round shape), then the
-    // same filtered plan over the cached snapshot (r10's 3.0s residual)
+    // r12: COLD UNFILTERED plan — the slim distributed list replaces
+    // the full driver fold (stats maps never built)
+    Warehouse.invalidateCached(s"$dir#big#")
+    time("COLD unfiltered plan (slim distributed list)") {
+      wh.read("big").rdd.partitions.length
+    }
+    println("driver folded (full entries)? " + Warehouse.snapshotCacheGet(
+      wh.currentCacheKey("big", 2L)).isDefined)
+    Warehouse.slimCacheGet(wh.currentCacheKey("big", 2L)) match {
+      case Some(slim) =>
+        val relChars = slim.iterator.map(_.rel.length.toLong).sum
+        val approx = slim.iterator.map(e =>
+          96L + 2L * (e.rel.length + e.dv.length) + 56L * e.stats.size).sum
+        println(s"slim entries held: ${slim.size}; rel chars: $relChars; " +
+          f"approx heap: ${approx / 1048576.0}%.1f MiB " +
+          "(full FileEntry state at r11: ~300 MiB)")
+      case None => println("slim entries held: none (unexpected)")
+    }
+    time("WARM unfiltered plan (slim memoized)") {
+      wh.read("big").rdd.partitions.length
+    }
+
+    // full text fold for reference (the pre-r11 shape)
     time("full text fold (warms snapshot cache)") {
       wh.read("big").inputFiles.length
     }
@@ -81,6 +89,96 @@ object Probe800k {
       wh.read("big").where(col("s") === "g7").rdd.partitions.length
     }
     println(s"eager planned rdd partitions: $eager")
+
+    // ---------------- r12: DV-bearing lazy plan ---------------------
+    // every entry carries a vector ref; only the probed partition's
+    // sidecars exist — the survivor-fed filter must open exactly those
+    val whDv = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("dvt" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    whDv.columnarThreshold = 1000L
+    whDv.bootstrap()
+    val dvDir = Paths.get(dir, "dvt", "_dv")
+    Files.createDirectories(dvDir)
+    val sidecar = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeBytes("GDV1"); out.writeLong(1L); out.writeLong(0L)
+      out.flush(); bos.toByteArray
+    }
+    val sb2 = new StringBuilder("graft-manifest 1")
+    i = 0
+    while (i < n) {
+      val dv = if (i % nparts == 7) {
+        Files.write(dvDir.resolve(s"dv-$i.gdv"), sidecar)
+        s"_dv/dv-$i.gdv"
+      } else s"_dv/missing-$i.gdv"
+      sb2.append(s"\ns=g${i % nparts}/part-$i.parquet\t1048576\tk=$i:${i + 9}\t100\t$dv\t1")
+      i += 1
+    }
+    Files.write(Paths.get(dir, "dvt", "_manifests", "v000000000002.mf"),
+      sb2.result().getBytes(StandardCharsets.UTF_8))
+    time("DV table materializeColumnar (one-time)") {
+      whDv.materializeColumnar("dvt")
+    }
+    Warehouse.invalidateCached(s"$dir#dvt#")
+    val dvCold = time("COLD one-partition plan, 800k DV-bearing entries " +
+      "(r11: fell back to the eager fold)") {
+      whDv.read("dvt").where(col("s") === "g7").rdd.partitions.length
+    }
+    println(s"dv cold planned rdd partitions: $dvCold")
+    println("driver folded? " + Warehouse.snapshotCacheGet(
+      whDv.currentCacheKey("dvt", 2L)).isDefined)
+    val dvDf = whDv.read("dvt").where(col("s") === "g7")
+    dvDf.rdd.partitions.length
+    val fed = dvDf.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect { case d: graft.plans.DvRowDeleted => d.lookup }
+    }.flatten.collectFirst {
+      case g: graft.plans.GrowableDvLookup => g.fedFiles }
+    println(s"dv sidecars fed (survivor-bounded): ${fed.getOrElse(-1)} " +
+      s"of ${n / nparts} survivors (table-wide: $n)")
+
+    // ---------------- r12: hidden-partitioning distributed prune ----
+    // day = CAST(ts AS DATE) generated partitioning; the predicate is
+    // on the BASE column ts, the cut must happen in the distributed
+    // scan via derived /day=.../ segments
+    val hidSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", LongType),
+      StructField("day", DateType)))
+    val whHid = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("hid" -> Warehouse.TableSpec(hidSchema,
+        partitionBy = Seq("day"), statColumns = Seq("k"),
+        generated = Map("day" -> "CAST(ts AS DATE)"))))
+    whHid.columnarThreshold = 1000L
+    whHid.bootstrap()
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    val sb3 = new StringBuilder("graft-manifest 1")
+    i = 0
+    while (i < n) {
+      val d = day0.plusDays((i % nparts).toLong).toString
+      sb3.append(s"\nday=$d/part-$i.parquet\t1048576\tk=$i:${i + 9}\t100\t\t0")
+      i += 1
+    }
+    Files.write(Paths.get(dir, "hid", "_manifests", "v000000000002.mf"),
+      sb3.result().getBytes(StandardCharsets.UTF_8))
+    time("hidden-partition materializeColumnar (one-time)") {
+      whHid.materializeColumnar("hid")
+    }
+    Warehouse.invalidateCached(s"$dir#hid#")
+    val probeDay = day0.plusDays(7)
+    val lo = java.sql.Timestamp.valueOf(probeDay.atStartOfDay)
+    val hi = java.sql.Timestamp.valueOf(probeDay.plusDays(1).atStartOfDay)
+    val hidCold = time("COLD one-day plan over the BASE ts column, 800k " +
+      "hidden-partitioned entries (r11: exact pass only, post-fold)") {
+      whHid.read("hid")
+        .where(col("ts") >= org.apache.spark.sql.functions.lit(lo) &&
+          col("ts") < org.apache.spark.sql.functions.lit(hi))
+        .rdd.partitions.length
+    }
+    println(s"hidden cold planned rdd partitions: $hidCold")
+    println("driver folded? " + Warehouse.snapshotCacheGet(
+      whHid.currentCacheKey("hid", 2L)).isDefined)
     spark.stop()
   }
 }

@@ -183,6 +183,60 @@ class SnapshotLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("the sweep STREAMS its doomed list in bounded chunks: a " +
+    "1-name chunk bound flushes per doomed file with the identical " +
+    "end state — driver memory is O(chunk), never O(doomed)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-sweepc-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = false,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("k"), bloomColumns = Seq("s"),
+        ndvColumns = Seq("s"))))
+    wh.bootstrap()
+    wh.append("t", (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"))
+    wh.delete("t", col("k") === 5L)
+    // three vectored deletes on the rewritten file: each supersedes
+    // the previous union sidecar, leaving TWO `_dv` orphans to sweep
+    wh.deleteVectored("t", col("k") === 3L)
+    wh.deleteVectored("t", col("k") === 4L)
+    wh.deleteVectored("t", col("k") === 2L) // same file as 3 and 4
+    def names(sub: String): Set[String] = {
+      val p = Paths.get(dir, "t", sub)
+      if (!Files.exists(p)) Set.empty
+      else {
+        val b = Set.newBuilder[String]
+        Files.list(p).forEach(x => b += x.getFileName.toString)
+        b.result().filterNot(_.startsWith("."))
+      }
+    }
+    assert(names("_dv").size === 3)
+    val sweeps = Warehouse.distributedSidecarSweeps.get()
+    wh.sidecarSweepChunk = 1 // every doomed name is its own flush
+    wh.sidecarSweepThreshold = 1 // and every flush goes distributed
+    wh.vacuum("t", keepManifests = 1)
+    // two doomed sidecars existed, so the streamed path must have
+    // flushed (and job'd) once per doomed name
+    assert(Warehouse.distributedSidecarSweeps.get() >= sweeps + 2,
+      "chunked flushes must each have run as their own job")
+    // identical end state as the one-shot sweep: superseded DVs gone,
+    // live union vector survives, liveness is the only criterion
+    assert(names("_dv").size === 1)
+    assert(wh.read("t").count() === 16L)
+    val live = wh.loadLatest("t")._2.map(_.rel).toSet
+    val liveHashes = live.map(rel =>
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(rel.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString)
+    Seq("_bloomidx", "_ndvidx").foreach { sub =>
+      val ns = names(sub)
+      assert(ns.nonEmpty)
+      assert(ns.forall(n => liveHashes.contains(n.takeWhile(_ != '-'))),
+        s"$sub: an orphan sidecar survived the chunked sweep")
+      assert(liveHashes.forall(h => ns.exists(_.startsWith(h))),
+        s"$sub: a live file's sidecar was wrongly deleted")
+    }
+  }
+
   test("snapshot cache budgets by approximate bytes and evicts LRU " +
     "under pressure") {
     val dir = Files.createTempDirectory("graft-lifeb-").toString

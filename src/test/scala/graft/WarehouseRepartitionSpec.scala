@@ -84,15 +84,14 @@ class WarehouseRepartitionSpec extends SparkSpec {
 
   test("history across the migration boundary: readVersion RE-ANCHORS " +
     "under the old era's layout when files are retained (GC'd message " +
-    "otherwise); restore/change feeds still refuse; tags block") {
+    "otherwise); feeds cross by era-splitting") {
     val (wh, _) = fresh()
     wh.append("t", rows(1L to 50L))
     val preV = wh.versions("t").max
+    // tags no longer block migrations — a live tag would PIN the old
+    // era's files across the rewrite (WarehouseTagSpec pins that);
+    // this test wants the old era eager-GC'd, so release it first
     wh.createTag("t", "pin")
-    val blocked = intercept[IllegalArgumentException] {
-      wh.repartitionTable("t", Seq("grp"))
-    }
-    assert(blocked.getMessage.contains("tag"))
     wh.dropTag("t", "pin")
     wh.repartitionTable("t", Seq("grp"))
     val postV = wh.versions("t").max
@@ -179,12 +178,9 @@ class WarehouseRepartitionSpec extends SparkSpec {
     wh.append("t", rows(36L to 40L)) // v5: grp era
     val midV = wh.versions("t").max
 
-    // a tag would pin the current layout across the flip — refuse
-    wh.createTag("t", "pin")
-    val tg = intercept[IllegalArgumentException] { wh.restore("t", preV) }
-    assert(tg.getMessage.contains("tag"))
-    wh.dropTag("t", "pin")
-
+    // (a live tag no longer blocks the cross-layout restore — it pins
+    // its own era and re-anchors through the stamp; WarehouseTagSpec
+    // exercises exactly that)
     wh.restore("t", preV) // v6: rollback ACROSS the migration
     // the layout flipped back, in memory and persisted
     assert(wh.tableSpec("t").partitionBy === Nil)

@@ -104,6 +104,65 @@ class WarehouseTagSpec extends SparkSpec {
     assert(spark.sql("SHOW TAGS tag_t").count() === 1L)
   }
 
+  test("tags SURVIVE layout migrations: readTag re-anchors to the " +
+    "tag's own era's layout across SET PARTITIONED BY, and RESTORE to " +
+    "the tagged version flips the layout back") {
+    val dir = Files.createTempDirectory("graft-tagmig-").toString
+    val spec2 = Warehouse.TableSpec(
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("grp", StringType),
+        StructField("val", DoubleType))))
+    val wh = new Warehouse(spark, dir, specs = Map("t" -> spec2))
+    wh.bootstrap()
+    wh.registerSql("tmg_")
+    val data = (1 to 12).map(i => (i.toLong, s"g${i % 3}", i * 1.0))
+    wh.append("t", data.toDF("id", "grp", "val"))
+    wh.createTag("t", "flat-era")
+    val taggedV = wh.tags("t")("flat-era")
+
+    // the migration no longer requires dropping tags: the commit's
+    // partitionByOld stamp resolves the tag's own era
+    wh.repartitionTable("t", Seq("grp"))
+    assert(wh.tableSpec("t").partitionBy === Seq("grp"))
+    wh.append("t", Seq((100L, "g0", 100.0)).toDF("id", "grp", "val"))
+
+    // readTag reads the PRE-migration snapshot under the flat layout
+    // (partitioned reads surface partition columns last — select the
+    // declared order explicitly)
+    assert(wh.readTag("t", "flat-era").select("id", "grp", "val")
+      .as[(Long, String, Double)].collect().toSet === data.toSet)
+    // SQL surface agrees
+    assert(spark.sql("SELECT count(*) FROM tmg_t VERSION AS OF 'flat-era'")
+      .head().getLong(0) === 12L)
+    // the tagged files survived the migration's rewrite (eager GC
+    // pins tag-referenced rels)
+    assert(wh.readVersion("t", taggedV).count() === 12L)
+
+    // vacuum far past retention still pins the tagged (cross-era)
+    // snapshot
+    assert(wh.vacuum("t", keepManifests = 1) >= 0L)
+    assert(wh.readTag("t", "flat-era").count() === 12L)
+
+    // RESTORE to the tagged version crosses the boundary back: layout
+    // flips to flat, content is the tag's
+    wh.restore("t", taggedV)
+    assert(wh.tableSpec("t").partitionBy === Seq.empty)
+    assert(wh.read("t").select("id", "grp", "val")
+      .as[(Long, String, Double)].collect().toSet === data.toSet)
+    // the tag itself still reads after the restore
+    assert(wh.readTag("t", "flat-era").count() === 12L)
+
+    // a second migration direction: tag the PARTITIONED era, migrate
+    // back to flat, and read the partitioned-era tag
+    wh.repartitionTable("t", Seq("grp"))
+    wh.createTag("t", "part-era")
+    wh.repartitionTable("t", Seq.empty)
+    assert(wh.readTag("t", "part-era").select("id", "grp", "val")
+      .as[(Long, String, Double)].collect().toSet === data.toSet)
+    assert(wh.readTag("t", "flat-era").count() === 12L)
+  }
+
   test("SHOW FILES inventories the head manifest; REFRESH FINGERPRINT " +
     "maintains the content hash through SQL DML") {
     val dir = Files.createTempDirectory("graft-tag-").toString
