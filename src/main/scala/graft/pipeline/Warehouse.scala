@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 import graft.schema.Schemas
 import graft.util.FsListing
@@ -979,23 +979,54 @@ class Warehouse(spark: SparkSession, dir: String,
     if (fs.exists(dest)) return // racing committer already wrote it
     val statCols = entries.iterator.flatMap(_.stats.keysIterator)
       .toSeq.distinct.sorted
+    // NDV sketch EMBEDDING: the per-file HLL sidecar bytes ride the
+    // checkpoint as `__hll_<c>` binary columns, read DISTRIBUTED here
+    // (once per checkpoint) so [[lazyNdv]] can union them inside one
+    // parquet scan instead of opening |files| sidecars per cold
+    // version. A missing sidecar writes null (readers withhold the
+    // column — never undercount). ~1.5 KB per sketch: at 800k entries
+    // a one-column embed adds ~1.2 GB spread over the checkpoint's
+    // parquet parts — the price of never walking the sidecar dir at
+    // plan time.
+    val ndvCols = specsNow.get(name).map(_.ndvColumns).getOrElse(Nil)
     val schema = StructType(mfpFixed.fields ++ statCols.flatMap(c => Seq(
       StructField(s"__lo_$c", LongType, nullable = true),
-      StructField(s"__hi_$c", LongType, nullable = true))))
-    val rows = entries.map { e =>
-      Row.fromSeq(Seq(e.rel, e.bytes, e.rows, e.dv, e.dvRows) ++
-        statCols.flatMap(c => e.stats.get(c) match {
-          case Some((lo, hi)) => Seq[Any](lo, hi)
-          case None => Seq[Any](null, null)
-        }))
-    }
+      StructField(s"__hi_$c", LongType, nullable = true))) ++
+      ndvCols.map(c =>
+        StructField(s"__hll_$c", BinaryType, nullable = true)))
     // a few hundred k entries per task: parallel enough to read
     // distributed, few enough files to stay listing-cheap
     val parts = math.max(1, math.min(32, (entries.size / 262144) + 1))
+    val ndir = ndvDir(name).toString
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      hadoopConf)
+    val rows = spark.sparkContext.parallelize(entries, parts)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        def sketch(tfs: org.apache.hadoop.fs.FileSystem, rel: String,
+            c: String): Array[Byte] = {
+          val n = md.digest(rel.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString + s"-$c.hll"
+          val p = new Path(ndir, n)
+          if (!tfs.exists(p)) null
+          else {
+            val in = tfs.open(p)
+            try in.readAllBytes() finally in.close()
+          }
+        }
+        val tfs = new Path(ndir).getFileSystem(conf.value)
+        it.map { e =>
+          Row.fromSeq(Seq(e.rel, e.bytes, e.rows, e.dv, e.dvRows) ++
+            statCols.flatMap(c => e.stats.get(c) match {
+              case Some((lo, hi)) => Seq[Any](lo, hi)
+              case None => Seq[Any](null, null)
+            }) ++ ndvCols.map(c => sketch(tfs, e.rel, c)))
+        }
+      }
     val tmp = new Path(manifestDir(name),
       s".tmp-mfp-${java.util.UUID.randomUUID}")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, parts), schema)
+    spark.createDataFrame(rows, schema)
       .write.mode("overwrite").parquet(tmp.toString)
     // directory rename is the atomic publish; a loser (concurrent
     // committer of the same checkpoint writes identical content) just
@@ -1186,7 +1217,12 @@ class Warehouse(spark: SparkSession, dir: String,
       .filter(v => fs.exists(mfpPath(name, v)))
       .getOrElse(return None)
     val (removed, upserts) = deltaState(name, ckpt, version)
-    val base = spark.read.parquet(mfpPath(name, ckpt).toString)
+    // project the fixed + stat columns only: r12 checkpoints may carry
+    // embedded HLL sketch bytes (`__hll_*`), which must never ride the
+    // survivor collect
+    val raw = spark.read.parquet(mfpPath(name, ckpt).toString)
+    val base = raw.select(raw.columns.toSeq
+      .filterNot(_.startsWith("__hll_")).map(col): _*)
     val statCond = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
       if (!base.columns.contains(s"__lo_$c")) acc // no file has stats: keep all
       else acc && (col(s"__lo_$c").isNull ||
@@ -2504,12 +2540,20 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   /** NDV estimates over `version`'s live entries — the lazy
-    * counterpart of [[ndvEstimates]]: the same per-file HLL sidecar
-    * union, but with the rel list STREAMED from the columnar
-    * checkpoint + delta replay instead of a driver-held entry list
-    * (the driver never sees a rel). A missing sidecar anywhere
-    * withholds the column (never undercount). Memoized per confirmed
-    * version — complete answers only, like [[ndvEstimates]]' memo.
+    * counterpart of [[ndvEstimates]]. Two paths, fastest first:
+    *
+    *   1. SKETCHES EMBEDDED in the columnar checkpoint (`__hll_<c>`
+    *      binary columns, written by [[writeColumnarManifest]] since
+    *      r12): union them inside ONE parquet scan of the kept base —
+    *      zero per-file sidecar opens at plan time — plus driver-side
+    *      sidecar reads for the batch-bounded delta upserts only.
+    *   2. Older checkpoints without the columns: the per-file sidecar
+    *      union with rels STREAMED from the columnar relation (the
+    *      driver never sees a rel) — the r12.0 shape.
+    *
+    * A missing sketch anywhere withholds the column (never
+    * undercount). Memoized per confirmed version — complete answers
+    * only, like [[ndvEstimates]]' memo.
     */
   private def lazyNdv(name: String, version: Long): Map[String, Long] = {
     val cols = specsNow.get(name).map(_.ndvColumns).getOrElse(Nil)
@@ -2519,6 +2563,78 @@ class Warehouse(spark: SparkSession, dir: String,
       case Some(hit) => return hit
       case None =>
     }
+    val out = lazyNdvCompute(name, version, cols)
+    if (out.size == cols.size) Warehouse.lazyNdvPut(key, out)
+    out
+  }
+
+  private def lazyNdvCompute(name: String, version: Long,
+      cols: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val fs = fileSystem
+    val ckptOpt = checkpointBelow(name, version)
+      .filter(v => fs.exists(mfpPath(name, v)))
+    // ---- path 1: embedded sketches ----
+    ckptOpt.foreach { ckpt =>
+      val raw = spark.read.parquet(mfpPath(name, ckpt).toString)
+      if (cols.forall(c => raw.columns.contains(s"__hll_$c"))) {
+        val (removed, upserts) = deltaState(name, ckpt, version)
+        val touched = (removed ++ upserts.keysIterator).toSeq.sorted
+        val proj = raw.select(cols.map(c => col(s"__hll_$c")) :+
+          col("rel"): _*)
+        val kept =
+          if (touched.isEmpty) proj
+          else proj.join(
+            broadcast(spark.createDataFrame(touched.map(Tuple1(_)))
+              .toDF("rel")),
+            Seq("rel"), "left_anti")
+        Warehouse.columnarPrunes.incrementAndGet()
+        val partials = kept.rdd.mapPartitions { it =>
+          val unions = cols.map(_ =>
+            new org.apache.datasketches.hll.Union(12))
+          val missing = Array.fill(cols.size)(false)
+          it.foreach { r =>
+            var i = 0
+            while (i < cols.length) {
+              if (!missing(i)) {
+                if (r.isNullAt(i)) missing(i) = true
+                else unions(i).update(org.apache.datasketches.hll
+                  .HllSketch.heapify(r.getAs[Array[Byte]](i)))
+              }
+              i += 1
+            }
+          }
+          Iterator.single(cols.indices.map(i =>
+            (missing(i), unions(i).getResult.toCompactByteArray)).toSeq)
+        }.collect()
+        // delta upserts: batch-bounded driver-side sidecar reads
+        val ups = upserts.valuesIterator.toSeq
+        return cols.zipWithIndex.flatMap { case (c, i) =>
+          if (partials.exists(_(i)._1)) None
+          else {
+            val u = new org.apache.datasketches.hll.Union(12)
+            partials.foreach(p => u.update(
+              org.apache.datasketches.hll.HllSketch.heapify(p(i)._2)))
+            var complete = true
+            ups.foreach { e =>
+              if (complete) {
+                val p = new Path(ndvDir(name), ndvFileName(e.rel, c))
+                if (!fs.exists(p)) complete = false
+                else {
+                  val in = fs.open(p)
+                  val bytes = try in.readAllBytes() finally in.close()
+                  u.update(org.apache.datasketches.hll
+                    .HllSketch.heapify(bytes))
+                }
+              }
+            }
+            if (!complete) None
+            else Some(c -> math.round(u.getEstimate))
+          }
+        }.toMap
+      }
+    }
+    // ---- path 2: stream rels, open sidecars task-side ----
     val rel = entriesRelationAt(name, version).getOrElse(return Map.empty)
     val ndir = ndvDir(name).toString
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -2556,7 +2672,7 @@ class Warehouse(spark: SparkSession, dir: String,
           (i, missing(i), unions(i).getResult.toCompactByteArray)).toSeq)
       }.collect()
     colsB.destroy()
-    val out: Map[String, Long] = cols.zipWithIndex.flatMap { case (c, i) =>
+    cols.zipWithIndex.flatMap { case (c, i) =>
       if (partials.isEmpty || partials.exists(_(i)._2)) None
       else {
         val u = new org.apache.datasketches.hll.Union(12)
@@ -2565,8 +2681,6 @@ class Warehouse(spark: SparkSession, dir: String,
         Some(c -> math.round(u.getEstimate))
       }
     }.toMap
-    if (out.size == cols.size) Warehouse.lazyNdvPut(key, out)
-    out
   }
 
   /** Plan the head WITHOUT materializing the entry list on the driver:
@@ -3388,6 +3502,22 @@ class Warehouse(spark: SparkSession, dir: String,
   private def readDvFile(name: String, dv: String): Array[Long] = {
     val p = if (new Path(dv).isAbsolute) new Path(dv)
       else new Path(path(name), dv)
+    // sidecars are IMMUTABLE (growth writes a fresh file) and their
+    // UUID names never recur, so the parse memoizes safely — repeated
+    // plans of one DV-bearing snapshot (each listFiles feed, each
+    // eager dvLookup) read each sidecar once per JVM, not once per plan
+    val key = p.toString
+    Warehouse.dvBytesGet(key) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    val out0 = readDvFileUncached(name, p, dv)
+    Warehouse.dvBytesPut(key, out0)
+    out0
+  }
+
+  private def readDvFileUncached(name: String, p: Path,
+      dv: String): Array[Long] = {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fileSystem.open(p)))
     try {
@@ -7188,6 +7318,36 @@ object Warehouse {
     Option(lazyNdvCache.get(key))
   private[graft] def lazyNdvPut(key: String,
       v: Map[String, Long]): Unit = { lazyNdvCache.put(key, v); () }
+
+  // parsed deletion-vector sidecars, keyed by absolute path: sidecars
+  // are immutable and their UUID file names never recur (a dropped
+  // table's dir is deleted; growth writes a FRESH file), so entries
+  // never go stale — stale-but-unreferenced ones only age out by LRU.
+  // Byte-budgeted (positions are 8 B each).
+  private[graft] var dvBytesBudget: Long = 64L * 1024 * 1024
+  private val dvBytesCache =
+    new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true)
+  private val dvCachedBytes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def dvBytesGet(key: String): Option[Array[Long]] =
+    dvBytesCache.synchronized(Option(dvBytesCache.get(key)))
+
+  private[graft] def dvBytesPut(key: String,
+      positions: Array[Long]): Unit = dvBytesCache.synchronized {
+    if (dvBytesCache.containsKey(key)) return
+    dvBytesCache.put(key, positions)
+    dvCachedBytes.addAndGet(8L * positions.length + 64L)
+    val it = dvBytesCache.entrySet().iterator()
+    while (dvCachedBytes.get() > dvBytesBudget &&
+        dvBytesCache.size() > 1 && it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != key) {
+        dvCachedBytes.addAndGet(-(8L * eldest.getValue.length + 64L))
+        it.remove()
+      }
+    }
+  }
 
   /** Memoized SURVIVOR lists of [[Warehouse!.prunedEntries]], keyed by
     * (lifetime-scoped version key, pushed ranges, rel conjuncts): a

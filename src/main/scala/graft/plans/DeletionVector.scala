@@ -31,6 +31,13 @@ final class DvLookup(keys: Array[String], arrs: Array[Array[Long]])
     extends DvResolver {
   @transient private var lastPath: UTF8String = _
   @transient private var lastArr: Array[Long] = _
+  // file-NAME index over the suffix keys, built lazily once per task
+  // (post-deserialization): resolution is O(1) instead of a linear key
+  // walk — the walk is O(|dv'd files|) PER FILE, quadratic across a
+  // heavily-vectored scan at 100 TB file counts. Names are unique
+  // within one scan (write-job UUIDs), but a collision degrades to the
+  // bucket's short list, never to a wrong match (endsWith verifies).
+  @transient private var byName: java.util.HashMap[String, List[Int]] = _
 
   def hit(path: UTF8String, idx: Long): Boolean = {
     if (lastPath == null || !lastPath.equals(path)) {
@@ -41,12 +48,20 @@ final class DvLookup(keys: Array[String], arrs: Array[Array[Long]])
   }
 
   private def resolve(p: String): Array[Long] = {
-    var i = 0
-    while (i < keys.length) {
-      if (p.endsWith(keys(i))) return arrs(i)
-      i += 1
+    if (byName == null) {
+      byName = new java.util.HashMap[String, List[Int]]()
+      var i = 0
+      while (i < keys.length) {
+        val n = keys(i).substring(keys(i).lastIndexOf('/') + 1)
+        byName.merge(n, List(i), (a, b) => b ++ a)
+        i += 1
+      }
     }
-    null
+    val name = p.substring(p.lastIndexOf('/') + 1)
+    val bucket = byName.get(name)
+    if (bucket == null) return null
+    bucket.collectFirst {
+      case i if p.endsWith(keys(i)) => arrs(i) }.orNull
   }
 }
 
@@ -68,6 +83,14 @@ final class GrowableDvLookup extends DvResolver {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   @transient private var lastPath: UTF8String = _
   @transient private var lastArr: Array[Long] = _
+  // file-NAME index, built from the map on first use and REBUILT if
+  // the map has grown since (a shared-JVM plan re-executed after a
+  // second listFiles fed more survivors — local mode can share the
+  // object) — same O(1) resolution (and the same collision
+  // degradation) as [[DvLookup]].
+  @transient private var byName
+      : java.util.HashMap[String, List[String]] = _
+  @transient private var builtFor: Int = -1
 
   /** Driver-side feed (inside `listFiles`): `key` is the entry's
     * leading-slash rel suffix, `positions` its sorted vector. */
@@ -85,12 +108,22 @@ final class GrowableDvLookup extends DvResolver {
   }
 
   private def resolve(p: String): Array[Long] = {
-    val it = vectors.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (p.endsWith(e.getKey)) return e.getValue
+    val n = vectors.size()
+    if (byName == null || builtFor != n) {
+      val m = new java.util.HashMap[String, List[String]]()
+      val it = vectors.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        m.merge(k.substring(k.lastIndexOf('/') + 1), List(k),
+          (a, b) => b ++ a)
+      }
+      byName = m
+      builtFor = n
     }
-    null
+    val bucket = byName.get(p.substring(p.lastIndexOf('/') + 1))
+    if (bucket == null) return null
+    bucket.collectFirst {
+      case k if p.endsWith(k) => vectors.get(k) }.orNull
   }
 }
 

@@ -420,6 +420,36 @@ class ManifestScaleSpec extends SparkSpec {
       "the DV feed must never fold the 100k entries on the driver")
   }
 
+  test("a SELF-JOIN of one lazy DV-bearing DataFrame with two different " +
+    "partition filters stays exact: both scans share the growable " +
+    "lookup, each listFiles feeds its own survivors, the union serves " +
+    "both sides") {
+    val dir = Files.createTempDirectory("graft-mdvj-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    wh.append("t", (1L to 12L).map(i => (i, s"g${i % 3}")).toDF("k", "s"))
+    wh.deleteVectored("t", $"k" % 4 === 0) // 4, 8, 12 — one per partition
+    Warehouse.invalidateCached(s"$dir#t#")
+
+    // ONE lazy DataFrame, two differently-filtered scans of it in one
+    // query: g1 keys shifted by 1 must meet g2 keys (both sides DV'd)
+    val df = wh.read("t")
+    val left = df.where($"s" === "g1")
+      .select(($"k" + 1L).as("j"), $"k".as("lk"))
+    val right = df.where($"s" === "g2").select($"k".as("j"))
+    val got = left.join(right, "j").select($"lk", $"j")
+      .as[(Long, Long)].collect().toSet
+    // g1 live: 1, 7, 10 (4 vectored); g2 live: 2, 5, 11 (8 vectored)
+    // matches: 1+1=2, 10+1=11 (7+1=8 is vectored out — must NOT match)
+    assert(got === Set((1L, 2L), (10L, 11L)))
+    assert(Warehouse.snapshotCacheGet(
+      wh.currentCacheKey("t", wh.versions("t").max)).isEmpty,
+      "the self-join must plan both sides lazy, never folding")
+  }
+
   test("hidden partitioning prunes DISTRIBUTED: a one-day predicate on " +
     "the BASE timestamp of a date-generated partition column collects " +
     "only that day's entries, cold") {

@@ -296,5 +296,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly 2 broadcast joins:\n${j.queryExecution.executedPlan}")
     assert(graft.pipeline.Warehouse.snapshotCacheGet(
       wh.currentCacheKey("fact", v)).isEmpty)
+
+    // the NDV came from sketches EMBEDDED in the columnar checkpoint,
+    // not from per-file sidecar opens: with the sidecar dir GONE the
+    // cold plan still publishes the same estimates
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(c => rmTree(c))
+      java.nio.file.Files.delete(p)
+    }
+    val ndvDir = java.nio.file.Paths.get(s"$whDir/wh", "fact", "_ndvidx")
+    assert(java.nio.file.Files.exists(ndvDir))
+    rmTree(ndvDir)
+    graft.pipeline.Warehouse.invalidateCached(s"$whDir/wh#fact#")
+    val lr2 = wh.read("fact").queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.get
+    val byName2 = lr2.stats.attributeStats.map { case (attr, st) =>
+      attr.name -> st }
+    assert(byName2("k1").distinctCount === Some(BigInt(20)) &&
+      byName2("k2").distinctCount === Some(BigInt(10)),
+      "embedded checkpoint sketches must serve NDV without the " +
+        "sidecar directory")
   }
 }
