@@ -2009,8 +2009,7 @@ class Warehouse(spark: SparkSession, dir: String,
     require(versions(src).contains(v),
       s"shallowClone: $src has no manifest v$v")
     val entries = loadAt(src, v)
-    val fs = fileSystem
-    val gone = entries.filterNot(e => fs.exists(new Path(path(src), e.rel)))
+    val gone = goneEntries(src, entries)
     require(gone.isEmpty,
       s"shallowClone: $src v$v is not clonable: ${gone.size} file(s) " +
         s"GC'd (e.g. ${gone.headOption.map(_.rel).getOrElse("")})")
@@ -2867,8 +2866,7 @@ class Warehouse(spark: SparkSession, dir: String,
       partitioning(name) // stamps equal ⇒ same layout as the head
     }
     val entries = loadAt(name, version)
-    val fs = fileSystem
-    val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
+    val gone = goneEntries(name, entries)
     require(gone.isEmpty,
       s"$name v$version is no longer readable: ${gone.size} file(s) GC'd " +
         s"(e.g. ${gone.head.rel}); use retainReplaced=true and vacuum " +
@@ -2989,10 +2987,8 @@ class Warehouse(spark: SparkSession, dir: String,
         cdf = true, isStreaming = false)
     val before = loadAt(name, sinceVersion)
     val after = loadAt(name, toVersion)
-    val fs = fileSystem
     val afterSet = after.map(_.rel).toSet
-    val gone = before.filterNot(e => afterSet(e.rel))
-      .filterNot(e => fs.exists(new Path(path(name), e.rel)))
+    val gone = goneEntries(name, before.filterNot(e => afterSet(e.rel)))
     require(gone.isEmpty,
       s"$name change feed since v$sinceVersion unreadable: ${gone.size} " +
         s"removed file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
@@ -3057,8 +3053,7 @@ class Warehouse(spark: SparkSession, dir: String,
         val beforeE = loadAt(name, a)
         val afterE = loadAt(name, b)
         val afterSet = afterE.map(_.rel).toSet
-        val gone = beforeE.filterNot(e => afterSet(e.rel))
-          .filterNot(e => fs.exists(new Path(path(name), e.rel)))
+        val gone = goneEntries(name, beforeE.filterNot(e => afterSet(e.rel)))
         require(gone.isEmpty,
           s"$name change feed v$a→v$b unreadable: ${gone.size} removed " +
             s"file(s) already GC'd (e.g. ${gone.head.rel}); open the " +
@@ -5134,7 +5129,7 @@ class Warehouse(spark: SparkSession, dir: String,
     val tagPinned: Set[String] = {
       val tv = tags(name).values.toSeq.distinct
       if (tv.isEmpty) Set.empty
-      else tv.flatMap(v => scala.util.Try(loadAt(name, v))
+      else tv.flatMap(v => scala.util.Try(entriesLight(name, v))
         .toOption.toSeq.flatten).map(_.rel).toSet
     }
     // BORROWED entries (absolute rel = a shallow clone referencing the
@@ -5142,30 +5137,68 @@ class Warehouse(spark: SparkSession, dir: String,
     // owns references, the source owns the bytes. A rewrite just drops
     // them from the clone's manifest. (Vacuum is safe structurally —
     // it lists only this table's directory.)
-    replaced.filterNot(e =>
-      new Path(e.rel).isAbsolute || lent(e.rel) ||
-        tagPinned(e.rel)).foreach { e =>
-      try { fs.delete(new Path(path(name), e.rel), false); () }
+    //
+    // Deletion fans out: the doomed (rel, dv-to-delete) pairs — lent/
+    // tag/borrow guards resolved DRIVER-side — run as a Spark job above
+    // [[sidecarSweepThreshold]] entries. A full-table rewrite
+    // (overwrite, repartition, restore under eager retention) replaces
+    // EVERY file, and the serial loop was 2+#sidecarCols delete RPCs
+    // per file on the driver.
+    val ndvCols = specsNow(name).ndvColumns
+    val doomed: Seq[(String, String)] = replaced
+      .filterNot(e => new Path(e.rel).isAbsolute || lent(e.rel) ||
+        tagPinned(e.rel))
+      .map { e =>
+        // the replaced file's deletion vector dies with it (a rewrite
+        // materialized it); borrowed/absolute sidecars stay — a
+        // clone's reads still reference them
+        val dv = if (e.dv.nonEmpty && !new Path(e.dv).isAbsolute &&
+            !lent(e.dv)) e.dv else ""
+        (e.rel, dv)
+      }
+    def deleteOne(tfs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+        rel: String, dv: String, sha1: String => String): Unit = {
+      try { tfs.delete(new Path(tableDir, rel), false); () }
       catch { case _: java.io.IOException => () }
-      // the replaced file's deletion vector dies with it (a rewrite
-      // materialized it); borrowed/absolute sidecars stay — a clone's
-      // reads still reference them
-      if (e.dv.nonEmpty && !new Path(e.dv).isAbsolute && !lent(e.dv)) {
-        try { fs.delete(new Path(path(name), e.dv), false); () }
+      if (dv.nonEmpty) {
+        try { tfs.delete(new Path(tableDir, dv), false); () }
         catch { case _: java.io.IOException => () }
       }
       bloomCols.foreach { c =>
         try {
-          fs.delete(new Path(bloomDir(name), bloomFileName(e.rel, c)), false)
+          tfs.delete(new Path(new Path(tableDir, "_bloomidx"),
+            s"${sha1(rel)}-$c.bf"), false)
           ()
         } catch { case _: java.io.IOException => () }
       }
-      specsNow(name).ndvColumns.foreach { c =>
+      ndvCols.foreach { c =>
         try {
-          fs.delete(new Path(ndvDir(name), ndvFileName(e.rel, c)), false)
+          tfs.delete(new Path(new Path(tableDir, "_ndvidx"),
+            s"${sha1(rel)}-$c.hll"), false)
           ()
         } catch { case _: java.io.IOException => () }
       }
+    }
+    if (doomed.size < sidecarSweepThreshold)
+      doomed.foreach { case (rel, dv) =>
+        deleteOne(fs, path(name), rel, dv, relHash) }
+    else {
+      Warehouse.distributedDataSweeps.incrementAndGet()
+      val tableDir = path(name)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        hadoopConf)
+      val parts = math.max(1, math.min(64, doomed.size / 4096 + 1))
+      spark.sparkContext.parallelize(doomed, parts)
+        .foreachPartition { it =>
+          val md = java.security.MessageDigest.getInstance("SHA-1")
+          def sha1(rel: String): String =
+            md.digest(rel.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+          val tfs = new Path(tableDir).getFileSystem(conf.value)
+          it.foreach { case (rel, dv) =>
+            deleteOne(tfs, tableDir, rel, dv, sha1) }
+        }
     }
   }
 
@@ -5838,8 +5871,7 @@ class Warehouse(spark: SparkSession, dir: String,
     // keeps resolving every tagged version's own era and [[readTag]]
     // reads it under the layout it was written with
     val entries = loadAt(name, version)
-    val fs = fileSystem
-    val gone = entries.filterNot(e => fs.exists(new Path(path(name), e.rel)))
+    val gone = goneEntries(name, entries)
     require(gone.isEmpty,
       s"$name v$version is not restorable: ${gone.size} file(s) GC'd " +
         s"(e.g. ${gone.head.rel}); use retainReplaced=true retention")
@@ -6900,7 +6932,7 @@ class Warehouse(spark: SparkSession, dir: String,
       val kept = (all.filter(isVisible(name, _))
         .takeRight(math.max(keepManifests, 1)) ++
         all.filterNot(isVisible(name, _)) ++ tagged).distinct.sorted
-      val live = kept.flatMap(loadAt(name, _)).map(_.rel).toSet ++
+      val live = kept.flatMap(entriesLight(name, _)).map(_.rel).toSet ++
         borrowedFromBy(name).keySet
       return FsListing.dataFiles(path(name))
         .count { case (rel, _) => !live(rel) }.toLong
@@ -6922,12 +6954,13 @@ class Warehouse(spark: SparkSession, dir: String,
     // (vacuuming them would strand every clone at scan time, the Delta
     // caveat this guard closes). Protection scans the other tables'
     // retained manifests, bounded by their own vacuum retention.
-    val live = kept.flatMap(loadAt(name, _)).map(_.rel).toSet ++
+    // rel + dv refs only — the SLIM columnar list where a checkpoint
+    // serves the version (exactly the big-table case), the full fold
+    // otherwise; folded ONCE per kept version, reused for every sweep
+    val keptEntries = kept.map(v => v -> entriesLight(name, v)).toMap
+    val live = keptEntries.valuesIterator.flatten.map(_.rel).toSet ++
       borrowedFromBy(name).keySet
-    var n = 0L
-    FsListing.dataFiles(path(name)).foreach { case (rel, _) =>
-      if (!live(rel) && fs.delete(new Path(path(name), rel), false)) n += 1
-    }
+    val n = sweepDataFiles(name, live)
     val staging = new Path(path(name), "_staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     // deletion-vector sidecars: live = referenced by any KEPT manifest
@@ -6935,7 +6968,7 @@ class Warehouse(spark: SparkSession, dir: String,
     // rewritten past retention, are orphans) or borrowed by a clone
     val dvDir = new Path(path(name), "_dv")
     if (fs.exists(dvDir)) {
-      val liveDvs = kept.flatMap(loadAt(name, _))
+      val liveDvs = keptEntries.valuesIterator.flatten
         .collect { case e if e.dv.nonEmpty && !new Path(e.dv).isAbsolute =>
           e.dv } .toSet ++ live.filter(_.startsWith("_dv/"))
       sweepSidecars(dvDir, n => liveDvs.contains(s"_dv/$n"))
@@ -6992,6 +7025,62 @@ class Warehouse(spark: SparkSession, dir: String,
     * small directories.
     */
   private[graft] var sidecarSweepChunk: Int = 65536
+
+  /** A version's entries at the LOWEST driver cost for rel/dv-ref
+    * consumers (vacuum's live sets, [[gc]]'s tag pins): the slim
+    * columnar list when a checkpoint serves the version — ~150 B/entry,
+    * no stats maps, exactly the big-table case — else the full
+    * [[loadAt]] fold (small tables, pre-columnar history).
+    */
+  private def entriesLight(name: String, v: Long): Seq[FileEntry] =
+    slimEntriesAt(name, v).getOrElse(loadAt(name, v))
+
+  /** Vacuum's DATA-file sweep: delete every data file under the table
+    * whose rel is not `live`, the same streamed-chunk shape as
+    * [[sweepSidecars]] — doomed rels flush in [[sidecarSweepChunk]]-
+    * bounded chunks (driver memory O(chunk)), and a chunk of
+    * [[sidecarSweepThreshold]]+ rels deletes as a Spark job whose tasks
+    * return their success counts (the serial loop counted successful
+    * deletes; the job path must too). The `live` membership probe stays
+    * driver-side — rels-only, the same ~25 B/file the slim snapshot
+    * list holds.
+    *
+    * @return files deleted
+    */
+  private def sweepDataFiles(name: String, live: String => Boolean): Long = {
+    val fs = fileSystem
+    var n = 0L
+    val chunk = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = {
+      if (chunk.isEmpty) return
+      if (chunk.size < sidecarSweepThreshold)
+        chunk.foreach { rel =>
+          if (fs.delete(new Path(path(name), rel), false)) n += 1 }
+      else {
+        Warehouse.distributedDataSweeps.incrementAndGet()
+        val dirStr = path(name)
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          hadoopConf)
+        val parts = math.max(1, math.min(64, chunk.size / 4096 + 1))
+        n += spark.sparkContext.parallelize(chunk.toSeq, parts)
+          .mapPartitions { rels =>
+            val base = new Path(dirStr)
+            val tfs = base.getFileSystem(conf.value)
+            Iterator.single(
+              rels.count(r => tfs.delete(new Path(base, r), false)).toLong)
+          }.sum().toLong
+      }
+      chunk.clear()
+    }
+    FsListing.dataFiles(path(name)).foreach { case (rel, _) =>
+      if (!live(rel)) {
+        chunk += rel
+        if (chunk.size >= sidecarSweepChunk) flush()
+      }
+    }
+    flush()
+    n
+  }
 
   /** Delete every file of `sdir` whose NAME fails `keep` — the shared
     * sweep under vacuum's three sidecar passes (`_dv`, `_bloomidx`,
@@ -7061,33 +7150,90 @@ class Warehouse(spark: SparkSession, dir: String,
     * is the diagnosis half; vacuum/restore are the repair half.
     */
   def fsck(name: String): Seq[(String, String, String)] = {
-    val fs = fileSystem
     val out = Seq.newBuilder[(String, String, String)]
     val (v, entries) = loadLatest(name)
     if (v == 0L) return Seq.empty
-    entries.foreach { e =>
-      val p = if (e.rel.startsWith("/")) new Path(e.rel)
-        else new Path(path(name), e.rel)
-      if (!fs.exists(p))
-        out += (("error", "missing-file", e.rel))
-      else if (fs.getFileStatus(p).getLen != e.bytes)
-        out += (("error", "size-mismatch",
-          s"${e.rel}: manifest ${e.bytes} B, filesystem " +
-            s"${fs.getFileStatus(p).getLen} B"))
-      if (e.dv.nonEmpty && e.dvRows > 0) {
-        val dp = if (new Path(e.dv).isAbsolute) new Path(e.dv)
-          else new Path(path(name), e.dv)
-        if (!fs.exists(dp))
-          out += (("error", "missing-dv", s"${e.rel}: ${e.dv}"))
-      }
-    }
+    out ++= scanEntryDamage(name, entries)
     val retained = rawVersions(name).filter(isVisible(name, _))
-      .flatMap(mv => scala.util.Try(loadAt(name, mv)).toOption.toSeq.flatten)
+      .flatMap(mv =>
+        scala.util.Try(entriesLight(name, mv)).toOption.toSeq.flatten)
       .map(_.rel).toSet ++ borrowedFromBy(name).keySet
     FsListing.dataFiles(path(name)).foreach { case (rel, _) =>
       if (!retained(rel)) out += (("info", "orphan-file", rel))
     }
     out.result()
+  }
+
+  /** The subset of `entries` whose data file is MISSING on disk — the
+    * existence audit behind time travel, clone, restore and feed
+    * readability. One exists() RPC per file, so above
+    * [[bloomProbeDistributedThreshold]] entries it runs as a Spark job
+    * returning FINDINGS only (normally none); the job is the serial
+    * filter verbatim sliced across tasks, order-preserving.
+    */
+  private def goneEntries(name: String,
+      entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val tableDir = path(name)
+    if (entries.size < bloomProbeDistributedThreshold) {
+      val fs = fileSystem
+      entries.filterNot(e => fs.exists(new Path(tableDir, e.rel)))
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        hadoopConf)
+      val parts = math.max(1, math.min(64, entries.size / 4096 + 1))
+      spark.sparkContext.parallelize(entries, parts)
+        .mapPartitions { it =>
+          val tfs = new Path(tableDir).getFileSystem(conf.value)
+          it.filterNot(e => tfs.exists(new Path(tableDir, e.rel)))
+        }.collect().toSeq
+    }
+  }
+
+  /** [[fsck]]'s per-entry damage scan (missing-file / size-mismatch /
+    * missing-dv), run as a SPARK JOB above
+    * [[bloomProbeDistributedThreshold]] entries: the serial loop is
+    * 1-3 filesystem RPCs PER FILE on the driver — ~10⁶ round-trips at
+    * the 800k design point — while the job returns only FINDINGS
+    * (bounded by damage, normally zero). The job is the loop verbatim
+    * sliced across tasks; parallelize+collect preserves entry order,
+    * so the two paths are result-identical.
+    */
+  private def scanEntryDamage(name: String,
+      entries: Seq[FileEntry]): Seq[(String, String, String)] = {
+    val tableDir = path(name)
+    def damage(fs: org.apache.hadoop.fs.FileSystem,
+        e: FileEntry): Seq[(String, String, String)] = {
+      val b = Seq.newBuilder[(String, String, String)]
+      val p = if (e.rel.startsWith("/")) new Path(e.rel)
+        else new Path(tableDir, e.rel)
+      if (!fs.exists(p))
+        b += (("error", "missing-file", e.rel))
+      else {
+        val len = fs.getFileStatus(p).getLen
+        if (len != e.bytes)
+          b += (("error", "size-mismatch",
+            s"${e.rel}: manifest ${e.bytes} B, filesystem $len B"))
+      }
+      if (e.dv.nonEmpty && e.dvRows > 0) {
+        val dp = if (new Path(e.dv).isAbsolute) new Path(e.dv)
+          else new Path(tableDir, e.dv)
+        if (!fs.exists(dp))
+          b += (("error", "missing-dv", s"${e.rel}: ${e.dv}"))
+      }
+      b.result()
+    }
+    if (entries.size < bloomProbeDistributedThreshold)
+      entries.flatMap(e => damage(fileSystem, e))
+    else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        hadoopConf)
+      val parts = math.max(1, math.min(64, entries.size / 4096 + 1))
+      spark.sparkContext.parallelize(entries, parts)
+        .mapPartitions { it =>
+          val tfs = new Path(tableDir).getFileSystem(conf.value)
+          it.flatMap(e => damage(tfs, e))
+        }.collect().toSeq
+    }
   }
 
   /** REPAIR after external damage (Delta's FSCK REPAIR TABLE): commit a
@@ -7103,22 +7249,18 @@ class Warehouse(spark: SparkSession, dir: String,
     *   no commit
     */
   def repairTable(name: String): (Long, Long) = {
-    val fs = fileSystem
     val (v, entries) = loadLatest(name)
     require(v > 0L, s"repairTable $name: table not bootstrapped")
-    def exists(rel: String): Boolean = {
-      val p = if (rel.startsWith("/")) new Path(rel)
-        else new Path(path(name), rel)
-      fs.exists(p)
-    }
-    val (kept, dropped) = entries.partition(e => exists(e.rel))
-    val (clean, devectored) = kept.partition { e =>
-      e.dv.isEmpty || e.dvRows == 0L || {
-        val p = if (new Path(e.dv).isAbsolute) new Path(e.dv)
-          else new Path(path(name), e.dv)
-        fs.exists(p)
-      }
-    }
+    // one distributed damage scan (shared with [[fsck]]) instead of
+    // 1-2 serial existence RPCs per file on the driver
+    val findings = scanEntryDamage(name, entries)
+    val gone = findings.collect {
+      case ("error", "missing-file", rel) => rel }.toSet
+    val dvGone = findings.collect {
+      case ("error", "missing-dv", d) => d }.toSet
+    val (kept, dropped) = entries.partition(e => !gone(e.rel))
+    val (devectored, clean) =
+      kept.partition(e => dvGone(s"${e.rel}: ${e.dv}"))
     if (dropped.isEmpty && devectored.isEmpty) return (0L, 0L)
     commit(name, v + 1,
       clean ++ devectored.map(_.copy(dv = "", dvRows = 0L)),
@@ -7471,6 +7613,9 @@ object Warehouse {
   /** Vacuum sidecar sweeps whose deletes ran as a Spark job (doomed
     * count over [[Warehouse!.sidecarSweepThreshold]]). */
   private[graft] val distributedSidecarSweeps =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Vacuum DATA-file sweep chunks whose deletes ran as a Spark job. */
+  private[graft] val distributedDataSweeps =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A manifest version another writer committed first. Appends resolve

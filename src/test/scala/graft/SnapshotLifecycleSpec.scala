@@ -237,6 +237,86 @@ class SnapshotLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("vacuum's DATA-file sweep runs as chunked Spark jobs: orphaned " +
+    "data files die with the exact serial-loop count, live files and " +
+    "reads survive") {
+    val dir = Files.createTempDirectory("graft-dsweep-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = true,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("k"))))
+    wh.bootstrap()
+    wh.append("t", (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"))
+    // three overwrites: each strands the previous snapshot's data
+    // files on disk (retention), far past keepManifests=1
+    (1 to 3).foreach { g =>
+      wh.overwrite("t", (1L to 10L).map(i =>
+        (100L * g + i, s"g$g-$i")).toDF("k", "s"))
+    }
+    val before = graft.util.FsListing.dataFiles(s"$dir/t").size
+    val liveCount = wh.loadLatest("t")._2.size
+    assert(before > liveCount, "retention must have stranded old files")
+    val sweeps = Warehouse.distributedDataSweeps.get()
+    wh.sidecarSweepChunk = 2 // tiny chunks: several flushes
+    wh.sidecarSweepThreshold = 1 // every flush goes distributed
+    val deleted = wh.vacuum("t", keepManifests = 1)
+    assert(deleted === (before - liveCount).toLong,
+      "the job path must count successful deletes like the serial loop")
+    assert(Warehouse.distributedDataSweeps.get() >= sweeps + 2,
+      "the doomed data files must have flushed in multiple jobs")
+    // live files intact, reads exact
+    assert(graft.util.FsListing.dataFiles(s"$dir/t").size === liveCount)
+    assert(wh.read("t").as[(Long, String)].collect().toSet ===
+      (1L to 10L).map(i => (300L + i, s"g3-$i")).toSet)
+    assert(wh.fsck("t").isEmpty)
+  }
+
+  test("eager GC after a full rewrite deletes its doomed files as a " +
+    "Spark job above the threshold: replaced data + sidecars die, the " +
+    "new snapshot and its sidecars survive") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-gcd-").toString
+    val wh = new Warehouse(spark, dir, retainReplaced = false,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("k"), bloomColumns = Seq("s"),
+        ndvColumns = Seq("s"))))
+    wh.bootstrap()
+    wh.sidecarSweepThreshold = 1 // every doomed set goes distributed
+    wh.append("t", (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"))
+    wh.deleteVectored("t", col("k") === 3L) // a dv that dies with gc
+    val oldRels = graft.util.FsListing.dataFiles(s"$dir/t").map(_._1).toSet
+    val sweeps = Warehouse.distributedDataSweeps.get()
+    wh.overwrite("t", (1L to 5L).map(i => (100L + i, s"w$i")).toDF("k", "s"))
+    assert(Warehouse.distributedDataSweeps.get() > sweeps,
+      "the rewrite's GC must have deleted as a Spark job")
+    // every replaced data file is gone, the new snapshot is intact
+    val after = graft.util.FsListing.dataFiles(s"$dir/t").map(_._1).toSet
+    assert(after.intersect(oldRels).isEmpty,
+      "the distributed GC must have deleted every replaced file")
+    assert(after === wh.loadLatest("t")._2.map(_.rel).toSet)
+    assert(wh.read("t").as[(Long, String)].collect().toSet ===
+      (1L to 5L).map(i => (100L + i, s"w$i")).toSet)
+    // the replaced files' dv and bloom/ndv sidecars died with them;
+    // the new files' sidecars survive (fsck is clean)
+    assert(!Files.exists(Paths.get(dir, "t", "_dv")) ||
+      Files.list(Paths.get(dir, "t", "_dv")).count() === 0L)
+    assert(wh.fsck("t").forall(_._1 != "error"))
+    val liveHashes = wh.loadLatest("t")._2.map(e =>
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(e.rel.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString).toSet
+    Seq("_bloomidx", "_ndvidx").foreach { sub =>
+      val p = Paths.get(dir, "t", sub)
+      val b = Set.newBuilder[String]
+      Files.list(p).forEach(x => b += x.getFileName.toString)
+      val ns = b.result().filterNot(_.startsWith("."))
+      assert(ns.nonEmpty)
+      assert(ns.forall(n => liveHashes.contains(n.takeWhile(_ != '-'))),
+        s"$sub: a replaced file's sidecar survived the distributed GC")
+      assert(liveHashes.forall(h => ns.exists(_.startsWith(h))),
+        s"$sub: a live file's sidecar was wrongly deleted")
+    }
+  }
+
   test("snapshot cache budgets by approximate bytes and evicts LRU " +
     "under pressure") {
     val dir = Files.createTempDirectory("graft-lifeb-").toString

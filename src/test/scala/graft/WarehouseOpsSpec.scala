@@ -88,6 +88,30 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(wh.history("t").last._2("op") === "repair")
   }
 
+  test("FSCK's damage scan runs as a Spark job above the probe " +
+    "threshold, result-identical to the serial loop (repair included)") {
+    val (wh, dir) = fresh()
+    wh.append("t", rows(0 until 10), rowsPerFile = 2) // 5 files
+    wh.deleteVectored("t", col("id") === 3L)
+    val files = graft.util.FsListing.dataFiles(s"$dir/t")
+      .map(_._1).filterNot(_.startsWith("_")).sorted
+    new java.io.File(s"$dir/t/${files.head}").delete()
+    new java.io.File(s"$dir/t/_dv").listFiles().foreach(_.delete())
+    // serial findings first (read-only), then the job path must agree
+    val serial = wh.fsck("t").filter(_._1 == "error")
+    wh.bloomProbeDistributedThreshold = 1 // every scan goes distributed
+    val jobbed = wh.fsck("t").filter(_._1 == "error")
+    assert(jobbed === serial)
+    assert(jobbed.exists(_._2 == "missing-file") &&
+      jobbed.exists(_._2 == "missing-dv"))
+    // repair through the distributed scan behaves identically
+    val (droppedN, clearedN) = wh.repairTable("t")
+    assert(droppedN === 1L && clearedN >= 1L)
+    val ids = wh.read("t").select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L) && ids.size === 8)
+    assert(wh.fsck("t").forall(_._1 != "error"))
+  }
+
   test("FSCK: healthy is empty; missing file and orphan are reported") {
     val (wh, dir) = fresh()
     wh.append("t", rows(0 until 10))
