@@ -1179,6 +1179,13 @@ class Warehouse(spark: SparkSession, dir: String,
       case Some(hit) => return Some(hit)
       case None =>
     }
+    // cacheability decided BEFORE the read, like [[loadAt]]'s same-read
+    // rule: visibility is one-way (a confirmed slot is immutable
+    // forever), so visible-now ⇒ whatever we read next is the final
+    // content; a PENDING version ([[entriesLight]] on vacuum's raw
+    // versions) computes uncached — an abort-and-rewrite of its slot
+    // must not serve stale entries under the new commit's key
+    val cacheable = isVisible(name, version)
     val rel = entriesRelationAt(name, version).getOrElse(return None)
     val slim = rel.select("rel", "bytes", "rows", "dv", "dvRows")
       .collect().toSeq
@@ -1186,7 +1193,7 @@ class Warehouse(spark: SparkSession, dir: String,
         Map.empty[String, (Long, Long)], r.getLong(2), r.getString(3),
         r.getLong(4)))
       .sortBy(_.rel)
-    Warehouse.slimCachePut(key, slim)
+    if (cacheable) Warehouse.slimCachePut(key, slim)
     Some(slim)
   }
 
@@ -7031,9 +7038,14 @@ class Warehouse(spark: SparkSession, dir: String,
     * columnar list when a checkpoint serves the version — ~150 B/entry,
     * no stats maps, exactly the big-table case — else the full
     * [[loadAt]] fold (small tables, pre-columnar history).
+    *
+    * Consumers are PIN paths (a missed entry could strand a clone or a
+    * tag), so any columnar failure — not just a missing checkpoint —
+    * falls back to the text fold rather than propagating.
     */
   private def entriesLight(name: String, v: Long): Seq[FileEntry] =
-    slimEntriesAt(name, v).getOrElse(loadAt(name, v))
+    scala.util.Try(slimEntriesAt(name, v)).toOption.flatten
+      .getOrElse(loadAt(name, v))
 
   /** Vacuum's DATA-file sweep: delete every data file under the table
     * whose rel is not `live`, the same streamed-chunk shape as
@@ -7286,7 +7298,10 @@ class Warehouse(spark: SparkSession, dir: String,
     val acc = scala.collection.mutable.Map.empty[String, Set[String]]
     specsNow.keys.filterNot(_ == name).foreach { t =>
       rawVersions(t).foreach { v =>
-        scala.util.Try(loadAt(t, v)).toOption.toSeq.flatten.foreach { e =>
+        // rel + dv refs are all this scan reads — the slim columnar
+        // list where a checkpoint serves the version (the big-table
+        // case), the full fold otherwise
+        scala.util.Try(entriesLight(t, v)).toOption.toSeq.flatten.foreach { e =>
           if (new Path(e.rel).isAbsolute && e.rel.startsWith(prefix)) {
             val rel = e.rel.stripPrefix(prefix)
             acc(rel) = acc.getOrElse(rel, Set.empty) + t
