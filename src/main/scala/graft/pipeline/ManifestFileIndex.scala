@@ -402,9 +402,13 @@ object ManifestFileIndex {
     * disjunction of writer-exact segments when it is small enough to
     * enumerate — dates and integrals up to [[derivedEnumCap]] values,
     * timestamps only at a point (their step is not unit). An
-    * un-enumerable or contradictory range contributes NO constraint
-    * (sound). Sentinel envelope bounds (an unbounded comparison)
-    * contribute nothing: `f` must not be fed Long.Min/MaxValue.
+    * un-enumerable range contributes NO constraint (sound); a
+    * CONTRADICTORY envelope (`lo > hi` — conjuncts on the base column
+    * that no row can satisfy) emits the EMPTY disjunction, which the
+    * prune evaluates as keep-nothing: sound, because the data filters
+    * themselves are unsatisfiable. Sentinel envelope bounds (an
+    * unbounded comparison) contribute nothing: `f` must not be fed
+    * Long.Min/MaxValue.
     * Null-valued dirs (null base → hive default dir) are excluded by
     * construction — sound, because a pushed comparison on `b` never
     * matches a null-`b` row, and a generated dir holds only rows whose
@@ -423,8 +427,8 @@ object ManifestFileIndex {
       val i = partitionSchema.indexWhere(_.name == p)
       if (i < 0) None
       else env.get(b).flatMap { case (lo0, hi0) =>
-        if (lo0 == Long.MinValue || hi0 == Long.MaxValue ||
-            lo0 > hi0) None
+        if (lo0 > hi0) Some(Seq.empty) // contradictory: keep nothing
+        else if (lo0 == Long.MinValue || hi0 == Long.MaxValue) None
         else {
           val (lo, hi) = (f(lo0), f(hi0))
           // overflow-safe span: a wrapped difference (huge integral

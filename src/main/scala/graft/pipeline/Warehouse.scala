@@ -1002,13 +1002,9 @@ class Warehouse(spark: SparkSession, dir: String,
       hadoopConf)
     val rows = spark.sparkContext.parallelize(entries, parts)
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("SHA-1")
         def sketch(tfs: org.apache.hadoop.fs.FileSystem, rel: String,
             c: String): Array[Byte] = {
-          val n = md.digest(rel.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString + s"-$c.hll"
-          val p = new Path(ndir, n)
+          val p = new Path(ndir, Warehouse.Sidecars.ndvName(rel, c))
           if (!tfs.exists(p)) null
           else {
             val in = tfs.open(p)
@@ -1211,8 +1207,10 @@ class Warehouse(spark: SparkSession, dir: String,
     val fs = fileSystem
     // identical (version, filter-shape) asks memoize: 100 sequential
     // filtered reads of one cold table run ONE distributed prune per
-    // distinct filter, not one per query (confirmed versions are
-    // immutable, so the survivor list is too)
+    // distinct filter, not one per query. Only CONFIRMED versions are
+    // immutable (same one-way rule as [[slimEntriesAt]], checked
+    // BEFORE the read) — a pending version's slot can be aborted and
+    // re-committed with different content, so it never memoizes.
     val memoKey = cacheKey(name, version) + "#" +
       ranges.toSeq.sortBy(_._1).mkString(";") + "#" +
       relConjuncts.map(_.mkString("|")).mkString("&")
@@ -1220,6 +1218,7 @@ class Warehouse(spark: SparkSession, dir: String,
       case Some(hit) => return Some(hit)
       case None =>
     }
+    val memoizable = isVisible(name, version)
     val ckpt = checkpointBelow(name, version)
       .filter(v => fs.exists(mfpPath(name, v)))
       .getOrElse(return None)
@@ -1268,7 +1267,7 @@ class Warehouse(spark: SparkSession, dir: String,
       .filterNot(e => removed(e.rel) || upserts.contains(e.rel)) ++
       upserts.valuesIterator.filter(e => overlaps(e) && relKeep(e)))
       .toSeq.sortBy(_.rel)
-    Warehouse.pruneMemoPut(memoKey, result)
+    if (memoizable) Warehouse.pruneMemoPut(memoKey, result)
     Some(result)
   }
 
@@ -1428,6 +1427,20 @@ class Warehouse(spark: SparkSession, dir: String,
       sortCols: Seq[org.apache.spark.sql.Column] = Nil): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.col
     val parts = partitioning(name)
+    // TIMESTAMP-typed partition values render through the SESSION
+    // timezone (Spark's dynamic-partition write), and every reader of
+    // this engine parses those dirs as UTC — the interpreted pass
+    // ([[ManifestFileIndex.partitionValues]]' hardcoded UTC cast) and
+    // the distributed segment prune alike. A non-UTC session would
+    // write dirs the engine then silently misreads, so refuse up
+    // front (GraftSession pins UTC; NTZ renders timezone-free and
+    // needs no guard).
+    if (parts.exists(p => tables(name)(p).dataType == TimestampType))
+      require(
+        spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+        s"$name: TimestampType partition columns require " +
+          "spark.sql.session.timeZone=UTC — the engine renders and " +
+          "parses timestamp partition dirs under the UTC contract")
     // column mapping: stage files under PHYSICAL names (restricted
     // columns keep logical == physical, so partition/bucket/stat logic
     // below is unaffected); exact no-op when mapping is inactive
@@ -1558,18 +1571,15 @@ class Warehouse(spark: SparkSession, dir: String,
   // bloom file index
   // ------------------------------------------------------------------
 
-  private def bloomDir(name: String) = new Path(path(name), "_bloomidx")
+  private def bloomDir(name: String) =
+    new Path(path(name), Warehouse.Sidecars.bloomDirName)
 
-  /** Sidecar name: sha1(rel) keeps the flat `_bloomidx/` dir free of
-    * the partition tree's nesting and of any path-char issues.
-    */
-  private def relHash(rel: String): String =
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  /** Sidecar name/dir contract: see [[Warehouse.Sidecars]] (the shared
+    * source of truth with every task-side closure). */
+  private def relHash(rel: String): String = Warehouse.Sidecars.sha1(rel)
 
   private def bloomFileName(rel: String, column: String): String =
-    s"${relHash(rel)}-$column.bf"
+    Warehouse.Sidecars.bloomName(rel, column)
 
   /** Absolute filesystem path (scheme-stripped) → manifest entry, the
     * join key between `input_file_name()` and the manifest.
@@ -1581,10 +1591,11 @@ class Warehouse(spark: SparkSession, dir: String,
       fs.makeQualified(new Path(path(name), e.rel)).toUri.getPath -> e).toMap
   }
 
-  private def ndvDir(name: String) = new Path(path(name), "_ndvidx")
+  private def ndvDir(name: String) =
+    new Path(path(name), Warehouse.Sidecars.ndvDirName)
 
   private def ndvFileName(rel: String, column: String): String =
-    s"${relHash(rel)}-$column.hll"
+    Warehouse.Sidecars.ndvName(rel, column)
 
   /** NDV memo: (table, planned-rel-set, column-set) → estimates. Values
     * are recomputable pure functions of immutable sidecars, so the
@@ -2648,12 +2659,10 @@ class Warehouse(spark: SparkSession, dir: String,
     val colsB = spark.sparkContext.broadcast(cols)
     val partials = rel.select("rel").rdd.map(_.getString(0))
       .mapPartitions { it =>
-        // sidecar names are sha1(rel)-col.hll ([[ndvFileName]]),
-        // recomputed task-side so only the partials travel back
-        val md = java.security.MessageDigest.getInstance("SHA-1")
+        // sidecar names recomputed task-side ([[Warehouse.Sidecars]])
+        // so only the partials travel back
         def nameOf(r: String, c: String): String =
-          md.digest(r.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString + s"-$c.hll"
+          Warehouse.Sidecars.ndvName(r, c)
         val base = new Path(ndir)
         val tfs = base.getFileSystem(conf.value)
         val cs = colsB.value
@@ -2780,11 +2789,16 @@ class Warehouse(spark: SparkSession, dir: String,
     // to plan eager. Same publication rules as the eager path: min/max
     // integral-only and withheld under live DVs; NDV gets the
     // uniform-deletion live correction; column-mapped names skip.
+    val ndv = lazyNdv(name, version)
+    // min/max surfaces only through NDV-bearing columns (eager parity:
+    // statsRelation's colStats are keyed by ndvEstimates too) — skip
+    // the distributed min/max fold entirely when no column has NDV
     val mm: Map[String, (Long, Long)] =
-      if (agg.dvSum == 0L) lazyColMinMax(name, version) else Map.empty
+      if (ndv.nonEmpty && agg.dvSum == 0L) lazyColMinMax(name, version)
+      else Map.empty
     val colStats: Map[String,
         org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] =
-      lazyNdv(name, version).flatMap { case (c, est) =>
+      ndv.flatMap { case (c, est) =>
         val f = schema(c)
         if (Warehouse.physicalName(f) != f.name) None
         else {
@@ -5164,7 +5178,7 @@ class Warehouse(spark: SparkSession, dir: String,
         (e.rel, dv)
       }
     def deleteOne(tfs: org.apache.hadoop.fs.FileSystem, tableDir: String,
-        rel: String, dv: String, sha1: String => String): Unit = {
+        rel: String, dv: String): Unit = {
       try { tfs.delete(new Path(tableDir, rel), false); () }
       catch { case _: java.io.IOException => () }
       if (dv.nonEmpty) {
@@ -5173,22 +5187,24 @@ class Warehouse(spark: SparkSession, dir: String,
       }
       bloomCols.foreach { c =>
         try {
-          tfs.delete(new Path(new Path(tableDir, "_bloomidx"),
-            s"${sha1(rel)}-$c.bf"), false)
+          tfs.delete(new Path(
+            new Path(tableDir, Warehouse.Sidecars.bloomDirName),
+            Warehouse.Sidecars.bloomName(rel, c)), false)
           ()
         } catch { case _: java.io.IOException => () }
       }
       ndvCols.foreach { c =>
         try {
-          tfs.delete(new Path(new Path(tableDir, "_ndvidx"),
-            s"${sha1(rel)}-$c.hll"), false)
+          tfs.delete(new Path(
+            new Path(tableDir, Warehouse.Sidecars.ndvDirName),
+            Warehouse.Sidecars.ndvName(rel, c)), false)
           ()
         } catch { case _: java.io.IOException => () }
       }
     }
     if (doomed.size < sidecarSweepThreshold)
       doomed.foreach { case (rel, dv) =>
-        deleteOne(fs, path(name), rel, dv, relHash) }
+        deleteOne(fs, path(name), rel, dv) }
     else {
       Warehouse.distributedDataSweeps.incrementAndGet()
       val tableDir = path(name)
@@ -5197,14 +5213,9 @@ class Warehouse(spark: SparkSession, dir: String,
       val parts = math.max(1, math.min(64, doomed.size / 4096 + 1))
       spark.sparkContext.parallelize(doomed, parts)
         .foreachPartition { it =>
-          val md = java.security.MessageDigest.getInstance("SHA-1")
-          def sha1(rel: String): String =
-            md.digest(rel.getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-              .map("%02x".format(_)).mkString
           val tfs = new Path(tableDir).getFileSystem(conf.value)
           it.foreach { case (rel, dv) =>
-            deleteOne(tfs, tableDir, rel, dv, sha1) }
+            deleteOne(tfs, tableDir, rel, dv) }
         }
     }
   }
@@ -7193,11 +7204,15 @@ class Warehouse(spark: SparkSession, dir: String,
       val conf = new org.apache.spark.util.SerializableConfiguration(
         hadoopConf)
       val parts = math.max(1, math.min(64, entries.size / 4096 + 1))
-      spark.sparkContext.parallelize(entries, parts)
+      // ship RELS only — the stats maps are the entry's heavy term and
+      // the probe never reads them
+      val gone = spark.sparkContext
+        .parallelize(entries.map(_.rel), parts)
         .mapPartitions { it =>
           val tfs = new Path(tableDir).getFileSystem(conf.value)
-          it.filterNot(e => tfs.exists(new Path(tableDir, e.rel)))
-        }.collect().toSeq
+          it.filterNot(rel => tfs.exists(new Path(tableDir, rel)))
+        }.collect().toSet
+      entries.filter(e => gone(e.rel))
     }
   }
 
@@ -7213,34 +7228,38 @@ class Warehouse(spark: SparkSession, dir: String,
   private def scanEntryDamage(name: String,
       entries: Seq[FileEntry]): Seq[(String, String, String)] = {
     val tableDir = path(name)
+    // the probe reads rel/bytes/dv/dvRows only — ship slim tuples, not
+    // the stats-map-bearing FileEntry
     def damage(fs: org.apache.hadoop.fs.FileSystem,
-        e: FileEntry): Seq[(String, String, String)] = {
+        e: (String, Long, String, Long)): Seq[(String, String, String)] = {
+      val (rel, bytes, dv, dvRows) = e
       val b = Seq.newBuilder[(String, String, String)]
-      val p = if (e.rel.startsWith("/")) new Path(e.rel)
-        else new Path(tableDir, e.rel)
+      val p = if (rel.startsWith("/")) new Path(rel)
+        else new Path(tableDir, rel)
       if (!fs.exists(p))
-        b += (("error", "missing-file", e.rel))
+        b += (("error", "missing-file", rel))
       else {
         val len = fs.getFileStatus(p).getLen
-        if (len != e.bytes)
+        if (len != bytes)
           b += (("error", "size-mismatch",
-            s"${e.rel}: manifest ${e.bytes} B, filesystem $len B"))
+            s"$rel: manifest $bytes B, filesystem $len B"))
       }
-      if (e.dv.nonEmpty && e.dvRows > 0) {
-        val dp = if (new Path(e.dv).isAbsolute) new Path(e.dv)
-          else new Path(tableDir, e.dv)
+      if (dv.nonEmpty && dvRows > 0) {
+        val dp = if (new Path(dv).isAbsolute) new Path(dv)
+          else new Path(tableDir, dv)
         if (!fs.exists(dp))
-          b += (("error", "missing-dv", s"${e.rel}: ${e.dv}"))
+          b += (("error", "missing-dv", s"$rel: $dv"))
       }
       b.result()
     }
-    if (entries.size < bloomProbeDistributedThreshold)
-      entries.flatMap(e => damage(fileSystem, e))
+    val probes = entries.map(e => (e.rel, e.bytes, e.dv, e.dvRows))
+    if (probes.size < bloomProbeDistributedThreshold)
+      probes.flatMap(e => damage(fileSystem, e))
     else {
       val conf = new org.apache.spark.util.SerializableConfiguration(
         hadoopConf)
-      val parts = math.max(1, math.min(64, entries.size / 4096 + 1))
-      spark.sparkContext.parallelize(entries, parts)
+      val parts = math.max(1, math.min(64, probes.size / 4096 + 1))
+      spark.sparkContext.parallelize(probes, parts)
         .mapPartitions { it =>
           val tfs = new Path(tableDir).getFileSystem(conf.value)
           it.flatMap(e => damage(tfs, e))
@@ -7341,6 +7360,29 @@ object Warehouse {
   final case class FileEntry(rel: String, bytes: Long,
       stats: Map[String, (Long, Long)], rows: Long = -1L,
       dv: String = "", dvRows: Long = 0L)
+
+  /** The sidecar NAMING contract — the one source of truth shared by
+    * the driver-side helpers (`bloomFileName`/`ndvFileName`/`relHash`)
+    * and every task-side closure that recomputes names (GC's delete
+    * fan-out, checkpoint sketch embedding, the streamed-rel NDV fold).
+    * Bloom and NDV sidecars live FLAT under `_bloomidx`/`_ndvidx`,
+    * named `sha1(rel)-<col>.bf|.hll` — sha1 keeps the dirs free of the
+    * partition tree's nesting and of any path-char issues. A rename
+    * here is a format change; a rename anywhere else is a silent
+    * desync (GC stops collecting, embedding reads nothing).
+    */
+  private[graft] object Sidecars extends Serializable {
+    val bloomDirName = "_bloomidx"
+    val ndvDirName = "_ndvidx"
+    def sha1(rel: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def bloomName(rel: String, column: String): String =
+      s"${sha1(rel)}-$column.bf"
+    def ndvName(rel: String, column: String): String =
+      s"${sha1(rel)}-$column.hll"
+  }
 
   // ------------------------------------------------------------------
   // JVM-wide parsed-snapshot caches. A CONFIRMED manifest version is
@@ -7512,22 +7554,37 @@ object Warehouse {
     * table pays the distributed prune ONCE per distinct filter shape,
     * not once per query. Only survivor lists small enough to be cheap
     * to hold memoize (unselective probes stay uncached — re-pruning is
-    * then no worse than before); bounded LRU.
+    * then no worse than before), and the cache as a whole evicts LRU
+    * against a BYTE budget — survivors are FULL FileEntry objects
+    * (stats maps included), so 256 keys of 10k wide-stat entries could
+    * otherwise own ~1 GB of driver heap.
     */
   private[graft] var pruneMemoMaxSurvivors: Int = 10000
+  private[graft] var pruneMemoByteBudget: Long = 64L * 1024 * 1024
   private val pruneMemo =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean =
-          size() > 256
-      })
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f, true)
+  private val pruneMemoBytes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[graft] def pruneMemoGet(key: String): Option[Seq[FileEntry]] =
-    Option(pruneMemo.get(key))
+    pruneMemo.synchronized(Option(pruneMemo.get(key)))
   private[graft] def pruneMemoPut(key: String,
       survivors: Seq[FileEntry]): Unit = {
-    if (survivors.size <= pruneMemoMaxSurvivors) { pruneMemo.put(key, survivors); () }
+    if (survivors.size > pruneMemoMaxSurvivors) return
+    pruneMemo.synchronized {
+      if (pruneMemo.containsKey(key)) return
+      pruneMemo.put(key, survivors)
+      pruneMemoBytes.addAndGet(snapshotCost(survivors))
+      val it = pruneMemo.entrySet().iterator()
+      while (pruneMemoBytes.get() > pruneMemoByteBudget &&
+          pruneMemo.size() > 1 && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != key) {
+          pruneMemoBytes.addAndGet(-snapshotCost(eldest.getValue))
+          it.remove()
+        }
+      }
+    }
   }
 
   private[graft] def slimCacheGet(key: String): Option[Seq[FileEntry]] =
@@ -7602,8 +7659,14 @@ object Warehouse {
       }
     }
     pruneMemo.synchronized {
-      val it = pruneMemo.keySet().iterator()
-      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+      val it = pruneMemo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          pruneMemoBytes.addAndGet(-snapshotCost(e.getValue))
+          it.remove()
+        }
+      }
     }
     Seq(lazyMinMaxCache, lazyNdvCache).foreach { m =>
       m.synchronized {

@@ -83,11 +83,13 @@ final class GrowableDvLookup extends DvResolver {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   @transient private var lastPath: UTF8String = _
   @transient private var lastArr: Array[Long] = _
-  // file-NAME index, built from the map on first use and REBUILT if
-  // the map has grown since (a shared-JVM plan re-executed after a
-  // second listFiles fed more survivors — local mode can share the
-  // object) — same O(1) resolution (and the same collision
-  // degradation) as [[DvLookup]].
+  // file-NAME index, built from the map on first use — same O(1)
+  // resolution (and the same collision degradation) as [[DvLookup]].
+  // Tasks deserialize PRIVATE copies of this object (the task binary),
+  // so concurrent tasks never share these memo fields; the grow-guard
+  // (builtFor) is a cheap defense for the one sequential shared-access
+  // shape: the DRIVER-side instance re-evaluated after a later
+  // listFiles fed more survivors (plan re-execution in one JVM).
   @transient private var byName
       : java.util.HashMap[String, List[String]] = _
   @transient private var builtFor: Int = -1

@@ -507,6 +507,14 @@ class ManifestScaleSpec extends SparkSpec {
     assert(parts.forall(_.files.forall(
       _.getPath.toString.contains("day=2024-03-02"))),
       "only the predicate's day may survive the distributed prune")
+    // a CONTRADICTORY base-column conjunction (lo > hi) derives the
+    // empty disjunction: the distributed prune keeps NOTHING
+    val none = index.listFiles(Nil, Seq(
+      GreaterThanOrEqual(ts, Literal(micros("2024-03-02 00:00:00"),
+        TimestampType)),
+      LessThan(ts, Literal(micros("2024-03-01 00:00:00"), TimestampType))))
+    assert(none.map(_.files.length).sum === 0,
+      "a contradictory envelope must prune every file")
   }
 
   test("timestamp-typed partition values prune DISTRIBUTED under the " +
@@ -549,6 +557,18 @@ class ManifestScaleSpec extends SparkSpec {
       Literal(java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123")
         .getTime * 1000L + 0L, TimestampType))), Nil)
     assert(parts.map(_.files.length).sum === 1)
+    // the WRITE contract behind the rendering: a non-UTC session must
+    // refuse to write a timestamp-partitioned batch (the dirs would be
+    // rendered in a zone every reader then misparses)
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val err = intercept[IllegalArgumentException] {
+        wh.append("tp", Seq(
+          (java.sql.Timestamp.valueOf("2024-03-05 00:00:00"), 9L))
+          .toDF("ts", "k"))
+      }
+      assert(err.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("identical filtered reads of a cold table memoize: one " +
