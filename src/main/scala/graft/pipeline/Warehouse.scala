@@ -2712,12 +2712,13 @@ class Warehouse(spark: SparkSession, dir: String,
     *
     * DELETION VECTORS compose with the lazy plan: the merge-on-read
     * filter's lookup ([[graft.plans.GrowableDvLookup]]) starts EMPTY and
-    * is fed each SURVIVING entry's sidecar inside the prune — by the
-    * time any task closure serializes (stage submission), `listFiles`
-    * has already run on the driver, so the filter ships exactly the
-    * survivors' vectors. Driver state and sidecar I/O are
-    * survivor-bounded, never O(|files|) — the MoR-heavy tables DVs
-    * exist for no longer fall back to the eager fold.
+    * is fed each SURVIVING entry's sidecar REF inside the prune — by
+    * the time any task closure serializes (stage submission),
+    * `listFiles` has already run on the driver, so the filter ships
+    * exactly the survivors' refs. The vector BYTES load executor-side
+    * on first touch of each file: planning performs zero sidecar I/O,
+    * driver state is survivor-bounded strings, and the MoR-heavy
+    * tables DVs exist for no longer fall back to the eager fold.
     *
     * None (fall back to the eager fold) when: no columnar checkpoint
     * serves the version, or the table is empty (the eager
@@ -2744,15 +2745,22 @@ class Warehouse(spark: SparkSession, dir: String,
     val utcRender =
       spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
     val dvLookup =
-      if (agg.anyDv) Some(new graft.plans.GrowableDvLookup) else None
+      if (agg.anyDv)
+        Some(new graft.plans.GrowableDvLookup(
+          new org.apache.spark.util.SerializableConfiguration(hadoopConf)))
+      else None
     // every listFiles funnels through this closure (the unfiltered
-    // fallback included), so feeding here covers every scanned file
+    // fallback included), so feeding here covers every scanned file.
+    // Feeds are REFS only — the sidecar bytes load executor-side on
+    // first touch, so planning performs zero sidecar I/O even for a
+    // fully-vectored unfiltered scan.
     def feed(entries: Seq[FileEntry]): Seq[FileEntry] = {
       dvLookup.foreach { g =>
         entries.foreach { e =>
           if (e.dv.nonEmpty && e.dvRows > 0L)
             g.add(if (e.rel.startsWith("/")) e.rel else "/" + e.rel,
-              readDvFile(name, e.dv))
+              if (new Path(e.dv).isAbsolute) e.dv
+              else new Path(path(name), e.dv).toString)
         }
       }
       entries
@@ -3534,20 +3542,9 @@ class Warehouse(spark: SparkSession, dir: String,
 
   private def readDvFileUncached(name: String, p: Path,
       dv: String): Array[Long] = {
-    val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(fileSystem.open(p)))
-    try {
-      val magic = new Array[Byte](4)
-      in.readFully(magic)
-      require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII)
-        == "GDV1", s"$name: bad deletion-vector magic in $dv")
-      val n = in.readLong()
-      require(n >= 0 && n < Int.MaxValue, s"$name: bad dv count $n in $dv")
-      val out = new Array[Long](n.toInt)
-      var i = 0
-      while (i < out.length) { out(i) = in.readLong(); i += 1 }
-      out
-    } finally in.close()
+    val in0 = fileSystem.open(p)
+    try graft.plans.DvFormat.read(in0, s"$name: $dv")
+    finally in0.close()
   }
 
   private def writeDvFile(name: String, positions: Array[Long]): String = {

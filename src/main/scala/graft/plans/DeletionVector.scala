@@ -16,6 +16,31 @@ sealed trait DvResolver extends Serializable {
   def hit(path: UTF8String, idx: Long): Boolean
 }
 
+/** The deletion-vector SIDECAR format, one place: "GDV1" magic,
+  * big-endian long count, then `count` big-endian long row positions,
+  * sorted ascending. Sidecars are immutable (growth writes a fresh
+  * file). Shared by the warehouse's driver-side reader and
+  * [[GrowableDvLookup]]'s executor-side on-demand loads.
+  */
+object DvFormat {
+  def read(in: java.io.InputStream, what: String): Array[Long] = {
+    val din = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(in))
+    val magic = new Array[Byte](4)
+    din.readFully(magic)
+    require(new String(magic,
+        java.nio.charset.StandardCharsets.US_ASCII) == "GDV1",
+      s"bad deletion-vector magic in $what")
+    val n = din.readLong()
+    require(n >= 0 && n < Int.MaxValue,
+      s"bad deletion-vector count $n in $what")
+    val out = new Array[Long](n.toInt)
+    var i = 0
+    while (i < out.length) { out(i) = din.readLong(); i += 1 }
+    out
+  }
+}
+
 /** Executor-side DELETION-VECTOR membership: the per-task state behind
   * [[DvRowDeleted]]. Holds every deletion vector of the scan as
   * `(path-suffix key, sorted positions)` pairs and answers "is physical
@@ -69,18 +94,29 @@ final class DvLookup(keys: Array[String], arrs: Array[Array[Long]])
   * the set of deletion vectors the scan must apply — is unknown until
   * Spark's own `listFiles` callback has pruned the manifest. Starts
   * EMPTY at plan-build time; `LazyManifestFileIndex`'s prune feeds it
-  * each surviving file's vector, driver-side, inside `listFiles`.
+  * each surviving file's sidecar REF, driver-side, inside `listFiles`.
   * That ordering is what makes the empty start sound: task closures
   * (which embed this object via the codegen reference array) serialize
   * at STAGE SUBMISSION, strictly after the scan's RDD — and therefore
   * `listFiles` — was built on the driver. Feeds ACCUMULATE (putIfAbsent
-  * on the immutable per-file vector), so a plan whose index serves two
+  * on the immutable per-file ref), so a plan whose index serves two
   * filter shapes sees the union — each scan needs only its own
   * survivors' vectors, which its own `listFiles` fed.
+  *
+  * Holds REFS (absolute sidecar paths), not positions: the vector
+  * bytes are read EXECUTOR-side on first touch of each file (one
+  * sidecar read per task — the scan feeds rows file-by-file), so
+  * planning performs ZERO sidecar I/O and the task binary carries
+  * O(survivors) short strings rather than O(total vectored positions)
+  * longs. A missing sidecar fails the touching task with the format
+  * error — the same semantics as a missing data file failing its scan
+  * task.
   */
-final class GrowableDvLookup extends DvResolver {
-  private val vectors =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+final class GrowableDvLookup(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends DvResolver {
+  private val refs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   @transient private var lastPath: UTF8String = _
   @transient private var lastArr: Array[Long] = _
   // file-NAME index, built from the map on first use — same O(1)
@@ -95,11 +131,11 @@ final class GrowableDvLookup extends DvResolver {
   @transient private var builtFor: Int = -1
 
   /** Driver-side feed (inside `listFiles`): `key` is the entry's
-    * leading-slash rel suffix, `positions` its sorted vector. */
-  def add(key: String, positions: Array[Long]): Unit = {
-    vectors.putIfAbsent(key, positions); ()
+    * leading-slash rel suffix, `dvPath` its sidecar's absolute path. */
+  def add(key: String, dvPath: String): Unit = {
+    refs.putIfAbsent(key, dvPath); ()
   }
-  def fedFiles: Int = vectors.size()
+  def fedFiles: Int = refs.size()
 
   def hit(path: UTF8String, idx: Long): Boolean = {
     if (lastPath == null || !lastPath.equals(path)) {
@@ -110,10 +146,10 @@ final class GrowableDvLookup extends DvResolver {
   }
 
   private def resolve(p: String): Array[Long] = {
-    val n = vectors.size()
+    val n = refs.size()
     if (byName == null || builtFor != n) {
       val m = new java.util.HashMap[String, List[String]]()
-      val it = vectors.keySet().iterator()
+      val it = refs.keySet().iterator()
       while (it.hasNext) {
         val k = it.next()
         m.merge(k.substring(k.lastIndexOf('/') + 1), List(k),
@@ -125,7 +161,13 @@ final class GrowableDvLookup extends DvResolver {
     val bucket = byName.get(p.substring(p.lastIndexOf('/') + 1))
     if (bucket == null) return null
     bucket.collectFirst {
-      case k if p.endsWith(k) => vectors.get(k) }.orNull
+      case k if p.endsWith(k) => load(refs.get(k)) }.orNull
+  }
+
+  private def load(dvPath: String): Array[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(dvPath)
+    val in = hp.getFileSystem(conf.value).open(hp)
+    try DvFormat.read(in, dvPath) finally in.close()
   }
 }
 
