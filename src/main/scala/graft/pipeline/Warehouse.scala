@@ -2046,10 +2046,15 @@ class Warehouse(spark: SparkSession, dir: String,
       specsNow = specsNow + (dst -> specsNow(src))
     }
     try {
+      // the IDENTITY high-water mark is data the clone just inherited
+      // (the ids live in the referenced rows) — stamp it, or the
+      // clone's first append re-mints ids the source already assigned
       commit(dst, 1L, borrowed,
         Map("op" -> "clone", "sourceTable" -> src,
           "sourceVersion" -> v.toString,
-          "numFiles" -> borrowed.size.toString))
+          "numFiles" -> borrowed.size.toString) ++
+          specsNow(src).identity.map(_ =>
+            "identityHwm" -> identityHwm(src, v).toString))
       persistSpec(dst)
     } catch { case t: Throwable =>
       specsLock.synchronized { specsNow = specsNow - dst }
@@ -2141,7 +2146,9 @@ class Warehouse(spark: SparkSession, dir: String,
       commit(dst, 1L, localized,
         Map("op" -> "deep_clone", "sourceTable" -> src,
           "sourceVersion" -> v.toString,
-          "numFilesCopied" -> localized.size.toString))
+          "numFilesCopied" -> localized.size.toString) ++
+          spec.identity.map(_ => // inherited ids → inherited hwm
+            "identityHwm" -> identityHwm(src, v).toString))
       persistSpec(dst)
     } catch { case t: Throwable =>
       specsLock.synchronized { specsNow = specsNow - dst }
@@ -2175,9 +2182,44 @@ class Warehouse(spark: SparkSession, dir: String,
     * exact base). A commit racing the publish into the same slot
     * fails it the same way via slot exclusivity.
     *
+    * == Rebase over interim blind appends ==
+    *
+    * `rebase = true` relaxes the exact-base requirement the way
+    * Iceberg's WAP cherry-pick does: if every `dst` commit since the
+    * audit base only ADDED files (blind appends — the common shape:
+    * steady ingest continuing while a long audit runs), the publish
+    * lands `staging`'s state PLUS the interim additions in one commit.
+    * Soundness is checked, not assumed:
+    *
+    *   - every BASE file must be byte-identical at `dst`'s head (an
+    *     interim delete/update/compaction/restore touching a file the
+    *     audit certified → [[Warehouse.CommitConflict]] naming the
+    *     file and the version that touched it — re-clone and
+    *     re-audit). Interim commits may freely mutate their OWN
+    *     post-base files (e.g. delete rows they themselves ingested);
+    *     the head-state entries carry those edits into the result.
+    *   - PRIMARY KEY / UNIQUE stay enforced across the merge: interim
+    *     keys were validated against the base (so they are disjoint
+    *     from every key the audit saw), and staging's keys were
+    *     validated inside staging — the only unchecked pairs are
+    *     (staging-NEW rows) × (interim rows), re-probed here with the
+    *     same bounded semi-join the append path uses. Both sides are
+    *     batch-sized, never the table.
+    *   - GENERATED IDENTITY refuses when BOTH sides minted ids (each
+    *     side ratcheted the same base high-water mark — the assigned
+    *     ids may overlap, and rewriting committed ids would falsify
+    *     the audit). One-sided growth publishes fine, with the
+    *     high-water mark carried as the max of the two chains.
+    *
+    * CHECK constraints need no re-probe (row-local, each side already
+    * enforced its rows); FOREIGN KEYs keep the baseline-publish
+    * contract (cross-TABLE audits are the auditor's responsibility —
+    * rebase adds only rows `dst` itself already validated).
+    *
     * @return the published `dst` version
     */
-  def publish(dst: String, staging: String): Long = {
+  def publish(dst: String, staging: String, rebase: Boolean = false)
+      : Long = {
     require(specsNow.contains(dst), s"publish: unknown table $dst")
     require(specsNow.contains(staging),
       s"publish: unknown staging table $staging")
@@ -2194,9 +2236,11 @@ class Warehouse(spark: SparkSession, dir: String,
         "(evolve the target first, then re-clone)")
     val auditBase = meta1("sourceVersion").toLong
     val (dv, _) = loadLatest(dst)
-    require(dv == auditBase,
+    require(dv == auditBase || rebase,
       s"publish: $dst advanced to v$dv since the staging clone " +
-        s"(base v$auditBase) — re-clone and re-audit")
+        s"(base v$auditBase) — re-clone and re-audit, or rebase over " +
+        "blind appends (publish(..., rebase = true) / PUBLISH TABLE " +
+        "... WITH REBASE)")
     val (sv, sEntries) = loadLatest(staging)
     val dstPrefix = new Path(path(dst)).toString + "/"
     def toDst(p: String): String =
@@ -2207,10 +2251,105 @@ class Warehouse(spark: SparkSession, dir: String,
       e.copy(rel = toDst(e.rel),
         dv = if (e.dv.isEmpty) e.dv else toDst(e.dv))
     }
-    commit(dst, dv + 1, mapped,
-      Map("op" -> "publish", "sourceTable" -> staging,
+    // ---- rebase analysis (empty when dst never advanced) ----
+    val interim: Seq[FileEntry] = if (dv == auditBase) Nil else {
+      val base = loadAt(dst, auditBase).map(e => e.rel -> e).toMap
+      val head = loadAt(dst, dv)
+      val headByRel = head.map(e => e.rel -> e).toMap
+      // every audited file must be untouched at head — an interim
+      // remove OR metadata change (rewrite, deletion vector, restore
+      // round-trip) means the audit no longer certifies what dst holds
+      base.collectFirst {
+        case (rel, e) if !headByRel.get(rel).contains(e) => rel
+      }.foreach { rel =>
+        // error path only: name the version that touched it
+        val toucher = ((auditBase + 1) to dv).find { v =>
+          !loadAt(dst, v).exists(_ == base(rel))
+        }
+        val op = toucher.map(v =>
+          s" (v$v, op=${commitMeta(dst, v).getOrElse("op", "?")})")
+          .getOrElse("")
+        throw new Warehouse.CommitConflict(
+          s"publish rebase: $dst's interim commits touched audited " +
+            s"file $rel$op — only blind appends rebase; re-clone and " +
+            "re-audit")
+      }
+      head.filterNot(e => base.contains(e.rel))
+    }
+    val spec = specsNow(dst)
+    if (interim.nonEmpty) {
+      val baseRels = loadAt(dst, auditBase).map(_.rel).toSet
+      // staging's NEW files (local writes / rewrites; an audited base
+      // file that only gained a deletion vector maps back to its base
+      // rel — rows only SHRANK, no new keys to probe)
+      val stagingNew = mapped.filterNot(e => baseRels.contains(e.rel))
+      // the high-water mark RATCHETS exactly when a side assigned ids,
+      // so "both > base hwm" is a precise both-sides-minted detector
+      // (a CoW rewrite carries its ids through and moves nothing)
+      if (spec.identity.nonEmpty) {
+        val baseHwm = identityHwm(dst, auditBase)
+        if (identityHwm(dst, dv) > baseHwm &&
+            identityHwm(staging, sv) > baseHwm)
+          throw new Warehouse.CommitConflict(
+            s"publish rebase: $dst declares GENERATED IDENTITY and " +
+              "both chains minted ids from the same high-water mark " +
+              s"(base v$auditBase) — the id ranges may overlap; " +
+              "re-clone and re-audit")
+      }
+      // the one unchecked key surface: staging-NEW rows × interim rows
+      // (each side validated its own writes; interim keys are disjoint
+      // from the audited base by append-time probes)
+      if (stagingNew.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        lazy val interimDf = dfFor(dst, interim)
+        lazy val stagingDf = dfFor(dst, stagingNew)
+        spec.primaryKey match {
+          case pk if pk.nonEmpty =>
+            val hit = interimDf.select(pk.map(col): _*)
+              .join(stagingDf.select(pk.map(col): _*), pk, "left_semi")
+              .limit(1).collect()
+            if (hit.nonEmpty) {
+              val r = hit.head
+              throw Warehouse.PrimaryKeyViolation(dst, pk,
+                "publish rebase would merge a duplicate key (staged " +
+                  "and interim writes collide): " +
+                  pk.map(c => s"$c=${r.get(r.fieldIndex(c))}")
+                    .mkString(", "))
+            }
+          case _ =>
+        }
+        spec.unique.foreach { u =>
+          val nn = u.map(c => col(c).isNotNull).reduce(_ && _)
+          val hit = interimDf.where(nn).select(u.map(col): _*)
+            .join(stagingDf.where(nn).select(u.map(col): _*), u,
+              "left_semi")
+            .limit(1).collect()
+          if (hit.nonEmpty) {
+            val r = hit.head
+            throw Warehouse.UniqueViolation(dst, u,
+              "publish rebase would merge a duplicate value (staged " +
+                "and interim writes collide): " +
+                u.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
+          }
+        }
+      }
+    }
+    // IDENTITY high-water mark: the published state contains ids from
+    // BOTH chains — carry the max so post-publish appends never
+    // re-mint an id staging (or an interim append) already assigned.
+    // (commit() carries dst's own hwm by default, which loses
+    // staging's ratchet even in the exact-base publish.)
+    val hwmMeta = spec.identity.map { _ =>
+      "identityHwm" -> math.max(identityHwm(dst, dv),
+        identityHwm(staging, sv)).toString }
+    commit(dst, dv + 1, mapped ++ interim,
+      Map("op" -> (if (interim.isEmpty) "publish" else "publish_rebase"),
+        "sourceTable" -> staging,
         "sourceVersion" -> sv.toString,
-        "numFiles" -> mapped.size.toString))
+        "numFiles" -> (mapped.size + interim.size).toString) ++
+        (if (interim.isEmpty) Map.empty
+         else Map("rebasedOnto" -> dv.toString,
+           "interimFiles" -> interim.size.toString)) ++ hwmMeta)
     // no eager gc: files leaving dst's live set are still referenced
     // by its previous version and typically borrowed by staging —
     // vacuum retention collects them like any replaced snapshot

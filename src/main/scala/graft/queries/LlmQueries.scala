@@ -5584,6 +5584,99 @@ object LlmQueries extends QueryPack {
           UNION ALL
           SELECT 'state', st, count(*), round(sum(price), 2)
           FROM fin GROUP BY st) z
+        ORDER BY side, k""")),
+
+    // ---- q172: WRITE-AUDIT-PUBLISH WITH REBASE under the gate —
+    // the Iceberg WAP cherry-pick shape: ingest keeps appending to the
+    // target while a long audit runs on a shallow-clone staging table,
+    // then ONE publish commit lands the audited state PLUS the interim
+    // appends (metadata only — no byte moves, base-file touches would
+    // conflict). Three gated sides: the audited staging view ('stage'),
+    // the pre-publish target head via time travel ('mid' — base +
+    // interim, proving the audit never saw the interim rows and vice
+    // versa), and the published merge ('state').
+    Q("q172_warehouse_wap_rebase",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q172-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          retainReplaced = true, // 'mid' time-travels the parent head
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("wap172_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("oid"),
+            col("o_orderstatus").as("st"),
+            col("o_totalprice").cast("double").as("price"))
+          .createOrReplaceTempView("wap172_src")
+        s.sql("""CREATE TABLE wap172_t (
+                   oid BIGINT, st STRING, price DOUBLE) STATS BY (oid)""")
+        s.sql("INSERT INTO wap172_t SELECT * FROM wap172_src")
+        s.sql("DELETE FROM wap172_t WHERE oid % 7 = 0") // audit base
+        s.sql("CREATE TABLE wap172_stage SHALLOW CLONE wap172_t")
+        // the audit's corrections land on staging (CoW rewrites +
+        // fresh rows) — the target is untouched by them
+        s.sql("DELETE FROM wap172_stage WHERE oid % 5 = 0")
+        s.sql("""INSERT INTO wap172_stage
+                 SELECT oid + 900000000, st, price
+                 FROM wap172_src WHERE oid % 11 = 0""")
+        // ingest continues on the TARGET while the audit runs (blind
+        // appends — exactly what the rebase merges over)
+        s.sql("""INSERT INTO wap172_t
+                 SELECT oid + 500000000, st, price
+                 FROM wap172_src WHERE oid % 13 = 0""")
+        val midV = wh.versions("t").max // pre-publish parent head
+        val stageSide = s.sql(
+          """SELECT 'stage' AS side, st AS k, count(*) AS n,
+                    round(sum(price), 2) AS sv
+             FROM wap172_stage GROUP BY st""")
+        // exact-base publish refuses (stale audit), the rebase lands
+        val refused = // Spark may wrap the command's require
+          try { s.sql("PUBLISH TABLE wap172_stage TO wap172_t"); false }
+          catch { case scala.util.control.NonFatal(e) =>
+            e.getMessage != null && e.getMessage.contains("rebase") }
+        require(refused,
+          "q172: the stale-audit publish must refuse with the rebase hint")
+        s.sql("PUBLISH TABLE wap172_stage TO wap172_t WITH REBASE")
+        require(wh.history("t").last._2("op") == "publish_rebase",
+          "q172: history must record the rebase")
+        val mid = wh.readVersion("t", midV).groupBy("st")
+          .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sv"))
+          .select(lit("mid").as("side"), col("st").as("k"),
+            col("n"), col("sv"))
+        val state = s.sql(
+          """SELECT 'state' AS side, st AS k, count(*) AS n,
+                    round(sum(price), 2) AS sv
+             FROM wap172_t GROUP BY st""")
+        stageSide.unionByName(mid).unionByName(state)
+          .orderBy("side", "k")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey AS oid, o_orderstatus AS st,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders),
+        pre AS (SELECT * FROM src WHERE oid % 7 <> 0),
+        staged AS (
+          SELECT * FROM pre WHERE oid % 5 <> 0
+          UNION ALL
+          SELECT oid + 900000000, st, price FROM src WHERE oid % 11 = 0),
+        mid AS (
+          SELECT * FROM pre
+          UNION ALL
+          SELECT oid + 500000000, st, price FROM src WHERE oid % 13 = 0),
+        fin AS (
+          SELECT * FROM staged
+          UNION ALL
+          SELECT oid + 500000000, st, price FROM src WHERE oid % 13 = 0)
+        SELECT side, k, n, sv FROM (
+          SELECT 'stage' AS side, st AS k, count(*) AS n,
+                 round(sum(price), 2) AS sv
+          FROM staged GROUP BY st
+          UNION ALL
+          SELECT 'mid', st, count(*), round(sum(price), 2)
+          FROM mid GROUP BY st
+          UNION ALL
+          SELECT 'state', st, count(*), round(sum(price), 2)
+          FROM fin GROUP BY st) z
         ORDER BY side, k"""))
   )
 

@@ -269,16 +269,19 @@ case class GraftShowFilesCommand(wh: Warehouse, table: String)
   }
 }
 
-/** `PUBLISH TABLE wh_stage TO wh_t` → [[Warehouse!.publish]]: the
-  * write-audit-publish fast-forward — one commit flips the target to
-  * the audited staging clone's state (metadata only, borrow-guarded).
+/** `PUBLISH TABLE wh_stage TO wh_t [WITH REBASE]` →
+  * [[Warehouse!.publish]]: the write-audit-publish fast-forward — one
+  * commit flips the target to the audited staging clone's state
+  * (metadata only, borrow-guarded). WITH REBASE additionally merges
+  * over interim blind appends to the target (Iceberg's WAP
+  * cherry-pick), constraint-probed — see the publish doc.
   */
 case class GraftPublishCommand(wh: Warehouse, dst: String,
-    staging: String) extends LeafRunnableCommand {
+    staging: String, rebase: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(wh.publish(dst, staging)))
+    Seq(Row(wh.publish(dst, staging, rebase)))
 }
 
 /** `REFRESH FINGERPRINT wh_t [COLUMNS (a, b, ...)]` →

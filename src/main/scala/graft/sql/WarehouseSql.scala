@@ -34,8 +34,10 @@ import graft.pipeline.Warehouse
   *     named versions, vacuum-pinned) / dropTag / tags
   *   - `SHOW FILES wh_t` → the head manifest's file inventory (bytes,
   *     row counts, DV rows, footer stats) — driver metadata only
-  *   - `PUBLISH TABLE wh_stage TO wh_t` → [[Warehouse!.publish]]
-  *     (write-audit-publish fast-forward of an audited staging clone)
+  *   - `PUBLISH TABLE wh_stage TO wh_t [WITH REBASE]` →
+  *     [[Warehouse!.publish]] (write-audit-publish fast-forward of an
+  *     audited staging clone; WITH REBASE merges over interim blind
+  *     appends, constraint-probed)
   *   - `REFRESH FINGERPRINT wh_t [COLUMNS (a, b)]` →
   *     [[graft.ext.FingerprintStore]].refresh (incrementally
   *     maintained order-invariant content hash)
@@ -275,7 +277,8 @@ object WarehouseSql {
   private val ShowFilesStmt = // manifest-backed file inventory
     """(?is)\s*SHOW\s+FILES\s+([\w.]+)\s*;?\s*""".r
   private val PublishStmt = // write-audit-publish fast-forward
-    """(?is)\s*PUBLISH\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*;?\s*""".r
+    ("""(?is)\s*PUBLISH\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)""" +
+      """(\s+WITH\s+REBASE)?\s*;?\s*""").r
   private val RefreshFingerprintStmt = // incremental content fingerprint
     """(?is)\s*REFRESH\s+FINGERPRINT\s+([\w.]+)(?:\s+COLUMNS\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumStmt =
@@ -382,7 +385,7 @@ object WarehouseSql {
     case ShowFilesStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftShowFilesCommand(wh, t) }
-    case PublishStmt(stagingName, dstName) =>
+    case PublishStmt(stagingName, dstName, withRebase) =>
       lookup(spark, Seq(stagingName)).map { case (wh, staging) =>
         val (dstWh, dst) = lookup(spark, Seq(dstName)).getOrElse(
           throw new IllegalArgumentException(
@@ -390,7 +393,7 @@ object WarehouseSql {
         require(dstWh eq wh,
           s"PUBLISH TABLE $stagingName TO $dstName: staging and target " +
             "must live in the same warehouse")
-        GraftPublishCommand(wh, dst, staging) }
+        GraftPublishCommand(wh, dst, staging, rebase = withRebase != null) }
     case RefreshFingerprintStmt(name, cols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftRefreshFingerprintCommand(wh, t,
