@@ -2397,6 +2397,7 @@ class Warehouse(spark: SparkSession, dir: String,
     fs.delete(manifestDir(name), true)
     fs.delete(new Path(new Path(dir, "_meta"), s"$name.json"), false)
     fs.delete(tagsDir(name), true) // tags die with their table
+    fs.delete(histDir(name), true) // so do histogram bases
     fs.delete(new Path(path(name)), true)
     specsLock.synchronized { specsNow = specsNow - name }
     // a re-created table restarts version numbering in this directory —
@@ -2593,7 +2594,7 @@ class Warehouse(spark: SparkSession, dir: String,
             case Some(df) => return df
             case None =>
           }
-        dfFor(name, loadAt(name, v))
+        dfFor(name, loadAt(name, v), histVersion = Some(v))
     }
   }
 
@@ -2974,7 +2975,8 @@ class Warehouse(spark: SparkSession, dir: String,
       provider = Some("parquet"),
       stats = Some(CatalogStatistics(BigInt(agg.bytes).max(1),
         if (agg.rows >= 0L) Some(BigInt(agg.rows)) else None,
-        colStats)))
+        withHistograms(name, colStats, Some(version),
+          if (agg.rows >= 0L) Some(agg.rows) else None))))
     val base = org.apache.spark.sql.GraftBridge.ofRows(spark,
       LogicalRelation(relation,
         DataTypeUtils.toAttributes(relation.schema), Some(ct),
@@ -3039,7 +3041,7 @@ class Warehouse(spark: SparkSession, dir: String,
       s"$name v$version is no longer readable: ${gone.size} file(s) GC'd " +
         s"(e.g. ${gone.head.rel}); use retainReplaced=true and vacuum " +
         "retention to keep versions readable")
-    dfFor(name, entries, layout = Some(layout))
+    dfFor(name, entries, layout = Some(layout), histVersion = Some(version))
   }
 
   /** TIMESTAMP AS OF resolution (the classic Delta rule): the newest
@@ -3499,7 +3501,8 @@ class Warehouse(spark: SparkSession, dir: String,
     */
   private[graft] def dfFor(name: String, entries: Seq[FileEntry],
       isStreaming: Boolean = false,
-      layout: Option[Seq[String]] = None): DataFrame = {
+      layout: Option[Seq[String]] = None,
+      histVersion: Option[Long] = None): DataFrame = {
     if (entries.isEmpty) {
       val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         tables(name))
@@ -3513,7 +3516,7 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     logicalView(name,
       applyDv(name, entries, org.apache.spark.sql.GraftBridge.ofRows(spark,
-        statsRelation(name, entries, isStreaming, layout))))
+        statsRelation(name, entries, isStreaming, layout, histVersion))))
   }
 
   /** [[relationFor]] wrapped in a LogicalRelation that PUBLISHES the
@@ -3531,7 +3534,8 @@ class Warehouse(spark: SparkSession, dir: String,
     * plan-local metadata — nothing registers in the session catalog.
     */
   private def statsRelation(name: String, entries: Seq[FileEntry],
-      isStreaming: Boolean, layout: Option[Seq[String]] = None)
+      isStreaming: Boolean, layout: Option[Seq[String]] = None,
+      histVersion: Option[Long] = None)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
@@ -3597,7 +3601,9 @@ class Warehouse(spark: SparkSession, dir: String,
       schema = relation.schema,
       provider = Some("parquet"),
       stats = Some(CatalogStatistics(
-        BigInt(entries.map(_.bytes).sum).max(1), rows, colStats)))
+        BigInt(entries.map(_.bytes).sum).max(1), rows,
+        withHistograms(name, colStats, histVersion,
+          rows.map(_.toLong)))))
     LogicalRelation(relation, DataTypeUtils.toAttributes(relation.schema),
       Some(ct), isStreaming, None)
   }
@@ -6898,6 +6904,314 @@ class Warehouse(spark: SparkSession, dir: String,
   }
 
   // ------------------------------------------------------------------
+  // EQUI-HEIGHT COLUMN HISTOGRAMS — `ANALYZE TABLE ... COMPUTE
+  // STATISTICS FOR [ALL] COLUMNS`, CBO's skew story. The manifest
+  // already feeds the optimizer exact rows/bytes, NDV and min/max for
+  // free; what none of those can say is WHERE the mass sits — a range
+  // predicate over a skewed column estimates uniform and misorders
+  // joins. One ANALYZE runs two distributed passes (endpoints via
+  // percentile_approx, per-bin NDVs via the interval-HLL aggregate —
+  // both single-job across ALL requested columns) and persists an
+  // immutable per-version JSON basis; every head/time-travel read at
+  // or past that version publishes the bins through
+  // `CatalogColumnStat.histogram`, which Spark's FilterEstimation /
+  // JoinEstimation consume natively. Staleness is guarded by the
+  // manifest itself: the basis records its live-row count, and a read
+  // whose exact current count drifts beyond
+  // [[Warehouse.histogramDriftFactor]] WITHHOLDS the bins (min/max/NDV
+  // keep flowing — they are maintained by the write path; the
+  // histogram is the only stat with an ANALYZE-time basis).
+  // ------------------------------------------------------------------
+
+  private def histDir(name: String): Path =
+    new Path(new Path(new Path(dir, "_meta"), "_hist"), name)
+
+  /** The double axis a column's histogram lives on, matching what
+    * CBO's EstimationUtils derives from Catalyst literals: the raw
+    * value for numerics, epoch DAYS for dates, epoch MICROS for
+    * timestamps. None = no histogram story for the type (strings /
+    * binary / complex; TimestampNTZ is skipped — converting it to a
+    * micros axis would need a zone the type deliberately lacks).
+    */
+  private def histAxis(name: String, c: String)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType => DT,
+      FloatType}
+    tables(name).find(_.name == c).flatMap(f =>
+      if (Warehouse.physicalName(f) != f.name) None // column-mapped
+      else f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             _: DecimalType => Some(col(c).cast("double"))
+        case DT => Some(col(c))
+        case DateType => Some(unix_date(col(c)).cast("double"))
+        case TimestampType => Some(unix_micros(col(c)).cast("double"))
+        case _ => None
+      })
+  }
+
+  /** Build + persist equi-height histograms for `cols` (empty = every
+    * supported column) over the CURRENT snapshot. Two jobs total,
+    * regardless of column count; the basis lands as ONE immutable JSON
+    * (`_meta/_hist/<table>/v<version>.json` — write-then-rename, like
+    * every metadata publish here) and older bases are swept
+    * best-effort (publication always picks the newest at-or-below the
+    * read version, so the sweep is garbage collection, not
+    * correctness). All-null columns are skipped (no axis to bin).
+    *
+    * Scale shape: pass 1 is `count + percentile_approx` per column in
+    * one aggregate (driver holds numBins+1 doubles per column), pass 2
+    * is one interval-NDV sketch per column in one aggregate — both
+    * shuffle a constant-size state per partition, never rows. At
+    * 100 TB this is two scans of the analyzed columns and nothing
+    * else; the published artifact is a few KB.
+    *
+    * @return column → bin count actually built
+    */
+  def analyzeColumns(name: String, cols0: Seq[String] = Nil,
+      numBins: Int = 64): Map[String, Long] = {
+    require(specsNow.contains(name), s"analyzeColumns: no table $name")
+    require(numBins >= 2 && numBins <= 1024,
+      s"analyzeColumns $name: numBins must be in [2, 1024], got $numBins")
+    val schema = tables(name)
+    val cols: Seq[String] =
+      if (cols0.nonEmpty) {
+        cols0.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"analyzeColumns $name: no column $c")
+          require(histAxis(name, c).isDefined,
+            s"analyzeColumns $name: column $c has no histogram axis " +
+              "(numeric, date and timestamp columns only)")
+        }
+        cols0
+      } else schema.fieldNames.toSeq
+        .filter(c => histAxis(name, c).isDefined)
+    val v = loadLatest(name)._1
+    require(v > 0L, s"analyzeColumns $name: table has no committed version")
+    if (cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{approx_count_distinct, count,
+      lit, max, min, percentile_approx}
+    val df = readVersion(name, v)
+    val pcts = (0 to numBins).map(_.toDouble / numBins).toArray
+    // pass 1: total rows + per-column (non-null count, endpoints, NDV,
+    // min, max) — the full Spark-ANALYZE column basis, one job
+    val aggs1 = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      val ax = histAxis(name, c).get
+      Seq(count(ax).as(s"__n_$c"),
+        percentile_approx(ax, lit(pcts), lit(10000)).as(s"__p_$c"),
+        approx_count_distinct(ax).as(s"__d_$c"),
+        min(ax).as(s"__lo_$c"), max(ax).as(s"__hi_$c"))
+    }
+    val row1 = df.agg(aggs1.head, aggs1.tail: _*).head()
+    val liveRows = row1.getLong(0)
+    final case class Basis(c: String, n: Long, eps: Array[Double],
+      ndv: Long, lo: Double, hi: Double)
+    val bases = cols.zipWithIndex.flatMap { case (c, i) =>
+      val n = row1.getLong(1 + 5 * i)
+      if (n == 0L) None
+      else Some(Basis(c, n, row1.getSeq[Double](2 + 5 * i).toArray,
+        row1.getLong(3 + 5 * i), row1.getDouble(4 + 5 * i),
+        row1.getDouble(5 + 5 * i)))
+    }
+    if (bases.isEmpty) return Map.empty
+    // pass 2: per-bin NDV sketches, all columns in one aggregate
+    val aggs2 = bases.map { b =>
+      import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+      val ep = CreateArray(b.eps.toIndexedSeq.map(e => Literal(e)))
+      org.apache.spark.sql.GraftBridge.toColumn(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .ApproxCountDistinctForIntervals(
+            org.apache.spark.sql.GraftBridge.toExpr(histAxis(name, b.c).get),
+            ep, 0.05)
+          .toAggregateExpression()).as(s"__b_${b.c}")
+    }
+    val row2 = df.agg(aggs2.head, aggs2.tail: _*).head()
+    val hists: Map[String, Warehouse.HistCol] =
+      bases.zipWithIndex.map { case (b, i) =>
+        val ndvs = row2.getSeq[Long](i)
+        val bins = (0 until numBins).map { j =>
+          org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+            b.eps(j), b.eps(j + 1), math.max(1L, ndvs(j)))
+        }.toArray
+        b.c -> Warehouse.HistCol(
+          org.apache.spark.sql.catalyst.plans.logical.Histogram(
+            b.n.toDouble / numBins, bins),
+          b.ndv, b.lo, b.hi, liveRows - b.n)
+      }.toMap
+    // persist (immutable per analyzed version), then sweep older bases
+    val fs = fileSystem
+    fs.mkdirs(histDir(name))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("version", v)
+    node.put("rows", liveRows)
+    node.put("numBins", numBins)
+    val colsNode = node.putObject("columns")
+    hists.toSeq.sortBy(_._1).foreach { case (c, hc) =>
+      val cn = colsNode.putObject(c)
+      cn.put("height", hc.hist.height)
+      cn.put("ndv", hc.ndv)
+      cn.put("lo", hc.lo)
+      cn.put("hi", hc.hi)
+      cn.put("nulls", hc.nulls)
+      val bn = cn.putArray("bins")
+      hc.hist.bins.foreach { b =>
+        val e = bn.addArray(); e.add(b.lo); e.add(b.hi); e.add(b.ndv)
+      }
+    }
+    val tmp = new Path(histDir(name), s".tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(m.writeValueAsString(node)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(histDir(name), f"v$v%012d.json")
+    fs.delete(dest, false) // re-analyze at the same version replaces
+    require(fs.rename(tmp, dest),
+      s"analyzeColumns $name: histogram publish failed")
+    fs.listStatus(histDir(name)).foreach { st => // GC older bases
+      val n0 = st.getPath.getName
+      if (n0 != dest.getName && n0.endsWith(".json"))
+        fs.delete(st.getPath, false)
+    }
+    Warehouse.histCacheInvalidate(s"$dir#$name#")
+    hists.view.mapValues(_.hist.bins.length.toLong).toMap
+  }
+
+  /** The newest persisted histogram basis at or below version `v`.
+    * Memoized per lifetime-keyed version — a same-process ANALYZE
+    * invalidates; another process's ANALYZE surfaces at the table's
+    * next version change (the basis files themselves are immutable).
+    */
+  private[graft] def histogramsAt(name: String, v: Long)
+      : Option[Warehouse.HistBasis] = {
+    val key = cacheKey(name, v) + "#hist"
+    Warehouse.histCacheGet(key) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    val fs = fileSystem
+    val d = histDir(name)
+    val out =
+      if (!fs.exists(d)) None
+      else fs.listStatus(d).toSeq.flatMap { st =>
+        val n0 = st.getPath.getName
+        if (n0.startsWith("v") && n0.endsWith(".json"))
+          scala.util.Try(n0.stripPrefix("v").stripSuffix(".json").toLong)
+            .toOption.filter(_ <= v).map(_ -> st.getPath)
+        else None
+      }.sortBy(_._1).lastOption.flatMap { case (hv, p) =>
+        scala.util.Try {
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = m.readTree(text)
+          val rows = root.get("rows").asLong()
+          val cols = scala.collection.mutable.LinkedHashMap
+            .empty[String, Warehouse.HistCol]
+          val it = root.get("columns").fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val h = e.getValue
+            val bins = (0 until h.get("bins").size()).map { j =>
+              val b = h.get("bins").get(j)
+              org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+                b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asLong())
+            }.toArray
+            cols(e.getKey) = Warehouse.HistCol(
+              org.apache.spark.sql.catalyst.plans.logical.Histogram(
+                h.get("height").asDouble(), bins),
+              h.get("ndv").asLong(), h.get("lo").asDouble(),
+              h.get("hi").asDouble(), h.get("nulls").asLong())
+          }
+          Warehouse.HistBasis(hv, rows, cols.toMap)
+        }.toOption // a torn/corrupt basis just withholds bins
+      }
+    Warehouse.histCachePut(key, out)
+    out
+  }
+
+  /** The basis min/max on CBO's external-string axis, converted in the
+    * READING session (`toExternalString` here ↔ `fromExternalString`
+    * in toPlanStats — same session, same formatter, so zone-formatted
+    * types round-trip by construction). None when the double axis
+    * cannot represent the type exactly (a long beyond 2^53, decimals).
+    */
+  private def histExternal(f: StructField, axisValue: Double)
+      : Option[String] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType,
+      FloatType}
+    val internal: Option[Any] = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        val l = axisValue.toLong
+        if (l.toDouble != axisValue) None // lost precision on the axis
+        else f.dataType match {
+          case ByteType => Some(l.toByte)
+          case ShortType => Some(l.toShort)
+          case IntegerType | DateType => Some(l.toInt)
+          case _ => Some(l)
+        }
+      case FloatType => Some(axisValue.toFloat)
+      case DoubleType => Some(axisValue)
+      case _: DecimalType => None
+      case _ => None
+    }
+    internal.map(v => org.apache.spark.sql.catalyst.catalog
+      .CatalogColumnStat.toExternalString(v, f.name, f.dataType))
+  }
+
+  /** Merge the persisted histogram basis (if any, and if its row basis
+    * is still within drift of the CURRENT exact count) into the
+    * manifest-derived column stats — the publication step shared by
+    * the eager and lazy read paths. Manifest-derived fields win per
+    * field (they are exact and write-maintained); the basis fills the
+    * gaps — ndv/min/max/nullCount for columns the manifest does not
+    * cover, plus the bins themselves (CBO's FilterEstimation consults
+    * a histogram only alongside min/max and a distinct count, so the
+    * basis must be publishable as a complete column stat). Columns
+    * whose type lost its axis (evolution) or that were renamed since
+    * the basis never publish.
+    */
+  private def withHistograms(name: String,
+      colStats: Map[String,
+        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat],
+      histVersion: Option[Long], currentRows: Option[Long])
+      : Map[String,
+        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
+    val basis = histVersion.flatMap(hv => histogramsAt(name, hv))
+    basis match {
+      case Some(b) if currentRows.exists { cur =>
+          val f = Warehouse.histogramDriftFactor
+          b.rows > 0L && cur <= b.rows * f && cur * f >= b.rows } =>
+        val schema = tables(name)
+        b.cols.foldLeft(colStats) { case (acc, (c, hc)) =>
+          if (histAxis(name, c).isEmpty) acc // type/name moved on
+          else {
+            val f = schema.find(_.name == c).get
+            val lo = histExternal(f, hc.lo)
+            val hi = histExternal(f, hc.hi)
+            acc.updatedWith(c) {
+              case Some(cs) => Some(cs.copy(
+                histogram = Some(hc.hist),
+                distinctCount = cs.distinctCount
+                  .orElse(Some(BigInt(hc.ndv))),
+                min = cs.min.orElse(lo), max = cs.max.orElse(hi),
+                nullCount = cs.nullCount.orElse(Some(BigInt(hc.nulls)))))
+              case None => Some(org.apache.spark.sql.catalyst.catalog
+                .CatalogColumnStat(
+                  distinctCount = Some(BigInt(hc.ndv)),
+                  min = lo, max = hi,
+                  nullCount = Some(BigInt(hc.nulls)),
+                  histogram = Some(hc.hist)))
+            }
+          }
+        }
+      case _ => colStats
+    }
+  }
+
+  // ------------------------------------------------------------------
   // TAGS — named, immutable version labels (Iceberg's `CREATE TAG`)
   // ------------------------------------------------------------------
 
@@ -7609,6 +7923,49 @@ object Warehouse {
     Option(snapshotAggCache.get(key))
   private[graft] def snapshotAggPut(key: String,
       agg: SnapshotAgg): Unit = { snapshotAggCache.put(key, agg); () }
+
+  /** Histogram staleness bound: bins publish while the CURRENT exact
+    * live-row count stays within [basis/f, basis·f] of the analyzed
+    * count — outside it, the ANALYZE-time shape is presumed stale and
+    * bins are withheld (min/max/NDV keep flowing; they are maintained
+    * by the write path). `var` so operators tune the tolerance.
+    */
+  private[graft] var histogramDriftFactor: Double = 2.0
+
+  /** One analyzed column's basis: the equi-height bins plus the
+    * companion stats Spark's estimator needs alongside them (NDV,
+    * min/max on the double axis, null count). */
+  private[graft] final case class HistCol(
+    hist: org.apache.spark.sql.catalyst.plans.logical.Histogram,
+    ndv: Long, lo: Double, hi: Double, nulls: Long)
+
+  /** A persisted ANALYZE FOR COLUMNS basis: the version it was built
+    * at, the live-row count then (the drift guard's denominator), and
+    * the per-column stats. */
+  private[graft] final case class HistBasis(version: Long, rows: Long,
+    cols: Map[String, HistCol])
+
+  /** Parsed histogram bases, memoized per lifetime-keyed version
+    * (including "none at or below this version" — the negative is what
+    * every un-analyzed table's reads hit). Bases are a few KB; the
+    * count bound is plenty.
+    */
+  private val histCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[HistBasis]](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[HistBasis]]): Boolean =
+          size() > 4096
+      })
+  private[graft] def histCacheGet(key: String): Option[Option[HistBasis]] =
+    Option(histCache.get(key))
+  private[graft] def histCachePut(key: String,
+      v: Option[HistBasis]): Unit = { histCache.put(key, v); () }
+  private[graft] def histCacheInvalidate(prefix: String): Unit =
+    histCache.synchronized {
+      histCache.keySet().removeIf(_.startsWith(prefix)); ()
+    }
 
   // ------------------------------------------------------------------
   // slim-snapshot cache: stats-stripped entry lists for the lazy

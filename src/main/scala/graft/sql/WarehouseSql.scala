@@ -286,7 +286,8 @@ object WarehouseSql {
   private val RestoreTsStmt =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeStmt = // ANALYZE TABLE t COMPUTE STATISTICS
-    """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
+    ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s*\(([^)]*)\)))?\s*;?\s*""").r
   private val FsckStmt =
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val FsckRepairStmt =
@@ -454,9 +455,12 @@ object WarehouseSql {
     case FsckStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftFsckCommand(wh, t) }
-    case AnalyzeStmt(name) =>
+    case AnalyzeStmt(name, forClause, colList) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
-        GraftAnalyzeCommand(wh, t) }
+        if (forClause == null) GraftAnalyzeCommand(wh, t)
+        else GraftAnalyzeColumnsCommand(wh, t,
+          Option(colList).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim).filter(_.nonEmpty)) }
     case OptimizeStmt(name, whereSql, zcols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftOptimizeCommand(wh, t,
