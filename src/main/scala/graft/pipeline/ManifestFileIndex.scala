@@ -164,6 +164,22 @@ class ManifestFileIndex(
   * whole-list asks: `inputFiles` on the Dataset, or a `listFiles` with
   * no translatable filter (which needs every entry anyway).
   */
+/** @param memoKey when set (a CONFIRMED-version cache key from the
+  *   warehouse), built `PartitionDirectory` lists also memoize
+  *   JVM-WIDE ([[LazyManifestFileIndex.dirMemo]]): a FRESH plan of the
+  *   same version with the same (static, deterministic) filters reuses
+  *   the constructed FileStatus objects instead of rebuilding
+  *   O(|files|) of them — the warm-plan floor at 800k entries was the
+  *   rebuild itself, not the (already-memoized) prune. None = no
+  *   cross-plan memo (pending versions; non-warehouse callers).
+  * @param dvRef extracts an entry's deletion-vector feed pair (rel-key,
+  *   absolute sidecar path), None for un-vectored entries
+  * @param dvFeed feeds one pair into the plan's growable DV lookup —
+  *   called for every survivor on BOTH the build and the memo-hit path
+  *   (a memo hit serves directories built under an earlier plan's
+  *   lookup; the current plan's lookup still starts empty and must be
+  *   fed, or vectored rows would resurface)
+  */
 class LazyManifestFileIndex(
     spark: SparkSession,
     tablePath: Path,
@@ -171,7 +187,10 @@ class LazyManifestFileIndex(
     genPruners: Map[String, (String, Long => Long)],
     bytesHint: Long,
     prune: (Seq[Expression], Seq[Expression]) => Seq[FileEntry],
-    full: () => Seq[FileEntry])
+    full: () => Seq[FileEntry],
+    memoKey: Option[String] = None,
+    dvRef: FileEntry => Option[(String, String)] = _ => None,
+    dvFeed: (String, String) => Unit = (_, _) => ())
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
@@ -182,7 +201,8 @@ class LazyManifestFileIndex(
 
   // one scan node's listFiles may be asked more than once with the
   // same filters (selectedPartitions + metadata asks) — don't pay the
-  // distributed prune twice for identical conditions
+  // distributed prune twice for identical conditions. (The same-
+  // instance lookup was already fed, so no re-feed here.)
   @volatile private var memo: Option[(String, Seq[PartitionDirectory])] =
     None
 
@@ -191,15 +211,91 @@ class LazyManifestFileIndex(
     val key = (partitionFilters ++ dataFilters)
       .map(_.canonicalized.toString).mkString("&")
     memo match {
-      case Some((k, cached)) if k == key => cached
+      case Some((k, cached)) if k == key => return cached
       case _ =>
+    }
+    // the cross-plan key must be exprId-FREE (`sql`, not canonicalized
+    // — fresh plans mint fresh ids) and is only sound for filters whose
+    // value is fixed in their text: a dynamic-pruning subquery or a
+    // non-deterministic predicate re-evaluates per execution, so those
+    // never share across plans
+    val stable = memoKey.flatMap { mk =>
+      val all = partitionFilters ++ dataFilters
+      if (all.forall(e => e.deterministic && e.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .PlanExpression[_]]).isEmpty))
+        scala.util.Try(
+          mk + "#" + all.map(_.sql).sorted.mkString("&")).toOption
+      else None
+    }
+    stable.flatMap(LazyManifestFileIndex.dirMemoGet) match {
+      case Some((dirs, pairs)) =>
+        pairs.foreach { case (k0, p0) => dvFeed(k0, p0) }
+        memo = Some((key, dirs))
+        dirs
+      case None =>
         val survivors = prune(partitionFilters, dataFilters)
+        val pairs = survivors.flatMap(dvRef(_))
+        pairs.foreach { case (k0, p0) => dvFeed(k0, p0) }
         val exact = new ManifestFileIndex(spark, tablePath, survivors,
           partitionSchema, genPruners)
           .listFiles(partitionFilters, dataFilters)
+        stable.foreach(s =>
+          LazyManifestFileIndex.dirMemoPut(s, exact, pairs))
         memo = Some((key, exact))
         exact
     }
+  }
+}
+
+object LazyManifestFileIndex {
+  /** Cross-plan directory-memo budget in FILES held (statuses are a
+    * few hundred bytes each — 2M ≈ the slim-list budget's scale).
+    * `var` so memory-constrained drivers lower it. */
+  private[graft] var dirMemoFileBudget: Long = 2L * 1024 * 1024
+  /** Observability: cross-plan memo hits (spec gate). */
+  private[graft] val dirMemoHits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val dirMemoFiles =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val dirMemo = new java.util.LinkedHashMap[String,
+      (Seq[PartitionDirectory], Seq[(String, String)])](16, 0.75f, true)
+
+  private def filesOf(
+      v: (Seq[PartitionDirectory], Seq[(String, String)])): Long =
+    v._1.iterator.map(_.files.length.toLong).sum
+
+  private[pipeline] def dirMemoGet(key: String)
+      : Option[(Seq[PartitionDirectory], Seq[(String, String)])] =
+    dirMemo.synchronized {
+      val hit = Option(dirMemo.get(key))
+      hit.foreach(_ => dirMemoHits.incrementAndGet())
+      hit
+    }
+
+  private[pipeline] def dirMemoPut(key: String,
+      dirs: Seq[PartitionDirectory],
+      pairs: Seq[(String, String)]): Unit = dirMemo.synchronized {
+    if (dirMemo.containsKey(key)) return
+    val v = (dirs, pairs)
+    val cost = filesOf(v)
+    if (cost > dirMemoFileBudget) return // never cache past the budget
+    dirMemo.put(key, v)
+    dirMemoFiles.addAndGet(cost)
+    val it = dirMemo.entrySet().iterator()
+    while (dirMemoFiles.get() > dirMemoFileBudget && dirMemo.size() > 1 &&
+        it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != key) {
+        dirMemoFiles.addAndGet(-filesOf(eldest.getValue))
+        it.remove()
+      }
+    }
+  }
+
+  /** Test hook: drop every cross-plan-memoized directory list. */
+  private[graft] def dirMemoClear(): Unit = dirMemo.synchronized {
+    dirMemo.clear(); dirMemoFiles.set(0L)
   }
 }
 

@@ -2889,22 +2889,6 @@ class Warehouse(spark: SparkSession, dir: String,
         Some(new graft.plans.GrowableDvLookup(
           new org.apache.spark.util.SerializableConfiguration(hadoopConf)))
       else None
-    // every listFiles funnels through this closure (the unfiltered
-    // fallback included), so feeding here covers every scanned file.
-    // Feeds are REFS only — the sidecar bytes load executor-side on
-    // first touch, so planning performs zero sidecar I/O even for a
-    // fully-vectored unfiltered scan.
-    def feed(entries: Seq[FileEntry]): Seq[FileEntry] = {
-      dvLookup.foreach { g =>
-        entries.foreach { e =>
-          if (e.dv.nonEmpty && e.dvRows > 0L)
-            g.add(if (e.rel.startsWith("/")) e.rel else "/" + e.rel,
-              if (new Path(e.dv).isAbsolute) e.dv
-              else new Path(path(name), e.dv).toString)
-        }
-      }
-      entries
-    }
     val prune: (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         => Seq[FileEntry] = (pf, dfilt) => {
@@ -2917,18 +2901,31 @@ class Warehouse(spark: SparkSession, dir: String,
           utcRender) ++
         ManifestFileIndex.derivedSegments(dfilt, pruners,
           partitionSchema, utcRender)
-      feed(
-        if (ranges.isEmpty && conjs.isEmpty)
-          // unfiltered scan needs every entry anyway — but only their
-          // paths/sizes, never the stats maps: slim keeps the driver
-          // fold ~150 B/entry instead of the full FileEntry state
-          slimEntriesAt(name, version).getOrElse(loadAt(name, version))
-        else prunedEntries(name, version, ranges, conjs)
-          .getOrElse(loadAt(name, version)))
+      if (ranges.isEmpty && conjs.isEmpty)
+        // unfiltered scan needs every entry anyway — but only their
+        // paths/sizes, never the stats maps: slim keeps the driver
+        // fold ~150 B/entry instead of the full FileEntry state
+        slimEntriesAt(name, version).getOrElse(loadAt(name, version))
+      else prunedEntries(name, version, ranges, conjs)
+        .getOrElse(loadAt(name, version))
     }
+    // the DV feed pairs ride with the index so its cross-plan
+    // directory memo can re-feed a FRESH plan's (empty) lookup — refs
+    // only, sidecar bytes still load executor-side on first touch
+    val dvRef: FileEntry => Option[(String, String)] = e =>
+      if (e.dv.nonEmpty && e.dvRows > 0L)
+        Some((if (e.rel.startsWith("/")) e.rel else "/" + e.rel,
+          if (new Path(e.dv).isAbsolute) e.dv
+          else new Path(path(name), e.dv).toString))
+      else None
     val index = new LazyManifestFileIndex(spark, new Path(path(name)),
       partitionSchema, pruners, agg.bytes, prune,
-      () => slimEntriesAt(name, version).getOrElse(loadAt(name, version)))
+      () => slimEntriesAt(name, version).getOrElse(loadAt(name, version)),
+      // cross-plan directory memo: confirmed (immutable) versions only
+      memoKey = if (isVisible(name, version))
+        Some(cacheKey(name, version)) else None,
+      dvRef = dvRef,
+      dvFeed = (k, p) => dvLookup.foreach(_.add(k, p)))
     val relation = relationWithIndex(name, index, partitionSchema)
     // COLUMN-LEVEL statistics at [[statsRelation]] parity, folded
     // distributed (NDV from the HLL sidecars via [[lazyNdv]], min/max

@@ -691,4 +691,44 @@ class ManifestScaleSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM msv_t.files")
       .head().getLong(0) === 3L)
   }
+
+  test("fresh plans of one confirmed version share BUILT directory " +
+    "lists (cross-plan memo) and a memo hit re-feeds the fresh plan's " +
+    "DV lookup — vectored rows never resurface") {
+    val dir = Files.createTempDirectory("graft-mdm-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("t" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1L
+    wh.bootstrap()
+    wh.append("t", (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("k", "s"))
+    assert(wh.deleteVectored("t", $"k" % 3 === 0) === 3L) // 3, 6, 9
+    val expect = (1L to 10L).filter(_ % 3 != 0)
+      .map(i => (i, s"g${i % 2}")).toSet
+    Warehouse.invalidateCached(s"$dir#t#")
+    graft.pipeline.LazyManifestFileIndex.dirMemoClear()
+
+    // first cold plan BUILDS; every later fresh plan with the same
+    // filter text serves the constructed directories from the memo
+    assert(wh.read("t").as[(Long, String)].collect().toSet === expect)
+    val hits0 = graft.pipeline.LazyManifestFileIndex.dirMemoHits.get()
+    // a FRESH DataFrame = fresh index + fresh (EMPTY) growable lookup:
+    // the memo hit must re-feed it, or rows 3/6/9 resurface here
+    assert(wh.read("t").as[(Long, String)].collect().toSet === expect)
+    assert(graft.pipeline.LazyManifestFileIndex.dirMemoHits.get() > hits0,
+      "the second unfiltered plan must serve from the cross-plan memo")
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("t",
+      wh.versions("t").max)).isEmpty, "both plans must stay lazy")
+
+    // filtered plans key by (exprId-free) filter text: same filter
+    // hits, a different filter builds its own entry
+    val f1 = wh.read("t").where($"s" === "g1").as[(Long, String)]
+      .collect().toSet
+    val hits1 = graft.pipeline.LazyManifestFileIndex.dirMemoHits.get()
+    assert(wh.read("t").where($"s" === "g1").as[(Long, String)]
+      .collect().toSet === f1)
+    assert(graft.pipeline.LazyManifestFileIndex.dirMemoHits.get() > hits1)
+    assert(wh.read("t").where($"s" === "g0").as[(Long, String)]
+      .collect().toSet === expect.filter(_._2 == "g0"))
+  }
 }
