@@ -214,18 +214,32 @@ class LazyManifestFileIndex(
       case Some((k, cached)) if k == key => return cached
       case _ =>
     }
-    // the cross-plan key must be exprId-FREE (`sql`, not canonicalized
-    // — fresh plans mint fresh ids) and is only sound for filters whose
-    // value is fixed in their text: a dynamic-pruning subquery or a
-    // non-deterministic predicate re-evaluates per execution, so those
-    // never share across plans
+    // the cross-plan key must be exprId-FREE (fresh plans mint fresh
+    // ids, so canonicalized strings never match) and VALUE-exact:
+    // `sql` text is neither — it renders timestamp literals as
+    // zone-less wall-clock in the session zone, so two different
+    // micros can share one text (SET timeZone between plans, or DST
+    // fall-back overlap within one zone). Normalize exprIds to zero
+    // and use toString, which prints literals by their INTERNAL value
+    // (raw micros/days), then suffix the session zone — zone-aware
+    // CASTs inside a filter don't print their zone but change with it.
+    // Only static, deterministic filters are eligible: a
+    // dynamic-pruning subquery or non-deterministic predicate
+    // re-evaluates per execution and never shares across plans.
     val stable = memoKey.flatMap { mk =>
       val all = partitionFilters ++ dataFilters
       if (all.forall(e => e.deterministic && e.find(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
             .PlanExpression[_]]).isEmpty))
-        scala.util.Try(
-          mk + "#" + all.map(_.sql).sorted.mkString("&")).toOption
+        scala.util.Try {
+          val texts = all.map(_.transform {
+            case a: AttributeReference =>
+              a.withExprId(org.apache.spark.sql.catalyst.expressions
+                .ExprId(0))
+          }.toString).sorted
+          mk + "#tz=" + spark.sessionState.conf.sessionLocalTimeZone +
+            "#" + texts.mkString("&")
+        }.toOption
       else None
     }
     stable.flatMap(LazyManifestFileIndex.dirMemoGet) match {
@@ -265,7 +279,7 @@ object LazyManifestFileIndex {
       v: (Seq[PartitionDirectory], Seq[(String, String)])): Long =
     v._1.iterator.map(_.files.length.toLong).sum
 
-  private[pipeline] def dirMemoGet(key: String)
+  private[graft] def dirMemoGet(key: String)
       : Option[(Seq[PartitionDirectory], Seq[(String, String)])] =
     dirMemo.synchronized {
       val hit = Option(dirMemo.get(key))
@@ -293,10 +307,29 @@ object LazyManifestFileIndex {
     }
   }
 
+  /** Drop a table's memoized directory lists — called from
+    * [[Warehouse.invalidateCached]] so dropTable / lifetime changes
+    * release the (potentially large) FileStatus state immediately
+    * rather than waiting on LRU pressure. */
+  private[graft] def dirMemoInvalidate(prefix: String): Unit =
+    dirMemo.synchronized {
+      val it = dirMemo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          dirMemoFiles.addAndGet(-filesOf(e.getValue))
+          it.remove()
+        }
+      }
+    }
+
   /** Test hook: drop every cross-plan-memoized directory list. */
   private[graft] def dirMemoClear(): Unit = dirMemo.synchronized {
     dirMemo.clear(); dirMemoFiles.set(0L)
   }
+
+  /** Observability: total files currently held by the memo. */
+  private[graft] def dirMemoFilesHeld: Long = dirMemoFiles.get()
 }
 
 object ManifestFileIndex {

@@ -6959,9 +6959,11 @@ class Warehouse(spark: SparkSession, dir: String,
     * Scale shape: pass 1 is `count + percentile_approx` per column in
     * one aggregate (driver holds numBins+1 doubles per column), pass 2
     * is one interval-NDV sketch per column in one aggregate — both
-    * shuffle a constant-size state per partition, never rows. At
-    * 100 TB this is two scans of the analyzed columns and nothing
-    * else; the published artifact is a few KB.
+    * shuffle a constant-size state per partition, never rows; the
+    * scans plan LAZY where a columnar checkpoint serves the version,
+    * so the driver never folds the entry list either. At 100 TB this
+    * is two scans of the analyzed columns and nothing else; the
+    * published artifact is a few KB.
     *
     * @return column → bin count actually built
     */
@@ -6988,7 +6990,13 @@ class Warehouse(spark: SparkSession, dir: String,
     if (cols.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{approx_count_distinct, count,
       lit, max, min, percentile_approx}
-    val df = readVersion(name, v)
+    // plan the scans LAZY where a columnar checkpoint serves the
+    // version — ANALYZE targets exactly the tables whose entry list
+    // must never fold on the driver; the eager readVersion is the
+    // small-table fallback
+    val df = (if (Warehouse.snapshotCacheGet(cacheKey(name, v)).isEmpty)
+        lazyRead(name, v) else None)
+      .getOrElse(readVersion(name, v))
     val pcts = (0 to numBins).map(_.toDouble / numBins).toArray
     // pass 1: total rows + per-column (non-null count, endpoints, NDV,
     // min, max) — the full Spark-ANALYZE column basis, one job
@@ -7078,6 +7086,12 @@ class Warehouse(spark: SparkSession, dir: String,
     * Memoized per lifetime-keyed version — a same-process ANALYZE
     * invalidates; another process's ANALYZE surfaces at the table's
     * next version change (the basis files themselves are immutable).
+    * A never-analyzed table additionally memoizes "no basis directory"
+    * per LIFETIME, so its reads stop probing the filesystem at every
+    * new version — the documented trade: another PROCESS's first-ever
+    * ANALYZE of the table stays invisible to this long-lived JVM until
+    * a local ANALYZE (which invalidates) or a restart. Histograms are
+    * advisory planner stats, never correctness.
     */
   private[graft] def histogramsAt(name: String, v: Long)
       : Option[Warehouse.HistBasis] = {
@@ -7086,11 +7100,27 @@ class Warehouse(spark: SparkSession, dir: String,
       case Some(hit) => return hit
       case None =>
     }
+    // lifetime-scoped negative: shares the `$dir#$name#` prefix every
+    // invalidation path uses (analyzeColumns, invalidateCached)
+    val dirKey =
+      s"$dir#$name#${Warehouse.lifetimeOf(s"$dir#$name")}#histdir"
+    Warehouse.histCacheGet(dirKey) match {
+      case Some(None) => return None // known: never analyzed
+      case _ =>
+    }
     val fs = fileSystem
     val d = histDir(name)
+    // ONE metadata RPC for the probe: a missing directory throws
+    // instead of costing a separate exists() round-trip first
+    val listing =
+      try fs.listStatus(d).toSeq
+      catch { case _: java.io.FileNotFoundException =>
+        Warehouse.histCachePut(dirKey, None)
+        Warehouse.histCachePut(key, None)
+        return None
+      }
     val out =
-      if (!fs.exists(d)) None
-      else fs.listStatus(d).toSeq.flatMap { st =>
+      listing.flatMap { st =>
         val n0 = st.getPath.getName
         if (n0.startsWith("v") && n0.endsWith(".json"))
           scala.util.Try(n0.stripPrefix("v").stripSuffix(".json").toLong)
@@ -8164,6 +8194,8 @@ object Warehouse {
         while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
       }
     }
+    histCacheInvalidate(prefix)
+    LazyManifestFileIndex.dirMemoInvalidate(prefix)
   }
 
   /** Physical manifest reads (text parse / head read) — observability

@@ -54,6 +54,13 @@ object DvFormat {
   */
 final class DvLookup(keys: Array[String], arrs: Array[Array[Long]])
     extends DvResolver {
+  // STABLE text, not the default identity hash: [[DvRowDeleted]]'s
+  // Expression.toString prints all constructor args (this object
+  // included), and that text keys the lazy index's cross-plan
+  // directory memo — an identity hash would make every fresh plan's
+  // key unique and the memo dead. Sound: a lookup's content is fully
+  // determined by the (version-scoped) plan that built it.
+  override def toString: String = "DvLookup"
   @transient private var lastPath: UTF8String = _
   @transient private var lastArr: Array[Long] = _
   // file-NAME index over the suffix keys, built lazily once per task
@@ -115,6 +122,10 @@ final class DvLookup(keys: Array[String], arrs: Array[Array[Long]])
 final class GrowableDvLookup(
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DvResolver {
+  // stable text for the same reason as [[DvLookup.toString]]; content
+  // is version-determined (fed from each listFiles' survivors), and
+  // the memo key it participates in is version-scoped
+  override def toString: String = "GrowableDvLookup"
   private val refs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   @transient private var lastPath: UTF8String = _

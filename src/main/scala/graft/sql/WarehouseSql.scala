@@ -458,9 +458,15 @@ object WarehouseSql {
     case AnalyzeStmt(name, forClause, colList) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         if (forClause == null) GraftAnalyzeCommand(wh, t)
-        else GraftAnalyzeColumnsCommand(wh, t,
-          Option(colList).toSeq.flatMap(_.split(",").toSeq)
-            .map(_.trim).filter(_.nonEmpty)) }
+        else {
+          val cols = Option(colList).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim).filter(_.nonEmpty)
+          // an explicit empty list is a mistake, not FOR ALL COLUMNS
+          require(colList == null || cols.nonEmpty,
+            s"ANALYZE TABLE $name: FOR COLUMNS () names no column — " +
+              "use FOR ALL COLUMNS to analyze every supported column")
+          GraftAnalyzeColumnsCommand(wh, t, cols)
+        } }
     case OptimizeStmt(name, whereSql, zcols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftOptimizeCommand(wh, t,

@@ -730,5 +730,20 @@ class ManifestScaleSpec extends SparkSpec {
     assert(graft.pipeline.LazyManifestFileIndex.dirMemoHits.get() > hits1)
     assert(wh.read("t").where($"s" === "g0").as[(Long, String)]
       .collect().toSet === expect.filter(_._2 == "g0"))
+
+    // the key is VALUE-exact (internal literal values, not rendered
+    // text): near-identical predicates never share an entry
+    assert(wh.read("t").where($"k" <= 5L).count() ===
+      expect.count(_._1 <= 5L))
+    assert(wh.read("t").where($"k" <= 6L).count() ===
+      expect.count(_._1 <= 6L))
+
+    // dropping the table releases its memoized directory lists (the
+    // other caches' invalidation contract, extended)
+    assert(graft.pipeline.LazyManifestFileIndex.dirMemoFilesHeld > 0L,
+      "the plans above must have memoized directories")
+    wh.dropTable("t")
+    assert(graft.pipeline.LazyManifestFileIndex.dirMemoFilesHeld === 0L,
+      "dropTable must purge the table's directory memo")
   }
 }

@@ -152,5 +152,10 @@ class WarehouseHistogramSpec extends SparkSpec {
     assert(spark.sql("ANALYZE TABLE hist_t COMPUTE STATISTICS")
       .columns.head === "files_backfilled")
     assert(publishedHist(wh.read("t"), "k").isDefined)
+    // an explicit empty list is a mistake, not FOR ALL COLUMNS
+    val empty = intercept[IllegalArgumentException] {
+      spark.sql("ANALYZE TABLE hist_t COMPUTE STATISTICS FOR COLUMNS ()")
+    }
+    assert(empty.getMessage.contains("names no column"))
   }
 }
