@@ -2932,8 +2932,9 @@ class Warehouse(spark: SparkSession, dir: String,
     // from the columnar checkpoint via [[lazyColMinMax]]) — cold CBO
     // join reordering no longer degrades on exactly the tables too big
     // to plan eager. Same publication rules as the eager path: min/max
-    // integral-only and withheld under live DVs; NDV gets the
-    // uniform-deletion live correction; column-mapped names skip.
+    // for integrals/dates/timestamps ([[manifestStatExternal]]) and
+    // withheld under live DVs; NDV gets the uniform-deletion live
+    // correction; column-mapped names skip.
     val ndv = lazyNdv(name, version)
     // min/max surfaces only through NDV-bearing columns (eager parity:
     // statsRelation's colStats are keyed by ndvEstimates too) — skip
@@ -2948,7 +2949,8 @@ class Warehouse(spark: SparkSession, dir: String,
         if (Warehouse.physicalName(f) != f.name) None
         else {
           val mmc = f.dataType match {
-            case ByteType | ShortType | IntegerType | LongType
+            case ByteType | ShortType | IntegerType | LongType |
+                 DateType | TimestampType | TimestampNTZType
                 if agg.dvSum == 0L => mm.get(c)
             case _ => None
           }
@@ -2960,8 +2962,8 @@ class Warehouse(spark: SparkSession, dir: String,
             } else e
           Some(c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
             distinctCount = Some(BigInt(liveNdv(est))),
-            min = mmc.map(_._1.toString),
-            max = mmc.map(_._2.toString)))
+            min = mmc.flatMap(v => manifestStatExternal(f, v._1)),
+            max = mmc.flatMap(v => manifestStatExternal(f, v._2))))
         }
       }
     val ct = CatalogTable(
@@ -3548,10 +3550,12 @@ class Warehouse(spark: SparkSession, dir: String,
     // COLUMN-LEVEL statistics from the per-file HLL sidecars
     // ([[ndvEstimates]]) + the manifest's min/max fold — join
     // selectivity estimation at ANALYZE parity, maintained by the write
-    // path. Only integral min/max are published (their external string
-    // form is unambiguous); a column is skipped entirely when mapping
-    // renamed it (colStats key by output attribute name) or a planned
-    // file lacks its sketch.
+    // path. Min/max publish for integrals PLUS dates/timestamps (the
+    // manifest's days/micros encoding externalizes in the reading
+    // session — [[manifestStatExternal]] — so zone-formatted forms
+    // round-trip by construction); a column is skipped entirely when
+    // mapping renamed it (colStats key by output attribute name) or a
+    // planned file lacks its sketch.
     val schema = tables(name)
     // DELETION-VECTOR correction for the published NDV: the sketches
     // cover PHYSICAL rows (vectored rows included), so on MoR-heavy
@@ -3578,7 +3582,8 @@ class Warehouse(spark: SparkSession, dir: String,
         if (Warehouse.physicalName(f) != f.name) None
         else {
           val mm = f.dataType match {
-            case ByteType | ShortType | IntegerType | LongType
+            case ByteType | ShortType | IntegerType | LongType |
+                 DateType | TimestampType | TimestampNTZType
                 if entries.nonEmpty && entries.forall(_.stats.contains(c)) &&
                   entries.forall(e => e.dvRows == 0L) =>
               Some((entries.map(_.stats(c)._1).min,
@@ -3587,8 +3592,8 @@ class Warehouse(spark: SparkSession, dir: String,
           }
           Some(c -> CatalogColumnStat(
             distinctCount = Some(BigInt(liveNdv(est))),
-            min = mm.map(_._1.toString),
-            max = mm.map(_._2.toString)))
+            min = mm.flatMap(v => manifestStatExternal(f, v._1)),
+            max = mm.flatMap(v => manifestStatExternal(f, v._2))))
         }
       }
     val ct = CatalogTable(
@@ -7156,6 +7161,26 @@ class Warehouse(spark: SparkSession, dir: String,
       }
     Warehouse.histCachePut(key, out)
     out
+  }
+
+  /** A manifest footer stat (long-encoded: raw value for integrals,
+    * epoch days for dates, epoch micros for timestamps) as
+    * CatalogColumnStat's external string, converted in the READING
+    * session — `toExternalString` here ↔ `fromExternalString` in
+    * toPlanStats run under the same session formatter, so
+    * zone-formatted types round-trip by construction. None = a type
+    * whose manifest encoding has no publishable external form.
+    */
+  private def manifestStatExternal(f: StructField, raw: Long)
+      : Option[String] = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(raw.toString)
+    case DateType => Some(org.apache.spark.sql.catalyst.catalog
+      .CatalogColumnStat.toExternalString(raw.toInt, f.name, DateType))
+    case TimestampType | TimestampNTZType =>
+      Some(org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+        .toExternalString(raw, f.name, f.dataType))
+    case _ => None
   }
 
   /** The basis min/max on CBO's external-string axis, converted in the

@@ -136,6 +136,49 @@ class WarehouseHistogramSpec extends SparkSpec {
     assert(bad.getMessage.contains("no histogram axis"))
   }
 
+  test("manifest min/max publish for date/timestamp stat columns with " +
+    "no ANALYZE, externalized in the reading session, and a time-range " +
+    "estimate follows them") {
+    val dir = Files.createTempDirectory("graft-hist-").toString
+    val tSpec = Warehouse.TableSpec(
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("ts", TimestampType),
+        StructField("d", DateType))),
+      statColumns = Seq("ts", "d"),
+      ndvColumns = Seq("ts", "d"))
+    val wh = new Warehouse(spark, dir, specs = Map("t" -> tSpec))
+    wh.bootstrap()
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    wh.append("t", (0 until 1000).map(i => (i.toLong,
+        java.sql.Timestamp.from(t0.plusSeconds(i * 3600L)),
+        java.sql.Date.valueOf(s"2026-0${i % 9 + 1}-15")))
+      .toDF("id", "ts", "d"))
+    val df = wh.read("t")
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case l: LogicalRelation => l
+    }.get
+    val cs = rel.catalogTable.get.stats.get.colStats
+    assert(cs("ts").min.isDefined && cs("ts").max.isDefined,
+      "timestamp stat columns must publish manifest min/max")
+    assert(cs("d").min.isDefined && cs("d").max.isDefined,
+      "date stat columns must publish manifest min/max")
+    // the external strings round-trip to the manifest's micros/days
+    import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+    assert(CatalogColumnStat.fromExternalString(cs("ts").min.get, "ts",
+      TimestampType, CatalogColumnStat.VERSION) ===
+      t0.getEpochSecond * 1000000L)
+    assert(CatalogColumnStat.fromExternalString(cs("d").min.get, "d",
+      DateType, CatalogColumnStat.VERSION) ===
+      java.time.LocalDate.parse("2026-01-15").toEpochDay.toInt)
+    // and CBO range estimation on event time engages: the last ~10% of
+    // the span estimates far below the row count
+    val est = filterEstimate(df.where(
+      $"ts" > java.sql.Timestamp.from(t0.plusSeconds(900L * 3600L))))
+    assert(est > BigInt(0) && est < BigInt(300),
+      s"time-range estimate $est should be ~100 of 1000")
+  }
+
   test("SQL: ANALYZE ... FOR COLUMNS / FOR ALL COLUMNS build and " +
     "report; the plain statement keeps its old meaning") {
     val (wh, _) = fresh()
