@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.pipeline.Warehouse
 
@@ -241,6 +241,41 @@ case class GraftShowTagsCommand(wh: Warehouse, table: String)
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     wh.tags(table).toSeq.sortBy(_._1).map { case (t, v) => Row(t, v) }
+}
+
+/** `SHOW STATS wh_t`: the column statistics the OPTIMIZER actually
+  * sees for a head read, one row per stat-bearing column — extracted
+  * from the read path's own published `CatalogStatistics` (manifest
+  * NDV/min-max, ANALYZE histogram basis, drift guard and all), so
+  * what this prints is by construction what CBO plans with, never a
+  * re-derivation that could disagree. Zero data read.
+  */
+case class GraftShowStatsCommand(wh: Warehouse, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("distinct_count", LongType)(),
+    AttributeReference("min", StringType)(),
+    AttributeReference("max", StringType)(),
+    AttributeReference("null_count", LongType)(),
+    AttributeReference("histogram_bins", LongType)(),
+    AttributeReference("histogram_height", DoubleType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rel = wh.read(table).queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.catalogTable.exists(_.stats.isDefined) => l
+    }
+    val colStats = rel.flatMap(_.catalogTable).flatMap(_.stats)
+      .map(_.colStats).getOrElse(Map.empty)
+    colStats.toSeq.sortBy(_._1).map { case (c, cs) =>
+      Row(c,
+        cs.distinctCount.map(_.toLong).orNull,
+        cs.min.orNull, cs.max.orNull,
+        cs.nullCount.map(_.toLong).orNull,
+        cs.histogram.map(_.bins.length.toLong).orNull,
+        cs.histogram.map(_.height).orNull)
+    }
+  }
 }
 
 /** `SHOW FILES wh_t`: the HEAD manifest's file inventory, one row per

@@ -34,6 +34,9 @@ import graft.pipeline.Warehouse
   *     named versions, vacuum-pinned) / dropTag / tags
   *   - `SHOW FILES wh_t` → the head manifest's file inventory (bytes,
   *     row counts, DV rows, footer stats) — driver metadata only
+  *   - `SHOW STATS wh_t` → the column statistics CBO sees for a head
+  *     read (NDV, min/max, nulls, histogram bins), extracted from the
+  *     read path's own published stats
   *   - `PUBLISH TABLE wh_stage TO wh_t [WITH REBASE]` →
   *     [[Warehouse!.publish]] (write-audit-publish fast-forward of an
   *     audited staging clone; WITH REBASE merges over interim blind
@@ -276,6 +279,8 @@ object WarehouseSql {
     """(?is)\s*SHOW\s+TAGS\s+([\w.]+)\s*;?\s*""".r
   private val ShowFilesStmt = // manifest-backed file inventory
     """(?is)\s*SHOW\s+FILES\s+([\w.]+)\s*;?\s*""".r
+  private val ShowStatsStmt = // the column stats CBO actually sees
+    """(?is)\s*SHOW\s+STATS\s+([\w.]+)\s*;?\s*""".r
   private val PublishStmt = // write-audit-publish fast-forward
     ("""(?is)\s*PUBLISH\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)""" +
       """(\s+WITH\s+REBASE)?\s*;?\s*""").r
@@ -386,6 +391,9 @@ object WarehouseSql {
     case ShowFilesStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftShowFilesCommand(wh, t) }
+    case ShowStatsStmt(name) =>
+      lookup(spark, Seq(name)).map { case (wh, t) =>
+        GraftShowStatsCommand(wh, t) }
     case PublishStmt(stagingName, dstName, withRebase) =>
       lookup(spark, Seq(stagingName)).map { case (wh, staging) =>
         val (dstWh, dst) = lookup(spark, Seq(dstName)).getOrElse(

@@ -200,5 +200,15 @@ class WarehouseHistogramSpec extends SparkSpec {
       spark.sql("ANALYZE TABLE hist_t COMPUTE STATISTICS FOR COLUMNS ()")
     }
     assert(empty.getMessage.contains("names no column"))
+    // SHOW STATS prints what CBO sees: the analyzed column with its
+    // basis-filled ndv/min/max/nulls and 64 bins
+    val st = spark.sql("SHOW STATS hist_t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st.contains("k"), s"SHOW STATS must list k, got ${st.keys}")
+    val k = st("k")
+    assert(k.getLong(k.fieldIndex("histogram_bins")) === 64L)
+    assert(k.getString(k.fieldIndex("min")) === "0")
+    assert(k.getString(k.fieldIndex("max")) === "999")
+    assert(k.getLong(k.fieldIndex("null_count")) === 0L)
   }
 }
