@@ -5677,7 +5677,64 @@ object LlmQueries extends QueryPack {
           UNION ALL
           SELECT 'state', st, count(*), round(sum(price), 2)
           FROM fin GROUP BY st) z
-        ORDER BY side, k"""))
+        ORDER BY side, k""")),
+
+    // ---- q173: ANALYZE FOR COLUMNS + SHOW STATS under the gate —
+    // the CBO-statistics surface is itself oracle-checked: after DML,
+    // `ANALYZE ... FOR COLUMNS` builds the equi-height basis (two
+    // distributed passes) and `SHOW STATS` prints what the optimizer
+    // sees — exact min/max (externalized in the reading session),
+    // exact null counts, and the bin count — values DuckDB recomputes
+    // independently from the same rows. (NDV and bin endpoints are
+    // estimator outputs, deliberately outside the hash.)
+    Q("q173_warehouse_analyze_stats",
+      (s, dir) => {
+        val tmp = graft.util.Scratch.dir("graft-q173-").toString
+        val wh = new graft.pipeline.Warehouse(s, s"$tmp/wh",
+          specs = Map.empty[String, graft.pipeline.Warehouse.TableSpec])
+        wh.registerSql("an173_")
+        t(s, dir, "orders").select(
+            col("o_orderkey").cast("long").as("oid"),
+            col("o_orderdate").cast("date").as("d"),
+            col("o_orderstatus").as("st"))
+          .createOrReplaceTempView("an173_src")
+        s.sql("CREATE TABLE an173_t (oid BIGINT, d DATE, st STRING)")
+        s.sql("INSERT INTO an173_t SELECT * FROM an173_src")
+        s.sql("DELETE FROM an173_t WHERE oid % 7 = 0")
+        val built = s.sql(
+          "ANALYZE TABLE an173_t COMPUTE STATISTICS FOR COLUMNS (oid, d)")
+        require(built.count() == 2L, "q173: two columns must analyze")
+        val stats = s.sql("SHOW STATS an173_t")
+          .select(col("column").as("c"), col("min").as("mn"),
+            col("max").as("mx"), col("null_count").as("nulls"),
+            col("histogram_bins").as("bins"))
+          .where(col("c").isin("oid", "d"))
+        val rows = s.sql(
+          """SELECT 'rows' AS c, CAST(count(*) AS STRING) AS mn,
+                    CAST(NULL AS STRING) AS mx,
+                    CAST(NULL AS BIGINT) AS nulls,
+                    CAST(NULL AS BIGINT) AS bins
+             FROM an173_t""")
+        stats.unionByName(rows).orderBy("c")
+      },
+      Some("""
+        WITH pre AS (
+          SELECT o_orderkey AS oid, CAST(o_orderdate AS DATE) AS d
+          FROM orders WHERE o_orderkey % 7 <> 0)
+        SELECT c, mn, mx, nulls, bins FROM (
+          SELECT 'oid' AS c, CAST(min(oid) AS VARCHAR) AS mn,
+                 CAST(max(oid) AS VARCHAR) AS mx,
+                 CAST(0 AS BIGINT) AS nulls, CAST(64 AS BIGINT) AS bins
+          FROM pre
+          UNION ALL
+          SELECT 'd', CAST(min(d) AS VARCHAR), CAST(max(d) AS VARCHAR),
+                 CAST(0 AS BIGINT), CAST(64 AS BIGINT)
+          FROM pre
+          UNION ALL
+          SELECT 'rows', CAST(count(*) AS VARCHAR), NULL,
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM pre) z
+        ORDER BY c"""))
   )
 
   /** q126's fixed BPE merge table, rank-ordered: literal so an
