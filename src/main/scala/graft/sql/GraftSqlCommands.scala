@@ -712,20 +712,22 @@ case class GraftAnalyzeCommand(wh: Warehouse, table: String)
 }
 
 /** `ANALYZE TABLE wh_t COMPUTE STATISTICS FOR COLUMNS (a, b)` /
-  * `... FOR ALL COLUMNS` → [[Warehouse!.analyzeColumns]]: build
-  * equi-height histograms (two distributed passes, all columns per
-  * pass) and persist them as the table's CBO basis — range-predicate
-  * and join estimates then follow the data's actual shape instead of
-  * the uniform assumption. One row per column built.
+  * `... FOR ALL COLUMNS`, optionally `WITH n BINS` (default 64) →
+  * [[Warehouse!.analyzeColumns]]: build equi-height histograms (two
+  * distributed passes, all columns per pass) and persist them as the
+  * table's CBO basis — range-predicate and join estimates then follow
+  * the data's actual shape instead of the uniform assumption. One row
+  * per column built.
   */
 case class GraftAnalyzeColumnsCommand(wh: Warehouse, table: String,
-    cols: Seq[String]) extends LeafRunnableCommand {
+    cols: Seq[String], numBins: Option[Int] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("column", StringType, nullable = false)(),
     AttributeReference("bins", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    wh.analyzeColumns(table, cols).toSeq.sortBy(_._1)
-      .map { case (c, b) => Row(c, b) }
+    wh.analyzeColumns(table, cols, numBins.getOrElse(64))
+      .toSeq.sortBy(_._1).map { case (c, b) => Row(c, b) }
 }
 
 /** `REORG TABLE wh_t APPLY (PURGE)` → [[Warehouse!.purgeVectors]]:

@@ -292,7 +292,8 @@ object WarehouseSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeStmt = // ANALYZE TABLE t COMPUTE STATISTICS
     ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
-      """(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s*\(([^)]*)\)))?\s*;?\s*""").r
+      """(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s*\(([^)]*)\))""" +
+      """(?:\s+WITH\s+(\d+)\s+BINS)?)?\s*;?\s*""").r
   private val FsckStmt =
     """(?is)\s*FSCK\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val FsckRepairStmt =
@@ -463,7 +464,7 @@ object WarehouseSql {
     case FsckStmt(name) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         GraftFsckCommand(wh, t) }
-    case AnalyzeStmt(name, forClause, colList) =>
+    case AnalyzeStmt(name, forClause, colList, bins) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>
         if (forClause == null) GraftAnalyzeCommand(wh, t)
         else {
@@ -473,7 +474,8 @@ object WarehouseSql {
           require(colList == null || cols.nonEmpty,
             s"ANALYZE TABLE $name: FOR COLUMNS () names no column — " +
               "use FOR ALL COLUMNS to analyze every supported column")
-          GraftAnalyzeColumnsCommand(wh, t, cols)
+          GraftAnalyzeColumnsCommand(wh, t, cols,
+            Option(bins).map(_.toInt))
         } }
     case OptimizeStmt(name, whereSql, zcols) =>
       lookup(spark, Seq(name)).map { case (wh, t) =>

@@ -210,5 +210,11 @@ class WarehouseHistogramSpec extends SparkSpec {
     assert(k.getString(k.fieldIndex("min")) === "0")
     assert(k.getString(k.fieldIndex("max")) === "999")
     assert(k.getLong(k.fieldIndex("null_count")) === 0L)
+    // WITH n BINS overrides the 64-bin default (replaces the basis)
+    val wide = spark.sql("ANALYZE TABLE hist_t COMPUTE STATISTICS " +
+      "FOR COLUMNS (k) WITH 128 BINS").collect()
+    assert(wide.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("k", 128L)))
+    assert(publishedHist(wh.read("t"), "k").get.bins.length === 128)
   }
 }
