@@ -9,10 +9,68 @@ object Bench {
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  // ---------------------------------------------------------------------
+  // Contention self-defense (r13). Two rounds running, the artifact of
+  // record was captured on a degraded box (r11 mildly, r12 badly: 539 s
+  // where an idle re-run of the same HEAD reproduces the 238 s family)
+  // and needed manual adjudication. The harness now defends itself:
+  //
+  //   * a fixed single-threaded spin probe (pure ALU xorshift, no
+  //     allocation, no syscalls) runs before and after every timed pass.
+  //     On a healthy box its wall time is a machine constant; frequency
+  //     throttling AND hypervisor steal both inflate it, which are
+  //     exactly the two signatures that poisoned r11/r12 (cpu_total
+  //     doubling with wall = throttle/steal, not co-tenant wait).
+  //   * the reference is SELF-CALIBRATED: the minimum probe time seen
+  //     anywhere in the run (including a JIT-warmed startup calibration)
+  //     is "healthy"; a pass whose surrounding probes exceed
+  //     CleanFactor x that minimum is dirty.
+  //   * a query with no clean pass is RE-RUN (bounded budget) until a
+  //     clean pass lands; the recorded number is the min wall over clean
+  //     passes when any exist, else the min over everything (failures
+  //     stay negative and still win the min).
+  //   * the trailer emits "contended": true/false plus probe stats and
+  //     the pre-session load average, so the driver's artifact
+  //     self-adjudicates instead of needing a manual idle-box re-run.
+  // ---------------------------------------------------------------------
+  private val SpinIters = 12000000L // ~10-20 ms single-threaded
+  private val CleanFactor = 1.35 // probe beyond this x min => dirty pass
+  @volatile private var sink = 0L // defeat dead-code elimination
+
+  private def spinOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < SpinIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    sink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Load average BEFORE we create any Spark threads: anything much
+    // above ~zero here is co-tenant work that will poison the capture.
+    val preLoad = osBean.getSystemLoadAverage
+    // JIT-warm the probe, then calibrate: the min of several post-warm
+    // runs seeds the run-wide healthy reference.
+    var probeMin = Double.MaxValue
+    var probeMax = 0.0
+    (1 to 12).foreach { i =>
+      val p = spinOnce()
+      if (i > 4) { probeMin = math.min(probeMin, p); probeMax = math.max(probeMax, p) }
+    }
+    def probe(): Double = {
+      val p = spinOnce()
+      probeMin = math.min(probeMin, p); probeMax = math.max(probeMax, p)
+      p
+    }
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus).getOrCreate()
@@ -36,22 +94,13 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // Two timed passes, min per query (GC/compilation noise makes single
-    // runs swing ±30%); a failed query records a NEGATIVE time so
-    // failures are visible in BENCH json rather than masquerading as
-    // fast successes.
-    //
-    // Each pass also records process-CPU seconds (whole-JVM delta across
-    // the query — correct in local mode where driver + all executor
-    // threads share one process). wall >> cpu/cores on a query that
-    // didn't change is the signature of EXTERNAL contention in the
-    // capture environment, not a code regression — the r7 artifact was
-    // unusable for exactly this reason and needed manual re-runs to
-    // adjudicate. cpu makes it diagnosable from the artifact alone.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Timed passes record (wall, cpu, probe): whole-JVM process-CPU delta
+    // (correct in local mode — driver + executors share the process) and
+    // the worse of the two surrounding spin probes (conservative: a pass
+    // is only clean if the box was healthy at BOTH ends).
     def timeOnce(name: String,
-        fn: (SparkSession, String) => DataFrame): (Double, Double) = {
+        fn: (SparkSession, String) => DataFrame): (Double, Double, Double) = {
+      val pPre = probe()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       // failures go to stderr (the artifact captures stdout only) so a
@@ -64,16 +113,42 @@ object Bench {
                }
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = (osBean.getProcessCpuTime - c0) / 1e9
-      (if (ok) dt else -dt, dc)
+      val pPost = probe()
+      (if (ok) dt else -dt, dc, math.max(pPre, pPost))
     }
-    val detailed = queries.map { case (name, fn) =>
-      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
-      // min-wall picks the faster pass (any failure is negative and
-      // therefore wins the min, keeping failures visible); report that
-      // same pass's cpu so the wall/cpu pair is internally consistent
-      name -> (if (a._1 <= b._1) a else b)
+    def isClean(p: Double): Boolean = p <= CleanFactor * probeMin
+    // Two base passes per query; min-wall picks the faster (failures are
+    // negative and win the min, keeping them visible).
+    val base = queries.map { case (name, fn) =>
+      name -> Seq(timeOnce(name, fn), timeOnce(name, fn))
     }
-    val results = detailed.map { case (name, (wall, _)) => name -> wall }
+    // Contention repair: any query whose passes were BOTH dirty gets up
+    // to two more passes (global budget caps the worst case — a fully
+    // contended box should not double the run). Tiny queries are skipped:
+    // a dirty 0.2 s pass cannot move the total materially.
+    val RerunBudget = 80
+    var rerunsUsed = 0
+    val repaired = base.map { case (name, passes0) =>
+      var passes = passes0
+      val fn = queries.find(_._1 == name).get._2
+      val minWall = passes.map(p => math.abs(p._1)).min
+      var tries = 0
+      while (tries < 2 && rerunsUsed < RerunBudget && minWall > 0.25 &&
+             !passes.exists(p => isClean(p._3))) {
+        passes = passes :+ timeOnce(name, fn)
+        rerunsUsed += 1; tries += 1
+      }
+      name -> passes
+    }
+    // Recorded pass per query: min wall over clean passes when any pass
+    // is clean, else min over all (and the query counts as contended).
+    val detailed = repaired.map { case (name, passes) =>
+      val clean = passes.filter(p => isClean(p._3))
+      val pool = if (clean.nonEmpty) clean else passes
+      val best = pool.minBy(_._1)
+      (name, best, clean.isEmpty)
+    }
+    val results = detailed.map { case (name, (wall, _, _), _) => name -> wall }
     // Millisecond precision keeps the per-query JSON line compact (~3 KB
     // for 100 queries instead of ~6 KB of full-double digits).
     def fmt(v: Double): String = {
@@ -85,11 +160,11 @@ object Bench {
     // "queries" stays a plain name→seconds map (the driver's parser
     // depends on that shape); the wall+cpu pairs ride in a parallel
     // "detail" map for the contention post-mortem.
-    val det = detailed.map { case (k, (w, c)) =>
+    val det = detailed.map { case (k, (w, c, _), _) =>
       s"\"" + k + "\":{\"wall\":" + fmt(w) + ",\"cpu\":" + fmt(c) + "}"
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    val totalCpu = detailed.map { case (_, (_, c)) => c }.sum
+    val totalCpu = detailed.map { case (_, (_, c, _), _) => c }.sum
     val failed = results.count(_._2 < 0)
     // 1-minute system load average at end of run: load >> cores while
     // wall >> cpu pins the blame on co-tenant processes.
@@ -106,7 +181,17 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"slowest20","queries":$slowest,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"cpu_total":${fmt(totalCpu)},"load_avg":${fmt(load)},"cores":$cpus,"sf":"$sfDir"}""")
+    // Contention verdict. "contended" means: trust this artifact's totals
+    // only after checking "dirty" (queries whose every pass, including
+    // repairs, ran beside a slow probe — their numbers are inflated) and
+    // "pre_load" (co-tenant load before Spark started). probe_min is the
+    // healthiest observed spin time; probe_max/probe_min >> CleanFactor
+    // means the box's speed moved materially during the capture.
+    val dirtyQs = detailed.collect { case (n, (w, _, _), true) if math.abs(w) > 0.25 => n }
+    val contended = dirtyQs.nonEmpty || preLoad > cpus * 0.25
+    val dirtyJson = dirtyQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"contention","contended":$contended,"dirty":$dirtyJson,"reruns":$rerunsUsed,"probe_min":${fmt(probeMin)},"probe_max":${fmt(probeMax)},"pre_load":${fmt(preLoad)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"cpu_total":${fmt(totalCpu)},"load_avg":${fmt(load)},"cores":$cpus,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
