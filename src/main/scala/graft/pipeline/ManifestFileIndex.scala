@@ -55,31 +55,14 @@ class ManifestFileIndex(
   override def inputFiles: Array[String] =
     entries.map(e => new Path(tablePath, e.rel).toString).toArray
 
-  // The TRAILING partition components only: a shallow-cloned entry's
-  // rel is an absolute path into the source table, so leading
-  // components are arbitrary; for table-local rels (exactly the
-  // partition dirs + file) this is the same value as before.
   private def dirOf(rel: String): String =
-    rel.split('/').init.takeRight(partitionSchema.length).mkString("/")
+    ManifestFileIndex.dirOf(rel, partitionSchema.length)
 
-  /** `k=v/...` dir → typed partition-value row (Hive unescape + cast
-    * with the session's non-ANSI null-on-failure semantics; Hive's
-    * default-partition name → null).
-    */
-  private def partitionValues(dir: String): InternalRow = {
-    val vals = dir.split('/').zipWithIndex.map { case (comp, i) =>
-      val f = partitionSchema(i)
-      val raw = ExternalCatalogUtils.unescapePathName(
-        comp.stripPrefix(s"${f.name}="))
-      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-      else Cast(Literal(UTF8String.fromString(raw)), f.dataType,
-        Some("UTC")).eval(InternalRow.empty)
-    }
-    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-  }
+  private def partitionValues(dir: String): InternalRow =
+    ManifestFileIndex.partitionValues(dir, partitionSchema)
 
   private def status(e: FileEntry): FileStatus =
-    new FileStatus(e.bytes, false, 0, 1, 0L, new Path(tablePath, e.rel))
+    ManifestFileIndex.status(tablePath, e)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -190,14 +173,66 @@ class LazyManifestFileIndex(
     full: () => Seq[FileEntry],
     memoKey: Option[String] = None,
     dvRef: FileEntry => Option[(String, String)] = _ => None,
-    dvFeed: (String, String) => Unit = (_, _) => ())
+    dvFeed: (String, String) => Unit = (_, _) => (),
+    streamAll: () => Option[Iterator[FileEntry]] = () => None)
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
   override def sizeInBytes: Long = bytesHint
   override def refresh(): Unit = ()
   override def inputFiles: Array[String] =
-    full().map(e => new Path(tablePath, e.rel).toString).toArray
+    streamAll() match {
+      // the String array is the ask's own output; the streamed chunks
+      // keep the INTERMEDIATE slim-entry state off the driver
+      case Some(it) => it.map(e => new Path(tablePath, e.rel).toString).toArray
+      case None => full().map(e => new Path(tablePath, e.rel).toString).toArray
+    }
+
+  /** Truly-unfiltered `listFiles` fed from a CHUNK-sorted iterator:
+    * the slim entry list is never resident — within each chunk,
+    * same-dir entries arrive contiguously (dir is a prefix of rel and
+    * chunks are rel-sorted), so one pass folds each run of entries
+    * into its `PartitionDirectory` and the driver holds one chunk of
+    * entries + the directories Spark's scan contract requires anyway.
+    * A dir split across chunks (hash repartitioning; cloned tables
+    * with equal partition values under two source prefixes) emits one
+    * directory per run with equal value rows, which
+    * FileSourceScanExec concatenates exactly like one.
+    */
+  private def streamedDirs(it: Iterator[FileEntry])
+      : (Seq[PartitionDirectory], Seq[(String, String)]) = {
+    val pairs = Seq.newBuilder[(String, String)]
+    def feed(e: FileEntry): FileEntry = {
+      dvRef(e).foreach { p => pairs += p; dvFeed(p._1, p._2) }
+      e
+    }
+    val dirs =
+      if (partitionSchema.isEmpty) {
+        val statuses = Array.newBuilder[FileStatus]
+        it.foreach(e =>
+          statuses += ManifestFileIndex.status(tablePath, feed(e)))
+        Seq(PartitionDirectory(InternalRow.empty, statuses.result()))
+      } else {
+        val out = Seq.newBuilder[PartitionDirectory]
+        var curDir: String = null
+        var cur = Array.newBuilder[FileStatus]
+        def flush(): Unit = if (curDir != null) {
+          out += PartitionDirectory(
+            ManifestFileIndex.partitionValues(curDir, partitionSchema),
+            cur.result())
+          cur = Array.newBuilder[FileStatus]
+        }
+        it.foreach { e0 =>
+          val e = feed(e0)
+          val d = ManifestFileIndex.dirOf(e.rel, partitionSchema.length)
+          if (d != curDir) { flush(); curDir = d }
+          cur += ManifestFileIndex.status(tablePath, e)
+        }
+        flush()
+        out.result()
+      }
+    (dirs, pairs.result())
+  }
 
   // one scan node's listFiles may be asked more than once with the
   // same filters (selectedPartitions + metadata asks) — don't pay the
@@ -226,11 +261,32 @@ class LazyManifestFileIndex(
     // Only static, deterministic filters are eligible: a
     // dynamic-pruning subquery or non-deterministic predicate
     // re-evaluates per execution and never shares across plans.
+    // Literals must also RENDER value-exact: complex-typed literals
+    // (array/struct backed by GenericArrayData etc.) print identity-
+    // or hash-based text, so keys containing them either never hit
+    // (each fresh plan inserts a dead O(|files|) entry that churns the
+    // LRU) or could collide and serve a wrong list — restrict to
+    // atomic types whose toString is the value (the same set statLong
+    // trusts, plus strings/decimals/bools; binary prints identity, so
+    // it is excluded; a null of any type prints "null", also exact).
+    def literalOk(l: Literal): Boolean = l.value == null || (l.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _: org.apache.spark.sql.types.DayTimeIntervalType => true
+      case _: org.apache.spark.sql.types.YearMonthIntervalType => true
+      case _ => false
+    })
     val stable = memoKey.flatMap { mk =>
       val all = partitionFilters ++ dataFilters
-      if (all.forall(e => e.deterministic && e.find(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
-            .PlanExpression[_]]).isEmpty))
+      if (all.forall(e => e.deterministic && e.find {
+            case _: org.apache.spark.sql.catalyst.expressions
+              .PlanExpression[_] => true
+            case l: Literal => !literalOk(l)
+            case _ => false
+          }.isEmpty))
         scala.util.Try {
           val texts = all.map(_.transform {
             case a: AttributeReference =>
@@ -248,12 +304,24 @@ class LazyManifestFileIndex(
         memo = Some((key, dirs))
         dirs
       case None =>
-        val survivors = prune(partitionFilters, dataFilters)
-        val pairs = survivors.flatMap(dvRef(_))
-        pairs.foreach { case (k0, p0) => dvFeed(k0, p0) }
-        val exact = new ManifestFileIndex(spark, tablePath, survivors,
-          partitionSchema, genPruners)
-          .listFiles(partitionFilters, dataFilters)
+        // a TRULY unfiltered cold list (SELECT *, count(*)) needs every
+        // entry with no skipping at all — feed it from the sorted
+        // chunked stream so the slim list is never driver-resident
+        // (O(chunk), not O(|files|)); filtered/untranslatable asks keep
+        // the prune + exact-delegate path (skipping semantics live
+        // there)
+        val streamed =
+          if (partitionFilters.isEmpty && dataFilters.isEmpty)
+            streamAll().map(streamedDirs)
+          else None
+        val (exact, pairs) = streamed.getOrElse {
+          val survivors = prune(partitionFilters, dataFilters)
+          val ps = survivors.flatMap(dvRef(_))
+          ps.foreach { case (k0, p0) => dvFeed(k0, p0) }
+          (new ManifestFileIndex(spark, tablePath, survivors,
+            partitionSchema, genPruners)
+            .listFiles(partitionFilters, dataFilters), ps)
+        }
         stable.foreach(s =>
           LazyManifestFileIndex.dirMemoPut(s, exact, pairs))
         memo = Some((key, exact))
@@ -333,6 +401,33 @@ object LazyManifestFileIndex {
 }
 
 object ManifestFileIndex {
+
+  // The TRAILING partition components only: a shallow-cloned entry's
+  // rel is an absolute path into the source table, so leading
+  // components are arbitrary; for table-local rels (exactly the
+  // partition dirs + file) this is the same value as before.
+  private[pipeline] def dirOf(rel: String, nParts: Int): String =
+    rel.split('/').init.takeRight(nParts).mkString("/")
+
+  /** `k=v/...` dir → typed partition-value row (Hive unescape + cast
+    * with the session's non-ANSI null-on-failure semantics; Hive's
+    * default-partition name → null).
+    */
+  private[pipeline] def partitionValues(dir: String,
+      partitionSchema: StructType): InternalRow = {
+    val vals = dir.split('/').zipWithIndex.map { case (comp, i) =>
+      val f = partitionSchema(i)
+      val raw = ExternalCatalogUtils.unescapePathName(
+        comp.stripPrefix(s"${f.name}="))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else Cast(Literal(UTF8String.fromString(raw)), f.dataType,
+        Some("UTC")).eval(InternalRow.empty)
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  private[pipeline] def status(tablePath: Path, e: FileEntry): FileStatus =
+    new FileStatus(e.bytes, false, 0, 1, 0L, new Path(tablePath, e.rel))
 
   /** Long-encode a literal for stat comparison (timestamp literals are
     * already epoch micros internally); None = type we don't stat.

@@ -1193,6 +1193,46 @@ class Warehouse(spark: SparkSession, dir: String,
     Some(slim)
   }
 
+  /** [[slimEntriesAt]] as a CHUNKED rel-sorted stream — the unfiltered
+    * cold-scan feed with driver entry state bounded by a CONSTANT chunk
+    * instead of |files| (112 MiB at 800k slim entries; ~1.1 GiB at the
+    * 8M design point). A slim-cache hit serves the memo's iterator for
+    * free; otherwise the columnar checkpoint + delta replay is HASH-
+    * repartitioned on `rel` into ~64k-entry chunks (~10 MiB each; hash,
+    * not range — a range exchange costs an extra sampling scan), sorted
+    * within each chunk, and drained partition-at-a-time via
+    * `toLocalIterator`. Rel order holds within a chunk, which is what
+    * lets the streamed `PartitionDirectory` build fold same-dir runs in
+    * one pass; a dir whose files hash across chunks simply emits one
+    * directory per chunk-run with equal value rows — exactly what
+    * FileSourceScanExec's concatenation expects. The
+    * stream never memoizes (the point is not to hold the list);
+    * warm-path economics live in the cross-plan directory memo, which
+    * caches the BUILT directories under its own file budget.
+    * @param files the snapshot's entry count (from [[lazySnapshotAgg]]),
+    *   sizing the range partitioning
+    */
+  private[graft] def slimEntriesStream(name: String, version: Long,
+      files: Long): Option[Iterator[FileEntry]] = {
+    import org.apache.spark.sql.functions.col
+    Warehouse.slimCacheGet(cacheKey(name, version)) match {
+      case Some(hit) => return Some(hit.iterator)
+      case None =>
+    }
+    entriesRelationAt(name, version).map { rel =>
+      Warehouse.streamedLists.incrementAndGet()
+      val chunks = math.max(1L, (files + 65535L) / 65536L).toInt
+      import scala.jdk.CollectionConverters._
+      rel.select("rel", "bytes", "rows", "dv", "dvRows")
+        .repartition(chunks, col("rel"))
+        .sortWithinPartitions("rel")
+        .toLocalIterator().asScala
+        .map(r => FileEntry(r.getString(0), r.getLong(1),
+          Map.empty[String, (Long, Long)], r.getLong(2), r.getString(3),
+          r.getLong(4)))
+    }
+  }
+
   /** @param relConjuncts CNF of `/k=v/` path-segment constraints from
     *   partition-filter translation ([[ManifestFileIndex.partitionSegments]]):
     *   every outer element must match (some alternative substring of
@@ -2925,7 +2965,8 @@ class Warehouse(spark: SparkSession, dir: String,
       memoKey = if (isVisible(name, version))
         Some(cacheKey(name, version)) else None,
       dvRef = dvRef,
-      dvFeed = (k, p) => dvLookup.foreach(_.add(k, p)))
+      dvFeed = (k, p) => dvLookup.foreach(_.add(k, p)),
+      streamAll = () => slimEntriesStream(name, version, agg.files))
     val relation = relationWithIndex(name, index, partitionSchema)
     // COLUMN-LEVEL statistics at [[statsRelation]] parity, folded
     // distributed (NDV from the HLL sidecars via [[lazyNdv]], min/max
@@ -8230,6 +8271,11 @@ object Warehouse {
   /** Columnar (parquet) manifest prunes served — specs assert the
     * distributed path actually ran. */
   private[graft] val columnarPrunes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Unfiltered cold lists served as a chunked STREAM (no driver-
+    * resident slim list) — specs assert the streamed path actually
+    * ran and that it left the slim cache unpopulated. */
+  private[graft] val streamedLists =
     new java.util.concurrent.atomic.AtomicLong(0L)
   /** Bloom sidecar probe sets served as a Spark job (candidate count
     * over [[Warehouse!.bloomProbeDistributedThreshold]]). */

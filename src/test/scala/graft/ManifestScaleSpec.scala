@@ -746,4 +746,67 @@ class ManifestScaleSpec extends SparkSpec {
     assert(graft.pipeline.LazyManifestFileIndex.dirMemoFilesHeld === 0L,
       "dropTable must purge the table's directory memo")
   }
+
+  test("an UNFILTERED cold list STREAMS in rel-sorted chunks: the slim " +
+    "entry list is never driver-resident, directories match the exact " +
+    "build, and a fresh plan re-serves from the directory memo") {
+    val dir = Files.createTempDirectory("graft-mstream-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("big" -> Warehouse.TableSpec(schema,
+        partitionBy = Seq("s"), statColumns = Seq("k"))))
+    wh.columnarThreshold = 1000L
+    wh.bootstrap()
+    val n = 100000
+    val lines = new StringBuilder("graft-manifest 1")
+    (0 until n).foreach { i =>
+      lines.append(
+        s"\ns=g${i % 50}/part-$i.parquet\t1048576\tk=$i:${i + 9}\t100\t\t0")
+    }
+    Files.write(
+      Paths.get(dir, "big", "_manifests", "v000000000002.mf"),
+      lines.result().getBytes(StandardCharsets.UTF_8))
+    assert(wh.materializeColumnar("big"))
+    Warehouse.invalidateCached(s"$dir#big#")
+    graft.pipeline.LazyManifestFileIndex.dirMemoClear()
+
+    val index = wh.read("big").queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => h.location
+    }.get
+    val streams0 = Warehouse.streamedLists.get()
+    val dirs = index.listFiles(Nil, Nil)
+    assert(Warehouse.streamedLists.get() === streams0 + 1,
+      "the unfiltered cold list must take the streamed path")
+    // the slim list must NOT have been memoized (streaming's point) and
+    // the full fold must never have run
+    assert(Warehouse.slimCacheGet(wh.currentCacheKey("big", 2L)).isEmpty,
+      "the streamed list must leave the slim cache unpopulated")
+    assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty)
+    // exactness vs the entry-level truth: every file exactly once, each
+    // under its own partition-value row, 50 partition dirs
+    assert(dirs.map(_.files.length).sum === n)
+    assert(dirs.flatMap(_.files).map(_.getPath.getName).distinct.size === n)
+    val byValue = dirs.groupBy(_.values.getString(0))
+    assert(byValue.keySet === (0 until 50).map(i => s"g$i").toSet)
+    assert(byValue.forall { case (g, ds) =>
+      ds.map(_.files.length).sum === n / 50 &&
+        ds.forall(_.files.forall(_.getPath.toString.contains(s"s=$g/")))
+    })
+
+    // a FRESH plan of the same confirmed version re-serves the BUILT
+    // directories from the cross-plan memo — no second stream
+    val hits0 = graft.pipeline.LazyManifestFileIndex.dirMemoHits.get()
+    val index2 = wh.read("big").queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => h.location
+    }.get
+    assert(!(index2 eq index))
+    assert(index2.listFiles(Nil, Nil).map(_.files.length).sum === n)
+    assert(graft.pipeline.LazyManifestFileIndex.dirMemoHits.get() > hits0,
+      "the fresh unfiltered plan must hit the directory memo")
+    assert(Warehouse.streamedLists.get() === streams0 + 1,
+      "the memo hit must not re-stream")
+  }
 }

@@ -59,31 +59,31 @@ object Probe800k {
       wh.read("big").where(col("s") === "g7").rdd.partitions.length
     }
 
-    // r12: COLD UNFILTERED plan — the slim distributed list replaces
-    // the full driver fold (stats maps never built)
+    // r13: COLD UNFILTERED plan — the list STREAMS in rel-sorted
+    // ≤64k-entry chunks (toLocalIterator over the range-partitioned
+    // checkpoint scan); no slim list is driver-resident at all (r12
+    // held ~112 MiB of slim entries here; ~1.1 GiB at 8M files)
     Warehouse.invalidateCached(s"$dir#big#")
-    time("COLD unfiltered plan (slim distributed list)") {
+    graft.pipeline.LazyManifestFileIndex.dirMemoClear()
+    val streams0 = Warehouse.streamedLists.get()
+    time("COLD unfiltered plan (streamed chunked list)") {
       wh.read("big").rdd.partitions.length
     }
     println("driver folded (full entries)? " + Warehouse.snapshotCacheGet(
       wh.currentCacheKey("big", 2L)).isDefined)
-    Warehouse.slimCacheGet(wh.currentCacheKey("big", 2L)) match {
-      case Some(slim) =>
-        val relChars = slim.iterator.map(_.rel.length.toLong).sum
-        val approx = slim.iterator.map(e =>
-          96L + 2L * (e.rel.length + e.dv.length) + 56L * e.stats.size).sum
-        println(s"slim entries held: ${slim.size}; rel chars: $relChars; " +
-          f"approx heap: ${approx / 1048576.0}%.1f MiB " +
-          "(full FileEntry state at r11: ~300 MiB)")
-      case None => println("slim entries held: none (unexpected)")
-    }
-    time("WARM unfiltered plan (slim memoized)") {
+    println("streamed lists: " +
+      (Warehouse.streamedLists.get() - streams0) +
+      "; slim entries held: " +
+      Warehouse.slimCacheGet(wh.currentCacheKey("big", 2L))
+        .map(_.size.toString).getOrElse("none (streamed — by design)") +
+      s"; chunk bound: 65536 entries (~10 MiB) of $n total")
+    time("WARM unfiltered plan (directory memo)") {
       wh.read("big").rdd.partitions.length
     }
 
     // full text fold for reference (the pre-r11 shape)
     time("full text fold (warms snapshot cache)") {
-      wh.read("big").inputFiles.length
+      wh.loadAt("big", 2L).length
     }
     val eager = time("one-partition plan over CACHED snapshot (eager)") {
       wh.read("big").where(col("s") === "g7").rdd.partitions.length
