@@ -51,6 +51,80 @@ object CoreQueries extends QueryPack {
       s"$tmp/csv"
     }
 
+  /** q174's JSON-lines landing fixture (cached like q61's CSV): one
+    * JSON object per line, derived purely from orders, with BOTH
+    * corruption modes the PERMISSIVE contract distinguishes — every
+    * 13th record type-corrupt (price is a non-numeric STRING: the
+    * record parses, the field doesn't) and every 17th structurally
+    * corrupt (trailing `}` dropped: nothing parses).
+    */
+  private def q174Jsonl(s: SparkSession, dir: String): String =
+    Fixtures.cached(s"q174:$dir") {
+      import org.apache.spark.sql.functions.{col => c}
+      val tmp = graft.util.Scratch.dir("graft-q174-").toString
+      val k = c("o_orderkey")
+      val priceStr = format_string("%d.%d", c("o_custkey") % 1000, k % 100)
+      val price = when(k % 13 === 0,
+        concat(lit("\""), priceStr, lit("X\""))).otherwise(priceStr)
+      val line = format_string("""{"k":%d,"name":"N%d","price":%s}""",
+        k, c("o_custkey"), price)
+      val corrupted = when(k % 17 === 0,
+        expr("substring(line, 1, length(line) - 1)")).otherwise(c("line"))
+      t(s, dir, "orders")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("line", line)
+        .select(corrupted.as("value"))
+        .write.mode("overwrite").text(s"$tmp/jsonl")
+      s"$tmp/jsonl"
+    }
+
+  /** q175's Avro landing fixture: container files written DISTRIBUTED
+    * (one per partition, avro-core `DataFileWriter` in the task — the
+    * same executor-side codec carrier the multimodal decoders use),
+    * derived purely from orders. The writer schema carries `price` as
+    * a nullable STRING (every 13th value non-numeric, every 19th a
+    * genuine null — nulls and failed parses must stay distinguishable)
+    * plus an `extra` field no query asks for, so the pruning spec can
+    * assert Avro's schema resolution skips it.
+    */
+  private def q175Avro(s: SparkSession, dir: String): String =
+    Fixtures.cached(s"q175:$dir") {
+      val tmp = graft.util.Scratch.dir("graft-q175-").toString + "/avro"
+      new java.io.File(tmp).mkdirs()
+      val schemaJson =
+        """{"type":"record","name":"order_line","fields":[
+          |{"name":"k","type":"long"},
+          |{"name":"name","type":"string"},
+          |{"name":"price","type":["null","string"],"default":null},
+          |{"name":"extra","type":"long"}]}""".stripMargin
+      t(s, dir, "orders").selectExpr("o_orderkey", "o_custkey")
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+            GenericRecord}
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new GenericDatumWriter[GenericRecord](schema))
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          w.create(schema, new java.io.File(f"$tmp/part-$pid%05d.avro"))
+          try it.foreach { r =>
+            val k = r.getLong(0); val ck = r.getLong(1)
+            val rec = new GenericData.Record(schema)
+            rec.put("k", k)
+            rec.put("name", s"N$ck")
+            rec.put("price",
+              if (k % 19 == 0) null
+              else {
+                val p = s"${ck % 1000}.${k % 100}"
+                if (k % 13 == 0) p + "X" else p
+              })
+            rec.put("extra", k * 2)
+            w.append(rec)
+          } finally w.close()
+        }
+      tmp
+    }
+
   val all: Seq[Q] = Seq(
 
     // ---- q01: filtered scan + hash aggregation (TPC-H Q1 shape). ----
@@ -201,18 +275,27 @@ object CoreQueries extends QueryPack {
 
     // ---- q06: anti join — the reference's dedup primitive (SURVEY
     // §2.5 J1-J3, /root/reference/script.py:143). ----
+    // Anti join with a pushed build-side filter. "No orders at all"
+    // returns the empty set at every tested sf on this synthetic data
+    // (the r12 audit flagged the gate as vacuously green), so the
+    // predicate is "no URGENT orders" — 18/203/1986 rows at
+    // sf0.001/0.01/0.1, making the hash compare load-bearing while
+    // keeping the J1-shape anti join + right-side filter pushdown.
     Q("q06_customers_without_orders",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "customer")
-          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .join(t(s, dir, "orders").where($"o_orderpriority" === "1-URGENT"),
+            $"c_custkey" === $"o_custkey", "left_anti")
           .select($"c_custkey", $"c_name", $"c_acctbal")
           .orderBy($"c_custkey")
       },
       Some("""
         SELECT c_custkey, c_name, c_acctbal
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         ORDER BY c_custkey""")),
 
     // ---- q07: semi join (EXISTS). ----
@@ -611,6 +694,74 @@ object CoreQueries extends QueryPack {
                round(sum(l_extendedprice), 2) AS total
         FROM lineitem WHERE l_quantity > 25
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q174: JSON-lines source with the PERMISSIVE per-record
+    // error policy — the q61 (T5) contract on the format LLM-corpus
+    // interchange actually uses. Two corruption modes, distinguished
+    // exactly as Spark's JSON reader does: a TYPE-corrupt record
+    // (well-formed JSON, non-numeric price string) keeps its parseable
+    // fields, nulls the bad one, and captures the raw line in the
+    // corrupt-record column; a STRUCTURALLY corrupt record (truncated
+    // JSON) nulls every field and captures the raw line. The sort key
+    // re-derives k from the raw capture for structural rows so the
+    // output order is total in both engines; the oracle re-derives all
+    // three row shapes relationally from orders. ----
+    Q("q174_jsonl_permissive",
+      (s, dir) => {
+        import s.implicits._
+        s.read
+          .schema("k long, name string, price double, _corrupt string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(q174Jsonl(s, dir))
+          .select(
+            coalesce($"k",
+              regexp_extract($"_corrupt", "\"k\":(\\d+)", 1).cast("long"))
+              .as("sk"),
+            $"k", $"name", $"price",
+            $"_corrupt".isNotNull.as("corrupt"))
+          .orderBy("sk")
+      },
+      Some("""
+        SELECT o_orderkey AS sk,
+               CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                    ELSE o_orderkey END AS k,
+               CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                    ELSE printf('N%d', o_custkey) END AS name,
+               CASE WHEN o_orderkey % 17 = 0 OR o_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST(printf('%d.%d', o_custkey % 1000,
+                              o_orderkey % 100) AS DOUBLE) END AS price,
+               (o_orderkey % 17 = 0 OR o_orderkey % 13 = 0) AS corrupt
+        FROM orders ORDER BY sk""")),
+
+    // ---- q175: Avro source (custom DSv2 over avro-core — no
+    // spark-avro connector ships here) with the same PERMISSIVE field
+    // contract: the writer recorded price as a STRING; the read asks
+    // for DOUBLE, so each value coerces null-on-failure with the raw
+    // writer text captured in _corrupt. Genuine writer nulls (every
+    // 19th) stay null WITHOUT a corrupt capture — null vs failed-parse
+    // is part of the contract. Column pruning rides Avro's own
+    // reader-schema resolution (AvroSourceSpec pins it). ----
+    Q("q175_avro_permissive",
+      (s, dir) => {
+        import s.implicits._
+        s.read.format("graft-avro")
+          .schema("k long, name string, price double, _corrupt string")
+          .load(q175Avro(s, dir))
+          .select($"k", $"name", $"price",
+            $"_corrupt".isNotNull.as("corrupt"))
+          .orderBy("k")
+      },
+      Some("""
+        SELECT o_orderkey AS k,
+               printf('N%d', o_custkey) AS name,
+               CASE WHEN o_orderkey % 19 = 0 OR o_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST(printf('%d.%d', o_custkey % 1000,
+                              o_orderkey % 100) AS DOUBLE) END AS price,
+               (o_orderkey % 13 = 0 AND o_orderkey % 19 <> 0) AS corrupt
+        FROM orders ORDER BY k""")),
 
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map

@@ -1,0 +1,268 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source for Avro object-container files
+  * (`spark.read.format("graft-avro")`) — the environment ships avro
+  * core/mapred but not the spark-avro connector, so the scan plumbing
+  * is first-class here: one `InputPartition` per file, COLUMN PRUNING
+  * pushed into Avro's own schema resolution (the expected/reader
+  * schema carries only the required fields, so the decoder SKIPS
+  * writer-only fields without materializing them — Avro's native
+  * projection), and the T5 PERMISSIVE contract (SURVEY §2.3,
+  * `script.py:11-20`'s null-on-failure generalized) applied at field
+  * coercion:
+  *
+  *   - a writer value whose type doesn't convert to the asked Spark
+  *     type (e.g. writer `string` "12.3X", reader `double`) becomes
+  *     NULL, never a task failure, and the raw writer value is
+  *     captured in the corrupt-record column
+  *     (`columnNameOfCorruptRecord`, default `_corrupt`) when the
+  *     read schema includes it;
+  *   - a field the writer never had reads as all-NULL (add-column
+  *     schema evolution), corrupt stays NULL;
+  *   - a genuine writer NULL stays NULL with corrupt NULL — null and
+  *     failed-parse are distinguishable.
+  *
+  * Container-level corruption (a torn Avro block) fails the file read
+  * loudly — the container format's checksummed blocks make silent
+  * repair impossible and masking a torn block would drop data, so
+  * that is a job error by design, unlike per-record field coercion.
+  */
+class AvroSourceProvider extends TableProvider with
+    org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-avro: a path is required — " +
+          "spark.read.format(\"graft-avro\").load(dir)"))
+    AvroSource.inferSchema(path)
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-avro: a path is required — " +
+          "spark.read.format(\"graft-avro\").load(dir)"))
+    val corrupt = Option(properties.get("columnNameOfCorruptRecord"))
+      .getOrElse("_corrupt")
+    new AvroTable(path, schema, corrupt)
+  }
+}
+
+object AvroSource {
+
+  /** Observability: file readers opened with a PROJECTED expected
+    * schema (fewer fields than the writer's) — the spec's witness that
+    * column pruning actually reached Avro's schema resolution. */
+  private[graft] val projectedReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Spark type for an Avro field schema; unions `[null, X]` unwrap to
+    * nullable X. Types outside the scalar set map to string (rendered
+    * via toString — honest, lossy, and never a crash).
+    */
+  private[sources] def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.LONG => LongType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.UNION =>
+      s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL).toList match {
+        case one :: Nil => sparkType(one)
+        case _ => StringType
+      }
+    case _ => StringType
+  }
+
+  /** Writer schema of the FIRST data file (sorted listing) → Spark
+    * schema. Directories are written by one job in this model, so one
+    * file's writer schema speaks for the directory; heterogeneous
+    * writers are served by passing an explicit read schema instead.
+    */
+  def inferSchema(path: String): StructType = {
+    val files = TleSource.listDataFiles(path)
+    require(files.nonEmpty, s"graft-avro: no data files under $path")
+    val in = new FsInput(new Path(files.head), new Configuration())
+    val r = DataFileReader.openReader(in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      StructType(r.getSchema.getFields.asScala.toSeq.map(f =>
+        StructField(f.name, sparkType(f.schema),
+          nullable = true)))
+    } finally r.close()
+  }
+}
+
+class AvroTable(path: String, schema: StructType, corruptCol: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-avro:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(path, schema, corruptCol)
+}
+
+class AvroScanBuilder(path: String, full: StructType, corruptCol: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new AvroScan(path, required, corruptCol)
+}
+
+class AvroScan(path: String, required: StructType, corruptCol: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro $path, columns=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    TleSource.listDataFiles(path).map(AvroFilePartition)
+      .toArray[InputPartition]
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required, corruptCol,
+      TleSource.sessionConfProps())
+}
+
+case class AvroFilePartition(file: String) extends InputPartition
+
+class AvroReaderFactory(required: StructType, corruptCol: String,
+    confProps: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new AvroFileReader(p.asInstanceOf[AvroFilePartition].file, required,
+      corruptCol, confProps)
+}
+
+/** Streams one container file. The expected (reader) schema handed to
+  * Avro holds exactly the required data fields present in the writer
+  * schema, with the WRITER's own types — resolution then skips
+  * everything else inside the decoder; Spark-type coercion (with the
+  * null-on-failure contract) happens per value on the way into the
+  * `InternalRow`.
+  */
+class AvroFileReader(file: String, required: StructType,
+    corruptCol: String, confProps: Array[(String, String)])
+  extends PartitionReader[InternalRow] {
+
+  private val conf = {
+    val c = new Configuration()
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val reader = {
+    val datum = new GenericDatumReader[GenericRecord]()
+    val r = DataFileReader.openReader(new FsInput(new Path(file), conf), datum)
+    val writer = r.getSchema
+    val wanted = required.fieldNames.filter(n =>
+      n != corruptCol && writer.getField(n) != null)
+    if (wanted.length < writer.getFields.size()) {
+      val projected = Schema.createRecord(writer.getName, writer.getDoc,
+        writer.getNamespace, false,
+        wanted.map { n =>
+          val f = writer.getField(n)
+          new Schema.Field(f.name(), f.schema(), f.doc())
+        }.toList.asJava)
+      datum.setExpected(projected)
+      AvroSource.projectedReads.incrementAndGet()
+    }
+    r
+  }
+  // required-field index → writer presence (a field the writer lacks
+  // is constant null; the corrupt column is computed, not read)
+  private val plan: Array[(StructField, Boolean)] =
+    required.fields.map(f =>
+      (f, f.name != corruptCol && reader.getSchema.getField(f.name) != null))
+  private val corruptIdx = required.fieldNames.indexOf(corruptCol)
+
+  private var row: InternalRow = _
+
+  /** Null-on-failure coercion of one decoded Avro value to the asked
+    * Spark type. Returns (catalyst value, raw-on-failure): a parse
+    * failure yields (null, Some(raw writer text)).
+    */
+  private def coerce(v: AnyRef, dt: DataType): (Any, Option[String]) = {
+    if (v == null) return (null, None)
+    def num[T](parse: String => T): (Any, Option[String]) = v match {
+      case s: CharSequence =>
+        try (parse(s.toString.trim), None)
+        catch { case _: NumberFormatException => (null, Some(s.toString)) }
+      case other =>
+        try (parse(other.toString), None)
+        catch { case _: NumberFormatException => (null, Some(other.toString)) }
+    }
+    (v, dt) match {
+      case (l: java.lang.Long, LongType) => (l.longValue(), None)
+      case (i: java.lang.Integer, LongType) => (i.longValue(), None)
+      case (i: java.lang.Integer, IntegerType) => (i.intValue(), None)
+      case (l: java.lang.Long, IntegerType) =>
+        if (l >= Int.MinValue && l <= Int.MaxValue) (l.intValue(), None)
+        else (null, Some(l.toString))
+      case (d: java.lang.Double, DoubleType) => (d.doubleValue(), None)
+      case (f: java.lang.Float, DoubleType) => (f.doubleValue(), None)
+      case (i: java.lang.Integer, DoubleType) => (i.doubleValue(), None)
+      case (l: java.lang.Long, DoubleType) => (l.doubleValue(), None)
+      case (f: java.lang.Float, FloatType) => (f.floatValue(), None)
+      case (b: java.lang.Boolean, BooleanType) => (b.booleanValue(), None)
+      case (_, StringType) => (UTF8String.fromString(v.toString), None)
+      case (_, LongType) => num(_.toLong)
+      case (_, IntegerType) => num(_.toInt)
+      case (_, DoubleType) => num(_.toDouble)
+      case (_, FloatType) => num(_.toFloat)
+      case (_, BooleanType) => v.toString.trim.toLowerCase match {
+        case "true" => (true, None)
+        case "false" => (false, None)
+        case other => (null, Some(other))
+      }
+      case _ => (null, Some(v.toString))
+    }
+  }
+
+  override def next(): Boolean = {
+    if (!reader.hasNext) return false
+    val rec = reader.next()
+    val out = new Array[Any](plan.length)
+    var firstBad: String = null
+    var i = 0
+    while (i < plan.length) {
+      val (f, present) = plan(i)
+      if (present) {
+        val (value, bad) = coerce(rec.get(f.name), f.dataType)
+        out(i) = value
+        if (firstBad == null) bad.foreach(firstBad = _)
+      }
+      i += 1
+    }
+    if (corruptIdx >= 0 && firstBad != null)
+      out(corruptIdx) = UTF8String.fromString(firstBad)
+    row = new GenericInternalRow(out)
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+  GenericRecord}
+
+import graft.sources.AvroSource
+
+/** The graft-avro DSv2 source (q175's carrier): writer-schema
+  * inference, column pruning through Avro's own reader-schema
+  * resolution, the T5 null-on-failure coercion contract with
+  * null-vs-failed-parse distinguishable, and add-column schema
+  * evolution.
+  */
+class AvroSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val writerSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"rec","fields":[
+      |{"name":"k","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"price","type":["null","string"],"default":null},
+      |{"name":"extra","type":"long"}]}""".stripMargin)
+
+  /** Writes one container file of (k, name, price, extra) rows. */
+  private def writeFile(dir: String, rows: Seq[(Long, String, String)]): Unit = {
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    w.create(writerSchema, new File(dir, s"part-${rows.hashCode}.avro"))
+    try rows.foreach { case (k, n, p) =>
+      val r = new GenericData.Record(writerSchema)
+      r.put("k", k); r.put("name", n); r.put("price", p)
+      r.put("extra", k * 10)
+      w.append(r)
+    } finally w.close()
+  }
+
+  private def fixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")
+      .toString
+    writeFile(dir, Seq((1L, "a", "1.5"), (2L, "b", "oops"),
+      (3L, "c", null)))
+    writeFile(dir, Seq((4L, "d", "2.25")))
+    dir
+  }
+
+  test("schema inference maps the writer schema (nullable-union unwrap " +
+    "included) and a full read round-trips") {
+    val dir = fixture()
+    val df = spark.read.format("graft-avro").load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("k", "name", "price", "extra"))
+    assert(df.schema("k").dataType.typeName === "long")
+    assert(df.schema("price").dataType.typeName === "string")
+    assert(df.orderBy("k").as[(Long, String, String, Long)].collect().toSeq
+      === Seq((1L, "a", "1.5"), (2L, "b", "oops"), (3L, "c", null),
+        (4L, "d", "2.25")).map { case (k, n, p) => (k, n, p, k * 10) })
+  }
+
+  test("PERMISSIVE coercion: string→double parses null-on-failure, the " +
+    "raw writer text lands in _corrupt, and a genuine writer null stays " +
+    "null WITHOUT a corrupt capture") {
+    val dir = fixture()
+    val got = spark.read.format("graft-avro")
+      .schema("k long, price double, _corrupt string")
+      .load(dir)
+      .orderBy("k").as[(Long, Option[Double], Option[String])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, Some(1.5), None),
+      (2L, None, Some("oops")), // failed parse: null + raw capture
+      (3L, None, None), // genuine null: no capture
+      (4L, Some(2.25), None)))
+  }
+
+  test("column pruning reaches Avro's schema resolution: a projection " +
+    "opens PROJECTED readers (writer-only fields are decoder-skipped), " +
+    "a full-width read does not") {
+    val dir = fixture()
+    val before = AvroSource.projectedReads.get()
+    assert(spark.read.format("graft-avro").load(dir)
+      .select($"name").as[String].collect().sorted.toSeq
+      === Seq("a", "b", "c", "d"))
+    assert(AvroSource.projectedReads.get() > before,
+      "the one-column read must open projected readers")
+    val before2 = AvroSource.projectedReads.get()
+    spark.read.format("graft-avro").load(dir).collect()
+    assert(AvroSource.projectedReads.get() === before2,
+      "a full-width read must not project")
+  }
+
+  test("add-column schema evolution: a read schema field the writer " +
+    "never had is all-null, everything else reads normally") {
+    val dir = fixture()
+    val got = spark.read.format("graft-avro")
+      .schema("k long, added string")
+      .load(dir).orderBy("k").as[(Long, Option[String])].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L).map(k => (k, None)))
+  }
+
+  test("custom corrupt-column name via columnNameOfCorruptRecord") {
+    val dir = fixture()
+    val got = spark.read.format("graft-avro")
+      .option("columnNameOfCorruptRecord", "bad")
+      .schema("k long, price double, bad string")
+      .load(dir).where($"bad".isNotNull)
+      .as[(Long, Option[Double], Option[String])].collect().toSeq
+    assert(got === Seq((2L, None, Some("oops"))))
+  }
+
+  test("int/long/float/double widenings coerce exactly; long→int " +
+    "overflow nulls instead of wrapping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")
+      .toString
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"r2","fields":[
+        |{"name":"i","type":"int"},{"name":"l","type":"long"},
+        |{"name":"f","type":"float"}]}""".stripMargin)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+    w.create(s, new File(dir, "one.avro"))
+    val r1 = new GenericData.Record(s)
+    r1.put("i", 7); r1.put("l", 5L); r1.put("f", 1.25f)
+    val r2 = new GenericData.Record(s)
+    r2.put("i", 8); r2.put("l", Long.MaxValue); r2.put("f", 2.5f)
+    w.append(r1); w.append(r2); w.close()
+    val got = spark.read.format("graft-avro")
+      .schema("i long, l int, f double")
+      .load(dir).orderBy("i")
+      .as[(Long, Option[Int], Double)].collect().toSeq
+    assert(got === Seq((7L, Some(5), 1.25), (8L, None, 2.5)))
+  }
+}
