@@ -1035,6 +1035,45 @@ object LlmQueries extends QueryPack {
         SELECT qid, rank, id, cosine FROM ranked
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    // ---- q176: the ANN stack's RECALL FLOOR under the correctness
+    // gate. q41 probes every cell (recall 1, oracle applies verbatim);
+    // here ivfTopK runs at PARTIAL probe (4 of 16 cells) and its
+    // recall@5 against the INDEPENDENT brute-force truth
+    // (bruteForceTopK — a different code path, so a bug in either side
+    // breaks the gate) must clear a floor chosen well above broken-
+    // index behavior: measured recall is 0.66/0.70/0.545 at
+    // sf0.001/0.01/0.1, while a garbage quantizer degenerates to
+    // ~nProbe/nCells = 0.25 — the 0.4 floor separates them with margin
+    // on both sides. The oracle pins the STRUCTURE (query count from
+    // the data, the configuration constants, met = TRUE), so an index
+    // regression flips `met` and breaks the HASH, not a tolerance.
+    // The only cross-joins are 1-row scalar attachments. ----
+    Q("q176_embed_ivf_recall_gate",
+      (s, dir) => {
+        val emb = fan(t(s, dir, "embeddings"))
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 5, nCells = 16, nProbe = 4)
+          .select(col("qid"), col("id"))
+        val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 5)
+          .select(col("qid").as("tqid"), col("id").as("tid"))
+        val hits = ivf.join(truth,
+          ivf("qid") === truth("tqid") && ivf("id") === truth("tid"))
+        hits.agg(count(lit(1)).as("hits"))
+          .join(queries.agg(count(lit(1)).as("n_queries")))
+          .select(col("n_queries"),
+            lit(5).as("k"), lit(16).as("n_cells"), lit(4).as("n_probe"),
+            lit(0.4).as("recall_floor"),
+            (col("hits") / (col("n_queries") * 5) >= 0.4).as("met"))
+      },
+      Some("""
+        SELECT count(*) AS n_queries, 5 AS k, 16 AS n_cells,
+               4 AS n_probe, CAST(0.4 AS DOUBLE) AS recall_floor,
+               TRUE AS met
+        FROM embeddings WHERE vec_id % 50 = 0""")),
+
     // ---- q42: BPE-ish token counting — the tokenizer-approximation
     // regex (word / number / punctuation-run classes, optional leading
     // space, GPT-2-pattern shape) alongside whitespace tokens; per-doc
