@@ -5478,7 +5478,13 @@ class Warehouse(spark: SparkSession, dir: String,
           (fl.map(_.bytes).sum + targetBytes - 1) / targetBytes)
         fl.size > ideal
       }
-    if (fragmented.isEmpty) return (0, 0L, 0L)
+    if (fragmented.isEmpty) {
+      // a no-op compact is still a maintenance invocation — the
+      // staleness hook runs on the way out (rows are unchanged by
+      // compaction either way)
+      if (Warehouse.autoReanalyze) reanalyzeIfStale(name)
+      return (0, 0L, 0L)
+    }
     val replaced = fragmented.values.flatten.toSeq
     val before = replaced.size.toLong
     val bytes = replaced.map(_.bytes).sum
@@ -5509,6 +5515,12 @@ class Warehouse(spark: SparkSession, dir: String,
     maybeCrash("after-commit")
     if (!retainReplaced) gc(name, replaced)
     val after = fresh.count(e => fragmented.contains(dirOf(name, e.rel)))
+    // maintenance-time histogram staleness hook: compaction just paid a
+    // full read+rewrite anyway, so a drifted ANALYZE basis (whose bins
+    // every read is silently withholding) refreshes here — two extra
+    // metadata-bounded aggregate jobs, only when a basis exists AND has
+    // drifted past the withhold guard ([[reanalyzeIfStale]])
+    if (Warehouse.autoReanalyze) reanalyzeIfStale(name)
     (fragmented.size, before, after.toLong)
   }
 
@@ -7119,25 +7131,80 @@ class Warehouse(spark: SparkSession, dir: String,
     fs.delete(dest, false) // re-analyze at the same version replaces
     require(fs.rename(tmp, dest),
       s"analyzeColumns $name: histogram publish failed")
-    fs.listStatus(histDir(name)).foreach { st => // GC older bases
+    // GC: RETAIN the newest prior basis besides the new one —
+    // publication picks newest-at-or-below the read version, so
+    // pinned/time-travel readers below the new basis keep their
+    // histograms across a re-ANALYZE (advisory stats, but an
+    // observable planner regression if swept); bases older than that
+    // one go.
+    fs.listStatus(histDir(name)).toSeq.flatMap { st =>
       val n0 = st.getPath.getName
-      if (n0 != dest.getName && n0.endsWith(".json"))
-        fs.delete(st.getPath, false)
-    }
+      if (n0 != dest.getName && n0.startsWith("v") && n0.endsWith(".json"))
+        scala.util.Try(n0.stripPrefix("v").stripSuffix(".json").toLong)
+          .toOption.map(_ -> st.getPath)
+      else None
+    }.sortBy(-_._1).drop(1).foreach { case (_, p) => fs.delete(p, false) }
     Warehouse.histCacheInvalidate(s"$dir#$name#")
     hists.view.mapValues(_.hist.bins.length.toLong).toMap
   }
 
+  /** Newest-basis STALENESS probe: Some(true) when the head's live row
+    * count has drifted beyond [[Warehouse.histogramDriftFactor]] of the
+    * newest basis's rows — reads are already WITHHOLDING the bins, so
+    * CBO has quietly degraded to manifest stats; Some(false) while the
+    * basis still publishes; None when never analyzed (or empty table).
+    * Metadata-bounded: rows come from the cached snapshot fold or the
+    * memoized distributed manifest agg, never a data scan.
+    */
+  def histogramStale(name: String): Option[Boolean] = {
+    val v = versions(name).lastOption.getOrElse(return None)
+    val b = histogramsAt(name, v).getOrElse(return None)
+    val cur = currentLiveRows(name, v)
+    val f = Warehouse.histogramDriftFactor
+    Some(!(b.rows > 0L && cur <= b.rows * f && cur * f >= b.rows))
+  }
+
+  private def currentLiveRows(name: String, v: Long): Long =
+    Warehouse.snapshotCacheGet(cacheKey(name, v))
+      .map(_.iterator.map(e => e.rows - e.dvRows).sum)
+      .orElse(lazySnapshotAgg(name, v).map(_.rows).filter(_ >= 0L))
+      .getOrElse(loadAt(name, v).iterator.map(e => e.rows - e.dvRows).sum)
+
+  /** Re-ANALYZE when stale — the maintenance-time half of the
+    * histogram lifecycle: if [[histogramStale]] says the newest basis
+    * has drifted past the withhold guard, re-run [[analyzeColumns]]
+    * with the SAME columns (those still carrying a histogram axis —
+    * schema evolution drops out) and the same bin count.
+    * [[compact]]/[[optimize]] invoke this automatically (behind
+    * [[Warehouse.autoReanalyze]]) — the natural moment, since a
+    * rewrite pays a full read anyway; callers with their own
+    * maintenance windows can invoke it directly.
+    *
+    * @return true iff a re-analysis actually ran
+    */
+  def reanalyzeIfStale(name: String): Boolean =
+    histogramStale(name).contains(true) && {
+      val b = histogramsAt(name, versions(name).last).get
+      val cs = b.cols.keys.toSeq.sorted
+        .filter(c => histAxis(name, c).isDefined)
+      cs.nonEmpty && {
+        analyzeColumns(name, cs,
+          numBins = b.cols.head._2.hist.bins.length)
+        true
+      }
+    }
+
   /** The newest persisted histogram basis at or below version `v`.
-    * Memoized per lifetime-keyed version — a same-process ANALYZE
-    * invalidates; another process's ANALYZE surfaces at the table's
-    * next version change (the basis files themselves are immutable).
-    * A never-analyzed table additionally memoizes "no basis directory"
-    * per LIFETIME, so its reads stop probing the filesystem at every
-    * new version — the documented trade: another PROCESS's first-ever
-    * ANALYZE of the table stays invisible to this long-lived JVM until
-    * a local ANALYZE (which invalidates) or a restart. Histograms are
-    * advisory planner stats, never correctness.
+    * Memoized per lifetime-keyed VERSION — a same-process ANALYZE
+    * invalidates; another process's ANALYZE (including a table's
+    * first-ever) surfaces at the next version change: each new version
+    * costs at most ONE `listStatus` of the basis directory on its
+    * first histogram ask, one cheap metadata RPC amid the commit that
+    * minted the version. (r12 additionally memoized "never analyzed"
+    * per LIFETIME to save that RPC, at the cost of a foreign process's
+    * first ANALYZE staying invisible until restart — the wrong side of
+    * the trade for a long-lived service JVM.) Histograms are advisory
+    * planner stats, never correctness.
     */
   private[graft] def histogramsAt(name: String, v: Long)
       : Option[Warehouse.HistBasis] = {
@@ -7146,14 +7213,6 @@ class Warehouse(spark: SparkSession, dir: String,
       case Some(hit) => return hit
       case None =>
     }
-    // lifetime-scoped negative: shares the `$dir#$name#` prefix every
-    // invalidation path uses (analyzeColumns, invalidateCached)
-    val dirKey =
-      s"$dir#$name#${Warehouse.lifetimeOf(s"$dir#$name")}#histdir"
-    Warehouse.histCacheGet(dirKey) match {
-      case Some(None) => return None // known: never analyzed
-      case _ =>
-    }
     val fs = fileSystem
     val d = histDir(name)
     // ONE metadata RPC for the probe: a missing directory throws
@@ -7161,7 +7220,6 @@ class Warehouse(spark: SparkSession, dir: String,
     val listing =
       try fs.listStatus(d).toSeq
       catch { case _: java.io.FileNotFoundException =>
-        Warehouse.histCachePut(dirKey, None)
         Warehouse.histCachePut(key, None)
         return None
       }
@@ -8024,6 +8082,9 @@ object Warehouse {
     * by the write path). `var` so operators tune the tolerance.
     */
   private[graft] var histogramDriftFactor: Double = 2.0
+  /** Maintenance-time auto re-ANALYZE ([[Warehouse!.reanalyzeIfStale]]
+    * from compact/optimize) — `var` so cost-sensitive callers opt out. */
+  private[graft] var autoReanalyze: Boolean = true
 
   /** One analyzed column's basis: the equi-height bins plus the
     * companion stats Spark's estimator needs alongside them (NDV,

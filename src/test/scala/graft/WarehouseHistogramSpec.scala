@@ -78,8 +78,11 @@ class WarehouseHistogramSpec extends SparkSpec {
 
   test("drift guard: bins are withheld once live rows leave the " +
     "analyze basis window, and re-publish after re-ANALYZE; " +
-    "time travel below the basis version never sees bins") {
+    "time travel below every basis never sees bins, while the r13 " +
+    "retention keeps the prior basis serving its own snapshots") {
     val (wh, _) = fresh()
+    wh.append("t", Seq((-1L, 0L, "pre")).toDF("id", "k", "s"))
+    val vPre = wh.versions("t").max
     wh.append("t", skewed)
     val v1 = wh.versions("t").max
     wh.analyzeColumns("t", Seq("k"))
@@ -95,9 +98,11 @@ class WarehouseHistogramSpec extends SparkSpec {
     assert(publishedHist(wh.read("t"), "k").isEmpty)
     wh.analyzeColumns("t", Seq("k"))
     assert(publishedHist(wh.read("t"), "k").isDefined)
-    // the basis anchors at its analyzed version: a snapshot BELOW the
-    // first basis has no bins to publish
-    assert(publishedHist(wh.readVersion("t", v1), "k").isEmpty)
+    // a snapshot BELOW every basis has no bins to publish...
+    assert(publishedHist(wh.readVersion("t", vPre), "k").isEmpty)
+    // ...while the v1 basis SURVIVES the re-analyze (retain-last-2), so
+    // a reader pinned at the first analyzed snapshot keeps its bins
+    assert(publishedHist(wh.readVersion("t", v1), "k").isDefined)
   }
 
   test("axes: date and timestamp bin on the estimator's own scale " +
@@ -216,5 +221,90 @@ class WarehouseHistogramSpec extends SparkSpec {
     assert(wide.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("k", 128L)))
     assert(publishedHist(wh.read("t"), "k").get.bins.length === 128)
+  }
+
+  test("staleness lifecycle: DML past the drift bound flags the basis " +
+    "stale, and compact auto-re-analyzes with the basis's own columns " +
+    "and bin count") {
+    val (wh, _) = fresh()
+    wh.append("t", skewed)
+    assert(wh.histogramStale("t").isEmpty, "never analyzed → None")
+    wh.analyzeColumns("t", Seq("k"), numBins = 32)
+    assert(wh.histogramStale("t") === Some(false))
+    // +30%: inside the window — compact must NOT re-analyze
+    wh.append("t", (0L until 300L).map(i => (i, i % 10L, "x"))
+      .toDF("id", "k", "s"))
+    assert(wh.histogramStale("t") === Some(false))
+    assert(!wh.reanalyzeIfStale("t"))
+    // 3.9x the basis rows: past the bound — reads are withholding,
+    // the probe flags it, and maintenance repairs it
+    wh.append("t", (0L until 2600L).map(i => (i, i % 10L, "x"))
+      .toDF("id", "k", "s"))
+    assert(wh.histogramStale("t") === Some(true))
+    assert(publishedHist(wh.read("t"), "k").isEmpty, "bins withheld")
+    wh.compact("t")
+    assert(wh.histogramStale("t") === Some(false),
+      "compact must have re-analyzed the drifted basis")
+    val h = publishedHist(wh.read("t"), "k")
+    assert(h.isDefined, "refreshed bins must publish again")
+    assert(h.get.bins.length === 32,
+      "the re-analysis must reuse the stale basis's bin count")
+  }
+
+  test("a foreign process's FIRST-ever ANALYZE surfaces at the next " +
+    "version change (no lifetime-wide never-analyzed memo)") {
+    val (wh, dir) = fresh()
+    wh.append("t", skewed)
+    val v = wh.versions("t").max
+    // this read memoizes "no basis" for version v — correct, v's ask
+    // already ran without bins
+    assert(publishedHist(wh.read("t"), "k").isEmpty)
+    // a FOREIGN process analyzes: simulate by building the basis in a
+    // twin warehouse over identical data and copying the immutable
+    // basis file in raw over the filesystem (no local cache touched)
+    val dirB = Files.createTempDirectory("graft-hist-b-").toString
+    val whB = new Warehouse(spark, dirB, specs = Map("t" -> spec))
+    whB.bootstrap()
+    whB.append("t", skewed)
+    whB.analyzeColumns("t", Seq("k"))
+    val rel = java.nio.file.Paths.get("_meta", "_hist", "t",
+      f"v$v%012d.json")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir).resolve(rel).getParent)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dirB).resolve(rel),
+      java.nio.file.Paths.get(dir).resolve(rel))
+    // same version: the memoized no-basis answer stands (documented)
+    assert(publishedHist(wh.read("t"), "k").isEmpty)
+    // next version change: the basis is discovered — one listStatus on
+    // the new version's first histogram ask, no restart needed
+    wh.append("t", Seq((5000L, 5L, "x")).toDF("id", "k", "s"))
+    assert(publishedHist(wh.read("t"), "k").isDefined,
+      "the foreign basis must surface after a version change")
+  }
+
+  test("re-ANALYZE retains the previous basis: time travel below the " +
+    "new basis still sees its bins; older bases are swept") {
+    val (wh, dir) = fresh()
+    wh.append("t", skewed)
+    val v1 = wh.versions("t").max
+    wh.analyzeColumns("t", Seq("k"), numBins = 16)
+    wh.append("t", (0L until 200L).map(i => (i, i % 10L, "x"))
+      .toDF("id", "k", "s"))
+    val v2 = wh.versions("t").max
+    wh.analyzeColumns("t", Seq("k"), numBins = 32)
+    // the v1 basis survives the v2 publish: pinned readers keep bins
+    assert(publishedHist(wh.readVersion("t", v1), "k")
+      .exists(_.bins.length === 16))
+    assert(publishedHist(wh.read("t"), "k").exists(_.bins.length === 32))
+    // a third basis sweeps the first, keeps the second
+    wh.append("t", (0L until 200L).map(i => (i + 9000L, i % 10L, "y"))
+      .toDF("id", "k", "s"))
+    wh.analyzeColumns("t", Seq("k"), numBins = 64)
+    val held = new java.io.File(s"$dir/_meta/_hist/t").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted.toSeq
+    assert(held.size === 2, s"retain exactly 2 bases, got $held")
+    assert(publishedHist(wh.readVersion("t", v2), "k")
+      .exists(_.bins.length === 32))
   }
 }
