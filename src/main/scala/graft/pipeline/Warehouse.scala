@@ -2292,7 +2292,12 @@ class Warehouse(spark: SparkSession, dir: String,
         dv = if (e.dv.isEmpty) e.dv else toDst(e.dv))
     }
     // ---- rebase analysis (empty when dst never advanced) ----
-    val interim: Seq[FileEntry] = if (dv == auditBase) Nil else {
+    // `baseRels` rides out of the same fold that builds `base`: the
+    // identity/key re-probe below needs only the audited rel SET, and
+    // a second loadAt fold here would re-materialize exactly the large
+    // tables the lazy paths keep off the driver
+    val (interim: Seq[FileEntry], baseRels: Set[String]) =
+      if (dv == auditBase) (Nil, Set.empty[String]) else {
       val base = loadAt(dst, auditBase).map(e => e.rel -> e).toMap
       val head = loadAt(dst, dv)
       val headByRel = head.map(e => e.rel -> e).toMap
@@ -2314,11 +2319,10 @@ class Warehouse(spark: SparkSession, dir: String,
             s"file $rel$op — only blind appends rebase; re-clone and " +
             "re-audit")
       }
-      head.filterNot(e => base.contains(e.rel))
+      (head.filterNot(e => base.contains(e.rel)), base.keySet)
     }
     val spec = specsNow(dst)
     if (interim.nonEmpty) {
-      val baseRels = loadAt(dst, auditBase).map(_.rel).toSet
       // staging's NEW files (local writes / rewrites; an audited base
       // file that only gained a deletion vector maps back to its base
       // rel — rows only SHRANK, no new keys to probe)
@@ -2327,6 +2331,18 @@ class Warehouse(spark: SparkSession, dir: String,
       // so "both > base hwm" is a precise both-sides-minted detector
       // (a CoW rewrite carries its ids through and moves nothing)
       if (spec.identity.nonEmpty) {
+        // the detector TRUSTS the hwm chain, and the chain starts at
+        // the clone commit's stamp: a staging clone minted by a
+        // pre-stamping build carries none, its first append re-minted
+        // from the start-1 fallback, and its chain hwm can sit at or
+        // below the base hwm while overlapping ids — refuse rather
+        // than trust the fallback
+        if (!meta1.contains("identityHwm"))
+          throw new Warehouse.CommitConflict(
+            s"publish rebase: $staging's clone commit carries no " +
+              "identityHwm stamp (pre-stamping clone) — the minted-id " +
+              "detector cannot trust its high-water chain; re-clone " +
+              "and re-audit")
         val baseHwm = identityHwm(dst, auditBase)
         if (identityHwm(dst, dv) > baseHwm &&
             identityHwm(staging, sv) > baseHwm)
@@ -5524,6 +5540,50 @@ class Warehouse(spark: SparkSession, dir: String,
     (fragmented.size, before, after.toLong)
   }
 
+  /** CLUSTERING HEALTH: the average STABBING DEPTH of the live files'
+    * footer-stat intervals along each column — E[# files whose
+    * [lo, hi] a uniformly random point predicate must open] =
+    * Σ(per-file width) / global width. 1.0 ⇔ perfectly clustered
+    * (disjoint ranges tiling the span, every point lookup opens one
+    * file); |files| ⇔ every file spans the whole range (clustering
+    * fully decayed — stat skipping cuts nothing). Appends degrade it
+    * monotonically-in-practice (each new full-range file adds ~1);
+    * `OPTIMIZE ZORDER` restores it. Columns with no stats anywhere are
+    * absent from the result. Cost: the same driver snapshot every
+    * metadata command uses ([[loadLatest]] — cached for warm tables).
+    *
+    * @param cols0 columns to score (default: the declared stat columns)
+    */
+  def clusteringDepth(name: String, cols0: Seq[String] = Nil)
+      : Map[String, Double] = {
+    val (_, entries) = loadLatest(name)
+    Warehouse.clusteringDepthOf(entries,
+      if (cols0.nonEmpty) cols0 else specsNow(name).statColumns)
+  }
+
+  /** Maintenance-time half of the clustering lifecycle (DESCRIBE
+    * DETAIL's `clustering_depth` is the observability half): when the
+    * MEAN stabbing depth across `zorderBy` exceeds `maxDepth`, rewrite
+    * via [[optimize]] ZORDER BY those columns. A z-interleave can't
+    * drive every dimension's depth to 1 (that is the multi-dimensional
+    * trade), so the threshold is a decay ALARM, not a target — pick it
+    * a few × above the post-OPTIMIZE depth the layout settles at.
+    *
+    * @return true iff a re-cluster actually ran
+    */
+  def reclusterIfDecayed(name: String, zorderBy: Seq[String],
+      maxDepth: Double = 8.0,
+      targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+    require(zorderBy.nonEmpty, s"reclusterIfDecayed $name: name the " +
+      "z-order dimensions (stat columns) to score and restore")
+    val d = clusteringDepth(name, zorderBy)
+    zorderBy.forall(d.contains) &&
+      d.values.sum / d.size > maxDepth && {
+        optimize(name, zorderBy, targetBytes = targetBytes)
+        true
+      }
+  }
+
   /** PURGE merge-on-read state (Delta's `REORG ... APPLY (PURGE)`):
     * rewrite ONLY the files carrying a deletion vector — the rewrite
     * reads through the vectors, so the fresh files hold exactly the
@@ -8085,6 +8145,24 @@ object Warehouse {
   /** Maintenance-time auto re-ANALYZE ([[Warehouse!.reanalyzeIfStale]]
     * from compact/optimize) — `var` so cost-sensitive callers opt out. */
   private[graft] var autoReanalyze: Boolean = true
+
+  /** [[Warehouse!.clusteringDepth]]'s pure core over an entry list. */
+  private[graft] def clusteringDepthOf(entries: Seq[FileEntry],
+      cols: Seq[String]): Map[String, Double] =
+    cols.distinct.flatMap { c =>
+      val iv = entries.flatMap(_.stats.get(c))
+      if (iv.isEmpty) None
+      else {
+        val lo = iv.iterator.map(_._1).min
+        val hi = iv.iterator.map(_._2).max
+        // double arithmetic: micros-axis widths summed over many files
+        // overflow a long; depth is a diagnostic ratio, not a count
+        val width = (hi.toDouble - lo.toDouble) + 1.0
+        val span = iv.iterator
+          .map(i => (i._2.toDouble - i._1.toDouble) + 1.0).sum
+        Some(c -> span / width)
+      }
+    }.toMap
 
   /** One analyzed column's basis: the equi-height bins plus the
     * companion stats Spark's estimator needs alongside them (NDV,

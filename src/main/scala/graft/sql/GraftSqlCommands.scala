@@ -492,7 +492,13 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
     // GENERATED ALWAYS AS IDENTITY column ("col [ORDER BY ...]")
     AttributeReference("identity_column", StringType)(),
     // DEFAULT fill rules ("col=expr; ...")
-    AttributeReference("column_defaults", StringType)())
+    AttributeReference("column_defaults", StringType)(),
+    // CLUSTERING HEALTH per stat column ("col=depth;..."): average
+    // stabbing depth of the live files' footer-stat intervals — 1.0 =
+    // perfectly clustered, |files| = fully decayed (appends degrade
+    // it; OPTIMIZE ZORDER restores it; Warehouse.reclusterIfDecayed
+    // is the maintenance hook)
+    AttributeReference("clustering_depth", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, entries) = wh.loadLatest(table)
     val spec = wh.tableSpec(table)
@@ -529,7 +535,10 @@ case class GraftDetailCommand(wh: Warehouse, table: String)
         (if (i.orderBy.isEmpty) "" else s" ORDER BY ${i.orderBy.mkString(",")}"))
         .getOrElse(""),
       spec.defaults.toSeq.sortBy(_._1)
-        .map { case (c, e) => s"$c=$e" }.mkString("; ")))
+        .map { case (c, e) => s"$c=$e" }.mkString("; "),
+      graft.pipeline.Warehouse.clusteringDepthOf(entries,
+          spec.statColumns).toSeq.sorted
+        .map { case (c, d) => f"$c=$d%.2f" }.mkString(";")))
   }
 }
 

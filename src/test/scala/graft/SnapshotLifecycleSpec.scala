@@ -341,4 +341,62 @@ class SnapshotLifecycleSpec extends SparkSpec {
         wh.currentCacheKey("y", 2L)).isDefined)
     } finally Warehouse.snapshotByteBudget = saved
   }
+
+  /** Launch [[CoherenceChild]] in a genuinely separate JVM with this
+    * test JVM's own classpath (Test/fork is on, so java.class.path is
+    * the real one) and wait for its CHILD_OK marker.
+    */
+  private def runChild(dir: String, op: String): Unit = {
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ opens ++ Seq("-Xmx2g",
+      "-Dspark.ui.enabled=false", "-cp", sys.props("java.class.path"),
+      "graft.CoherenceChild", dir, op)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    val code = proc.waitFor()
+    assert(code === 0 && out.contains("CHILD_OK"),
+      s"child JVM ($op) failed (exit $code):\n${out.takeRight(3000)}")
+  }
+
+  test("TWO-JVM coherence: a foreign process's commit is visible to " +
+    "this JVM's warmed caches on the next read, and a foreign " +
+    "drop+recreate (real Warehouse code, not an fs swap) never serves " +
+    "the dead lifetime's snapshot") {
+    val dir = Files.createTempDirectory("graft-2jvm-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" ->
+      Warehouse.TableSpec(schema, statColumns = Seq("k"))))
+    wh.bootstrap()
+    wh.append("t", Seq((1L, "parent"), (2L, "parent")).toDF("k", "s"))
+    // warm every parent-side cache for the current head
+    assert(wh.read("t").count() === 2L)
+    assert(wh.history("t").nonEmpty)
+
+    // commit-then-read: the child JVM appends v3 with its own caches;
+    // the parent's next head resolution must observe it
+    runChild(dir, "append")
+    assert(wh.read("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "parent"), (2L, "parent"), (100L, "child")),
+      "the foreign commit must surface on the parent's next read")
+
+    // drop-recreate race through REAL code: the child drops the table
+    // (tombstoning the lifetime) and recreates it with re-minted
+    // version numbers; the parent must re-key and serve the NEW
+    // content, not its cached dead-lifetime snapshot
+    assert(wh.read("t").count() === 3L) // re-warm post-append head
+    runChild(dir, "dropRecreate")
+    assert(wh.read("t").as[(Long, String)].collect().toSet ===
+      Set((7L, "recreated"), (8L, "recreated")),
+      "the recreated lifetime's content must win over the dead cache")
+    // and parent-side writes continue against the new lifetime
+    wh.append("t", Seq((9L, "post")).toDF("k", "s"))
+    assert(wh.read("t").count() === 3L)
+  }
 }

@@ -240,6 +240,49 @@ class WarehouseWapSpec extends SparkSpec {
     assert(both.getMessage.contains("IDENTITY"))
   }
 
+  test("rebase refuses a PRE-STAMPING staging clone (no identityHwm " +
+    "on its v1 commit) instead of trusting the start-1 fallback") {
+    val idSpec = Warehouse.TableSpec(
+      StructType(Seq(
+        StructField("rid", LongType),
+        StructField("k", LongType))),
+      identity = Some(Warehouse.Identity("rid", orderBy = Seq("k"))))
+    val dir = Files.createTempDirectory("graft-wap-pre-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" -> idSpec))
+    wh.bootstrap()
+    wh.append("t", Seq(10L, 20L).toDF("k")) // rids 1, 2
+    wh.shallowClone("t", "stage")
+    // a clone minted by a pre-stamping build: strip identityHwm from
+    // the clone commit's meta line, raw (no Warehouse code runs)
+    val mf = java.nio.file.Paths.get(dir, "stage", "_manifests",
+      "v000000000001.mf")
+    val text = new String(java.nio.file.Files.readAllBytes(mf),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stripped = text.linesIterator.map { l =>
+      if (l.startsWith("#"))
+        "#" + l.drop(1).split("\t")
+          .filterNot(_.startsWith("identityHwm=")).mkString("\t")
+      else l
+    }.mkString("\n")
+    assert(stripped != text, "the stamp must have been present")
+    java.nio.file.Files.write(mf, stripped.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Warehouse.invalidateCached(s"$dir#stage#")
+    // interim mint on the target engages the rebase identity detector
+    wh.append("t", Seq(30L).toDF("k"))
+    val e = intercept[Warehouse.CommitConflict] {
+      wh.publish("t", "stage", rebase = true)
+    }
+    assert(e.getMessage.contains("identityHwm stamp"),
+      s"must refuse the un-stamped clone, got: ${e.getMessage}")
+    // an exact-base publish of a stamped clone still works afterwards
+    wh.dropTable("stage")
+    wh.shallowClone("t", "stage")
+    wh.publish("t", "stage")
+    assert(wh.read("t").select($"rid").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L))
+  }
+
   test("SQL: PUBLISH TABLE staging TO target") {
     val dir = Files.createTempDirectory("graft-wap-").toString
     val wh = new Warehouse(spark, dir, specs = Map("t" -> spec))

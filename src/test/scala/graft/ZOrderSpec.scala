@@ -179,4 +179,55 @@ class ZOrderSpec extends SparkSpec {
       32L * 64L)
     assert(zwh.read("fact_telemetry").count() === 4096L)
   }
+
+  test("clustering depth: full-range appends decay it, the threshold " +
+    "hook restores it via OPTIMIZE ZORDER, stat skipping follows, and " +
+    "DESCRIBE DETAIL surfaces it") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val dir = Files.createTempDirectory("graft-cdepth-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" ->
+      Warehouse.TableSpec(StructType(Seq(
+        StructField("k", LongType), StructField("s", StringType))),
+        statColumns = Seq("k"))))
+    wh.bootstrap()
+    // 4 appends, each ONE file spanning the whole k range: every point
+    // lookup must open every file — depth ≈ 4
+    (1 to 4).foreach { _ =>
+      wh.append("t", spark.range(0L, 1000L)
+        .select($"id".as("k"), lit("x").as("s")).repartition(1))
+    }
+    val d0 = wh.clusteringDepth("t")("k")
+    assert(d0 > 3.5 && d0 <= 4.0, s"decayed depth must be ~4, got $d0")
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      df.queryExecution.executedPlan.collectFirst {
+        case sc: FileSourceScanExec => sc.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    // decayed layout: a quarter-range predicate opens every file
+    assert(filesRead(wh.read("t").where($"k" < 250L)) === 4L)
+    // DESCRIBE DETAIL surfaces the metric
+    wh.registerSql("cd_")
+    val det = spark.sql("DESCRIBE DETAIL cd_t").head()
+    val shown = det.getAs[String]("clustering_depth")
+    assert(shown.startsWith("k=3.") || shown == "k=4.00",
+      s"clustering_depth must surface the decay, got '$shown'")
+    // under the alarm threshold: the hook is a no-op
+    assert(!wh.reclusterIfDecayed("t", Seq("k"), maxDepth = 8.0))
+    assert(wh.clusteringDepth("t")("k") === d0)
+    // past it: OPTIMIZE ZORDER runs and the metric recovers
+    assert(wh.reclusterIfDecayed("t", Seq("k"), maxDepth = 2.0))
+    val d1 = wh.clusteringDepth("t")("k")
+    assert(d1 <= 1.05, s"restored depth must be ~1, got $d1")
+    assert(!wh.reclusterIfDecayed("t", Seq("k"), maxDepth = 2.0),
+      "restored layout must not re-cluster again")
+    // skipping follows the metric: re-layout into 4 disjoint-range
+    // files — the same quarter-range predicate now opens exactly 1
+    wh.optimize("t", Seq("k"), rowsPerFile = 1000)
+    assert(wh.clusteringDepth("t")("k") <= 1.05)
+    assert(filesRead(wh.read("t").where($"k" < 250L)) === 1L)
+    assert(wh.read("t").count() === 4000L)
+  }
 }
