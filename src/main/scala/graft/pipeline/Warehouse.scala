@@ -4306,8 +4306,12 @@ class Warehouse(spark: SparkSession, dir: String,
     val readSchema = StructType(
       schema.filterNot(f => gen.contains(f.name) ||
         idColCi.contains(f.name)))
+    // FILEFORMAT = AVRO routes to the in-repo graft-avro DSv2 source
+    // (the spark-avro connector does not ship in this environment)
+    val fmt =
+      if (format.equalsIgnoreCase("avro")) "graft-avro" else format
     val (src0, ciHwm0) = applyIdentity(name,
-      spark.read.format(format).schema(readSchema).options(options)
+      spark.read.format(fmt).schema(readSchema).options(options)
         .load(fresh.map { case (rel, _) => s"$srcDir/$rel" }: _*)
         .select(readSchema.fieldNames.map(col): _*),
       loadLatest(name)._1)

@@ -53,26 +53,45 @@ class AvroSourceProvider extends TableProvider with
     org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-avro"
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-avro: a path is required — " +
-          "spark.read.format(\"graft-avro\").load(dir)"))
-    AvroSource.inferSchema(path)
-  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroSource.inferSchema(AvroSource.resolveFiles(
+      AvroSource.paths(k => Option(options.get(k)))))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-avro: a path is required — " +
-          "spark.read.format(\"graft-avro\").load(dir)"))
     val corrupt = Option(properties.get("columnNameOfCorruptRecord"))
       .getOrElse("_corrupt")
-    new AvroTable(path, schema, corrupt)
+    new AvroTable(
+      AvroSource.paths(k => Option(properties.get(k))), schema, corrupt)
   }
 }
 
 object AvroSource {
+
+  /** The load targets from DSv2 options: `load(dir)` arrives as
+    * `path`; `load(p1, p2, ...)` (COPY INTO's explicit file list)
+    * arrives as a JSON-array `paths`. */
+  private[sources] def paths(get: String => Option[String]): Seq[String] =
+    get("paths") match {
+      case Some(json) =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = m.readTree(json)
+        (0 until node.size()).map(node.get(_).asText())
+      case None => get("path").map(Seq(_)).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-avro: a path is required — " +
+            "spark.read.format(\"graft-avro\").load(dirOrFiles)"))
+    }
+
+  /** Each target resolves to itself when it is a FILE, or to its
+    * sorted data-file listing when a directory. */
+  private[sources] def resolveFiles(targets: Seq[String]): Seq[String] = {
+    val conf = new Configuration()
+    targets.flatMap { t =>
+      val p = new Path(t)
+      if (p.getFileSystem(conf).getFileStatus(p).isFile) Seq(t)
+      else TleSource.listDataFiles(t)
+    }
+  }
 
   /** Observability: file readers opened with a PROJECTED expected
     * schema (fewer fields than the writer's) — the spec's witness that
@@ -104,9 +123,8 @@ object AvroSource {
     * file's writer schema speaks for the directory; heterogeneous
     * writers are served by passing an explicit read schema instead.
     */
-  def inferSchema(path: String): StructType = {
-    val files = TleSource.listDataFiles(path)
-    require(files.nonEmpty, s"graft-avro: no data files under $path")
+  def inferSchema(files: Seq[String]): StructType = {
+    require(files.nonEmpty, "graft-avro: no data files to infer from")
     val in = new FsInput(new Path(files.head), new Configuration())
     val r = DataFileReader.openReader(in,
       new GenericDatumReader[GenericRecord]())
@@ -118,32 +136,34 @@ object AvroSource {
   }
 }
 
-class AvroTable(path: String, schema: StructType, corruptCol: String)
-  extends Table with SupportsRead {
-  override def name(): String = s"graft-avro:$path"
+class AvroTable(targets: Seq[String], schema: StructType,
+    corruptCol: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-avro:${targets.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, schema, corruptCol)
+    new AvroScanBuilder(targets, schema, corruptCol)
 }
 
-class AvroScanBuilder(path: String, full: StructType, corruptCol: String)
+class AvroScanBuilder(targets: Seq[String], full: StructType,
+    corruptCol: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(path, required, corruptCol)
+  override def build(): Scan = new AvroScan(targets, required, corruptCol)
 }
 
-class AvroScan(path: String, required: StructType, corruptCol: String)
-  extends Scan with Batch {
+class AvroScan(targets: Seq[String], required: StructType,
+    corruptCol: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro $path, columns=${required.fieldNames.mkString(",")}"
+    s"graft-avro ${targets.mkString(",")}, " +
+      s"columns=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    TleSource.listDataFiles(path).map(AvroFilePartition)
+    AvroSource.resolveFiles(targets).map(AvroFilePartition)
       .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required, corruptCol,

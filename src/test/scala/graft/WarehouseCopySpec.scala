@@ -109,4 +109,43 @@ class WarehouseCopySpec extends SparkSpec {
     assert(wh.read("t").count() === 30L)
     assert(wh.copyInto("t", src) === ((0L, 0L)))
   }
+
+  test("FILEFORMAT = JSON and AVRO load with the same idempotent " +
+    "ledger (avro routes to the graft-avro source)") {
+    val (wh, whDir) = fresh()
+    // JSON lines wave
+    val srcJ = Files.createTempDirectory("graft-copyjson-").toString
+    rows(0, 25).coalesce(1).write.mode("overwrite").json(s"$srcJ/w1")
+    assert(wh.copyInto("t", srcJ, format = "json") === ((1L, 25L)))
+    assert(wh.copyInto("t", srcJ, format = "json") === ((0L, 0L)))
+    assert(wh.read("t").count() === 25L)
+    // Avro container wave, written with avro-core (writer types match
+    // the table schema, so coercion is identity)
+    val srcA = Files.createTempDirectory("graft-copyavro-").toString
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},{"name":"grp","type":"string"},
+        |{"name":"val","type":"double"}]}""".stripMargin)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](avroSchema))
+    w.create(avroSchema, new java.io.File(srcA, "w1.avro"))
+    (100 until 140).foreach { i =>
+      val r = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      r.put("id", i.toLong); r.put("grp", s"g${i % 3}")
+      r.put("val", i * 1.0)
+      w.append(r)
+    }
+    w.close()
+    assert(wh.copyInto("t", srcA, format = "avro") === ((1L, 40L)))
+    assert(wh.copyInto("t", srcA, format = "avro") === ((0L, 0L)),
+      "the avro ledger must be idempotent too")
+    assert(wh.read("t").count() === 65L)
+    assert(wh.read("t").where($"id" >= 100L).count() === 40L)
+    // and through the statement surface
+    wh.registerSql("cpa_")
+    val r2 = spark.sql(
+      s"COPY INTO cpa_t FROM '$srcA' FILEFORMAT = AVRO").head()
+    assert(r2.getLong(0) === 0L, "statement re-run is a no-op")
+  }
 }
