@@ -763,6 +763,34 @@ object CoreQueries extends QueryPack {
                (o_orderkey % 13 = 0 AND o_orderkey % 19 <> 0) AS corrupt
         FROM orders ORDER BY k""")),
 
+    // ---- q177: Avro sink + source ROUND-TRIP through the graft-avro
+    // DSv2 write path (q62's ORC shape for the interchange format):
+    // write a lineitem projection as container files (nullable unions,
+    // timestamp-micros logical type), read it back, aggregate. Pins
+    // the write→read type mapping end-to-end under the oracle. ----
+    Q("q177_avro_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q177-").toString
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity",
+            $"l_extendedprice", $"l_shipdate")
+          .write.format("graft-avro").mode("overwrite").save(s"$tmp/avro")
+        s.read.format("graft-avro").load(s"$tmp/avro")
+          .where($"l_quantity" > 25)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"l_extendedprice"), 2).as("total"),
+            max($"l_shipdate").cast("string").as("last_ship"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total,
+               CAST(max(l_shipdate) AS VARCHAR) AS last_ship
+        FROM lineitem WHERE l_quantity > 25
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge

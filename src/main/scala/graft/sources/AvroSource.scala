@@ -5,19 +5,24 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
-import org.apache.avro.file.DataFileReader
-import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, Table, TableCapability, TableProvider}
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,22 +105,94 @@ object AvroSource {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Spark type for an Avro field schema; unions `[null, X]` unwrap to
-    * nullable X. Types outside the scalar set map to string (rendered
-    * via toString — honest, lossy, and never a crash).
+    * nullable X; the standard logical types (timestamp-micros /
+    * local-timestamp-micros / date) map to their Spark time types.
+    * Types outside the scalar set map to string (rendered via toString
+    * — honest, lossy, and never a crash).
     */
   private[sources] def sparkType(s: Schema): DataType = s.getType match {
-    case Schema.Type.LONG => LongType
-    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => s.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMicros =>
+        TimestampNTZType
+      case _ => LongType
+    }
+    case Schema.Type.INT => s.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.Date => DateType
+      case _ => IntegerType
+    }
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES => BinaryType
     case Schema.Type.UNION =>
       s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL).toList match {
         case one :: Nil => sparkType(one)
         case _ => StringType
       }
     case _ => StringType
+  }
+
+  /** The write-side inverse of [[sparkType]]: a Spark schema as an
+    * Avro record schema — nullable fields become `[null, X]` unions
+    * with a null default; timestamps/dates carry the standard logical
+    * types so any Avro reader (including this source) round-trips them.
+    */
+  private[sources] def toAvroSchema(st: StructType): Schema = {
+    def base(dt: DataType): Schema = dt match {
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType | ShortType | ByteType =>
+        Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case org.apache.spark.sql.types.FloatType =>
+        Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType => org.apache.avro.LogicalTypes
+        .localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case DateType => org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+      case t => throw new IllegalArgumentException(
+        s"graft-avro write: unsupported type $t (scalar, string, " +
+          "binary, timestamp and date columns only)")
+    }
+    Schema.createRecord("spark_record", null, "graft", false,
+      st.fields.map { f =>
+        if (f.nullable)
+          new Schema.Field(f.name,
+            Schema.createUnion(Schema.create(Schema.Type.NULL),
+              base(f.dataType)),
+            null, org.apache.avro.JsonProperties.NULL_VALUE)
+        else new Schema.Field(f.name, base(f.dataType), null)
+      }.toList.asJava)
+  }
+
+  /** One catalyst field → the Avro value the writer appends (internal
+    * time encodings pass through untouched: micros for timestamps,
+    * days for dates — exactly the logical types' wire format).
+    */
+  private[sources] def toAvroValue(row: InternalRow, i: Int,
+      dt: DataType): AnyRef = {
+    if (row.isNullAt(i)) return null
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.valueOf(row.getLong(i))
+      case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
+      case ShortType => java.lang.Integer.valueOf(row.getShort(i).toInt)
+      case ByteType => java.lang.Integer.valueOf(row.getByte(i).toInt)
+      case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+      case org.apache.spark.sql.types.FloatType =>
+        java.lang.Float.valueOf(row.getFloat(i))
+      case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+      case StringType => row.getUTF8String(i).toString
+      case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+      case t => throw new IllegalArgumentException(
+        s"graft-avro write: unsupported type $t")
+    }
   }
 
   /** Writer schema of the FIRST data file (sorted listing) → Spark
@@ -137,13 +214,130 @@ object AvroSource {
 }
 
 class AvroTable(targets: Seq[String], schema: StructType,
-    corruptCol: String) extends Table with SupportsRead {
+    corruptCol: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro:${targets.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(targets, schema, corruptCol)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(targets.length == 1,
+      "graft-avro write: exactly one target directory")
+    new AvroWriteBuilder(targets.head, info.schema())
+  }
+}
+
+/** The WRITE half of the interchange story: `df.write.format(
+  * "graft-avro").save(dir)` emits Avro object-container files, one per
+  * task, with the Spark schema mapped back to Avro (nullable → union
+  * [null, X]; timestamps as long/timestamp-micros, dates as int/date —
+  * the logical types every Avro reader understands). Tasks write to
+  * dot-prefixed temp names (invisible to the data listing) and the
+  * driver-side commit renames them in — the same publish-by-rename
+  * contract the rest of the engine uses; overwrite (`SupportsTruncate`)
+  * deletes the pre-existing data files inside that same commit, after
+  * every task has succeeded.
+  */
+class AvroWriteBuilder(dir: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(dir, schema, overwrite,
+        TleSource.sessionConfProps())
+  }
+}
+
+private final case class AvroTaskCommit(tempRel: String)
+  extends WriterCommitMessage
+
+class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
+    confProps: Array[(String, String)]) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroWriterFactory(dir, schema.json, confProps)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    confProps.foreach { case (k, v) => conf.set(k, v) }
+    val fs = new Path(dir).getFileSystem(conf)
+    if (overwrite)
+      scala.util.Try(TleSource.listDataFiles(dir)).getOrElse(Nil)
+        .foreach(f => fs.delete(new Path(f), false))
+    messages.foreach { case AvroTaskCommit(tempRel) =>
+      val tmp = new Path(dir, tempRel)
+      val dest = new Path(dir, tempRel.stripPrefix("."))
+      require(fs.rename(tmp, dest), s"graft-avro commit: rename of " +
+        s"$tmp failed")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    confProps.foreach { case (k, v) => conf.set(k, v) }
+    val fs = new Path(dir).getFileSystem(conf)
+    messages.foreach {
+      case AvroTaskCommit(tempRel) =>
+        fs.delete(new Path(dir, tempRel), false); ()
+      case _ =>
+    }
+  }
+}
+
+class AvroWriterFactory(dir: String, schemaJson: String,
+    confProps: Array[(String, String)]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(dir,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partitionId, taskId, confProps)
+}
+
+class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
+    taskId: Long, confProps: Array[(String, String)])
+  extends DataWriter[InternalRow] {
+
+  private val avroSchema = AvroSource.toAvroSchema(schema)
+  private val fields = schema.fields
+  private val fieldSchemas = fields.map(f =>
+    avroSchema.getField(f.name).schema())
+  // taskId in the temp name: two ATTEMPTS of one partition (task retry
+  // / speculation) must never collide on a file; only the committed
+  // attempt's message is renamed in, the loser is aborted
+  private val tempRel = f".part-$partitionId%05d-$taskId.avro"
+  private val conf = {
+    val c = new Configuration()
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val fs = new Path(dir).getFileSystem(conf)
+  private val writer = {
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, fs.create(new Path(dir, tempRel), true))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < fields.length) {
+      rec.put(i, AvroSource.toAvroValue(row, i, fields(i).dataType))
+      i += 1
+    }
+    writer.append(rec)
+    ()
+  }
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    AvroTaskCommit(tempRel)
+  }
+  override def abort(): Unit = {
+    scala.util.Try(writer.close())
+    fs.delete(new Path(dir, tempRel), false)
+    ()
+  }
+  override def close(): Unit = ()
 }
 
 class AvroScanBuilder(targets: Seq[String], full: StructType,
@@ -240,6 +434,14 @@ class AvroFileReader(file: String, required: StructType,
       case (l: java.lang.Long, LongType) => (l.longValue(), None)
       case (i: java.lang.Integer, LongType) => (i.longValue(), None)
       case (i: java.lang.Integer, IntegerType) => (i.intValue(), None)
+      // logical-type wire formats pass straight into the catalyst
+      // encodings (micros / days) — the write side's exact inverses
+      case (l: java.lang.Long, TimestampType) => (l.longValue(), None)
+      case (l: java.lang.Long, TimestampNTZType) => (l.longValue(), None)
+      case (i: java.lang.Integer, DateType) => (i.intValue(), None)
+      case (b: java.nio.ByteBuffer, BinaryType) =>
+        val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+        (a, None)
       case (l: java.lang.Long, IntegerType) =>
         if (l >= Int.MinValue && l <= Int.MaxValue) (l.intValue(), None)
         else (null, Some(l.toString))

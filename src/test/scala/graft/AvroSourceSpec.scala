@@ -113,6 +113,47 @@ class AvroSourceSpec extends SparkSpec {
     assert(got === Seq((2L, None, Some("oops"))))
   }
 
+  test("WRITE path round-trips: nullable scalars, strings, binary, " +
+    "timestamp (micros) and date through container files and back; " +
+    "overwrite replaces") {
+    import org.apache.spark.sql.functions.{col, lit, to_date, to_timestamp}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrow-")
+      .toString + "/out"
+    val df = spark.range(0L, 100L).select(
+      col("id").as("k"),
+      org.apache.spark.sql.functions.concat(lit("s"), col("id")).as("s"),
+      org.apache.spark.sql.functions.when(col("id") % 7 === 0, null)
+        .otherwise(col("id") * 1.5).as("v"),
+      to_timestamp(lit("2026-03-01 12:34:56.789")).as("ts"),
+      to_date(lit("2026-03-01")).as("d"),
+      org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.concat(lit("b"), col("id")),
+        "UTF-8").as("bin"))
+    df.repartition(3).write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema("ts").dataType.typeName === "timestamp",
+      "timestamp-micros logical type must round-trip the Spark type")
+    assert(back.schema("d").dataType.typeName === "date")
+    assert(back.count() === 100L)
+    import org.apache.spark.sql.functions.{countDistinct, max, min, sum}
+    val r = back.agg(sum($"k"), countDistinct($"s"),
+      sum($"v"), min($"ts").cast("string"), max($"d").cast("string"),
+      countDistinct($"bin")).head()
+    assert(r.getLong(0) === 4950L)
+    assert(r.getLong(1) === 100L)
+    assert(r.getDouble(2) ===
+      (0L until 100L).filter(_ % 7 != 0).map(_ * 1.5).sum)
+    assert(r.getString(3) === "2026-03-01 12:34:56.789")
+    assert(r.getString(4) === "2026-03-01")
+    assert(r.getLong(5) === 100L)
+    // overwrite replaces the previous files entirely
+    spark.range(0L, 5L).select(col("id").as("k"), lit("x").as("s"),
+        lit(1.0).as("v"), to_timestamp(lit("2026-01-01")).as("ts"),
+        to_date(lit("2026-01-01")).as("d"), lit(Array[Byte](1)).as("bin"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() === 5L)
+  }
+
   test("int/long/float/double widenings coerce exactly; long→int " +
     "overflow nulls instead of wrapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")
