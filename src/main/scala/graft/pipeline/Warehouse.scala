@@ -2982,7 +2982,15 @@ class Warehouse(spark: SparkSession, dir: String,
         Some(cacheKey(name, version)) else None,
       dvRef = dvRef,
       dvFeed = (k, p) => dvLookup.foreach(_.add(k, p)),
-      streamAll = () => slimEntriesStream(name, version, agg.files))
+      // HYBRID: below the threshold the slim collect is cheap, MEMOIZES
+      // (budgeted), and beats the chunked drain's multi-job latency —
+      // returning None here routes the unfiltered ask through prune()'s
+      // slimEntriesAt path; past it, driver residency is the hazard and
+      // the ask streams
+      streamAll = () =>
+        if (agg.files > Warehouse.streamListThreshold)
+          slimEntriesStream(name, version, agg.files)
+        else None)
     val relation = relationWithIndex(name, index, partitionSchema)
     // COLUMN-LEVEL statistics at [[statsRelation]] parity, folded
     // distributed (NDV from the HLL sidecars via [[lazyNdv]], min/max
@@ -8149,6 +8157,12 @@ object Warehouse {
   /** Maintenance-time auto re-ANALYZE ([[Warehouse!.reanalyzeIfStale]]
     * from compact/optimize) — `var` so cost-sensitive callers opt out. */
   private[graft] var autoReanalyze: Boolean = true
+  /** Entry count above which an unfiltered cold list STREAMS in chunks
+    * instead of collecting+memoizing the slim list (256k slim entries
+    * ≈ 37 MiB — affordable resident; past it, residency is the hazard
+    * the stream exists to remove). `var` for specs and
+    * memory-constrained drivers. */
+  private[graft] var streamListThreshold: Long = 262144L
 
   /** [[Warehouse!.clusteringDepth]]'s pure core over an entry list. */
   private[graft] def clusteringDepthOf(entries: Seq[FileEntry],

@@ -219,6 +219,7 @@ class AvroTable(targets: Seq[String], schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(targets, schema, corruptCol)
@@ -362,6 +363,42 @@ class AvroScan(targets: Seq[String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required, corruptCol,
       TleSource.sessionConfProps())
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new AvroMicroBatchStream(targets, this)
+}
+
+/** Streaming form of the Avro landing read — corpus waves arriving as
+  * container files stream through the same per-file scan (PERMISSIVE
+  * coercion included). Offset model is [[TleFileSetOffset]]'s: the
+  * sorted set of files already processed, so late writers sorting
+  * before seen names are still new-minus-old and no modtime clock is
+  * trusted. Files are immutable once landed (write-then-rename is the
+  * landing contract, and the graft-avro write path itself publishes by
+  * rename), so commit is a no-op.
+  */
+class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def snapshot(): TleFileSetOffset =
+    TleFileSetOffset(AvroSource.resolveFiles(targets))
+
+  override def initialOffset(): Offset = TleFileSetOffset(Seq.empty)
+  override def latestOffset(): Offset = snapshot()
+  override def deserializeOffset(json: String): Offset =
+    TleFileSetOffset.fromJson(json)
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[TleFileSetOffset].files.toSet
+    end.asInstanceOf[TleFileSetOffset].files.filterNot(seen)
+      .map(AvroFilePartition).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class AvroFilePartition(file: String) extends InputPartition

@@ -154,6 +154,37 @@ class AvroSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-avro").load(dir).count() === 5L)
   }
 
+  test("STREAMING read: landed container files arrive exactly once " +
+    "across AvailableNow restarts (file-set offset), late-sorting " +
+    "names included") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrostr-")
+      .toString
+    val ckp = java.nio.file.Files
+      .createTempDirectory("graft-avrostr-ckp-").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-avrostr-out-").toString
+    writeFile(dir, Seq((1L, "a", "1.0"), (2L, "b", "2.0")))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-avro")
+        .schema("k long, name string, price double")
+        .load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).select($"k").as[Long]
+      .collect().toSet === Set(1L, 2L))
+    // a second wave lands (its generated name may sort anywhere);
+    // a restart from the same checkpoint emits exactly the new file
+    writeFile(dir, Seq((3L, "c", "3.0")))
+    runOnce()
+    assert(spark.read.parquet(out).select($"k").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 2L, 3L))
+  }
+
   test("int/long/float/double widenings coerce exactly; long→int " +
     "overflow nulls instead of wrapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")

@@ -768,6 +768,12 @@ class ManifestScaleSpec extends SparkSpec {
     assert(wh.materializeColumnar("big"))
     Warehouse.invalidateCached(s"$dir#big#")
     graft.pipeline.LazyManifestFileIndex.dirMemoClear()
+    // 100k fixture entries sit under the default hybrid threshold
+    // (small lists collect+memoize — cheaper); force the streamed
+    // regime the way a >256k table would take it
+    val savedThreshold = Warehouse.streamListThreshold
+    Warehouse.streamListThreshold = 50000L
+    try {
 
     val index = wh.read("big").queryExecution.analyzed.collectFirst {
       case org.apache.spark.sql.execution.datasources.LogicalRelation(
@@ -808,5 +814,18 @@ class ManifestScaleSpec extends SparkSpec {
       "the fresh unfiltered plan must hit the directory memo")
     assert(Warehouse.streamedLists.get() === streams0 + 1,
       "the memo hit must not re-stream")
+
+    } finally Warehouse.streamListThreshold = savedThreshold
+    // BELOW the threshold (fresh caches, default regime) the same ask
+    // collects + memoizes the slim list instead — the hybrid's cheap
+    // half
+    Warehouse.invalidateCached(s"$dir#big#")
+    graft.pipeline.LazyManifestFileIndex.dirMemoClear()
+    val streams1 = Warehouse.streamedLists.get()
+    assert(wh.read("big").rdd.partitions.length > 0)
+    assert(Warehouse.streamedLists.get() === streams1,
+      "under the threshold the list must not stream")
+    assert(Warehouse.slimCacheGet(wh.currentCacheKey("big", 2L)).isDefined,
+      "under the threshold the slim list memoizes")
   }
 }
