@@ -791,6 +791,51 @@ object CoreQueries extends QueryPack {
         FROM lineitem WHERE l_quantity > 25
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q178: the streaming HALF of the Avro interchange path,
+    // end-to-end under the oracle: the q175 container fixture streams
+    // through graft-avro's micro-batch read (file-set offsets, same
+    // PERMISSIVE coercion), lands in a scratch warehouse table through
+    // the exactly-once graft-warehouse sink (AvailableNow drain), and
+    // the TABLE is what the gate hashes — so offsets, coercion, epoch
+    // fencing and the manifest commit all sit under one hash. Oracle =
+    // q175's relational derivation (identical rows, different carrier).
+    Q("q178_avro_stream_warehouse",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types.{BooleanType, DoubleType,
+          LongType, StringType, StructField, StructType}
+        val src = q175Avro(s, dir)
+        val whDir = graft.util.Scratch.dir("graft-q178-").toString
+        val wh = new graft.pipeline.Warehouse(s, whDir,
+          specs = Map("landed" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("k", LongType),
+              StructField("name", StringType),
+              StructField("price", DoubleType),
+              StructField("corrupt", BooleanType))))))
+        wh.bootstrap()
+        val q = s.readStream.format("graft-avro")
+          .schema("k long, name string, price double, _corrupt string")
+          .load(src)
+          .select(col("k"), col("name"), col("price"),
+            col("_corrupt").isNotNull.as("corrupt"))
+          .writeStream.format("graft-warehouse")
+          .option("path", whDir).option("table", "landed")
+          .option("checkpointLocation", s"$whDir/_ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        wh.read("landed").orderBy("k")
+      },
+      Some("""
+        SELECT o_orderkey AS k,
+               printf('N%d', o_custkey) AS name,
+               CASE WHEN o_orderkey % 19 = 0 OR o_orderkey % 13 = 0
+                    THEN NULL
+                    ELSE CAST(printf('%d.%d', o_custkey % 1000,
+                              o_orderkey % 100) AS DOUBLE) END AS price,
+               (o_orderkey % 13 = 0 AND o_orderkey % 19 <> 0) AS corrupt
+        FROM orders ORDER BY k""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge
