@@ -35,17 +35,41 @@ object Bench {
   // ---------------------------------------------------------------------
   private val SpinIters = 12000000L // ~10-20 ms single-threaded
   private val CleanFactor = 1.35 // probe beyond this x min => dirty pass
+  private val SpinThreads = 8 // parallel-probe width (see spinParallel)
   @volatile private var sink = 0L // defeat dead-code elimination
 
-  private def spinOnce(): Double = {
-    val t0 = System.nanoTime()
+  private def spinBody(): Long = {
     var x = 0x9e3779b97f4a7c15L
     var i = 0L
     while (i < SpinIters) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
-    sink = x
+    x
+  }
+
+  private def spinOnce(): Double = {
+    val t0 = System.nanoTime()
+    sink = spinBody()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The single-threaded spin catches frequency throttling and steal,
+    * but MISSES partial-core co-tenancy: a co-tenant eating half the
+    * box leaves one thread a full core (clean probe) while a
+    * 32-thread stage contends — exactly how a 1.3x-inflated capture
+    * once read "contended: false". The parallel spin runs the same
+    * body on [[SpinThreads]] threads at once; idle box ⇒ ~= the
+    * single time, co-tenant ⇒ some thread waits and the max-join time
+    * inflates. A pass's probe value is the WORST of both shapes.
+    */
+  private def spinParallel(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to SpinThreads).map { _ =>
+      val t = new Thread(() => { sink = spinBody() })
+      t.start(); t
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -59,17 +83,31 @@ object Bench {
     // above ~zero here is co-tenant work that will poison the capture.
     val preLoad = osBean.getSystemLoadAverage
     // JIT-warm the probe, then calibrate: the min of several post-warm
-    // runs seeds the run-wide healthy reference.
+    // runs seeds the run-wide healthy reference. Single and parallel
+    // shapes calibrate separately (the parallel join carries its own
+    // constant overhead), and a pass's value is each shape's ratio to
+    // its own floor — worst shape wins.
     var probeMin = Double.MaxValue
     var probeMax = 0.0
+    var parMin = Double.MaxValue
     (1 to 12).foreach { i =>
       val p = spinOnce()
-      if (i > 4) { probeMin = math.min(probeMin, p); probeMax = math.max(probeMax, p) }
+      val q = spinParallel()
+      if (i > 4) {
+        probeMin = math.min(probeMin, p); probeMax = math.max(probeMax, p)
+        parMin = math.min(parMin, q)
+      }
     }
+    // probe value NORMALIZED to the single-thread floor: the parallel
+    // shape contributes via its own ratio so both shapes share one
+    // CleanFactor threshold (and probe_min/max stay in seconds of the
+    // single shape for the artifact)
     def probe(): Double = {
       val p = spinOnce()
+      val q = spinParallel()
       probeMin = math.min(probeMin, p); probeMax = math.max(probeMax, p)
-      p
+      parMin = math.min(parMin, q)
+      math.max(p, q / math.max(parMin, 1e-9) * probeMin)
     }
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
