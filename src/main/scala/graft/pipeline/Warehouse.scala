@@ -1210,7 +1210,8 @@ class Warehouse(spark: SparkSession, dir: String,
     * warm-path economics live in the cross-plan directory memo, which
     * caches the BUILT directories under its own file budget.
     * @param files the snapshot's entry count (from [[lazySnapshotAgg]]),
-    *   sizing the range partitioning
+    *   sizing the hash repartition + within-partition sort (no global
+    *   range order — only within-chunk rel order is guaranteed)
     */
   private[graft] def slimEntriesStream(name: String, version: Long,
       files: Long): Option[Iterator[FileEntry]] = {
@@ -7233,7 +7234,13 @@ class Warehouse(spark: SparkSession, dir: String,
     val b = histogramsAt(name, v).getOrElse(return None)
     val cur = currentLiveRows(name, v)
     val f = Warehouse.histogramDriftFactor
-    Some(!(b.rows > 0L && cur <= b.rows * f && cur * f >= b.rows))
+    // zero-row basis (analyzed while empty): stale only once data
+    // exists — `!(b.rows > 0 && ...)` would read Some(true) forever on
+    // a still-empty table, and autoReanalyze would re-ANALYZE on every
+    // compact/optimize without the fresh (still zero-row) basis ever
+    // clearing the flag
+    Some(if (b.rows == 0L) cur > 0L
+         else !(cur <= b.rows * f && cur * f >= b.rows))
   }
 
   private def currentLiveRows(name: String, v: Long): Long =

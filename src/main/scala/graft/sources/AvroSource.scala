@@ -11,6 +11,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader,
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
@@ -30,7 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 source for Avro object-container files
   * (`spark.read.format("graft-avro")`) — the environment ships avro
   * core/mapred but not the spark-avro connector, so the scan plumbing
-  * is first-class here: one `InputPartition` per file, COLUMN PRUNING
+  * is first-class here: one `InputPartition` per container-file BYTE
+  * RANGE (files above `spark.sql.files.maxPartitionBytes` — or the
+  * `splitSize` read option — split on Avro's own sync-marker block
+  * boundaries, so few huge files still fan out), COLUMN PRUNING
   * pushed into Avro's own schema resolution (the expected/reader
   * schema carries only the required fields, so the decoder SKIPS
   * writer-only fields without materializing them — Avro's native
@@ -89,20 +93,340 @@ object AvroSource {
 
   /** Each target resolves to itself when it is a FILE, or to its
     * sorted data-file listing when a directory. */
-  private[sources] def resolveFiles(targets: Seq[String]): Seq[String] = {
+  private[sources] def resolveFiles(targets: Seq[String]): Seq[String] =
+    resolveFilesWithLen(targets).map(_._1)
+
+  /** [[resolveFiles]] carrying byte lengths (free from the listing) —
+    * what split planning needs without a second round of stat calls. */
+  private[sources] def resolveFilesWithLen(
+      targets: Seq[String]): Seq[(String, Long)] = {
     val conf = new Configuration()
     targets.flatMap { t =>
       val p = new Path(t)
-      if (p.getFileSystem(conf).getFileStatus(p).isFile) Seq(t)
-      else TleSource.listDataFiles(t)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      if (st.isFile) Seq(t -> st.getLen)
+      else {
+        val sep = if (t.endsWith("/")) "" else "/"
+        graft.util.FsListing.dataFiles(t).map { case (rel, len) =>
+          s"$t$sep$rel" -> len
+        }
+      }
     }
   }
+
+  /** NO-LIMIT sentinel for a partition's byte range: the reader skips
+    * `pastSync` checks entirely (Avro's `pastSync(Long.MaxValue)`
+    * overflows `position + SYNC_SIZE` and would stop at block one). */
+  private[sources] val NoEnd = Long.MaxValue
+
+  /** The session default split size — `spark.sql.files.maxPartitionBytes`,
+    * the same knob the built-in file sources split on. */
+  private[sources] def defaultSplitSize(): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      SparkSession.active.conf
+        .get("spark.sql.files.maxPartitionBytes", "134217728"))
+
+  /** One partition per CONTAINER-FILE BYTE RANGE: files above
+    * `splitSize` split into adjacent [i·s, (i+1)·s) ranges — Avro
+    * container files are block-splittable by design (every block ends
+    * with the file's 16-byte sync marker; `DataFileReader.sync(start)`
+    * / `pastSync(end)` is the public range API, and adjacent ranges
+    * cover every block exactly once) — so a landing of few huge files
+    * still fans out across the cluster instead of serializing onto few
+    * tasks. Files at/below the threshold stay one whole-file partition
+    * with the no-limit sentinel (identical to the unsplit read path).
+    */
+  private[sources] def planSplits(files: Seq[(String, Long)],
+      splitSize: Long): Array[InputPartition] =
+    files.flatMap { case (f, len) =>
+      if (splitSize <= 0 || len <= splitSize)
+        Seq(AvroFilePartition(f, 0L, NoEnd))
+      else {
+        val n = ((len + splitSize - 1) / splitSize).toInt
+        (0 until n).map { i =>
+          AvroFilePartition(f, i.toLong * splitSize,
+            math.min((i + 1).toLong * splitSize, len))
+        }
+      }
+    }.toArray[InputPartition]
 
   /** Observability: file readers opened with a PROJECTED expected
     * schema (fewer fields than the writer's) — the spec's witness that
     * column pruning actually reached Avro's schema resolution. */
   private[graft] val projectedReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Observability: container files SKIPPED at plan time because the
+    * sidecar stats index proved no record can pass a pushed filter —
+    * the spec's witness that pushdown actually cuts I/O. */
+  private[graft] val skippedFiles =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // ---------------------------------------------------------------
+  // per-file stats sidecar (file skipping for pushed-down filters) —
+  // TleSource.writeIndex's shape, generalized over scalar columns
+  // ---------------------------------------------------------------
+
+  /** One column's per-file range. `kind` picks the comparison domain:
+    * "long" (int/long + date/timestamp wire values), "double"
+    * (float/double), "string" (binary UTF8 order — the order Catalyst
+    * string comparisons use). min > max in the long/double domains ⇔
+    * the file had no non-null value for the column.
+    */
+  final case class ColStats(kind: String, minL: Long, maxL: Long,
+      minD: Double, maxD: Double, minS: String, maxS: String) {
+    def empty: Boolean = kind match {
+      case "long" => minL > maxL
+      case "double" => minD > maxD
+      case _ => minS == null
+    }
+  }
+
+  private def indexPath(dir: String) = new Path(dir, "_index.json")
+
+  /** The stats-eligible comparison kind of an Avro field, by its SPARK
+    * type (so date/timestamp logical types land in the long domain —
+    * their wire format). None ⇒ the column never skips. */
+  private def statsKind(s: Schema): Option[String] = sparkType(s) match {
+    case LongType | IntegerType | DateType | TimestampType |
+         TimestampNTZType => Some("long")
+    case DoubleType | org.apache.spark.sql.types.FloatType =>
+      Some("double")
+    case StringType => Some("string")
+    case _ => None
+  }
+
+  /** One file's per-column ranges via a full-schema streaming read. */
+  private def statsOf(file: String,
+      props: Array[(String, String)]): Map[String, ColStats] = {
+    val c = new Configuration()
+    props.foreach { case (k, v) => c.set(k, v) }
+    val r = DataFileReader.openReader(new FsInput(new Path(file), c),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val fields = r.getSchema.getFields.asScala.toArray
+      val kinds = fields.map(f => statsKind(f.schema()))
+      val acc = fields.map(_ => ColStats("", 1L, 0L, 1.0, 0.0, null, null))
+      var rec: GenericRecord = null
+      while (r.hasNext) {
+        rec = r.next(rec)
+        var i = 0
+        while (i < fields.length) {
+          kinds(i) match {
+            case Some(kind) =>
+              val v = rec.get(i)
+              if (v != null) {
+                val a = acc(i)
+                acc(i) = kind match {
+                  case "long" =>
+                    val l = v.asInstanceOf[Number].longValue()
+                    if (a.minL > a.maxL) a.copy(kind = kind, minL = l, maxL = l)
+                    else a.copy(minL = math.min(a.minL, l),
+                      maxL = math.max(a.maxL, l))
+                  case "double" =>
+                    val d = v.asInstanceOf[Number].doubleValue()
+                    if (a.minD > a.maxD) a.copy(kind = kind, minD = d, maxD = d)
+                    else a.copy(minD = math.min(a.minD, d),
+                      maxD = math.max(a.maxD, d))
+                  case _ =>
+                    val s = v.toString
+                    val u = UTF8String.fromString(s)
+                    if (a.minS == null) a.copy(kind = kind, minS = s, maxS = s)
+                    else a.copy(
+                      minS = if (u.compareTo(UTF8String.fromString(a.minS)) < 0)
+                        s else a.minS,
+                      maxS = if (u.compareTo(UTF8String.fromString(a.maxS)) > 0)
+                        s else a.maxS)
+                }
+              }
+            case None =>
+          }
+          i += 1
+        }
+      }
+      fields.indices.flatMap { i =>
+        val a = acc(i)
+        // an eligible column that stayed all-null records its schema
+        // kind with an EMPTY range — provably nothing passes a
+        // comparison filter on it, so the file skips
+        if (a.kind.nonEmpty) Some(fields(i).name() -> a)
+        else kinds(i).map(k => fields(i).name() -> a.copy(kind = k))
+      }.toMap
+    } finally r.close()
+  }
+
+  /** Build/refresh the sidecar stats index for an Avro landing
+    * directory — one distributed pass (a task per file, the scan's own
+    * parallel unit), one tiny `_index.json` keyed by relative path,
+    * published by write-then-rename. Files landed AFTER the index write
+    * are absent from it and always scanned: a stale index skips less,
+    * never loses records.
+    */
+  def writeIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val sep = if (dir.endsWith("/")) "" else "/"
+    val rels = graft.util.FsListing.dataFiles(dir).map(_._1)
+    val props = TleSource.sessionConfProps()
+    val stats = spark.sparkContext
+      .parallelize(rels, math.max(1, rels.size))
+      .map { rel => rel -> statsOf(s"$dir$sep$rel", props) }
+      .collect()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    stats.foreach { case (rel, cols) =>
+      val fileNode = root.putObject(rel)
+      cols.foreach { case (col, st) =>
+        val n = fileNode.putObject(col)
+        n.put("kind", st.kind)
+        st.kind match {
+          case "long" => n.put("min", st.minL); n.put("max", st.maxL)
+          case "double" => n.put("min", st.minD); n.put("max", st.maxD)
+          case _ => n.put("min", st.minS); n.put("max", st.maxS)
+        }
+        ()
+      }
+    }
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"._index-${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(m.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(indexPath(dir), false)
+    require(fs.rename(tmp, indexPath(dir)),
+      s"graft-avro index publish failed for $dir")
+  }
+
+  /** The sidecar index keyed by relative path; empty when absent. */
+  def readIndex(dir: String): Map[String, Map[String, ColStats]] = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val p = indexPath(dir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try {
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val buf = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
+    val files = node.fieldNames()
+    while (files.hasNext) {
+      val rel = files.next()
+      val fn = node.get(rel)
+      val cols = scala.collection.mutable.Map.empty[String, ColStats]
+      val it = fn.fieldNames()
+      while (it.hasNext) {
+        val col = it.next()
+        val v = fn.get(col)
+        cols += col -> (v.get("kind").asText() match {
+          case "long" => ColStats("long", v.get("min").asLong(),
+            v.get("max").asLong(), 1.0, 0.0, null, null)
+          case "double" => ColStats("double", 1L, 0L, v.get("min").asDouble(),
+            v.get("max").asDouble(), null, null)
+          case k =>
+            // an all-null string column serialized null bounds
+            def s(n: String): String = {
+              val jn = v.get(n)
+              if (jn == null || jn.isNull) null else jn.asText()
+            }
+            ColStats(k, 1L, 0L, 1.0, 0.0, s("min"), s("max"))
+        })
+      }
+      buf += rel -> cols.toMap
+    }
+    buf.toMap
+  }
+
+  /** Filter value → the long comparison domain (date/timestamp wire
+    * encodings included); None ⇒ not convertible, never skip on it. */
+  private def longOf(v: Any): Option[Long] = v match {
+    case n: java.lang.Long => Some(n.longValue())
+    case n: java.lang.Integer => Some(n.longValue())
+    case n: java.lang.Short => Some(n.longValue())
+    case n: java.lang.Byte => Some(n.longValue())
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private def doubleOf(v: Any): Option[Double] = v match {
+    case n: java.lang.Double => Some(n.doubleValue())
+    case n: java.lang.Float => Some(n.doubleValue())
+    case n: java.lang.Long => Some(n.doubleValue())
+    case n: java.lang.Integer => Some(n.doubleValue())
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case _ => None
+  }
+
+  /** Can a file with `stats` contain a row passing `f`? Conservative:
+    * unknown shapes, missing columns, and inconvertible values → true.
+    * String prefix test compares byte-TRUNCATED bounds (truncation is
+    * monotone in unsigned byte order — TleSource's proof applies).
+    */
+  private[sources] def statsMayMatch(
+      stats: Map[String, ColStats],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def rng[T](col: String, v: Any,
+        longCmp: (Long, Long, Long) => Boolean,
+        dblCmp: (Double, Double, Double) => Boolean,
+        strCmp: (UTF8String, UTF8String, UTF8String) => Boolean): Boolean =
+      stats.get(col) match {
+        case Some(st) if !st.empty => st.kind match {
+          case "long" => longOf(v).forall(x => longCmp(st.minL, st.maxL, x))
+          case "double" => doubleOf(v).forall(x => dblCmp(st.minD, st.maxD, x))
+          case _ => v match {
+            case s: String => strCmp(UTF8String.fromString(st.minS),
+              UTF8String.fromString(st.maxS), UTF8String.fromString(s))
+            case _ => true
+          }
+        }
+        // stats present and EMPTY (all-null column): no non-null value
+        // can pass a comparison filter against the column
+        case Some(_) => false
+        case None => true
+      }
+    f match {
+      case EqualTo(c, v) => rng(c, v,
+        (mn, mx, x) => mn <= x && x <= mx,
+        (mn, mx, x) => mn <= x && x <= mx,
+        (mn, mx, x) => mn.compareTo(x) <= 0 && x.compareTo(mx) <= 0)
+      case In(c, vs) => vs.isEmpty || vs.exists(v => rng(c, v,
+        (mn, mx, x) => mn <= x && x <= mx,
+        (mn, mx, x) => mn <= x && x <= mx,
+        (mn, mx, x) => mn.compareTo(x) <= 0 && x.compareTo(mx) <= 0))
+      case GreaterThan(c, v) => rng(c, v,
+        (_, mx, x) => mx > x, (_, mx, x) => mx > x,
+        (_, mx, x) => mx.compareTo(x) > 0)
+      case GreaterThanOrEqual(c, v) => rng(c, v,
+        (_, mx, x) => mx >= x, (_, mx, x) => mx >= x,
+        (_, mx, x) => mx.compareTo(x) >= 0)
+      case LessThan(c, v) => rng(c, v,
+        (mn, _, x) => mn < x, (mn, _, x) => mn < x,
+        (mn, _, x) => mn.compareTo(x) < 0)
+      case LessThanOrEqual(c, v) => rng(c, v,
+        (mn, _, x) => mn <= x, (mn, _, x) => mn <= x,
+        (mn, _, x) => mn.compareTo(x) <= 0)
+      case StringStartsWith(c, p) => stats.get(c) match {
+        case Some(st) if st.kind == "string" && !st.empty =>
+          def truncCmp(bound: String): Int = {
+            val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val bb = bound.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val tb = if (bb.length <= pb.length) bb
+                     else java.util.Arrays.copyOf(bb, pb.length)
+            java.util.Arrays.compareUnsigned(tb, pb)
+          }
+          truncCmp(st.minS) <= 0 && truncCmp(st.maxS) >= 0
+        case Some(st) if st.kind == "string" => false // all-null column
+        case _ => true
+      }
+      case _ => true
+    }
+  }
 
   /** Spark type for an Avro field schema; unions `[null, X]` unwrap to
     * nullable X; the standard logical types (timestamp-micros /
@@ -222,7 +546,9 @@ class AvroTable(targets: Seq[String], schema: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(targets, schema, corruptCol)
+    new AvroScanBuilder(targets, schema, corruptCol,
+      Option(options.get("splitSize")).map(_.toLong)
+        .getOrElse(AvroSource.defaultSplitSize()))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(targets.length == 1,
       "graft-avro write: exactly one target directory")
@@ -238,8 +564,9 @@ class AvroTable(targets: Seq[String], schema: StructType,
   * dot-prefixed temp names (invisible to the data listing) and the
   * driver-side commit renames them in — the same publish-by-rename
   * contract the rest of the engine uses; overwrite (`SupportsTruncate`)
-  * deletes the pre-existing data files inside that same commit, after
-  * every task has succeeded.
+  * deletes the pre-existing data files inside that same commit, AFTER
+  * every new file has been renamed in (rename-first ordering: a crash
+  * mid-commit leaves old ∪ new — recoverable — never a gutted dir).
   */
 class AvroWriteBuilder(dir: String, schema: StructType)
   extends WriteBuilder with SupportsTruncate {
@@ -252,7 +579,7 @@ class AvroWriteBuilder(dir: String, schema: StructType)
   }
 }
 
-private final case class AvroTaskCommit(tempRel: String)
+private[graft] final case class AvroTaskCommit(tempRel: String)
   extends WriterCommitMessage
 
 class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
@@ -260,19 +587,43 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new AvroWriterFactory(dir, schema.json, confProps)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
-    confProps.foreach { case (k, v) => conf.set(k, v) }
-    val fs = new Path(dir).getFileSystem(conf)
-    if (overwrite)
-      scala.util.Try(TleSource.listDataFiles(dir)).getOrElse(Nil)
-        .foreach(f => fs.delete(new Path(f), false))
-    messages.foreach { case AvroTaskCommit(tempRel) =>
+  /** Phase 1 of commit: publish the new files by rename. Returns the
+    * published destination paths. Temp names are dot-prefixed and thus
+    * invisible to the data listing, so nothing is visible until each
+    * rename lands — and the pre-existing data is still fully intact
+    * through this whole phase.
+    */
+  private[graft] def renameIn(fs: org.apache.hadoop.fs.FileSystem,
+      messages: Array[WriterCommitMessage]): Set[Path] =
+    messages.map { case AvroTaskCommit(tempRel) =>
       val tmp = new Path(dir, tempRel)
       val dest = new Path(dir, tempRel.stripPrefix("."))
       require(fs.rename(tmp, dest), s"graft-avro commit: rename of " +
         s"$tmp failed")
-    }
+      dest
+    }.toSet
+  /** Phase 2 (overwrite only): delete the replaced files — everything
+    * the pre-commit listing held that is not one of the files just
+    * renamed in. Runs AFTER every rename: a driver crash anywhere
+    * between the phases leaves old ∪ new on disk (a recoverable
+    * superset), never a directory with the old data already gone and
+    * only hidden dot-temps — the warehouse's own publish order.
+    */
+  private[graft] def deleteReplaced(fs: org.apache.hadoop.fs.FileSystem,
+      preexisting: Seq[String], published: Set[Path]): Unit =
+    preexisting.map(new Path(_))
+      .filterNot(p => published.contains(fs.makeQualified(p)) ||
+        published.contains(p))
+      .foreach(p => fs.delete(p, false))
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    confProps.foreach { case (k, v) => conf.set(k, v) }
+    val fs = new Path(dir).getFileSystem(conf)
+    val preexisting =
+      if (overwrite) scala.util.Try(TleSource.listDataFiles(dir)).getOrElse(Nil)
+      else Nil
+    val published = renameIn(fs, messages)
+    if (overwrite) deleteReplaced(fs, preexisting, published)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -342,24 +693,73 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
 }
 
 class AvroScanBuilder(targets: Seq[String], full: StructType,
-    corruptCol: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+    corruptCol: String, splitSize: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(targets, required, corruptCol)
+  /** Accept the shapes the per-file stats sidecar can skip on;
+    * everything is ALSO returned as residual, so Spark re-applies each
+    * filter post-scan — pushdown here is purely an I/O cut, never a
+    * correctness dependency (TleScanBuilder's contract).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(_, _) | In(_, _) | GreaterThan(_, _) |
+           GreaterThanOrEqual(_, _) | LessThan(_, _) |
+           LessThanOrEqual(_, _) | StringStartsWith(_, _) => true
+      case _ => false
+    }
+    filters // all residual: Spark keeps the exact post-scan Filter
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new AvroScan(targets, required, corruptCol, splitSize, pushed)
 }
 
 class AvroScan(targets: Seq[String], required: StructType,
-    corruptCol: String) extends Scan with Batch {
+    corruptCol: String, splitSize: Long,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-avro ${targets.mkString(",")}, " +
-      s"columns=${required.fieldNames.mkString(",")}"
+      s"columns=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+
+  /** Drop files the sidecar stats index (`_index.json` per target
+    * directory) proves cannot contain a passing row. Files absent from
+    * the index — or targets with no index at all — always scan: a
+    * stale index skips less, never loses records.
+    */
+  private[sources] def selectedFiles(
+      files: Seq[(String, Long)]): Seq[(String, Long)] = {
+    if (filters.isEmpty) return files
+    val idx: Map[String, Map[String, AvroSource.ColStats]] =
+      targets.flatMap { t =>
+        val sep = if (t.endsWith("/")) "" else "/"
+        scala.util.Try(AvroSource.readIndex(t)).getOrElse(Map.empty)
+          .map { case (rel, st) => s"$t$sep$rel" -> st }
+      }.toMap
+    if (idx.isEmpty) return files
+    files.filter { case (f, _) =>
+      idx.get(f) match {
+        case None => true
+        case Some(st) =>
+          val ok = filters.forall(AvroSource.statsMayMatch(st, _))
+          if (!ok) AvroSource.skippedFiles.incrementAndGet()
+          ok
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    AvroSource.resolveFiles(targets).map(AvroFilePartition)
-      .toArray[InputPartition]
+    AvroSource.planSplits(
+      selectedFiles(AvroSource.resolveFilesWithLen(targets)), splitSize)
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required, corruptCol,
       TleSource.sessionConfProps())
@@ -392,8 +792,15 @@ class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan)
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TleFileSetOffset].files.toSet
-    end.asInstanceOf[TleFileSetOffset].files.filterNot(seen)
-      .map(AvroFilePartition).toArray[InputPartition]
+    // one partition per NEW file (no byte-range split here: a
+    // micro-batch's unit of progress is the landed file, and landing
+    // waves arrive as many task-sized files by the write contract).
+    // The offset tracks EVERY file — progress must not depend on the
+    // filter — but stats-skipped files plan no reader work.
+    scan.selectedFiles(
+        end.asInstanceOf[TleFileSetOffset].files.filterNot(seen).map(_ -> 0L))
+      .map { case (f, _) => AvroFilePartition(f, 0L, AvroSource.NoEnd) }
+      .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
     scan.createReaderFactory()
@@ -401,23 +808,32 @@ class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan)
   override def stop(): Unit = ()
 }
 
-case class AvroFilePartition(file: String) extends InputPartition
+/** One container file or one byte range of it — `[start, end)` in the
+  * `sync`/`pastSync` contract; `end == AvroSource.NoEnd` means read to
+  * EOF with no range checks (the whole-file fast path). */
+case class AvroFilePartition(file: String, start: Long = 0L,
+    end: Long = AvroSource.NoEnd) extends InputPartition
 
 class AvroReaderFactory(required: StructType, corruptCol: String,
     confProps: Array[(String, String)]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new AvroFileReader(p.asInstanceOf[AvroFilePartition].file, required,
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[AvroFilePartition]
+    new AvroFileReader(fp.file, fp.start, fp.end, required,
       corruptCol, confProps)
+  }
 }
 
-/** Streams one container file. The expected (reader) schema handed to
+/** Streams one container file, or one `[start, end)` byte range of it
+  * (blocks covered by the `sync`/`pastSync` contract — adjacent ranges
+  * partition the file's blocks exactly). The expected (reader) schema handed to
   * Avro holds exactly the required data fields present in the writer
   * schema, with the WRITER's own types — resolution then skips
   * everything else inside the decoder; Spark-type coercion (with the
   * null-on-failure contract) happens per value on the way into the
   * `InternalRow`.
   */
-class AvroFileReader(file: String, required: StructType,
+class AvroFileReader(file: String, start: Long, end: Long,
+    required: StructType,
     corruptCol: String, confProps: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
@@ -429,6 +845,12 @@ class AvroFileReader(file: String, required: StructType,
   private val reader = {
     val datum = new GenericDatumReader[GenericRecord]()
     val r = DataFileReader.openReader(new FsInput(new Path(file), conf), datum)
+    // byte-range positioning: sync(start) lands on the first block
+    // boundary at/after start (the header ends with the sync marker,
+    // so start == 0 would find block one — but the whole-file path
+    // skips the scan entirely); pastSync(end) in next() stops after
+    // the last block owned by this range
+    if (start > 0L) r.sync(start)
     val writer = r.getSchema
     val wanted = required.fieldNames.filter(n =>
       n != corruptCol && writer.getField(n) != null)
@@ -503,6 +925,7 @@ class AvroFileReader(file: String, required: StructType,
   }
 
   override def next(): Boolean = {
+    if (end != AvroSource.NoEnd && reader.pastSync(end)) return false
     if (!reader.hasNext) return false
     val rec = reader.next()
     val out = new Array[Any](plan.length)

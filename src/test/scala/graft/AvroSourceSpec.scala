@@ -185,6 +185,109 @@ class AvroSourceSpec extends SparkSpec {
       .collect().toSeq.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("sync-marker SPLIT: a multi-block container file read as N " +
+    "byte-range partitions equals the single-partition read " +
+    "row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrosplit-")
+      .toString
+    // many small blocks: the minimum sync interval forces a block per
+    // few records, giving the byte ranges real boundaries to land on
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    w.setSyncInterval(32)
+    w.create(writerSchema, new File(dir, "big.avro"))
+    try (0L until 500L).foreach { k =>
+      val r = new GenericData.Record(writerSchema)
+      r.put("k", k); r.put("name", s"name-$k"); r.put("price", s"$k.5")
+      r.put("extra", k * 10)
+      w.append(r)
+    } finally w.close()
+    val whole = spark.read.format("graft-avro").load(dir)
+    assert(whole.rdd.getNumPartitions === 1, "below the default split " +
+      "size the file must stay one whole-file partition")
+    val wholeRows = whole.orderBy("k")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val split = spark.read.format("graft-avro")
+      .option("splitSize", 1024).load(dir)
+    assert(split.rdd.getNumPartitions > 1,
+      "splitSize below the file length must plan multiple byte ranges")
+    assert(split.orderBy("k").as[(Long, String, String, Long)]
+      .collect().toSeq === wholeRows)
+    assert(wholeRows.length === 500)
+  }
+
+  test("filter pushdown + stats sidecar: a selective predicate SKIPS " +
+    "indexed files that provably can't match; files landed after the " +
+    "index write always scan (stale index loses nothing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avroidx-")
+      .toString
+    writeFile(dir, (0L until 50L).map(k => (k, s"lo-$k", s"$k.0")))
+    writeFile(dir, (1000L until 1050L).map(k => (k, s"hi-$k", s"$k.0")))
+    AvroSource.writeIndex(spark, dir)
+    // the counter asserts per-planning PARITY, not absolute counts —
+    // DSv2 may plan a scan's partitions more than once per query
+    val before = AvroSource.skippedFiles.get()
+    val got = spark.read.format("graft-avro").load(dir)
+      .where($"k" >= 1000L).select($"k").as[Long].collect().toSeq.sorted
+    assert(got === (1000L until 1050L))
+    assert(AvroSource.skippedFiles.get() > before,
+      "the lo-range file must be skipped at plan time")
+    // string-range skip on a different column
+    val b2 = AvroSource.skippedFiles.get()
+    assert(spark.read.format("graft-avro").load(dir)
+      .where($"name".startsWith("lo-")).count() === 50L)
+    assert(AvroSource.skippedFiles.get() > b2,
+      "the hi-names file must be skipped for the prefix filter")
+    // stale index: a file landed AFTER the index write is absent from
+    // it and must always scan — only the two indexed files ever skip
+    // (delta stays even), and the late row is found
+    writeFile(dir, Seq((5000L, "late", "1.0")))
+    val b3 = AvroSource.skippedFiles.get()
+    assert(spark.read.format("graft-avro").load(dir)
+      .where($"k" === 5000L).count() === 1L)
+    val d3 = AvroSource.skippedFiles.get() - b3
+    assert(d3 > 0 && d3 % 2 === 0,
+      "both indexed files skip per planning; the unindexed late file scans")
+  }
+
+  test("overwrite commit order: new files rename IN before old files " +
+    "delete — the crash window between the phases reads old ∪ new, " +
+    "never a gutted directory") {
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    import graft.sources.{AvroBatchWrite, AvroTaskCommit, TleSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avroow-")
+      .toString
+    writeFile(dir, Seq((1L, "old1", "1.0"), (2L, "old2", "2.0")))
+    val preexisting = TleSource.listDataFiles(dir)
+    assert(preexisting.nonEmpty)
+    // completed-task state: the new generation sits in dot-temps
+    // (invisible to the data listing), exactly what commit() sees
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    w.create(writerSchema, new File(dir, ".part-00000-7.avro"))
+    try Seq(10L, 11L).foreach { k =>
+      val r = new GenericData.Record(writerSchema)
+      r.put("k", k); r.put("name", s"new-$k"); r.put("price", null)
+      r.put("extra", 0L)
+      w.append(r)
+    } finally w.close()
+    val bw = new AvroBatchWrite(dir, spark.read.format("graft-avro")
+      .load(dir).schema, true, TleSource.sessionConfProps())
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    val published = bw.renameIn(fs,
+      Array[WriterCommitMessage](AvroTaskCommit(".part-00000-7.avro")))
+    // CRASH WINDOW: phase 1 done, phase 2 not — the directory must
+    // read as a recoverable superset (old ∪ new), not empty/partial
+    val mid = spark.read.format("graft-avro").load(dir)
+      .select($"k").as[Long].collect().toSet
+    assert(mid === Set(1L, 2L, 10L, 11L),
+      "between the commit phases old AND new data must both be intact")
+    bw.deleteReplaced(fs, preexisting, published)
+    assert(spark.read.format("graft-avro").load(dir)
+      .select($"k").as[Long].collect().toSet === Set(10L, 11L))
+  }
+
   test("int/long/float/double widenings coerce exactly; long→int " +
     "overflow nulls instead of wrapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")

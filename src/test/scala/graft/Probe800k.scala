@@ -60,8 +60,8 @@ object Probe800k {
     }
 
     // r13: COLD UNFILTERED plan — the list STREAMS in rel-sorted
-    // ≤64k-entry chunks (toLocalIterator over the range-partitioned
-    // checkpoint scan); no slim list is driver-resident at all (r12
+    // ≤64k-entry chunks (toLocalIterator over the hash-repartitioned,
+    // within-partition-sorted checkpoint scan); no slim list is driver-resident at all (r12
     // held ~112 MiB of slim entries here; ~1.1 GiB at 8M files)
     Warehouse.invalidateCached(s"$dir#big#")
     graft.pipeline.LazyManifestFileIndex.dirMemoClear()
