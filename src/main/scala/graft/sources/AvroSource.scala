@@ -766,7 +766,7 @@ class AvroScan(targets: Seq[String], required: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream =
-    new AvroMicroBatchStream(targets, this)
+    new AvroMicroBatchStream(targets, this, checkpointLocation)
 }
 
 /** Streaming form of the Avro landing read — corpus waves arriving as
@@ -778,17 +778,22 @@ class AvroScan(targets: Seq[String], required: StructType,
   * landing contract, and the graft-avro write path itself publishes by
   * rename), so commit is a no-op.
   */
-class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan)
+class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
+    checkpointLocation: String)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  // compacts offsets against ledger snapshots under the query's own
+  // checkpoint dir once the seen set outgrows the full-list bound
+  private val ledger = new FileSetLedger(checkpointLocation)
+
   private def snapshot(): TleFileSetOffset =
-    TleFileSetOffset(AvroSource.resolveFiles(targets))
+    ledger.offsetFor(AvroSource.resolveFiles(targets))
 
   override def initialOffset(): Offset = TleFileSetOffset(Seq.empty)
   override def latestOffset(): Offset = snapshot()
   override def deserializeOffset(json: String): Offset =
-    TleFileSetOffset.fromJson(json)
+    ledger.adopt(TleFileSetOffset.fromJson(json))
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TleFileSetOffset].files.toSet

@@ -317,7 +317,7 @@ class TleScan(path: String, required: StructType, filters: Array[Filter],
       TleFileReader.compile(filters), noradLo, noradHi)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TleMicroBatchStream(path, required, this)
+    new TleMicroBatchStream(path, required, this, checkpointLocation)
 }
 
 /** Streaming form of the landing-zone read — the reference's poll loop
@@ -336,15 +336,19 @@ class TleScan(path: String, required: StructType, filters: Array[Filter],
   * (writers write to `_tmp` then rename), so `commit` is a no-op.
   */
 class TleMicroBatchStream(path: String, required: StructType,
-    scan: TleScan) extends MicroBatchStream {
+    scan: TleScan, checkpointLocation: String) extends MicroBatchStream {
+
+  // compacts offsets against ledger snapshots under the query's own
+  // checkpoint dir once the seen set outgrows the full-list bound
+  private val ledger = new FileSetLedger(checkpointLocation)
 
   private def snapshot(): TleFileSetOffset =
-    TleFileSetOffset(TleSource.listDataFiles(path))
+    ledger.offsetFor(TleSource.listDataFiles(path))
 
   override def initialOffset(): Offset = TleFileSetOffset(Seq.empty)
   override def latestOffset(): Offset = snapshot()
   override def deserializeOffset(json: String): Offset =
-    TleFileSetOffset.fromJson(json)
+    ledger.adopt(TleFileSetOffset.fromJson(json))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TleFileSetOffset].files.toSet
@@ -362,27 +366,161 @@ class TleMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-/** Offset = the sorted list of data files already in the stream.
-  * (De)serialized with Jackson (ships with Spark) so arbitrary path
-  * characters round-trip.
+/** Offset = the set of data files already in the stream. Two wire
+  * forms, distinguished by the JSON root:
+  *
+  *   - an ARRAY of file names (the legacy full-list form) — what small
+  *     landing directories write, and what every pre-existing
+  *     checkpoint holds;
+  *   - an OBJECT `{"ledger": path, "n": count, "tail": [names]}` — the
+  *     COMPACTED form: `ledger` points at an immutable full-listing
+  *     snapshot file under the query's own checkpoint directory
+  *     (durable across restarts by construction) and `tail` carries
+  *     only the names seen since that freeze. A long-lived landing
+  *     directory's offset log then grows O(tail) per commit instead of
+  *     O(|files ever seen|) — the r13 gap where a 100k-file history
+  *     serialized every name into every checkpoint write.
+  *
+  * In memory `files` is ALWAYS the fully-expanded set, so
+  * `planInputPartitions`' new-minus-old math is unchanged (robust to
+  * out-of-order names, no modtime clock). Expansion of a compact
+  * offset is a superset of the current listing when the landing zone
+  * was pruned meanwhile — harmless under the write-once landing-name
+  * contract (a pruned name never comes back as new data).
   */
-case class TleFileSetOffset(files: Seq[String]) extends Offset {
+case class TleFileSetOffset(files: Seq[String],
+    ledgerRef: Option[(String, Seq[String])] = None) extends Offset {
   override def json(): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = m.createArrayNode()
-    files.foreach(arr.add)
-    m.writeValueAsString(arr)
+    ledgerRef match {
+      case Some((path, tail)) =>
+        val o = m.createObjectNode()
+        o.put("ledger", path)
+        o.put("n", files.size - tail.size)
+        val arr = o.putArray("tail")
+        tail.foreach(arr.add)
+        m.writeValueAsString(o)
+      case None =>
+        val arr = m.createArrayNode()
+        files.foreach(arr.add)
+        m.writeValueAsString(arr)
+    }
   }
 }
 
 object TleFileSetOffset {
+  /** Offsets stay the plain full-list form until the file count
+    * crosses this; past it, the tail re-freezes into a new ledger
+    * whenever it outgrows the same bound. Bounds every offset write to
+    * ~TailBound names + one path. */
+  val TailBound = 512
+
   def fromJson(json: String): TleFileSetOffset = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.readTree(json)
+    if (node.isArray) {
+      val buf = ArrayBuffer.empty[String]
+      val it = node.elements()
+      while (it.hasNext) buf += it.next().asText()
+      TleFileSetOffset(buf.toSeq)
+    } else {
+      val path = node.get("ledger").asText()
+      val tail = ArrayBuffer.empty[String]
+      val it = node.get("tail").elements()
+      while (it.hasNext) tail += it.next().asText()
+      val ledgerFiles = FileSetLedger.readLedger(path)
+      TleFileSetOffset(ledgerFiles ++ tail.filterNot(ledgerFiles.toSet),
+        Some((path, tail.toSeq)))
+    }
+  }
+}
+
+/** Driver-side bookkeeping that COMPACTS file-set offsets against
+  * ledger snapshots under `<checkpoint>/graft-file-ledger/` — shared
+  * by the TLE and Avro landing streams. Ledger files are immutable,
+  * content-named (same listing ⇒ same name, so a re-freeze after
+  * replay is a no-op write), published by write-then-rename, and never
+  * deleted: an uncommitted batch's offset replayed after restart may
+  * reference any previously-written ledger.
+  */
+final class FileSetLedger(checkpointLocation: String) {
+  private val dirPath = new Path(checkpointLocation, "graft-file-ledger")
+  // (ledger file path, the names it holds) — the freeze the next
+  // offsets ride on until their tail outgrows TailBound
+  @volatile private var current: Option[(String, Set[String])] = None
+
+  /** The offset for listing `files`: plain full-list below the bound;
+    * past it, reuse the current ledger while the tail stays small and
+    * freeze a fresh full snapshot when it doesn't. */
+  def offsetFor(files: Seq[String]): TleFileSetOffset = {
+    if (files.size <= TleFileSetOffset.TailBound)
+      return TleFileSetOffset(files)
+    current match {
+      case Some((path, set)) if files.count(f => !set(f)) <=
+          TleFileSetOffset.TailBound =>
+        TleFileSetOffset(files, Some((path, files.filterNot(set))))
+      case _ =>
+        val path = freeze(files)
+        TleFileSetOffset(files, Some((path, Nil)))
+    }
+  }
+
+  /** Adopt a deserialized (restart) offset's ledger as current, so the
+    * next [[offsetFor]] keeps riding it instead of re-freezing. */
+  def adopt(off: TleFileSetOffset): TleFileSetOffset = {
+    off.ledgerRef.foreach { case (path, tail) =>
+      current = Some((path, off.files.toSet -- tail))
+    }
+    off
+  }
+
+  private def freeze(files: Seq[String]): String = {
+    val sorted = files.sorted
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+    val fs = dirPath.getFileSystem(FileSetLedger.hadoopConf())
+    val dest = new Path(dirPath, s"ledger-${sorted.size}-$digest.json")
+    if (!fs.exists(dest)) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = m.createArrayNode()
+      sorted.foreach(arr.add)
+      val tmp = new Path(dirPath,
+        s".ledger-${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(m.writeValueAsString(arr)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, dest), s"ledger publish failed: $dest")
+    }
+    current = Some((dest.toString, sorted.toSet))
+    dest.toString
+  }
+}
+
+object FileSetLedger {
+  /** The session's Hadoop configuration when one is live, else a bare
+    * default — ledger I/O is driver-side and must not REQUIRE a
+    * session (offset (de)serialization can run before one exists). */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** The sorted listing a ledger file froze. */
+  def readLedger(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf())
+    val in = fs.open(p)
+    val text = try {
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
     val buf = ArrayBuffer.empty[String]
     val it = node.elements()
     while (it.hasNext) buf += it.next().asText()
-    TleFileSetOffset(buf.toSeq)
+    buf.toSeq
   }
 }
 
