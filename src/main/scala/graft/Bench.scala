@@ -26,9 +26,15 @@ object Bench {
   //     is "healthy"; a pass whose surrounding probes exceed
   //     CleanFactor x that minimum is dirty.
   //   * a query with no clean pass is RE-RUN (bounded budget) until a
-  //     clean pass lands; the recorded number is the min wall over clean
-  //     passes when any exist, else the min over everything (failures
-  //     stay negative and still win the min).
+  //     clean pass lands, and whatever is STILL dirty after the whole
+  //     run gets a final end-of-run sweep (r14): a probe-gated
+  //     cool-down, then a lifted per-query retry cap — co-tenancy is
+  //     bursty, so the artifact of record lands clean whenever the
+  //     contention ever lets up during the capture.
+  //   * the recorded number is the min wall over clean passes when any
+  //     exist, else the min over everything; a FAILED pass (negative
+  //     wall) always stays visible — a later clean success must not
+  //     launder an intermittent failure.
   //   * the trailer emits "contended": true/false plus probe stats and
   //     the pre-session load average, so the driver's artifact
   //     self-adjudicates instead of needing a manual idle-box re-run.
@@ -178,15 +184,61 @@ object Bench {
       }
       name -> passes
     }
-    // Recorded pass per query: min wall over clean passes when any pass
-    // is clean, else min over all (and the query counts as contended).
-    val detailed = repaired.map { case (name, passes) =>
-      val clean = passes.filter(p => isClean(p._3))
-      val pool = if (clean.nonEmpty) clean else passes
-      val best = pool.minBy(_._1)
-      (name, best, clean.isEmpty)
+    // FINAL SWEEP over whatever stayed dirty. Co-tenancy is bursty:
+    // the inline repair above gives up while the co-tenant is still
+    // resident, but by end-of-run it has usually left (r13's artifact
+    // shipped contended:true with 8 dirty queries a calm re-run timed
+    // at a third of their recorded walls). So: wait for the PROBE
+    // itself to read healthy (bounded cool-down), then re-run each
+    // remaining dirty query with a lifted per-query cap under its own
+    // budget — the artifact of record should land clean on any box
+    // whose contention ever lets up.
+    val SweepBudget = 120
+    var sweepUsed = 0
+    val stillDirty = repaired.exists { case (_, passes) =>
+      passes.map(p => math.abs(p._1)).min > 0.25 &&
+        !passes.exists(p => isClean(p._3))
     }
-    val results = detailed.map { case (name, (wall, _, _), _) => name -> wall }
+    if (stillDirty) {
+      var waits = 0
+      while (waits < 15 && probe() > CleanFactor * probeMin) {
+        Thread.sleep(2000); waits += 1
+      }
+    }
+    val swept = repaired.map { case (name, passes0) =>
+      var passes = passes0
+      val dirty = passes.map(p => math.abs(p._1)).min > 0.25 &&
+        !passes.exists(p => isClean(p._3))
+      if (dirty) {
+        val fn = queries.find(_._1 == name).get._2
+        var tries = 0
+        while (tries < 6 && sweepUsed < SweepBudget &&
+               !passes.exists(p => isClean(p._3))) {
+          passes = passes :+ timeOnce(name, fn)
+          sweepUsed += 1; tries += 1
+        }
+      }
+      name -> passes
+    }
+    // Recorded pass per query: a FAILED pass stays visible no matter
+    // what (an intermittent failure must not be laundered by a later
+    // clean success — the negative wall wins the min); otherwise min
+    // wall over clean passes when any pass is clean, else min over all
+    // (and the query counts as contended).
+    val detailed = swept.map { case (name, passes) =>
+      val clean = passes.filter(p => isClean(p._3))
+      val pool =
+        if (passes.exists(_._1 < 0)) passes
+        else if (clean.nonEmpty) clean else passes
+      val best = pool.minBy(_._1)
+      // run-to-run spread across SUCCESSFUL passes of the pool the
+      // number was picked from — wide spread (the commit-heavy fixture
+      // queries swing 1.3-2x) flags a number too noisy to diff against
+      val walls = pool.map(_._1).filter(_ > 0)
+      val spread = if (walls.size >= 2) walls.max / walls.min else 1.0
+      (name, best, clean.isEmpty, spread)
+    }
+    val results = detailed.map { case (name, (wall, _, _), _, _) => name -> wall }
     // Millisecond precision keeps the per-query JSON line compact (~3 KB
     // for 100 queries instead of ~6 KB of full-double digits).
     def fmt(v: Double): String = {
@@ -196,13 +248,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // "queries" stays a plain name→seconds map (the driver's parser
-    // depends on that shape); the wall+cpu pairs ride in a parallel
-    // "detail" map for the contention post-mortem.
-    val det = detailed.map { case (k, (w, c, _), _) =>
-      s"\"" + k + "\":{\"wall\":" + fmt(w) + ",\"cpu\":" + fmt(c) + "}"
+    // depends on that shape); the wall+cpu+spread triples ride in a
+    // parallel "detail" map for the contention post-mortem (spread =
+    // max/min wall across the successful passes the number was picked
+    // from — >1.3 marks a number too noisy to diff against).
+    val det = detailed.map { case (k, (w, c, _), _, sp) =>
+      s"\"" + k + "\":{\"wall\":" + fmt(w) + ",\"cpu\":" + fmt(c) +
+        ",\"spread\":" + fmt(sp) + "}"
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    val totalCpu = detailed.map { case (_, (_, c, _), _) => c }.sum
+    val totalCpu = detailed.map { case (_, (_, c, _), _, _) => c }.sum
     val failed = results.count(_._2 < 0)
     // 1-minute system load average at end of run: load >> cores while
     // wall >> cpu pins the blame on co-tenant processes.
@@ -225,10 +280,11 @@ object Bench {
     // "pre_load" (co-tenant load before Spark started). probe_min is the
     // healthiest observed spin time; probe_max/probe_min >> CleanFactor
     // means the box's speed moved materially during the capture.
-    val dirtyQs = detailed.collect { case (n, (w, _, _), true) if math.abs(w) > 0.25 => n }
+    val dirtyQs = detailed.collect {
+      case (n, (w, _, _), true, _) if math.abs(w) > 0.25 => n }
     val contended = dirtyQs.nonEmpty || preLoad > cpus * 0.25
     val dirtyJson = dirtyQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"contention","contended":$contended,"dirty":$dirtyJson,"reruns":$rerunsUsed,"probe_min":${fmt(probeMin)},"probe_max":${fmt(probeMax)},"pre_load":${fmt(preLoad)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"contention","contended":$contended,"dirty":$dirtyJson,"reruns":$rerunsUsed,"sweep_reruns":$sweepUsed,"probe_min":${fmt(probeMin)},"probe_max":${fmt(probeMax)},"pre_load":${fmt(preLoad)},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"cpu_total":${fmt(totalCpu)},"load_avg":${fmt(load)},"cores":$cpus,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
