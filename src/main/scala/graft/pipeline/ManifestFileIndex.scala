@@ -174,7 +174,9 @@ class LazyManifestFileIndex(
     memoKey: Option[String] = None,
     dvRef: FileEntry => Option[(String, String)] = _ => None,
     dvFeed: (String, String) => Unit = (_, _) => (),
-    streamAll: () => Option[Iterator[FileEntry]] = () => None)
+    streamAll: () => Option[Iterator[FileEntry]] = () => None,
+    streamFiltered: (Seq[Expression], Seq[Expression])
+      => Option[Iterator[FileEntry]] = (_, _) => None)
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
@@ -307,12 +309,18 @@ class LazyManifestFileIndex(
         // a TRULY unfiltered cold list (SELECT *, count(*)) needs every
         // entry with no skipping at all — feed it from the sorted
         // chunked stream so the slim list is never driver-resident
-        // (O(chunk), not O(|files|)); filtered/untranslatable asks keep
-        // the prune + exact-delegate path (skipping semantics live
-        // there)
+        // (O(chunk), not O(|files|)). A DATA-ONLY filtered ask may also
+        // stream (weakly-selective filters keep ~O(|files|) survivors):
+        // data filters re-evaluate per row in the scan, so the in-scan
+        // stat/segment prune needs no driver-side exactness pass —
+        // unlike PARTITION filters, whose listFiles result is
+        // authoritative (rows are not re-checked against them), so any
+        // partition-filtered ask keeps the prune + exact-delegate path.
         val streamed =
           if (partitionFilters.isEmpty && dataFilters.isEmpty)
             streamAll().map(streamedDirs)
+          else if (partitionFilters.isEmpty)
+            streamFiltered(partitionFilters, dataFilters).map(streamedDirs)
           else None
         val (exact, pairs) = streamed.getOrElse {
           val survivors = prune(partitionFilters, dataFilters)

@@ -1241,25 +1241,20 @@ class Warehouse(spark: SparkSession, dir: String,
     *   distributed scan, so a one-partition read of an 800k-entry
     *   table collects only that partition's entries.
     */
-  private[graft] def prunedEntries(name: String, version: Long,
+  /** The shared DISTRIBUTED half of the filtered prune: the columnar
+    * checkpoint restricted to the stat-range + rel-segment condition,
+    * plus the delta overlay every drain must apply. None when no
+    * columnar checkpoint serves the version (callers fall back to the
+    * eager fold). */
+  private def pruneScan(name: String, version: Long,
       ranges: Map[String, (Long, Long)],
-      relConjuncts: Seq[Seq[String]] = Nil): Option[Seq[FileEntry]] = {
+      relConjuncts: Seq[Seq[String]])
+      : Option[(DataFrame,
+          scala.collection.mutable.HashSet[String],
+          scala.collection.mutable.LinkedHashMap[String, FileEntry],
+          Seq[String])] = {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val fs = fileSystem
-    // identical (version, filter-shape) asks memoize: 100 sequential
-    // filtered reads of one cold table run ONE distributed prune per
-    // distinct filter, not one per query. Only CONFIRMED versions are
-    // immutable (same one-way rule as [[slimEntriesAt]], checked
-    // BEFORE the read) — a pending version's slot can be aborted and
-    // re-committed with different content, so it never memoizes.
-    val memoKey = cacheKey(name, version) + "#" +
-      ranges.toSeq.sortBy(_._1).mkString(";") + "#" +
-      relConjuncts.map(_.mkString("|")).mkString("&")
-    Warehouse.pruneMemoGet(memoKey) match {
-      case Some(hit) => return Some(hit)
-      case None =>
-    }
-    val memoizable = isVisible(name, version)
     val ckpt = checkpointBelow(name, version)
       .filter(v => fs.exists(mfpPath(name, v)))
       .getOrElse(return None)
@@ -1284,7 +1279,42 @@ class Warehouse(spark: SparkSession, dir: String,
     }
     val statColsInDf = base.columns.toSeq.collect {
       case n if n.startsWith("__lo_") => n.stripPrefix("__lo_") }
-    val survivors = base.where(cond).collect().map { r =>
+    Some((base.where(cond), removed, upserts, statColsInDf))
+  }
+
+  /** A delta upsert passes the same range check the in-scan statCond
+    * applied to checkpoint rows (delta state is batch-bounded). */
+  private def entryOverlaps(e: FileEntry,
+      ranges: Map[String, (Long, Long)]): Boolean =
+    ranges.forall { case (c, (lo, hi)) =>
+      e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+
+  /** ... and the same rel-segment CNF, driver-side. */
+  private def entryRelKeep(e: FileEntry,
+      relConjuncts: Seq[Seq[String]]): Boolean =
+    relConjuncts.forall(alts =>
+      alts.exists(s => ("/" + e.rel).contains(s)))
+
+  private[graft] def prunedEntries(name: String, version: Long,
+      ranges: Map[String, (Long, Long)],
+      relConjuncts: Seq[Seq[String]] = Nil): Option[Seq[FileEntry]] = {
+    // identical (version, filter-shape) asks memoize: 100 sequential
+    // filtered reads of one cold table run ONE distributed prune per
+    // distinct filter, not one per query. Only CONFIRMED versions are
+    // immutable (same one-way rule as [[slimEntriesAt]], checked
+    // BEFORE the read) — a pending version's slot can be aborted and
+    // re-committed with different content, so it never memoizes.
+    val memoKey = cacheKey(name, version) + "#" +
+      ranges.toSeq.sortBy(_._1).mkString(";") + "#" +
+      relConjuncts.map(_.mkString("|")).mkString("&")
+    Warehouse.pruneMemoGet(memoKey) match {
+      case Some(hit) => return Some(hit)
+      case None =>
+    }
+    val memoizable = isVisible(name, version)
+    val (filtered, removed, upserts, statColsInDf) =
+      pruneScan(name, version, ranges, relConjuncts).getOrElse(return None)
+    val survivors = filtered.collect().map { r =>
       FileEntry(r.getString(r.fieldIndex("rel")),
         r.getLong(r.fieldIndex("bytes")),
         statColsInDf.flatMap { c =>
@@ -1297,19 +1327,59 @@ class Warehouse(spark: SparkSession, dir: String,
         r.getString(r.fieldIndex("dv")),
         r.getLong(r.fieldIndex("dvRows")))
     }
-    def overlaps(e: FileEntry): Boolean = ranges.forall { case (c, (lo, hi)) =>
-      e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
-    // delta upserts get the SAME rel-segment check driver-side (the
-    // delta state is batch-bounded, never the table)
-    def relKeep(e: FileEntry): Boolean = relConjuncts.forall(alts =>
-      alts.exists(s => ("/" + e.rel).contains(s)))
     Warehouse.columnarPrunes.incrementAndGet()
     val result = (survivors.iterator
       .filterNot(e => removed(e.rel) || upserts.contains(e.rel)) ++
-      upserts.valuesIterator.filter(e => overlaps(e) && relKeep(e)))
+      upserts.valuesIterator.filter(e =>
+        entryOverlaps(e, ranges) && entryRelKeep(e, relConjuncts)))
       .toSeq.sortBy(_.rel)
     if (memoizable) Warehouse.pruneMemoPut(memoKey, result)
     Some(result)
+  }
+
+  /** The filtered prune as a CHUNKED stream — [[slimEntriesStream]]'s
+    * driver-residency contract extended to WEAKLY-SELECTIVE filters:
+    * a 90%-survivor stat-range filter at the 8M-file design point
+    * would hold ~O(|files|) entries through [[prunedEntries]]'
+    * collect; here survivors drain partition-at-a-time in rel-sorted
+    * ~64k-entry chunks (hash repartition + within-partition sort, the
+    * same shape [[slimEntriesStream]] feeds the streamed directory
+    * fold). Returns None when no checkpoint serves the version OR the
+    * survivor count — one exact, distributed columnar aggregate, paid
+    * only on asks already past the caller's table-size gate — is
+    * at/below `threshold`: the collect+memoize path is cheaper there
+    * and serves repeated asks for free. Delta-overlay correctness
+    * matches [[prunedEntries]]: removed and re-upserted rels drop out
+    * of the checkpoint stream; surviving upserts (batch-bounded by
+    * contract) append at the end as their own chunk-runs, which the
+    * streamed directory fold handles like any cross-chunk dir split.
+    * Never memoizes — the point is not holding the list; warm-path
+    * economics live in the cross-plan directory memo.
+    */
+  private[graft] def prunedEntriesStream(name: String, version: Long,
+      ranges: Map[String, (Long, Long)],
+      relConjuncts: Seq[Seq[String]],
+      threshold: Long): Option[Iterator[FileEntry]] = {
+    import org.apache.spark.sql.functions.col
+    val (filtered, removed, upserts, _) =
+      pruneScan(name, version, ranges, relConjuncts).getOrElse(return None)
+    val slim = filtered.select("rel", "bytes", "rows", "dv", "dvRows")
+    val cnt = slim.count()
+    if (cnt <= threshold) return None
+    Warehouse.streamedPrunes.incrementAndGet()
+    val chunks = math.max(1L, (cnt + 65535L) / 65536L).toInt
+    import scala.jdk.CollectionConverters._
+    val ckptIt = slim
+      .repartition(chunks, col("rel"))
+      .sortWithinPartitions("rel")
+      .toLocalIterator().asScala
+      .map(r => FileEntry(r.getString(0), r.getLong(1),
+        Map.empty[String, (Long, Long)], r.getLong(2), r.getString(3),
+        r.getLong(4)))
+      .filterNot(e => removed(e.rel) || upserts.contains(e.rel))
+    val upsertIt = upserts.valuesIterator.filter(e =>
+      entryOverlaps(e, ranges) && entryRelKeep(e, relConjuncts))
+    Some(ckptIt ++ upsertIt)
   }
 
   /** `version`'s entries restricted to `ranges`, picking the cheapest
@@ -2991,7 +3061,24 @@ class Warehouse(spark: SparkSession, dir: String,
       streamAll = () =>
         if (agg.files > Warehouse.streamListThreshold)
           slimEntriesStream(name, version, agg.files)
-        else None)
+        else None,
+      // data-only filtered asks on tables past the hybrid bound may
+      // stream their survivors too (a weakly-selective filter keeps
+      // ~O(|files|)); the survivor count inside decides — at/below the
+      // bound it returns None and the collect+memoize path serves
+      streamFiltered = (pf, dfilt) =>
+        if (agg.files <= Warehouse.streamListThreshold) None
+        else {
+          val ranges = ManifestFileIndex.envelopeRanges(dfilt)
+          val conjs =
+            ManifestFileIndex.partitionSegments(pf, partitionSchema,
+              utcRender) ++
+            ManifestFileIndex.derivedSegments(dfilt, pruners,
+              partitionSchema, utcRender)
+          if (ranges.isEmpty && conjs.isEmpty) None // streamAll's case
+          else prunedEntriesStream(name, version, ranges, conjs,
+            Warehouse.streamListThreshold)
+        })
     val relation = relationWithIndex(name, index, partitionSchema)
     // COLUMN-LEVEL statistics at [[statsRelation]] parity, folded
     // distributed (NDV from the HLL sidecars via [[lazyNdv]], min/max
@@ -8440,6 +8527,10 @@ object Warehouse {
     * resident slim list) — specs assert the streamed path actually
     * ran and that it left the slim cache unpopulated. */
   private[graft] val streamedLists =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** FILTERED prunes whose survivors streamed chunk-wise instead of
+    * collecting (weakly-selective filter past the hybrid bound). */
+  private[graft] val streamedPrunes =
     new java.util.concurrent.atomic.AtomicLong(0L)
   /** Bloom sidecar probe sets served as a Spark job (candidate count
     * over [[Warehouse!.bloomProbeDistributedThreshold]]). */

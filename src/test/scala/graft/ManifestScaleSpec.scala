@@ -828,4 +828,89 @@ class ManifestScaleSpec extends SparkSpec {
     assert(Warehouse.slimCacheGet(wh.currentCacheKey("big", 2L)).isDefined,
       "under the threshold the slim list memoizes")
   }
+
+  test("a WEAKLY-SELECTIVE data filter past the hybrid bound STREAMS " +
+    "its survivors chunk-wise (no driver-resident survivor list); a " +
+    "selective filter under the same thresholds keeps the collect path") {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    import graft.pipeline.LazyManifestFileIndex
+    val dir = Files.createTempDirectory("graft-mscale-").toString
+    val wh = new Warehouse(spark, dir, checkpointInterval = 1,
+      specs = Map("big" -> Warehouse.TableSpec(schema,
+        statColumns = Seq("k"))))
+    wh.columnarThreshold = 1000L
+    wh.bootstrap()
+    val n = 100000
+    val lines = new StringBuilder("graft-manifest 1")
+    (0 until n).foreach { i =>
+      lines.append(s"\npart-$i.parquet\t1048576\tk=$i:${i + 9}\t100\t\t0")
+    }
+    Files.write(
+      Paths.get(dir, "big", "_manifests", "v000000000002.mf"),
+      lines.result().getBytes(StandardCharsets.UTF_8))
+    assert(wh.materializeColumnar("big"))
+    Warehouse.invalidateCached(s"$dir#big#")
+
+    // the resolved filter + lazy index straight off a real plan, so the
+    // listFiles ask is exactly what FileSourceScanExec would issue
+    def planParts(cond: org.apache.spark.sql.Column)
+        : (Seq[Expression], org.apache.spark.sql.execution.datasources
+          .FileIndex) = {
+      val qe = wh.read("big").where(cond).queryExecution.optimizedPlan
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      val c = qe.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          conjuncts(f.condition) }.head
+      val loc = qe.collect { case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation].location }.head
+      (c, loc)
+    }
+    val oldThr = Warehouse.streamListThreshold
+    try {
+      Warehouse.streamListThreshold = 4096L
+      LazyManifestFileIndex.dirMemoClear()
+      // k >= 1000 keeps file i when i+9 >= 1000 → i ∈ [991, 99999]:
+      // 99009 survivors ≈ 99% — the collect this stream replaces
+      val sp0 = Warehouse.streamedPrunes.get()
+      val (cond, loc) = planParts($"k" >= 1000L)
+      val dirs = loc.listFiles(Nil, cond)
+      assert(Warehouse.streamedPrunes.get() === sp0 + 1,
+        "the weakly-selective ask must take the streamed prune")
+      assert(dirs.map(_.files.length).sum === 99009)
+      // the ask never folded the head onto the driver
+      assert(Warehouse.snapshotCacheGet(wh.currentCacheKey("big", 2L)).isEmpty)
+      assert(Warehouse.slimCacheGet(wh.currentCacheKey("big", 2L)).isEmpty)
+      val streamedFiles = dirs.flatMap(_.files.map(_.getPath.getName))
+        .sorted
+
+      // equivalence: the same ask on the collect path (threshold lifted)
+      // plans the identical file set
+      Warehouse.streamListThreshold = Long.MaxValue
+      LazyManifestFileIndex.dirMemoClear()
+      val (cond2, loc2) = planParts($"k" >= 1000L)
+      val dirs2 = loc2.listFiles(Nil, cond2)
+      assert(dirs2.flatMap(_.files.map(_.getPath.getName)).sorted
+        === streamedFiles)
+
+      // a SELECTIVE filter under the streaming thresholds still
+      // collects: the survivor-count gate inside decides
+      Warehouse.streamListThreshold = 4096L
+      LazyManifestFileIndex.dirMemoClear()
+      val sp1 = Warehouse.streamedPrunes.get()
+      val (cond3, loc3) = planParts($"k" >= 99990L)
+      val dirs3 = loc3.listFiles(Nil, cond3)
+      assert(Warehouse.streamedPrunes.get() === sp1,
+        "19 survivors must stay on the collect+memoize path")
+      // i + 9 >= 99990 → i ∈ [99981, 99999]
+      assert(dirs3.map(_.files.length).sum === 19)
+    } finally {
+      Warehouse.streamListThreshold = oldThr
+      LazyManifestFileIndex.dirMemoClear()
+    }
+  }
 }

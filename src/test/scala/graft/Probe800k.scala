@@ -81,6 +81,28 @@ object Probe800k {
       wh.read("big").rdd.partitions.length
     }
 
+    // r14: COLD WEAKLY-SELECTIVE plan (90% survivors) — the filtered
+    // prune's survivor list also STREAMS past the hybrid bound instead
+    // of collecting (r13 held ~all 800k survivor entries driver-side
+    // for a filter like this; ~8M at the design point)
+    Warehouse.invalidateCached(s"$dir#big#")
+    graft.pipeline.LazyManifestFileIndex.dirMemoClear()
+    val sPrunes0 = Warehouse.streamedPrunes.get()
+    time("COLD 90%-survivor plan (streamed filtered prune)") {
+      // k >= 80000 keeps 720k of 800k entries: weakly selective
+      wh.read("big").where(col("k") >= 80000L).rdd.partitions.length
+    }
+    println("streamed prunes: " +
+      (Warehouse.streamedPrunes.get() - sPrunes0) +
+      "; driver folded? " + Warehouse.snapshotCacheGet(
+        wh.currentCacheKey("big", 2L)).isDefined +
+      "; slim held? " + Warehouse.slimCacheGet(
+        wh.currentCacheKey("big", 2L)).isDefined +
+      s"; chunk bound: 65536 entries of ~720k survivors")
+    time("WARM 90%-survivor plan (directory memo)") {
+      wh.read("big").where(col("k") >= 80000L).rdd.partitions.length
+    }
+
     // full text fold for reference (the pre-r11 shape)
     time("full text fold (warms snapshot cache)") {
       wh.loadAt("big", 2L).length
