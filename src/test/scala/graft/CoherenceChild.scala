@@ -13,8 +13,9 @@ import graft.pipeline.Warehouse
   * in both processes. Launched by the spec via `java -cp` with the
   * test JVM's own classpath.
   *
-  * args: <warehouseDir> <op>, op ∈ {append, dropRecreate}.
-  * Prints CHILD_OK on success (the spec's completion marker).
+  * args: <warehouseDir> <op> [base], op ∈ {append, dropRecreate,
+  * appendRace}. Prints CHILD_OK on success (the spec's completion
+  * marker).
   */
 object CoherenceChild {
   private val schema = StructType(Seq(
@@ -36,6 +37,17 @@ object CoherenceChild {
         wh2.bootstrap()
         wh2.append("t", Seq((7L, "recreated"), (8L, "recreated"))
           .toDF("k", "s"))
+      case "appendRace" =>
+        // the concurrent-writer half of the race spec: a burst of
+        // single-row append COMMITS while a sibling JVM does the same
+        // against the same table — every manifest rename this process
+        // loses must fence, re-resolve the head and retry, losing
+        // nothing and never double-committing a batch
+        val base = args(2).toLong
+        val wh = new Warehouse(spark, dir, specs = spec)
+        (0L until 12L).foreach { i =>
+          wh.append("t", Seq((base + i, s"child$base")).toDF("k", "s"))
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown op $other")
     }

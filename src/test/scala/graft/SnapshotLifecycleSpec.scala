@@ -346,7 +346,8 @@ class SnapshotLifecycleSpec extends SparkSpec {
     * test JVM's own classpath (Test/fork is on, so java.class.path is
     * the real one) and wait for its CHILD_OK marker.
     */
-  private def runChild(dir: String, op: String): Unit = {
+  private def startChild(dir: String, op: String,
+      extra: Seq[String] = Nil): Process = {
     val java = Paths.get(sys.props("java.home"), "bin", "java").toString
     val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
       "java.io", "java.net", "java.nio", "java.util",
@@ -356,15 +357,20 @@ class SnapshotLifecycleSpec extends SparkSpec {
       .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
     val cmd = Seq(java) ++ opens ++ Seq("-Xmx2g",
       "-Dspark.ui.enabled=false", "-cp", sys.props("java.class.path"),
-      "graft.CoherenceChild", dir, op)
-    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-    val proc = pb.start()
+      "graft.CoherenceChild", dir, op) ++ extra
+    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+  }
+
+  private def awaitChild(proc: Process, op: String): Unit = {
     val out = new String(proc.getInputStream.readAllBytes(),
       StandardCharsets.UTF_8)
     val code = proc.waitFor()
     assert(code === 0 && out.contains("CHILD_OK"),
       s"child JVM ($op) failed (exit $code):\n${out.takeRight(3000)}")
   }
+
+  private def runChild(dir: String, op: String): Unit =
+    awaitChild(startChild(dir, op), op)
 
   test("TWO-JVM coherence: a foreign process's commit is visible to " +
     "this JVM's warmed caches on the next read, and a foreign " +
@@ -398,5 +404,39 @@ class SnapshotLifecycleSpec extends SparkSpec {
     // and parent-side writes continue against the new lifetime
     wh.append("t", Seq((9L, "post")).toDF("k", "s"))
     assert(wh.read("t").count() === 3L)
+  }
+
+  test("TWO-JVM concurrent APPEND race: two foreign processes burst " +
+    "single-row commits against one table at once — every version " +
+    "rename has exactly one winner, the loser fences and retries, and " +
+    "no row is lost or doubled") {
+    val dir = Files.createTempDirectory("graft-2jvmrace-").toString
+    val wh = new Warehouse(spark, dir, specs = Map("t" ->
+      Warehouse.TableSpec(schema, statColumns = Seq("k"))))
+    wh.bootstrap()
+    wh.append("t", Seq((1L, "parent")).toDF("k", "s")) // v2
+
+    // 12 commits each, genuinely concurrent (separate JVMs, separate
+    // JVM-wide caches) with colliding version slots throughout
+    val a = startChild(dir, "appendRace", Seq("1000"))
+    val b = startChild(dir, "appendRace", Seq("2000"))
+    awaitChild(a, "appendRace a")
+    awaitChild(b, "appendRace b")
+
+    // every row exactly once (a lost rename retried without re-basing
+    // would drop a batch; a double-committed batch would double a key)
+    val got = wh.read("t").as[(Long, String)].collect().toSeq
+    assert(got.length === 25, s"expected 25 rows, got ${got.length}")
+    assert(got.toSet === (Set((1L, "parent")) ++
+      (0L until 12L).map(i => (1000L + i, "child1000")) ++
+      (0L until 12L).map(i => (2000L + i, "child2000"))))
+
+    // version chain: 1 bootstrap + 25 appends, contiguous — one winner
+    // per slot, no gaps (a gap = a rename that nobody won), and the
+    // commit log agrees batch-for-batch
+    val versions = wh.history("t")
+    assert(versions.size === 26,
+      s"expected 26 versions (bootstrap + 25 appends), got ${versions.size}")
+    assert(wh.fsck("t").forall(_._1 != "error"))
   }
 }
