@@ -836,6 +836,84 @@ object CoreQueries extends QueryPack {
                (o_orderkey % 13 = 0 AND o_orderkey % 19 <> 0) AS corrupt
         FROM orders ORDER BY k""")),
 
+    // ---- q179: SPLIT read of ONE multi-block Avro container file —
+    // the sync-marker byte-range scan under the hash gate. The whole
+    // lineitem projection lands in a single container file
+    // (coalesce(1) through the graft-avro sink), the read forces a
+    // small splitSize so the scan plans many byte-range partitions
+    // (require()d — a silent one-partition fallback fails the QUERY,
+    // not just a spec), and the aggregate must equal DuckDB over the
+    // parquet original: adjacent ranges cover every block exactly
+    // once, no duplicated or lost rows. ----
+    Q("q179_avro_split_scan",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q179-").toString
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_quantity",
+            $"l_extendedprice")
+          .coalesce(1)
+          .write.format("graft-avro").mode("overwrite").save(s"$tmp/one")
+        val split = s.read.format("graft-avro")
+          .option("splitSize", 65536).load(s"$tmp/one")
+        require(split.rdd.getNumPartitions > 1,
+          "q179: the container file must split into byte-range partitions")
+        split.groupBy(($"l_orderkey" % 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"l_quantity"), 2).as("qty"),
+            round(sum($"l_extendedprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some("""
+        SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS qty,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q180: Avro filter pushdown + per-file stats sidecar under
+    // the gate. Two container landings with DISJOINT o_orderkey ranges
+    // are indexed (writeIndex — one distributed stats pass, one tiny
+    // _index.json); the selective read must SKIP the high-range file
+    // at plan time (require()d via the skip counter — an index or
+    // pushdown regression fails the query) and still return exactly
+    // the relational answer, because pushdown is an I/O cut, never a
+    // correctness gate (every filter stays residual). ----
+    Q("q180_avro_stats_skip",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q180-").toString + "/land"
+        val src = t(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("k"),
+          $"o_custkey".cast("long").as("ck"),
+          $"o_totalprice".cast("double").as("price"))
+        src.where($"k" <= 1000).coalesce(1)
+          .write.format("graft-avro").mode("append").save(tmp)
+        src.where($"k" > 1000).coalesce(1)
+          .write.format("graft-avro").mode("append").save(tmp)
+        graft.sources.AvroSource.writeIndex(s, tmp)
+        val skips0 = graft.sources.AvroSource.skippedFiles.get()
+        val out = s.read.format("graft-avro").load(tmp)
+          .where($"k" <= 1000)
+          .groupBy(($"k" % 7).cast("long").as("g"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"price"), 2).as("total"),
+            max($"ck").as("max_ck"))
+          .orderBy("g")
+        require(out.rdd.partitions.length >= 1)
+        require(graft.sources.AvroSource.skippedFiles.get() > skips0,
+          "q180: the high-range container file must be stats-skipped " +
+            "at plan time")
+        out
+      },
+      Some("""
+        SELECT CAST(o_orderkey % 7 AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(max(o_custkey) AS BIGINT) AS max_ck
+        FROM orders WHERE o_orderkey <= 1000
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge
