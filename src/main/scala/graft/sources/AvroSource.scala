@@ -847,7 +847,7 @@ class AvroFileReader(file: String, start: Long, end: Long,
     confProps.foreach { case (k, v) => c.set(k, v) }
     c
   }
-  private val reader = {
+  private val (reader, recordSchema) = {
     val datum = new GenericDatumReader[GenericRecord]()
     val r = DataFileReader.openReader(new FsInput(new Path(file), conf), datum)
     // byte-range positioning: sync(start) lands on the first block
@@ -868,16 +868,26 @@ class AvroFileReader(file: String, start: Long, end: Long,
         }.toList.asJava)
       datum.setExpected(projected)
       AvroSource.projectedReads.incrementAndGet()
-    }
-    r
+      (r, projected)
+    } else (r, writer)
   }
-  // required-field index → writer presence (a field the writer lacks
-  // is constant null; the corrupt column is computed, not read)
-  private val plan: Array[(StructField, Boolean)] =
-    required.fields.map(f =>
-      (f, f.name != corruptCol && reader.getSchema.getField(f.name) != null))
+  // required-field index → POSITION in the decoded record's schema
+  // (the projected one when pruning happened), resolved ONCE — a
+  // by-name get would pay a schema-field hash lookup per field per
+  // row; -1 = the writer lacks the field (constant null; the corrupt
+  // column is computed, not read)
+  private val plan: Array[(StructField, Int)] =
+    required.fields.map { f =>
+      val pos =
+        if (f.name == corruptCol) -1
+        else Option(recordSchema.getField(f.name)).map(_.pos()).getOrElse(-1)
+      (f, pos)
+    }
   private val corruptIdx = required.fieldNames.indexOf(corruptCol)
 
+  // decode buffer reused across rows (every value is COPIED into the
+  // emitted InternalRow by coerce, so reuse is safe)
+  private var rec: GenericRecord = _
   private var row: InternalRow = _
 
   /** Null-on-failure coercion of one decoded Avro value to the asked
@@ -932,14 +942,14 @@ class AvroFileReader(file: String, start: Long, end: Long,
   override def next(): Boolean = {
     if (end != AvroSource.NoEnd && reader.pastSync(end)) return false
     if (!reader.hasNext) return false
-    val rec = reader.next()
+    rec = reader.next(rec)
     val out = new Array[Any](plan.length)
     var firstBad: String = null
     var i = 0
     while (i < plan.length) {
-      val (f, present) = plan(i)
-      if (present) {
-        val (value, bad) = coerce(rec.get(f.name), f.dataType)
+      val (f, pos) = plan(i)
+      if (pos >= 0) {
+        val (value, bad) = coerce(rec.get(pos), f.dataType)
         out(i) = value
         if (firstBad == null) bad.foreach(firstBad = _)
       }
