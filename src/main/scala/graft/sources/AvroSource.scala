@@ -548,7 +548,8 @@ class AvroTable(targets: Seq[String], schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(targets, schema, corruptCol,
       Option(options.get("splitSize")).map(_.toLong)
-        .getOrElse(AvroSource.defaultSplitSize()))
+        .getOrElse(AvroSource.defaultSplitSize()),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(targets.length == 1,
       "graft-avro write: exactly one target directory")
@@ -693,7 +694,8 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
 }
 
 class AvroScanBuilder(targets: Seq[String], full: StructType,
-    corruptCol: String, splitSize: Long)
+    corruptCol: String, splitSize: Long,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -717,12 +719,14 @@ class AvroScanBuilder(targets: Seq[String], full: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new AvroScan(targets, required, corruptCol, splitSize, pushed)
+    new AvroScan(targets, required, corruptCol, splitSize, pushed,
+      maxFilesPerTrigger)
 }
 
 class AvroScan(targets: Seq[String], required: StructType,
     corruptCol: String, splitSize: Long,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    private[sources] val maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -780,18 +784,31 @@ class AvroScan(targets: Seq[String], required: StructType,
   */
 class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
     checkpointLocation: String)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   // compacts offsets against ledger snapshots under the query's own
   // checkpoint dir once the seen set outgrows the full-list bound
   private val ledger = new FileSetLedger(checkpointLocation)
+  // Trigger.AvailableNow cap: the listing frozen at prepare time
+  @volatile private var availableNowCap: Option[Set[String]] = None
 
-  private def snapshot(): TleFileSetOffset =
-    ledger.offsetFor(AvroSource.resolveFiles(targets))
+  private def listing(): Seq[String] = AvroSource.resolveFiles(targets)
+
+  private def snapshot(): TleFileSetOffset = ledger.offsetFor(listing())
 
   override def initialOffset(): Offset = TleFileSetOffset(Seq.empty)
   override def latestOffset(): Offset = snapshot()
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listing().toSet)
+  override def getDefaultReadLimit: ReadLimit =
+    scan.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    FileSetAdmission.admit(start.asInstanceOf[TleFileSetOffset],
+      listing(), availableNowCap, limit, ledger)
   override def deserializeOffset(json: String): Offset =
     ledger.adopt(TleFileSetOffset.fromJson(json))
   override def planInputPartitions(start: Offset,

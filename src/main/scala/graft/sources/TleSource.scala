@@ -232,11 +232,13 @@ class TleTable(path: String) extends Table with SupportsRead {
     //   .option("noradMin", 44000).option("noradMax", 45000)
     val lo = Option(options.get("noradMin")).map(_.toInt).getOrElse(Int.MinValue)
     val hi = Option(options.get("noradMax")).map(_.toInt).getOrElse(Int.MaxValue)
-    new TleScanBuilder(path, lo, hi)
+    val mft = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    new TleScanBuilder(path, lo, hi, mft)
   }
 }
 
-class TleScanBuilder(path: String, noradLo: Int, noradHi: Int)
+class TleScanBuilder(path: String, noradLo: Int, noradHi: Int,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
   private var required: StructType = TleSource.SCHEMA
@@ -262,11 +264,15 @@ class TleScanBuilder(path: String, noradLo: Int, noradHi: Int)
     filters // all residual: Spark keeps the exact post-scan Filter
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new TleScan(path, required, pushed, noradLo, noradHi)
+  override def build(): Scan =
+    new TleScan(path, required, pushed, noradLo, noradHi,
+      maxFilesPerTrigger)
 }
 
 class TleScan(path: String, required: StructType, filters: Array[Filter],
-    noradLo: Int, noradHi: Int) extends Scan with Batch {
+    noradLo: Int, noradHi: Int,
+    private[sources] val maxFilesPerTrigger: Option[Int] = None)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -317,7 +323,8 @@ class TleScan(path: String, required: StructType, filters: Array[Filter],
       TleFileReader.compile(filters), noradLo, noradHi)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TleMicroBatchStream(path, required, this, checkpointLocation)
+    new TleMicroBatchStream(path, required, this, checkpointLocation,
+      maxFilesPerTrigger)
 }
 
 /** Streaming form of the landing-zone read — the reference's poll loop
@@ -336,17 +343,39 @@ class TleScan(path: String, required: StructType, filters: Array[Filter],
   * (writers write to `_tmp` then rename), so `commit` is a no-op.
   */
 class TleMicroBatchStream(path: String, required: StructType,
-    scan: TleScan, checkpointLocation: String) extends MicroBatchStream {
+    scan: TleScan, checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+  import FileSetAdmission.admit
 
   // compacts offsets against ledger snapshots under the query's own
   // checkpoint dir once the seen set outgrows the full-list bound
   private val ledger = new FileSetLedger(checkpointLocation)
+  // Trigger.AvailableNow cap: the listing frozen at prepare time —
+  // batches drain toward exactly this set and the run terminates
+  // there even while writers keep landing new files
+  @volatile private var availableNowCap: Option[Set[String]] = None
 
-  private def snapshot(): TleFileSetOffset =
-    ledger.offsetFor(TleSource.listDataFiles(path))
+  private def listing(): Seq[String] = TleSource.listDataFiles(path)
+
+  private def snapshot(): TleFileSetOffset = ledger.offsetFor(listing())
 
   override def initialOffset(): Offset = TleFileSetOffset(Seq.empty)
   override def latestOffset(): Offset = snapshot()
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listing().toSet)
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read
+      .streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset =
+    admit(start.asInstanceOf[TleFileSetOffset], listing(),
+      availableNowCap, limit, ledger)
   override def deserializeOffset(json: String): Offset =
     ledger.adopt(TleFileSetOffset.fromJson(json))
 
@@ -496,6 +525,48 @@ final class FileSetLedger(checkpointLocation: String) {
     }
     current = Some((dest.toString, sorted.toSet))
     dest.toString
+  }
+}
+
+/** Shared admission control for the file-set landing streams: one
+  * micro-batch ADMITS up to the read limit's file count of new names,
+  * bounded by the AvailableNow cap when one is armed — so a 100k-file
+  * landing drains in `maxFilesPerTrigger`-sized batches instead of one
+  * giant micro-batch, and Trigger.AvailableNow terminates exactly at
+  * the prepare-time listing while writers keep landing new files.
+  */
+object FileSetAdmission {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, ReadLimit, ReadMaxFiles}
+
+  /** Max files allowed by `limit`; None = unbounded. */
+  private def cap(limit: ReadLimit): Option[Int] = limit match {
+    case mf: ReadMaxFiles => Some(mf.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collect { case mf: ReadMaxFiles => mf.maxFiles() }
+        .sorted.headOption
+    case _ => None
+  }
+
+  /** The end offset for one micro-batch: seen ∪ (admitted fresh names,
+    * sorted — deterministic under retries). Returns `start` ITSELF
+    * when nothing is admitted, so the engine's offset-equality check
+    * sees no progress and (under AvailableNow) terminates — a
+    * re-serialized equal SET could still differ in representation
+    * (legacy array vs ledger form) and read as spurious progress.
+    */
+  def admit(start: TleFileSetOffset, listing: Seq[String],
+      availableNowCap: Option[Set[String]], limit: ReadLimit,
+      ledger: FileSetLedger): TleFileSetOffset = {
+    val seen = start.files.toSet
+    val avail = availableNowCap match {
+      case Some(c) => listing.filter(c)
+      case None => listing
+    }
+    val fresh = avail.filterNot(seen).sorted
+    val admitted = cap(limit).map(fresh.take).getOrElse(fresh)
+    if (admitted.isEmpty) start
+    else ledger.offsetFor((seen ++ admitted).toSeq.sorted)
   }
 }
 

@@ -288,6 +288,48 @@ class AvroSourceSpec extends SparkSpec {
       .select($"k").as[Long].collect().toSet === Set(10L, 11L))
   }
 
+  test("Trigger.AvailableNow is FIRST-CLASS with maxFilesPerTrigger " +
+    "admission: a 10-file landing drains in 3-file micro-batches and " +
+    "terminates at the prepare-time listing, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-avroadm-")
+      .toString
+    val ckp = java.nio.file.Files
+      .createTempDirectory("graft-avroadm-ckp-").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-avroadm-out-").toString
+    (0 until 10).foreach(i => writeFile(dir,
+      Seq((i.toLong, s"n$i", s"$i.0"))))
+    val q = spark.readStream.format("graft-avro")
+      .schema("k long, name string, price double")
+      .option("maxFilesPerTrigger", 3)
+      .load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckp)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).select($"k").as[Long]
+      .collect().toSet === (0L until 10L).toSet)
+    // 10 files at 3 per trigger = 4 committed micro-batches — the
+    // witness that admission control actually batched the drain (the
+    // pre-r14 fallback ran ONE giant batch and warned)
+    val commits = java.nio.file.Files.list(
+        java.nio.file.Paths.get(ckp, "commits")).toArray
+      .map(_.toString).count(p => !p.endsWith(".crc"))
+    assert(commits === 4,
+      s"expected 4 rate-limited micro-batches, saw $commits")
+    // a restart sees nothing new and terminates without a batch
+    val q2 = spark.readStream.format("graft-avro")
+      .schema("k long, name string, price double")
+      .option("maxFilesPerTrigger", 3)
+      .load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckp)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === 10L)
+  }
+
   test("int/long/float/double widenings coerce exactly; long→int " +
     "overflow nulls instead of wrapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")
