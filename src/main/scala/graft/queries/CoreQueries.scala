@@ -914,6 +914,41 @@ object CoreQueries extends QueryPack {
         FROM orders WHERE o_orderkey <= 1000
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- q181: embedding columns RIDE the Avro interchange — the
+    // whole embeddings table (vec_id, array<float> embedding, label)
+    // round-trips through graft-avro container files and the gate
+    // hashes float-exact per-label aggregates: floor(x·1e6) pins the
+    // element VALUES bit-for-bit (float→double widening is exact in
+    // both engines), sum(size) pins array lengths, counts pin rows.
+    // A corpus whose vectors can't ride the landing format would break
+    // every downstream ANN/dedup stage; this keeps the carrier honest. ----
+    Q("q181_avro_embeddings",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q181-").toString
+        t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding", $"label")
+          .write.format("graft-avro").mode("overwrite").save(s"$tmp/emb")
+        s.read.format("graft-avro").load(s"$tmp/emb")
+          .groupBy($"label".cast("long").as("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(size($"embedding")).cast("long").as("dims"),
+            sum(floor(element_at($"embedding", 1).cast("double") * 1e6))
+              .cast("long").as("e1"),
+            sum(floor(element_at($"embedding", 8).cast("double") * 1e6))
+              .cast("long").as("e8"))
+          .orderBy("label")
+      },
+      Some("""
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(len(embedding)) AS BIGINT) AS dims,
+               CAST(sum(floor(CAST(embedding[1] AS DOUBLE) * 1000000))
+                 AS BIGINT) AS e1,
+               CAST(sum(floor(CAST(embedding[8] AS DOUBLE) * 1000000))
+                 AS BIGINT) AS e8
+        FROM embeddings GROUP BY 1 ORDER BY 1""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge

@@ -428,11 +428,22 @@ object AvroSource {
     }
   }
 
+  /** A union `[null, X]` unwrapped to X; any other schema unchanged. */
+  private[sources] def nonNull(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      .toList match {
+        case one :: Nil => one
+        case _ => s
+      }
+
   /** Spark type for an Avro field schema; unions `[null, X]` unwrap to
     * nullable X; the standard logical types (timestamp-micros /
-    * local-timestamp-micros / date) map to their Spark time types.
-    * Types outside the scalar set map to string (rendered via toString
-    * — honest, lossy, and never a crash).
+    * local-timestamp-micros / date / decimal) map to their Spark
+    * types; arrays of supported elements map to ArrayType — the
+    * embedding-column carrier (`array<float>`). Types outside that set
+    * map to string (rendered via toString — honest, lossy, and never a
+    * crash).
     */
   private[sources] def sparkType(s: Schema): DataType = s.getType match {
     case Schema.Type.LONG => s.getLogicalType match {
@@ -449,12 +460,18 @@ object AvroSource {
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.STRING => StringType
-    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.BYTES => s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
+    case Schema.Type.ARRAY =>
+      // containsNull = true unconditionally: a [null, X] element union
+      // obviously, but also safe for plain X (nullable never lies)
+      ArrayType(sparkType(nonNull(s.getElementType)), containsNull = true)
     case Schema.Type.UNION =>
-      s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL).toList match {
-        case one :: Nil => sparkType(one)
-        case _ => StringType
-      }
+      val u = nonNull(s)
+      if (u.getType == Schema.Type.UNION) StringType else sparkType(u)
     case _ => StringType
   }
 
@@ -480,9 +497,17 @@ object AvroSource {
         .localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case DateType => org.apache.avro.LogicalTypes.date()
         .addToSchema(Schema.create(Schema.Type.INT))
+      case d: DecimalType => org.apache.avro.LogicalTypes
+        .decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(
+          if (containsNull)
+            Schema.createUnion(Schema.create(Schema.Type.NULL), base(et))
+          else base(et))
       case t => throw new IllegalArgumentException(
         s"graft-avro write: unsupported type $t (scalar, string, " +
-          "binary, timestamp and date columns only)")
+          "binary, decimal, timestamp, date and arrays of those only)")
     }
     Schema.createRecord("spark_record", null, "graft", false,
       st.fields.map { f =>
@@ -497,10 +522,14 @@ object AvroSource {
 
   /** One catalyst field → the Avro value the writer appends (internal
     * time encodings pass through untouched: micros for timestamps,
-    * days for dates — exactly the logical types' wire format).
+    * days for dates, unscaled big-endian bytes for decimals — exactly
+    * the logical types' wire formats). `row` is any catalyst value
+    * holder — an InternalRow field or an ArrayData element, which is
+    * what lets arrays recurse.
     */
-  private[sources] def toAvroValue(row: InternalRow, i: Int,
-      dt: DataType): AnyRef = {
+  private[sources] def toAvroValue(
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType): AnyRef = {
     if (row.isNullAt(i)) return null
     dt match {
       case LongType | TimestampType | TimestampNTZType =>
@@ -514,6 +543,16 @@ object AvroSource {
       case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
       case StringType => row.getUTF8String(i).toString
       case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+      case d: DecimalType =>
+        java.nio.ByteBuffer.wrap(row.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue().toByteArray)
+      case ArrayType(et, _) =>
+        val a = row.getArray(i)
+        val n = a.numElements()
+        val out = new java.util.ArrayList[AnyRef](n)
+        var j = 0
+        while (j < n) { out.add(toAvroValue(a, j, et)); j += 1 }
+        out
       case t => throw new IllegalArgumentException(
         s"graft-avro write: unsupported type $t")
     }
@@ -889,16 +928,18 @@ class AvroFileReader(file: String, start: Long, end: Long,
     } else (r, writer)
   }
   // required-field index → POSITION in the decoded record's schema
-  // (the projected one when pruning happened), resolved ONCE — a
-  // by-name get would pay a schema-field hash lookup per field per
-  // row; -1 = the writer lacks the field (constant null; the corrupt
-  // column is computed, not read)
-  private val plan: Array[(StructField, Int)] =
+  // (the projected one when pruning happened) plus the field's
+  // union-unwrapped WRITER schema (decimal scale / array element for
+  // coerce), resolved ONCE — a by-name get would pay a schema-field
+  // hash lookup per field per row; -1 = the writer lacks the field
+  // (constant null; the corrupt column is computed, not read)
+  private val plan: Array[(StructField, Int, Schema)] =
     required.fields.map { f =>
-      val pos =
-        if (f.name == corruptCol) -1
-        else Option(recordSchema.getField(f.name)).map(_.pos()).getOrElse(-1)
-      (f, pos)
+      val af =
+        if (f.name == corruptCol) None
+        else Option(recordSchema.getField(f.name))
+      (f, af.map(_.pos()).getOrElse(-1),
+        af.map(x => AvroSource.nonNull(x.schema())).orNull)
     }
   private val corruptIdx = required.fieldNames.indexOf(corruptCol)
 
@@ -909,10 +950,57 @@ class AvroFileReader(file: String, start: Long, end: Long,
 
   /** Null-on-failure coercion of one decoded Avro value to the asked
     * Spark type. Returns (catalyst value, raw-on-failure): a parse
-    * failure yields (null, Some(raw writer text)).
+    * failure yields (null, Some(raw writer text)). `ws` is the
+    * (union-unwrapped) WRITER schema of the field when known — it
+    * carries the decimal scale and the array element schema; null is
+    * fine, only those two shapes consult it. Array elements coerce
+    * per-element PERMISSIVE: a bad element nulls, the row survives.
     */
-  private def coerce(v: AnyRef, dt: DataType): (Any, Option[String]) = {
+  private def coerce(v: AnyRef, dt: DataType,
+      ws: Schema = null): (Any, Option[String]) = {
     if (v == null) return (null, None)
+    dt match {
+      case d: DecimalType =>
+        val jbd: java.math.BigDecimal = v match {
+          case b: java.nio.ByteBuffer
+              if ws != null && ws.getLogicalType
+                .isInstanceOf[org.apache.avro.LogicalTypes.Decimal] =>
+            val scale = ws.getLogicalType
+              .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+            val bytes = new Array[Byte](b.remaining())
+            b.duplicate().get(bytes)
+            new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
+          case other =>
+            try new java.math.BigDecimal(other.toString.trim)
+            catch { case _: NumberFormatException =>
+              return (null, Some(other.toString)) }
+        }
+        val dec = org.apache.spark.sql.types.Decimal(jbd)
+        return if (dec.changePrecision(d.precision, d.scale)) (dec, None)
+               else (null, Some(jbd.toString)) // doesn't fit: overflow
+      case ArrayType(et, _) =>
+        v match {
+          case c: java.util.Collection[_] =>
+            val ews =
+              if (ws != null && ws.getType == Schema.Type.ARRAY)
+                AvroSource.nonNull(ws.getElementType)
+              else null
+            val out = new Array[Any](c.size())
+            var bad: String = null
+            val it = c.iterator()
+            var j = 0
+            while (it.hasNext) {
+              val (ev, eb) = coerce(it.next().asInstanceOf[AnyRef], et, ews)
+              out(j) = ev
+              if (bad == null) eb.foreach(bad = _)
+              j += 1
+            }
+            return (new org.apache.spark.sql.catalyst.util
+              .GenericArrayData(out), Option(bad))
+          case other => return (null, Some(other.toString))
+        }
+      case _ =>
+    }
     def num[T](parse: String => T): (Any, Option[String]) = v match {
       case s: CharSequence =>
         try (parse(s.toString.trim), None)
@@ -964,9 +1052,9 @@ class AvroFileReader(file: String, start: Long, end: Long,
     var firstBad: String = null
     var i = 0
     while (i < plan.length) {
-      val (f, pos) = plan(i)
+      val (f, pos, ws) = plan(i)
       if (pos >= 0) {
-        val (value, bad) = coerce(rec.get(pos), f.dataType)
+        val (value, bad) = coerce(rec.get(pos), f.dataType, ws)
         out(i) = value
         if (firstBad == null) bad.foreach(firstBad = _)
       }

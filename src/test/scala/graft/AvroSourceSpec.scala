@@ -330,6 +330,48 @@ class AvroSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 10L)
   }
 
+  test("DECIMAL and ARRAY columns round-trip: decimal logical type " +
+    "(unscaled big-endian bytes), array<float> embeddings, nullable " +
+    "array elements; read-side rescale is exact and overflow nulls " +
+    "with a corrupt capture") {
+    import org.apache.spark.sql.functions.{array, col, lit, when}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrodec-")
+      .toString + "/out"
+    val df = spark.range(0L, 50L).select(
+      col("id").as("k"),
+      (col("id") * 100 + lit(0.25)).cast("decimal(12,2)").as("dec"),
+      array(col("id").cast("float"), (col("id") * 2).cast("float"),
+        lit(0.5f)).as("emb"),
+      when(col("id") % 5 === 0, lit(null))
+        .otherwise(array(col("id"), col("id") + 1,
+          lit(null).cast("long"))).as("nums"))
+    df.write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema("dec").dataType.sql === "DECIMAL(12,2)")
+    assert(back.schema("emb").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    val got = back.orderBy("k")
+      .as[(Long, BigDecimal, Seq[Float], Option[Seq[Option[Long]]])]
+      .collect().toSeq
+    assert(got === (0L until 50L).map { i =>
+      (i, BigDecimal(i * 100) + BigDecimal("0.25"),
+        Seq(i.toFloat, (i * 2).toFloat, 0.5f),
+        if (i % 5 == 0) None else Some(Seq(Some(i), Some(i + 1), None)))
+    })
+    // exact rescale on read: decimal(14,4) widens losslessly
+    val wide = spark.read.format("graft-avro")
+      .schema("k long, dec decimal(14,4)").load(dir)
+      .orderBy("k").as[(Long, BigDecimal)].collect()
+    assert(wide(3)._2 === BigDecimal("300.2500"))
+    // overflow: decimal(4,2) can't hold 4900.25 → null + raw capture
+    val tight = spark.read.format("graft-avro")
+      .schema("k long, dec decimal(4,2), _corrupt string").load(dir)
+      .where($"k" === 49L)
+      .as[(Long, Option[BigDecimal], Option[String])].collect().head
+    assert(tight._2.isEmpty && tight._3 === Some("4900.25"))
+  }
+
   test("int/long/float/double widenings coerce exactly; long→int " +
     "overflow nulls instead of wrapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")
