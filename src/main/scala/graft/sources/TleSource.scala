@@ -524,6 +524,25 @@ final class FileSetLedger(checkpointLocation: String) {
       require(fs.rename(tmp, dest), s"ledger publish failed: $dest")
     }
     current = Some((dest.toString, sorted.toSet))
+    // GC: keep the newest [[FileSetLedger.Retain]] snapshots (by their
+    // embedded size component — the seen set only grows, so size is
+    // freeze order). The engine replays at most the last uncommitted
+    // batch, whose start/end reference at most the previous and the
+    // new ledger; deep retention only serves manual checkpoint
+    // surgery, and each snapshot is O(|files|) bytes — at the 8M-file
+    // design point an unpruned directory would hold thousands.
+    scala.util.Try {
+      fs.listStatus(dirPath).toSeq
+        .filter(_.getPath.getName.startsWith("ledger-"))
+        .flatMap { st =>
+          scala.util.Try(st.getPath.getName.split("-")(1).toLong)
+            .toOption.map(_ -> st.getPath)
+        }
+        .sortBy(-_._1)
+        .drop(FileSetLedger.Retain)
+        .filterNot(_._2.toString == dest.toString)
+        .foreach { case (_, p) => fs.delete(p, false) }
+    }
     dest.toString
   }
 }
@@ -571,6 +590,11 @@ object FileSetAdmission {
 }
 
 object FileSetLedger {
+  /** Ledger snapshots retained per checkpoint (newest by frozen size).
+    * 2 suffices for engine replay (an uncommitted batch's start/end);
+    * 8 leaves slack for manual checkpoint surgery. */
+  private[sources] val Retain = 8
+
   /** The session's Hadoop configuration when one is live, else a bare
     * default — ledger I/O is driver-side and must not REQUIRE a
     * session (offset (de)serialization can run before one exists). */

@@ -78,6 +78,28 @@ class FileSetLedgerSpec extends SparkSpec {
       === off.ledgerRef.map(_._1))
   }
 
+  test("ledger GC: repeated freezes retain only the newest snapshots, " +
+    "and the retained ones still serve restarts") {
+    val ck = Files.createTempDirectory("graft-ledger3-").toString
+    val ledger = new FileSetLedger(ck)
+    // 15 growth waves, each big enough to outgrow the tail bound and
+    // force a fresh freeze
+    var all = names(600)
+    var last = ledger.offsetFor(all)
+    (1 to 15).foreach { w =>
+      all = all ++ names(600, f"/land/w$w%02d-")
+      last = ledger.offsetFor(all)
+    }
+    val dir = Paths.get(ck, "graft-file-ledger")
+    val ledgers = Files.list(dir).toArray.map(_.toString)
+      .filter(_.contains("/ledger-"))
+    assert(ledgers.length <= 8,
+      s"expected at most 8 retained ledgers, found ${ledgers.length}")
+    // the newest (referenced) snapshot survived and restores exactly
+    val restored = TleFileSetOffset.fromJson(last.json())
+    assert(restored.files.toSet === all.toSet)
+  }
+
   test("END TO END: a 600-file landing crosses the compaction bound " +
     "and a checkpoint restart stays exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
