@@ -100,7 +100,9 @@ object AvroSource {
     * what split planning needs without a second round of stat calls. */
   private[sources] def resolveFilesWithLen(
       targets: Seq[String]): Seq[(String, Long)] = {
-    val conf = new Configuration()
+    // the session's Hadoop conf when live (credentials/endpoints for
+    // non-local filesystems), bare default otherwise
+    val conf = FileSetLedger.hadoopConf()
     targets.flatMap { t =>
       val p = new Path(t)
       val st = p.getFileSystem(conf).getFileStatus(p)
@@ -300,7 +302,7 @@ object AvroSource {
 
   /** The sidecar index keyed by relative path; empty when absent. */
   def readIndex(dir: String): Map[String, Map[String, ColStats]] = {
-    val fs = new Path(dir).getFileSystem(new Configuration())
+    val fs = new Path(dir).getFileSystem(FileSetLedger.hadoopConf())
     val p = indexPath(dir)
     if (!fs.exists(p)) return Map.empty
     val in = fs.open(p)
