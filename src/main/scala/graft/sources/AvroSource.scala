@@ -471,6 +471,10 @@ object AvroSource {
       // containsNull = true unconditionally: a [null, X] element union
       // obviously, but also safe for plain X (nullable never lies)
       ArrayType(sparkType(nonNull(s.getElementType)), containsNull = true)
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map(f =>
+        StructField(f.name, sparkType(nonNull(f.schema())),
+          nullable = true)))
     case Schema.Type.UNION =>
       val u = nonNull(s)
       if (u.getType == Schema.Type.UNION) StringType else sparkType(u)
@@ -483,7 +487,12 @@ object AvroSource {
     * types so any Avro reader (including this source) round-trips them.
     */
   private[sources] def toAvroSchema(st: StructType): Schema = {
-    def base(dt: DataType): Schema = dt match {
+    // Avro record names must be unique per distinct structure; derive
+    // each nested record's name from its field PATH (sanitized), which
+    // is unique by construction within one schema
+    def recName(path: String): String =
+      "r_" + path.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    def base(dt: DataType, path: String): Schema = dt match {
       case LongType => Schema.create(Schema.Type.LONG)
       case IntegerType | ShortType | ByteType =>
         Schema.create(Schema.Type.INT)
@@ -505,21 +514,27 @@ object AvroSource {
       case ArrayType(et, containsNull) =>
         Schema.createArray(
           if (containsNull)
-            Schema.createUnion(Schema.create(Schema.Type.NULL), base(et))
-          else base(et))
+            Schema.createUnion(Schema.create(Schema.Type.NULL),
+              base(et, path + "_item"))
+          else base(et, path + "_item"))
+      case nested: StructType =>
+        Schema.createRecord(recName(path), null, "graft", false,
+          nested.fields.map(f => field(f, path + "_" + f.name))
+            .toList.asJava)
       case t => throw new IllegalArgumentException(
         s"graft-avro write: unsupported type $t (scalar, string, " +
-          "binary, decimal, timestamp, date and arrays of those only)")
+          "binary, decimal, timestamp, date, arrays and structs of " +
+          "those only)")
     }
+    def field(f: StructField, path: String): Schema.Field =
+      if (f.nullable)
+        new Schema.Field(f.name,
+          Schema.createUnion(Schema.create(Schema.Type.NULL),
+            base(f.dataType, path)),
+          null, org.apache.avro.JsonProperties.NULL_VALUE)
+      else new Schema.Field(f.name, base(f.dataType, path), null)
     Schema.createRecord("spark_record", null, "graft", false,
-      st.fields.map { f =>
-        if (f.nullable)
-          new Schema.Field(f.name,
-            Schema.createUnion(Schema.create(Schema.Type.NULL),
-              base(f.dataType)),
-            null, org.apache.avro.JsonProperties.NULL_VALUE)
-        else new Schema.Field(f.name, base(f.dataType), null)
-      }.toList.asJava)
+      st.fields.map(f => field(f, f.name)).toList.asJava)
   }
 
   /** One catalyst field → the Avro value the writer appends (internal
@@ -527,11 +542,12 @@ object AvroSource {
     * days for dates, unscaled big-endian bytes for decimals — exactly
     * the logical types' wire formats). `row` is any catalyst value
     * holder — an InternalRow field or an ArrayData element, which is
-    * what lets arrays recurse.
+    * what lets arrays and structs recurse; `as` is the target Avro
+    * schema (union-unwrapped), consulted only by the nested shapes.
     */
   private[sources] def toAvroValue(
       row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
-      i: Int, dt: DataType): AnyRef = {
+      i: Int, dt: DataType, as: Schema = null): AnyRef = {
     if (row.isNullAt(i)) return null
     dt match {
       case LongType | TimestampType | TimestampNTZType =>
@@ -551,10 +567,23 @@ object AvroSource {
       case ArrayType(et, _) =>
         val a = row.getArray(i)
         val n = a.numElements()
+        val es = if (as != null) nonNull(as.getElementType) else null
         val out = new java.util.ArrayList[AnyRef](n)
         var j = 0
-        while (j < n) { out.add(toAvroValue(a, j, et)); j += 1 }
+        while (j < n) { out.add(toAvroValue(a, j, et, es)); j += 1 }
         out
+      case nested: StructType =>
+        require(as != null && as.getType == Schema.Type.RECORD,
+          "graft-avro write: struct value without its record schema")
+        val sr = row.getStruct(i, nested.length)
+        val rec = new GenericData.Record(as)
+        var j = 0
+        while (j < nested.length) {
+          rec.put(j, toAvroValue(sr, j, nested.fields(j).dataType,
+            nonNull(as.getFields.get(j).schema())))
+          j += 1
+        }
+        rec
       case t => throw new IllegalArgumentException(
         s"graft-avro write: unsupported type $t")
     }
@@ -695,7 +724,7 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
   private val avroSchema = AvroSource.toAvroSchema(schema)
   private val fields = schema.fields
   private val fieldSchemas = fields.map(f =>
-    avroSchema.getField(f.name).schema())
+    AvroSource.nonNull(avroSchema.getField(f.name).schema()))
   // taskId in the temp name: two ATTEMPTS of one partition (task retry
   // / speculation) must never collide on a file; only the committed
   // attempt's message is renamed in, the loser is aborted
@@ -716,7 +745,8 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < fields.length) {
-      rec.put(i, AvroSource.toAvroValue(row, i, fields(i).dataType))
+      rec.put(i, AvroSource.toAvroValue(row, i, fields(i).dataType,
+        fieldSchemas(i)))
       i += 1
     }
     writer.append(rec)
@@ -999,6 +1029,30 @@ class AvroFileReader(file: String, start: Long, end: Long,
             }
             return (new org.apache.spark.sql.catalyst.util
               .GenericArrayData(out), Option(bad))
+          case other => return (null, Some(other.toString))
+        }
+      case nested: StructType =>
+        v match {
+          case r: GenericRecord =>
+            // subfields match by NAME against the record's own schema
+            // (struct-level schema evolution: absent subfields read
+            // null, extra writer subfields are skipped)
+            val rs = r.getSchema
+            val out = new Array[Any](nested.length)
+            var bad: String = null
+            var j = 0
+            while (j < nested.length) {
+              val f = nested.fields(j)
+              val wf = rs.getField(f.name)
+              if (wf != null) {
+                val (cv, cb) = coerce(r.get(wf.pos()), f.dataType,
+                  AvroSource.nonNull(wf.schema()))
+                out(j) = cv
+                if (bad == null) cb.foreach(bad = _)
+              }
+              j += 1
+            }
+            return (new GenericInternalRow(out), Option(bad))
           case other => return (null, Some(other.toString))
         }
       case _ =>

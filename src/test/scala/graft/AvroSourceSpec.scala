@@ -372,6 +372,45 @@ class AvroSourceSpec extends SparkSpec {
     assert(tight._2.isEmpty && tight._3 === Some("4900.25"))
   }
 
+  test("STRUCT columns round-trip as nested Avro records (the " +
+    "multimodal blob + typed-metadata shape), including struct-in-" +
+    "array and struct-level add-column evolution") {
+    import org.apache.spark.sql.functions.{array, col, lit, struct, when}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrost-")
+      .toString + "/out"
+    val df = spark.range(0L, 30L).select(
+      col("id").as("k"),
+      org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.concat(lit("blob"), col("id")),
+        "UTF-8").as("payload"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(struct(
+        lit("image/png").as("mime"),
+        (col("id") * 10).cast("int").as("width"),
+        struct(col("id").as("ts_id"), lit("cam-1").as("device"))
+          .as("origin"))).as("meta"),
+      array(struct(col("id").as("s"), (col("id") * 2).as("e"))).as("spans"))
+    df.write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema("meta").dataType.sql ===
+      "STRUCT<mime: STRING, width: INT, origin: STRUCT<ts_id: BIGINT, device: STRING>>")
+    val got = back.selectExpr("k", "meta.mime", "meta.width",
+        "meta.origin.device", "spans[0].e").orderBy("k")
+      .as[(Long, Option[String], Option[Int], Option[String], Long)]
+      .collect().toSeq
+    assert(got === (0L until 30L).map { i =>
+      if (i % 7 == 0) (i, None, None, None, i * 2)
+      else (i, Some("image/png"), Some(i.toInt * 10), Some("cam-1"), i * 2)
+    })
+    // struct-level evolution: a read asking for a subfield the writer
+    // never had gets null there, known subfields still read
+    val evolved = spark.read.format("graft-avro")
+      .schema("k long, meta struct<mime string, dpi int>")
+      .load(dir).where($"k" === 1L)
+      .selectExpr("meta.mime", "meta.dpi")
+      .as[(String, Option[Int])].collect().head
+    assert(evolved === (("image/png", None)))
+  }
+
   test("int/long/float/double widenings coerce exactly; long→int " +
     "overflow nulls instead of wrapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")
