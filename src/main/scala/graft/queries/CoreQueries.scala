@@ -949,6 +949,38 @@ object CoreQueries extends QueryPack {
                  AS BIGINT) AS e8
         FROM embeddings GROUP BY 1 ORDER BY 1""")),
 
+    // ---- q182: the MULTIMODAL column shape rides the Avro
+    // interchange under the hash — an opaque binary payload plus a
+    // typed metadata STRUCT (nested one level) written as container
+    // files and read back; the gate re-derives every aggregate
+    // relationally from documents, so a value lost or reordered
+    // anywhere in the struct/record mapping breaks the hash. ----
+    Q("q182_avro_multimodal_meta",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q182-").toString
+        t(s, dir, "documents")
+          .select($"doc_id",
+            encode($"text", "UTF-8").as("payload"),
+            struct($"lang".as("lang"),
+              $"n_chars".cast("long").as("n_chars"),
+              struct($"source".as("source")).as("origin")).as("meta"))
+          .write.format("graft-avro").mode("overwrite").save(s"$tmp/mm")
+        s.read.format("graft-avro").load(s"$tmp/mm")
+          .groupBy($"meta.lang".as("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum($"meta.n_chars").cast("long").as("chars"),
+            sum(length($"payload")).cast("long").as("bytes"),
+            countDistinct($"meta.origin.source").as("sources"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+               CAST(count(DISTINCT source) AS BIGINT) AS sources
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge
