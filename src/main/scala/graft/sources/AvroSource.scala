@@ -475,6 +475,9 @@ object AvroSource {
       StructType(s.getFields.asScala.toSeq.map(f =>
         StructField(f.name, sparkType(nonNull(f.schema())),
           nullable = true)))
+    case Schema.Type.MAP => // Avro map keys are always strings
+      MapType(StringType, sparkType(nonNull(s.getValueType)),
+        valueContainsNull = true)
     case Schema.Type.UNION =>
       val u = nonNull(s)
       if (u.getType == Schema.Type.UNION) StringType else sparkType(u)
@@ -521,10 +524,16 @@ object AvroSource {
         Schema.createRecord(recName(path), null, "graft", false,
           nested.fields.map(f => field(f, path + "_" + f.name))
             .toList.asJava)
+      case MapType(StringType, vt, valueContainsNull) =>
+        Schema.createMap(
+          if (valueContainsNull)
+            Schema.createUnion(Schema.create(Schema.Type.NULL),
+              base(vt, path + "_value"))
+          else base(vt, path + "_value"))
       case t => throw new IllegalArgumentException(
         s"graft-avro write: unsupported type $t (scalar, string, " +
-          "binary, decimal, timestamp, date, arrays and structs of " +
-          "those only)")
+          "binary, decimal, timestamp, date, and arrays/structs/" +
+          "string-keyed maps of those only)")
     }
     def field(f: StructField, path: String): Schema.Field =
       if (f.nullable)
@@ -571,6 +580,21 @@ object AvroSource {
         val out = new java.util.ArrayList[AnyRef](n)
         var j = 0
         while (j < n) { out.add(toAvroValue(a, j, et, es)); j += 1 }
+        out
+      case MapType(StringType, vt, _) =>
+        val m = row.getMap(i)
+        val n = m.numElements()
+        val ks = m.keyArray(); val vs = m.valueArray()
+        val vsch = if (as != null) nonNull(as.getValueType) else null
+        // LinkedHashMap: Avro serializes maps in iteration order, and a
+        // deterministic write keeps content-addressed artifacts stable
+        val out = new java.util.LinkedHashMap[String, AnyRef](n)
+        var j = 0
+        while (j < n) {
+          out.put(ks.getUTF8String(j).toString,
+            toAvroValue(vs, j, vt, vsch))
+          j += 1
+        }
         out
       case nested: StructType =>
         require(as != null && as.getType == Schema.Type.RECORD,
@@ -1029,6 +1053,35 @@ class AvroFileReader(file: String, start: Long, end: Long,
             }
             return (new org.apache.spark.sql.catalyst.util
               .GenericArrayData(out), Option(bad))
+          case other => return (null, Some(other.toString))
+        }
+      case MapType(StringType, vt, _) =>
+        v match {
+          case m: java.util.Map[_, _] =>
+            val vws =
+              if (ws != null && ws.getType == Schema.Type.MAP)
+                AvroSource.nonNull(ws.getValueType)
+              else null
+            val n = m.size()
+            val keys = new Array[Any](n)
+            val vals = new Array[Any](n)
+            var bad: String = null
+            val it = m.entrySet().iterator()
+            var j = 0
+            while (it.hasNext) {
+              val e = it.next()
+              keys(j) = UTF8String.fromString(e.getKey.toString)
+              val (cv, cb) = coerce(e.getValue.asInstanceOf[AnyRef], vt, vws)
+              vals(j) = cv
+              if (bad == null) cb.foreach(bad = _)
+              j += 1
+            }
+            return (new org.apache.spark.sql.catalyst.util
+              .ArrayBasedMapData(
+                new org.apache.spark.sql.catalyst.util
+                  .GenericArrayData(keys),
+                new org.apache.spark.sql.catalyst.util
+                  .GenericArrayData(vals)), Option(bad))
           case other => return (null, Some(other.toString))
         }
       case nested: StructType =>

@@ -411,6 +411,28 @@ class AvroSourceSpec extends SparkSpec {
     assert(evolved === (("image/png", None)))
   }
 
+  test("MAP columns round-trip as Avro maps (string keys), nullable " +
+    "values and map-of-array included") {
+    import org.apache.spark.sql.functions.{array, col, lit, map, when}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avromap-")
+      .toString + "/out"
+    spark.range(0L, 20L).select(
+        col("id").as("k"),
+        map(lit("a"), col("id") * 2,
+          lit("b"), when(col("id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("id"))).as("m"),
+        map(lit("emb"), array(col("id").cast("float"), lit(1.5f)))
+          .as("vecs"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema("m").dataType.sql === "MAP<STRING, BIGINT>")
+    val got = back.selectExpr("k", "m['a']", "m['b']",
+        "vecs['emb'][1]").orderBy("k")
+      .as[(Long, Long, Option[Long], Float)].collect().toSeq
+    assert(got === (0L until 20L).map(i =>
+      (i, i * 2, if (i % 3 == 0) None else Some(i), 1.5f)))
+  }
+
   test("int/long/float/double widenings coerce exactly; long→int " +
     "overflow nulls instead of wrapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avrospec-")
