@@ -116,6 +116,36 @@ object AvroSource {
     }
   }
 
+  /** Default block codec for written container files. zstd: the best
+    * size/speed trade for a landing format that is written once and
+    * scanned many times — a null-codec 100 TB landing pays a 2–4× byte
+    * tax on every write AND every later scan. Sync markers sit OUTSIDE
+    * the compressed block payload, so byte-range splits work unchanged
+    * on every codec; reads resolve the codec from the file's own
+    * metadata, so foreign snappy/deflate/xz/bzip2 files decode too.
+    */
+  val DefaultCodec = "zstd"
+
+  /** Resolve a codec option value to Avro's factory. Accepts Avro's
+    * own names (`null`, `deflate`, `snappy`, `bzip2`, `xz`,
+    * `zstandard`) plus the Spark-familiar aliases `zstd` and
+    * `uncompressed`. */
+  private[sources] def codecFactory(
+      name: String): org.apache.avro.file.CodecFactory = {
+    val canonical = name.toLowerCase match {
+      case "zstd" => "zstandard"
+      case "uncompressed" => "null"
+      case other => other
+    }
+    try org.apache.avro.file.CodecFactory.fromString(canonical)
+    catch {
+      case e: org.apache.avro.AvroRuntimeException =>
+        throw new IllegalArgumentException(
+          s"graft-avro write: unknown codec '$name' (accepted: zstd, " +
+            "snappy, deflate, xz, bzip2, null/uncompressed)", e)
+    }
+  }
+
   /** NO-LIMIT sentinel for a partition's byte range: the reader skips
     * `pastSync` checks entirely (Avro's `pastSync(Long.MaxValue)`
     * overflows `position + SYNC_SIZE` and would stop at block one). */
@@ -173,10 +203,17 @@ object AvroSource {
     * "long" (int/long + date/timestamp wire values), "double"
     * (float/double), "string" (binary UTF8 order — the order Catalyst
     * string comparisons use). min > max in the long/double domains ⇔
-    * the file had no non-null value for the column.
+    * the file had no non-NaN non-null value for the column. `hasNaN`
+    * (double kind only) records that the file holds at least one NaN —
+    * NaN is EXCLUDED from the min/max accumulation (Parquet's rule for
+    * float/double statistics: NaN would poison both bounds) and, since
+    * Spark orders NaN ABOVE every other double (`NaN > x` is true for
+    * all x), a file with a NaN can pass any comparison filter, so
+    * [[statsMayMatch]] never skips on a hasNaN column.
     */
   final case class ColStats(kind: String, minL: Long, maxL: Long,
-      minD: Double, maxD: Double, minS: String, maxS: String) {
+      minD: Double, maxD: Double, minS: String, maxS: String,
+      hasNaN: Boolean = false) {
     def empty: Boolean = kind match {
       case "long" => minL > maxL
       case "double" => minD > maxD
@@ -185,6 +222,20 @@ object AvroSource {
   }
 
   private def indexPath(dir: String) = new Path(dir, "_index.json")
+
+  /** Drop the whole sidecar index for `dir` (base + any delta files) —
+    * called by overwrite commits, whose delete phase removes every file
+    * the index described. */
+  private[sources] def invalidateIndex(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val d = new Path(dir)
+    if (fs.exists(d)) fs.listStatus(d)
+      .filter { st =>
+        val n = st.getPath.getName
+        n == "_index.json" || n.startsWith("_index.delta-")
+      }
+      .foreach(st => fs.delete(st.getPath, false))
+  }
 
   /** The stats-eligible comparison kind of an Avro field, by its SPARK
     * type (so date/timestamp logical types land in the long domain —
@@ -227,7 +278,12 @@ object AvroSource {
                       maxL = math.max(a.maxL, l))
                   case "double" =>
                     val d = v.asInstanceOf[Number].doubleValue()
-                    if (a.minD > a.maxD) a.copy(kind = kind, minD = d, maxD = d)
+                    // NaN never enters the bounds (it would poison both
+                    // via math.min/max propagation); it is FLAGGED so the
+                    // skip test knows the file can pass any comparison
+                    if (d.isNaN) a.copy(kind = kind, hasNaN = true)
+                    else if (a.minD > a.maxD)
+                      a.copy(kind = kind, minD = d, maxD = d)
                     else a.copy(minD = math.min(a.minD, d),
                       maxD = math.max(a.maxD, d))
                   case _ =>
@@ -282,7 +338,9 @@ object AvroSource {
         n.put("kind", st.kind)
         st.kind match {
           case "long" => n.put("min", st.minL); n.put("max", st.maxL)
-          case "double" => n.put("min", st.minD); n.put("max", st.maxD)
+          case "double" =>
+            n.put("min", st.minD); n.put("max", st.maxD)
+            if (st.hasNaN) n.put("nan", true)
           case _ => n.put("min", st.minS); n.put("max", st.maxS)
         }
         ()
@@ -324,7 +382,8 @@ object AvroSource {
           case "long" => ColStats("long", v.get("min").asLong(),
             v.get("max").asLong(), 1.0, 0.0, null, null)
           case "double" => ColStats("double", 1L, 0L, v.get("min").asDouble(),
-            v.get("max").asDouble(), null, null)
+            v.get("max").asDouble(), null, null,
+            hasNaN = v.has("nan") && v.get("nan").asBoolean())
           case k =>
             // an all-null string column serialized null bounds
             def s(n: String): String = {
@@ -378,6 +437,11 @@ object AvroSource {
         dblCmp: (Double, Double, Double) => Boolean,
         strCmp: (UTF8String, UTF8String, UTF8String) => Boolean): Boolean =
       stats.get(col) match {
+        // a NaN in the file can pass ANY comparison (Spark orders NaN
+        // above every double), and NaN bounds from a pre-fix index are
+        // meaningless — either way, never skip on this column
+        case Some(st) if st.kind == "double" &&
+            (st.hasNaN || st.minD.isNaN || st.maxD.isNaN) => true
         case Some(st) if !st.empty => st.kind match {
           case "long" => longOf(v).forall(x => longCmp(st.minL, st.maxL, x))
           case "double" => doubleOf(v).forall(x => dblCmp(st.minD, st.maxD, x))
@@ -490,11 +554,20 @@ object AvroSource {
     * types so any Avro reader (including this source) round-trips them.
     */
   private[sources] def toAvroSchema(st: StructType): Schema = {
-    // Avro record names must be unique per distinct structure; derive
-    // each nested record's name from its field PATH (sanitized), which
-    // is unique by construction within one schema
-    def recName(path: String): String =
-      "r_" + path.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    // Avro record names must be unique per distinct structure. The
+    // sanitized field PATH alone is NOT enough: joining path segments
+    // with '_' (and mapping every non-alphanumeric character to '_')
+    // can collide sibling structs — `a: struct<b_c: struct<…>>` and
+    // `a_b: struct<c: struct<…>>` both sanitize to `a_b_c`. A counter
+    // in schema-traversal order (deterministic for a given Spark
+    // schema, so repeated writes stay byte-identical) guarantees
+    // uniqueness; the path stays in the name for readability.
+    var recSeq = 0
+    def recName(path: String): String = {
+      recSeq += 1
+      s"r${recSeq}_" +
+        path.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    }
     def base(dt: DataType, path: String): Schema = dt match {
       case LongType => Schema.create(Schema.Type.LONG)
       case IntegerType | ShortType | ByteType =>
@@ -647,7 +720,10 @@ class AvroTable(targets: Seq[String], schema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(targets.length == 1,
       "graft-avro write: exactly one target directory")
-    new AvroWriteBuilder(targets.head, info.schema())
+    val codec = Option(info.options().get("codec"))
+      .getOrElse(AvroSource.DefaultCodec)
+    AvroSource.codecFactory(codec) // fail a bad name at plan time
+    new AvroWriteBuilder(targets.head, info.schema(), codec)
   }
 }
 
@@ -663,25 +739,43 @@ class AvroTable(targets: Seq[String], schema: StructType,
   * every new file has been renamed in (rename-first ordering: a crash
   * mid-commit leaves old ∪ new — recoverable — never a gutted dir).
   */
-class AvroWriteBuilder(dir: String, schema: StructType)
+class AvroWriteBuilder(dir: String, schema: StructType,
+    codec: String = AvroSource.DefaultCodec)
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new AvroBatchWrite(dir, schema, overwrite,
-        TleSource.sessionConfProps())
+        TleSource.sessionConfProps(), codec)
   }
+}
+
+object AvroWriteNames {
+  /** Per-write-job id baked into every data file name
+    * (`part-<partition>-<task>-<job>.avro`): partitionId/taskId are
+    * unique only within ONE SparkContext, so a fresh application
+    * appending or overwriting the same directory could reuse a name —
+    * colliding with a live file (rename-to-existing fails on some
+    * filesystems) or, worse, inheriting a stale `_index.json` entry
+    * keyed by the reused relative name, whose old ranges could wrongly
+    * stats-skip the new file. The job component makes names unique
+    * across applications (Spark's own `part-<split>-<jobUUID>` pattern).
+    */
+  def newJobId(): String =
+    java.util.UUID.randomUUID.toString.take(8)
 }
 
 private[graft] final case class AvroTaskCommit(tempRel: String)
   extends WriterCommitMessage
 
 class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
-    confProps: Array[(String, String)]) extends BatchWrite {
+    confProps: Array[(String, String)],
+    codec: String = AvroSource.DefaultCodec) extends BatchWrite {
+  private val jobId = AvroWriteNames.newJobId()
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new AvroWriterFactory(dir, schema.json, confProps)
+    new AvroWriterFactory(dir, schema.json, confProps, jobId, codec)
   /** Phase 1 of commit: publish the new files by rename. Returns the
     * published destination paths. Temp names are dot-prefixed and thus
     * invisible to the data listing, so nothing is visible until each
@@ -718,7 +812,14 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
       if (overwrite) scala.util.Try(TleSource.listDataFiles(dir)).getOrElse(Nil)
       else Nil
     val published = renameIn(fs, messages)
-    if (overwrite) deleteReplaced(fs, preexisting, published)
+    if (overwrite) {
+      deleteReplaced(fs, preexisting, published)
+      // every file the index described is gone — drop the sidecar too,
+      // so no stale entry can ever be consulted (the job-id file names
+      // already make key reuse impossible; this keeps the directory
+      // clean and the next writeIndex a from-scratch base)
+      AvroSource.invalidateIndex(fs, dir)
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -733,16 +834,19 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
 }
 
 class AvroWriterFactory(dir: String, schemaJson: String,
-    confProps: Array[(String, String)]) extends DataWriterFactory {
+    confProps: Array[(String, String)], jobId: String,
+    codec: String = AvroSource.DefaultCodec)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new AvroDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionId, taskId, confProps)
+      partitionId, taskId, confProps, jobId, codec)
 }
 
 class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
-    taskId: Long, confProps: Array[(String, String)])
+    taskId: Long, confProps: Array[(String, String)], jobId: String,
+    codec: String = AvroSource.DefaultCodec)
   extends DataWriter[InternalRow] {
 
   private val avroSchema = AvroSource.toAvroSchema(schema)
@@ -751,8 +855,9 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
     AvroSource.nonNull(avroSchema.getField(f.name).schema()))
   // taskId in the temp name: two ATTEMPTS of one partition (task retry
   // / speculation) must never collide on a file; only the committed
-  // attempt's message is renamed in, the loser is aborted
-  private val tempRel = f".part-$partitionId%05d-$taskId.avro"
+  // attempt's message is renamed in, the loser is aborted. jobId makes
+  // the name unique ACROSS applications (see [[AvroWriteNames]]).
+  private val tempRel = f".part-$partitionId%05d-$taskId-$jobId.avro"
   private val conf = {
     val c = new Configuration()
     confProps.foreach { case (k, v) => c.set(k, v) }
@@ -762,6 +867,9 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
   private val writer = {
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](avroSchema))
+    // block compression (zstd default) — the codec name rides the
+    // container's own metadata, so readers need no option to decode
+    w.setCodec(AvroSource.codecFactory(codec))
     w.create(avroSchema, fs.create(new Path(dir, tempRel), true))
   }
 

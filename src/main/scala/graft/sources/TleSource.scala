@@ -468,9 +468,18 @@ object TleFileSetOffset {
   * ledger snapshots under `<checkpoint>/graft-file-ledger/` — shared
   * by the TLE and Avro landing streams. Ledger files are immutable,
   * content-named (same listing ⇒ same name, so a re-freeze after
-  * replay is a no-op write), published by write-then-rename, and never
-  * deleted: an uncommitted batch's offset replayed after restart may
-  * reference any previously-written ledger.
+  * replay is a no-op write), and published by write-then-rename.
+  * Retention: the newest [[FileSetLedger.Retain]] snapshots are kept
+  * and older ones GC'd — the engine replays at most the last
+  * uncommitted batch, whose start/end offsets reference at most the
+  * PREVIOUS and the NEW ledger, and both are explicitly protected from
+  * the GC (the in-flight pair can never be collected even if a burst
+  * of freezes rotates past Retain). Rewinding the offset log deeper
+  * than the retained window (manual checkpoint surgery beyond
+  * `minBatchesToRetain`) may reference a collected ledger and fail the
+  * restart loudly with FileNotFound — by design: unbounded snapshot
+  * retention would hold O(|files|) bytes per freeze forever at the
+  * 8M-file design point.
   */
 final class FileSetLedger(checkpointLocation: String) {
   private val dirPath = new Path(checkpointLocation, "graft-file-ledger")
@@ -504,6 +513,9 @@ final class FileSetLedger(checkpointLocation: String) {
   }
 
   private def freeze(files: Seq[String]): String = {
+    // the ledger the in-flight (possibly uncommitted) batch's START
+    // offset rides — must survive this freeze's GC for replay
+    val prevLedger = current.map(_._1)
     val sorted = files.sorted
     val digest = java.security.MessageDigest.getInstance("SHA-1")
       .digest(sorted.mkString("\n")
@@ -526,11 +538,13 @@ final class FileSetLedger(checkpointLocation: String) {
     current = Some((dest.toString, sorted.toSet))
     // GC: keep the newest [[FileSetLedger.Retain]] snapshots (by their
     // embedded size component — the seen set only grows, so size is
-    // freeze order). The engine replays at most the last uncommitted
-    // batch, whose start/end reference at most the previous and the
-    // new ledger; deep retention only serves manual checkpoint
-    // surgery, and each snapshot is O(|files|) bytes — at the 8M-file
-    // design point an unpruned directory would hold thousands.
+    // freeze order), ALWAYS protecting the replay pair: the ledger
+    // just frozen (the new END) and the one the in-flight batch's
+    // START rode (adopted on restart or set by the previous freeze).
+    // Deeper retention only serves manual checkpoint surgery, and each
+    // snapshot is O(|files|) bytes — at the 8M-file design point an
+    // unpruned directory would hold thousands.
+    val protect: Set[String] = Set(dest.toString) ++ prevLedger
     scala.util.Try {
       fs.listStatus(dirPath).toSeq
         .filter(_.getPath.getName.startsWith("ledger-"))
@@ -540,7 +554,7 @@ final class FileSetLedger(checkpointLocation: String) {
         }
         .sortBy(-_._1)
         .drop(FileSetLedger.Retain)
-        .filterNot(_._2.toString == dest.toString)
+        .filterNot(e => protect(e._2.toString))
         .foreach { case (_, p) => fs.delete(p, false) }
     }
     dest.toString

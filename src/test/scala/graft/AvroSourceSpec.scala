@@ -454,4 +454,135 @@ class AvroSourceSpec extends SparkSpec {
       .as[(Long, Option[Int], Double)].collect().toSeq
     assert(got === Seq((7L, Some(5), 1.25), (8L, None, 2.5)))
   }
+
+  test("NaN never poisons the stats sidecar: a file holding a NaN is " +
+    "NEVER stats-skipped (Spark orders NaN above every double, so it " +
+    "can pass any comparison), while a NaN-free out-of-range file " +
+    "still skips") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-avronan-")
+      .toString + "/land"
+    // file A: small doubles plus one NaN; file B: mid-range, NaN-free
+    Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN)).toDF("k", "v")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    Seq((10L, 5.0), (11L, 6.0)).toDF("k", "v")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    AvroSource.writeIndex(spark, dir)
+    // v > 100 matches ONLY the NaN row — under the pre-fix index both
+    // files' bounds would reject it and the row would silently vanish
+    val before = AvroSource.skippedFiles.get()
+    val got = spark.read.format("graft-avro").load(dir)
+      .where(col("v") > 100.0).select($"k").as[Long].collect().toSeq
+    assert(got === Seq(3L),
+      "the NaN row must survive a stats-indexed selective scan")
+    assert(AvroSource.skippedFiles.get() > before,
+      "the NaN-free mid-range file must still skip")
+    // the NaN file's non-NaN bounds stay useful: v <= 2 keeps file A,
+    // skips file B
+    assert(spark.read.format("graft-avro").load(dir)
+      .where(col("v") <= 2.0).count() === 2L)
+  }
+
+  test("data file names carry a per-write-job id (unique across " +
+    "applications), and an overwrite commit invalidates the sidecar " +
+    "index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrojob-")
+      .toString + "/land"
+    Seq((1L, "a")).toDF("k", "s")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    Seq((2L, "b")).toDF("k", "s")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    val names = graft.util.FsListing.dataFiles(dir).map(_._1)
+    val pat = "part-\\d{5}-\\d+-[0-9a-f]{8}\\.avro".r
+    assert(names.forall(n => pat.matches(n)),
+      s"file names must embed partition-task-job: $names")
+    val jobIds = names.map(_.split("-").last.stripSuffix(".avro")).toSet
+    assert(jobIds.size === 2,
+      "two write jobs must stamp two distinct job ids")
+    AvroSource.writeIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_index.json")))
+    Seq((3L, "c")).toDF("k", "s")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_index.json")),
+      "overwrite must invalidate the sidecar index")
+    assert(spark.read.format("graft-avro").load(dir)
+      .select($"k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("nested record names stay unique after sanitization: sibling " +
+    "struct paths that collide when joined with '_' (a.b_c vs a_b.c) " +
+    "write and round-trip instead of failing on a duplicate Avro name") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrorec-")
+      .toString + "/out"
+    // paths a→b_c and a_b→c both sanitize to "a_b_c" — the pre-fix
+    // name derivation produced duplicate record names here
+    Seq((1L, 10L, 20L)).toDF("k", "x", "y")
+      .select($"k",
+        struct(struct($"x".as("v")).as("b_c")).as("a"),
+        struct(struct($"y".as("v")).as("c")).as("a_b"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val got = spark.read.format("graft-avro").load(dir)
+      .selectExpr("k", "a.b_c.v", "a_b.c.v")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L, 20L)))
+  }
+
+  test("block compression: zstd is the write default (stamped in the " +
+    "container's own metadata), every accepted codec round-trips, " +
+    "compressed files are smaller than null-codec, and byte-range " +
+    "splits work on compressed multi-block files") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files.createTempDirectory("graft-avrocodec-")
+      .toString
+    // repetitive payload so compression has something to bite on
+    val df = spark.range(0, 3000)
+      .select($"id".as("k"),
+        lit("the quick brown fox jumps over the lazy dog ").as("s"))
+    def bytes(dir: String): Long =
+      graft.util.FsListing.dataFiles(dir).map(_._2).sum
+    // default: no option → zstd, readable, stamped in file metadata
+    df.coalesce(1).write.format("graft-avro").mode("overwrite")
+      .save(s"$base/default")
+    val f0 = graft.util.FsListing.dataFiles(s"$base/default").head._1
+    val rdr = new DataFileReader(
+      new File(s"$base/default/$f0"),
+      new GenericDatumReader[GenericRecord]())
+    try assert(rdr.getMetaString("avro.codec") === "zstandard")
+    finally rdr.close()
+    val sizes = Seq("null", "zstd", "snappy", "deflate", "xz").map { c =>
+      val dir = s"$base/$c"
+      df.coalesce(1).write.format("graft-avro").option("codec", c)
+        .mode("overwrite").save(dir)
+      assert(spark.read.format("graft-avro").load(dir).count() === 3000L,
+        s"codec $c must round-trip")
+      c -> bytes(dir)
+    }.toMap
+    Seq("zstd", "snappy", "deflate", "xz").foreach { c =>
+      assert(sizes(c) < sizes("null"),
+        s"codec $c must beat null-codec on a repetitive payload " +
+          s"(${sizes(c)} vs ${sizes("null")})")
+    }
+    info(s"codec sizes on 3000 repetitive rows: $sizes")
+    // sync markers sit outside compressed block payloads: a compressed
+    // multi-block file byte-range splits exactly like an uncompressed
+    // one (small splitSize forces >1 partition; rows match the whole
+    // read)
+    val split = spark.read.format("graft-avro")
+      .option("splitSize", 2048).load(s"$base/zstd")
+    assert(split.rdd.getNumPartitions > 1,
+      "the compressed container must split into byte ranges")
+    assert(split.select($"k").as[Long].collect().sorted.toSeq
+      === (0L until 3000L))
+    // a bad codec name fails at plan time with the accepted list
+    val e = intercept[IllegalArgumentException] {
+      df.write.format("graft-avro").option("codec", "lzo")
+        .mode("overwrite").save(s"$base/bad")
+    }
+    assert(e.getMessage.contains("unknown codec"))
+  }
 }
