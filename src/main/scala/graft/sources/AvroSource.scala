@@ -221,8 +221,6 @@ object AvroSource {
     }
   }
 
-  private def indexPath(dir: String) = new Path(dir, "_index.json")
-
   /** Drop the whole sidecar index for `dir` (base + any delta files) —
     * called by overwrite commits, whose delete phase removes every file
     * the index described. */
@@ -313,90 +311,83 @@ object AvroSource {
     } finally r.close()
   }
 
+  /** One file's column stats as the sidecar's JSON node shape. */
+  private def colsToNode(m: com.fasterxml.jackson.databind.ObjectMapper,
+      cols: Map[String, ColStats])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val fileNode = m.createObjectNode()
+    cols.foreach { case (col, st) =>
+      val n = fileNode.putObject(col)
+      n.put("kind", st.kind)
+      st.kind match {
+        case "long" => n.put("min", st.minL); n.put("max", st.maxL)
+        case "double" =>
+          n.put("min", st.minD); n.put("max", st.maxD)
+          if (st.hasNaN) n.put("nan", true)
+        case _ => n.put("min", st.minS); n.put("max", st.maxS)
+      }
+      ()
+    }
+    fileNode
+  }
+
+  private def colsFromNode(fn: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, ColStats] = {
+    val cols = scala.collection.mutable.Map.empty[String, ColStats]
+    val it = fn.fieldNames()
+    while (it.hasNext) {
+      val col = it.next()
+      val v = fn.get(col)
+      cols += col -> (v.get("kind").asText() match {
+        case "long" => ColStats("long", v.get("min").asLong(),
+          v.get("max").asLong(), 1.0, 0.0, null, null)
+        case "double" => ColStats("double", 1L, 0L, v.get("min").asDouble(),
+          v.get("max").asDouble(), null, null,
+          hasNaN = v.has("nan") && v.get("nan").asBoolean())
+        case k =>
+          // an all-null string column serialized null bounds
+          def s(n: String): String = {
+            val jn = v.get(n)
+            if (jn == null || jn.isNull) null else jn.asText()
+          }
+          ColStats(k, 1L, 0L, 1.0, 0.0, s("min"), s("max"))
+      })
+    }
+    cols.toMap
+  }
+
   /** Build/refresh the sidecar stats index for an Avro landing
-    * directory — one distributed pass (a task per file, the scan's own
-    * parallel unit), one tiny `_index.json` keyed by relative path,
-    * published by write-then-rename. Files landed AFTER the index write
-    * are absent from it and always scanned: a stale index skips less,
-    * never loses records.
+    * directory — INCREMENTAL: only files absent from the merged index
+    * are statted (one distributed pass, a task per new file), vanished
+    * files are recorded as drops, and the store is one O(delta) delta
+    * file per refresh, compacted into `_index.json` every
+    * [[SidecarIndex.CompactThreshold]] deltas. Files landed AFTER the
+    * refresh are absent from it and always scanned: a stale index
+    * skips less, never loses records.
     */
   def writeIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val sep = if (dir.endsWith("/")) "" else "/"
-    val rels = graft.util.FsListing.dataFiles(dir).map(_._1)
     val props = TleSource.sessionConfProps()
-    val stats = spark.sparkContext
-      .parallelize(rels, math.max(1, rels.size))
-      .map { rel => rel -> statsOf(s"$dir$sep$rel", props) }
-      .collect()
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = m.createObjectNode()
-    stats.foreach { case (rel, cols) =>
-      val fileNode = root.putObject(rel)
-      cols.foreach { case (col, st) =>
-        val n = fileNode.putObject(col)
-        n.put("kind", st.kind)
-        st.kind match {
-          case "long" => n.put("min", st.minL); n.put("max", st.maxL)
-          case "double" =>
-            n.put("min", st.minD); n.put("max", st.maxD)
-            if (st.hasNaN) n.put("nan", true)
-          case _ => n.put("min", st.minS); n.put("max", st.maxS)
-        }
-        ()
+    SidecarIndex.update(dir, newRels => {
+      if (newRels.isEmpty) Nil
+      else {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        spark.sparkContext
+          .parallelize(newRels, math.max(1, newRels.size))
+          .map { rel => rel -> statsOf(s"$dir$sep$rel", props) }
+          .collect().toSeq
+          .map { case (rel, cols) => rel -> colsToNode(m, cols) }
       }
-    }
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, s"._index-${java.util.UUID.randomUUID}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(m.writeValueAsString(root)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(indexPath(dir), false)
-    require(fs.rename(tmp, indexPath(dir)),
-      s"graft-avro index publish failed for $dir")
+    })
+    ()
   }
 
-  /** The sidecar index keyed by relative path; empty when absent. */
-  def readIndex(dir: String): Map[String, Map[String, ColStats]] = {
-    val fs = new Path(dir).getFileSystem(FileSetLedger.hadoopConf())
-    val p = indexPath(dir)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val text = try {
-      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    val buf = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
-    val files = node.fieldNames()
-    while (files.hasNext) {
-      val rel = files.next()
-      val fn = node.get(rel)
-      val cols = scala.collection.mutable.Map.empty[String, ColStats]
-      val it = fn.fieldNames()
-      while (it.hasNext) {
-        val col = it.next()
-        val v = fn.get(col)
-        cols += col -> (v.get("kind").asText() match {
-          case "long" => ColStats("long", v.get("min").asLong(),
-            v.get("max").asLong(), 1.0, 0.0, null, null)
-          case "double" => ColStats("double", 1L, 0L, v.get("min").asDouble(),
-            v.get("max").asDouble(), null, null,
-            hasNaN = v.has("nan") && v.get("nan").asBoolean())
-          case k =>
-            // an all-null string column serialized null bounds
-            def s(n: String): String = {
-              val jn = v.get(n)
-              if (jn == null || jn.isNull) null else jn.asText()
-            }
-            ColStats(k, 1L, 0L, 1.0, 0.0, s("min"), s("max"))
-        })
-      }
-      buf += rel -> cols.toMap
-    }
-    buf.toMap
-  }
+  /** The merged sidecar index keyed by relative path; empty when
+    * absent. Cached driver-side by index-file fingerprint (repeat scan
+    * plannings over an unchanged index parse zero bytes). */
+  def readIndex(dir: String): Map[String, Map[String, ColStats]] =
+    SidecarIndex.read(dir).map { case (rel, fn) => rel -> colsFromNode(fn) }
 
   /** Filter value → the long comparison domain (date/timestamp wire
     * encodings included); None ⇒ not convertible, never skip on it. */

@@ -99,65 +99,47 @@ object TleSource {
   final case class FileStats(minName: String, maxName: String,
       minNorad: Int, maxNorad: Int)
 
-  private def indexPath(dir: String) = new Path(dir, "_index.json")
-
   /** Build/refresh the sidecar stats index for a landing directory —
-    * one distributed pass over the landing files (a task per file, the
-    * same unit the scan parallelizes on), one tiny JSON at
-    * `<dir>/_index.json` keyed by relative path. The `_` prefix keeps
-    * it invisible to every data listing. Files landed AFTER the index
-    * write are simply absent from it and always scanned, so a stale
-    * index can never lose records — only skip less.
+    * INCREMENTAL via the shared [[SidecarIndex]] store: only files
+    * absent from the merged index are statted (one distributed pass, a
+    * task per NEW file), vanished files are recorded as drops, and
+    * each refresh writes one O(delta) delta file, compacted into
+    * `_index.json` every [[SidecarIndex.CompactThreshold]] deltas. The
+    * `_` prefix keeps every store file invisible to data listings.
+    * Files landed AFTER a refresh are simply absent from the index and
+    * always scanned, so a stale index can never lose records — only
+    * skip less.
     */
   def writeIndex(spark: SparkSession, dir: String): Unit = {
     val sep = if (dir.endsWith("/")) "" else "/"
-    val rels = graft.util.FsListing.dataFiles(dir).map(_._1)
     val props = sessionConfProps()
-    val stats = spark.sparkContext
-      .parallelize(rels, math.max(1, rels.size))
-      .map { rel => rel -> statsOf(s"$dir$sep$rel", props) }
-      .collect()
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = m.createObjectNode()
-    stats.foreach { case (rel, s) =>
-      val n = root.putObject(rel)
-      n.put("minName", s.minName); n.put("maxName", s.maxName)
-      n.put("minNorad", s.minNorad); n.put("maxNorad", s.maxNorad)
-      ()
-    }
-    val fs = new Path(dir).getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, s"._index-${java.util.UUID.randomUUID}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(m.writeValueAsString(root)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(indexPath(dir), false)
-    require(fs.rename(tmp, indexPath(dir)), s"index publish failed for $dir")
+    SidecarIndex.update(dir, newRels => {
+      if (newRels.isEmpty) Nil
+      else {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        spark.sparkContext
+          .parallelize(newRels, math.max(1, newRels.size))
+          .map { rel => rel -> statsOf(s"$dir$sep$rel", props) }
+          .collect().toSeq
+          .map { case (rel, s) =>
+            val n = m.createObjectNode()
+            n.put("minName", s.minName); n.put("maxName", s.maxName)
+            n.put("minNorad", s.minNorad); n.put("maxNorad", s.maxNorad)
+            rel -> n
+          }
+      }
+    })
+    ()
   }
 
-  /** The sidecar index, keyed by relative path; empty when absent. */
-  def readIndex(dir: String): Map[String, FileStats] = {
-    val fs = new Path(dir).getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
-    val p = indexPath(dir)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val text = try {
-      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    val buf = ArrayBuffer.empty[(String, FileStats)]
-    val it = node.fieldNames()
-    while (it.hasNext) {
-      val k = it.next()
-      val v = node.get(k)
-      buf += k -> FileStats(
+  /** The merged sidecar index, keyed by relative path; empty when
+    * absent. Cached driver-side by index-file fingerprint. */
+  def readIndex(dir: String): Map[String, FileStats] =
+    SidecarIndex.read(dir).map { case (rel, v) =>
+      rel -> FileStats(
         v.get("minName").asText(), v.get("maxName").asText(),
         v.get("minNorad").asInt(), v.get("maxNorad").asInt())
     }
-    buf.toMap
-  }
 
   /** One file's stats via the same streaming reader the scan uses. */
   private def statsOf(file: String,

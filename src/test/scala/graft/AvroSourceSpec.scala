@@ -585,4 +585,68 @@ class AvroSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown codec"))
   }
+
+  test("sidecar index is INCREMENTAL and delta-compacted: a refresh " +
+    "over +1 new file stats exactly 1 file into an O(delta) delta, " +
+    "vanished files become drops, deltas fold into the base at the " +
+    "compaction threshold, and repeat reads of an unchanged index " +
+    "parse zero bytes") {
+    import graft.sources.SidecarIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-avroinc-")
+      .toString
+    def indexFiles(pred: String => Boolean): Seq[String] =
+      new File(dir).listFiles.map(_.getName).filter(pred).toSeq.sorted
+    def deltas() = indexFiles(_.startsWith("_index.delta-"))
+    writeFile(dir, (0L until 5L).map(k => (k, s"a$k", s"$k.0")))
+    writeFile(dir, (10L until 15L).map(k => (k, s"b$k", s"$k.0")))
+    writeFile(dir, (20L until 25L).map(k => (k, s"c$k", s"$k.0")))
+    AvroSource.writeIndex(spark, dir)
+    assert(SidecarIndex.lastStatted.get() === 3L)
+    assert(indexFiles(_ == "_index.json").nonEmpty && deltas().isEmpty)
+    // +1 file: exactly one stat, one delta file, no base rewrite
+    val baseLen = new File(dir, "_index.json").length
+    writeFile(dir, (1000L until 1005L).map(k => (k, s"z$k", s"$k.0")))
+    AvroSource.writeIndex(spark, dir)
+    assert(SidecarIndex.lastStatted.get() === 1L,
+      "a refresh over +1 new file must stat exactly one file")
+    assert(deltas().size === 1, "the refresh must write one delta")
+    assert(new File(dir, "_index.json").length === baseLen,
+      "the base must not be rewritten for a delta refresh")
+    assert(AvroSource.readIndex(dir).size === 4)
+    // the delta-held entry actively skips: k <= 25 prunes the z file
+    val before = AvroSource.skippedFiles.get()
+    assert(spark.read.format("graft-avro").load(dir)
+      .where($"k" <= 25L).count() === 15L)
+    assert(AvroSource.skippedFiles.get() > before,
+      "the delta-held high-range file must stats-skip")
+    // repeat reads of the unchanged index are cache hits: zero bytes
+    AvroSource.readIndex(dir)
+    val bytes0 = SidecarIndex.indexBytesRead.get()
+    AvroSource.readIndex(dir); AvroSource.readIndex(dir)
+    assert(SidecarIndex.indexBytesRead.get() === bytes0,
+      "an unchanged index must not be re-read from storage")
+    // a vanished file becomes a DROP and leaves the merged index —
+    // the victim is the a-file (all k < 10), found by content
+    val victim = graft.util.FsListing.dataFiles(dir).map(_._1).find { r =>
+      spark.read.format("graft-avro").load(s"$dir/$r")
+        .selectExpr("max(k)").as[Long].head() < 10L
+    }.get
+    new File(dir, victim).delete()
+    AvroSource.writeIndex(spark, dir)
+    assert(SidecarIndex.lastStatted.get() === 0L)
+    assert(AvroSource.readIndex(dir).size === 3)
+    // churn refreshes past the threshold fold into a fresh base
+    (0 until SidecarIndex.CompactThreshold + 2).foreach { i =>
+      writeFile(dir, Seq((5000L + i, s"w$i", "1.0")))
+      AvroSource.writeIndex(spark, dir)
+    }
+    assert(deltas().size <= SidecarIndex.CompactThreshold,
+      s"deltas must compact: ${deltas()}")
+    val all = AvroSource.readIndex(dir)
+    assert(all.size === 3 + SidecarIndex.CompactThreshold + 2)
+    // the compacted index still answers: every w-file entry skips a
+    // k <= 25 scan alongside the original survivors
+    assert(spark.read.format("graft-avro").load(dir)
+      .where($"k" <= 25L).count() === 10L)
+  }
 }

@@ -172,4 +172,27 @@ class TleSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-tle").load(dir).count() === 0)
     assert(spark.read.format("graft-tle").load(s"$dir/nope").count() === 0)
   }
+
+  test("index refresh is INCREMENTAL: only the new landing file is " +
+    "statted, the delta-held entry skips like a base entry, and the " +
+    "merged index survives compaction") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.SidecarIndex
+    val dir = indexedDir() // 3 files, base written
+    assert(SidecarIndex.lastStatted.get() === 3L)
+    write(dir, "d.txt", (0 until 3).map(i =>
+      s"DELTA-$i\n${noradLine(400 + i)}\n2 x").mkString("\n"))
+    graft.sources.TleSource.writeIndex(spark, dir)
+    assert(SidecarIndex.lastStatted.get() === 1L,
+      "refreshing over +1 file must stat exactly one file")
+    // the fresh entry is held by a delta file, not a base rewrite
+    assert(new java.io.File(dir).listFiles.map(_.getName)
+      .count(_.startsWith("_index.delta-")) === 1)
+    // and it skips: a DELTA-prefix query plans only d.txt
+    val df = spark.read.format("graft-tle").load(dir)
+      .where(col("sat_name").startsWith("DELTA"))
+    assert(df.rdd.getNumPartitions === 1,
+      "the delta-held stats entry must skip the other three files")
+    assert(df.count() === 3)
+  }
 }
