@@ -703,11 +703,15 @@ class AvroTable(targets: Seq[String], schema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val archiveDir = Option(options.get("archiveDir"))
+    archiveDir.foreach(LandingArchive.validate(targets, _))
     new AvroScanBuilder(targets, schema, corruptCol,
       Option(options.get("splitSize")).map(_.toLong)
         .getOrElse(AvroSource.defaultSplitSize()),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      archiveDir)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(targets.length == 1,
       "graft-avro write: exactly one target directory")
@@ -889,7 +893,8 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
 
 class AvroScanBuilder(targets: Seq[String], full: StructType,
     corruptCol: String, splitSize: Long,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    archiveDir: Option[String] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -914,13 +919,14 @@ class AvroScanBuilder(targets: Seq[String], full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new AvroScan(targets, required, corruptCol, splitSize, pushed,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, archiveDir)
 }
 
 class AvroScan(targets: Seq[String], required: StructType,
-    corruptCol: String, splitSize: Long,
+    corruptCol: String, private[sources] val splitSize: Long,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    private[sources] val maxFilesPerTrigger: Option[Int] = None)
+    private[sources] val maxFilesPerTrigger: Option[Int] = None,
+    private[sources] val archiveDir: Option[String] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -974,7 +980,10 @@ class AvroScan(targets: Seq[String], required: StructType,
   * before seen names are still new-minus-old and no modtime clock is
   * trusted. Files are immutable once landed (write-then-rename is the
   * landing contract, and the graft-avro write path itself publishes by
-  * rename), so commit is a no-op.
+  * rename). With an `archiveDir` read option, commit MOVES the
+  * committed batch's files out of the landing ([[LandingArchive]]), so
+  * the per-trigger listing stays O(live files) on a long-lived landing;
+  * without it commit is a no-op.
   */
 class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
     checkpointLocation: String)
@@ -1008,19 +1017,30 @@ class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TleFileSetOffset].files.toSet
-    // one partition per NEW file (no byte-range split here: a
-    // micro-batch's unit of progress is the landed file, and landing
-    // waves arrive as many task-sized files by the write contract).
+    val fresh = end.asInstanceOf[TleFileSetOffset].files.filterNot(seen)
+    // real byte lengths for the new files, so one huge landed
+    // container BYTE-RANGE SPLITS within its own micro-batch instead
+    // of serializing onto one task (same planSplits as the batch
+    // scan; deterministic across a batch replay — landed files are
+    // immutable). A name missing from the listing (raced rename)
+    // falls back to a whole-file partition, still exactly-once.
+    val lens: Map[String, Long] =
+      AvroSource.resolveFilesWithLen(targets).toMap
     // The offset tracks EVERY file — progress must not depend on the
     // filter — but stats-skipped files plan no reader work.
-    scan.selectedFiles(
-        end.asInstanceOf[TleFileSetOffset].files.filterNot(seen).map(_ -> 0L))
-      .map { case (f, _) => AvroFilePartition(f, 0L, AvroSource.NoEnd) }
-      .toArray[InputPartition]
+    AvroSource.planSplits(
+      scan.selectedFiles(fresh.map(f => f -> lens.getOrElse(f, 0L))),
+      scan.splitSize)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     scan.createReaderFactory()
-  override def commit(end: Offset): Unit = ()
+  // per-stream memo of already-moved names (see LandingArchive)
+  private val archived = scala.collection.mutable.Set.empty[String]
+  override def commit(end: Offset): Unit =
+    scan.archiveDir.foreach { arch =>
+      LandingArchive.moveCommitted(targets, arch,
+        end.asInstanceOf[TleFileSetOffset].files, archived)
+    }
   override def stop(): Unit = ()
 }
 

@@ -44,6 +44,73 @@ import org.apache.hadoop.fs.{FileStatus, Path}
   * landed after the last update is absent from the index and always
   * scans — a stale index skips less, never loses records.
   */
+/** Post-commit archival for the file-set landing streams (`archiveDir`
+  * read option): once a micro-batch COMMITS, its files are moved out of
+  * the landing into the archive (relative paths preserved), so
+  * `latestOffset`'s per-trigger directory listing stays O(live files)
+  * on a long-lived landing instead of growing with all of history.
+  *
+  * Exactly-once is preserved across the boundary by construction: only
+  * files inside a committed end-offset move (they are fully processed
+  * and durably recorded as seen), the offset keeps their NAMES (so the
+  * new-minus-seen admission math is untouched), and a moved file is
+  * simply absent from later listings — it can never be re-admitted.
+  * An uncommitted batch's files never move, so restart replay still
+  * finds them in the landing. A rename that fails is retried on the
+  * next commit (the file stays both listed and seen — harmless).
+  *
+  * One-batch lag: the engine calls a source's `commit(N)` when batch
+  * N+1 starts, so the FINAL batch of a run moves on the next run's
+  * first trigger — the landing therefore lists at most one batch of
+  * already-processed files between runs (the same lag Spark's own
+  * FileStreamSource cleanup has). The listing stays O(live + one
+  * batch) either way.
+  */
+object LandingArchive {
+
+  /** The archive must not be VISIBLE inside a landing target: a moved
+    * file reappearing in the landing listing under a new name would
+    * re-process. Inside a target it must sit under a hidden (`_`/`.`)
+    * component, which FsListing never lists. */
+  def validate(targets: Seq[String], archiveDir: String): Unit =
+    targets.foreach { t =>
+      val sep = if (t.endsWith("/")) "" else "/"
+      if (archiveDir == t || archiveDir.startsWith(t + sep)) {
+        val first = archiveDir.stripPrefix(t + sep).takeWhile(_ != '/')
+        require(first.startsWith("_") || first.startsWith("."),
+          s"archiveDir '$archiveDir' sits visibly inside the landing " +
+            s"'$t' — moved files would re-list as new data; use a " +
+            "directory outside the landing or a '_'-prefixed subdir")
+      }
+    }
+
+  /** Move every not-yet-archived file of a committed offset out of its
+    * landing target into `archiveDir`. `archived` is the per-stream
+    * memo so repeat commits don't re-stat the whole history — the
+    * first commit after a restart pays one existence check per seen
+    * file, later commits O(batch). */
+  def moveCommitted(targets: Seq[String], archiveDir: String,
+      files: Seq[String],
+      archived: scala.collection.mutable.Set[String]): Unit = {
+    val conf = FileSetLedger.hadoopConf()
+    files.filterNot(archived).foreach { f =>
+      val src = new Path(f)
+      val fs = src.getFileSystem(conf)
+      if (!fs.exists(src)) archived += f // already moved (prior run)
+      else {
+        val rel = targets.collectFirst {
+          case t if f.startsWith(if (t.endsWith("/")) t else t + "/") =>
+            f.stripPrefix(if (t.endsWith("/")) t else t + "/")
+        }.getOrElse(src.getName)
+        val dest = new Path(archiveDir, rel)
+        fs.mkdirs(dest.getParent)
+        if (fs.rename(src, dest)) archived += f
+        // else: leave listed AND seen — retried next commit, never lost
+      }
+    }
+  }
+}
+
 object SidecarIndex {
 
   /** Delta files folded into a fresh base once their count would pass

@@ -215,12 +215,15 @@ class TleTable(path: String) extends Table with SupportsRead {
     val lo = Option(options.get("noradMin")).map(_.toInt).getOrElse(Int.MinValue)
     val hi = Option(options.get("noradMax")).map(_.toInt).getOrElse(Int.MaxValue)
     val mft = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
-    new TleScanBuilder(path, lo, hi, mft)
+    val arch = Option(options.get("archiveDir"))
+    arch.foreach(LandingArchive.validate(Seq(path), _))
+    new TleScanBuilder(path, lo, hi, mft, arch)
   }
 }
 
 class TleScanBuilder(path: String, noradLo: Int, noradHi: Int,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    archiveDir: Option[String] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
   private var required: StructType = TleSource.SCHEMA
@@ -248,12 +251,13 @@ class TleScanBuilder(path: String, noradLo: Int, noradHi: Int,
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new TleScan(path, required, pushed, noradLo, noradHi,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, archiveDir)
 }
 
 class TleScan(path: String, required: StructType, filters: Array[Filter],
     noradLo: Int, noradHi: Int,
-    private[sources] val maxFilesPerTrigger: Option[Int] = None)
+    private[sources] val maxFilesPerTrigger: Option[Int] = None,
+    private[sources] val archiveDir: Option[String] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -322,7 +326,10 @@ class TleScan(path: String, required: StructType, filters: Array[Filter],
   * watermark). The offset grows with the landing directory; landing
   * zones are pruned after warehouse commit by contract (K2-K4 move
   * records out), which bounds it. Files are immutable once landed
-  * (writers write to `_tmp` then rename), so `commit` is a no-op.
+  * (writers write to `_tmp` then rename). With an `archiveDir` read
+  * option, `commit` MOVES the committed batch's files out of the
+  * landing ([[LandingArchive]]), keeping the per-trigger listing
+  * O(live files); without it `commit` is a no-op.
   */
 class TleMicroBatchStream(path: String, required: StructType,
     scan: TleScan, checkpointLocation: String,
@@ -373,7 +380,13 @@ class TleMicroBatchStream(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     scan.createReaderFactory()
 
-  override def commit(end: Offset): Unit = ()
+  // per-stream memo of already-moved names (see LandingArchive)
+  private val archived = scala.collection.mutable.Set.empty[String]
+  override def commit(end: Offset): Unit =
+    scan.archiveDir.foreach { arch =>
+      LandingArchive.moveCommitted(Seq(path), arch,
+        end.asInstanceOf[TleFileSetOffset].files, archived)
+    }
   override def stop(): Unit = ()
 }
 

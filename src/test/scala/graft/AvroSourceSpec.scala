@@ -586,6 +586,114 @@ class AvroSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown codec"))
   }
 
+  test("STREAMING byte-range split: one huge landed container fans " +
+    "out across >1 partition WITHIN its micro-batch, rows exactly " +
+    "once, and a restart sees nothing new") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrossp-")
+      .toString
+    val ckp = java.nio.file.Files
+      .createTempDirectory("graft-avrossp-ckp-").toString
+    // one multi-block container (sync interval forces many blocks)
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    w.setSyncInterval(32)
+    w.create(writerSchema, new File(dir, "big.avro"))
+    try (0L until 500L).foreach { k =>
+      val r = new GenericData.Record(writerSchema)
+      r.put("k", k); r.put("name", s"name-$k"); r.put("price", s"$k.5")
+      r.put("extra", k * 10)
+      w.append(r)
+    } finally w.close()
+    val seenParts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-avro")
+        .schema("k long, name string")
+        .option("splitSize", 1024)
+        .load(dir)
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            seenParts.updateAndGet(m => math.max(m, df.rdd.getNumPartitions))
+            df.select($"k").as[Long].collect().foreach(got.add)
+            ()
+        }
+        .trigger(Trigger.AvailableNow()).option("checkpointLocation", ckp)
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seenParts.get() > 1,
+      "the landed container must byte-range split inside its micro-batch")
+    assert(got.size === 500, "rows must arrive exactly once")
+    assert(got.iterator().asScala.toSeq.sorted === (0L until 500L))
+    drain() // restart: offset already covers the file — nothing new
+    assert(got.size === 500, "a restart must not re-deliver any range")
+  }
+
+  test("archiveDir bounds the landing listing: committed batches' " +
+    "files MOVE to the archive, later triggers list only live files, " +
+    "archived files are never re-admitted, and new arrivals still " +
+    "process exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-avroarc-")
+      .toString
+    val arch = java.nio.file.Files
+      .createTempDirectory("graft-avroarc-archive-").toString
+    val ckp = java.nio.file.Files
+      .createTempDirectory("graft-avroarc-ckp-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-avro")
+        .schema("k long, name string")
+        .option("maxFilesPerTrigger", 4)
+        .option("archiveDir", arch)
+        .load(dir)
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.select($"k").as[Long].collect().foreach(got.add)
+            ()
+        }
+        .trigger(Trigger.AvailableNow()).option("checkpointLocation", ckp)
+        .start()
+      q.awaitTermination()
+    }
+    (0 until 12).foreach(i => writeFile(dir,
+      Seq((i.toLong, s"n$i", s"$i.0"))))
+    drain()
+    assert(got.iterator().asScala.toSeq.sorted === (0L until 12L))
+    // the engine commits batch N as batch N+1 starts, so the FINAL
+    // batch lags one run (FileStreamSource-cleanup semantics): the
+    // landing is bounded by one batch, never by history
+    val live1 = graft.util.FsListing.dataFiles(dir).size
+    assert(live1 <= 4,
+      s"landing must hold at most one trailing batch, saw $live1")
+    assert(graft.util.FsListing.dataFiles(arch).size === 12 - live1)
+    // new arrivals after archival: only THEY process — the archived
+    // names stay in the offset, so nothing is re-admitted
+    (100 until 102).foreach(i => writeFile(dir,
+      Seq((i.toLong, s"n$i", s"$i.0"))))
+    drain()
+    assert(got.size === 14, "exactly the two new files' rows arrive")
+    val live2 = graft.util.FsListing.dataFiles(dir).size
+    assert(live2 <= 2,
+      s"the restart must archive the prior run's trailing batch, saw $live2")
+    assert(graft.util.FsListing.dataFiles(arch).size === 14 - live2,
+      "no file may be lost across the archive boundary")
+    // an archive VISIBLY inside the landing is rejected at plan time
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-avro")
+        .schema("k long, name string")
+        .option("archiveDir", s"$dir/done")
+        .load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckp-bad")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("sits visibly inside"),
+      s"got: ${e.getMessage}")
+  }
+
   test("sidecar index is INCREMENTAL and delta-compacted: a refresh " +
     "over +1 new file stats exactly 1 file into an O(delta) delta, " +
     "vanished files become drops, deltas fold into the base at the " +
