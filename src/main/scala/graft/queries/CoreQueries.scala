@@ -981,6 +981,95 @@ object CoreQueries extends QueryPack {
                CAST(count(DISTINCT source) AS BIGINT) AS sources
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // ---- q183: the MAP and DECIMAL carriers ride the Avro
+    // interchange under the hash (structs/arrays/binary already do via
+    // q181/q182): a string-keyed map of longs plus an exact decimal
+    // measure round-trip through graft-avro container files; every
+    // aggregate is re-derived relationally by the oracle, so a value
+    // lost/reordered in the map mapping or a scale slip in the decimal
+    // unscaled-bytes encoding breaks the hash. The decimal sum is
+    // compared as TEXT — exact, no float laundering. ----
+    Q("q183_avro_map_decimal",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q183-").toString
+        t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("k"),
+            map(lit("ck"), $"o_custkey".cast("long"),
+              lit("ok2"), ($"o_orderkey" * 2).cast("long")).as("props"),
+            $"o_totalprice".cast("decimal(12,2)").as("price"))
+          .write.format("graft-avro").mode("overwrite").save(s"$tmp/md")
+        s.read.format("graft-avro").load(s"$tmp/md")
+          .groupBy(($"k" % 5).cast("long").as("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(element_at($"props", "ck")).cast("long").as("ck_sum"),
+            max(element_at($"props", "ok2")).cast("long").as("ok2_max"),
+            sum($"price").cast("string").as("price_sum"))
+          .orderBy("g")
+      },
+      Some("""
+        SELECT CAST(o_orderkey % 5 AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o_custkey) AS BIGINT) AS ck_sum,
+               CAST(max(o_orderkey * 2) AS BIGINT) AS ok2_max,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+                 AS price_sum
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q184: Hive-style PARTITION-DIRECTORY columns on the Avro
+    // landing, under the hash. A two-level pr=<priority>/b=<0|1>
+    // layout (the fixture loop is domain-sized prep: 5×2 leaf writes)
+    // reads back with the path segments as typed columns; a partition
+    // predicate must prune whole directories at PLAN time, before
+    // their contents are listed (require()d via the prunedDirs
+    // counter — a pruning regression fails the query), and the answer
+    // must still equal the relational oracle because pruning is
+    // provable, never heuristic. ----
+    Q("q184_avro_partition_dirs",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q184-").toString + "/land"
+        val src = t(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("k"),
+          $"o_custkey".cast("long").as("ck"),
+          $"o_totalprice".cast("double").as("price"),
+          $"o_orderpriority".as("pr"),
+          ($"o_orderkey" % 2).cast("long").as("b"))
+        // fixture prep: the priority domain is 5 values by schema —
+        // this collect is bounded by the DOMAIN, not the data
+        val prios = src.select($"pr").distinct().as[String].collect().sorted
+        prios.foreach { p =>
+          Seq(0L, 1L).foreach { b =>
+            src.where($"pr" === p && $"b" === b)
+              .select($"k", $"ck", $"price")
+              .coalesce(1)
+              .write.format("graft-avro").mode("append")
+              .save(s"$tmp/pr=$p/b=$b")
+          }
+        }
+        val pruned0 = graft.sources.AvroSource.prunedDirs.get()
+        val out = s.read.format("graft-avro").load(tmp)
+          .where($"pr" === "1-URGENT" && $"b" === 1L)
+          .groupBy(($"ck" % 7).cast("long").as("g"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"price"), 2).as("total"),
+            max($"k").as("max_k"))
+          .orderBy("g")
+        require(out.rdd.partitions.length >= 1)
+        require(graft.sources.AvroSource.prunedDirs.get() > pruned0,
+          "q184: the non-matching partition directories must prune at " +
+            "plan time, before listing")
+        out
+      },
+      Some("""
+        SELECT CAST(o_custkey % 7 AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(max(o_orderkey) AS BIGINT) AS max_k
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 1
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge

@@ -62,15 +62,39 @@ class AvroSourceProvider extends TableProvider with
     org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-avro"
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AvroSource.inferSchema(AvroSource.resolveFiles(
-      AvroSource.paths(k => Option(options.get(k)))))
+  /** Data schema from the first container file, PLUS partition-path
+    * columns (`dt=.../lang=...` segments of a single-directory target)
+    * appended with types inferred from the first value — an explicit
+    * read schema overrides the types; a name collision between a data
+    * field and a partition directory is rejected loudly. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val targets = AvroSource.paths(k => Option(options.get(k)))
+    val data = AvroSource.inferSchema(AvroSource.resolveFiles(targets))
+    val parts =
+      if (targets.length == 1) AvroSource.partitionSpec(targets.head)
+      else Nil
+    parts.foreach { case (k, _) =>
+      require(!data.fieldNames.contains(k),
+        s"graft-avro: partition directory column '$k' collides with a " +
+          "data column of the same name")
+    }
+    StructType(data.fields ++ parts.map { case (k, v) =>
+      StructField(k, AvroSource.inferPartType(v), nullable = true)
+    })
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val corrupt = Option(properties.get("columnNameOfCorruptRecord"))
       .getOrElse("_corrupt")
-    new AvroTable(
-      AvroSource.paths(k => Option(properties.get(k))), schema, corrupt)
+    val targets = AvroSource.paths(k => Option(properties.get(k)))
+    // partition columns = the directory chain's keys that the (possibly
+    // user-supplied) schema actually carries — omitted ⇒ simply unread
+    val partCols =
+      if (targets.length == 1)
+        AvroSource.partitionSpec(targets.head).map(_._1)
+          .filter(schema.fieldNames.contains)
+      else Nil
+    new AvroTable(targets, schema, corrupt, partCols)
   }
 }
 
@@ -150,6 +174,169 @@ object AvroSource {
     * `pastSync` checks entirely (Avro's `pastSync(Long.MaxValue)`
     * overflows `position + SYNC_SIZE` and would stop at block one). */
   private[sources] val NoEnd = Long.MaxValue
+
+  // ---------------------------------------------------------------
+  // Hive-style partition directories (`dt=2026-08-16/lang=en/...`):
+  // path segments surface as COLUMNS and prune whole directories at
+  // plan time, BEFORE their contents are ever listed or stat-checked
+  // ---------------------------------------------------------------
+
+  /** Observability: partition directories pruned at plan time before
+    * listing — the spec's witness that a partition predicate cuts the
+    * listing itself, not just the scanned files. */
+  private[graft] val prunedDirs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Hive's null-partition sentinel. */
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** `name=value` split of one path segment; the value is
+    * percent-unescaped (Hive's path escaping) and the null sentinel
+    * decodes to null. */
+  private[sources] def parsePartSeg(name: String): Option[(String, String)] = {
+    val i = name.indexOf('=')
+    if (i <= 0) None else Some((name.take(i), unescapePathName(name.drop(i + 1))))
+  }
+
+  private[sources] def unescapePathName(s: String): String = {
+    if (s == HiveDefaultPartition) return null
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The partition column chain of a directory target — the `k=v`
+    * names along the FIRST-sorted directory chain, with each level
+    * checked for uniformity (every sibling directory at a partition
+    * level must carry the same key; a mixed level ends the chain). An
+    * O(depth) walk, no full listing. Returns (column, first value)
+    * pairs — the values seed type inference. Empty for file targets,
+    * missing dirs, and unpartitioned layouts.
+    */
+  def partitionSpec(target: String): Seq[(String, String)] = {
+    val conf = FileSetLedger.hadoopConf()
+    val p = new Path(target)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || fs.getFileStatus(p).isFile) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var cur = p
+    var go = true
+    while (go) {
+      val kids = fs.listStatus(cur)
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .sortBy(_.getPath.getName)
+      val dirs = kids.filter(_.isDirectory)
+      dirs.headOption.flatMap(d => parsePartSeg(d.getPath.getName)) match {
+        case Some((k, v)) if dirs.forall(d =>
+            parsePartSeg(d.getPath.getName).exists(_._1 == k)) =>
+          out += k -> v
+          cur = dirs.head.getPath
+        case _ => go = false
+      }
+    }
+    out.toSeq
+  }
+
+  /** Inferred Spark type for a partition column's first value — the
+    * standard ladder (long, double, date, else string); an explicit
+    * user schema overrides. Nulls (the Hive sentinel) infer string. */
+  private[sources] def inferPartType(v: String): DataType = {
+    if (v == null) return StringType
+    if (scala.util.Try(v.toLong).isSuccess) LongType
+    else if (scala.util.Try(v.toDouble).isSuccess) DoubleType
+    else if (scala.util.Try(java.time.LocalDate.parse(v)).isSuccess) DateType
+    else StringType
+  }
+
+  /** Synthetic min==max stats for one partition value in the column's
+    * comparison domain — lets [[statsMayMatch]] decide directory
+    * pruning with exactly the file-skipping machinery (typed, not
+    * string-compared: a numeric partition pruned by string order
+    * would lose data). None ⇒ never prune on this column.
+    */
+  private[sources] def partValueStats(dt: DataType,
+      v: String): Option[ColStats] = {
+    if (v == null) // null passes NO comparison filter: the empty range
+      return Some(dt match {
+        case StringType => ColStats("string", 1L, 0L, 1.0, 0.0, null, null)
+        case DoubleType | org.apache.spark.sql.types.FloatType =>
+          ColStats("double", 1L, 0L, 1.0, 0.0, null, null)
+        case _ => ColStats("long", 1L, 0L, 1.0, 0.0, null, null)
+      })
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        scala.util.Try(v.trim.toLong).toOption
+          .map(l => ColStats("long", l, l, 1.0, 0.0, null, null))
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(v.trim).toEpochDay)
+          .toOption.map(d => ColStats("long", d, d, 1.0, 0.0, null, null))
+      case DoubleType | org.apache.spark.sql.types.FloatType =>
+        scala.util.Try(v.trim.toDouble).toOption
+          .map(d => ColStats("double", 1L, 0L, d, d, null, null))
+      case StringType => Some(ColStats("string", 1L, 0L, 1.0, 0.0, v, v))
+      case _ => None
+    }
+  }
+
+  /** Partition-aware file resolution: walk `target`, PRUNING every
+    * `col=value` directory `mayMatch(depth, value)` rejects — its
+    * contents are never listed (the counter is the witness). Files
+    * return with byte lengths, ready for [[planSplits]]. Directories
+    * that don't parse as the expected partition key at their level
+    * descend as plain data dirs.
+    */
+  private[sources] def resolvePrunedWithLen(target: String,
+      partCols: Seq[String],
+      mayMatch: (Int, String) => Boolean): Seq[(String, Long)] = {
+    val conf = FileSetLedger.hadoopConf()
+    val root = new Path(target)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    if (fs.getFileStatus(root).isFile)
+      return Seq(target -> fs.getFileStatus(root).getLen)
+    val sep = if (target.endsWith("/")) "" else "/"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(dir: Path, rel: String, depth: Int): Unit =
+      fs.listStatus(dir).sortBy(_.getPath.getName).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isFile) buf += s"$target$sep$rel$n" -> st.getLen
+          else parsePartSeg(n) match {
+            case Some((k, v)) if depth < partCols.length &&
+                k == partCols(depth) =>
+              if (mayMatch(depth, v)) walk(st.getPath, s"$rel$n/", depth + 1)
+              else { prunedDirs.incrementAndGet(); () }
+            case _ => walk(st.getPath, s"$rel$n/", depth)
+          }
+        }
+      }
+    walk(root, "", 0)
+    buf.sortBy(_._1).toSeq
+  }
+
+  /** The partition values of one data file, parsed from its `k=v`
+    * path segments by NAME (order-independent, absent ⇒ null) — the
+    * same for batch and streaming partitions. */
+  private[sources] def partValuesOf(file: String, target: String,
+      partCols: Seq[String]): Array[String] = {
+    if (partCols.isEmpty) return Array.empty
+    val sep = if (target.endsWith("/")) target else target + "/"
+    val rel = if (file.startsWith(sep)) file.stripPrefix(sep) else file
+    val found = rel.split('/').iterator.flatMap(parsePartSeg(_)).toMap
+    partCols.map(c => found.getOrElse(c, null)).toArray
+  }
 
   /** The session default split size — `spark.sql.files.maxPartitionBytes`,
     * the same knob the built-in file sources split on. */
@@ -696,7 +883,8 @@ object AvroSource {
 }
 
 class AvroTable(targets: Seq[String], schema: StructType,
-    corruptCol: String) extends Table with SupportsRead with SupportsWrite {
+    corruptCol: String, partCols: Seq[String] = Nil)
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro:${targets.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -710,7 +898,8 @@ class AvroTable(targets: Seq[String], schema: StructType,
       Option(options.get("splitSize")).map(_.toLong)
         .getOrElse(AvroSource.defaultSplitSize()),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      archiveDir)
+      archiveDir,
+      partCols.map(schema(_)))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(targets.length == 1,
@@ -894,7 +1083,8 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
 class AvroScanBuilder(targets: Seq[String], full: StructType,
     corruptCol: String, splitSize: Long,
     maxFilesPerTrigger: Option[Int] = None,
-    archiveDir: Option[String] = None)
+    archiveDir: Option[String] = None,
+    partFields: Seq[StructField] = Nil)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -919,14 +1109,15 @@ class AvroScanBuilder(targets: Seq[String], full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new AvroScan(targets, required, corruptCol, splitSize, pushed,
-      maxFilesPerTrigger, archiveDir)
+      maxFilesPerTrigger, archiveDir, partFields)
 }
 
 class AvroScan(targets: Seq[String], required: StructType,
     corruptCol: String, private[sources] val splitSize: Long,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     private[sources] val maxFilesPerTrigger: Option[Int] = None,
-    private[sources] val archiveDir: Option[String] = None)
+    private[sources] val archiveDir: Option[String] = None,
+    partFields: Seq[StructField] = Nil)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -961,12 +1152,46 @@ class AvroScan(targets: Seq[String], required: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroSource.planSplits(
-      selectedFiles(AvroSource.resolveFilesWithLen(targets)), splitSize)
+  /** Partition-directory pruning: can the `k=v` directory at `depth`
+    * hold a passing row? Typed min==max stats through the same
+    * [[AvroSource.statsMayMatch]] as file skipping — conservative on
+    * parse failures and non-comparable types. */
+  private def partDirMayMatch(depth: Int, value: String): Boolean = {
+    val f = partFields(depth)
+    AvroSource.partValueStats(f.dataType, value) match {
+      case None => true
+      case Some(st) =>
+        val stats = Map(f.name -> st)
+        filters.forall(AvroSource.statsMayMatch(stats, _))
+    }
+  }
+
+  /** Attach each file's path-parsed partition values to its planned
+    * partitions (shared by batch splits and streaming batches). */
+  private[sources] def withPartValues(
+      parts: Array[InputPartition]): Array[InputPartition] = {
+    if (partFields.isEmpty) return parts
+    val cols = partFields.map(_.name)
+    parts.map { p =>
+      val fp = p.asInstanceOf[AvroFilePartition]
+      fp.copy(partVals =
+        AvroSource.partValuesOf(fp.file, targets.head, cols))
+        .asInstanceOf[InputPartition]
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files =
+      if (partFields.nonEmpty && filters.nonEmpty)
+        // prune `k=v` directories BEFORE listing their contents
+        AvroSource.resolvePrunedWithLen(targets.head,
+          partFields.map(_.name), partDirMayMatch)
+      else AvroSource.resolveFilesWithLen(targets)
+    withPartValues(AvroSource.planSplits(selectedFiles(files), splitSize))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required, corruptCol,
-      TleSource.sessionConfProps())
+      TleSource.sessionConfProps(), partFields.map(_.name).toArray)
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream =
@@ -1027,10 +1252,11 @@ class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
     val lens: Map[String, Long] =
       AvroSource.resolveFilesWithLen(targets).toMap
     // The offset tracks EVERY file — progress must not depend on the
-    // filter — but stats-skipped files plan no reader work.
-    AvroSource.planSplits(
+    // filter — but stats-skipped files plan no reader work. Partition
+    //-directory values ride each partition like the batch scan's.
+    scan.withPartValues(AvroSource.planSplits(
       scan.selectedFiles(fresh.map(f => f -> lens.getOrElse(f, 0L))),
-      scan.splitSize)
+      scan.splitSize))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     scan.createReaderFactory()
@@ -1046,16 +1272,21 @@ class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
 
 /** One container file or one byte range of it — `[start, end)` in the
   * `sync`/`pastSync` contract; `end == AvroSource.NoEnd` means read to
-  * EOF with no range checks (the whole-file fast path). */
+  * EOF with no range checks (the whole-file fast path). `partVals`
+  * carries the file's path-parsed partition-directory values (raw
+  * strings, aligned with the scan's partition columns; nulls allowed).
+  */
 case class AvroFilePartition(file: String, start: Long = 0L,
-    end: Long = AvroSource.NoEnd) extends InputPartition
+    end: Long = AvroSource.NoEnd,
+    partVals: Array[String] = Array.empty) extends InputPartition
 
 class AvroReaderFactory(required: StructType, corruptCol: String,
-    confProps: Array[(String, String)]) extends PartitionReaderFactory {
+    confProps: Array[(String, String)],
+    partCols: Array[String] = Array.empty) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[AvroFilePartition]
     new AvroFileReader(fp.file, fp.start, fp.end, required,
-      corruptCol, confProps)
+      corruptCol, confProps, partCols.zip(fp.partVals).toMap)
   }
 }
 
@@ -1070,7 +1301,8 @@ class AvroReaderFactory(required: StructType, corruptCol: String,
   */
 class AvroFileReader(file: String, start: Long, end: Long,
     required: StructType,
-    corruptCol: String, confProps: Array[(String, String)])
+    corruptCol: String, confProps: Array[(String, String)],
+    partVals: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val conf = {
@@ -1117,6 +1349,15 @@ class AvroFileReader(file: String, start: Long, end: Long,
         af.map(x => AvroSource.nonNull(x.schema())).orNull)
     }
   private val corruptIdx = required.fieldNames.indexOf(corruptCol)
+
+  // partition-directory columns: required fields the writer lacks whose
+  // values ride the file PATH — coerced ONCE (same null-on-failure
+  // contract as data fields) and emitted as per-row constants
+  private val constants: Array[Any] = plan.map { case (f, pos, _) =>
+    if (pos < 0 && partVals.contains(f.name))
+      coerce(partVals(f.name), f.dataType)._1
+    else null
+  }
 
   // decode buffer reused across rows (every value is COPIED into the
   // emitted InternalRow by coerce, so reuse is safe)
@@ -1252,6 +1493,13 @@ class AvroFileReader(file: String, start: Long, end: Long,
       case (l: java.lang.Long, IntegerType) =>
         if (l >= Int.MinValue && l <= Int.MaxValue) (l.intValue(), None)
         else (null, Some(l.toString))
+      // ISO date text → days (partition-directory values, and the
+      // generic PERMISSIVE str→date path)
+      case (s: CharSequence, DateType) =>
+        try (java.time.LocalDate.parse(s.toString.trim).toEpochDay.toInt,
+          None)
+        catch { case _: java.time.DateTimeException =>
+          (null, Some(s.toString)) }
       case (d: java.lang.Double, DoubleType) => (d.doubleValue(), None)
       case (f: java.lang.Float, DoubleType) => (f.doubleValue(), None)
       case (i: java.lang.Integer, DoubleType) => (i.doubleValue(), None)
@@ -1285,7 +1533,7 @@ class AvroFileReader(file: String, start: Long, end: Long,
         val (value, bad) = coerce(rec.get(pos), f.dataType, ws)
         out(i) = value
         if (firstBad == null) bad.foreach(firstBad = _)
-      }
+      } else out(i) = constants(i) // partition-path value or null
       i += 1
     }
     if (corruptIdx >= 0 && firstBad != null)

@@ -631,6 +631,104 @@ class AvroSourceSpec extends SparkSpec {
     assert(got.size === 500, "a restart must not re-deliver any range")
   }
 
+  test("partition-directory columns: k=v path segments surface as " +
+    "typed columns, a partition predicate prunes whole directories " +
+    "BEFORE listing them, numeric partitions compare numerically, and " +
+    "the Hive null sentinel reads as null") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-avropart-")
+      .toString
+    def land(rel: String, rows: Seq[(Long, String, String)]): Unit = {
+      new File(s"$dir/$rel").mkdirs()
+      writeFile(s"$dir/$rel", rows)
+    }
+    land("dt=2026-01-01/lang=en", Seq((1L, "a", "1.0"), (2L, "b", "2.0")))
+    land("dt=2026-01-01/lang=fr", Seq((3L, "c", "3.0")))
+    land("dt=2026-01-02/lang=en", Seq((4L, "d", "4.0")))
+    land("dt=2026-01-02/lang=__HIVE_DEFAULT_PARTITION__",
+      Seq((5L, "e", "5.0")))
+    val df = spark.read.format("graft-avro").load(dir)
+    // inferred: data fields + dt (date, first value parses ISO) + lang
+    assert(df.schema("dt").dataType.typeName === "date")
+    assert(df.schema("lang").dataType.typeName === "string")
+    assert(df.select($"k", $"dt".cast("string"), $"lang")
+      .as[(Long, String, Option[String])].collect().sorted.toSeq === Seq(
+        (1L, "2026-01-01", Some("en")), (2L, "2026-01-01", Some("en")),
+        (3L, "2026-01-01", Some("fr")), (4L, "2026-01-02", Some("en")),
+        (5L, "2026-01-02", None)))
+    // a dt predicate prunes the other dt directory BEFORE listing:
+    // its lang children are never visited
+    val p0 = AvroSource.prunedDirs.get()
+    val jan1 = df.where(col("dt") === java.sql.Date.valueOf("2026-01-01"))
+    assert(jan1.select($"k").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    assert(AvroSource.prunedDirs.get() > p0,
+      "the dt=2026-01-02 directory must prune at plan time")
+    // a second-level lang predicate prunes within surviving dt dirs,
+    // and the null-sentinel dir can't pass a comparison either
+    val p1 = AvroSource.prunedDirs.get()
+    assert(df.where(col("lang") === "en").select($"k").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    assert(AvroSource.prunedDirs.get() - p1 >= 2,
+      "lang=fr and the null-sentinel dir must both prune")
+    // IsNull keeps the sentinel dir (conservative fall-through)
+    assert(df.where(col("lang").isNull).select($"k").as[Long]
+      .collect().toSeq === Seq(5L))
+    // numeric partitions prune NUMERICALLY: bucket=10 >= 9 must keep
+    // 10 (a string compare would wrongly prune "10" < "9")
+    val nd = java.nio.file.Files.createTempDirectory("graft-avropnum-")
+      .toString
+    Seq("bucket=9", "bucket=10").zipWithIndex.foreach { case (b, i) =>
+      new File(s"$nd/$b").mkdirs()
+      writeFile(s"$nd/$b", Seq((i.toLong, s"r$i", "0.0")))
+    }
+    val num = spark.read.format("graft-avro").load(nd)
+    assert(num.schema("bucket").dataType.typeName === "long")
+    assert(num.where(col("bucket") >= 10L).select($"bucket").as[Long]
+      .collect().toSeq === Seq(10L),
+      "numeric partition pruning must compare in the numeric domain")
+    // an explicit read schema overrides the partition column type
+    val asStr = spark.read.format("graft-avro")
+      .schema("k long, dt string, lang string").load(dir)
+    assert(asStr.where($"dt" === "2026-01-02").count() === 2L)
+  }
+
+  test("partition-directory columns flow through the STREAMING read " +
+    "too, and a data/partition name collision fails loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrops-")
+      .toString
+    val ckp = java.nio.file.Files
+      .createTempDirectory("graft-avrops-ckp-").toString
+    Seq("g=red", "g=blue").foreach { g =>
+      new File(s"$dir/$g").mkdirs()
+      writeFile(s"$dir/$g", Seq((g.length.toLong, g, "0.0")))
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-avro")
+      .schema("k long, g string")
+      .load(dir)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select($"k", $"g").as[(Long, String)].collect().foreach(got.add)
+          ()
+      }
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ckp)
+      .start()
+    q.awaitTermination()
+    assert(got.iterator().asScala.toSeq.sorted ===
+      Seq((5L, "red"), (6L, "blue")).sorted)
+    // collision: a partition directory named like a DATA column
+    val bad = java.nio.file.Files.createTempDirectory("graft-avropc-")
+      .toString
+    new File(s"$bad/name=x").mkdirs()
+    writeFile(s"$bad/name=x", Seq((1L, "a", "1.0")))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").load(bad).schema
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("archiveDir bounds the landing listing: committed batches' " +
     "files MOVE to the archive, later triggers list only live files, " +
     "archived files are never re-admitted, and new arrivals still " +
