@@ -1373,6 +1373,12 @@ class Warehouse(spark: SparkSession, dir: String,
       .repartition(chunks, col("rel"))
       .sortWithinPartitions("rel")
       .toLocalIterator().asScala
+      // streamed entries carry EMPTY stats maps BY DESIGN (chunk-slim:
+      // the ranges were already applied distributed above) — the safe
+      // direction, since a downstream re-check against empty stats can
+      // only prune LESS, never more; do not "fix" this into a collect
+      // of the stat columns (ManifestScaleSpec proves file-set
+      // equality with the collect path as-is)
       .map(r => FileEntry(r.getString(0), r.getLong(1),
         Map.empty[String, (Long, Long)], r.getLong(2), r.getString(3),
         r.getLong(4)))

@@ -1017,14 +1017,14 @@ object CoreQueries extends QueryPack {
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
     // ---- q184: Hive-style PARTITION-DIRECTORY columns on the Avro
-    // landing, under the hash. A two-level pr=<priority>/b=<0|1>
-    // layout (the fixture loop is domain-sized prep: 5×2 leaf writes)
-    // reads back with the path segments as typed columns; a partition
-    // predicate must prune whole directories at PLAN time, before
-    // their contents are listed (require()d via the prunedDirs
-    // counter — a pruning regression fails the query), and the answer
-    // must still equal the relational oracle because pruning is
-    // provable, never heuristic. ----
+    // landing, under the hash — BOTH sides of the layout: one
+    // partitioned WRITE (partitionBy moves pr/b out of the payload
+    // into pr=<priority>/b=<0|1> paths) and the partition-column READ
+    // back. A partition predicate must prune whole directories at
+    // PLAN time, before their contents are listed (require()d via the
+    // prunedDirs counter — a pruning regression fails the query), and
+    // the answer must still equal the relational oracle because
+    // pruning is provable, never heuristic. ----
     Q("q184_avro_partition_dirs",
       (s, dir) => {
         import s.implicits._
@@ -1035,18 +1035,13 @@ object CoreQueries extends QueryPack {
           $"o_totalprice".cast("double").as("price"),
           $"o_orderpriority".as("pr"),
           ($"o_orderkey" % 2).cast("long").as("b"))
-        // fixture prep: the priority domain is 5 values by schema —
-        // this collect is bounded by the DOMAIN, not the data
-        val prios = src.select($"pr").distinct().as[String].collect().sorted
-        prios.foreach { p =>
-          Seq(0L, 1L).foreach { b =>
-            src.where($"pr" === p && $"b" === b)
-              .select($"k", $"ck", $"price")
-              .coalesce(1)
-              .write.format("graft-avro").mode("append")
-              .save(s"$tmp/pr=$p/b=$b")
-          }
-        }
+        // ONE partitioned write builds the whole 5×2 layout (the
+        // partition columns move out of the payload into the path);
+        // clustering by the partition columns keeps each task's open-
+        // writer count at ~1
+        src.repartition($"pr", $"b")
+          .write.format("graft-avro").option("partitionBy", "pr,b")
+          .mode("append").save(tmp)
         val pruned0 = graft.sources.AvroSource.prunedDirs.get()
         val out = s.read.format("graft-avro").load(tmp)
           .where($"pr" === "1-URGENT" && $"b" === 1L)

@@ -198,6 +198,24 @@ object AvroSource {
     if (i <= 0) None else Some((name.take(i), unescapePathName(name.drop(i + 1))))
   }
 
+  /** Hive-style path escaping for a partition VALUE (the write-side
+    * inverse of [[unescapePathName]]): percent-encode the characters
+    * that would break the `k=v/` layout or the filesystem; null
+    * becomes the Hive sentinel. Spaces stay literal (Hive's own
+    * convention — `pr=4-NOT SPECIFIED` is a real directory name). */
+  private[sources] def escapePathName(v: String): String = {
+    if (v == null) return HiveDefaultPartition
+    val needs = (c: Char) => c < 0x20 || c == 0x7f || c == '%' ||
+      c == '/' || c == '\\' || c == '=' || c == ':' || c == '*' ||
+      c == '?' || c == '"' || c == '<' || c == '>' || c == '|'
+    if (!v.exists(needs)) return v
+    val sb = new java.lang.StringBuilder(v.length + 8)
+    v.foreach { c =>
+      if (needs(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+    }
+    sb.toString
+  }
+
   private[sources] def unescapePathName(s: String): String = {
     if (s == HiveDefaultPartition) return null
     if (!s.contains('%')) return s
@@ -324,6 +342,31 @@ object AvroSource {
       }
     walk(root, "", 0)
     buf.sortBy(_._1).toSeq
+  }
+
+  /** Render one catalyst value as its partition-path string — the
+    * exact inverse of what [[inferPartType]] + the reader's coercion
+    * reconstruct (longs as digits, doubles with a point, dates ISO).
+    */
+  private[sources] def partValueString(
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType): String = {
+    if (row.isNullAt(i)) return null
+    dt match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case ShortType => row.getShort(i).toString
+      case ByteType => row.getByte(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case org.apache.spark.sql.types.FloatType => row.getFloat(i).toString
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case t => throw new IllegalArgumentException(
+        "graft-avro write: unsupported partitionBy column type " +
+          s"$t (scalar, string, boolean, date only)")
+    }
   }
 
   /** The partition values of one data file, parsed from its `k=v`
@@ -907,7 +950,20 @@ class AvroTable(targets: Seq[String], schema: StructType,
     val codec = Option(info.options().get("codec"))
       .getOrElse(AvroSource.DefaultCodec)
     AvroSource.codecFactory(codec) // fail a bad name at plan time
-    new AvroWriteBuilder(targets.head, info.schema(), codec)
+    // partitionBy=col1,col2 → Hive-style k=v directories; the named
+    // columns move from the record payload into the PATH, producing
+    // exactly the layout the read side surfaces and prunes
+    val partBy = Option(info.options().get("partitionBy"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    partBy.foreach { c =>
+      require(info.schema().fieldNames.contains(c),
+        s"graft-avro write: partitionBy column '$c' is not in the " +
+          s"written schema [${info.schema().fieldNames.mkString(", ")}]")
+    }
+    require(partBy.size < info.schema().size || partBy.isEmpty,
+      "graft-avro write: partitionBy cannot consume every column")
+    new AvroWriteBuilder(targets.head, info.schema(), codec, partBy)
   }
 }
 
@@ -924,14 +980,15 @@ class AvroTable(targets: Seq[String], schema: StructType,
   * mid-commit leaves old ∪ new — recoverable — never a gutted dir).
   */
 class AvroWriteBuilder(dir: String, schema: StructType,
-    codec: String = AvroSource.DefaultCodec)
+    codec: String = AvroSource.DefaultCodec,
+    partBy: Seq[String] = Nil)
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new AvroBatchWrite(dir, schema, overwrite,
-        TleSource.sessionConfProps(), codec)
+        TleSource.sessionConfProps(), codec, partBy)
   }
 }
 
@@ -950,16 +1007,34 @@ object AvroWriteNames {
     java.util.UUID.randomUUID.toString.take(8)
 }
 
-private[graft] final case class AvroTaskCommit(tempRel: String)
+/** One task's written temp files, relative to the target directory —
+  * several for a partitioned write (one per partition value seen), one
+  * otherwise. The file-NAME component is dot-prefixed (hidden); any
+  * leading `k=v/` directory components are visible but hold no visible
+  * files until commit renames them in. */
+private[graft] final case class AvroTaskCommit(tempRels: Seq[String])
   extends WriterCommitMessage
+
+private[graft] object AvroTaskCommit {
+  def one(tempRel: String): AvroTaskCommit = AvroTaskCommit(Seq(tempRel))
+  /** The published name: strip the hidden-dot from the FILE component,
+    * keeping any partition directory prefix. */
+  def visibleRel(tempRel: String): String = {
+    val i = tempRel.lastIndexOf('/')
+    if (i < 0) tempRel.stripPrefix(".")
+    else tempRel.take(i + 1) + tempRel.drop(i + 1).stripPrefix(".")
+  }
+}
 
 class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
     confProps: Array[(String, String)],
-    codec: String = AvroSource.DefaultCodec) extends BatchWrite {
+    codec: String = AvroSource.DefaultCodec,
+    partBy: Seq[String] = Nil) extends BatchWrite {
   private val jobId = AvroWriteNames.newJobId()
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new AvroWriterFactory(dir, schema.json, confProps, jobId, codec)
+    new AvroWriterFactory(dir, schema.json, confProps, jobId, codec,
+      partBy)
   /** Phase 1 of commit: publish the new files by rename. Returns the
     * published destination paths. Temp names are dot-prefixed and thus
     * invisible to the data listing, so nothing is visible until each
@@ -968,12 +1043,14 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
     */
   private[graft] def renameIn(fs: org.apache.hadoop.fs.FileSystem,
       messages: Array[WriterCommitMessage]): Set[Path] =
-    messages.map { case AvroTaskCommit(tempRel) =>
-      val tmp = new Path(dir, tempRel)
-      val dest = new Path(dir, tempRel.stripPrefix("."))
-      require(fs.rename(tmp, dest), s"graft-avro commit: rename of " +
-        s"$tmp failed")
-      dest
+    messages.flatMap { case AvroTaskCommit(tempRels) =>
+      tempRels.map { tempRel =>
+        val tmp = new Path(dir, tempRel)
+        val dest = new Path(dir, AvroTaskCommit.visibleRel(tempRel))
+        require(fs.rename(tmp, dest), s"graft-avro commit: rename of " +
+          s"$tmp failed")
+        dest
+      }
     }.toSet
   /** Phase 2 (overwrite only): delete the replaced files — everything
     * the pre-commit listing held that is not one of the files just
@@ -1010,8 +1087,8 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
     confProps.foreach { case (k, v) => conf.set(k, v) }
     val fs = new Path(dir).getFileSystem(conf)
     messages.foreach {
-      case AvroTaskCommit(tempRel) =>
-        fs.delete(new Path(dir, tempRel), false); ()
+      case AvroTaskCommit(tempRels) =>
+        tempRels.foreach(r => fs.delete(new Path(dir, r), false))
       case _ =>
     }
   }
@@ -1019,36 +1096,59 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
 
 class AvroWriterFactory(dir: String, schemaJson: String,
     confProps: Array[(String, String)], jobId: String,
-    codec: String = AvroSource.DefaultCodec)
+    codec: String = AvroSource.DefaultCodec,
+    partBy: Seq[String] = Nil)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new AvroDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionId, taskId, confProps, jobId, codec)
+      partitionId, taskId, confProps, jobId, codec, partBy)
 }
 
+/** One task's writer. Unpartitioned: a single container file (the hot
+  * path — zero per-row routing). With `partBy`: rows route to one open
+  * container per partition VALUE seen by this task, under the value's
+  * `k=v/` directory (escaped; nulls → the Hive sentinel), and the
+  * partition columns move out of the record payload into the path —
+  * the write-side inverse of the read's partition-directory columns.
+  * Callers should cluster rows (`df.repartition(partCols...)`) so each
+  * task sees few values; the open-writer count is the task's distinct
+  * value count.
+  */
 class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
     taskId: Long, confProps: Array[(String, String)], jobId: String,
-    codec: String = AvroSource.DefaultCodec)
+    codec: String = AvroSource.DefaultCodec,
+    partBy: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
-  private val avroSchema = AvroSource.toAvroSchema(schema)
-  private val fields = schema.fields
+  // partition columns leave the payload; their values ride the path
+  private val partIdx = partBy.map(schema.fieldIndex).toArray
+  private val dataSchema =
+    if (partBy.isEmpty) schema
+    else StructType(schema.fields.zipWithIndex
+      .filterNot { case (_, i) => partIdx.contains(i) }.map(_._1))
+  private val dataIdx = schema.fields.indices
+    .filterNot(partIdx.contains).toArray
+
+  private val avroSchema = AvroSource.toAvroSchema(dataSchema)
+  private val fields = dataSchema.fields
   private val fieldSchemas = fields.map(f =>
     AvroSource.nonNull(avroSchema.getField(f.name).schema()))
   // taskId in the temp name: two ATTEMPTS of one partition (task retry
   // / speculation) must never collide on a file; only the committed
   // attempt's message is renamed in, the loser is aborted. jobId makes
   // the name unique ACROSS applications (see [[AvroWriteNames]]).
-  private val tempRel = f".part-$partitionId%05d-$taskId-$jobId.avro"
+  private val fileName = f".part-$partitionId%05d-$taskId-$jobId.avro"
   private val conf = {
     val c = new Configuration()
     confProps.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val fs = new Path(dir).getFileSystem(conf)
-  private val writer = {
+
+  private def openWriter(
+      tempRel: String): DataFileWriter[GenericRecord] = {
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](avroSchema))
     // block compression (zstd default) — the codec name rides the
@@ -1057,25 +1157,61 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
     w.create(avroSchema, fs.create(new Path(dir, tempRel), true))
   }
 
+  // tempRel → open writer
+  private val writers = new java.util.LinkedHashMap[
+    String, DataFileWriter[GenericRecord]]()
+  // unpartitioned: open the single file EAGERLY (a zero-row task still
+  // publishes an empty container carrying the schema — inference on an
+  // empty write stays possible); partitioned files open lazily per
+  // value, so empty tasks publish nothing
+  if (partBy.isEmpty) writers.put(fileName, openWriter(fileName))
+
+  private def writerFor(row: InternalRow): DataFileWriter[GenericRecord] = {
+    val prefix =
+      if (partBy.isEmpty) ""
+      else {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < partIdx.length) {
+          sb.append(partBy(j)).append('=')
+            .append(AvroSource.escapePathName(AvroSource.partValueString(
+              row, partIdx(j), schema.fields(partIdx(j)).dataType)))
+            .append('/')
+          j += 1
+        }
+        sb.toString
+      }
+    val tempRel = prefix + fileName
+    val existing = writers.get(tempRel)
+    if (existing != null) existing
+    else {
+      val w = openWriter(tempRel)
+      writers.put(tempRel, w)
+      w
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < fields.length) {
-      rec.put(i, AvroSource.toAvroValue(row, i, fields(i).dataType,
-        fieldSchemas(i)))
+      rec.put(i, AvroSource.toAvroValue(row, dataIdx(i),
+        fields(i).dataType, fieldSchemas(i)))
       i += 1
     }
-    writer.append(rec)
+    writerFor(row).append(rec)
     ()
   }
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    AvroTaskCommit(tempRel)
+    import scala.jdk.CollectionConverters._
+    writers.values().asScala.foreach(_.close())
+    AvroTaskCommit(writers.keySet().asScala.toSeq)
   }
   override def abort(): Unit = {
-    scala.util.Try(writer.close())
-    fs.delete(new Path(dir, tempRel), false)
-    ()
+    import scala.jdk.CollectionConverters._
+    writers.values().asScala.foreach(w => scala.util.Try(w.close()))
+    writers.keySet().asScala.foreach(r =>
+      fs.delete(new Path(dir, r), false))
   }
   override def close(): Unit = ()
 }

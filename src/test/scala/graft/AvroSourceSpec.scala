@@ -276,7 +276,7 @@ class AvroSourceSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       new org.apache.hadoop.conf.Configuration())
     val published = bw.renameIn(fs,
-      Array[WriterCommitMessage](AvroTaskCommit(".part-00000-7.avro")))
+      Array[WriterCommitMessage](AvroTaskCommit.one(".part-00000-7.avro")))
     // CRASH WINDOW: phase 1 done, phase 2 not — the directory must
     // read as a recoverable superset (old ∪ new), not empty/partial
     val mid = spark.read.format("graft-avro").load(dir)
@@ -691,6 +691,50 @@ class AvroSourceSpec extends SparkSpec {
     val asStr = spark.read.format("graft-avro")
       .schema("k long, dt string, lang string").load(dir)
     assert(asStr.where($"dt" === "2026-01-02").count() === 2L)
+  }
+
+  test("PARTITIONED WRITE (partitionBy option): rows land under k=v " +
+    "directories with the partition columns moved out of the payload " +
+    "into the path, special characters escape and round-trip, nulls " +
+    "become the Hive sentinel, and the layout prunes on read") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-avropw-")
+      .toString + "/land"
+    Seq(
+      (1L, "en", 10L, 1.5), (2L, "en", 11L, 2.5),
+      (3L, "fr", 10L, 3.5), (4L, "a=b/c", 12L, 4.5),
+      (5L, null.asInstanceOf[String], 13L, 5.5))
+      .toDF("k", "lang", "b", "v")
+      .repartition(2, col("lang"), col("b"))
+      .write.format("graft-avro")
+      .option("partitionBy", "lang,b").mode("append").save(dir)
+    // layout: k=v dirs, hidden-dot stripped on the FILE component only
+    val rels = graft.util.FsListing.dataFiles(dir).map(_._1)
+    assert(rels.forall(r => r.matches(
+      "lang=[^/]+/b=\\d+/part-\\d{5}-\\d+-[0-9a-f]{8}\\.avro")), rels)
+    assert(rels.exists(_.startsWith("lang=a%3Db%2Fc/")),
+      s"'=' and '/' in a value must escape: $rels")
+    assert(rels.exists(_.startsWith("lang=__HIVE_DEFAULT_PARTITION__/")))
+    // payload holds ONLY the data columns; the path carries the rest
+    val df = spark.read.format("graft-avro").load(dir)
+    assert(df.schema.fieldNames.sorted.toSeq ===
+      Seq("b", "k", "lang", "v"))
+    assert(df.select($"k", $"lang", $"b", $"v")
+      .as[(Long, Option[String], Long, Double)].collect().sorted.toSeq
+      === Seq((1L, Some("en"), 10L, 1.5), (2L, Some("en"), 11L, 2.5),
+        (3L, Some("fr"), 10L, 3.5), (4L, Some("a=b/c"), 12L, 4.5),
+        (5L, None, 13L, 5.5)))
+    // the written layout prunes: lang = 'fr' skips the others' dirs
+    val p0 = AvroSource.prunedDirs.get()
+    assert(df.where($"lang" === "fr").select($"k").as[Long]
+      .collect().toSeq === Seq(3L))
+    assert(AvroSource.prunedDirs.get() > p0)
+    // a partitionBy column missing from the schema fails at plan time
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "s").write.format("graft-avro")
+        .option("partitionBy", "nope").mode("append").save(dir + "2")
+    }
+    assert(e.getMessage.contains("not in the written schema"))
   }
 
   test("partition-directory columns flow through the STREAMING read " +
