@@ -1065,6 +1065,61 @@ object CoreQueries extends QueryPack {
         WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 1
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- q185: the PARTITIONED landing under the streaming half of
+    // the interchange, with ARCHIVAL, all under one hash: a
+    // partitionBy write builds a pr=<priority> layout; the graft-avro
+    // micro-batch read surfaces the path column, drains AvailableNow
+    // in rate-limited batches, moves committed files into an archive
+    // (the bounded-listing contract), and lands rows exactly-once in a
+    // warehouse table whose aggregate must equal the relational
+    // oracle — offsets, partition-path values, archival, and the
+    // manifest commit all sit under the same hash. ----
+    Q("q185_avro_partitioned_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types.{DoubleType, LongType,
+          StringType, StructField, StructType}
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q185-").toString + "/land"
+        t(s, dir, "orders").select(
+            $"o_orderkey".cast("long").as("k"),
+            $"o_totalprice".cast("double").as("price"),
+            $"o_orderpriority".as("pr"))
+          .repartition($"pr")
+          .write.format("graft-avro").option("partitionBy", "pr")
+          .mode("append").save(tmp)
+        val whDir = graft.util.Scratch.dir("graft-q185wh-").toString
+        val wh = new graft.pipeline.Warehouse(s, whDir,
+          specs = Map("landed" -> graft.pipeline.Warehouse.TableSpec(
+            StructType(Seq(
+              StructField("k", LongType),
+              StructField("pr", StringType),
+              StructField("price", DoubleType))))))
+        wh.bootstrap()
+        val q = s.readStream.format("graft-avro")
+          .schema("k long, price double, pr string")
+          .option("maxFilesPerTrigger", 2)
+          .option("archiveDir", s"$tmp-archive")
+          .load(tmp)
+          .select(col("k"), col("pr"), col("price"))
+          .writeStream.format("graft-warehouse")
+          .option("path", whDir).option("table", "landed")
+          .option("checkpointLocation", s"$whDir/_ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        wh.read("landed")
+          .groupBy($"pr")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"price"), 2).as("total"),
+            max($"k").as("max_k"))
+          .orderBy("pr")
+      },
+      Some("""
+        SELECT o_orderpriority AS pr, CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(max(o_orderkey) AS BIGINT) AS max_k
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge

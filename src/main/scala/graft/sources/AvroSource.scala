@@ -377,7 +377,10 @@ object AvroSource {
     if (partCols.isEmpty) return Array.empty
     val sep = if (target.endsWith("/")) target else target + "/"
     val rel = if (file.startsWith(sep)) file.stripPrefix(sep) else file
-    val found = rel.split('/').iterator.flatMap(parsePartSeg(_)).toMap
+    // DIRECTORY segments only — a data file whose own name contains
+    // '=' must never masquerade as a partition value
+    val found = rel.split('/').dropRight(1).iterator
+      .flatMap(parsePartSeg(_)).toMap
     partCols.map(c => found.getOrElse(c, null)).toArray
   }
 
@@ -1345,6 +1348,11 @@ class AvroScan(targets: Seq[String], required: StructType,
   * committed batch's files out of the landing ([[LandingArchive]]), so
   * the per-trigger listing stays O(live files) on a long-lived landing;
   * without it commit is a no-op.
+  *
+  * Partition-directory columns ride each micro-batch's partitions like
+  * the batch scan's; the `k=v` chain is discovered at TABLE creation,
+  * so a partitioned landing must have its directory layout present
+  * when the stream starts (an empty root infers no partition columns).
   */
 class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
     checkpointLocation: String)
