@@ -1253,17 +1253,70 @@ class AvroScanBuilder(targets: Seq[String], full: StructType,
 
 class AvroScan(targets: Seq[String], required: StructType,
     corruptCol: String, private[sources] val splitSize: Long,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     private[sources] val maxFilesPerTrigger: Option[Int] = None,
     private[sources] val archiveDir: Option[String] = None,
     partFields: Seq[StructField] = Nil)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-avro ${targets.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]"
+      s"PushedFilters: [${pushedFilters.mkString(", ")}]"
+
+  // plan-time pushed filters ∪ runtime (DPP) filters — everything the
+  // file/directory skipping machinery consults
+  @volatile private var filters: Array[org.apache.spark.sql.sources.Filter] =
+    pushedFilters
+
+  /** Join-driven RUNTIME filtering (dynamic partition pruning's DSv2
+    * hook): Spark may execute a small join side first and inject the
+    * observed keys as an `In` filter here, BEFORE this scan plans its
+    * partitions — whole `k=v` directories and stats-indexed container
+    * files then skip on the runtime key set exactly like plan-time
+    * filters (pushdown stays an I/O cut only: Spark re-applies the
+    * join itself, so a conservative skip-nothing outcome is never
+    * wrong). Any scan column or partition column is offered.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (required.fieldNames.toSeq ++ partFields.map(_.name)).distinct
+      .filterNot(_ == corruptCol)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  override def filter(
+      runtime: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources._
+    val usable = runtime.filter {
+      case EqualTo(_, _) | In(_, _) | GreaterThan(_, _) |
+           GreaterThanOrEqual(_, _) | LessThan(_, _) |
+           LessThanOrEqual(_, _) | StringStartsWith(_, _) => true
+      case _ => false
+    }
+    if (usable.nonEmpty) filters = filters ++ usable
+  }
+
+  /** Post-pruning size report: the byte sum of exactly the container
+    * files this scan will read (sidecar skips and partition-directory
+    * prunes applied) — so Catalyst sees a SELECTIVE avro read as
+    * small and can, e.g., broadcast it. Row count stays unknown (the
+    * sidecar records ranges, not cardinalities).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = scala.util.Try(
+      selectedFiles(resolveForPlan()).map(_._2).sum).getOrElse(-1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes >= 0) java.util.OptionalLong.of(bytes)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   /** Drop files the sidecar stats index (`_index.json` per target
     * directory) proves cannot contain a passing row. Files absent from
@@ -1319,15 +1372,18 @@ class AvroScan(targets: Seq[String], required: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files =
-      if (partFields.nonEmpty && filters.nonEmpty)
-        // prune `k=v` directories BEFORE listing their contents
-        AvroSource.resolvePrunedWithLen(targets.head,
-          partFields.map(_.name), partDirMayMatch)
-      else AvroSource.resolveFilesWithLen(targets)
-    withPartValues(AvroSource.planSplits(selectedFiles(files), splitSize))
-  }
+  /** The file set this scan's CURRENT filter state selects — the
+    * `k=v` directory prune applied where a partition layout exists
+    * (directories skip before their contents are listed). */
+  private def resolveForPlan(): Seq[(String, Long)] =
+    if (partFields.nonEmpty && filters.nonEmpty)
+      AvroSource.resolvePrunedWithLen(targets.head,
+        partFields.map(_.name), partDirMayMatch)
+    else AvroSource.resolveFilesWithLen(targets)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    withPartValues(
+      AvroSource.planSplits(selectedFiles(resolveForPlan()), splitSize))
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required, corruptCol,
       TleSource.sessionConfProps(), partFields.map(_.name).toArray)

@@ -693,6 +693,59 @@ class AvroSourceSpec extends SparkSpec {
     assert(asStr.where($"dt" === "2026-01-02").count() === 2L)
   }
 
+  test("scan statistics and RUNTIME (join-driven) filtering: a " +
+    "selective scan reports post-pruning sizeInBytes so Catalyst can " +
+    "broadcast it, and a runtime In-filter injected by a join prunes " +
+    "partition directories like a plan-time predicate") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import org.apache.spark.sql.sources.In
+    import graft.sources.AvroScan
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrostat-")
+      .toString + "/land"
+    (0 until 4).foreach { g =>
+      Seq.tabulate(200)(i => (g * 1000L + i, s"g$g", g.toLong))
+        .toDF("k", "s", "g")
+        .coalesce(1).write.format("graft-avro")
+        .option("partitionBy", "g").mode("append").save(dir)
+    }
+    graft.sources.AvroSource.writeIndex(spark, dir)
+    // post-pruning statistics: the selective read reports far fewer
+    // bytes than the full read (3 of 4 directories pruned)
+    val full = spark.read.format("graft-avro").load(dir)
+    val sel = full.where(col("g") === 2L)
+    def scanStats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      }.get
+    val (fullB, selB) = (scanStats(full), scanStats(sel))
+    assert(selB < fullB / 2,
+      s"selective scan must report post-pruning bytes ($selB vs $fullB)")
+    // runtime filtering hook: an injected In-filter (what DPP executes
+    // a small join side to produce) prunes directories at re-planning
+    val scan = sel.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get.asInstanceOf[AvroScan]
+    assert(scan.filterAttributes().map(_.describe()).contains("g"))
+    val fullScan = full.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get.asInstanceOf[AvroScan]
+    val p0 = AvroSource.prunedDirs.get()
+    fullScan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("g", Array(1L, 3L))))
+    val parts = fullScan.planInputPartitions()
+    assert(AvroSource.prunedDirs.get() - p0 >= 2,
+      "the runtime In-filter must prune the g=0 and g=2 directories")
+    assert(parts.length === 2, "only the two matching files plan")
+    // end-to-end: a broadcast join against the filtered dim still
+    // returns exactly the matching rows (runtime pruning is an I/O
+    // cut; Spark re-applies the join)
+    val dim = Seq((2L, "keep")).toDF("g", "tag")
+    val joined = full.join(org.apache.spark.sql.functions.broadcast(dim),
+      "g")
+    assert(joined.count() === 200L)
+  }
+
   test("PARTITIONED WRITE (partitionBy option): rows land under k=v " +
     "directories with the partition columns moved out of the payload " +
     "into the path, special characters escape and round-trip, nulls " +
