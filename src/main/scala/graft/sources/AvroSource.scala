@@ -1083,7 +1083,32 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
       // already make key reuse impossible; this keeps the directory
       // clean and the next writeIndex a from-scratch base)
       AvroSource.invalidateIndex(fs, dir)
+      // and sweep now-empty k=v directories: a leftover pr=a/ skeleton
+      // from a replaced PARTITIONED layout would otherwise keep
+      // declaring a partition column on every later read — colliding
+      // with (or shadowing) a payload field of the same name
+      deleteEmptyPartDirs(fs, new Path(dir))
     }
+  }
+  /** Bottom-up sweep of `k=v`-named directories that hold nothing but
+    * other deletable `k=v` directories; anything else (a file, a
+    * hidden sidecar, an unrecognized dir) keeps the chain. The
+    * non-recursive delete is a second safety: a dir that gained
+    * content between the check and the delete just fails the delete
+    * and stays. */
+  private def deleteEmptyPartDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Unit = {
+    def sweep(p: Path): Boolean = { // true ⇔ p is now empty
+      var empty = true
+      fs.listStatus(p).foreach { st =>
+        val deletable = st.isDirectory &&
+          AvroSource.parsePartSeg(st.getPath.getName).isDefined &&
+          sweep(st.getPath) && fs.delete(st.getPath, false)
+        if (!deletable) empty = false
+      }
+      empty
+    }
+    if (fs.exists(root)) { sweep(root); () }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -1169,29 +1194,41 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
   // value, so empty tasks publish nothing
   if (partBy.isEmpty) writers.put(fileName, openWriter(fileName))
 
+  // clustered writes see long runs of one partition value: cache the
+  // last row's raw values against its resolved writer so the hot loop
+  // is a value-compare, not a per-row prefix rebuild + map lookup
+  private var lastVals: Array[String] = null
+  private var lastWriter: DataFileWriter[GenericRecord] = null
+
   private def writerFor(row: InternalRow): DataFileWriter[GenericRecord] = {
-    val prefix =
-      if (partBy.isEmpty) ""
-      else {
-        val sb = new java.lang.StringBuilder()
-        var j = 0
-        while (j < partIdx.length) {
-          sb.append(partBy(j)).append('=')
-            .append(AvroSource.escapePathName(AvroSource.partValueString(
-              row, partIdx(j), schema.fields(partIdx(j)).dataType)))
-            .append('/')
-          j += 1
-        }
-        sb.toString
-      }
-    val tempRel = prefix + fileName
-    val existing = writers.get(tempRel)
-    if (existing != null) existing
-    else {
-      val w = openWriter(tempRel)
-      writers.put(tempRel, w)
-      w
+    if (partBy.isEmpty) return writers.get(fileName)
+    val vals = new Array[String](partIdx.length)
+    var j = 0
+    while (j < partIdx.length) {
+      vals(j) = AvroSource.partValueString(
+        row, partIdx(j), schema.fields(partIdx(j)).dataType)
+      j += 1
     }
+    if (lastVals != null && java.util.Arrays.equals(
+        lastVals.asInstanceOf[Array[AnyRef]],
+        vals.asInstanceOf[Array[AnyRef]]))
+      return lastWriter
+    val sb = new java.lang.StringBuilder()
+    j = 0
+    while (j < partIdx.length) {
+      sb.append(partBy(j)).append('=')
+        .append(AvroSource.escapePathName(vals(j))).append('/')
+      j += 1
+    }
+    val tempRel = sb.toString + fileName
+    val w = {
+      val existing = writers.get(tempRel)
+      if (existing != null) existing
+      else { val nw = openWriter(tempRel); writers.put(tempRel, nw); nw }
+    }
+    lastVals = vals
+    lastWriter = w
+    w
   }
 
   override def write(row: InternalRow): Unit = {
@@ -1372,14 +1409,31 @@ class AvroScan(targets: Seq[String], required: StructType,
     }
   }
 
+  // (filter snapshot → resolved files): estimateStatistics during
+  // optimization, planInputPartitions at execution, and a DPP re-plan
+  // would otherwise each pay the full listing/pruned walk. Keyed by
+  // ARRAY IDENTITY — `filters` is only ever replaced wholesale by
+  // filter(), so a hit means the same filter state (and one query sees
+  // one consistent listing snapshot, the same semantics Spark's own
+  // file-index caching has).
+  @volatile private var resolveMemo
+      : (Array[org.apache.spark.sql.sources.Filter],
+         Seq[(String, Long)]) = null
+
   /** The file set this scan's CURRENT filter state selects — the
     * `k=v` directory prune applied where a partition layout exists
     * (directories skip before their contents are listed). */
-  private def resolveForPlan(): Seq[(String, Long)] =
-    if (partFields.nonEmpty && filters.nonEmpty)
-      AvroSource.resolvePrunedWithLen(targets.head,
-        partFields.map(_.name), partDirMayMatch)
-    else AvroSource.resolveFilesWithLen(targets)
+  private def resolveForPlan(): Seq[(String, Long)] = {
+    val memo = resolveMemo
+    if (memo != null && (memo._1 eq filters)) return memo._2
+    val resolved =
+      if (partFields.nonEmpty && filters.nonEmpty)
+        AvroSource.resolvePrunedWithLen(targets.head,
+          partFields.map(_.name), partDirMayMatch)
+      else AvroSource.resolveFilesWithLen(targets)
+    resolveMemo = (filters, resolved)
+    resolved
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     withPartValues(
@@ -1447,10 +1501,22 @@ class AvroMicroBatchStream(targets: Seq[String], scan: AvroScan,
     // container BYTE-RANGE SPLITS within its own micro-batch instead
     // of serializing onto one task (same planSplits as the batch
     // scan; deterministic across a batch replay — landed files are
-    // immutable). A name missing from the listing (raced rename)
+    // immutable). A name that fails to stat (raced rename/archive)
     // falls back to a whole-file partition, still exactly-once.
+    // Small batches stat just their own files — the trigger already
+    // paid one full listing in latestOffset; a second complete sweep
+    // per batch for a handful of lengths would double per-trigger
+    // listing I/O. A large fresh set (initial drain) lists once.
     val lens: Map[String, Long] =
-      AvroSource.resolveFilesWithLen(targets).toMap
+      if (fresh.size <= 64) {
+        val conf = FileSetLedger.hadoopConf()
+        fresh.flatMap { f =>
+          val p = new Path(f)
+          scala.util.Try(
+            p.getFileSystem(conf).getFileStatus(p).getLen).toOption
+            .map(f -> _)
+        }.toMap
+      } else AvroSource.resolveFilesWithLen(targets).toMap
     // The offset tracks EVERY file — progress must not depend on the
     // filter — but stats-skipped files plan no reader work. Partition
     //-directory values ride each partition like the batch scan's.
@@ -1520,8 +1586,12 @@ class AvroFileReader(file: String, start: Long, end: Long,
     // the last block owned by this range
     if (start > 0L) r.sync(start)
     val writer = r.getSchema
+    // partition columns are PATH-authoritative: a writer field with a
+    // partition column's name is decoder-skipped, never surfaced —
+    // directory pruning decides on the path value, so the reader must
+    // agree or pruned-away rows and read rows would disagree
     val wanted = required.fieldNames.filter(n =>
-      n != corruptCol && writer.getField(n) != null)
+      n != corruptCol && !partVals.contains(n) && writer.getField(n) != null)
     if (wanted.length < writer.getFields.size()) {
       val projected = Schema.createRecord(writer.getName, writer.getDoc,
         writer.getNamespace, false,
@@ -1543,21 +1613,31 @@ class AvroFileReader(file: String, start: Long, end: Long,
   private val plan: Array[(StructField, Int, Schema)] =
     required.fields.map { f =>
       val af =
-        if (f.name == corruptCol) None
+        if (f.name == corruptCol || partVals.contains(f.name)) None
         else Option(recordSchema.getField(f.name))
       (f, af.map(_.pos()).getOrElse(-1),
         af.map(x => AvroSource.nonNull(x.schema())).orNull)
     }
   private val corruptIdx = required.fieldNames.indexOf(corruptCol)
 
-  // partition-directory columns: required fields the writer lacks whose
-  // values ride the file PATH — coerced ONCE (same null-on-failure
-  // contract as data fields) and emitted as per-row constants
-  private val constants: Array[Any] = plan.map { case (f, pos, _) =>
-    if (pos < 0 && partVals.contains(f.name))
-      coerce(partVals(f.name), f.dataType)._1
-    else null
+  // partition-directory columns: required fields whose values ride the
+  // file PATH — coerced ONCE (the same null-on-failure contract as
+  // data fields, INCLUDING the corrupt capture: a path value that
+  // fails the asked type surfaces its raw text per row) and emitted as
+  // per-row constants
+  private val constInit: (Array[Any], String) = {
+    var bad: String = null
+    val cs: Array[Any] = plan.map { case (f, pos, _) =>
+      if (pos < 0 && partVals.contains(f.name)) {
+        val (v, b) = coerce(partVals(f.name), f.dataType)
+        if (bad == null) b.foreach(bad = _)
+        v
+      } else null
+    }
+    (cs, bad)
   }
+  private val constants: Array[Any] = constInit._1
+  private val constBad: String = constInit._2
 
   // decode buffer reused across rows (every value is COPIED into the
   // emitted InternalRow by coerce, so reuse is safe)
@@ -1725,7 +1805,7 @@ class AvroFileReader(file: String, start: Long, end: Long,
     if (!reader.hasNext) return false
     rec = reader.next(rec)
     val out = new Array[Any](plan.length)
-    var firstBad: String = null
+    var firstBad: String = constBad // a bad partition value taints every row
     var i = 0
     while (i < plan.length) {
       val (f, pos, ws) = plan(i)

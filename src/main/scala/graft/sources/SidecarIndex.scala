@@ -71,18 +71,29 @@ object LandingArchive {
   /** The archive must not be VISIBLE inside a landing target: a moved
     * file reappearing in the landing listing under a new name would
     * re-process. Inside a target it must sit under a hidden (`_`/`.`)
-    * component, which FsListing never lists. */
-  def validate(targets: Seq[String], archiveDir: String): Unit =
-    targets.foreach { t =>
-      val sep = if (t.endsWith("/")) "" else "/"
-      if (archiveDir == t || archiveDir.startsWith(t + sep)) {
-        val first = archiveDir.stripPrefix(t + sep).takeWhile(_ != '/')
+    * component, which FsListing never lists. Paths are NORMALIZED
+    * before the containment check — `<landing>/./archive` or
+    * `<landing>/x/../archive` must not sneak past a textual prefix
+    * test while Hadoop resolves them to a visible subdirectory. */
+  def validate(targets: Seq[String], archiveDir: String): Unit = {
+    def norm(s: String): String = {
+      val u = new Path(s).toUri
+      val p = java.nio.file.Paths.get(u.getPath).normalize().toString
+      Option(u.getScheme).map(sch =>
+        s"$sch://${Option(u.getAuthority).getOrElse("")}").getOrElse("") + p
+    }
+    val arch = norm(archiveDir)
+    targets.foreach { t0 =>
+      val t = norm(t0)
+      if (arch == t || arch.startsWith(t + "/")) {
+        val first = arch.stripPrefix(t + "/").takeWhile(_ != '/')
         require(first.startsWith("_") || first.startsWith("."),
           s"archiveDir '$archiveDir' sits visibly inside the landing " +
-            s"'$t' — moved files would re-list as new data; use a " +
+            s"'$t0' — moved files would re-list as new data; use a " +
             "directory outside the landing or a '_'-prefixed subdir")
       }
     }
+  }
 
   /** Move every not-yet-archived file of a committed offset out of its
     * landing target into `archiveDir`. `archived` is the per-stream
@@ -140,10 +151,12 @@ object SidecarIndex {
         .sortBy(_._1).toVector
   }
 
-  // dir → (index-file fingerprint, merged rel → statsNode). JsonNodes
-  // are treated as immutable once parsed; entries are replaced whole.
+  // dir → (index-file fingerprint, merged rel → statsNode, base _seq).
+  // JsonNodes are treated as immutable once parsed; entries are
+  // replaced whole. The base seq rides the cache so update() never
+  // re-reads the base file just to learn it.
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Vector[(String, Long, Long)], Map[String, JsonNode])]()
+    String, (Vector[(String, Long, Long)], Map[String, JsonNode], Long)]()
 
   private def layout(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Layout = {
@@ -173,18 +186,25 @@ object SidecarIndex {
 
   /** The merged index for `dir`, keyed by relative path; empty when no
     * index exists. Cached by index-file fingerprint. */
-  def read(dir: String): Map[String, JsonNode] = {
+  def read(dir: String): Map[String, JsonNode] = readWithSeq(dir)._1
+
+  /** [[read]] plus the base file's `_seq` (0 when absent/legacy) —
+    * what [[update]] needs without a second base parse. */
+  private def readWithSeq(dir: String): (Map[String, JsonNode], Long) = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(FileSetLedger.hadoopConf())
     val lay = layout(fs, dirPath)
-    if (lay.base.isEmpty && lay.deltas.isEmpty) return Map.empty
+    if (lay.base.isEmpty && lay.deltas.isEmpty) return (Map.empty, 0L)
     val fp = lay.fingerprint
     val hit = cache.get(dir)
-    if (hit != null && hit._1 == fp) return hit._2
+    if (hit != null && hit._1 == fp) return (hit._2, hit._3)
     val m = new ObjectMapper()
+    var baseSeq = 0L
     val merged = mutable.LinkedHashMap.empty[String, JsonNode]
     lay.base.foreach { st =>
       val node = m.readTree(readText(fs, st))
+      val sq = node.get("_seq")
+      if (sq != null) baseSeq = sq.asLong()
       val it = node.fieldNames()
       while (it.hasNext) {
         val k = it.next()
@@ -208,8 +228,8 @@ object SidecarIndex {
     // crude bound: a driver planning over many distinct landings must
     // not accumulate every parsed index forever
     if (cache.size >= 64) cache.clear()
-    cache.put(dir, (fp, out))
-    out
+    cache.put(dir, (fp, out, baseSeq))
+    (out, baseSeq)
   }
 
   private def publish(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
@@ -236,7 +256,7 @@ object SidecarIndex {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(FileSetLedger.hadoopConf())
     val rels = graft.util.FsListing.dataFiles(dir).map(_._1)
-    val existing = read(dir)
+    val (existing, baseSeq) = readWithSeq(dir)
     val listed = rels.toSet
     val newRels = rels.filterNot(existing.keySet)
     val dropped = existing.keySet.filterNot(listed).toSeq.sorted
@@ -244,10 +264,6 @@ object SidecarIndex {
     lastStatted.set(newRels.size.toLong)
     val lay = layout(fs, dirPath)
     val m = new ObjectMapper()
-    val baseSeq = lay.base.map { st =>
-      val n = m.readTree(readText(fs, st)).get("_seq")
-      if (n == null) 0L else n.asLong()
-    }.getOrElse(0L)
     val maxSeq = (baseSeq +: lay.deltas.map(_._1)).max
     val compact = lay.base.isEmpty ||
       lay.deltas.size + 1 > CompactThreshold

@@ -746,6 +746,81 @@ class AvroSourceSpec extends SparkSpec {
     assert(joined.count() === 200L)
   }
 
+  test("partition-directory edges: the PATH value is authoritative " +
+    "over a same-named writer field (pruning and reading always " +
+    "agree), a failed partition coercion captures its raw text in " +
+    "_corrupt, an overwrite sweeps the old k=v skeleton, and the " +
+    "archive guard can't be dodged with non-normalized paths") {
+    import org.apache.spark.sql.functions.col
+    // 1) a foreign writer put a field 'g' INSIDE files that live under
+    // g=... dirs with a DIFFERENT value: the path must win, so a
+    // filter on the path value can never lose rows to pruning
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrosh-")
+      .toString
+    val shSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"sh","fields":[
+        |{"name":"k","type":"long"},{"name":"g","type":"string"}]}"""
+        .stripMargin)
+    Seq("g=red" -> 1L, "g=blue" -> 2L).foreach { case (gdir, k) =>
+      new File(s"$dir/$gdir").mkdirs()
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](shSchema))
+      w.create(shSchema, new File(s"$dir/$gdir", s"f$k.avro"))
+      val r = new GenericData.Record(shSchema)
+      r.put("k", k); r.put("g", "payload-value")
+      w.append(r); w.close()
+    }
+    val sh = spark.read.format("graft-avro")
+      .schema("k long, g string").load(dir)
+    assert(sh.select($"k", $"g").as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "red"), (2L, "blue")),
+      "the path value must shadow the same-named writer field")
+    assert(sh.where(col("g") === "red").select($"k").as[Long]
+      .collect().toSeq === Seq(1L))
+    // 2) a partition value that fails the asked type captures its raw
+    // text in _corrupt (same PERMISSIVE contract as data fields)
+    val nd = java.nio.file.Files.createTempDirectory("graft-avrobadp-")
+      .toString
+    Seq("b=7", "b=oops").foreach { b =>
+      new File(s"$nd/$b").mkdirs()
+      writeFile(s"$nd/$b", Seq((1L, "x", "0.0")))
+    }
+    val bad = spark.read.format("graft-avro")
+      .schema("k long, b long, _corrupt string").load(nd)
+      .select($"b", $"_corrupt").as[(Option[Long], Option[String])]
+      .collect().toSet
+    assert(bad === Set((Some(7L), None), (None, Some("oops"))),
+      "a bad partition value must null WITH a corrupt capture")
+    // 3) an unpartitioned overwrite of a partitioned layout sweeps the
+    // empty k=v skeleton — no phantom/colliding partition column later
+    val od = java.nio.file.Files.createTempDirectory("graft-avrosw-")
+      .toString + "/land"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "pr")
+      .repartition(col("pr"))
+      .write.format("graft-avro").option("partitionBy", "pr")
+      .mode("append").save(od)
+    assert(graft.sources.AvroSource.partitionSpec(od).map(_._1)
+      === Seq("pr"))
+    Seq((3L, "c")).toDF("k", "pr")
+      .write.format("graft-avro").mode("overwrite").save(od)
+    assert(graft.sources.AvroSource.partitionSpec(od).isEmpty,
+      "the replaced layout's empty k=v dirs must be swept")
+    val after = spark.read.format("graft-avro").load(od)
+    assert(after.select($"k", $"pr").as[(Long, String)].collect().toSeq
+      === Seq((3L, "c")))
+    // 4) the in-landing archive guard normalizes before comparing
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LandingArchive.validate(Seq(od), s"$od/./done")
+    }
+    assert(e.getMessage.contains("sits visibly inside"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.LandingArchive.validate(Seq(od), s"$od/_x/../done")
+    }
+    assert(e2.getMessage.contains("sits visibly inside"))
+    // a genuinely hidden subdir still passes
+    graft.sources.LandingArchive.validate(Seq(od), s"$od/_archive")
+  }
+
   test("PARTITIONED WRITE (partitionBy option): rows land under k=v " +
     "directories with the partition columns moved out of the payload " +
     "into the path, special characters escape and round-trip, nulls " +
