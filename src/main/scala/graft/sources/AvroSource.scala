@@ -1262,10 +1262,18 @@ class AvroScanBuilder(targets: Seq[String], full: StructType,
     archiveDir: Option[String] = None,
     partFields: Seq[StructField] = Nil)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  /** PARTIAL limit push: each partition stops decoding after `n` rows
+    * (an interactive `limit 10` over a 100 TB landing reads one block
+    * per task instead of whole containers). Returning false keeps
+    * Spark's own Limit on top — per-partition truncation is a
+    * superset, never a correctness dependency. */
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** Accept the shapes the per-file stats sidecar can skip on;
@@ -1285,7 +1293,11 @@ class AvroScanBuilder(targets: Seq[String], full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new AvroScan(targets, required, corruptCol, splitSize, pushed,
-      maxFilesPerTrigger, archiveDir, partFields)
+      maxFilesPerTrigger, archiveDir, partFields,
+      // belt-and-braces: Spark never pushes a limit through a Filter
+      // node, but per-partition truncation UNDER residual filters
+      // would be row-losing — so refuse the combination structurally
+      if (pushed.isEmpty) limit else -1)
 }
 
 class AvroScan(targets: Seq[String], required: StructType,
@@ -1293,7 +1305,8 @@ class AvroScan(targets: Seq[String], required: StructType,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     private[sources] val maxFilesPerTrigger: Option[Int] = None,
     private[sources] val archiveDir: Option[String] = None,
-    partFields: Seq[StructField] = Nil)
+    partFields: Seq[StructField] = Nil,
+    limit: Int = -1)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -1440,7 +1453,8 @@ class AvroScan(targets: Seq[String], required: StructType,
       AvroSource.planSplits(selectedFiles(resolveForPlan()), splitSize))
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required, corruptCol,
-      TleSource.sessionConfProps(), partFields.map(_.name).toArray)
+      TleSource.sessionConfProps(), partFields.map(_.name).toArray,
+      limit)
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream =
@@ -1548,11 +1562,12 @@ case class AvroFilePartition(file: String, start: Long = 0L,
 
 class AvroReaderFactory(required: StructType, corruptCol: String,
     confProps: Array[(String, String)],
-    partCols: Array[String] = Array.empty) extends PartitionReaderFactory {
+    partCols: Array[String] = Array.empty,
+    limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[AvroFilePartition]
     new AvroFileReader(fp.file, fp.start, fp.end, required,
-      corruptCol, confProps, partCols.zip(fp.partVals).toMap)
+      corruptCol, confProps, partCols.zip(fp.partVals).toMap, limit)
   }
 }
 
@@ -1568,7 +1583,8 @@ class AvroReaderFactory(required: StructType, corruptCol: String,
 class AvroFileReader(file: String, start: Long, end: Long,
     required: StructType,
     corruptCol: String, confProps: Array[(String, String)],
-    partVals: Map[String, String] = Map.empty)
+    partVals: Map[String, String] = Map.empty,
+    limit: Int = -1)
   extends PartitionReader[InternalRow] {
 
   private val conf = {
@@ -1800,7 +1816,12 @@ class AvroFileReader(file: String, start: Long, end: Long,
     }
   }
 
+  // pushed-limit truncation: rows emitted by THIS partition (Spark's
+  // own Limit still applies on top — see AvroScanBuilder.pushLimit)
+  private var emitted = 0
+
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     if (end != AvroSource.NoEnd && reader.pastSync(end)) return false
     if (!reader.hasNext) return false
     rec = reader.next(rec)
@@ -1819,6 +1840,7 @@ class AvroFileReader(file: String, start: Long, end: Long,
     if (corruptIdx >= 0 && firstBad != null)
       out(corruptIdx) = UTF8String.fromString(firstBad)
     row = new GenericInternalRow(out)
+    emitted += 1
     true
   }
   override def get(): InternalRow = row

@@ -746,6 +746,39 @@ class AvroSourceSpec extends SparkSpec {
     assert(joined.count() === 200L)
   }
 
+  test("pushed LIMIT truncates per partition: limit 5 over a " +
+    "multi-block container decodes a handful of rows instead of the " +
+    "whole file, and a filtered read never truncates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrolim-")
+      .toString
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    w.setSyncInterval(32)
+    w.create(writerSchema, new File(dir, "big.avro"))
+    try (0L until 500L).foreach { k =>
+      val r = new GenericData.Record(writerSchema)
+      r.put("k", k); r.put("name", s"n$k"); r.put("price", null)
+      r.put("extra", 0L)
+      w.append(r)
+    } finally w.close()
+    assert(spark.read.format("graft-avro").load(dir)
+      .limit(5).collect().length === 5)
+    // white-box: the factory's reader stops after the pushed limit
+    val fac = new graft.sources.AvroReaderFactory(
+      spark.read.format("graft-avro").load(dir).schema, "_corrupt",
+      graft.sources.TleSource.sessionConfProps(), Array.empty, 5)
+    val rd = fac.createReader(
+      graft.sources.AvroFilePartition(s"$dir/big.avro"))
+    var n = 0
+    while (rd.next()) n += 1
+    rd.close()
+    assert(n === 5, "the partition reader must stop at the pushed limit")
+    // with a residual filter the scan refuses the limit (row-losing
+    // truncation structurally impossible): all matching rows survive
+    assert(spark.read.format("graft-avro").load(dir)
+      .where($"k" >= 490L).limit(100).collect().length === 10)
+  }
+
   test("partition-directory edges: the PATH value is authoritative " +
     "over a same-named writer field (pruning and reading always " +
     "agree), a failed partition coercion captures its raw text in " +
