@@ -258,7 +258,29 @@ class TleScan(path: String, required: StructType, filters: Array[Filter],
     noradLo: Int, noradHi: Int,
     private[sources] val maxFilesPerTrigger: Option[Int] = None,
     private[sources] val archiveDir: Option[String] = None)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Post-pruning size report (graft-avro's contract): the byte sum of
+    * exactly the landing files this scan will read after index-based
+    * skipping — a selective name/norad read looks as small to Catalyst
+    * as it is, so e.g. a broadcast join on it becomes plannable. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = scala.util.Try {
+      val sep = if (path.endsWith("/")) "" else "/"
+      val lens = graft.util.FsListing.dataFiles(path)
+        .map { case (rel, len) => s"$path$sep$rel" -> len }.toMap
+      selectedFiles(lens.keys.toSeq.sorted).map(lens).sum
+    }.getOrElse(-1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes >= 0) java.util.OptionalLong.of(bytes)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {

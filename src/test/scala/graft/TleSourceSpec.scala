@@ -173,6 +173,22 @@ class TleSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-tle").load(s"$dir/nope").count() === 0)
   }
 
+  test("scan statistics report post-pruning bytes: a name-selective " +
+    "read over an indexed landing looks as small to Catalyst as it is") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val dir = indexedDir()
+    def bytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      }.get
+    val full = spark.read.format("graft-tle").load(dir)
+    val sel = full.where(col("sat_name").startsWith("BETA"))
+    assert(bytes(sel) < bytes(full),
+      "the index-skipped files must leave the size estimate")
+    assert(bytes(sel) > 0)
+  }
+
   test("index refresh is INCREMENTAL: only the new landing file is " +
     "statted, the delta-held entry skips like a base entry, and the " +
     "merged index survives compaction") {
