@@ -1120,6 +1120,49 @@ object CoreQueries extends QueryPack {
                CAST(max(o_orderkey) AS BIGINT) AS max_k
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // ---- q186: the SELF-INDEXING landing under the hash — q180's
+    // shape with the writeIndex pass DELETED: the two writes collect
+    // their own column ranges inline and publish them at commit, so
+    // the selective read must skip the out-of-range file (require()d
+    // via the counter) off write-time stats alone, with the answer
+    // still equal to the relational oracle. At 100 TB this is the
+    // difference between a maintenance job that re-reads the corpus
+    // and an index that is simply always there. ----
+    Q("q186_avro_self_indexing",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = graft.util.Scratch.dir("graft-q186-").toString + "/land"
+        val src = t(s, dir, "orders").select(
+          $"o_orderkey".cast("long").as("k"),
+          $"o_custkey".cast("long").as("ck"),
+          $"o_totalprice".cast("double").as("price"))
+        src.where($"k" <= 1000).coalesce(1)
+          .write.format("graft-avro").mode("append").save(tmp)
+        src.where($"k" > 1000).coalesce(1)
+          .write.format("graft-avro").mode("append").save(tmp)
+        // NO writeIndex call — the writes indexed themselves
+        val skips0 = graft.sources.AvroSource.skippedFiles.get()
+        val out = s.read.format("graft-avro").load(tmp)
+          .where($"k" > 1000)
+          .groupBy(($"ck" % 11).cast("long").as("g"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"price"), 2).as("total"),
+            min($"k").as("min_k"))
+          .orderBy("g")
+        require(out.rdd.partitions.length >= 1)
+        require(graft.sources.AvroSource.skippedFiles.get() > skips0,
+          "q186: the low-range file must skip off write-time stats " +
+            "with no writeIndex pass")
+        out
+      },
+      Some("""
+        SELECT CAST(o_custkey % 11 AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(min(o_orderkey) AS BIGINT) AS min_k
+        FROM orders WHERE o_orderkey > 1000
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- q64: exact top-k per group through the custom bounded-heap
     // AGGREGATE (plans/TopKAgg, a TypedImperativeAggregate): each map
     // task forwards at most k values per group and partial heaps merge

@@ -468,16 +468,99 @@ object AvroSource {
       .foreach(st => fs.delete(st.getPath, false))
   }
 
-  /** The stats-eligible comparison kind of an Avro field, by its SPARK
-    * type (so date/timestamp logical types land in the long domain —
-    * their wire format). None ⇒ the column never skips. */
-  private def statsKind(s: Schema): Option[String] = sparkType(s) match {
-    case LongType | IntegerType | DateType | TimestampType |
-         TimestampNTZType => Some("long")
-    case DoubleType | org.apache.spark.sql.types.FloatType =>
-      Some("double")
-    case StringType => Some("string")
-    case _ => None
+  /** The stats-eligible comparison kind of a SPARK type (date/
+    * timestamp land in the long domain — their wire format). None ⇒
+    * the column never skips. */
+  private[sources] def statsKindOf(dt: DataType): Option[String] =
+    dt match {
+      case LongType | IntegerType | DateType | TimestampType |
+           TimestampNTZType => Some("long")
+      case DoubleType | org.apache.spark.sql.types.FloatType =>
+        Some("double")
+      case StringType => Some("string")
+      case _ => None
+    }
+
+  /** [[statsKindOf]] for an Avro field schema. */
+  private def statsKind(s: Schema): Option[String] = statsKindOf(sparkType(s))
+
+  /** Mutable per-file column-range accumulator for the WRITE path:
+    * the writer sees every value anyway, so the sidecar stats are
+    * collected inline (same domains and NaN rule as [[statsOf]]'s
+    * read-back pass — the landing becomes self-indexing with zero
+    * post-hoc re-read). One instance per open container file.
+    */
+  private[sources] final class StatsAcc(fields: Array[StructField]) {
+    private val kinds: Array[String] =
+      fields.map(f => statsKindOf(f.dataType).orNull)
+    private val minL = Array.fill(fields.length)(Long.MaxValue)
+    private val maxL = Array.fill(fields.length)(Long.MinValue)
+    private val minD = Array.fill(fields.length)(Double.MaxValue)
+    private val maxD = Array.fill(fields.length)(Double.MinValue)
+    private val minS = new Array[UTF8String](fields.length)
+    private val maxS = new Array[UTF8String](fields.length)
+    private val nan = new Array[Boolean](fields.length)
+    private val seen = new Array[Boolean](fields.length)
+
+    /** Observe row value at ORIGINAL row index `rowIdx` for stats
+      * column `i` (the data-schema index). */
+    def update(row: org.apache.spark.sql.catalyst.InternalRow,
+        rowIdx: Int, i: Int): Unit = {
+      val kind = kinds(i)
+      if (kind == null || row.isNullAt(rowIdx)) return
+      kind match {
+        case "long" =>
+          val l = fields(i).dataType match {
+            case IntegerType | DateType => row.getInt(rowIdx).toLong
+            case _ => row.getLong(rowIdx)
+          }
+          if (l < minL(i)) minL(i) = l
+          if (l > maxL(i)) maxL(i) = l
+          seen(i) = true
+        case "double" =>
+          val d = fields(i).dataType match {
+            case org.apache.spark.sql.types.FloatType =>
+              row.getFloat(rowIdx).toDouble
+            case _ => row.getDouble(rowIdx)
+          }
+          if (d.isNaN) nan(i) = true
+          else {
+            if (d < minD(i)) minD(i) = d
+            if (d > maxD(i)) maxD(i) = d
+            seen(i) = true
+          }
+        case _ =>
+          val u = row.getUTF8String(rowIdx)
+          if (minS(i) == null || u.compareTo(minS(i)) < 0)
+            minS(i) = u.clone()
+          if (maxS(i) == null || u.compareTo(maxS(i)) > 0)
+            maxS(i) = u.clone()
+          seen(i) = true
+      }
+    }
+
+    /** The accumulated ranges in [[ColStats]] form (empty ranges for
+      * never-seen columns — the provable all-null skip, exactly what
+      * the read-back pass records). */
+    def result(): Map[String, ColStats] =
+      fields.indices.flatMap { i =>
+        Option(kinds(i)).map { k =>
+          fields(i).name -> (k match {
+            case "long" =>
+              if (seen(i)) ColStats("long", minL(i), maxL(i), 1.0, 0.0,
+                null, null)
+              else ColStats("long", 1L, 0L, 1.0, 0.0, null, null)
+            case "double" =>
+              if (seen(i)) ColStats("double", 1L, 0L, minD(i), maxD(i),
+                null, null, hasNaN = nan(i))
+              else ColStats("double", 1L, 0L, 1.0, 0.0, null, null,
+                hasNaN = nan(i))
+            case _ => ColStats("string", 1L, 0L, 1.0, 0.0,
+              if (minS(i) == null) null else minS(i).toString,
+              if (maxS(i) == null) null else maxS(i).toString)
+          })
+        }
+      }.toMap
   }
 
   /** One file's per-column ranges via a full-schema streaming read. */
@@ -545,7 +628,8 @@ object AvroSource {
   }
 
   /** One file's column stats as the sidecar's JSON node shape. */
-  private def colsToNode(m: com.fasterxml.jackson.databind.ObjectMapper,
+  private[sources] def colsToNode(
+      m: com.fasterxml.jackson.databind.ObjectMapper,
       cols: Map[String, ColStats])
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val fileNode = m.createObjectNode()
@@ -966,7 +1050,13 @@ class AvroTable(targets: Seq[String], schema: StructType,
     }
     require(partBy.size < info.schema().size || partBy.isEmpty,
       "graft-avro write: partitionBy cannot consume every column")
-    new AvroWriteBuilder(targets.head, info.schema(), codec, partBy)
+    // self-indexing landing: writers collect column ranges inline and
+    // the commit publishes them as a sidecar delta — on by default
+    // (statsIndex=false opts out)
+    val statsIndex = Option(info.options().get("statsIndex"))
+      .forall(_.toBoolean)
+    new AvroWriteBuilder(targets.head, info.schema(), codec, partBy,
+      statsIndex)
   }
 }
 
@@ -984,14 +1074,15 @@ class AvroTable(targets: Seq[String], schema: StructType,
   */
 class AvroWriteBuilder(dir: String, schema: StructType,
     codec: String = AvroSource.DefaultCodec,
-    partBy: Seq[String] = Nil)
+    partBy: Seq[String] = Nil,
+    statsIndex: Boolean = true)
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new AvroBatchWrite(dir, schema, overwrite,
-        TleSource.sessionConfProps(), codec, partBy)
+        TleSource.sessionConfProps(), codec, partBy, statsIndex)
   }
 }
 
@@ -1014,8 +1105,11 @@ object AvroWriteNames {
   * several for a partitioned write (one per partition value seen), one
   * otherwise. The file-NAME component is dot-prefixed (hidden); any
   * leading `k=v/` directory components are visible but hold no visible
-  * files until commit renames them in. */
-private[graft] final case class AvroTaskCommit(tempRels: Seq[String])
+  * files until commit renames them in. `stats` carries each file's
+  * inline-collected column ranges (keyed by temp rel) for the
+  * self-indexing sidecar commit; empty when stats are disabled. */
+private[graft] final case class AvroTaskCommit(tempRels: Seq[String],
+    stats: Map[String, Map[String, AvroSource.ColStats]] = Map.empty)
   extends WriterCommitMessage
 
 private[graft] object AvroTaskCommit {
@@ -1032,12 +1126,13 @@ private[graft] object AvroTaskCommit {
 class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
     confProps: Array[(String, String)],
     codec: String = AvroSource.DefaultCodec,
-    partBy: Seq[String] = Nil) extends BatchWrite {
+    partBy: Seq[String] = Nil,
+    statsIndex: Boolean = true) extends BatchWrite {
   private val jobId = AvroWriteNames.newJobId()
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new AvroWriterFactory(dir, schema.json, confProps, jobId, codec,
-      partBy)
+      partBy, statsIndex)
   /** Phase 1 of commit: publish the new files by rename. Returns the
     * published destination paths. Temp names are dot-prefixed and thus
     * invisible to the data listing, so nothing is visible until each
@@ -1046,7 +1141,7 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
     */
   private[graft] def renameIn(fs: org.apache.hadoop.fs.FileSystem,
       messages: Array[WriterCommitMessage]): Set[Path] =
-    messages.flatMap { case AvroTaskCommit(tempRels) =>
+    messages.flatMap { case AvroTaskCommit(tempRels, _) =>
       tempRels.map { tempRel =>
         val tmp = new Path(dir, tempRel)
         val dest = new Path(dir, AvroTaskCommit.visibleRel(tempRel))
@@ -1089,6 +1184,25 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
       // with (or shadowing) a payload field of the same name
       deleteEmptyPartDirs(fs, new Path(dir))
     }
+    // SELF-INDEXING commit: the tasks' inline-collected column ranges
+    // publish as one sidecar delta (or a fresh base after overwrite) —
+    // selective scans skip these files with zero post-hoc writeIndex
+    // pass. Ordered AFTER the renames: a crash in between leaves the
+    // files visible but unindexed — merely scanned, never lost.
+    if (statsIndex) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val entries = messages.toSeq.flatMap {
+        case AvroTaskCommit(tempRels, stats) =>
+          tempRels.flatMap { tempRel =>
+            stats.get(tempRel).map(cols =>
+              AvroTaskCommit.visibleRel(tempRel) ->
+                AvroSource.colsToNode(m, cols))
+          }
+      }
+      if (entries.nonEmpty)
+        scala.util.Try(SidecarIndex.append(dir, entries))
+      ()
+    }
   }
   /** Bottom-up sweep of `k=v`-named directories that hold nothing but
     * other deletable `k=v` directories; anything else (a file, a
@@ -1115,7 +1229,7 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
     confProps.foreach { case (k, v) => conf.set(k, v) }
     val fs = new Path(dir).getFileSystem(conf)
     messages.foreach {
-      case AvroTaskCommit(tempRels) =>
+      case AvroTaskCommit(tempRels, _) =>
         tempRels.foreach(r => fs.delete(new Path(dir, r), false))
       case _ =>
     }
@@ -1125,13 +1239,14 @@ class AvroBatchWrite(dir: String, schema: StructType, overwrite: Boolean,
 class AvroWriterFactory(dir: String, schemaJson: String,
     confProps: Array[(String, String)], jobId: String,
     codec: String = AvroSource.DefaultCodec,
-    partBy: Seq[String] = Nil)
+    partBy: Seq[String] = Nil,
+    statsIndex: Boolean = true)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new AvroDataWriter(dir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionId, taskId, confProps, jobId, codec, partBy)
+      partitionId, taskId, confProps, jobId, codec, partBy, statsIndex)
 }
 
 /** One task's writer. Unpartitioned: a single container file (the hot
@@ -1147,7 +1262,8 @@ class AvroWriterFactory(dir: String, schemaJson: String,
 class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
     taskId: Long, confProps: Array[(String, String)], jobId: String,
     codec: String = AvroSource.DefaultCodec,
-    partBy: Seq[String] = Nil)
+    partBy: Seq[String] = Nil,
+    statsIndex: Boolean = true)
   extends DataWriter[InternalRow] {
 
   // partition columns leave the payload; their values ride the path
@@ -1175,32 +1291,37 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
   }
   private val fs = new Path(dir).getFileSystem(conf)
 
-  private def openWriter(
-      tempRel: String): DataFileWriter[GenericRecord] = {
+  /** One open container plus its inline stats accumulator (null when
+    * statsIndex is off). */
+  private final class OpenFile(val w: DataFileWriter[GenericRecord],
+    val acc: AvroSource.StatsAcc)
+
+  private def openFile(tempRel: String): OpenFile = {
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](avroSchema))
     // block compression (zstd default) — the codec name rides the
     // container's own metadata, so readers need no option to decode
     w.setCodec(AvroSource.codecFactory(codec))
     w.create(avroSchema, fs.create(new Path(dir, tempRel), true))
+    new OpenFile(w,
+      if (statsIndex) new AvroSource.StatsAcc(fields) else null)
   }
 
-  // tempRel → open writer
-  private val writers = new java.util.LinkedHashMap[
-    String, DataFileWriter[GenericRecord]]()
+  // tempRel → open file
+  private val writers = new java.util.LinkedHashMap[String, OpenFile]()
   // unpartitioned: open the single file EAGERLY (a zero-row task still
   // publishes an empty container carrying the schema — inference on an
   // empty write stays possible); partitioned files open lazily per
   // value, so empty tasks publish nothing
-  if (partBy.isEmpty) writers.put(fileName, openWriter(fileName))
+  if (partBy.isEmpty) writers.put(fileName, openFile(fileName))
 
   // clustered writes see long runs of one partition value: cache the
   // last row's raw values against its resolved writer so the hot loop
   // is a value-compare, not a per-row prefix rebuild + map lookup
   private var lastVals: Array[String] = null
-  private var lastWriter: DataFileWriter[GenericRecord] = null
+  private var lastFile: OpenFile = null
 
-  private def writerFor(row: InternalRow): DataFileWriter[GenericRecord] = {
+  private def fileFor(row: InternalRow): OpenFile = {
     if (partBy.isEmpty) return writers.get(fileName)
     val vals = new Array[String](partIdx.length)
     var j = 0
@@ -1212,7 +1333,7 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
     if (lastVals != null && java.util.Arrays.equals(
         lastVals.asInstanceOf[Array[AnyRef]],
         vals.asInstanceOf[Array[AnyRef]]))
-      return lastWriter
+      return lastFile
     val sb = new java.lang.StringBuilder()
     j = 0
     while (j < partIdx.length) {
@@ -1221,35 +1342,42 @@ class AvroDataWriter(dir: String, schema: StructType, partitionId: Int,
       j += 1
     }
     val tempRel = sb.toString + fileName
-    val w = {
+    val f = {
       val existing = writers.get(tempRel)
       if (existing != null) existing
-      else { val nw = openWriter(tempRel); writers.put(tempRel, nw); nw }
+      else { val nf = openFile(tempRel); writers.put(tempRel, nf); nf }
     }
     lastVals = vals
-    lastWriter = w
-    w
+    lastFile = f
+    f
   }
 
   override def write(row: InternalRow): Unit = {
+    val f = fileFor(row)
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < fields.length) {
       rec.put(i, AvroSource.toAvroValue(row, dataIdx(i),
         fields(i).dataType, fieldSchemas(i)))
+      if (f.acc != null) f.acc.update(row, dataIdx(i), i)
       i += 1
     }
-    writerFor(row).append(rec)
+    f.w.append(rec)
     ()
   }
   override def commit(): WriterCommitMessage = {
     import scala.jdk.CollectionConverters._
-    writers.values().asScala.foreach(_.close())
-    AvroTaskCommit(writers.keySet().asScala.toSeq)
+    writers.values().asScala.foreach(_.w.close())
+    val stats =
+      if (statsIndex)
+        writers.asScala.map { case (rel, f) => rel -> f.acc.result() }
+          .toMap
+      else Map.empty[String, Map[String, AvroSource.ColStats]]
+    AvroTaskCommit(writers.keySet().asScala.toSeq, stats)
   }
   override def abort(): Unit = {
     import scala.jdk.CollectionConverters._
-    writers.values().asScala.foreach(w => scala.util.Try(w.close()))
+    writers.values().asScala.foreach(f => scala.util.Try(f.w.close()))
     writers.keySet().asScala.foreach(r =>
       fs.delete(new Path(dir, r), false))
   }

@@ -243,6 +243,55 @@ object SidecarIndex {
     require(fs.rename(tmp, dest), s"sidecar index publish failed: $dest")
   }
 
+  /** Direct entry publication — the SELF-INDEXING write path: the
+    * caller already holds each new file's stats (collected inline
+    * while writing), so no listing and no statting happens here at
+    * all. One O(entries) delta file (fresh base when no index exists;
+    * fold when the chain would outgrow [[CompactThreshold]]). Safe
+    * under concurrent writers: delta names are uuid-unique and adds
+    * are idempotent per (job-unique) file name.
+    */
+  def append(dir: String, entries: Seq[(String, ObjectNode)]): Unit = {
+    if (entries.isEmpty) return
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(FileSetLedger.hadoopConf())
+    val lay = layout(fs, dirPath)
+    val m = new ObjectMapper()
+    if (lay.base.isEmpty && lay.deltas.isEmpty) {
+      val root = m.createObjectNode()
+      root.put("_seq", 1L)
+      entries.foreach { case (rel, node) =>
+        root.set[ObjectNode](rel, node); ()
+      }
+      publish(fs, dirPath, BaseName, m.writeValueAsString(root))
+    } else {
+      val (existing, baseSeq) = readWithSeq(dir)
+      val maxSeq = (baseSeq +: lay.deltas.map(_._1)).max
+      if (lay.deltas.size + 1 > CompactThreshold) {
+        val root = m.createObjectNode()
+        root.put("_seq", maxSeq + 1)
+        existing.foreach { case (rel, node) =>
+          root.set[JsonNode](rel, node); ()
+        }
+        entries.foreach { case (rel, node) =>
+          root.set[ObjectNode](rel, node); ()
+        }
+        publish(fs, dirPath, BaseName, m.writeValueAsString(root))
+        lay.deltas.foreach { case (_, st) => fs.delete(st.getPath, false) }
+      } else {
+        val root = m.createObjectNode()
+        root.put("seq", maxSeq + 1)
+        val add = root.putObject("add")
+        entries.foreach { case (rel, node) =>
+          add.set[ObjectNode](rel, node); ()
+        }
+        publish(fs, dirPath,
+          f"$DeltaPrefix${maxSeq + 1}%06d-${java.util.UUID.randomUUID.toString.take(8)}.json",
+          m.writeValueAsString(root))
+      }
+    }
+  }
+
   /** Incremental refresh: stat ONLY the data files under `dir` that
     * the merged index does not yet hold (`statNew` runs the caller's
     * distributed stats pass over exactly those), record vanished files

@@ -505,10 +505,66 @@ class AvroSourceSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_index.json")))
     Seq((3L, "c")).toDF("k", "s")
       .write.format("graft-avro").mode("overwrite").save(dir)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_index.json")),
-      "overwrite must invalidate the sidecar index")
+    // overwrite invalidates the old index, and the self-indexing
+    // commit rebuilds a fresh one holding ONLY the new generation
+    assert(AvroSource.readIndex(dir).keySet ===
+      graft.util.FsListing.dataFiles(dir).map(_._1).toSet,
+      "the post-overwrite index must describe exactly the new files")
     assert(spark.read.format("graft-avro").load(dir)
       .select($"k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("SELF-INDEXING writes: the commit publishes inline-collected " +
+    "column stats, so a selective read skips files with NO writeIndex " +
+    "pass at all; NaN safety carries over; statsIndex=false opts out") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-avrosi-")
+      .toString + "/land"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    Seq((1000L, 5.0), (1001L, Double.NaN)).toDF("k", "v")
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    // no writeIndex call anywhere — the writes indexed themselves
+    assert(AvroSource.readIndex(dir).size === 2)
+    val before = AvroSource.skippedFiles.get()
+    assert(spark.read.format("graft-avro").load(dir)
+      .where(col("k") <= 2L).count() === 2L)
+    assert(AvroSource.skippedFiles.get() > before,
+      "the high-range file must skip off write-time stats")
+    // the inline pass excluded NaN from the bounds but flagged it:
+    // v > 100 must still find the NaN row (file 2 scans, not skips)
+    assert(spark.read.format("graft-avro").load(dir)
+      .where(col("v") > 100.0).select($"k").as[Long].collect().toSeq
+      === Seq(1001L))
+    // write-time stats equal a read-back statsOf pass exactly
+    val inline = AvroSource.readIndex(dir)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-avrosi2-").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    graft.util.FsListing.dataFiles(dir).foreach { case (rel, _) =>
+      fs.copyToLocalFile(new org.apache.hadoop.fs.Path(s"$dir/$rel"),
+        new org.apache.hadoop.fs.Path(s"$rebuilt/$rel"))
+    }
+    AvroSource.writeIndex(spark, rebuilt)
+    assert(AvroSource.readIndex(rebuilt) === inline,
+      "inline write-time stats must equal the read-back pass")
+    // opt-out: no index artifacts at all
+    val plain = java.nio.file.Files.createTempDirectory("graft-avrosi3-")
+      .toString + "/land"
+    Seq((1L, 1.0)).toDF("k", "v")
+      .write.format("graft-avro").option("statsIndex", "false")
+      .mode("append").save(plain)
+    assert(AvroSource.readIndex(plain).isEmpty)
+    // partitioned self-indexing: entries keyed by the k=v rel path
+    val pd = java.nio.file.Files.createTempDirectory("graft-avrosi4-")
+      .toString + "/land"
+    Seq((1L, "a"), (1000L, "b")).toDF("k", "g")
+      .repartition(col("g"))
+      .write.format("graft-avro").option("partitionBy", "g")
+      .mode("append").save(pd)
+    val keys = AvroSource.readIndex(pd).keySet
+    assert(keys.size === 2 && keys.forall(_.startsWith("g=")), keys)
   }
 
   test("nested record names stay unique after sanitization: sibling " +
