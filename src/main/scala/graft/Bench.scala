@@ -135,7 +135,8 @@ object Bench {
       }
     // Untimed warm-up of EVERY query (JIT + codegen + parquet footers), so
     // first-touch costs don't land on whichever query runs first.
-    queries.foreach { case (_, fn) =>
+    queries.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"warmup:$name")
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // Timed passes record (wall, cpu, probe): whole-JVM process-CPU delta
@@ -144,6 +145,9 @@ object Bench {
     // is only clean if the box was healthy at BOTH ends).
     def timeOnce(name: String,
         fn: (SparkSession, String) => DataFrame): (Double, Double, Double) = {
+      // label every job of the pass with the query name (guide §1.5):
+      // event-log/UI time attributes to queries instead of anonymous jobs
+      spark.sparkContext.setJobDescription(name)
       val pPre = probe()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
