@@ -51,6 +51,15 @@ object GraftSession {
       sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
     .config("spark.sql.cbo.joinReorder.enabled",
       sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
+    // Scheme-adaptive streaming-checkpoint I/O (r15): file:// checkpoints
+    // use pure-NIO atomic renames instead of Hadoop FileContext, whose
+    // local-fs route forks a `readlink` process PER RENAME without the
+    // native Hadoop library — measured 2× wall / 2.7× CPU on the
+    // stateful streaming queries. Non-local schemes delegate to Spark's
+    // own manager selection unchanged (see LocalCheckpointFileManager).
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+        "graft.streaming.LocalCheckpointFileManager"))
     .config("spark.ui.enabled", "false")
     // managed tables (bucketed-join layout) land outside the repo
     .config("spark.sql.warehouse.dir",
