@@ -74,26 +74,51 @@ object Dsir {
     * Returns (idCol, n_features, log_weight) — log_weight UNROUNDED;
     * callers round at their output boundary.
     */
+  /** A fitted model COLLECTED to plan data: per-bucket logp plus the
+    * unseen-bucket fallback — ≤ `buckets` entries by construction (that
+    * is the point of feature hashing: model size is a constant chosen
+    * up front, whatever the corpus), i.e. the standard train-once
+    * model-as-literal shape ([[PQ]] codebooks, IVF centroids).
+    * `math.log` on the same double arithmetic the in-plan `log`
+    * expression evaluated — bit-identical logp values.
+    */
+  private def collectLm(corpus: DataFrame, textCol: String,
+      buckets: Int): (Map[Long, Double], Double) = {
+    val counts = corpus
+      .select(explode(features(col(textCol))).as("feat"))
+      .select(featureBucket(col("feat"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect()
+    val nTotal = counts.map(_.getLong(1)).sum.toDouble
+    val logp = counts.map(r => r.getLong(0) ->
+      math.log((r.getLong(1) + 1L) / (nTotal + buckets))).toMap
+    (logp, math.log(1.0 / (nTotal + buckets)))
+  }
+
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 256): DataFrame = {
-    val p = fitHashedLm(target, textCol, buckets)
-    val q = fitHashedLm(raw, textCol, buckets)
-    // unseen-bucket fallbacks ride as broadcast 1-row scalars (the
-    // LangModel.crossEntropy pattern): ln(1 / (N + B)) per model
-    val fb = p.agg(coalesce(max(col("_n_total")), lit(0.0)).as("_np"))
-      .crossJoin(q.agg(coalesce(max(col("_n_total")), lit(0.0)).as("_nq")))
+    // r15 (guide §1.2/§2.4): the two hashed LMs are bucket-bounded
+    // (≤ `buckets` rows) so they ride the SCORING PLAN AS LITERAL MAPS
+    // instead of broadcast-join relations. The lazy join form
+    // re-evaluated the model subtrees per consumer (the p/q joins plus
+    // the fallback-scalar aggregates — the q105 profile showed SEVEN
+    // explode+md5 stages per run); this form runs exactly TWO passes
+    // over the raw pool (one model fit, one scoring pass) and one over
+    // the small target corpus, and scoring is a pure codegen'd
+    // element_at — no joins at all. Same arithmetic, same result.
+    val (pMap, pFb) = collectLm(target, textCol, buckets)
+    val (qMap, qFb) = collectLm(raw, textCol, buckets)
+    val pLit =
+      if (pMap.isEmpty) typedlit(Map(-1L -> 0.0)) else typedlit(pMap)
+    val qLit =
+      if (qMap.isEmpty) typedlit(Map(-1L -> 0.0)) else typedlit(qMap)
     val perBucket = raw
       .select(col(idCol), explode(features(col(textCol))).as("feat"))
       .select(col(idCol), featureBucket(col("feat"), buckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
-      .join(broadcast(p.select(col("bucket"), col("logp").as("_lpp"))),
-        Seq("bucket"), "left")
-      .join(broadcast(q.select(col("bucket"), col("logp").as("_lpq"))),
-        Seq("bucket"), "left")
-      .crossJoin(broadcast(fb))
       .select(col(idCol), col("n"),
-        (coalesce(col("_lpp"), log(lit(1.0) / (col("_np") + buckets))) -
-          coalesce(col("_lpq"), log(lit(1.0) / (col("_nq") + buckets))))
+        (coalesce(element_at(pLit, col("bucket")), lit(pFb)) -
+          coalesce(element_at(qLit, col("bucket")), lit(qFb)))
           .as("_llr"))
     val weights = perBucket.groupBy(col(idCol))
       .agg(sum(col("n")).cast("long").as("n_features"),

@@ -32,12 +32,21 @@ object NearDup {
       docs.withColumn("_fp", TextFunctions.fingerprint(col(textCol))),
       Seq("_fp"), order).drop("_fp")
 
-  /** Distinct (id, shingle) posting pairs. */
+  /** Distinct (id, shingle) posting pairs.
+    *
+    * r15 (guide §2.4): dedup PER ROW with `array_distinct` before the
+    * explode instead of a `.distinct()` after it — the distinct is
+    * within-doc by construction (every exploded row carries its id), so
+    * the aggregate bought nothing the row-local dedup doesn't, and it
+    * cost a full (id, shingle)-keyed SHUFFLE of the posting table in
+    * every shingle consumer (pairs, signatures, spans, decontam). The
+    * posting SET is identical; postings are now a narrow map-only pass.
+    */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("_id"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("_sh"))
-      .distinct()
+      explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+        .as("_sh"))
 
   /** EXACT pairwise Jaccard similarity over token shingles for every
     * pair sharing at least one shingle — the inverted-index ("bucket =
@@ -62,20 +71,46 @@ object NearDup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
       maxShingleFreq: Long = 0): DataFrame = {
-    val post = postings(docs, idCol, textCol, n)
-    val filtered =
-      if (maxShingleFreq <= 0) post
-      else {
-        val freq = post.groupBy("_sh").count()
-          .where(col("count") <= maxShingleFreq).select("_sh")
-        post.join(freq, "_sh") // broadcast or shuffled by AQE's choice
-      }
-    val sizes = filtered.groupBy("_id").agg(count(lit(1)).as("_sz"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"), col("a._sh") === col("b._sh") &&
-        col("a._id") < col("b._id"))
-      .select(col("a._id").as("id1"), col("b._id").as("id2"))
-    scorePairs(inter, sizes, minJaccard)
+    if (maxShingleFreq <= 0) {
+      // r15 fast path (guide §2.3/§2.4): the per-doc distinct-shingle
+      // count is a ROW-LOCAL fact (size of the distinct array), so it
+      // rides the posting rows instead of being re-derived by a
+      // separate groupBy — which the old shape then JOINED BACK TWICE
+      // (sz1, sz2). With exchange reuse unreliable across the
+      // self-join + two size joins, the scan→explode subtree was
+      // evaluated up to 4× per run (q122 profile); this shape
+      // evaluates it once per join side and does exactly ONE shuffle
+      // class (by shingle) + the pair aggregate. Output identical:
+      // same pairs, same counts, same column order ((id, sz) is
+      // functionally dependent, so grouping by both changes nothing).
+      val post = docs.select(col(idCol).as("_id"),
+          array_distinct(TextFunctions.shingles(col(textCol), n)).as("_shs"))
+        .select(col("_id"), size(col("_shs")).cast("long").as("_sz"),
+          explode(col("_shs")).as("_sh"))
+      post.as("a")
+        .join(post.as("b"), col("a._sh") === col("b._sh") &&
+          col("a._id") < col("b._id"))
+        .groupBy(col("a._id").as("id1"), col("b._id").as("id2"),
+          col("a._sz").as("sz1"), col("b._sz").as("sz2"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("sz1") + col("sz2") - col("n_common")).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("id1"), col("id2"), col("n_common"),
+          col("sz1"), col("sz2"), col("jaccard"))
+    } else {
+      val post = postings(docs, idCol, textCol, n)
+      val freq = post.groupBy("_sh").count()
+        .where(col("count") <= maxShingleFreq).select("_sh")
+      val filtered = post.join(freq, "_sh") // broadcast/shuffled by AQE
+      val sizes = filtered.groupBy("_id").agg(count(lit(1)).as("_sz"))
+      val inter = filtered.as("a")
+        .join(filtered.as("b"), col("a._sh") === col("b._sh") &&
+          col("a._id") < col("b._id"))
+        .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      scorePairs(inter, sizes, minJaccard)
+    }
   }
 
   /** The shared Jaccard tail: one row per (pair, shared shingle) in →

@@ -117,11 +117,37 @@ object Vocab {
     * in rank order as one greedy pass each. Pure per-row expression
     * chain (no shuffle, no UDF); depth scales with `merges.size`, the
     * caller's constant.
+    *
+    * r15: evaluated as a BRACKET-STRING `replace` chain — render the
+    * symbol list as `{c}{c}…{c</w>}`, apply each merge as
+    * `replace("{l}{r}" → "{lr}")`, split back on `}{`. A global
+    * left-to-right non-overlapping replace is EXACTLY the greedy
+    * scan-and-splice ([[applyMerge]]'s contract: after a splice the
+    * scan continues after the new symbol — so is `replace`'s cursor),
+    * and symbols never contain braces, so the delimiters are
+    * unambiguous. The prior form folded each merge with an
+    * `aggregate()` higher-order function that rebuilt the accumulator
+    * array per element — O(|word|²) array copies per merge, in
+    * interpreted (non-codegen) lambda evaluation; q126 measured 112 s
+    * process-CPU at sf0.1 on it. The replace chain is linear
+    * UTF8String work (measured: 112 s → 19 s CPU, wall 4.4 s → 1.4 s),
+    * result-identical.
     */
-  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(initialSyms(word)) { case (syms, (l, r)) =>
-      applyMerge(syms, l, r)
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
+    val bracketed = concat_ws("",
+      transform(sequence(lit(1), length(word)), i =>
+        concat(lit("{"), word.substr(i, lit(1)),
+          when(i === length(word), lit("</w>")).otherwise(lit("")),
+          lit("}"))))
+    val merged = merges.foldLeft(bracketed) { case (acc, (l, r)) =>
+      replace(acc, lit("{" + l + "}{" + r + "}"), lit("{" + l + r + "}"))
     }
+    // guard empty words explicitly: sequence(1, 0) is DESCENDING (the
+    // shingle-guard trap), and "" has no symbols
+    when(length(word) < 1, array().cast("array<string>"))
+      .otherwise(split(merged.substr(lit(2), length(merged) - 2),
+        "\\}\\{"))
+  }
 
   /** Encode each document as its ordered token-id sequence under
     * `vocab` (from [[induce]] or any `(token, id)` frame): one row per
