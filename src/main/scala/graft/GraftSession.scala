@@ -51,6 +51,19 @@ object GraftSession {
       sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
     .config("spark.sql.cbo.joinReorder.enabled",
       sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
+    // Whole-stage-codegen compile cache (r15): the default
+    // spark.sql.codegen.cache.maxEntries=100 is sized for a handful of
+    // hot queries; this engine's declared surface is 186 queries ×
+    // dozens of codegen units each, so the cache churned completely
+    // between passes and EVERY execution re-paid Janino compilation —
+    // thread dumps showed whole 32-task stages parked behind
+    // CodeGenerator.compile's KeyLock with near-zero CPU. The entries
+    // are compiled classes (~10-100 KB each); 10k bounds the cache at
+    // a few hundred MB driver-side while letting a full bench/verify
+    // run keep its generated code hot. Static conf: takes effect at
+    // session construction only.
+    .config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
     // Scheme-adaptive streaming-checkpoint I/O (r15): file:// checkpoints
     // use pure-NIO atomic renames instead of Hadoop FileContext, whose
     // local-fs route forks a `readlink` process PER RENAME without the

@@ -41,11 +41,17 @@ object Retrieval {
     // corpus constants: one reduce, one broadcast row
     val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    // per-(doc, term) term frequency — only query-term postings shuffle
+    // per-(doc, term) term frequency — only query-term postings shuffle.
+    // r15: materialized once (|terms| × |matching docs| rows — bounded
+    // by the query, never corpus-sized): it feeds BOTH the df aggregate
+    // and the scoring join, and left lazy each consumer re-ran the full
+    // corpus tokenize+explode — three corpus passes per query instead
+    // of the two (constants + postings) the algorithm needs.
     val tf = toks
       .select(col("id"), col("dl"), explode(col("tk")).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy("id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
     // document frequency per term: |terms| rows, broadcast back
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))

@@ -36,9 +36,15 @@ object TextClassifier {
     val priors = nDocs.crossJoin(
         broadcast(docs.agg(count(lit(1)).as("n_total"))))
       .select(col("label"), log(col("n_docs") / col("n_total")).as("ln_prior"))
-    // per-(term, class) counts and per-class token totals
+    // per-(term, class) counts and per-class token totals.
+    // r15: materialized once — the (|vocab| × |classes|)-bounded fit
+    // artifact feeds THREE consumers (class totals, the vocab distinct,
+    // the grid join), each of which lazily re-ran the corpus
+    // explode+count beneath it. One tokenize+count fit pass + one
+    // scoring pass is the closed-form NB cost; see LangModel.unigramFit.
     val termClass = toks.groupBy("term", "label")
       .agg(count(lit(1)).as("n_tc"))
+      .localCheckpoint()
     val classTokens = termClass.groupBy("label")
       .agg(sum(col("n_tc")).as("n_c"))
     val vocab = termClass.select("term").distinct()
