@@ -286,7 +286,14 @@ object Similarity {
     // (broadcast — nCells × dim is tiny) and keep the nProbe nearest
     // cells; rank<=k folds to a map-side WindowGroupLimit. nProbe=1
     // keeps the quantizer's own assignment (identical plan to r4).
-    val probed =
+    // r15: materialize the (id, vec, cell) assignment once — it feeds
+    // BOTH sides of the intra-cell self-join below, and left lazy each
+    // side re-ran the k-means predict (an ml UDF pipeline) and, for
+    // nProbe > 1, the multi-probe re-rank window. This is exactly the
+    // table IndexStore.buildIvf persists at warehouse scale (the IVF
+    // assignment artifact); one in-memory materialization is its
+    // per-query form.
+    val probed = (
       if (nProbe <= 1) assigned
       else assigned.select(col("id"), col("vec"))
         .join(broadcast(centroids))
@@ -298,6 +305,7 @@ object Similarity {
           Window.partitionBy("id").orderBy(col("d2"), col("cell"))))
         .where(col("crank") <= nProbe)
         .select("id", "vec", "cell")
+    ).localCheckpoint()
     val left = probed.select(col("cell"),
       col("id").as("id1"), col("vec").as("vec1"))
     val right = probed.select(col("cell"),

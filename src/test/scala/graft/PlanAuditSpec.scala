@@ -71,13 +71,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("dsir cuts with TakeOrdered and broadcasts both LM tables (q105)") {
+  test("dsir cuts with TakeOrdered and scores via literal LM maps (q105)") {
     // the draw is top-k by sample key — a global sort-limit would sort
-    // the whole pool; the two hashed-LM model tables are bucket-bounded
-    // (≤ 256 rows) and must ride as broadcasts, pinned in Dsir
+    // the whole pool; and since r15 the two hashed-LM model tables
+    // (bucket-bounded ≤ 256 entries by design) ride the scoring plan as
+    // LITERAL maps, so the plan must contain NO model join at all —
+    // scoring is one featurize+aggregate pass. The only join left is
+    // the empty-doc restore (corpus ids against the weights aggregate).
     val p = plans("q105_docs_dsir_resample")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // at most ONE join in the whole plan — the empty-doc restore; a
+    // model JOIN reappearing means the literal-map form regressed
+    assert("Join".r.findAllIn(p).size <= 1, p)
+    // exactly one Generate (the single featurization pass) in the
+    // whole plan — the r14 shape had up to 7 at runtime
+    assert("Generate".r.findAllIn(p).size <= 1, p)
   }
 
   test("vocabulary-bounded grids broadcast, pinned (q91, q84)") {
