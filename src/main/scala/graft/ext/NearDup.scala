@@ -83,7 +83,8 @@ object NearDup {
       // class (by shingle) + the pair aggregate. Output identical:
       // same pairs, same counts, same column order ((id, sz) is
       // functionally dependent, so grouping by both changes nothing).
-      val post = docs.select(col(idCol).as("_id"),
+      val post = graft.util.Fan.widen(docs)
+        .select(col(idCol).as("_id"),
           array_distinct(TextFunctions.shingles(col(textCol), n)).as("_shs"))
         .select(col("_id"), size(col("_shs")).cast("long").as("_sz"),
           explode(col("_shs")).as("_sh"))

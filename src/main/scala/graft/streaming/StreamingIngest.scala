@@ -183,7 +183,10 @@ object StreamingIngest {
       .parquet(sourceDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        val df = batch.toDF()
+        // fan a small micro-batch (often one landed file = one split)
+        // to the session's parallelism before the 64-hash signing —
+        // no-op once batches arrive in >= parallelism splits
+        val df = graft.util.Fan.widen(batch.toDF())
         graft.pipeline.IndexStore.ensureMinhashTable(wh, accepted, idx, idCol)
         val signed = graft.pipeline.IndexStore.minhashRows(
           df, idCol, textCol, n, numHashes, nParts)
