@@ -33,6 +33,21 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // AQE coalesce floor (r16, guide §2.5/§2.1): the stock 1 MB
+    // minPartitionSize collapses any post-shuffle stage under
+    // cores × 1 MB to a handful of tasks — and for CPU-DENSE-per-byte
+    // operators (self-join wedge closure, array intersections, window
+    // interpolation) that serialized whole stages onto one core
+    // (q112: one 2.3 s single-task stage; q161: four 1.1 s ones,
+    // measured in the r16 baseline event log). Bytes are the wrong
+    // currency for those stages; a lower floor lets AQE keep the
+    // parallelism the cores can use. Scale-neutral by construction:
+    // the floor only binds when per-partition data is tiny (at
+    // warehouse scale partitions sit far above either floor), so this
+    // is not a local[32] tune — it is "don't serialize small-byte
+    // CPU-heavy stages" at any cluster size.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
     // Oracle parity: DuckDB evaluates date/timestamp functions in UTC.
     .config("spark.sql.session.timeZone", "UTC")
     // Reference semantics: every parse failure is per-record null-then-drop

@@ -84,6 +84,13 @@ object Dsir {
     */
   private def collectLm(corpus: DataFrame, textCol: String,
       buckets: Int): (Map[Long, Double], Double) = {
+    // literal-map size IS the contract: the collected model is inlined
+    // into the scoring plan, so an unbounded `buckets` would silently
+    // collect that many rows to the driver and blow up codegen —
+    // make the boundedness structural (r16, VERDICT item 4)
+    require(buckets > 0 && buckets <= 65536,
+      s"hashed-LM buckets must be in (0, 65536]: $buckets — the model " +
+        "is collected and inlined as a plan literal, sized by buckets")
     val counts = corpus
       .select(explode(features(col(textCol))).as("feat"))
       .select(featureBucket(col("feat"), buckets).as("bucket"))

@@ -28,6 +28,13 @@ object LangModel {
     * unseen-at-score-time tokens finite when the model is applied to a
     * DIFFERENT corpus: they score `ln(1 / (N + V))` via
     * [[crossEntropy]]'s fallback, consistent with the fit formula.
+    *
+    * NOTE: the localCheckpoint below makes this fit EAGER — building
+    * the returned DataFrame runs the tokenize+count jobs now — and the
+    * checkpointed blocks live until the ContextCleaner GCs the RDD.
+    * Long-lived sessions fitting many models should unpersist the
+    * artifact once its consuming query completes (the
+    * StreamingIngest unpersist-in-finally shape).
     */
   def unigramFit(corpus: DataFrame, textCol: String): DataFrame = {
     val terms = corpus.select(

@@ -34,6 +34,13 @@ object NearDup {
 
   /** Distinct (id, shingle) posting pairs.
     *
+    * PRECONDITION: `idCol` is unique per input row (one row per doc —
+    * every declared caller feeds doc tables keyed by id). With
+    * duplicate ids the row-local dedup below is weaker than the old
+    * global `.distinct()`: duplicate (id, shingle) postings would
+    * survive and inflate `n_common`/sizes in pairs/signatures/spans/
+    * decontam. Dedupe ids upstream if the input can repeat them.
+    *
     * r15 (guide §2.4): dedup PER ROW with `array_distinct` before the
     * explode instead of a `.distinct()` after it — the distinct is
     * within-doc by construction (every exploded row carries its id), so

@@ -132,6 +132,16 @@ object Vocab {
     * process-CPU at sf0.1 on it. The replace chain is linear
     * UTF8String work (measured: 112 s → 19 s CPU, wall 4.4 s → 1.4 s),
     * result-identical.
+    *
+    * PRECONDITIONS of the bracket-string encoding: (1) the symbol
+    * alphabet is brace-free — a word containing '{' or '}' makes the
+    * delimiters ambiguous (route brace-containing corpora through an
+    * explicit pre-filter or the fold form if that ever changes; the
+    * declared queries' corpora and the oracle share this encoding);
+    * (2) `merges` is a bounded, constant vocabulary — each merge adds
+    * one `replace` node, so a thousand-merge list would build a
+    * thousand-deep expression tree (codegen/stack limits). Chunk the
+    * fold through checkpoints before growing it to that size.
     */
   def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
     val bracketed = concat_ws("",

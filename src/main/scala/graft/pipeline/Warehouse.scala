@@ -3994,12 +3994,15 @@ class Warehouse(spark: SparkSession, dir: String,
           case None => col(f.name)
         }
       }: _*)
-      enforceChecks(name, rewritten) // before any sidecar hits disk
-      // here `rewritten` is EXACTLY the touched rows (matched already
-      // filtered on old values), so the FK probe batch is tight
-      if (specsNow(name).foreignKeys
-          .exists(_.cols.exists(set.keySet.contains)))
-        enforceForeignKeys(name, rewritten)
+      // checks run before any sidecar hits disk; here `rewritten` is
+      // EXACTLY the touched rows (matched already filtered on old
+      // values), so the FK probe batch is tight. Independent probes —
+      // overlap (see append).
+      runProbes(Seq(() => enforceChecks(name, rewritten))
+        ++ (if (specsNow(name).foreignKeys
+              .exists(_.cols.exists(set.keySet.contains)))
+            Seq(() => enforceForeignKeys(name, rewritten))
+          else Nil))
       val positions = matched
         .select(col("__gf_dv_path").as("p"), col("__gf_dv_idx").as("i"))
         .collect().groupBy(_.getString(0))
@@ -4277,10 +4280,15 @@ class Warehouse(spark: SparkSession, dir: String,
     val (withId, hwm0) = applyIdentity(name, df, v)
     var assignedHwm = hwm0
     var full = applyGenerated(name, withId)
-    enforceChecks(name, full)
-    enforcePrimaryKey(name, full)
-    enforceUnique(name, full)
-    enforceForeignKeys(name, full)
+    // the four constraint families are independent read-only probes of
+    // the same batch — overlap them (guide §2.6); runProbes rethrows
+    // the first family IN THIS ORDER on multi-family violations, which
+    // is the exception the sequential form surfaced
+    runProbes(Seq(
+      () => enforceChecks(name, full),
+      () => enforcePrimaryKey(name, full),
+      () => enforceUnique(name, full),
+      () => enforceForeignKeys(name, full)))
     var fresh = writeBatch(name, full, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -4422,10 +4430,13 @@ class Warehouse(spark: SparkSession, dir: String,
     // conflict-path re-probes test the ids that will actually commit
     // (append's `full` pattern), not the abandoned pre-conflict ones
     var df = applyGenerated(name, src0)
-    enforceChecks(name, df)
-    enforcePrimaryKey(name, df)
-    enforceUnique(name, df)
-    enforceForeignKeys(name, df)
+    // independent read-only probes — overlap, first-in-order rethrow
+    // (see append)
+    runProbes(Seq(
+      () => enforceChecks(name, df),
+      () => enforcePrimaryKey(name, df),
+      () => enforceUnique(name, df),
+      () => enforceForeignKeys(name, df)))
     var staged = writeBatch(name, df)
     val ledgerRel = writeCopyLedger(name,
       fresh.map { case (rel, b) => s"$rel:$b" })
@@ -4773,12 +4784,15 @@ class Warehouse(spark: SparkSession, dir: String,
     // sees the parent batch's keys (arrival order inside the atomic
     // commit is meaningless, so "parent first" is implied)
     val pending = derived.map { case (t, df, _) => t -> df }.toMap
-    derived.foreach { case (t, df, _) =>
-      enforceChecks(t, df)
-      enforcePrimaryKey(t, df)
-      enforceUnique(t, df)
-      enforceForeignKeys(t, df, pending - t)
-    }
+    // tables × families are all independent read-only probes: flatten
+    // into ONE overlapped wave; declaration order (table order, then
+    // the in-table family order) is preserved by runProbes' rethrow
+    runProbes(derived.flatMap { case (t, df, _) => Seq(
+      () => enforceChecks(t, df),
+      () => enforcePrimaryKey(t, df),
+      () => enforceUnique(t, df),
+      () => enforceForeignKeys(t, df, pending - t))
+    })
     val id = java.util.UUID.randomUUID.toString
     val staged = derived.map { case (t, df, rpf) =>
       t -> writeBatch(t, df, rpf)
@@ -4875,29 +4889,33 @@ class Warehouse(spark: SparkSession, dir: String,
     require(v > 0L, s"overwrite $name: table not bootstrapped")
     val (withId, ovHwm) = applyIdentity(name, df0, v)
     val df = applyGenerated(name, withId)
-    enforceChecks(name, df)
-    // the batch REPLACES the table, so only batch-internal uniqueness
-    // and NOT NULL apply — there are no surviving rows to collide with
-    enforcePrimaryKey(name, df, probeLive = false)
-    enforceUnique(name, df, probeLive = false)
-    // a SELF-FK validates against the batch's OWN keys only — the
-    // overwrite evicts every live key, so a new row referencing an
-    // evicted (non-resupplied) key must fail, not ride the stale
-    // snapshot through the probe
-    enforceForeignKeys(name, df, replacedParents = Set(name))
-    // replacing a REFERENCED table deletes every old key the batch
-    // doesn't re-supply — RESTRICT applies to the evicted set. The
-    // self-child is skipped: its old referencing rows are evicted in
-    // the same flip, and the replacement batch was just validated
-    // batch-only above.
-    if (childForeignKeys(name).nonEmpty) {
-      import org.apache.spark.sql.functions.col
-      val pk = specsNow(name).primaryKey
-      enforceDeleteRestrict(name, dfFor(name, live)
-        .select(pk.map(col): _*)
-        .join(df.select(pk.map(col): _*), pk, "left_anti"),
-        skipChildren = Set(name))
-    }
+    // independent read-only probes — overlap, first-in-order rethrow
+    // (see append). Family semantics per probe:
+    //  - the batch REPLACES the table, so only batch-internal
+    //    uniqueness and NOT NULL apply (probeLive = false) — there are
+    //    no surviving rows to collide with
+    //  - a SELF-FK validates against the batch's OWN keys only
+    //    (replacedParents): the overwrite evicts every live key, so a
+    //    new row referencing an evicted (non-resupplied) key must
+    //    fail, not ride the stale snapshot through the probe
+    //  - replacing a REFERENCED table deletes every old key the batch
+    //    doesn't re-supply — RESTRICT applies to the evicted set. The
+    //    self-child is skipped: its old referencing rows are evicted
+    //    in the same flip, and the replacement batch was just
+    //    validated batch-only above.
+    runProbes(Seq(
+      () => enforceChecks(name, df),
+      () => enforcePrimaryKey(name, df, probeLive = false),
+      () => enforceUnique(name, df, probeLive = false),
+      () => enforceForeignKeys(name, df, replacedParents = Set(name)))
+      ++ (if (childForeignKeys(name).isEmpty) Nil else Seq(() => {
+        import org.apache.spark.sql.functions.col
+        val pk = specsNow(name).primaryKey
+        enforceDeleteRestrict(name, dfFor(name, live)
+          .select(pk.map(col): _*)
+          .join(df.select(pk.map(col): _*), pk, "left_anti"),
+          skipChildren = Set(name))
+      })))
     val fresh = writeBatch(name, df, rowsPerFile)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -5000,16 +5018,19 @@ class Warehouse(spark: SparkSession, dir: String,
     val merged = dfFor(name, replaced)
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(schemaCols.map(col): _*))
-    enforceChecks(name, updates.select(schemaCols.map(col): _*))
-    // keys == PK (required above), so batch-internal uniqueness is the
-    // whole PK story: matched keys replace, the rest insert fresh
-    enforcePrimaryKey(name, updates.select(schemaCols.map(col): _*),
-      probeLive = false)
-    enforceForeignKeys(name, updates.select(schemaCols.map(col): _*))
-    // a replaced row may keep its own unique values: probe the live
-    // table MINUS the keys this merge replaces
-    enforceUnique(name, updates.select(schemaCols.map(col): _*),
-      excludeKeys = Some((updates, keys)))
+    // independent read-only probes — overlap, first-in-order rethrow
+    // (see append). keys == PK (required above), so batch-internal
+    // uniqueness is the whole PK story (probeLive = false): matched
+    // keys replace, the rest insert fresh. A replaced row may keep its
+    // own unique values: UNIQUE probes the live table MINUS the keys
+    // this merge replaces (excludeKeys).
+    runProbes(Seq(
+      () => enforceChecks(name, updates.select(schemaCols.map(col): _*)),
+      () => enforcePrimaryKey(name, updates.select(schemaCols.map(col): _*),
+        probeLive = false),
+      () => enforceForeignKeys(name, updates.select(schemaCols.map(col): _*)),
+      () => enforceUnique(name, updates.select(schemaCols.map(col): _*),
+        excludeKeys = Some((updates, keys)))))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -5157,8 +5178,10 @@ class Warehouse(spark: SparkSession, dir: String,
         s"a version with $validFrom equal to this merge's ts already " +
           "exists for a touched key (same-instant re-version)")
     }
-    enforceChecks(name, toInsert)
-    enforceForeignKeys(name, toInsert) // new versions carry new FK values
+    // new versions carry new FK values; independent probes — overlap
+    runProbes(Seq(
+      () => enforceChecks(name, toInsert),
+      () => enforceForeignKeys(name, toInsert)))
     val fresh = writeBatch(name, rewritten.unionByName(toInsert))
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -5336,13 +5359,18 @@ class Warehouse(spark: SparkSession, dir: String,
         enforceUnique(name, inserts)
         survived.unionByName(inserts)
     }
-    enforceChecks(name, merged) // clause results are NEW values: check all
-    enforceForeignKeys(name, merged)
-    // delete clauses are parent-side deletes: RESTRICT on the doomed keys
-    if ((matchedDelete.nonEmpty || bySourceDelete.nonEmpty) &&
-        childForeignKeys(name).nonEmpty)
-      enforceDeleteRestrict(name, joined.where(delCond || bySrcDelCond)
-        .select(pkCols.map(col): _*))
+    // clause results are NEW values, so checks/FK validate all of
+    // `merged`; delete clauses are parent-side deletes, so RESTRICT
+    // probes the doomed keys. Independent probes — overlap (see append).
+    runProbes(Seq(
+      () => enforceChecks(name, merged),
+      () => enforceForeignKeys(name, merged))
+      ++ (if ((matchedDelete.nonEmpty || bySourceDelete.nonEmpty) &&
+            childForeignKeys(name).nonEmpty)
+          Seq(() => enforceDeleteRestrict(name,
+            joined.where(delCond || bySrcDelCond)
+              .select(pkCols.map(col): _*)))
+        else Nil))
     val fresh = writeBatch(name, merged)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -5950,19 +5978,22 @@ class Warehouse(spark: SparkSession, dir: String,
         case None => col(f.name)
       }
     }: _*)
-    enforceChecks(name, rewritten) // SET results are NEW values: check all
-    // a SET of an FK column mints new references: probe only the rows
-    // the update actually touched (tight batch extrema for the scope).
-    // Select from `touched` so the WHERE sees OLD values — `rewritten`
-    // already carries the new ones and could mis-pick rows when a SET
-    // column also appears in the condition.
-    if (specsNow(name).foreignKeys
-        .exists(_.cols.exists(set.keySet.contains)))
-      enforceForeignKeys(name, touched.where(matched)
-        .select(schema.fields.toSeq.map { f =>
-          set.get(f.name).map(_.cast(f.dataType).as(f.name))
-            .getOrElse(col(f.name))
-        }: _*))
+    // SET results are NEW values so checks validate all of
+    // `rewritten`. A SET of an FK column mints new references: probe
+    // only the rows the update actually touched (tight batch extrema
+    // for the scope). Select from `touched` so the WHERE sees OLD
+    // values — `rewritten` already carries the new ones and could
+    // mis-pick rows when a SET column also appears in the condition.
+    // Independent probes — overlap (see append).
+    runProbes(Seq(() => enforceChecks(name, rewritten))
+      ++ (if (specsNow(name).foreignKeys
+            .exists(_.cols.exists(set.keySet.contains)))
+          Seq(() => enforceForeignKeys(name, touched.where(matched)
+            .select(schema.fields.toSeq.map { f =>
+              set.get(f.name).map(_.cast(f.dataType).as(f.name))
+                .getOrElse(col(f.name))
+            }: _*)))
+        else Nil))
     val fresh = writeBatch(name, rewritten)
     maybeCrash("after-write")
     beforeCommit.foreach(_())
@@ -6271,17 +6302,21 @@ class Warehouse(spark: SparkSession, dir: String,
     // under it); the live snapshot reads under the head's.
     val spec = specsNow(name)
     val restoredDf = dfFor(name, entries, layout = Some(targetLayout))
-    if (spec.foreignKeys.nonEmpty)
-      enforceForeignKeys(name, restoredDf, replacedParents = Set(name))
-    if (childForeignKeys(name).exists(_._1 != name)) {
-      import org.apache.spark.sql.functions.col
-      val pk = spec.primaryKey
-      enforceDeleteRestrict(name, dfFor(name, liveNow)
-        .select(pk.map(col): _*)
-        .join(restoredDf.select(pk.map(col): _*),
-          pk, "left_anti"),
-        skipChildren = Set(name))
-    }
+    // independent probes — overlap (see append)
+    runProbes(
+      (if (spec.foreignKeys.nonEmpty)
+        Seq(() => enforceForeignKeys(name, restoredDf,
+          replacedParents = Set(name)))
+      else Nil)
+      ++ (if (childForeignKeys(name).exists(_._1 != name)) Seq(() => {
+        import org.apache.spark.sql.functions.col
+        val pk = spec.primaryKey
+        enforceDeleteRestrict(name, dfFor(name, liveNow)
+          .select(pk.map(col): _*)
+          .join(restoredDf.select(pk.map(col): _*),
+            pk, "left_anti"),
+          skipChildren = Set(name))
+      }) else Nil))
     if (!flips)
       commit(name, v + 1, entries,
         Map("op" -> "restore", "restoredVersion" -> version.toString))
@@ -6591,6 +6626,49 @@ class Warehouse(spark: SparkSession, dir: String,
     withCols.select(schema.fieldNames.toSeq.map(col): _*)
   }
 
+  /** Run INDEPENDENT read-only constraint probes CONCURRENTLY (r16,
+    * guide §2.6/§7.3: the commit family's cost was N sequential tiny
+    * driver-submitted jobs — plan + schedule latency per job — not
+    * cluster work; 8-vs-32-core bench ratios ≈ 1 pinned it). Each
+    * thunk is a self-contained enforcement pass: it reads the batch
+    * and/or the table snapshot, throws a typed violation on failure,
+    * and mutates nothing — so overlapping them on
+    * [[Warehouse.probePool]] collapses the wall to ~max(probe) while
+    * the scheduler back-fills each probe's straggler tail with the
+    * next probe's tasks.
+    *
+    * Violation semantics are UNCHANGED: every probe runs to
+    * completion and the FIRST failure IN DECLARATION ORDER is
+    * rethrown — exactly the exception the sequential loop surfaced,
+    * including on multi-violation batches. Spark job-description /
+    * job-group locals are thread-local; the caller's are re-applied
+    * on the pooled thread so UI and event-log attribution hold.
+    */
+  private def runProbes(probes: Seq[() => Unit]): Unit = {
+    if (probes.sizeIs <= 1) { probes.foreach(_()); return }
+    val sc = spark.sparkContext
+    val desc = sc.getLocalProperty("spark.job.description")
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    val schedPool = sc.getLocalProperty("spark.scheduler.pool")
+    val tasks = probes.map { p =>
+      probePool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          // set unconditionally (null clears): pooled threads are
+          // reused across callers and must not leak a stale label
+          sc.setLocalProperty("spark.job.description", desc)
+          sc.setLocalProperty("spark.jobGroup.id", group)
+          sc.setLocalProperty("spark.scheduler.pool", schedPool)
+          try { p(); None } catch { case t: Throwable => Some(t) }
+        }
+      })
+    }
+    // await ALL (probes are read-only; their jobs are small — no
+    // cancellation complexity), then rethrow first-in-order
+    tasks.map(_.get()).collectFirst { case Some(t) => t }.foreach(throw _)
+  }
+
+  private def probePool = Warehouse.probePool
+
   /** UNIQUE enforcement for a row-adding batch: per declared group,
     * duplicate fully-non-null tuples within the batch, then the
     * live-table membership probe (file-skipped through
@@ -6604,7 +6682,11 @@ class Warehouse(spark: SparkSession, dir: String,
       probeLive: Boolean = true,
       excludeKeys: Option[(DataFrame, Seq[String])] = None): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    specsNow(name).unique.foreach { u =>
+    // per-group probes are independent — overlap them; the in-group
+    // order (batch-dup check before live probe) is preserved inside
+    // each thunk, and runProbes' first-in-order rethrow keeps the
+    // sequential loop's winner on multi-group violations
+    runProbes(specsNow(name).unique.map { u => () =>
       val nn = u.map(c => col(c).isNotNull).reduce(_ && _)
       val batch = df.where(nn)
       val dup = batch.groupBy(u.map(col): _*)
@@ -6634,7 +6716,7 @@ class Warehouse(spark: SparkSession, dir: String,
                 u.map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
           }
         }
-    }
+    })
   }
 
   /** The identity high-water mark as of manifest `version`: the last
@@ -6709,24 +6791,32 @@ class Warehouse(spark: SparkSession, dir: String,
     import org.apache.spark.sql.functions.{col, count, lit}
     val pk = specsNow(name).primaryKey
     if (pk.isEmpty) return
-    // NOT NULL + uniqueness within the batch: one aggregation (null
-    // keys group like values, so both violations surface per GROUP —
-    // bounded output, limit 1 is all we need)
-    val offender = df.groupBy(pk.map(col): _*)
-      .agg(count(lit(1)).as("__gf_pk_n"))
-      .where(pk.map(c => col(c).isNull).reduce(_ || _) ||
-        col("__gf_pk_n") > 1)
-      .limit(1).collect()
-    if (offender.nonEmpty) {
-      val r = offender.head
-      val hasNull = pk.indices.exists(r.isNullAt)
-      throw Warehouse.PrimaryKeyViolation(name, pk,
-        if (hasNull) "NULL key value in batch (PRIMARY KEY implies NOT NULL)"
-        else "duplicate key within batch: " +
-          pk.zipWithIndex.map { case (c, i) => s"$c=${r.get(i)}" }
-            .mkString(", "))
+    // batch check and live probe are independent reads — overlap them
+    // (runProbes rethrows first-in-order, so a batch that violates
+    // both still reports the batch-side diagnosis, like the
+    // sequential form)
+    val batchCheck = () => {
+      // NOT NULL + uniqueness within the batch: one aggregation (null
+      // keys group like values, so both violations surface per GROUP —
+      // bounded output, limit 1 is all we need)
+      val offender = df.groupBy(pk.map(col): _*)
+        .agg(count(lit(1)).as("__gf_pk_n"))
+        .where(pk.map(c => col(c).isNull).reduce(_ || _) ||
+          col("__gf_pk_n") > 1)
+        .limit(1).collect()
+      if (offender.nonEmpty) {
+        val r = offender.head
+        val hasNull = pk.indices.exists(r.isNullAt)
+        throw Warehouse.PrimaryKeyViolation(name, pk,
+          if (hasNull) "NULL key value in batch (PRIMARY KEY implies NOT NULL)"
+          else "duplicate key within batch: " +
+            pk.zipWithIndex.map { case (c, i) => s"$c=${r.get(i)}" }
+              .mkString(", "))
+      }
     }
-    if (probeLive) probePrimaryKey(name, df)
+    if (probeLive)
+      runProbes(Seq(batchCheck, () => probePrimaryKey(name, df)))
+    else batchCheck()
   }
 
   /** The live-row half of PK enforcement: does any batch key already
@@ -6892,7 +6982,10 @@ class Warehouse(spark: SparkSession, dir: String,
       pendingParents: Map[String, DataFrame] = Map.empty,
       replacedParents: Set[String] = Set.empty): Unit = {
     import org.apache.spark.sql.functions.col
-    specsNow(name).foreignKeys.foreach { fk =>
+    // per-FK probes scope different parent tables and are independent
+    // reads — overlap them (first-in-declaration-order rethrow keeps
+    // the sequential loop's winner on multi-FK violations)
+    runProbes(specsNow(name).foreignKeys.map { fk => () =>
       val batchKeys = df.select(fk.cols.map(col): _*)
         .where(fk.cols.map(c => col(c).isNotNull).reduce(_ && _))
         .distinct()
@@ -6928,7 +7021,7 @@ class Warehouse(spark: SparkSession, dir: String,
           "no parent row for " + fk.parentCols
             .map(c => s"$c=${r.get(r.fieldIndex(c))}").mkString(", "))
       }
-    }
+    })
   }
 
   /** Declared FKs that reference `name` as their parent — the children
@@ -6963,7 +7056,9 @@ class Warehouse(spark: SparkSession, dir: String,
       .filterNot { case (c, _) => skipChildren.contains(c) }
     if (children.isEmpty) return
     val keys = doomedKeys.distinct().localCheckpoint(true)
-    try children.foreach { case (child, fk) =>
+    // per-child probes scan different child tables off one shared
+    // checkpointed key set — independent reads, overlap them
+    try runProbes(children.map { case (child, fk) => () =>
       import org.apache.spark.sql.functions.col
       val asChild = fk.parentCols.zip(fk.cols)
         .foldLeft(keys) { case (d, (p, c)) => d.withColumnRenamed(p, c) }
@@ -6978,7 +7073,7 @@ class Warehouse(spark: SparkSession, dir: String,
                 .mkString(", "))
         }
       }
-    } finally { keys.unpersist(); () }
+    }) finally { keys.unpersist(); () }
   }
 
   /** [[enforceChecks]] against an EXPLICIT constraint set — the form
@@ -8114,6 +8209,25 @@ class Warehouse(spark: SparkSession, dir: String,
 }
 
 object Warehouse {
+  /** Daemon pool for CONCURRENT constraint probes (r16, guide §2.6:
+    * "actions are only sequential because your driver code calls them
+    * sequentially"). Cached, not fixed: probe runners NEST (an append
+    * overlaps its PK/UNIQUE/FK families, and the FK family overlaps
+    * its per-constraint probes), and a bounded pool could deadlock
+    * with every slot held by an outer probe awaiting an inner one.
+    * Probe thunks are short-lived driver-side job submissions, so the
+    * cached pool stays small in practice and idle threads die off.
+    */
+  private[pipeline] lazy val probePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-probe-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
   /** One live data file: table-relative path, size, per-column
     * long-encoded min/max footer stats (raw value for int/long columns,
     * epoch micros for timestamps), and the footer ROW COUNT (−1 when

@@ -110,7 +110,14 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
               // the contract HDFSMetadataLog's losing committer expects
               throw new org.apache.hadoop.fs.FileAlreadyExistsException(
                 s"rename destination $path already exists")
-            case _: UnsupportedOperationException =>
+            case e @ (_: UnsupportedOperationException |
+                      _: java.nio.file.FileSystemException)
+                // filesystems that reject link(2) surface EPERM/EACCES
+                // as a generic FileSystemException (FUSE, overlayfs,
+                // some network mounts), not UnsupportedOperation —
+                // same fallback; a FileAlreadyExists subtype is real
+                // contention and was handled above
+                if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
               // no hard links on this fs: exists-probe + atomic move
               // (the same best-effort Spark's own fallback manager does)
               if (Files.exists(nio(path))) {

@@ -21,13 +21,21 @@ object Fan {
 
   /** `df`, round-robin-repartitioned to `spark.defaultParallelism`
     * when its physical plan currently yields fewer partitions; `df`
-    * unchanged otherwise. Inspecting the partition count forces
-    * physical planning of `df` (no job runs); callers sit on heavy
-    * derivation paths where that cost is noise.
+    * unchanged otherwise.
+    *
+    * Inspecting the partition count forces ONE extra physical planning
+    * of `df` (`toRdd` — the internal-row RDD, NOT `.rdd`, whose
+    * external-Row deserializer layer this probe does not need; no job
+    * runs). The extra planning is accepted and bounded: every caller
+    * passes a scan-rooted plan (a micro-batch or a doc-table read)
+    * whose planning is milliseconds, sitting in front of seconds of
+    * per-row derivation — and the alternative (deciding from logical-
+    * plan size ESTIMATES) mis-fires exactly where widen matters, e.g.
+    * streaming sources whose default sizeInBytes is Long.Max.
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val current = df.rdd.getNumPartitions
+    val current = df.queryExecution.toRdd.getNumPartitions
     if (current >= target) df else df.repartition(target)
   }
 }
