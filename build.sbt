@@ -31,4 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JIT code-cache headroom for the 186-query surface (r16, guide §7).
+  // The default 240 MB ReservedCodeCacheSize is sized for a handful of
+  // hot queries; a full bench/verify run compiles tens of thousands of
+  // generated-code methods, and jcmd sampling mid-run showed the
+  // non-profiled nmethod heap 95% full with the profiled heap being
+  // flushed. Once it fills, C2 compilation stops and flushed codegen
+  // re-runs INTERPRETED: a contended r16 baseline recorded a sweep
+  // re-run of q126 at 458 s process-CPU vs 11 s for the same query
+  // compiled — a 40x cliff that lands on whatever runs last. 512 MB
+  // keeps the whole surface compiled; the cost is virtual reservation,
+  // not resident memory.
+  s"-XX:ReservedCodeCacheSize=${
+    sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
 )
